@@ -1,0 +1,251 @@
+"""Native-Spark geometry expressions (G1-G13 in SURVEY.md §2.7).
+
+The reference uses shapely + hand-rolled string building; neither Sedona
+nor shapely is available here, so every geometry operation is a Column
+expression over the canonical GeoJSON representation:
+
+    coordinates: array<array<array<double>>>   (rings -> points -> [x, y])
+
+All functions return Columns and run JVM-side inside whole-stage codegen
+(higher-order functions: transform / aggregate / filter), so they
+vectorize and scale with no Python boundary. Reference parity notes cite
+file:line into /root/reference/src/geosparql-etl/.
+
+Float-to-string caveat: Spark renders doubles with Java shortest-repr
+(e.g. 1.0E-4) while CPython renders 0.0001; for coordinates in the
+reference's actual magnitude range (pixels, 0..40000, and %.2f-formatted
+denormalized values) the renderings agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def outer_ring(coordinates: Column) -> Column:
+    """First (outer) ring of a GeoJSON polygon (null when absent — ANSI-safe).
+    Ref: json-etl:34."""
+    return F.try_element_at(coordinates, F.lit(1))
+
+
+def _fmt_point_raw(pt: Column) -> Column:
+    """Render one [x, y] point as 'x y' with raw double rendering.
+
+    Parity with the reference's f"{x} {y}" (json-etl:39).
+    """
+    return F.concat_ws(" ", F.element_at(pt, 1).cast("string"), F.element_at(pt, 2).cast("string"))
+
+
+def _close_ring(pts: Column) -> Column:
+    """Append the first point when the ring isn't closed (ANSI-safe)."""
+    first = F.try_element_at(pts, F.lit(1))
+    last = F.try_element_at(pts, F.size(pts))
+    return F.when(
+        (F.size(pts) > 0) & ~first.eqNullSafe(last), F.concat(pts, F.array(first))
+    ).otherwise(pts)
+
+
+def polygon_wkt(coordinates: Column) -> Column:
+    """G1: GeoJSON polygon coordinates -> WKT, outer ring only, NO ring
+    closing, raw float rendering. Null when coords/ring empty.
+
+    Ref: json-etl/geojson_to_geosparql_etl.py:27-42.
+    """
+    ring = outer_ring(coordinates)
+    body = F.array_join(F.transform(ring, _fmt_point_raw), ", ")
+    wkt = F.concat(F.lit("POLYGON (("), body, F.lit("))"))
+    empty = coordinates.isNull() | (F.size(coordinates) == 0) | ring.isNull() | (F.size(ring) == 0)
+    return F.when(~empty, wkt)
+
+
+def parse_polygon_string_wkt(polygon_string: Column) -> Column:
+    """G2: '[x1:y1:x2:y2:...]' string -> WKT with ring auto-close.
+
+    Coordinate text is preserved verbatim (the reference never parses the
+    numbers: segmentation-etl:61-69 joins the split substrings). An odd
+    trailing coordinate is dropped. Null/empty input -> null.
+
+    Ref: segmentation-etl/nuclear_segmentation_etl.py:47-76.
+    """
+    toks = F.split(F.regexp_replace(F.trim(polygon_string), r"^\[|\]$", ""), ":")
+    n_pairs = F.floor(F.size(toks) / 2).cast("int")
+    pts = F.when(
+        n_pairs > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_pairs - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i * 2 + 1), F.element_at(toks, i * 2 + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    closed = _close_ring(pts)
+    wkt = F.concat(F.lit("POLYGON (("), F.array_join(closed, ", "), F.lit("))"))
+    bad = polygon_string.isNull() | (F.length(F.trim(polygon_string)) == 0)
+    return F.when(~bad, wkt)
+
+
+def denormalized_polygon_wkt(
+    geometry_type: Column,
+    coordinates: Column,
+    image_width: Column,
+    image_height: Column,
+) -> Column:
+    """G3: normalized (0-1) polygon -> pixel-space WKT, '%.2f %.2f' per
+    point, ring auto-closed; requires type == 'Polygon'; null otherwise.
+
+    Ref: mongo-etl/mongodb_to_rdf.py:238-261.
+    """
+    ring = outer_ring(coordinates)
+    pts = F.transform(
+        ring,
+        lambda p: F.format_string(
+            "%.2f %.2f",
+            F.element_at(p, 1) * image_width,
+            F.element_at(p, 2) * image_height,
+        ),
+    )
+    closed = _close_ring(pts)
+    wkt = F.concat(F.lit("POLYGON (("), F.array_join(closed, ", "), F.lit("))"))
+    bad = (
+        geometry_type.isNull()
+        | (geometry_type != F.lit("Polygon"))
+        | coordinates.isNull()
+        | (F.size(coordinates) == 0)
+        | ring.isNull()
+        | (F.size(ring) == 0)
+    )
+    return F.when(~bad, wkt)
+
+
+# --- measurements (G6-G8): shoelace & friends, all native ----------------
+
+
+def _xs(ring: Column) -> Column:
+    return F.transform(ring, lambda p: F.element_at(p, 1))
+
+
+def _ys(ring: Column) -> Column:
+    return F.transform(ring, lambda p: F.element_at(p, 2))
+
+
+def ring_area(ring: Column) -> Column:
+    """G6: shoelace area of one ring (list of [x,y] points, closed or not).
+
+    |sum(x_i*y_{i+1} - x_{i+1}*y_i)| / 2 over consecutive pairs with
+    wraparound. Matches shapely's Polygon.area for simple rings.
+    Ref: utils/geometry.py:95-112.
+    """
+    n = F.size(ring)
+    cross = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(ring, i)[0]
+        * F.element_at(ring, F.when(i == n, 1).otherwise(i + 1))[1]
+        - F.element_at(ring, F.when(i == n, 1).otherwise(i + 1))[0]
+        * F.element_at(ring, i)[1],
+    )
+    return F.when(n >= 3, F.abs(cross) / 2.0).otherwise(F.lit(0.0))
+
+
+def polygon_area(coordinates: Column) -> Column:
+    """G6 over GeoJSON coordinates (outer ring only)."""
+    return ring_area(outer_ring(coordinates))
+
+
+def ring_perimeter(ring: Column) -> Column:
+    """G7: perimeter — sum of segment lengths with wraparound close.
+
+    Ref: utils/geometry.py:115-132 (shapely .length semantics: a shapely
+    polygon ring is always closed, so the wraparound edge is included).
+    """
+    n = F.size(ring)
+    return F.when(
+        n >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.sqrt(
+                F.pow(
+                    F.element_at(ring, F.when(i == n, 1).otherwise(i + 1))[0]
+                    - F.element_at(ring, i)[0],
+                    2,
+                )
+                + F.pow(
+                    F.element_at(ring, F.when(i == n, 1).otherwise(i + 1))[1]
+                    - F.element_at(ring, i)[1],
+                    2,
+                )
+            ),
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def polygon_perimeter(coordinates: Column) -> Column:
+    return ring_perimeter(outer_ring(coordinates))
+
+
+def ring_bounds(ring: Column) -> Column:
+    """G8: (minx, miny, maxx, maxy) struct. Ref: utils/geometry.py:135-153."""
+    return F.struct(
+        F.array_min(_xs(ring)).alias("minx"),
+        F.array_min(_ys(ring)).alias("miny"),
+        F.array_max(_xs(ring)).alias("maxx"),
+        F.array_max(_ys(ring)).alias("maxy"),
+    )
+
+
+def polygon_bounds(coordinates: Column) -> Column:
+    return ring_bounds(outer_ring(coordinates))
+
+
+def is_valid_polygon(geometry_type: Column, coordinates: Column) -> Column:
+    """G9 (structural approximation): type=='Polygon', non-empty outer ring
+    with >= 4 points when closed / >= 3 distinct points, finite area.
+
+    The reference used shapely's full OGC is_valid (utils/geometry.py:156-172);
+    self-intersection checking is O(n^2) and deliberately out of scope —
+    documented deviation (SURVEY.md §7 "What's hard").
+    """
+    ring = outer_ring(coordinates)
+    ok = (
+        geometry_type.isNotNull()
+        & (geometry_type == F.lit("Polygon"))
+        & coordinates.isNotNull()
+        & (F.size(coordinates) > 0)
+        & ring.isNotNull()
+        & (F.size(ring) >= 3)
+        & (ring_area(ring) > 0.0)
+    )
+    return F.coalesce(ok, F.lit(False))
+
+
+def geometry_type(geometry: Column) -> Column:
+    """G10. Ref: utils/geometry.py:175-191."""
+    return geometry["type"]
+
+
+def make_point(x: Column, y: Column) -> Column:
+    """G11 constructor: POINT WKT. Ref: utils/geometry.py:194-209."""
+    return F.concat(
+        F.lit("POINT ("), x.cast("string"), F.lit(" "), y.cast("string"), F.lit(")")
+    )
+
+
+def safe_polygon_wkt(coordinates: Column, default: str = "POINT EMPTY") -> Column:
+    """G12: WKT with fallback default. Ref: utils/geometry.py:245-260."""
+    return F.coalesce(polygon_wkt(coordinates), F.lit(default))
+
+
+def image_bbox_wkt(image_width: Column, image_height: Column) -> Column:
+    """G13: whole-image bounding box 'POLYGON ((0 0, w 0, w h, 0 h, 0 0))'.
+
+    Width/height are integers in the reference (mongo-etl:350).
+    """
+    w = image_width.cast("long").cast("string")
+    h = image_height.cast("long").cast("string")
+    return F.format_string(
+        "POLYGON ((0 0, %s 0, %s %s, 0 %s, 0 0))", w, w, h, h
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis expressions for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+No reference counterpart (the reference is a pathology ETL); these are
+the scale-path operators required by the engine charter. All are native
+Column expressions — they run inside whole-stage codegen, so a 100 TB
+documents table processes at scan speed with no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- token counting ---------------------------------------------------------
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count (empty/null-safe)."""
+    trimmed = F.trim(text)
+    return F.when(
+        trimmed.isNull() | (F.length(trimmed) == 0), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate subword token count: GPT-2-style pretokenizer regex —
+    word pieces, numbers, punctuation runs — each match counted once.
+    Cheap proxy for a real BPE vocabulary pass."""
+    return F.size(
+        F.regexp_extract_all(
+            text, F.lit(r"'(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]+"), F.lit(0)
+        )
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.coalesce(F.length(text), F.lit(0))
+
+
+# --- quality scoring ---------------------------------------------------------
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are punctuation-ish."""
+    nospace = F.regexp_replace(text, r"\s+", "")
+    punct = F.regexp_replace(nospace, r"[\w]", "")
+    return F.when(F.length(nospace) > 0, F.length(punct) / F.length(nospace)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+)) -> Column:
+    """Fraction of whitespace tokens that are (lowercased) stopwords."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = F.split(F.trim(text), r"\s+")
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    sane mean word length. Deterministic and fully SQL-expressible."""
+    n = char_count(text).cast("double")
+    length_ok = F.when((n >= 100) & (n <= 20000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    punct_ok = F.when(punct_ratio(text) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_length(text)
+    word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (length_ok + punct_ok + word_ok) / F.lit(3.0)
+
+
+# --- language ID (n-gram/stopword heuristic) ---------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "y", "es", "los"),
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Tiny deterministic language classifier: count stopword markers per
+    language over whitespace tokens; highest count wins, ties broken by
+    language code order; no hits -> 'und'. A real pipeline swaps in a
+    fastText-style model via pandas_udf; the plumbing stays identical."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).alias("hits"),
+            # negative lexicographic tiebreak: greatest() picks the first
+            # language code on equal hit counts
+            F.lit(code).alias("lang"),
+        )
+        for code, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# --- fingerprinting -----------------------------------------------------------
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit-ish document fingerprint over normalized text (lowercase,
+    collapsed whitespace) — md5-derived so it is oracle-portable."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles (distinct, order-insensitive set) of normalized text.
+    Building block for minhash / jaccard dedup."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )

@@ -1,0 +1,244 @@
+"""Deduplication family for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+No reference counterpart (engine charter operators). Design notes for
+100 TB:
+
+  - exact: hash-groupBy on a digest of the normalized text — shuffles
+    16-byte digests + ids, never the documents.
+  - minhash LSH: signatures are computed scan-side (native expressions,
+    no UDF), banding explodes to (band, band_hash, id) — the self-join
+    on band hash is an equi-join whose build side is only candidate
+    buckets, so the cross product never materializes.
+  - all hash functions are md5-derived (md5_long) so every step is
+    bit-reproducible in ANSI SQL — the DuckDB oracle can verify the
+    whole pipeline, not just row counts.
+
+Skew: stop-shingles (e.g. boilerplate headers) create hot LSH buckets;
+``lsh_candidate_pairs`` caps bucket width (default 64) — buckets wider
+than the cap are dropped, trading recall for bounded work, and the cap
+is logged in the plan via a filter so it is visible, not silent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.functions.hashing import md5_long
+from geosparql_etl_spark.functions.textstats import shingles
+
+# --- exact -------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) text digest."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    digest = F.md5(norm).alias("__digest")
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__digest", "__rn")
+    )
+
+
+# --- minhash -----------------------------------------------------------------
+
+
+def seeded_hash(col: Column, seed: int) -> Column:
+    """Portable seeded hash: md5('seed:value') folded to a 60-bit long."""
+    return md5_long(F.concat(F.lit(f"{seed}:"), col))
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """array<long> minhash signature over word k-shingles."""
+    sh = shingles(text, k)
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: seeded_hash(s, i))) for i in range(num_hashes)]
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str, num_hashes: int = 16, k: int = 3, out_col: str = "minhash"
+) -> DataFrame:
+    return df.withColumn(out_col, minhash_signature(F.col(text_col), num_hashes, k))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing at least one LSH band bucket.
+
+    Signature of length n split into ``bands`` contiguous bands of
+    n/bands rows; band key = md5 of the band's joined values. Pairs are
+    emitted once (id_a < id_b). Buckets wider than ``max_bucket`` are
+    dropped (skew guard — see module docstring).
+    """
+    sig = F.col(sig_col)
+    n = bands  # band index domain
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                F.slice(
+                                    sig,
+                                    F.lit(b) * (F.size(sig) / n).cast("int") + 1,
+                                    (F.size(sig) / n).cast("int"),
+                                ).cast("array<string>"),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+
+    bucket_sizes = banded.groupBy("band", "bucket").count()
+    small = banded.join(
+        bucket_sizes.where(F.col("count") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = small.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
+    b_ = small.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"))
+    return (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_of_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Exact word-k-shingle Jaccard for each (id_a, id_b) pair."""
+    sh = docs.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    k: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup removal: LSH candidates -> exact Jaccard >= threshold ->
+    drop the higher id of each duplicate pair (greedy by id order)."""
+    sigs = with_minhash(df, text_col, num_hashes, k)
+    cand = lsh_candidate_pairs(sigs, id_col)
+    dups = jaccard_of_pairs(cand, df, id_col, text_col, k).where(
+        F.col("jaccard") >= threshold
+    )
+    losers = dups.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --- simhash -----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """32-bit SimHash over whitespace tokens (md5-derived bit votes).
+
+    Explode tokens -> per-bit +/-1 votes -> majority per bit -> pack.
+    Shuffles (id, token-hash) longs only; the pack is a single agg row
+    per document. Hamming-close simhashes ~ near-dup documents.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("__tok"),
+    ).withColumn("__h", md5_long(F.col("__tok")))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    packed = votes.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"__b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+                for b in range(SIMHASH_BITS)
+            ],
+            start=F.lit(0).cast("long"),
+        ).alias(out_col),
+    )
+    return df.join(packed, id_col, "left")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- n-gram jaccard (direct, no LSH) ------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, min_jaccard: float = 0.5
+) -> DataFrame:
+    """All pairs with word-k-shingle Jaccard >= min_jaccard, found by
+    joining on shared shingles (inverted-index join) — exact, no LSH
+    approximation; the shared-shingle join prunes non-overlapping pairs.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s"))
+    sizes = df.select(
+        F.col(id_col), F.size(shingles(F.col(text_col), k)).alias("__n")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "__s")
+    b = sh.select(F.col(id_col).alias("id_b"), "__s")
+    inter = (
+        a.join(b, "__s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths (engine charter operators; no reference counterpart):
+
+  - brute-force cosine top-k: the correctness baseline. Queries are tiny
+    (k ids or an explicit vector set) -> broadcast them; each corpus
+    partition scores its rows independently (zip_with dot product inside
+    codegen); per-query top-k via window. Corpus is scanned once, never
+    shuffled — only (query_id, corpus_id, score) survive the scan, and
+    AQE coalesces the tiny tail.
+
+  - sign-LSH bucketed ANN: the 100 TB path. Deterministic random
+    hyperplanes (seeded, driver-generated literal arrays) hash each
+    vector to band buckets; candidates = bucket-equi-join, then exact
+    re-score. Recall tunes with bands x bits; planes are literals, so
+    the whole signature is a native expression.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query row.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank); self-matches are
+    excluded; ties broken by neighbor id so output is deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# --- sign-LSH ANN ------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: str = "gsel") -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 bytes.
+
+    Components are +-1 derived from digest bits — enough for sign-LSH,
+    fully reproducible across runs/machines.
+    """
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        comps: list[float] = []
+        d = 0
+        while len(comps) < dim:
+            digest = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            for byte in digest:
+                for bit in range(8):
+                    if len(comps) >= dim:
+                        break
+                    comps.append(1.0 if (byte >> bit) & 1 else -1.0)
+            d += 1
+        planes.append(comps)
+    return planes
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 4,
+    bits_per_band: int = 8,
+    out_col: str = "lsh_buckets",
+) -> DataFrame:
+    """Add array<string> of band-bucket keys (bands x bits sign bits)."""
+    planes = _hyperplanes(dim, bands * bits_per_band)
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) > 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    buckets = [
+        F.concat(
+            F.lit(f"b{b}:"), *bits[b * bits_per_band : (b + 1) * bits_per_band]
+        )
+        for b in range(bands)
+    ]
+    return df.withColumn(out_col, F.array(*buckets))
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    bands: int = 4,
+    bits_per_band: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates share >= 1 LSH band bucket, then
+    exact cosine re-score. Recall < 1 by construction; increase bands
+    (more probes) or decrease bits (wider buckets) to raise it."""
+    cb = with_lsh_buckets(corpus, vec_col, dim, bands, bits_per_band).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.explode("lsh_buckets").alias("__bucket"),
+    )
+    qb = with_lsh_buckets(queries, vec_col, dim, bands, bits_per_band).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode("lsh_buckets").alias("__bucket"),
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "__bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,152 @@
+"""Argmax (A1), hashing (H1), text (T1-T9), textstats unit tests."""
+
+import hashlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geosparql_etl_spark.functions import hashing as H
+from geosparql_etl_spark.functions import text as TX
+from geosparql_etl_spark.functions import textstats as TS
+from geosparql_etl_spark.operators.argmax import dominant_entry
+
+MEAS_SCHEMA = T.StructType(
+    [T.StructField("m", T.MapType(T.StringType(), T.DoubleType()))]
+)
+
+
+def _dom(spark, m):
+    df = spark.createDataFrame([(m,)], MEAS_SCHEMA)
+    return df.select(dominant_entry(F.col("m")).alias("d")).first()["d"]
+
+
+def test_argmax_basic(spark):
+    d = _dom(spark, {"prob_a": 0.2, "prob_b": 0.7, "prob_c": 0.1})
+    assert (d["class"], d["prob"]) == ("b", 0.7)
+
+
+def test_argmax_ignores_non_prefixed(spark):
+    d = _dom(spark, {"nr_of_cells": 99.0, "prob_a": 0.1})
+    assert (d["class"], d["prob"]) == ("a", 0.1)
+
+
+def test_argmax_first_max_wins_on_tie(spark):
+    # strict '>' keeps the earlier entry (json-etl:56-58). Entry order is
+    # the map's stored order — JSON scans and map literals preserve the
+    # document/argument order (Python dicts via createDataFrame do NOT,
+    # they round-trip through a JVM hash map, so we pin order with SQL).
+    df = spark.sql(
+        "SELECT map('prob_x', 0.5d, 'prob_y', 0.5d) AS m"
+    )
+    d = df.select(dominant_entry(F.col("m")).alias("d")).first()["d"]
+    assert d["class"] == "x"
+
+
+def test_argmax_empty_and_null(spark):
+    d = _dom(spark, {})
+    assert d["class"] is None and d["prob"] == 0.0
+    d = _dom(spark, None)
+    assert d["class"] is None and d["prob"] == 0.0
+
+
+def test_argmax_zero_probs_yield_null(spark):
+    # values must exceed 0.0 to win (max_prob starts at 0.0, strict >)
+    d = _dom(spark, {"prob_a": 0.0})
+    assert d["class"] is None
+
+
+def test_sha256_parity_with_hashlib(spark):
+    ids = ["TCGA-AB-1234", "x", ""]
+    df = spark.createDataFrame([(i,) for i in ids], "id string")
+    got = {r["id"]: r["h"] for r in df.select("id", H.sha256_id(F.col("id")).alias("h")).collect()}
+    for i in ids:
+        assert got[i] == hashlib.sha256(i.encode()).hexdigest()
+
+
+def test_md5_long_range(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    v = df.select(H.md5_long(F.col("s")).alias("v")).first()["v"]
+    assert 0 <= v < 2**60
+
+
+def test_extract_image_id(spark):
+    df = spark.createDataFrame(
+        [Row(f="TCGA-AB-1234-01Z.someuuid.geojson"), Row(f="plain.geojson")]
+    )
+    out = [r["i"] for r in df.select(TX.extract_image_id(F.col("f")).alias("i")).collect()]
+    assert out == ["TCGA-AB-1234-01Z", "plain"]
+
+
+def test_patch_metadata_parse_and_fallback(spark):
+    df = spark.createDataFrame(
+        [Row(f="24001_72001_4000_4000_0.2325_1-features.csv"), Row(f="weird-name.csv")]
+    )
+    rows = df.select(TX.patch_metadata(F.col("f")).alias("p")).collect()
+    good, bad = rows[0]["p"], rows[1]["p"]
+    assert (good["x"], good["y"], good["width"], good["height"]) == (
+        24001,
+        72001,
+        4000,
+        4000,
+    )
+    assert (bad["x"], bad["y"], bad["width"], bad["height"]) == (0, 0, 40000, 40000)
+    assert bad["base_name"] == "weird-name"
+
+
+def test_iso_utc_seconds_precision(spark):
+    df = spark.createDataFrame([("2024-05-01 12:34:56",)], "s string")
+    out = df.select(
+        TX.iso_utc(F.col("s").cast("timestamp")).alias("t")
+    ).first()["t"]
+    assert out == "2024-05-01T12:34:56Z"
+
+
+def test_urn_replacement_and_missing_tag(spark):
+    ttl = '<urn:md5:abcd1234> a so:ImageObject ;'
+    df = spark.createDataFrame([Row(t=ttl, h="f" * 64), Row(t=ttl, h=None)])
+    out = df.select(
+        TX.mark_missing_hash(F.col("t"), F.col("h")).alias("r")
+    ).collect()
+    assert out[0]["r"] == f'<urn:sha256:{"f" * 64}> a so:ImageObject ;'
+    assert 'hal:missing "true"^^xsd:boolean' in out[1]["r"]
+
+
+def test_batch_file_name(spark):
+    df = spark.createDataFrame([(7,)], "b int")
+    assert (
+        df.select(TX.batch_file_name(F.col("b")).alias("n")).first()["n"]
+        == "batch_000007.ttl.gz"
+    )
+
+
+def test_word_count_and_quality(spark):
+    df = spark.createDataFrame([Row(t="the quick brown fox jumps"), Row(t=""), Row(t=None)])
+    out = df.select(
+        TS.word_count(F.col("t")).alias("wc"),
+        TS.quality_score(F.col("t")).alias("q"),
+    ).collect()
+    assert out[0]["wc"] == 5
+    assert out[1]["wc"] == 0 and out[2]["wc"] == 0
+    assert 0.0 <= out[0]["q"] <= 1.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat and the dog is here"),
+            Row(t="der hund und die katze ist das"),
+            Row(t="xyzzy qwerty"),
+        ]
+    )
+    out = [r["l"] for r in df.select(TS.lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    sh = df.select(TS.shingles(F.col("t"), 3).alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+    df2 = spark.createDataFrame([Row(t="a b")])
+    sh2 = df2.select(TS.shingles(F.col("t"), 3).alias("s")).first()["s"]
+    assert sh2 == ["a b"]

@@ -1,0 +1,126 @@
+"""Geometry expression tests (G1-G13): parity with the reference's
+string outputs and shapely-equivalent math (SURVEY.md §2.7)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geosparql_etl_spark.functions import geometry as G
+from geosparql_etl_spark.schemas import COORDINATES
+
+RING = [[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0]]  # open 4x3 rectangle
+
+_FIELD_TYPES = {
+    "coords": COORDINATES,
+    "c": COORDINATES,
+    "t": T.StringType(),
+    "p": T.StringType(),
+    "dummy": T.IntegerType(),
+}
+
+
+def _one(spark, col, **data):
+    schema = T.StructType(
+        [T.StructField(k, _FIELD_TYPES[k]) for k in data]
+    )
+    df = spark.createDataFrame([tuple(data.values())], schema)
+    return df.select(col.alias("out")).first()["out"]
+
+
+def test_polygon_wkt_no_close_raw_floats(spark):
+    # G1 does NOT close the ring and renders raw float repr (json-etl:27-42)
+    out = _one(spark, G.polygon_wkt(F.col("coords")), coords=[RING])
+    assert out == "POLYGON ((0.0 0.0, 4.0 0.0, 4.0 3.0, 0.0 3.0))"
+
+
+def test_polygon_wkt_empty_is_null(spark):
+    assert _one(spark, G.polygon_wkt(F.col("coords")), coords=[[]]) is None
+    assert _one(spark, G.polygon_wkt(F.col("coords")), coords=[]) is None
+
+
+def test_parse_polygon_string_closes_ring(spark):
+    # G2 closes the ring and preserves coordinate text verbatim
+    out = _one(spark, G.parse_polygon_string_wkt(F.col("p")), p="[1:2:3:4:5:6]")
+    assert out == "POLYGON ((1 2, 3 4, 5 6, 1 2))"
+
+
+def test_parse_polygon_string_drops_odd_tail(spark):
+    out = _one(spark, G.parse_polygon_string_wkt(F.col("p")), p="[1:2:3:4:9]")
+    assert out == "POLYGON ((1 2, 3 4, 1 2))"
+
+
+def test_parse_polygon_string_already_closed(spark):
+    out = _one(spark, G.parse_polygon_string_wkt(F.col("p")), p="[1:2:3:4:1:2]")
+    assert out == "POLYGON ((1 2, 3 4, 1 2))"
+
+
+def test_parse_polygon_string_empty_null(spark):
+    assert _one(spark, G.parse_polygon_string_wkt(F.col("p")), p="") is None
+
+
+def test_denormalized_wkt_formats_and_closes(spark):
+    # G3: x0.5,y0.5 over 100x200 -> '50.00 100.00', ring closed, %.2f
+    out = _one(
+        spark,
+        G.denormalized_polygon_wkt(
+            F.col("t"), F.col("coords"), F.lit(100.0), F.lit(200.0)
+        ),
+        t="Polygon",
+        coords=[[[0.5, 0.5], [1.0, 0.5], [1.0, 1.0]]],
+    )
+    assert out == "POLYGON ((50.00 100.00, 100.00 100.00, 100.00 200.00, 50.00 100.00))"
+
+
+def test_denormalized_wkt_requires_polygon_type(spark):
+    out = _one(
+        spark,
+        G.denormalized_polygon_wkt(
+            F.col("t"), F.col("coords"), F.lit(100.0), F.lit(100.0)
+        ),
+        t="Point",
+        coords=[[[0.5, 0.5]]],
+    )
+    assert out is None
+
+
+def test_shoelace_area_rectangle(spark):
+    assert _one(spark, G.polygon_area(F.col("c")), c=[RING]) == 12.0
+
+
+def test_shoelace_area_triangle_closed_ring(spark):
+    tri = [[0.0, 0.0], [4.0, 0.0], [0.0, 3.0], [0.0, 0.0]]
+    assert _one(spark, G.polygon_area(F.col("c")), c=[tri]) == 6.0
+
+
+def test_perimeter_rectangle(spark):
+    assert _one(spark, G.polygon_perimeter(F.col("c")), c=[RING]) == 14.0
+
+
+def test_bounds(spark):
+    b = _one(spark, G.polygon_bounds(F.col("c")), c=[RING])
+    assert (b["minx"], b["miny"], b["maxx"], b["maxy"]) == (0.0, 0.0, 4.0, 3.0)
+
+
+def test_is_valid_polygon(spark):
+    ok = _one(
+        spark, G.is_valid_polygon(F.col("t"), F.col("c")), t="Polygon", c=[RING]
+    )
+    assert ok is True
+    degenerate = [[0.0, 0.0], [1.0, 1.0]]
+    bad = _one(
+        spark,
+        G.is_valid_polygon(F.col("t"), F.col("c")),
+        t="Polygon",
+        c=[degenerate],
+    )
+    assert bad is False
+
+
+def test_image_bbox_wkt(spark):
+    out = _one(
+        spark, G.image_bbox_wkt(F.lit(40000), F.lit(30000)), dummy=1
+    )
+    assert out == "POLYGON ((0 0, 40000 0, 40000 30000, 0 30000, 0 0))"
+
+
+def test_safe_polygon_wkt_default(spark):
+    assert _one(spark, G.safe_polygon_wkt(F.col("c")), c=[]) == "POINT EMPTY"
