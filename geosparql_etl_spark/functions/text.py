@@ -63,8 +63,9 @@ def strip_prefix(col: Column, prefix: str) -> Column:
 
 
 def cancer_type_from_dir(dirname: Column) -> Column:
-    """'blca_polygon' -> 'cancer_blca'. Ref: segmentation-etl:384-385."""
-    return F.concat(F.lit("cancer_"), F.replace(dirname, F.lit("_polygon"), F.lit("")))
+    """'blca_polygon' -> 'blca' (the TTL cancerType value and the
+    'blca_' filename prefix stem). Ref: segmentation-etl:384-385."""
+    return F.replace(dirname, F.lit("_polygon"), F.lit(""))
 
 
 # T4/T5/T6: TTL text extraction / substitution -------------------------------

@@ -32,12 +32,13 @@ def read_patch_csvs(spark: SparkSession, base: str, glob: str | None = None) -> 
         .withColumn("__path", F.input_file_name())
     )
     return (
-        df.withColumn(
-            "cancer_type",
-            cancer_type_from_dir(F.regexp_extract(F.col("__path"), _PATH_RE, 1) + F.lit("_polygon")),
+        df.withColumn("cancer_type", F.regexp_extract(F.col("__path"), _PATH_RE, 1))
+        .withColumn(
+            "image_name",
+            F.concat(F.regexp_extract(F.col("__path"), _PATH_RE, 2), F.lit(".svs")),
         )
-        .withColumn("image_name", F.regexp_extract(F.col("__path"), _PATH_RE, 2))
         .withColumn("csv_name", F.url_decode(F.regexp_extract(F.col("__path"), _PATH_RE, 3)))
         .withColumn("patch", patch_metadata(F.col("csv_name")))
+        .withColumn("row_seq", F.monotonically_increasing_id())
         .drop("__path")
     )

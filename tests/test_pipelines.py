@@ -1,0 +1,274 @@
+"""Golden end-to-end pipeline tests: engine output must be byte-identical
+to the reference implementation on the same inputs (timestamp injected).
+Skipped when the read-only reference checkout is unavailable."""
+
+import gzip
+import json
+import re
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+import ref_oracle
+from geosparql_etl_spark.pipelines import hash_update, json_etl, mongo_etl, segmentation_etl
+from geosparql_etl_spark.schemas import ANALYSIS_DOC, MARK_DOC, SLIDE_HASHES, TTL_DOCUMENTS
+
+needs_ref = pytest.mark.skipif(
+    not ref_oracle.available(), reason="reference checkout not available"
+)
+
+TS_Z = "2026-01-01T00:00:00Z"
+TS_OFFSET = "2026-01-01T00:00:00+00:00"
+
+
+def _norm_ts(ttl: str, ts: str) -> str:
+    return re.sub(r'(dc:date\s+")[^"]+(")', r"\g<1>" + ts + r"\g<2>", ttl)
+
+
+# --- json-etl ---------------------------------------------------------------
+
+
+@needs_ref
+def test_json_etl_matches_reference(spark, tmp_path):
+    data = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[10.0, 20.0], [30.5, 20.0], [30.5, 45.25]]],
+                },
+                "properties": {
+                    "measurements": {
+                        "prob_400p-Tumor": 0.75,
+                        "prob_400p-Stroma": 0.2,
+                        "nr_of_cells": 17.0,
+                    }
+                },
+            },
+            {  # non-SNOMED dominant class -> dropped
+                "type": "Feature",
+                "geometry": {"type": "Polygon", "coordinates": [[[1.0, 1.0], [2.0, 2.0]]]},
+                "properties": {"measurements": {"prob_other": 0.9}},
+            },
+        ],
+    }
+    name = "TCGA-ZZ-9999-01Z.uuid-1.geojson"
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / name).write_text(json.dumps(data))
+
+    ref = ref_oracle.json_etl()
+    expected = _norm_ts(ref.create_geosparql_ttl(data, name, None), TS_Z)
+
+    docs = json_etl.run(spark, str(tmp_path / "in"), str(tmp_path / "out"), TS_Z)
+    got = (tmp_path / "out" / name.replace(".geojson", ".ttl")).read_text()
+    assert got == expected
+
+
+# --- segmentation-etl --------------------------------------------------------
+
+
+@needs_ref
+def test_segmentation_etl_matches_reference(spark, tmp_path):
+    csv_name = "24001_72001_4000_4000_0.2325_1-features.csv"
+    csv_text = (
+        "AreaInPixels,PhysicalSize,Polygon\n"
+        "250,60.5,[2080:1342:2085:1340:2090:1345]\n"
+        ",,[1:2:3:4]\n"  # empty optional props
+        "99,1.5,\n"  # empty polygon -> skipped
+    )
+    base = tmp_path / "base"
+    svs_dir = base / "blca_polygon" / "TCGA-XX.svs.tar.gz" / "blca_polygon" / "TCGA-XX.svs"
+    svs_dir.mkdir(parents=True)
+    (svs_dir / csv_name).write_text(csv_text)
+
+    ref = ref_oracle.segmentation_etl()
+    expected = _norm_ts(
+        ref.create_geosparql_ttl(svs_dir / csv_name, "TCGA-XX.svs", None, "blca"),
+        TS_OFFSET,
+    )
+
+    docs = segmentation_etl.run(
+        spark, str(base), str(tmp_path / "out"), TS_OFFSET, compress=True
+    )
+    out = tmp_path / "out" / "TCGA-XX.svs" / ("blca_" + csv_name.replace(".csv", "") + ".ttl.gz")
+    assert out.exists(), list((tmp_path / "out").rglob("*"))
+    got = gzip.open(out, "rt", encoding="utf-8").read()
+    assert got == expected
+
+
+# --- mongo-etl ----------------------------------------------------------------
+
+ANALYSIS = {
+    "_id": "a1b2c3d4e5f6a1b2c3d4e5f6",
+    "analysis": {
+        "execution_id": "exec-7",
+        "algorithm_params": {
+            "image_width": "2000",
+            "image_height": "1000",
+            "case_id": "CASE-1",
+        },
+    },
+    "image": {
+        "imageid": "IMG-1",
+        "subject": "SUBJ-1",
+        "study": "STUDY-1",
+        "slide": "12345",
+    },
+}
+
+
+def _mark(i: int, nucleustype="tumor.ep.1", ann=None, coords=None):
+    features = [
+        {
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": coords
+                if coords is not None
+                else [[[0.1, 0.2], [0.3, 0.2], [0.3, 0.4]]],
+            },
+            "properties": {"footprint": 512.0, "nucleustype": nucleustype},
+        }
+    ]
+    doc = {
+        "_id": f"mark{i:04d}",
+        "provenance": {
+            "analysis": {"execution_id": "exec-7"},
+            "image": {"imageid": "IMG-1", "slide": "12345"},
+        },
+        "geometries": {"features": features},
+    }
+    # NOTE: when there is no annotation the key must be ABSENT, not null —
+    # the reference's mark.get("userUpdate", {}) turns an explicit null
+    # into `"mark" in None` -> TypeError -> silent mark skip
+    # (mongodb_to_rdf.py:456-459). Spark's schema can't distinguish
+    # absent from null; the engine follows the absent-key semantics.
+    if ann:
+        doc["userUpdate"] = {"mark": {"annotation": ann}}
+    return doc
+
+
+@needs_ref
+def test_mongo_etl_matches_reference(spark, tmp_path):
+    ref = ref_oracle.mongo_etl(str(tmp_path))
+
+    marks = [
+        _mark(1),
+        _mark(2, nucleustype="xx", ann=[{"annotationID": "http://snomed.info/id/999"}]),
+        _mark(3, nucleustype="", ann=[{"annotationID": "http://example.org/nope"}]),
+        _mark(4, coords=[]),  # invalid geometry -> skipped
+    ]
+
+    # reference assembly: header + blocks (cursor order) + close
+    header, w, h = ref.create_ttl_header(ANALYSIS, 1, None, None, None)
+    expected = header
+    ok_marks = 0
+    for m in marks:
+        block, ok = ref.add_mark_to_ttl(m, w, h, ok_marks == 0)
+        if ok:
+            expected += block
+            ok_marks += 1
+    if expected.rstrip().endswith(";"):
+        expected = expected.rstrip()[:-1]
+    expected += "\n    ] .\n"
+
+    analyses_df = spark.createDataFrame(
+        [json.loads(json.dumps(ANALYSIS))], ANALYSIS_DOC
+    )
+    marks_df = spark.createDataFrame([json.loads(json.dumps(m)) for m in marks], MARK_DOC)
+    docs = mongo_etl.render_ttl_documents(analyses_df, marks_df).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["file_name"] == "exec-7/IMG-1/batch_000001.ttl.gz"
+    assert d["mark_count"] == 3
+    assert d["body"] == expected
+
+
+@needs_ref
+def test_mongo_etl_batching_and_hash_enrichment(spark, tmp_path):
+    ref = ref_oracle.mongo_etl(str(tmp_path))
+    marks = [_mark(i) for i in range(1, 8)]  # 7 marks, batch_size=3 -> 3 files
+    analyses_df = spark.createDataFrame([json.loads(json.dumps(ANALYSIS))], ANALYSIS_DOC)
+    marks_df = spark.createDataFrame([json.loads(json.dumps(m)) for m in marks], MARK_DOC)
+    hashes_df = spark.createDataFrame([("12345", "e" * 64)], SLIDE_HASHES)
+
+    docs = mongo_etl.render_ttl_documents(
+        analyses_df, marks_df, slide_hashes=hashes_df, batch_size=3
+    ).collect()
+    assert sorted(d["batch_num"] for d in docs) == [1, 2, 3]
+    assert [d["mark_count"] for d in sorted(docs, key=lambda d: d["batch_num"])] == [3, 3, 1]
+    for d in docs:
+        assert f"<urn:sha256:{'e' * 64}>" in d["body"]
+        assert "hal:hashMissing" not in d["body"]
+
+    # missing hash -> fallback to sha256(image_id) + hashMissing flag
+    empty_hashes = spark.createDataFrame([("other-slide", "f" * 64)], SLIDE_HASHES)
+    docs2 = mongo_etl.render_ttl_documents(
+        analyses_df, marks_df, slide_hashes=empty_hashes, batch_size=100
+    ).collect()
+    assert len(docs2) == 1
+    assert 'hal:hashMissing "true"^^xsd:boolean' in docs2[0]["body"]
+
+
+def test_mongo_etl_ledger_skips_processed(spark):
+    analyses_df = spark.createDataFrame([json.loads(json.dumps(ANALYSIS))], ANALYSIS_DOC)
+    marks_df = spark.createDataFrame([json.loads(json.dumps(_mark(1)))], MARK_DOC)
+    ledger = spark.createDataFrame(
+        [("a1b2c3d4e5f6a1b2c3d4e5f6", "completed", None, None)],
+        "id string, status string, error string, ts timestamp",
+    )
+    docs = mongo_etl.render_ttl_documents(analyses_df, marks_df, ledger=ledger)
+    assert docs.count() == 0
+
+
+# --- hash-update ---------------------------------------------------------------
+
+
+def _ttl_doc(slide: str, h: str) -> str:
+    return (
+        f'<urn:sha256:{h}>\n    a so:ImageObject ;\n'
+        f'    hal:slideId "{slide}" ;\n    hal:imageWidth 10 ;\n'
+    )
+
+
+def test_update_hashes_by_slide_id_statuses(spark):
+    docs = spark.createDataFrame(
+        [
+            ("p/1.ttl", _ttl_doc("100", "a" * 64)),  # stale -> updated
+            ("p/2.ttl", _ttl_doc("200", "b" * 64)),  # no hash -> hash_missing
+            ("p/3.ttl", _ttl_doc("300", "c" * 64)),  # same hash -> already_correct
+            ("p/4.ttl", "no ids here"),  # no slideId
+        ],
+        TTL_DOCUMENTS,
+    )
+    hashes = spark.createDataFrame(
+        [("100", "d" * 64), ("300", "c" * 64)], SLIDE_HASHES
+    )
+    out = {r["path"]: r for r in hash_update.update_hashes_by_slide_id(docs, hashes).collect()}
+    assert out["p/1.ttl"]["status"] == "updated"
+    assert f'<urn:sha256:{"d" * 64}>' in out["p/1.ttl"]["text"]
+    assert out["p/2.ttl"]["status"] == "hash_missing"
+    assert out["p/2.ttl"]["text"] == _ttl_doc("200", "b" * 64)  # unchanged
+    assert out["p/3.ttl"]["status"] == "already_correct"
+    assert out["p/4.ttl"]["status"] == "no_slide_id"
+
+
+def test_update_hashes_idempotent(spark):
+    docs = spark.createDataFrame([("p/1.ttl", _ttl_doc("100", "a" * 64))], TTL_DOCUMENTS)
+    hashes = spark.createDataFrame([("100", "d" * 64)], SLIDE_HASHES)
+    once = hash_update.update_hashes_by_slide_id(docs, hashes).select("path", "text")
+    twice = hash_update.update_hashes_by_slide_id(once, hashes).select("path", "text")
+    assert once.collect() == twice.collect()
+
+
+def test_update_by_folder_mark_missing(spark):
+    docs = spark.createDataFrame(
+        [(f"base/SLIDE-A.svs/doc.ttl", f'<urn:md5:{"9" * 32}> a so:ImageObject ;')],
+        TTL_DOCUMENTS,
+    )
+    hashes = spark.createDataFrame([("OTHER.svs", "f" * 64)], SLIDE_HASHES)
+    out = hash_update.update_hashes_by_folder(docs, hashes, mark_missing=True).collect()[0]
+    assert out["status"] == "hash_missing"
+    assert 'hal:missing "true"^^xsd:boolean' in out["text"]
