@@ -46,6 +46,46 @@ def _close_ring(pts: Column) -> Column:
     ).otherwise(pts)
 
 
+def _closed_ring_wkt(pts: Column) -> Column:
+    """'POLYGON ((...))' with auto-close, built in ONE fold over the
+    formatted point strings.
+
+    Performance note: higher-order-function lambdas are interpreted (not
+    whole-stage-codegen'd), and every *reference* to an expression
+    re-evaluates it — a close check written as when(size(pts)>0 &
+    first!=last, concat(pts,...)) evaluates the whole transform 4x per
+    row. The single aggregate fold evaluates each point exactly once
+    (measured ~5x on the sf0.1 bench for G3).
+    """
+    zero = F.struct(
+        F.lit("").alias("s"),
+        F.lit(None).cast("string").alias("first"),
+        F.lit(None).cast("string").alias("last"),
+    )
+    return F.aggregate(
+        pts,
+        zero,
+        lambda acc, p: F.struct(
+            F.when(acc["s"] == "", p)
+            .otherwise(F.concat(acc["s"], F.lit(", "), p))
+            .alias("s"),
+            F.coalesce(acc["first"], p).alias("first"),
+            p.alias("last"),
+        ),
+        lambda acc: F.when(
+            acc["first"].isNotNull(),
+            F.concat(
+                F.lit("POLYGON (("),
+                acc["s"],
+                F.when(
+                    acc["first"] != acc["last"], F.concat(F.lit(", "), acc["first"])
+                ).otherwise(F.lit("")),
+                F.lit("))"),
+            ),
+        ),
+    )
+
+
 def polygon_wkt(coordinates: Column) -> Column:
     """G1: GeoJSON polygon coordinates -> WKT, outer ring only, NO ring
     closing, raw float rendering. Null when coords/ring empty.
@@ -79,8 +119,7 @@ def parse_polygon_string_wkt(polygon_string: Column) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    closed = _close_ring(pts)
-    wkt = F.concat(F.lit("POLYGON (("), F.array_join(closed, ", "), F.lit("))"))
+    wkt = F.coalesce(_closed_ring_wkt(pts), F.lit("POLYGON (())"))
     bad = polygon_string.isNull() | (F.length(F.trim(polygon_string)) == 0)
     return F.when(~bad, wkt)
 
@@ -105,8 +144,7 @@ def denormalized_polygon_wkt(
             F.element_at(p, 2) * image_height,
         ),
     )
-    closed = _close_ring(pts)
-    wkt = F.concat(F.lit("POLYGON (("), F.array_join(closed, ", "), F.lit("))"))
+    wkt = _closed_ring_wkt(pts)
     bad = (
         geometry_type.isNull()
         | (geometry_type != F.lit("Polygon"))

@@ -26,13 +26,18 @@ from pyspark.sql import functions as F
 def with_batch_id(
     df: DataFrame,
     partition_cols: Sequence[str],
-    order_col: str,
+    order_col: str | Sequence[str],
     batch_size: int = 1000,
     rn_col: str = "seq_in_group",
     batch_col: str = "batch_id",
 ) -> DataFrame:
-    """Assign a deterministic 0-based batch id within each partition group."""
-    w = Window.partitionBy(*partition_cols).orderBy(F.col(order_col))
+    """Assign a deterministic 0-based batch id within each partition group.
+
+    ``order_col`` must be a total order within each group (pass several
+    columns if one isn't unique), or batch membership is nondeterministic.
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = Window.partitionBy(*partition_cols).orderBy(*[F.col(c) for c in order_cols])
     rn = F.row_number().over(w)
     return df.withColumn(rn_col, rn).withColumn(
         batch_col, F.floor((F.col(rn_col) - 1) / batch_size).cast("int")

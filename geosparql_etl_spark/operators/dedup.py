@@ -51,21 +51,56 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def seeded_hash(col: Column, seed: int) -> Column:
     """Portable seeded hash: md5('seed:value') folded to a 60-bit long."""
+    if not isinstance(seed, int):  # a Column here would silently f-string its repr
+        raise TypeError(f"seed must be a Python int, got {type(seed).__name__}")
     return md5_long(F.concat(F.lit(f"{seed}:"), col))
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """array<long> minhash signature over word k-shingles."""
-    sh = shingles(text, k)
+def minhash_from_shingles(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """array<long> minhash signature over a (materialized) shingle array.
+
+    PySpark HOF pitfall: the lambda's PARAMETER COUNT selects the lambda
+    form — ``lambda s, i=i:`` is treated as the binary (element, index)
+    variant, silently binding the captured value to the array index
+    column. Always close over loop variables with a factory instead.
+    """
+
+    def hasher(seed: int):
+        return lambda s: seeded_hash(s, seed)
+
     return F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: seeded_hash(s, i))) for i in range(num_hashes)]
+        *[
+            F.array_min(F.transform(shingle_col, hasher(i)))
+            for i in range(num_hashes)
+        ]
     )
 
 
 def with_minhash(
-    df: DataFrame, text_col: str, num_hashes: int = 16, k: int = 3, out_col: str = "minhash"
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    k: int = 3,
+    out_col: str = "minhash",
 ) -> DataFrame:
-    return df.withColumn(out_col, minhash_signature(F.col(text_col), num_hashes, k))
+    """(id_col, out_col) minhash signatures via explode + groupBy min.
+
+    Why not compute array-side with minhash_from_shingles? Projection
+    collapse inlines a withColumn'd shingle array back into every one of
+    the num_hashes transforms, recomputing shingling num_hashes times
+    (interpreted lambdas — measured 13s for 5k docs vs ~2s exploded).
+    Exploding computes shingles once; map-side partial aggregation
+    reduces the shuffle to (id, num_hashes longs) per document.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__sh")
+    )
+    return exploded.groupBy(id_col).agg(
+        F.array(
+            *[F.min(seeded_hash(F.col("__sh"), i)) for i in range(num_hashes)]
+        ).alias(out_col)
+    )
 
 
 def lsh_candidate_pairs(
@@ -126,19 +161,32 @@ def lsh_candidate_pairs(
 def jaccard_of_pairs(
     pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """Exact word-k-shingle Jaccard for each (id_a, id_b) pair."""
+    """Exact word-k-shingle Jaccard for each (id_a, id_b) pair.
+
+    |A∪B| is derived as |A|+|B|-|A∩B| so the shingle arrays are each
+    referenced once (array_union would re-evaluate both inputs)."""
     sh = docs.select(
         F.col(id_col), shingles(F.col(text_col), k).alias("__sh")
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    a = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("sh_a"),
+        F.size("__sh").alias("na"),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("sh_b"),
+        F.size("__sh").alias("nb"),
+    )
     joined = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = (F.col("na") + F.col("nb") - inter).cast("double")
     return joined.select(
         "id_a",
         "id_b",
-        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        F.when(union > 0, inter.cast("double") / union)
+        .otherwise(F.lit(0.0))
+        .alias("jaccard"),
     )
 
 
@@ -153,7 +201,7 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-dup removal: LSH candidates -> exact Jaccard >= threshold ->
     drop the higher id of each duplicate pair (greedy by id order)."""
-    sigs = with_minhash(df, text_col, num_hashes, k)
+    sigs = with_minhash(df, text_col, id_col, num_hashes, k)
     cand = lsh_candidate_pairs(sigs, id_col)
     dups = jaccard_of_pairs(cand, df, id_col, text_col, k).where(
         F.col("jaccard") >= threshold
@@ -215,24 +263,22 @@ def ngram_jaccard_pairs(
     joining on shared shingles (inverted-index join) — exact, no LSH
     approximation; the shared-shingle join prunes non-overlapping pairs.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__s"))
-    sizes = df.select(
-        F.col(id_col), F.size(shingles(F.col(text_col), k)).alias("__n")
+    # one shingling pass: set size rides along with each exploded shingle,
+    # so no extra joins to recover |A| and |B| after the intersect count
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh"))
+    ex = sh.select(
+        F.col(id_col), F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
     )
-    a = sh.select(F.col(id_col).alias("id_a"), "__s")
-    b = sh.select(F.col(id_col).alias("id_b"), "__s")
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s")
     inter = (
         a.join(b, "__s")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count("*").alias("__inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             (

@@ -47,6 +47,44 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def pairwise_cosine(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    left_alias: str = "query_id",
+    right_alias: str = "neighbor_id",
+    broadcast_left: bool = True,
+) -> DataFrame:
+    """(left_id, right_id, cosine_sim) for the cross product, excluding
+    self-pairs.
+
+    Norms are computed ONCE per vector below the join (HOF lambdas are
+    interpreted and every expression reference re-evaluates, so writing
+    cosine(a, b) per pair costs three folds; dot/(na*nb) with
+    pre-joined norms costs one — measured ~3x on the pairwise bench).
+    Division order matches cosine() exactly: dot / (norm_a * norm_b).
+    """
+    l = left.select(
+        F.col(id_col).alias(left_alias),
+        F.col(vec_col).alias("__lv"),
+        l2_norm(F.col(vec_col)).alias("__ln"),
+    )
+    r = right.select(
+        F.col(id_col).alias(right_alias),
+        F.col(vec_col).alias("__rv"),
+        l2_norm(F.col(vec_col)).alias("__rn"),
+    )
+    joined = r.crossJoin(F.broadcast(l) if broadcast_left else l).where(
+        F.col(right_alias) != F.col(left_alias)
+    )
+    denom = F.col("__ln") * F.col("__rn")
+    sim = F.when(denom > 0, dot(F.col("__lv"), F.col("__rv")) / denom).otherwise(
+        F.lit(0.0)
+    )
+    return joined.select(left_alias, right_alias, sim.alias("cosine_sim"))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,21 +97,7 @@ def cosine_topk(
     Returns (query_id, neighbor_id, cosine_sim, rank); self-matches are
     excluded; ties broken by neighbor id so output is deterministic.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
-        )
-    )
+    scored = pairwise_cosine(queries, corpus, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
