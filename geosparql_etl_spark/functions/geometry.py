@@ -25,8 +25,15 @@ from pyspark.sql import functions as F
 
 def outer_ring(coordinates: Column) -> Column:
     """First (outer) ring of a GeoJSON polygon (null when absent — ANSI-safe).
-    Ref: json-etl:34."""
-    return F.try_element_at(coordinates, F.lit(1))
+    Ref: json-etl:34.
+
+    Uses get() (0-based, null-on-out-of-bounds) rather than
+    try_element_at(): TryElementAt's codegen writes its isNull flag as a
+    caller-scope local, which breaks compilation ("isNull is not an
+    rvalue") whenever Janino splits the surrounding expression into
+    helper methods — dropping the whole projection to interpreter mode.
+    """
+    return F.get(coordinates, 0)
 
 
 def _fmt_point_raw(pt: Column) -> Column:
@@ -39,8 +46,8 @@ def _fmt_point_raw(pt: Column) -> Column:
 
 def _close_ring(pts: Column) -> Column:
     """Append the first point when the ring isn't closed (ANSI-safe)."""
-    first = F.try_element_at(pts, F.lit(1))
-    last = F.try_element_at(pts, F.size(pts))
+    first = F.get(pts, 0)
+    last = F.get(pts, F.size(pts) - 1)
     return F.when(
         (F.size(pts) > 0) & ~first.eqNullSafe(last), F.concat(pts, F.array(first))
     ).otherwise(pts)
@@ -56,11 +63,18 @@ def _closed_ring_wkt(pts: Column) -> Column:
     first!=last, concat(pts,...)) evaluates the whole transform 4x per
     row. The single aggregate fold evaluates each point exactly once
     (measured ~5x on the sf0.1 bench for G3).
+
+    Codegen note: the zero struct uses ''-sentinels, NOT null literals —
+    a null field in an aggregate() zero struct combined with a nested
+    higher-order input trips a Janino "isNull is not an rvalue" compile
+    error (Spark 4.1.2) that silently drops the whole projection to
+    interpreter mode. '' is unambiguous: every formatted point contains
+    a space.
     """
     zero = F.struct(
         F.lit("").alias("s"),
-        F.lit(None).cast("string").alias("first"),
-        F.lit(None).cast("string").alias("last"),
+        F.lit("").alias("first"),
+        F.lit("").alias("last"),
     )
     return F.aggregate(
         pts,
@@ -69,11 +83,11 @@ def _closed_ring_wkt(pts: Column) -> Column:
             F.when(acc["s"] == "", p)
             .otherwise(F.concat(acc["s"], F.lit(", "), p))
             .alias("s"),
-            F.coalesce(acc["first"], p).alias("first"),
+            F.when(acc["first"] == "", p).otherwise(acc["first"]).alias("first"),
             p.alias("last"),
         ),
         lambda acc: F.when(
-            acc["first"].isNotNull(),
+            acc["first"] != "",
             F.concat(
                 F.lit("POLYGON (("),
                 acc["s"],

@@ -33,10 +33,12 @@ def patch_metadata(filename: Column) -> Column:
     """
     name = F.regexp_replace(filename, r"\.csv$", "")
     parts = F.split(name, "_")
-    x = F.try_element_at(parts, F.lit(1)).try_cast("int")
-    y = F.try_element_at(parts, F.lit(2)).try_cast("int")
-    w = F.try_element_at(parts, F.lit(3)).try_cast("int")
-    h = F.try_element_at(parts, F.lit(4)).try_cast("int")
+    # get() not try_element_at(): TryElementAt breaks codegen under
+    # expression splitting (see functions/geometry.py outer_ring note).
+    x = F.get(parts, 0).try_cast("int")
+    y = F.get(parts, 1).try_cast("int")
+    w = F.get(parts, 2).try_cast("int")
+    h = F.get(parts, 3).try_cast("int")
     ok = (
         (F.size(parts) >= 4)
         & x.isNotNull()

@@ -135,16 +135,14 @@ def render_marks(marks_joined: DataFrame) -> DataFrame:
     project P3 first-feature, apply P7/P8 predicates, G3 WKT, render.
     Rows whose geometry is empty/invalid are dropped (the reference's
     '(\"\", False)' skip channel)."""
-    feature = F.try_element_at(F.col("geometries.features"), F.lit(1))
+    feature = F.get(F.col("geometries.features"), 0)
     nucleustype = F.coalesce(feature["properties"]["nucleustype"], F.lit(""))
     # P8: >= 3 dot-separated parts -> nuclear material
     is_nuclear = _nonempty(nucleustype) & (
         F.size(F.split(nucleustype, r"\.")) >= 3
     )
     # P7: first annotation must be a SNOMED URI
-    ann0 = F.try_element_at(
-        F.col("userUpdate.mark.annotation"), F.lit(1)
-    )["annotationID"]
+    ann0 = F.get(F.col("userUpdate.mark.annotation"), 0)["annotationID"]
     annotation = F.when(
         ann0.isNotNull() & ann0.startswith("http://snomed.info/id/"), ann0
     )
