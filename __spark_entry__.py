@@ -936,7 +936,7 @@ def sim01_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for query vectors vec_id < 5."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    return cosine_topk(e, q, k=5).select(
+    return cosine_topk(e, q, k=5, dim=64).select(
         "query_id",
         "neighbor_id",
         "rank",
@@ -963,7 +963,7 @@ def sim02_threshold_pairs(spark, sf_dir):
     from geosparql_etl_spark.operators.similarity import pairwise_cosine
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = pairwise_cosine(e, e, left_alias="id_a", right_alias="id_b")
+    pairs = pairwise_cosine(e, e, left_alias="id_a", right_alias="id_b", dim=64)
     return (
         pairs.where(F.col("id_a") < F.col("id_b"))
         .where(F.col("cosine_sim") >= 0.4)
@@ -987,7 +987,7 @@ def sim03_ann_lsh(spark, sf_dir):
     the 100 TB path: candidates share an LSH band bucket."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    return ann_topk(e, q, k=5).select(
+    return ann_topk(e, q, k=5, dim=64).select(
         "query_id", "neighbor_id", "rank", F.round("cosine_sim", 6).alias("cosine_sim")
     )
 

@@ -30,6 +30,19 @@ from pyspark.sql import functions as F
 from geosparql_etl_spark.functions.hashing import md5_long
 from geosparql_etl_spark.functions.textstats import shingles
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input arrives in too few
+    partitions for the cluster (e.g. one small parquet file -> 1
+    partition -> the whole explode/shingle map stage runs on one core).
+    No-op when the source is already well-partitioned, so at real scale
+    (many input splits) this adds nothing."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # --- exact -------------------------------------------------------------------
 
 
@@ -265,12 +278,17 @@ def ngram_jaccard_pairs(
     """
     # one shingling pass: set size rides along with each exploded shingle,
     # so no extra joins to recover |A| and |B| after the intersect count
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh"))
+    sh = _spread(df).select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh"))
     ex = sh.select(
         F.col(id_col), F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
     )
-    a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s")
-    b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    # both join branches read the SAME hash-partitioned exchange: the two
+    # Exchange subtrees are identical, so ReusedExchange computes the
+    # shingling once instead of once per branch, and the equi-join on
+    # __s needs no further shuffle.
+    exr = ex.repartition(F.col("__s"))
+    a = exr.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = exr.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s")
     inter = (
         a.join(b, "__s")
         .where(F.col("id_a") < F.col("id_b"))
