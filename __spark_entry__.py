@@ -1112,6 +1112,575 @@ def _sql_txt04():
 
 
 # =============================================================================
+# projection / filter coverage (SURVEY §2.2 P1-P13)
+# =============================================================================
+
+
+def p02_nested_defaults(spark, sf_dir):
+    """P2: deep nested projection with coalesce defaults (analysis doc
+    analog: case_id = params.case_id or image_id; dims default 40000)."""
+    o = _t(spark, sf_dir, "orders")
+    params = F.struct(
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderstatus")).alias("case_id"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_custkey")).alias(
+            "image_width"
+        ),
+    )
+    doc = o.withColumn("algorithm_params", params)
+    return doc.select(
+        "o_orderkey",
+        F.coalesce(F.col("algorithm_params.case_id"), F.col("o_orderpriority")).alias(
+            "case_id"
+        ),
+        F.coalesce(F.col("algorithm_params.image_width"), F.lit(40000)).alias(
+            "image_width"
+        ),
+    )
+
+
+def _sql_p02():
+    return """
+    SELECT o_orderkey,
+           coalesce(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END, o_orderpriority) AS case_id,
+           coalesce(CASE WHEN o_orderkey % 5 = 0 THEN o_custkey END, 40000) AS image_width
+    FROM orders
+    """
+
+
+def p03_first_element(spark, sf_dir):
+    """P3/W4: first-element array projection (features[0] analog)."""
+    o = _t(spark, sf_dir, "orders")
+    words = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderkey",
+        F.get(words, 0).alias("first_word"),
+        F.size(words).alias("n_words"),
+    )
+
+
+def _sql_p03():
+    return """
+    SELECT o_orderkey, (string_split(o_orderpriority, '-'))[1] AS first_word,
+           len(string_split(o_orderpriority, '-')) AS n_words
+    FROM orders
+    """
+
+
+def p05_empty_geometry_filter(spark, sf_dir):
+    """P5: null/empty-polygon filter — rows with empty polygon string or
+    wrong geometry type are dropped."""
+    p = _t(spark, sf_dir, "part")
+    poly = F.when(F.col("p_size") % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit("["),
+            F.col("p_partkey").cast("string"),
+            F.lit(":"),
+            F.col("p_size").cast("string"),
+            F.lit("]"),
+        )
+    )
+    gtype = F.when(F.col("p_size") % 7 == 0, F.lit("Point")).otherwise(
+        F.lit("Polygon")
+    )
+    staged = p.select("p_partkey", poly.alias("polygon"), gtype.alias("gtype"))
+    return staged.where(
+        F.col("polygon").isNotNull()
+        & (F.length("polygon") > 0)
+        & (F.col("gtype") == "Polygon")
+    ).select("p_partkey", "polygon")
+
+
+def _sql_p05():
+    return """
+    SELECT p_partkey, '[' || p_partkey || ':' || p_size || ']' AS polygon
+    FROM part WHERE p_size % 5 != 0 AND p_size % 7 != 0
+    """
+
+
+def p06_membership_filter(spark, sf_dir):
+    """P6/J2: dictionary-membership filter — only segments present in the
+    (SNOMED-analog) mapping emit rows; unmatched are silently dropped."""
+    c = _t(spark, sf_dir, "customer")
+    mapping = spark.createDataFrame(
+        [
+            ("BUILDING", "snomed:52101004"),
+            ("AUTOMOBILE", "snomed:49062001"),
+            ("MACHINERY", "snomed:57134006"),
+        ],
+        ["c_mktsegment", "concept_uri"],
+    )
+    return c.join(F.broadcast(mapping), "c_mktsegment").select(
+        "c_custkey", "c_mktsegment", "concept_uri"
+    )
+
+
+def _sql_p06():
+    return """
+    SELECT c_custkey, c_mktsegment, concept_uri
+    FROM customer JOIN (VALUES ('BUILDING', 'snomed:52101004'),
+                               ('AUTOMOBILE', 'snomed:49062001'),
+                               ('MACHINERY', 'snomed:57134006'))
+         AS m(c_mktsegment, concept_uri) USING (c_mktsegment)
+    """
+
+
+def p07_annotation_predicate(spark, sf_dir):
+    """P7: first annotation must be a SNOMED URI, else null (the
+    reference's annotation validity gate)."""
+    c = _t(spark, sf_dir, "customer")
+    ann = F.when(
+        F.col("c_custkey") % 2 == 0,
+        F.concat(F.lit("http://snomed.info/id/"), F.col("c_custkey").cast("string")),
+    ).otherwise(F.concat(F.lit("local:"), F.col("c_custkey").cast("string")))
+    anns = F.array(F.struct(ann.alias("annotationID")))
+    first = F.get(anns, 0)["annotationID"]
+    valid = F.when(first.startswith("http://snomed.info/id/"), first)
+    return c.select("c_custkey", valid.alias("annotation_uri"))
+
+
+def _sql_p07():
+    return """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 2 = 0 THEN 'http://snomed.info/id/' || c_custkey END AS annotation_uri
+    FROM customer
+    """
+
+
+def p08_structured_string_predicate(spark, sf_dir):
+    """P8: nucleustype-style predicate — >= 3 dot-separated parts."""
+    p = _t(spark, sf_dir, "part")
+    nt = F.regexp_replace(F.col("p_name"), " ", ".")
+    return p.select(
+        "p_partkey",
+        nt.alias("nucleustype"),
+        (F.size(F.split(nt, r"\.")) >= 3).alias("is_nuclear_material"),
+    )
+
+
+def _sql_p08():
+    return """
+    SELECT p_partkey, replace(p_name, ' ', '.') AS nucleustype,
+           len(string_split(replace(p_name, ' ', '.'), '.')) >= 3 AS is_nuclear_material
+    FROM part
+    """
+
+
+def p11_start_from(spark, sf_dir):
+    """P11: start-from offset over a deterministically sorted key (resume
+    support for sorted folder scans)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_name") >= "Customer#000000700")
+        .orderBy("c_name")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _sql_p11():
+    return """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_name >= 'Customer#000000700' ORDER BY c_name
+    """
+
+
+def p12_line_filter(spark, sf_dir):
+    """P12: line-level negative filter — drop exact matching lines from a
+    document stream (the remove-loinc-prefix rewrite)."""
+    d = _t(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\. ")).alias("line")
+    )
+    return lines.where(F.col("line") != "the quick brown fox").select(
+        "doc_id", "line"
+    )
+
+
+def _sql_p12():
+    return """
+    SELECT doc_id, line FROM (
+      SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS line FROM documents)
+    WHERE line != 'the quick brown fox'
+    """
+
+
+def p13_regex_exists(spark, sf_dir):
+    """P13: regex-exists predicate — document text contains a sha256/md5
+    URN."""
+    c = _t(spark, sf_dir, "customer")
+    text = F.when(
+        F.col("c_custkey") % 3 == 0,
+        F.concat(F.lit("<urn:sha256:"), sha256_id(F.col("c_name")), F.lit(">")),
+    ).otherwise(F.col("c_name"))
+    return c.select(
+        "c_custkey",
+        text.rlike("urn:(sha256|md5):[0-9a-fA-F]+").alias("has_urn"),
+    )
+
+
+def _sql_p13():
+    return """
+    SELECT c_custkey,
+           regexp_matches(CASE WHEN c_custkey % 3 = 0
+                               THEN '<urn:sha256:' || sha256(c_name) || '>'
+                               ELSE c_name END,
+                          'urn:(sha256|md5):[0-9a-fA-F]+') AS has_urn
+    FROM customer
+    """
+
+
+# =============================================================================
+# join / aggregation coverage (SURVEY §2.3-2.4 J5, A5)
+# =============================================================================
+
+
+def j05_stem_join(spark, sf_dir):
+    """J5 + T9: filename-stem join — TTL listing vs archive listing whose
+    names need .tar.gz stripping; unmatched rows get hal:missing."""
+    p = _t(spark, sf_dir, "part")
+    ttl = p.select(
+        F.concat(F.regexp_replace("p_name", " ", "-"), F.lit(".ttl")).alias(
+            "ttl_name"
+        )
+    )
+    archives = p.where(F.col("p_partkey") % 2 == 0).select(
+        F.concat(
+            F.regexp_replace("p_name", " ", "-"), F.lit(".svs.tar.gz")
+        ).alias("archive_name")
+    )
+    t_stem = F.regexp_replace(F.col("ttl_name"), r"\.ttl$", "")
+    a_stem = F.regexp_replace(F.col("archive_name"), r"\.svs\.tar\.gz$", "")
+    joined = ttl.withColumn("stem", t_stem).join(
+        archives.withColumn("stem", a_stem).drop("archive_name"),
+        "stem",
+        "left",
+    )
+    # p_name is not unique -> dedup stems on both sides for a set compare
+    return (
+        joined.select(
+            "stem", F.col("ttl_name").isNotNull().alias("has_ttl")
+        )
+        .dropDuplicates()
+        .join(
+            ttl.withColumn("stem", t_stem)
+            .join(archives.withColumn("stem", a_stem), "stem", "left_anti")
+            .select("stem", F.lit(True).alias("missing_archive"))
+            .dropDuplicates(),
+            "stem",
+            "left",
+        )
+        .select(
+            "stem", F.coalesce("missing_archive", F.lit(False)).alias("missing_archive")
+        )
+    )
+
+
+def _sql_j05():
+    return """
+    WITH ttl AS (SELECT DISTINCT replace(p_name, ' ', '-') AS stem FROM part),
+         arc AS (SELECT DISTINCT replace(p_name, ' ', '-') AS stem FROM part WHERE p_partkey % 2 = 0)
+    SELECT ttl.stem AS stem, arc.stem IS NULL AS missing_archive
+    FROM ttl LEFT JOIN arc USING (stem)
+    """
+
+
+def a05_rate_metrics(spark, sf_dir):
+    """A5: throughput/rate metrics — events per second per type over the
+    observed time span (marks/sec + ETA analog)."""
+    e = _events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max(F.col("ts").cast("long")).alias("t_max"),
+        F.min(F.col("ts").cast("long")).alias("t_min"),
+    )
+    span = (F.col("t_max") - F.col("t_min")).cast("double")
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(
+            F.when(span > 0, F.col("n") / span).otherwise(F.lit(0.0)), 6
+        ).alias("events_per_sec"),
+    )
+
+
+def _sql_a05():
+    return """
+    SELECT event_type, count(*) AS n,
+           round(CASE WHEN epoch(max(ts)) - epoch(min(ts)) > 0
+                 THEN count(*) / CAST(epoch(max(ts)) - epoch(min(ts)) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS events_per_sec
+    FROM events GROUP BY event_type
+    """
+
+
+# =============================================================================
+# geometry coverage (SURVEY §2.7 G1, G9, G12, G13)
+# =============================================================================
+
+
+def g01_polygon_wkt(spark, sf_dir):
+    """G1: raw-float WKT, outer ring only, NO ring closing (json-etl
+    semantics). Coordinates kept in the pixel-magnitude range where Java
+    and C double rendering agree."""
+    from geosparql_etl_spark.functions.geometry import polygon_wkt
+
+    li = _t(spark, sf_dir, "lineitem")
+    coords = F.array(
+        F.array(
+            F.array(F.col("l_extendedprice"), F.col("l_quantity")),
+            F.array(F.col("l_quantity"), F.col("l_extendedprice")),
+            F.array(F.col("l_extendedprice") + 1.0, F.col("l_quantity") + 1.0),
+        )
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        polygon_wkt(coords).alias("wkt"),
+    )
+
+
+def _sql_g01():
+    return """
+    SELECT l_orderkey, l_linenumber,
+      'POLYGON ((' || CAST(l_extendedprice AS VARCHAR) || ' ' || CAST(l_quantity AS VARCHAR)
+      || ', ' || CAST(l_quantity AS VARCHAR) || ' ' || CAST(l_extendedprice AS VARCHAR)
+      || ', ' || CAST(l_extendedprice + 1.0 AS VARCHAR) || ' ' || CAST(l_quantity + 1.0 AS VARCHAR)
+      || '))' AS wkt
+    FROM lineitem
+    """
+
+
+def g09_validity(spark, sf_dir):
+    """G9: structural polygon validity — type, ring size >= 3, area > 0."""
+    from geosparql_etl_spark.functions.geometry import is_valid_polygon
+
+    p = _t(spark, sf_dir, "part")
+    s = F.col("p_size").cast("double")
+    degenerate = F.col("p_partkey") % 4 == 0
+    coords = F.when(
+        degenerate,
+        # collinear -> zero area -> invalid
+        F.array(
+            F.array(
+                F.array(F.lit(0.0), F.lit(0.0)),
+                F.array(s, s),
+                F.array(s * 2, s * 2),
+            )
+        ),
+    ).otherwise(
+        F.array(
+            F.array(
+                F.array(F.lit(0.0), F.lit(0.0)),
+                F.array(s, F.lit(0.0)),
+                F.array(F.lit(0.0), s),
+            )
+        )
+    )
+    gtype = F.when(F.col("p_partkey") % 9 == 0, F.lit("LineString")).otherwise(
+        F.lit("Polygon")
+    )
+    return p.select(
+        "p_partkey", is_valid_polygon(gtype, coords).alias("is_valid")
+    )
+
+
+def _sql_g09():
+    return """
+    SELECT p_partkey,
+           (p_partkey % 9 != 0 AND p_partkey % 4 != 0 AND p_size > 0) AS is_valid
+    FROM part
+    """
+
+
+def g12_safe_wkt(spark, sf_dir):
+    """G12: WKT with POINT EMPTY fallback for absent geometry."""
+    from geosparql_etl_spark.functions.geometry import safe_polygon_wkt
+
+    p = _t(spark, sf_dir, "part")
+    s = F.col("p_size").cast("double")
+    coords = F.when(
+        F.col("p_partkey") % 3 == 0,
+        F.array(
+            F.array(
+                F.array(F.lit(0.0), F.lit(0.0)),
+                F.array(s, F.lit(0.0)),
+                F.array(s, s),
+            )
+        ),
+    )
+    return p.select("p_partkey", safe_polygon_wkt(coords).alias("wkt"))
+
+
+def _sql_g12():
+    return """
+    SELECT p_partkey,
+      CASE WHEN p_partkey % 3 = 0
+           THEN 'POLYGON ((0.0 0.0, ' || CAST(CAST(p_size AS DOUBLE) AS VARCHAR) || ' 0.0, '
+                || CAST(CAST(p_size AS DOUBLE) AS VARCHAR) || ' ' || CAST(CAST(p_size AS DOUBLE) AS VARCHAR) || '))'
+           ELSE 'POINT EMPTY' END AS wkt
+    FROM part
+    """
+
+
+def g13_image_bbox(spark, sf_dir):
+    """G13: whole-image bounding-box WKT from integer dims."""
+    from geosparql_etl_spark.functions.geometry import image_bbox_wkt
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        image_bbox_wkt(
+            F.col("p_size") * 1000, F.col("p_size") * 500
+        ).alias("bbox_wkt"),
+    )
+
+
+def _sql_g13():
+    return """
+    SELECT p_partkey,
+           printf('POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0))',
+                  p_size * 1000, p_size * 1000, p_size * 500, p_size * 500) AS bbox_wkt
+    FROM part
+    """
+
+
+# =============================================================================
+# text / hashing coverage (SURVEY §2.7 T1, T3, T4, T6, T10; H2)
+# =============================================================================
+
+
+def t01_image_id(spark, sf_dir):
+    """T1: filename -> image id (text before first dot)."""
+    from geosparql_etl_spark.functions.text import extract_image_id
+
+    c = _t(spark, sf_dir, "customer")
+    fname = F.concat(
+        F.regexp_replace("c_name", "#", "."), F.lit(".svs.geojson")
+    )
+    return c.select("c_custkey", extract_image_id(fname).alias("image_id"))
+
+
+def _sql_t01():
+    return """
+    SELECT c_custkey, (string_split(replace(c_name, '#', '.') || '.svs', '.'))[1] AS image_id
+    FROM customer
+    """
+
+
+def t03_prefix_ops(spark, sf_dir):
+    """T3: prefix strip (prob_ -> class) + prefix add (cancer_)."""
+    from geosparql_etl_spark.functions.text import strip_prefix
+
+    c = _t(spark, sf_dir, "customer")
+    raw = F.concat(F.lit("prob_"), F.lower(F.col("c_mktsegment")))
+    return c.select(
+        "c_custkey",
+        strip_prefix(raw, "prob_").alias("class_name"),
+        F.concat(F.lit("cancer_"), strip_prefix(raw, "prob_")).alias(
+            "prefixed"
+        ),
+    )
+
+
+def _sql_t03():
+    return """
+    SELECT c_custkey, lower(c_mktsegment) AS class_name,
+           'cancer_' || lower(c_mktsegment) AS prefixed
+    FROM customer
+    """
+
+
+def t04_regex_extract(spark, sf_dir):
+    """T4: extract slideId + urn hash from TTL-shaped text."""
+    c = _t(spark, sf_dir, "customer")
+    ttl = F.concat(
+        F.lit('hal:slideId "'),
+        F.col("c_custkey").cast("string"),
+        F.lit('" ;\n<urn:md5:'),
+        F.md5(F.col("c_name")),
+        F.lit("> a so:ImageObject ."),
+    )
+    return c.select(
+        "c_custkey",
+        F.regexp_extract(ttl, r'hal:slideId\s+"(\d+)"', 1).alias("slide_id"),
+        F.regexp_extract(ttl, r"urn:(?:sha256|md5):([0-9a-fA-F]+)", 1).alias(
+            "old_hash"
+        ),
+    )
+
+
+def _sql_t04():
+    return """
+    SELECT c_custkey,
+           regexp_extract('hal:slideId "' || c_custkey || '" ;', 'hal:slideId\\s+"(\\d+)"', 1) AS slide_id,
+           md5(c_name) AS old_hash
+    FROM customer
+    """
+
+
+def t06_conditional_insert(spark, sf_dir):
+    """T6: conditional triple insertion — rows without a hash get
+    hal:missing true appended to their TTL block."""
+    c = _t(spark, sf_dir, "customer")
+    has_hash = F.col("c_custkey") % 4 != 0
+    block = F.concat(
+        F.lit("<urn:image:"), F.col("c_custkey").cast("string"), F.lit("> a so:ImageObject .")
+    )
+    out = F.when(
+        has_hash, block
+    ).otherwise(
+        F.regexp_replace(
+            block, r" \.$", " ;\n    hal:missing true ."
+        )
+    )
+    return c.select("c_custkey", out.alias("ttl_block"))
+
+
+def _sql_t06():
+    return """
+    SELECT c_custkey,
+      CASE WHEN c_custkey % 4 != 0
+           THEN '<urn:image:' || c_custkey || '> a so:ImageObject .'
+           ELSE '<urn:image:' || c_custkey || '> a so:ImageObject ;' || chr(10) || '    hal:missing true .'
+      END AS ttl_block
+    FROM customer
+    """
+
+
+def t10_to_json(spark, sf_dir):
+    """T10: JSON encoding of a (typed) document after explicit casts."""
+    n = _t(spark, sf_dir, "nation")
+    doc = F.struct(
+        F.col("n_nationkey").cast("int").alias("id"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("int").alias("region"),
+    )
+    return n.select("n_nationkey", F.to_json(doc).alias("doc_json"))
+
+
+def _sql_t10():
+    return """
+    SELECT n_nationkey,
+           to_json(struct_pack(id := CAST(n_nationkey AS INT),
+                               name := n_name,
+                               region := CAST(n_regionkey AS INT))) AS doc_json
+    FROM nation
+    """
+
+
+def h02_file_hash(spark, sf_dir):
+    """H2/S11: binaryFile scan + sha2 over raw file bytes (the two-part
+    remote-hash pipeline collapsed into one job). Byte parity with
+    hashlib is pytest-verified; DuckDB's blob->VARCHAR cast mangles
+    bytes, so the driver check is rows-only."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return files.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha256_hex"),
+    )
+
+
+# =============================================================================
 # multimodal plumbing (stubbed decode; rows-only)
 # =============================================================================
 
@@ -1163,14 +1732,35 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a04_distinct_agg": a04_distinct_agg,
     "a06_group_concat": a06_group_concat,
     "a07_union_distinct": a07_union_distinct,
+    "p02_nested_defaults": p02_nested_defaults,
+    "p03_first_element": p03_first_element,
+    "p05_empty_geometry_filter": p05_empty_geometry_filter,
+    "p06_membership_filter": p06_membership_filter,
+    "p07_annotation_predicate": p07_annotation_predicate,
+    "p08_structured_string_predicate": p08_structured_string_predicate,
+    "p11_start_from": p11_start_from,
+    "p12_line_filter": p12_line_filter,
+    "p13_regex_exists": p13_regex_exists,
+    "j05_stem_join": j05_stem_join,
+    "a05_rate_metrics": a05_rate_metrics,
+    "g01_polygon_wkt": g01_polygon_wkt,
     "g02_parse_polygon": g02_parse_polygon,
     "g03_denormalized_wkt": g03_denormalized_wkt,
     "g06_geometry_measures": g06_geometry_measures,
+    "g09_validity": g09_validity,
+    "g12_safe_wkt": g12_safe_wkt,
+    "g13_image_bbox": g13_image_bbox,
     "h01_sha256": h01_sha256,
+    "h02_file_hash": h02_file_hash,
+    "t01_image_id": t01_image_id,
     "t02_patch_metadata": t02_patch_metadata,
+    "t03_prefix_ops": t03_prefix_ops,
+    "t04_regex_extract": t04_regex_extract,
     "t05_urn_rewrite": t05_urn_rewrite,
+    "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
     "t08_iso_timestamp": t08_iso_timestamp,
+    "t10_to_json": t10_to_json,
     "s01_tumbling_window": s01_tumbling_window,
     "s02_sliding_window": s02_sliding_window,
     "s03_sessionization": s03_sessionization,
@@ -1206,14 +1796,36 @@ _ORACLES: dict[str, str] = {
     "a04_distinct_agg": _sql_a04(),
     "a06_group_concat": _sql_a06(),
     "a07_union_distinct": _sql_a07(),
+    "p02_nested_defaults": _sql_p02(),
+    "p03_first_element": _sql_p03(),
+    "p05_empty_geometry_filter": _sql_p05(),
+    "p06_membership_filter": _sql_p06(),
+    "p07_annotation_predicate": _sql_p07(),
+    "p08_structured_string_predicate": _sql_p08(),
+    "p11_start_from": _sql_p11(),
+    "p12_line_filter": _sql_p12(),
+    "p13_regex_exists": _sql_p13(),
+    "j05_stem_join": _sql_j05(),
+    "a05_rate_metrics": _sql_a05(),
+    "g01_polygon_wkt": _sql_g01(),
     "g02_parse_polygon": _sql_g02(),
     "g03_denormalized_wkt": _sql_g03(),
     "g06_geometry_measures": _sql_g06(),
+    "g09_validity": _sql_g09(),
+    "g12_safe_wkt": _sql_g12(),
+    "g13_image_bbox": _sql_g13(),
     "h01_sha256": _sql_h01(),
+    # h02: DuckDB blob->VARCHAR mangles bytes -> rows-only (pytest covers
+    # hashlib parity)
+    "t01_image_id": _sql_t01(),
     "t02_patch_metadata": _sql_t02(),
+    "t03_prefix_ops": _sql_t03(),
+    "t04_regex_extract": _sql_t04(),
     "t05_urn_rewrite": _sql_t05(),
+    "t06_conditional_insert": _sql_t06(),
     "t07_format_string": _sql_t07(),
     "t08_iso_timestamp": _sql_t08(),
+    "t10_to_json": _sql_t10(),
     "s01_tumbling_window": _sql_s01(),
     "s02_sliding_window": _sql_s02(),
     "s03_sessionization": _sql_s03(),

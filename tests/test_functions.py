@@ -150,3 +150,19 @@ def test_shingles(spark):
     df2 = spark.createDataFrame([Row(t="a b")])
     sh2 = df2.select(TS.shingles(F.col("t"), 3).alias("s")).first()["s"]
     assert sh2 == ["a b"]
+
+
+def test_binaryfile_sha256_parity_with_hashlib(spark):
+    """H2: sha2 over binaryFile content matches hashlib byte-for-byte
+    (the DuckDB oracle cannot check this — blob->VARCHAR mangles bytes)."""
+    import hashlib
+
+    path = "/root/testdata/sf0.001/region.parquet"
+    row = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.sha2(F.col("content"), 256).alias("h"))
+        .first()
+    )
+    expected = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    assert row["h"] == expected
