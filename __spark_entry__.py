@@ -800,6 +800,36 @@ def _sql_s03():
     """
 
 
+def s04_session_window_native(spark, sf_dir):
+    """Native session_window (30-min gap) — must agree exactly with the
+    lag/cumsum sessionization the oracle implements (s03)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def _sql_s04():
+    return """
+    SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+    FROM (
+      SELECT user_id, ts, sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+          CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+               THEN 1 ELSE 0 END AS gap_flag
+        FROM events)
+    ) GROUP BY user_id, session_id
+    """
+
+
 # =============================================================================
 # dedup family (charter scale operators)
 # =============================================================================
@@ -1764,6 +1794,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s01_tumbling_window": s01_tumbling_window,
     "s02_sliding_window": s02_sliding_window,
     "s03_sessionization": s03_sessionization,
+    "s04_session_window_native": s04_session_window_native,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_fingerprint": d02_fingerprint,
     "d03_minhash_signature": d03_minhash_signature,
@@ -1829,6 +1860,7 @@ _ORACLES: dict[str, str] = {
     "s01_tumbling_window": _sql_s01(),
     "s02_sliding_window": _sql_s02(),
     "s03_sessionization": _sql_s03(),
+    "s04_session_window_native": _sql_s04(),
     "d01_dedup_exact": _sql_d01(),
     "d02_fingerprint": _sql_d02(),
     "d03_minhash_signature": _sql_d03(),

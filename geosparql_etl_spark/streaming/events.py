@@ -1,0 +1,107 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference's streaming-shaped behaviors — cursor micro-batching
+(mongodb_to_rdf.py:515), incremental flush every 1000 marks (:540-546),
+resumable checkpointing (:114-192) and live progress reporting
+(:799-821) — map onto Structured Streaming: micro-batch triggers,
+foreachBatch sinks, checkpointLocation, and query-progress listeners.
+Watermarked event-time windows are the Spark-native extension the
+reference never had.
+
+Everything here is a *streaming* DataFrame chain; the same column
+expressions run identically in batch mode (the tests assert
+stream-vs-batch result equality via availableNow triggers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema of the driver's events table with the raw nano-precision
+# timestamp read as long (Spark 4 rejects TIMESTAMP(NANOS) parquet
+# natively; micros truncation matches DuckDB TIMESTAMP semantics).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def events_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source streaming read of events parquet files.
+
+    New files appearing under ``source_dir`` become micro-batches — the
+    streaming analog of the reference's cursor batches. maxFilesPerTrigger
+    bounds per-batch work like the cursor's batch_size=5000.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type.
+
+    The watermark bounds state: events later than ``watermark`` behind
+    the max seen event time are dropped and their windows finalized —
+    this is what lets the aggregation run forever on unbounded input.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window event counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Native session windows per user (30-min inactivity gap) — the
+    streaming counterpart of the batch lag/cumsum sessionization
+    (s03 in the driver contract)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total",
+        )
+    )

@@ -1,0 +1,138 @@
+"""Structured Streaming tests (SURVEY.md §2.9).
+
+Strategy: split the events table into several parquet files in a tmp
+source dir (files = micro-batches), run each streaming query with
+trigger(availableNow=True) into a memory/file sink, and compare against
+the identical batch computation. Checkpoint-resume is tested by adding
+files and re-running with the same checkpointLocation: only the new
+files are processed.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.streaming import (
+    events_file_stream,
+    run_batched_doc_stream,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, sf_dir, tmp_path_factory):
+    """Events table split into 4 parquet files (4 stream batches max)."""
+    src = str(tmp_path_factory.mktemp("events_src"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return src
+
+
+def _batch_events(spark, src):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(src)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df, name, timeout=120):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_src):
+    stream = tumbling_counts(events_file_stream(spark, events_src))
+    _run_to_memory(stream, "tumbling_out")
+    got = _rows(spark.table("tumbling_out"), ["window_start", "event_type", "n", "total"])
+
+    batch = (
+        _batch_events(spark, events_src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+    want = _rows(batch, ["window_start", "event_type", "n", "total"])
+    assert got == want and len(got) > 0
+
+
+def test_sliding_window_stream_matches_batch(spark, events_src):
+    stream = sliding_counts(events_file_stream(spark, events_src))
+    _run_to_memory(stream, "sliding_out")
+    got = _rows(spark.table("sliding_out"), ["window_start", "n"])
+
+    batch = (
+        _batch_events(spark, events_src)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    want = _rows(batch, ["window_start", "n"])
+    assert got == want and len(got) > 0
+
+
+def test_session_window_stream_matches_batch_sessionization(spark, events_src):
+    """session_window in streaming == native session_window in batch."""
+    stream = session_windows(events_file_stream(spark, events_src))
+    _run_to_memory(stream, "session_out")
+    got = _rows(spark.table("session_out"), ["user_id", "session_start", "n_events"])
+
+    batch = (
+        _batch_events(spark, events_src)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"), "user_id", "n_events"
+        )
+    )
+    want = _rows(batch, ["user_id", "session_start", "n_events"])
+    assert got == want and len(got) > 0
+
+
+def test_foreachbatch_ttl_sink_and_checkpoint_resume(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    full = spark.read.parquet(f"{sf_dir}/events.parquet").limit(400).cache()
+    first, second = full.randomSplit([0.5, 0.5], seed=7)
+    n_first, n_second = first.count(), second.count()
+
+    first.coalesce(1).write.mode("append").parquet(src)
+    stats1 = run_batched_doc_stream(
+        events_file_stream(spark, src), out, ckpt, batch_size=50
+    )
+    assert stats1["rows"] == n_first
+
+    # documents landed, gzip-compressed, under epoch/event_type dirs
+    files = glob.glob(f"{out}/epoch=*/event_type=*/*.txt.gz")
+    assert files
+    body = gzip.open(files[0], "rt").read()
+    assert body.startswith("event ")
+
+    # resume: add the second half; the checkpoint skips the first files
+    second.coalesce(1).write.mode("append").parquet(src)
+    stats2 = run_batched_doc_stream(
+        events_file_stream(spark, src), out, ckpt, batch_size=50
+    )
+    assert stats2["rows"] == n_second
