@@ -61,6 +61,7 @@ from geosparql_etl_spark.operators.dedup import (
     SIMHASH_BITS,
 )
 from geosparql_etl_spark.operators.ledger import filter_pending
+from geosparql_etl_spark.operators.partitioning import spread
 from geosparql_etl_spark.operators.render import ordered_concat
 from geosparql_etl_spark.operators.similarity import ann_topk, cosine, cosine_topk
 
@@ -537,7 +538,11 @@ def _sql_g02():
 
 def g03_denormalized_wkt(spark, sf_dir):
     """G3: normalized->pixel WKT with %.2f formatting and ring close."""
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") != F.col("l_tax"))
+    # spread(): the WKT render is per-row compute-bound and the testdata
+    # parquet is a single row group (scan = 1 task); no-op at real scale.
+    li = spread(
+        _t(spark, sf_dir, "lineitem").where(F.col("l_discount") != F.col("l_tax"))
+    )
     coords = F.array(
         F.array(
             F.array(F.col("l_discount"), F.col("l_tax")),
@@ -1453,7 +1458,7 @@ def g01_polygon_wkt(spark, sf_dir):
     and C double rendering agree."""
     from geosparql_etl_spark.functions.geometry import polygon_wkt
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = spread(_t(spark, sf_dir, "lineitem"))
     coords = F.array(
         F.array(
             F.array(F.col("l_extendedprice"), F.col("l_quantity")),

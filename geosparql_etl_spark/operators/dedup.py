@@ -29,18 +29,7 @@ from pyspark.sql import functions as F
 
 from geosparql_etl_spark.functions.hashing import md5_long
 from geosparql_etl_spark.functions.textstats import shingles
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input arrives in too few
-    partitions for the cluster (e.g. one small parquet file -> 1
-    partition -> the whole explode/shingle map stage runs on one core).
-    No-op when the source is already well-partitioned, so at real scale
-    (many input splits) this adds nothing."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+from geosparql_etl_spark.operators.partitioning import spread as _spread
 
 
 # --- exact -------------------------------------------------------------------
@@ -106,7 +95,7 @@ def with_minhash(
     Exploding computes shingles once; map-side partial aggregation
     reduces the shuffle to (id, num_hashes longs) per document.
     """
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__sh")
     )
     return exploded.groupBy(id_col).agg(
@@ -235,7 +224,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash")
     Shuffles (id, token-hash) longs only; the pack is a single agg row
     per document. Hamming-close simhashes ~ near-dup documents.
     """
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
