@@ -136,3 +136,53 @@ def test_foreachbatch_ttl_sink_and_checkpoint_resume(spark, sf_dir, tmp_path):
         events_file_stream(spark, src), out, ckpt, batch_size=50
     )
     assert stats2["rows"] == n_second
+
+
+def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across
+    micro-batches; the final emitted row per user equals the batch
+    groupBy over all input."""
+    from geosparql_etl_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    full = spark.read.parquet(f"{sf_dir}/events.parquet").limit(300).cache()
+    # two files -> two micro-batches (maxFilesPerTrigger=4 caps, fine)
+    a, b = full.randomSplit([0.5, 0.5], seed=11)
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = running_user_totals(
+        events_file_stream(spark, src).select("user_id", "value")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted row per user = cumulative totals
+    out = spark.table("running_totals")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 4))
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in full.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
