@@ -1747,6 +1747,37 @@ def mm01_media_features(spark, sf_dir):
     )
 
 
+def mm02_frame_sampling(spark, sf_dir):
+    """Video frame-sample plumbing: one row per sampled frame offset
+    (every 1000 ms, max 8 frames). Offsets are exact -> oracle-checked;
+    only the frame DECODE is stubbed."""
+    from geosparql_etl_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 12) * 1500 + 500).cast("int").alias("duration_ms"),
+            F.lit("video/fake").alias("mime"),
+        ).alias("meta"),
+    )
+    return sample_frames(media, every_ms=1000, max_frames=8)
+
+
+def _sql_mm02():
+    return """
+    SELECT CAST(doc_id AS VARCHAR) AS media_id, unnest(offs[1:8]) AS frame_offset_ms
+    FROM (
+      SELECT doc_id,
+             range(0, GREATEST(CAST((doc_id % 12) * 1500 + 500 AS BIGINT), 1), 1000) AS offs
+      FROM documents)
+    """
+
+
 # =============================================================================
 # registry
 # =============================================================================
@@ -1814,6 +1845,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt03_quality": txt03_quality,
     "txt04_token_count": txt04_token_count,
     "mm01_media_features": mm01_media_features,
+    "mm02_frame_sampling": mm02_frame_sampling,
 }
 
 _ORACLES: dict[str, str] = {
@@ -1880,6 +1912,7 @@ _ORACLES: dict[str, str] = {
     "txt03_quality": _sql_txt03(),
     "txt04_token_count": _sql_txt04(),
     # mm01: stubbed decode -> rows-only
+    "mm02_frame_sampling": _sql_mm02(),
 }
 
 

@@ -101,6 +101,52 @@ def extract_features(
     return media.mapInPandas(run, schema=schema)
 
 
+def resize_images(
+    media: DataFrame, width: int, height: int, out_col: str = "resized"
+) -> DataFrame:
+    """Image resize plumbing: mapInPandas pass emitting the (stubbed)
+    resized payload + updated dims. The stub truncates/pads the payload
+    deterministically to width*height bytes; a real build swaps in
+    PIL.Image.resize and the schema/batching stay identical.
+    """
+    schema = (
+        "media_id string, kind string, resized binary, "
+        "out_width int, out_height int, decode_error string"
+    )
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, errs = [], []
+            for content, kind in zip(pdf["content"], pdf["kind"]):
+                try:
+                    if content is None:
+                        raise NotImplementedError("no payload to decode")
+                    if kind != "image":
+                        raise ValueError(f"cannot resize kind={kind}")
+                    raw = bytes(content)
+                    out = (raw * (target // max(len(raw), 1) + 1))[:target]
+                    payloads.append(out)
+                    errs.append(None)
+                except Exception as e:
+                    payloads.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "resized": payloads,
+                    "out_width": width,
+                    "out_height": height,
+                    "decode_error": errs,
+                }
+            )
+
+    return media.mapInPandas(run, schema=schema).withColumnRenamed(
+        "resized", out_col
+    )
+
+
 def sample_frames(
     media: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:

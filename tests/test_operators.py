@@ -1,0 +1,92 @@
+"""Direct operator tests: enrichment join shape, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.operators.enrich import (
+    enrich_with_lookup,
+    enrich_with_table,
+)
+from geosparql_etl_spark.operators.multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+
+
+def _media(spark, rows):
+    from geosparql_etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_enrich_with_lookup_fetches_once_per_key_and_flags_missing(spark):
+    facts = spark.createDataFrame(
+        [Row(slide_id="s1"), Row(slide_id="s1"), Row(slide_id="s2"),
+         Row(slide_id="s3"), Row(slide_id=None)]
+    )
+
+    def fetch(k):
+        if k == "s3":
+            raise RuntimeError("404")  # negative cache path
+        return f"hash-of-{k}"
+
+    out = enrich_with_lookup(facts, "slide_id", fetch).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["slide_id"], []).append((r["hash"], r["hash_missing"]))
+    assert by_key["s1"] == [("hash-of-s1", False)] * 2
+    assert by_key["s2"] == [("hash-of-s2", False)]
+    assert by_key["s3"] == [(None, True)]
+    # null keys never fetch and are not flagged missing
+    assert by_key[None] == [(None, False)]
+
+
+def test_enrich_with_table_missing_flag(spark):
+    facts = spark.createDataFrame([Row(k="a"), Row(k="b")])
+    lookup = spark.createDataFrame([Row(k="a", hash="ha")])
+    out = {r["k"]: (r["hash"], r["hash_missing"])
+           for r in enrich_with_table(facts, lookup, "k").collect()}
+    assert out == {"a": ("ha", False), "b": (None, True)}
+
+
+def test_extract_features_and_error_channel(spark):
+    rows = [
+        ("m1", "image", b"payload-1", (64, 64, None, "image/fake")),
+        ("m2", "image", None, (64, 64, None, "image/fake")),
+    ]
+    out = {r["media_id"]: r for r in extract_features(_media(spark, rows)).collect()}
+    assert len(out["m1"]["features"]) == 16
+    assert out["m1"]["decode_error"] is None
+    assert out["m2"]["features"] is None
+    assert "decode" in out["m2"]["decode_error"]
+    # deterministic: same payload -> same features
+    again = extract_features(_media(spark, rows[:1])).first()["features"]
+    assert again == out["m1"]["features"]
+
+
+def test_resize_images_plumbing(spark):
+    rows = [
+        ("m1", "image", b"abc", (8, 4, None, "image/fake")),
+        ("m2", "video", b"zzz", (None, None, 5000, "video/fake")),
+    ]
+    out = {r["media_id"]: r for r in resize_images(_media(spark, rows), 8, 4).collect()}
+    assert len(out["m1"]["resized"]) == 32 and out["m1"]["out_width"] == 8
+    assert out["m2"]["resized"] is None and "resize" in out["m2"]["decode_error"]
+
+
+def test_sample_frames_offsets(spark):
+    rows = [
+        ("v1", "video", b"x", (None, None, 3500, "video/fake")),
+        ("v2", "video", b"x", (None, None, 20000, "video/fake")),
+        ("i1", "image", b"x", (64, 64, None, "image/fake")),
+    ]
+    out = sample_frames(_media(spark, rows), every_ms=1000, max_frames=8).collect()
+    offs = {}
+    for r in out:
+        offs.setdefault(r["media_id"], []).append(r["frame_offset_ms"])
+    assert sorted(offs["v1"]) == [0, 1000, 2000, 3000]
+    assert sorted(offs["v2"]) == [0, 1000, 2000, 3000, 4000, 5000, 6000, 7000]  # capped at 8
+    assert "i1" not in offs
