@@ -290,6 +290,112 @@ def _sql_j07():
     """
 
 
+def j08_range_join(spark, sf_dir):
+    """Range join (equi key + interval predicate): line items shipped
+    within 30 days of their order date. Beyond the reference's surface
+    (SURVEY §2.3 notes range joins come free in Spark)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate <= F.date_add(o.o_orderdate, 30)),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_fast_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("fast_revenue"),
+        )
+    )
+
+
+def _sql_j08():
+    return """
+    SELECT o_orderpriority, count(*) AS n_fast_items,
+           round(sum(l_extendedprice), 2) AS fast_revenue
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderpriority
+    """
+
+
+def j09_asof_join(spark, sf_dir):
+    """As-of join: for each order, the user's latest event at or before
+    the order date (window + row_number form; DuckDB verifies with its
+    native ASOF JOIN)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    e = _events(spark, sf_dir).withColumn(
+        "user_id_small", F.col("user_id") % 500
+    )
+    joined = o.join(
+        e,
+        (o.o_custkey % 500 == e.user_id_small)
+        & (e.ts <= F.col("o_orderdate")),
+        "left",
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            F.col("ts").alias("last_event_ts"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+
+
+def _sql_j09():
+    # DuckDB ASOF JOIN picks the single latest row per left row but its
+    # tie-break among equal ts is unspecified; replicate the engine's
+    # deterministic (ts desc, event_id desc) pick with a window instead.
+    return """
+    SELECT o_orderkey, ts AS last_event_ts, event_id AS last_event_id
+    FROM (
+      SELECT o.o_orderkey, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY o.o_orderkey
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM orders o LEFT JOIN events e
+        ON o.o_custkey % 500 = e.user_id % 500 AND e.ts <= o.o_orderdate
+      WHERE o.o_orderkey % 100 = 0)
+    WHERE rn = 1
+    """
+
+
+def a08_rollup(spark, sf_dir):
+    """Rollup aggregation (grouping-set totals — subsumed by Spark's
+    hash agg; no reference counterpart, SURVEY §2.4 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+def _sql_a08():
+    return """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
 def p09_ledger_resume(spark, sf_dir):
     """P9: checkpoint-ledger anti-join — work items not yet completed
     (ledger = every 7th order, standing in for the completed set)."""
@@ -1789,6 +1895,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j03_enrich_missing_flag": j03_enrich_missing_flag,
     "j06_anti_join": j06_anti_join,
     "j07_semi_join": j07_semi_join,
+    "j08_range_join": j08_range_join,
+    "j09_asof_join": j09_asof_join,
+    "a08_rollup": a08_rollup,
     "p09_ledger_resume": p09_ledger_resume,
     "a01_argmax_window": a01_argmax_window,
     "a02_map_argmax": a02_map_argmax,
@@ -1855,6 +1964,9 @@ _ORACLES: dict[str, str] = {
     "j03_enrich_missing_flag": _sql_j03(),
     "j06_anti_join": _sql_j06(),
     "j07_semi_join": _sql_j07(),
+    "j08_range_join": _sql_j08(),
+    "j09_asof_join": _sql_j09(),
+    "a08_rollup": _sql_a08(),
     "p09_ledger_resume": _sql_p09(),
     "a01_argmax_window": _sql_a01(),
     "a02_map_argmax": _sql_a02(),
