@@ -206,12 +206,42 @@ def render_ttl_documents(features: DataFrame, timestamp: str) -> DataFrame:
     )
 
 
-def run(spark, input_dir: str, output_dir: str, timestamp: str) -> DataFrame:
-    """Full pipeline: directory scan -> rendered docs -> exact-name sink."""
-    from geosparql_etl_spark.sinks.ttl import write_documents_exact
+def run(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    timestamp: str,
+    collect_metrics: bool = False,
+) -> DataFrame | tuple[DataFrame, dict]:
+    """Full pipeline: directory scan -> rendered docs -> exact-name sink.
+
+    With ``collect_metrics=True`` also returns the run's in-flight
+    metrics {n_documents, total_bytes} gathered via an Observation —
+    the A2 status-counting channel without a second pass over the data
+    (the reference folds per-file result tuples: json-etl:231-245).
+    """
+    from pyspark.sql import Observation
+
+    from geosparql_etl_spark.sinks.ttl import (
+        write_documents_exact,
+        write_documents_exact_df,
+    )
     from geosparql_etl_spark.sources.geojson import read_geojson_features
 
     feats = read_geojson_features(spark, input_dir)
     docs = render_ttl_documents(feats, timestamp)
-    write_documents_exact(docs, output_dir, compress=False)
-    return docs
+    if not collect_metrics:
+        write_documents_exact(docs, output_dir, compress=False)
+        return docs
+    # lazy writer stage + Observation: a single noop materialization
+    # performs the writes AND surfaces the metrics (RDD foreachPartition
+    # would never fire the SQL listener the Observation depends on).
+    written = write_documents_exact_df(docs, output_dir, compress=False)
+    obs = Observation("json_etl")
+    observed = written.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_documents"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    return docs, obs.get

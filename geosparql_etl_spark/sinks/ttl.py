@@ -84,6 +84,48 @@ def write_documents_exact(
     docs.select(name_col, text_col).foreachPartition(write_partition)
 
 
+def write_documents_exact_df(
+    docs: DataFrame,
+    out_dir: str,
+    name_col: str = "file_name",
+    text_col: str = "body",
+    compress: bool = True,
+) -> DataFrame:
+    """LAZY variant of ``write_documents_exact``: returns a
+    (file_name, n_bytes) DataFrame whose evaluation performs the writes.
+
+    Because the writer is a mapInPandas stage inside the plan (not an
+    RDD foreachPartition), DataFrame-level actions drive it — so
+    Observation metrics attached downstream actually fire (RDD actions
+    never emit SQL listener events), and the write + metrics cost ONE
+    pass. Caller must materialize exactly once (e.g. noop write).
+    """
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batches(batches):
+        for pdf in batches:
+            names, sizes = [], []
+            for rel, text in zip(pdf[name_col], pdf[text_col]):
+                path = os.path.join(out_dir, rel)
+                os.makedirs(os.path.dirname(path) or out_dir, exist_ok=True)
+                data = text.encode("utf-8")
+                if compress or rel.endswith(".gz"):
+                    with gzip.open(path, "wb", compresslevel=6) as f:
+                        f.write(data)
+                else:
+                    with open(path, "wb") as f:
+                        f.write(data)
+                names.append(rel)
+                sizes.append(len(data))
+            yield pd.DataFrame({"file_name": names, "n_bytes": sizes})
+
+    return docs.select(name_col, text_col).mapInPandas(
+        write_batches, schema="file_name string, n_bytes long"
+    )
+
+
 def rewrite_documents(
     transformed: DataFrame,
     snapshot_dir: str,

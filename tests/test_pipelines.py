@@ -272,3 +272,32 @@ def test_update_by_folder_mark_missing(spark):
     out = hash_update.update_hashes_by_folder(docs, hashes, mark_missing=True).collect()[0]
     assert out["status"] == "hash_missing"
     assert 'hal:missing "true"^^xsd:boolean' in out["text"]
+
+
+def test_json_etl_observe_metrics(spark, tmp_path):
+    """A2 runtime metrics via Observation: one pass, no recount."""
+    import json as _json
+
+    data = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[1.0, 2.0], [3.0, 2.0], [3.0, 4.0]]],
+                },
+                "properties": {"measurements": {"prob_400p-Tumor": 0.9}},
+            }
+        ],
+    }
+    (tmp_path / "in").mkdir()
+    for i in range(3):
+        (tmp_path / "in" / f"img-{i}.geojson").write_text(_json.dumps(data))
+
+    docs, metrics = json_etl.run(
+        spark, str(tmp_path / "in"), str(tmp_path / "out"), TS_Z,
+        collect_metrics=True,
+    )
+    assert metrics["n_documents"] == 3
+    assert metrics["total_bytes"] > 3 * len(json_etl._PREFIX_HEADER)
