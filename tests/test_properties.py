@@ -1,0 +1,100 @@
+"""Property / metamorphic tests (SURVEY.md §5.3).
+
+hypothesis drives small randomized inputs through the native column
+expressions; each property is a semantic invariant of the reference:
+
+  - ring-close idempotence: closing an already-closed ring is a no-op
+    (G2/G3 semantics).
+  - argmax permutation invariance: the dominant entry only depends on
+    entry order for ties, and first-max-wins decides those (A1).
+  - anti-join monotonicity: running the incremental filter twice adds
+    nothing (P9/P10).
+  - hash determinism: sha2 == hashlib for arbitrary unicode (H1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.functions.geometry import parse_polygon_string_wkt
+from geosparql_etl_spark.functions.hashing import sha256_id
+from geosparql_etl_spark.operators.argmax import dominant_entry
+from geosparql_etl_spark.operators.ledger import filter_pending
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_coord = st.integers(min_value=0, max_value=99999)
+
+
+@given(pts=st.lists(st.tuples(_coord, _coord), min_size=2, max_size=8))
+@settings(**_SETTINGS)
+def test_ring_close_idempotent(spark, pts):
+    """parse(p1..pn) == parse(p1..pn p1): auto-close makes explicitly
+    closing redundant — provided the ring is open (when first == last
+    the reference also skips the close, so both sides differ by design)."""
+    from hypothesis import assume
+
+    assume(pts[0] != pts[-1])
+    flat = [str(v) for xy in pts for v in xy]
+    open_s = "[" + ":".join(flat) + "]"
+    closed_s = "[" + ":".join(flat + [str(pts[0][0]), str(pts[0][1])]) + "]"
+    df = spark.createDataFrame([(open_s, closed_s)], ["a", "b"])
+    row = df.select(
+        parse_polygon_string_wkt(F.col("a")).alias("wa"),
+        parse_polygon_string_wkt(F.col("b")).alias("wb"),
+    ).first()
+    assert row["wa"] == row["wb"]
+
+
+@given(
+    probs=st.lists(
+        st.floats(min_value=0.001, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_argmax_finds_max_regardless_of_position(spark, probs):
+    """With unique values, dominant_entry picks the max wherever it sits
+    (map literals built in SQL to preserve entry order)."""
+    entries = ", ".join(
+        f"'prob_c{i}', cast({p!r} as double)" for i, p in enumerate(probs)
+    )
+    df = spark.sql(f"SELECT map({entries}) AS m")
+    row = df.select(dominant_entry(F.col("m")).alias("d")).first()["d"]
+    best = max(range(len(probs)), key=lambda i: probs[i])
+    assert row["class"] == f"c{best}"
+    assert abs(row["prob"] - probs[best]) < 1e-12
+
+
+@given(done=st.sets(st.integers(min_value=0, max_value=20), max_size=10))
+@settings(**_SETTINGS)
+def test_anti_join_monotone(spark, done):
+    """filter_pending twice == once (incremental runs converge)."""
+    work = spark.range(0, 21).withColumnRenamed("id", "wid")
+    ledger = spark.createDataFrame(
+        [(int(i), "completed", None, None) for i in done] or [(999, "completed", None, None)],
+        "id long, status string, error string, ts timestamp",
+    )
+    once = filter_pending(work, ledger, "wid")
+    twice = filter_pending(once, ledger, "wid")
+    assert sorted(r["wid"] for r in once.collect()) == sorted(
+        r["wid"] for r in twice.collect()
+    )
+    assert set(r["wid"] for r in once.collect()).isdisjoint(done)
+
+
+@given(s=st.text(min_size=0, max_size=40))
+@settings(**_SETTINGS)
+def test_sha256_matches_hashlib(spark, s):
+    df = spark.createDataFrame([(s,)], ["t"])
+    got = df.select(sha256_id(F.col("t")).alias("h")).first()["h"]
+    assert got == hashlib.sha256(s.encode("utf-8")).hexdigest()
