@@ -90,3 +90,32 @@ def test_sample_frames_offsets(spark):
     assert sorted(offs["v1"]) == [0, 1000, 2000, 3000]
     assert sorted(offs["v2"]) == [0, 1000, 2000, 3000, 4000, 5000, 6000, 7000]  # capped at 8
     assert "i1" not in offs
+
+
+def test_salted_join_matches_plain_join(spark):
+    from geosparql_etl_spark.operators.skew import salted_join
+
+    skewed = spark.createDataFrame(
+        [Row(k="hot", v=i) for i in range(50)] + [Row(k="cold", v=99)]
+    )
+    dim = spark.createDataFrame([Row(k="hot", label="H"), Row(k="cold", label="C")])
+    got = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in salted_join(skewed, dim, ["k"], n=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["label"]) for r in skewed.join(dim, "k").collect()
+    )
+    assert got == want
+
+
+def test_salted_count_distinct_exact(spark):
+    from geosparql_etl_spark.operators.skew import salted_count_distinct
+
+    rows = [Row(g="a", u=i % 7) for i in range(100)] + [Row(g="b", u=i) for i in range(13)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["g"]: r["n_distinct_u"]
+        for r in salted_count_distinct(df, ["g"], "u", n=4).collect()
+    }
+    assert got == {"a": 7, "b": 13}
