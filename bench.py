@@ -28,6 +28,8 @@ HEADLINE = [
     "q01_pricing_summary",
     "j01_multikey_equijoin",
     "j02_broadcast_lookup",
+    "j08_range_join",
+    "a08_rollup",
     "a01_argmax_window",
     "a02_map_argmax",
     "w01_batch_window",
