@@ -1133,6 +1133,19 @@ def sim03_ann_lsh(spark, sf_dir):
     )
 
 
+def sim04_ivf_ann(spark, sf_dir):
+    """IVF-bucketed ANN top-5 (nearest-centroid cells, n_probe=2;
+    approximate -> rows-only check). The partition-pruned inverted-file
+    path for corpora where even LSH banding shuffles too much."""
+    from geosparql_etl_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_topk(e, q, k=5, dim=64, n_cells=16, n_probe=2).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
 # =============================================================================
 # text analysis (charter scale operators)
 # =============================================================================
@@ -1232,6 +1245,28 @@ def _sql_txt03():
       + (CASE WHEN {punct} <= 0.2 THEN 1.0 ELSE 0.0 END)
       + (CASE WHEN {mwl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
     ) / 3.0, 6) AS quality
+    FROM documents
+    """
+
+
+def txt05_stopword_ratio(spark, sf_dir):
+    """Stopword ratio over whitespace tokens (quality-signal family)."""
+    from geosparql_etl_spark.functions.textstats import stopword_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(stopword_ratio(F.col("text")), 6).alias("stop_ratio")
+    )
+
+
+def _sql_txt05():
+    stops = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for')"
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    return f"""
+    SELECT doc_id,
+      round(CASE WHEN len({toks}) > 0
+        THEN len(list_filter({toks}, t -> t IN {stops}))::DOUBLE / len({toks})
+        ELSE 0.0 END, 6) AS stop_ratio
     FROM documents
     """
 
@@ -1949,10 +1984,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim01_cosine_topk": sim01_cosine_topk,
     "sim02_threshold_pairs": sim02_threshold_pairs,
     "sim03_ann_lsh": sim03_ann_lsh,
+    "sim04_ivf_ann": sim04_ivf_ann,
     "txt01_stats": txt01_stats,
     "txt02_lang_id": txt02_lang_id,
     "txt03_quality": txt03_quality,
     "txt04_token_count": txt04_token_count,
+    "txt05_stopword_ratio": txt05_stopword_ratio,
     "mm01_media_features": mm01_media_features,
     "mm02_frame_sampling": mm02_frame_sampling,
 }
@@ -2023,6 +2060,8 @@ _ORACLES: dict[str, str] = {
     "txt02_lang_id": _sql_txt02(),
     "txt03_quality": _sql_txt03(),
     "txt04_token_count": _sql_txt04(),
+    "txt05_stopword_ratio": _sql_txt05(),
+    # sim04: IVF recall is approximate -> rows-only
     # mm01: stubbed decode -> rows-only
     "mm02_frame_sampling": _sql_mm02(),
 }

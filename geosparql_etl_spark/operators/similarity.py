@@ -120,6 +120,100 @@ def cosine_topk(
     )
 
 
+# --- IVF ANN -----------------------------------------------------------------
+
+
+def _ivf_centroids(dim: int, n_cells: int, seed: str = "gsel-ivf") -> list[list[float]]:
+    """Deterministic pseudo-random centroids (md5-derived components in
+    [-1, 1]). A production build would k-means a sample; deterministic
+    centroids keep tests and resumed jobs reproducible."""
+    cells: list[list[float]] = []
+    for c in range(n_cells):
+        comps: list[float] = []
+        d = 0
+        while len(comps) < dim:
+            digest = hashlib.md5(f"{seed}:{c}:{d}".encode()).digest()
+            comps.extend(b / 127.5 - 1.0 for b in digest)
+            d += 1
+        cells.append(comps[:dim])
+    return cells
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by dot product (all
+    native folds over literal centroid arrays — constant-folded, one
+    pass per centroid). greatest(struct(score, cell)) implements the
+    argmax without a shuffle."""
+    cents = _ivf_centroids(dim, n_cells)
+    scored = [
+        F.struct(
+            dot(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("score"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
+    return df.withColumn(out_col, best["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: candidates live in the query's nearest
+    cell(s); exact cosine re-score inside. ``n_probe`` > 1 widens the
+    probe to that many nearest cells (recall/cost dial). At scale the
+    corpus is written partitioned by cell, so a probe reads only
+    matching partitions (partition pruning — the inverted file)."""
+    cb = with_ivf_cell(spread(corpus), vec_col, dim, n_cells).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col("ivf_cell").alias("__cell"),
+    )
+    cents = _ivf_centroids(dim, n_cells)
+    scored = F.array(
+        *[
+            F.struct(
+                dot(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("__cell"),
+    )
+    cand = cb.join(F.broadcast(qb), "__cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored_pairs = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored_pairs.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 # --- sign-LSH ANN ------------------------------------------------------------
 
 

@@ -119,3 +119,31 @@ def test_salted_count_distinct_exact(spark):
         for r in salted_count_distinct(df, ["g"], "u", n=4).collect()
     }
     assert got == {"a": 7, "b": 13}
+
+
+def test_ivf_topk_structure_and_determinism(spark):
+    import random
+
+    from geosparql_etl_spark.operators.similarity import ivf_topk, with_ivf_cell
+
+    rng = random.Random(3)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    e = spark.createDataFrame(rows)
+    q = e.where(F.col("vec_id") < 3)
+
+    out = ivf_topk(e, q, k=4, dim=8, n_cells=4, n_probe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert set(by_q) == {0, 1, 2}
+    for ranks in by_q.values():
+        assert [r for r, _ in sorted(ranks)] == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 4
+
+    # deterministic cell assignment across invocations
+    a = {r["vec_id"]: r["ivf_cell"] for r in with_ivf_cell(e, dim=8, n_cells=4).collect()}
+    b = {r["vec_id"]: r["ivf_cell"] for r in with_ivf_cell(e, dim=8, n_cells=4).collect()}
+    assert a == b and set(a.values()) <= set(range(4))
