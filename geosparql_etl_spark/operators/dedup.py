@@ -271,13 +271,17 @@ def ngram_jaccard_pairs(
     ex = sh.select(
         F.col(id_col), F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
     )
-    # both join branches read the SAME hash-partitioned exchange: the two
-    # Exchange subtrees are identical, so ReusedExchange computes the
-    # shingling once instead of once per branch, and the equi-join on
-    # __s needs no further shuffle.
-    exr = ex.repartition(F.col("__s"))
-    a = exr.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s")
-    b = exr.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    # Inverted-index SELF-JOIN on the shared shingle. The two branches
+    # each evaluate the shingle subtree (exchange reuse does not fire
+    # across re-aliased self-join branches), which is acceptable now
+    # that shingling is a cheap single fold; the measured alternative —
+    # posting lists + native combination expansion (no join, one pass)
+    # — is exact too but ~2x slower at sf0.1: nested-transform pair
+    # expansion runs interpreted, while the join's probe side is
+    # codegen'd. Revisit only if the shingle pass itself becomes the
+    # bottleneck again.
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s")
     inter = (
         a.join(b, "__s")
         .where(F.col("id_a") < F.col("id_b"))
