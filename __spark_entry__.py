@@ -16,6 +16,15 @@ Float policy: every float aggregate is rounded (2 dp money, 4-6 dp
 ratios) in BOTH engines — double sums are order-dependent and the two
 engines reduce in different orders. Per-row float arithmetic (cosine,
 area) is bit-identical (verified) and rounded only for display.
+
+Timezone policy: _t() pins the session timezone to UTC (event-time
+windows must compute the same instants as the naive-UTC DuckDB
+oracle), and every timestamp OUTPUT column is emitted as epoch
+microseconds (unix_micros / epoch_us) — PySpark renders collected
+timestamps in the Python process's OS timezone, so raw timestamp
+columns would compare differently on a non-UTC host even with the
+session pinned. Longs are timezone- and format-proof. (Verified under
+TZ=America/New_York + a non-UTC session: all queries match.)
 """
 
 from __future__ import annotations
@@ -67,6 +76,10 @@ from geosparql_etl_spark.operators.similarity import ann_topk, cosine, cosine_to
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver may run these with its own SparkSession; timestamp
+    # semantics must match the DuckDB oracle (naive UTC) regardless of
+    # the host session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -345,7 +358,7 @@ def j09_asof_join(spark, sf_dir):
         .where(F.col("rn") == 1)
         .select(
             "o_orderkey",
-            F.col("ts").alias("last_event_ts"),
+            F.unix_micros(F.col("ts")).alias("last_event_ts_us"),
             F.col("event_id").alias("last_event_id"),
         )
     )
@@ -356,7 +369,7 @@ def _sql_j09():
     # tie-break among equal ts is unspecified; replicate the engine's
     # deterministic (ts desc, event_id desc) pick with a window instead.
     return """
-    SELECT o_orderkey, ts AS last_event_ts, event_id AS last_event_id
+    SELECT o_orderkey, epoch_us(ts) AS last_event_ts_us, event_id AS last_event_id
     FROM (
       SELECT o.o_orderkey, e.ts, e.event_id,
              row_number() OVER (PARTITION BY o.o_orderkey
@@ -838,14 +851,17 @@ def s01_tumbling_window(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "n", "total"
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total",
         )
     )
 
 
 def _sql_s01():
     return """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
            count(*) AS n, round(sum(value), 4) AS total
     FROM events GROUP BY 1, 2
     """
@@ -857,13 +873,13 @@ def s02_sliding_window(spark, sf_dir):
     return (
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"))
-        .select(F.col("w.start").alias("window_start"), "n")
+        .select(F.unix_micros(F.col("w.start")).alias("window_start_us"), "n")
     )
 
 
 def _sql_s02():
     return """
-    SELECT window_start, count(*) AS n FROM (
+    SELECT epoch_us(window_start) AS window_start_us, count(*) AS n FROM (
       SELECT date_trunc('hour', ts) AS window_start FROM events
       UNION ALL
       SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events
@@ -890,7 +906,7 @@ def s03_sessionization(spark, sf_dir):
         .withColumn("session_id", sess)
         .groupBy("user_id", "session_id")
         .agg(
-            F.min("ts").alias("session_start"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
             F.count("*").alias("n_events"),
         )
     )
@@ -898,7 +914,7 @@ def s03_sessionization(spark, sf_dir):
 
 def _sql_s03():
     return """
-    SELECT user_id, session_id, min(ts) AS session_start, count(*) AS n_events
+    SELECT user_id, session_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
     FROM (
       SELECT user_id, ts, sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
@@ -919,7 +935,7 @@ def s04_session_window_native(spark, sf_dir):
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.col("w.start").alias("session_start"),
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
             "user_id",
             "n_events",
         )
@@ -928,7 +944,7 @@ def s04_session_window_native(spark, sf_dir):
 
 def _sql_s04():
     return """
-    SELECT min(ts) AS session_start, user_id, count(*) AS n_events
+    SELECT epoch_us(min(ts)) AS session_start_us, user_id, count(*) AS n_events
     FROM (
       SELECT user_id, ts, sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
