@@ -301,3 +301,34 @@ def test_json_etl_observe_metrics(spark, tmp_path):
     )
     assert metrics["n_documents"] == 3
     assert metrics["total_bytes"] > 3 * len(json_etl._PREFIX_HEADER)
+
+
+def test_segmentation_path_regex_dotted_tcga_ids(spark, tmp_path):
+    """S3 trip wire (SURVEY §7): TCGA image names contain dots and the
+    archive dir embeds .svs.tar.gz — the path regex must keep the full
+    dotted stem for image_name and not split on the first dot."""
+    from geosparql_etl_spark.sources.segmentation import read_patch_csvs
+
+    dotted = "TCGA-2F-A9KO-01Z.195576CF-B739-4BD9.svs"
+    base = tmp_path / "base"
+    d = base / "paad_polygon" / (dotted.replace(".svs", "") + ".svs.tar.gz") / "paad_polygon" / dotted
+    d.mkdir(parents=True)
+    (d / "100_200_4000_4000_0.25_1-features.csv").write_text(
+        "AreaInPixels,PhysicalSize,Polygon\n10,1.0,[1:2:3:4]\n"
+    )
+    row = read_patch_csvs(spark, str(base)).first()
+    assert row["image_name"] == dotted
+    assert row["cancer_type"] == "paad"
+    assert row["patch"]["x"] == 100 and row["patch"]["height"] == 4000
+
+
+def test_geojson_malformed_file_yields_empty_document(spark, tmp_path):
+    """Permissive-parse deviation (documented, SURVEY §1.3): a malformed
+    .geojson produces a header-only document instead of the reference's
+    per-file error tuple — the file is never silently lost."""
+    (tmp_path / "in").mkdir()
+    (tmp_path / "in" / "broken.geojson").write_text("{not valid json")
+    docs = json_etl.run(spark, str(tmp_path / "in"), str(tmp_path / "out"), TS_Z)
+    out = (tmp_path / "out" / "broken.ttl").read_text()
+    assert out.startswith("@prefix")
+    assert "rdfs:member" not in out
