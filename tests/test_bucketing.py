@@ -1,0 +1,71 @@
+"""Bucketed-layout co-located join (charter: "bucketing for co-located
+joins").
+
+Writing both fact tables bucketed by the join key lets Spark join them
+with NO shuffle exchange on either side — at 100 TB this converts the
+flagship J1 join's two full-table shuffles into local sort-merge per
+bucket. The test asserts the plan property (no ShuffleExchange above
+the scans), not just the row counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir, tmp_path_factory):
+    # explicit per-table paths: warehouse.dir is a static conf that
+    # cannot change on a live session
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    for name, df, key in [("li_b", li, "l_orderkey"), ("o_b", o, "o_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{wh}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    return wh
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse):
+    li = spark.table("li_b")
+    o = spark.table("o_b")
+    # force a shuffle-family join: at test scale AQE would broadcast,
+    # which hides the property under test (bucket co-location)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the JOIN itself must not shuffle either bucketed side; the later
+    # groupBy aggregation legitimately exchanges on its own key
+    join_part = plan.split("HashAggregate")[-1]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+    # counts equal the unbucketed join
+    want = (
+        spark.read.parquet(f"{spark.conf.get('gsel.test.sf_dir', '/root/testdata/sf0.001')}/lineitem.parquet")
+        .join(
+            spark.read.parquet(
+                f"{spark.conf.get('gsel.test.sf_dir', '/root/testdata/sf0.001')}/orders.parquet"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    got = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert got == want
