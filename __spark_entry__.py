@@ -72,7 +72,12 @@ from geosparql_etl_spark.operators.dedup import (
 from geosparql_etl_spark.operators.ledger import filter_pending
 from geosparql_etl_spark.operators.partitioning import spread
 from geosparql_etl_spark.operators.render import ordered_concat
-from geosparql_etl_spark.operators.similarity import ann_topk, cosine, cosine_topk
+from geosparql_etl_spark.operators.similarity import (
+    ann_topk,
+    cosine,
+    cosine_topk,
+    pairwise_cosine,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1084,6 +1089,41 @@ def d06_minhash_dedup_e2e(spark, sf_dir):
     )
 
 
+def d07_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup dedup: documents whose embeddings'
+    cosine >= 0.4 form duplicate pairs; keep the lower doc_id of each
+    pair (greedy by id). Output: (doc_id, n_dups_absorbed)."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    emb = d.select("doc_id").join(
+        e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    pairs = pairwise_cosine(
+        emb, emb, id_col="doc_id", left_alias="id_a", right_alias="id_b", dim=64
+    ).where((F.col("id_a") < F.col("id_b")) & (F.col("cosine_sim") >= 0.4))
+    absorbed = pairs.groupBy("id_a").agg(F.count("*").alias("n_dups_absorbed"))
+    losers = pairs.select(F.col("id_b").alias("id_a")).dropDuplicates()
+    return absorbed.join(losers, "id_a", "left_anti").select(
+        F.col("id_a").alias("doc_id"), "n_dups_absorbed"
+    )
+
+
+def _sql_d07():
+    return """
+    WITH emb AS (
+      SELECT d.doc_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) v
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM emb a JOIN emb b ON a.doc_id < b.doc_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4)
+    SELECT id_a AS doc_id, count(*) AS n_dups_absorbed
+    FROM pairs
+    WHERE id_a NOT IN (SELECT id_b FROM pairs)
+    GROUP BY id_a
+    """
+
+
 # =============================================================================
 # similarity search (charter scale operators)
 # =============================================================================
@@ -1997,6 +2037,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d04_ngram_jaccard": d04_ngram_jaccard,
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
+    "d07_embedding_neardup": d07_embedding_neardup,
     "sim01_cosine_topk": sim01_cosine_topk,
     "sim02_threshold_pairs": sim02_threshold_pairs,
     "sim03_ann_lsh": sim03_ann_lsh,
@@ -2069,6 +2110,7 @@ _ORACLES: dict[str, str] = {
     "d04_ngram_jaccard": _sql_d04(),
     "d05_simhash": _sql_d05(),
     # d06: LSH banding is engine-defined -> rows-only
+    "d07_embedding_neardup": _sql_d07(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     # sim03: ANN recall is approximate -> rows-only
