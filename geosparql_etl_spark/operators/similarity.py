@@ -10,16 +10,19 @@ Two paths (engine charter operators; no reference counterpart):
     AQE coalesces the tiny tail.
 
   - sign-LSH bucketed ANN: the 100 TB path. Deterministic random
-    hyperplanes (seeded, driver-generated literal arrays) hash each
-    vector to band buckets; candidates = bucket-equi-join, then exact
-    re-score. Recall tunes with bands x bits; planes are literals, so
-    the whole signature is a native expression.
+    hyperplanes (seeded, driver-generated) hash each vector to band
+    buckets via ONE vectorized matmul per Arrow batch (pandas_udf);
+    candidates = bucket-equi-join, then exact re-score on the
+    deterministic JVM fold. Recall tunes with bands x bits.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct as _struct
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -247,24 +250,38 @@ def with_lsh_buckets(
     bits_per_band: int = 8,
     out_col: str = "lsh_buckets",
 ) -> DataFrame:
-    """Add array<string> of band-bucket keys (bands x bits sign bits)."""
-    planes = _hyperplanes(dim, bands * bits_per_band)
-    # fold over a literal coefficient array: CreateArray of foldable
-    # literals constant-folds to a single Literal, and zip_with evaluates
-    # its array inputs once — so this stays O(dim) per plane. (A flat
-    # unrolled get(a,i)*c_i sum across 32 planes x 64 dims blows Janino's
-    # 64 KB method limit and drops the stage out of codegen entirely.)
-    bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(v) for v in plane])) > 0, "1").otherwise("0")
-        for plane in planes
-    ]
-    buckets = [
-        F.concat(
-            F.lit(f"b{b}:"), *bits[b * bits_per_band : (b + 1) * bits_per_band]
-        )
-        for b in range(bands)
-    ]
-    return df.withColumn(out_col, F.array(*buckets))
+    """Add array<string> of band-bucket keys (bands x bits sign bits).
+
+    Vectorized pandas_udf: the whole signature is ONE (batch x dim) @
+    (dim x planes) matmul per Arrow batch. The native-expression
+    formulation (one interpreted fold per plane per row) measured
+    ~100us/plane-dot — 6.7s just to bucket 2k vectors; the matmul does
+    it in milliseconds. Sign-LSH is approximate by construction, so the
+    (ulp-level) summation-order difference vs a sequential fold cannot
+    meaningfully change recall — exact re-scoring downstream stays on
+    the deterministic JVM fold.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_hyperplanes(dim, bands * bits_per_band)).T  # dim x P
+
+    @pandas_udf("array<string>")
+    def bucketize(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy())  # batch x dim
+        bits = (m.astype(np.float64) @ planes) > 0  # batch x P
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    f"b{b}:" + "".join("1" if v else "0" for v in row[b * bits_per_band : (b + 1) * bits_per_band])
+                    for b in range(bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return df.withColumn(out_col, bucketize(F.col(vec_col)))
 
 
 def ann_topk(
