@@ -149,20 +149,22 @@ def with_ivf_cell(
     n_cells: int = 16,
     out_col: str = "ivf_cell",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid by dot product (all
-    native folds over literal centroid arrays — constant-folded, one
-    pass per centroid). greatest(struct(score, cell)) implements the
-    argmax without a shuffle."""
-    cents = _ivf_centroids(dim, n_cells)
-    scored = [
-        F.struct(
-            dot(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("score"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(cents)
-    ]
-    best = F.greatest(*scored) if len(scored) > 1 else scored[0]
-    return df.withColumn(out_col, best["cell"])
+    """Assign each vector to its nearest centroid: one vectorized
+    (batch x dim) @ (dim x cells) matmul + argmax per Arrow batch (see
+    with_lsh_buckets for why not per-row folds). Ties resolve to the
+    lowest cell id (np.argmax first-max), deterministically."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.array(_ivf_centroids(dim, n_cells)).T  # dim x cells
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(np.argmax(m @ cents, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
 
 
 def ivf_topk(
