@@ -19,7 +19,6 @@ Two paths (engine charter operators; no reference counterpart):
 from __future__ import annotations
 
 import hashlib
-import struct as _struct
 
 import numpy as np
 import pandas as pd
