@@ -147,3 +147,14 @@ def test_ivf_topk_structure_and_determinism(spark):
     a = {r["vec_id"]: r["ivf_cell"] for r in with_ivf_cell(e, dim=8, n_cells=4).collect()}
     b = {r["vec_id"]: r["ivf_cell"] for r in with_ivf_cell(e, dim=8, n_cells=4).collect()}
     assert a == b and set(a.values()) <= set(range(4))
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """SCALE.md claims approx_count_distinct as the scale path for A4;
+    pin its error band (default rsd=5%) against the exact count."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.1 * row["exact"]
