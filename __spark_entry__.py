@@ -106,8 +106,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the mongo-etl plan shape on the test tables — multi-key
     equi-join (J1) -> batch window (W1) -> deterministic doc render (A6).
-    One doc per (customer, batch of 100 line items)."""
-    sf_dir = "/root/testdata/sf0.001"
+    One doc per (customer, batch of 100 line items).
+
+    Scale factor is driver-selectable: SPARK_GRAFT_ENTRY_SF_DIR
+    overrides the smoke-check default. (Deliberately NOT
+    SPARK_GRAFT_SF_DIR — that one retargets bench.py, and the driver's
+    smoke check must stay cheap even when bench runs at a larger sf.)"""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001"
+    )
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -897,8 +904,10 @@ def s03_sessionization(spark, sf_dir):
     (lag + cumulative gap-count — the batch form of session_window)."""
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Gap in MICROSECONDS (not whole seconds): a 1799.9s gap must not
+    # round up to a session break at larger scale factors.
     gap = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000,
         1,
     ).otherwise(0)
     sess = F.sum("gap_flag").over(
@@ -921,11 +930,13 @@ def _sql_s03():
     return """
     SELECT user_id, session_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
     FROM (
-      SELECT user_id, ts, sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      -- CAST: DuckDB sum(INTEGER) OVER window yields HUGEINT (decimal128
+      -- in Arrow); Spark emits bigint, and the driver hash is typed.
+      SELECT user_id, ts, CAST(sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id,
-          CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                THEN 1 ELSE 0 END AS gap_flag
         FROM events)
     ) GROUP BY user_id, session_id
@@ -951,11 +962,11 @@ def _sql_s04():
     return """
     SELECT epoch_us(min(ts)) AS session_start_us, user_id, count(*) AS n_events
     FROM (
-      SELECT user_id, ts, sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      SELECT user_id, ts, CAST(sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts, event_id,
-          CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                THEN 1 ELSE 0 END AS gap_flag
         FROM events)
     ) GROUP BY user_id, session_id

@@ -43,6 +43,63 @@ def rows_to_multiset(rows, colnames):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+# The driver's value hash is TYPED (arrow buffers), so a DuckDB
+# decimal128 vs a Spark bigint mismatches even when every value is
+# numerically equal (round-1 s03 failure mode). Map both engines'
+# types onto a coarse lattice and flag any column pair that lands in
+# different classes.
+_TYPE_CLASS = {
+    # spark simpleString -> class
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "binary": "bytes",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+}
+
+
+def _class_of_spark(dt: str) -> str:
+    base = dt.split("(")[0].lower()
+    if base == "decimal":
+        return "decimal"
+    return _TYPE_CLASS.get(base, base)
+
+
+def _class_of_arrow(t) -> str:
+    import pyarrow.types as pat
+
+    if pat.is_decimal(t):
+        return "decimal"
+    if pat.is_integer(t):
+        return "int"
+    if pat.is_floating(t):
+        return "float"
+    if pat.is_string(t) or pat.is_large_string(t):
+        return "str"
+    if pat.is_boolean(t):
+        return "bool"
+    if pat.is_binary(t) or pat.is_large_binary(t):
+        return "bytes"
+    if pat.is_timestamp(t):
+        return "ts"
+    if pat.is_date(t):
+        return "date"
+    if pat.is_list(t) or pat.is_large_list(t):
+        return "list"
+    return str(t)
+
+
+def type_mismatches(spark_dtypes, arrow_schema):
+    spark_map = {c: _class_of_spark(t) for c, t in spark_dtypes}
+    problems = []
+    for field in arrow_schema:
+        cls = _class_of_arrow(field.type)
+        if field.name in spark_map and spark_map[field.name] != cls:
+            problems.append(
+                f"{field.name}: spark {spark_map[field.name]} vs oracle {cls}"
+            )
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -76,9 +133,12 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            duck_cols = [d[0] for d in res.description]
-            duck_rows = res.fetchall()
+            tbl = con.execute(oracles[name]).arrow()
+            duck_cols = tbl.column_names
+            cols_data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            duck_rows = list(zip(*cols_data)) if cols_data else []
+            if not duck_rows and tbl.num_rows:
+                duck_rows = [() for _ in range(tbl.num_rows)]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
             n_fail += 1
@@ -86,6 +146,9 @@ def main():
         problems = []
         if sorted(spark_cols) != sorted(duck_cols):
             problems.append(f"cols spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+        tmis = type_mismatches(df.dtypes, tbl.schema)
+        if tmis:
+            problems.append("type classes differ: " + ", ".join(tmis))
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
         if not problems:
