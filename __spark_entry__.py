@@ -1912,14 +1912,43 @@ def _sql_t10():
 
 def h02_file_hash(spark, sf_dir):
     """H2/S11: binaryFile scan + sha2 over raw file bytes (the two-part
-    remote-hash pipeline collapsed into one job). Byte parity with
-    hashlib is pytest-verified; DuckDB's blob->VARCHAR cast mangles
-    bytes, so the driver check is rows-only."""
+    remote-hash pipeline collapsed into one job; reference
+    mongo-etl/sha256_pipeline.py). Oracle: DuckDB's sha256() only takes
+    VARCHAR (blob->VARCHAR mangles bytes), so _sql_h02 materializes
+    expected rows as literals computed with Python hashlib over the
+    same files — an independent third implementation."""
     files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
     return files.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("sha256_hex"),
+    )
+
+
+def _sql_h02(sf_dir: str = "/root/testdata/sf0.01"):
+    """Literal VALUES oracle for h02, hashed with hashlib at build time.
+
+    The driver's correctness gate runs at sf0.01; the dir is baked in
+    because oracle SQL is static text. Raises if the dir is missing —
+    the registry builder catches that and falls back to rows-only.
+    """
+    import glob as _glob
+    import hashlib as _hashlib
+
+    rows = []
+    for p in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
+        data = open(p, "rb").read()
+        name = p.rsplit("/", 1)[-1]
+        rows.append(
+            f"('{name}', CAST({len(data)} AS BIGINT),"
+            f" '{_hashlib.sha256(data).hexdigest()}')"
+        )
+    if not rows:
+        raise FileNotFoundError(sf_dir)
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(file_name, n_bytes, sha256_hex)"
     )
 
 
@@ -1990,7 +2019,34 @@ def _sql_mm02():
 # registry
 # =============================================================================
 
+# Registry order = driver check priority. Round 1's CORRECTNESS file
+# recorded exactly the first 50 dict entries, so the charter scale
+# operators (dedup / similarity / text analysis / multimodal) and the
+# two rows that need re-verification (s03 fix, h02 new oracle) are
+# listed FIRST: whether the driver checks 50 or all 69, this round's
+# file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_fingerprint": d02_fingerprint,
+    "d03_minhash_signature": d03_minhash_signature,
+    "d04_ngram_jaccard": d04_ngram_jaccard,
+    "d05_simhash": d05_simhash,
+    "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
+    "d07_embedding_neardup": d07_embedding_neardup,
+    "sim01_cosine_topk": sim01_cosine_topk,
+    "sim02_threshold_pairs": sim02_threshold_pairs,
+    "sim03_ann_lsh": sim03_ann_lsh,
+    "sim04_ivf_ann": sim04_ivf_ann,
+    "txt01_stats": txt01_stats,
+    "txt02_lang_id": txt02_lang_id,
+    "txt03_quality": txt03_quality,
+    "txt04_token_count": txt04_token_count,
+    "txt05_stopword_ratio": txt05_stopword_ratio,
+    "mm01_media_features": mm01_media_features,
+    "mm02_frame_sampling": mm02_frame_sampling,
+    "s04_session_window_native": s04_session_window_native,
+    "s03_sessionization": s03_sessionization,
+    "h02_file_hash": h02_file_hash,
     "q01_pricing_summary": q01_pricing_summary,
     "j01_multikey_equijoin": j01_multikey_equijoin,
     "j02_broadcast_lookup": j02_broadcast_lookup,
@@ -2028,7 +2084,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g12_safe_wkt": g12_safe_wkt,
     "g13_image_bbox": g13_image_bbox,
     "h01_sha256": h01_sha256,
-    "h02_file_hash": h02_file_hash,
     "t01_image_id": t01_image_id,
     "t02_patch_metadata": t02_patch_metadata,
     "t03_prefix_ops": t03_prefix_ops,
@@ -2040,26 +2095,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t10_to_json": t10_to_json,
     "s01_tumbling_window": s01_tumbling_window,
     "s02_sliding_window": s02_sliding_window,
-    "s03_sessionization": s03_sessionization,
-    "s04_session_window_native": s04_session_window_native,
-    "d01_dedup_exact": d01_dedup_exact,
-    "d02_fingerprint": d02_fingerprint,
-    "d03_minhash_signature": d03_minhash_signature,
-    "d04_ngram_jaccard": d04_ngram_jaccard,
-    "d05_simhash": d05_simhash,
-    "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
-    "d07_embedding_neardup": d07_embedding_neardup,
-    "sim01_cosine_topk": sim01_cosine_topk,
-    "sim02_threshold_pairs": sim02_threshold_pairs,
-    "sim03_ann_lsh": sim03_ann_lsh,
-    "sim04_ivf_ann": sim04_ivf_ann,
-    "txt01_stats": txt01_stats,
-    "txt02_lang_id": txt02_lang_id,
-    "txt03_quality": txt03_quality,
-    "txt04_token_count": txt04_token_count,
-    "txt05_stopword_ratio": txt05_stopword_ratio,
-    "mm01_media_features": mm01_media_features,
-    "mm02_frame_sampling": mm02_frame_sampling,
 }
 
 _ORACLES: dict[str, str] = {
@@ -2134,6 +2169,14 @@ _ORACLES: dict[str, str] = {
     # mm01: stubbed decode -> rows-only
     "mm02_frame_sampling": _sql_mm02(),
 }
+
+# h02's oracle hashes the driver's sf0.01 files at registry-build time;
+# if that dir is absent (foreign environment), h02 degrades to the
+# rows-only check it had in round 1.
+try:
+    _ORACLES["h02_file_hash"] = _sql_h02()
+except OSError:
+    pass
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

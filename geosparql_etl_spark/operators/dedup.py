@@ -259,11 +259,30 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, min_jaccard: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int | None = 10_000,
+    observation=None,
 ) -> DataFrame:
     """All pairs with word-k-shingle Jaccard >= min_jaccard, found by
     joining on shared shingles (inverted-index join) — exact, no LSH
     approximation; the shared-shingle join prunes non-overlapping pairs.
+
+    Skew guard (``max_df``): a boilerplate shingle appearing in f
+    documents makes its posting list self-join emit f^2/2 pairs — one
+    stop-shingle in 1M docs is 5x10^11 candidates. Shingles with
+    document frequency > max_df are removed before the join via a
+    broadcast join against the (tiny, by construction) hot-shingle
+    set — the same bounded-work dial as lsh_candidate_pairs'
+    max_bucket. Capped shingles don't count toward the intersection, so
+    a pair sharing them scores conservatively lower (dedup misses some
+    boilerplate-only dups rather than exploding); with max_df above the
+    corpus's top document frequency the result is exactly the uncapped
+    join. Pass an ``Observation`` to record how many posting rows the
+    cap dropped (metric ``capped_postings``) when the query runs.
     """
     # one shingling pass: set size rides along with each exploded shingle,
     # so no extra joins to recover |A| and |B| after the intersect count
@@ -271,6 +290,39 @@ def ngram_jaccard_pairs(
     ex = sh.select(
         F.col(id_col), F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
     )
+    hot = None
+    if max_df is not None:
+        hot = (
+            ex.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_df)
+            .select("__s", F.lit(1).alias("__hot"))
+        )
+
+    def _kept(branch: DataFrame, observe_here: bool) -> DataFrame:
+        """Drop hot-shingle postings from one self-join branch.
+
+        Left join + filter rather than left_anti, and applied per
+        branch: an Observation node is only allowed ONCE in a plan, but
+        anything below the self-join branch point appears twice — so
+        the metric rides branch a between its join and filter, where it
+        sees every posting row with its hot flag. (Inside a
+        BroadcastExchange subtree it would never report at all —
+        broadcast builds run as separate jobs.)
+        """
+        if hot is None:
+            return branch
+        joined = branch.join(F.broadcast(hot), "__s", "left")
+        if observe_here and observation is not None:
+            joined = joined.observe(
+                observation,
+                F.sum(F.coalesce(F.col("__hot"), F.lit(0))).alias(
+                    "capped_postings"
+                ),
+                F.count(F.lit(1)).alias("total_postings"),
+            )
+        return joined.where(F.col("__hot").isNull()).drop("__hot")
+
     # Inverted-index SELF-JOIN on the shared shingle. The two branches
     # each evaluate the shingle subtree (exchange reuse does not fire
     # across re-aliased self-join branches), which is acceptable now
@@ -280,8 +332,12 @@ def ngram_jaccard_pairs(
     # expansion runs interpreted, while the join's probe side is
     # codegen'd. Revisit only if the shingle pass itself becomes the
     # bottleneck again.
-    a = ex.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s")
-    b = ex.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    a = _kept(ex, True).select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
+    )
+    b = _kept(ex, False).select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s"
+    )
     inter = (
         a.join(b, "__s")
         .where(F.col("id_a") < F.col("id_b"))

@@ -158,3 +158,56 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.approx_count_distinct("o_custkey").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.1 * row["exact"]
+
+
+# --- dedup skew guard --------------------------------------------------------
+
+
+def test_ngram_jaccard_df_cap_bounds_boilerplate_skew(spark):
+    """A stop-shingle shared by every document must not self-join
+    quadratically when max_df binds; when it doesn't bind, the capped
+    result equals the uncapped one exactly; true dups still surface
+    through their non-boilerplate shingles."""
+    from pyspark.sql import Observation
+
+    from geosparql_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"the quick brown u{i}a u{i}b u{i}c u{i}d") for i in range(10)]
+    # docs 10/11: a genuine near-dup pair sharing unique (uncapped) text
+    rows += [
+        (10, "the quick brown alpha beta gamma delta epsilon"),
+        (11, "the quick brown alpha beta gamma delta zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, min_jaccard=0.05, max_df=None
+    )
+    # cap above the top document frequency (12) -> exact equality
+    loose = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, min_jaccard=0.05, max_df=100
+    )
+    assert sorted(map(tuple, loose.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+
+    # cap below it -> the hot shingle ("the quick brown", df=12) is
+    # dropped before the join: boilerplate-only pairs disappear, the
+    # true dup pair (10, 11) survives via its unique shingles, and the
+    # observation reports the dropped postings
+    obs = Observation("d04_cap")
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, min_jaccard=0.05, max_df=5, observation=obs
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(10, 11)}
+    m = obs.get
+    assert m["capped_postings"] == 12  # one hot shingle x 12 docs
+    assert m["total_postings"] == sum(
+        len(t.split()) - 2 for _, t in rows
+    )
+
+    # the plan kills the hot key with a broadcast join (no shuffle of
+    # the exploded posting list against itself on the hot key)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
