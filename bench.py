@@ -49,19 +49,38 @@ HEADLINE = [
 ]
 
 
+BASELINE_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
+)
+REGRESSION_FACTOR = 1.5
+# Absolute grace floor: a 0.2s query jittering to 0.35s is scheduler
+# noise on local[32], not a regression.
+REGRESSION_MIN_DELTA = 0.5
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
+def run_suite() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("gsel-bench")
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 
-    # one warmup to amortize JVM/codegen startup out of the first query
+    # warmups: JVM/codegen startup, and the Python worker pool (the
+    # first pandas_udf query otherwise pays ~2-3s of one-time worker
+    # spin-up that a long-lived cluster amortizes to zero)
     materialize(qs[HEADLINE[0]](spark, sf_dir))
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    materialize(spark.range(1000).select(_warm(F.col("id"))))
 
     total = 0.0
     for name in HEADLINE:
@@ -71,17 +90,54 @@ def main() -> None:
         timings[name] = dt
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    return {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+
+
+def check_regressions(result: dict) -> int:
+    """Exit-code guard: any headline query (or the total) slower than
+    REGRESSION_FACTOR x the committed baseline — with an absolute
+    REGRESSION_MIN_DELTA grace for sub-second jitter — fails the run.
+    Update bench_baseline.json deliberately when a slowdown is an
+    accepted trade (and say why in the commit)."""
+    if not os.path.exists(BASELINE_FILE):
+        print(f"no baseline at {BASELINE_FILE}; skipping check", file=sys.stderr)
+        return 0
+    with open(BASELINE_FILE) as f:
+        base = json.load(f)
+    failures = []
+    for name, b in base.get("queries", {}).items():
+        got = result.get("queries", {}).get(name)
+        if got is None:
+            failures.append(f"{name}: missing from results (baseline {b}s)")
+        elif got > b * REGRESSION_FACTOR and got - b > REGRESSION_MIN_DELTA:
+            failures.append(f"{name}: {got}s vs baseline {b}s (>{REGRESSION_FACTOR}x)")
+    bt = base.get("value")
+    if bt and result.get("value", 0) > bt * REGRESSION_FACTOR:
+        failures.append(f"total: {result['value']}s vs baseline {bt}s")
+    for msg in failures:
+        print(f"REGRESSION {msg}", file=sys.stderr)
+    return 1 if failures else 0
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    check = "--check" in args
+    result_files = [a for a in args if not a.startswith("--")]
+    if result_files:
+        # --check <results.json>: compare a prior run without re-running
+        with open(result_files[0]) as f:
+            result = json.load(f)
+    else:
+        result = run_suite()
+        print(json.dumps(result))
+    if check:
+        raise SystemExit(check_regressions(result))
 
 
 if __name__ == "__main__":

@@ -69,3 +69,39 @@ def test_bucketed_join_has_no_shuffle(spark, warehouse):
     )
     got = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert got == want
+
+
+# --- bucketed embedding near-dup (charter: dedup must be bucketed) ----------
+
+
+def test_lsh_threshold_pairs_matches_exact_and_has_no_cross_join(spark, sf_dir):
+    """The banded candidate join + exact re-score must equal the
+    all-pairs brute force on the test embeddings (deterministic seeded
+    planes), and its plan must contain no cross-join operator."""
+    from geosparql_etl_spark.operators.similarity import (
+        lsh_threshold_pairs,
+        pairwise_cosine,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    banded = lsh_threshold_pairs(e, threshold=0.4, dim=64, bands=48, bits_per_band=4)
+    brute = pairwise_cosine(e, e, left_alias="id_a", right_alias="id_b", dim=64).where(
+        (F.col("id_a") < F.col("id_b")) & (F.col("cosine_sim") >= 0.4)
+    )
+    got = sorted((r.id_a, r.id_b, round(r.cosine_sim, 9)) for r in banded.collect())
+    want = sorted((r.id_a, r.id_b, round(r.cosine_sim, 9)) for r in brute.collect())
+    assert got == want and len(got) > 0
+
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_lsh_equals_exact(spark, sf_dir):
+    from geosparql_etl_spark.operators.similarity import embedding_neardup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lsh = embedding_neardup(e, threshold=0.4, dim=64, mode="lsh",
+                            bands=48, bits_per_band=4)
+    exact = embedding_neardup(e, threshold=0.4, dim=64, mode="exact")
+    assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, exact.collect()))
