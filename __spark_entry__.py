@@ -1969,21 +1969,51 @@ def _sql_h02(sf_dir: str = "/root/testdata/sf0.01"):
 
 
 def mm01_media_features(spark, sf_dir):
-    """Binary media column -> mapInPandas feature extraction (decode is a
-    deterministic stub; Spark-side schema/batching is real)."""
+    """Binary media column -> mapInPandas feature extraction with a REAL
+    decode: each document's text deterministically rasterizes to an
+    8x4 24-bit BMP in a distributed ingestion stage, and
+    extract_features then genuinely parses headers/stride/padding and
+    computes pixel statistics (functions/codecs.py). Rows-only driver
+    check: the value oracle reproduces the whole rasterize->decode->
+    stats pipeline in SQL from hex(encode(text)) byte arithmetic — the
+    BMP container round-trip itself additionally has golden pytests."""
+    import pandas as pd
+
     from geosparql_etl_spark.operators.multimodal import extract_features
 
     d = _t(spark, sf_dir, "documents")
-    media = d.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.struct(
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
-            F.lit(None).cast("int").alias("duration_ms"),
-            F.lit("image/fake").alias("mime"),
-        ).alias("meta"),
+
+    def rasterize(batches):
+        import numpy as np
+
+        from geosparql_etl_spark.functions.codecs import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                reps = -(-96 // max(len(raw), 1))
+                buf = (raw * reps + b"\x00" * 96)[:96]  # zero-pad empty text
+                px = np.frombuffer(buf, dtype=np.uint8)
+                payloads.append(encode_bmp(px.reshape(4, 8, 3)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "content": payloads}
+            )
+
+    media = (
+        d.select("doc_id", "text")
+        .mapInPandas(rasterize, "media_id string, content binary")
+        .select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            "content",
+            F.struct(
+                F.lit(8).alias("width"),
+                F.lit(4).alias("height"),
+                F.lit(None).cast("int").alias("duration_ms"),
+                F.lit("image/bmp").alias("mime"),
+            ).alias("meta"),
+        )
     )
     feats = extract_features(media)
     return feats.select(
@@ -1993,6 +2023,43 @@ def mm01_media_features(spark, sf_dir):
             "feature_sum"
         ),
     )
+
+
+def _sql_mm01():
+    return """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    by_byte AS (
+      SELECT doc_id, i,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(('0x' || substr(hx, (i % n) * 2 + 1, 2)) AS INT)
+             END AS b,
+             i // 3 AS px, i % 3 AS ch
+      FROM h, generate_series(0, 95) AS t(i)),
+    chan AS (
+      SELECT doc_id,
+             avg(CASE WHEN ch = 0 THEN b END) AS mr,
+             avg(CASE WHEN ch = 1 THEN b END) AS mg,
+             avg(CASE WHEN ch = 2 THEN b END) AS mb,
+             stddev_pop(CASE WHEN ch = 0 THEN b END) AS sr,
+             stddev_pop(CASE WHEN ch = 1 THEN b END) AS sg,
+             stddev_pop(CASE WHEN ch = 2 THEN b END) AS sb
+      FROM by_byte GROUP BY doc_id),
+    gray AS (
+      SELECT doc_id, px, avg(b) AS g FROM by_byte GROUP BY doc_id, px),
+    gs AS (
+      SELECT doc_id, avg(g) AS gm, stddev_pop(g) AS gsd
+      FROM gray GROUP BY doc_id)
+    -- feature vector = [8, 4, chan means/255, chan stds/255, gray
+    -- mean/std /255, 6 histogram densities summing to 1] -> the sum is
+    -- 13 + (stats)/255
+    SELECT CAST(c.doc_id AS VARCHAR) AS media_id,
+           16 AS feature_dim,
+           round(13.0 + (mr + mg + mb + sr + sg + sb + gm + gsd) / 255.0, 6)
+               AS feature_sum
+    FROM chan c JOIN gs USING (doc_id)
+    """
 
 
 def mm02_frame_sampling(spark, sf_dir):
@@ -2177,7 +2244,7 @@ _ORACLES: dict[str, str] = {
     "txt04_token_count": _sql_txt04(),
     "txt05_stopword_ratio": _sql_txt05(),
     # sim04: IVF recall is approximate -> rows-only
-    # mm01: stubbed decode -> rows-only
+    "mm01_media_features": _sql_mm01(),
     "mm02_frame_sampling": _sql_mm02(),
 }
 

@@ -1,0 +1,155 @@
+"""Minimal pure-Python media codecs for the multimodal operators.
+
+The container has no image/audio libraries, so the engine carries real
+decoders for two self-contained formats — uncompressed 24-bit BMP
+(BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up or top-down, 4-byte row
+padding) and PCM WAV (stdlib ``wave``) — plus encoders to build
+fixtures. If PIL is importable it is preferred for images (any format);
+these fallbacks keep ``extract_features`` a REAL decode on at least one
+image and one audio format either way.
+
+Everything is deterministic: same payload -> same array -> same
+features.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+_BMP_HEADER = struct.Struct("<2sIHHI")          # BITMAPFILEHEADER
+_BMP_INFO = struct.Struct("<IiiHHIIiiII")       # BITMAPINFOHEADER
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 array (h, w, 3) -> uncompressed 24-bit BMP bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = _BMP_HEADER.pack(b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = _BMP_INFO.pack(40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows.append(arr[y, :, ::-1].tobytes() + pad)  # RGB -> BGR
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> RGB uint8 array (h, w, 3)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, _, _, _, offset = _BMP_HEADER.unpack_from(data, 0)
+    (info_size, w, h, planes, bpp, compression, *_rest) = _BMP_INFO.unpack_from(
+        data, 14
+    )
+    if info_size < 40:
+        raise ValueError(f"unsupported BMP header size {info_size}")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(data) < offset + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 array (n,) or (n, channels) -> PCM WAV bytes."""
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(arr.shape[1])
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """PCM WAV bytes -> (sample_rate, int16 array (n, channels))."""
+    with wave.open(io.BytesIO(data), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError(f"unsupported WAV sample width {f.getsampwidth()}")
+        frames = f.readframes(f.getnframes())
+        arr = np.frombuffer(frames, dtype=np.int16).reshape(
+            -1, f.getnchannels()
+        )
+        return f.getframerate(), arr
+
+
+def _try_pil_decode(data: bytes) -> np.ndarray | None:
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        return None
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """RGB array from any PIL-supported format when PIL is installed,
+    else from the built-in BMP decoder."""
+    pil = _try_pil_decode(data)
+    if pil is not None:
+        return pil
+    return decode_bmp(data)
+
+
+FEATURE_DIM = 16
+
+
+def image_features(pixels: np.ndarray) -> np.ndarray:
+    """16 deterministic image statistics: dims, per-channel mean/std,
+    grayscale mean/std, 6-bin grayscale histogram (density)."""
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3).astype(np.float64)
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=6, range=(0.0, 255.0001))
+    return np.concatenate(
+        [
+            [float(w), float(h)],
+            flat.mean(axis=0) / 255.0,
+            flat.std(axis=0) / 255.0,
+            [gray.mean() / 255.0, gray.std() / 255.0],
+            hist / gray.size,
+        ]
+    )
+
+
+def audio_features(sample_rate: int, samples: np.ndarray) -> np.ndarray:
+    """16 deterministic audio statistics: shape/rate, amplitude moments,
+    RMS, zero-crossing rate, 8-bin |amplitude| histogram (density)."""
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    n = len(mono)
+    zcr = float(np.count_nonzero(np.diff(np.signbit(mono)))) / max(n - 1, 1)
+    hist, _ = np.histogram(np.abs(mono), bins=8, range=(0.0, 1.0000001))
+    return np.concatenate(
+        [
+            [
+                float(samples.shape[1]),
+                float(sample_rate),
+                float(n),
+                mono.mean(),
+                mono.std(),
+                float(np.sqrt(np.mean(mono**2))),
+                zcr,
+                float(np.abs(mono).max(initial=0.0)),
+            ],
+            hist / max(n, 1),
+        ]
+    )

@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas functions.
 
-Engine charter operators (no reference counterpart). The decode step is
-STUBBED — image/audio codecs are not installed in this environment — but
-everything Spark-side is real and tested: schema, batch shape, mapInPandas
-signature, partition sizing. Swap ``_decode_stub`` for a PIL/libav call
-and nothing else changes.
+Engine charter operators (no reference counterpart). Decode is REAL for
+uncompressed 24-bit BMP and PCM WAV via the engine's pure-Python codecs
+(functions/codecs.py; PIL is auto-used for other image formats when
+installed — not in this container). Video frame decode stays stubbed
+(no libav anywhere); its offsets/batching are real. Undecodable
+payloads land in the ``decode_error`` channel, never fail the task.
 
 Scale notes: binary payloads ride the scan (binaryFile / parquet binary
 column); mapInPandas streams Arrow record batches, so executor memory is
@@ -18,7 +19,7 @@ decode+extract in ONE pass to avoid re-shuffling blobs.
 
 from __future__ import annotations
 
-import hashlib
+
 from collections.abc import Iterator
 
 import numpy as np
@@ -50,20 +51,25 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
-def _decode_stub(content: bytes | None, kind: str) -> np.ndarray:
-    """Deterministic fake 'decode + feature extract'.
+def _decode_and_extract(content: bytes | None, kind: str) -> np.ndarray:
+    """Decode + feature-extract one payload (see functions/codecs.py).
 
-    Real implementation: PIL.Image.open / soundfile / pyav frame sample,
-    then a model forward pass. The stub derives FEATURE_DIM floats from
-    the sha256 of the payload so tests are stable and collisions
-    meaningful. Raises on None like a real decoder would.
+    image -> RGB stats over the decoded pixel array (BMP always; any
+    PIL format when PIL is installed); audio -> PCM stats over decoded
+    WAV samples. Raises on None / undecodable payloads like any real
+    decoder — callers route that to the decode_error channel.
     """
+    from geosparql_etl_spark.functions import codecs
+
     if content is None:
         raise NotImplementedError("no payload to decode")
-    digest = hashlib.sha256(content).digest()
-    return np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint8).astype(
-        np.float64
-    )[:FEATURE_DIM] / 255.0
+    data = bytes(content)
+    if kind == "image":
+        return codecs.image_features(codecs.decode_image(data))
+    if kind == "audio":
+        rate, samples = codecs.decode_wav(data)
+        return codecs.audio_features(rate, samples)
+    raise ValueError(f"no frame decoder for kind={kind}")
 
 
 def extract_features(
@@ -84,7 +90,7 @@ def extract_features(
             feats, errs = [], []
             for content, kind in zip(pdf["content"], pdf["kind"]):
                 try:
-                    feats.append(_decode_stub(content, kind).tolist())
+                    feats.append(_decode_and_extract(content, kind).tolist())
                     errs.append(None)
                 except Exception as e:  # error channel, not task failure
                     feats.append(None)
@@ -104,18 +110,17 @@ def extract_features(
 def resize_images(
     media: DataFrame, width: int, height: int, out_col: str = "resized"
 ) -> DataFrame:
-    """Image resize plumbing: mapInPandas pass emitting the (stubbed)
-    resized payload + updated dims. The stub truncates/pads the payload
-    deterministically to width*height bytes; a real build swaps in
-    PIL.Image.resize and the schema/batching stay identical.
-    """
+    """Image resize: decode (BMP / PIL formats), nearest-neighbor
+    index resample to (width, height), re-encode as BMP. One
+    mapInPandas pass; blobs never cross a shuffle."""
     schema = (
         "media_id string, kind string, resized binary, "
         "out_width int, out_height int, decode_error string"
     )
-    target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geosparql_etl_spark.functions import codecs
+
         for pdf in batches:
             payloads, errs = [], []
             for content, kind in zip(pdf["content"], pdf["kind"]):
@@ -124,9 +129,11 @@ def resize_images(
                         raise NotImplementedError("no payload to decode")
                     if kind != "image":
                         raise ValueError(f"cannot resize kind={kind}")
-                    raw = bytes(content)
-                    out = (raw * (target // max(len(raw), 1) + 1))[:target]
-                    payloads.append(out)
+                    pixels = codecs.decode_image(bytes(content))
+                    h, w, _ = pixels.shape
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    payloads.append(codecs.encode_bmp(pixels[ys][:, xs]))
                     errs.append(None)
                 except Exception as e:
                     payloads.append(None)

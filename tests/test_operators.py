@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -53,27 +54,60 @@ def test_enrich_with_table_missing_flag(spark):
 
 
 def test_extract_features_and_error_channel(spark):
+    import numpy as np
+
+    from geosparql_etl_spark.functions.codecs import (
+        encode_bmp,
+        encode_wav,
+        image_features,
+    )
+
+    px = np.arange(4 * 8 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    wav = encode_wav(np.array([0, 1000, -1000, 0], dtype=np.int16), 8000)
     rows = [
-        ("m1", "image", b"payload-1", (64, 64, None, "image/fake")),
+        ("m1", "image", encode_bmp(px), (8, 4, None, "image/bmp")),
         ("m2", "image", None, (64, 64, None, "image/fake")),
+        ("m3", "image", b"payload-1", (64, 64, None, "image/fake")),
+        ("m4", "audio", wav, (None, None, None, "audio/wav")),
     ]
     out = {r["media_id"]: r for r in extract_features(_media(spark, rows)).collect()}
-    assert len(out["m1"]["features"]) == 16
+    # m1: REAL decode — distributed features equal the local golden ones
     assert out["m1"]["decode_error"] is None
-    assert out["m2"]["features"] is None
-    assert "decode" in out["m2"]["decode_error"]
+    assert out["m1"]["features"] == pytest.approx(image_features(px).tolist())
+    # m2/m3: error channel (null payload; non-BMP bytes)
+    assert out["m2"]["features"] is None and "decode" in out["m2"]["decode_error"]
+    assert out["m3"]["features"] is None and "BMP" in out["m3"]["decode_error"]
+    # m4: real WAV decode (stdlib wave): rate + sample count land in features
+    assert out["m4"]["decode_error"] is None
+    assert out["m4"]["features"][1] == 8000.0 and out["m4"]["features"][2] == 4.0
     # deterministic: same payload -> same features
     again = extract_features(_media(spark, rows[:1])).first()["features"]
     assert again == out["m1"]["features"]
 
 
-def test_resize_images_plumbing(spark):
+def test_resize_images_real_nearest_neighbor(spark):
+    import numpy as np
+
+    from geosparql_etl_spark.functions.codecs import decode_bmp, encode_bmp
+
+    # 2x2 quadrant image: nearest-neighbor upscale to 8x4 must tile the
+    # quadrants as 4x2 blocks
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
     rows = [
-        ("m1", "image", b"abc", (8, 4, None, "image/fake")),
+        ("m1", "image", encode_bmp(px), (2, 2, None, "image/bmp")),
         ("m2", "video", b"zzz", (None, None, 5000, "video/fake")),
     ]
     out = {r["media_id"]: r for r in resize_images(_media(spark, rows), 8, 4).collect()}
-    assert len(out["m1"]["resized"]) == 32 and out["m1"]["out_width"] == 8
+    resized = decode_bmp(bytes(out["m1"]["resized"]))
+    assert resized.shape == (4, 8, 3)
+    assert (resized[0, 0] == [255, 0, 0]).all()   # top-left quadrant
+    assert (resized[0, 7] == [0, 255, 0]).all()   # top-right
+    assert (resized[3, 0] == [0, 0, 255]).all()   # bottom-left
+    assert (resized[3, 7] == [255, 255, 255]).all()
+    assert out["m1"]["out_width"] == 8 and out["m1"]["out_height"] == 4
     assert out["m2"]["resized"] is None and "resize" in out["m2"]["decode_error"]
 
 

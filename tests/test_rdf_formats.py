@@ -1,0 +1,153 @@
+"""K5: RDF serialization formats (reference mongo-etl/utils/
+rdf_utils.py:258-282 serializes turtle/xml/n3/nt/json-ld via rdflib).
+
+rdflib isn't installed in this environment, so instead of byte-golden
+comparisons each format is PARSED back with the stdlib (a 20-line
+N-Triples reader, json, xml.etree) and reduced to the same
+(s, p, o, literal?, datatype, lang) set — the property rdflib's own
+round-trip tests check.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from geosparql_etl_spark.sinks.rdf import (
+    TRIPLE_SCHEMA,
+    jsonld_document,
+    rdfxml_document,
+    serialize,
+)
+
+TRIPLES = [
+    # (subject, predicate, object, is_literal, datatype, lang)
+    ("http://ex.org/mark/1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://ex.org/Mark", False, None, None),
+    ("http://ex.org/mark/1", "http://www.opengis.net/ont/geosparql#asWKT",
+     "POLYGON ((0 0, 1 0, 1 1, 0 0))", True,
+     "http://www.opengis.net/ont/geosparql#wktLiteral", None),
+    ("http://ex.org/mark/1", "http://www.w3.org/2000/01/rdf-schema#label",
+     'tricky "quoted" label\nwith newline\tand\\slash', True, None, None),
+    ("http://ex.org/mark/1", "http://www.w3.org/2000/01/rdf-schema#comment",
+     "ein Kommentar", True, None, "de"),
+    ("http://ex.org/mark/2", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://ex.org/Mark", False, None, None),
+    ("http://ex.org/mark/2", "http://purl.org/dc/terms/creator",
+     "http://ex.org/agent/7", False, None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def triples_df(spark):
+    return spark.createDataFrame(TRIPLES, TRIPLE_SCHEMA)
+
+
+def expected_set():
+    return {tuple(t) for t in TRIPLES}
+
+
+_NT_UNESC = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+
+
+def _unescape_nt(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(_NT_UNESC[s[i : i + 2]])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+_NT_RE = re.compile(
+    r"^<([^>]*)> <([^>]*)> "
+    r'(?:<([^>]*)>|"((?:[^"\\]|\\.)*)"(?:@([A-Za-z-]+)|\^\^<([^>]*)>)?)'
+    r" \.$"
+)
+
+
+def parse_nt_line(line: str):
+    m = _NT_RE.match(line)
+    assert m, f"unparseable N-Triples line: {line!r}"
+    s, p, ouri, olit, lang, dt = m.groups()
+    if ouri is not None:
+        return (s, p, ouri, False, None, None)
+    return (s, p, _unescape_nt(olit), True, dt, lang)
+
+
+def test_ntriples_roundtrip(triples_df):
+    lines = [r.body for r in serialize(triples_df, "nt").collect()]
+    assert len(lines) == len(TRIPLES)
+    assert {parse_nt_line(ln) for ln in lines} == expected_set()
+
+
+def test_turtle_and_n3_blocks_cover_all_statements(triples_df):
+    for fmt in ("turtle", "n3"):
+        blocks = [r.body for r in serialize(triples_df, fmt).collect()]
+        assert len(blocks) == 2  # one per subject
+        # flatten each block back to statement lines and reuse the
+        # N-Triples reader (full-URI turtle objects share the grammar)
+        got = set()
+        for block in blocks:
+            m = re.match(r"^<([^>]*)> (.*) \.$", block, re.DOTALL)
+            assert m, block
+            subj, body = m.groups()
+            for po in body.split(" ;\n    "):
+                got.add(parse_nt_line(f"<{subj}> {po} ."))
+        assert got == expected_set()
+
+
+def test_jsonld_expanded_form(triples_df):
+    lines = [r.body for r in serialize(triples_df, "json-ld").collect()]
+    doc = json.loads(jsonld_document(lines))
+    assert isinstance(doc, list) and len(doc) == 2
+    got = set()
+    for node in doc:
+        s = node["@id"]
+        for pred, vals in node.items():
+            if pred == "@id":
+                continue
+            for v in vals:
+                if "@id" in v:
+                    got.add((s, pred, v["@id"], False, None, None))
+                else:
+                    got.add(
+                        (s, pred, v["@value"], True,
+                         v.get("@type"), v.get("@language"))
+                    )
+    assert got == expected_set()
+
+
+def test_rdfxml_document(triples_df):
+    blocks = [r.body for r in serialize(triples_df, "xml").collect()]
+    root = ET.fromstring(rdfxml_document(blocks))
+    RDF = "{http://www.w3.org/1999/02/22-rdf-syntax-ns#}"
+    XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+    got = set()
+    for desc in root:
+        assert desc.tag == f"{RDF}Description"
+        s = desc.attrib[f"{RDF}about"]
+        for prop in desc:
+            # ElementTree gives {namespace}local; recombine to the URI
+            pred = prop.tag[1:].replace("}", "")
+            res = prop.attrib.get(f"{RDF}resource")
+            if res is not None:
+                got.add((s, pred, res, False, None, None))
+            else:
+                got.add(
+                    (s, pred, prop.text or "", True,
+                     prop.attrib.get(f"{RDF}datatype"),
+                     prop.attrib.get(XML_LANG))
+                )
+    assert got == expected_set()
+
+
+def test_unknown_format_raises(triples_df):
+    with pytest.raises(ValueError, match="unknown RDF format"):
+        serialize(triples_df, "trig")
