@@ -1091,13 +1091,57 @@ def _sql_d05():
 
 def d06_minhash_dedup_e2e(spark, sf_dir):
     """End-to-end MinHash LSH dedup (banding + candidate join + exact
-    Jaccard verify). Approximate by construction -> rows-only check."""
+    Jaccard verify). Every step is md5-derived and deterministic, so the
+    oracle replicates the WHOLE pipeline in SQL — signatures, band
+    hashes, the max_bucket=64 skew cap, candidate pairs, exact jaccard,
+    loser anti-join — not just row counts."""
     from geosparql_etl_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents")
     return minhash_dedup(d, "doc_id", "text", threshold=0.8).select(
         "doc_id", "lang", "source"
     )
+
+
+def _sql_d06():
+    shingles = (
+        "CASE WHEN len(w) >= 3 THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+        "for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END"
+    )
+    seeded = [_hex60("'%d:' || s" % i) for i in range(16)]
+    sig_elems = ", ".join(
+        "list_aggregate(list_transform(sh, s -> " + seeded[i] + "), 'min')"
+        for i in range(16)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {shingles} AS sh
+      FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
+    sig AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh),
+    banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(list_transform(sig[b*4+1 : b*4+4],
+                                                x -> CAST(x AS VARCHAR)), ',')) AS bucket
+      FROM sig, (VALUES (0), (1), (2), (3)) AS bands(b)),
+    sizes AS (SELECT b, bucket, count(*) AS c FROM banded GROUP BY 1, 2),
+    small AS (
+      SELECT banded.doc_id, banded.b, banded.bucket
+      FROM banded JOIN sizes USING (b, bucket) WHERE c <= 64),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM small x JOIN small y USING (b, bucket)
+      WHERE x.doc_id < y.doc_id),
+    jac AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+      FROM cand
+      JOIN sh sa ON sa.doc_id = cand.id_a
+      JOIN sh sb ON sb.doc_id = cand.id_b),
+    losers AS (SELECT DISTINCT id_b FROM jac WHERE j >= 0.8)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM losers)
+    """
 
 
 def d07_embedding_neardup(spark, sf_dir):
@@ -1202,8 +1246,11 @@ def _sql_sim02():
 
 
 def sim03_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN top-5 (approximate -> rows-only check);
-    the 100 TB path: candidates share an LSH band bucket."""
+    """Sign-LSH bucketed ANN top-5; the 100 TB path: candidates share
+    an LSH band bucket. 'Approximate' means recall < 1 vs exact top-k,
+    but every step is DETERMINISTIC (seeded md5 hyperplanes), so the
+    oracle replicates banding + packed keys + re-score exactly in SQL
+    (plane literals are part of the query definition)."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     return ann_topk(e, q, k=5, dim=64).select(
@@ -1211,10 +1258,50 @@ def sim03_ann_lsh(spark, sf_dir):
     )
 
 
+def _sql_sim03():
+    from geosparql_etl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 32)  # ann_topk default: 4 bands x 8 bits
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.1f" % c for c in p))
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    pl AS (SELECT * FROM (VALUES {rows}) AS t(pid, p)),
+    -- packed band key = band * 2^8 + sign bits (bit i = plane band*8+i)
+    keys AS (
+      SELECT vec_id, (pid // 8) * 256
+             + sum(CASE WHEN list_dot_product(v, p) > 0
+                        THEN 1 << (pid % 8) ELSE 0 END) AS key
+      FROM e, pl GROUP BY vec_id, pid // 8),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM keys q JOIN keys c ON q.key = c.key
+      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e ec ON ec.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+    FROM scored WHERE rank <= 5
+    """
+
+
 def sim04_ivf_ann(spark, sf_dir):
-    """IVF-bucketed ANN top-5 (nearest-centroid cells, n_probe=2;
-    approximate -> rows-only check). The partition-pruned inverted-file
-    path for corpora where even LSH banding shuffles too much."""
+    """IVF-bucketed ANN top-5 (nearest-centroid cells, n_probe=2).
+    The partition-pruned inverted-file path for corpora where even LSH
+    banding shuffles too much. Deterministic md5-derived centroids ->
+    the oracle replicates cell assignment (first-max argmax), the
+    2-cell probe rule, and the exact re-score in SQL with centroid
+    literals."""
     from geosparql_etl_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1222,6 +1309,52 @@ def sim04_ivf_ann(spark, sf_dir):
     return ivf_topk(e, q, k=5, dim=64, n_cells=16, n_probe=2).select(
         "query_id", "neighbor_id", "rank", F.round("cosine_sim", 6).alias("cosine_sim")
     )
+
+
+def _sql_sim04():
+    from geosparql_etl_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16)
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ct AS (SELECT * FROM (VALUES {rows}) AS t(c, cent)),
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    -- corpus cell: numpy argmax = first max -> ties to the LOWEST cell
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    -- query probes: reverse(array_sort(struct(score, cell))) -> ties
+    -- to the HIGHEST cell; top n_probe=2
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    rescored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e ec ON ec.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+    FROM rescored WHERE rank <= 5
+    """
 
 
 # =============================================================================
@@ -2233,17 +2366,17 @@ _ORACLES: dict[str, str] = {
     "d03_minhash_signature": _sql_d03(),
     "d04_ngram_jaccard": _sql_d04(),
     "d05_simhash": _sql_d05(),
-    # d06: LSH banding is engine-defined -> rows-only
+    "d06_minhash_dedup_e2e": _sql_d06(),
     "d07_embedding_neardup": _sql_d07(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
-    # sim03: ANN recall is approximate -> rows-only
+    "sim03_ann_lsh": _sql_sim03(),
     "txt01_stats": _sql_txt01(),
     "txt02_lang_id": _sql_txt02(),
     "txt03_quality": _sql_txt03(),
     "txt04_token_count": _sql_txt04(),
     "txt05_stopword_ratio": _sql_txt05(),
-    # sim04: IVF recall is approximate -> rows-only
+    "sim04_ivf_ann": _sql_sim04(),
     "mm01_media_features": _sql_mm01(),
     "mm02_frame_sampling": _sql_mm02(),
 }
