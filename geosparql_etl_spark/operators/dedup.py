@@ -302,13 +302,13 @@ def ngram_jaccard_pairs(
     def _kept(branch: DataFrame, observe_here: bool) -> DataFrame:
         """Drop hot-shingle postings from one self-join branch.
 
-        Left join + filter rather than left_anti, and applied per
-        branch: an Observation node is only allowed ONCE in a plan, but
-        anything below the self-join branch point appears twice — so
-        the metric rides branch a between its join and filter, where it
-        sees every posting row with its hot flag. (Inside a
-        BroadcastExchange subtree it would never report at all —
-        broadcast builds run as separate jobs.)
+        Left join + filter rather than left_anti: an Observation node
+        is only allowed ONCE in a plan, but anything below the
+        self-join branch point appears twice — so the metric rides
+        branch a between its join and filter, where it sees every
+        posting row with its hot flag. (Inside a BroadcastExchange
+        subtree it would never report at all — broadcast builds run as
+        separate jobs.)
         """
         if hot is None:
             return branch
@@ -323,6 +323,12 @@ def ngram_jaccard_pairs(
             )
         return joined.where(F.col("__hot").isNull()).drop("__hot")
 
+    # Filtering ONE branch kills hot keys for the whole equi-join
+    # (join output for shingle s is a_postings(s) x b_postings(s): an
+    # empty a side zeroes the product) and leaves the intersection
+    # counts untouched — |A ∩ B ∩ kept| either way. Branch b therefore
+    # skips the hot filter entirely, halving the cap overhead.
+
     # Inverted-index SELF-JOIN on the shared shingle. The two branches
     # each evaluate the shingle subtree (exchange reuse does not fire
     # across re-aliased self-join branches), which is acceptable now
@@ -335,7 +341,7 @@ def ngram_jaccard_pairs(
     a = _kept(ex, True).select(
         F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__s"
     )
-    b = _kept(ex, False).select(
+    b = ex.select(
         F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s"
     )
     inter = (

@@ -79,3 +79,52 @@ def enrich_with_table(
         how="left",
     )
     return enriched.withColumn(missing_flag_col, F.col(value_col).isNull())
+def http_json_fetch(
+    url_template: str,
+    field_path: tuple = (),
+    timeout: float = 10.0,
+    retries: int = 2,
+    headers: dict[str, str] | None = None,
+    basic_auth: tuple[str, str] | None = None,
+) -> Callable[[str], str | None]:
+    """Build a real REST ``fetch`` for enrich_with_lookup (S10) on the
+    stdlib only — the reference GETs {base}/{id}?_format=json with
+    basic auth and digs field_iip_path[0].value out of the JSON
+    (sha256_pipeline.py:30-58); here that is
+    ``http_json_fetch("https://host/node/{key}?_format=json",
+    ("field_iip_path", 0, "value"), basic_auth=(user, pw))``.
+
+    HTTP errors raise (enrich_with_lookup's per-key try/except turns
+    them into the negative cache); transient failures retry with a
+    deterministic linear backoff. The callable closes over plain
+    values, so it pickles to executors.
+    """
+    import base64
+    import json as _json
+    import time as _time
+    import urllib.request
+
+    hdrs = dict(headers or {})
+    if basic_auth is not None:
+        token = base64.b64encode(
+            f"{basic_auth[0]}:{basic_auth[1]}".encode()
+        ).decode("ascii")
+        hdrs["Authorization"] = f"Basic {token}"
+
+    def fetch(key: str) -> str | None:
+        url = url_template.format(key=key)
+        last: Exception | None = None
+        for attempt in range(retries + 1):
+            try:
+                req = urllib.request.Request(url, headers=hdrs)
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    doc = _json.loads(resp.read().decode("utf-8"))
+                for step in field_path:
+                    doc = doc[step]
+                return None if doc is None else str(doc)
+            except Exception as e:  # noqa: BLE001 - retried, then re-raised
+                last = e
+                if attempt < retries:
+                    _time.sleep(0.1 * (attempt + 1))
+        raise last  # -> negative cache in enrich_with_lookup
+    return fetch

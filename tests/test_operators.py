@@ -245,3 +245,66 @@ def test_ngram_jaccard_df_cap_bounds_boilerplate_skew(spark):
     # the exploded posting list against itself on the hot key)
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- S10: real HTTP enrichment fetch ----------------------------------------
+
+
+def test_http_json_fetch_against_local_server(spark):
+    """enrich_with_lookup with a REAL http fetch (stdlib urllib) against
+    an in-process HTTP server: per-key success, JSON field extraction,
+    and 404 -> negative cache."""
+    import http.server
+    import json
+    import threading
+
+    from geosparql_etl_spark.operators.enrich import (
+        enrich_with_lookup,
+        http_json_fetch,
+    )
+
+    hits = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            hits.append(self.path)
+            key = self.path.split("/")[-1].split("?")[0]
+            if key == "s404":
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = json.dumps(
+                {"field_iip_path": [{"value": f"/images/{key}.svs"}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        facts = spark.createDataFrame(
+            [Row(slide_id="s1"), Row(slide_id="s1"), Row(slide_id="s404")]
+        )
+        fetch = http_json_fetch(
+            f"http://127.0.0.1:{port}/node/{{key}}?_format=json",
+            ("field_iip_path", 0, "value"),
+            retries=0,
+        )
+        out = {}
+        for r in enrich_with_lookup(facts, "slide_id", fetch).collect():
+            out.setdefault(r["slide_id"], []).append(
+                (r["hash"], r["hash_missing"])
+            )
+        assert out["s1"] == [("/images/s1.svs", False)] * 2
+        assert out["s404"] == [(None, True)]
+        # distinct-key memoization: one request per key, not per row
+        assert len(hits) == 2
+    finally:
+        srv.shutdown()
