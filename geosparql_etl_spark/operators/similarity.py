@@ -410,10 +410,27 @@ def embedding_neardup(
         )
     else:
         raise ValueError(f"mode must be 'lsh' or 'exact', got {mode!r}")
-    absorbed = pairs.groupBy("id_a").agg(F.count("*").alias("n_dups_absorbed"))
-    losers = pairs.select(F.col("id_b").alias("id_a")).dropDuplicates()
-    return absorbed.join(losers, "id_a", "left_anti").select(
-        F.col("id_a").alias(id_col), "n_dups_absorbed"
+    # Keeper selection in ONE pass over the pairs: the obvious
+    # absorbed-groupBy + loser-anti-join reads `pairs` twice, and
+    # exchange reuse does not fire across the re-aliased branches — at
+    # sf0.1 that re-ran the whole banded candidate pipeline (measured
+    # 9.8s -> 5.6s). Exploding each pair into (id_a, is_a=1),
+    # (id_b, is_a=0) folds both aggregates into one groupBy: a keeper
+    # is an id whose every occurrence is on the a side (min(is_a)=1),
+    # and its absorbed count is then its row count (sum(is_a)).
+    ids = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("id"), F.lit(1).alias("is_a")),
+                F.struct(F.col("id_b").alias("id"), F.lit(0).alias("is_a")),
+            )
+        ).alias("x")
+    ).select("x.id", "x.is_a")
+    stats = ids.groupBy("id").agg(
+        F.sum("is_a").alias("n_dups_absorbed"), F.min("is_a").alias("__m")
+    )
+    return stats.where(F.col("__m") == 1).select(
+        F.col("id").alias(id_col), "n_dups_absorbed"
     )
 
 
