@@ -1187,6 +1187,51 @@ def _sql_d07():
     """
 
 
+def d08_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: exact word-3-shingle Jaccard
+    pairs (threshold 0.2, the d04 pair set) -> distributed connected
+    components (iterative min-label propagation,
+    operators/dedup.py:connected_components) -> (doc_id, cluster_id,
+    cluster_size). cluster_id = min doc_id of the component, so rows
+    with doc_id == cluster_id are the keepers and the dedup decision
+    is component-wide (transitively correct), unlike per-pair greedy
+    keeper selection. Oracle: DuckDB recursive CTE computing min
+    reachable id over the undirected pair graph."""
+    from geosparql_etl_spark.operators.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, min_jaccard=0.2)
+    return dedup_clusters(pairs)
+
+
+def _sql_d08():
+    return f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+      FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+    cc AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    """
+
+
 # =============================================================================
 # similarity search (charter scale operators)
 # =============================================================================
@@ -2244,6 +2289,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
     "d07_embedding_neardup": d07_embedding_neardup,
+    "d08_dedup_clusters": d08_dedup_clusters,
     "sim01_cosine_topk": sim01_cosine_topk,
     "sim02_threshold_pairs": sim02_threshold_pairs,
     "sim03_ann_lsh": sim03_ann_lsh,
@@ -2368,6 +2414,7 @@ _ORACLES: dict[str, str] = {
     "d05_simhash": _sql_d05(),
     "d06_minhash_dedup_e2e": _sql_d06(),
     "d07_embedding_neardup": _sql_d07(),
+    "d08_dedup_clusters": _sql_d08(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     "sim03_ann_lsh": _sql_sim03(),

@@ -212,6 +212,99 @@ def minhash_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+# --- transitive closure ------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``pairs``, where cluster_id
+    is the minimum node id of its connected component.
+
+    Greedy per-pair keeper selection (minhash_dedup, embedding_neardup)
+    is not transitive: A~B and B~C with A≁C leaves C's fate dependent
+    on pair orientation. Clustering first makes dedup decisions
+    component-wide — keep cluster_id, drop the rest — which is how
+    production near-dup dedup actually resolves duplicate sets.
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min label over itself and its neighbors; convergence in
+    rounds = the component's shortest-path eccentricity from its min
+    node. Near-dup components are dense and tiny (cliques / short
+    chains from a similarity threshold), so this converges in a few
+    rounds; for adversarially long path graphs the large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") halves path lengths per round — noted as
+    the upgrade path, not needed for dedup-shaped graphs.
+
+    Scale notes: each round is one shuffle of (edge ⨝ label) sized by
+    the edge list, plus a groupBy min — both key-partitioned, no
+    driver-side data. The convergence probe collects a single count.
+    ``localCheckpoint`` truncates the growing lineage each round (on a
+    cluster with an HDFS checkpoint dir, ``checkpoint`` would make the
+    cut fault-tolerant as well).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    # undirected: propagate both ways along every edge. Materialized
+    # ONCE — without the checkpoint the (possibly expensive) upstream
+    # pair computation would re-execute inside every round's join.
+    und = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("__nbr"))
+        )
+        proposed = labels.join(
+            nbr_min, labels["node"] == nbr_min["src"], "left"
+        ).select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce("__nbr", "label")).alias("__new"),
+        ).localCheckpoint()  # one evaluation feeds both the probe and the next round
+        changed = (
+            proposed.where(F.col("__new") < F.col("label")).limit(1).count()
+        )
+        labels = proposed.select("node", F.col("__new").alias("label"))
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every node in a near-dup
+    pair — connected components plus component sizes. Rows with
+    doc_id == cluster_id are the keepers; the rest are transitive
+    duplicates of that keeper."""
+    cc = connected_components(pairs, id_a, id_b)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
+        sizes, "cluster_id"
+    ).select("doc_id", "cluster_id", "cluster_size")
+
+
 # --- simhash -----------------------------------------------------------------
 
 SIMHASH_BITS = 32

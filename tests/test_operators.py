@@ -308,3 +308,74 @@ def test_http_json_fetch_against_local_server(spark):
         assert len(hits) == 2
     finally:
         srv.shutdown()
+
+
+# --- connected components / transitive dedup clusters ------------------------
+
+
+def _cc_bruteforce(edges):
+    """Union-find ground truth for tiny graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    from geosparql_etl_spark.operators.dedup import connected_components
+
+    # chain (propagation must traverse, not just look one hop),
+    # triangle, isolated pair, and a star
+    edges = [
+        (10, 11), (11, 12), (12, 13), (13, 14),   # chain -> all label 10
+        (20, 21), (21, 22), (20, 22),             # triangle
+        (30, 31),                                 # pair
+        (40, 41), (40, 42), (40, 43),             # star
+    ]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == _cc_bruteforce(edges)
+
+
+def test_connected_components_long_path_converges(spark):
+    from geosparql_etl_spark.operators.dedup import connected_components
+
+    # path of 30 nodes: takes 29 propagation hops worst case with the
+    # naive direction; min-label propagation does it within max_iter
+    # because the min travels one hop per round from the head
+    edges = [(i, i + 1) for i in range(100, 129)]
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs=spark.createDataFrame(edges, ["id_a", "id_b"]), max_iter=40).collect()
+    }
+    assert set(got.values()) == {100}
+    assert len(got) == 30
+
+
+def test_dedup_clusters_sizes(spark):
+    from geosparql_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert rows == {
+        1: (1, 3), 2: (1, 3), 3: (1, 3),
+        7: (7, 2), 8: (7, 2),
+    }

@@ -113,6 +113,13 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # h02's oracle embeds literal hashes of the driver's sf0.01 files;
+    # when checking a different sf dir, rebuild it for that dir so the
+    # local tool matches what the driver would see at its own scale.
+    try:
+        oracles["h02_file_hash"] = entrymod._sql_h02(sf_dir)
+    except (AttributeError, FileNotFoundError):
+        pass
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in qs.items():
         if only and name not in only:
