@@ -973,6 +973,62 @@ def _sql_s04():
     """
 
 
+def s05_attribution_join(spark, sf_dir):
+    """Batch analog of the watermarked stream-stream interval join
+    (streaming/events.py:attribution_join): purchases attributed to
+    same-user clicks in the preceding hour. The streaming form is the
+    identical column expressions plus watermarks (stream-vs-batch
+    equality asserted in tests/test_streaming.py)."""
+    from geosparql_etl_spark.streaming.events import attribution_join
+
+    e = _events(spark, sf_dir)
+    return attribution_join(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+    )
+
+
+def _sql_s05():
+    return """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """
+
+
+def s06_stream_dedup_batch(spark, sf_dir):
+    """Batch-deterministic analog of stream_dedup
+    (dropDuplicatesWithinWatermark): earliest event per
+    (user_id, event_type), ties broken by event_id — the deterministic
+    refinement of 'first arrival wins'."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id",
+            F.unix_micros("ts").alias("first_us"),
+        )
+    )
+
+
+def _sql_s06():
+    return """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS first_us
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    """
+
+
 # =============================================================================
 # dedup family (charter scale operators)
 # =============================================================================
@@ -2303,6 +2359,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm02_frame_sampling": mm02_frame_sampling,
     "s04_session_window_native": s04_session_window_native,
     "s03_sessionization": s03_sessionization,
+    "s05_attribution_join": s05_attribution_join,
+    "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "h02_file_hash": h02_file_hash,
     "q01_pricing_summary": q01_pricing_summary,
     "j01_multikey_equijoin": j01_multikey_equijoin,
@@ -2407,6 +2465,8 @@ _ORACLES: dict[str, str] = {
     "s02_sliding_window": _sql_s02(),
     "s03_sessionization": _sql_s03(),
     "s04_session_window_native": _sql_s04(),
+    "s05_attribution_join": _sql_s05(),
+    "s06_stream_dedup_batch": _sql_s06(),
     "d01_dedup_exact": _sql_d01(),
     "d02_fingerprint": _sql_d02(),
     "d03_minhash_signature": _sql_d03(),

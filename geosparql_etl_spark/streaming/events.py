@@ -87,6 +87,73 @@ def sliding_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup: first arrival per key wins, duplicate arrivals
+    within the watermark horizon are dropped, and key state is evicted
+    once the watermark passes — so state is bounded by (keys active per
+    horizon), not by stream length. This is the streaming half of the
+    charter dedup family (d01's exact dedup for unbounded input).
+
+    On a batch DataFrame the same call degrades to plain
+    ``dropDuplicates(keys)`` semantics (which row survives is
+    arbitrary in both modes — project the keys, or pre-aggregate, when
+    determinism matters)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))
+
+
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase is
+    attributed to every click by the same user in the preceding
+    ``horizon``. The event-time bound on both sides is what lets the
+    join state expire — without it a stream-stream join buffers forever.
+    Works identically on batch DataFrames (the time bound becomes a
+    plain range predicate), which is how the driver oracle checks it
+    (s05)."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value",
+    )
+
+
 def session_windows(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -186,3 +186,51 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_within_watermark_matches_batch_distinct(spark, events_src):
+    from geosparql_etl_spark.streaming.events import stream_dedup
+
+    stream = stream_dedup(events_file_stream(spark, events_src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _rows(
+        spark.table("dedup_out").select("user_id", "event_type"),
+        ["user_id", "event_type"],
+    )
+    want = _rows(
+        _batch_events(spark, events_src).select("user_id", "event_type").distinct(),
+        ["user_id", "event_type"],
+    )
+    assert got == want and len(got) > 0
+
+
+def test_attribution_join_stream_matches_batch(spark, events_src):
+    from geosparql_etl_spark.streaming.events import attribution_join
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    s = events_file_stream(spark, events_src)
+    stream = attribution_join(*split(s))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = ["click_id", "purchase_id", "user_id", "click_us", "purchase_us"]
+    got = _rows(spark.table("attr_out"), cols)
+    want = _rows(attribution_join(*split(_batch_events(spark, events_src))), cols)
+    assert got == want and len(got) > 0
