@@ -1,10 +1,11 @@
 """Minimal pure-Python media codecs for the multimodal operators.
 
 The container has no image/audio libraries, so the engine carries real
-decoders for two self-contained formats — uncompressed 24-bit BMP
+decoders for three self-contained formats — uncompressed 24-bit BMP
 (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up or top-down, 4-byte row
-padding) and PCM WAV (stdlib ``wave``) — plus encoders to build
-fixtures. If PIL is importable it is preferred for images (any format);
+padding), PNG (8-bit truecolor ± alpha: chunk walk, zlib inflate, all
+five row unfilters incl. Paeth) and PCM WAV (stdlib ``wave``) — plus
+encoders to build fixtures. If PIL is importable it is preferred for images (any format);
 these fallbacks keep ``extract_features`` a REAL decode on at least one
 image and one audio format either way.
 
@@ -17,6 +18,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -66,6 +68,134 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """RGB uint8 array (h, w, 3) -> PNG bytes (8-bit truecolor, no
+    interlace). ``filter_type`` selects the per-row PNG filter (0-4) —
+    0 for normal use; the others exist so tests can exercise every
+    unfilter path in decode_png against a known original."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {arr.shape}")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        row = arr[y].reshape(-1)
+        raw.append(filter_type)
+        raw.extend(_png_filter(filter_type, row, prev).tobytes())
+        prev = row
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_filter(ft: int, row: np.ndarray, prev: np.ndarray, bpp: int = 3) -> np.ndarray:
+    x = row.astype(np.int32)
+    a = np.concatenate([np.zeros(bpp, np.int32), x[:-bpp]])
+    b = prev.astype(np.int32)
+    if ft == 0:
+        out = x
+    elif ft == 1:
+        out = x - a
+    elif ft == 2:
+        out = x - b
+    elif ft == 3:
+        out = x - (a + b) // 2
+    elif ft == 4:
+        out = x - _paeth(a, b, np.concatenate([np.zeros(bpp, np.int32), b[:-bpp]]))
+    else:
+        raise ValueError(f"bad PNG filter {ft}")
+    return (out % 256).astype(np.uint8)
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> RGB uint8 array (h, w, 3). Real decode: chunk walk,
+    zlib inflate, and all five per-row unfilters (None/Sub/Up/Average/
+    Paeth). Supports 8-bit truecolor (type 2) and truecolor+alpha
+    (type 6, alpha dropped), no interlace — the shapes this engine's
+    fixtures and typical ML thumbnails use; anything else raises."""
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_MAGIC), None, bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    bpp = 3 if color == 2 else 4
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}") from e
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = row
+        elif ft == 2:
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):
+            # left-neighbor dependency -> sequential per pixel group
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(0, stride, bpp):
+                a = cur[i - bpp : i] if i else np.zeros(bpp, np.int32)
+                b = prev[i : i + bpp]
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[i - bpp : i] if i else np.zeros(bpp, np.int32)
+                    pred = _paeth(a, b, c)
+                cur[i : i + bpp] = (row[i : i + bpp] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    pixels = out.reshape(h, w, bpp)
+    return pixels[:, :, :3].copy()
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 array (n,) or (n, channels) -> PCM WAV bytes."""
     arr = np.asarray(samples, dtype=np.int16)
@@ -103,10 +233,12 @@ def _try_pil_decode(data: bytes) -> np.ndarray | None:
 
 def decode_image(data: bytes) -> np.ndarray:
     """RGB array from any PIL-supported format when PIL is installed,
-    else from the built-in BMP decoder."""
+    else from the built-in PNG/BMP decoders (sniffed by magic)."""
     pil = _try_pil_decode(data)
     if pil is not None:
         return pil
+    if data.startswith(_PNG_MAGIC):
+        return decode_png(data)
     return decode_bmp(data)
 
 

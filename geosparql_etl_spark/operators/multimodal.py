@@ -2,9 +2,10 @@
 with typed metadata, processed by Arrow-batched pandas functions.
 
 Engine charter operators (no reference counterpart). Decode is REAL for
-uncompressed 24-bit BMP and PCM WAV via the engine's pure-Python codecs
-(functions/codecs.py; PIL is auto-used for other image formats when
-installed — not in this container). Video frame decode stays stubbed
+uncompressed 24-bit BMP, PNG (zlib inflate + all five row unfilters)
+and PCM WAV via the engine's pure-Python codecs (functions/codecs.py;
+PIL is auto-used for other image formats when installed — not in this
+container). Video frame decode stays stubbed
 (no libav anywhere); its offsets/batching are real. Undecodable
 payloads land in the ``decode_error`` channel, never fail the task.
 
@@ -54,9 +55,9 @@ FEATURE_DIM = 16
 def _decode_and_extract(content: bytes | None, kind: str) -> np.ndarray:
     """Decode + feature-extract one payload (see functions/codecs.py).
 
-    image -> RGB stats over the decoded pixel array (BMP always; any
-    PIL format when PIL is installed); audio -> PCM stats over decoded
-    WAV samples. Raises on None / undecodable payloads like any real
+    image -> RGB stats over the decoded pixel array (BMP/PNG always;
+    any PIL format when PIL is installed); audio -> PCM stats over
+    decoded WAV samples. Raises on None / undecodable payloads like any real
     decoder — callers route that to the decode_error channel.
     """
     from geosparql_etl_spark.functions import codecs
@@ -110,7 +111,7 @@ def extract_features(
 def resize_images(
     media: DataFrame, width: int, height: int, out_col: str = "resized"
 ) -> DataFrame:
-    """Image resize: decode (BMP / PIL formats), nearest-neighbor
+    """Image resize: decode (BMP / PNG / PIL formats), nearest-neighbor
     index resample to (width, height), re-encode as BMP. One
     mapInPandas pass; blobs never cross a shuffle."""
     schema = (

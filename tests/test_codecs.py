@@ -84,3 +84,48 @@ def test_audio_features_golden_silence_and_square():
 def test_decode_image_prefers_pil_when_absent_falls_back(monkeypatch):
     px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
     assert (decode_image(encode_bmp(px)) == px).all()
+
+
+from geosparql_etl_spark.functions import codecs
+
+
+def test_png_roundtrip_all_filter_types():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    for ft in range(5):
+        out = codecs.decode_png(codecs.encode_png(img, filter_type=ft))
+        assert (out == img).all(), f"filter {ft}"
+
+
+def test_png_rgba_alpha_dropped():
+    # hand-build a color-type-6 (RGBA) PNG: same chunk layout, 4 bpp
+    import struct
+    import zlib
+
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., :3] = [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]]
+    rgba[..., 3] = 255
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(2))
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._png_chunk(b"IHDR", ihdr)
+        + codecs._png_chunk(b"IDAT", zlib.compress(raw))
+        + codecs._png_chunk(b"IEND", b"")
+    )
+    assert (codecs.decode_png(data) == rgba[..., :3]).all()
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"not a png")
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = codecs.encode_png(img)
+    with pytest.raises(ValueError):
+        codecs.decode_png(good[:30])  # truncated: no IDAT/IEND
+
+
+def test_decode_image_sniffs_png_and_bmp():
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert (codecs.decode_image(codecs.encode_png(img)) == img).all()
+    assert (codecs.decode_image(codecs.encode_bmp(img)) == img).all()

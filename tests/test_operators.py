@@ -379,3 +379,38 @@ def test_dedup_clusters_sizes(spark):
         1: (1, 3), 2: (1, 3), 3: (1, 3),
         7: (7, 2), 8: (7, 2),
     }
+
+
+def test_extract_features_png_matches_bmp(spark):
+    """Same pixels through the PNG and BMP payload paths -> identical
+    features (decode_image sniffs the format inside the Spark stage)."""
+    import numpy as np
+
+    from geosparql_etl_spark.functions import codecs
+    from geosparql_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (8, 6, 3), dtype=np.uint8)
+    rows = [
+        ("png1", "image", bytearray(codecs.encode_png(img)), (6, 8, None, "image/png")),
+        ("bmp1", "image", bytearray(codecs.encode_bmp(img)), (6, 8, None, "image/bmp")),
+        ("bad1", "image", bytearray(b"\x89PNG\r\n\x1a\njunk"), (None, None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["features"], r["decode_error"])
+        for r in extract_features(media).collect()
+    }
+    assert got["png1"][1] is None and got["bmp1"][1] is None
+    assert got["png1"][0] == got["bmp1"][0]
+    assert got["bad1"][0] is None and got["bad1"][1]
+
+    resized = {
+        r["media_id"]: r["resized"]
+        for r in resize_images(media, 3, 4).collect()
+    }
+    assert resized["png1"] == resized["bmp1"] and resized["png1"] is not None
