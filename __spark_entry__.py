@@ -2197,6 +2197,99 @@ def _sql_h02(sf_dir: str = "/root/testdata/sf0.01"):
     )
 
 
+def llm01_corpus_curation(spark, sf_dir):
+    """End-to-end training-corpus curation — the composition a real LLM
+    data pipeline runs, as ONE declarative plan: language gate
+    (predicted 'en') -> quality gate (score >= 0.5) -> exact dedup
+    (min doc_id per normalized digest) -> per-source corpus stats
+    (docs kept, subword tokens, mean quality). Every stage is a charter
+    operator already verified on its own (txt02/txt03/d01/txt04); this
+    query verifies their composition end-to-end against one SQL oracle.
+    Single scan, one window shuffle (digest) + one agg shuffle (source)
+    — no Python boundary anywhere."""
+    from geosparql_etl_spark.functions.textstats import (
+        bpe_ish_token_count,
+        lang_id,
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    kept = (
+        d.where(lang_id(F.col("text")) == "en")
+        .withColumn("__q", quality_score(F.col("text")))
+        .where(F.col("__q") >= 0.5)
+        .withColumn("__digest", F.md5(norm))
+    )
+    w = Window.partitionBy("__digest").orderBy("doc_id")
+    uniq = kept.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("n_tokens"),
+        F.round(F.avg("__q"), 4).alias("avg_quality"),
+    )
+
+
+def _sql_llm01():
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    markers = {
+        "en": ("the", "and", "of", "is", "to"),
+        "de": ("der", "die", "und", "ist", "das"),
+        "fr": ("le", "la", "et", "est", "les"),
+        "es": ("el", "la", "y", "es", "los"),
+    }
+    hits = {
+        code: f"len(list_filter({toks}, t -> t IN {tuple(ws)!r}))".replace('"', "'")
+        for code, ws in markers.items()
+    }
+    lang_pred = (
+        f"CASE WHEN {hits['fr']} >= {hits['es']} AND {hits['fr']} >= {hits['en']}"
+        f" AND {hits['fr']} >= {hits['de']} AND {hits['fr']} > 0 THEN 'fr'"
+        f" WHEN {hits['es']} >= {hits['en']} AND {hits['es']} >= {hits['de']}"
+        f" AND {hits['es']} > 0 THEN 'es'"
+        f" WHEN {hits['en']} >= {hits['de']} AND {hits['en']} > 0 THEN 'en'"
+        f" WHEN {hits['de']} > 0 THEN 'de' ELSE 'und' END"
+    )
+    nospace = "regexp_replace(text, '\\s+', '', 'g')"
+    punct = (
+        f"CASE WHEN len({nospace}) > 0 THEN"
+        f" len(regexp_replace({nospace}, '[\\w]', '', 'g'))::DOUBLE / len({nospace})"
+        f" ELSE 0.0 END"
+    )
+    words = "regexp_split_to_array(trim(text), '\\s+')"
+    mwl = (
+        f"CASE WHEN len({words}) > 0 THEN"
+        f" list_aggregate(list_transform({words}, w -> len(w)), 'sum')::DOUBLE"
+        f" / len({words}) ELSE 0.0 END"
+    )
+    quality = f"""(
+      (CASE WHEN coalesce(len(text),0) BETWEEN 100 AND 20000 THEN 1.0
+            WHEN coalesce(len(text),0) > 0 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN {punct} <= 0.2 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN {mwl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+    ) / 3.0"""
+    n_tokens = (
+        r"len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]+'))"
+    )
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+    WITH kept AS (
+      SELECT doc_id, source, text, {quality} AS q, md5({norm}) AS digest
+      FROM documents
+      WHERE {lang_pred} = 'en' AND {quality} >= 0.5),
+    uniq AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum({n_tokens}) AS BIGINT) AS n_tokens,
+           round(avg(q), 4) AS avg_quality
+    FROM uniq GROUP BY source
+    """
+
+
 # =============================================================================
 # multimodal plumbing (stubbed decode; rows-only)
 # =============================================================================
@@ -2355,6 +2448,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt03_quality": txt03_quality,
     "txt04_token_count": txt04_token_count,
     "txt05_stopword_ratio": txt05_stopword_ratio,
+    "llm01_corpus_curation": llm01_corpus_curation,
     "mm01_media_features": mm01_media_features,
     "mm02_frame_sampling": mm02_frame_sampling,
     "s04_session_window_native": s04_session_window_native,
@@ -2475,6 +2569,7 @@ _ORACLES: dict[str, str] = {
     "d06_minhash_dedup_e2e": _sql_d06(),
     "d07_embedding_neardup": _sql_d07(),
     "d08_dedup_clusters": _sql_d08(),
+    "llm01_corpus_curation": _sql_llm01(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     "sim03_ann_lsh": _sql_sim03(),
