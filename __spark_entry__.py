@@ -2155,6 +2155,76 @@ def _sql_t10():
     """
 
 
+def g14_zorder_key(spark, sf_dir):
+    """Z-order (Morton) spatial locality key over synthetic per-part
+    points — the partition-pruning primitive for bbox queries at scale
+    (functions/geometry.py:zorder_key). Pure bit arithmetic, replicated
+    term-for-term in the oracle."""
+    from geosparql_etl_spark.functions.geometry import zorder_key
+
+    p = _t(spark, sf_dir, "part")
+    x = (F.col("p_partkey").cast("long") * F.lit(2654435761)) % 65536
+    y = (F.col("p_partkey").cast("long") * F.lit(40503)) % 65536
+    return p.select(
+        "p_partkey",
+        x.alias("x"),
+        y.alias("y"),
+        zorder_key(x, y).alias("zkey"),
+    )
+
+
+def _sql_g14():
+    x = "(p_partkey * 2654435761) % 65536"
+    y = "(p_partkey * 40503) % 65536"
+    z = " + ".join(
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    return f"""
+    SELECT p_partkey, {x} AS x, {y} AS y, {z} AS zkey FROM part
+    """
+
+
+def g15_spatial_join(spark, sf_dir):
+    """Grid-bucketed bbox spatial join over synthetic per-part boxes
+    (operators/spatial.py): cells prune, the exact intersection
+    predicate decides — same exact-result-from-bucketed-candidates
+    shape as d06/d07. Oracle is the quadratic self-join with the same
+    predicate."""
+    from geosparql_etl_spark.operators.spatial import bbox_spatial_join
+
+    p = _t(spark, sf_dir, "part")
+    # prime moduli so no two part keys alias to the same center
+    cx = ((F.col("p_partkey").cast("long") * 131) % 997).cast("double")
+    cy = ((F.col("p_partkey").cast("long") * 211) % 1009).cast("double")
+    w = ((F.col("p_size") % 20) + 1).cast("double")
+    boxes = p.select(
+        F.col("p_partkey").alias("box_id"),
+        (cx - w).alias("minx"),
+        (cy - w).alias("miny"),
+        (cx + w).alias("maxx"),
+        (cy + w).alias("maxy"),
+    )
+    return bbox_spatial_join(boxes, "box_id", cell=50.0)
+
+
+def _sql_g15():
+    box = """
+      SELECT p_partkey AS box_id,
+             ((p_partkey * 131) % 997) - ((p_size % 20) + 1) AS minx,
+             ((p_partkey * 211) % 1009) - ((p_size % 20) + 1) AS miny,
+             ((p_partkey * 131) % 997) + ((p_size % 20) + 1) AS maxx,
+             ((p_partkey * 211) % 1009) + ((p_size % 20) + 1) AS maxy
+      FROM part"""
+    return f"""
+    WITH boxes AS ({box})
+    SELECT a.box_id AS id_a, b.box_id AS id_b
+    FROM boxes a JOIN boxes b ON a.box_id < b.box_id
+    WHERE a.minx <= b.maxx AND b.minx <= a.maxx
+      AND a.miny <= b.maxy AND b.miny <= a.maxy
+    """
+
+
 def h02_file_hash(spark, sf_dir):
     """H2/S11: binaryFile scan + sha2 over raw file bytes (the two-part
     remote-hash pipeline collapsed into one job; reference
@@ -2492,6 +2562,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g09_validity": g09_validity,
     "g12_safe_wkt": g12_safe_wkt,
     "g13_image_bbox": g13_image_bbox,
+    "g14_zorder_key": g14_zorder_key,
+    "g15_spatial_join": g15_spatial_join,
     "h01_sha256": h01_sha256,
     "t01_image_id": t01_image_id,
     "t02_patch_metadata": t02_patch_metadata,
@@ -2543,6 +2615,8 @@ _ORACLES: dict[str, str] = {
     "g09_validity": _sql_g09(),
     "g12_safe_wkt": _sql_g12(),
     "g13_image_bbox": _sql_g13(),
+    "g14_zorder_key": _sql_g14(),
+    "g15_spatial_join": _sql_g15(),
     "h01_sha256": _sql_h01(),
     # h02: DuckDB blob->VARCHAR mangles bytes -> rows-only (pytest covers
     # hashlib parity)

@@ -301,3 +301,32 @@ def image_bbox_wkt(image_width: Column, image_height: Column) -> Column:
     return F.format_string(
         "POLYGON ((0 0, %s 0, %s %s, 0 %s, 0 0))", w, w, h, h
     )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    non-negative integer coordinates into one long. Spatial extension
+    beyond the reference surface: sorting / range-partitioning on this
+    key keeps spatial neighbors in the same partitions, which is the
+    scale story for geo workloads — partition pruning on a z-key range
+    replaces a full scan for bbox queries, the same way IVF cells prune
+    embedding probes.
+
+    Pure bit arithmetic (shiftright / bitwiseAND / shiftleft sums), so
+    it is whole-stage-codegen'd JVM-side and expressible 1:1 in the
+    DuckDB oracle.
+    """
+    xl = x.cast("long")
+    yl = y.cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(xl, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(yl, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
