@@ -184,6 +184,7 @@ def ivf_topk(
     cb = with_ivf_cell(spread(corpus), vec_col, dim, n_cells).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col), dim).alias("__cn"),
         F.col("ivf_cell").alias("__cell"),
     )
     cents = _ivf_centroids(dim, n_cells)
@@ -200,15 +201,21 @@ def ivf_topk(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col), dim).alias("__qn"),
         F.explode(F.transform(probes, lambda s: s["cell"])).alias("__cell"),
     )
     cand = cb.join(F.broadcast(qb), "__cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
+    # norms ride the join (computed once per row, not three folds per
+    # candidate pair — same pattern as pairwise_cosine)
+    denom = F.col("__qn") * F.col("__cn")
     scored_pairs = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -450,23 +457,28 @@ def ann_topk(
     cb = with_lsh_buckets(spread(corpus), vec_col, dim, bands, bits_per_band).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col), dim).alias("__cn"),
         F.explode("lsh_buckets").alias("__bucket"),
     )
     qb = with_lsh_buckets(queries, vec_col, dim, bands, bits_per_band).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col), dim).alias("__qn"),
         F.explode("lsh_buckets").alias("__bucket"),
     )
     cand = (
         cb.join(F.broadcast(qb), "__bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__qn", "__cv", "__cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    denom = F.col("__qn") * F.col("__cn")
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv"), dim).alias("cosine_sim"),
+        F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
+        .otherwise(F.lit(0.0))
+        .alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
