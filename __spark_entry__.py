@@ -1463,6 +1463,60 @@ def _sql_sim04():
 # =============================================================================
 
 
+def sim05_quantized_topk(spark, sf_dir):
+    """Int8-quantized cosine top-5 (queries vec_id < 5): candidates
+    ranked by integer-dot cosine over per-vector symmetric int8
+    (operators/similarity.py:quantize_embeddings — 4x scan/shuffle
+    bandwidth at scale; scales cancel in cosine), with the exact float
+    cosine and the per-pair quantization error carried alongside. The
+    integer arithmetic is order-exact, so rank and q_sim are
+    bit-reproducible in ANSI SQL."""
+    from geosparql_etl_spark.operators.similarity import quantized_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return quantized_cosine_topk(e, q, k=5)
+
+
+def _sql_sim05():
+    return """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      FROM embeddings),
+    qz AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 AS s
+      FROM e),
+    q8 AS (
+      SELECT vec_id, v,
+             CASE WHEN s > 0 THEN list_transform(v, x -> floor(x / s + 0.5))
+                  ELSE list_transform(v, x -> 0.0) END AS q
+      FROM qz),
+    n AS (
+      SELECT vec_id, v, q,
+             sqrt(list_aggregate(list_transform(q, x -> x * x), 'sum')) AS qn,
+             sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS vn
+      FROM q8),
+    pairs AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CASE WHEN qs.qn * c.qn > 0
+                  THEN list_aggregate(list_transform(range(1, 65),
+                       i -> qs.q[i] * c.q[i]), 'sum') / (qs.qn * c.qn)
+                  ELSE 0.0 END AS q_sim,
+             CASE WHEN qs.vn * c.vn > 0
+                  THEN list_cosine_similarity(qs.v, c.v) ELSE 0.0 END AS exact_sim
+      FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id != qs.vec_id)
+    SELECT query_id, neighbor_id, rank,
+           round(q_sim, 6) AS q_sim, round(exact_sim, 6) AS exact_sim,
+           round(abs(q_sim - exact_sim), 6) AS abs_err
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY q_sim DESC, neighbor_id) AS rank
+      FROM pairs)
+    WHERE rank <= 5
+    """
+
+
 def txt01_stats(spark, sf_dir):
     """Token/char counts + punctuation ratio + mean word length."""
     d = _t(spark, sf_dir, "documents")
@@ -2513,6 +2567,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim02_threshold_pairs": sim02_threshold_pairs,
     "sim03_ann_lsh": sim03_ann_lsh,
     "sim04_ivf_ann": sim04_ivf_ann,
+    "sim05_quantized_topk": sim05_quantized_topk,
     "txt01_stats": txt01_stats,
     "txt02_lang_id": txt02_lang_id,
     "txt03_quality": txt03_quality,
@@ -2644,6 +2699,7 @@ _ORACLES: dict[str, str] = {
     "d07_embedding_neardup": _sql_d07(),
     "d08_dedup_clusters": _sql_d08(),
     "llm01_corpus_curation": _sql_llm01(),
+    "sim05_quantized_topk": _sql_sim05(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     "sim03_ann_lsh": _sql_sim03(),

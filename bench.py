@@ -46,6 +46,10 @@ HEADLINE = [
     "sim02_threshold_pairs",
     "txt01_stats",
     "txt04_token_count",
+    "d08_dedup_clusters",
+    "llm01_corpus_curation",
+    "g15_spatial_join",
+    "s05_attribution_join",
 ]
 
 

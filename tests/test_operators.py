@@ -414,3 +414,34 @@ def test_extract_features_png_matches_bmp(spark):
         for r in resize_images(media, 3, 4).collect()
     }
     assert resized["png1"] == resized["bmp1"] and resized["png1"] is not None
+
+
+def test_quantize_embeddings_bounds_and_error(spark):
+    """int8 range respected; quantized cosine within the analytic error
+    bound of exact cosine (|err| <~ 2*sqrt(d)/127 for unit-ish vectors,
+    loose check: 0.05 for d=8)."""
+    import math
+    import random
+
+    from geosparql_etl_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qz = quantize_embeddings(df).collect()
+    for r in qz:
+        assert all(-127 <= v <= 127 for v in r["q8"])
+        maxabs = max(abs(x) for x in r["embedding"])
+        assert math.isclose(r["q8_scale"], maxabs / 127.0, rel_tol=1e-9)
+        # dequantized values within half a step of the originals
+        for x, qv in zip(r["embedding"], r["q8"]):
+            assert abs(qv * r["q8_scale"] - x) <= r["q8_scale"] / 2 + 1e-12
+
+    top = quantized_cosine_topk(df, df.where(F.col("vec_id") < 3), k=5).collect()
+    assert len(top) == 15
+    assert all(r["abs_err"] <= 0.05 for r in top)
