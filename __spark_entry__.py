@@ -2580,6 +2580,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s03_sessionization": s03_sessionization,
     "s05_attribution_join": s05_attribution_join,
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
+    "g14_zorder_key": g14_zorder_key,
+    "g15_spatial_join": g15_spatial_join,
     "h02_file_hash": h02_file_hash,
     "q01_pricing_summary": q01_pricing_summary,
     "j01_multikey_equijoin": j01_multikey_equijoin,
@@ -2617,8 +2619,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g09_validity": g09_validity,
     "g12_safe_wkt": g12_safe_wkt,
     "g13_image_bbox": g13_image_bbox,
-    "g14_zorder_key": g14_zorder_key,
-    "g15_spatial_join": g15_spatial_join,
     "h01_sha256": h01_sha256,
     "t01_image_id": t01_image_id,
     "t02_patch_metadata": t02_patch_metadata,
