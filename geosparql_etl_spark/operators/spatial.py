@@ -50,12 +50,20 @@ def bbox_spatial_join(
     boxes: DataFrame,
     id_col: str = "box_id",
     cell: float = 50.0,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b) pairs of intersecting bboxes (id_a < id_b).
 
     ``boxes`` needs columns: id_col, minx, miny, maxx, maxy. Exact
     semantics (grid bucketing only prunes; the intersection predicate
     decides), closed-boundary intersection (touching edges count).
+
+    ``max_cell`` is the hot-cell skew cap — the same bounded-work dial
+    as lsh_candidate_pairs' max_bucket: a cell holding f boxes
+    self-joins to f^2/2 candidates, so one dense downtown cell in a
+    planetary dataset explodes the join. Cells wider than the cap are
+    dropped (pairs whose ONLY shared cell is hot are missed — bounded
+    work, measurable recall loss). None (default) = exact everywhere.
     """
     with_cells = boxes.select(
         F.col(id_col).alias("__id"),
@@ -69,6 +77,20 @@ def bbox_spatial_join(
             )
         ).alias("__cell"),
     )
+    if max_cell is not None:
+        # broadcast the HOT set (tiny by construction), not the kept
+        # set — same shape as ngram_jaccard_pairs' df-cap
+        hot = (
+            with_cells.groupBy("__cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_cell)
+            .select("__cell", F.lit(1).alias("__hot"))
+        )
+        with_cells = (
+            with_cells.join(F.broadcast(hot), "__cell", "left")
+            .where(F.col("__hot").isNull())
+            .drop("__hot")
+        )
     a = with_cells.select(
         F.col("__cell"),
         F.col("__id").alias("id_a"),

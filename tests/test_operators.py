@@ -350,19 +350,25 @@ def test_connected_components_matches_union_find(spark):
     assert got == _cc_bruteforce(edges)
 
 
-def test_connected_components_long_path_converges(spark):
+def test_connected_components_long_path_converges_logarithmically(spark):
     from geosparql_etl_spark.operators.dedup import connected_components
 
-    # path of 30 nodes: takes 29 propagation hops worst case with the
-    # naive direction; min-label propagation does it within max_iter
-    # because the min travels one hop per round from the head
+    # path of 30 nodes: plain neighbor propagation needs 29 rounds for
+    # the min to walk the chain; pointer jumping doubles resolved path
+    # length per round, so it must finish in O(log2(29)) + slack
     edges = [(i, i + 1) for i in range(100, 129)]
+    stats = {}
     got = {
         r["node"]: r["cluster_id"]
-        for r in connected_components(pairs=spark.createDataFrame(edges, ["id_a", "id_b"]), max_iter=40).collect()
+        for r in connected_components(
+            pairs=spark.createDataFrame(edges, ["id_a", "id_b"]),
+            max_iter=40,
+            stats=stats,
+        ).collect()
     }
     assert set(got.values()) == {100}
     assert len(got) == 30
+    assert stats["rounds"] <= 8, stats
 
 
 def test_dedup_clusters_sizes(spark):

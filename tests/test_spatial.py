@@ -88,3 +88,22 @@ def test_bbox_spatial_join_touching_edges_count(spark):
         (r["id_a"], r["id_b"]) for r in bbox_spatial_join(df, cell=7.0).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_bbox_spatial_join_hot_cell_cap(spark):
+    """A dense cell above max_cell is dropped; pairs that share only
+    that cell disappear, pairs connected through other cells survive."""
+    # 30 boxes stacked in cell (0,0); 2 boxes overlapping in cell (2,2)
+    dense = [(i, 1.0, 1.0, 5.0, 5.0) for i in range(30)]
+    sparse = [(100, 110.0, 110.0, 120.0, 120.0), (101, 115.0, 115.0, 125.0, 125.0)]
+    df = spark.createDataFrame(
+        dense + sparse, ["box_id", "minx", "miny", "maxx", "maxy"]
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in bbox_spatial_join(df, cell=50.0, max_cell=10).collect()
+    }
+    assert capped == {(100, 101)}
+    # uncapped finds all 435 dense pairs too
+    full = bbox_spatial_join(df, cell=50.0).count()
+    assert full == 435 + 1
