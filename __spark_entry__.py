@@ -2321,6 +2321,41 @@ def _sql_h02(sf_dir: str = "/root/testdata/sf0.01"):
     )
 
 
+def txt06_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (MOSS, Schleimer et al.): char
+    5-gram hashes, window-4 minima, distinct — one row per (doc,
+    fingerprint). Any shared substring >= 8 chars between two docs
+    shares a fingerprint (functions/textstats.py:winnow_fingerprints);
+    the rolling-hash fingerprinting item of the charter text-analysis
+    family."""
+    from geosparql_etl_spark.functions.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+
+
+def _sql_txt06():
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    h60 = "CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 15)) AS BIGINT)"
+    return f"""
+    WITH n AS (SELECT doc_id, {norm} AS s FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(s) - 4, 1) + 1),
+                            i -> {h60}) AS kh
+      FROM n),
+    w AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(kh) - 3, 1) + 1),
+                            j -> list_aggregate(kh[CAST(j AS INT):CAST(j AS INT)+3],
+                                                'min')) AS mins
+      FROM h)
+    SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w
+    """
+
+
 def llm01_corpus_curation(spark, sf_dir):
     """End-to-end training-corpus curation — the composition a real LLM
     data pipeline runs, as ONE declarative plan: language gate
@@ -2574,6 +2609,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt04_token_count": txt04_token_count,
     "txt05_stopword_ratio": txt05_stopword_ratio,
     "llm01_corpus_curation": llm01_corpus_curation,
+    "txt06_winnowing": txt06_winnowing,
     "mm01_media_features": mm01_media_features,
     "mm02_frame_sampling": mm02_frame_sampling,
     "s04_session_window_native": s04_session_window_native,
@@ -2700,6 +2736,7 @@ _ORACLES: dict[str, str] = {
     "d08_dedup_clusters": _sql_d08(),
     "llm01_corpus_curation": _sql_llm01(),
     "sim05_quantized_topk": _sql_sim05(),
+    "txt06_winnowing": _sql_txt06(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     "sim03_ann_lsh": _sql_sim03(),

@@ -161,3 +161,57 @@ def shingles(text: Column, k: int = 3) -> Column:
         ),
     )
     return F.array_distinct(fold)
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every char k-gram of the normalized text, slide a window of ``w``
+    consecutive k-gram hashes, keep each window's minimum — the
+    distinct selected hashes are the document's fingerprint set.
+    Guarantees: any shared substring of length >= k + w - 1 between two
+    documents contributes at least one shared fingerprint, with only
+    ~2/(w+1) of all k-gram hashes retained — local similarity detection
+    (plagiarism / quote / boilerplate overlap) at a fraction of the
+    storage, where whole-doc hashes (fingerprint64) only catch
+    identical documents.
+
+    The k-gram hash is the engine's portable md5-derived long rather
+    than a Rabin rolling polynomial — the winnowing SELECTION algorithm
+    (and its guarantee) is unchanged; the hash function is orthogonal
+    and md5 keeps every step replicable in the ANSI-SQL oracle.
+
+    HOF binding: the k-gram hash array is bound through a
+    single-element array so the window lambda references a lambda
+    VARIABLE — the interpreted-lambda inlining trap (see
+    quantize_embeddings) would otherwise re-hash the whole text per
+    window: O(L^2) md5 calls.
+    """
+    from geosparql_etl_spark.functions.hashing import md5_long
+
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+    def kgram_hashes(s: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1))),
+            lambda i: md5_long(s.substr(i, F.lit(k))),
+        )
+
+    def window_mins(h: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(h) - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(h, j, w)),
+        )
+
+    # both the normalized text and the hash array are bound as lambda
+    # variables (norm would otherwise re-run its regex per k-gram, and
+    # the hash array would re-hash the text per window)
+    windows = F.element_at(
+        F.transform(
+            F.array(norm),
+            lambda s: F.element_at(
+                F.transform(F.array(kgram_hashes(s)), window_mins), 1
+            ),
+        ),
+        1,
+    )
+    return F.array_distinct(windows)

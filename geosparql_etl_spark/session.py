@@ -55,6 +55,12 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Spark's 1g driver-heap default is sized for a thin cluster driver,
+    # not for local mode where all executor threads share the driver JVM
+    # — measured OOM (GCLocker retry storms) on a 200k-doc dedup at the
+    # default. Only effective for a fresh JVM (local mode = this
+    # process); on a cluster, size executors via submit flags instead.
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

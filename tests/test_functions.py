@@ -166,3 +166,30 @@ def test_binaryfile_sha256_parity_with_hashlib(spark):
     )
     expected = hashlib.sha256(open(path, "rb").read()).hexdigest()
     assert row["h"] == expected
+
+
+def test_winnow_fingerprints_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length
+    >= k + w - 1 (= 8 chars at k=5, w=4) share >= 1 fingerprint;
+    selection keeps well under half of all k-gram hashes."""
+    from pyspark.sql import functions as F
+
+    from geosparql_etl_spark.functions.textstats import winnow_fingerprints
+
+    shared = "identical boilerplate sentence present in both documents"
+    rows = [
+        (1, "first unique prefix aaa " + shared + " first unique tail"),
+        (2, "second doc starts differently " + shared + " and ends its own way"),
+        (3, "completely unrelated content with no overlap whatsoever zz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert got[1] & got[2], "shared substring must share a fingerprint"
+    # density: far fewer fingerprints than k-gram positions
+    n_positions = len(rows[0][1]) - 4
+    assert len(got[1]) < n_positions / 2

@@ -234,3 +234,16 @@ def test_attribution_join_stream_matches_batch(spark, events_src):
     got = _rows(spark.table("attr_out"), cols)
     want = _rows(attribution_join(*split(_batch_events(spark, events_src))), cols)
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_batch_mode_degrades_to_drop_duplicates(spark, events_src):
+    from geosparql_etl_spark.streaming.events import stream_dedup
+
+    batch = _batch_events(spark, events_src)
+    out = stream_dedup(batch)
+    assert not out.isStreaming
+    got = _rows(out.select("user_id", "event_type"), ["user_id", "event_type"])
+    want = _rows(
+        batch.select("user_id", "event_type").distinct(), ["user_id", "event_type"]
+    )
+    assert got == want

@@ -1,0 +1,106 @@
+"""Charter-pipeline throughput: corpus curation and MinHash-LSH dedup
+on a synthesized corpus scaled well past the test fixtures.
+
+Usage: python tools/bench_curation.py [replicas] [sf_dir]
+
+Replicates the sf documents table ``replicas``x (ids offset, a per-copy
+suffix token so copies are near-dups, not exact dups — exercising the
+whole LSH path, not the exact-digest shortcut), then times:
+
+  - curation: lang gate -> quality gate -> exact dedup -> per-source
+    token/quality stats (the llm01 plan)
+  - lsh_dedup: minhash signatures -> banded candidates -> exact
+    jaccard verify -> anti-join survivors (the d06 plan)
+
+Prints one JSON line with docs/sec for each. Numbers land in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.functions.textstats import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+)
+from geosparql_etl_spark.operators.dedup import minhash_dedup
+from geosparql_etl_spark.session import get_spark
+
+
+def synth_corpus(spark, sf_dir: str, replicas: int):
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = base.count()
+    reps = spark.range(replicas).select(F.col("id").alias("rep"))
+    return (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" copyvariant"), F.col("rep").cast("string")
+            ).alias("text"),
+            "lang",
+            "source",
+        )
+        .repartition(32)
+        .localCheckpoint()  # time the pipelines, not the synthesis
+    )
+
+
+def curation_plan(docs):
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    kept = (
+        docs.where(lang_id(F.col("text")) == "en")
+        .withColumn("__q", quality_score(F.col("text")))
+        .where(F.col("__q") >= 0.5)
+        .withColumn("__digest", F.md5(norm))
+    )
+    w = Window.partitionBy("__digest").orderBy("doc_id")
+    uniq = kept.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    return uniq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_ish_token_count(F.col("text"))).alias("n_tokens"),
+        F.round(F.avg("__q"), 4).alias("avg_quality"),
+    )
+
+
+def main():
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("bench-curation")
+    docs = synth_corpus(spark, sf_dir, replicas)
+    n_docs = docs.count()
+
+    t0 = time.time()
+    curation_plan(docs).write.format("noop").mode("overwrite").save()
+    t_cur = time.time() - t0
+
+    t0 = time.time()
+    minhash_dedup(docs, "doc_id", "text", threshold=0.8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t_lsh = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "curation_sec": round(t_cur, 2),
+                "curation_docs_per_sec": round(n_docs / t_cur),
+                "lsh_dedup_sec": round(t_lsh, 2),
+                "lsh_dedup_docs_per_sec": round(n_docs / t_lsh),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
