@@ -421,6 +421,62 @@ def _sql_a08():
     """
 
 
+def a09_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    SQL percentile_cont semantics) — the distribution-summary agg a
+    monitoring rollup needs; `approx_percentile` is the documented
+    sketch path at scale where exact would shuffle full value sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+    )
+
+
+def _sql_a09():
+    return """
+    SELECT l_returnflag,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def a10_pivot(spark, sf_dir):
+    """Pivot reshape: per-user event counts with one column per event
+    type (explicit value list -> deterministic schema; Catalyst turns
+    it into conditional aggregation, exactly the oracle's FILTER form)."""
+    e = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def _sql_a10():
+    cols = ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS n_{t}"
+        for t in ["click", "view", "purchase", "signup", "error"]
+    )
+    return f"SELECT user_id, {cols} FROM events GROUP BY user_id"
+
+
 def p09_ledger_resume(spark, sf_dir):
     """P9: checkpoint-ledger anti-join — work items not yet completed
     (ledger = every 7th order, standing in for the completed set)."""
@@ -2610,6 +2666,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt05_stopword_ratio": txt05_stopword_ratio,
     "llm01_corpus_curation": llm01_corpus_curation,
     "txt06_winnowing": txt06_winnowing,
+    "a09_percentiles": a09_percentiles,
+    "a10_pivot": a10_pivot,
     "mm01_media_features": mm01_media_features,
     "mm02_frame_sampling": mm02_frame_sampling,
     "s04_session_window_native": s04_session_window_native,
@@ -2737,6 +2795,8 @@ _ORACLES: dict[str, str] = {
     "llm01_corpus_curation": _sql_llm01(),
     "sim05_quantized_topk": _sql_sim05(),
     "txt06_winnowing": _sql_txt06(),
+    "a09_percentiles": _sql_a09(),
+    "a10_pivot": _sql_a10(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     "sim03_ann_lsh": _sql_sim03(),
