@@ -2505,6 +2505,103 @@ def _sql_llm01():
     """
 
 
+def llm02_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-source keep rates applied
+    by hash bucket (md5_long(doc_id) % 100 < rate) — reproducible
+    across runs/engines/cluster sizes, unlike Bernoulli sampleBy whose
+    per-partition RNG is implementation-specific. Idempotent under
+    re-runs and append-only growth: a doc's fate never changes, which
+    is what incremental training-data pipelines need."""
+    d = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(80))
+        .when(F.col("lang") == "de", F.lit(50))
+        .otherwise(F.lit(20))
+    )
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    return d.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+def _sql_llm02():
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {h} < CASE WHEN lang = 'en' THEN 80
+                     WHEN lang = 'de' THEN 50 ELSE 20 END
+    """
+
+
+def llm03_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split by hash percentile
+    (80/10/10): stable under corpus growth — adding documents never
+    moves an existing one between splits (no leakage from re-splits)."""
+    d = _t(spark, sf_dir, "documents")
+    pct = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(pct < 80, F.lit("train"))
+        .when(pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_llm03():
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    return f"""
+    SELECT CASE WHEN {h} < 80 THEN 'train'
+                WHEN {h} < 90 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """
+
+
+def llm04_sequence_packing(spark, sf_dir):
+    """Token-budget sequence packing: documents fill training sequences
+    of <= 2000 subword tokens, greedily in doc_id order per source —
+    bin = floor((cumsum(tokens) - tokens) / budget), the distributed
+    form of contiguous greedy packing (one window cumsum per source
+    partition, no sequential driver loop; the same shape as W1's batch
+    windowing but measured in tokens, not rows). Oversized docs get a
+    bin alone; packing quality = fill ratio is part of the output."""
+    from geosparql_etl_spark.functions.textstats import bpe_ish_token_count
+
+    budget = 2000
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = toks.withColumn(
+        "__cum", F.sum("n_tok").over(w)
+    ).withColumn(
+        "seq_id", F.floor((F.col("__cum") - F.col("n_tok")) / budget).cast("bigint")
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+    )
+
+
+def _sql_llm04():
+    n_tok = r"len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]+'))"
+    return f"""
+    WITH toks AS (SELECT doc_id, source, {n_tok} AS n_tok FROM documents),
+    packed AS (
+      SELECT source, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+                  / 2000.0) AS BIGINT) AS seq_id
+      FROM toks)
+    SELECT source, seq_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+    FROM packed GROUP BY source, seq_id
+    """
+
+
 # =============================================================================
 # multimodal plumbing (stubbed decode; rows-only)
 # =============================================================================
@@ -2665,6 +2762,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt04_token_count": txt04_token_count,
     "txt05_stopword_ratio": txt05_stopword_ratio,
     "llm01_corpus_curation": llm01_corpus_curation,
+    "llm02_hash_sample": llm02_hash_sample,
+    "llm03_split_assign": llm03_split_assign,
+    "llm04_sequence_packing": llm04_sequence_packing,
     "txt06_winnowing": txt06_winnowing,
     "a09_percentiles": a09_percentiles,
     "a10_pivot": a10_pivot,
@@ -2797,6 +2897,9 @@ _ORACLES: dict[str, str] = {
     "txt06_winnowing": _sql_txt06(),
     "a09_percentiles": _sql_a09(),
     "a10_pivot": _sql_a10(),
+    "llm02_hash_sample": _sql_llm02(),
+    "llm03_split_assign": _sql_llm03(),
+    "llm04_sequence_packing": _sql_llm04(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     "sim03_ann_lsh": _sql_sim03(),
