@@ -1201,6 +1201,42 @@ def _sql_d05():
     """
 
 
+def d09_simhash_pairs(spark, sf_dir):
+    """Pigeonhole-banded SimHash near-dup pairs (hamming <= 3 over the
+    32-bit hash; 4 bands of 8 bits, so any qualifying pair shares an
+    exact band — operators/dedup.py:simhash_pairs, after Manku et al.
+    WWW'07). Candidates come from band equi-joins; the exact popcount
+    predicate decides. Oracle: quadratic self-join with the same
+    bit_count(xor) predicate."""
+    from geosparql_etl_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
+
+
+def _sql_d09():
+    h = _hex60("tok")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array({_NORM}, ' ')) AS tok FROM documents),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+    sh AS (SELECT doc_id, {pack} AS simhash FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
 def d06_minhash_dedup_e2e(spark, sf_dir):
     """End-to-end MinHash LSH dedup (banding + candidate join + exact
     Jaccard verify). Every step is md5-derived and deterministic, so the
@@ -2751,6 +2787,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
     "d07_embedding_neardup": d07_embedding_neardup,
     "d08_dedup_clusters": d08_dedup_clusters,
+    "d09_simhash_pairs": d09_simhash_pairs,
     "sim01_cosine_topk": sim01_cosine_topk,
     "sim02_threshold_pairs": sim02_threshold_pairs,
     "sim03_ann_lsh": sim03_ann_lsh,
@@ -2900,6 +2937,7 @@ _ORACLES: dict[str, str] = {
     "llm02_hash_sample": _sql_llm02(),
     "llm03_split_assign": _sql_llm03(),
     "llm04_sequence_packing": _sql_llm04(),
+    "d09_simhash_pairs": _sql_d09(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     "sim03_ann_lsh": _sql_sim03(),

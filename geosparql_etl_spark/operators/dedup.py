@@ -471,3 +471,64 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= min_jaccard)
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs of documents whose SimHashes differ
+    in <= max_hamming bits — the pigeonhole-banded near-dup join
+    (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW'07): split the hash into ``bands`` contiguous bit
+    bands; any pair within hamming distance d < bands must agree
+    EXACTLY on at least one band, so candidates come from ``bands``
+    equi-joins on (band_idx, band_bits) — shuffle is (id, band key)
+    pairs, never the cross product — and the exact popcount predicate
+    decides. Requires max_hamming < bands for the guarantee.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = SIMHASH_BITS // bands
+    hashed = simhash(df, id_col, text_col).select(id_col, "simhash")
+    banded = hashed.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    # band key packs (band index, band bits) into one long
+                    (
+                        F.lit(b << (width + 1)).cast("long")
+                        + F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                            F.lit((1 << width) - 1)
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    )
+    a = banded.select(
+        F.col("__band"), F.col("__id").alias("id_a"), F.col("simhash").alias("__ha")
+    )
+    b_ = banded.select(
+        F.col("__band"), F.col("__id").alias("id_b"), F.col("simhash").alias("__hb")
+    )
+    return (
+        a.join(b_, "__band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("__ha"), F.col("__hb")).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

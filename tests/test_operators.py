@@ -451,3 +451,39 @@ def test_quantize_embeddings_bounds_and_error(spark):
     top = quantized_cosine_topk(df, df.where(F.col("vec_id") < 3), k=5).collect()
     assert len(top) == 15
     assert all(r["abs_err"] <= 0.05 for r in top)
+
+
+def test_simhash_pairs_matches_bruteforce(spark):
+    """Banded candidates + popcount verify == quadratic hamming check
+    (pigeonhole guarantee: hamming <= 3 with 4 bands loses nothing)."""
+    from geosparql_etl_spark.operators.dedup import simhash, simhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " tail"),                      # near-dup of 1
+        (3, base.replace("quick", "rapid")),      # near-dup of 1
+        (4, "completely different content about spark shuffles and joins"),
+        (5, "yet another unrelated document mentioning parquet row groups"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    hashes = {
+        r["doc_id"]: r["simhash"] for r in simhash(df, "doc_id", "text").collect()
+    }
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(hashes[a] ^ hashes[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want and len(want) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
