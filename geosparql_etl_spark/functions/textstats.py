@@ -214,4 +214,5 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
         ),
         1,
     )
-    return F.array_distinct(windows)
+    # null text -> empty fingerprint set (not [null])
+    return F.array_compact(F.array_distinct(windows))

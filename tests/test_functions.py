@@ -193,3 +193,37 @@ def test_winnow_fingerprints_shared_substring_guarantee(spark):
     # density: far fewer fingerprints than k-gram positions
     n_positions = len(rows[0][1]) - 4
     assert len(got[1]) < n_positions / 2
+
+
+def test_text_functions_null_and_degenerate_inputs(spark):
+    """Null / empty / whitespace-only text: no crashes, SQL-standard
+    null propagation for counts/hashes, 'und' language, empty winnowing
+    set for null."""
+    from pyspark.sql import functions as F
+
+    from geosparql_etl_spark.functions.textstats import (
+        bpe_ish_token_count,
+        fingerprint64,
+        lang_id,
+        quality_score,
+        stopword_ratio,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "   ")], ["id", "text"])
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            lang_id(F.col("text")).alias("lang"),
+            quality_score(F.col("text")).alias("q"),
+            bpe_ish_token_count(F.col("text")).alias("tok"),
+            stopword_ratio(F.col("text")).alias("sw"),
+            fingerprint64(F.col("text")).alias("fp"),
+            winnow_fingerprints(F.col("text")).alias("wfp"),
+        ).collect()
+    }
+    assert rows[1]["lang"] == "und" and rows[1]["tok"] is None
+    assert rows[1]["fp"] is None and rows[1]["wfp"] == []
+    assert rows[2]["tok"] == 0 and len(rows[2]["wfp"]) == 1
+    assert all(r["sw"] == 0.0 for r in rows.values())
