@@ -2737,6 +2737,98 @@ def _sql_mm01():
     """
 
 
+def mm03_audio_features(spark, sf_dir):
+    """Audio path of the multimodal family, mm01's pattern: each
+    document's text deterministically synthesizes 64 int16 PCM samples
+    ((byte-128)*256, exact in float), encode_wav writes a REAL WAV
+    container in a distributed stage, and extract_features genuinely
+    parses it back (stdlib wave) and computes amplitude statistics.
+    Value oracle: the whole synth->decode->stats pipeline re-derived in
+    SQL from hex(encode(text)) byte arithmetic — (b-128)/128 is exactly
+    the decoded normalized sample."""
+    import pandas as pd
+
+    from geosparql_etl_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        import numpy as np
+
+        from geosparql_etl_spark.functions.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                reps = -(-64 // max(len(raw), 1))
+                buf = (raw * reps + b"\x80" * 64)[:64]  # 0x80 -> sample 0
+                samples = (
+                    np.frombuffer(buf, dtype=np.uint8).astype(np.int16) - 128
+                ) * 256
+                payloads.append(encode_wav(samples, 16000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "content": payloads}
+            )
+
+    media = (
+        d.select("doc_id", "text")
+        .mapInPandas(synth, "media_id string, content binary")
+        .select(
+            "media_id",
+            F.lit("audio").alias("kind"),
+            "content",
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(4).alias("duration_ms"),
+                F.lit("audio/wav").alias("mime"),
+            ).alias("meta"),
+        )
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("feature_dim"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6).alias(
+            "feature_sum"
+        ),
+        F.round(F.element_at("features", 6), 6).alias("rms"),
+    )
+
+
+def _sql_mm03():
+    return """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, i,
+             CASE WHEN n = 0 THEN 0.0
+                  ELSE (CAST(('0x' || substr(hx, (i % n) * 2 + 1, 2)) AS INT)
+                        - 128) / 128.0 END AS v
+      FROM h, generate_series(0, 63) AS t(i)),
+    z0 AS (
+      SELECT doc_id, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s),
+    st AS (
+      SELECT doc_id,
+             avg(v) AS mean, stddev_pop(v) AS sd,
+             sqrt(avg(v * v)) AS rms, max(abs(v)) AS mx,
+             sum(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0))
+                      THEN 1 ELSE 0 END)::DOUBLE / 63.0 AS zcr
+      FROM z0 GROUP BY doc_id)
+    -- features = [channels=1, rate=16000, n=64, mean, sd, rms, zcr,
+    -- maxabs, hist8 densities (sum 1)] -> sum = 16066 + stats
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           16 AS feature_dim,
+           round(16066.0 + mean + sd + rms + zcr + mx, 6) AS feature_sum,
+           round(rms, 6) AS rms
+    FROM st
+    """
+
+
 def mm02_frame_sampling(spark, sf_dir):
     """Video frame-sample plumbing: one row per sampled frame offset
     (every 1000 ms, max 8 frames). Offsets are exact -> oracle-checked;
@@ -2807,6 +2899,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_pivot": a10_pivot,
     "mm01_media_features": mm01_media_features,
     "mm02_frame_sampling": mm02_frame_sampling,
+    "mm03_audio_features": mm03_audio_features,
     "s04_session_window_native": s04_session_window_native,
     "s03_sessionization": s03_sessionization,
     "s05_attribution_join": s05_attribution_join,
@@ -2938,6 +3031,7 @@ _ORACLES: dict[str, str] = {
     "llm03_split_assign": _sql_llm03(),
     "llm04_sequence_packing": _sql_llm04(),
     "d09_simhash_pairs": _sql_d09(),
+    "mm03_audio_features": _sql_mm03(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     "sim03_ann_lsh": _sql_sim03(),
