@@ -2448,6 +2448,169 @@ def _sql_txt06():
     """
 
 
+def txt07_pii_redact(spark, sf_dir):
+    """PII scrubbing: emails, IPv4 addresses and long digit runs
+    (phone/ID-like) replaced with typed placeholder tokens; per-doc
+    redaction counts ride along. Patterns are RE2-safe (no lookaround)
+    so Spark's Java regex and the oracle's RE2 agree byte-for-byte —
+    the md5 of the redacted text IS the cross-engine check."""
+    d = _t(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    digits = r"\b\d{7,}\b"
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email, "<EMAIL>"), ipv4, "<IP>"
+        ),
+        digits,
+        "<NUM>",
+    )
+    n_email = F.size(F.regexp_extract_all(F.col("text"), F.lit(email), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(F.col("text"), F.lit(ipv4), F.lit(0)))
+    return d.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+    )
+
+
+def _sql_txt07():
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    digits = "\\b\\d{7,}\\b"
+    return f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{email}', '<EMAIL>', 'g'),
+                 '{ipv4}', '<IP>', 'g'),
+                 '{digits}', '<NUM>', 'g')) AS redacted_md5,
+           len(regexp_extract_all(text, '{email}')) AS n_email,
+           len(regexp_extract_all(text, '{ipv4}')) AS n_ip
+    FROM documents
+    """
+
+
+def txt08_repetition(spark, sf_dir):
+    """Repetition quality signals (MassiveText/Gopher-style): duplicate
+    word-3-gram fraction (1 - distinct/total) and top-token frequency
+    ratio — the filters that catch degenerate generated/boilerplate
+    text that length/punctuation heuristics (txt03) miss."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    # total 3-gram count = n-2 (n>=3); shingles() yields the distinct set
+    from geosparql_etl_spark.functions.textstats import shingles
+
+    n = F.size(toks)
+    total3 = F.greatest(n - 2, F.lit(1))
+    dup_frac = F.round(
+        F.lit(1.0)
+        - F.size(shingles(F.col("text"), 3)).cast("double") / total3,
+        6,
+    )
+    # top token ratio via the same explode-free fold: map of counts is
+    # heavy in pure expressions -> explode + groupBy (map-side combine)
+    ex = d.select("doc_id", F.explode(toks).alias("__t"))
+    top = (
+        ex.groupBy("doc_id", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("__c").alias("__mx"), F.sum("__c").alias("__n")
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("__mx") / F.col("__n"), 6).alias("top_token_ratio"),
+        )
+    )
+    base = d.select("doc_id", dup_frac.alias("dup_3gram_frac"))
+    return base.join(top, "doc_id")
+
+
+def _sql_txt08():
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                       for i in range(1, len(w) - 1)])
+                  ELSE [array_to_string(w, ' ')] END AS s,
+             len(w) AS n
+      FROM w),
+    dup AS (
+      SELECT doc_id,
+             round(1.0 - CAST(len(s) AS DOUBLE) / greatest(n - 2, 1), 6)
+                 AS dup_3gram_frac
+      FROM sh),
+    tok AS (
+      SELECT doc_id, unnest(w) AS t FROM w),
+    cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+    top AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_ratio
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, dup_3gram_frac, top_token_ratio
+    FROM dup JOIN top USING (doc_id)
+    """
+
+
+def llm05_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop corpus documents sharing any
+    winnowed LONG-substring fingerprint (k=20, w=8: shared runs of
+    >= 27 chars flag — short grams would flag every doc via common
+    English phrases) with a held-out set (docs with doc_id < 10 stand
+    in for the benchmark). Fingerprint sets are tiny vs documents, the
+    benchmark side is broadcast, and the overlap test is a fingerprint
+    semi-join — the standard contamination sweep before training."""
+    from geosparql_etl_spark.functions.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=20, w=8)).alias("fp"),
+    )
+    bench_fps = fps.where(F.col("doc_id") < 10).select("fp").dropDuplicates()
+    contaminated = (
+        fps.where(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench_fps), "fp")
+        .select("doc_id")
+        .dropDuplicates()
+    )
+    return (
+        d.where(F.col("doc_id") >= 10)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+
+
+def _sql_llm05():
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    h60 = "CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 20)), 1, 15)) AS BIGINT)"
+    return f"""
+    WITH n AS (SELECT doc_id, {norm} AS s FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(s) - 19, 1) + 1),
+                            i -> {h60}) AS kh
+      FROM n),
+    w AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(kh) - 7, 1) + 1),
+                            j -> list_aggregate(kh[CAST(j AS INT):CAST(j AS INT)+7],
+                                                'min')) AS mins
+      FROM h),
+    fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM w),
+    bench AS (SELECT DISTINCT f FROM fp WHERE doc_id < 10),
+    dirty AS (
+      SELECT DISTINCT fp.doc_id FROM fp JOIN bench USING (f)
+      WHERE fp.doc_id >= 10)
+    SELECT doc_id, source FROM documents
+    WHERE doc_id >= 10 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+    """
+
+
 def llm01_corpus_curation(spark, sf_dir):
     """End-to-end training-corpus curation — the composition a real LLM
     data pipeline runs, as ONE declarative plan: language gate
@@ -2895,6 +3058,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm03_split_assign": llm03_split_assign,
     "llm04_sequence_packing": llm04_sequence_packing,
     "txt06_winnowing": txt06_winnowing,
+    "txt07_pii_redact": txt07_pii_redact,
+    "txt08_repetition": txt08_repetition,
+    "llm05_decontaminate": llm05_decontaminate,
     "a09_percentiles": a09_percentiles,
     "a10_pivot": a10_pivot,
     "mm01_media_features": mm01_media_features,
@@ -3032,6 +3198,9 @@ _ORACLES: dict[str, str] = {
     "llm04_sequence_packing": _sql_llm04(),
     "d09_simhash_pairs": _sql_d09(),
     "mm03_audio_features": _sql_mm03(),
+    "txt07_pii_redact": _sql_txt07(),
+    "txt08_repetition": _sql_txt08(),
+    "llm05_decontaminate": _sql_llm05(),
     "sim01_cosine_topk": _sql_sim01(),
     "sim02_threshold_pairs": _sql_sim02(),
     "sim03_ann_lsh": _sql_sim03(),
