@@ -245,29 +245,33 @@ def connected_components(
     Scale notes: each round is one shuffle of (edge ⨝ label) sized by
     the edge list, plus a groupBy min — both key-partitioned, no
     driver-side data. The convergence probe collects a single count.
-    ``localCheckpoint`` truncates the growing lineage each round (on a
-    cluster with an HDFS checkpoint dir, ``checkpoint`` would make the
-    cut fault-tolerant as well).
+    Lineage is truncated each round: with a checkpoint dir configured
+    (``spark.sparkContext.setCheckpointDir`` — HDFS/S3 on a cluster)
+    the cut is a fault-tolerant ``checkpoint``; otherwise
+    ``localCheckpoint`` (executor-storage, fine for local mode, lost on
+    executor failure).
     """
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
     # undirected: propagate both ways along every edge. Materialized
     # ONCE — without the checkpoint the (possibly expensive) upstream
     # pair computation would re-execute inside every round's join.
-    und = (
+    und = _cut(
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .dropDuplicates()
-        .localCheckpoint()
+        ).dropDuplicates()
     )
 
-    labels = (
+    labels = _cut(
         und.select(F.col("src").alias("node"))
         .dropDuplicates()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     rounds = 0
     for _ in range(max_iter):
@@ -292,8 +296,8 @@ def connected_components(
                     F.coalesce("__jl", "label"),
                 ).alias("__new"),
             )
-            .localCheckpoint()  # one evaluation feeds probe + next round
         )
+        proposed = _cut(proposed)  # one evaluation feeds probe + next round
         rounds += 1
         changed = (
             proposed.where(F.col("__new") < F.col("label")).limit(1).count()

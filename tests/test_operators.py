@@ -487,3 +487,23 @@ def test_simhash_pairs_matches_bruteforce(spark):
 
     with _pytest.raises(ValueError):
         simhash_pairs(df, "doc_id", "text", max_hamming=4, bands=4)
+
+
+def test_connected_components_with_reliable_checkpoint_dir(spark, tmp_path):
+    """With a checkpoint dir configured, lineage cuts use fault-tolerant
+    checkpoint() instead of localCheckpoint; results are identical."""
+    from geosparql_etl_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    edges = [(1, 2), (2, 3), (10, 11)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    try:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+    finally:
+        # reset so later tests go back to localCheckpoint ($-name via getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -247,3 +247,30 @@ def test_stream_dedup_batch_mode_degrades_to_drop_duplicates(spark, events_src):
         batch.select("user_id", "event_type").distinct(), ["user_id", "event_type"]
     )
     assert got == want
+
+
+def test_stream_static_broadcast_enrichment(spark, events_src, sf_dir):
+    """Stream-static join: the event stream enriched against a static
+    dimension (nation codes) via broadcast — no watermark needed on the
+    static side; per-batch the dim is re-read, so slowly-changing dims
+    pick up updates between micro-batches."""
+    static_dim = spark.createDataFrame(
+        [(t, t.upper()) for t in ["click", "view", "purchase", "signup", "error"]],
+        ["event_type", "type_label"],
+    )
+    stream = events_file_stream(spark, events_src).join(
+        F.broadcast(static_dim), "event_type"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("enriched_out")
+    n_stream = out.count()
+    n_batch = _batch_events(spark, events_src).count()
+    assert n_stream == n_batch
+    assert out.where(F.col("type_label") != F.upper("event_type")).count() == 0
