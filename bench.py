@@ -76,7 +76,10 @@ def run_suite() -> dict:
     # warmups: JVM/codegen startup, and the Python worker pool (the
     # first pandas_udf query otherwise pays ~2-3s of one-time worker
     # spin-up that a long-lived cluster amortizes to zero)
-    materialize(qs[HEADLINE[0]](spark, sf_dir))
+    try:
+        materialize(qs[HEADLINE[0]](spark, sf_dir))
+    except Exception as exc:
+        print(f"BENCH WARMUP ERROR: {exc}", file=sys.stderr)
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
@@ -92,23 +95,32 @@ def run_suite() -> dict:
     # (A cluster amortizes pauses across executors; local[32] shares
     # one JVM.)
     total = 0.0
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):
-            t0 = time.time()
-            materialize(qs[name](spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                materialize(qs[name](spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as exc:  # one broken query must not void the suite
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += timings[name]
 
-    return {
+    result = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
     }
+    if errors:
+        result["errors"] = errors
+    return result
 
 
 def check_regressions(result: dict) -> int:

@@ -39,20 +39,40 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the `ts` column to session-TZ TIMESTAMP whatever the
+    parquet encoding was: long nanos (TIMESTAMP(NANOS) under
+    nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP. Session timezone is
+    pinned UTC by callers, so NTZ->LTZ is the identity mapping and
+    matches the DuckDB oracle's naive-UTC semantics."""
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":
+        # integer div, NOT float /: nanos ~1.7e18 exceeds double precision
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def events_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source streaming read of events parquet files.
 
     New files appearing under ``source_dir`` become micro-batches — the
     streaming analog of the reference's cursor batches. maxFilesPerTrigger
     bounds per-batch work like the cursor's batch_size=5000.
+
+    readStream needs the schema up-front; sniff it from the parquet
+    footers with a batch read (driver-side metadata only, no scan) so
+    the stream works for either `ts` encoding the driver generates.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sniffed = spark.read.parquet(source_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(sniffed)
         .option("maxFilesPerTrigger", 4)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(

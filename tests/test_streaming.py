@@ -38,9 +38,10 @@ def events_src(spark, sf_dir, tmp_path_factory):
 
 
 def _batch_events(spark, src):
+    from geosparql_etl_spark.streaming.events import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(src)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(spark.read.parquet(src))
 
 
 def _run_to_memory(stream_df, name, timeout=120):
