@@ -3026,6 +3026,225 @@ def _sql_mm02():
 
 
 # =============================================================================
+# round-3 additions: corpus term stats, set ops, scale-safe global
+# ordering, cube/histogram aggregations, behavioral funnel
+# =============================================================================
+
+
+def txt09_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase, control-char strip,
+    whitespace collapse) — the first stage of every corpus pipeline,
+    all native expressions."""
+    from geosparql_etl_spark.functions.textstats import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_chars"),
+    )
+
+
+def _sql_txt09():
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+    SELECT doc_id, {norm} AS norm_text, length({norm}) AS norm_chars
+    FROM documents
+    """
+
+
+def txt10_tfidf_topterms(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (`operators/textrank.py` — explode/df-join plan; the df table is
+    vocabulary-sized, join strategy left to AQE; ranking window is
+    per-document)."""
+    from geosparql_etl_spark.operators.textrank import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+def _sql_txt10():
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, score, rn AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored) WHERE rn <= 3
+    """
+
+
+def txt11_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate score: fraction of each doc's
+    distinct 3-shingles occurring in >= 2 documents
+    (`operators/textrank.py` — per-document score without
+    materializing pairs; complements d04's pairwise output)."""
+    from geosparql_etl_spark.operators.textrank import boilerplate_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_ratio(d, "doc_id", "text", k=3)
+
+
+def _sql_txt11():
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+      FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
+    ex AS (SELECT doc_id, unnest(s) AS sgl FROM sh),
+    dfq AS (SELECT sgl, count(*) AS df FROM ex GROUP BY 1)
+    SELECT ex.doc_id, count(*) AS n_shingles,
+           round(avg(CASE WHEN dfq.df > 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS boilerplate_ratio
+    FROM ex JOIN dfq USING (sgl) GROUP BY 1
+    """
+
+
+def a11_cube(spark, sf_dir):
+    """CUBE aggregation over (lang, source): all 4 grouping-set
+    combinations in one pass (§2.4 extension beyond a08's ROLLUP)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def _sql_a11():
+    return """
+    SELECT lang, source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """
+
+
+def a12_histogram(spark, sf_dir):
+    """Fixed-width histogram of document lengths (250-char buckets,
+    last bucket open-ended): deterministic bucket expression + groupBy,
+    share computed with a window over the ~20-row aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / F.lit(250.0)), F.lit(19)).cast(
+        "bigint"
+    )
+    agg = d.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return agg.select(
+        "bucket",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
+def _sql_a12():
+    return """
+    WITH h AS (
+      SELECT least(CAST(floor(n_chars / 250.0) AS BIGINT), 19) AS bucket,
+             count(*) AS n
+      FROM documents GROUP BY 1)
+    SELECT bucket, n, round(n / sum(n) OVER (), 6) AS share FROM h
+    """
+
+
+def w04_global_rank(spark, sf_dir):
+    """Dense global row numbers over the corpus ordered by
+    (n_chars, doc_id) via `operators/partitioning.py:global_rank` —
+    bucketed offsets instead of a single-partition global window (the
+    form that survives a 1000-executor cluster)."""
+    from geosparql_etl_spark.operators.partitioning import global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / F.lit(250.0)), F.lit(19)).cast(
+        "bigint"
+    )
+    return global_rank(
+        d.select("doc_id", "n_chars"),
+        [F.asc("n_chars"), F.asc("doc_id")],
+        bucket,
+    ).select("doc_id", "n_chars", "rank")
+
+
+def _sql_w04():
+    return """
+    SELECT doc_id, n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+    FROM documents
+    """
+
+
+def j10_set_ops(spark, sf_dir):
+    """Set operations (§2.6): sources publishing in BOTH en and de
+    (INTERSECT) and in en only (EXCEPT), tagged and unioned."""
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("source").distinct()
+    de = d.where(F.col("lang") == "de").select("source").distinct()
+    inter = en.intersect(de).withColumn("op", F.lit("intersect"))
+    diff = en.subtract(de).withColumn("op", F.lit("except"))
+    return inter.unionByName(diff)
+
+
+def _sql_j10():
+    return """
+    WITH en AS (SELECT DISTINCT source FROM documents WHERE lang = 'en'),
+         de AS (SELECT DISTINCT source FROM documents WHERE lang = 'de')
+    SELECT source, 'intersect' AS op FROM (
+      SELECT source FROM en INTERSECT SELECT source FROM de)
+    UNION ALL
+    SELECT source, 'except' AS op FROM (
+      SELECT source FROM en EXCEPT SELECT source FROM de)
+    """
+
+
+def s07_funnel(spark, sf_dir):
+    """Ordered behavioral funnel view -> click -> purchase: per-user
+    first-occurrence times (one groupBy), then one global count row.
+    A stage only counts when it happens strictly AFTER the previous
+    stage's first occurrence."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "tp"
+        ),
+    )
+    return per_user.agg(
+        F.count("tv").alias("n_view"),
+        F.count(F.when(F.col("tv") < F.col("tc"), 1)).alias("n_view_click"),
+        F.count(
+            F.when((F.col("tv") < F.col("tc")) & (F.col("tc") < F.col("tp")), 1)
+        ).alias("n_funnel"),
+    )
+
+
+def _sql_s07():
+    return """
+    WITH s AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY 1)
+    SELECT count(tv) AS n_view,
+           count(CASE WHEN tv < tc THEN 1 END) AS n_view_click,
+           count(CASE WHEN tv < tc AND tc < tp THEN 1 END) AS n_funnel
+    FROM s
+    """
+
+
+# =============================================================================
 # registry
 # =============================================================================
 
@@ -3044,6 +3263,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s04_session_window_native": s04_session_window_native,
     "s05_attribution_join": s05_attribution_join,
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
+    "txt09_normalize": txt09_normalize,
+    "txt10_tfidf_topterms": txt10_tfidf_topterms,
+    "txt11_boilerplate": txt11_boilerplate,
+    "a11_cube": a11_cube,
+    "a12_histogram": a12_histogram,
+    "w04_global_rank": w04_global_rank,
+    "j10_set_ops": j10_set_ops,
+    "s07_funnel": s07_funnel,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_fingerprint": d02_fingerprint,
     "d03_minhash_signature": d03_minhash_signature,
@@ -3201,6 +3428,14 @@ _ORACLES: dict[str, str] = {
     "llm02_hash_sample": _sql_llm02(),
     "llm03_split_assign": _sql_llm03(),
     "llm04_sequence_packing": _sql_llm04(),
+    "txt09_normalize": _sql_txt09(),
+    "txt10_tfidf_topterms": _sql_txt10(),
+    "txt11_boilerplate": _sql_txt11(),
+    "a11_cube": _sql_a11(),
+    "a12_histogram": _sql_a12(),
+    "w04_global_rank": _sql_w04(),
+    "j10_set_ops": _sql_j10(),
+    "s07_funnel": _sql_s07(),
     "d09_simhash_pairs": _sql_d09(),
     "mm03_audio_features": _sql_mm03(),
     "txt07_pii_redact": _sql_txt07(),

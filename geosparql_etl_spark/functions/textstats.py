@@ -216,3 +216,13 @@ def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     )
     # null text -> empty fingerprint set (not [null])
     return F.array_compact(F.array_distinct(windows))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text cleanup for corpus preprocessing: lowercase,
+    strip ASCII control characters, collapse whitespace runs to single
+    spaces, trim. Pure native expressions (regex dialect restricted to
+    constructs Java and RE2 interpret identically, so oracle engines
+    agree byte-for-byte)."""
+    cleaned = F.regexp_replace(F.lower(text), "[\\x00-\\x1f]", " ")
+    return F.trim(F.regexp_replace(cleaned, "\\s+", " "))

@@ -24,3 +24,47 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, t // 2):
         return df.repartition(t)
     return df
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols,
+    bucket,
+    rank_name: str = "rank",
+):
+    """Scale-correct total ordering: dense global row numbers WITHOUT a
+    single-partition global window (the local-mode shortcut that
+    deadlocks a 1000-executor cluster on one task).
+
+    ``bucket`` must be a deterministic expression that coarsens the
+    sort order (every row in bucket i sorts before every row in bucket
+    i+1). Three declarative steps:
+
+      1. per-bucket counts — a tiny aggregate, #buckets rows;
+      2. exclusive prefix-sum of counts over bucket id — a window over
+         the #buckets-row aggregate (single partition of TINY data, by
+         construction);
+      3. broadcast the offsets back and row_number WITHIN each bucket.
+
+    Every corpus-sized stage is parallel in #buckets; no collect(), no
+    global sort. The same shape implements deterministic sharding and
+    resumable pagination at 100 TB.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = df.withColumn("__bucket", bucket)
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    woff = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__bucket",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__offset"),
+    )
+    wb = Window.partitionBy("__bucket").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(rank_name, F.row_number().over(wb) + F.col("__offset"))
+        .drop("__bucket", "__offset")
+    )

@@ -1,0 +1,115 @@
+"""Corpus term statistics: TF-IDF term ranking and cross-document
+boilerplate detection.
+
+Charter text-analysis family (training-data pipelines): surface the
+terms that characterize each document and flag documents dominated by
+shingles shared with other documents (boilerplate / template text).
+
+Scale notes (100 TB):
+- The token explode shuffles (id, term) pairs — unavoidable and linear
+  in corpus token count; partial aggregation (map-side combine) reduces
+  the tf shuffle to distinct (doc, term) pairs.
+- The document-frequency table is vocabulary-sized, NOT corpus-sized.
+  It is joined back on `term` with a plain equi-join: Zipf vocabularies
+  can exceed broadcast limits, so the join strategy is left to
+  Catalyst/AQE (which will broadcast when stats allow). No all-pairs
+  stage anywhere.
+- Top-k per document is a window partitioned BY DOCUMENT — parallel in
+  the number of docs, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.functions.textstats import shingles
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    score = tf * (ln((N + 1) / (df + 1)) + 1), the sklearn-style
+    smoothed idf (never zero or negative, defined for unseen terms).
+    Ranking uses the ROUNDED score with the term string as tie-break,
+    so the result is deterministic and engine-independent (double math
+    up to the rounding point is bit-identical between Spark and the
+    DuckDB oracle).
+
+    The corpus size N enters as a broadcast 1-row aggregate, keeping
+    the whole computation one declarative plan (no driver-side count).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct(id_col).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "term", "score", F.col("rn").alias("rank"))
+    )
+
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Fraction of each document's distinct word-k-shingles that also
+    occur in at least one OTHER document — high values flag template /
+    boilerplate text that repeats across the corpus (a standard
+    pretraining-quality signal, distinct from pairwise dedup: it scores
+    every document without materializing pairs).
+
+    Plan: shingle explode -> shingle document-frequency (map-side
+    combined groupBy; shingles are distinct within a doc so count(*) is
+    the df) -> equi-join back -> per-doc mean of (df > 1). Linear in
+    total shingle count; the df table is shingle-vocabulary-sized and
+    its join strategy is left to AQE.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg((F.col("df") > 1).cast("double")), 6
+            ).alias("boilerplate_ratio"),
+        )
+    )
