@@ -268,6 +268,18 @@ def connected_components(
         ).dropDuplicates()
     )
 
+    # Size the iteration to the GRAPH, not the corpus: the pair graph
+    # is usually orders of magnitude smaller than the documents that
+    # produced it (only near-dups edge), yet it inherits the corpus
+    # read's shuffle width — every round then pays
+    # (#partitions x #stages) task overhead to move a handful of rows.
+    # und is checkpointed, so the count is a cheap scan; ~2M edges per
+    # partition keeps round state in executor memory at any scale.
+    n_edges = und.count()
+    width = max(1, min(und.rdd.getNumPartitions(), n_edges // 2_000_000 + 1))
+    if width < und.rdd.getNumPartitions():
+        und = _cut(und.repartition(width, "dst"))
+
     labels = _cut(
         und.select(F.col("src").alias("node"))
         .dropDuplicates()
