@@ -3207,6 +3207,106 @@ def _sql_j10():
     """
 
 
+def sim06_pq_ann(spark, sf_dir):
+    """Product-quantization ANN top-5 (queries vec_id < 5): the corpus
+    is PQ-encoded to 8 nibble codes (m=8 subspaces x 16 centroids,
+    seeded deterministic codebooks), neighbors ranked by squared L2 to
+    the RECONSTRUCTED vector (asymmetric distance). Completes the ANN
+    family: sign-LSH (sim03) buckets, IVF (sim04) partitions, PQ
+    compresses — at billion scale the three compose. Oracle replicates
+    the codebooks as literals and the encode/reconstruct/score chain
+    in SQL."""
+    from geosparql_etl_spark.operators.similarity import pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return pq_topk(e, q, kq=5)
+
+
+def _sql_sim06():
+    from geosparql_etl_spark.operators.similarity import _pq_codebooks
+
+    books = _pq_codebooks(64, 8, 16)
+    rows = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[], %.17g)"
+        % (
+            j,
+            c,
+            ", ".join("%.17g" % v for v in cent),
+            sum(v * v for v in cent),
+        )
+        for j, cents in enumerate(books)
+        for c, cent in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ct AS (SELECT * FROM (VALUES {rows}) AS t(j, c, cent, cc)),
+    d2 AS (
+      SELECT vec_id, j, c,
+             -2 * list_dot_product(list_slice(v, j * 8 + 1, (j + 1) * 8), cent)
+               + cc AS d
+      FROM e, ct),
+    -- np.argmin = first min -> ties to the LOWEST code
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM d2) WHERE rn = 1),
+    recon AS (
+      SELECT codes.vec_id, flatten(list(cent ORDER BY codes.j)) AS rv
+      FROM codes JOIN ct USING (j, c) GROUP BY codes.vec_id),
+    scored AS (
+      SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, q.v)
+                   - 2 * list_dot_product(q.v, r.rv)
+                   + list_dot_product(r.rv, r.rv), 6) AS approx_d2
+      FROM e q JOIN recon r ON r.vec_id != q.vec_id
+      WHERE q.vec_id < 5)
+    SELECT query_id, neighbor_id, approx_d2, rn AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    """
+
+
+def llm06_incremental_dedup(spark, sf_dir):
+    """Incremental corpus ingestion: the incoming batch (hash bucket
+    >= 80, the same stable split as llm03) is deduped (a) within
+    itself — first doc_id per fingerprint wins — and (b) against the
+    EXISTING corpus via a fingerprint anti-join, without ever
+    re-pairing corpus x corpus. This is the production shape for
+    append-only training corpora: per-ingest cost scales with the
+    batch, not with the accumulated 100 TB."""
+    fp = fingerprint64(F.col("text"))
+    d = _t(spark, sf_dir, "documents")
+    pct = md5_long(F.col("doc_id").cast("string")) % 100
+    old = d.where(pct < 80).select(fp.alias("fp")).distinct()
+    new = d.where(pct >= 80).select("doc_id", fp.alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    batch_first = (
+        new.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return batch_first.join(old, "fp", "left_anti").select("doc_id", "fp")
+
+
+def _sql_llm06():
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    return f"""
+    WITH f AS (SELECT doc_id, {_hex60(_NORM)} AS fp, {h} AS pct FROM documents),
+    old AS (SELECT DISTINCT fp FROM f WHERE pct < 80),
+    batch_first AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, row_number() OVER (
+          PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM f WHERE pct >= 80) WHERE rn = 1)
+    SELECT doc_id, fp FROM batch_first
+    WHERE fp NOT IN (SELECT fp FROM old)
+    """
+
+
 def s07_funnel(spark, sf_dir):
     """Ordered behavioral funnel view -> click -> purchase: per-user
     first-occurrence times (one groupBy), then one global count row.
@@ -3271,6 +3371,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "s07_funnel": s07_funnel,
+    "sim06_pq_ann": sim06_pq_ann,
+    "llm06_incremental_dedup": llm06_incremental_dedup,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_fingerprint": d02_fingerprint,
     "d03_minhash_signature": d03_minhash_signature,
@@ -3436,6 +3538,8 @@ _ORACLES: dict[str, str] = {
     "w04_global_rank": _sql_w04(),
     "j10_set_ops": _sql_j10(),
     "s07_funnel": _sql_s07(),
+    "sim06_pq_ann": _sql_sim06(),
+    "llm06_incremental_dedup": _sql_llm06(),
     "d09_simhash_pairs": _sql_d09(),
     "mm03_audio_features": _sql_mm03(),
     "txt07_pii_redact": _sql_txt07(),

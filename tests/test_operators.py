@@ -507,3 +507,76 @@ def test_connected_components_with_reliable_checkpoint_dir(spark, tmp_path):
         # reset so later tests go back to localCheckpoint ($-name via getattr)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def test_pq_code_shape_and_determinism(spark):
+    import random
+
+    from geosparql_etl_spark.operators.similarity import with_pq_code
+
+    rng = random.Random(5)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(50)
+    ]
+    e = spark.createDataFrame(rows)
+    a = {r["vec_id"]: r["pq_code"] for r in with_pq_code(e, dim=16, m=4, k=8).collect()}
+    b = {r["vec_id"]: r["pq_code"] for r in with_pq_code(e, dim=16, m=4, k=8).collect()}
+    assert a == b
+    for code in a.values():
+        assert len(code) == 4 and all(0 <= c < 8 for c in code)
+
+
+def test_pq_reconstruction_is_codebook_lookup(spark):
+    from geosparql_etl_spark.operators.similarity import (
+        _pq_codebooks,
+        pq_reconstruct,
+        with_pq_code,
+    )
+
+    books = _pq_codebooks(16, 4, 8)
+    e = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.25 * i for i in range(16)])]
+    )
+    row = (
+        with_pq_code(e, dim=16, m=4, k=8)
+        .select(
+            "pq_code",
+            pq_reconstruct(F.col("pq_code"), dim=16, m=4, k=8).alias("rv"),
+        )
+        .first()
+    )
+    want = [v for j, c in enumerate(row["pq_code"]) for v in books[j][c]]
+    assert row["rv"] == pytest.approx(want)
+
+
+def test_pq_topk_beats_random_on_clustered_data(spark):
+    """PQ approximate ranking must surface true near neighbors: build
+    two tight clusters; every query's top neighbors must come from its
+    own cluster."""
+    import random
+
+    from geosparql_etl_spark.operators.similarity import pq_topk
+
+    rng = random.Random(11)
+
+    def around(center, n, start_id):
+        return [
+            Row(
+                vec_id=start_id + i,
+                embedding=[c + rng.uniform(-0.05, 0.05) for c in center],
+            )
+            for i in range(n)
+        ]
+
+    c1 = [1.0] * 8 + [-1.0] * 8
+    c2 = [-1.0] * 8 + [1.0] * 8
+    e = spark.createDataFrame(around(c1, 10, 0) + around(c2, 10, 100))
+    q = e.where(F.col("vec_id").isin(0, 100))
+    out = pq_topk(e, q, kq=5, dim=16, m=4, k=16).collect()
+    for r in out:
+        same_cluster = (r["query_id"] < 100) == (r["neighbor_id"] < 100)
+        assert same_cluster, (r["query_id"], r["neighbor_id"])
