@@ -50,6 +50,10 @@ HEADLINE = [
     "llm01_corpus_curation",
     "g15_spatial_join",
     "s05_attribution_join",
+    "txt10_tfidf_topterms",
+    "sim06_pq_ann",
+    "llm06_incremental_dedup",
+    "w04_global_rank",
 ]
 
 
