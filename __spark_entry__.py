@@ -3207,6 +3207,169 @@ def _sql_j10():
     """
 
 
+def j11_fuzzy_candidates(spark, sf_dir):
+    """Blocked fuzzy matching (entity canonicalization): for every
+    DISTINCT part name, its best other-name match — same (first word,
+    length) block, Levenshtein <= 2, nearest distance wins, ties to
+    the lexicographically smallest match.
+
+    Two things make edit distance feasible at scale: (1) matching runs
+    over the distinct VALUE DOMAIN, not the rows (a 100 TB fact table
+    repeats a vocabulary orders of magnitude smaller — dedup first,
+    then broadcast the canonical map back); (2) candidates come from a
+    blocking-key equi-join, never all-pairs — the block bounds per-key
+    work like lsh_candidate_pairs' max_bucket, trading recall for cost
+    (a typo in the first word escapes the block; standard blocking
+    trade, documented)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("n"))
+        .distinct()
+        .withColumn(
+            "blk",
+            F.concat(
+                F.split(F.col("n"), " ").getItem(0),
+                F.lit("|"),
+                F.length("n").cast("string"),
+            ),
+        )
+    )
+    a = p.select("blk", F.col("n").alias("name"))
+    b = p.select("blk", F.col("n").alias("match_name"))
+    cand = (
+        a.join(b, "blk")
+        .where(F.col("name") != F.col("match_name"))
+        .select(
+            "name",
+            "match_name",
+            F.levenshtein(F.col("name"), F.col("match_name")).alias("distance"),
+        )
+        .where(F.col("distance") <= 2)
+    )
+    w = Window.partitionBy("name").orderBy(F.asc("distance"), F.asc("match_name"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("name", "match_name", "distance")
+    )
+
+
+def _sql_j11():
+    return """
+    WITH p AS (SELECT DISTINCT p_name AS n FROM part),
+    pb AS (SELECT n, split_part(n, ' ', 1) || '|' || CAST(length(n) AS VARCHAR) AS blk
+           FROM p),
+    cand AS (
+      SELECT a.n AS name, b.n AS match_name, levenshtein(a.n, b.n) AS distance
+      FROM pb a JOIN pb b ON a.blk = b.blk AND a.n != b.n
+      WHERE levenshtein(a.n, b.n) <= 2)
+    SELECT name, match_name, distance FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY name ORDER BY distance ASC, match_name ASC) AS rn
+      FROM cand) WHERE rn = 1
+    """
+
+
+def w05_window_frames(spark, sf_dir):
+    """Window FRAME coverage (§2.5 extension): per-customer running
+    order total (unbounded preceding) and 3-order moving average —
+    the cumulative/rolling metrics shape. Partitioned by customer, so
+    the window parallelizes across customers at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = w.rowsBetween(-2, Window.currentRow)
+    # sums/max of 2-decimal inputs, never avg: an average can land
+    # exactly on a .xx5 rounding boundary where Spark (decimal-string
+    # HALF_UP) and the oracle (binary-double) round apart
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        F.round(F.sum("o_totalprice").over(moving), 2).alias("moving_sum3"),
+        F.round(F.max("o_totalprice").over(moving), 2).alias("moving_max3"),
+    )
+
+
+def _sql_w05():
+    frame = (
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS BETWEEN {} AND CURRENT ROW"
+    )
+    run = frame.format("UNBOUNDED PRECEDING")
+    mov = frame.format("2 PRECEDING")
+    return f"""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER ({run}), 2) AS running_total,
+           round(sum(o_totalprice) OVER ({mov}), 2) AS moving_sum3,
+           round(max(o_totalprice) OVER ({mov}), 2) AS moving_max3
+    FROM orders
+    """
+
+
+def a13_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping markers (§2.4 extension
+    completing the rollup/cube family): (flag, status), (flag), ()
+    in one pass, disambiguated by grouping() indicators."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+def _sql_a13():
+    return """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """
+
+
+def sim07_vector_stats(spark, sf_dir):
+    """Per-vector summary statistics over the embedding column —
+    dimension, L2 norm, min/max/mean — all native array expressions
+    (array_min/max + sequential folds), the validation pass an
+    embedding pipeline runs before indexing."""
+    from geosparql_etl_spark.operators.similarity import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    total = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(l2_norm(v), 6).alias("l2"),
+        F.round(F.array_min(v).cast("double"), 6).alias("vmin"),
+        F.round(F.array_max(v).cast("double"), 6).alias("vmax"),
+        F.round(total / F.size(v), 6).alias("vmean"),
+    )
+
+
+def _sql_sim07():
+    return """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id, len(v) AS dim,
+           round(sqrt(list_dot_product(v, v)), 6) AS l2,
+           round(list_aggregate(v, 'min'), 6) AS vmin,
+           round(list_aggregate(v, 'max'), 6) AS vmax,
+           round(list_aggregate(v, 'sum') / len(v), 6) AS vmean
+    FROM e
+    """
+
+
 def sim06_pq_ann(spark, sf_dir):
     """Product-quantization ANN top-5 (queries vec_id < 5): the corpus
     is PQ-encoded to 8 nibble codes (m=8 subspaces x 16 centroids,
@@ -3373,6 +3536,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s07_funnel": s07_funnel,
     "sim06_pq_ann": sim06_pq_ann,
     "llm06_incremental_dedup": llm06_incremental_dedup,
+    "j11_fuzzy_candidates": j11_fuzzy_candidates,
+    "w05_window_frames": w05_window_frames,
+    "a13_grouping_sets": a13_grouping_sets,
+    "sim07_vector_stats": sim07_vector_stats,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_fingerprint": d02_fingerprint,
     "d03_minhash_signature": d03_minhash_signature,
@@ -3540,6 +3707,10 @@ _ORACLES: dict[str, str] = {
     "s07_funnel": _sql_s07(),
     "sim06_pq_ann": _sql_sim06(),
     "llm06_incremental_dedup": _sql_llm06(),
+    "j11_fuzzy_candidates": _sql_j11(),
+    "w05_window_frames": _sql_w05(),
+    "a13_grouping_sets": _sql_a13(),
+    "sim07_vector_stats": _sql_sim07(),
     "d09_simhash_pairs": _sql_d09(),
     "mm03_audio_features": _sql_mm03(),
     "txt07_pii_redact": _sql_txt07(),
