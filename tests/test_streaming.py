@@ -275,3 +275,80 @@ def test_stream_static_broadcast_enrichment(spark, events_src, sf_dir):
     n_batch = _batch_events(spark, events_src).count()
     assert n_stream == n_batch
     assert out.where(F.col("type_label") != F.upper("event_type")).count() == 0
+
+
+def test_transform_with_state_minmax_across_batches(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 processor API): per-user
+    min/max/count accumulate across micro-batches; the final emitted
+    row per user equals the batch aggregate over all input."""
+    from geosparql_etl_spark.streaming.stateful import (
+        _twsp_available,
+        running_user_minmax,
+    )
+
+    if not _twsp_available():
+        pytest.skip(
+            "transformWithStateInPandas needs protobuf (state-server "
+            "protocol); not installed in this environment"
+        )
+
+    # transformWithState requires the RocksDB state store; scope the
+    # provider switch to this query (it binds at query start)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    full = _batch_events(
+        spark, f"{sf_dir}/events.parquet"
+    ).limit(300).cache()
+    a, b = full.randomSplit([0.5, 0.5], seed=13)
+    a.coalesce(1).write.mode("append").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = running_user_minmax(
+        events_file_stream(spark, src).select("user_id", "value")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_minmax")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
+
+    out = spark.table("running_minmax")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "vmin", "vmax", "n_events")
+    )
+    got = {
+        r["user_id"]: (round(r["vmin"], 6), round(r["vmax"], 6), r["n_events"])
+        for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (round(r["lo"], 6), round(r["hi"], 6), r["n"])
+        for r in full.groupBy("user_id")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
