@@ -98,3 +98,47 @@ def test_sha256_matches_hashlib(spark, s):
     df = spark.createDataFrame([(s,)], ["t"])
     got = df.select(sha256_id(F.col("t")).alias("h")).first()["h"]
     assert got == hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+@given(
+    s=st.text(
+        alphabet=st.characters(max_codepoint=0x2FF),
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_normalize_text_idempotent(spark, s):
+    """normalize(normalize(x)) == normalize(x): cleanup is a projection
+    onto canonical form, so re-running an ingest stage can't change
+    already-normalized documents."""
+    from geosparql_etl_spark.functions.textstats import normalize_text
+
+    df = spark.createDataFrame([(s,)], ["t"])
+    row = df.select(
+        normalize_text(F.col("t")).alias("once"),
+        normalize_text(normalize_text(F.col("t"))).alias("twice"),
+    ).first()
+    assert row["once"] == row["twice"]
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60
+    )
+)
+@settings(**_SETTINGS)
+def test_global_rank_is_a_permutation_and_respects_order(spark, vals):
+    """global_rank emits each row exactly once with ranks 1..n, and a
+    row's rank is consistent with the requested total order — for any
+    bucket coarsening of that order."""
+    from geosparql_etl_spark.operators.partitioning import global_rank
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(4)
+    bucket = F.floor(F.col("v") / F.lit(1000.0)).cast("bigint")
+    out = global_rank(df, [F.asc("v"), F.asc("id")], bucket).collect()
+    assert sorted(r["rank"] for r in out) == list(range(1, len(vals) + 1))
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert [(r["v"], r["id"]) for r in by_rank] == sorted(
+        (v, i) for i, v in enumerate(vals)
+    )
