@@ -3335,6 +3335,80 @@ def _sql_a13():
     """
 
 
+def llm07_stratified_topk_sample(spark, sf_dir):
+    """Deterministic per-stratum sample: exactly min(k, stratum size)
+    docs per language, selected by hash rank (md5 of doc_id) — the
+    eval-set construction pattern. Unlike rate-based sampling (llm02)
+    the output SIZE is exact per stratum; unlike RNG sampling the
+    selection is stable across runs, engines, and cluster sizes. The
+    ranking window partitions BY STRATUM, so it parallelizes across
+    strata (one skewed stratum bounds a single partition's sort, not
+    the job)."""
+    d = _t(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .select("doc_id", "lang", F.col("rn").alias("sample_rank"))
+    )
+
+
+def _sql_llm07():
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+    SELECT doc_id, lang, rn AS sample_rank FROM (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang ORDER BY {h} ASC, doc_id ASC) AS rn
+      FROM documents) WHERE rn <= 25
+    """
+
+
+def s08_gap_fill_resample(spark, sf_dir):
+    """Time-series resample with gap filling: per event-type hourly
+    counts INCLUDING empty hours (count 0) across each type's active
+    range. The hour spine is generated per type with sequence() —
+    bounded by the time range, not the row count — and left-joined to
+    the observed counts; a telemetry pipeline's densify step."""
+    e = _events(spark, sf_dir)
+    hours = e.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = hours.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    counts = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        F.unix_micros("hour").alias("hour_us"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+def _sql_s08():
+    return """
+    WITH rng AS (
+      SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events GROUP BY 1),
+    spine AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM rng),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT s.event_type, epoch_us(s.hour) AS hour_us, coalesce(c.n, 0) AS n
+    FROM spine s LEFT JOIN counts c
+      ON s.event_type = c.event_type AND s.hour = c.hour
+    """
+
+
 def sim07_vector_stats(spark, sf_dir):
     """Per-vector summary statistics over the embedding column —
     dimension, L2 norm, min/max/mean — all native array expressions
@@ -3540,6 +3614,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w05_window_frames": w05_window_frames,
     "a13_grouping_sets": a13_grouping_sets,
     "sim07_vector_stats": sim07_vector_stats,
+    "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
+    "s08_gap_fill_resample": s08_gap_fill_resample,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_fingerprint": d02_fingerprint,
     "d03_minhash_signature": d03_minhash_signature,
@@ -3711,6 +3787,8 @@ _ORACLES: dict[str, str] = {
     "w05_window_frames": _sql_w05(),
     "a13_grouping_sets": _sql_a13(),
     "sim07_vector_stats": _sql_sim07(),
+    "llm07_stratified_topk_sample": _sql_llm07(),
+    "s08_gap_fill_resample": _sql_s08(),
     "d09_simhash_pairs": _sql_d09(),
     "mm03_audio_features": _sql_mm03(),
     "txt07_pii_redact": _sql_txt07(),
