@@ -127,3 +127,26 @@ def test_global_rank_plan_has_no_global_corpus_window(spark):
         # the offsets window sorts __bucket rows (post-aggregate), so
         # its ordering key must be the bucket itself
         assert "__bucket" in w, w
+
+
+def test_degenerate_text_inputs(spark):
+    """Null/empty text: null normalizes to null and drops out of term
+    stats (no tokens); empty text keeps the whole-text fallback shingle
+    (matching d04's shingler) but contributes no terms."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "hello world hello")],
+        "doc_id long, text string",
+    )
+    norm = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert norm == {1: None, 2: "", 3: "hello world hello"}
+
+    tf = tfidf_top_terms(docs)
+    assert {r.doc_id for r in tf.collect()} == {3}
+
+    br = {r.doc_id for r in boilerplate_ratio(docs).collect()}
+    assert br == {2, 3}
