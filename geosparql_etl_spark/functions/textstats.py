@@ -119,48 +119,40 @@ def fingerprint64(text: Column) -> Column:
 
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles (distinct, order-insensitive set) of normalized text.
-    Building block for minhash / jaccard dedup.
+    Building block for minhash / jaccard dedup. Null text -> null (so
+    explode() drops the row); n < k tokens -> the whole-text fallback
+    shingle.
 
-    Implemented as ONE aggregate() fold over the token array. The naive
-    form — transform(sequence(1, n-k+1), i -> concat_ws(element_at(toks,
-    i), ...)) — references `toks` k times per element, and interpreted
-    HOF lambdas re-evaluate the whole referenced subtree (regex + split
-    of the full text) on every reference: O(k·n) full-text regexes per
-    document (measured 22.7s -> 4.4s for 5k docs at sf0.1). A fold's
-    input is evaluated exactly once no matter how the caller embeds it.
-
-    The accumulator carries (win: last k-1 tokens, out: shingles so
-    far); when the window is full, token t completes shingle win+t.
-    For n < k the window ends holding all n tokens, giving the
-    whole-text fallback shingle.
+    Two performance constraints shape the expression:
+    - the token array must be evaluated ONCE: interpreted HOF lambdas
+      re-evaluate referenced subtrees per reference, so a transform
+      that names `toks` k times re-runs the full-text regex O(k·n)
+      times per document (measured 22.7s for 5k sf0.1 docs). Wrapping
+      the tokens in a 1-element array and transforming over it binds
+      them to a lambda variable — lambda arguments are materialized
+      values, so every inner reference is an attribute read.
+    - the earlier aggregate() fold met that constraint but appended to
+      its accumulator with array concat — O(n²) copying in document
+      length. The bound transform + slice form is O(n·k): measured
+      1.42s -> 0.44s on sf0.1 documents, identical output.
     """
     toks = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
-    zero = F.struct(
-        F.array().cast("array<string>").alias("win"),
-        F.array().cast("array<string>").alias("out"),
-    )
 
-    def step(acc, t):
-        full = F.size(acc["win"]) == (k - 1)
-        grown = F.concat(acc["win"], F.array(t))
-        return F.struct(
-            F.when(full, F.slice(grown, 2, k - 1)).otherwise(grown).alias("win"),
-            F.when(
-                full, F.concat(acc["out"], F.array(F.concat_ws(" ", grown)))
-            )
-            .otherwise(acc["out"])
-            .alias("out"),
+    def over_tokens(tk: Column) -> Column:
+        n = F.size(tk)
+        windows = F.transform(
+            # ascending by construction: the branch only runs when n >= k
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, k)),
+        )
+        return F.when(n >= k, F.array_distinct(windows)).otherwise(
+            F.array(F.concat_ws(" ", tk))
         )
 
-    fold = F.aggregate(
-        toks,
-        zero,
-        step,
-        lambda acc: F.when(F.size(acc["out"]) > 0, acc["out"]).otherwise(
-            F.array(F.concat_ws(" ", acc["win"]))
-        ),
+    bound = F.element_at(F.transform(F.array(toks), over_tokens), 1)
+    return F.when(text.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        bound
     )
-    return F.array_distinct(fold)
 
 
 def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
