@@ -3507,6 +3507,103 @@ def _sql_sim06():
     """
 
 
+def sim08_ivfpq_ann(spark, sf_dir):
+    """The composed billion-scale ANN pipeline (SCALE.md's 'the three
+    compose'): IVF cells partition-prune (probe top-2 of 16), PQ codes
+    rank candidates by asymmetric distance (8 nibble codes, no raw
+    vectors), top-20 shortlist per query, exact cosine re-score, final
+    top-5. Every stage deterministic; the oracle replays cells, codes,
+    reconstruction, both rankings in SQL with the seeded constants as
+    literals."""
+    from geosparql_etl_spark.operators.similarity import ivf_pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_pq_topk(e, q, kq=5, shortlist=20)
+
+
+def _sql_sim08():
+    from geosparql_etl_spark.operators.similarity import (
+        _ivf_centroids,
+        _pq_codebooks,
+    )
+
+    ivf = _ivf_centroids(64, 16)
+    ivf_rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in c))
+        for i, c in enumerate(ivf)
+    )
+    books = _pq_codebooks(64, 8, 16)
+    pq_rows = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[], %.17g)"
+        % (
+            j,
+            c,
+            ", ".join("%.17g" % v for v in cent),
+            sum(v * v for v in cent),
+        )
+        for j, cents in enumerate(books)
+        for c, cent in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ivf AS (SELECT * FROM (VALUES {ivf_rows}) AS t(c, cent)),
+    iscored AS (SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ivf),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM iscored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM iscored WHERE vec_id < 5) WHERE rn <= 2),
+    ct AS (SELECT * FROM (VALUES {pq_rows}) AS t(j, c, cent, cc)),
+    d2 AS (
+      SELECT vec_id, j, c,
+             -2 * list_dot_product(list_slice(v, j * 8 + 1, (j + 1) * 8), cent)
+               + cc AS d
+      FROM e, ct),
+    codes AS (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM d2) WHERE rn = 1),
+    recon AS (
+      SELECT codes.vec_id, flatten(list(cent ORDER BY codes.j)) AS rv
+      FROM codes JOIN ct USING (j, c) GROUP BY codes.vec_id),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    approx AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_dot_product(q.v, q.v)
+                   - 2 * list_dot_product(q.v, r.rv)
+                   + list_dot_product(r.rv, r.rv), 6) AS approx_d2
+      FROM cand
+      JOIN e q ON q.vec_id = cand.query_id
+      JOIN recon r ON r.vec_id = cand.neighbor_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC) AS rn
+        FROM approx) WHERE rn <= 20),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             round(list_cosine_similarity(q.v, n.v), 6) AS cosine_sim
+      FROM short s
+      JOIN e q ON q.vec_id = s.query_id
+      JOIN e n ON n.vec_id = s.neighbor_id)
+    SELECT query_id, neighbor_id, cosine_sim, rn AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM exact) WHERE rn <= 5
+    """
+
+
 def llm06_incremental_dedup(spark, sf_dir):
     """Incremental corpus ingestion: the incoming batch (hash bucket
     >= 80, the same stable split as llm03) is deduped (a) within
@@ -3616,6 +3713,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim07_vector_stats": sim07_vector_stats,
     "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
     "s08_gap_fill_resample": s08_gap_fill_resample,
+    "sim08_ivfpq_ann": sim08_ivfpq_ann,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_fingerprint": d02_fingerprint,
     "d03_minhash_signature": d03_minhash_signature,
@@ -3789,6 +3887,7 @@ _ORACLES: dict[str, str] = {
     "sim07_vector_stats": _sql_sim07(),
     "llm07_stratified_topk_sample": _sql_llm07(),
     "s08_gap_fill_resample": _sql_s08(),
+    "sim08_ivfpq_ann": _sql_sim08(),
     "d09_simhash_pairs": _sql_d09(),
     "mm03_audio_features": _sql_mm03(),
     "txt07_pii_redact": _sql_txt07(),

@@ -725,3 +725,109 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= kq
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kq: int = 5,
+    shortlist: int = 20,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m: int = 8,
+    k: int = 16,
+) -> DataFrame:
+    """The composed billion-scale ANN pipeline: IVF cells prune which
+    partitions are read, PQ codes make the per-cell scan cheap, exact
+    cosine re-scores only the shortlist.
+
+    Stage 1 (prune):   candidates = corpus rows in the query's n_probe
+                       nearest cells — at scale the corpus is laid out
+                       partitioned by cell, so this is partition
+                       pruning, not a filter.
+    Stage 2 (scan):    rank candidates by PQ asymmetric distance
+                       (reconstruct-and-score over 8 nibble codes, no
+                       raw vectors touched), keep ``shortlist`` per
+                       query.
+    Stage 3 (verify):  exact deterministic cosine on the shortlist
+                       only; final top ``kq``.
+
+    Both rankings order on ROUNDED scores with id tie-breaks, so the
+    result is deterministic and oracle-replicable end to end.
+    """
+    cb = with_pq_code(
+        with_ivf_cell(spread(corpus), vec_col, dim, n_cells), vec_col, dim, m, k
+    )
+    recon = pq_reconstruct(F.col("pq_code"), dim, m, k)
+    cseln = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("ivf_cell").alias("__cell"),
+        F.col(vec_col).alias("__cv"),
+        recon.alias("__rv"),
+    ).withColumn("__rr", dot(F.col("__rv"), F.col("__rv"), dim)).withColumn(
+        "__cn", l2_norm(F.col("__cv"), dim)
+    )
+
+    cents = _ivf_centroids(dim, n_cells)
+    scored_cells = F.array(
+        *[
+            F.struct(
+                dot(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias(
+                    "score"
+                ),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = F.slice(F.reverse(F.array_sort(scored_cells)), 1, n_probe)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        dot(F.col(vec_col), F.col(vec_col), dim).alias("__qq"),
+        l2_norm(F.col(vec_col), dim).alias("__qn"),
+        F.explode(F.transform(probes, lambda s: s["cell"])).alias("__cell"),
+    )
+
+    cand = cseln.join(F.broadcast(qb), "__cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    approx = cand.select(
+        "query_id",
+        "neighbor_id",
+        "__qv",
+        "__qn",
+        "__cv",
+        "__cn",
+        F.round(
+            F.col("__qq")
+            - F.lit(2.0) * dot(F.col("__qv"), F.col("__rv"), dim)
+            + F.col("__rr"),
+            6,
+        ).alias("approx_d2"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    short = approx.withColumn("__rn1", F.row_number().over(w1)).where(
+        F.col("__rn1") <= shortlist
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    exact = short.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= kq
+    )
