@@ -3507,6 +3507,46 @@ def _sql_sim06():
     """
 
 
+def llm08_chunking(spark, sf_dir):
+    """Context-window chunking (RAG / pretraining ingestion): each
+    document splits into overlapping word windows (size 50, stride 40)
+    with stable chunk ordinals — re-running ingest yields identical
+    chunk ids. The word array is projected BELOW the explode so the
+    normalization regex runs once per document, not per chunk; chunk
+    content is carried as md5 (the dedup/index key) instead of
+    repeating text."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    t = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", words.alias("w"))
+        .withColumn(
+            "start", F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(40)))
+        )
+    )
+    chunk = F.slice(F.col("w"), F.col("start"), 50)
+    return t.select(
+        "doc_id",
+        ((F.col("start") - 1) / 40).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+def _sql_llm08():
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents WHERE text IS NOT NULL),
+    s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 40)) AS start FROM w)
+    SELECT doc_id,
+           CAST((start - 1) / 40 AS BIGINT) AS chunk_idx,
+           least(50, len(w) - start + 1) AS n_words,
+           md5(array_to_string(w[start : start + 49], ' ')) AS chunk_md5
+    FROM s
+    """
+
+
 def sim08_ivfpq_ann(spark, sf_dir):
     """The composed billion-scale ANN pipeline (SCALE.md's 'the three
     compose'): IVF cells partition-prune (probe top-2 of 16), PQ codes
@@ -3714,6 +3754,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
     "s08_gap_fill_resample": s08_gap_fill_resample,
     "sim08_ivfpq_ann": sim08_ivfpq_ann,
+    "llm08_chunking": llm08_chunking,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_fingerprint": d02_fingerprint,
     "d03_minhash_signature": d03_minhash_signature,
@@ -3888,6 +3929,7 @@ _ORACLES: dict[str, str] = {
     "llm07_stratified_topk_sample": _sql_llm07(),
     "s08_gap_fill_resample": _sql_s08(),
     "sim08_ivfpq_ann": _sql_sim08(),
+    "llm08_chunking": _sql_llm08(),
     "d09_simhash_pairs": _sql_d09(),
     "mm03_audio_features": _sql_mm03(),
     "txt07_pii_redact": _sql_txt07(),
