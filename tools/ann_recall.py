@@ -23,6 +23,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from geosparql_etl_spark.operators.similarity import (  # noqa: E402
     ann_topk,
     cosine_topk,
+    ivf_pq_topk,
     ivf_topk,
     with_ivf_cell,
     with_lsh_buckets,
@@ -108,6 +109,22 @@ def main():
         frac = n_probe * avg_cell / n_corpus
         print(
             f"{'IVF cells=' + str(n_cells) + ' probe=' + str(n_probe):<34} "
+            f"{r:>9.3f} {hi:>9.3f} {frac:>11.3f} {dt:>6.1f}"
+        )
+
+    for n_probe, shortlist in [(2, 20), (4, 40), (8, 40)]:
+        t0 = time.time()
+        approx = ivf_pq_topk(
+            e, q, kq=k, shortlist=shortlist, dim=64,
+            n_cells=16, n_probe=n_probe,
+        )
+        r, hi = recall_of(approx, exact, k)
+        dt = time.time() - t0
+        # exact re-scores per query = the shortlist, the only stage
+        # touching raw vectors
+        frac = shortlist / (n_corpus - 1)
+        print(
+            f"{'IVF+PQ probe=' + str(n_probe) + ' short=' + str(shortlist):<34} "
             f"{r:>9.3f} {hi:>9.3f} {frac:>11.3f} {dt:>6.1f}"
         )
 
