@@ -1351,7 +1351,9 @@ def d08_dedup_clusters(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, min_jaccard=0.2)
-    return dedup_clusters(pairs)
+    # the inverted-index join emits distinct ordered pairs (groupBy
+    # output), so the edge-mirror dedup shuffle can be skipped
+    return dedup_clusters(pairs, unique_pairs=True)
 
 
 def _sql_d08():

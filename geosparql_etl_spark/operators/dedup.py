@@ -221,6 +221,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     stats: dict | None = None,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``pairs``, where cluster_id
     is the minimum node id of its connected component.
@@ -262,11 +263,16 @@ def connected_components(
     # undirected: propagate both ways along every edge. Materialized
     # ONCE — without the checkpoint the (possibly expensive) upstream
     # pair computation would re-execute inside every round's join.
-    und = _cut(
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).dropDuplicates()
+    # unique_pairs: when the caller guarantees distinct undirected
+    # pairs (any groupBy-produced pair set — d04's inverted-index
+    # output, LSH candidate dedup), mirroring cannot create duplicates
+    # and the dedup shuffle of the full edge list is skipped.
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if not unique_pairs:
+        und = und.dropDuplicates()
+    und = _cut(und)
 
     # Size the iteration to the GRAPH, not the corpus: the pair graph
     # is usually orders of magnitude smaller than the documents that
@@ -326,12 +332,13 @@ def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size) for every node in a near-dup
     pair — connected components plus component sizes. Rows with
     doc_id == cluster_id are the keepers; the rest are transitive
     duplicates of that keeper."""
-    cc = connected_components(pairs, id_a, id_b)
+    cc = connected_components(pairs, id_a, id_b, unique_pairs=unique_pairs)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return cc.select(F.col("node").alias("doc_id"), "cluster_id").join(
         sizes, "cluster_id"
