@@ -3509,6 +3509,58 @@ def _sql_sim06():
     """
 
 
+def g16_point_in_polygon(spark, sf_dir):
+    """Point-in-polygon (G-family extension): even-odd ray casting over
+    the per-part triangle (0,0)-(size,0)-(0,price), probed with one
+    strictly interior point (size/4, price/4) and one strictly exterior
+    point (size, price). All native expressions
+    (functions/geometry.py:point_in_ring); the oracle replays the same
+    per-edge crossing arithmetic term-for-term, so the booleans are
+    bit-portable (no float output to round)."""
+    from geosparql_etl_spark.functions.geometry import point_in_ring
+
+    p = _t(spark, sf_dir, "part")
+    s = F.col("p_size").cast("double")
+    r = F.col("p_retailprice")
+    ring = F.array(
+        F.array(F.lit(0.0), F.lit(0.0)),
+        F.array(s, F.lit(0.0)),
+        F.array(F.lit(0.0), r),
+    )
+    return p.select(
+        "p_partkey",
+        point_in_ring(ring, s / 4, r / 4).alias("centroid_in"),
+        point_in_ring(ring, s, r).alias("corner_in"),
+    )
+
+
+def _sql_g16():
+    # per-edge crossing tests written term-for-term as point_in_ring
+    # computes them for ring [[0,0],[s,0],[0,r]]:
+    #   edge A->B horizontal: straddle conjunct false, never crosses
+    #   edge B->C: xint = (0-s)*(py-0)/(r-0)+s
+    #   edge C->A: xint = (0-0)*(py-r)/(0-r)+0
+    def inside(px, py):
+        cross_bc = (
+            f"(CASE WHEN ((0 > {py}) != (r > {py})) AND "
+            f"({px} < (0 - s) * ({py} - 0) / (r - 0) + s) THEN 1 ELSE 0 END)"
+        )
+        cross_ca = (
+            f"(CASE WHEN ((r > {py}) != (0 > {py})) AND "
+            f"({px} < (0 - 0) * ({py} - r) / (0 - r) + 0) THEN 1 ELSE 0 END)"
+        )
+        return f"(({cross_bc} + {cross_ca}) % 2 = 1)"
+
+    return f"""
+    WITH p AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS s,
+                      p_retailprice AS r FROM part)
+    SELECT p_partkey,
+           {inside('(s / 4)', '(r / 4)')} AS centroid_in,
+           {inside('s', 'r')} AS corner_in
+    FROM p
+    """
+
+
 def llm08_chunking(spark, sf_dir):
     """Context-window chunking (RAG / pretraining ingestion): each
     document splits into overlapping word windows (size 50, stride 40)
@@ -3757,6 +3809,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s08_gap_fill_resample": s08_gap_fill_resample,
     "sim08_ivfpq_ann": sim08_ivfpq_ann,
     "llm08_chunking": llm08_chunking,
+    "g16_point_in_polygon": g16_point_in_polygon,
     "d01_dedup_exact": d01_dedup_exact,
     "d02_fingerprint": d02_fingerprint,
     "d03_minhash_signature": d03_minhash_signature,
@@ -3932,6 +3985,7 @@ _ORACLES: dict[str, str] = {
     "s08_gap_fill_resample": _sql_s08(),
     "sim08_ivfpq_ann": _sql_sim08(),
     "llm08_chunking": _sql_llm08(),
+    "g16_point_in_polygon": _sql_g16(),
     "d09_simhash_pairs": _sql_d09(),
     "mm03_audio_features": _sql_mm03(),
     "txt07_pii_redact": _sql_txt07(),

@@ -330,3 +330,30 @@ def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def point_in_ring(ring: Column, px: Column, py: Column) -> Column:
+    """Even-odd ray casting: is (px, py) strictly inside the ring?
+
+    One +x ray from the point; an edge (p1 -> p2, wraparound close)
+    crosses iff the edge straddles py and the ray's x-intersection lies
+    right of px. Division by zero for horizontal edges yields ±inf/NaN
+    under IEEE semantics, and the straddle conjunct is already false
+    there — both engines compare NaN identically (larger than any
+    value), so the expression is oracle-portable without special
+    casing. Points exactly ON an edge are parity-undefined (standard
+    for even-odd); callers pick strictly interior/exterior probes.
+    """
+    n = F.size(ring)
+
+    def crossing(i: Column) -> Column:
+        p1 = F.element_at(ring, i)
+        p2 = F.element_at(ring, (i % n) + 1)
+        x1, y1 = p1[0], p1[1]
+        x2, y2 = p2[0], p2[1]
+        straddles = (y1 > py) != (y2 > py)
+        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        return straddles & (px < xint)
+
+    hits = F.size(F.filter(F.sequence(F.lit(1), n), crossing))
+    return (hits % 2) == 1

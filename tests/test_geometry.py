@@ -124,3 +124,31 @@ def test_image_bbox_wkt(spark):
 
 def test_safe_polygon_wkt_default(spark):
     assert _one(spark, G.safe_polygon_wkt(F.col("c")), c=[]) == "POINT EMPTY"
+
+
+def test_point_in_ring_nonconvex(spark):
+    """Even-odd ray casting on a U-shaped (non-convex) ring: the notch
+    between the arms is OUTSIDE even though the bbox contains it."""
+    from pyspark.sql import functions as F
+
+    from geosparql_etl_spark.functions.geometry import point_in_ring
+
+    # U shape: arms at x in [0,1] and [3,4], base y in [0,1], height 3
+    u = [
+        (0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (3.0, 3.0),
+        (3.0, 1.0), (1.0, 1.0), (1.0, 3.0), (0.0, 3.0),
+    ]
+    ring = F.array(*[F.array(F.lit(x), F.lit(y)) for x, y in u])
+    probes = [
+        (0.5, 2.0, True),   # left arm
+        (3.5, 2.0, True),   # right arm
+        (2.0, 0.5, True),   # base
+        (2.0, 2.0, False),  # the notch: inside bbox, outside ring
+        (5.0, 0.5, False),  # fully outside
+    ]
+    df = spark.range(1)
+    for px, py, want in probes:
+        got = df.select(
+            point_in_ring(ring, F.lit(px), F.lit(py)).alias("r")
+        ).first()["r"]
+        assert got == want, (px, py, got)
