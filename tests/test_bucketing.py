@@ -105,3 +105,40 @@ def test_embedding_neardup_lsh_equals_exact(spark, sf_dir):
                             bands=48, bits_per_band=4)
     exact = embedding_neardup(e, threshold=0.4, dim=64, mode="exact")
     assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_partitioned_layout_prunes_cells(spark, tmp_path):
+    """SCALE.md claims the IVF scale path is 'corpus written partitioned
+    by cell, probes read only matching partitions'. Demonstrate it:
+    write embeddings partitionBy(ivf_cell), read with a cell filter,
+    and assert the scan plan prunes to the probed partitions."""
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from geosparql_etl_spark.operators.similarity import with_ivf_cell
+
+    rng = random.Random(9)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(200)
+    ]
+    e = spark.createDataFrame(rows)
+    out = str(tmp_path / "ivf_layout")
+    with_ivf_cell(e, "embedding", dim=8, n_cells=4).write.partitionBy(
+        "ivf_cell"
+    ).parquet(out)
+
+    probed = spark.read.parquet(out).where(F.col("ivf_cell").isin(0, 1))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # partition pruning shows up as PartitionFilters on the scan, and
+    # the count only covers the probed cells
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
+    full = spark.read.parquet(out)
+    n_probed = probed.count()
+    n_full = full.count()
+    n_expected = full.where(F.col("ivf_cell").isin(0, 1)).count()
+    assert n_probed == n_expected and n_full == 200 and 0 < n_probed < n_full
