@@ -285,9 +285,15 @@ def _sql_j03():
 
 
 def j06_anti_join(spark, sf_dir):
-    """J6/P9: anti-join — customers with no orders."""
+    """J6/P9: anti-join — customers with no large (>300k) order.
+
+    The filtered right side makes the result non-empty at every SF
+    (every synthetic customer has SOME order, so the unfiltered form
+    proved nothing — any engine returning 0 rows hash-matched). The
+    filter sits on the orders scan, so it pushes down to parquet and
+    shrinks the anti-join's build side before the shuffle."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -296,7 +302,8 @@ def j06_anti_join(spark, sf_dir):
 def _sql_j06():
     return """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """
 
 
@@ -3222,19 +3229,18 @@ def j11_fuzzy_candidates(spark, sf_dir):
     blocking-key equi-join, never all-pairs — the block bounds per-key
     work like lsh_candidate_pairs' max_bucket, trading recall for cost
     (a typo in the first word escapes the block; standard blocking
-    trade, documented)."""
+    trade, documented).
+
+    Block = first word only, distance <= 4: the (first word, length)
+    block with distance <= 2 yielded ZERO pairs on the synthetic name
+    vocabulary — a 0-row result hash-matches trivially and proves
+    nothing — so the block was widened until the driver verifies real
+    matches (~176 candidate pairs at sf0.01, max block 8 names)."""
     p = (
         _t(spark, sf_dir, "part")
         .select(F.col("p_name").alias("n"))
         .distinct()
-        .withColumn(
-            "blk",
-            F.concat(
-                F.split(F.col("n"), " ").getItem(0),
-                F.lit("|"),
-                F.length("n").cast("string"),
-            ),
-        )
+        .withColumn("blk", F.split(F.col("n"), " ").getItem(0))
     )
     a = p.select("blk", F.col("n").alias("name"))
     b = p.select("blk", F.col("n").alias("match_name"))
@@ -3246,7 +3252,7 @@ def j11_fuzzy_candidates(spark, sf_dir):
             "match_name",
             F.levenshtein(F.col("name"), F.col("match_name")).alias("distance"),
         )
-        .where(F.col("distance") <= 2)
+        .where(F.col("distance") <= 4)
     )
     w = Window.partitionBy("name").orderBy(F.asc("distance"), F.asc("match_name"))
     return (
@@ -3259,12 +3265,11 @@ def j11_fuzzy_candidates(spark, sf_dir):
 def _sql_j11():
     return """
     WITH p AS (SELECT DISTINCT p_name AS n FROM part),
-    pb AS (SELECT n, split_part(n, ' ', 1) || '|' || CAST(length(n) AS VARCHAR) AS blk
-           FROM p),
+    pb AS (SELECT n, split_part(n, ' ', 1) AS blk FROM p),
     cand AS (
       SELECT a.n AS name, b.n AS match_name, levenshtein(a.n, b.n) AS distance
       FROM pb a JOIN pb b ON a.blk = b.blk AND a.n != b.n
-      WHERE levenshtein(a.n, b.n) <= 2)
+      WHERE levenshtein(a.n, b.n) <= 4)
     SELECT name, match_name, distance FROM (
       SELECT *, row_number() OVER (
         PARTITION BY name ORDER BY distance ASC, match_name ASC) AS rn
@@ -3731,7 +3736,7 @@ def _sql_llm06():
           PARTITION BY fp ORDER BY doc_id) AS rn
         FROM f WHERE pct >= 80) WHERE rn = 1)
     SELECT doc_id, fp FROM batch_first
-    WHERE fp NOT IN (SELECT fp FROM old)
+    WHERE NOT EXISTS (SELECT 1 FROM old WHERE old.fp = batch_first.fp)
     """
 
 
@@ -3784,8 +3789,71 @@ def _sql_s07():
 # file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver records correctness rows for the first 50 entries per
-    # round; order by verification need — queries without a green row
-    # in any prior CORRECTNESS_r*.json come first.
+    # round; order by verification need. Round-4 window: the two queries
+    # whose predicates changed this round (j06/j11 — previously passed
+    # with trivial 0-row results) plus the relational/geometry/text core
+    # whose last DRIVER-stamped rows predate the round-3 testdata
+    # regeneration (judge re-verified them on round-3 data; this
+    # converts that into a driver attestation on round-4 data).
+    "j06_anti_join": j06_anti_join,
+    "j11_fuzzy_candidates": j11_fuzzy_candidates,
+    "q01_pricing_summary": q01_pricing_summary,
+    "j01_multikey_equijoin": j01_multikey_equijoin,
+    "j02_broadcast_lookup": j02_broadcast_lookup,
+    "j03_enrich_missing_flag": j03_enrich_missing_flag,
+    "j05_stem_join": j05_stem_join,
+    "j07_semi_join": j07_semi_join,
+    "j08_range_join": j08_range_join,
+    "j09_asof_join": j09_asof_join,
+    "a01_argmax_window": a01_argmax_window,
+    "a02_map_argmax": a02_map_argmax,
+    "a04_distinct_agg": a04_distinct_agg,
+    "a05_rate_metrics": a05_rate_metrics,
+    "a06_group_concat": a06_group_concat,
+    "a07_union_distinct": a07_union_distinct,
+    "a08_rollup": a08_rollup,
+    "a09_percentiles": a09_percentiles,
+    "p02_nested_defaults": p02_nested_defaults,
+    "p03_first_element": p03_first_element,
+    "p04_map_prefix_filter": p04_map_prefix_filter,
+    "p05_empty_geometry_filter": p05_empty_geometry_filter,
+    "p06_membership_filter": p06_membership_filter,
+    "p07_annotation_predicate": p07_annotation_predicate,
+    "p08_structured_string_predicate": p08_structured_string_predicate,
+    "p09_ledger_resume": p09_ledger_resume,
+    "p11_start_from": p11_start_from,
+    "p12_line_filter": p12_line_filter,
+    "p13_regex_exists": p13_regex_exists,
+    "w01_batch_window": w01_batch_window,
+    "w03_sort_offset": w03_sort_offset,
+    "g01_polygon_wkt": g01_polygon_wkt,
+    "g02_parse_polygon": g02_parse_polygon,
+    "g03_denormalized_wkt": g03_denormalized_wkt,
+    "g06_geometry_measures": g06_geometry_measures,
+    "g09_validity": g09_validity,
+    "g12_safe_wkt": g12_safe_wkt,
+    "g13_image_bbox": g13_image_bbox,
+    "g14_zorder_key": g14_zorder_key,
+    "g15_spatial_join": g15_spatial_join,
+    "h01_sha256": h01_sha256,
+    "t01_image_id": t01_image_id,
+    "t02_patch_metadata": t02_patch_metadata,
+    "t03_prefix_ops": t03_prefix_ops,
+    "t04_regex_extract": t04_regex_extract,
+    "t05_urn_rewrite": t05_urn_rewrite,
+    "t06_conditional_insert": t06_conditional_insert,
+    "t07_format_string": t07_format_string,
+    "t08_iso_timestamp": t08_iso_timestamp,
+    "t10_to_json": t10_to_json,
+    # --- below the 50-row window; next in line for the r05 rotation ---
+    "llm05_decontaminate": llm05_decontaminate,
+    "s01_tumbling_window": s01_tumbling_window,
+    "s02_sliding_window": s02_sliding_window,
+    "mm01_media_features": mm01_media_features,
+    "mm02_frame_sampling": mm02_frame_sampling,
+    "mm03_audio_features": mm03_audio_features,
+    "h02_file_hash": h02_file_hash,
+    # --- driver-stamped green on round-3 testdata (CORRECTNESS_r03) ---
     "a10_pivot": a10_pivot,
     "s03_sessionization": s03_sessionization,
     "s04_session_window_native": s04_session_window_native,
@@ -3801,7 +3869,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s07_funnel": s07_funnel,
     "sim06_pq_ann": sim06_pq_ann,
     "llm06_incremental_dedup": llm06_incremental_dedup,
-    "j11_fuzzy_candidates": j11_fuzzy_candidates,
     "w05_window_frames": w05_window_frames,
     "a13_grouping_sets": a13_grouping_sets,
     "sim07_vector_stats": sim07_vector_stats,
@@ -3836,62 +3903,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt06_winnowing": txt06_winnowing,
     "txt07_pii_redact": txt07_pii_redact,
     "txt08_repetition": txt08_repetition,
-    "llm05_decontaminate": llm05_decontaminate,
-    "a09_percentiles": a09_percentiles,
-    "mm01_media_features": mm01_media_features,
-    "mm02_frame_sampling": mm02_frame_sampling,
-    "mm03_audio_features": mm03_audio_features,
-    "g14_zorder_key": g14_zorder_key,
-    "g15_spatial_join": g15_spatial_join,
-    "h02_file_hash": h02_file_hash,
-    "q01_pricing_summary": q01_pricing_summary,
-    "j01_multikey_equijoin": j01_multikey_equijoin,
-    "j02_broadcast_lookup": j02_broadcast_lookup,
-    "j03_enrich_missing_flag": j03_enrich_missing_flag,
-    "j06_anti_join": j06_anti_join,
-    "j07_semi_join": j07_semi_join,
-    "j08_range_join": j08_range_join,
-    "j09_asof_join": j09_asof_join,
-    "a08_rollup": a08_rollup,
-    "p09_ledger_resume": p09_ledger_resume,
-    "a01_argmax_window": a01_argmax_window,
-    "a02_map_argmax": a02_map_argmax,
-    "p04_map_prefix_filter": p04_map_prefix_filter,
-    "w01_batch_window": w01_batch_window,
-    "w03_sort_offset": w03_sort_offset,
-    "a04_distinct_agg": a04_distinct_agg,
-    "a06_group_concat": a06_group_concat,
-    "a07_union_distinct": a07_union_distinct,
-    "p02_nested_defaults": p02_nested_defaults,
-    "p03_first_element": p03_first_element,
-    "p05_empty_geometry_filter": p05_empty_geometry_filter,
-    "p06_membership_filter": p06_membership_filter,
-    "p07_annotation_predicate": p07_annotation_predicate,
-    "p08_structured_string_predicate": p08_structured_string_predicate,
-    "p11_start_from": p11_start_from,
-    "p12_line_filter": p12_line_filter,
-    "p13_regex_exists": p13_regex_exists,
-    "j05_stem_join": j05_stem_join,
-    "a05_rate_metrics": a05_rate_metrics,
-    "g01_polygon_wkt": g01_polygon_wkt,
-    "g02_parse_polygon": g02_parse_polygon,
-    "g03_denormalized_wkt": g03_denormalized_wkt,
-    "g06_geometry_measures": g06_geometry_measures,
-    "g09_validity": g09_validity,
-    "g12_safe_wkt": g12_safe_wkt,
-    "g13_image_bbox": g13_image_bbox,
-    "h01_sha256": h01_sha256,
-    "t01_image_id": t01_image_id,
-    "t02_patch_metadata": t02_patch_metadata,
-    "t03_prefix_ops": t03_prefix_ops,
-    "t04_regex_extract": t04_regex_extract,
-    "t05_urn_rewrite": t05_urn_rewrite,
-    "t06_conditional_insert": t06_conditional_insert,
-    "t07_format_string": t07_format_string,
-    "t08_iso_timestamp": t08_iso_timestamp,
-    "t10_to_json": t10_to_json,
-    "s01_tumbling_window": s01_tumbling_window,
-    "s02_sliding_window": s02_sliding_window,
 }
 
 _ORACLES: dict[str, str] = {
