@@ -20,6 +20,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
 from geosparql_etl_spark.session import get_spark
 
 # Headline set: one per operator family, weighted toward the shapes that
@@ -76,6 +78,7 @@ def run_suite() -> dict:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    warmup_error: str | None = None
 
     # warmups: JVM/codegen startup, and the Python worker pool (the
     # first pandas_udf query otherwise pays ~2-3s of one-time worker
@@ -83,8 +86,15 @@ def run_suite() -> dict:
     try:
         materialize(qs[HEADLINE[0]](spark, sf_dir))
     except Exception as exc:
-        print(f"BENCH WARMUP ERROR: {exc}", file=sys.stderr)
-    from pyspark.sql import functions as F
+        # Surface it in the result JSON (a lost warmup inflates the
+        # first timed query ~2-3s — a regression report must be
+        # distinguishable from lost warmup) and run a trivial fallback
+        # so JVM/codegen spin-up is still amortized.
+        warmup_error = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"BENCH WARMUP ERROR: {warmup_error}", file=sys.stderr)
+        spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().write.format(
+            "noop"
+        ).mode("overwrite").save()
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -124,6 +134,8 @@ def run_suite() -> dict:
     }
     if errors:
         result["errors"] = errors
+    if warmup_error:
+        result["warmup_error"] = warmup_error
     return result
 
 

@@ -263,10 +263,14 @@ def connected_components(
     # undirected: propagate both ways along every edge. Materialized
     # ONCE — without the checkpoint the (possibly expensive) upstream
     # pair computation would re-execute inside every round's join.
-    # unique_pairs: when the caller guarantees distinct undirected
-    # pairs (any groupBy-produced pair set — d04's inverted-index
+    # unique_pairs: when the caller guarantees distinct ORDERED pairs
+    # with one consistent orientation (id_a < id_b — what every
+    # groupBy-produced pair set here emits: d04's inverted-index
     # output, LSH candidate dedup), mirroring cannot create duplicates
-    # and the dedup shuffle of the full edge list is skipped.
+    # and the dedup shuffle of the full edge list is skipped. Distinct
+    # rows alone are NOT enough: (a,b) and (b,a) are distinct rows but
+    # mirror into duplicate edges (harmless for correctness, pure
+    # wasted shuffle).
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -280,10 +284,15 @@ def connected_components(
     # read's shuffle width — every round then pays
     # (#partitions x #stages) task overhead to move a handful of rows.
     # und is checkpointed, so the count is a cheap scan; ~2M edges per
-    # partition keeps round state in executor memory at any scale.
+    # partition keeps round state in executor memory at any scale. The
+    # current width is capped by the shuffle width the union inherited
+    # (no .rdd probe — that forces an RDD-conversion plan and bypasses
+    # AQE statistics).
     n_edges = und.count()
-    width = max(1, min(und.rdd.getNumPartitions(), n_edges // 2_000_000 + 1))
-    if width < und.rdd.getNumPartitions():
+    spark = und.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    width = max(1, min(cap, n_edges // 2_000_000 + 1))
+    if width < cap:
         und = _cut(und.repartition(width, "dst"))
 
     labels = _cut(

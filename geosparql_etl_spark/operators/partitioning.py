@@ -19,9 +19,21 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     well-partitioned 100 TB inputs never pay an extra shuffle; only
     degenerate narrow inputs (1-file local tables, post-coalesce tails)
     are spread.
+
+    Width is estimated from the scan's file listing (``inputFiles`` —
+    driver-side metadata, already cached by the read), NOT
+    ``df.rdd.getNumPartitions()``: the RDD probe forces an
+    RDD-conversion plan per call and bypasses AQE statistics. The file
+    count undercounts split large files, which only errs toward
+    spreading — and a table wide because its files are few-but-huge is
+    exactly the case AQE rebalances anyway.
     """
     t = target or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, t // 2):
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        return df  # non-file source: assume the source chose its width
+    if 0 < width < max(2, t // 2):
         return df.repartition(t)
     return df
 

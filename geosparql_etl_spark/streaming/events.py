@@ -54,7 +54,9 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def events_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def events_file_stream(
+    spark: SparkSession, source_dir: str, schema: StructType | None = None
+) -> DataFrame:
     """File-source streaming read of events parquet files.
 
     New files appearing under ``source_dir`` become micro-batches — the
@@ -64,11 +66,21 @@ def events_file_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     readStream needs the schema up-front; sniff it from the parquet
     footers with a batch read (driver-side metadata only, no scan) so
     the stream works for either `ts` encoding the driver generates.
+    When the directory is empty at stream construction (the normal
+    file-source bootstrap: start the stream, THEN land files) the sniff
+    cannot infer anything — fall back to ``schema`` or
+    EVENTS_RAW_SCHEMA so the stream still starts; files that later
+    arrive with the long-nanos ts encoding are read as long and
+    normalized the same way.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    sniffed = spark.read.parquet(source_dir).schema
+    if schema is None:
+        try:
+            schema = spark.read.parquet(source_dir).schema
+        except Exception:
+            schema = EVENTS_RAW_SCHEMA
     raw = (
-        spark.readStream.schema(sniffed)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 4)
         .parquet(source_dir)
     )

@@ -352,3 +352,26 @@ def test_transform_with_state_minmax_across_batches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_events_stream_bootstraps_on_empty_dir(spark, tmp_path):
+    """Normal file-source bootstrap: start the stream on an EMPTY dir
+    (schema sniff has nothing to read -> EVENTS_RAW_SCHEMA fallback),
+    THEN land files; the availableNow run picks them up."""
+    from geosparql_etl_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    src = str(tmp_path / "empty_events")
+    os.makedirs(src)
+    stream = tumbling_counts(events_file_stream(spark, src))  # must not raise
+
+    base = 1_700_000_000_000_000_000  # nanos, the round-1/2 raw encoding
+    rows = [
+        (i, i % 5, "view", base + i * 60_000_000_000, float(i)) for i in range(20)
+    ]
+    spark.createDataFrame(rows, EVENTS_RAW_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    _run_to_memory(stream, "bootstrap_out")
+    out = spark.table("bootstrap_out").collect()
+    assert sum(r["n"] for r in out) == 20
