@@ -15,19 +15,42 @@ protocol — a batch job is exactly-once per run, strictly stronger
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geosparql_etl_spark.schemas import LEDGER
 
 
+def _latest(ledger: DataFrame, ledger_key: str = "id") -> DataFrame:
+    """One row per id: the most recent status. Ties on ts resolve to
+    'completed' (alphabetically first) — a retry that completed in the
+    same instant its failure was recorded counts as done."""
+    w = Window.partitionBy(ledger_key).orderBy(F.desc("ts"), F.asc("status"))
+    return (
+        ledger.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def filter_pending(
-    work: DataFrame, ledger: DataFrame, work_key: str, ledger_key: str = "id"
+    work: DataFrame,
+    ledger: DataFrame,
+    work_key: str,
+    ledger_key: str = "id",
+    retry_failed: bool = False,
 ) -> DataFrame:
     """Rows of ``work`` whose key is not in the ledger (any status):
     the reference skips both completed and failed ids
-    (mongodb_to_rdf.py:149-152)."""
-    done = ledger.select(F.col(ledger_key).alias(work_key)).dropDuplicates()
+    (mongodb_to_rdf.py:149-152). With ``retry_failed`` only ids whose
+    LATEST status is completed are skipped — failed ids become pending
+    again (the reference's retry mode re-queues its failed-ids file,
+    utils/checkpoint.py:158-234)."""
+    if retry_failed:
+        done = _latest(ledger, ledger_key).where(F.col("status") == "completed")
+    else:
+        done = ledger
+    done = done.select(F.col(ledger_key).alias(work_key)).dropDuplicates()
     return work.join(F.broadcast(done), on=work_key, how="left_anti")
 
 
@@ -41,6 +64,52 @@ def read_ledger(spark: SparkSession, path: str) -> DataFrame:
 def append_ledger(df: DataFrame, path: str) -> None:
     """Append (id, status, error, ts) rows; atomic per job."""
     df.select("id", "status", "error", "ts").write.mode("append").parquet(path)
+
+
+def record_failures(
+    ids_with_errors: DataFrame,
+    path: str,
+    id_col: str = "id",
+    error_col: str = "error",
+    ts=None,
+) -> None:
+    """Append failed ids WITH their error strings — the triage artifact
+    the reference keeps (utils/checkpoint.py:158-234 records failed ids
+    + error text; mongodb_to_rdf.py:165-174 feeds it per analysis).
+    ``ts`` accepts an injected literal timestamp for deterministic
+    tests; defaults to current_timestamp."""
+    append_ledger(
+        ids_with_errors.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.lit("failed").alias("status"),
+            F.col(error_col).cast("string").alias("error"),
+            (F.lit(ts).cast("timestamp") if ts is not None else F.current_timestamp()).alias("ts"),
+        ).dropDuplicates(["id"]),
+        path,
+    )
+
+
+def failed_report(ledger: DataFrame) -> DataFrame:
+    """(id, error, ts) for every id whose LATEST status is failed —
+    'which analyses failed and why' without grepping task logs. Ids that
+    later completed (retry succeeded) drop out."""
+    return _latest(ledger).where(F.col("status") == "failed").select(
+        "id", "error", "ts"
+    )
+
+
+def clear_failed(spark: SparkSession, path: str) -> None:
+    """Retry-after-clear: compact the ledger down to completed rows so
+    failed ids become pending on the next run (the reference clears its
+    failed-ids file before a retry pass). The ledger is tiny relative
+    to the work set by construction; localCheckpoint materializes it so
+    the same path can be overwritten."""
+    kept = (
+        read_ledger(spark, path)
+        .where(F.col("status") == "completed")
+        .localCheckpoint()
+    )
+    kept.write.mode("overwrite").parquet(path)
 
 
 def skip_existing_outputs(

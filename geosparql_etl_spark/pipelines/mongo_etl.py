@@ -324,8 +324,16 @@ def run(
 ) -> DataFrame:
     """Execute the pipeline end-to-end with exact reference file layout
     and ledger append (K6): exactly-once per job via the file commit
-    protocol + atomic ledger append after the write."""
-    from geosparql_etl_spark.operators.ledger import append_ledger, read_ledger
+    protocol + atomic ledger append after the write. Pending analyses
+    that yield NO document (every mark dropped by the empty/invalid-
+    geometry skip channel, or no matching marks at all) are recorded as
+    FAILED with an error string — the reference's per-analysis failure
+    records (mongodb_to_rdf.py:165-174, utils/checkpoint.py:158-234)."""
+    from geosparql_etl_spark.operators.ledger import (
+        append_ledger,
+        read_ledger,
+        record_failures,
+    )
     from geosparql_etl_spark.sinks.ttl import write_documents_exact
 
     ledger = read_ledger(spark, ledger_path) if ledger_path else None
@@ -339,4 +347,16 @@ def run(
             F.current_timestamp().alias("ts"),
         ).dropDuplicates(["id"])
         append_ledger(done, ledger_path)
+        pending = (
+            filter_pending(analyses, ledger, "_id")
+            if ledger is not None
+            else analyses
+        )
+        failed = pending.select(F.col("_id").alias("id")).join(
+            done.select("id"), "id", "left_anti"
+        ).withColumn(
+            "error",
+            F.lit("no renderable marks (empty/invalid geometry or no matching marks)"),
+        )
+        record_failures(failed, ledger_path)
     return docs

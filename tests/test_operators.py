@@ -580,3 +580,73 @@ def test_pq_topk_beats_random_on_clustered_data(spark):
     for r in out:
         same_cluster = (r["query_id"] < 100) == (r["neighbor_id"] < 100)
         assert same_cluster, (r["query_id"], r["neighbor_id"])
+
+
+def test_failure_ledger_lifecycle(spark, tmp_path):
+    """fail -> record -> resume skips failed -> retry-after-clear
+    (reference: utils/checkpoint.py:158-234 failed-ids file with error
+    strings; mongodb_to_rdf.py:149-152 skips completed AND failed)."""
+    from geosparql_etl_spark.operators.ledger import (
+        append_ledger,
+        clear_failed,
+        failed_report,
+        filter_pending,
+        read_ledger,
+        record_failures,
+    )
+
+    path = str(tmp_path / "ledger")
+    work = spark.createDataFrame(
+        [("w1",), ("w2",), ("w3",)], "wid string"
+    )
+
+    # w1 completed at t0; w2 failed at t0
+    append_ledger(
+        spark.createDataFrame(
+            [("w1", "completed", None, "2026-01-01 00:00:00")],
+            "id string, status string, error string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+        path,
+    )
+    record_failures(
+        spark.createDataFrame([("w2", "boom: bad geometry")], "id string, error string"),
+        path,
+        ts="2026-01-01 00:00:00",
+    )
+
+    led = read_ledger(spark, path)
+    # default resume skips BOTH completed and failed -> only w3 pending
+    assert [r["wid"] for r in filter_pending(work, led, "wid").collect()] == ["w3"]
+    # retry mode re-queues the failed id
+    assert sorted(
+        r["wid"] for r in filter_pending(work, led, "wid", retry_failed=True).collect()
+    ) == ["w2", "w3"]
+    # triage artifact: id + error string
+    rep = failed_report(led).collect()
+    assert [(r["id"], r["error"]) for r in rep] == [("w2", "boom: bad geometry")]
+
+    # w2 retried and completed LATER -> drops out of the failed report
+    append_ledger(
+        spark.createDataFrame(
+            [("w2", "completed", None, "2026-01-02 00:00:00")],
+            "id string, status string, error string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+        path,
+    )
+    led = read_ledger(spark, path)
+    assert failed_report(led).count() == 0
+    assert [r["wid"] for r in filter_pending(work, led, "wid", retry_failed=True).collect()] == ["w3"]
+
+    # clear_failed compacts failures away: a still-failed id becomes
+    # pending again even under the DEFAULT (non-retry) resume
+    record_failures(
+        spark.createDataFrame([("w3", "transient")], "id string, error string"),
+        path,
+        ts="2026-01-03 00:00:00",
+    )
+    led = read_ledger(spark, path)
+    assert filter_pending(work, led, "wid").count() == 0  # all skipped
+    clear_failed(spark, path)
+    led = read_ledger(spark, path)
+    assert sorted(r["status"] for r in led.collect()) == ["completed", "completed"]
+    assert [r["wid"] for r in filter_pending(work, led, "wid").collect()] == ["w3"]

@@ -332,3 +332,59 @@ def test_geojson_malformed_file_yields_empty_document(spark, tmp_path):
     out = (tmp_path / "out" / "broken.ttl").read_text()
     assert out.startswith("@prefix")
     assert "rdfs:member" not in out
+
+
+def test_mongo_etl_run_records_failures_and_retries(spark, tmp_path):
+    """Pipeline failure channel: an analysis whose marks all fall in the
+    skip channel (or that has no marks) is recorded FAILED with an error
+    string; resume skips it; clear_failed + a fixed input retries it to
+    completed (mongodb_to_rdf.py:165-174 per-analysis failure records)."""
+    from geosparql_etl_spark.operators.ledger import (
+        clear_failed,
+        failed_report,
+        read_ledger,
+    )
+
+    a2 = json.loads(json.dumps(ANALYSIS))
+    a2["_id"] = "ffffffffffffffffffffffff"
+    a2["analysis"]["execution_id"] = "exec-8"
+    a2["image"]["imageid"] = "IMG-2"
+    a2["image"]["slide"] = "67890"
+
+    analyses_df = spark.createDataFrame(
+        [json.loads(json.dumps(ANALYSIS)), a2], ANALYSIS_DOC
+    )
+    marks_df = spark.createDataFrame(
+        [json.loads(json.dumps(_mark(1)))], MARK_DOC  # exec-7 only
+    )
+    out, ledger_path = str(tmp_path / "out"), str(tmp_path / "ledger")
+
+    docs = mongo_etl.run(spark, analyses_df, marks_df, out, ledger_path=ledger_path)
+    assert docs.count() == 1  # exec-7 rendered; exec-8 had nothing
+    led = read_ledger(spark, ledger_path)
+    statuses = {r["id"]: r["status"] for r in led.collect()}
+    assert statuses == {
+        "a1b2c3d4e5f6a1b2c3d4e5f6": "completed",
+        "ffffffffffffffffffffffff": "failed",
+    }
+    rep = failed_report(led).collect()
+    assert len(rep) == 1 and "no renderable marks" in rep[0]["error"]
+
+    # resume: both ids skipped, nothing new lands in the ledger
+    docs2 = mongo_etl.run(spark, analyses_df, marks_df, out, ledger_path=ledger_path)
+    assert docs2.count() == 0
+    assert read_ledger(spark, ledger_path).count() == 2
+
+    # retry-after-clear with the input fixed: exec-8 now has a mark
+    clear_failed(spark, ledger_path)
+    m2 = json.loads(json.dumps(_mark(2)))
+    m2["provenance"]["analysis"]["execution_id"] = "exec-8"
+    m2["provenance"]["image"] = {"imageid": "IMG-2", "slide": "67890"}
+    marks_fixed = spark.createDataFrame(
+        [json.loads(json.dumps(_mark(1))), m2], MARK_DOC
+    )
+    docs3 = mongo_etl.run(spark, analyses_df, marks_fixed, out, ledger_path=ledger_path)
+    assert docs3.count() == 1  # only the retried analysis runs
+    led = read_ledger(spark, ledger_path)
+    assert failed_report(led).count() == 0
+    assert {r["status"] for r in led.collect()} == {"completed"}
