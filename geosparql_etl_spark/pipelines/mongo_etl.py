@@ -321,6 +321,7 @@ def run(
     output_dir: str,
     slide_hashes: DataFrame | None = None,
     ledger_path: str | None = None,
+    config=None,
 ) -> DataFrame:
     """Execute the pipeline end-to-end with exact reference file layout
     and ledger append (K6): exactly-once per job via the file commit
@@ -329,6 +330,7 @@ def run(
     geometry skip channel, or no matching marks at all) are recorded as
     FAILED with an error string — the reference's per-analysis failure
     records (mongodb_to_rdf.py:165-174, utils/checkpoint.py:158-234)."""
+    from geosparql_etl_spark.config import EngineConfig
     from geosparql_etl_spark.operators.ledger import (
         append_ledger,
         read_ledger,
@@ -336,9 +338,16 @@ def run(
     )
     from geosparql_etl_spark.sinks.ttl import write_documents_exact
 
+    cfg = config or EngineConfig()
+    if ledger_path is None:
+        ledger_path = cfg.ledger_path
     ledger = read_ledger(spark, ledger_path) if ledger_path else None
-    docs = render_ttl_documents(analyses, marks, slide_hashes, ledger)
-    write_documents_exact(docs, output_dir, compress=True)
+    docs = render_ttl_documents(
+        analyses, marks, slide_hashes, ledger, batch_size=cfg.batch_size
+    )
+    write_documents_exact(
+        docs, output_dir, compress=cfg.compress, gzip_level=cfg.gzip_level
+    )
     if ledger_path:
         done = docs.select(
             F.col("analysis_id").alias("id"),
@@ -360,3 +369,20 @@ def run(
         )
         record_failures(failed, ledger_path)
     return docs
+
+
+def run_from_config(spark, config) -> DataFrame:
+    """Reference ``main()`` analog (mongodb_to_rdf.py:660-700): source
+    db.analysis / db.mark through the document-store adapter (live
+    connector when config.mongo.uri is set, parquet/JSON stand-ins
+    otherwise) and execute with the config's batch/ledger/sink knobs."""
+    from geosparql_etl_spark.sources.mongo import read_analyses, read_marks
+
+    return run(
+        spark,
+        read_analyses(spark, config.mongo),
+        read_marks(spark, config.mongo),
+        config.output_dir,
+        ledger_path=config.ledger_path,
+        config=config,
+    )

@@ -200,16 +200,22 @@ def run(
     timestamp: str,
     compress: bool = True,
     existing: DataFrame | None = None,
+    config=None,
 ) -> DataFrame:
     """Full pipeline with optional incremental skip (P10: anti-join
-    against existing output names instead of per-file exists checks)."""
+    against existing output names instead of per-file exists checks).
+    ``config`` (EngineConfig) supplies the sink gzip level."""
+    from geosparql_etl_spark.config import EngineConfig
     from geosparql_etl_spark.operators.ledger import skip_existing_outputs
     from geosparql_etl_spark.sinks.ttl import write_documents_exact
     from geosparql_etl_spark.sources.segmentation import read_patch_csvs
 
+    cfg = config or EngineConfig()
     patches = read_patch_csvs(spark, input_base)
     docs = render_ttl_documents(patches, timestamp)
     if existing is not None:
         docs = skip_existing_outputs(docs, existing, "file_name")
-    write_documents_exact(docs, output_dir, compress=compress)
+    write_documents_exact(
+        docs, output_dir, compress=compress, gzip_level=cfg.gzip_level
+    )
     return docs

@@ -59,6 +59,7 @@ def write_documents_exact(
     name_col: str = "file_name",
     text_col: str = "body",
     compress: bool = True,
+    gzip_level: int = 6,
 ) -> None:
     """K1/K2 parity mode: exact leaf filenames (<name_col> per row).
 
@@ -74,7 +75,7 @@ def write_documents_exact(
             data = row[text_col].encode("utf-8")
             if compress or rel.endswith(".gz"):
                 # gzip level 6 parity: mongo-etl/mongodb_to_rdf.py:37
-                with gzip.open(path, "wb", compresslevel=6) as f:
+                with gzip.open(path, "wb", compresslevel=gzip_level) as f:
                     f.write(data)
             else:
                 with open(path, "wb") as f:
@@ -90,6 +91,7 @@ def write_documents_exact_df(
     name_col: str = "file_name",
     text_col: str = "body",
     compress: bool = True,
+    gzip_level: int = 6,
 ) -> DataFrame:
     """LAZY variant of ``write_documents_exact``: returns a
     (file_name, n_bytes) DataFrame whose evaluation performs the writes.
@@ -112,7 +114,7 @@ def write_documents_exact_df(
                 os.makedirs(os.path.dirname(path) or out_dir, exist_ok=True)
                 data = text.encode("utf-8")
                 if compress or rel.endswith(".gz"):
-                    with gzip.open(path, "wb", compresslevel=6) as f:
+                    with gzip.open(path, "wb", compresslevel=gzip_level) as f:
                         f.write(data)
                 else:
                     with open(path, "wb") as f:
