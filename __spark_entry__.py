@@ -64,6 +64,7 @@ from geosparql_etl_spark.functions.textstats import (
 from geosparql_etl_spark.operators.argmax import dominant_entry
 from geosparql_etl_spark.operators.batching import with_batch_id
 from geosparql_etl_spark.operators.dedup import (
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash,
     with_minhash,
@@ -1182,6 +1183,41 @@ def _sql_d04():
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.s, b.s))::DOUBLE /
           (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+    """
+
+
+def d10_containment_pairs(spark, sf_dir):
+    """Directed shingle-containment near-dup pairs (Broder,
+    SEQUENCES'97): C(A⊆B) = |A∩B|/|A| flags a short document quoted or
+    embedded inside a larger one — subset duplication symmetric Jaccard
+    misses. Same inverted-index join + max_df skew cap as d04
+    (operators/dedup.py:ngram_containment_pairs); both directed scores
+    come out of ONE join."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs(
+        d, "doc_id", "text", k=3, min_containment=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
+def _sql_d10():
+    inter = "len(list_intersect(a.s, b.s))::DOUBLE"
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+      FROM (SELECT doc_id, {_WORDS} AS w FROM documents))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round({inter} / len(a.s), 6) AS containment_a,
+           round({inter} / len(b.s), 6) AS containment_b
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE {inter} / len(a.s) >= 0.5 OR {inter} / len(b.s) >= 0.5
     """
 
 
@@ -3123,6 +3159,31 @@ def _sql_txt11():
     """
 
 
+def txt12_surprisal(spark, sf_dir):
+    """Unigram-surprisal quality score: mean -ln p(term) under the
+    corpus's own unigram distribution — the self-supervised stand-in
+    for CCNet's LM-perplexity filter (`operators/textrank.py:
+    unigram_surprisal`; vocab-sized join, broadcast 1-row total)."""
+    from geosparql_etl_spark.operators.textrank import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(d, "doc_id", "text")
+
+
+def _sql_txt12():
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    v AS (SELECT term, count(*) AS n_term FROM toks GROUP BY 1),
+    t AS (SELECT sum(n_term)::DOUBLE AS n_total FROM v)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(n_term / n_total)), 4) AS mean_surprisal
+    FROM toks JOIN v USING (term) CROSS JOIN t
+    GROUP BY doc_id
+    """
+
+
 def a11_cube(spark, sf_dir):
     """CUBE aggregation over (lang, source): all 4 grouping-set
     combinations in one pass (§2.4 extension beyond a08's ROLLUP)."""
@@ -3846,6 +3907,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t08_iso_timestamp": t08_iso_timestamp,
     "t10_to_json": t10_to_json,
     # --- below the 50-row window; next in line for the r05 rotation ---
+    "d10_containment_pairs": d10_containment_pairs,
+    "txt12_surprisal": txt12_surprisal,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
     "s02_sliding_window": s02_sliding_window,
@@ -3970,6 +4033,8 @@ _ORACLES: dict[str, str] = {
     "d06_minhash_dedup_e2e": _sql_d06(),
     "d07_embedding_neardup": _sql_d07(),
     "d08_dedup_clusters": _sql_d08(),
+    "d10_containment_pairs": _sql_d10(),
+    "txt12_surprisal": _sql_txt12(),
     "llm01_corpus_curation": _sql_llm01(),
     "sim05_quantized_topk": _sql_sim05(),
     "txt06_winnowing": _sql_txt06(),

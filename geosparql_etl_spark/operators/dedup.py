@@ -426,6 +426,76 @@ def ngram_jaccard_pairs(
     join. Pass an ``Observation`` to record how many posting rows the
     cap dropped (metric ``capped_postings``) when the query runs.
     """
+    inter = _shingle_pair_intersections(
+        df, id_col, text_col, k, max_df, observation
+    )
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_containment: float = 0.8,
+    max_df: int | None = 10_000,
+    observation=None,
+) -> DataFrame:
+    """Directed near-dup: shingle containment C(A⊆B) = |A ∩ B| / |A|
+    (Broder, "On the resemblance and containment of documents",
+    SEQUENCES'97). Catches SUBSET duplication — a short document quoted
+    or embedded inside a much larger one — which symmetric Jaccard
+    misses (|A∩B|/|A∪B| stays low when |B| >> |A|): exactly the
+    boilerplate-quote/partial-copy pattern training corpora need pruned.
+
+    Emits (id_a, id_b, containment_a, containment_b) for id_a < id_b
+    where EITHER direction clears ``min_containment`` — both directed
+    scores from one inverted-index join (same shuffle, same ``max_df``
+    skew cap as ngram_jaccard_pairs; a capped boilerplate shingle
+    lowers both scores conservatively rather than exploding the join).
+    """
+    inter = _shingle_pair_intersections(
+        df, id_col, text_col, k, max_df, observation
+    )
+    ca = F.col("__inter") / F.col("__na").cast("double")
+    cb = F.col("__inter") / F.col("__nb").cast("double")
+    return (
+        inter.select(
+            "id_a",
+            "id_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .where(
+            (F.col("containment_a") >= min_containment)
+            | (F.col("containment_b") >= min_containment)
+        )
+    )
+
+
+def _shingle_pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_df: int | None,
+    observation=None,
+) -> DataFrame:
+    """Shared inverted-index core of the exact n-gram pair measures:
+    (id_a, id_b, __na, __nb, __inter) for every pair sharing at least
+    one (non-capped) k-shingle, id_a < id_b. ``__na``/``__nb`` are the
+    DISTINCT shingle-set sizes, carried through the explode so no extra
+    join recovers them."""
     # one shingling pass: set size rides along with each exploded shingle,
     # so no extra joins to recover |A| and |B| after the intersect count
     sh = _spread(df).select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh"))
@@ -486,22 +556,11 @@ def ngram_jaccard_pairs(
     b = ex.select(
         F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__s"
     )
-    inter = (
+    return (
         a.join(b, "__s")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count("*").alias("__inter"))
-    )
-    return (
-        inter.select(
-            "id_a",
-            "id_b",
-            (
-                F.col("__inter")
-                / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double")
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= min_jaccard)
     )
 
 

@@ -113,3 +113,42 @@ def boilerplate_ratio(
             ).alias("boilerplate_ratio"),
         )
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram surprisal, -avg ln p(term): the
+    self-supervised analog of the LM-perplexity quality filter used on
+    pretraining corpora (Wenzek et al., "CCNet", LREC 2020) with the
+    corpus's OWN unigram distribution as the model — no external LM.
+    Low scores flag common/templated vocabulary, high scores flag
+    rare-token noise; both tails are standard cut candidates.
+
+    Plan shape mirrors tfidf_top_terms: token explode -> vocabulary
+    aggregate (map-side combined; Zipf-bounded vocab size, never
+    corpus-sized) -> equi-join back (strategy left to AQE) -> per-doc
+    avg. The corpus token total enters as a broadcast 1-row aggregate —
+    one declarative plan, no driver-side count.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    total = vocab.agg(F.sum("n_term").cast("double").alias("n_total"))
+    return (
+        toks.join(vocab, "term")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("n_term") / F.col("n_total"))), 4
+            ).alias("mean_surprisal"),
+        )
+    )

@@ -650,3 +650,41 @@ def test_failure_ledger_lifecycle(spark, tmp_path):
     led = read_ledger(spark, path)
     assert sorted(r["status"] for r in led.collect()) == ["completed", "completed"]
     assert [r["wid"] for r in filter_pending(work, led, "wid").collect()] == ["w3"]
+
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much larger one: containment
+    ~1.0 on the short side while symmetric Jaccard stays low — the
+    quote/partial-copy pattern d10 exists to catch (Broder '97)."""
+    from geosparql_etl_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i} token{i} word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.upper()),
+            (3, "completely unrelated content with no shared shingles at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+    cont = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in ngram_containment_pairs(
+            docs, "doc_id", "text", k=3, min_containment=0.9
+        ).collect()
+    }
+    assert (1, 2) in cont
+    ca, cb = cont[(1, 2)]
+    assert ca == pytest.approx(1.0)  # every shingle of the quote is in doc 2
+    assert cb < 0.2  # doc 2 is mostly NOT the quote
+    assert all(3 not in pair for pair in cont)
+
+    jac = ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, min_jaccard=0.5
+    ).collect()
+    assert jac == []  # symmetric jaccard misses the subset dup
