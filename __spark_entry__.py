@@ -3667,6 +3667,85 @@ def _sql_llm08():
     """
 
 
+def llm09_data_mixture(spark, sf_dir):
+    """Deterministic dataset-mixture construction (Pile/DoReMi-style
+    source reweighting): given per-language mixture weights and a token
+    budget of half the corpus, derive each language's keep-rate in
+    BASIS POINTS and select documents by stable hash threshold.
+
+    What makes this the 100 TB shape: (1) per-language token totals are
+    a tiny aggregate joined back — no collect, no driver loop; (2)
+    selection is hash-threshold MEMBERSHIP, not sampling — a document
+    never flips in/out as the corpus grows, so the mixture is
+    reproducible and incrementally maintainable (same property as
+    llm02/llm03); (3) the keep-rate is integer basis points via the
+    floor of ONE double division, so the oracle replays the arithmetic
+    bit-exactly; (4) an over-subscribed language (target > available)
+    caps at 10000 bp = take everything — the standard mixture fallback
+    when a small source can't fill its target share."""
+    weights = [("en", 40), ("zh", 40), ("de", 10), ("fr", 5), ("es", 5)]
+    d = _t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    n_tok = F.when(
+        trimmed.isNull() | (F.length(trimmed) == 0), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+    per = d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        (md5_long(F.col("doc_id").cast("string")) % 10000).alias("bp"),
+    )
+    w = spark.createDataFrame(weights, "lang string, w_pct long")
+    tot = per.groupBy("lang").agg(F.sum("n_tok").alias("tok_lang"))
+    budget = per.agg(F.expr("sum(n_tok) div 2").alias("budget"))
+    rates = (
+        tot.join(F.broadcast(w), "lang")
+        .join(F.broadcast(budget))
+        .select(
+            "lang",
+            "tok_lang",
+            F.least(
+                F.lit(10000),
+                F.floor(
+                    F.lit(10000) * F.col("budget") * F.col("w_pct")
+                    / (F.lit(100) * F.col("tok_lang"))
+                ),
+            ).alias("keep_bp"),
+        )
+    )
+    kept = per.join(F.broadcast(rates), "lang").where(
+        F.col("bp") < F.col("keep_bp")
+    )
+    return kept.groupBy("lang", "tok_lang", "keep_bp").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+    )
+
+
+def _sql_llm09():
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
+    return f"""
+    WITH per AS (
+      SELECT doc_id, lang,
+             CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok,
+             {h} AS bp
+      FROM documents),
+    w(lang, w_pct) AS (VALUES ('en', 40), ('zh', 40), ('de', 10), ('fr', 5), ('es', 5)),
+    tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_lang FROM per GROUP BY lang),
+    b AS (SELECT CAST(sum(n_tok) // 2 AS BIGINT) AS budget FROM per),
+    rates AS (
+      SELECT lang, tok_lang,
+             least(10000, CAST(floor(10000 * budget * w_pct / (100 * tok_lang)) AS BIGINT)) AS keep_bp
+      FROM tot JOIN w USING (lang) CROSS JOIN b)
+    SELECT per.lang, tok_lang, keep_bp,
+           count(*) AS n_docs_kept, CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+    FROM per JOIN rates ON per.lang = rates.lang
+    WHERE bp < keep_bp
+    GROUP BY 1, 2, 3
+    """
+
+
 def sim08_ivfpq_ann(spark, sf_dir):
     """The composed billion-scale ANN pipeline (SCALE.md's 'the three
     compose'): IVF cells partition-prune (probe top-2 of 16), PQ codes
@@ -3909,6 +3988,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- below the 50-row window; next in line for the r05 rotation ---
     "d10_containment_pairs": d10_containment_pairs,
     "txt12_surprisal": txt12_surprisal,
+    "llm09_data_mixture": llm09_data_mixture,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
     "s02_sliding_window": s02_sliding_window,
@@ -4035,6 +4115,7 @@ _ORACLES: dict[str, str] = {
     "d08_dedup_clusters": _sql_d08(),
     "d10_containment_pairs": _sql_d10(),
     "txt12_surprisal": _sql_txt12(),
+    "llm09_data_mixture": _sql_llm09(),
     "llm01_corpus_curation": _sql_llm01(),
     "sim05_quantized_topk": _sql_sim05(),
     "txt06_winnowing": _sql_txt06(),
