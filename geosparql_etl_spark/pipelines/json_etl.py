@@ -212,6 +212,7 @@ def run(
     output_dir: str,
     timestamp: str,
     collect_metrics: bool = False,
+    ledger_path: str | None = None,
 ) -> DataFrame | tuple[DataFrame, dict]:
     """Full pipeline: directory scan -> rendered docs -> exact-name sink.
 
@@ -219,6 +220,12 @@ def run(
     metrics {n_documents, total_bytes} gathered via an Observation —
     the A2 status-counting channel without a second pass over the data
     (the reference folds per-file result tuples: json-etl:231-245).
+
+    With ``ledger_path`` the scan runs through the per-file error
+    channel: malformed / non-FeatureCollection inputs are recorded as
+    FAILED with an error string and completed files as completed —
+    parity with the reference's per-file try/except + result tuples
+    (json-etl:195-245) — and files already in the ledger are skipped.
     """
     from pyspark.sql import Observation
 
@@ -226,12 +233,45 @@ def run(
         write_documents_exact,
         write_documents_exact_df,
     )
-    from geosparql_etl_spark.sources.geojson import read_geojson_features
+    from geosparql_etl_spark.sources.geojson import (
+        read_geojson_features,
+        read_geojson_features_with_errors,
+    )
 
-    feats = read_geojson_features(spark, input_dir)
+    errors = None
+    if ledger_path:
+        from geosparql_etl_spark.operators.ledger import (
+            filter_pending,
+            read_ledger,
+        )
+
+        feats, errors = read_geojson_features_with_errors(spark, input_dir)
+        ledger = read_ledger(spark, ledger_path)
+        feats = filter_pending(feats, ledger, "source_file")
+        errors = filter_pending(errors, ledger, "id")
+    else:
+        feats = read_geojson_features(spark, input_dir)
     docs = render_ttl_documents(feats, timestamp)
+    def _append_ledger_rows() -> None:
+        if not ledger_path:
+            return
+        from geosparql_etl_spark.operators.ledger import (
+            append_ledger,
+            record_failures,
+        )
+
+        done = docs.select(
+            F.col("source_file").alias("id"),
+            F.lit("completed").alias("status"),
+            F.lit(None).cast("string").alias("error"),
+            F.current_timestamp().alias("ts"),
+        ).dropDuplicates(["id"])
+        append_ledger(done, ledger_path)
+        record_failures(errors, ledger_path)
+
     if not collect_metrics:
         write_documents_exact(docs, output_dir, compress=False)
+        _append_ledger_rows()
         return docs
     # lazy writer stage + Observation: a single noop materialization
     # performs the writes AND surfaces the metrics (RDD foreachPartition
@@ -244,4 +284,5 @@ def run(
         F.sum("n_bytes").alias("total_bytes"),
     )
     observed.write.format("noop").mode("overwrite").save()
+    _append_ledger_rows()
     return docs, obs.get

@@ -388,3 +388,51 @@ def test_mongo_etl_run_records_failures_and_retries(spark, tmp_path):
     led = read_ledger(spark, ledger_path)
     assert failed_report(led).count() == 0
     assert {r["status"] for r in led.collect()} == {"completed"}
+
+
+def test_json_etl_corrupt_file_error_channel(spark, tmp_path):
+    """PERMISSIVE JSON turns a malformed file into an all-null row
+    (silent loss); the error-channel scan surfaces it: bad files land in
+    the failure ledger with an error class, good files complete, and a
+    re-run skips both (reference: per-file try/except + result tuples,
+    json-etl:195-245)."""
+    from geosparql_etl_spark.operators.ledger import failed_report, read_ledger
+
+    good = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[1.0, 2.0], [3.0, 2.0], [3.0, 4.0]]],
+                },
+                "properties": {
+                    "measurements": {"prob_400p-Tumor": 0.9, "nr_of_cells": 5.0}
+                },
+            }
+        ],
+    }
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "TCGA-AA-0001-01Z.u1.geojson").write_text(json.dumps(good))
+    (in_dir / "TCGA-BB-0002-01Z.u2.geojson").write_text('{"type": "FeatureColl')  # truncated
+    (in_dir / "TCGA-CC-0003-01Z.u3.geojson").write_text('{"hello": "world"}')  # no features
+
+    out, ledger_path = str(tmp_path / "out"), str(tmp_path / "ledger")
+    docs = json_etl.run(spark, str(in_dir), out, TS_Z, ledger_path=ledger_path)
+    assert docs.count() == 1  # only the good file renders
+    assert (tmp_path / "out" / "TCGA-AA-0001-01Z.u1.ttl").exists()
+
+    led = read_ledger(spark, ledger_path)
+    rep = {r["id"]: r["error"] for r in failed_report(led).collect()}
+    assert rep == {
+        "TCGA-BB-0002-01Z.u2.geojson": "malformed JSON",
+        "TCGA-CC-0003-01Z.u3.geojson": "no features array",
+    }
+    assert led.where(F.col("status") == "completed").count() == 1
+
+    # resume: everything (completed + failed) is skipped
+    docs2 = json_etl.run(spark, str(in_dir), out, TS_Z, ledger_path=ledger_path)
+    assert docs2.count() == 0
+    assert read_ledger(spark, ledger_path).count() == 3
