@@ -3697,10 +3697,14 @@ def llm09_data_mixture(spark, sf_dir):
     )
     w = spark.createDataFrame(weights, "lang string, w_pct long")
     tot = per.groupBy("lang").agg(F.sum("n_tok").alias("tok_lang"))
-    budget = per.agg(F.expr("sum(n_tok) div 2").alias("budget"))
+    # budget = half the weighted-language token mass, via a window over
+    # the #langs-row aggregate (single partition of TINY data by
+    # construction, same shape as global_rank's offsets) — a separate
+    # budget aggregate would duplicate the subtree and re-scan the
+    # corpus (no CSE across re-aliased branches)
     rates = (
         tot.join(F.broadcast(w), "lang")
-        .join(F.broadcast(budget))
+        .withColumn("budget", F.expr("sum(tok_lang) OVER () div 2"))
         .select(
             "lang",
             "tok_lang",
@@ -3733,11 +3737,12 @@ def _sql_llm09():
       FROM documents),
     w(lang, w_pct) AS (VALUES ('en', 40), ('zh', 40), ('de', 10), ('fr', 5), ('es', 5)),
     tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok_lang FROM per GROUP BY lang),
-    b AS (SELECT CAST(sum(n_tok) // 2 AS BIGINT) AS budget FROM per),
     rates AS (
       SELECT lang, tok_lang,
-             least(10000, CAST(floor(10000 * budget * w_pct / (100 * tok_lang)) AS BIGINT)) AS keep_bp
-      FROM tot JOIN w USING (lang) CROSS JOIN b)
+             least(10000, CAST(floor(
+               10000 * (CAST(sum(tok_lang) OVER () AS BIGINT) // 2) * w_pct
+               / (100 * tok_lang)) AS BIGINT)) AS keep_bp
+      FROM tot JOIN w USING (lang))
     SELECT per.lang, tok_lang, keep_bp,
            count(*) AS n_docs_kept, CAST(sum(n_tok) AS BIGINT) AS tokens_kept
     FROM per JOIN rates ON per.lang = rates.lang
