@@ -3675,14 +3675,17 @@ def llm09_data_mixture(spark, sf_dir):
 
     What makes this the 100 TB shape: (1) per-language token totals are
     a tiny aggregate joined back — no collect, no driver loop; (2)
-    selection is hash-threshold MEMBERSHIP, not sampling — a document
-    never flips in/out as the corpus grows, so the mixture is
-    reproducible and incrementally maintainable (same property as
-    llm02/llm03); (3) the keep-rate is integer basis points via the
-    floor of ONE double division, so the oracle replays the arithmetic
-    bit-exactly; (4) an over-subscribed language (target > available)
-    caps at 10000 bp = take everything — the standard mixture fallback
-    when a small source can't fill its target share."""
+    selection is hash-threshold MEMBERSHIP, not sampling: kept sets are
+    NESTED in the keep-rate (lowering a language's rate only peels off
+    the top hash band; raising it only adds docs), so when corpus
+    growth shifts the rates the selection adjusts at the margin instead
+    of resampling wholesale — the incremental-maintenance property
+    llm02/llm03 sampling shares; (3) the keep-rate is integer basis
+    points via the floor of ONE double division, so the oracle replays
+    the arithmetic bit-exactly; (4) an over-subscribed language
+    (target > available) caps at 10000 bp = take everything — the
+    standard mixture fallback when a small source can't fill its
+    target share."""
     weights = [("en", 40), ("zh", 40), ("de", 10), ("fr", 5), ("es", 5)]
     d = _t(spark, sf_dir, "documents")
     trimmed = F.trim(F.col("text"))

@@ -56,6 +56,9 @@ HEADLINE = [
     "sim06_pq_ann",
     "llm06_incremental_dedup",
     "w04_global_rank",
+    "d10_containment_pairs",
+    "txt12_surprisal",
+    "llm09_data_mixture",
 ]
 
 

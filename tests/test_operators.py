@@ -688,3 +688,35 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
         docs, "doc_id", "text", k=3, min_jaccard=0.5
     ).collect()
     assert jac == []  # symmetric jaccard misses the subset dup
+
+
+def test_mixture_keep_sets_nested_and_capped(spark, sf_dir):
+    """llm09 selection properties: (a) kept sets are NESTED in the
+    keep-rate (hash-threshold membership — rate changes adjust at the
+    margin, never resample); (b) an over-subscribed language caps at
+    10000 bp = take everything."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    out = {
+        r["lang"]: r
+        for r in entry.llm09_data_mixture(spark, sf_dir).collect()
+    }
+    # zh weight 40% of a half-corpus budget exceeds zh's token mass on
+    # the synthetic distribution -> cap fires, everything kept
+    capped = [lang for lang, r in out.items() if r["keep_bp"] == 10000]
+    assert capped, out
+    for lang in capped:
+        assert out[lang]["tokens_kept"] == out[lang]["tok_lang"]
+
+    # nesting: membership at a lower threshold is a subset of membership
+    # at any higher one (pure hash property, independent of the data)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from geosparql_etl_spark.functions.hashing import md5_long
+
+    bp = (md5_long(F.col("doc_id").cast("string")) % 10000).alias("bp")
+    ids = lambda t: {
+        r["doc_id"] for r in d.select("doc_id", bp).where(F.col("bp") < t).collect()
+    }
+    low, high = ids(1500), ids(6000)
+    assert low <= high and len(low) < len(high)
