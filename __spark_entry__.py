@@ -1597,6 +1597,83 @@ def _sql_sim04():
     """
 
 
+def sim09_filtered_ann(spark, sf_dir):
+    """Filtered ANN: metadata predicate composed with vector search —
+    top-5 cosine neighbors restricted to ENGLISH documents (embeddings
+    ⋉ documents[lang='en'], then the sim04 IVF path). The PRE-filter
+    shape: the predicate semi-joins the corpus BEFORE cell bucketing,
+    so candidate generation never touches ineligible vectors — the
+    scale-correct order for selective predicates (post-filtering an ANN
+    shortlist under-fills k whenever ineligible neighbors dominate a
+    cell; at 100 TB the pre-filter also rides the metadata-partitioned
+    doc layout). Queries themselves stay unrestricted."""
+    from geosparql_etl_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    eligible = d.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = e.join(eligible, "vec_id", "left_semi")
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_topk(corpus, q, k=5, dim=64, n_cells=16, n_probe=2).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+def _sql_sim09():
+    from geosparql_etl_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16)
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ec AS (SELECT e.* FROM e JOIN documents d
+           ON e.vec_id = d.doc_id AND d.lang = 'en'),
+    ct AS (SELECT * FROM (VALUES {rows}) AS t(c, cent)),
+    scored_c AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM ec, ct),
+    -- corpus cell: numpy argmax = first max -> ties to the LOWEST cell
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored_c) WHERE rn = 1),
+    scored_q AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM e, ct WHERE vec_id < 5),
+    -- query probes: ties to the HIGHEST cell; top n_probe=2
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored_q) WHERE rn <= 2),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    rescored AS (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, en.v) AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(eq.v, en.v) DESC, neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e en ON en.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+    FROM rescored WHERE rank <= 5
+    """
+
+
 # =============================================================================
 # text analysis (charter scale operators)
 # =============================================================================
@@ -3997,6 +4074,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d10_containment_pairs": d10_containment_pairs,
     "txt12_surprisal": txt12_surprisal,
     "llm09_data_mixture": llm09_data_mixture,
+    "sim09_filtered_ann": sim09_filtered_ann,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
     "s02_sliding_window": s02_sliding_window,
@@ -4124,6 +4202,7 @@ _ORACLES: dict[str, str] = {
     "d10_containment_pairs": _sql_d10(),
     "txt12_surprisal": _sql_txt12(),
     "llm09_data_mixture": _sql_llm09(),
+    "sim09_filtered_ann": _sql_sim09(),
     "llm01_corpus_curation": _sql_llm01(),
     "sim05_quantized_topk": _sql_sim05(),
     "txt06_winnowing": _sql_txt06(),

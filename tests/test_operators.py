@@ -720,3 +720,20 @@ def test_mixture_keep_sets_nested_and_capped(spark, sf_dir):
     }
     low, high = ids(1500), ids(6000)
     assert low <= high and len(low) < len(high)
+
+
+def test_filtered_ann_neighbors_respect_predicate(spark, sf_dir):
+    """sim09: every returned neighbor satisfies the metadata predicate
+    (pre-filter semi-join), and each query still fills its top-5."""
+    import __spark_entry__ as entry
+
+    en = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("lang = 'en'")
+        .select("doc_id")
+        .collect()
+    }
+    out = entry.sim09_filtered_ann(spark, sf_dir).collect()
+    assert len(out) == 25  # 5 queries x full top-5
+    assert all(r["neighbor_id"] in en for r in out)
