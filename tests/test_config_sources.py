@@ -153,3 +153,20 @@ def test_run_from_config_end_to_end(spark, tmp_path):
     assert [(r["id"], r["status"]) for r in led] == [
         ("a1b2c3d4e5f6a1b2c3d4e5f6", "completed")
     ]
+
+
+def test_engine_config_from_file(tmp_path):
+    p = tmp_path / "etl.json"
+    p.write_text(
+        json.dumps(
+            {
+                "batch_size": 500,
+                "gzip_level": 9,
+                "mongo": {"uri": "mongodb://h:27018/", "db_name": "camic"},
+            }
+        )
+    )
+    cfg = EngineConfig.from_file(str(p))
+    assert cfg.batch_size == 500 and cfg.gzip_level == 9
+    assert cfg.mongo.uri == "mongodb://h:27018/"
+    assert cfg.cursor_batch_size == 5000  # untouched default
