@@ -4002,6 +4002,276 @@ def _sql_s07():
     """
 
 
+def llm10_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) as an
+    auditable filter: every rule input is a column, plus the composed
+    keep flag, so a curation pipeline can report WHY a doc dropped.
+    Stop-hit semantics are occurrence counts (the public DataTrove
+    implementation), not distinct-word hits. Pure native expressions
+    — one token-array pass per doc inside whole-stage codegen; at
+    100 TB this runs at scan speed with zero shuffle (per-row op).
+    The two line-shape rules (bullet-start / ellipsis-end fractions)
+    participate in `keep` but are not emitted: this corpus is
+    single-line, so their columns would be trivial constants."""
+    from geosparql_etl_spark.functions.textstats import gopher_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    m = gopher_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(m["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(m["alpha_frac"], 6).alias("alpha_frac"),
+        m["stop_hits"].alias("stop_hits"),
+        m["keep"].alias("keep"),
+    )
+
+
+def _sql_llm10():
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    nw = f"CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0 ELSE len({toks}) END"
+    tot = f"list_aggregate(list_transform({toks}, t -> len(t)), 'sum')"
+    mwl = f"CASE WHEN {nw} > 0 THEN {tot}::DOUBLE / {nw} ELSE 0.0 END"
+    nsym = "len(regexp_extract_all(text, '#|\\.\\.\\.'))"
+    symr = f"CASE WHEN {nw} > 0 THEN {nsym}::DOUBLE / {nw} ELSE 0.0 END"
+    alpha = (
+        f"CASE WHEN {nw} > 0 THEN len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))::DOUBLE / {nw} ELSE 0.0 END"
+    )
+    stops = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+    sh = f"len(list_filter({toks}, t -> t IN {stops}))"
+    lines = "string_split(text, chr(10))"
+    bullet = (
+        f"CASE WHEN len({lines}) > 0 THEN len(list_filter({lines}, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len({lines}) ELSE 0.0 END"
+    )
+    ell = (
+        f"CASE WHEN len({lines}) > 0 THEN len(list_filter({lines}, l -> regexp_matches(trim(l), '\\.\\.\\.$')))::DOUBLE / len({lines}) ELSE 0.0 END"
+    )
+    return f"""
+    SELECT doc_id,
+      {nw} AS n_words,
+      round({mwl}, 6) AS mean_word_len,
+      round({symr}, 6) AS symbol_ratio,
+      round({alpha}, 6) AS alpha_frac,
+      {sh} AS stop_hits,
+      ({nw} BETWEEN 50 AND 100000
+       AND {mwl} BETWEEN 3.0 AND 10.0
+       AND {symr} <= 0.1
+       AND {bullet} < 0.9
+       AND {ell} < 0.3
+       AND {alpha} >= 0.8
+       AND {sh} >= 2) AS keep
+    FROM documents
+    """
+
+
+def txt13_char_entropy(spark, sf_dir):
+    """Per-doc character Shannon entropy (bits/char): cheap
+    randomness/quality signal (low = boilerplate, high = encoded
+    junk). Explode -> two-level aggregation; map-side combine bounds
+    the shuffle at docs x alphabet, not corpus chars (see
+    operators/textrank.py:char_entropy)."""
+    from geosparql_etl_spark.operators.textrank import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy(d).select(
+        "doc_id", F.round("entropy", 6).alias("entropy")
+    )
+
+
+def _sql_txt13():
+    return """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+    cnt AS (
+      SELECT doc_id, c, count(*) AS n FROM ch WHERE c != '' GROUP BY 1, 2),
+    ent AS (
+      SELECT doc_id, log2(sum(n)) - sum(n * log2(n)) / sum(n) AS e
+      FROM cnt GROUP BY 1)
+    SELECT d.doc_id, round(coalesce(ent.e, 0.0), 6) AS entropy
+    FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+    """
+
+
+def s09_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention on the event stream: cohort = Monday
+    week of each user's first event; per (cohort, week offset) count
+    distinct active users and the retention rate vs the cohort's own
+    week-0 size. ONE corpus-sized shuffle (window min over user_id —
+    cohort assignment and activity ride the same partitioning), then
+    an aggregate that is weeks x offsets small; the rate window runs
+    over that tiny aggregate, partitioned by cohort."""
+    e = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id")
+    base = e.select(
+        "user_id",
+        F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
+        F.to_date(F.date_trunc("week", F.min("ts").over(wu))).alias(
+            "cohort_week"
+        ),
+    )
+    per = base.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("week", "cohort_week") / 7)
+        .cast("int")
+        .alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+    wc = Window.partitionBy("cohort_week")
+    size0 = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(wc)
+    return per.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / size0, 6).alias("retention"),
+    )
+
+
+def _sql_s09():
+    return """
+    WITH b AS (
+      SELECT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week,
+             CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE)
+               AS cohort_week
+      FROM events),
+    per AS (
+      SELECT cohort_week,
+             CAST((week - cohort_week) / 7 AS INT) AS week_offset,
+             count(DISTINCT user_id) AS n_active
+      FROM b GROUP BY 1, 2)
+    SELECT cohort_week, week_offset, n_active,
+           round(n_active::DOUBLE /
+                 max(CASE WHEN week_offset = 0 THEN n_active END)
+                   OVER (PARTITION BY cohort_week), 6) AS retention
+    FROM per
+    """
+
+
+def sim10_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label classification (k=5, IVF candidates,
+    n_probe=2) for an incoming batch (vec_id < 50) against the labeled
+    corpus, leave-one-out. The label rides candidate generation
+    (ivf_topk carry_cols) so the corpus is touched exactly once; the
+    truth join for the accuracy flag is batch-sized. Deterministic:
+    seeded centroids, rank ties to the lower neighbor id, vote ties to
+    the smaller label — the oracle replays every step in SQL."""
+    from geosparql_etl_spark.operators.similarity import knn_classify
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 50)
+    pred = knn_classify(e, q, k=5, dim=64, n_cells=16, n_probe=2)
+    truth = q.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "pred_label",
+        "votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+def _sql_sim10():
+    from geosparql_etl_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16)
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ct AS (SELECT * FROM (VALUES {rows}) AS t(c, cent)),
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id < 50) WHERE rn <= 2),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    nn AS (
+      SELECT query_id, neighbor_id, ec.label AS nlabel FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(eq.v, ec2.v) DESC, neighbor_id
+               ) AS rank
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e ec2 ON ec2.vec_id = cand.neighbor_id) r
+      JOIN e ec ON ec.vec_id = r.neighbor_id
+      WHERE rank <= 5),
+    votes AS (
+      SELECT query_id, nlabel, count(*) AS votes
+      FROM nn GROUP BY 1, 2),
+    pick AS (
+      SELECT query_id, nlabel AS pred_label, votes FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY votes DESC, nlabel ASC) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT p.query_id, p.pred_label, p.votes,
+           t.label AS true_label,
+           p.pred_label = t.label AS correct
+    FROM pick p JOIN e t ON t.vec_id = p.query_id
+    """
+
+
+def d11_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup: cosine >= 0.4 embedding pairs
+    (banded sign-LSH + exact re-score, the sim02 candidate plan) ->
+    distributed connected components -> (vec_id, cluster_id,
+    cluster_size); vec_id == cluster_id rows are the semantic keepers.
+    Band parameters match d07/sim02 (bands=48, bits=4 — verified
+    recall-complete vs exact at this threshold on this corpus), so the
+    oracle's brute-force pair set is identical and the recursive-CTE
+    components agree."""
+    from geosparql_etl_spark.operators.similarity import semantic_clusters
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_clusters(
+        e, threshold=0.4, dim=64, bands=48, bits_per_band=4
+    )
+
+
+def _sql_d11():
+    return """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT ed.dst, r.root FROM reach r JOIN edges ed ON ed.src = r.node),
+    cc AS (SELECT node, min(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS vec_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM cc
+    """
+
+
 # =============================================================================
 # registry
 # =============================================================================
@@ -4071,6 +4341,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t08_iso_timestamp": t08_iso_timestamp,
     "t10_to_json": t10_to_json,
     # --- below the 50-row window; next in line for the r05 rotation ---
+    "llm10_gopher_quality": llm10_gopher_quality,
+    "txt13_char_entropy": txt13_char_entropy,
+    "s09_retention_cohorts": s09_retention_cohorts,
+    "sim10_knn_classify": sim10_knn_classify,
+    "d11_semantic_clusters": d11_semantic_clusters,
     "d10_containment_pairs": d10_containment_pairs,
     "txt12_surprisal": txt12_surprisal,
     "llm09_data_mixture": llm09_data_mixture,
@@ -4246,6 +4521,11 @@ _ORACLES: dict[str, str] = {
     "sim04_ivf_ann": _sql_sim04(),
     "mm01_media_features": _sql_mm01(),
     "mm02_frame_sampling": _sql_mm02(),
+    "llm10_gopher_quality": _sql_llm10(),
+    "txt13_char_entropy": _sql_txt13(),
+    "s09_retention_cohorts": _sql_s09(),
+    "sim10_knn_classify": _sql_sim10(),
+    "d11_semantic_clusters": _sql_d11(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;

@@ -218,3 +218,82 @@ def normalize_text(text: Column) -> Column:
     agree byte-for-byte)."""
     cleaned = F.regexp_replace(F.lower(text), "[\\x00-\\x1f]", " ")
     return F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+
+
+# --- Gopher quality rules -----------------------------------------------------
+
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", appendix A1.1)
+# required-stopword list; occurrence-count semantics per the public
+# DataTrove implementation (sum of token membership, not distinct hits).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_metrics(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher repetition-free quality rules as named native Columns.
+
+    Returns every rule input plus the composed ``keep`` flag so a
+    filter pipeline can log WHY a document was dropped (the reference
+    pattern for auditable filters). All expressions are
+    whole-stage-codegen native — one pass over the token array, no
+    Python boundary — and each is SQL-expressible for the oracle.
+
+    Rules (Gopher A1.1): word count in [min_words, max_words]; mean
+    word length in [3, 10]; symbol-to-word ratio (``#`` or ``...``)
+    <= 0.1; < 90% of lines bullet-started; < 30% of lines
+    ellipsis-ended; >= 80% of words contain an alphabetic char;
+    >= 2 required-stopword occurrences.
+    """
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    n_words = F.when(
+        text.isNull() | (F.length(F.trim(text)) == 0), F.lit(0)
+    ).otherwise(F.size(toks))
+    total_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    mean_wl = F.when(n_words > 0, total_len / n_words).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), F.lit(0)))
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac < max_bullet_frac)
+        & (ellipsis_frac < max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "alpha_frac": alpha_frac,
+        "stop_hits": stop_hits,
+        "keep": keep,
+    }

@@ -175,17 +175,24 @@ def ivf_topk(
     dim: int = 64,
     n_cells: int = 16,
     n_probe: int = 1,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF approximate top-k: candidates live in the query's nearest
     cell(s); exact cosine re-score inside. ``n_probe`` > 1 widens the
     probe to that many nearest cells (recall/cost dial). At scale the
     corpus is written partitioned by cell, so a probe reads only
-    matching partitions (partition pruning — the inverted file)."""
+    matching partitions (partition pruning — the inverted file).
+
+    ``carry_cols`` names corpus columns to ride through candidate
+    generation into the output (e.g. a label for k-NN voting) — free
+    vs a post-hoc join of the top-k back onto the corpus, which would
+    re-shuffle corpus-sized data a second time."""
     cb = with_ivf_cell(spread(corpus), vec_col, dim, n_cells).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col), dim).alias("__cn"),
         F.col("ivf_cell").alias("__cell"),
+        *[F.col(c) for c in carry_cols],
     )
     cents = _ivf_centroids(dim, n_cells)
     scored = F.array(
@@ -216,12 +223,91 @@ def ivf_topk(
         F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
         .otherwise(F.lit(0.0))
         .alias("cosine_sim"),
+        *carry_cols,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return scored_pairs.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding corpus:
+    each query gets the modal label of its k nearest (IVF-candidate,
+    exact-rescored) neighbors. Ties break to the smaller label, so the
+    result is deterministic. Returns (query_id, pred_label, votes).
+
+    The 100 TB shape: the labeled corpus is the big side (bucketed by
+    IVF cell, partition-pruned per probe); the incoming batch to
+    classify is the broadcast side. The label rides candidate
+    generation via ``carry_cols`` — no second corpus join, so the only
+    corpus-sized work is the probed-cell scan itself. Queries drawn
+    from the corpus are scored leave-one-out (self is excluded by id).
+    """
+    nn = ivf_topk(
+        corpus,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        dim=dim,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        carry_cols=(label_col,),
+    )
+    votes = nn.groupBy("query_id", label_col).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("query_id", F.col(label_col).alias("pred_label"), "votes")
+    )
+
+
+def semantic_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int = 64,
+    bands: int | None = None,
+    bits_per_band: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup clusters (Abbas et al. 2023):
+    embedding pairs with cosine >= threshold (banded sign-LSH
+    candidates + exact re-score — never all-pairs) feed distributed
+    connected components; every clustered vector gets
+    (id, cluster_id, cluster_size) with cluster_id = min member id, so
+    ``id == cluster_id`` rows are the semantic keepers and the rest
+    are transitive near-duplicates. The pair generation is the
+    lsh_threshold_pairs plan (bucketed, capped); the component pass is
+    pointer-jumping min-label propagation sized to the PAIR graph, not
+    the corpus — both 100 TB-safe by construction."""
+    from geosparql_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = lsh_threshold_pairs(
+        df, id_col, vec_col, threshold, dim, bands, bits_per_band
+    ).select("id_a", "id_b")
+    # lsh_threshold_pairs emits dropDuplicates'd (id_a < id_b) pairs —
+    # the distinct ordered orientation dedup_clusters' fast path needs
+    return dedup_clusters(pairs, unique_pairs=True).select(
+        F.col("doc_id").alias(id_col), "cluster_id", "cluster_size"
     )
 
 

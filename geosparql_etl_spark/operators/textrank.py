@@ -152,3 +152,38 @@ def unigram_surprisal(
             ).alias("mean_surprisal"),
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "entropy",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic cheap randomness/quality signal (low entropy = repeated
+    boilerplate, high = encoded junk).
+
+    Plan: explode chars -> groupBy (id, char) -> groupBy id, using
+    H = log2(n) - sum(c*log2 c)/n so one aggregation pass suffices.
+    Scale: the explode is corpus-linear but map-side combine collapses
+    the shuffle to ~(docs x alphabet) rows — the per-doc alphabet is
+    bounded (<=256 for byte-ish text), so shuffle volume is ~100 rows
+    per document, not per character. Docs with null/empty text get
+    entropy 0.0 (left join back against the doc spine).
+    """
+    chars = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__ch")
+    ).where(F.col("__ch") != "")
+    counts = chars.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__c"))
+    ent = counts.groupBy(id_col).agg(
+        (
+            F.log2(F.sum("__c"))
+            - F.sum(F.col("__c") * F.log2("__c")) / F.sum("__c")
+        ).alias(out_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(ent, id_col, "left")
+        .select(id_col, F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col))
+    )

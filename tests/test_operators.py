@@ -737,3 +737,118 @@ def test_filtered_ann_neighbors_respect_predicate(spark, sf_dir):
     out = entry.sim09_filtered_ann(spark, sf_dir).collect()
     assert len(out) == 25  # 5 queries x full top-5
     assert all(r["neighbor_id"] in en for r in out)
+
+
+# --- k-NN classify / semantic clusters / quality signals ---------------------
+
+
+def test_knn_classify_votes_modal_label(spark):
+    """Two tight clusters with distinct labels: every query must get
+    its own cluster's label with a unanimous vote."""
+    import random
+
+    from geosparql_etl_spark.operators.similarity import knn_classify
+
+    rng = random.Random(7)
+
+    def jitter(base):
+        return [b + rng.uniform(-0.01, 0.01) for b in base]
+
+    a = [1.0] * 4 + [0.0] * 4
+    b = [0.0] * 4 + [1.0] * 4
+    rows = [
+        Row(vec_id=i, embedding=jitter(a), label=0) for i in range(10)
+    ] + [
+        Row(vec_id=10 + i, embedding=jitter(b), label=1) for i in range(10)
+    ]
+    e = spark.createDataFrame(rows)
+    q = e.where(F.col("vec_id").isin(0, 10))
+    got = {
+        r["query_id"]: (r["pred_label"], r["votes"])
+        for r in knn_classify(e, q, k=3, dim=8, n_cells=2, n_probe=1).collect()
+    }
+    assert got == {0: (0, 3), 10: (1, 3)}
+
+
+def test_knn_classify_tie_breaks_to_smaller_label(spark):
+    """k=2 with one neighbor of each label -> 1-1 tie -> label 0 wins."""
+    from geosparql_etl_spark.operators.similarity import knn_classify
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0], label=9),
+        Row(vec_id=1, embedding=[1.0, 0.02], label=5),
+        Row(vec_id=2, embedding=[1.0, -0.02], label=3),
+    ]
+    e = spark.createDataFrame(rows)
+    q = e.where(F.col("vec_id") == 0)
+    (r,) = knn_classify(e, q, k=2, dim=2, n_cells=1, n_probe=1).collect()
+    assert (r["pred_label"], r["votes"]) == (3, 1)
+
+
+def test_semantic_clusters_transitive(spark):
+    """a~b and b~c but a!~c still land in ONE cluster (transitivity via
+    connected components), with cluster_id = min member id."""
+    from geosparql_etl_spark.operators.similarity import semantic_clusters
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0]),
+        Row(vec_id=2, embedding=[0.9239, 0.3827]),   # 22.5deg from a
+        Row(vec_id=3, embedding=[0.7071, 0.7071]),   # 45deg from a
+        Row(vec_id=9, embedding=[-1.0, 0.0]),        # isolated
+    ]
+    e = spark.createDataFrame(rows)
+    # threshold 0.8: cos(22.5deg)=0.924 links 1-2 and 2-3; cos(45deg)=0.707
+    # does NOT link 1-3 directly
+    out = semantic_clusters(e, threshold=0.8, dim=2, bands=8, bits_per_band=2)
+    got = {r["vec_id"]: (r["cluster_id"], r["cluster_size"]) for r in out.collect()}
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3)}
+
+
+def test_char_entropy_known_values(spark):
+    """H('aaaa')=0, H('ab')=1 bit, empty/null -> 0.0 with the doc kept."""
+    from geosparql_etl_spark.operators.textrank import char_entropy
+
+    rows = [
+        Row(doc_id=1, text="aaaa"),
+        Row(doc_id=2, text="ab"),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text=None),
+        Row(doc_id=5, text="abcd"),
+    ]
+    d = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r["entropy"] for r in char_entropy(d).collect()}
+    assert got[1] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+    assert abs(got[2] - 1.0) < 1e-9
+    assert abs(got[5] - 2.0) < 1e-9
+
+
+def test_gopher_metrics_rules(spark):
+    """Each rule flips keep: a good doc passes, then single-rule
+    violations fail (too short; no stopwords; mean word length)."""
+    from geosparql_etl_spark.functions.textstats import gopher_metrics
+
+    good = ("the quick brown fox jumped over the lazy dog and ran on " * 5).strip()
+    short = "the and of it"
+    nostops = ("walrus pelican marmot badger weasel ferret otter stoat " * 8).strip()
+    longwords = (
+        "pneumonoultramicroscopic silicovolcanoconiosis antidisestablishment " * 20
+    ).strip()
+    rows = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text=short),
+        Row(doc_id=3, text=nostops),
+        Row(doc_id=4, text=longwords),
+    ]
+    d = spark.createDataFrame(rows)
+    m = gopher_metrics(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id", m["keep"].alias("keep"), m["n_words"].alias("n"),
+            m["stop_hits"].alias("s"), m["mean_word_len"].alias("mwl"),
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["n"] < 50
+    assert out[3]["keep"] is False and out[3]["s"] == 0
+    assert out[4]["keep"] is False and out[4]["mwl"] > 10
