@@ -4002,6 +4002,115 @@ def _sql_s07():
     """
 
 
+def txt14_bigram_surprisal(spark, sf_dir):
+    """Bigram-surprisal quality score: mean -ln p(w|prev) under the
+    corpus's own add-0.5-smoothed bigram model — the conditional
+    upgrade of txt12 (word-order anomalies now score high, invisible
+    to a unigram model). See operators/textrank.py:bigram_surprisal
+    for the vocab-join plan shape."""
+    from geosparql_etl_spark.operators.textrank import bigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_surprisal(d, "doc_id", "text")
+
+
+def _sql_txt14():
+    return """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    pairs AS (
+      SELECT doc_id, b[1] AS prev, b[2] AS w FROM (
+        SELECT doc_id, unnest([[t[i], t[i+1]] for i in range(1, len(t))]) AS b
+        FROM toks WHERE len(t) >= 2)),
+    bc AS (SELECT prev, w, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+    pc AS (SELECT prev, sum(c2) AS c1 FROM bc GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT term)::DOUBLE AS v FROM (
+        SELECT unnest(t) AS term FROM toks))
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln((c2 + 0.5) / (c1 + 0.5 * v))), 4)
+             AS mean_bg_surprisal
+    FROM pairs JOIN bc USING (prev, w) JOIN pc USING (prev) CROSS JOIN v
+    GROUP BY doc_id
+    """
+
+
+def llm11_contamination_report(spark, sf_dir):
+    """Per-benchmark-doc contamination REPORT (the appendix table that
+    accompanies llm05's filter): for each held-out doc (doc_id < 10),
+    the fraction of its winnowed long-substring fingerprints (k=20,
+    w=8 — llm05's parameters) found anywhere in the train corpus
+    (doc_id >= 10), plus how many distinct train docs share one.
+
+    Scale shape: the corpus-sized fingerprint stream joins against the
+    BROADCAST benchmark fingerprint set (inner join — the same shape
+    llm05 uses), and all per-doc arithmetic happens on the tiny
+    post-join aggregate; benchmark fp set sizes come from a
+    benchmark-sized aggregate. The corpus is never shuffled on fp."""
+    from geosparql_etl_spark.functions.textstats import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id",
+        F.explode(winnow_fingerprints(F.col("text"), k=20, w=8)).alias("fp"),
+    )
+    bench = fps.where(F.col("doc_id") < 10)
+    bench_sizes = bench.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fps")
+    )
+    train = fps.where(F.col("doc_id") >= 10).select(
+        "fp", F.col("doc_id").alias("train_doc")
+    )
+    hits = train.join(
+        F.broadcast(bench.select("doc_id", "fp")), "fp"
+    ).groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_hit"),
+        F.countDistinct("train_doc").alias("n_contam_docs"),
+    )
+    return bench_sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_fps",
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.coalesce("n_contam_docs", F.lit(0)).alias("n_contam_docs"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_fps"), 6
+        ).alias("overlap_frac"),
+    )
+
+
+def _sql_llm11():
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    h60 = "CAST(('0x' || substr(md5(substr(s, CAST(i AS INT), 20)), 1, 15)) AS BIGINT)"
+    return f"""
+    WITH n AS (SELECT doc_id, {norm} AS s FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(s) - 19, 1) + 1),
+                            i -> {h60}) AS kh
+      FROM n),
+    w AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(kh) - 7, 1) + 1),
+                            j -> list_aggregate(kh[CAST(j AS INT):CAST(j AS INT)+7],
+                                                'min')) AS mins
+      FROM h),
+    fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS f FROM w),
+    bench AS (SELECT doc_id, f FROM fp WHERE doc_id < 10),
+    sizes AS (SELECT doc_id, count(DISTINCT f) AS n_fps FROM bench GROUP BY 1),
+    hits AS (
+      SELECT b.doc_id, count(DISTINCT b.f) AS n_hit,
+             count(DISTINCT t.doc_id) AS n_contam_docs
+      FROM bench b JOIN fp t ON t.f = b.f AND t.doc_id >= 10
+      GROUP BY 1)
+    SELECT s.doc_id, s.n_fps,
+           coalesce(h2.n_hit, 0) AS n_hit,
+           coalesce(h2.n_contam_docs, 0) AS n_contam_docs,
+           round(coalesce(h2.n_hit, 0)::DOUBLE / s.n_fps, 6) AS overlap_frac
+    FROM sizes s LEFT JOIN hits h2 ON s.doc_id = h2.doc_id
+    """
+
+
 def llm10_gopher_quality(spark, sf_dir):
     """Gopher document-quality rules (Rae et al. 2021 A1.1) as an
     auditable filter: every rule input is a column, plus the composed
@@ -4343,6 +4452,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- below the 50-row window; next in line for the r05 rotation ---
     "llm10_gopher_quality": llm10_gopher_quality,
     "txt13_char_entropy": txt13_char_entropy,
+    "txt14_bigram_surprisal": txt14_bigram_surprisal,
+    "llm11_contamination_report": llm11_contamination_report,
     "s09_retention_cohorts": s09_retention_cohorts,
     "sim10_knn_classify": sim10_knn_classify,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -4526,6 +4637,8 @@ _ORACLES: dict[str, str] = {
     "s09_retention_cohorts": _sql_s09(),
     "sim10_knn_classify": _sql_sim10(),
     "d11_semantic_clusters": _sql_d11(),
+    "txt14_bigram_surprisal": _sql_txt14(),
+    "llm11_contamination_report": _sql_llm11(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;

@@ -187,3 +187,63 @@ def char_entropy(
         .join(ent, id_col, "left")
         .select(id_col, F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col))
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram surprisal, -avg ln p(w_i | w_{i-1}),
+    under the corpus's own add-alpha-smoothed bigram model — the
+    conditional upgrade of unigram_surprisal and a closer stand-in for
+    the CCNet LM-perplexity filter (word-order anomalies now score
+    high, which a unigram model cannot see).
+
+    p(w | prev) = (c(prev, w) + alpha) / (c(prev) + alpha * V), V the
+    corpus unigram vocabulary size. Plan shape: one bigram explode ->
+    bigram-vocabulary aggregate (Zipf-bounded, far below the corpus
+    token count after map-side combine) -> two vocab-sized equi-joins
+    back (strategy left to AQE) + a broadcast 1-row V -> per-doc avg.
+    Documents with fewer than two tokens have no bigrams and drop out
+    (same contract as the SQL oracle).
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+    )
+    # sequence(1, n-1) DESCENDS when n < 2 (Spark gotcha) — guard to
+    # an empty bigram list
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    pairs = docs.select(
+        F.col(id_col), F.explode(grams).alias("bg")
+    ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
+    bc = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    pc = bc.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            )
+        ).alias("term")
+    ).agg(F.countDistinct("term").cast("double").alias("v"))
+    p = (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+    return (
+        pairs.join(bc, ["prev", "w"])
+        .join(pc, "prev")
+        .join(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("mean_bg_surprisal"),
+        )
+    )

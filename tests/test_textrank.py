@@ -150,3 +150,23 @@ def test_degenerate_text_inputs(spark):
 
     br = {r.doc_id for r in boilerplate_ratio(docs).collect()}
     assert br == {2, 3}
+
+
+def test_bigram_surprisal_known_values(spark):
+    """Corpus 'a b a b' + 'x': c(a,b)=2, c(b,a)=1, c1(a)=2, c1(b)=1,
+    V=3, alpha=0.5 -> p(a->b)=2.5/3.5, p(b->a)=1.5/2.5; the
+    single-token doc has no bigrams and drops out."""
+    import math
+
+    from pyspark.sql import Row
+
+    from geosparql_etl_spark.operators.textrank import bigram_surprisal
+
+    d = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="x")]
+    )
+    rows = {r["doc_id"]: r for r in bigram_surprisal(d).collect()}
+    assert set(rows) == {1}
+    expected = -(2 * math.log(2.5 / 3.5) + math.log(1.5 / 2.5)) / 3
+    assert rows[1]["n_bigrams"] == 3
+    assert abs(rows[1]["mean_bg_surprisal"] - round(expected, 4)) < 1e-9
