@@ -4002,6 +4002,40 @@ def _sql_s07():
     """
 
 
+def p14_json_props(spark, sf_dir):
+    """Schema-on-read JSON extraction (§2.2 extension): pull a typed
+    field out of the events' JSON `props` string with the native JSON
+    path expression, filter on it, aggregate per event type. At scale
+    the explicit path + cast stays inside whole-stage codegen — no
+    schema INFERENCE pass over 100 TB (the killer with
+    spark.read.json's sampling) and no Python boundary; the filter on
+    the extracted value prunes before the (tiny, 5-group) shuffle."""
+    e = _events(spark, sf_dir)
+    parsed = e.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+    return (
+        parsed.where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def _sql_p14():
+    return """
+    SELECT event_type, count(*) AS n, round(avg(k), 4) AS avg_k,
+           max(k) AS max_k
+    FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k
+          FROM events)
+    WHERE k >= 50 GROUP BY event_type
+    """
+
+
 def txt14_bigram_surprisal(spark, sf_dir):
     """Bigram-surprisal quality score: mean -ln p(w|prev) under the
     corpus's own add-0.5-smoothed bigram model — the conditional
@@ -4265,7 +4299,12 @@ def sim10_knn_classify(spark, sf_dir):
     (ivf_topk carry_cols) so the corpus is touched exactly once; the
     truth join for the accuracy flag is batch-sized. Deterministic:
     seeded centroids, rank ties to the lower neighbor id, vote ties to
-    the smaller label — the oracle replays every step in SQL."""
+    the smaller label — the oracle replays every step in SQL. (The
+    synthetic labels are independent of embedding geometry, so the
+    measured accuracy sits at the 1/n_labels random baseline — a
+    testdata property; the verified contract is the candidate+vote
+    pipeline itself, and test_knn_classify_votes_modal_label proves
+    label recovery on geometry-correlated clusters.)"""
     from geosparql_etl_spark.operators.similarity import knn_classify
 
     e = _t(spark, sf_dir, "embeddings")
@@ -4454,6 +4493,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt13_char_entropy": txt13_char_entropy,
     "txt14_bigram_surprisal": txt14_bigram_surprisal,
     "llm11_contamination_report": llm11_contamination_report,
+    "p14_json_props": p14_json_props,
     "s09_retention_cohorts": s09_retention_cohorts,
     "sim10_knn_classify": sim10_knn_classify,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -4639,6 +4679,7 @@ _ORACLES: dict[str, str] = {
     "d11_semantic_clusters": _sql_d11(),
     "txt14_bigram_surprisal": _sql_txt14(),
     "llm11_contamination_report": _sql_llm11(),
+    "p14_json_props": _sql_p14(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;

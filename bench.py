@@ -59,6 +59,13 @@ HEADLINE = [
     "d10_containment_pairs",
     "txt12_surprisal",
     "llm09_data_mixture",
+    "llm10_gopher_quality",
+    "txt13_char_entropy",
+    "txt14_bigram_surprisal",
+    "s09_retention_cohorts",
+    "sim10_knn_classify",
+    "d11_semantic_clusters",
+    "llm11_contamination_report",
 ]
 
 

@@ -209,9 +209,17 @@ def bigram_surprisal(
     Documents with fewer than two tokens have no bigrams and drop out
     (same contract as the SQL oracle).
     """
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+    # tokenize ONCE into a materialized column — referencing the
+    # regexp_extract_all expression inside the transform lambda would
+    # re-run the regex per element_at (the interpreter-lambda trap d05
+    # documents), turning an O(n) explode into O(n^2) regex passes
+    tokenized = docs.select(
+        F.col(id_col),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        ).alias("__toks"),
     )
+    toks = F.col("__toks")
     # sequence(1, n-1) DESCENDS when n < 2 (Spark gotcha) — guard to
     # an empty bigram list
     grams = F.when(
@@ -224,7 +232,7 @@ def bigram_surprisal(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
-    pairs = docs.select(
+    pairs = tokenized.select(
         F.col(id_col), F.explode(grams).alias("bg")
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
     bc = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))

@@ -142,3 +142,71 @@ def test_global_rank_is_a_permutation_and_respects_order(spark, vals):
     assert [(r["v"], r["id"]) for r in by_rank] == sorted(
         (v, i) for i, v in enumerate(vals)
     )
+
+
+_word = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789#.", min_size=1, max_size=12
+)
+
+
+@given(words=st.lists(_word, min_size=0, max_size=60))
+@settings(**_SETTINGS)
+def test_gopher_metrics_match_python_reference(spark, words):
+    """gopher_metrics' rule inputs agree with a direct Python
+    re-implementation on arbitrary word soups (single-line corpus, so
+    the line rules are exercised only via keep)."""
+    import re
+
+    from pyspark.sql import Row
+
+    from geosparql_etl_spark.functions.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_metrics,
+    )
+
+    text = " ".join(words)
+    toks = [t for t in text.lower().strip().split()] if text.strip() else []
+    n = len(toks)
+    mwl = sum(len(t) for t in toks) / n if n else 0.0
+    nsym = len(re.findall(r"#|\.\.\.", text))
+    alpha = (sum(1 for t in toks if re.search("[a-z]", t)) / n) if n else 0.0
+    stops = sum(1 for t in toks if t in GOPHER_STOPWORDS)
+
+    m = gopher_metrics(F.col("text"))
+    row = (
+        spark.createDataFrame([Row(text=text)])
+        .select(
+            m["n_words"].alias("n"),
+            m["mean_word_len"].alias("mwl"),
+            m["symbol_ratio"].alias("sr"),
+            m["alpha_frac"].alias("af"),
+            m["stop_hits"].alias("sh"),
+        )
+        .first()
+    )
+    assert row["n"] == n
+    assert abs(row["mwl"] - mwl) < 1e-9
+    assert abs(row["sr"] - (nsym / n if n else 0.0)) < 1e-9
+    assert abs(row["af"] - alpha) < 1e-9
+    assert row["sh"] == stops
+
+
+@given(s=st.text(alphabet="abcdef \n", min_size=0, max_size=60))
+@settings(**_SETTINGS)
+def test_char_entropy_matches_python_reference(spark, s):
+    """char_entropy equals -sum p log2 p computed directly."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from geosparql_etl_spark.operators.textrank import char_entropy
+
+    c = Counter(s)
+    n = sum(c.values())
+    expected = (
+        -sum((v / n) * math.log2(v / n) for v in c.values()) if n else 0.0
+    )
+    d = spark.createDataFrame([Row(doc_id=1, text=s)])
+    (row,) = char_entropy(d).collect()
+    assert abs(row["entropy"] - expected) < 1e-9
