@@ -104,6 +104,28 @@ def tumbling_counts(
     )
 
 
+def json_props_metrics(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Schema-on-read JSON parsing INSIDE the stream: extract a typed
+    field from the `props` JSON string with the native path expression
+    (per micro-batch, whole-stage codegen — the streaming analog of
+    the p14 batch query), then a watermarked tumbling aggregate of the
+    extracted metric. The parse adds no state; only the windowed
+    aggregate holds state, bounded by the watermark."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .where(F.col("k").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "avg_k"
+        )
+    )
+
+
 def sliding_counts(
     events: DataFrame,
     window: str = "2 hours",

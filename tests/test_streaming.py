@@ -375,3 +375,33 @@ def test_events_stream_bootstraps_on_empty_dir(spark, tmp_path):
     _run_to_memory(stream, "bootstrap_out")
     out = spark.table("bootstrap_out").collect()
     assert sum(r["n"] for r in out) == 20
+
+
+def test_json_props_stream_matches_batch(spark, events_src):
+    """In-stream JSON field extraction + windowed agg == the same
+    expression over a batch read (the p14 family, streamed)."""
+    from geosparql_etl_spark.streaming.events import (
+        events_file_stream,
+        json_props_metrics,
+    )
+
+    stream = json_props_metrics(events_file_stream(spark, events_src))
+    _run_to_memory(stream, "json_props_out")
+    got = _rows(
+        spark.table("json_props_out"),
+        ["window_start", "event_type", "n", "avg_k"],
+    )
+
+    b = _batch_events(spark, events_src).withColumn(
+        "k", F.get_json_object(F.col("props"), "$.k").cast("int")
+    )
+    batch = (
+        b.where(F.col("k").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("k"), 4).alias("avg_k"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "avg_k"
+        )
+    )
+    want = _rows(batch, ["window_start", "event_type", "n", "avg_k"])
+    assert got == want and len(got) > 0
