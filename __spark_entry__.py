@@ -4002,6 +4002,107 @@ def _sql_s07():
     """
 
 
+def j12_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / dimension maintenance (the row-level analog of
+    K3's versioned rewrite): classify every key across two snapshot
+    versions as changed / deleted / unchanged via ONE full outer join
+    on the key (inserts classify the same way — this synthetic new
+    snapshot has none). The new snapshot is derived deterministically
+    from the same table (acctbal bumped for custkey%7, custkey%50 rows
+    dropped) so the oracle replays it exactly. At scale both snapshots
+    shuffle once on the join key — the MERGE shape every
+    lakehouse-style upsert compiles to; AQE handles the skew."""
+    c = _t(spark, sf_dir, "customer")
+    old = c.select("c_custkey", F.col("c_acctbal").alias("old_bal"))
+    new = (
+        c.where(F.col("c_custkey") % 50 != 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 100
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("new_bal"),
+        )
+    )
+    j = old.join(new, "c_custkey", "full_outer")
+    status = (
+        F.when(F.col("old_bal").isNull(), F.lit("inserted"))
+        .when(F.col("new_bal").isNull(), F.lit("deleted"))
+        .when(F.col("old_bal") != F.col("new_bal"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("c_custkey", status.alias("status"), "old_bal", "new_bal")
+
+
+def _sql_j12():
+    return """
+    WITH old AS (SELECT c_custkey, c_acctbal AS old_bal FROM customer),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS new_bal
+      FROM customer WHERE c_custkey % 50 != 0)
+    SELECT coalesce(old.c_custkey, new.c_custkey) AS c_custkey,
+           CASE WHEN old.old_bal IS NULL THEN 'inserted'
+                WHEN new.new_bal IS NULL THEN 'deleted'
+                WHEN old.old_bal != new.new_bal THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old.old_bal, new.new_bal
+    FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+    """
+
+
+def llm12_curriculum_deciles(spark, sf_dir):
+    """Curriculum bucketing: every document assigned a quality DECILE
+    with NO single-partition global window — the w04 global_rank
+    machinery (quality-coarsened buckets, tiny offset prefix-sum,
+    per-bucket row_number) plus decile = floor((rank-1)*10/N), N a
+    broadcast 1-row count. The identical formula runs in the oracle
+    (ntile() is deliberately NOT used: its remainder distribution
+    differs when N isn't divisible by 10). Output is the 10-row
+    per-decile summary a curriculum sampler consumes."""
+    from geosparql_etl_spark.functions.textstats import quality_score
+    from geosparql_etl_spark.operators.partitioning import global_rank
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    ranked = global_rank(
+        d,
+        order_cols=[F.asc("q"), F.asc("doc_id")],
+        bucket=F.least(F.floor(F.col("q") * 10), F.lit(9)).cast("int"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    deciled = ranked.join(F.broadcast(n)).select(
+        "q",
+        F.floor((F.col("rank") - 1) * 10 / F.col("__n")).alias("decile"),
+    )
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+
+
+def _sql_llm12():
+    quality = _sql_txt03().strip()
+    return f"""
+    WITH ql AS ({quality}),
+    ranked AS (
+      SELECT quality AS q,
+             row_number() OVER (ORDER BY quality, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM ql)
+    SELECT CAST(floor((rn - 1) * 10 / n) AS BIGINT) AS decile,
+           count(*) AS n_docs,
+           round(avg(q), 6) AS avg_q,
+           min(q) AS min_q, max(q) AS max_q
+    FROM ranked GROUP BY 1
+    """
+
+
 def p14_json_props(spark, sf_dir):
     """Schema-on-read JSON extraction (§2.2 extension): pull a typed
     field out of the events' JSON `props` string with the native JSON
@@ -4494,6 +4595,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt14_bigram_surprisal": txt14_bigram_surprisal,
     "llm11_contamination_report": llm11_contamination_report,
     "p14_json_props": p14_json_props,
+    "j12_snapshot_diff": j12_snapshot_diff,
+    "llm12_curriculum_deciles": llm12_curriculum_deciles,
     "s09_retention_cohorts": s09_retention_cohorts,
     "sim10_knn_classify": sim10_knn_classify,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -4680,6 +4783,8 @@ _ORACLES: dict[str, str] = {
     "txt14_bigram_surprisal": _sql_txt14(),
     "llm11_contamination_report": _sql_llm11(),
     "p14_json_props": _sql_p14(),
+    "j12_snapshot_diff": _sql_j12(),
+    "llm12_curriculum_deciles": _sql_llm12(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
