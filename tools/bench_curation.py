@@ -72,6 +72,28 @@ def curation_plan(docs):
     )
 
 
+def quality_signals_plan(docs):
+    """The per-row quality battery (llm10 gopher rules + txt13 entropy
+    joined back): measures whether 'quality filters run at scan speed'
+    holds as the corpus grows — the only shuffle is txt13's
+    (docs x alphabet)-bounded aggregation."""
+    from geosparql_etl_spark.functions.textstats import gopher_metrics
+    from geosparql_etl_spark.operators.textrank import char_entropy
+
+    m = gopher_metrics(F.col("text"))
+    flags = docs.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["keep"].alias("keep"),
+    )
+    ent = char_entropy(docs)
+    return flags.join(ent, "doc_id").groupBy("keep").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+        F.sum("n_words").alias("n_words"),
+    )
+
+
 def main():
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -89,6 +111,10 @@ def main():
     ).mode("overwrite").save()
     t_lsh = time.time() - t0
 
+    t0 = time.time()
+    quality_signals_plan(docs).write.format("noop").mode("overwrite").save()
+    t_q = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -97,6 +123,8 @@ def main():
                 "curation_docs_per_sec": round(n_docs / t_cur),
                 "lsh_dedup_sec": round(t_lsh, 2),
                 "lsh_dedup_docs_per_sec": round(n_docs / t_lsh),
+                "quality_signals_sec": round(t_q, 2),
+                "quality_signals_docs_per_sec": round(n_docs / t_q),
             }
         )
     )
