@@ -142,3 +142,51 @@ def test_ivf_partitioned_layout_prunes_cells(spark, tmp_path):
     n_full = full.count()
     n_expected = full.where(F.col("ivf_cell").isin(0, 1)).count()
     assert n_probed == n_expected and n_full == 200 and 0 < n_probed < n_full
+
+
+def test_bucketed_fingerprint_corpus_joins_batch_without_corpus_shuffle(
+    spark, sf_dir, tmp_path_factory
+):
+    """SCALE.md's llm06 claim: 'at 100 TB the corpus fingerprint set is
+    a bucketed table the batch join co-locates with'. Demonstrate it:
+    corpus fingerprints stored bucketBy(fp); an incoming batch
+    anti-joins against them with NO exchange on the corpus side (the
+    batch side legitimately shuffles — it is batch-sized)."""
+    from geosparql_etl_spark.functions.textstats import fingerprint64
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus_fp = d.where(F.col("doc_id") >= 50).select(
+        fingerprint64(F.col("text")).alias("corpus_fp")
+    ).dropDuplicates()
+    wh = str(tmp_path_factory.mktemp("fp_warehouse"))
+    spark.sql("DROP TABLE IF EXISTS corpus_fp_b")
+    (
+        corpus_fp.write.bucketBy(8, "corpus_fp")
+        .sortBy("corpus_fp")
+        .option("path", f"{wh}/corpus_fp_b")
+        .mode("overwrite")
+        .saveAsTable("corpus_fp_b")
+    )
+
+    batch = d.where(F.col("doc_id") < 50).select(
+        "doc_id", fingerprint64(F.col("text")).alias("fp")
+    )
+    corpus = spark.table("corpus_fp_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh = batch.join(
+            corpus, batch.fp == corpus.corpus_fp, "left_anti"
+        )
+        fresh.collect()
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning(corpus_fp" not in plan
+    assert "Exchange hashpartitioning(fp" in plan  # the batch side only
+
+    # semantics: anti-join equals the unbucketed computation
+    want = batch.join(
+        corpus_fp.select(F.col("corpus_fp").alias("fp")), "fp", "left_anti"
+    ).count()
+    assert fresh.count() == want
