@@ -852,3 +852,47 @@ def test_gopher_metrics_rules(spark):
     assert out[2]["keep"] is False and out[2]["n"] < 50
     assert out[3]["keep"] is False and out[3]["s"] == 0
     assert out[4]["keep"] is False and out[4]["mwl"] > 10
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB skew story has two layers: salting (tested above)
+    for the shapes AQE can't fix, and AQE's runtime skew-join split
+    for sort-merge joins. Demonstrate the second actually fires: a
+    1-hot-key fact joined to a dim under thresholds scaled to the toy
+    data shows the skew=true marker on the SMJ in the adaptive plan."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(11)
+    fact = spark.createDataFrame(
+        [Row(k=(0 if i < 20000 else rng.randint(1, 50)),
+             v=rng.random()) for i in range(24000)]
+    )
+    dim = spark.createDataFrame([Row(k=i, label=f"l{i}") for i in range(51)])
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scale the skew thresholds down to toy data: a partition is
+        # "skewed" past 16KB / 2x median instead of 256MB
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.join.preferSortMergeJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = fact.join(dim, "k")
+        # materialize THIS DataFrame's query execution: count() builds
+        # a separate plan, leaving j's AQE plan isFinalPlan=false
+        assert len(j.collect()) == 24000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan[:2000]
