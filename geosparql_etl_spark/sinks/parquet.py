@@ -83,3 +83,42 @@ def compact_partitions(
     write_partitioned(
         snap, path, partition_cols, max_records_per_file=max_records_per_file
     )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    compress: bool = True,
+) -> DataFrame:
+    """Export a corpus as bounded-size JSONL shards + a manifest — the
+    hand-off format training jobs consume (one JSON object per line,
+    shards small enough to stream, a manifest to schedule reads).
+
+    The write is Spark's native JSON sink (cluster-parallel, atomic via
+    the commit protocol) with per-file row bounds; the manifest is
+    computed DISTRIBUTEDLY by reading the shards back — file path, byte
+    size from the file-metadata column (no driver-side listing loop),
+    row count per shard — and returned as a DataFrame for the caller
+    to persist next to the data.
+    """
+    w = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(path)
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    rows = (
+        spark.read.json(path)
+        .select(
+            F.col("_metadata.file_path").alias("shard"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .groupBy("shard", "bytes")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+    return rows

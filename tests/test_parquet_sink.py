@@ -91,3 +91,23 @@ def test_compacted_table_still_partition_prunes(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_jsonl_shards_roundtrip_and_manifest(spark, tmp_path):
+    out = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(100)]
+    ).coalesce(1)
+    from geosparql_etl_spark.sinks.parquet import write_jsonl_shards
+
+    manifest = write_jsonl_shards(df, out, max_records_per_file=25)
+    rows = manifest.collect()
+    # >= 4 shards of <= 25 records covering all 100 docs
+    assert sum(r["n_records"] for r in rows) == 100
+    assert all(r["n_records"] <= 25 for r in rows)
+    assert len(rows) >= 4
+    assert all(r["bytes"] > 0 and r["shard"].endswith(".gz") for r in rows)
+
+    back = spark.read.json(out)
+    assert back.count() == 100
+    assert {r["doc_id"] for r in back.collect()} == set(range(100))
