@@ -4002,6 +4002,31 @@ def _sql_s07():
     """
 
 
+def p15_variant_props(spark, sf_dir):
+    """p14's Spark-4-native sibling: parse the JSON props string ONCE
+    into a binary VARIANT column (parse_json), then variant_get typed
+    extractions — the shape for wide semi-structured data where
+    get_json_object would re-parse the string per extracted field.
+    Same result contract as p14 (single field here, so the two plans
+    tie; with k fields the variant parse amortizes k-fold). Oracle is
+    the same SQL as p14 — the variant path is an ENGINE encoding, not
+    a semantics change."""
+    e = _events(spark, sf_dir)
+    parsed = e.select(
+        "event_type",
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "int").alias("k"),
+    )
+    return (
+        parsed.where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def j12_snapshot_diff(spark, sf_dir):
     """Snapshot diff / dimension maintenance (the row-level analog of
     K3's versioned rewrite): classify every key across two snapshot
@@ -4597,6 +4622,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p14_json_props": p14_json_props,
     "j12_snapshot_diff": j12_snapshot_diff,
     "llm12_curriculum_deciles": llm12_curriculum_deciles,
+    "p15_variant_props": p15_variant_props,
     "s09_retention_cohorts": s09_retention_cohorts,
     "sim10_knn_classify": sim10_knn_classify,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -4785,6 +4811,7 @@ _ORACLES: dict[str, str] = {
     "p14_json_props": _sql_p14(),
     "j12_snapshot_diff": _sql_j12(),
     "llm12_curriculum_deciles": _sql_llm12(),
+    "p15_variant_props": _sql_p14(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
