@@ -36,3 +36,43 @@ def test_no_cartesian_product(spark, sf_dir, name):
     df = entry.queries()[name](spark, sf_dir)
     plan = _physical_plan(df)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+
+
+# Queries whose plans legitimately cross into Python — ALL via Arrow-
+# vectorized pandas_udf/mapInPandas (the allowed escape hatches:
+# matmul LSH/IVF bucketing, PQ codes, binary-media decode). Row-wise
+# BatchEvalPython is banned everywhere, including these.
+VECTORIZED_PYTHON_OK = {
+    "d07_embedding_neardup",
+    "d11_semantic_clusters",
+    "sim02_threshold_pairs",
+    "sim03_ann_lsh",
+    "sim04_ivf_ann",
+    "sim06_pq_ann",
+    "sim08_ivfpq_ann",
+    "sim09_filtered_ann",
+    "sim10_knn_classify",
+    "mm01_media_features",
+    "mm02_frame_sampling",
+    "mm03_audio_features",
+}
+
+
+@pytest.mark.parametrize("name", [n for n in entry.queries() if n not in SKIP])
+def test_udf_policy_no_row_python(spark, sf_dir, name):
+    """§2.10 UDF policy as an automated gate, not a grep: no registered
+    query may plan a row-at-a-time Python eval (BatchEvalPython), and
+    only the declared vectorized set may plan ArrowEvalPython /
+    MapInPandas at all."""
+    df = entry.queries()[name](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BatchEvalPython" not in plan, (
+        f"{name} plans a row-at-a-time Python UDF:\n{plan}"
+    )
+    if name not in VECTORIZED_PYTHON_OK:
+        for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan, (
+                f"{name} unexpectedly crosses into Python ({marker}) — "
+                f"add it to VECTORIZED_PYTHON_OK only if the boundary is "
+                f"justified:\n{plan}"
+            )
