@@ -110,3 +110,65 @@ def run_batched_doc_stream(
     )
     q.awaitTermination(timeout_sec)
     return dict(seen)
+
+
+def stream_upsert_parquet(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("event_id",),
+    timeout_sec: int = 300,
+):
+    """Streaming MERGE into a date-partitioned parquet table: each
+    micro-batch upserts its rows by key, replacing ONLY the partitions
+    it touches (dynamic overwrite) — the streaming-to-lakehouse pattern
+    that keeps a queryable table exactly-once per key under replays.
+
+    Per batch: read back just the affected date partitions (the
+    driver-side date list is bounded by the batch's distinct dates —
+    that literal list is what makes the read partition-pruned), union
+    with the batch, keep the NEWEST row per key (batch wins over
+    table), and dynamic-overwrite those partitions. A replayed epoch
+    re-derives the identical merge, so the sink is idempotent; commit
+    protocol makes each partition swap atomic. Runs availableNow to
+    completion.
+    """
+    from pyspark.sql import Window
+
+    from geosparql_etl_spark.sinks.parquet import write_partitioned
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        b = batch_df.withColumn("event_date", F.to_date(F.col("ts"))).withColumn(
+            "__prio", F.lit(0)
+        )
+        dates = [r[0] for r in b.select("event_date").distinct().collect()]
+        try:
+            cur = (
+                spark.read.parquet(table_dir)
+                .where(F.col("event_date").isin(dates))
+                .select(*b.columns[:-1])
+                .withColumn("__prio", F.lit(1))
+            )
+            unioned = b.unionByName(cur)
+        except Exception:
+            unioned = b  # first batch: table does not exist yet
+        w = Window.partitionBy(*key_cols).orderBy("__prio")
+        merged = (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__prio", "__rn")
+        )
+        # sever lineage before overwriting the partitions just read
+        write_partitioned(merged.localCheckpoint(), table_dir, ["event_date"])
+
+    q = (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
