@@ -4002,6 +4002,35 @@ def _sql_s07():
     """
 
 
+def a14_corr_stats(spark, sf_dir):
+    """Grouped second-moment statistics (§2.4 extension): Pearson
+    correlation, sample covariance and stddev per return flag — the
+    profiling pass every feature/QA pipeline runs before modeling.
+    All three are single-pass mergeable aggregates (sum/sum-of-
+    products moments combine across partitions), so the plan is one
+    map-side-combined groupBy — no second scan, no window."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_discount"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _sql_a14():
+    return """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           round(stddev_samp(l_discount), 6) AS sd_discount,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
 def p15_variant_props(spark, sf_dir):
     """p14's Spark-4-native sibling: parse the JSON props string ONCE
     into a binary VARIANT column (parse_json), then variant_get typed
@@ -4623,6 +4652,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j12_snapshot_diff": j12_snapshot_diff,
     "llm12_curriculum_deciles": llm12_curriculum_deciles,
     "p15_variant_props": p15_variant_props,
+    "a14_corr_stats": a14_corr_stats,
     "s09_retention_cohorts": s09_retention_cohorts,
     "sim10_knn_classify": sim10_knn_classify,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -4812,6 +4842,7 @@ _ORACLES: dict[str, str] = {
     "j12_snapshot_diff": _sql_j12(),
     "llm12_curriculum_deciles": _sql_llm12(),
     "p15_variant_props": _sql_p14(),
+    "a14_corr_stats": _sql_a14(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;

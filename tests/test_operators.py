@@ -896,3 +896,15 @@ def test_aqe_splits_skewed_join_partitions(spark):
             if v is not None:
                 spark.conf.set(k, v)
     assert "skew=true" in plan, plan[:2000]
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """a09 documents approx_percentile as the sketch path for exact
+    percentiles at scale — pin its error against the exact value (the
+    same guard approx_count_distinct already has)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) <= 0.02 * row["exact"]
