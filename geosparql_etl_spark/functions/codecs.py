@@ -285,3 +285,43 @@ def audio_features(sample_rate: int, samples: np.ndarray) -> np.ndarray:
             hist / max(n, 1),
         ]
     )
+
+
+# --- toy video container ------------------------------------------------------
+
+_VID_MAGIC = b"GSV1"
+
+
+def encode_video(frames: list, fps: int = 10) -> bytes:
+    """Deterministic toy video container "GSV1": magic + u16 fps + u16
+    frame count + u32 per-frame length index + concatenated BMP
+    payloads. Stands in for MP4/AVI the way encode_bmp stands in for
+    JPEG: the container STRUCTURE (index, seekability) is real even
+    though the frame codec is trivial — which is exactly what the
+    random-access frame extraction path needs to be testable without
+    binary media libs in the sandbox."""
+    payloads = [encode_bmp(f) for f in frames]
+    head = _VID_MAGIC + struct.pack("<HH", fps, len(payloads))
+    index = b"".join(struct.pack("<I", len(p)) for p in payloads)
+    return head + index + b"".join(payloads)
+
+
+def video_info(data: bytes) -> tuple[int, int]:
+    """(fps, n_frames) from the header only — no frame decode."""
+    if len(data) < 8 or data[:4] != _VID_MAGIC:
+        raise ValueError("not a GSV1 video payload")
+    fps, n = struct.unpack_from("<HH", data, 4)
+    return fps, n
+
+
+def decode_video_frame(data: bytes, i: int) -> np.ndarray:
+    """Decode ONLY frame ``i``: seek via the length index, slice that
+    frame's bytes, BMP-decode them. The random-access property real
+    containers provide — frame extraction cost is per-frame, not
+    per-video."""
+    fps, n = video_info(data)
+    if not 0 <= i < n:
+        raise ValueError(f"frame {i} out of range (n={n})")
+    lengths = struct.unpack_from(f"<{n}I", data, 8)
+    start = 8 + 4 * n + sum(lengths[:i])
+    return decode_bmp(data[start : start + lengths[i]])

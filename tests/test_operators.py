@@ -908,3 +908,42 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
     ).first()
     assert abs(row["approx"] - row["exact"]) <= 0.02 * row["exact"]
+
+
+def test_extract_frames_real_video_decode(spark):
+    """GSV1 container: sampled offsets seek to the right frames and the
+    per-frame features equal the local golden values; corrupt payloads
+    land in the error channel."""
+    import numpy as np
+
+    from geosparql_etl_spark.functions.codecs import (
+        encode_video,
+        image_features,
+    )
+    from geosparql_etl_spark.operators.multimodal import extract_frames
+
+    # 6 frames at 2 fps -> 3000ms; distinct solid colors per frame
+    frames = [
+        np.full((4, 6, 3), 40 * i, dtype=np.uint8) for i in range(6)
+    ]
+    vid = encode_video(frames, fps=2)
+    rows = [
+        ("v1", "video", vid, (None, None, 3000, "video/gsv1")),
+        ("v2", "video", b"not-a-video", (None, None, 500, "video/gsv1")),
+        ("i1", "image", b"x", (4, 4, None, "image/fake")),
+    ]
+    out = extract_frames(_media(spark, rows), every_ms=1000, max_frames=8).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert "i1" not in by_id  # images never enter the frame path
+
+    v1 = sorted(by_id["v1"], key=lambda r: r["frame_offset_ms"])
+    # offsets 0/1000/2000 at 2fps -> frames 0, 2, 4
+    assert [r["frame_index"] for r in v1] == [0, 2, 4]
+    for r, fi in zip(v1, (0, 2, 4)):
+        assert r["decode_error"] is None
+        assert r["features"] == pytest.approx(image_features(frames[fi]).tolist())
+
+    (v2,) = by_id["v2"]
+    assert v2["features"] is None and v2["decode_error"] is not None
