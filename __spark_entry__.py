@@ -4002,6 +4002,107 @@ def _sql_s07():
     """
 
 
+def mm04_video_frames(spark, sf_dir):
+    """Video path of the multimodal family, mm01's pattern one level
+    up: each document's text rasterizes to a 4-frame GSV1 video
+    (frame f = cyclic text bytes [f*96, (f+1)*96) as a 4x8 BMP, fps=2)
+    in a distributed stage, and extract_frames then genuinely parses
+    the container index, SEEKS each sampled offset to its frame
+    (every_ms=1000 at 2fps -> frames 0 and 2 only — random access, the
+    other frames' payloads are never decoded), BMP-decodes it and
+    computes pixel statistics. Value oracle: the whole rasterize ->
+    seek -> decode -> stats pipeline re-derived in SQL from
+    hex(encode(text)) byte arithmetic with the frame's byte offset."""
+    import pandas as pd
+
+    from geosparql_etl_spark.operators.multimodal import extract_frames
+
+    d = _t(spark, sf_dir, "documents")
+
+    def rasterize(batches):
+        import numpy as np
+
+        from geosparql_etl_spark.functions.codecs import encode_video
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                total = 4 * 96
+                reps = -(-total // max(len(raw), 1))
+                buf = (raw * reps + b"\x00" * total)[:total]
+                frames = [
+                    np.frombuffer(
+                        buf[f * 96 : (f + 1) * 96], dtype=np.uint8
+                    ).reshape(4, 8, 3)
+                    for f in range(4)
+                ]
+                payloads.append(encode_video(frames, fps=2))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "content": payloads}
+            )
+
+    media = (
+        d.select("doc_id", "text")
+        .mapInPandas(rasterize, "media_id string, content binary")
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            "content",
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(2000).alias("duration_ms"),
+                F.lit("video/gsv1").alias("mime"),
+            ).alias("meta"),
+        )
+    )
+    frames = extract_frames(media, every_ms=1000, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.size("features").alias("feature_dim"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("feature_sum"),
+    )
+
+
+def _sql_mm04():
+    return """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    by_byte AS (
+      SELECT doc_id, f, i,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(('0x' || substr(hx, ((f * 96 + i) % n) * 2 + 1, 2)) AS INT)
+             END AS b,
+             i // 3 AS px, i % 3 AS ch
+      FROM h, (VALUES (0), (2)) AS fr(f), generate_series(0, 95) AS t(i)),
+    chan AS (
+      SELECT doc_id, f,
+             avg(CASE WHEN ch = 0 THEN b END) AS mr,
+             avg(CASE WHEN ch = 1 THEN b END) AS mg,
+             avg(CASE WHEN ch = 2 THEN b END) AS mb,
+             stddev_pop(CASE WHEN ch = 0 THEN b END) AS sr,
+             stddev_pop(CASE WHEN ch = 1 THEN b END) AS sg,
+             stddev_pop(CASE WHEN ch = 2 THEN b END) AS sb
+      FROM by_byte GROUP BY doc_id, f),
+    gray AS (
+      SELECT doc_id, f, px, avg(b) AS g FROM by_byte GROUP BY doc_id, f, px),
+    gs AS (
+      SELECT doc_id, f, avg(g) AS gm, stddev_pop(g) AS gsd
+      FROM gray GROUP BY doc_id, f)
+    SELECT CAST(c.doc_id AS VARCHAR) AS media_id,
+           c.f AS frame_index,
+           16 AS feature_dim,
+           round(13.0 + (mr + mg + mb + sr + sg + sb + gm + gsd) / 255.0, 6)
+               AS feature_sum
+    FROM chan c JOIN gs ON c.doc_id = gs.doc_id AND c.f = gs.f
+    """
+
+
 def a14_corr_stats(spark, sf_dir):
     """Grouped second-moment statistics (§2.4 extension): Pearson
     correlation, sample covariance and stddev per return flag — the
@@ -4653,6 +4754,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm12_curriculum_deciles": llm12_curriculum_deciles,
     "p15_variant_props": p15_variant_props,
     "a14_corr_stats": a14_corr_stats,
+    "mm04_video_frames": mm04_video_frames,
     "s09_retention_cohorts": s09_retention_cohorts,
     "sim10_knn_classify": sim10_knn_classify,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -4843,6 +4945,7 @@ _ORACLES: dict[str, str] = {
     "llm12_curriculum_deciles": _sql_llm12(),
     "p15_variant_props": _sql_p14(),
     "a14_corr_stats": _sql_a14(),
+    "mm04_video_frames": _sql_mm04(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
