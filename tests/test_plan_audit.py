@@ -55,6 +55,7 @@ VECTORIZED_PYTHON_OK = {
     "mm01_media_features",
     "mm02_frame_sampling",
     "mm03_audio_features",
+    "mm04_video_frames",
 }
 
 
