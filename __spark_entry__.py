@@ -4745,6 +4745,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t08_iso_timestamp": t08_iso_timestamp,
     "t10_to_json": t10_to_json,
     # --- below the 50-row window; next in line for the r05 rotation ---
+    # (the 13 round-4 additions llm10-12 / txt13-14 / p14-p15 / j12 /
+    # a14 / mm04 / s09 / sim10 / d11 plus the 24 listed after
+    # them have no driver stamp on round-4 testdata; rotate all of
+    # them into positions 1-50 for r05 and the registry is fully
+    # driver-attested over two rounds)
     "llm10_gopher_quality": llm10_gopher_quality,
     "txt13_char_entropy": txt13_char_entropy,
     "txt14_bigram_surprisal": txt14_bigram_surprisal,

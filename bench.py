@@ -64,8 +64,15 @@ HEADLINE = [
     "txt14_bigram_surprisal",
     "s09_retention_cohorts",
     "sim10_knn_classify",
-    "d11_semantic_clusters",
+    # d11_semantic_clusters deliberately NOT in the headline: it is the
+    # composition of two shapes already timed here (sim02's banded-LSH
+    # pair plan + d08's iterative connected components) and inherits
+    # BOTH their GC/iteration variance — worst observed local[32]
+    # jitter 9-49s on identical plans. The oracle gate checks its
+    # correctness every round; the bench tracks its constituent shapes.
     "llm11_contamination_report",
+    "j12_snapshot_diff",
+    "mm04_video_frames",
 ]
 
 
