@@ -4002,6 +4002,57 @@ def _sql_s07():
     """
 
 
+def llm13_epoch_shuffle(spark, sf_dir):
+    """Reproducible per-epoch corpus shuffling: every epoch reorders
+    the corpus by md5(epoch:doc_id) — a different, deterministic
+    permutation per epoch (what a training job needs: epoch variety
+    without losing replayability). Docs land in 4 shards by hash
+    prefix; position is a row_number WITHIN (epoch, shard) — shards
+    are the read unit, so no global ordering (and no single-partition
+    window) is ever needed. Emitting every (epoch, shard, pos, doc)
+    row lets the driver hash-verify the complete permutation."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("int") % 4),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).alias("pos"),
+        "doc_id",
+    )
+
+
+def _sql_llm13():
+    return """
+    WITH keyed AS (
+      SELECT epoch, doc_id,
+             md5(epoch || ':' || doc_id) AS h
+      FROM documents, (VALUES (0), (1)) AS e(epoch)),
+    sharded AS (
+      SELECT epoch, doc_id, h,
+             CAST(('0x' || substr(h, 1, 2)) AS INT) % 4 AS shard
+      FROM keyed)
+    SELECT epoch, shard,
+           row_number() OVER (PARTITION BY epoch, shard
+                              ORDER BY h, doc_id) AS pos,
+           doc_id
+    FROM sharded
+    """
+
+
 def mm04_video_frames(spark, sf_dir):
     """Video path of the multimodal family, mm01's pattern one level
     up: each document's text rasterizes to a 4-frame GSV1 video
@@ -4760,6 +4811,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p15_variant_props": p15_variant_props,
     "a14_corr_stats": a14_corr_stats,
     "mm04_video_frames": mm04_video_frames,
+    "llm13_epoch_shuffle": llm13_epoch_shuffle,
     "s09_retention_cohorts": s09_retention_cohorts,
     "sim10_knn_classify": sim10_knn_classify,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -4951,6 +5003,7 @@ _ORACLES: dict[str, str] = {
     "p15_variant_props": _sql_p14(),
     "a14_corr_stats": _sql_a14(),
     "mm04_video_frames": _sql_mm04(),
+    "llm13_epoch_shuffle": _sql_llm13(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
