@@ -4002,6 +4002,41 @@ def _sql_s07():
     """
 
 
+def dq01_profile(spark, sf_dir):
+    """Data-quality profile of the documents table: per-column null
+    fraction, exact distinct count, numeric min/max — the audit gate a
+    pipeline runs before training on a table. One scan: all columns'
+    aggregates compute in a single Expand+aggregate pass, then stack
+    unpivots the wide row into the report (operators/profile.py;
+    approx_count_distinct is the documented 100 TB path)."""
+    from geosparql_etl_spark.operators.profile import profile_table
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_table(d)
+
+
+def _sql_dq01():
+    def col(name, numeric):
+        mn = f"CAST(min({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        return f"""
+      SELECT '{name}' AS column,
+             round(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 6) AS null_frac,
+             count(DISTINCT {name}) AS n_distinct,
+             {mn} AS min_val, {mx} AS max_val
+      FROM documents"""
+
+    parts = [
+        col("doc_id", True),
+        col("text", False),
+        col("lang", False),
+        col("source", False),
+        col("n_chars", True),
+    ]
+    return " UNION ALL ".join(parts)
+
+
 def llm13_epoch_shuffle(spark, sf_dir):
     """Reproducible per-epoch corpus shuffling: every epoch reorders
     the corpus by md5(epoch:doc_id) — a different, deterministic
@@ -4812,6 +4847,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_corr_stats": a14_corr_stats,
     "mm04_video_frames": mm04_video_frames,
     "llm13_epoch_shuffle": llm13_epoch_shuffle,
+    "dq01_profile": dq01_profile,
     "s09_retention_cohorts": s09_retention_cohorts,
     "sim10_knn_classify": sim10_knn_classify,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -5004,6 +5040,7 @@ _ORACLES: dict[str, str] = {
     "a14_corr_stats": _sql_a14(),
     "mm04_video_frames": _sql_mm04(),
     "llm13_epoch_shuffle": _sql_llm13(),
+    "dq01_profile": _sql_dq01(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
