@@ -188,8 +188,13 @@ def extract_frames(
     (MP4 stbl, AVI idx1) provide and any production decoder relies on.
 
     One mapInPandas pass over the video rows; frames never cross a
-    shuffle (features only). Undecodable payloads land in the
-    decode_error channel, one row per video, frame_offset_ms = -1.
+    shuffle (features only). Error contract: an unreadable CONTAINER
+    (bad magic / truncated header) yields exactly one error row for
+    the video (frame_offset_ms = -1); a per-frame decode failure
+    yields an error row FOR THAT FRAME while other frames' feature
+    rows still emit — partial output is visible as partial, never
+    double-counted. A structurally valid zero-frame video has nothing
+    to sample and emits no rows.
     """
     schema = (
         "media_id string, frame_index int, frame_offset_ms long, "
@@ -215,18 +220,28 @@ def extract_frames(
                 try:
                     data = bytes(content) if content is not None else b""
                     fps, n = codecs.video_info(data)
-                    duration_ms = n * 1000 // max(fps, 1)
-                    offsets = range(0, max(duration_ms, 1), every_ms)
-                    for k, off in enumerate(offsets):
-                        if k >= max_frames:
-                            break
-                        idx = min(off * fps // 1000, n - 1)
+                except Exception as e:  # container-level error channel
+                    emit(mid, None, -1, None, str(e))
+                    continue
+                if n == 0:
+                    continue  # valid empty video: nothing to sample
+                duration_ms = n * 1000 // max(fps, 1)
+                offsets = range(0, max(duration_ms, 1), every_ms)
+                for k, off in enumerate(offsets):
+                    if k >= max_frames:
+                        break
+                    idx = min(off * fps // 1000, n - 1)
+                    try:
                         frame = codecs.decode_video_frame(data, idx)
                         emit(mid, idx, off,
                              codecs.image_features(frame).tolist(), None)
-                except Exception as e:  # error channel, not task failure
-                    emit(mid, None, -1, None, str(e))
-            yield pd.DataFrame(out)
+                    except Exception as e:  # per-frame error channel
+                        emit(mid, idx, off, None, str(e))
+            if out["media_id"]:
+                # an all-empty batch (e.g. only zero-frame videos) must
+                # not yield: pandas types its empty columns float64 and
+                # Arrow cannot cast that to array<double>
+                yield pd.DataFrame(out)
 
     return media.where(F.col("kind") == "video").select(
         "media_id", "content"

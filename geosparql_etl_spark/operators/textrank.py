@@ -237,12 +237,10 @@ def bigram_surprisal(
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.w").alias("w"))
     bc = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
     pc = bc.groupBy("prev").agg(F.sum("c2").alias("c1"))
-    vocab = docs.select(
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
-            )
-        ).alias("term")
+    # V reuses the tokenized arrays — a fresh regexp_extract_all over
+    # docs here would re-tokenize the whole corpus a second time
+    vocab = tokenized.select(
+        F.explode(toks).alias("term")
     ).agg(F.countDistinct("term").cast("double").alias("v"))
     p = (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
     return (

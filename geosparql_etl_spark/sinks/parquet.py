@@ -97,10 +97,13 @@ def write_jsonl_shards(
 
     The write is Spark's native JSON sink (cluster-parallel, atomic via
     the commit protocol) with per-file row bounds; the manifest is
-    computed DISTRIBUTEDLY by reading the shards back — file path, byte
-    size from the file-metadata column (no driver-side listing loop),
-    row count per shard — and returned as a DataFrame for the caller
-    to persist next to the data.
+    computed DISTRIBUTEDLY by reading the shards back AS TEXT — one
+    line per record, file path and byte size from the file-metadata
+    column (no driver-side listing loop, no JSON parse, and critically
+    no schema-INFERENCE pass, which would decompress every shard a
+    second time just to discover a schema the manifest never uses) —
+    and returned as a DataFrame for the caller to persist next to the
+    data.
     """
     w = df.write.mode("overwrite").option(
         "maxRecordsPerFile", max_records_per_file
@@ -113,7 +116,7 @@ def write_jsonl_shards(
 
     spark = df.sparkSession
     rows = (
-        spark.read.json(path)
+        spark.read.text(path)
         .select(
             F.col("_metadata.file_path").alias("shard"),
             F.col("_metadata.file_size").alias("bytes"),

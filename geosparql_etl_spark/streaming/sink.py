@@ -120,19 +120,35 @@ def stream_upsert_parquet(
     timeout_sec: int = 300,
 ):
     """Streaming MERGE into a date-partitioned parquet table: each
-    micro-batch upserts its rows by key, replacing ONLY the partitions
-    it touches (dynamic overwrite) — the streaming-to-lakehouse pattern
-    that keeps a queryable table exactly-once per key under replays.
+    micro-batch upserts its rows, replacing ONLY the partitions it
+    touches (dynamic overwrite) — the streaming-to-lakehouse pattern
+    that keeps a queryable table exactly-once per merge key under
+    replays.
+
+    The merge key is (key_cols, event_date): the partition column is
+    part of the key, exactly as lakehouse MERGEs require when the read
+    side is partition-pruned. A key arriving later with a DIFFERENT
+    event date is a new logical row (the old date's partition is
+    untouched — deduping across dates would force reading the whole
+    table per batch; a key-indexed layout, not a date layout, is the
+    right design for that workload).
 
     Per batch: read back just the affected date partitions (the
     driver-side date list is bounded by the batch's distinct dates —
     that literal list is what makes the read partition-pruned), union
-    with the batch, keep the NEWEST row per key (batch wins over
-    table), and dynamic-overwrite those partitions. A replayed epoch
-    re-derives the identical merge, so the sink is idempotent; commit
-    protocol makes each partition swap atomic. Runs availableNow to
-    completion.
+    with the batch, keep ONE row per merge key — batch beats table,
+    ties inside the batch resolved by (ts DESC, then a content hash)
+    so the winner is a deterministic function of the DATA, never of
+    shuffle order — and dynamic-overwrite those partitions. A replayed
+    epoch re-derives the identical merge, so the sink is idempotent;
+    the commit protocol makes each partition swap atomic. Only a
+    missing table directory is treated as first-batch; any other
+    read-back failure propagates (silently treating a transient read
+    error as "empty table" would overwrite merged partitions with
+    batch-only data). Runs availableNow to completion.
     """
+    import os
+
     from pyspark.sql import Window
 
     from geosparql_etl_spark.sinks.parquet import write_partitioned
@@ -145,7 +161,7 @@ def stream_upsert_parquet(
             "__prio", F.lit(0)
         )
         dates = [r[0] for r in b.select("event_date").distinct().collect()]
-        try:
+        if os.path.isdir(table_dir):
             cur = (
                 spark.read.parquet(table_dir)
                 .where(F.col("event_date").isin(dates))
@@ -153,9 +169,12 @@ def stream_upsert_parquet(
                 .withColumn("__prio", F.lit(1))
             )
             unioned = b.unionByName(cur)
-        except Exception:
+        else:
             unioned = b  # first batch: table does not exist yet
-        w = Window.partitionBy(*key_cols).orderBy("__prio")
+        data_cols = [c for c in unioned.columns if c != "__prio"]
+        w = Window.partitionBy(*key_cols, "event_date").orderBy(
+            "__prio", F.desc("ts"), F.xxhash64(*data_cols)
+        )
         merged = (
             unioned.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)

@@ -947,3 +947,35 @@ def test_extract_frames_real_video_decode(spark):
 
     (v2,) = by_id["v2"]
     assert v2["features"] is None and v2["decode_error"] is not None
+
+
+def test_extract_frames_partial_decode_and_empty_video(spark):
+    """A corrupt FRAME yields an error row for that frame while intact
+    frames still emit; a valid zero-frame container emits nothing."""
+    import struct
+
+    import numpy as np
+
+    from geosparql_etl_spark.functions.codecs import encode_video
+    from geosparql_etl_spark.operators.multimodal import extract_frames
+
+    frames = [np.full((2, 2, 3), 60 * i, dtype=np.uint8) for i in range(3)]
+    vid = bytearray(encode_video(frames, fps=1))  # 1fps -> 3000ms
+    # corrupt frame 1's BMP magic: header = 8B, index = 3*4B
+    lengths = struct.unpack_from("<3I", bytes(vid), 8)
+    f1_start = 8 + 12 + lengths[0]
+    vid[f1_start:f1_start + 2] = b"XX"
+    empty = encode_video([], fps=1)
+    rows = [
+        ("v1", "video", bytes(vid), (None, None, 3000, "video/gsv1")),
+        ("v0", "video", empty, (None, None, 0, "video/gsv1")),
+    ]
+    out = extract_frames(_media(spark, rows), every_ms=1000, max_frames=8).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["media_id"], []).append(r)
+    assert "v0" not in by  # empty container: nothing to sample, no error
+    v1 = sorted(by["v1"], key=lambda r: r["frame_offset_ms"])
+    assert [r["frame_index"] for r in v1] == [0, 1, 2]
+    assert v1[0]["decode_error"] is None and v1[2]["decode_error"] is None
+    assert v1[1]["features"] is None and v1[1]["decode_error"] is not None
