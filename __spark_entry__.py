@@ -4412,6 +4412,65 @@ def _sql_txt14():
     """
 
 
+def txt15_line_dedup(spark, sf_dir):
+    """C4-rule exact cross-document line dedup (Raffel et al. 2020
+    §2.2; RefinedWeb applies the same rule at CommonCrawl scale): a
+    line occurring more than once in the corpus survives only at its
+    first occurrence (lowest (doc_id, line_idx)), and each document is
+    reassembled from its surviving lines.
+
+    See operators/dedup.py:line_dedup for the skew-safe first-
+    occurrence plan (groupBy-min + join back, never a hot-key window).
+    Output is one row per document: total/kept line counts and the md5
+    of the reassembled text — the compact dedup-key form, so the
+    oracle verifies the exact reassembly without shipping full texts
+    through the compare."""
+    from geosparql_etl_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    lines = line_dedup(d, "text", "doc_id", line_words=10)
+    kept_struct = F.when(
+        F.col("kept"), F.struct(F.col("line_idx"), F.col("line_text"))
+    )
+    return lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("line_text"),
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+
+
+def _sql_txt15():
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents
+               WHERE text IS NOT NULL),
+    lines AS (
+      SELECT doc_id,
+             CAST((start - 1) / 10 AS BIGINT) AS line_idx,
+             array_to_string(w[start : start + 9], ' ') AS line_text
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w), 10)) AS start
+            FROM w)),
+    flagged AS (
+      SELECT doc_id, line_idx, line_text,
+             (doc_id, line_idx) = min((doc_id, line_idx)) OVER (
+               PARTITION BY md5(line_text)) AS kept
+      FROM lines)
+    SELECT doc_id, count(*) AS n_lines,
+           CAST(sum(CAST(kept AS BIGINT)) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(line_text, ' ' ORDER BY line_idx)
+                          FILTER (WHERE kept), '')) AS clean_md5
+    FROM flagged GROUP BY doc_id
+    """
+
+
 def llm11_contamination_report(spark, sf_dir):
     """Per-benchmark-doc contamination REPORT (the appendix table that
     accompanies llm05's filter): for each held-out doc (doc_id < 10),
@@ -4839,6 +4898,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm10_gopher_quality": llm10_gopher_quality,
     "txt13_char_entropy": txt13_char_entropy,
     "txt14_bigram_surprisal": txt14_bigram_surprisal,
+    "txt15_line_dedup": txt15_line_dedup,
     "llm11_contamination_report": llm11_contamination_report,
     "p14_json_props": p14_json_props,
     "j12_snapshot_diff": j12_snapshot_diff,
@@ -5032,6 +5092,7 @@ _ORACLES: dict[str, str] = {
     "sim10_knn_classify": _sql_sim10(),
     "d11_semantic_clusters": _sql_d11(),
     "txt14_bigram_surprisal": _sql_txt14(),
+    "txt15_line_dedup": _sql_txt15(),
     "llm11_contamination_report": _sql_llm11(),
     "p14_json_props": _sql_p14(),
     "j12_snapshot_diff": _sql_j12(),

@@ -623,3 +623,71 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# --- cross-doc line dedup (C4 / RefinedWeb) ----------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    line_words: int = 10,
+) -> DataFrame:
+    """Exact cross-document line deduplication (the C4 rule: a line
+    that occurs more than once in the corpus survives only at its
+    first occurrence; Raffel et al. 2020 §2.2, RefinedWeb keeps the
+    same semantics at CommonCrawl scale).
+
+    "Lines" are consecutive ``line_words``-word windows of the
+    normalized text — the synthetic corpus has no newlines, and the
+    fixed window is the deterministic analog (a real corpus would
+    split on '\\n' instead; the plan is identical).
+
+    Returns one row per line: (id, line_idx, line_text, kept) where
+    ``kept`` marks the corpus-wide first occurrence — the caller
+    reassembles documents from kept lines (see txt15) or computes
+    per-doc drop ratios.
+
+    100 TB shape: first occurrence per line is computed with
+    groupBy(line_md5).agg(min(struct(id, idx))) and a join back — NOT
+    a row_number window. The groupBy partially aggregates map-side, so
+    a boilerplate line repeated a billion times arrives at its reducer
+    as one row per upstream partition; the same window would funnel
+    every copy through a single reducer (the classic hot-line skew).
+    The join-back is (line_md5 -> 1 winner row), so AQE's skew-join
+    split handles residual hot keys on the probe side.
+    """
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    lines = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), words.alias("__w"))
+        .withColumn(
+            "__start", F.explode(F.sequence(F.lit(1), F.size("__w"), F.lit(line_words)))
+        )
+        .select(
+            F.col("__id"),
+            ((F.col("__start") - 1) / line_words).cast("bigint").alias("line_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("__w"), F.col("__start"), line_words)
+            ).alias("line_text"),
+        )
+        .withColumn("__md5", F.md5(F.col("line_text")))
+    )
+    winners = lines.groupBy("__md5").agg(
+        F.min(F.struct(F.col("__id"), F.col("line_idx"))).alias("__first")
+    )
+    return (
+        lines.join(winners, "__md5")
+        .select(
+            F.col("__id").alias(id_col),
+            "line_idx",
+            "line_text",
+            (
+                (F.col("__first.__id") == F.col("__id"))
+                & (F.col("__first.line_idx") == F.col("line_idx"))
+            ).alias("kept"),
+        )
+    )

@@ -979,3 +979,47 @@ def test_extract_frames_partial_decode_and_empty_video(spark):
     assert [r["frame_index"] for r in v1] == [0, 1, 2]
     assert v1[0]["decode_error"] is None and v1[2]["decode_error"] is None
     assert v1[1]["features"] is None and v1[1]["decode_error"] is not None
+
+
+def test_line_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from geosparql_etl_spark.operators.dedup import line_dedup
+
+    # 3-word "lines"; doc 1 repeats doc 0's first line (cross-doc dup),
+    # doc 2 repeats its own line twice (within-doc dup).
+    rows = [
+        (0, "a b c d e f"),          # lines: "a b c", "d e f"
+        (1, "a b c x y z"),          # "a b c" dups doc 0's line 0
+        (2, "p q r p q r"),          # second "p q r" dups the first
+        (3, None),                   # null text: no rows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = line_dedup(df, "text", "doc_id", line_words=3)
+    got = {
+        (r.doc_id, r.line_idx): (r.line_text, r.kept)
+        for r in out.collect()
+    }
+    assert got == {
+        (0, 0): ("a b c", True),
+        (0, 1): ("d e f", True),
+        (1, 0): ("a b c", False),
+        (1, 1): ("x y z", True),
+        (2, 0): ("p q r", True),
+        (2, 1): ("p q r", False),
+    }
+
+
+def test_line_dedup_short_tail_line(spark):
+    from geosparql_etl_spark.operators.dedup import line_dedup
+
+    # 4 words with 3-word lines: tail line is the 1-word remainder and
+    # dedups independently of the full line it suffixes.
+    df = spark.createDataFrame([(0, "a b c a"), (1, "a")], ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.line_idx): (r.line_text, r.kept)
+        for r in line_dedup(df, "text", "doc_id", line_words=3).collect()
+    }
+    assert got == {
+        (0, 0): ("a b c", True),
+        (0, 1): ("a", True),
+        (1, 0): ("a", False),
+    }
