@@ -4218,6 +4218,33 @@ def _sql_a14():
     """
 
 
+def a15_heavy_hitters(spark, sf_dir):
+    """Exact frequent items (heavy hitters): part keys appearing in at
+    least 1/1500 of all line items, via shard-local candidate pruning
+    with an exact recount — see operators/profile.py:heavy_hitters for
+    the lemma that makes the pruned plan EXACT.
+
+    The oracle is deliberately the naive global GROUP BY ... HAVING:
+    the pruning is a physical strategy, not a semantics change, so the
+    two must agree row-for-row. Shard = ship month (the natural
+    date-partitioned layout a 100 TB fact table already has, so the
+    (shard, key) aggregation rides existing partitioning)."""
+    from geosparql_etl_spark.operators.profile import heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.date_trunc("month", F.col("l_shipdate")).alias("__m")
+    )
+    return heavy_hitters(li, "l_partkey", "__m", denom=1500)
+
+
+def _sql_a15():
+    return """
+    SELECT l_partkey, count(*) AS n
+    FROM lineitem GROUP BY l_partkey
+    HAVING count(*) * 1500 >= (SELECT count(*) FROM lineitem)
+    """
+
+
 def p15_variant_props(spark, sf_dir):
     """p14's Spark-4-native sibling: parse the JSON props string ONCE
     into a binary VARIANT column (parse_json), then variant_get typed
@@ -4905,6 +4932,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm12_curriculum_deciles": llm12_curriculum_deciles,
     "p15_variant_props": p15_variant_props,
     "a14_corr_stats": a14_corr_stats,
+    "a15_heavy_hitters": a15_heavy_hitters,
     "mm04_video_frames": mm04_video_frames,
     "llm13_epoch_shuffle": llm13_epoch_shuffle,
     "dq01_profile": dq01_profile,
@@ -5099,6 +5127,7 @@ _ORACLES: dict[str, str] = {
     "llm12_curriculum_deciles": _sql_llm12(),
     "p15_variant_props": _sql_p14(),
     "a14_corr_stats": _sql_a14(),
+    "a15_heavy_hitters": _sql_a15(),
     "mm04_video_frames": _sql_mm04(),
     "llm13_epoch_shuffle": _sql_llm13(),
     "dq01_profile": _sql_dq01(),

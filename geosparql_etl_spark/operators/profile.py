@@ -52,3 +52,47 @@ def profile_table(df: DataFrame, exact_distinct: bool = True) -> DataFrame:
         len(stacks), ", ".join(stacks)
     )
     return wide.selectExpr(expr)
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, shard_col: str, denom: int
+) -> DataFrame:
+    """Exact frequent items: every key whose global count is at least
+    total/denom, found without a corpus-wide shuffle on the raw key.
+
+    The space-saving/lossy-counting result made exact by a pruning
+    lemma (Manku & Motwani 2002 use it the same way): if a key's
+    global count >= N/denom, then in at least one shard its local
+    count >= n_shard/denom (otherwise summing the strict inequalities
+    over shards contradicts the global bound). So shard-local heavy
+    keys are a SUPERSET of the global ones, and an exact recount of
+    only those candidates closes the gap — approximate plan, exact
+    answer.
+
+    100 TB shape: the one corpus-sized aggregation is
+    groupBy(shard, key) — the shard splits every globally-hot key
+    across reducers, and map-side combine collapses each partition's
+    repeats first. Everything after runs on the (shard, key) cell
+    table: shard totals, candidate selection, and the exact recount
+    (cells semi-joined to the broadcast candidate set, then summed).
+    The corpus is scanned once and never shuffled on the bare key.
+    All thresholds are integer arithmetic (count * denom >= total), so
+    replay engines agree bit-for-bit.
+    """
+    cells = df.groupBy(shard_col, key_col).agg(F.count(F.lit(1)).alias("__c"))
+    shard_n = cells.groupBy(shard_col).agg(F.sum("__c").alias("__n"))
+    cand = (
+        cells.join(shard_n, shard_col)
+        .where(F.col("__c") * denom >= F.col("__n"))
+        .select(key_col)
+        .distinct()
+    )
+    total = cells.agg(F.sum("__c").alias("__total"))
+    return (
+        cells.join(F.broadcast(cand), key_col)
+        .groupBy(key_col)
+        .agg(F.sum("__c").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") * denom >= F.col("__total"))
+        .select(key_col, "n")
+    )

@@ -1023,3 +1023,32 @@ def test_line_dedup_short_tail_line(spark):
         (0, 1): ("a", True),
         (1, 0): ("a", False),
     }
+
+
+def test_heavy_hitters_matches_naive_and_prunes_local_only_keys(spark):
+    from pyspark.sql import functions as F
+
+    from geosparql_etl_spark.operators.profile import heavy_hitters
+
+    # 3 shards x skewed keys. N=40, denom=4 -> global threshold 10.
+    # "hot" (12 copies) is a global heavy hitter; "burst" (6 copies,
+    # all in shard 0 of size 14 -> locally heavy at 14/4=3.5) is a
+    # candidate the exact recount must PRUNE; "cold" never qualifies.
+    rows = (
+        [("hot", s) for s in (0, 1, 2, 0, 1, 2, 0, 1, 2, 0, 1, 2)]
+        + [("burst", 0)] * 6
+        + [("cold", s % 3) for s in range(22)]
+    )
+    df = spark.createDataFrame(rows, ["k", "shard"])
+    got = {
+        (r.k, r.n)
+        for r in heavy_hitters(df, "k", "shard", denom=4).collect()
+    }
+    naive = {
+        (r.k, r.n)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") * 4 >= df.count())
+        .collect()
+    }
+    assert got == naive == {("hot", 12), ("cold", 22)}
