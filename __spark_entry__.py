@@ -4037,6 +4037,50 @@ def _sql_dq01():
     return " UNION ALL ".join(parts)
 
 
+def dq02_distinct_sketch(spark, sf_dir):
+    """Sketch-path cardinality audit (dq01's 100 TB distinct path made
+    first-class): per-source distinct text digests via MERGEABLE
+    DataSketches HLL — per-(source, lang) sketches built in one scan,
+    unioned per source (operators/profile.py:distinct_sketches). The
+    estimate itself is not ANSI-SQL-expressible, so the query emits
+    the accuracy CONTRACT instead: est_ok = |estimate - exact| <= 5%
+    of exact, which the oracle asserts as a literal TRUE per group —
+    a sketch regression (or a broken merge) flips the flag and fails
+    the hash compare. The exact side rides the same scan; pytest
+    checks the raw estimate tolerance on synthetic cardinalities."""
+    from geosparql_etl_spark.operators.profile import distinct_sketches
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("digest"),
+    )
+    sk = distinct_sketches(d, "digest", "source", "lang")
+    ex = d.groupBy("source").agg(
+        F.countDistinct("digest").alias("exact_distinct")
+    )
+    return sk.join(ex, "source").select(
+        "source",
+        "n_rows",
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("est_ok"),
+    )
+
+
+def _sql_dq02():
+    return f"""
+    SELECT source, count(*) AS n_rows,
+           count(DISTINCT md5({_NORM})) AS exact_distinct,
+           TRUE AS est_ok
+    FROM documents GROUP BY source
+    """
+
+
 def llm13_epoch_shuffle(spark, sf_dir):
     """Reproducible per-epoch corpus shuffling: every epoch reorders
     the corpus by md5(epoch:doc_id) — a different, deterministic
@@ -4318,6 +4362,81 @@ def _sql_j12():
                 ELSE 'unchanged' END AS status,
            old.old_bal, new.new_bal
     FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+    """
+
+
+def j13_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build: per customer,
+    collapse the order timeline into priority RUNS — consecutive
+    orders with the same o_orderpriority — each emitted as an
+    effectivity interval [valid_from, valid_to) with valid_to = the
+    next run's start (NULL = current). j12 is the MERGE between two
+    snapshots; this is the full history table built from the ordered
+    facts, the other half of dimension maintenance.
+
+    Shape: gaps-and-islands with ONE corpus-sized shuffle — change
+    flags (lag), run ids (running sum), and the run aggregate all ride
+    the same (custkey) partitioning, and the valid_to lead runs over
+    the runs aggregate (orders-per-customer smaller). Change detection
+    is null-safe (!eqNullSafe / IS DISTINCT FROM) so a NULL attribute
+    still opens a run."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    chg = (
+        ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority"))
+    ).cast("int")
+    runs = (
+        o.withColumn("__run", F.sum(chg).over(w))
+        .groupBy("o_custkey", "__run")
+        .agg(
+            F.min("o_orderpriority").alias("priority"),
+            F.min("od").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("__run")
+    return runs.select(
+        "o_custkey",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wr).alias("valid_to"),
+        "n_orders",
+    )
+
+
+def _sql_j13():
+    return """
+    WITH o AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS od, o_orderkey
+      FROM orders),
+    flagged AS (
+      SELECT *,
+             CAST(lag(o_orderpriority) OVER w IS DISTINCT FROM
+                  o_orderpriority AS INT) AS chg
+      FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY od, o_orderkey)),
+    runs AS (
+      SELECT o_custkey,
+             sum(chg) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                            ROWS UNBOUNDED PRECEDING) AS run_id,
+             o_orderpriority, od
+      FROM flagged),
+    agg AS (
+      SELECT o_custkey, run_id,
+             min(o_orderpriority) AS priority,
+             min(od) AS valid_from,
+             count(*) AS n_orders
+      FROM runs GROUP BY 1, 2)
+    SELECT o_custkey, priority, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY o_custkey ORDER BY run_id) AS valid_to,
+           n_orders
+    FROM agg
     """
 
 
@@ -4720,6 +4839,54 @@ def _sql_s09():
     """
 
 
+def s10_markov_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix over the event stream:
+    for every (event_type -> next event_type) step within a user's
+    timeline, the count and the conditional probability
+    p(next | current). The product-analytics complement of s07's
+    ordered funnel — the funnel checks ONE path, this surfaces all of
+    them.
+
+    ONE corpus-sized shuffle (the per-user lead window); terminal
+    events (a user's last) have no successor and drop out. The
+    probability normalization runs over the transition aggregate —
+    event_type-cardinality², tiny — partitioned by the source state.
+    Ties in event time break on event_id in both engines, so the
+    successor choice is deterministic."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    per = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return per.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+def _sql_s10():
+    return """
+    WITH steps AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events),
+    per AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM per
+    """
+
+
 def sim10_knn_classify(spark, sf_dir):
     """k-NN majority-vote label classification (k=5, IVF candidates,
     n_probe=2) for an incoming batch (vec_id < 50) against the labeled
@@ -4803,6 +4970,52 @@ def _sql_sim10():
            t.label AS true_label,
            p.pred_label = t.label AS correct
     FROM pick p JOIN e t ON t.vec_id = p.query_id
+    """
+
+
+def sim11_kmeans_refine(spark, sf_dir):
+    """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
+    the seeded coarse centroids (k=8) over the corpus — see
+    operators/similarity.py:lloyd_refine for the fixed-point
+    accumulation that makes the distributed mean bit-reproducible
+    (long sums are order-independent; float sums are not). The oracle
+    replays assignment (max dot product, ties to the lowest cell —
+    sim04's convention) and the exact integer re-estimation in SQL, so
+    the driver verifies the full training step, not a summary."""
+    from geosparql_etl_spark.operators.similarity import lloyd_refine
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lloyd_refine(e, "embedding", dim=64, n_cells=8)
+
+
+def _sql_sim11():
+    from geosparql_etl_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 8)
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ct AS (SELECT * FROM (VALUES {rows}) AS t(c, cent)),
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    pe AS (
+      SELECT cluster, i - 1 AS pos,
+             CAST(floor(v[i] * 1000000.0) AS BIGINT) AS q
+      FROM (SELECT cluster, v, unnest(generate_series(1, len(v))) AS i
+            FROM cells JOIN e USING (vec_id)))
+    SELECT cluster, pos,
+           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 6) AS c_new,
+           count(*) AS n
+    FROM pe GROUP BY cluster, pos
     """
 
 
@@ -4929,6 +5142,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm11_contamination_report": llm11_contamination_report,
     "p14_json_props": p14_json_props,
     "j12_snapshot_diff": j12_snapshot_diff,
+    "j13_scd2_intervals": j13_scd2_intervals,
     "llm12_curriculum_deciles": llm12_curriculum_deciles,
     "p15_variant_props": p15_variant_props,
     "a14_corr_stats": a14_corr_stats,
@@ -4936,8 +5150,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm04_video_frames": mm04_video_frames,
     "llm13_epoch_shuffle": llm13_epoch_shuffle,
     "dq01_profile": dq01_profile,
+    "dq02_distinct_sketch": dq02_distinct_sketch,
     "s09_retention_cohorts": s09_retention_cohorts,
+    "s10_markov_transitions": s10_markov_transitions,
     "sim10_knn_classify": sim10_knn_classify,
+    "sim11_kmeans_refine": sim11_kmeans_refine,
     "d11_semantic_clusters": d11_semantic_clusters,
     "d10_containment_pairs": d10_containment_pairs,
     "txt12_surprisal": txt12_surprisal,
@@ -5117,13 +5334,16 @@ _ORACLES: dict[str, str] = {
     "llm10_gopher_quality": _sql_llm10(),
     "txt13_char_entropy": _sql_txt13(),
     "s09_retention_cohorts": _sql_s09(),
+    "s10_markov_transitions": _sql_s10(),
     "sim10_knn_classify": _sql_sim10(),
+    "sim11_kmeans_refine": _sql_sim11(),
     "d11_semantic_clusters": _sql_d11(),
     "txt14_bigram_surprisal": _sql_txt14(),
     "txt15_line_dedup": _sql_txt15(),
     "llm11_contamination_report": _sql_llm11(),
     "p14_json_props": _sql_p14(),
     "j12_snapshot_diff": _sql_j12(),
+    "j13_scd2_intervals": _sql_j13(),
     "llm12_curriculum_deciles": _sql_llm12(),
     "p15_variant_props": _sql_p14(),
     "a14_corr_stats": _sql_a14(),
@@ -5131,6 +5351,7 @@ _ORACLES: dict[str, str] = {
     "mm04_video_frames": _sql_mm04(),
     "llm13_epoch_shuffle": _sql_llm13(),
     "dq01_profile": _sql_dq01(),
+    "dq02_distinct_sketch": _sql_dq02(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;

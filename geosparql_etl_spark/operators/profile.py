@@ -96,3 +96,43 @@ def heavy_hitters(
         .where(F.col("n") * denom >= F.col("__total"))
         .select(key_col, "n")
     )
+
+
+def distinct_sketches(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    sub_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable cardinality sketches (Apache DataSketches HLL, the
+    engine-native hll_sketch_agg): per-(group, sub) sketches built in
+    one scan, then MERGED per group with hll_union_agg — the pattern
+    that lets a 100 TB pipeline keep per-partition/per-day sketch
+    state and answer "distinct across any subset" without ever
+    rescanning: new data appends new sketches, roll-ups union them.
+    dq01's exact countDistinct is the small-scale path; this is the
+    sketch path it documents.
+
+    -> (group, n_rows, distinct_est) — distinct_est is the HLL
+    estimate (deterministic for a fixed input multiset: the sketch is
+    hash-based and merge-order-independent). Standard error at lg_k=12
+    is ~1.6%%/sqrt(1) — bounded-memory per sketch regardless of
+    cardinality.
+    """
+    per_sub = df.groupBy(group_col, sub_col).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("__sk"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        per_sub.groupBy(group_col)
+        .agg(
+            F.sum("__n").alias("n_rows"),
+            F.hll_union_agg(F.col("__sk"), F.lit(False)).alias("__merged"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            F.hll_sketch_estimate(F.col("__merged")).alias("distinct_est"),
+        )
+    )

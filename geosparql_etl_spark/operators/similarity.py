@@ -917,3 +917,59 @@ def ivf_pq_topk(
     return exact.withColumn("rank", F.row_number().over(w2)).where(
         F.col("rank") <= kq
     )
+
+
+# --- IVF training: Lloyd refinement ------------------------------------------
+
+
+def lloyd_refine(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 8,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """One spherical k-means (Lloyd) update of the IVF coarse
+    quantizer: assign every vector to its max-dot-product centroid
+    (``with_ivf_cell`` — the metric the IVF index itself probes with),
+    then re-estimate each centroid as the mean of its members. This is
+    the training step that turns ``_ivf_centroids``'s seeded init into
+    data-adapted centroids; production runs it a handful of times on a
+    sample, each iteration one pass of this plan.
+
+    -> (cluster, pos, c_new, n): the refined centroid, element-wise
+    (``pos`` indexes the dimension), plus the cluster population.
+    Empty clusters emit no rows (standard Lloyd: reseed or drop).
+
+    Determinism at scale: the mean is accumulated in FIXED POINT —
+    components floor to ``scale``-scaled longs, the sum of longs is
+    order-independent (float sums are not: different partition merge
+    orders give different last bits, which would make the result
+    unreproducible run-to-run and unverifiable cross-engine), and the
+    final division is one exact-integer-over-count double op. With
+    scale=1e6, the long sum stays inside double-exact range (2^53) up
+    to ~9e9 assigned rows per cluster; shrink scale for bigger cells.
+    The shuffle is (cluster, pos) keyed with map-side combine, so each
+    upstream partition contributes at most n_cells x dim rows — the
+    classic distributed-kmeans partial-sum shape.
+    """
+    assigned = with_ivf_cell(
+        corpus, vec_col, dim, n_cells, out_col="cluster"
+    )
+    pe = assigned.select(
+        "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    q = F.floor(F.col("x").cast("double") * F.lit(scale)).cast("long")
+    return (
+        pe.select("cluster", "pos", q.alias("__q"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("__q").alias("__sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "pos",
+            F.round(F.col("__sq") / F.col("n") / F.lit(scale), 6).alias(
+                "c_new"
+            ),
+            "n",
+        )
+    )

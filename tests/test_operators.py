@@ -1052,3 +1052,70 @@ def test_heavy_hitters_matches_naive_and_prunes_local_only_keys(spark):
         .collect()
     }
     assert got == naive == {("hot", 12), ("cold", 22)}
+
+
+def test_lloyd_refine_recovers_cluster_means(spark):
+    import numpy as np
+
+    from geosparql_etl_spark.operators.similarity import (
+        _ivf_centroids,
+        lloyd_refine,
+    )
+
+    # Vectors placed exactly ON two seeded centroids (scaled): each
+    # assigns to its own cell by max dot product, and the refined
+    # centroid must equal the member mean under 1e-6 fixed point.
+    dim, k = 8, 4
+    cents = np.array(_ivf_centroids(dim, k))
+    rows = []
+    for c, mults in [(0, (1.0, 3.0)), (2, (2.0, 2.0))]:
+        for i, m in enumerate(mults):
+            rows.append((c * 100 + i, (cents[c] * m).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = lloyd_refine(df, "embedding", dim=dim, n_cells=k).collect()
+    got = {(r.cluster, r.pos): (r.c_new, r.n) for r in out}
+    assert {c for c, _ in got} == {0, 2}  # empty clusters emit nothing
+    for c, mean_mult in [(0, 2.0), (2, 2.0)]:
+        member_mean = cents[c] * mean_mult
+        for pos in range(dim):
+            c_new, n = got[(c, pos)]
+            assert n == 2
+            # fixed-point floor then /1e6: within one quantum of the
+            # true float mean
+            fixed = (
+                np.floor(np.float64(np.float32(cents[c][pos])) * 1e6 * 1.0)
+                + np.floor(np.float64(np.float32(cents[c][pos] * (2 * mean_mult - 1))) * 1e6)
+            ) / 2 / 1e6
+            assert abs(c_new - round(fixed, 6)) < 1.5e-6
+            assert abs(c_new - member_mean[pos]) < 2e-6
+
+
+def test_distinct_sketches_merge_and_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from geosparql_etl_spark.operators.profile import distinct_sketches
+
+    # group "a": 3000 distinct keys split across 3 subgroups with
+    # overlap (the union must dedup ACROSS sketches, not sum them);
+    # group "b": 10 distinct keys repeated 50x (heavy multiplicity).
+    df = spark.range(4500).select(
+        F.lit("a").alias("g"),
+        (F.col("id") % 3).cast("string").alias("sub"),
+        # ids 0..4499 -> key id%3000: subgroup overlap by construction
+        (F.col("id") % 3000).cast("string").alias("k"),
+    ).union(
+        spark.range(500).select(
+            F.lit("b").alias("g"),
+            F.lit("x").alias("sub"),
+            (F.col("id") % 10).cast("string").alias("k"),
+        )
+    )
+    got = {
+        r.g: (r.n_rows, r.distinct_est)
+        for r in distinct_sketches(df, "k", "g", "sub").collect()
+    }
+    assert got["b"][0] == 500 and got["b"][1] == 10  # exact at tiny card
+    n_rows, est = got["a"]
+    assert n_rows == 4500
+    # lg_k=12 standard error ~1.6%; 5% is a generous CI bound
+    assert abs(est - 3000) <= 0.05 * 3000

@@ -52,6 +52,7 @@ VECTORIZED_PYTHON_OK = {
     "sim08_ivfpq_ann",
     "sim09_filtered_ann",
     "sim10_knn_classify",
+    "sim11_kmeans_refine",  # with_ivf_cell's batch matmul assignment
     "mm01_media_features",
     "mm02_frame_sampling",
     "mm03_audio_features",
