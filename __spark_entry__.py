@@ -4233,6 +4233,86 @@ def _sql_mm04():
     """
 
 
+def mm05_image_neardup(spark, sf_dir):
+    """Image near-dup detection: mm01's rasterized BMPs -> perceptual
+    difference hash (operators/multimodal.py:image_dhash — REAL
+    decode, integer grayscale, one bit per adjacent-pixel comparison)
+    -> the SAME pigeonhole-banded hamming join text SimHash uses
+    (dedup.hamming_pairs: 28-bit hash, 4 bands of 7, hamming <= 3 must
+    share a band). One banding core serves every modality; blobs die
+    in the scan stage and only the long hash reaches the shuffle.
+
+    Value oracle: the full rasterize -> decode -> dHash pipeline
+    re-derived in SQL from hex(encode(text)) byte arithmetic (mm01's
+    trick), pairs brute-forced (banding is a physical pruning, not a
+    semantics change — mirror of d09's oracle)."""
+    import pandas as pd
+
+    from geosparql_etl_spark.operators.dedup import hamming_pairs
+    from geosparql_etl_spark.operators.multimodal import image_dhash
+
+    d = _t(spark, sf_dir, "documents")
+
+    def rasterize(batches):
+        import numpy as np
+
+        from geosparql_etl_spark.functions.codecs import encode_bmp
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                reps = -(-96 // max(len(raw), 1))
+                buf = (raw * reps + b"\x00" * 96)[:96]
+                px = np.frombuffer(buf, dtype=np.uint8)
+                payloads.append(encode_bmp(px.reshape(4, 8, 3)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "content": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        rasterize, "media_id string, content binary"
+    )
+    hashed = image_dhash(media).select(
+        F.col("media_id").cast("bigint").alias("doc_id"), "dhash"
+    )
+    return hamming_pairs(
+        hashed, "doc_id", "dhash", hash_bits=28, max_hamming=3, bands=4
+    )
+
+
+def _sql_mm05():
+    return """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    by_byte AS (
+      SELECT doc_id, i,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(('0x' || substr(hx, (i % n) * 2 + 1, 2)) AS INT)
+             END AS b
+      FROM h, generate_series(0, 95) AS t(i)),
+    gray AS (
+      SELECT doc_id, i // 3 AS px, sum(b) // 3 AS g
+      FROM by_byte GROUP BY doc_id, i // 3),
+    -- bit (r, c) set when gray(r, c) > gray(r, c+1); row-major pos r*7+c
+    bits AS (
+      SELECT a.doc_id, (a.px // 8) * 7 + (a.px % 8) AS pos
+      FROM gray a JOIN gray b ON a.doc_id = b.doc_id AND b.px = a.px + 1
+      WHERE a.px % 8 < 7 AND a.g > b.g),
+    hs0 AS (
+      SELECT doc_id, CAST(sum(CAST(1 AS BIGINT) << pos) AS BIGINT) AS dh
+      FROM bits GROUP BY doc_id),
+    hs AS (
+      SELECT d.doc_id, coalesce(hs0.dh, 0) AS dh
+      FROM documents d LEFT JOIN hs0 USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.dh, b.dh)) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dh, b.dh)) <= 3
+    """
+
+
 def a14_corr_stats(spark, sf_dir):
     """Grouped second-moment statistics (§2.4 extension): Pearson
     correlation, sample covariance and stddev per return flag — the
@@ -5148,6 +5228,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a14_corr_stats": a14_corr_stats,
     "a15_heavy_hitters": a15_heavy_hitters,
     "mm04_video_frames": mm04_video_frames,
+    "mm05_image_neardup": mm05_image_neardup,
     "llm13_epoch_shuffle": llm13_epoch_shuffle,
     "dq01_profile": dq01_profile,
     "dq02_distinct_sketch": dq02_distinct_sketch,
@@ -5349,6 +5430,7 @@ _ORACLES: dict[str, str] = {
     "a14_corr_stats": _sql_a14(),
     "a15_heavy_hitters": _sql_a15(),
     "mm04_video_frames": _sql_mm04(),
+    "mm05_image_neardup": _sql_mm05(),
     "llm13_epoch_shuffle": _sql_llm13(),
     "dq01_profile": _sql_dq01(),
     "dq02_distinct_sketch": _sql_dq02(),

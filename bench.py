@@ -73,6 +73,12 @@ HEADLINE = [
     "llm11_contamination_report",
     "j12_snapshot_diff",
     "mm04_video_frames",
+    "txt15_line_dedup",
+    "a15_heavy_hitters",
+    "s10_markov_transitions",
+    "j13_scd2_intervals",
+    "sim11_kmeans_refine",
+    "dq02_distinct_sketch",
 ]
 
 

@@ -581,23 +581,44 @@ def simhash_pairs(
     pairs, never the cross product — and the exact popcount predicate
     decides. Requires max_hamming < bands for the guarantee.
     """
+    hashed = simhash(df, id_col, text_col).select(id_col, "simhash")
+    return hamming_pairs(
+        hashed, id_col, "simhash", SIMHASH_BITS, max_hamming, bands
+    )
+
+
+def hamming_pairs(
+    hashed: DataFrame,
+    id_col: str,
+    hash_col: str,
+    hash_bits: int,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pigeonhole-banded near-dup join over ANY precomputed bit-hash
+    column (SimHash, image dHash/pHash, audio chromaprints): pairs
+    within hamming distance ``max_hamming`` must agree exactly on at
+    least one of ``bands`` contiguous bit bands (max_hamming < bands),
+    so candidates come from band equi-joins — shuffle carries (id,
+    band key) pairs, never the cross product — and the exact popcount
+    decides. The modality-agnostic core simhash_pairs (d09) and the
+    image near-dup (mm05) both ride."""
     if max_hamming >= bands:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
-    width = SIMHASH_BITS // bands
-    hashed = simhash(df, id_col, text_col).select(id_col, "simhash")
+    width = hash_bits // bands
     banded = hashed.select(
         F.col(id_col).alias("__id"),
-        F.col("simhash"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
                     # band key packs (band index, band bits) into one long
                     (
                         F.lit(b << (width + 1)).cast("long")
-                        + F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        + F.shiftright(F.col(hash_col), b * width).bitwiseAND(
                             F.lit((1 << width) - 1)
                         )
                     )
@@ -607,10 +628,10 @@ def simhash_pairs(
         ).alias("__band"),
     )
     a = banded.select(
-        F.col("__band"), F.col("__id").alias("id_a"), F.col("simhash").alias("__ha")
+        F.col("__band"), F.col("__id").alias("id_a"), F.col("__h").alias("__ha")
     )
     b_ = banded.select(
-        F.col("__band"), F.col("__id").alias("id_b"), F.col("simhash").alias("__hb")
+        F.col("__band"), F.col("__id").alias("id_b"), F.col("__h").alias("__hb")
     )
     return (
         a.join(b_, "__band")

@@ -246,3 +246,54 @@ def extract_frames(
     return media.where(F.col("kind") == "video").select(
         "media_id", "content"
     ).mapInPandas(run, schema=schema)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) per image: decode, integer
+    grayscale ((r+g+b)//3 — exact, no float weights, so replay engines
+    agree bit-for-bit), then one bit per horizontally adjacent pixel
+    pair (gray[r,c] > gray[r,c+1]), packed row-major into a long.
+    A w x h image yields (w-1)*h bits. Production dHash resizes to
+    9x8 first; these fixtures are already thumbnail-sized, so the
+    resize (resize_images) is composable upstream.
+
+    -> media_id, dhash (long), hash_bits (int), decode_error. One
+    mapInPandas pass — blobs die in the scan stage; only the long
+    crosses the wire, and near-dup pairing is then
+    dedup.hamming_pairs' banded equi-join, the same pigeonhole plan
+    SimHash text near-dup uses (one banding core, every modality).
+    """
+    schema = "media_id string, dhash long, hash_bits int, decode_error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from geosparql_etl_spark.functions.codecs import decode_image
+
+        for pdf in batches:
+            hashes, bits, errs = [], [], []
+            for content in pdf["content"]:
+                try:
+                    px = decode_image(bytes(content))
+                    gray = px.astype(np.uint32).sum(axis=2) // 3  # h x w
+                    diff = gray[:, :-1] > gray[:, 1:]  # h x (w-1)
+                    flat = diff.flatten()  # row-major
+                    h = 0
+                    for i, bit in enumerate(flat):
+                        if bit:
+                            h |= 1 << i
+                    hashes.append(h)
+                    bits.append(int(flat.size))
+                    errs.append(None)
+                except Exception as e:  # error channel, not task failure
+                    hashes.append(None)
+                    bits.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "hash_bits": pd.array(bits, dtype="Int32"),
+                    "decode_error": errs,
+                }
+            )
+
+    return media.mapInPandas(run, schema=schema)

@@ -1119,3 +1119,39 @@ def test_distinct_sketches_merge_and_tolerance(spark):
     assert n_rows == 4500
     # lg_k=12 standard error ~1.6%; 5% is a generous CI bound
     assert abs(est - 3000) <= 0.05 * 3000
+
+
+def test_image_dhash_golden_and_hamming_pairs_pigeonhole(spark):
+    import numpy as np
+    import pandas as pd
+
+    from geosparql_etl_spark.functions.codecs import encode_bmp
+    from geosparql_etl_spark.operators.dedup import hamming_pairs
+    from geosparql_etl_spark.operators.multimodal import image_dhash
+
+    # golden: 1x3 image, grays 10, 30, 20 -> bits [0, 1] -> hash 0b10
+    px = np.array([[[10, 10, 10], [30, 30, 30], [20, 20, 20]]], dtype=np.uint8)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["m0"], "content": [encode_bmp(px)]})
+    )
+    row = image_dhash(media).collect()[0]
+    assert (row.dhash, row.hash_bits, row.decode_error) == (2, 2, None)
+
+    # pigeonhole: 28-bit hashes, 4 bands of 7. b differs from a in 3
+    # bits spread over 3 bands (band 3 agrees -> candidate, kept at
+    # hamming 3); c differs in 4 bits across all 4 bands (no shared
+    # band AND over max_hamming -> absent); d is identical (hamming 0).
+    hashes = [
+        (1, 0),
+        (2, (1 << 0) | (1 << 7) | (1 << 14)),
+        (3, (1 << 0) | (1 << 7) | (1 << 14) | (1 << 21)),
+        (4, 0),
+    ]
+    df = spark.createDataFrame(hashes, ["id", "h"])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(df, "id", "h", 28, max_hamming=3, bands=4).collect()
+    }
+    assert got[(1, 2)] == 3 and got[(1, 4)] == 0 and got[(2, 4)] == 3
+    assert (1, 3) not in got and (3, 4) not in got
+    assert got[(2, 3)] == 1  # differ only in band 3's bit

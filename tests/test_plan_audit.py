@@ -57,6 +57,7 @@ VECTORIZED_PYTHON_OK = {
     "mm02_frame_sampling",
     "mm03_audio_features",
     "mm04_video_frames",
+    "mm05_image_neardup",  # rasterize + dHash decode batches
 }
 
 
