@@ -4132,6 +4132,113 @@ def _sql_llm13():
     """
 
 
+# llm14's subword vocabulary: multi-char pieces that split the corpus
+# vocabulary into >= 2 tokens, plus the single-char closure (fallback
+# totality). Shared verbatim with the oracle's recursive CTE.
+_WP_PIECES = [
+    "cust", "omer", "col", "umn", "fil", "ter", "bat", "ch", "sca",
+    "mer", "ge", "ord", "er", "vec", "tor", "str", "eam", "win", "dow",
+    "gro", "up", "val", "ue", "que", "ry", "tab", "le", "join", "hash",
+    "row", "small", "slow", "line", "data", "agg", "key", "spark",
+    "part", "big", "sort", "fast", "the", "dup",
+]
+_WP_VOCAB = _WP_PIECES + [
+    c for c in "abcdefghijklmnopqrstuvwxyz0123456789" if c not in _WP_PIECES
+]
+
+
+def llm14_wordpiece_tokenize(spark, sf_dir):
+    """Subword tokenization (WordPiece greedy longest-match inference)
+    — THE most-executed op in an LLM ingest pipeline — with zero
+    Python anywhere: the matcher is a Catalyst HOF fold
+    (functions/textstats.py:wordpiece_tokens), and it runs over the
+    DISTINCT word domain (a 100 TB corpus repeats a vocabulary orders
+    of magnitude smaller), broadcast-joined back to word positions.
+    Per doc: word/token counts and the md5 of the full space-joined
+    token stream — the compact form proving the exact tokenization.
+    Oracle: a recursive CTE replays greedy longest-match per distinct
+    word (arg-max piece by length via ORDER BY length DESC LIMIT 1,
+    single-char fallback), then reassembles in word order."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    pw = (
+        d.where(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(words).alias("pos", "w"))
+    )
+    from geosparql_etl_spark.functions.textstats import wordpiece_tokens
+
+    dom = (
+        pw.select("w")
+        .distinct()
+        .withColumn("toks", wordpiece_tokens(F.col("w"), _WP_VOCAB))
+        .withColumn(
+            "k",
+            F.when(F.col("toks") == "", F.lit(0)).otherwise(
+                F.size(F.split(F.col("toks"), " "))
+            ),
+        )
+    )
+    return (
+        pw.join(F.broadcast(dom), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("k").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "toks"))
+                        ),
+                        lambda s: s.getField("toks"),
+                    ),
+                )
+            ).alias("tokens_md5"),
+        )
+    )
+
+
+def _sql_llm14():
+    vocab = ", ".join(f"'{p}'" for p in _WP_VOCAB)
+    return f"""
+    WITH RECURSIVE
+    vocab AS (SELECT unnest([{vocab}]) AS p),
+    w AS (SELECT doc_id, {_WORDS} AS ws FROM documents
+          WHERE text IS NOT NULL),
+    pw AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS wd
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM w)),
+    dom AS (SELECT DISTINCT wd FROM pw),
+    tok AS (
+      SELECT wd, wd AS rest, CAST('' AS VARCHAR) AS toks FROM dom
+      UNION ALL
+      SELECT wd, substr(rest, length(pc) + 1),
+             CASE WHEN toks = '' THEN pc ELSE toks || ' ' || pc END
+      FROM (
+        SELECT wd, rest, toks,
+               coalesce(
+                 (SELECT p FROM vocab
+                  WHERE rest LIKE p || '%'
+                  ORDER BY length(p) DESC, p LIMIT 1),
+                 substr(rest, 1, 1)) AS pc
+        FROM tok WHERE rest != '') t),
+    done AS (
+      SELECT wd, toks,
+             CASE WHEN toks = '' THEN 0
+                  ELSE len(string_split(toks, ' ')) END AS k
+      FROM tok WHERE rest = '')
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(k) AS BIGINT) AS n_tokens,
+           md5(string_agg(toks, ' ' ORDER BY pos)) AS tokens_md5
+    FROM pw JOIN done USING (wd)
+    GROUP BY doc_id
+    """
+
+
 def mm04_video_frames(spark, sf_dir):
     """Video path of the multimodal family, mm01's pattern one level
     up: each document's text rasterizes to a 4-frame GSV1 video
@@ -4967,6 +5074,49 @@ def _sql_s10():
     """
 
 
+def s11_windowed_topk(spark, sf_dir):
+    """Per-window top-k (the monitoring dashboard shape): the 3 most
+    active users in every 1-hour tumbling window, with event counts
+    and rank. One corpus shuffle to the (window, user) aggregate; the
+    rank window runs over that aggregate partitioned BY WINDOW — never
+    a global ordering. Rank ties break on user_id in both engines.
+    Streaming materialization: ranking is not incrementally updatable,
+    so a stream runs the same (window, user) windowed count under a
+    watermark and applies this rank per trigger in foreachBatch (the
+    stream_upsert_parquet pattern); this is that batch plan."""
+    e = _events(spark, sf_dir)
+    per = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("w").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        per.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "user_id",
+            "n",
+            "rank",
+        )
+    )
+
+
+def _sql_s11():
+    return """
+    WITH per AS (
+      SELECT date_trunc('hour', ts) AS ws, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT ws, user_id, n,
+             row_number() OVER (
+               PARTITION BY ws ORDER BY n DESC, user_id ASC) AS rank
+      FROM per)
+    SELECT CAST(epoch_us(ws) AS BIGINT) AS window_start_us,
+           user_id, n, rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
 def sim10_knn_classify(spark, sf_dir):
     """k-NN majority-vote label classification (k=5, IVF candidates,
     n_probe=2) for an incoming batch (vec_id < 50) against the labeled
@@ -5230,10 +5380,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm04_video_frames": mm04_video_frames,
     "mm05_image_neardup": mm05_image_neardup,
     "llm13_epoch_shuffle": llm13_epoch_shuffle,
+    "llm14_wordpiece_tokenize": llm14_wordpiece_tokenize,
     "dq01_profile": dq01_profile,
     "dq02_distinct_sketch": dq02_distinct_sketch,
     "s09_retention_cohorts": s09_retention_cohorts,
     "s10_markov_transitions": s10_markov_transitions,
+    "s11_windowed_topk": s11_windowed_topk,
     "sim10_knn_classify": sim10_knn_classify,
     "sim11_kmeans_refine": sim11_kmeans_refine,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -5416,6 +5568,7 @@ _ORACLES: dict[str, str] = {
     "txt13_char_entropy": _sql_txt13(),
     "s09_retention_cohorts": _sql_s09(),
     "s10_markov_transitions": _sql_s10(),
+    "s11_windowed_topk": _sql_s11(),
     "sim10_knn_classify": _sql_sim10(),
     "sim11_kmeans_refine": _sql_sim11(),
     "d11_semantic_clusters": _sql_d11(),
@@ -5432,6 +5585,7 @@ _ORACLES: dict[str, str] = {
     "mm04_video_frames": _sql_mm04(),
     "mm05_image_neardup": _sql_mm05(),
     "llm13_epoch_shuffle": _sql_llm13(),
+    "llm14_wordpiece_tokenize": _sql_llm14(),
     "dq01_profile": _sql_dq01(),
     "dq02_distinct_sketch": _sql_dq02(),
 }

@@ -297,3 +297,73 @@ def gopher_metrics(
         "stop_hits": stop_hits,
         "keep": keep,
     }
+
+
+def wordpiece_tokens(
+    word: Column, vocab: list[str], max_word_len: int = 8
+) -> Column:
+    """Greedy longest-match-first subword tokenization (the WordPiece
+    inference rule) as a PURE Catalyst expression — zero Python in the
+    hot path, which matters because tokenization is the single most
+    executed op in an LLM ingest pipeline.
+
+    -> space-joined tokens for ``word``. At each step the longest
+    vocab piece prefixing the remaining suffix is consumed; a
+    character not covered by the vocab consumes itself (single-char
+    fallback), so tokenization is total and deterministic.
+
+    The loop is ``F.aggregate`` over a ``max_word_len`` dummy sequence
+    with a (rest, toks) struct accumulator: a HOF lambda is ONE
+    expression evaluated per element — a hand-unrolled loop would
+    inline ``rest`` into itself and grow the expression tree
+    multiplicatively (the d05 interpreter-lambda trap's codegen
+    sibling). max_word_len bounds iterations, not correctness: each
+    step consumes >= 1 char, so any word no longer than the cap
+    finishes (callers tokenizing unbounded identifiers raise the cap).
+
+    Call on the DISTINCT word domain, not the corpus: a 100 TB corpus
+    repeats a vocabulary orders of magnitude smaller, so tokenize the
+    domain and broadcast-join the result back (see llm14).
+    """
+    if any(not p for p in vocab):
+        raise ValueError("vocab must not contain empty pieces")
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("vocab must not contain duplicate pieces")
+    by_len: dict[int, list[str]] = {}
+    for p in vocab:
+        by_len.setdefault(len(p), []).append(p)
+
+    def step(acc: Column, _: Column) -> Column:
+        rest = acc.getField("rest")
+        toks = acc.getField("toks")
+        matches = [
+            F.when(
+                rest.substr(F.lit(1), F.lit(ln)).isin(*by_len[ln]),
+                rest.substr(F.lit(1), F.lit(ln)),
+            )
+            for ln in sorted(by_len, reverse=True)
+        ]
+        piece = F.coalesce(*matches, rest.substr(F.lit(1), F.lit(1)))
+        return F.when(rest == "", acc).otherwise(
+            F.struct(
+                rest.substr(
+                    F.length(piece) + F.lit(1), F.length(rest)
+                ).alias("rest"),
+                F.when(toks == "", piece)
+                .otherwise(F.concat(toks, F.lit(" "), piece))
+                .alias("toks"),
+            )
+        )
+
+    out = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)),
+        F.struct(word.alias("rest"), F.lit("").alias("toks")),
+        step,
+    )
+    rest, toks = out.getField("rest"), out.getField("toks")
+    # a word longer than max_word_len runs out of iterations: emit the
+    # un-tokenized suffix as ONE trailing token (total + deterministic,
+    # never silent truncation) — raise the cap to avoid it entirely
+    return F.when(rest == "", toks).otherwise(
+        F.when(toks == "", rest).otherwise(F.concat(toks, F.lit(" "), rest))
+    )

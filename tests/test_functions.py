@@ -227,3 +227,44 @@ def test_text_functions_null_and_degenerate_inputs(spark):
     assert rows[1]["fp"] is None and rows[1]["wfp"] == []
     assert rows[2]["tok"] == 0 and len(rows[2]["wfp"]) == 1
     assert all(r["sw"] == 0.0 for r in rows.values())
+
+
+def test_wordpiece_tokens_greedy_fallback_and_cap(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from geosparql_etl_spark.functions.textstats import wordpiece_tokens
+
+    vocab = ["cust", "omer", "custom", "c", "u", "s", "t", "o", "m", "e", "r"]
+    rows = [
+        ("customer",),  # greedy: "custom" (6) beats "cust" (4) -> custom e r
+        ("cust",),
+        ("zz",),        # fallback single chars not in vocab
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, ["w"])
+    got = {
+        r.w: r.t
+        for r in df.select(
+            "w", wordpiece_tokens(F.col("w"), vocab).alias("t")
+        ).collect()
+    }
+    assert got == {
+        "customer": "custom e r",
+        "cust": "cust",
+        "zz": "z z",
+        "": "",
+    }
+
+    # cap: word longer than max_word_len emits the leftover suffix as
+    # one trailing token instead of silently truncating
+    long_df = spark.createDataFrame([("custcustcust",)], ["w"])
+    (r,) = long_df.select(
+        wordpiece_tokens(F.col("w"), vocab, max_word_len=2).alias("t")
+    ).collect()
+    assert r.t == "cust cust cust"  # 2 matched steps + leftover suffix
+
+    with _pytest.raises(ValueError):
+        wordpiece_tokens(F.col("w"), ["a", "a"])
+    with _pytest.raises(ValueError):
+        wordpiece_tokens(F.col("w"), ["a", ""])
