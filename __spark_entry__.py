@@ -1066,6 +1066,38 @@ def _sql_s05():
     """
 
 
+def s12_attribution_outer(spark, sf_dir):
+    """s05's right-outer sibling: UNATTRIBUTED purchases (no same-user
+    click in the preceding hour) survive with null click columns — the
+    organic-conversion channel every attribution pipeline reports next
+    to the attributed one. Streaming: the same operator with
+    how='right_outer'; null-side rows emit only after the watermark
+    proves no matching click can arrive (see attribution_join). The
+    join state and shuffle are identical to s05 — outer-ness changes
+    emission, not partitioning."""
+    from geosparql_etl_spark.streaming.events import attribution_join
+
+    e = _events(spark, sf_dir)
+    return attribution_join(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+        how="right_outer",
+    )
+
+
+def _sql_s12():
+    return """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           p.user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+           p.value AS purchase_value
+    FROM events c RIGHT JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """
+
+
 def s06_stream_dedup_batch(spark, sf_dir):
     """Batch-deterministic analog of stream_dedup
     (dropDuplicatesWithinWatermark): earliest event per
@@ -5386,6 +5418,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s09_retention_cohorts": s09_retention_cohorts,
     "s10_markov_transitions": s10_markov_transitions,
     "s11_windowed_topk": s11_windowed_topk,
+    "s12_attribution_outer": s12_attribution_outer,
     "sim10_knn_classify": sim10_knn_classify,
     "sim11_kmeans_refine": sim11_kmeans_refine,
     "d11_semantic_clusters": d11_semantic_clusters,
@@ -5569,6 +5602,7 @@ _ORACLES: dict[str, str] = {
     "s09_retention_cohorts": _sql_s09(),
     "s10_markov_transitions": _sql_s10(),
     "s11_windowed_topk": _sql_s11(),
+    "s12_attribution_outer": _sql_s12(),
     "sim10_knn_classify": _sql_sim10(),
     "sim11_kmeans_refine": _sql_sim11(),
     "d11_semantic_clusters": _sql_d11(),

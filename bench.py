@@ -79,6 +79,8 @@ HEADLINE = [
     "j13_scd2_intervals",
     "sim11_kmeans_refine",
     "dq02_distinct_sketch",
+    "llm14_wordpiece_tokenize",
+    "mm05_image_neardup",
 ]
 
 

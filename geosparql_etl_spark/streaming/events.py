@@ -168,6 +168,7 @@ def attribution_join(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each purchase is
     attributed to every click by the same user in the preceding
@@ -175,7 +176,15 @@ def attribution_join(
     join state expire — without it a stream-stream join buffers forever.
     Works identically on batch DataFrames (the time bound becomes a
     plain range predicate), which is how the driver oracle checks it
-    (s05)."""
+    (s05).
+
+    ``how="right_outer"`` keeps UNATTRIBUTED purchases (click columns
+    null) — the organic-conversion channel. In streaming, outer rows
+    can only be emitted once the watermark proves no matching click
+    can still arrive, so null-side results trail the inner results by
+    up to ``watermark`` (batch emits them immediately; the
+    stream-vs-batch test tolerates only ordering, not content,
+    differences). s12 is the batch analog."""
     c = clicks.select(
         F.col("event_id").alias("click_id"),
         F.col("user_id").alias("c_user"),
@@ -198,10 +207,11 @@ def attribution_join(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
         ),
+        how,
     ).select(
         "click_id",
         "purchase_id",
-        F.col("c_user").alias("user_id"),
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         F.unix_micros("click_ts").alias("click_us"),
         F.unix_micros("purchase_ts").alias("purchase_us"),
         "purchase_value",

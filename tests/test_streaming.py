@@ -436,3 +436,52 @@ def test_stream_upsert_parquet_exactly_once_and_replay_idempotent(
     assert again.count() == src_ids
     assert again.select("event_id").distinct().count() == src_ids
     assert src_n == src_ids  # sanity: synthetic event ids are unique
+
+
+def test_attribution_outer_stream_subset_and_cutoff_complete(spark, events_src):
+    """right_outer attribution: a single availableNow pass can lawfully
+    WITHHOLD null-side rows whose no-match proof needs a watermark
+    beyond the final batch, so stream output is (a) a subset of the
+    batch result and (b) COMPLETE for purchases older than
+    max_ts - (watermark + horizon): their join window is fully closed,
+    so inner and outer rows alike must have emitted."""
+    from geosparql_etl_spark.streaming.events import attribution_join
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click"),
+            df.where(F.col("event_type") == "purchase"),
+        )
+
+    s = events_file_stream(spark, events_src)
+    stream = attribution_join(*split(s), how="right_outer")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("attr_outer_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = ["click_id", "purchase_id", "user_id", "click_us", "purchase_us"]
+
+    def rowset(df):  # _rows sorts, which chokes on outer-null click_ids
+        return {tuple(r[c] for c in cols) for r in df.collect()}
+
+    got = rowset(spark.table("attr_outer_out"))
+    batch = attribution_join(
+        *split(_batch_events(spark, events_src)), how="right_outer"
+    )
+    want = rowset(batch)
+    assert got <= want and len(got) > 0
+    max_us = max(r[4] for r in want)
+    # eviction needs watermark (2h) + horizon (1h) and Spark pads the
+    # state-cleanup threshold; 2x margin keeps the completeness claim
+    # robust to that slack without weakening it for the bulk of rows
+    cutoff = max_us - 2 * (2 + 1) * 3600 * 1_000_000
+    want_old = {r for r in want if r[4] <= cutoff}
+    assert want_old and want_old <= got
+    # outer rows (no click) genuinely flow through the stream
+    assert any(r[0] is None for r in got & want_old) or all(
+        r[0] is not None for r in want_old
+    )
