@@ -206,6 +206,115 @@ def _sql_q01():
     """
 
 
+def q02_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for one market
+    segment — selective dim filter, two fact joins, aggregate, ordered
+    LIMIT. The filters sit on the scans (pushdown shrinks both join
+    inputs before any shuffle); join strategy is left to Catalyst+AQE
+    (customer qualifies for broadcast after its segment filter); the
+    top-10 is a TakeOrderedAndProject — per-partition heaps merged on
+    the driver, never a global sort. Tie-break on l_orderkey keeps the
+    LIMIT deterministic."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "order_date_us"
+            ),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _sql_q02():
+    return """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(epoch_us(o_orderdate) AS BIGINT) AS order_date_us
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """
+
+
+def q03_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: per-nation revenue where customer and supplier
+    share the nation, one region, one order year — the 6-table join
+    that exercises join REORDERING. The three dims (region -> nation)
+    broadcast explicitly; supplier is small enough that AQE picks its
+    strategy; the two fact tables meet on orderkey AFTER their
+    pushed-down date/filter scans. The c_nationkey = s_nationkey
+    equality rides the join condition, not a post-filter, so Catalyst
+    can use it for reordering."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def _sql_q03():
+    return """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """
+
+
 def j01_multikey_equijoin(spark, sf_dir):
     """J1: the marks x analysis analog — lineitem x orders x customer."""
     li = _t(spark, sf_dir, "lineitem")
@@ -5413,6 +5522,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm05_image_neardup": mm05_image_neardup,
     "llm13_epoch_shuffle": llm13_epoch_shuffle,
     "llm14_wordpiece_tokenize": llm14_wordpiece_tokenize,
+    "q02_shipping_priority": q02_shipping_priority,
+    "q03_local_supplier_volume": q03_local_supplier_volume,
     "dq01_profile": dq01_profile,
     "dq02_distinct_sketch": dq02_distinct_sketch,
     "s09_retention_cohorts": s09_retention_cohorts,
@@ -5487,6 +5598,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ORACLES: dict[str, str] = {
     "q01_pricing_summary": _sql_q01(),
+    "q02_shipping_priority": _sql_q02(),
+    "q03_local_supplier_volume": _sql_q03(),
     "j01_multikey_equijoin": _sql_j01(),
     "j02_broadcast_lookup": _sql_j02(),
     "j03_enrich_missing_flag": _sql_j03(),
