@@ -79,3 +79,46 @@ def test_udf_policy_no_row_python(spark, sf_dir, name):
                 f"add it to VECTORIZED_PYTHON_OK only if the boundary is "
                 f"justified:\n{plan}"
             )
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level pruning: when a selective dim side is too big
+    to broadcast, Catalyst can inject a bloom filter built from the dim
+    keys as a semi-join reduction on the FACT scan (might_contain over
+    xxhash64) — at 100 TB this drops non-joining fact rows before the
+    shuffle. Thresholds here are forced because the toy dim is tiny;
+    production defaults fire exactly in the regime that matters
+    (creation side <= 10MB stats, application side >= 10GB)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.001"
+        li = spark.read.parquet(sf + "/lineitem.parquet")
+        o = spark.read.parquet(sf + "/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+        # and the filtered result is still correct
+        n = j.count()
+        want = (
+            li.join(F.broadcast(o.hint("broadcast")), li.l_orderkey == o.o_orderkey)
+            .count()
+        )
+        assert n == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
