@@ -4380,6 +4380,84 @@ def _sql_llm14():
     """
 
 
+def llm15_block_packing(spark, sf_dir):
+    """GPT-style pretraining block slicing: all documents concatenate
+    (in doc_id order, +1 EOS token each) into one virtual token stream
+    cut into fixed 256-token attention blocks; docs cross block
+    boundaries. Per block: how many docs touch it, the first doc, and
+    tokens filled (the last block is partial).
+
+    The scale problem is the doc's global token OFFSET — a running sum
+    over the whole corpus, which naively is a single-partition window.
+    operators/partitioning.py:global_prefix_sum computes it with
+    bucketed offsets (global_rank generalized from counting to
+    summing); every corpus-sized stage stays parallel. Each doc then
+    explodes to the blocks its [offset, offset+len) span touches —
+    bounded by len/256 + 1 rows — and per-block stats aggregate.
+    llm04 packs whole docs into budgeted bins (no splitting); this is
+    the other standard layout, exact slicing with boundary crossings."""
+    from geosparql_etl_spark.functions.textstats import bpe_ish_token_count
+    from geosparql_etl_spark.operators.partitioning import global_prefix_sum
+
+    B = 256
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (bpe_ish_token_count(F.col("text")) + 1).alias("n_tok"),  # +1 EOS
+    )
+    offs = global_prefix_sum(
+        d,
+        order_cols=[F.asc("doc_id")],
+        bucket=(F.col("doc_id") / 64).cast("bigint"),
+        value_col="n_tok",
+        out="off",
+    )
+    spans = offs.select(
+        "doc_id",
+        "off",
+        (F.col("off") + F.col("n_tok")).alias("end"),
+        F.explode(
+            F.sequence(
+                (F.col("off") / B).cast("bigint"),
+                ((F.col("off") + F.col("n_tok") - 1) / B).cast("bigint"),
+            )
+        ).alias("block_id"),
+    )
+    fill = F.least(F.col("end"), (F.col("block_id") + 1) * B) - F.greatest(
+        F.col("off"), F.col("block_id") * B
+    )
+    return spans.groupBy("block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum(fill).alias("n_tokens_filled"),
+    )
+
+
+def _sql_llm15():
+    return """
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)|\\w+|[^\\w\\s]+')) + 1 AS n_tok
+      FROM documents),
+    o AS (
+      SELECT doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM t),
+    spans AS (
+      SELECT doc_id, off, off + n_tok AS e,
+             unnest(generate_series(CAST(off // 256 AS BIGINT),
+                                    CAST((off + n_tok - 1) // 256 AS BIGINT)))
+               AS block_id
+      FROM o)
+    SELECT block_id, count(*) AS n_docs, min(doc_id) AS first_doc,
+           CAST(sum(least(e, (block_id + 1) * 256)
+                    - greatest(off, block_id * 256)) AS BIGINT)
+             AS n_tokens_filled
+    FROM spans GROUP BY block_id
+    """
+
+
 def mm04_video_frames(spark, sf_dir):
     """Video path of the multimodal family, mm01's pattern one level
     up: each document's text rasterizes to a 4-frame GSV1 video
@@ -5501,11 +5579,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t08_iso_timestamp": t08_iso_timestamp,
     "t10_to_json": t10_to_json,
     # --- below the 50-row window; next in line for the r05 rotation ---
-    # (the 13 round-4 additions llm10-12 / txt13-14 / p14-p15 / j12 /
-    # a14 / mm04 / s09 / sim10 / d11 plus the 24 listed after
-    # them have no driver stamp on round-4 testdata; rotate all of
-    # them into positions 1-50 for r05 and the registry is fully
-    # driver-attested over two rounds)
+    # (the round-4 additions — llm10-12 / txt13-14 / p14-p15 / j12 /
+    # a14 / mm04 / s09 / sim10 / d11 plus this session's txt15 / a15 /
+    # s10-s12 / j13 / sim11 / dq02 / mm05 / llm14 / q02-q03 — have no
+    # driver stamp on round-4 testdata (builder+tools verified only);
+    # rotate them into positions 1-50 for r05 and the registry is
+    # fully driver-attested over two rounds)
     "llm10_gopher_quality": llm10_gopher_quality,
     "txt13_char_entropy": txt13_char_entropy,
     "txt14_bigram_surprisal": txt14_bigram_surprisal,
@@ -5524,6 +5603,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm14_wordpiece_tokenize": llm14_wordpiece_tokenize,
     "q02_shipping_priority": q02_shipping_priority,
     "q03_local_supplier_volume": q03_local_supplier_volume,
+    "llm15_block_packing": llm15_block_packing,
     "dq01_profile": dq01_profile,
     "dq02_distinct_sketch": dq02_distinct_sketch,
     "s09_retention_cohorts": s09_retention_cohorts,
@@ -5600,6 +5680,7 @@ _ORACLES: dict[str, str] = {
     "q01_pricing_summary": _sql_q01(),
     "q02_shipping_priority": _sql_q02(),
     "q03_local_supplier_volume": _sql_q03(),
+    "llm15_block_packing": _sql_llm15(),
     "j01_multikey_equijoin": _sql_j01(),
     "j02_broadcast_lookup": _sql_j02(),
     "j03_enrich_missing_flag": _sql_j03(),

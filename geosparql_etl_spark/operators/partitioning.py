@@ -80,3 +80,55 @@ def global_rank(
         .withColumn(rank_name, F.row_number().over(wb) + F.col("__offset"))
         .drop("__bucket", "__offset")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols,
+    bucket,
+    value_col: str,
+    out: str = "offset",
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` in a GLOBAL order without
+    a single-partition window — global_rank's generalization from
+    counting rows to summing an arbitrary non-negative value (rank is
+    the value=1 special case).
+
+    Same three declarative steps: per-bucket sums (tiny aggregate),
+    exclusive prefix over the #buckets-row aggregate, broadcast back
+    and run the within-bucket exclusive running sum on top of the
+    bucket offset. ``bucket`` must coarsen ``order_cols`` (bucket i
+    wholly precedes bucket i+1). Every corpus-sized stage is parallel
+    in #buckets.
+
+    The canonical use is token-offset assignment: each document's
+    global starting token position in a concatenated training stream
+    (llm15) — the prerequisite for slicing fixed-size attention blocks
+    deterministically in parallel.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    b = df.withColumn("__bucket", bucket)
+    sums = b.groupBy("__bucket").agg(F.sum(value_col).alias("__s"))
+    woff = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sums.select(
+        "__bucket",
+        F.coalesce(F.sum("__s").over(woff), F.lit(0)).alias("__boff"),
+    )
+    wb = (
+        Window.partitionBy("__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            out,
+            F.col("__boff")
+            + F.coalesce(F.sum(value_col).over(wb), F.lit(0)),
+        )
+        .drop("__bucket", "__boff")
+    )

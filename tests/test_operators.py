@@ -1155,3 +1155,31 @@ def test_image_dhash_golden_and_hamming_pairs_pigeonhole(spark):
     assert got[(1, 2)] == 3 and got[(1, 4)] == 0 and got[(2, 4)] == 3
     assert (1, 3) not in got and (3, 4) not in got
     assert got[(2, 3)] == 1  # differ only in band 3's bit
+
+
+def test_global_prefix_sum_matches_single_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from geosparql_etl_spark.operators.partitioning import global_prefix_sum
+
+    # values chosen so bucket sums differ and zeros appear
+    rows = [(i, (i * 7) % 5) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        r.id: r.offset
+        for r in global_prefix_sum(
+            df,
+            order_cols=[F.asc("id")],
+            bucket=(F.col("id") / 9).cast("bigint"),
+            value_col="v",
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.id: r.off
+        for r in df.select(
+            "id", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("off")
+        ).collect()
+    }
+    assert got == want and got[0] == 0 and len(got) == 100
