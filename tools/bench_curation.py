@@ -94,6 +94,41 @@ def quality_signals_plan(docs):
     )
 
 
+def tokenize_plan(docs):
+    """llm14's shape at corpus scale: WordPiece over the DISTINCT word
+    domain (Catalyst fold), broadcast-joined back to positions; the
+    metric is corpus tokens/sec, the number every ingest pipeline is
+    sized by."""
+    import __spark_entry__ as entrymod
+    from geosparql_etl_spark.functions.textstats import wordpiece_tokens
+
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    pw = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(words).alias("pos", "w")
+    )
+    dom = (
+        pw.select("w").distinct()
+        .withColumn("toks", wordpiece_tokens(F.col("w"), entrymod._WP_VOCAB))
+        .withColumn("k", F.size(F.split(F.col("toks"), " ")))
+    )
+    return pw.join(F.broadcast(dom), "w").groupBy("doc_id").agg(
+        F.sum("k").alias("n_tokens")
+    )
+
+
+def line_dedup_plan(docs):
+    """txt15's shape at corpus scale: C4-rule line dedup (groupBy-min
+    first occurrence + join back + per-doc reassembly)."""
+    from geosparql_etl_spark.operators.dedup import line_dedup
+
+    lines = line_dedup(docs, "text", "doc_id", line_words=10)
+    return lines.groupBy("doc_id").agg(
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept")
+    )
+
+
 def main():
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -115,6 +150,15 @@ def main():
     quality_signals_plan(docs).write.format("noop").mode("overwrite").save()
     t_q = time.time() - t0
 
+    t0 = time.time()
+    tok = tokenize_plan(docs)
+    n_tokens = tok.agg(F.sum("n_tokens")).collect()[0][0]
+    t_tok = time.time() - t0
+
+    t0 = time.time()
+    line_dedup_plan(docs).write.format("noop").mode("overwrite").save()
+    t_ld = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -125,6 +169,10 @@ def main():
                 "lsh_dedup_docs_per_sec": round(n_docs / t_lsh),
                 "quality_signals_sec": round(t_q, 2),
                 "quality_signals_docs_per_sec": round(n_docs / t_q),
+                "tokenize_sec": round(t_tok, 2),
+                "tokenize_tokens_per_sec": round(n_tokens / t_tok),
+                "line_dedup_sec": round(t_ld, 2),
+                "line_dedup_docs_per_sec": round(n_docs / t_ld),
             }
         )
     )
