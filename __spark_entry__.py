@@ -4187,16 +4187,17 @@ def dq02_distinct_sketch(spark, sf_dir):
     the accuracy CONTRACT instead: est_ok = |estimate - exact| <= 5%
     of exact, which the oracle asserts as a literal TRUE per group —
     a sketch regression (or a broken merge) flips the flag and fails
-    the hash compare. The exact side rides the same scan; pytest
-    checks the raw estimate tolerance on synthetic cardinalities."""
+    the hash compare. The exact side is a SECOND scan of documents
+    (different group granularity — inherent to auditing sketch vs
+    exact; a production audit samples or scopes it); pytest checks the
+    raw estimate tolerance on synthetic cardinalities."""
+    from geosparql_etl_spark.functions.textstats import oracle_norm
     from geosparql_etl_spark.operators.profile import distinct_sketches
 
     d = _t(spark, sf_dir, "documents").select(
         "source",
         "lang",
-        F.md5(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-        ).alias("digest"),
+        F.md5(oracle_norm(F.col("text"))).alias("digest"),
     )
     sk = distinct_sketches(d, "digest", "source", "lang")
     ex = d.groupBy("source").agg(
@@ -4300,29 +4301,16 @@ def llm14_wordpiece_tokenize(spark, sf_dir):
     Oracle: a recursive CTE replays greedy longest-match per distinct
     word (arg-max piece by length via ORDER BY length DESC LIMIT 1,
     single-char fallback), then reassembles in word order."""
-    d = _t(spark, sf_dir, "documents")
-    words = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
-    )
-    pw = (
-        d.where(F.col("text").isNotNull())
-        .select("doc_id", F.posexplode(words).alias("pos", "w"))
-    )
-    from geosparql_etl_spark.functions.textstats import wordpiece_tokens
+    from geosparql_etl_spark.functions.textstats import wordpiece_doc_tokens
 
-    dom = (
-        pw.select("w")
-        .distinct()
-        .withColumn("toks", wordpiece_tokens(F.col("w"), _WP_VOCAB))
-        .withColumn(
-            "k",
-            F.when(F.col("toks") == "", F.lit(0)).otherwise(
-                F.size(F.split(F.col("toks"), " "))
-            ),
-        )
-    )
+    d = _t(spark, sf_dir, "documents")
+    # max_word_len=24: the oracle's recursive CTE has NO iteration cap,
+    # so Spark's fold cap must exceed any word the corpus can contain —
+    # at 8 (the old default) a 9+-step word would emit its leftover as
+    # one token while the oracle kept splitting, and the hash compare
+    # would only fail on whichever future testdata first contains one
     return (
-        pw.join(F.broadcast(dom), "w")
+        wordpiece_doc_tokens(d, _WP_VOCAB, "doc_id", "text", max_word_len=24)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -4587,7 +4575,9 @@ def mm05_image_neardup(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                raw = text.encode("utf-8")
+                # null text -> all-zero pixels -> dhash 0, matching the
+                # oracle's LEFT JOIN + coalesce(dh, 0) path
+                raw = (text or "").encode("utf-8")
                 reps = -(-96 // max(len(raw), 1))
                 buf = (raw * reps + b"\x00" * 96)[:96]
                 px = np.frombuffer(buf, dtype=np.uint8)

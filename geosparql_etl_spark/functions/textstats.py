@@ -367,3 +367,60 @@ def wordpiece_tokens(
     return F.when(rest == "", toks).otherwise(
         F.when(toks == "", rest).otherwise(F.concat(toks, F.lit(" "), rest))
     )
+
+
+def oracle_norm(text: Column) -> Column:
+    """THE normalization the DuckDB oracle macro `_NORM`
+    (`__spark_entry__.py`) replays: lower, trim, collapse whitespace —
+    nothing else (normalize_text above additionally strips control
+    chars and is NOT oracle-paired). Every query whose oracle uses
+    _NORM must build its digest/words from this helper, so the
+    byte-equivalence invariant lives in ONE place instead of inlined
+    copies."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def oracle_words(text: Column) -> Column:
+    """`oracle_norm` split on single spaces — the Spark twin of the
+    oracle macro `_WORDS`."""
+    return F.split(oracle_norm(text), " ")
+
+
+def wordpiece_doc_tokens(
+    df,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_word_len: int = 24,
+):
+    """The llm14 plan as a reusable operator: per-document WordPiece
+    tokenization over the DISTINCT word domain (tokenize the
+    vocabulary, broadcast-join back to word positions — a 100 TB
+    corpus repeats a Heaps-law-sublinear vocabulary).
+
+    -> one row per (id, pos): the word's space-joined tokens ``toks``
+    and its token count ``k`` (0 for empty words). Callers aggregate:
+    llm14 reassembles the md5'd token stream; the curation bench sums
+    k. max_word_len defaults high enough that the fold cap (see
+    wordpiece_tokens) never truncates realistic words — the oracle's
+    recursive CTE has no cap, so the two must agree on every word the
+    corpus can contain.
+    """
+    pw = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.posexplode(oracle_words(F.col(text_col))).alias("pos", "w"),
+    )
+    dom = (
+        pw.select("w")
+        .distinct()
+        .withColumn(
+            "toks", wordpiece_tokens(F.col("w"), vocab, max_word_len)
+        )
+        .withColumn(
+            "k",
+            F.when(F.col("toks") == "", F.lit(0)).otherwise(
+                F.size(F.split(F.col("toks"), " "))
+            ),
+        )
+    )
+    return pw.join(F.broadcast(dom), "w")

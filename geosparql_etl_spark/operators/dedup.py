@@ -679,12 +679,14 @@ def line_dedup(
     The join-back is (line_md5 -> 1 winner row), so AQE's skew-join
     split handles residual hot keys on the probe side.
     """
-    words = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
-    )
+    from geosparql_etl_spark.functions.textstats import oracle_words
+
     lines = (
         df.where(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("__id"), words.alias("__w"))
+        .select(
+            F.col(id_col).alias("__id"),
+            oracle_words(F.col(text_col)).alias("__w"),
+        )
         .withColumn(
             "__start", F.explode(F.sequence(F.lit(1), F.size("__w"), F.lit(line_words)))
         )

@@ -252,10 +252,14 @@ def image_dhash(media: DataFrame) -> DataFrame:
     """Perceptual difference hash (dHash) per image: decode, integer
     grayscale ((r+g+b)//3 — exact, no float weights, so replay engines
     agree bit-for-bit), then one bit per horizontally adjacent pixel
-    pair (gray[r,c] > gray[r,c+1]), packed row-major into a long.
-    A w x h image yields (w-1)*h bits. Production dHash resizes to
-    9x8 first; these fixtures are already thumbnail-sized, so the
-    resize (resize_images) is composable upstream.
+    pair (gray[r,c] > gray[r,c+1]), packed row-major into a long
+    (two's-complement when bit 63 is set — band extraction masks after
+    the arithmetic shift, and popcount xor is bitwise, so signedness
+    never leaks into pair semantics). A w x h image yields (w-1)*h
+    bits; more than 64 bits lands in decode_error (resize first).
+    Production dHash resizes to 9x8 = exactly 64 bits
+    (resize_images composes upstream); these fixtures are already
+    thumbnail-sized.
 
     -> media_id, dhash (long), hash_bits (int), decode_error. One
     mapInPandas pass — blobs die in the scan stage; only the long
@@ -276,10 +280,20 @@ def image_dhash(media: DataFrame) -> DataFrame:
                     gray = px.astype(np.uint32).sum(axis=2) // 3  # h x w
                     diff = gray[:, :-1] > gray[:, 1:]  # h x (w-1)
                     flat = diff.flatten()  # row-major
+                    if flat.size > 64:
+                        # the long column holds 64 bits; a bigger image
+                        # must resize first (resize_images) — error
+                        # channel, never a task failure
+                        raise ValueError(
+                            f"dhash needs <= 64 bits, image yields "
+                            f"{flat.size}; resize to <= 65x? first"
+                        )
                     h = 0
                     for i, bit in enumerate(flat):
                         if bit:
                             h |= 1 << i
+                    if h >= 1 << 63:  # two's-complement into signed i64
+                        h -= 1 << 64
                     hashes.append(h)
                     bits.append(int(flat.size))
                     errs.append(None)

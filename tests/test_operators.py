@@ -1183,3 +1183,34 @@ def test_global_prefix_sum_matches_single_window(spark):
         ).collect()
     }
     assert got == want and got[0] == 0 and len(got) == 100
+
+
+def test_image_dhash_64bit_wrap_and_oversize_error_channel(spark):
+    import numpy as np
+    import pandas as pd
+
+    from geosparql_etl_spark.functions.codecs import encode_bmp
+    from geosparql_etl_spark.operators.multimodal import image_dhash
+
+    # 9x8: exactly (9-1)*8 = 64 bits — production dHash shape. Gray
+    # strictly decreasing along each row -> ALL bits set -> hash is
+    # all-ones = -1 in two's complement (would OverflowError as an
+    # unsigned int in an Int64 column).
+    row = np.repeat(np.arange(80, 8, -8, dtype=np.uint8), 3).reshape(9, 3)
+    px64 = np.tile(row, (8, 1, 1))  # 8 rows x 9 cols x 3
+    # 10x8 -> 72 bits: over the long's capacity -> error channel
+    row10 = np.repeat(np.arange(90, 10, -8, dtype=np.uint8), 3).reshape(10, 3)
+    px72 = np.tile(row10, (8, 1, 1))
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": ["full64", "over72"],
+                "content": [encode_bmp(px64), encode_bmp(px72)],
+            }
+        )
+    )
+    got = {r.media_id: r for r in image_dhash(media).collect()}
+    assert got["full64"].dhash == -1 and got["full64"].hash_bits == 64
+    assert got["full64"].decode_error is None
+    assert got["over72"].dhash is None
+    assert "64 bits" in got["over72"].decode_error

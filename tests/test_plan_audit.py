@@ -81,7 +81,7 @@ def test_udf_policy_no_row_python(spark, sf_dir, name):
             )
 
 
-def test_runtime_bloom_filter_prunes_fact_scan(spark):
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Runtime row-level pruning: when a selective dim side is too big
     to broadcast, Catalyst can inject a bloom filter built from the dim
     keys as a semi-join reduction on the FACT scan (might_contain over
@@ -101,9 +101,8 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        sf = "/root/testdata/sf0.001"
-        li = spark.read.parquet(sf + "/lineitem.parquet")
-        o = spark.read.parquet(sf + "/orders.parquet").where(
+        li = spark.read.parquet(sf_dir + "/lineitem.parquet")
+        o = spark.read.parquet(sf_dir + "/orders.parquet").where(
             F.col("o_totalprice") > 400000
         )
         j = li.join(o, li.l_orderkey == o.o_orderkey)

@@ -95,27 +95,16 @@ def quality_signals_plan(docs):
 
 
 def tokenize_plan(docs):
-    """llm14's shape at corpus scale: WordPiece over the DISTINCT word
-    domain (Catalyst fold), broadcast-joined back to positions; the
-    metric is corpus tokens/sec, the number every ingest pipeline is
-    sized by."""
+    """llm14's EXACT plan at corpus scale (shared via
+    wordpiece_doc_tokens, so the bench cannot drift from the op it
+    measures); the metric is corpus tokens/sec, the number every
+    ingest pipeline is sized by."""
     import __spark_entry__ as entrymod
-    from geosparql_etl_spark.functions.textstats import wordpiece_tokens
+    from geosparql_etl_spark.functions.textstats import wordpiece_doc_tokens
 
-    words = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
-    )
-    pw = docs.where(F.col("text").isNotNull()).select(
-        "doc_id", F.posexplode(words).alias("pos", "w")
-    )
-    dom = (
-        pw.select("w").distinct()
-        .withColumn("toks", wordpiece_tokens(F.col("w"), entrymod._WP_VOCAB))
-        .withColumn("k", F.size(F.split(F.col("toks"), " ")))
-    )
-    return pw.join(F.broadcast(dom), "w").groupBy("doc_id").agg(
-        F.sum("k").alias("n_tokens")
-    )
+    return wordpiece_doc_tokens(docs, entrymod._WP_VOCAB).groupBy(
+        "doc_id"
+    ).agg(F.sum("k").alias("n_tokens"))
 
 
 def line_dedup_plan(docs):
