@@ -4156,7 +4156,7 @@ def dq01_profile(spark, sf_dir):
     return profile_table(d)
 
 
-def _sql_dq01():
+def _profile_sql(pred: str = "TRUE"):
     def col(name, numeric):
         mn = f"CAST(min({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
         mx = f"CAST(max({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
@@ -4166,7 +4166,7 @@ def _sql_dq01():
                    / count(*), 6) AS null_frac,
              count(DISTINCT {name}) AS n_distinct,
              {mn} AS min_val, {mx} AS max_val
-      FROM documents"""
+      FROM documents WHERE {pred}"""
 
     parts = [
         col("doc_id", True),
@@ -4176,6 +4176,67 @@ def _sql_dq01():
         col("n_chars", True),
     ]
     return " UNION ALL ".join(parts)
+
+
+def _sql_dq01():
+    return _profile_sql()
+
+
+def dq03_profile_drift(spark, sf_dir):
+    """Schema/distribution drift between two table snapshots (the
+    expectation check a pipeline runs when a new data drop lands):
+    profile both sides with dq01's one-scan profiler, join per column,
+    and flag drift — null-fraction shift > 0.05 or distinct-count
+    ratio outside [0.5, 2]. The two 'snapshots' are the stable halves
+    of documents (doc_id parity — stand-ins for yesterday/today).
+    Cost is two profile scans + a #columns-row join; all drift
+    arithmetic happens on the tiny profile frames."""
+    from geosparql_etl_spark.operators.profile import profile_table
+
+    d = _t(spark, sf_dir, "documents")
+    old = profile_table(d.where(F.col("doc_id") % 2 == 0))
+    new = profile_table(d.where(F.col("doc_id") % 2 == 1))
+    o = old.select(
+        "column",
+        F.col("null_frac").alias("null_frac_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+    )
+    n = new.select(
+        "column",
+        F.col("null_frac").alias("null_frac_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+    )
+    ratio = F.col("n_distinct_new") / F.col("n_distinct_old")
+    return o.join(n, "column").select(
+        "column",
+        F.round(F.col("null_frac_new") - F.col("null_frac_old"), 6).alias(
+            "null_frac_delta"
+        ),
+        "n_distinct_old",
+        "n_distinct_new",
+        F.round(ratio, 4).alias("distinct_ratio"),
+        (
+            (F.abs(F.col("null_frac_new") - F.col("null_frac_old")) > 0.05)
+            | (ratio < 0.5)
+            | (ratio > 2.0)
+        ).alias("drift"),
+    )
+
+
+def _sql_dq03():
+    return f"""
+    WITH old AS ({_profile_sql("doc_id % 2 = 0")}),
+    new AS ({_profile_sql("doc_id % 2 = 1")})
+    SELECT o.column,
+           round(n.null_frac - o.null_frac, 6) AS null_frac_delta,
+           o.n_distinct AS n_distinct_old,
+           n.n_distinct AS n_distinct_new,
+           round(n.n_distinct::DOUBLE / o.n_distinct, 4) AS distinct_ratio,
+           (abs(n.null_frac - o.null_frac) > 0.05
+            OR n.n_distinct::DOUBLE / o.n_distinct < 0.5
+            OR n.n_distinct::DOUBLE / o.n_distinct > 2.0) AS drift
+    FROM old o JOIN new n ON o.column = n.column
+    """
 
 
 def dq02_distinct_sketch(spark, sf_dir):
@@ -5596,6 +5657,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm15_block_packing": llm15_block_packing,
     "dq01_profile": dq01_profile,
     "dq02_distinct_sketch": dq02_distinct_sketch,
+    "dq03_profile_drift": dq03_profile_drift,
     "s09_retention_cohorts": s09_retention_cohorts,
     "s10_markov_transitions": s10_markov_transitions,
     "s11_windowed_topk": s11_windowed_topk,
@@ -5806,6 +5868,7 @@ _ORACLES: dict[str, str] = {
     "llm14_wordpiece_tokenize": _sql_llm14(),
     "dq01_profile": _sql_dq01(),
     "dq02_distinct_sketch": _sql_dq02(),
+    "dq03_profile_drift": _sql_dq03(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
