@@ -210,3 +210,87 @@ def test_char_entropy_matches_python_reference(spark, s):
     d = spark.createDataFrame([Row(doc_id=1, text=s)])
     (row,) = char_entropy(d).collect()
     assert abs(row["entropy"] - expected) < 1e-9
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 4)),  # (key, shard)
+        min_size=1,
+        max_size=60,
+    ),
+    denom=st.integers(min_value=2, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_heavy_hitters_pruned_plan_equals_naive(spark, data, denom):
+    """The shard-pruned heavy-hitter plan is EXACT for every input and
+    threshold — the lemma, exercised beyond the one fixture the oracle
+    pins (random key skew, random shard placement, random denom)."""
+    from geosparql_etl_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame(data, ["k", "shard"])
+    got = {
+        (r.k, r.n)
+        for r in heavy_hitters(df, "k", "shard", denom=denom).collect()
+    }
+    n = len(data)
+    from collections import Counter
+
+    counts = Counter(k for k, _ in data)
+    want = {(k, c) for k, c in counts.items() if c * denom >= n}
+    assert got == want
+
+
+@given(
+    hashes=st.lists(
+        st.integers(min_value=0, max_value=(1 << 28) - 1),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_hamming_pairs_complete_below_threshold(spark, hashes):
+    """Pigeonhole completeness: EVERY pair within hamming <= 3 of a
+    28-bit hash must be found by the 4-band plan (the guarantee), and
+    nothing above the threshold may appear."""
+    from geosparql_etl_spark.operators.dedup import hamming_pairs
+
+    rows = [(i, h) for i, h in enumerate(hashes)]
+    df = spark.createDataFrame(rows, ["id", "h"])
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(df, "id", "h", 28, max_hamming=3, bands=4).collect()
+    }
+    want = {}
+    for i, hi in rows:
+        for j, hj in rows:
+            if i < j and bin(hi ^ hj).count("1") <= 3:
+                want[(i, j)] = bin(hi ^ hj).count("1")
+    assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_line_dedup_each_distinct_line_kept_exactly_once(spark, texts):
+    """C4-rule invariants for arbitrary corpora: every distinct line
+    text is kept exactly once corpus-wide, the keeper is the minimal
+    (doc_id, line_idx) among its occurrences, and per-doc line streams
+    reassemble losslessly (kept + dropped = all)."""
+    from collections import defaultdict
+
+    from geosparql_etl_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = line_dedup(df, "text", "doc_id", line_words=2).collect()
+    by_text = defaultdict(list)
+    for r in rows:
+        by_text[r.line_text].append((r.doc_id, r.line_idx, r.kept))
+    for occurrences in by_text.values():
+        kept = [(d, i) for d, i, k in occurrences if k]
+        assert kept == [min((d, i) for d, i, _ in occurrences)]
