@@ -485,3 +485,49 @@ def test_attribution_outer_stream_subset_and_cutoff_complete(spark, events_src):
     assert any(r[0] is None for r in got & want_old) or all(
         r[0] is not None for r in want_old
     )
+
+
+def test_incremental_curation_stream_matches_batch_and_resumes(spark, sf_dir, tmp_path):
+    """Two document drops land in sequence; the curated table after
+    both availableNow runs must equal batch curation of the union
+    (cross-batch fingerprint dedup included — a doc re-landed in drop
+    2 must NOT reappear), and the checkpoint makes run 2 process only
+    the new files."""
+    import shutil
+
+    from geosparql_etl_spark.streaming.corpus import (
+        curate,
+        run_incremental_curation,
+    )
+
+    land = tmp_path / "land"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    first = docs.where(F.col("doc_id") < 300)
+    second = docs.where(
+        (F.col("doc_id") >= 250) & (F.col("doc_id") < 500)
+    )  # 250-299 re-land: must dedup across batches
+    first.write.mode("append").parquet(str(land))
+
+    q = run_incremental_curation(spark, str(land), str(out), str(ck))
+    q.awaitTermination(120)
+    second.write.mode("append").parquet(str(land))
+    q2 = run_incremental_curation(spark, str(land), str(out), str(ck))
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(out)).select("doc_id", "fp", "n_tokens")
+    want = curate(docs.where(F.col("doc_id") < 500)).select(
+        "doc_id", "fp", "n_tokens"
+    )
+    g = {(r.fp, r.n_tokens) for r in got.collect()}
+    w = {(r.fp, r.n_tokens) for r in want.collect()}
+    # fingerprint sets must match exactly (doc_id of a dup's keeper may
+    # differ: batch dropDuplicates picks arbitrarily within a frame,
+    # the stream keeps the FIRST batch's copy — both lawful keepers)
+    assert g == w and len(g) > 0
+    # exactly one row per fingerprint in the curated table
+    fps = [r.fp for r in got.collect()]
+    assert len(fps) == len(set(fps))
+    shutil.rmtree(str(out))
