@@ -5015,6 +5015,96 @@ def _sql_txt14():
     """
 
 
+def txt16_repeat_removal(spark, sf_dir):
+    """Within-document repetition REMOVAL (the cleaning step behind
+    txt08's repetition SCORE — MassiveText/C4 drop or clean documents
+    whose n-grams stutter): a word trigram immediately repeating the
+    previous trigram marks its 3 words for removal, so 'x y z x y z
+    x y z' collapses to one copy. Single pass by design: removal can
+    create NEW adjacencies (period-1/2 stutters survive), and the
+    honest spec is one deterministic sweep, not a fixpoint.
+
+    All per-doc windows ride ONE (doc_id) partitioning: trigram via
+    two leads, repeat mark via lag 3, coverage via a max over the
+    trailing 3-row frame (a mark at p removes words p..p+2, so word q
+    is covered iff a mark exists in [q-2, q]). Reassembly is the
+    txt15 collect pattern; output carries counts + md5 of the cleaned
+    text so the oracle verifies the exact rewrite."""
+    d = _t(spark, sf_dir, "documents")
+    from geosparql_etl_spark.functions.textstats import oracle_words
+
+    pw = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.posexplode(oracle_words(F.col("text"))).alias("pos", "w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    tri = F.concat_ws(
+        " ", F.col("w"), F.lead("w", 1).over(wd), F.lead("w", 2).over(wd)
+    )
+    # lead() null past the end: a tail 1/2-gram never equals a full
+    # trigram string, so boundary rows can't mark
+    marked = pw.withColumn("__tri", tri).withColumn(
+        "__mark",
+        (
+            (F.size(F.split(F.col("__tri"), " ")) == 3)
+            & F.col("__tri").eqNullSafe(F.lag("__tri", 3).over(wd))
+        ).cast("int"),
+    )
+    cover = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-2, 0)
+    flagged = marked.withColumn(
+        "__drop", F.max("__mark").over(cover) == 1
+    )
+    kept_struct = F.when(~F.col("__drop"), F.struct(F.col("pos"), F.col("w")))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("__drop").cast("bigint")).alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("w"),
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+
+
+def _sql_txt16():
+    return f"""
+    WITH pw AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS w
+      FROM (SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws))) AS i
+            FROM (SELECT doc_id, {_WORDS} AS ws FROM documents
+                  WHERE text IS NOT NULL))),
+    tri AS (
+      SELECT doc_id, pos, w,
+             concat_ws(' ', w,
+                       lead(w, 1) OVER win, lead(w, 2) OVER win) AS t,
+             lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+      FROM pw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+    marked AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w1 IS NOT NULL AND w2 IS NOT NULL
+                       AND t = lag(t, 3) OVER (
+                             PARTITION BY doc_id ORDER BY pos)
+                  THEN 1 ELSE 0 END AS mark
+      FROM tri),
+    flagged AS (
+      SELECT doc_id, pos, w,
+             max(mark) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               = 1 AS dropped
+      FROM marked)
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(string_agg(w, ' ' ORDER BY pos)
+                          FILTER (WHERE NOT dropped), '')) AS clean_md5
+    FROM flagged GROUP BY doc_id
+    """
+
+
 def txt15_line_dedup(spark, sf_dir):
     """C4-rule exact cross-document line dedup (Raffel et al. 2020
     §2.2; RefinedWeb applies the same rule at CommonCrawl scale): a
@@ -5640,6 +5730,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt13_char_entropy": txt13_char_entropy,
     "txt14_bigram_surprisal": txt14_bigram_surprisal,
     "txt15_line_dedup": txt15_line_dedup,
+    "txt16_repeat_removal": txt16_repeat_removal,
     "llm11_contamination_report": llm11_contamination_report,
     "p14_json_props": p14_json_props,
     "j12_snapshot_diff": j12_snapshot_diff,
@@ -5854,6 +5945,7 @@ _ORACLES: dict[str, str] = {
     "d11_semantic_clusters": _sql_d11(),
     "txt14_bigram_surprisal": _sql_txt14(),
     "txt15_line_dedup": _sql_txt15(),
+    "txt16_repeat_removal": _sql_txt16(),
     "llm11_contamination_report": _sql_llm11(),
     "p14_json_props": _sql_p14(),
     "j12_snapshot_diff": _sql_j12(),

@@ -268,3 +268,44 @@ def test_wordpiece_tokens_greedy_fallback_and_cap(spark):
         wordpiece_tokens(F.col("w"), ["a", "a"])
     with _pytest.raises(ValueError):
         wordpiece_tokens(F.col("w"), ["a", ""])
+
+
+def test_repeat_removal_crafted_cases(spark):
+    """txt16's semantics on crafted stutters: a trigram immediately
+    repeating the previous trigram drops its 3 words; runs collapse to
+    one copy; period-2 stutters and non-adjacent repeats survive the
+    single pass (documented spec, not a fixpoint)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    rows = [
+        (0, "x y z x y z x y z"),      # run: keep one copy
+        (1, "a b a b a b"),            # period-2: no full-trigram repeat
+        (2, "p q r s p q r s"),        # period-4: trigram at lag 3 differs
+        (3, "m n o m n o tail"),       # one repeat + suffix survives
+    ]
+    import pandas as pd
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # route the registry query through a temp dir shim
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.doc_id: (r.n_words, r.n_removed, r.clean_md5)
+            for r in entrymod.txt16_repeat_removal(spark, td).collect()
+        }
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[0] == (9, 6, md5("x y z"))
+    assert out[1] == (6, 0, md5("a b a b a b"))
+    assert out[2] == (8, 0, md5("p q r s p q r s"))
+    assert out[3] == (7, 3, md5("m n o tail"))
