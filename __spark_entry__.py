@@ -4897,6 +4897,62 @@ def _sql_j13():
     """
 
 
+def j14_pit_join(spark, sf_dir):
+    """Point-in-time (temporal) join against the SCD2 history j13
+    builds: each order of a sampled customer set looks up the priority
+    interval in effect at its order date — the as-of lookup every
+    ML-feature and reporting stack needs against a dimension history
+    (training-serving skew prevention: features must reflect state AT
+    the event, not now).
+
+    Plan shape: equi key (custkey) + interval predicate [valid_from,
+    valid_to) — the j08 range-join shape against a derived dimension;
+    half-open non-overlapping intervals + the NULL-upper current row
+    guarantee EXACTLY one match per order (sf0.01: 744 orders -> 744
+    matches). self_consistent flags the date-granularity caveat every
+    real SCD2 carries: when a priority flips WITHIN one date, orders
+    in the earlier same-date run land in the day's LAST interval
+    (their own run's interval is empty at date grain) — 1 such row at
+    sf0.01, and the oracle hash pins the behavior rather than hiding
+    it."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 20 == 0)
+    hist = j13_scd2_intervals(spark, sf_dir).where(
+        F.col("o_custkey") % 20 == 0
+    )
+    od = F.to_date(o.o_orderdate)
+    joined = o.join(
+        hist,
+        (o.o_custkey == hist.o_custkey)
+        & (od >= hist.valid_from)
+        & (hist.valid_to.isNull() | (od < hist.valid_to)),
+    )
+    return joined.select(
+        o.o_orderkey,
+        o.o_custkey,
+        F.unix_micros(o.o_orderdate.cast("timestamp")).alias("order_us"),
+        hist.priority.alias("pit_priority"),
+        hist.valid_to.isNull().alias("is_current_interval"),
+        (o.o_orderpriority == hist.priority).alias("self_consistent"),
+    )
+
+
+def _sql_j14():
+    return f"""
+    WITH hist AS ({_sql_j13()}),
+    o AS (SELECT * FROM orders WHERE o_custkey % 20 = 0)
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS order_us,
+           h.priority AS pit_priority,
+           h.valid_to IS NULL AS is_current_interval,
+           o.o_orderpriority = h.priority AS self_consistent
+    FROM o JOIN hist h
+      ON o.o_custkey = h.o_custkey
+     AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+     AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+    WHERE h.o_custkey % 20 = 0
+    """
+
+
 def llm12_curriculum_deciles(spark, sf_dir):
     """Curriculum bucketing: every document assigned a quality DECILE
     with NO single-partition global window — the w04 global_rank
@@ -5735,6 +5791,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p14_json_props": p14_json_props,
     "j12_snapshot_diff": j12_snapshot_diff,
     "j13_scd2_intervals": j13_scd2_intervals,
+    "j14_pit_join": j14_pit_join,
     "llm12_curriculum_deciles": llm12_curriculum_deciles,
     "p15_variant_props": p15_variant_props,
     "a14_corr_stats": a14_corr_stats,
@@ -5950,6 +6007,7 @@ _ORACLES: dict[str, str] = {
     "p14_json_props": _sql_p14(),
     "j12_snapshot_diff": _sql_j12(),
     "j13_scd2_intervals": _sql_j13(),
+    "j14_pit_join": _sql_j14(),
     "llm12_curriculum_deciles": _sql_llm12(),
     "p15_variant_props": _sql_p14(),
     "a14_corr_stats": _sql_a14(),
