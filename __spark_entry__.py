@@ -1423,6 +1423,62 @@ def _sql_d09():
     """
 
 
+def d12_dup_pagerank(spark, sf_dir):
+    """Near-duplication HUB ranking: fixed-point PageRank over d09's
+    SimHash pair graph (operators/graph.py) — documents whose
+    near-dup edges fan out to many distinct docs (template pages,
+    boilerplate carriers) rank highest and are the ones a curation
+    team inspects or drops first; connected components (d08) says
+    which docs are together, this says which doc is the CENTER.
+
+    Integer-scaled ranks + truncating division make every one of the
+    3 power iterations bit-reproducible, so the oracle replays the
+    full iterative algorithm as unrolled SQL stages — the driver
+    verifies an iterative graph computation end-to-end, not a
+    summary. Isolated docs settle at the teleport mass (150000)."""
+    from geosparql_etl_spark.operators.dedup import simhash_pairs
+    from geosparql_etl_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
+    return pagerank(
+        d.select("doc_id"), pairs, "doc_id", num_iters=3, damping_pct=85
+    )
+
+
+def _sql_d12():
+    its, prev = [], "r0"
+    for k in (1, 2, 3):
+        its.append(f"""
+    c{k} AS (
+      SELECT e.dst AS doc_id,
+             CAST(sum((r.rank * 85) // (100 * d.deg)) AS BIGINT) AS cin
+      FROM edges e
+      JOIN {prev} r ON r.doc_id = e.src
+      JOIN deg d ON d.doc_id = e.src
+      GROUP BY e.dst),
+    r{k} AS (
+      SELECT n.doc_id, 150000 + coalesce(c.cin, 0) AS rank
+      FROM nodes n LEFT JOIN c{k} c USING (doc_id))""")
+        prev = f"r{k}"
+    return f"""
+    WITH pairs AS ({_sql_d09()}),
+    nodes AS (SELECT doc_id FROM documents),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src AS doc_id, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM nodes),{",".join(its)}
+    SELECT n.doc_id,
+           CAST(r.rank AS BIGINT) AS rank_scaled,
+           coalesce(d.deg, 0) AS degree
+    FROM nodes n
+    JOIN r3 r USING (doc_id)
+    LEFT JOIN deg d USING (doc_id)
+    """
+
+
 def d06_minhash_dedup_e2e(spark, sf_dir):
     """End-to-end MinHash LSH dedup (banding + candidate join + exact
     Jaccard verify). Every step is md5-derived and deterministic, so the
@@ -5792,6 +5848,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j12_snapshot_diff": j12_snapshot_diff,
     "j13_scd2_intervals": j13_scd2_intervals,
     "j14_pit_join": j14_pit_join,
+    "d12_dup_pagerank": d12_dup_pagerank,
     "llm12_curriculum_deciles": llm12_curriculum_deciles,
     "p15_variant_props": p15_variant_props,
     "a14_corr_stats": a14_corr_stats,
@@ -6008,6 +6065,7 @@ _ORACLES: dict[str, str] = {
     "j12_snapshot_diff": _sql_j12(),
     "j13_scd2_intervals": _sql_j13(),
     "j14_pit_join": _sql_j14(),
+    "d12_dup_pagerank": _sql_d12(),
     "llm12_curriculum_deciles": _sql_llm12(),
     "p15_variant_props": _sql_p14(),
     "a14_corr_stats": _sql_a14(),

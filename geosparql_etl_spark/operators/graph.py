@@ -1,0 +1,86 @@
+"""Iterative graph analytics over pair graphs the dedup family emits.
+
+connected_components (operators/dedup.py) answers "which documents are
+the same"; PageRank here answers "which documents are HUBS of
+near-duplication" — a doc sharing near-dup edges with many distinct
+docs (template pages, boilerplate carriers) ranks high and is the one
+to inspect or drop first.
+
+Scale design mirrors connected_components: the iteration state is one
+(node, rank) frame sized to the GRAPH, each round is one edges-join +
+one aggregate, and the loop count is a small constant (power iteration
+converges geometrically; ranking stabilizes long before values do).
+Checkpointing cuts lineage so round k does not replay rounds 1..k-1.
+
+Determinism: ranks are SCALED LONGS and every contribution divides
+with integer division — long sums are order-independent where float
+sums are not, so a resumed job, a different partitioning, and the
+ANSI-SQL oracle all produce bit-identical ranks (the sim11 fixed-point
+argument applied to an iterative algorithm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def pagerank(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    num_iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point PageRank over an UNDIRECTED pair graph.
+
+    ``nodes``: one column ``id_col`` (every vertex, including
+    isolated ones — they settle at the teleport mass).
+    ``pairs``: (id_a, id_b) distinct undirected pairs.
+
+    -> (id_col, rank_scaled, degree): rank in SCALE-ths, after
+    ``num_iters`` rounds of  r' = (100-d)%*SCALE + d% * sum over
+    neighbors of r/deg  — all in integer arithmetic (div truncates;
+    both replay engines agree exactly).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = F.lit((100 - damping_pct) * SCALE // 100)
+    ranks = nodes.select(
+        F.col(id_col).alias("src"), F.lit(SCALE).cast("long").alias("rank")
+    )
+    for _ in range(num_iters):
+        contrib = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("src"),
+                F.expr(f"div(rank * {damping_pct}, 100 * deg)").alias("__c"),
+            )
+            .groupBy("src")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("src"))
+            .join(contrib, "src", "left")
+            .select(
+                "src",
+                (base + F.coalesce(F.col("__in"), F.lit(0))).alias("rank"),
+            )
+            .localCheckpoint()  # cut lineage: round k must not replay 1..k-1
+        )
+    return (
+        ranks.join(deg, "src", "left")
+        .select(
+            F.col("src").alias(id_col),
+            F.col("rank").alias("rank_scaled"),
+            F.coalesce(F.col("deg"), F.lit(0)).alias("degree"),
+        )
+    )

@@ -1214,3 +1214,33 @@ def test_image_dhash_64bit_wrap_and_oversize_error_channel(spark):
     assert got["full64"].decode_error is None
     assert got["over72"].dhash is None
     assert "64 bits" in got["over72"].decode_error
+
+
+def test_pagerank_fixed_point_matches_reference(spark):
+    from geosparql_etl_spark.operators.graph import SCALE, pagerank
+
+    # star (0-1,0-2,0-3) + isolated node 9: the hub must outrank the
+    # leaves, the isolated node sits at teleport mass, and every value
+    # must equal the integer-arithmetic reference EXACTLY.
+    pairs = [(0, 1), (0, 2), (0, 3)]
+    nodes = [0, 1, 2, 3, 9]
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["doc_id"])
+    pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {
+        r.doc_id: (r.rank_scaled, r.degree)
+        for r in pagerank(ndf, pdf, num_iters=3).collect()
+    }
+
+    # reference: same rule in plain Python ints
+    edges = pairs + [(b, a) for a, b in pairs]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: SCALE for n in nodes}
+    for _ in range(3):
+        nxt = {n: (100 - 85) * SCALE // 100 for n in nodes}
+        for s, d in edges:
+            nxt[d] += rank[s] * 85 // (100 * deg[s])
+        rank = nxt
+    assert got == {n: (rank[n], deg.get(n, 0)) for n in nodes}
+    assert got[0][0] > got[1][0] > got[9][0] == 150000
