@@ -4263,7 +4263,14 @@ def dq03_profile_drift(spark, sf_dir):
         F.col("n_distinct").alias("n_distinct_new"),
     )
     ratio = F.col("n_distinct_new") / F.col("n_distinct_old")
-    return o.join(n, "column").select(
+    # full outer: a column present in only one snapshot IS schema drift
+    # (an inner join would silently drop the most basic change); and
+    # n_distinct_old = 0 must flag any new values rather than produce a
+    # NULL ratio that three-valued logic swallows
+    ratio_drift = F.when(
+        F.col("n_distinct_old") == 0, F.col("n_distinct_new") > 0
+    ).otherwise((ratio < 0.5) | (ratio > 2.0))
+    return o.join(n, "column", "full_outer").select(
         "column",
         F.round(F.col("null_frac_new") - F.col("null_frac_old"), 6).alias(
             "null_frac_delta"
@@ -4271,11 +4278,16 @@ def dq03_profile_drift(spark, sf_dir):
         "n_distinct_old",
         "n_distinct_new",
         F.round(ratio, 4).alias("distinct_ratio"),
-        (
+        F.when(
+            F.col("n_distinct_old").isNull()
+            | F.col("n_distinct_new").isNull(),
+            F.lit(True),
+        )
+        .otherwise(
             (F.abs(F.col("null_frac_new") - F.col("null_frac_old")) > 0.05)
-            | (ratio < 0.5)
-            | (ratio > 2.0)
-        ).alias("drift"),
+            | ratio_drift
+        )
+        .alias("drift"),
     )
 
 
@@ -4283,15 +4295,18 @@ def _sql_dq03():
     return f"""
     WITH old AS ({_profile_sql("doc_id % 2 = 0")}),
     new AS ({_profile_sql("doc_id % 2 = 1")})
-    SELECT o.column,
+    SELECT coalesce(o.column, n.column) AS column,
            round(n.null_frac - o.null_frac, 6) AS null_frac_delta,
            o.n_distinct AS n_distinct_old,
            n.n_distinct AS n_distinct_new,
            round(n.n_distinct::DOUBLE / o.n_distinct, 4) AS distinct_ratio,
-           (abs(n.null_frac - o.null_frac) > 0.05
-            OR n.n_distinct::DOUBLE / o.n_distinct < 0.5
-            OR n.n_distinct::DOUBLE / o.n_distinct > 2.0) AS drift
-    FROM old o JOIN new n ON o.column = n.column
+           CASE WHEN o.n_distinct IS NULL OR n.n_distinct IS NULL THEN TRUE
+                WHEN abs(n.null_frac - o.null_frac) > 0.05 THEN TRUE
+                WHEN o.n_distinct = 0 THEN n.n_distinct > 0
+                ELSE n.n_distinct::DOUBLE / o.n_distinct < 0.5
+                     OR n.n_distinct::DOUBLE / o.n_distinct > 2.0
+           END AS drift
+    FROM old o FULL OUTER JOIN new n ON o.column = n.column
     """
 
 

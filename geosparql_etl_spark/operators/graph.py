@@ -52,14 +52,17 @@ def pagerank(
     )
     edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is loop-invariant: join it onto the edges ONCE and checkpoint,
+    # so each round is genuinely one join + one aggregate (not a
+    # re-derived degree aggregate per iteration)
+    edges_deg = edges.join(deg, "src").localCheckpoint()
     base = F.lit((100 - damping_pct) * SCALE // 100)
     ranks = nodes.select(
         F.col(id_col).alias("src"), F.lit(SCALE).cast("long").alias("rank")
     )
     for _ in range(num_iters):
         contrib = (
-            edges.join(ranks, "src")
-            .join(deg, "src")
+            edges_deg.join(ranks, "src")
             .select(
                 F.col("dst").alias("src"),
                 F.expr(f"div(rank * {damping_pct}, 100 * deg)").alias("__c"),

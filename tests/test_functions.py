@@ -275,9 +275,6 @@ def test_repeat_removal_crafted_cases(spark):
     repeating the previous trigram drops its 3 words; runs collapse to
     one copy; period-2 stutters and non-adjacent repeats survive the
     single pass (documented spec, not a fixpoint)."""
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
 
     rows = [
@@ -286,8 +283,6 @@ def test_repeat_removal_crafted_cases(spark):
         (2, "p q r s p q r s"),        # period-4: trigram at lag 3 differs
         (3, "m n o m n o tail"),       # one repeat + suffix survives
     ]
-    import pandas as pd
-
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
     # route the registry query through a temp dir shim

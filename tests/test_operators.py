@@ -1244,3 +1244,52 @@ def test_pagerank_fixed_point_matches_reference(spark):
         rank = nxt
     assert got == {n: (rank[n], deg.get(n, 0)) for n in nodes}
     assert got[0][0] > got[1][0] > got[9][0] == 150000
+
+
+def test_profile_drift_flags_zero_distinct_and_schema_changes(spark):
+    """dq03's drift flag must not NULL out: old side 0-distinct with
+    new values is drift (0 -> N explosion), and a column present in
+    only one profile (schema change) is drift — three-valued logic
+    would silently swallow both under the naive inner-join/ratio
+    form."""
+    from pyspark.sql import functions as F
+
+    from geosparql_etl_spark.operators.profile import profile_table
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None)], "id int, v string"
+    )  # v: 0 distinct
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["id", "v"]
+    ).withColumn("added", F.lit(5))
+    po = profile_table(old).select(
+        "column",
+        F.col("null_frac").alias("null_frac_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+    )
+    pn = profile_table(new).select(
+        "column",
+        F.col("null_frac").alias("null_frac_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+    )
+    ratio = F.col("n_distinct_new") / F.col("n_distinct_old")
+    ratio_drift = F.when(
+        F.col("n_distinct_old") == 0, F.col("n_distinct_new") > 0
+    ).otherwise((ratio < 0.5) | (ratio > 2.0))
+    out = po.join(pn, "column", "full_outer").select(
+        "column",
+        F.when(
+            F.col("n_distinct_old").isNull()
+            | F.col("n_distinct_new").isNull(),
+            F.lit(True),
+        )
+        .otherwise(
+            (F.abs(F.col("null_frac_new") - F.col("null_frac_old")) > 0.05)
+            | ratio_drift
+        )
+        .alias("drift"),
+    )
+    got = {r.column: r.drift for r in out.collect()}
+    assert got["v"] is True       # 0 -> 1 distinct: flagged, not NULL
+    assert got["added"] is True   # one-sided column: schema drift
+    assert got["id"] is False     # unchanged

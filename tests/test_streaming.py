@@ -512,10 +512,10 @@ def test_incremental_curation_stream_matches_batch_and_resumes(spark, sf_dir, tm
     first.write.mode("append").parquet(str(land))
 
     q = run_incremental_curation(spark, str(land), str(out), str(ck))
-    q.awaitTermination(120)
-    second.write.mode("append").parquet(str(land))
+    assert q.awaitTermination(120)  # False = still running: starting a
+    second.write.mode("append").parquet(str(land))  # 2nd query on this
     q2 = run_incremental_curation(spark, str(land), str(out), str(ck))
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120)  # checkpoint would then conflict
 
     got = spark.read.parquet(str(out)).select("doc_id", "fp", "n_tokens")
     want = curate(docs.where(F.col("doc_id") < 500)).select(
