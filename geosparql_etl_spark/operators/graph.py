@@ -45,17 +45,28 @@ def pagerank(
     neighbors of r/deg  — all in integer arithmetic (div truncates;
     both replay engines agree exactly).
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    def _cut(df: DataFrame) -> DataFrame:
+        # reliable checkpoint when a dir is configured (survives
+        # executor loss on a cluster); localCheckpoint otherwise —
+        # the connected_components convention
+        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
+
+    edges = _cut(  # materialize pair generation ONCE: deg and the
+        pairs.select(  # edges_deg join below both read these edges
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).union(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
     )
-    edges = edges.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # deg is loop-invariant: join it onto the edges ONCE and checkpoint,
     # so each round is genuinely one join + one aggregate (not a
     # re-derived degree aggregate per iteration)
-    edges_deg = edges.join(deg, "src").localCheckpoint()
+    edges_deg = _cut(edges.join(deg, "src"))
     base = F.lit((100 - damping_pct) * SCALE // 100)
     ranks = nodes.select(
         F.col(id_col).alias("src"), F.lit(SCALE).cast("long").alias("rank")
@@ -77,8 +88,8 @@ def pagerank(
                 "src",
                 (base + F.coalesce(F.col("__in"), F.lit(0))).alias("rank"),
             )
-            .localCheckpoint()  # cut lineage: round k must not replay 1..k-1
         )
+        ranks = _cut(ranks)  # cut lineage: round k must not replay 1..k-1
     return (
         ranks.join(deg, "src", "left")
         .select(
