@@ -151,3 +151,47 @@ def test_rdfxml_document(triples_df):
 def test_unknown_format_raises(triples_df):
     with pytest.raises(ValueError, match="unknown RDF format"):
         serialize(triples_df, "trig")
+
+
+def test_ntriples_datasource_roundtrip_and_per_file_partitions(
+    spark, triples_df, tmp_path
+):
+    """The Spark-4 Python DataSource reads back EXACTLY what
+    render_ntriples wrote — plain and gzip files, tricky escapes,
+    lang/datatype forms — with one scan partition per input file and
+    comments/blank lines skipped."""
+    import gzip as _gzip
+
+    from geosparql_etl_spark.sources.ntriples import register
+
+    lines = [r.body for r in serialize(triples_df, "nt").collect()]
+    d = tmp_path / "nt"
+    d.mkdir()
+    (d / "a.nt").write_text(
+        "# comment line\n" + "\n".join(lines[:3]) + "\n\n", encoding="utf-8"
+    )
+    with _gzip.open(d / "b.nt.gz", "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(lines[3:]) + "\n")
+
+    register(spark)
+    got = spark.read.format("ntriples").load(str(d))
+    rows = got.collect()
+    assert {
+        (r.subject, r.predicate, r.object, r.is_literal, r.datatype, r.lang)
+        for r in rows
+    } == expected_set()
+    assert {r.path.rsplit("/", 1)[-1] for r in rows} == {"a.nt", "b.nt.gz"}
+    assert got.rdd.getNumPartitions() == 2  # one partition per file
+
+
+def test_ntriples_datasource_strict_on_malformed(spark, tmp_path):
+    import pytest as _pytest
+
+    from geosparql_etl_spark.sources.ntriples import register
+
+    d = tmp_path / "bad"
+    d.mkdir()
+    (d / "x.nt").write_text("<a> <b> not-a-term .\n", encoding="utf-8")
+    register(spark)
+    with _pytest.raises(Exception, match="unparseable"):
+        spark.read.format("ntriples").load(str(d)).collect()
