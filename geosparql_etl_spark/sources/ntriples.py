@@ -32,7 +32,9 @@ import re
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 NTRIPLES_SCHEMA = (
@@ -126,8 +128,91 @@ class NTriplesDataSource(DataSource):
     def reader(self, schema):
         return NTriplesReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        w = NTriplesWriter(self.options, overwrite)
+        if overwrite:  # driver-side: clear prior parts before tasks run
+            for f in glob.glob(os.path.join(w.path, "part-*.nt")):
+                os.remove(f)
+        return w
+
 
 def register(spark) -> None:
     """Register the format on a session: read via
     spark.read.format('ntriples').load(path)."""
     spark.dataSource.register(NTriplesDataSource)
+
+
+# --- write side --------------------------------------------------------------
+
+
+def _escape_nt_py(s: str) -> str:
+    """Python twin of sinks/rdf.py:_escape_nt — same order (backslash
+    first), byte-identical output."""
+    return (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
+def render_line(row) -> str:
+    """One N-Triples statement from a triples row — matches
+    render_ntriples' column expression byte-for-byte (asserted by the
+    roundtrip parity test)."""
+    if row.is_literal:
+        obj = '"' + _escape_nt_py(row.object) + '"'
+        if row.lang is not None:
+            obj += "@" + row.lang
+        elif row.datatype is not None:
+            obj += "^^<" + row.datatype + ">"
+    else:
+        obj = "<" + row.object + ">"
+    return f"<{row.subject}> <{row.predicate}> {obj} ."
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class NTriplesWriter(DataSourceWriter):
+    """One .nt file per task partition, written task-side; commit is
+    the standard two-phase protocol: tasks write part files and return
+    their paths, the driver's commit() publishes _SUCCESS, abort()
+    deletes every reported part — a replayed/zombie task's output is
+    never half-visible."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("ntriples sink needs a path: .save(<path>)")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{pid:05d}.nt")
+        n = 0
+        with io.open(out, "wt", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(render_line(row) + "\n")
+                n += 1
+        return _Committed(out, n)
+
+    def commit(self, messages) -> None:
+        with io.open(
+            os.path.join(self.path, "_SUCCESS"), "wt", encoding="utf-8"
+        ) as fh:
+            fh.write("")
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

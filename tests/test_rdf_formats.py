@@ -195,3 +195,44 @@ def test_ntriples_datasource_strict_on_malformed(spark, tmp_path):
     register(spark)
     with _pytest.raises(Exception, match="unparseable"):
         spark.read.format("ntriples").load(str(d)).collect()
+
+
+def test_ntriples_datasource_write_roundtrip_and_overwrite(
+    spark, triples_df, tmp_path
+):
+    """Write side of the format: per-task part files, byte parity with
+    render_ntriples, read-back equality, and overwrite replacing prior
+    parts (two-phase commit publishes _SUCCESS)."""
+    import os
+
+    from geosparql_etl_spark.sources.ntriples import register
+
+    register(spark)
+    out = str(tmp_path / "out")
+    triples_df.repartition(2).write.format("ntriples").option(
+        "path", out
+    ).mode("append").save()
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    assert len(parts) == 2 and os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    # byte parity with the column-expression renderer
+    written = []
+    for p in parts:
+        written += open(os.path.join(out, p), encoding="utf-8").read().splitlines()
+    expect = sorted(r.body for r in serialize(triples_df, "nt").collect())
+    assert sorted(written) == expect
+
+    # read back through the reader half
+    got = spark.read.format("ntriples").load(out)
+    assert {
+        (r.subject, r.predicate, r.object, r.is_literal, r.datatype, r.lang)
+        for r in got.collect()
+    } == expected_set()
+
+    # overwrite with a smaller frame replaces the old parts
+    triples_df.limit(1).repartition(1).write.format("ntriples").option(
+        "path", out
+    ).mode("overwrite").save()
+    parts2 = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    assert len(parts2) == 1
+    assert spark.read.format("ntriples").load(out).count() == 1
