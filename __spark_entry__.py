@@ -5848,11 +5848,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t10_to_json": t10_to_json,
     # --- below the 50-row window; next in line for the r05 rotation ---
     # (the round-4 additions — llm10-12 / txt13-14 / p14-p15 / j12 /
-    # a14 / mm04 / s09 / sim10 / d11 plus this session's txt15 / a15 /
-    # s10-s12 / j13 / sim11 / dq02 / mm05 / llm14 / q02-q03 — have no
-    # driver stamp on round-4 testdata (builder+tools verified only);
-    # rotate them into positions 1-50 for r05 and the registry is
-    # fully driver-attested over two rounds)
+    # a14 / mm04 / s09 / sim10 / d11 plus this session's txt15-16 /
+    # a15 / s10-s12 / j13-j14 / sim11 / dq02-dq03 / mm05 / llm14-15 /
+    # d12 / q02-q03 — have no driver stamp on round-4 testdata
+    # (builder+tools verified only: 3 SFs x 2 parallelism settings);
+    # rotate them into positions 1-50 for r05, keep the remainder for
+    # r06, and the registry is fully driver-attested over three
+    # rounds)
     "llm10_gopher_quality": llm10_gopher_quality,
     "txt13_char_entropy": txt13_char_entropy,
     "txt14_bigram_surprisal": txt14_bigram_surprisal,
