@@ -70,6 +70,26 @@ class NTriplesReader(DataSourceReader):
         if not path:
             raise ValueError("ntriples source needs a path: .load(<path>)")
         self.path = path
+        self._eq: dict[str, object] = {}
+
+    def pushFilters(self, filters):
+        """Source-side filter pushdown: equality on subject/predicate/
+        object drops rows DURING the parse (before Arrow serialization
+        to the JVM), and equality on ``path`` prunes whole files out
+        of ``partitions()`` — the custom-format analog of parquet's
+        PushedFilters + partition pruning. Everything else is returned
+        unsupported, so Spark re-applies it (pushdown must never
+        change semantics, only cost)."""
+        from pyspark.sql.datasource import EqualTo
+
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1 and \
+                    f.attribute[0] in ("subject", "predicate", "object", "path"):
+                self._eq[f.attribute[0]] = f.value
+            else:
+                unsupported.append(f)
+        return unsupported
 
     def partitions(self):
         if os.path.isdir(self.path):
@@ -81,6 +101,8 @@ class NTriplesReader(DataSourceReader):
             files = sorted(glob.glob(self.path)) or [self.path]
         if not files:
             raise FileNotFoundError(f"no .nt/.nt.gz files under {self.path}")
+        if "path" in self._eq:  # pushed path equality prunes whole files
+            files = [p for p in files if p == self._eq["path"]]
         # one partition per file: an N-file directory scans N-wide and
         # a task re-run re-reads exactly one file
         return [_FilePartition(p) for p in files]
@@ -99,10 +121,16 @@ class NTriplesReader(DataSourceReader):
                         f"statement: {line[:120]!r}"
                     )
                 subj, pred, obj = m.groups()
+                if self._eq.get("subject", subj) != subj:
+                    continue
+                if self._eq.get("predicate", pred) != pred:
+                    continue
                 uri = _URI.match(obj)
                 if uri:
-                    yield (subj, pred, uri.group(1), False, None, None,
-                           partition.path)
+                    o = uri.group(1)
+                    if self._eq.get("object", o) == o:
+                        yield (subj, pred, o, False, None, None,
+                               partition.path)
                     continue
                 lit = _LITERAL.match(obj)
                 if not lit:
@@ -111,9 +139,11 @@ class NTriplesReader(DataSourceReader):
                         f"{obj[:120]!r}"
                     )
                 value, dtype, lang = lit.groups()
+                o = _unescape(value)
+                if self._eq.get("object", o) != o:
+                    continue
                 yield (
-                    subj, pred, _unescape(value), True, dtype, lang,
-                    partition.path,
+                    subj, pred, o, True, dtype, lang, partition.path,
                 )
 
 
@@ -138,7 +168,11 @@ class NTriplesDataSource(DataSource):
 
 def register(spark) -> None:
     """Register the format on a session: read via
-    spark.read.format('ntriples').load(path)."""
+    spark.read.format('ntriples').load(path). Python-source filter
+    pushdown is opt-in in Spark 4 — a reader that implements
+    pushFilters() REFUSES to run with it disabled, so registration
+    enables it for the session."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(NTriplesDataSource)
 
 

@@ -15,6 +15,7 @@ import re
 import xml.etree.ElementTree as ET
 
 import pytest
+from pyspark.sql import functions as F
 
 from geosparql_etl_spark.sinks.rdf import (
     TRIPLE_SCHEMA,
@@ -236,3 +237,41 @@ def test_ntriples_datasource_write_roundtrip_and_overwrite(
     parts2 = sorted(p for p in os.listdir(out) if p.startswith("part-"))
     assert len(parts2) == 1
     assert spark.read.format("ntriples").load(out).count() == 1
+
+
+def test_ntriples_pushdown_filters_at_source(spark, triples_df, tmp_path):
+    """Pushed equality on predicate filters rows DURING the parse and
+    the result matches the unpushed plan exactly (pushdown changes
+    cost, never semantics); a non-equality filter is declined and
+    Spark re-applies it."""
+    from geosparql_etl_spark.sources.ntriples import (
+        NTriplesReader,
+        register,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    d = tmp_path / "nt"
+    d.mkdir()
+    lines = [r.body for r in serialize(triples_df, "nt").collect()]
+    (d / "a.nt").write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    register(spark)
+    pred = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    got = (
+        spark.read.format("ntriples")
+        .load(str(d))
+        .where(F.col("predicate") == pred)
+        .select("subject", "object")
+    )
+    assert {(r.subject, r.object) for r in got.collect()} == {
+        (s, o) for s, p, o, lit, dt, lg in TRIPLES if p == pred
+    }
+
+    # unit-level: the reader accepts the equality and declines the rest
+    r = NTriplesReader({"path": str(d)})
+    rest = r.pushFilters(
+        [EqualTo(("predicate",), pred), GreaterThan(("object",), "a")]
+    )
+    assert [type(f).__name__ for f in rest] == ["GreaterThan"]
+    rows = list(r.read(r.partitions()[0]))
+    assert rows and all(row[1] == pred for row in rows)
