@@ -5790,12 +5790,112 @@ def _sql_d11():
 # file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver records correctness rows for the first 50 entries per
-    # round; order by verification need. Round-4 window: the two queries
-    # whose predicates changed this round (j06/j11 — previously passed
-    # with trivial 0-row results) plus the relational/geometry/text core
-    # whose last DRIVER-stamped rows predate the round-3 testdata
-    # regeneration (judge re-verified them on round-3 data; this
-    # converts that into a driver attestation on round-4 data).
+    # round; order by verification need. Round-5 window: the 36 round-3/4
+    # additions that have never had a driver CORRECTNESS stamp (builder +
+    # judge verified only), followed by 14 of the oldest rows (last
+    # driver-stamped on round-3 testdata, outside the judge r04 spot-
+    # sample). The remaining 42 r03-stamped rows are queued first below
+    # the window for the r06 rotation; the 50 rows stamped in
+    # CORRECTNESS_r04 sit last. After r06 the whole 142-query registry is
+    # driver-attested across three consecutive rounds.
+    # --- never driver-stamped (r05 positions 1-36) ---
+    "q02_shipping_priority": q02_shipping_priority,
+    "q03_local_supplier_volume": q03_local_supplier_volume,
+    "j12_snapshot_diff": j12_snapshot_diff,
+    "j13_scd2_intervals": j13_scd2_intervals,
+    "j14_pit_join": j14_pit_join,
+    "a14_corr_stats": a14_corr_stats,
+    "a15_heavy_hitters": a15_heavy_hitters,
+    "d10_containment_pairs": d10_containment_pairs,
+    "d11_semantic_clusters": d11_semantic_clusters,
+    "d12_dup_pagerank": d12_dup_pagerank,
+    "dq01_profile": dq01_profile,
+    "dq02_distinct_sketch": dq02_distinct_sketch,
+    "dq03_profile_drift": dq03_profile_drift,
+    "llm09_data_mixture": llm09_data_mixture,
+    "llm10_gopher_quality": llm10_gopher_quality,
+    "llm11_contamination_report": llm11_contamination_report,
+    "llm12_curriculum_deciles": llm12_curriculum_deciles,
+    "llm13_epoch_shuffle": llm13_epoch_shuffle,
+    "llm14_wordpiece_tokenize": llm14_wordpiece_tokenize,
+    "llm15_block_packing": llm15_block_packing,
+    "mm04_video_frames": mm04_video_frames,
+    "mm05_image_neardup": mm05_image_neardup,
+    "p14_json_props": p14_json_props,
+    "p15_variant_props": p15_variant_props,
+    "s09_retention_cohorts": s09_retention_cohorts,
+    "s10_markov_transitions": s10_markov_transitions,
+    "s11_windowed_topk": s11_windowed_topk,
+    "s12_attribution_outer": s12_attribution_outer,
+    "sim09_filtered_ann": sim09_filtered_ann,
+    "sim10_knn_classify": sim10_knn_classify,
+    "sim11_kmeans_refine": sim11_kmeans_refine,
+    "txt12_surprisal": txt12_surprisal,
+    "txt13_char_entropy": txt13_char_entropy,
+    "txt14_bigram_surprisal": txt14_bigram_surprisal,
+    "txt15_line_dedup": txt15_line_dedup,
+    "txt16_repeat_removal": txt16_repeat_removal,
+    # --- oldest driver stamp (r03) , positions 37-50 ---
+    "a10_pivot": a10_pivot,
+    "s04_session_window_native": s04_session_window_native,
+    "s05_attribution_join": s05_attribution_join,
+    "s06_stream_dedup_batch": s06_stream_dedup_batch,
+    "s07_funnel": s07_funnel,
+    "txt09_normalize": txt09_normalize,
+    "txt10_tfidf_topterms": txt10_tfidf_topterms,
+    "txt11_boilerplate": txt11_boilerplate,
+    "a11_cube": a11_cube,
+    "a12_histogram": a12_histogram,
+    "w04_global_rank": w04_global_rank,
+    "j10_set_ops": j10_set_ops,
+    "sim06_pq_ann": sim06_pq_ann,
+    "sim07_vector_stats": sim07_vector_stats,
+    # --- below the 50-row window: r03-stamped remainder, next in line
+    # for the r06 rotation ---
+    "llm05_decontaminate": llm05_decontaminate,
+    "s01_tumbling_window": s01_tumbling_window,
+    "s02_sliding_window": s02_sliding_window,
+    "s03_sessionization": s03_sessionization,
+    "s08_gap_fill_resample": s08_gap_fill_resample,
+    "mm01_media_features": mm01_media_features,
+    "mm02_frame_sampling": mm02_frame_sampling,
+    "mm03_audio_features": mm03_audio_features,
+    "h02_file_hash": h02_file_hash,
+    "llm06_incremental_dedup": llm06_incremental_dedup,
+    "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
+    "llm08_chunking": llm08_chunking,
+    "w05_window_frames": w05_window_frames,
+    "a13_grouping_sets": a13_grouping_sets,
+    "g16_point_in_polygon": g16_point_in_polygon,
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_fingerprint": d02_fingerprint,
+    "d03_minhash_signature": d03_minhash_signature,
+    "d04_ngram_jaccard": d04_ngram_jaccard,
+    "d05_simhash": d05_simhash,
+    "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
+    "d07_embedding_neardup": d07_embedding_neardup,
+    "d08_dedup_clusters": d08_dedup_clusters,
+    "d09_simhash_pairs": d09_simhash_pairs,
+    "sim01_cosine_topk": sim01_cosine_topk,
+    "sim02_threshold_pairs": sim02_threshold_pairs,
+    "sim03_ann_lsh": sim03_ann_lsh,
+    "sim04_ivf_ann": sim04_ivf_ann,
+    "sim05_quantized_topk": sim05_quantized_topk,
+    "sim08_ivfpq_ann": sim08_ivfpq_ann,
+    "txt01_stats": txt01_stats,
+    "txt02_lang_id": txt02_lang_id,
+    "txt03_quality": txt03_quality,
+    "txt04_token_count": txt04_token_count,
+    "txt05_stopword_ratio": txt05_stopword_ratio,
+    "txt06_winnowing": txt06_winnowing,
+    "txt07_pii_redact": txt07_pii_redact,
+    "txt08_repetition": txt08_repetition,
+    "llm01_corpus_curation": llm01_corpus_curation,
+    "llm02_hash_sample": llm02_hash_sample,
+    "llm03_split_assign": llm03_split_assign,
+    "llm04_sequence_packing": llm04_sequence_packing,
+    # --- driver-stamped green in CORRECTNESS_r04 (freshest attestation,
+    # scheduled after the r03 remainder in r06+) ---
     "j06_anti_join": j06_anti_join,
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
     "q01_pricing_summary": q01_pricing_summary,
@@ -5846,108 +5946,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t07_format_string": t07_format_string,
     "t08_iso_timestamp": t08_iso_timestamp,
     "t10_to_json": t10_to_json,
-    # --- below the 50-row window; next in line for the r05 rotation ---
-    # (the round-4 additions — llm10-12 / txt13-14 / p14-p15 / j12 /
-    # a14 / mm04 / s09 / sim10 / d11 plus this session's txt15-16 /
-    # a15 / s10-s12 / j13-j14 / sim11 / dq02-dq03 / mm05 / llm14-15 /
-    # d12 / q02-q03 — have no driver stamp on round-4 testdata
-    # (builder+tools verified only: 3 SFs x 2 parallelism settings);
-    # rotate them into positions 1-50 for r05, keep the remainder for
-    # r06, and the registry is fully driver-attested over three
-    # rounds)
-    "llm10_gopher_quality": llm10_gopher_quality,
-    "txt13_char_entropy": txt13_char_entropy,
-    "txt14_bigram_surprisal": txt14_bigram_surprisal,
-    "txt15_line_dedup": txt15_line_dedup,
-    "txt16_repeat_removal": txt16_repeat_removal,
-    "llm11_contamination_report": llm11_contamination_report,
-    "p14_json_props": p14_json_props,
-    "j12_snapshot_diff": j12_snapshot_diff,
-    "j13_scd2_intervals": j13_scd2_intervals,
-    "j14_pit_join": j14_pit_join,
-    "d12_dup_pagerank": d12_dup_pagerank,
-    "llm12_curriculum_deciles": llm12_curriculum_deciles,
-    "p15_variant_props": p15_variant_props,
-    "a14_corr_stats": a14_corr_stats,
-    "a15_heavy_hitters": a15_heavy_hitters,
-    "mm04_video_frames": mm04_video_frames,
-    "mm05_image_neardup": mm05_image_neardup,
-    "llm13_epoch_shuffle": llm13_epoch_shuffle,
-    "llm14_wordpiece_tokenize": llm14_wordpiece_tokenize,
-    "q02_shipping_priority": q02_shipping_priority,
-    "q03_local_supplier_volume": q03_local_supplier_volume,
-    "llm15_block_packing": llm15_block_packing,
-    "dq01_profile": dq01_profile,
-    "dq02_distinct_sketch": dq02_distinct_sketch,
-    "dq03_profile_drift": dq03_profile_drift,
-    "s09_retention_cohorts": s09_retention_cohorts,
-    "s10_markov_transitions": s10_markov_transitions,
-    "s11_windowed_topk": s11_windowed_topk,
-    "s12_attribution_outer": s12_attribution_outer,
-    "sim10_knn_classify": sim10_knn_classify,
-    "sim11_kmeans_refine": sim11_kmeans_refine,
-    "d11_semantic_clusters": d11_semantic_clusters,
-    "d10_containment_pairs": d10_containment_pairs,
-    "txt12_surprisal": txt12_surprisal,
-    "llm09_data_mixture": llm09_data_mixture,
-    "sim09_filtered_ann": sim09_filtered_ann,
-    "llm05_decontaminate": llm05_decontaminate,
-    "s01_tumbling_window": s01_tumbling_window,
-    "s02_sliding_window": s02_sliding_window,
-    "mm01_media_features": mm01_media_features,
-    "mm02_frame_sampling": mm02_frame_sampling,
-    "mm03_audio_features": mm03_audio_features,
-    "h02_file_hash": h02_file_hash,
-    # --- driver-stamped green on round-3 testdata (CORRECTNESS_r03) ---
-    "a10_pivot": a10_pivot,
-    "s03_sessionization": s03_sessionization,
-    "s04_session_window_native": s04_session_window_native,
-    "s05_attribution_join": s05_attribution_join,
-    "s06_stream_dedup_batch": s06_stream_dedup_batch,
-    "txt09_normalize": txt09_normalize,
-    "txt10_tfidf_topterms": txt10_tfidf_topterms,
-    "txt11_boilerplate": txt11_boilerplate,
-    "a11_cube": a11_cube,
-    "a12_histogram": a12_histogram,
-    "w04_global_rank": w04_global_rank,
-    "j10_set_ops": j10_set_ops,
-    "s07_funnel": s07_funnel,
-    "sim06_pq_ann": sim06_pq_ann,
-    "llm06_incremental_dedup": llm06_incremental_dedup,
-    "w05_window_frames": w05_window_frames,
-    "a13_grouping_sets": a13_grouping_sets,
-    "sim07_vector_stats": sim07_vector_stats,
-    "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
-    "s08_gap_fill_resample": s08_gap_fill_resample,
-    "sim08_ivfpq_ann": sim08_ivfpq_ann,
-    "llm08_chunking": llm08_chunking,
-    "g16_point_in_polygon": g16_point_in_polygon,
-    "d01_dedup_exact": d01_dedup_exact,
-    "d02_fingerprint": d02_fingerprint,
-    "d03_minhash_signature": d03_minhash_signature,
-    "d04_ngram_jaccard": d04_ngram_jaccard,
-    "d05_simhash": d05_simhash,
-    "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
-    "d07_embedding_neardup": d07_embedding_neardup,
-    "d08_dedup_clusters": d08_dedup_clusters,
-    "d09_simhash_pairs": d09_simhash_pairs,
-    "sim01_cosine_topk": sim01_cosine_topk,
-    "sim02_threshold_pairs": sim02_threshold_pairs,
-    "sim03_ann_lsh": sim03_ann_lsh,
-    "sim04_ivf_ann": sim04_ivf_ann,
-    "sim05_quantized_topk": sim05_quantized_topk,
-    "txt01_stats": txt01_stats,
-    "txt02_lang_id": txt02_lang_id,
-    "txt03_quality": txt03_quality,
-    "txt04_token_count": txt04_token_count,
-    "txt05_stopword_ratio": txt05_stopword_ratio,
-    "llm01_corpus_curation": llm01_corpus_curation,
-    "llm02_hash_sample": llm02_hash_sample,
-    "llm03_split_assign": llm03_split_assign,
-    "llm04_sequence_packing": llm04_sequence_packing,
-    "txt06_winnowing": txt06_winnowing,
-    "txt07_pii_redact": txt07_pii_redact,
-    "txt08_repetition": txt08_repetition,
 }
 
 _ORACLES: dict[str, str] = {
