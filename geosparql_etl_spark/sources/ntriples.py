@@ -64,6 +64,36 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+def _list_nt_files(path: str) -> list[str]:
+    """Expand a load path into concrete .nt/.nt.gz files.
+
+    Accepted forms (comma-separable, so a partitioned triple lake
+    like ``out/exec/img,out/exec/rad`` or ``out/**/*.nt.gz`` reads as
+    ONE table; pair with the pushed ``path`` equality filter for
+    partition pruning on top):
+      - a directory           -> its *.nt + *.nt.gz files
+      - a glob (supports **)  -> every match (dirs expand recursively)
+      - a concrete file path  -> itself
+    """
+    files: list[str] = []
+    for token in (t.strip() for t in path.split(",")):
+        if not token:
+            continue
+        if os.path.isdir(token):
+            files += glob.glob(os.path.join(token, "*.nt"))
+            files += glob.glob(os.path.join(token, "*.nt.gz"))
+        elif glob.has_magic(token):
+            for hit in glob.glob(token, recursive=True):
+                if os.path.isdir(hit):
+                    files += glob.glob(os.path.join(hit, "*.nt"))
+                    files += glob.glob(os.path.join(hit, "*.nt.gz"))
+                else:
+                    files.append(hit)
+        else:
+            files.append(token)
+    return sorted(set(files))
+
+
 class NTriplesReader(DataSourceReader):
     def __init__(self, options: dict):
         path = options.get("path")
@@ -71,6 +101,11 @@ class NTriplesReader(DataSourceReader):
             raise ValueError("ntriples source needs a path: .load(<path>)")
         self.path = path
         self._eq: dict[str, object] = {}
+        # set when pushed equalities contradict each other (x=='a' AND
+        # x=='b'): the scan is provably empty and must RETURN empty —
+        # accepting both filters but applying only one would silently
+        # return the wrong rows (ADVICE r04)
+        self._impossible = False
 
     def pushFilters(self, filters):
         """Source-side filter pushdown: equality on subject/predicate/
@@ -79,35 +114,43 @@ class NTriplesReader(DataSourceReader):
         of ``partitions()`` — the custom-format analog of parquet's
         PushedFilters + partition pruning. Everything else is returned
         unsupported, so Spark re-applies it (pushdown must never
-        change semantics, only cost)."""
+        change semantics, only cost). Two contradictory equalities on
+        one column mark the scan impossible (zero partitions' worth of
+        rows) instead of last-write-wins."""
         from pyspark.sql.datasource import EqualTo
 
         unsupported = []
         for f in filters:
             if isinstance(f, EqualTo) and len(f.attribute) == 1 and \
                     f.attribute[0] in ("subject", "predicate", "object", "path"):
-                self._eq[f.attribute[0]] = f.value
+                attr = f.attribute[0]
+                if attr in self._eq and self._eq[attr] != f.value:
+                    self._impossible = True
+                else:
+                    self._eq[attr] = f.value
             else:
                 unsupported.append(f)
         return unsupported
 
     def partitions(self):
-        if os.path.isdir(self.path):
-            files = sorted(
-                glob.glob(os.path.join(self.path, "*.nt"))
-                + glob.glob(os.path.join(self.path, "*.nt.gz"))
-            )
-        else:
-            files = sorted(glob.glob(self.path)) or [self.path]
+        if self._impossible:
+            # contradictory pushed equalities: one sentinel partition
+            # whose read() yields nothing (the API requires >=1)
+            return [_FilePartition("")]
+        files = _list_nt_files(self.path)
         if not files:
             raise FileNotFoundError(f"no .nt/.nt.gz files under {self.path}")
         if "path" in self._eq:  # pushed path equality prunes whole files
             files = [p for p in files if p == self._eq["path"]]
+            if not files:
+                return [_FilePartition("")]
         # one partition per file: an N-file directory scans N-wide and
         # a task re-run re-reads exactly one file
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
+        if not partition.path:  # impossible-scan sentinel
+            return
         opener = gzip.open if partition.path.endswith(".gz") else io.open
         with opener(partition.path, "rt", encoding="utf-8") as fh:
             for n, raw in enumerate(fh, 1):
@@ -160,9 +203,14 @@ class NTriplesDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         w = NTriplesWriter(self.options, overwrite)
-        if overwrite:  # driver-side: clear prior parts before tasks run
-            for f in glob.glob(os.path.join(w.path, "part-*.nt")):
-                os.remove(f)
+        if overwrite:
+            # Invalidate the previous generation NOW (readers must not
+            # treat a half-replaced directory as committed), but defer
+            # deleting the old part files to commit(): a job that dies
+            # mid-write leaves the old data intact, not half-deleted.
+            success = os.path.join(w.path, "_SUCCESS")
+            if os.path.exists(success):
+                os.remove(success)
         return w
 
 
@@ -207,17 +255,34 @@ def render_line(row) -> str:
 
 
 class _Committed(WriterCommitMessage):
-    def __init__(self, path: str, n_rows: int):
-        self.path = path
+    def __init__(self, tmp_path: str, final_name: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.final_name = final_name
         self.n_rows = n_rows
 
 
 class NTriplesWriter(DataSourceWriter):
-    """One .nt file per task partition, written task-side; commit is
-    the standard two-phase protocol: tasks write part files and return
-    their paths, the driver's commit() publishes _SUCCESS, abort()
-    deletes every reported part — a replayed/zombie task's output is
-    never half-visible."""
+    """One .nt (or .nt.gz with option("compression","gzip")) file per
+    task partition — a REAL two-phase protocol:
+
+    phase 1 (task-side): each attempt writes to an attempt-unique
+      hidden temp name ``.part-<pid>-<taskAttemptId>.nt.tmp``, so a
+      speculative or zombie re-attempt of the same partition can never
+      interleave with (or truncate) another attempt's bytes — they
+      hold different paths by construction.
+    phase 2 (driver-side commit): only the WINNING attempts' temp
+      files (the commit messages Spark hands over — one per partition)
+      are renamed to their final ``part-<pid>.nt[.gz]`` names; loser
+      temps are swept; on overwrite the previous generation's parts
+      (.nt AND .nt.gz — a stale gzip generation must not survive and
+      pollute the next read) are deleted here, not before the job, so
+      a mid-write crash leaves old data intact. abort() sweeps all
+      temps and touches nothing final.
+
+    Readers that glob ``part-*`` therefore never observe a torn or
+    duplicated partition file, whether or not they gate on _SUCCESS.
+    Mirrors the reference's gzip-compressed sink output
+    (mongo-etl/mongodb_to_rdf.py:548-563) on the write side."""
 
     def __init__(self, options: dict, overwrite: bool):
         path = options.get("path")
@@ -225,22 +290,45 @@ class NTriplesWriter(DataSourceWriter):
             raise ValueError("ntriples sink needs a path: .save(<path>)")
         self.path = path
         self.overwrite = overwrite
+        compression = options.get("compression", "none").lower()
+        if compression not in ("none", "gzip"):
+            raise ValueError(
+                f"ntriples sink: unsupported compression {compression!r} "
+                "(use 'gzip' or omit)"
+            )
+        self.gzip = compression == "gzip"
 
     def write(self, iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(self.path, f"part-{pid:05d}.nt")
+        ext = ".nt.gz" if self.gzip else ".nt"
+        final_name = f"part-{pid:05d}{ext}"
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-{attempt}{ext}.tmp"
+        )
+        opener = gzip.open if self.gzip else io.open
         n = 0
-        with io.open(out, "wt", encoding="utf-8") as fh:
+        with opener(tmp, "wt", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(render_line(row) + "\n")
                 n += 1
-        return _Committed(out, n)
+        return _Committed(tmp, final_name, n)
 
     def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in glob.glob(os.path.join(self.path, "part-*.nt")) + \
+                    glob.glob(os.path.join(self.path, "part-*.nt.gz")):
+                os.remove(f)
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.replace(
+                    m.tmp_path, os.path.join(self.path, m.final_name)
+                )
+        self._sweep_temps()
         with io.open(
             os.path.join(self.path, "_SUCCESS"), "wt", encoding="utf-8"
         ) as fh:
@@ -248,5 +336,15 @@ class NTriplesWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+        self._sweep_temps()
+
+    def _sweep_temps(self) -> None:
+        # losing speculative attempts and failed attempts never report
+        # a commit message; their temps are only findable by glob
+        for f in glob.glob(os.path.join(self.path, ".part-*.tmp")):
+            try:
+                os.remove(f)
+            except OSError:
+                pass

@@ -275,3 +275,169 @@ def test_ntriples_pushdown_filters_at_source(spark, triples_df, tmp_path):
     assert [type(f).__name__ for f in rest] == ["GreaterThan"]
     rows = list(r.read(r.partitions()[0]))
     assert rows and all(row[1] == pred for row in rows)
+
+
+def test_ntriples_contradictory_pushdown_returns_empty(
+    spark, triples_df, tmp_path
+):
+    """Two pushed equalities on the same column with different values
+    are a contradiction: the scan must return EMPTY, not last-filter-
+    wins rows (round-4 advice). Covers both the e2e plan and the
+    reader unit contract."""
+    from geosparql_etl_spark.sources.ntriples import (
+        NTriplesReader,
+        register,
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    d = tmp_path / "nt"
+    d.mkdir()
+    lines = [r.body for r in serialize(triples_df, "nt").collect()]
+    (d / "a.nt").write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    register(spark)
+    got = (
+        spark.read.format("ntriples")
+        .load(str(d))
+        .where(F.col("subject") == "http://ex.org/mark/1")
+        .where(F.col("subject") == "http://ex.org/mark/2")
+    )
+    assert got.count() == 0
+
+    r = NTriplesReader({"path": str(d)})
+    rest = r.pushFilters(
+        [EqualTo(("subject",), "a"), EqualTo(("subject",), "b")]
+    )
+    assert rest == []  # both accepted -- semantics preserved by the
+    parts = r.partitions()  # impossible-scan sentinel partition
+    assert len(parts) == 1 and list(r.read(parts[0])) == []
+
+    # same value twice is NOT a contradiction
+    r2 = NTriplesReader({"path": str(d)})
+    r2.pushFilters([EqualTo(("subject",), "http://ex.org/mark/1"),
+                    EqualTo(("subject",), "http://ex.org/mark/1")])
+    assert any(row for p in r2.partitions() for row in r2.read(p))
+
+
+def test_ntriples_writer_attempt_isolation(spark, triples_df, tmp_path,
+                                           monkeypatch):
+    """Two attempts of the SAME partition (speculative execution /
+    zombie task replay) write attempt-unique temp files; commit()
+    publishes only the winning attempt's rows, and no temp survives.
+    This is the protocol the docstring claims — verified, not
+    asserted."""
+    import os
+    import types
+
+    import pyspark
+
+    from geosparql_etl_spark.sources.ntriples import NTriplesWriter
+
+    out = str(tmp_path / "out")
+    w = NTriplesWriter({"path": out}, overwrite=False)
+    rows = triples_df.collect()
+
+    def fake_ctx(attempt):
+        return types.SimpleNamespace(
+            partitionId=lambda: 0, taskAttemptId=lambda: attempt
+        )
+
+    # attempt 7 (the eventual winner) writes rows[:2]; zombie attempt 9
+    # replays the same partition with rows[2:] concurrently
+    monkeypatch.setattr(
+        pyspark.TaskContext, "get", staticmethod(lambda: fake_ctx(7))
+    )
+    msg_win = w.write(iter(rows[:2]))
+    monkeypatch.setattr(
+        pyspark.TaskContext, "get", staticmethod(lambda: fake_ctx(9))
+    )
+    w.write(iter(rows[2:]))  # zombie: Spark never reports its message
+
+    tmps = [p for p in os.listdir(out) if p.endswith(".tmp")]
+    assert len(tmps) == 2  # distinct paths -- no interleaving possible
+
+    w.commit([msg_win])
+    files = sorted(os.listdir(out))
+    assert files == ["_SUCCESS", "part-00000.nt"]  # zombie temp swept
+    body = open(os.path.join(out, "part-00000.nt"), encoding="utf-8").read()
+    assert len(body.splitlines()) == 2  # only the winner's rows
+
+    # abort path: temp written, abort sweeps it, nothing final appears
+    out2 = str(tmp_path / "out2")
+    w2 = NTriplesWriter({"path": out2}, overwrite=False)
+    m = w2.write(iter(rows[:1]))
+    w2.write(iter(rows[1:2]))  # unreported attempt
+    w2.abort([m])
+    assert [p for p in os.listdir(out2) if not p.startswith(".")] == []
+    assert [p for p in os.listdir(out2) if p.endswith(".tmp")] == []
+
+
+def test_ntriples_gzip_write_roundtrip(spark, triples_df, tmp_path):
+    """option('compression','gzip') emits part-*.nt.gz (parity with the
+    read side and the reference's gzip sinks), round-trips through the
+    reader, and overwrite clears a prior gzip generation."""
+    import os
+
+    from geosparql_etl_spark.sources.ntriples import register
+
+    register(spark)
+    out = str(tmp_path / "gz")
+    triples_df.repartition(2).write.format("ntriples").option(
+        "path", out
+    ).option("compression", "gzip").mode("append").save()
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    assert parts and all(p.endswith(".nt.gz") for p in parts)
+
+    got = spark.read.format("ntriples").load(out)
+    assert {
+        (r.subject, r.predicate, r.object, r.is_literal, r.datatype, r.lang)
+        for r in got.collect()
+    } == expected_set()
+
+    # overwrite with PLAIN output must also remove the gzip generation
+    # (reader scans both extensions -- round-4 advice)
+    triples_df.limit(1).repartition(1).write.format("ntriples").option(
+        "path", out
+    ).mode("overwrite").save()
+    parts2 = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    assert parts2 == ["part-00000.nt"]
+    assert spark.read.format("ntriples").load(out).count() == 1
+
+
+def test_ntriples_multi_dir_and_glob_listing(spark, triples_df, tmp_path):
+    """A partitioned triple lake reads as ONE table: comma-separated
+    dirs and ** globs both expand; the pushed `path` equality still
+    prunes to a single file on top."""
+    import gzip as _gzip
+
+    from geosparql_etl_spark.sources.ntriples import register
+
+    lines = [r.body for r in serialize(triples_df, "nt").collect()]
+    root = tmp_path / "lake"
+    (root / "img").mkdir(parents=True)
+    (root / "rad").mkdir()
+    (root / "img" / "a.nt").write_text(
+        "\n".join(lines[:3]) + "\n", encoding="utf-8"
+    )
+    with _gzip.open(root / "rad" / "b.nt.gz", "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(lines[3:]) + "\n")
+
+    register(spark)
+    for path in (
+        f"{root}/img,{root}/rad",  # comma-separated dirs
+        f"{root}/**",              # recursive glob over the lake
+    ):
+        got = spark.read.format("ntriples").load(path)
+        assert {
+            (r.subject, r.predicate, r.object, r.is_literal, r.datatype,
+             r.lang) for r in got.collect()
+        } == expected_set(), path
+        assert got.rdd.getNumPartitions() == 2
+
+    # partition pruning via the pushed path filter on the lake view
+    one = (
+        spark.read.format("ntriples")
+        .load(f"{root}/**")
+        .where(F.col("path") == str(root / "img" / "a.nt"))
+    )
+    assert one.count() == 3
