@@ -4527,18 +4527,22 @@ def llm15_block_packing(spark, sf_dir):
     offs = global_prefix_sum(
         d,
         order_cols=[F.asc("doc_id")],
-        bucket=(F.col("doc_id") / 64).cast("bigint"),
+        bucket=F.expr("doc_id DIV 64"),
         value_col="n_tok",
         out="off",
     )
+    # integer DIV on the bigint offsets: double division truncates
+    # correctly only below 2^53, and a 100 TB token stream's running
+    # offset can exceed that — and it must match the oracle's exact
+    # `// 256` (round-4 advice)
     spans = offs.select(
         "doc_id",
         "off",
         (F.col("off") + F.col("n_tok")).alias("end"),
         F.explode(
             F.sequence(
-                (F.col("off") / B).cast("bigint"),
-                ((F.col("off") + F.col("n_tok") - 1) / B).cast("bigint"),
+                F.expr(f"off DIV {B}"),
+                F.expr(f"(off + n_tok - 1) DIV {B}"),
             )
         ).alias("block_id"),
     )

@@ -78,18 +78,28 @@ def heavy_hitters(
     The corpus is scanned once and never shuffled on the bare key.
     All thresholds are integer arithmetic (count * denom >= total), so
     replay engines agree bit-for-bit.
+
+    Key nullability: NULL is a key like any other (groupBy buckets it,
+    SQL GROUP BY/HAVING reports it), so the candidate join is
+    null-safe — a null-keyed heavy hitter is returned, matching the
+    GROUP BY oracle, instead of silently vanishing in an equi-join
+    that can never match null (round-4 advice).
     """
     cells = df.groupBy(shard_col, key_col).agg(F.count(F.lit(1)).alias("__c"))
     shard_n = cells.groupBy(shard_col).agg(F.sum("__c").alias("__n"))
     cand = (
         cells.join(shard_n, shard_col)
         .where(F.col("__c") * denom >= F.col("__n"))
-        .select(key_col)
+        .select(F.col(key_col).alias("__cand_key"))
         .distinct()
     )
     total = cells.agg(F.sum("__c").alias("__total"))
     return (
-        cells.join(F.broadcast(cand), key_col)
+        cells.join(
+            F.broadcast(cand),
+            F.col(key_col).eqNullSafe(F.col("__cand_key")),
+            "inner",
+        )
         .groupBy(key_col)
         .agg(F.sum("__c").alias("n"))
         .crossJoin(F.broadcast(total))

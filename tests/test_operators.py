@@ -1054,6 +1054,34 @@ def test_heavy_hitters_matches_naive_and_prunes_local_only_keys(spark):
     assert got == naive == {("hot", 12), ("cold", 22)}
 
 
+def test_heavy_hitters_null_key_is_a_key(spark):
+    """NULL buckets like any other key (GROUP BY semantics): a
+    null-keyed heavy hitter must survive the candidate join — the
+    null-safe join contract from round-4 advice."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from geosparql_etl_spark.operators.profile import heavy_hitters
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("shard", IntegerType())]
+    )
+    # N=20, denom=2 -> threshold 10: NULL (12 copies) qualifies,
+    # "x" (8) does not
+    rows = [(None, s % 3) for s in range(12)] + [("x", s % 3) for s in range(8)]
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r.k, r.n)
+        for r in heavy_hitters(df, "k", "shard", denom=2).collect()
+    }
+    assert got == {(None, 12)}
+
+
 def test_lloyd_refine_recovers_cluster_means(spark):
     import numpy as np
 
