@@ -4765,6 +4765,91 @@ def _sql_mm05():
     """
 
 
+def mm06_audio_neardup(spark, sf_dir):
+    """Audio near-dup detection — the THIRD modality on the one
+    banding core: mm03's synthesized WAVs -> chromaprint-style
+    fingerprint (operators/multimodal.py:audio_fingerprint — REAL WAV
+    decode, integer frame energies, one bit per adjacent-frame energy
+    comparison) -> the SAME pigeonhole-banded hamming join text
+    SimHash (d09) and image dHash (mm05) use (dedup.hamming_pairs:
+    31-bit fingerprint, 4 bands, hamming <= 3 must share a band).
+    Blobs die in the fingerprint scan; only the long hash reaches the
+    shuffle.
+
+    Value oracle: synth -> decode -> energy -> bit pipeline re-derived
+    in SQL from hex(encode(text)) byte arithmetic (|(b-128)*256| =
+    256*|b-128|, so frame-energy comparisons reduce to integer byte
+    math), pairs brute-forced — banding is a physical pruning, not a
+    semantics change (mirror of mm05's oracle)."""
+    import pandas as pd
+
+    from geosparql_etl_spark.operators.dedup import hamming_pairs
+    from geosparql_etl_spark.operators.multimodal import audio_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+
+    def synth(batches):
+        import numpy as np
+
+        from geosparql_etl_spark.functions.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = (text or "").encode("utf-8")
+                reps = -(-64 // max(len(raw), 1))
+                buf = (raw * reps + b"\x80" * 64)[:64]  # 0x80 -> sample 0
+                samples = (
+                    np.frombuffer(buf, dtype=np.uint8).astype(np.int16) - 128
+                ) * 256
+                payloads.append(encode_wav(samples, 16000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "content": payloads}
+            )
+
+    media = d.select("doc_id", "text").mapInPandas(
+        synth, "media_id string, content binary"
+    )
+    hashed = audio_fingerprint(media, frame=2).select(
+        F.col("media_id").cast("bigint").alias("doc_id"), "afp"
+    )
+    return hamming_pairs(
+        hashed, "doc_id", "afp", hash_bits=31, max_hamming=3, bands=4
+    )
+
+
+def _sql_mm06():
+    return """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    s AS (
+      SELECT doc_id, i,
+             CASE WHEN n = 0 THEN 0
+                  ELSE abs(CAST(('0x' || substr(hx, (i % n) * 2 + 1, 2))
+                                AS INT) - 128) END AS a
+      FROM h, generate_series(0, 63) AS t(i)),
+    e AS (
+      SELECT doc_id, i // 2 AS f, sum(a) AS en
+      FROM s GROUP BY doc_id, i // 2),
+    -- bit f set when energy(frame f) > energy(frame f+1), f in 0..30
+    bits AS (
+      SELECT a.doc_id, a.f AS pos
+      FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      WHERE a.f < 31 AND a.en > b.en),
+    fp0 AS (
+      SELECT doc_id, CAST(sum(CAST(1 AS BIGINT) << pos) AS BIGINT) AS afp
+      FROM bits GROUP BY doc_id),
+    fp AS (
+      SELECT d.doc_id, coalesce(fp0.afp, 0) AS afp
+      FROM documents d LEFT JOIN fp0 USING (doc_id))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.afp, b.afp)) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    """
+
+
 def a14_corr_stats(spark, sf_dir):
     """Grouped second-moment statistics (§2.4 extension): Pearson
     correlation, sample covariance and stddev per return flag — the
@@ -5825,6 +5910,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm15_block_packing": llm15_block_packing,
     "mm04_video_frames": mm04_video_frames,
     "mm05_image_neardup": mm05_image_neardup,
+    "mm06_audio_neardup": mm06_audio_neardup,
     "p14_json_props": p14_json_props,
     "p15_variant_props": p15_variant_props,
     "s09_retention_cohorts": s09_retention_cohorts,
@@ -5853,9 +5939,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    "sim07_vector_stats": sim07_vector_stats,
     # --- below the 50-row window: r03-stamped remainder, next in line
     # for the r06 rotation ---
+    "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
     "s02_sliding_window": s02_sliding_window,
@@ -6091,6 +6177,7 @@ _ORACLES: dict[str, str] = {
     "a15_heavy_hitters": _sql_a15(),
     "mm04_video_frames": _sql_mm04(),
     "mm05_image_neardup": _sql_mm05(),
+    "mm06_audio_neardup": _sql_mm06(),
     "llm13_epoch_shuffle": _sql_llm13(),
     "llm14_wordpiece_tokenize": _sql_llm14(),
     "dq01_profile": _sql_dq01(),

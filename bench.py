@@ -81,6 +81,7 @@ HEADLINE = [
     "dq02_distinct_sketch",
     "llm14_wordpiece_tokenize",
     "mm05_image_neardup",
+    "mm06_audio_neardup",
     "llm15_block_packing",
     "txt16_repeat_removal",
     "j14_pit_join",

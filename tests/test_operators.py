@@ -1185,6 +1185,40 @@ def test_image_dhash_golden_and_hamming_pairs_pigeonhole(spark):
     assert got[(2, 3)] == 1  # differ only in band 3's bit
 
 
+def test_audio_fingerprint_golden_and_error_channel(spark):
+    """Chromaprint-style fingerprint: golden bit math on a hand-built
+    WAV, sample count not divisible by the frame width (tail samples
+    dropped), and the decode-error channel on garbage bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from geosparql_etl_spark.functions.codecs import encode_wav
+    from geosparql_etl_spark.operators.multimodal import audio_fingerprint
+
+    # frames of 2: energies |10|+|‑20|=30, |5|+|5|=10, |0|+|40|=40,
+    # |1|+|1|=2 -> bits: e0>e1 (set), e1>e2 (unset), e2>e3 (set)
+    # -> hash 0b101 = 5, 3 bits
+    samples = np.array([10, -20, 5, 5, 0, 40, 1, 1], dtype=np.int16)
+    # 9 samples: the 9th is a dropped tail (4 full frames)
+    samples9 = np.append(samples, np.int16(30000))
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": ["a", "b", "bad"],
+                "content": [
+                    encode_wav(samples, 16000),
+                    encode_wav(samples9, 16000),
+                    b"not a wav at all",
+                ],
+            }
+        )
+    )
+    got = {r.media_id: r for r in audio_fingerprint(media, frame=2).collect()}
+    assert (got["a"].afp, got["a"].hash_bits, got["a"].decode_error) == (5, 3, None)
+    assert (got["b"].afp, got["b"].hash_bits) == (5, 3)  # tail ignored
+    assert got["bad"].afp is None and got["bad"].decode_error
+
+
 def test_global_prefix_sum_matches_single_window(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F

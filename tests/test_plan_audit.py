@@ -58,6 +58,7 @@ VECTORIZED_PYTHON_OK = {
     "mm03_audio_features",
     "mm04_video_frames",
     "mm05_image_neardup",  # rasterize + dHash decode batches
+    "mm06_audio_neardup",  # WAV synth + chromaprint decode batches
 }
 
 

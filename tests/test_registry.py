@@ -18,13 +18,17 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert missing <= {"h02_file_hash"}, missing
 
 
-def test_round4_correctness_window_is_stable():
+def test_round5_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the two re-verification rows lead, the relational/geometry/text
-    # core fills the window, and position 50 closes it — additions
-    # belong BELOW (see the registry comment for the r05 rotation)
-    assert keys[:2] == ["j06_anti_join", "j11_fuzzy_candidates"]
-    assert keys[49] == "t10_to_json"
+    # the 36 round-3/4 additions that never had a driver stamp lead
+    # (plus mm06, added this round), then 14 of the oldest r03-stamped
+    # rows close the window — additions belong INSIDE the first-37
+    # never-stamped block or BELOW position 50 (see the registry
+    # comment for the r06 rotation)
+    assert keys[:2] == ["q02_shipping_priority", "q03_local_supplier_volume"]
+    assert keys[22] == "mm06_audio_neardup"
+    assert keys[36] == "txt16_repeat_removal"
+    assert keys[49] == "sim06_pq_ann"
     assert len(keys) == len(set(keys))
 
 
