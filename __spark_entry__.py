@@ -571,6 +571,30 @@ def _sql_a09():
     """
 
 
+def a09a_percentiles_approx(spark, sf_dir):
+    """a09's 100 TB variant, exercised at bench scale: approx_percentile
+    (Greenwald-Khanna sketch, rank error <= n/accuracy) instead of the
+    exact percentile, which must hold each group's full value set on
+    one reducer. Not oracle-registered — sketch values are
+    engine-specific; bench.py times it AND asserts it lands within a
+    pinned tolerance of a09's exact answer (test_operators pins the
+    same bound at sf0.01)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+    )
+
+
 def a10_pivot(spark, sf_dir):
     """Pivot reshape: per-user event counts with one column per event
     type (explicit value list -> deterministic schema; Catalyst turns
@@ -4210,6 +4234,21 @@ def dq01_profile(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return profile_table(d)
+
+
+def dq01a_profile_hll(spark, sf_dir):
+    """dq01's 100 TB variant, exercised at bench scale: the profiler's
+    HLL path (approx_count_distinct) instead of exact distinct
+    expansion — the sketch aggregates in fixed memory per column where
+    exact DISTINCT multiplies the Expand width. Not oracle-registered
+    (HLL estimates are engine-specific); bench.py times it AND asserts
+    every column's estimate lands within a pinned relative tolerance
+    of dq01's exact counts (test_operators pins the same bound at
+    sf0.01)."""
+    from geosparql_etl_spark.operators.profile import profile_table
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_table(d, exact_distinct=False)
 
 
 def _profile_sql(pred: str = "TRUE"):

@@ -156,6 +156,34 @@ def run_suite() -> dict:
         timings[name] = round(best, 3)
         total += timings[name]
 
+    # Approximate-mode variants: the documented 100 TB paths (HLL
+    # profile, approx_percentile) timed at bench scale AND gated
+    # within a pinned tolerance of their exact twins — an approx path
+    # that drifted is a correctness bug, not a fast query.
+    for name, fn, gate in (
+        ("dq01a_profile_hll", entrymod.dq01a_profile_hll, "dq01_profile"),
+        ("a09a_percentiles_approx", entrymod.a09a_percentiles_approx,
+         "a09_percentiles"),
+    ):
+        best = None
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            tol_err = _approx_tolerance_violation(
+                name, fn(spark, sf_dir), qs[gate](spark, sf_dir)
+            )
+            if tol_err:
+                raise AssertionError(tol_err)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+            continue
+        timings[name] = round(best, 3)
+        total += timings[name]
+
     result = {
         "metric": "headline_suite_seconds",
         "value": round(total, 3),
@@ -168,6 +196,36 @@ def run_suite() -> dict:
     if warmup_error:
         result["warmup_error"] = warmup_error
     return result
+
+
+# Pinned accuracy contract for the approx bench rows (mirrored by
+# tests/test_operators.py at sf0.01): HLL lg-config gives ~2% standard
+# error, approx_percentile at accuracy=10000 bounds rank error 1e-4.
+APPROX_DISTINCT_RTOL = 0.10
+APPROX_PCT_RTOL = 0.02
+
+
+def _approx_tolerance_violation(name, approx_df, exact_df) -> str | None:
+    """Both frames are tiny reports (5 rows / 3 groups); compare keyed
+    rows and return a message on the first out-of-tolerance value."""
+    a = {r[0]: r for r in approx_df.collect()}
+    e = {r[0]: r for r in exact_df.collect()}
+    if set(a) != set(e):
+        return f"{name}: key sets differ: {sorted(a)} vs {sorted(e)}"
+    for k, er in e.items():
+        ar = a[k]
+        if name.startswith("dq01a"):
+            got, want = ar["n_distinct"], er["n_distinct"]
+            if abs(got - want) > max(want * APPROX_DISTINCT_RTOL, 2):
+                return (f"{name}: {k} n_distinct {got} vs exact {want} "
+                        f"(> {APPROX_DISTINCT_RTOL:.0%})")
+        else:
+            for c in ("p50", "p90", "p99"):
+                got, want = ar[c], er[c]
+                if abs(got - want) > abs(want) * APPROX_PCT_RTOL:
+                    return (f"{name}: {k} {c} {got} vs exact {want} "
+                            f"(> {APPROX_PCT_RTOL:.0%})")
+    return None
 
 
 def check_regressions(result: dict) -> int:

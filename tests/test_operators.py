@@ -1185,6 +1185,37 @@ def test_image_dhash_golden_and_hamming_pairs_pigeonhole(spark):
     assert got[(2, 3)] == 1  # differ only in band 3's bit
 
 
+def test_approx_variants_within_pinned_tolerance(spark, sf_dir):
+    """The approx bench rows' accuracy contract, pinned as a test: the
+    HLL profile and approx_percentile variants must land within the
+    same tolerances bench.py gates at sf0.1 — an approx path that
+    drifted is a correctness bug, not a fast query."""
+    import __spark_entry__ as entry
+    from bench import (
+        APPROX_DISTINCT_RTOL,
+        APPROX_PCT_RTOL,
+        _approx_tolerance_violation,
+    )
+
+    assert APPROX_DISTINCT_RTOL <= 0.10 and APPROX_PCT_RTOL <= 0.02
+    assert (
+        _approx_tolerance_violation(
+            "dq01a_profile_hll",
+            entry.dq01a_profile_hll(spark, sf_dir),
+            entry.dq01_profile(spark, sf_dir),
+        )
+        is None
+    )
+    assert (
+        _approx_tolerance_violation(
+            "a09a_percentiles_approx",
+            entry.a09a_percentiles_approx(spark, sf_dir),
+            entry.a09_percentiles(spark, sf_dir),
+        )
+        is None
+    )
+
+
 def test_audio_fingerprint_golden_and_error_channel(spark):
     """Chromaprint-style fingerprint: golden bit math on a hand-built
     WAV, sample count not divisible by the frame width (tail samples
