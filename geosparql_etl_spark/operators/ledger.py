@@ -39,19 +39,69 @@ def filter_pending(
     work_key: str,
     ledger_key: str = "id",
     retry_failed: bool = False,
+    in_progress_timeout_min: float | None = None,
+    now=None,
 ) -> DataFrame:
-    """Rows of ``work`` whose key is not in the ledger (any status):
-    the reference skips both completed and failed ids
-    (mongodb_to_rdf.py:149-152). With ``retry_failed`` only ids whose
-    LATEST status is completed are skipped — failed ids become pending
-    again (the reference's retry mode re-queues its failed-ids file,
-    utils/checkpoint.py:158-234)."""
-    if retry_failed:
-        done = _latest(ledger, ledger_key).where(F.col("status") == "completed")
+    """Rows of ``work`` whose LATEST ledger status doesn't exclude
+    them: completed ids always skip; failed ids skip unless
+    ``retry_failed`` (the reference's retry mode re-queues its
+    failed-ids file, utils/checkpoint.py:158-234); in_progress ids
+    skip while OWNED — with ``in_progress_timeout_min`` set, a claim
+    older than that is a crashed worker (the reference's in-progress
+    file distinguishes crashed from never-started the same way,
+    utils/checkpoint.py:158-234) and the id is reclaimed as pending.
+    ``now`` accepts an injected timestamp literal for deterministic
+    tests; defaults to current_timestamp.
+
+    The decision runs on the one-row-per-id latest view of the tiny
+    ledger, then broadcast-anti-joins against the work table — one
+    scan of the big side, no shuffle."""
+    skip = F.col("status") == "completed"
+    if not retry_failed:
+        skip = skip | (F.col("status") == "failed")
+    if in_progress_timeout_min is None:
+        # no staleness contract: an in_progress claim holds forever
+        skip = skip | (F.col("status") == "in_progress")
     else:
-        done = ledger
-    done = done.select(F.col(ledger_key).alias(work_key)).dropDuplicates()
+        now_col = (
+            F.lit(now).cast("timestamp") if now is not None
+            else F.current_timestamp()
+        )
+        secs = int(in_progress_timeout_min * 60)
+        fresh = F.col("ts") >= now_col - F.expr(f"INTERVAL {secs} SECONDS")
+        skip = skip | ((F.col("status") == "in_progress") & fresh)
+    done = (
+        _latest(ledger, ledger_key)
+        .where(skip)
+        .select(F.col(ledger_key).alias(work_key))
+        .dropDuplicates()
+    )
     return work.join(F.broadcast(done), on=work_key, how="left_anti")
+
+
+def mark_in_progress(
+    ids: DataFrame, path: str, id_col: str = "id", ts=None
+) -> None:
+    """Claim ids before processing: append in_progress rows so a
+    crashed worker is distinguishable from a never-started id
+    (the reference tracks in-progress IDs for exactly this,
+    utils/checkpoint.py:158-234). A later completed/failed row for the
+    same id supersedes the claim (_latest picks it); a claim with NO
+    later row is either a live worker (fresh) or a crash (stale) —
+    filter_pending's ``in_progress_timeout_min`` arbitrates. ``ts``
+    accepts an injected literal timestamp for deterministic tests."""
+    append_ledger(
+        ids.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.lit("in_progress").alias("status"),
+            F.lit(None).cast("string").alias("error"),
+            (
+                F.lit(ts).cast("timestamp") if ts is not None
+                else F.current_timestamp()
+            ).alias("ts"),
+        ).dropDuplicates(["id"]),
+        path,
+    )
 
 
 def read_ledger(spark: SparkSession, path: str) -> DataFrame:

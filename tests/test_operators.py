@@ -652,6 +652,60 @@ def test_failure_ledger_lifecycle(spark, tmp_path):
     assert [r["wid"] for r in filter_pending(work, led, "wid").collect()] == ["w3"]
 
 
+def test_in_progress_claims_and_stale_reclaim(spark, tmp_path):
+    """In-progress ledger state (reference utils/checkpoint.py:158-234):
+    a fresh claim is owned (skipped), a stale claim is a crashed worker
+    and reclaims as pending, a claim superseded by completed stays
+    done, and without a timeout a claim holds forever."""
+    from geosparql_etl_spark.operators.ledger import (
+        append_ledger,
+        filter_pending,
+        mark_in_progress,
+        read_ledger,
+    )
+
+    path = str(tmp_path / "ledger")
+    work = spark.createDataFrame(
+        [("w1",), ("w2",), ("w3",), ("w4",)], "wid string"
+    )
+
+    # w1 claimed long ago (crash); w2 claimed just now (live worker);
+    # w3 claimed long ago but completed afterwards
+    mark_in_progress(
+        spark.createDataFrame([("w1",), ("w3",)], "id string"),
+        path,
+        ts="2026-01-01 00:00:00",
+    )
+    mark_in_progress(
+        spark.createDataFrame([("w2",)], "id string"),
+        path,
+        ts="2026-01-01 01:55:00",
+    )
+    append_ledger(
+        spark.createDataFrame(
+            [("w3", "completed", None, "2026-01-01 00:30:00")],
+            "id string, status string, error string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+        path,
+    )
+
+    led = read_ledger(spark, path)
+    now = "2026-01-01 02:00:00"
+    # 30-min staleness: w1's 2h-old claim is a crash -> reclaimed;
+    # w2's 5-min-old claim is owned; w3 is done; w4 never started
+    got = sorted(
+        r["wid"]
+        for r in filter_pending(
+            work, led, "wid", in_progress_timeout_min=30, now=now
+        ).collect()
+    )
+    assert got == ["w1", "w4"]
+    # no timeout contract -> every claim holds, only w4 pending
+    assert sorted(
+        r["wid"] for r in filter_pending(work, led, "wid").collect()
+    ) == ["w4"]
+
+
 def test_containment_catches_subset_dup_jaccard_misses(spark):
     """A short doc embedded verbatim in a much larger one: containment
     ~1.0 on the short side while symmetric Jaccard stays low — the
