@@ -118,6 +118,7 @@ def stream_upsert_parquet(
     checkpoint_dir: str,
     key_cols: tuple[str, ...] = ("event_id",),
     timeout_sec: int = 300,
+    max_partitions_per_batch: int = 1000,
 ):
     """Streaming MERGE into a date-partitioned parquet table: each
     micro-batch upserts its rows, replacing ONLY the partitions it
@@ -160,7 +161,28 @@ def stream_upsert_parquet(
         b = batch_df.withColumn("event_date", F.to_date(F.col("ts"))).withColumn(
             "__prio", F.lit(0)
         )
-        dates = [r[0] for r in b.select("event_date").distinct().collect()]
+        # Guard the driver-side date list BEFORE collecting it: it is
+        # bounded by the batch's date domain (small by construction for
+        # event streams), but a mis-partitioned replay/backfill batch
+        # spanning thousands of dates would drag them all through the
+        # driver and rewrite that many partitions in one commit. The
+        # limit(cap+1) bounds the collect itself; failing loudly beats
+        # an unbounded partition rewrite.
+        dates = [
+            r[0]
+            for r in b.select("event_date")
+            .distinct()
+            .limit(max_partitions_per_batch + 1)
+            .collect()
+        ]
+        if len(dates) > max_partitions_per_batch:
+            raise ValueError(
+                f"batch {epoch_id} spans > {max_partitions_per_batch} "
+                f"event_date partitions; this sink's date-partitioned "
+                f"MERGE is not the right layout for that batch shape — "
+                f"split the backfill by date range or raise "
+                f"max_partitions_per_batch deliberately"
+            )
         if os.path.isdir(table_dir):
             cur = (
                 spark.read.parquet(table_dir)

@@ -438,6 +438,47 @@ def test_stream_upsert_parquet_exactly_once_and_replay_idempotent(
     assert src_n == src_ids  # sanity: synthetic event ids are unique
 
 
+def test_stream_upsert_partition_guard_rejects_wide_date_batch(
+    spark, events_src, tmp_path
+):
+    """The MERGE sink's partition-count guard: a batch spanning more
+    event_date partitions than the cap fails loudly BEFORE collecting
+    the date list or rewriting anything — a mis-partitioned backfill
+    must not silently rewrite thousands of partitions in one commit."""
+    import pytest as _pytest
+
+    from geosparql_etl_spark.streaming.events import events_file_stream
+    from geosparql_etl_spark.streaming.sink import stream_upsert_parquet
+
+    table = str(tmp_path / "events_table")
+    n_dates = (
+        _batch_events(spark, events_src)
+        .select(F.to_date("ts"))
+        .distinct()
+        .count()
+    )
+    assert n_dates > 2  # the fixture must actually exercise the guard
+    with _pytest.raises(Exception, match="event_date partitions"):
+        stream_upsert_parquet(
+            events_file_stream(spark, events_src),
+            table,
+            str(tmp_path / "cp_guard"),
+            max_partitions_per_batch=2,
+        )
+    import os
+
+    assert not os.path.isdir(table)  # nothing was written
+
+    # at the cap boundary (cap == domain) the merge proceeds normally
+    stream_upsert_parquet(
+        events_file_stream(spark, events_src),
+        table,
+        str(tmp_path / "cp_ok"),
+        max_partitions_per_batch=n_dates,
+    )
+    assert spark.read.parquet(table).count() > 0
+
+
 def test_attribution_outer_stream_subset_and_cutoff_complete(spark, events_src):
     """right_outer attribution: a single availableNow pass can lawfully
     WITHHOLD null-side rows whose no-match proof needs a watermark
