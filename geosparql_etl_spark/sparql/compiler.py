@@ -1,0 +1,541 @@
+"""SPARQL SELECT subset -> Catalyst-planned DataFrame program.
+
+Covered grammar (the practical core of SPARQL 1.1 SELECT):
+
+  PREFIX decls; SELECT [DISTINCT] ?v... | (AGG(?v|*) AS ?alias)... ;
+  WHERE { basic graph patterns . FILTER(expr) OPTIONAL {...}
+          {...} UNION {...} } ;
+  GROUP BY ?v... ; ORDER BY [ASC|DESC](?v)... ; LIMIT n
+
+FILTER expressions: comparisons (= != < <= > >=) with && || ! and
+parens; REGEX / STRSTARTS / CONTAINS / BOUND; GeoSPARQL filter
+functions geof:sfWithin(?wkt, "POLYGON...") and geof:distance(?wkt,
+"POINT...") over WKT literals (the literals the reference mints at
+``mongo-etl/utils/rdf_utils.py:134-153``).
+
+Compilation strategy (S2RDF / SPARQLGX, public literature — not the
+reference, which has no query engine at all):
+
+* each triple pattern -> a ``TripleStore.scan`` (predicate-constant
+  scans prune to one vertical partition);
+* patterns are joined STAR-FIRST: all patterns sharing a subject term
+  join consecutively on ``s``, so one exchange on the subject key is
+  reused across the whole star instead of re-shuffling per pattern;
+  stars then join on their shared variables;
+* OPTIONAL -> left outer join on the shared variables; UNION ->
+  unionByName(allowMissingColumns) — unbound vars surface as NULLs,
+  matching SPARQL's unbound semantics;
+* FILTER -> a Column predicate applied at group scope, so Catalyst is
+  free to push conjuncts below the joins it built (predicate pushdown
+  through the self-join tree is exactly what makes BGP plans viable
+  at scale);
+* aggregates -> groupBy/agg with SUM/MIN/MAX on DECIMAL(18,2) lexical
+  casts (exact, order-independent, replay-engine-portable).
+
+Everything is Column expressions — no UDFs, no driver-side row loops.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.functions.geometry import point_in_ring
+from geosparql_etl_spark.sparql.triples import TripleStore
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<iri><[^>]*>)
+    | (?P<var>\?\w+)
+    | (?P<number>-?\d+\.\d+|-?\d+)
+    | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*)
+    | (?P<word>[A-Za-z_]\w*)
+    | (?P<op>&&|\|\||!=|<=|>=|[{}().=<>!*,])
+    """,
+    re.X,
+)
+
+
+def _tokenize(text: str) -> list[str]:
+    tokens, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"SPARQL lex error at: {text[pos:pos + 30]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            tokens.append(m.group())
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+Term = tuple  # ("var", name) | ("const", value)
+
+
+@dataclass
+class Group:
+    elements: list = field(default_factory=list)
+    # elements: ("bgp", [ (sTerm,pTerm,oTerm) ])
+    #         | ("filter", expr)
+    #         | ("optional", Group)
+    #         | ("union", [Group, ...])
+
+
+@dataclass
+class Query:
+    distinct: bool
+    projections: list  # ("var", name) | ("agg", func, arg_or_None, alias)
+    where: Group
+    group_by: list[str]
+    order_by: list[tuple[str, bool]]  # (var, ascending)
+    limit: int | None
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        tok = self.peek()
+        if tok is None:
+            raise ValueError("unexpected end of SPARQL query")
+        self.i += 1
+        return tok
+
+    def expect(self, tok: str) -> None:
+        got = self.next()
+        if got.upper() != tok.upper():
+            raise ValueError(f"expected {tok!r}, got {got!r}")
+
+    def _kw(self, word: str) -> bool:
+        tok = self.peek()
+        return tok is not None and tok.upper() == word
+
+    # -- terms -------------------------------------------------------------
+    def _expand(self, pname: str) -> str:
+        pfx, local = pname.split(":", 1)
+        base = self.prefixes.get(pfx)
+        if base is None:  # undeclared prefix: keep the compact form
+            return pname
+        return base + local
+
+    def term(self) -> Term:
+        tok = self.next()
+        if tok.startswith("?"):
+            return ("var", tok[1:])
+        if tok == "a":
+            return ("const", "rdf:type")
+        if tok.startswith("<"):
+            return ("const", tok[1:-1])
+        if tok.startswith('"'):
+            return ("const", _unquote(tok))
+        if ":" in tok:
+            return ("const", self._expand(tok))
+        raise ValueError(f"bad term {tok!r}")
+
+    # -- query -------------------------------------------------------------
+    def query(self) -> Query:
+        while self._kw("PREFIX"):
+            self.next()
+            pname = self.next()  # "ex:"
+            iri = self.next()  # "<urn:ex:>"
+            self.prefixes[pname.rstrip(":")] = iri[1:-1]
+        self.expect("SELECT")
+        distinct = False
+        if self._kw("DISTINCT"):
+            self.next()
+            distinct = True
+        projections = []
+        while True:
+            tok = self.peek()
+            if tok is None or tok.upper() in ("WHERE", "{"):
+                break
+            if tok.startswith("?"):
+                projections.append(("var", self.next()[1:]))
+            elif tok == "(":
+                self.next()
+                func = self.next().upper()
+                self.expect("(")
+                arg = None if self.peek() == "*" else self.next()[1:]
+                if arg is None:
+                    self.next()  # '*'
+                self.expect(")")
+                self.expect("AS")
+                alias = self.next()[1:]
+                self.expect(")")
+                projections.append(("agg", func, arg, alias))
+            else:
+                raise ValueError(f"bad projection {tok!r}")
+        if self._kw("WHERE"):
+            self.next()
+        where = self.group()
+        group_by: list[str] = []
+        order_by: list[tuple[str, bool]] = []
+        limit = None
+        while self.peek() is not None:
+            tok = self.next().upper()
+            if tok == "GROUP":
+                self.expect("BY")
+                while self.peek() is not None and self.peek().startswith("?"):
+                    group_by.append(self.next()[1:])
+            elif tok == "ORDER":
+                self.expect("BY")
+                while True:
+                    nxt = self.peek()
+                    if nxt is None:
+                        break
+                    if nxt.startswith("?"):
+                        order_by.append((self.next()[1:], True))
+                    elif nxt.upper() in ("ASC", "DESC"):
+                        asc = self.next().upper() == "ASC"
+                        self.expect("(")
+                        order_by.append((self.next()[1:], asc))
+                        self.expect(")")
+                    else:
+                        break
+            elif tok == "LIMIT":
+                limit = int(self.next())
+            else:
+                raise ValueError(f"unexpected token {tok!r} after WHERE group")
+        return Query(distinct, projections, where, group_by, order_by, limit)
+
+    # -- group graph pattern ----------------------------------------------
+    def group(self) -> Group:
+        self.expect("{")
+        g = Group()
+        bgp: list[tuple[Term, Term, Term]] = []
+
+        def flush() -> None:
+            if bgp:
+                g.elements.append(("bgp", list(bgp)))
+                bgp.clear()
+
+        while True:
+            tok = self.peek()
+            if tok is None:
+                raise ValueError("unterminated group")
+            if tok == "}":
+                self.next()
+                flush()
+                return g
+            if tok.upper() == "FILTER":
+                self.next()
+                self.expect("(")
+                expr = self._expr_or()
+                self.expect(")")
+                flush()
+                g.elements.append(("filter", expr))
+            elif tok.upper() == "OPTIONAL":
+                self.next()
+                flush()
+                g.elements.append(("optional", self.group()))
+            elif tok == "{":
+                flush()
+                branches = [self.group()]
+                while self._kw("UNION"):
+                    self.next()
+                    branches.append(self.group())
+                g.elements.append(("union", branches))
+            elif tok == ".":
+                self.next()
+            else:
+                s, p, o = self.term(), self.term(), self.term()
+                bgp.append((s, p, o))
+                if self.peek() == ".":
+                    self.next()
+
+    # -- FILTER expressions (precedence: || < && < ! < cmp) ----------------
+    def _expr_or(self):
+        left = self._expr_and()
+        while self.peek() == "||":
+            self.next()
+            left = ("or", left, self._expr_and())
+        return left
+
+    def _expr_and(self):
+        left = self._expr_unary()
+        while self.peek() == "&&":
+            self.next()
+            left = ("and", left, self._expr_unary())
+        return left
+
+    def _expr_unary(self):
+        if self.peek() == "!":
+            self.next()
+            return ("not", self._expr_unary())
+        return self._expr_cmp()
+
+    def _expr_cmp(self):
+        left = self._operand()
+        tok = self.peek()
+        if tok in ("=", "!=", "<", "<=", ">", ">="):
+            op = self.next()
+            return ("cmp", op, left, self._operand())
+        return left
+
+    def _operand(self):
+        tok = self.peek()
+        if tok == "(":
+            self.next()
+            inner = self._expr_or()
+            self.expect(")")
+            return inner
+        tok = self.next()
+        if tok.startswith("?"):
+            return ("var", tok[1:])
+        if tok.startswith('"'):
+            return ("str", _unquote(tok))
+        if re.fullmatch(r"-?\d+\.\d+|-?\d+", tok):
+            return ("num", float(tok))
+        # function call: REGEX(...), geof:sfWithin(...), BOUND(...)
+        fname = tok
+        self.expect("(")
+        args = []
+        while self.peek() != ")":
+            args.append(self._operand())
+            if self.peek() == ",":
+                self.next()
+        self.expect(")")
+        return ("call", fname.lower(), args)
+
+
+def _unquote(tok: str) -> str:
+    return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+
+
+def parse_query(text: str) -> Query:
+    return _Parser(_tokenize(text)).query()
+
+
+# ---------------------------------------------------------------------------
+# compiler
+# ---------------------------------------------------------------------------
+
+
+def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataFrame:
+    if left is None:
+        return right
+    shared = sorted(set(left.columns) & set(right.columns))
+    if shared:
+        return left.join(right, on=shared, how=how)
+    if how != "inner":
+        raise ValueError("OPTIONAL group shares no variable with the outer group")
+    return left.crossJoin(right)
+
+
+def _scan_pattern(store: TripleStore, pat) -> DataFrame:
+    s, p, o = pat
+    consts = {pos: term[1] for pos, term in zip("spo", pat) if term[0] == "const"}
+    aliases: dict[str, str] = {}
+    dup_filters: list[tuple[str, str]] = []
+    for pos, term in zip("spo", pat):
+        if term[0] != "var":
+            continue
+        name = term[1]
+        if name in aliases.values():
+            tmp = f"__dup_{pos}"
+            aliases[pos] = tmp
+            dup_filters.append((name, tmp))
+        else:
+            aliases[pos] = name
+    df = store.scan(consts.get("s"), consts.get("p"), consts.get("o"), aliases)
+    for name, tmp in dup_filters:
+        df = df.where(F.col(name) == F.col(tmp)).drop(tmp)
+    return df
+
+
+def _compile_bgp(store: TripleStore, patterns) -> DataFrame:
+    """Join the patterns star-first (see module docstring)."""
+    stars: dict[tuple, list] = {}
+    for pat in patterns:
+        stars.setdefault(tuple(pat[0]), []).append(pat)
+    df: DataFrame | None = None
+    for pats in stars.values():
+        star: DataFrame | None = None
+        for pat in pats:
+            star = _join(star, _scan_pattern(store, pat))
+        df = _join(df, star)
+    assert df is not None
+    return df
+
+
+def _compile_group(store: TripleStore, group: Group) -> DataFrame:
+    df: DataFrame | None = None
+    filters = []
+    for kind, payload in [(e[0], e[1:]) for e in group.elements]:
+        if kind == "bgp":
+            df = _join(df, _compile_bgp(store, payload[0]))
+        elif kind == "union":
+            branches = [_compile_group(store, g) for g in payload[0]]
+            merged = branches[0]
+            for b in branches[1:]:
+                merged = merged.unionByName(b, allowMissingColumns=True)
+            df = _join(df, merged)
+        elif kind == "optional":
+            inner = _compile_group(store, payload[0])
+            if df is None:
+                df = inner
+            else:
+                df = _join(df, inner, how="left")
+        elif kind == "filter":
+            filters.append(payload[0])
+    if df is None:
+        raise ValueError("empty group graph pattern")
+    for expr in filters:
+        df = df.where(_compile_expr(expr))
+    return df
+
+
+# -- FILTER expression -> Column --------------------------------------------
+
+_NUMERIC_CALLS = {"geof:distance"}
+
+
+def _is_numeric(node) -> bool:
+    return node[0] == "num" or (node[0] == "call" and node[1] in _NUMERIC_CALLS)
+
+
+def _point_xy(col: Column) -> tuple[Column, Column]:
+    pat = r"POINT\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)"
+    return (
+        F.regexp_extract(col, pat, 1).cast("double"),
+        F.regexp_extract(col, pat, 2).cast("double"),
+    )
+
+
+def _parse_wkt_ring(wkt: str) -> list[tuple[float, float]]:
+    m = re.match(r"\s*POLYGON\s*\(\s*\((.*?)\)\s*\)\s*", wkt)
+    if not m:
+        raise ValueError(f"unsupported constant WKT: {wkt!r}")
+    pts = [tuple(float(v) for v in xy.split()) for xy in m.group(1).split(",")]
+    if len(pts) > 1 and pts[0] == pts[-1]:  # closed ring: drop the repeat
+        pts = pts[:-1]
+    return pts
+
+
+def _operand_col(node, numeric: bool) -> Column:
+    kind = node[0]
+    if kind == "var":
+        col = F.col(node[1])
+        return col.cast("double") if numeric else col
+    if kind == "num":
+        return F.lit(node[1])
+    if kind == "str":
+        return F.lit(node[1])
+    if kind == "call":
+        return _compile_call(node)
+    raise ValueError(f"bad operand {node!r}")
+
+
+def _compile_call(node) -> Column:
+    _, fname, args = node
+    if fname == "regex":
+        return _operand_col(args[0], False).rlike(args[1][1])
+    if fname == "strstarts":
+        return _operand_col(args[0], False).startswith(args[1][1])
+    if fname == "contains":
+        return _operand_col(args[0], False).contains(args[1][1])
+    if fname == "bound":
+        return _operand_col(args[0], False).isNotNull()
+    if fname == "geof:sfwithin":
+        # geof:sfWithin(?wkt, "POLYGON((...))") with a constant region:
+        # even-odd ray cast against the literal ring — the same
+        # point_in_ring every spatial operator in the engine uses.
+        px, py = _point_xy(_operand_col(args[0], False))
+        ring = F.array(
+            *[
+                F.array(F.lit(float(x)), F.lit(float(y)))
+                for x, y in _parse_wkt_ring(args[1][1])
+            ]
+        )
+        return point_in_ring(ring, px, py)
+    if fname == "geof:distance":
+        ax, ay = _point_xy(_operand_col(args[0], False))
+        bx, by = _point_xy(_operand_col(args[1], False))
+        return F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+    raise ValueError(f"unsupported FILTER function {fname!r}")
+
+
+def _compile_expr(node) -> Column:
+    kind = node[0]
+    if kind == "or":
+        return _compile_expr(node[1]) | _compile_expr(node[2])
+    if kind == "and":
+        return _compile_expr(node[1]) & _compile_expr(node[2])
+    if kind == "not":
+        return ~_compile_expr(node[1])
+    if kind == "cmp":
+        _, op, left, right = node
+        numeric = _is_numeric(left) or _is_numeric(right)
+        lc, rc = _operand_col(left, numeric), _operand_col(right, numeric)
+        return {
+            "=": lc == rc,
+            "!=": lc != rc,
+            "<": lc < rc,
+            "<=": lc <= rc,
+            ">": lc > rc,
+            ">=": lc >= rc,
+        }[op]
+    if kind == "call":
+        return _compile_call(node)
+    raise ValueError(f"bad boolean expression {node!r}")
+
+
+# -- aggregates --------------------------------------------------------------
+
+
+def _agg_col(func: str, arg: str | None, alias: str) -> Column:
+    if func == "COUNT":
+        col = F.count("*") if arg is None else F.count(F.col(arg))
+        return col.alias(alias)
+    lexical = F.col(arg).cast("decimal(18,2)")
+    if func == "SUM":
+        # DECIMAL sum: exact and order-independent — identical across
+        # partitionings, resumes, and the ANSI replay engine.
+        return F.sum(lexical).cast("decimal(18,2)").alias(alias)
+    if func == "MIN":
+        return F.min(lexical).alias(alias)
+    if func == "MAX":
+        return F.max(lexical).alias(alias)
+    if func == "AVG":
+        # documented caveat: double avg (not exact); round for stability
+        return F.round(F.avg(F.col(arg).cast("double")), 4).alias(alias)
+    raise ValueError(f"unsupported aggregate {func}")
+
+
+def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
+    """Parse + compile + return the (lazy) result DataFrame."""
+    q = parse_query(query_text)
+    df = _compile_group(store, q.where)
+    aggs = [p for p in q.projections if p[0] == "agg"]
+    if aggs or q.group_by:
+        agg_cols = [_agg_col(func, arg, alias) for _, func, arg, alias in aggs]
+        df = df.groupBy(*[F.col(v) for v in q.group_by]).agg(*agg_cols)
+    out_cols = [p[1] if p[0] == "var" else p[3] for p in q.projections]
+    df = df.select(*out_cols)
+    if q.distinct:
+        df = df.dropDuplicates()
+    if q.order_by:
+        df = df.orderBy(
+            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]
+        )
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df

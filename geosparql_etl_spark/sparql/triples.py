@@ -1,0 +1,189 @@
+"""Triple-shaped storage: the (s, p, o) DataFrame and its scale layout.
+
+A triple store in Spark is just a 3-column string DataFrame, but the
+LAYOUT decides whether a BGP join is a full-table shuffle or a pruned
+co-partitioned probe:
+
+* **Vertical partitioning** (S2RDF): real deployments write the triples
+  parquet partitioned by ``p`` (``.write.partitionBy("p")``). Every
+  triple pattern with a constant predicate — the overwhelming majority
+  in real SPARQL — then prunes to one directory at scan time; the
+  predicate never travels through the join. ``TripleStore.vertically_
+  partitioned()`` models the same split in-memory for tests.
+* **Subject-star locality**: all patterns sharing a subject variable
+  join on ``s``. The compiler joins star members consecutively so the
+  exchange on ``s`` introduced by the first join is REUSED by the rest
+  (one shuffle per star, not per pattern); with the triples table
+  bucketed by ``s`` the star resolves shuffle-free.
+
+Object lexical forms are canonical strings (numerics printf'd at fixed
+scale) so equality and FILTER casts behave identically in Spark and any
+ANSI replay engine.
+
+Reference tie-in: subjects/predicates mirror the URN vocabulary the
+reference mints (``mongo-etl/utils/rdf_utils.py:60-101`` urn:halcyon
+subjects, ``mongodb_to_rdf.py:318-341`` property list); generation here
+is a single exploded projection per source table, not a per-document
+Python loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EX = "urn:ex:"
+RDF_TYPE = "rdf:type"
+GEO_ASWKT = "geo:asWKT"
+
+
+def _urn(kind: str, key: Column) -> Column:
+    return F.concat(F.lit(f"urn:{kind}:"), key.cast("string"))
+
+
+def _triples_of(df: DataFrame, subject: Column, pairs: list[tuple[str, Column]]) -> DataFrame:
+    """One scan -> N triples per row via explode of a literal array.
+
+    The per-table triple fan-out is a single projection + generator
+    (no join, no union-of-N-scans): at 100 TB each source table is
+    read ONCE and emits its triples in the same pass. NULL objects are
+    dropped after the explode — that is how sparse predicates (a
+    property only some rows carry) are expressed.
+    """
+    entries = F.array(
+        *[F.struct(F.lit(p).alias("p"), o.cast("string").alias("o")) for p, o in pairs]
+    )
+    return (
+        df.select(subject.alias("s"), F.explode(entries).alias("e"))
+        .select("s", F.col("e.p").alias("p"), F.col("e.o").alias("o"))
+        .where(F.col("o").isNotNull())
+    )
+
+
+def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the warehouse dims + orders as an RDF graph.
+
+    Vocabulary (all objects canonical strings):
+      urn:region:K   rdf:type ex:Region ; ex:name
+      urn:nation:K   rdf:type ex:Nation ; ex:name ; ex:region
+      urn:cust:K     rdf:type ex:Customer ; ex:name ; ex:segment ;
+                     ex:nation ; ex:acctbal (%.2f) ;
+                     ex:vip "true" (SPARSE: only acctbal > 9000)
+      urn:supp:K     rdf:type ex:Supplier ; ex:name ; ex:nation ;
+                     geo:asWKT "POINT(x y)" with x=(37K)%100,
+                     y=(61K)%100 (deterministic integer grid)
+      urn:order:K    rdf:type ex:Order ; ex:customer ; ex:total (%.2f) ;
+                     ex:priority
+    """
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    t_region = _triples_of(
+        region,
+        _urn("region", F.col("r_regionkey")),
+        [(RDF_TYPE, F.lit(EX + "Region")), (EX + "name", F.col("r_name"))],
+    )
+    t_nation = _triples_of(
+        nation,
+        _urn("nation", F.col("n_nationkey")),
+        [
+            (RDF_TYPE, F.lit(EX + "Nation")),
+            (EX + "name", F.col("n_name")),
+            (EX + "region", _urn("region", F.col("n_regionkey"))),
+        ],
+    )
+    t_customer = _triples_of(
+        customer,
+        _urn("cust", F.col("c_custkey")),
+        [
+            (RDF_TYPE, F.lit(EX + "Customer")),
+            (EX + "name", F.col("c_name")),
+            (EX + "segment", F.col("c_mktsegment")),
+            (EX + "nation", _urn("nation", F.col("c_nationkey"))),
+            (EX + "acctbal", F.format_string("%.2f", F.col("c_acctbal"))),
+            (EX + "vip", F.when(F.col("c_acctbal") > 9000, F.lit("true"))),
+        ],
+    )
+    t_supplier = _triples_of(
+        supplier,
+        _urn("supp", F.col("s_suppkey")),
+        [
+            (RDF_TYPE, F.lit(EX + "Supplier")),
+            (EX + "name", F.col("s_name")),
+            (EX + "nation", _urn("nation", F.col("s_nationkey"))),
+            (
+                GEO_ASWKT,
+                F.format_string(
+                    "POINT(%d %d)",
+                    (F.col("s_suppkey") * 37) % 100,
+                    (F.col("s_suppkey") * 61) % 100,
+                ),
+            ),
+        ],
+    )
+    t_orders = _triples_of(
+        orders,
+        _urn("order", F.col("o_orderkey")),
+        [
+            (RDF_TYPE, F.lit(EX + "Order")),
+            (EX + "customer", _urn("cust", F.col("o_custkey"))),
+            (EX + "total", F.format_string("%.2f", F.col("o_totalprice"))),
+            (EX + "priority", F.col("o_orderpriority")),
+        ],
+    )
+    out = t_region
+    for t in (t_nation, t_customer, t_supplier, t_orders):
+        out = out.unionByName(t)
+    return out
+
+
+class TripleStore:
+    """Scan interface the compiler queries against.
+
+    ``scan(s, p, o)`` takes each position as either ``None`` (variable)
+    or a constant string, and returns the matching triples with ONLY
+    the variable positions as columns (named per caller's aliases).
+
+    With ``vertical`` set (predicate -> DataFrame), a constant-predicate
+    pattern reads just that slice — the in-memory model of a
+    ``partitionBy("p")`` parquet layout where the same lookup is
+    directory pruning, zero I/O for the other predicates.
+    """
+
+    def __init__(self, triples: DataFrame, vertical: dict[str, DataFrame] | None = None):
+        self.triples = triples
+        self.vertical = vertical
+
+    @classmethod
+    def vertically_partitioned(cls, triples: DataFrame) -> "TripleStore":
+        """Split by predicate up front (models partitionBy('p') layout).
+
+        Predicates are a tiny, bounded vocabulary (dozens), so the
+        driver-side distinct-collect is safe at any data scale — it is
+        the partition LISTING, not the data.
+        """
+        preds = [r[0] for r in triples.select("p").distinct().collect()]
+        vertical = {p: triples.where(F.col("p") == p).select("s", "o") for p in preds}
+        return cls(triples, vertical)
+
+    def scan(self, s: str | None, p: str | None, o: str | None, aliases: dict[str, str]) -> DataFrame:
+        """aliases: position name ('s'/'p'/'o') -> output column name."""
+        if p is not None and self.vertical is not None:
+            df = self.vertical.get(p)
+            if df is None:  # predicate absent from the graph: empty slice
+                df = self.triples.select("s", "o").where(F.lit(False))
+        else:
+            df = self.triples
+            if p is not None:
+                df = df.where(F.col("p") == p)
+        if s is not None:
+            df = df.where(F.col("s") == s)
+        if o is not None:
+            df = df.where(F.col("o") == o)
+        cols = [F.col(pos).alias(name) for pos, name in aliases.items()]
+        if not cols:  # pure existence pattern: keep one marker column
+            return df.select(F.lit(1).alias("__exists__")).limit(1)
+        return df.select(*cols)
