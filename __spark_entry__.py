@@ -5907,6 +5907,209 @@ def _sql_d11():
 
 
 # =============================================================================
+# sp: SPARQL query layer (sparql/compiler.py over sparql/triples.py)
+# =============================================================================
+# The reference WRITES GeoSPARQL RDF but cannot query it
+# (utils/rdf_utils.py renders triples; there is no engine). These
+# queries close the loop: the warehouse tables are rendered as an RDF
+# graph (sparql/triples.py vocabulary), real SPARQL text is parsed and
+# compiled to DataFrame self-joins (star-first join order, vertical
+# per-predicate layout), and the ORACLE takes the fully independent
+# relational path — it never sees triples at all. Agreement proves
+# parser, compiler, triple rendering, and lexical canon in one shot.
+
+_SPARQL_PFX = "PREFIX ex: <urn:ex:> PREFIX geo: <geo:> PREFIX geof: <geof:> "
+
+
+def _sparql(spark, sf_dir, query: str) -> DataFrame:
+    from geosparql_etl_spark.sparql import sparql_select, tpch_store
+
+    return sparql_select(tpch_store(spark, sf_dir), _SPARQL_PFX + query)
+
+
+def sp01_bgp_chain(spark, sf_dir):
+    """5-pattern BGP: customer star (type/name/acctbal/nation) chained
+    through nation to a region-name constant, with a numeric FILTER on
+    the lexical acctbal. Compiles to two star joins + one chain join;
+    the region-name constant lands on a 5-row slice that AQE
+    broadcasts."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?cname ?nname WHERE {
+          ?c a ex:Customer .
+          ?c ex:name ?cname .
+          ?c ex:acctbal ?bal .
+          ?c ex:nation ?n .
+          ?n ex:name ?nname .
+          ?n ex:region ?r .
+          ?r ex:name "ASIA"
+          FILTER(?bal > 9000.0)
+        } ORDER BY ?cname
+        """,
+    )
+
+
+def _sql_sp01():
+    # independent relational path; the FILTER compares the SAME %.2f
+    # lexical the triple store holds, so boundary rounding cannot
+    # diverge between the two paths
+    return """
+    SELECT c_name AS cname, n_name AS nname
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(printf('%.2f', c_acctbal) AS DOUBLE) > 9000.0
+    ORDER BY cname
+    """
+
+
+def sp02_optional_vip(spark, sf_dir):
+    """OPTIONAL over a sparse predicate: ex:vip exists only for
+    acctbal > 9000 subjects, so the left join surfaces SPARQL's
+    unbound-variable NULL semantics on real data."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?cname ?vip WHERE {
+          ?c a ex:Customer .
+          ?c ex:name ?cname .
+          OPTIONAL { ?c ex:vip ?vip }
+        }
+        """,
+    )
+
+
+def _sql_sp02():
+    return """
+    SELECT c_name AS cname,
+           CASE WHEN c_acctbal > 9000 THEN 'true' END AS vip
+    FROM customer
+    """
+
+
+def sp03_union_names(spark, sf_dir):
+    """UNION of two BGP branches + DISTINCT over the merged bindings."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT DISTINCT ?name WHERE {
+          { ?x a ex:Nation . ?x ex:name ?name }
+          UNION
+          { ?x a ex:Region . ?x ex:name ?name }
+        }
+        """,
+    )
+
+
+def _sql_sp03():
+    return """
+    SELECT DISTINCT name FROM (
+      SELECT n_name AS name FROM nation
+      UNION ALL
+      SELECT r_name FROM region)
+    """
+
+
+def sp04_geo_within(spark, sf_dir):
+    """GeoSPARQL containment filter: geof:sfWithin(?wkt, POLYGON...)
+    over the WKT point literals, compiled to the engine's even-odd
+    ray cast (functions/geometry.py:point_in_ring). Half-integer
+    polygon bounds guarantee no on-edge tie against the integer
+    point grid."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?w WHERE {
+          ?s geo:asWKT ?w
+          FILTER(geof:sfWithin(?w,
+            "POLYGON((5.5 4.5, 74.5 4.5, 74.5 80.5, 5.5 80.5, 5.5 4.5))"))
+        }
+        """,
+    )
+
+
+def _sql_sp04():
+    # strict interior of an axis-aligned rectangle == the ray cast's
+    # answer for any point not on the boundary (bounds chosen off-grid)
+    return """
+    WITH pts AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             (s_suppkey * 37) % 100 AS x, (s_suppkey * 61) % 100 AS y
+      FROM supplier)
+    SELECT s, printf('POINT(%d %d)', x, y) AS w
+    FROM pts
+    WHERE x > 5.5 AND x < 74.5 AND y > 4.5 AND y < 80.5
+    """
+
+
+def sp05_group_totals(spark, sf_dir):
+    """SPARQL 1.1 aggregates: order count + DECIMAL-exact revenue per
+    nation name, a 5-pattern BGP spanning the orders star and the
+    customer star. The SUM runs on DECIMAL(18,2) lexical casts —
+    exact, order-independent, replay-portable."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nname (COUNT(?o) AS ?orders) (SUM(?t) AS ?total) WHERE {
+          ?o a ex:Order .
+          ?o ex:customer ?c .
+          ?o ex:total ?t .
+          ?c ex:nation ?n .
+          ?n ex:name ?nname .
+        } GROUP BY ?nname ORDER BY ?nname
+        """,
+    )
+
+
+def _sql_sp05():
+    return """
+    SELECT n_name AS nname, count(*) AS orders,
+           CAST(sum(CAST(printf('%.2f', o_totalprice) AS DECIMAL(18,2)))
+                AS DECIMAL(18,2)) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY nname
+    """
+
+
+def sp06_geo_distance(spark, sf_dir):
+    """GeoSPARQL numeric filter function: geof:distance(?wkt, POINT)
+    inside a comparison. Threshold 19.7 cannot tie the integer grid
+    (19.7^2 is not an integer), so the float sqrt is boundary-safe in
+    both engines."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s WHERE {
+          ?s geo:asWKT ?w
+          FILTER(geof:distance(?w, "POINT(50 50)") < 19.7)
+        }
+        """,
+    )
+
+
+def _sql_sp06():
+    return """
+    WITH pts AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+             CAST((s_suppkey * 61) % 100 AS DOUBLE) AS y
+      FROM supplier)
+    SELECT s FROM pts
+    WHERE sqrt((x - 50) * (x - 50) + (y - 50) * (y - 50)) < 19.7
+    """
+
+
+# =============================================================================
 # registry
 # =============================================================================
 
@@ -5978,8 +6181,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: r03-stamped remainder, next in line
-    # for the r06 rotation ---
+    # --- below the 50-row window: round-5 SPARQL additions (never
+    # stamped) then the r03-stamped remainder — together the r06
+    # rotation ---
+    "sp01_bgp_chain": sp01_bgp_chain,
+    "sp02_optional_vip": sp02_optional_vip,
+    "sp03_union_names": sp03_union_names,
+    "sp04_geo_within": sp04_geo_within,
+    "sp05_group_totals": sp05_group_totals,
+    "sp06_geo_distance": sp06_geo_distance,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
@@ -6222,6 +6432,12 @@ _ORACLES: dict[str, str] = {
     "dq01_profile": _sql_dq01(),
     "dq02_distinct_sketch": _sql_dq02(),
     "dq03_profile_drift": _sql_dq03(),
+    "sp01_bgp_chain": _sql_sp01(),
+    "sp02_optional_vip": _sql_sp02(),
+    "sp03_union_names": _sql_sp03(),
+    "sp04_geo_within": _sql_sp04(),
+    "sp05_group_totals": _sql_sp05(),
+    "sp06_geo_distance": _sql_sp06(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;

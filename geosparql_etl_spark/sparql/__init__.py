@@ -14,6 +14,12 @@ compilation), not the reference's row loops.
 """
 
 from geosparql_etl_spark.sparql.compiler import parse_query, sparql_select
-from geosparql_etl_spark.sparql.triples import TripleStore, tpch_triples
+from geosparql_etl_spark.sparql.triples import TripleStore, tpch_store, tpch_triples
 
-__all__ = ["TripleStore", "tpch_triples", "parse_query", "sparql_select"]
+__all__ = [
+    "TripleStore",
+    "tpch_store",
+    "tpch_triples",
+    "parse_query",
+    "sparql_select",
+]

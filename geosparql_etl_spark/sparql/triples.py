@@ -60,8 +60,10 @@ def _triples_of(df: DataFrame, subject: Column, pairs: list[tuple[str, Column]])
     )
 
 
-def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Render the warehouse dims + orders as an RDF graph.
+def _tpch_spec() -> dict[str, tuple[Column, list[tuple[str, Column]]]]:
+    """table -> (subject, [(predicate, object)]) — ONE vocabulary spec
+    shared by the flat renderer and the vertical store so the two
+    layouts can never drift.
 
     Vocabulary (all objects canonical strings):
       urn:region:K   rdf:type ex:Region ; ex:name
@@ -75,68 +77,106 @@ def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
       urn:order:K    rdf:type ex:Order ; ex:customer ; ex:total (%.2f) ;
                      ex:priority
     """
-    region = spark.read.parquet(f"{sf_dir}/region.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-
-    t_region = _triples_of(
-        region,
-        _urn("region", F.col("r_regionkey")),
-        [(RDF_TYPE, F.lit(EX + "Region")), (EX + "name", F.col("r_name"))],
-    )
-    t_nation = _triples_of(
-        nation,
-        _urn("nation", F.col("n_nationkey")),
-        [
-            (RDF_TYPE, F.lit(EX + "Nation")),
-            (EX + "name", F.col("n_name")),
-            (EX + "region", _urn("region", F.col("n_regionkey"))),
-        ],
-    )
-    t_customer = _triples_of(
-        customer,
-        _urn("cust", F.col("c_custkey")),
-        [
-            (RDF_TYPE, F.lit(EX + "Customer")),
-            (EX + "name", F.col("c_name")),
-            (EX + "segment", F.col("c_mktsegment")),
-            (EX + "nation", _urn("nation", F.col("c_nationkey"))),
-            (EX + "acctbal", F.format_string("%.2f", F.col("c_acctbal"))),
-            (EX + "vip", F.when(F.col("c_acctbal") > 9000, F.lit("true"))),
-        ],
-    )
-    t_supplier = _triples_of(
-        supplier,
-        _urn("supp", F.col("s_suppkey")),
-        [
-            (RDF_TYPE, F.lit(EX + "Supplier")),
-            (EX + "name", F.col("s_name")),
-            (EX + "nation", _urn("nation", F.col("s_nationkey"))),
-            (
-                GEO_ASWKT,
-                F.format_string(
-                    "POINT(%d %d)",
-                    (F.col("s_suppkey") * 37) % 100,
-                    (F.col("s_suppkey") * 61) % 100,
+    return {
+        "region": (
+            _urn("region", F.col("r_regionkey")),
+            [(RDF_TYPE, F.lit(EX + "Region")), (EX + "name", F.col("r_name"))],
+        ),
+        "nation": (
+            _urn("nation", F.col("n_nationkey")),
+            [
+                (RDF_TYPE, F.lit(EX + "Nation")),
+                (EX + "name", F.col("n_name")),
+                (EX + "region", _urn("region", F.col("n_regionkey"))),
+            ],
+        ),
+        "customer": (
+            _urn("cust", F.col("c_custkey")),
+            [
+                (RDF_TYPE, F.lit(EX + "Customer")),
+                (EX + "name", F.col("c_name")),
+                (EX + "segment", F.col("c_mktsegment")),
+                (EX + "nation", _urn("nation", F.col("c_nationkey"))),
+                (EX + "acctbal", F.format_string("%.2f", F.col("c_acctbal"))),
+                (EX + "vip", F.when(F.col("c_acctbal") > 9000, F.lit("true"))),
+            ],
+        ),
+        "supplier": (
+            _urn("supp", F.col("s_suppkey")),
+            [
+                (RDF_TYPE, F.lit(EX + "Supplier")),
+                (EX + "name", F.col("s_name")),
+                (EX + "nation", _urn("nation", F.col("s_nationkey"))),
+                (
+                    GEO_ASWKT,
+                    F.format_string(
+                        "POINT(%d %d)",
+                        (F.col("s_suppkey") * 37) % 100,
+                        (F.col("s_suppkey") * 61) % 100,
+                    ),
                 ),
-            ),
-        ],
-    )
-    t_orders = _triples_of(
-        orders,
-        _urn("order", F.col("o_orderkey")),
-        [
-            (RDF_TYPE, F.lit(EX + "Order")),
-            (EX + "customer", _urn("cust", F.col("o_custkey"))),
-            (EX + "total", F.format_string("%.2f", F.col("o_totalprice"))),
-            (EX + "priority", F.col("o_orderpriority")),
-        ],
-    )
-    out = t_region
-    for t in (t_nation, t_customer, t_supplier, t_orders):
-        out = out.unionByName(t)
+            ],
+        ),
+        "orders": (
+            _urn("order", F.col("o_orderkey")),
+            [
+                (RDF_TYPE, F.lit(EX + "Order")),
+                (EX + "customer", _urn("cust", F.col("o_custkey"))),
+                (EX + "total", F.format_string("%.2f", F.col("o_totalprice"))),
+                (EX + "priority", F.col("o_orderpriority")),
+            ],
+        ),
+    }
+
+
+def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the warehouse dims + orders as one flat (s, p, o) graph
+    (see ``_tpch_spec`` for the vocabulary) — one exploded projection
+    per source table, unioned."""
+    out: DataFrame | None = None
+    for table, (subject, pairs) in _tpch_spec().items():
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        t = _triples_of(df, subject, pairs)
+        out = t if out is None else out.unionByName(t)
+    assert out is not None
+    return out
+
+
+def tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
+    """The same graph in TRUE vertical layout: one 2-column frame per
+    predicate, built straight from the source table(s) that carry it.
+
+    This is what a persisted ``partitionBy("p")`` triple lake looks
+    like to the planner: a bound-predicate pattern scans only its
+    slice, the slice is a 2-column projection of one (occasionally
+    two) parquet tables, and column pruning reaches the scan — no
+    union of unrelated tables ever enters the plan. The predicate
+    vocabulary is static, so no driver-side distinct-collect is
+    needed (contrast ``TripleStore.vertically_partitioned``, which
+    discovers it from data)."""
+    vertical: dict[str, list[DataFrame]] = {}
+    flat: DataFrame | None = None
+    for table, (subject, pairs) in _tpch_spec().items():
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        t = _triples_of(df, subject, pairs)
+        flat = t if flat is None else flat.unionByName(t)
+        for pred, obj in pairs:
+            slice_df = df.select(
+                subject.alias("s"), obj.cast("string").alias("o")
+            ).where(obj.isNotNull())
+            vertical.setdefault(pred, []).append(slice_df)
+    merged = {
+        pred: slices[0] if len(slices) == 1 else _union_all(slices)
+        for pred, slices in vertical.items()
+    }
+    assert flat is not None
+    return TripleStore(flat, merged)
+
+
+def _union_all(dfs: list[DataFrame]) -> DataFrame:
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
     return out
 
 
