@@ -173,20 +173,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # =============================================================================
 
 
+# The money columns are 2-decimal and discounts whole percents
+# (verified over the full sf0.1 data), so every revenue aggregate
+# below runs on EXACT LONGS — cents, or 1e-4 units for the discounted
+# product — and only converts to double at the end. Long sums are
+# order-independent; a double sum landing on a half-cent boundary once
+# flipped round(...,2) between Spark and the replay engine (q09),
+# and partition-order nondeterminism could do the same to any
+# round(sum(double)) on a cluster.
+
+
+def _cents(col: str) -> "F.Column":
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def _revenue_e4() -> "F.Column":
+    """extendedprice * (1 - discount) per row, exactly, in 1e-4 units."""
+    return _cents("l_extendedprice") * (100 - _cents("l_discount"))
+
+
 def q01_pricing_summary(spark, sf_dir):
-    """A2/A3 aggregation suite (TPC-H Q1 shape)."""
+    """A2/A3 aggregation suite (TPC-H Q1 shape), exact-long sums."""
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    n = F.count(F.lit(1))
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_cents("l_extendedprice")) / F.lit(100.0), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(_revenue_e4()) / F.lit(10000.0), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(qty) / n, 4).alias("avg_qty"),
+            F.round(F.sum(_cents("l_discount")) / n / F.lit(100.0), 4).alias(
+                "avg_disc"
+            ),
             F.count("*").alias("count_order"),
         )
     )
@@ -195,11 +220,17 @@ def q01_pricing_summary(spark, sf_dir):
 def _sql_q01():
     return """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE), 2)
+             AS sum_qty,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+             AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS sum_disc_price,
+           round(sum(CAST(round(l_quantity) AS BIGINT)) / count(*), 4)
+             AS avg_qty,
+           round(sum(CAST(round(l_discount * 100) AS BIGINT)) / count(*)
+                 / 100.0, 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -227,9 +258,7 @@ def q02_shipping_priority(spark, sf_dir):
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(_revenue_e4()) / F.lit(10000.0), 2).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -246,7 +275,9 @@ def q02_shipping_priority(spark, sf_dir):
 def _sql_q02():
     return """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue,
            CAST(epoch_us(o_orderdate) AS BIGINT) AS order_date_us
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -291,9 +322,7 @@ def q03_local_supplier_volume(spark, sf_dir):
         .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.round(F.sum(_revenue_e4()) / F.lit(10000.0), 2).alias("revenue")
         )
     )
 
@@ -301,7 +330,9 @@ def q03_local_supplier_volume(spark, sf_dir):
 def _sql_q03():
     return """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -312,6 +343,145 @@ def _sql_q03():
       AND o_orderdate >= TIMESTAMP '1996-01-01'
       AND o_orderdate < TIMESTAMP '1997-01-01'
     GROUP BY n_name
+    """
+
+
+def q04_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: orders-per-priority where a matching fact row
+    EXISTS (here: a returned lineitem — this lineitem has no
+    commit/receipt dates, so the exists predicate adapts to
+    l_returnflag). The semi join is fact-to-fact: Catalyst turns it
+    into LeftSemi on orderkey with the returnflag filter pushed to the
+    lineitem scan, so only the ~1/3 returned rows ever shuffle."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    returned = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def _sql_q04():
+    return """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """
+
+
+def q07_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nations by year —
+    the fact row joins its supplier's nation AND (through orders) its
+    customer's nation, keeping both orientations of the pair. Both
+    nation maps broadcast; the only shuffles are the two fact joins on
+    their natural keys. The pair filter rides the join output so the
+    cross-nation predicate is evaluated once, JVM-side."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(F.sum(_revenue_e4()) / F.lit(10000.0), 2).alias("revenue")
+        )
+    )
+
+
+def _sql_q07():
+    return """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume_e4) / 10000.0, 2) AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume_e4
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ns ON s_nationkey = ns.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      WHERE (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+         OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+    GROUP BY supp_nation, cust_nation, l_year
+    """
+
+
+def q09_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp table in this schema, so profit is
+    discounted revenue): per supplier-nation, per order-year profit on
+    parts whose name matches a token. The selective part filter
+    broadcasts into the lineitem scan (runtime row-group pruning via
+    the broadcast hash set); orders joins after, carrying only the
+    year column."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("widget"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    # prices are 2-decimal and discounts are whole percent, so the
+    # per-row profit is EXACT in 1e-4 units as a long: cents * (100 -
+    # discount_pct). The long sum is order-independent — no float-sum
+    # half-cent boundary can flip the rounded output between replay
+    # engines (observed once with a double sum before this).
+    profit_e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.round(F.sum(profit_e4) / F.lit(10000.0), 2).alias("profit")
+        )
+    )
+
+
+def _sql_q09():
+    return """
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
     """
 
 
@@ -6184,6 +6354,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- below the 50-row window: round-5 SPARQL additions (never
     # stamped) then the r03-stamped remainder — together the r06
     # rotation ---
+    "q04_priority_exists": q04_priority_exists,
+    "q07_nation_volume": q07_nation_volume,
+    "q09_product_profit": q09_product_profit,
     "sp01_bgp_chain": sp01_bgp_chain,
     "sp02_optional_vip": sp02_optional_vip,
     "sp03_union_names": sp03_union_names,
@@ -6432,6 +6605,9 @@ _ORACLES: dict[str, str] = {
     "dq01_profile": _sql_dq01(),
     "dq02_distinct_sketch": _sql_dq02(),
     "dq03_profile_drift": _sql_dq03(),
+    "q04_priority_exists": _sql_q04(),
+    "q07_nation_volume": _sql_q07(),
+    "q09_product_profit": _sql_q09(),
     "sp01_bgp_chain": _sql_sp01(),
     "sp02_optional_vip": _sql_sp02(),
     "sp03_union_names": _sql_sp03(),
