@@ -87,6 +87,14 @@ HEADLINE = [
     "j14_pit_join",
     "d12_dup_pagerank",
     "dq03_profile_drift",
+    # round 5: warehouse join shapes + the SPARQL layer (BGP self-join
+    # compilation — sp01 is the 5-pattern chain, sp05 the aggregating
+    # star over the orders fact)
+    "q04_priority_exists",
+    "q07_nation_volume",
+    "q09_product_profit",
+    "sp01_bgp_chain",
+    "sp05_group_totals",
 ]
 
 
