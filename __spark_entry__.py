@@ -6279,6 +6279,142 @@ def _sql_sp06():
     """
 
 
+def sp07_minus_no_urgent(spark, sf_dir):
+    """SPARQL MINUS compiled to a left_anti join on the shared
+    variable — the ledger-resume anti-join shape (P9) surfacing as
+    query syntax: BUILDING-segment customers with no urgent order.
+    (Every customer has SOME order in this data, so the inner group
+    carries its own priority restriction to keep the result — and the
+    anti join's work — non-trivial.)"""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?cname WHERE {
+          ?c ex:segment "BUILDING" .
+          ?c ex:name ?cname
+          MINUS { ?o ex:customer ?c . ?o ex:priority "1-URGENT" }
+        } ORDER BY ?cname
+        """,
+    )
+
+
+def _sql_sp07():
+    return """
+    SELECT c_name AS cname FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+    ORDER BY cname
+    """
+
+
+def sp08_path_chain(spark, sf_dir):
+    """Property-path sequence ex:nation/ex:region/ex:name: two chained
+    joins synthesized from ONE path expression. The subject is
+    deliberately unconstrained — both customers and suppliers carry
+    ex:nation, so the path walks a heterogeneous subject set (the
+    oracle is the two-branch relational union)."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?ename ?rname WHERE {
+          ?e ex:name ?ename .
+          ?e ex:nation/ex:region/ex:name ?rname
+        }
+        """,
+    )
+
+
+def _sql_sp08():
+    return """
+    SELECT c_name AS ename, r_name AS rname
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT s_name, r_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """
+
+
+def sp09_parent_closure(spark, sf_dir):
+    """Transitive closure ex:parent+ over the supplier binary tree —
+    pointer doubling, log2(depth) self-joins (compiler._path_df). The
+    oracle replays it as a recursive CTE; agreement pins the closure
+    SET exactly."""
+    return _sparql(spark, sf_dir, "SELECT ?s ?a WHERE { ?s ex:parent+ ?a }")
+
+
+def _sql_sp09():
+    return """
+    WITH RECURSIVE e AS (
+      SELECT s_suppkey AS k, s_suppkey // 2 AS p
+      FROM supplier WHERE s_suppkey > 1),
+    r(k, a) AS (
+      SELECT k, p FROM e
+      UNION
+      SELECT r.k, e.p FROM r JOIN e ON r.a = e.k)
+    SELECT 'urn:supp:' || k AS s, 'urn:supp:' || a AS a FROM r
+    """
+
+
+def sp10_construct_graph(spark, sf_dir):
+    """CONSTRUCT: mint a NEW graph (?entity ex:inRegion ?region) from
+    matched bindings — the reference's entire ETL pattern
+    (mongodb_to_rdf.py:304-357, source rows -> minted triples)
+    expressed as one declarative query. Output is a deduplicated
+    (s, p, o) frame ready for the ntriples writer."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        CONSTRUCT { ?e ex:inRegion ?r } WHERE {
+          ?e ex:nation ?n .
+          ?n ex:region ?r
+        }
+        """,
+    )
+
+
+def _sql_sp10():
+    return """
+    SELECT DISTINCT 'urn:cust:' || c_custkey AS s,
+           'urn:ex:inRegion' AS p,
+           'urn:region:' || n_regionkey AS o
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    UNION
+    SELECT DISTINCT 'urn:supp:' || s_suppkey,
+           'urn:ex:inRegion',
+           'urn:region:' || n_regionkey
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """
+
+
+def sp11_values_restrict(spark, sf_dir):
+    """VALUES inline data joined (broadcast) against the segment
+    predicate — SPARQL's IN-list, planned as a tiny build side."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?cname ?seg WHERE {
+          VALUES ?seg { "BUILDING" "MACHINERY" }
+          ?c ex:segment ?seg .
+          ?c ex:name ?cname
+        }
+        """,
+    )
+
+
+def _sql_sp11():
+    return """
+    SELECT c_name AS cname, c_mktsegment AS seg FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """
+
+
 # =============================================================================
 # registry
 # =============================================================================
@@ -6363,6 +6499,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp04_geo_within": sp04_geo_within,
     "sp05_group_totals": sp05_group_totals,
     "sp06_geo_distance": sp06_geo_distance,
+    "sp07_minus_no_urgent": sp07_minus_no_urgent,
+    "sp08_path_chain": sp08_path_chain,
+    "sp09_parent_closure": sp09_parent_closure,
+    "sp10_construct_graph": sp10_construct_graph,
+    "sp11_values_restrict": sp11_values_restrict,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
@@ -6614,6 +6755,11 @@ _ORACLES: dict[str, str] = {
     "sp04_geo_within": _sql_sp04(),
     "sp05_group_totals": _sql_sp05(),
     "sp06_geo_distance": _sql_sp06(),
+    "sp07_minus_no_urgent": _sql_sp07(),
+    "sp08_path_chain": _sql_sp08(),
+    "sp09_parent_closure": _sql_sp09(),
+    "sp10_construct_graph": _sql_sp10(),
+    "sp11_values_restrict": _sql_sp11(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;

@@ -1,11 +1,23 @@
 """SPARQL SELECT subset -> Catalyst-planned DataFrame program.
 
-Covered grammar (the practical core of SPARQL 1.1 SELECT):
+Covered grammar (the practical core of SPARQL 1.1):
 
-  PREFIX decls; SELECT [DISTINCT] ?v... | (AGG(?v|*) AS ?alias)... ;
+  PREFIX decls; SELECT [DISTINCT] ?v... | (AGG(?v|*) AS ?alias)...
+  or CONSTRUCT { template } ;
   WHERE { basic graph patterns . FILTER(expr) OPTIONAL {...}
-          {...} UNION {...} } ;
+          {...} UNION {...} MINUS {...} FILTER [NOT] EXISTS {...}
+          VALUES ?v { lits } } ;
   GROUP BY ?v... ; ORDER BY [ASC|DESC](?v)... ; LIMIT n
+
+Property paths in predicate position: sequence a/b, inverse ^a,
+alternation a|b, transitive a+ (closure by pointer doubling —
+log2(depth) self-joins, not depth-many). MINUS / FILTER NOT EXISTS
+compile to left_anti joins on the shared variables, FILTER EXISTS to
+left_semi — the ledger-resume anti-join shape (operators/ledger.py)
+surfacing as query syntax. CONSTRUCT returns a new (s, p, o) graph
+built from the bindings — the reference's whole ETL (mint triples
+from matched source rows, mongodb_to_rdf.py:304-357) expressed
+declaratively.
 
 FILTER expressions: comparisons (= != < <= > >=) with && || ! and
 parens; REGEX / STRSTARTS / CONTAINS / BOUND; GeoSPARQL filter
@@ -59,7 +71,7 @@ _TOKEN_RE = re.compile(
     | (?P<number>-?\d+\.\d+|-?\d+)
     | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*)
     | (?P<word>[A-Za-z_]\w*)
-    | (?P<op>&&|\|\||!=|<=|>=|[{}().=<>!*,])
+    | (?P<op>&&|\|\||!=|<=|>=|[{}().=<>!*,/^+|])
     """,
     re.X,
 )
@@ -87,10 +99,12 @@ Term = tuple  # ("var", name) | ("const", value)
 @dataclass
 class Group:
     elements: list = field(default_factory=list)
-    # elements: ("bgp", [ (sTerm,pTerm,oTerm) ])
+    # elements: ("bgp", [ (sTerm,pTerm,oTerm) ])   pTerm may be a path
     #         | ("filter", expr)
     #         | ("optional", Group)
     #         | ("union", [Group, ...])
+    #         | ("minus", Group) | ("exists", Group) | ("notexists", Group)
+    #         | ("values", var, [literals])
 
 
 @dataclass
@@ -101,6 +115,7 @@ class Query:
     group_by: list[str]
     order_by: list[tuple[str, bool]]  # (var, ascending)
     limit: int | None
+    construct_template: list | None = None  # CONSTRUCT: [(sTerm,pTerm,oTerm)]
 
 
 class _Parser:
@@ -150,6 +165,44 @@ class _Parser:
             return ("const", self._expand(tok))
         raise ValueError(f"bad term {tok!r}")
 
+    # -- property paths (predicate position) -------------------------------
+    # path := seq ('|' seq)* ; seq := step ('/' step)* ;
+    # step := '^'? iri ('+')?        (SPARQL 1.1 subset; no '*' / '?')
+    def path_term(self) -> Term:
+        first = self._path_seq()
+        if self.peek() != "|":
+            return first
+        alts = [first]
+        while self.peek() == "|":
+            self.next()
+            alts.append(self._path_seq())
+        return ("path", ("alt", [_as_path(a) for a in alts]))
+
+    def _path_seq(self) -> Term:
+        steps = [self._path_step()]
+        while self.peek() == "/":
+            self.next()
+            steps.append(self._path_step())
+        if len(steps) == 1:
+            return steps[0]
+        return ("path", ("seq", [_as_path(s) for s in steps]))
+
+    def _path_step(self) -> Term:
+        inverse = False
+        if self.peek() == "^":
+            self.next()
+            inverse = True
+        base = self.term()
+        if base[0] == "var" and (inverse or self.peek() == "+"):
+            raise ValueError("property-path modifiers need a constant IRI")
+        out: Term = base
+        if inverse:
+            out = ("path", ("inv", _as_path(base)))
+        if self.peek() == "+":
+            self.next()
+            out = ("path", ("plus", _as_path(out)))
+        return out
+
     # -- query -------------------------------------------------------------
     def query(self) -> Query:
         while self._kw("PREFIX"):
@@ -157,6 +210,13 @@ class _Parser:
             pname = self.next()  # "ex:"
             iri = self.next()  # "<urn:ex:>"
             self.prefixes[pname.rstrip(":")] = iri[1:-1]
+        if self._kw("CONSTRUCT"):
+            self.next()
+            template = self._template()
+            if self._kw("WHERE"):
+                self.next()
+            where = self.group()
+            return Query(True, [], where, [], [], None, template)
         self.expect("SELECT")
         distinct = False
         if self._kw("DISTINCT"):
@@ -216,6 +276,18 @@ class _Parser:
                 raise ValueError(f"unexpected token {tok!r} after WHERE group")
         return Query(distinct, projections, where, group_by, order_by, limit)
 
+    def _template(self) -> list:
+        """CONSTRUCT template: plain triples only (no paths/filters)."""
+        self.expect("{")
+        out = []
+        while self.peek() != "}":
+            s, p, o = self.term(), self.term(), self.term()
+            out.append((s, p, o))
+            if self.peek() == ".":
+                self.next()
+        self.next()
+        return out
+
     # -- group graph pattern ----------------------------------------------
     def group(self) -> Group:
         self.expect("{")
@@ -237,15 +309,37 @@ class _Parser:
                 return g
             if tok.upper() == "FILTER":
                 self.next()
-                self.expect("(")
-                expr = self._expr_or()
-                self.expect(")")
                 flush()
-                g.elements.append(("filter", expr))
+                if self._kw("NOT"):
+                    self.next()
+                    self.expect("EXISTS")
+                    g.elements.append(("notexists", self.group()))
+                elif self._kw("EXISTS"):
+                    self.next()
+                    g.elements.append(("exists", self.group()))
+                else:
+                    self.expect("(")
+                    expr = self._expr_or()
+                    self.expect(")")
+                    g.elements.append(("filter", expr))
             elif tok.upper() == "OPTIONAL":
                 self.next()
                 flush()
                 g.elements.append(("optional", self.group()))
+            elif tok.upper() == "MINUS":
+                self.next()
+                flush()
+                g.elements.append(("minus", self.group()))
+            elif tok.upper() == "VALUES":
+                self.next()
+                var = self.next()[1:]
+                self.expect("{")
+                lits = []
+                while self.peek() != "}":
+                    lits.append(self.term()[1])
+                self.next()
+                flush()
+                g.elements.append(("values", var, lits))
             elif tok == "{":
                 flush()
                 branches = [self.group()]
@@ -256,7 +350,7 @@ class _Parser:
             elif tok == ".":
                 self.next()
             else:
-                s, p, o = self.term(), self.term(), self.term()
+                s, p, o = self.term(), self.path_term(), self.term()
                 bgp.append((s, p, o))
                 if self.peek() == ".":
                     self.next()
@@ -320,6 +414,15 @@ def _unquote(tok: str) -> str:
     return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
 
 
+def _as_path(term: Term):
+    """Normalize a predicate Term to a path-AST node."""
+    if term[0] == "path":
+        return term[1]
+    if term[0] == "const":
+        return ("link", term[1])
+    raise ValueError("variable not allowed inside a property path")
+
+
 def parse_query(text: str) -> Query:
     return _Parser(_tokenize(text)).query()
 
@@ -340,8 +443,83 @@ def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataF
     return left.crossJoin(right)
 
 
+_PLUS_MAX_ITERS = 24  # pointer doubling: covers path length 2^24
+
+
+def _path_df(store: TripleStore, node) -> DataFrame:
+    """Evaluate a property-path AST to its (s, o) node-pair frame.
+
+    seq is a relational join on the midpoint; alt a union; inv a swap;
+    ``+`` is transitive closure by POINTER DOUBLING — each round joins
+    the reachability frame with itself (path length doubles per round,
+    so depth-D closure needs log2(D) joins, the d08 connected-
+    components argument), distinct-ing to keep the state a SET of node
+    pairs, localCheckpoint to cut lineage, and a count() fixpoint test
+    per round (state is graph-sized, the count is the job we just ran
+    anyway)."""
+    kind = node[0]
+    if kind == "link":
+        return store.scan(None, node[1], None, {"s": "s", "o": "o"})
+    if kind == "inv":
+        inner = _path_df(store, node[1])
+        return inner.select(F.col("o").alias("s"), F.col("s").alias("o"))
+    if kind == "seq":
+        cur = _path_df(store, node[1][0])
+        for step in node[1][1:]:
+            nxt = _path_df(store, step).select(
+                F.col("s").alias("__m"), F.col("o").alias("__o2")
+            )
+            cur = (
+                cur.join(nxt, cur.o == F.col("__m"))
+                .select("s", F.col("__o2").alias("o"))
+            )
+        return cur
+    if kind == "alt":
+        out = _path_df(store, node[1][0])
+        for alt in node[1][1:]:
+            out = out.unionByName(_path_df(store, alt))
+        return out
+    if kind == "plus":
+        base = _path_df(store, node[1]).dropDuplicates().localCheckpoint()
+        closure = base
+        size = closure.count()
+        for _ in range(_PLUS_MAX_ITERS):
+            hop = closure.select(
+                F.col("s").alias("__m"), F.col("o").alias("__o2")
+            )
+            grown = (
+                closure.unionByName(
+                    closure.join(hop, closure.o == F.col("__m")).select(
+                        "s", F.col("__o2").alias("o")
+                    )
+                )
+                .dropDuplicates()
+                .localCheckpoint()
+            )
+            new_size = grown.count()
+            if new_size == size:
+                return closure
+            closure, size = grown, new_size
+        return closure
+    raise ValueError(f"bad path node {node!r}")
+
+
 def _scan_pattern(store: TripleStore, pat) -> DataFrame:
     s, p, o = pat
+    if p[0] == "path":
+        pairs = _path_df(store, p[1])
+        for pos, term in (("s", s), ("o", o)):
+            if term[0] == "const":
+                pairs = pairs.where(F.col(pos) == term[1])
+        renames = {}
+        for pos, term in (("s", s), ("o", o)):
+            if term[0] == "var":
+                renames[pos] = term[1]
+        cols = [F.col(pos).alias(name) for pos, name in renames.items()]
+        if s[0] == "var" and s == o:  # ?x path ?x
+            pairs = pairs.where(F.col("s") == F.col("o"))
+            cols = [F.col("s").alias(s[1])]
+        return pairs.select(*cols)
     consts = {pos: term[1] for pos, term in zip("spo", pat) if term[0] == "const"}
     aliases: dict[str, str] = {}
     dup_filters: list[tuple[str, str]] = []
@@ -394,6 +572,28 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 df = inner
             else:
                 df = _join(df, inner, how="left")
+        elif kind in ("minus", "exists", "notexists"):
+            inner = _compile_group(store, payload[0])
+            if df is None:
+                raise ValueError(f"{kind.upper()} cannot open a group")
+            shared = sorted(set(df.columns) & set(inner.columns))
+            if not shared:
+                if kind == "minus":
+                    # SPARQL spec: MINUS with disjoint domains removes
+                    # nothing
+                    continue
+                raise ValueError(
+                    f"{kind.upper()} group shares no variable with the outer "
+                    "group (unsupported)"
+                )
+            how = "left_semi" if kind == "exists" else "left_anti"
+            df = df.join(inner, on=shared, how=how)
+        elif kind == "values":
+            var, lits = payload
+            spark = store.triples.sparkSession
+            vals = spark.createDataFrame([(v,) for v in lits], f"{var} string")
+            # broadcast: an inline VALUES list is tiny by construction
+            df = _join(df, F.broadcast(vals)) if df is not None else vals
         elif kind == "filter":
             filters.append(payload[0])
     if df is None:
@@ -521,9 +721,30 @@ def _agg_col(func: str, arg: str | None, alias: str) -> Column:
 
 
 def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
-    """Parse + compile + return the (lazy) result DataFrame."""
+    """Parse + compile + return the (lazy) result DataFrame.
+
+    Accepts SELECT and CONSTRUCT forms; CONSTRUCT returns an (s, p, o)
+    frame — a new graph derived from the matched bindings, which is
+    exactly the reference's ETL shape (mint triples from matched
+    source rows) expressed as a query."""
     q = parse_query(query_text)
     df = _compile_group(store, q.where)
+    if q.construct_template is not None:
+        out: DataFrame | None = None
+        for s, p, o in q.construct_template:
+            def col_of(term):
+                return (
+                    F.col(term[1]).cast("string")
+                    if term[0] == "var"
+                    else F.lit(term[1])
+                )
+            t = df.select(
+                col_of(s).alias("s"), col_of(p).alias("p"), col_of(o).alias("o")
+            )
+            out = t if out is None else out.unionByName(t)
+        assert out is not None
+        # a graph is a SET of triples
+        return out.dropDuplicates()
     aggs = [p for p in q.projections if p[0] == "agg"]
     if aggs or q.group_by:
         agg_cols = [_agg_col(func, arg, alias) for _, func, arg, alias in aggs]

@@ -73,7 +73,10 @@ def _tpch_spec() -> dict[str, tuple[Column, list[tuple[str, Column]]]]:
                      ex:vip "true" (SPARSE: only acctbal > 9000)
       urn:supp:K     rdf:type ex:Supplier ; ex:name ; ex:nation ;
                      geo:asWKT "POINT(x y)" with x=(37K)%100,
-                     y=(61K)%100 (deterministic integer grid)
+                     y=(61K)%100 (deterministic integer grid) ;
+                     ex:parent urn:supp:(K DIV 2) for K > 1 (binary
+                     tree — gives property paths a real hierarchy to
+                     close over, depth log2(N))
       urn:order:K    rdf:type ex:Order ; ex:customer ; ex:total (%.2f) ;
                      ex:priority
     """
@@ -113,6 +116,13 @@ def _tpch_spec() -> dict[str, tuple[Column, list[tuple[str, Column]]]]:
                         "POINT(%d %d)",
                         (F.col("s_suppkey") * 37) % 100,
                         (F.col("s_suppkey") * 61) % 100,
+                    ),
+                ),
+                (
+                    EX + "parent",
+                    F.when(
+                        F.col("s_suppkey") > 1,
+                        _urn("supp", F.expr("s_suppkey DIV 2")),
                     ),
                 ),
             ],

@@ -242,6 +242,108 @@ class TestAgainstRelational:
         assert got == want and got > 0
 
 
+class TestSparql11Extensions:
+    """MINUS / EXISTS / VALUES / property paths / CONSTRUCT."""
+
+    def test_minus(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?name WHERE { ?p a ex:Person . ?p ex:name ?name "
+            "MINUS { ?p ex:city ?c } } ORDER BY ?name",
+        ).collect()
+        assert [r.name for r in rows] == ["alan"]
+
+    def test_not_exists(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?name WHERE { ?p a ex:Person . ?p ex:name ?name "
+            "FILTER NOT EXISTS { ?p ex:age ?a } }",
+        ).collect()
+        assert [r.name for r in rows] == ["alan"]
+
+    def test_exists(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?name WHERE { ?p a ex:Person . ?p ex:name ?name "
+            "FILTER EXISTS { ?p ex:city ?c } } ORDER BY ?name",
+        ).collect()
+        assert [r.name for r in rows] == ["ada", "grace"]
+
+    def test_values(self, toy_store):
+        rows = run(
+            toy_store,
+            'SELECT ?name WHERE { VALUES ?name { "ada" "alan" "nobody" } '
+            "?p ex:name ?name . ?p a ex:Person } ORDER BY ?name",
+        ).collect()
+        assert [r.name for r in rows] == ["ada", "alan"]
+
+    def test_path_sequence(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?name ?cname WHERE { ?p ex:name ?name . "
+            "?p ex:city/ex:name ?cname } ORDER BY ?name",
+        ).collect()
+        assert [(r.name, r.cname) for r in rows] == [
+            ("ada", "london"),
+            ("grace", "york"),
+        ]
+
+    def test_path_inverse(self, toy_store):
+        rows = run(
+            toy_store,
+            'SELECT ?name WHERE { ?c ex:name "london" . ?c ^ex:city ?p . '
+            "?p ex:name ?name }",
+        ).collect()
+        assert [r.name for r in rows] == ["ada"]
+
+    def test_path_alternation(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT DISTINCT ?v WHERE { ?p a ex:Person . "
+            "?p ex:age|ex:name ?v } ORDER BY ?v",
+        ).collect()
+        assert [r.v for r in rows] == ["36", "47", "ada", "alan", "grace"]
+
+    def test_path_plus_closure(self, spark):
+        # chain a -> b -> c -> d: closure has 3+2+1 pairs
+        rows = [(x, "urn:ex:next", y) for x, y in
+                [("a", "b"), ("b", "c"), ("c", "d")]]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(store, "SELECT ?x ?y WHERE { ?x ex:next+ ?y }").collect()
+        assert sorted((r.x, r.y) for r in got) == [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+        ]
+
+    def test_path_plus_cycle_terminates(self, spark):
+        rows = [("a", "p", "b"), ("b", "p", "a")]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(store, "SELECT ?x ?y WHERE { ?x <p>+ ?y }").collect()
+        # cycle: every node reaches both nodes (including itself)
+        assert sorted((r.x, r.y) for r in got) == [
+            ("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"),
+        ]
+
+    def test_construct(self, toy_store):
+        g = run(
+            toy_store,
+            "CONSTRUCT { ?p ex:locatedIn ?cname } WHERE { "
+            "?p ex:city ?c . ?c ex:name ?cname }",
+        ).collect()
+        assert sorted((r.s, r.p, r.o) for r in g) == [
+            ("urn:p:1", "urn:ex:locatedIn", "london"),
+            ("urn:p:2", "urn:ex:locatedIn", "york"),
+        ]
+
+    def test_path_var_modifier_rejected(self):
+        with pytest.raises(ValueError, match="constant IRI"):
+            parse_query("SELECT ?x WHERE { ?x ^?p ?y }")
+
+
 class TestPlanShape:
     def test_constant_predicate_scans_pruned_slice(self, spark, toy_store):
         """Vertical store: a bound-predicate scan must not touch the
