@@ -190,6 +190,26 @@ def _union_all(dfs: list[DataFrame]) -> DataFrame:
     return out
 
 
+def to_ntriples_rows(triples: DataFrame) -> DataFrame:
+    """(s, p, o) -> the ntriples writer schema. Objects that look like
+    IRIs (urn:/http:/https: scheme) serialize as IRIs, everything else
+    as plain literals — the same convention the vocabulary generators
+    use, so a written graph reads back bit-identically."""
+    is_iri = (
+        F.col("o").startswith("urn:")
+        | F.col("o").startswith("http://")
+        | F.col("o").startswith("https://")
+    )
+    return triples.select(
+        F.col("s").alias("subject"),
+        F.col("p").alias("predicate"),
+        F.col("o").alias("object"),
+        (~is_iri).alias("is_literal"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 class TripleStore:
     """Scan interface the compiler queries against.
 
@@ -206,6 +226,22 @@ class TripleStore:
     def __init__(self, triples: DataFrame, vertical: dict[str, DataFrame] | None = None):
         self.triples = triples
         self.vertical = vertical
+
+    @classmethod
+    def from_ntriples(cls, df: DataFrame) -> "TripleStore":
+        """Adapt a ``spark.read.format("ntriples")`` frame (schema
+        subject/predicate/object/is_literal/datatype/lang/path —
+        sources/ntriples.py) to the compiler's (s, p, o) shape. The
+        extra RDF-term metadata is dropped: the compiler's FILTER
+        casts operate on the lexical form, which is what ``object``
+        already holds."""
+        return cls(
+            df.select(
+                F.col("subject").alias("s"),
+                F.col("predicate").alias("p"),
+                F.col("object").alias("o"),
+            )
+        )
 
     @classmethod
     def vertically_partitioned(cls, triples: DataFrame) -> "TripleStore":

@@ -344,6 +344,35 @@ class TestSparql11Extensions:
             parse_query("SELECT ?x WHERE { ?x ^?p ?y }")
 
 
+class TestNTriplesLoop:
+    """The full RDF loop: CONSTRUCT a new graph from a query, persist
+    it through the registered ntriples table format, read it back as
+    a table, and SPARQL-query the result — ETL output that is
+    immediately queryable by the same engine."""
+
+    def test_construct_write_read_query(self, spark, toy_store, tmp_path):
+        from geosparql_etl_spark.sources.ntriples import register
+        from geosparql_etl_spark.sparql.triples import to_ntriples_rows
+
+        register(spark)
+        g = run(
+            toy_store,
+            "CONSTRUCT { ?p ex:locatedIn ?cname } WHERE { "
+            "?p ex:city ?c . ?c ex:name ?cname }",
+        )
+        out = str(tmp_path / "constructed")
+        to_ntriples_rows(g).write.format("ntriples").mode("overwrite").save(out)
+
+        back = spark.read.format("ntriples").load(out)
+        # IRIs stayed IRIs, city names stayed literals
+        assert back.where(F.col("is_literal")).count() == 2
+        store2 = TripleStore.from_ntriples(back)
+        rows = sparql_select(
+            store2, PFX + 'SELECT ?p WHERE { ?p ex:locatedIn "london" }'
+        ).collect()
+        assert [r.p for r in rows] == ["urn:p:1"]
+
+
 class TestPlanShape:
     def test_constant_predicate_scans_pruned_slice(self, spark, toy_store):
         """Vertical store: a bound-predicate scan must not touch the
