@@ -6415,6 +6415,56 @@ def _sql_sp11():
     """
 
 
+def sp12_ask(spark, sf_dir):
+    """ASK form: lazy one-row boolean — limit(1) over the pattern
+    stops the scan at the first match instead of evaluating the whole
+    BGP to answer yes/no."""
+    return _sparql(
+        spark, sf_dir, 'ASK { ?c ex:segment "BUILDING" . ?c ex:vip "true" }'
+    )
+
+
+def _sql_sp12():
+    return """
+    SELECT count(*) > 0 AS ask FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+    """
+
+
+def sp13_describe(spark, sf_dir):
+    """DESCRIBE form: every triple about the subjects the pattern
+    matches — a distinct-subjects semi join against the full graph."""
+    return _sparql(
+        spark,
+        sf_dir,
+        "DESCRIBE ?c WHERE { ?c ex:acctbal ?b FILTER(?b > 9950.0) }",
+    )
+
+
+def _sql_sp13():
+    # replay the customer slice of the vocabulary (sparql/triples.py
+    # _tpch_spec) for the matching subjects
+    return """
+    WITH c AS (SELECT * FROM customer
+               WHERE CAST(printf('%.2f', c_acctbal) AS DOUBLE) > 9950.0)
+    SELECT 'urn:cust:' || c_custkey AS s, 'rdf:type' AS p,
+           'urn:ex:Customer' AS o FROM c
+    UNION ALL
+    SELECT 'urn:cust:' || c_custkey, 'urn:ex:name', c_name FROM c
+    UNION ALL
+    SELECT 'urn:cust:' || c_custkey, 'urn:ex:segment', c_mktsegment FROM c
+    UNION ALL
+    SELECT 'urn:cust:' || c_custkey, 'urn:ex:nation',
+           'urn:nation:' || c_nationkey FROM c
+    UNION ALL
+    SELECT 'urn:cust:' || c_custkey, 'urn:ex:acctbal',
+           printf('%.2f', c_acctbal) FROM c
+    UNION ALL
+    SELECT 'urn:cust:' || c_custkey, 'urn:ex:vip', 'true' FROM c
+    WHERE c_acctbal > 9000
+    """
+
+
 # =============================================================================
 # registry
 # =============================================================================
@@ -6504,6 +6554,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp09_parent_closure": sp09_parent_closure,
     "sp10_construct_graph": sp10_construct_graph,
     "sp11_values_restrict": sp11_values_restrict,
+    "sp12_ask": sp12_ask,
+    "sp13_describe": sp13_describe,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
@@ -6760,6 +6812,8 @@ _ORACLES: dict[str, str] = {
     "sp09_parent_closure": _sql_sp09(),
     "sp10_construct_graph": _sql_sp10(),
     "sp11_values_restrict": _sql_sp11(),
+    "sp12_ask": _sql_sp12(),
+    "sp13_describe": _sql_sp13(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;

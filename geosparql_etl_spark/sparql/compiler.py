@@ -116,6 +116,8 @@ class Query:
     order_by: list[tuple[str, bool]]  # (var, ascending)
     limit: int | None
     construct_template: list | None = None  # CONSTRUCT: [(sTerm,pTerm,oTerm)]
+    ask: bool = False  # ASK { ... }
+    describe_var: str | None = None  # DESCRIBE ?v WHERE { ... }
 
 
 class _Parser:
@@ -217,6 +219,15 @@ class _Parser:
                 self.next()
             where = self.group()
             return Query(True, [], where, [], [], None, template)
+        if self._kw("ASK"):
+            self.next()
+            return Query(False, [], self.group(), [], [], None, ask=True)
+        if self._kw("DESCRIBE"):
+            self.next()
+            var = self.next()[1:]
+            if self._kw("WHERE"):
+                self.next()
+            return Query(False, [], self.group(), [], [], None, describe_var=var)
         self.expect("SELECT")
         distinct = False
         if self._kw("DISTINCT"):
@@ -729,6 +740,14 @@ def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
     source rows) expressed as a query."""
     q = parse_query(query_text)
     df = _compile_group(store, q.where)
+    if q.ask:
+        # one row, one boolean, still lazy: limit(1) stops the scan at
+        # the first match (a LocalLimit above each partition — no full
+        # evaluation of the pattern just to answer yes/no)
+        return df.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
+    if q.describe_var is not None:
+        subjects = df.select(F.col(q.describe_var).alias("s")).dropDuplicates()
+        return store.triples.join(subjects, on="s", how="left_semi")
     if q.construct_template is not None:
         out: DataFrame | None = None
         for s, p, o in q.construct_template:

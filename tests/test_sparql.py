@@ -343,6 +343,24 @@ class TestSparql11Extensions:
         with pytest.raises(ValueError, match="constant IRI"):
             parse_query("SELECT ?x WHERE { ?x ^?p ?y }")
 
+    def test_ask_true_false(self, toy_store):
+        yes = run(toy_store, 'ASK { ?p ex:name "ada" }').collect()
+        no = run(toy_store, 'ASK { ?p ex:name "turing" }').collect()
+        assert [r.ask for r in yes] == [True]
+        assert [r.ask for r in no] == [False]
+
+    def test_describe(self, toy_store):
+        g = run(
+            toy_store,
+            "DESCRIBE ?p WHERE { ?p ex:age ?a FILTER(?a > 40.0) }",
+        ).collect()
+        assert sorted((r.s, r.p, r.o) for r in g) == [
+            ("urn:p:2", "rdf:type", "urn:ex:Person"),
+            ("urn:p:2", "urn:ex:age", "47"),
+            ("urn:p:2", "urn:ex:city", "urn:c:2"),
+            ("urn:p:2", "urn:ex:name", "grace"),
+        ]
+
 
 class TestNTriplesLoop:
     """The full RDF loop: CONSTRUCT a new graph from a query, persist
