@@ -6415,6 +6415,60 @@ def _sql_sp11():
     """
 
 
+def llm16_repeated_spans(spark, sf_dir):
+    """ExactSubstr-style cross-document repeated-span report (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"):
+    per doc, how many sampled 30-char spans also occur verbatim in at
+    least one OTHER document — the removal budget an exact-substring
+    dedup pass would operate on.
+
+    Distributed shape: stride-5 absolute-position sampling bounds the
+    exploded gram stream at |corpus|/5 rows; one groupBy(gram) with
+    map-side partials finds the cross-doc grams; the gram->doc join
+    re-scopes them per document. Stride sampling is the recall/cost
+    dial (phase misalignment can miss a short shared span);
+    content-defined sampling with a guarantee is the winnowing path
+    llm05/txt06 already implement — this query is the exact-match,
+    position-sampled complement. At 100 TB the repeated-gram set is
+    the duplication core (small vs corpus) and broadcast-joins back."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") >= 30)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - 29, F.lit(5))
+        ).alias("p"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, p, 30)").alias("gram"))
+    rep = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    return (
+        grams.join(rep, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_rep_spans"),
+            F.countDistinct("gram").alias("n_rep_grams"),
+        )
+    )
+
+
+def _sql_llm16():
+    return """
+    WITH g AS (
+      SELECT doc_id, substring(text, p, 30) AS gram
+      FROM documents, LATERAL unnest(range(1, length(text) - 28, 5)) AS t(p)
+      WHERE length(text) >= 30),
+    rep AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id, count(*) AS n_rep_spans,
+           count(DISTINCT g.gram) AS n_rep_grams
+    FROM g JOIN rep ON g.gram = rep.gram
+    GROUP BY doc_id
+    """
+
+
 def sp12_ask(spark, sf_dir):
     """ASK form: lazy one-row boolean — limit(1) over the pattern
     stops the scan at the first match instead of evaluating the whole
@@ -6556,6 +6610,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp11_values_restrict": sp11_values_restrict,
     "sp12_ask": sp12_ask,
     "sp13_describe": sp13_describe,
+    "llm16_repeated_spans": llm16_repeated_spans,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
@@ -6814,6 +6869,7 @@ _ORACLES: dict[str, str] = {
     "sp11_values_restrict": _sql_sp11(),
     "sp12_ask": _sql_sp12(),
     "sp13_describe": _sql_sp13(),
+    "llm16_repeated_spans": _sql_llm16(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
