@@ -330,3 +330,87 @@ def test_wordpiece_total_and_reconstructs(spark, words):
             # (cap=10 >= max word len here, so no leftovers possible)
             if len(tok) > 1:
                 assert tok in vocab
+
+
+# ---------------------------------------------------------------------------
+# SPARQL BGP compilation vs brute-force evaluation (round 5)
+# ---------------------------------------------------------------------------
+
+_node = st.sampled_from(["a", "b", "c", "d"])
+_pred = st.sampled_from(["p", "q"])
+
+
+def _brute_bgp(triples, patterns):
+    """Reference semantics: nested-loop pattern matching over the
+    triple set, returning the set of bindings projected to all vars."""
+    def match(pat, binding):
+        out = []
+        for s, p, o in triples:
+            b = dict(binding)
+            ok = True
+            for term, val in zip(pat, (s, p, o)):
+                kind, name = term
+                if kind == "const":
+                    if name != val:
+                        ok = False
+                        break
+                else:
+                    if name in b and b[name] != val:
+                        ok = False
+                        break
+                    b[name] = val
+            if ok:
+                out.append(b)
+        return out
+
+    bindings = [{}]
+    for pat in patterns:
+        bindings = [b2 for b in bindings for b2 in match(pat, b)]
+    vars_ = sorted({n for pat in patterns for k, n in pat if k == "var"})
+    return {tuple(b[v] for v in vars_) for b in bindings}, vars_
+
+
+@given(
+    triples=st.lists(
+        st.tuples(_node, _pred, _node), min_size=1, max_size=12, unique=True
+    ),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_sparql_bgp_matches_bruteforce(spark, triples, data):
+    """For ANY small graph and ANY 2-pattern BGP over it, the compiled
+    DataFrame join returns exactly the brute-force binding set (joins,
+    duplicate-variable patterns, constant positions — the whole
+    pattern-matching semantics in one property)."""
+    from geosparql_etl_spark.sparql import TripleStore, sparql_select
+
+    term = st.one_of(
+        st.tuples(st.just("var"), st.sampled_from(["x", "y", "z"])),
+        st.tuples(st.just("const"), _node),
+    )
+    pterm = st.one_of(
+        st.tuples(st.just("var"), st.just("w")),
+        st.tuples(st.just("const"), _pred),
+    )
+    patterns = [
+        (data.draw(term), data.draw(pterm), data.draw(term)) for _ in range(2)
+    ]
+    want, vars_ = _brute_bgp(triples, patterns)
+    if not vars_:  # pure existence BGPs are out of SELECT's scope here
+        return
+
+    def fmt(t):
+        return f"?{t[1]}" if t[0] == "var" else f"<{t[1]}>"
+
+    q = (
+        "SELECT "
+        + " ".join(f"?{v}" for v in vars_)
+        + " WHERE { "
+        + " . ".join(" ".join(fmt(t) for t in pat) for pat in patterns)
+        + " }"
+    )
+    store = TripleStore(
+        spark.createDataFrame(list(triples), "s string, p string, o string")
+    )
+    got = {tuple(r) for r in sparql_select(store, q).collect()}
+    assert got == want
