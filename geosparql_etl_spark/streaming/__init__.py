@@ -8,6 +8,10 @@ from geosparql_etl_spark.streaming.sink import (
     run_batched_doc_stream,
     stream_to_ttl_batches,
 )
+from geosparql_etl_spark.streaming.sparql_ivm import (
+    IncrementalConstructView,
+    run_incremental_construct,
+)
 
 __all__ = [
     "events_file_stream",
@@ -16,4 +20,6 @@ __all__ = [
     "session_windows",
     "stream_to_ttl_batches",
     "run_batched_doc_stream",
+    "IncrementalConstructView",
+    "run_incremental_construct",
 ]

@@ -1,0 +1,208 @@
+"""Incremental SPARQL view maintenance: CONSTRUCT under streaming.
+
+A materialized CONSTRUCT view (sparql/compiler.py) over a GROWING
+graph should not be recomputed from scratch per micro-batch — at
+100 TB the accumulated graph dwarfs every batch. This module
+implements SEMI-NAIVE delta evaluation (the classic Datalog
+incrementalization, public literature): for an n-pattern BGP with
+per-pattern accumulated match frames M1..Mn and batch deltas δ1..δn,
+the new derivations are exactly
+
+    Δresult = Σ_i  (M1+δ1) ⋈ … ⋈ (M_{i-1}+δ_{i-1}) ⋈ δi ⋈ M_{i+1} ⋈ … ⋈ Mn
+
+— each term pins pattern i to the DELTA, patterns before i to their
+UPDATED state and patterns after i to their PRE-BATCH state, so every
+new derivation is produced exactly once and nothing is recomputed.
+Per batch the work is n joins each with one batch-sized input; the
+accumulated frames are only probed, never re-joined against each
+other.
+
+Monotone fragment only (BGP + FILTER): no OPTIONAL/MINUS/NOT EXISTS,
+whose deltas can RETRACT — the standard stratification boundary for
+incremental evaluation. FILTERs commute with union-of-deltas, so they
+apply per delta term.
+
+Scale notes: state frames are var-column projections sized to the
+MATCHES of one pattern (not the graph); localCheckpoint after each
+update cuts lineage (reliable checkpoint when a dir is configured —
+the d08/pagerank convention). The derived-set dedup is a left_anti
+against the accumulated view, which AQE broadcasts while the view is
+small and shuffles on the template key once it is not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.sparql.compiler import (
+    _compile_expr,
+    _join,
+    _scan_pattern,
+    parse_query,
+)
+from geosparql_etl_spark.sparql.triples import TripleStore
+
+
+def _cut(df: DataFrame) -> DataFrame:
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
+class IncrementalConstructView:
+    """Maintains CONSTRUCT { template } WHERE { BGP [FILTER…] }
+    incrementally over arriving triples.
+
+    ``update(batch)`` ingests a batch of (s, p, o) triples and returns
+    the NEWLY derived template triples (never previously emitted).
+    ``snapshot()`` returns the full materialized view so far.
+    """
+
+    def __init__(self, construct_text: str, static_store: TripleStore | None = None):
+        q = parse_query(construct_text)
+        if q.construct_template is None:
+            raise ValueError("IncrementalConstructView needs a CONSTRUCT query")
+        self.template = q.construct_template
+        self.patterns: list = []
+        self.filters: list = []
+        for el in q.where.elements:
+            if el[0] == "bgp":
+                self.patterns.extend(el[1])
+            elif el[0] == "filter":
+                self.filters.append(el[1])
+            else:
+                raise ValueError(
+                    f"only the monotone BGP+FILTER fragment is incrementally "
+                    f"maintainable; got {el[0].upper()}"
+                )
+        if not self.patterns:
+            raise ValueError("empty BGP")
+        # per-pattern accumulated match frames, seeded from the static
+        # graph when one is given (streamed triples then extend it)
+        self.state: list[DataFrame | None] = [None] * len(self.patterns)
+        if static_store is not None:
+            self.state = [
+                _cut(_scan_pattern(static_store, pat).dropDuplicates())
+                for pat in self.patterns
+            ]
+        self.view: DataFrame | None = None  # accumulated derived triples
+
+    def _derive(self, bindings: DataFrame) -> DataFrame:
+        for expr in self.filters:
+            bindings = bindings.where(_compile_expr(expr))
+        out: DataFrame | None = None
+        for s, p, o in self.template:
+            def col_of(term):
+                return (
+                    F.col(term[1]).cast("string")
+                    if term[0] == "var"
+                    else F.lit(term[1])
+                )
+            t = bindings.select(
+                col_of(s).alias("s"), col_of(p).alias("p"), col_of(o).alias("o")
+            )
+            out = t if out is None else out.unionByName(t)
+        assert out is not None
+        return out.dropDuplicates()
+
+    def update(self, batch_triples: DataFrame) -> DataFrame:
+        """Ingest one batch; return the never-before-emitted derived
+        triples (already deduplicated against the accumulated view)."""
+        batch_store = TripleStore(batch_triples)
+        deltas = [
+            _scan_pattern(batch_store, pat).dropDuplicates()
+            for pat in self.patterns
+        ]
+        # drop delta rows already in the accumulated state (re-sent
+        # triples must not re-derive)
+        for i, d in enumerate(deltas):
+            if self.state[i] is not None:
+                deltas[i] = d.join(self.state[i], on=d.columns, how="left_anti")
+        updated = [
+            deltas[i]
+            if self.state[i] is None
+            else self.state[i].unionByName(deltas[i])
+            for i in range(len(self.patterns))
+        ]
+        new_bindings: DataFrame | None = None
+        for i in range(len(self.patterns)):
+            term: DataFrame | None = None
+            for j in range(len(self.patterns)):
+                part = (
+                    updated[j]
+                    if j < i
+                    else deltas[i]
+                    if j == i
+                    else self.state[j]
+                )
+                if part is None:  # pre-batch state empty: term derives nothing
+                    term = None
+                    break
+                term = _join(term, part)
+            if term is not None:
+                new_bindings = (
+                    term
+                    if new_bindings is None
+                    else new_bindings.unionByName(term)
+                )
+        self.state = [_cut(u) for u in updated]
+        if new_bindings is None:
+            empty = self._derive_empty(batch_triples)
+            return empty
+        fresh = self._derive(new_bindings)
+        if self.view is not None:
+            fresh = fresh.join(self.view, on=["s", "p", "o"], how="left_anti")
+        fresh = _cut(fresh)
+        self.view = (
+            fresh if self.view is None else _cut(self.view.unionByName(fresh))
+        )
+        return fresh
+
+    def _derive_empty(self, like: DataFrame) -> DataFrame:
+        spark = like.sparkSession
+        return spark.createDataFrame([], "s string, p string, o string")
+
+    def snapshot(self) -> DataFrame:
+        if self.view is None:
+            raise ValueError("no batches ingested yet")
+        return self.view
+
+
+def run_incremental_construct(
+    spark,
+    triples_stream: DataFrame,
+    construct_text: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    static_store: TripleStore | None = None,
+    bootstrap_triples: DataFrame | None = None,
+):
+    """Wire the view into Structured Streaming: per micro-batch, emit
+    only the newly derived triples, appended to a parquet view dir.
+    Append-only is exactly-once here BECAUSE the fragment is monotone:
+    a replayed batch re-derives only rows the view already holds, and
+    the left_anti dedup drops them (same idempotence argument as
+    streaming/sink.py's MERGE).
+
+    On RESTART pass ``bootstrap_triples`` = the already-processed
+    triples (the lake the checkpoint says is consumed): the view
+    replays them once to rebuild its per-pattern state and discards
+    their derivations — state is re-derived from durable inputs, the
+    reference's checkpoint-recovery pattern (mongo-etl checkpoint
+    semantics), not persisted mutable state."""
+    view = IncrementalConstructView(construct_text, static_store=static_store)
+    if bootstrap_triples is not None:
+        view.update(bootstrap_triples.select("s", "p", "o"))
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        fresh = view.update(batch_df.select("s", "p", "o"))
+        if fresh.limit(1).count() > 0:
+            fresh.write.mode("append").parquet(out_dir)
+
+    return (
+        triples_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
