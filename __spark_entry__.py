@@ -6469,6 +6469,48 @@ def _sql_llm16():
     """
 
 
+def d13_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the cosine>=0.4 near-dup pair
+    graph (the sim02 edge set): triangles measure how CLIQUE-LIKE a
+    duplication neighborhood is — d12's PageRank finds hubs, this
+    finds tightly-mutual template families. Degree-ordered orientation
+    (operators/graph.py:triangle_counts) bounds wedge fan-out on
+    power-law graphs; the oracle orients by raw id — per-node counts
+    are orientation-invariant, so agreement checks the algorithm, not
+    the orientation."""
+    from geosparql_etl_spark.operators.graph import triangle_counts
+    from geosparql_etl_spark.operators.similarity import lsh_threshold_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = lsh_threshold_pairs(
+        e, threshold=0.4, dim=64, bands=48, bits_per_band=4
+    )
+    return triangle_counts(pairs).select(
+        F.col("node").alias("vec_id"), "n_triangles"
+    )
+
+
+def _sql_d13():
+    return """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    tri AS (
+      SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p1.id_b = p2.id_a
+      JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b)
+    SELECT node AS vec_id, count(*) AS n_triangles FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    GROUP BY node
+    """
+
+
 def sp12_ask(spark, sf_dir):
     """ASK form: lazy one-row boolean — limit(1) over the pattern
     stops the scan at the first match instead of evaluating the whole
@@ -6611,6 +6653,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp12_ask": sp12_ask,
     "sp13_describe": sp13_describe,
     "llm16_repeated_spans": llm16_repeated_spans,
+    "d13_triangle_count": d13_triangle_count,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
@@ -6870,6 +6913,7 @@ _ORACLES: dict[str, str] = {
     "sp12_ask": _sql_sp12(),
     "sp13_describe": _sql_sp13(),
     "llm16_repeated_spans": _sql_llm16(),
+    "d13_triangle_count": _sql_d13(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;

@@ -98,3 +98,58 @@ def pagerank(
             F.coalesce(F.col("deg"), F.lit(0)).alias("degree"),
         )
     )
+
+
+def triangle_counts(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph.
+
+    Degree-ordered edge orientation (the classic distributed triangle
+    algorithm): rank nodes by (degree, id), keep each edge only in its
+    low-rank -> high-rank direction, enumerate length-2 oriented paths
+    u->v->w, and close them against the oriented edge u->w. Every
+    triangle is produced EXACTLY once (its rank-sorted orientation),
+    and orienting away from high-degree nodes bounds each node's wedge
+    fan-out at O(sqrt(2m)) — the skew control that makes the wedge
+    join feasible on power-law duplication graphs, where orienting by
+    raw id would square the hub degree. Output is per-node counts
+    (each triangle credits all three corners), which is orientation-
+    invariant — an oracle may orient by plain id and must agree.
+
+    -> (node, n_triangles), nodes in >= 1 triangle only.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    both = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count("*").alias("deg"))
+    ranked = (
+        both.join(
+            deg.select(F.col("u").alias("u"), F.col("deg").alias("du")), "u"
+        )
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("deg").alias("dv")), "v"
+        )
+    )
+    oriented = ranked.where(
+        F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v"))
+    ).select("u", "v")
+    paths = (
+        oriented.alias("ab")
+        .join(oriented.alias("bc"), F.col("ab.v") == F.col("bc.u"))
+        .select(
+            F.col("ab.u").alias("x"),
+            F.col("ab.v").alias("y"),
+            F.col("bc.v").alias("z"),
+        )
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("z")
+    )
+    tris = paths.join(closing, on=["x", "z"])
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

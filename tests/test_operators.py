@@ -1440,3 +1440,44 @@ def test_profile_drift_flags_zero_distinct_and_schema_changes(spark):
     assert got["v"] is True       # 0 -> 1 distinct: flagged, not NULL
     assert got["added"] is True   # one-sided column: schema drift
     assert got["id"] is False     # unchanged
+
+
+class TestTriangleCounts:
+    def test_clique_plus_path(self, spark):
+        """K5 clique: every node sits in C(4,2)=6 triangles; a pendant
+        path and an isolated edge contribute none."""
+        from geosparql_etl_spark.operators.graph import triangle_counts
+
+        clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        extra = [(4, 10), (10, 11), (20, 21)]  # path off the clique + island
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in clique + extra],
+            "id_a long, id_b long",
+        )
+        got = {
+            r.node: r.n_triangles for r in triangle_counts(pairs).collect()
+        }
+        assert got == {0: 6, 1: 6, 2: 6, 3: 6, 4: 6}
+
+    def test_hub_star_has_no_triangles(self, spark):
+        """A pure star (hub + leaves, no leaf-leaf edges): zero
+        triangles — and the degree orientation points every edge AWAY
+        from the hub, so the wedge join fans out over leaves (degree
+        1), never over the hub."""
+        from geosparql_etl_spark.operators.graph import triangle_counts
+
+        pairs = spark.createDataFrame(
+            [(0, i) for i in range(1, 30)], "id_a long, id_b long"
+        )
+        assert triangle_counts(pairs).count() == 0
+
+    def test_two_overlapping_triangles(self, spark):
+        from geosparql_etl_spark.operators.graph import triangle_counts
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)], "id_a long, id_b long"
+        )
+        got = {
+            r.node: r.n_triangles for r in triangle_counts(pairs).collect()
+        }
+        assert got == {1: 1, 2: 2, 3: 2, 4: 1}
