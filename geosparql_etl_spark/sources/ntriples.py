@@ -324,10 +324,19 @@ class NTriplesWriter(DataSourceWriter):
                     glob.glob(os.path.join(self.path, "part-*.nt.gz")):
                 os.remove(f)
         for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
-                os.replace(
-                    m.tmp_path, os.path.join(self.path, m.final_name)
+            if m is None:
+                continue
+            if not os.path.exists(m.tmp_path):
+                # a reported winner whose temp vanished (concurrent job
+                # sweeping this directory, external cleanup) is a
+                # protocol violation: publishing _SUCCESS anyway would
+                # present an output silently missing that partition.
+                raise IOError(
+                    f"ntriples commit: winner temp {m.tmp_path!r} is "
+                    "missing — refusing to publish an incomplete output "
+                    "(is another job writing this directory?)"
                 )
+            os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
         self._sweep_temps()
         with io.open(
             os.path.join(self.path, "_SUCCESS"), "wt", encoding="utf-8"

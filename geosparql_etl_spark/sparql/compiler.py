@@ -145,6 +145,16 @@ class _Parser:
         tok = self.peek()
         return tok is not None and tok.upper() == word
 
+    def _expect_end(self) -> None:
+        """CONSTRUCT/ASK/DESCRIBE take no solution modifiers in this
+        subset — leftover tokens (a LIMIT the caller expects to apply)
+        must fail loudly, not be silently dropped."""
+        if self.peek() is not None:
+            raise ValueError(
+                f"unexpected token {self.peek()!r} after query body "
+                "(solution modifiers are SELECT-only in this subset)"
+            )
+
     # -- terms -------------------------------------------------------------
     def _expand(self, pname: str) -> str:
         pfx, local = pname.split(":", 1)
@@ -218,16 +228,21 @@ class _Parser:
             if self._kw("WHERE"):
                 self.next()
             where = self.group()
+            self._expect_end()
             return Query(True, [], where, [], [], None, template)
         if self._kw("ASK"):
             self.next()
-            return Query(False, [], self.group(), [], [], None, ask=True)
+            g = self.group()
+            self._expect_end()
+            return Query(False, [], g, [], [], None, ask=True)
         if self._kw("DESCRIBE"):
             self.next()
             var = self.next()[1:]
             if self._kw("WHERE"):
                 self.next()
-            return Query(False, [], self.group(), [], [], None, describe_var=var)
+            g = self.group()
+            self._expect_end()
+            return Query(False, [], g, [], [], None, describe_var=var)
         self.expect("SELECT")
         distinct = False
         if self._kw("DISTINCT"):
@@ -731,6 +746,28 @@ def _agg_col(func: str, arg: str | None, alias: str) -> Column:
     raise ValueError(f"unsupported aggregate {func}")
 
 
+def construct_triples(bindings: DataFrame, template: list) -> DataFrame:
+    """Materialize a CONSTRUCT template over a bindings frame: one
+    (s, p, o) row per template triple per binding, deduplicated (a
+    graph is a SET of triples). Shared by the batch compiler and the
+    incremental view (streaming/sparql_ivm.py) so the two cannot
+    drift."""
+    out: DataFrame | None = None
+    for s, p, o in template:
+        def col_of(term):
+            return (
+                F.col(term[1]).cast("string")
+                if term[0] == "var"
+                else F.lit(term[1])
+            )
+        t = bindings.select(
+            col_of(s).alias("s"), col_of(p).alias("p"), col_of(o).alias("o")
+        )
+        out = t if out is None else out.unionByName(t)
+    assert out is not None
+    return out.dropDuplicates()
+
+
 def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
     """Parse + compile + return the (lazy) result DataFrame.
 
@@ -749,21 +786,7 @@ def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
         subjects = df.select(F.col(q.describe_var).alias("s")).dropDuplicates()
         return store.triples.join(subjects, on="s", how="left_semi")
     if q.construct_template is not None:
-        out: DataFrame | None = None
-        for s, p, o in q.construct_template:
-            def col_of(term):
-                return (
-                    F.col(term[1]).cast("string")
-                    if term[0] == "var"
-                    else F.lit(term[1])
-                )
-            t = df.select(
-                col_of(s).alias("s"), col_of(p).alias("p"), col_of(o).alias("o")
-            )
-            out = t if out is None else out.unionByName(t)
-        assert out is not None
-        # a graph is a SET of triples
-        return out.dropDuplicates()
+        return construct_triples(df, q.construct_template)
     aggs = [p for p in q.projections if p[0] == "agg"]
     if aggs or q.group_by:
         agg_cols = [_agg_col(func, arg, alias) for _, func, arg, alias in aggs]

@@ -33,12 +33,12 @@ small and shuffles on the template key once it is not.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from geosparql_etl_spark.sparql.compiler import (
     _compile_expr,
     _join,
     _scan_pattern,
+    construct_triples,
     parse_query,
 )
 from geosparql_etl_spark.sparql.triples import TripleStore
@@ -76,6 +76,17 @@ class IncrementalConstructView:
                     f"only the monotone BGP+FILTER fragment is incrementally "
                     f"maintainable; got {el[0].upper()}"
                 )
+        for pat in self.patterns:
+            if pat[1][0] == "path":
+                # a path predicate evaluates WITHIN one store — a
+                # batch-only delta would miss sequences/closures whose
+                # hops span batches. Loud rejection, not silent loss;
+                # express the path as explicit per-hop patterns
+                # instead (each hop then deltas independently).
+                raise ValueError(
+                    "property paths are not incrementally maintainable; "
+                    "rewrite the path as separate triple patterns"
+                )
         if not self.patterns:
             raise ValueError("empty BGP")
         # per-pattern accumulated match frames, seeded from the static
@@ -91,20 +102,7 @@ class IncrementalConstructView:
     def _derive(self, bindings: DataFrame) -> DataFrame:
         for expr in self.filters:
             bindings = bindings.where(_compile_expr(expr))
-        out: DataFrame | None = None
-        for s, p, o in self.template:
-            def col_of(term):
-                return (
-                    F.col(term[1]).cast("string")
-                    if term[0] == "var"
-                    else F.lit(term[1])
-                )
-            t = bindings.select(
-                col_of(s).alias("s"), col_of(p).alias("p"), col_of(o).alias("o")
-            )
-            out = t if out is None else out.unionByName(t)
-        assert out is not None
-        return out.dropDuplicates()
+        return construct_triples(bindings, self.template)
 
     def update(self, batch_triples: DataFrame) -> DataFrame:
         """Ingest one batch; return the never-before-emitted derived
@@ -119,14 +117,23 @@ class IncrementalConstructView:
         for i, d in enumerate(deltas):
             if self.state[i] is not None:
                 deltas[i] = d.join(self.state[i], on=d.columns, how="left_anti")
+        # one small job per pattern on the BATCH-sized delta; lets the
+        # loop below skip the i-th semi-naive term entirely and — more
+        # important — lets an untouched pattern KEEP its already-
+        # checkpointed state frame instead of re-materializing it
+        nonempty = [d.limit(1).count() > 0 for d in deltas]
         updated = [
             deltas[i]
             if self.state[i] is None
+            else self.state[i]
+            if not nonempty[i]
             else self.state[i].unionByName(deltas[i])
             for i in range(len(self.patterns))
         ]
         new_bindings: DataFrame | None = None
         for i in range(len(self.patterns)):
+            if not nonempty[i]:  # empty delta: term i derives nothing
+                continue
             term: DataFrame | None = None
             for j in range(len(self.patterns)):
                 part = (
@@ -146,9 +153,18 @@ class IncrementalConstructView:
                     if new_bindings is None
                     else new_bindings.unionByName(term)
                 )
-        self.state = [_cut(u) for u in updated]
-        if new_bindings is None:
-            empty = self._derive_empty(batch_triples)
+        self.state = [
+            self.state[i]
+            if (not nonempty[i] and self.state[i] is not None)
+            else _cut(updated[i])
+            for i in range(len(self.patterns))
+        ]
+        if new_bindings is None:  # nothing new matched any pattern
+            empty = batch_triples.sparkSession.createDataFrame(
+                [], "s string, p string, o string"
+            )
+            if self.view is None:  # the view now exists, just empty
+                self.view = empty
             return empty
         fresh = self._derive(new_bindings)
         if self.view is not None:
@@ -158,10 +174,6 @@ class IncrementalConstructView:
             fresh if self.view is None else _cut(self.view.unionByName(fresh))
         )
         return fresh
-
-    def _derive_empty(self, like: DataFrame) -> DataFrame:
-        spark = like.sparkSession
-        return spark.createDataFrame([], "s string, p string, o string")
 
     def snapshot(self) -> DataFrame:
         if self.view is None:

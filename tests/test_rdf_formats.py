@@ -441,3 +441,19 @@ def test_ntriples_multi_dir_and_glob_listing(spark, triples_df, tmp_path):
         .where(F.col("path") == str(root / "img" / "a.nt"))
     )
     assert one.count() == 3
+
+
+def test_ntriples_commit_refuses_missing_winner_temp(tmp_path):
+    """A reported winner whose temp file vanished (concurrent job
+    sweeping the directory) must abort the commit loudly — publishing
+    _SUCCESS with a partition silently missing is the one outcome a
+    two-phase protocol exists to prevent."""
+    import pytest as _pytest
+
+    from geosparql_etl_spark.sources.ntriples import NTriplesWriter, _Committed
+
+    w = NTriplesWriter({"path": str(tmp_path)}, overwrite=False)
+    gone = str(tmp_path / ".part-00000-42.nt.tmp")  # never created
+    with _pytest.raises(IOError, match="missing"):
+        w.commit([_Committed(gone, "part-00000.nt", 3)])
+    assert not (tmp_path / "_SUCCESS").exists()

@@ -412,3 +412,15 @@ class TestPlanShape:
         )
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_construct_ask_describe_reject_trailing_modifiers():
+    from geosparql_etl_spark.sparql import parse_query as pq
+
+    for q in (
+        "CONSTRUCT { ?s <p> ?o } WHERE { ?s <p> ?o } LIMIT 10",
+        "ASK { ?s <p> ?o } ORDER BY ?s",
+        "DESCRIBE ?s WHERE { ?s <p> ?o } LIMIT 5",
+    ):
+        with pytest.raises(ValueError, match="SELECT-only"):
+            pq(q)

@@ -132,3 +132,12 @@ class TestStreamed:
         assert _set(got) == _set(want)
         # append-only materialization stayed duplicate-free
         assert got.count() == got.dropDuplicates().count()
+
+
+def test_property_path_rejected(spark):
+    """Path predicates delta within one batch only — cross-batch hops
+    would be silently lost, so the constructor must refuse them."""
+    with pytest.raises(ValueError, match="path"):
+        IncrementalConstructView(
+            PFX + "CONSTRUCT { ?p ex:loc ?cn } WHERE { ?p ex:city/ex:name ?cn }"
+        )
