@@ -6561,6 +6561,37 @@ def _sql_sp13():
     """
 
 
+def sp14_group_concat_having(spark, sf_dir):
+    """GROUP_CONCAT (pinned to SORTED order — the A6 deterministic-
+    render rule as a SPARQL aggregate) + SAMPLE (deterministic MIN) +
+    HAVING over an aggregate alias: populous nations with their full
+    sorted member roster."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nname (COUNT(?c) AS ?n)
+               (GROUP_CONCAT(?cname; SEPARATOR="|") AS ?roster)
+               (SAMPLE(?cname) AS ?first_member) WHERE {
+          ?c a ex:Customer .
+          ?c ex:name ?cname .
+          ?c ex:nation ?nn .
+          ?nn ex:name ?nname
+        } GROUP BY ?nname HAVING(?n > 60) ORDER BY ?nname
+        """,
+    )
+
+
+def _sql_sp14():
+    return """
+    SELECT n_name AS nname, count(*) AS n,
+           string_agg(c_name, '|' ORDER BY c_name) AS roster,
+           min(c_name) AS first_member
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name HAVING count(*) > 60 ORDER BY nname
+    """
+
+
 # =============================================================================
 # registry
 # =============================================================================
@@ -6652,6 +6683,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp11_values_restrict": sp11_values_restrict,
     "sp12_ask": sp12_ask,
     "sp13_describe": sp13_describe,
+    "sp14_group_concat_having": sp14_group_concat_having,
     "llm16_repeated_spans": llm16_repeated_spans,
     "d13_triangle_count": d13_triangle_count,
     "sim07_vector_stats": sim07_vector_stats,
@@ -6912,6 +6944,7 @@ _ORACLES: dict[str, str] = {
     "sp11_values_restrict": _sql_sp11(),
     "sp12_ask": _sql_sp12(),
     "sp13_describe": _sql_sp13(),
+    "sp14_group_concat_having": _sql_sp14(),
     "llm16_repeated_spans": _sql_llm16(),
     "d13_triangle_count": _sql_d13(),
 }

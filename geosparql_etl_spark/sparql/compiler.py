@@ -71,7 +71,7 @@ _TOKEN_RE = re.compile(
     | (?P<number>-?\d+\.\d+|-?\d+)
     | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*)
     | (?P<word>[A-Za-z_]\w*)
-    | (?P<op>&&|\|\||!=|<=|>=|[{}().=<>!*,/^+|])
+    | (?P<op>&&|\|\||!=|<=|>=|[{}().=<>!*,/^+|;])
     """,
     re.X,
 )
@@ -118,6 +118,7 @@ class Query:
     construct_template: list | None = None  # CONSTRUCT: [(sTerm,pTerm,oTerm)]
     ask: bool = False  # ASK { ... }
     describe_var: str | None = None  # DESCRIBE ?v WHERE { ... }
+    having: object | None = None  # HAVING(expr over aggregate aliases)
 
 
 class _Parser:
@@ -262,6 +263,12 @@ class _Parser:
                 arg = None if self.peek() == "*" else self.next()[1:]
                 if arg is None:
                     self.next()  # '*'
+                if self.peek() == ";":  # GROUP_CONCAT(?v; SEPARATOR="..")
+                    self.next()
+                    self.expect("SEPARATOR")
+                    self.expect("=")
+                    sep = _unquote(self.next())
+                    arg = (arg, sep)
                 self.expect(")")
                 self.expect("AS")
                 alias = self.next()[1:]
@@ -274,6 +281,7 @@ class _Parser:
         where = self.group()
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
+        having = None
         limit = None
         while self.peek() is not None:
             tok = self.next().upper()
@@ -281,6 +289,10 @@ class _Parser:
                 self.expect("BY")
                 while self.peek() is not None and self.peek().startswith("?"):
                     group_by.append(self.next()[1:])
+            elif tok == "HAVING":
+                self.expect("(")
+                having = self._expr_or()
+                self.expect(")")
             elif tok == "ORDER":
                 self.expect("BY")
                 while True:
@@ -300,7 +312,10 @@ class _Parser:
                 limit = int(self.next())
             else:
                 raise ValueError(f"unexpected token {tok!r} after WHERE group")
-        return Query(distinct, projections, where, group_by, order_by, limit)
+        return Query(
+            distinct, projections, where, group_by, order_by, limit,
+            having=having,
+        )
 
     def _template(self) -> list:
         """CONSTRUCT template: plain triples only (no paths/filters)."""
@@ -727,10 +742,21 @@ def _compile_expr(node) -> Column:
 # -- aggregates --------------------------------------------------------------
 
 
-def _agg_col(func: str, arg: str | None, alias: str) -> Column:
+def _agg_col(func: str, arg, alias: str) -> Column:
     if func == "COUNT":
         col = F.count("*") if arg is None else F.count(F.col(arg))
         return col.alias(alias)
+    if func == "GROUP_CONCAT":
+        var, sep = arg if isinstance(arg, tuple) else (arg, " ")
+        # SPARQL leaves concat order undefined; this engine pins it to
+        # SORTED order (the A6 deterministic-render rule) so results
+        # are identical across partitionings and replay engines.
+        return F.array_join(
+            F.array_sort(F.collect_list(F.col(var))), sep
+        ).alias(alias)
+    if func == "SAMPLE":
+        # any binding is lawful; MIN is the deterministic choice
+        return F.min(F.col(arg)).alias(alias)
     lexical = F.col(arg).cast("decimal(18,2)")
     if func == "SUM":
         # DECIMAL sum: exact and order-independent — identical across
@@ -791,6 +817,10 @@ def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
     if aggs or q.group_by:
         agg_cols = [_agg_col(func, arg, alias) for _, func, arg, alias in aggs]
         df = df.groupBy(*[F.col(v) for v in q.group_by]).agg(*agg_cols)
+        if q.having is not None:
+            # HAVING over the aggregate ALIASES (?alias comparisons) —
+            # applied post-aggregation like its SQL namesake
+            df = df.where(_compile_expr(q.having))
     out_cols = [p[1] if p[0] == "var" else p[3] for p in q.projections]
     df = df.select(*out_cols)
     if q.distinct:

@@ -424,3 +424,25 @@ def test_construct_ask_describe_reject_trailing_modifiers():
     ):
         with pytest.raises(ValueError, match="SELECT-only"):
             pq(q)
+
+
+class TestAggExtensions:
+    def test_group_concat_sorted_and_sample(self, toy_store):
+        rows = run(
+            toy_store,
+            'SELECT ?t (GROUP_CONCAT(?n; SEPARATOR="|") AS ?names) '
+            "(SAMPLE(?n) AS ?first) WHERE { ?x a ?t . ?x ex:name ?n } "
+            "GROUP BY ?t ORDER BY ?t",
+        ).collect()
+        assert [(r.t, r.names, r.first) for r in rows] == [
+            ("urn:ex:City", "london|york", "london"),
+            ("urn:ex:Person", "ada|alan|grace", "ada"),
+        ]
+
+    def test_having(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?t (COUNT(*) AS ?n) WHERE { ?x a ?t } GROUP BY ?t "
+            "HAVING(?n > 2)",
+        ).collect()
+        assert [(r.t, r.n) for r in rows] == [("urn:ex:Person", 3)]
