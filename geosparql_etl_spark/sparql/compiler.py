@@ -3,11 +3,15 @@
 Covered grammar (the practical core of SPARQL 1.1):
 
   PREFIX decls; SELECT [DISTINCT] ?v... | (AGG(?v|*) AS ?alias)...
-  or CONSTRUCT { template } ;
+  or CONSTRUCT { template } or ASK {...} or DESCRIBE ?v WHERE {...} ;
   WHERE { basic graph patterns . FILTER(expr) OPTIONAL {...}
           {...} UNION {...} MINUS {...} FILTER [NOT] EXISTS {...}
           VALUES ?v { lits } } ;
-  GROUP BY ?v... ; ORDER BY [ASC|DESC](?v)... ; LIMIT n
+  GROUP BY ?v... HAVING(expr) ; ORDER BY [ASC|DESC](?v)... ; LIMIT n
+
+Aggregates: COUNT / SUM / MIN / MAX / AVG on DECIMAL lexicals,
+GROUP_CONCAT(?v; SEPARATOR="..") pinned to sorted order, SAMPLE as
+deterministic MIN.
 
 Property paths in predicate position: sequence a/b, inverse ^a,
 alternation a|b, transitive a+ (closure by pointer doubling —
