@@ -6469,6 +6469,70 @@ def _sql_llm16():
     """
 
 
+def llm17_preference_pairs(spark, sf_dir):
+    """Contrastive preference-pair construction (the DPO/RLHF data
+    shape): per (source, lang) cohort, pair the best-scoring document
+    against the worst as (chosen, rejected), keeping cohorts whose
+    quality gap clears a margin — low-gap cohorts teach nothing.
+    Deterministic: rank by (quality, doc_id) both ways, so ties cannot
+    flip the pair between runs or engines. One shuffle on the cohort
+    key; both extreme picks ride the same window partitioning."""
+    from geosparql_etl_spark.functions.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+    w_best = Window.partitionBy("source", "lang").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    w_worst = Window.partitionBy("source", "lang").orderBy(
+        F.asc("q"), F.asc("doc_id")
+    )
+    ranked = d.select(
+        "source", "lang", "doc_id", "q",
+        F.row_number().over(w_best).alias("rb"),
+        F.row_number().over(w_worst).alias("rw"),
+    )
+    best = ranked.where(F.col("rb") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("chosen_id"), F.col("q").alias("chosen_q"),
+    )
+    worst = ranked.where(F.col("rw") == 1).select(
+        "source", "lang",
+        F.col("doc_id").alias("rejected_id"), F.col("q").alias("rejected_q"),
+    )
+    return (
+        best.join(worst, on=["source", "lang"])
+        .where(F.col("chosen_q") - F.col("rejected_q") >= 0.1)
+        .select(
+            "source", "lang", "chosen_id", "rejected_id",
+            F.round(F.col("chosen_q") - F.col("rejected_q"), 6).alias("gap"),
+        )
+    )
+
+
+def _sql_llm17():
+    return """
+    WITH scored AS (
+      SELECT d.source, d.lang, d.doc_id, q.quality AS qv
+      FROM documents d JOIN ({txt03}) q ON q.doc_id = d.doc_id),
+    ranked AS (
+      SELECT source, lang, doc_id, qv,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY qv DESC, doc_id ASC) AS rb,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY qv ASC, doc_id ASC) AS rw
+      FROM scored)
+    SELECT b.source, b.lang, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           round(b.qv - w.qv, 6) AS gap
+    FROM (SELECT * FROM ranked WHERE rb = 1) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w
+      ON b.source = w.source AND b.lang = w.lang
+    WHERE b.qv - w.qv >= 0.1
+    """.replace("{txt03}", _sql_txt03())
+
+
 def d13_triangle_count(spark, sf_dir):
     """Per-node triangle counts over the cosine>=0.4 near-dup pair
     graph (the sim02 edge set): triangles measure how CLIQUE-LIKE a
@@ -6685,6 +6749,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp13_describe": sp13_describe,
     "sp14_group_concat_having": sp14_group_concat_having,
     "llm16_repeated_spans": llm16_repeated_spans,
+    "llm17_preference_pairs": llm17_preference_pairs,
     "d13_triangle_count": d13_triangle_count,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
@@ -6946,6 +7011,7 @@ _ORACLES: dict[str, str] = {
     "sp13_describe": _sql_sp13(),
     "sp14_group_concat_having": _sql_sp14(),
     "llm16_repeated_spans": _sql_llm16(),
+    "llm17_preference_pairs": _sql_llm17(),
     "d13_triangle_count": _sql_d13(),
 }
 
