@@ -95,6 +95,13 @@ HEADLINE = [
     "q09_product_profit",
     "sp01_bgp_chain",
     "sp05_group_totals",
+    "llm16_repeated_spans",
+    "llm17_preference_pairs",
+    "d13_triangle_count",
+    # sp09's transitive closure deliberately NOT in the headline: the
+    # fixpoint loop inherits the same GC/iteration variance the d11
+    # exclusion documents; its constituent join shape is timed via
+    # sp01/sp05 and the oracle gate checks it every round.
 ]
 
 
