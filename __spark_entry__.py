@@ -6533,6 +6533,69 @@ def _sql_llm17():
     """.replace("{txt03}", _sql_txt03())
 
 
+def llm18_bpe_merges(spark, sf_dir):
+    """BPE vocabulary induction over the corpus (operators/bpe.py):
+    4 learned merges from the distinct-word frequency table. The
+    oracle UNROLLS the whole training loop in SQL — per round, one
+    pair-count argmax CTE (same tie-break) and one replace-twice
+    rewrite CTE — so the iterative trainer is value-checked end to
+    end, the pagerank/sim11 replay argument applied to tokenizer
+    training."""
+    from geosparql_etl_spark.operators.bpe import learn_bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word").rlike("^[a-z]+$"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return learn_bpe_merges(words, num_merges=4)
+
+
+def _sql_llm18():
+    def pair_cte(i):
+        return f"""
+    p{i} AS (
+      SELECT a, b, CAST(sum(freq) AS BIGINT) AS f FROM (
+        SELECT w[i] AS a, w[i+1] AS b, freq FROM (
+          SELECT string_split(trim(s), ' ') AS w, freq FROM w{i-1}),
+        LATERAL unnest(range(1, len(w))) AS t(i))
+      GROUP BY a, b ORDER BY f DESC, a ASC, b ASC LIMIT 1)"""
+
+    def word_cte(i):
+        pat = "' ' || a || ' ' || b || ' '"
+        rep = "' ' || a || b || ' '"
+        return f"""
+    w{i} AS (
+      SELECT replace(replace(s, {pat}, {rep}), {pat}, {rep}) AS s, freq
+      FROM w{i-1} CROSS JOIN p{i})"""
+
+    ctes = """
+    WITH wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
+    w0 AS (
+      SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s,
+             freq
+      FROM wf)"""
+    for i in range(1, 5):
+        ctes += "," + pair_cte(i)
+        if i < 4:
+            ctes += "," + word_cte(i)
+    return (
+        ctes
+        + """
+    SELECT 1 AS merge_rank, a AS lhs, b AS rhs, f AS pair_freq FROM p1
+    UNION ALL SELECT 2, a, b, f FROM p2
+    UNION ALL SELECT 3, a, b, f FROM p3
+    UNION ALL SELECT 4, a, b, f FROM p4
+    """
+    )
+
+
 def d13_triangle_count(spark, sf_dir):
     """Per-node triangle counts over the cosine>=0.4 near-dup pair
     graph (the sim02 edge set): triangles measure how CLIQUE-LIKE a
@@ -6750,6 +6813,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp14_group_concat_having": sp14_group_concat_having,
     "llm16_repeated_spans": llm16_repeated_spans,
     "llm17_preference_pairs": llm17_preference_pairs,
+    "llm18_bpe_merges": llm18_bpe_merges,
     "d13_triangle_count": d13_triangle_count,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
@@ -7012,6 +7076,7 @@ _ORACLES: dict[str, str] = {
     "sp14_group_concat_having": _sql_sp14(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
+    "llm18_bpe_merges": _sql_llm18(),
     "d13_triangle_count": _sql_d13(),
 }
 

@@ -1481,3 +1481,41 @@ class TestTriangleCounts:
             r.node: r.n_triangles for r in triangle_counts(pairs).collect()
         }
         assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+class TestBpeMerges:
+    def test_sennrich_example_merge_order(self, spark):
+        """Hand-computed merges on the classic BPE example vocabulary:
+        e-s and s-t tie at 9 (tie-break picks 'e' < 's'), then es-t,
+        then the l-o / o-w tie at 7, then lo-w."""
+        from geosparql_etl_spark.operators.bpe import learn_bpe_merges
+
+        words = spark.createDataFrame(
+            [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+            "word string, freq long",
+        )
+        got = [tuple(r) for r in learn_bpe_merges(words, num_merges=4).collect()]
+        assert got == [
+            (1, "e", "s", 9),
+            (2, "es", "t", 9),
+            (3, "l", "o", 7),
+            (4, "lo", "w", 7),
+        ]
+
+    def test_back_to_back_merge_both_applied(self, spark):
+        """'aaaa' x1: round 1 merges (a,a)=3 pairs-count... the learned
+        pair is (a,a); the replace-twice rewrite must leave 'aa aa'
+        (both non-overlapping occurrences merged), so round 2 learns
+        (aa,aa)."""
+        from geosparql_etl_spark.operators.bpe import learn_bpe_merges
+
+        words = spark.createDataFrame([("aaaa", 1)], "word string, freq long")
+        got = [tuple(r) for r in learn_bpe_merges(words, num_merges=2).collect()]
+        assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+    def test_stops_when_no_pairs(self, spark):
+        from geosparql_etl_spark.operators.bpe import learn_bpe_merges
+
+        words = spark.createDataFrame([("ab", 2)], "word string, freq long")
+        got = learn_bpe_merges(words, num_merges=5).collect()
+        assert len(got) == 1  # after merging (a,b) nothing is adjacent
