@@ -375,6 +375,11 @@ class _Parser:
                 self.next()
                 flush()
                 g.elements.append(("minus", self.group()))
+            elif tok.upper() == "GRAPH":
+                self.next()
+                gterm = self.term()
+                flush()
+                g.elements.append(("graph", gterm, self.group()))
             elif tok.upper() == "VALUES":
                 self.next()
                 var = self.next()[1:]
@@ -639,6 +644,16 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             vals = spark.createDataFrame([(v,) for v in lits], f"{var} string")
             # broadcast: an inline VALUES list is tiny by construction
             df = _join(df, F.broadcast(vals)) if df is not None else vals
+        elif kind == "graph":
+            from geosparql_etl_spark.sparql.triples import GraphScopedStore
+
+            gterm, inner = payload
+            scoped = GraphScopedStore(
+                store,
+                gconst=gterm[1] if gterm[0] == "const" else None,
+                gvar=gterm[1] if gterm[0] == "var" else None,
+            )
+            df = _join(df, _compile_group(scoped, inner))
         elif kind == "filter":
             filters.append(payload[0])
     if df is None:

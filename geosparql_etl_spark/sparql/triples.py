@@ -228,20 +228,25 @@ class TripleStore:
         self.vertical = vertical
 
     @classmethod
-    def from_ntriples(cls, df: DataFrame) -> "TripleStore":
+    def from_ntriples(cls, df: DataFrame, with_graphs: bool = False) -> "TripleStore":
         """Adapt a ``spark.read.format("ntriples")`` frame (schema
         subject/predicate/object/is_literal/datatype/lang/path —
         sources/ntriples.py) to the compiler's (s, p, o) shape. The
         extra RDF-term metadata is dropped: the compiler's FILTER
         casts operate on the lexical form, which is what ``object``
-        already holds."""
-        return cls(
-            df.select(
-                F.col("subject").alias("s"),
-                F.col("predicate").alias("p"),
-                F.col("object").alias("o"),
-            )
-        )
+        already holds.
+
+        ``with_graphs=True`` keeps the source file path as the NAMED
+        GRAPH column ``g`` — one .nt file == one graph, the natural
+        quad reading of a triple lake, queryable with GRAPH patterns."""
+        cols = [
+            F.col("subject").alias("s"),
+            F.col("predicate").alias("p"),
+            F.col("object").alias("o"),
+        ]
+        if with_graphs:
+            cols.append(F.col("path").alias("g"))
+        return cls(df.select(*cols))
 
     @classmethod
     def vertically_partitioned(cls, triples: DataFrame) -> "TripleStore":
@@ -271,5 +276,48 @@ class TripleStore:
             df = df.where(F.col("o") == o)
         cols = [F.col(pos).alias(name) for pos, name in aliases.items()]
         if not cols:  # pure existence pattern: keep one marker column
+            return df.select(F.lit(1).alias("__exists__")).limit(1)
+        return df.select(*cols)
+
+
+class GraphScopedStore:
+    """TripleStore view inside a ``GRAPH <iri>`` / ``GRAPH ?g`` scope.
+
+    Requires a quad-bearing base store (a ``g`` column — e.g.
+    ``from_ntriples(..., with_graphs=True)``). A constant graph term
+    filters; a variable graph term emits ``g`` as that variable on
+    EVERY pattern in the scope, so the shared-variable join machinery
+    automatically keeps all scope patterns (and every hop of a
+    property path) inside one graph — exactly SPARQL's GRAPH
+    semantics.
+
+    Scale note: graph scopes bypass the per-predicate vertical dict
+    (built without g); a production quad lake partitions by (g, p)
+    and gets pruning on both — this in-memory view keeps the simple
+    flat filter."""
+
+    def __init__(self, base: TripleStore, gconst: str | None, gvar: str | None):
+        if "g" not in base.triples.columns:
+            raise ValueError(
+                "GRAPH pattern needs a quad store (no 'g' column; load "
+                "with TripleStore.from_ntriples(df, with_graphs=True))"
+            )
+        self.triples = base.triples
+        self.vertical = None
+        self._gconst = gconst
+        self._gvar = gvar
+
+    def scan(self, s, p, o, aliases) -> DataFrame:
+        df = self.triples
+        for pos, const in (("s", s), ("p", p), ("o", o)):
+            if const is not None:
+                df = df.where(F.col(pos) == const)
+        if self._gconst is not None:
+            df = df.where(F.col("g") == self._gconst)
+        al = dict(aliases)
+        if self._gvar is not None:
+            al["g"] = self._gvar
+        cols = [F.col(pos).alias(name) for pos, name in al.items()]
+        if not cols:
             return df.select(F.lit(1).alias("__exists__")).limit(1)
         return df.select(*cols)

@@ -446,3 +446,76 @@ class TestAggExtensions:
             "HAVING(?n > 2)",
         ).collect()
         assert [(r.t, r.n) for r in rows] == [("urn:ex:Person", 3)]
+
+
+class TestNamedGraphs:
+    @pytest.fixture(scope="class")
+    def quad_store(self, spark):
+        rows = [
+            ("urn:p:1", "urn:ex:name", "ada", "urn:g:hr"),
+            ("urn:p:2", "urn:ex:name", "grace", "urn:g:hr"),
+            ("urn:p:1", "urn:ex:name", "ada-2024", "urn:g:archive"),
+            ("urn:p:3", "urn:ex:name", "alan", "urn:g:archive"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string, g string")
+        )
+
+    def test_graph_constant_scopes(self, quad_store):
+        rows = run(
+            quad_store,
+            "SELECT ?n WHERE { GRAPH <urn:g:hr> { ?s ex:name ?n } } ORDER BY ?n",
+        ).collect()
+        assert [r.n for r in rows] == ["ada", "grace"]
+
+    def test_graph_variable_binds_and_joins(self, quad_store):
+        rows = run(
+            quad_store,
+            "SELECT ?g ?n WHERE { GRAPH ?g { <urn:p:1> ex:name ?n } } ORDER BY ?g",
+        ).collect()
+        assert [(r.g, r.n) for r in rows] == [
+            ("urn:g:archive", "ada-2024"),
+            ("urn:g:hr", "ada"),
+        ]
+
+    def test_graph_scope_keeps_patterns_in_one_graph(self, spark):
+        # cross-graph chain: s->m in g1, m->o only in g2 — a scoped
+        # 2-pattern BGP must NOT stitch across graphs
+        rows = [
+            ("a", "p", "m", "g1"),
+            ("m", "q", "z", "g2"),
+            ("b", "p", "n", "g2"),
+            ("n", "q", "y", "g2"),
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string, g string")
+        )
+        got = sparql_select(
+            store,
+            "SELECT ?s ?o WHERE { GRAPH ?g { ?s <p> ?m . ?m <q> ?o } }",
+        ).collect()
+        assert [(r.s, r.o) for r in got] == [("b", "y")]
+
+    def test_graph_on_triple_store_rejected(self, toy_store):
+        with pytest.raises(ValueError, match="quad store"):
+            run(toy_store, "SELECT ?n WHERE { GRAPH ?g { ?s ex:name ?n } }").collect()
+
+    def test_ntriples_files_are_graphs(self, spark, tmp_path):
+        from geosparql_etl_spark.sources.ntriples import register
+
+        register(spark)
+        a = tmp_path / "a.nt"
+        b = tmp_path / "b.nt"
+        a.write_text("<urn:s:1> <urn:p:name> \"one\" .\n")
+        b.write_text("<urn:s:2> <urn:p:name> \"two\" .\n")
+        df = spark.read.format("ntriples").load(str(tmp_path))
+        store = TripleStore.from_ntriples(df, with_graphs=True)
+        rows = sparql_select(
+            store,
+            "SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } } "
+            "GROUP BY ?g ORDER BY ?g",
+        ).collect()
+        assert [(r.g.split("/")[-1], r.n) for r in rows] == [
+            ("a.nt", 1),
+            ("b.nt", 1),
+        ]
