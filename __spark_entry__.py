@@ -6737,7 +6737,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-stamped on round-3 testdata, outside the judge r04 spot-
     # sample). The remaining 42 r03-stamped rows are queued first below
     # the window for the r06 rotation; the 50 rows stamped in
-    # CORRECTNESS_r04 sit last. After r06 the whole 163-query registry is
+    # CORRECTNESS_r04 sit last. After r06 the whole 164-query registry is
     # driver-attested across three consecutive rounds.
     # --- never driver-stamped (r05 positions 1-36) ---
     "q02_shipping_priority": q02_shipping_priority,
