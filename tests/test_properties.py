@@ -414,3 +414,23 @@ def test_sparql_bgp_matches_bruteforce(spark, triples, data):
     )
     got = {tuple(r) for r in sparql_select(store, q).collect()}
     assert got == want
+
+
+@given(
+    junk=st.text(
+        alphabet="?{}()<>.a b\"'|/^+;=!&SELECTWHREFILconstruct0123:",
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_sparql_parser_total_on_garbage(junk):
+    """Parser totality: any input either parses or raises ValueError —
+    never IndexError/KeyError/AttributeError from walking off the
+    token stream (the error-contract fuzz for a user-facing parser)."""
+    from geosparql_etl_spark.sparql import parse_query
+
+    try:
+        parse_query(junk)
+    except ValueError:
+        pass
