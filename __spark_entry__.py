@@ -6791,9 +6791,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: round-5 SPARQL additions (never
-    # stamped) then the r03-stamped remainder — together the r06
-    # rotation ---
+    # --- below the 50-row window: ALL 21 round-5 additions (never
+    # stamped: q04/q07/q09, sp01-sp14, llm16-llm18, d13) sit
+    # contiguously first, then the r03-stamped remainder — the r06
+    # window is exactly these 21 plus the 29 oldest r03 rows ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
