@@ -49,6 +49,14 @@ reference, which has no query engine at all):
   casts (exact, order-independent, replay-engine-portable).
 
 Everything is Column expressions — no UDFs, no driver-side row loops.
+
+Documented deviation: joins between binding sets use SQL equality on
+the shared variables, so a row whose shared variable is UNBOUND (NULL
+from an OPTIONAL or a UNION branch) does not join — SPARQL's
+compatibility semantics would let an unbound variable match anything.
+The divergence arises only when an OPTIONAL/UNION-produced variable is
+re-joined by a LATER pattern group; the practical engines this design
+follows (and every query in the registry) stay outside that corner.
 """
 
 from __future__ import annotations
