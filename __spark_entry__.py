@@ -6638,6 +6638,78 @@ def _sql_d13():
     """
 
 
+def d14_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient over the cosine>=0.4 near-dup
+    graph: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)) for deg >= 2 — the
+    mutual-duplication density around each document (1.0 = its
+    neighborhood is a clique/template family, 0 = hub of unrelated
+    near-dups). Rides d13's degree-oriented triangle core; degree from
+    one edge aggregate; coefficient arithmetic on exact integers with
+    one final rounded division."""
+    from geosparql_etl_spark.operators.graph import triangle_counts
+    from geosparql_etl_spark.operators.similarity import lsh_threshold_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = lsh_threshold_pairs(
+        e, threshold=0.4, dim=64, bands=48, bits_per_band=4
+    ).localCheckpoint()
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    deg = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .groupBy("u")
+        .agg(F.count("*").alias("degree"))
+    )
+    tri = triangle_counts(pairs)
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri, deg.u == tri.node, "left")
+        .select(
+            F.col("u").alias("vec_id"),
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.coalesce(F.col("n_triangles"), F.lit(0)) * 2
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("coeff"),
+        )
+    )
+
+
+def _sql_d14():
+    return """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    deg AS (
+      SELECT u, count(*) AS degree FROM (
+        SELECT id_a AS u FROM pairs UNION ALL SELECT id_b FROM pairs)
+      GROUP BY u),
+    tri AS (
+      SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p1.id_b = p2.id_a
+      JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+    tc AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+      GROUP BY node)
+    SELECT deg.u AS vec_id, deg.degree,
+           coalesce(tc.n_triangles, 0) AS n_triangles,
+           round(coalesce(tc.n_triangles, 0) * 2.0
+                 / (deg.degree * (deg.degree - 1)), 6) AS coeff
+    FROM deg LEFT JOIN tc ON tc.node = deg.u
+    WHERE deg.degree >= 2
+    """
+
+
 def sp12_ask(spark, sf_dir):
     """ASK form: lazy one-row boolean — limit(1) over the pattern
     stops the scan at the first match instead of evaluating the whole
@@ -6791,10 +6863,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: ALL 21 round-5 additions (never
-    # stamped: q04/q07/q09, sp01-sp14, llm16-llm18, d13) sit
+    # --- below the 50-row window: ALL 22 round-5 additions (never
+    # stamped: q04/q07/q09, sp01-sp14, llm16-llm18, d13/d14) sit
     # contiguously first, then the r03-stamped remainder — the r06
-    # window is exactly these 21 plus the 29 oldest r03 rows ---
+    # window is exactly these 22 plus the 28 oldest r03 rows ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
@@ -6816,6 +6888,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm17_preference_pairs": llm17_preference_pairs,
     "llm18_bpe_merges": llm18_bpe_merges,
     "d13_triangle_count": d13_triangle_count,
+    "d14_clustering_coeff": d14_clustering_coeff,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
@@ -7079,6 +7152,7 @@ _ORACLES: dict[str, str] = {
     "llm17_preference_pairs": _sql_llm17(),
     "llm18_bpe_merges": _sql_llm18(),
     "d13_triangle_count": _sql_d13(),
+    "d14_clustering_coeff": _sql_d14(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
