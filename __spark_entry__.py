@@ -6710,6 +6710,172 @@ def _sql_d14():
     """
 
 
+def g17_distance_join(spark, sf_dir):
+    """Within-distance spatial self-join (ST_DWithin shape) over the
+    supplier point grid: r/2-inflated boxes ride g15's grid-bucketed
+    candidate join (cells prune, boxes over-approximate the disk),
+    then the exact euclidean predicate decides — bucketed-candidates
+    -> exact-verify, the d06/d07/g15 shape with a distance predicate.
+    Threshold 8.3 cannot tie the integer grid (8.3^2 is not an
+    integer sum of squares)."""
+    from geosparql_etl_spark.operators.spatial import bbox_spatial_join
+
+    s = _t(spark, sf_dir, "supplier")
+    x = ((F.col("s_suppkey") * 37) % 100).cast("double")
+    y = ((F.col("s_suppkey") * 61) % 100).cast("double")
+    pts = s.select(F.col("s_suppkey").alias("pid"), x.alias("x"), y.alias("y"))
+    half = 4.15  # r/2: boxes intersect iff |dx|<=r and |dy|<=r ⊇ the disk
+    boxes = pts.select(
+        F.col("pid").alias("box_id"),
+        (F.col("x") - half).alias("minx"),
+        (F.col("y") - half).alias("miny"),
+        (F.col("x") + half).alias("maxx"),
+        (F.col("y") + half).alias("maxy"),
+    )
+    cand = bbox_spatial_join(boxes, "box_id", cell=10.0)
+    a = pts.select(
+        F.col("pid").alias("id_a"), F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = pts.select(
+        F.col("pid").alias("id_b"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    dist = F.sqrt(
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    return (
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .where(dist < 8.3)
+        .select("id_a", "id_b", F.round(dist, 6).alias("dist"))
+    )
+
+
+def _sql_g17():
+    return """
+    WITH pts AS (
+      SELECT s_suppkey AS pid,
+             CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+             CAST((s_suppkey * 61) % 100 AS DOUBLE) AS y
+      FROM supplier)
+    SELECT a.pid AS id_a, b.pid AS id_b,
+           round(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+    FROM pts a JOIN pts b ON a.pid < b.pid
+    WHERE sqrt((a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y)) < 8.3
+    """
+
+
+def dq04_fk_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema: per foreign
+    key, fact rows + orphan rows (no matching dimension key). Each
+    constraint is one left join against the DISTINCT dim keys (AQE
+    broadcasts every dim side) + one aggregate; constraints union into
+    a single report frame — the expectation gate dq01/dq03 apply to
+    distributions, applied to the join graph itself."""
+    def check(name, fact, fk, dim, dk):
+        keys = dim.select(F.col(dk).alias("__k")).dropDuplicates()
+        return (
+            fact.select(F.col(fk).alias("__k"))
+            .join(keys.withColumn("__hit", F.lit(1)), "__k", "left")
+            .agg(
+                F.lit(name).alias("constraint"),
+                F.count("*").alias("fact_rows"),
+                F.sum(
+                    F.when(F.col("__hit").isNull(), 1).otherwise(0)
+                ).alias("orphans"),
+            )
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    reports = [
+        check("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        check("lineitem.partkey->part", li, "l_partkey", p, "p_partkey"),
+        check("lineitem.suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+        check("orders.custkey->customer", o, "o_custkey", c, "c_custkey"),
+        check("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        check("supplier.nationkey->nation", su, "s_nationkey", n, "n_nationkey"),
+        check("nation.regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
+def _sql_dq04():
+    def check(name, fact, fk, dim, dk):
+        return f"""
+    SELECT '{name}' AS constraint, count(*) AS fact_rows,
+           CAST(sum(CASE WHEN d.__k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS orphans
+    FROM {fact} f
+    LEFT JOIN (SELECT DISTINCT {dk} AS __k FROM {dim}) d ON f.{fk} = d.__k"""
+
+    return " UNION ALL ".join(
+        [
+            check("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            check("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            check("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            check("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            check("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+            check("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+            check("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ]
+    )
+
+
+def txt17_readability(spark, sf_dir):
+    """Flesch reading-ease per document, fully native: words by
+    whitespace split, sentences by terminal-punctuation runs (floor
+    1), syllables approximated as vowel-group runs (the standard
+    regex proxy). One scan, zero shuffle, zero Python — the llm10
+    rule-column pattern applied to a readability score."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim("text"), r"\s+"))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+    )
+
+
+def _sql_txt17():
+    words = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    sentences = "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+    syllables = "len(regexp_extract_all(lower(text), '[aeiouy]+'))"
+    return f"""
+    SELECT doc_id,
+           {words} AS n_words,
+           {sentences} AS n_sentences,
+           {syllables} AS n_syllables,
+           round(206.835 - 1.015 * (CAST({words} AS DOUBLE) / {sentences})
+                 - 84.6 * (CAST({syllables} AS DOUBLE) / {words}), 4) AS flesch
+    FROM documents
+    """
+
+
 def sp12_ask(spark, sf_dir):
     """ASK form: lazy one-row boolean — limit(1) over the pattern
     stops the scan at the first match instead of evaluating the whole
@@ -6863,10 +7029,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: ALL 22 round-5 additions (never
-    # stamped: q04/q07/q09, sp01-sp14, llm16-llm18, d13/d14) sit
+    # --- below the 50-row window: ALL 25 round-5 additions (never
+    # stamped: q04/q07/q09, sp01-sp14, llm16-llm18, d13/d14, g17, dq04, txt17) sit
     # contiguously first, then the r03-stamped remainder — the r06
-    # window is exactly these 22 plus the 28 oldest r03 rows ---
+    # window is exactly these 25 plus the 25 oldest r03 rows ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
@@ -6889,6 +7055,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm18_bpe_merges": llm18_bpe_merges,
     "d13_triangle_count": d13_triangle_count,
     "d14_clustering_coeff": d14_clustering_coeff,
+    "g17_distance_join": g17_distance_join,
+    "dq04_fk_audit": dq04_fk_audit,
+    "txt17_readability": txt17_readability,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
@@ -7153,6 +7322,9 @@ _ORACLES: dict[str, str] = {
     "llm18_bpe_merges": _sql_llm18(),
     "d13_triangle_count": _sql_d13(),
     "d14_clustering_coeff": _sql_d14(),
+    "g17_distance_join": _sql_g17(),
+    "dq04_fk_audit": _sql_dq04(),
+    "txt17_readability": _sql_txt17(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
