@@ -6710,6 +6710,78 @@ def _sql_d14():
     """
 
 
+def er01_entity_canonicalize(spark, sf_dir):
+    """End-to-end entity canonicalization — the composition j11 only
+    starts: blocked Levenshtein candidate pairs over the DISTINCT name
+    domain -> transitive closure via distributed connected components
+    (min-label = the canonical spelling, so no separate canonical-pick
+    step) -> broadcast the vocabulary-sized canonical map back onto
+    the fact rows. The llm01-style composition argument: each stage is
+    an already-verified operator (j11's blocking, d08's components),
+    composed in one plan; per-row work on the 100 TB side is a single
+    broadcast-join lookup. Names ride through the components step as
+    64-bit hashes (long labels shuffle cheaper than strings across
+    log(d) rounds); the canonical SPELLING is min(name) per cluster,
+    picked after — identical to the oracle's min-over-component."""
+    from geosparql_etl_spark.functions.hashing import md5_long
+    from geosparql_etl_spark.operators.dedup import connected_components
+
+    p = _t(spark, sf_dir, "part")
+    names = (
+        p.select(F.col("p_name").alias("n"))
+        .distinct()
+        .select(
+            "n",
+            F.split(F.col("n"), " ").getItem(0).alias("blk"),
+            md5_long(F.col("n")).alias("hid"),
+        )
+    )
+    a = names.select("blk", F.col("n").alias("na"), F.col("hid").alias("ha"))
+    b = names.select("blk", F.col("n").alias("nb"), F.col("hid").alias("hb"))
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("na") < F.col("nb"))
+        .where(F.levenshtein(F.col("na"), F.col("nb")) <= 4)
+        .select(
+            F.least("ha", "hb").alias("id_a"),
+            F.greatest("ha", "hb").alias("id_b"),
+        )
+        .dropDuplicates()
+    )
+    cc = connected_components(pairs, unique_pairs=True)
+    clustered = names.join(cc, names.hid == cc.node, "left").select(
+        "n", F.coalesce(F.col("cluster_id"), F.col("hid")).alias("cid")
+    )
+    canon = clustered.groupBy("cid").agg(F.min("n").alias("canonical"))
+    name_map = clustered.join(canon, "cid").select(
+        F.col("n").alias("p_name"), "canonical"
+    )
+    return p.join(F.broadcast(name_map), "p_name").select(
+        "p_partkey", "p_name", "canonical"
+    )
+
+
+def _sql_er01():
+    return """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
+    blocked AS (SELECT n, string_split(n, ' ')[1] AS blk FROM names),
+    pairs AS (
+      SELECT a.n AS id_a, b.n AS id_b
+      FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.n < b.n
+      WHERE levenshtein(a.n, b.n) <= 4),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, root) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node),
+    cc AS (SELECT node, min(root) AS canon FROM reach GROUP BY node)
+    SELECT p_partkey, p_name, coalesce(cc.canon, p_name) AS canonical
+    FROM part LEFT JOIN cc ON cc.node = p_name
+    """
+
+
 def g17_distance_join(spark, sf_dir):
     """Within-distance spatial self-join (ST_DWithin shape) over the
     supplier point grid: r/2-inflated boxes ride g15's grid-bucketed
@@ -6975,7 +7047,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-stamped on round-3 testdata, outside the judge r04 spot-
     # sample). The remaining 42 r03-stamped rows are queued first below
     # the window for the r06 rotation; the 50 rows stamped in
-    # CORRECTNESS_r04 sit last. After r06 the whole 164-query registry is
+    # CORRECTNESS_r04 sit last. After r06 the whole 169-query registry is
     # driver-attested across three consecutive rounds.
     # --- never driver-stamped (r05 positions 1-36) ---
     "q02_shipping_priority": q02_shipping_priority,
@@ -7029,10 +7101,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: ALL 25 round-5 additions (never
-    # stamped: q04/q07/q09, sp01-sp14, llm16-llm18, d13/d14, g17, dq04, txt17) sit
+    # --- below the 50-row window: ALL 26 round-5 additions (never
+    # stamped: q04/q07/q09, sp01-sp14, llm16-llm18, d13/d14, g17, dq04, txt17, er01) sit
     # contiguously first, then the r03-stamped remainder — the r06
-    # window is exactly these 25 plus the 25 oldest r03 rows ---
+    # window is exactly these 26 plus the 24 oldest r03 rows ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
@@ -7058,6 +7130,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g17_distance_join": g17_distance_join,
     "dq04_fk_audit": dq04_fk_audit,
     "txt17_readability": txt17_readability,
+    "er01_entity_canonicalize": er01_entity_canonicalize,
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
@@ -7325,6 +7398,7 @@ _ORACLES: dict[str, str] = {
     "g17_distance_join": _sql_g17(),
     "dq04_fk_audit": _sql_dq04(),
     "txt17_readability": _sql_txt17(),
+    "er01_entity_canonicalize": _sql_er01(),
 }
 
 # h02's oracle hashes the driver's sf0.01 files at registry-build time;
