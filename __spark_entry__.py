@@ -6415,6 +6415,44 @@ def _sql_sp11():
     """
 
 
+def sp15_subquery_max(spark, sf_dir):
+    """SPARQL 1.1 subquery: a grouped MAX evaluated independently,
+    its bindings joined to the outer pattern on the shared variables —
+    per-nation top balance and the customer(s) achieving it (the
+    aggregates-mid-query mechanism; equality on ?mx joins the
+    subquery's DECIMAL against the pattern's lexical, exact because
+    the lexical is the %.2f canonical form)."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nname ?cname ?mx WHERE {
+          { SELECT ?nn (MAX(?bal) AS ?mx) WHERE {
+              ?c2 ex:nation ?nn . ?c2 ex:acctbal ?bal } GROUP BY ?nn }
+          ?c ex:nation ?nn .
+          ?c ex:acctbal ?mx .
+          ?c ex:name ?cname .
+          ?nn ex:name ?nname
+        } ORDER BY ?nname
+        """,
+    )
+
+
+def _sql_sp15():
+    return """
+    WITH mx AS (
+      SELECT c_nationkey AS nk,
+             max(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2))) AS mx
+      FROM customer GROUP BY c_nationkey)
+    SELECT n_name AS nname, c_name AS cname, mx.mx
+    FROM customer
+    JOIN mx ON c_nationkey = mx.nk
+           AND CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) = mx.mx
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY nname
+    """
+
+
 def llm16_repeated_spans(spark, sf_dir):
     """ExactSubstr-style cross-document repeated-span report (Lee et
     al., "Deduplicating Training Data Makes Language Models Better"):
@@ -7047,7 +7085,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-stamped on round-3 testdata, outside the judge r04 spot-
     # sample). The remaining 42 r03-stamped rows are queued first below
     # the window for the r06 rotation; the 50 rows stamped in
-    # CORRECTNESS_r04 sit last. After r06 the whole 169-query registry is
+    # CORRECTNESS_r04 sit last. After r06 the whole 170-query registry is
     # driver-attested across three consecutive rounds.
     # --- never driver-stamped (r05 positions 1-36) ---
     "q02_shipping_priority": q02_shipping_priority,
@@ -7101,10 +7139,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: ALL 26 round-5 additions (never
-    # stamped: q04/q07/q09, sp01-sp14, llm16-llm18, d13/d14, g17, dq04, txt17, er01) sit
+    # --- below the 50-row window: ALL 27 round-5 additions (never
+    # stamped: q04/q07/q09, sp01-sp15, llm16-llm18, d13/d14, g17, dq04, txt17, er01) sit
     # contiguously first, then the r03-stamped remainder — the r06
-    # window is exactly these 26 plus the 24 oldest r03 rows ---
+    # window is exactly these 27 plus the 23 oldest r03 rows ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
@@ -7122,6 +7160,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp12_ask": sp12_ask,
     "sp13_describe": sp13_describe,
     "sp14_group_concat_having": sp14_group_concat_having,
+    "sp15_subquery_max": sp15_subquery_max,
     "llm16_repeated_spans": llm16_repeated_spans,
     "llm17_preference_pairs": llm17_preference_pairs,
     "llm18_bpe_merges": llm18_bpe_merges,
@@ -7390,6 +7429,7 @@ _ORACLES: dict[str, str] = {
     "sp12_ask": _sql_sp12(),
     "sp13_describe": _sql_sp13(),
     "sp14_group_concat_having": _sql_sp14(),
+    "sp15_subquery_max": _sql_sp15(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
     "llm18_bpe_merges": _sql_llm18(),

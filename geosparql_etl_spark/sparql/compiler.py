@@ -256,6 +256,12 @@ class _Parser:
             g = self.group()
             self._expect_end()
             return Query(False, [], g, [], [], None, describe_var=var)
+        return self._select_query(embedded=False)
+
+    def _select_query(self, embedded: bool) -> Query:
+        """SELECT form. ``embedded=True`` = a `{ SELECT ... }` subquery:
+        the modifier loop stops at the enclosing '}' instead of
+        end-of-stream (the caller consumes the brace)."""
         self.expect("SELECT")
         distinct = False
         if self._kw("DISTINCT"):
@@ -295,7 +301,7 @@ class _Parser:
         order_by: list[tuple[str, bool]] = []
         having = None
         limit = None
-        while self.peek() is not None:
+        while self.peek() is not None and not (embedded and self.peek() == "}"):
             tok = self.next().upper()
             if tok == "GROUP":
                 self.expect("BY")
@@ -400,11 +406,22 @@ class _Parser:
                 g.elements.append(("values", var, lits))
             elif tok == "{":
                 flush()
-                branches = [self.group()]
-                while self._kw("UNION"):
-                    self.next()
-                    branches.append(self.group())
-                g.elements.append(("union", branches))
+                # `{ SELECT ... }` is a SPARQL 1.1 subquery, not a
+                # graph-pattern group
+                if (
+                    self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1].upper() == "SELECT"
+                ):
+                    self.next()  # '{'
+                    sub = self._select_query(embedded=True)
+                    self.expect("}")
+                    g.elements.append(("subquery", sub))
+                else:
+                    branches = [self.group()]
+                    while self._kw("UNION"):
+                        self.next()
+                        branches.append(self.group())
+                    g.elements.append(("union", branches))
             elif tok == ".":
                 self.next()
             else:
@@ -662,6 +679,11 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 gvar=gterm[1] if gterm[0] == "var" else None,
             )
             df = _join(df, _compile_group(scoped, inner))
+        elif kind == "subquery":
+            # SPARQL 1.1 subquery: evaluated independently, its
+            # projected bindings join the outer group on shared vars —
+            # the aggregates-mid-query mechanism
+            df = _join(df, _compile_query(store, payload[0]))
         elif kind == "filter":
             filters.append(payload[0])
     if df is None:
@@ -828,7 +850,10 @@ def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
     frame — a new graph derived from the matched bindings, which is
     exactly the reference's ETL shape (mint triples from matched
     source rows) expressed as a query."""
-    q = parse_query(query_text)
+    return _compile_query(store, parse_query(query_text))
+
+
+def _compile_query(store: TripleStore, q: Query) -> DataFrame:
     df = _compile_group(store, q.where)
     if q.ask:
         # one row, one boolean, still lazy: limit(1) stops the scan at

@@ -519,3 +519,36 @@ class TestNamedGraphs:
             ("a.nt", 1),
             ("b.nt", 1),
         ]
+
+
+class TestSubqueries:
+    def test_subquery_aggregate_joins_outer(self, toy_store):
+        # max age via subquery, joined back to find who has it
+        rows = run(
+            toy_store,
+            "SELECT ?name ?m WHERE { "
+            "{ SELECT (MAX(?a) AS ?m) WHERE { ?x ex:age ?a } } "
+            "?p ex:age ?m . ?p ex:name ?name }",
+        ).collect()
+        assert [(r.name, str(r.m)) for r in rows] == [("grace", "47.00")]
+
+    def test_subquery_group_by(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?t ?n WHERE { "
+            "{ SELECT ?t (COUNT(*) AS ?n) WHERE { ?x a ?t } GROUP BY ?t } "
+            "} ORDER BY ?t",
+        ).collect()
+        assert [(r.t, r.n) for r in rows] == [
+            ("urn:ex:City", 2),
+            ("urn:ex:Person", 3),
+        ]
+
+    def test_subquery_limit_stays_inside(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?n WHERE { "
+            "{ SELECT ?n WHERE { ?p a ex:Person . ?p ex:name ?n } "
+            "ORDER BY ?n LIMIT 2 } }",
+        ).collect()
+        assert sorted(r.n for r in rows) == ["ada", "alan"]
