@@ -6681,34 +6681,26 @@ def d14_clustering_coeff(spark, sf_dir):
     graph: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)) for deg >= 2 — the
     mutual-duplication density around each document (1.0 = its
     neighborhood is a clique/template family, 0 = hub of unrelated
-    near-dups). Rides d13's degree-oriented triangle core; degree from
-    one edge aggregate; coefficient arithmetic on exact integers with
-    one final rounded division."""
-    from geosparql_etl_spark.operators.graph import triangle_counts
+    near-dups). One triangle_profile pass — the degree the orientation
+    computes anyway comes out with the counts, no second edge
+    aggregate; coefficient arithmetic on exact integers with one final
+    rounded division."""
+    from geosparql_etl_spark.operators.graph import triangle_profile
     from geosparql_etl_spark.operators.similarity import lsh_threshold_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     pairs = lsh_threshold_pairs(
         e, threshold=0.4, dim=64, bands=48, bits_per_band=4
-    ).localCheckpoint()
-    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    deg = (
-        edges.unionByName(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .groupBy("u")
-        .agg(F.count("*").alias("degree"))
     )
-    tri = triangle_counts(pairs)
     return (
-        deg.where(F.col("degree") >= 2)
-        .join(tri, deg.u == tri.node, "left")
+        triangle_profile(pairs)
+        .where(F.col("degree") >= 2)
         .select(
-            F.col("u").alias("vec_id"),
+            F.col("node").alias("vec_id"),
             "degree",
-            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            "n_triangles",
             F.round(
-                F.coalesce(F.col("n_triangles"), F.lit(0)) * 2
+                F.col("n_triangles") * 2
                 / (F.col("degree") * (F.col("degree") - 1)),
                 6,
             ).alias("coeff"),

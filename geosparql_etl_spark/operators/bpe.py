@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geosparql_etl_spark.util import cut_lineage
+
 
 def learn_bpe_merges(
     words: DataFrame,
@@ -51,7 +53,8 @@ def learn_bpe_merges(
             F.lit(" "),
         ).alias("s"),
         F.col(freq_col).alias("freq"),
-    ).localCheckpoint()
+    )
+    state = cut_lineage(state)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         pairs = state.select(
@@ -84,7 +87,8 @@ def learn_bpe_merges(
         state = state.select(
             F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
             "freq",
-        ).localCheckpoint()  # cut lineage: round k must not replay 1..k-1
+        )
+        state = cut_lineage(state)  # round k must not replay 1..k-1
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
     )

@@ -253,10 +253,7 @@ def connected_components(
     executor failure).
     """
 
-    def _cut(df: DataFrame) -> DataFrame:
-        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint()
+    from geosparql_etl_spark.util import cut_lineage as _cut
     edges = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )

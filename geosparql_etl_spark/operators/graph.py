@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geosparql_etl_spark.util import cut_lineage as _cut
+
 SCALE = 1_000_000
 
 
@@ -45,13 +47,6 @@ def pagerank(
     neighbors of r/deg  — all in integer arithmetic (div truncates;
     both replay engines agree exactly).
     """
-    def _cut(df: DataFrame) -> DataFrame:
-        # reliable checkpoint when a dir is configured (survives
-        # executor loss on a cluster); localCheckpoint otherwise —
-        # the connected_components convention
-        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint()
 
     edges = _cut(  # materialize pair generation ONCE: deg and the
         pairs.select(  # edges_deg join below both read these edges
@@ -100,10 +95,11 @@ def pagerank(
     )
 
 
-def triangle_counts(
+def triangle_profile(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:
-    """Per-node triangle counts over an undirected pair graph.
+    """Per-node degree AND triangle count over an undirected pair
+    graph — one pass, one edge materialization.
 
     Degree-ordered edge orientation (the classic distributed triangle
     algorithm): rank nodes by (degree, id), keep each edge only in its
@@ -113,17 +109,15 @@ def triangle_counts(
     and orienting away from high-degree nodes bounds each node's wedge
     fan-out at O(sqrt(2m)) — the skew control that makes the wedge
     join feasible on power-law duplication graphs, where orienting by
-    raw id would square the hub degree. Output is per-node counts
-    (each triangle credits all three corners), which is orientation-
-    invariant — an oracle may orient by plain id and must agree.
+    raw id would square the hub degree. Per-node counts credit all
+    three corners and are orientation-invariant — an oracle may
+    orient by plain id and must agree. The degree aggregate the
+    orientation needs anyway is part of the output, so callers
+    (clustering coefficient) never recompute it.
 
-    -> (node, n_triangles), nodes in >= 1 triangle only.
+    -> (node, degree, n_triangles) for EVERY node in the graph
+    (n_triangles = 0 for triangle-free nodes).
     """
-    def _cut(df: DataFrame) -> DataFrame:
-        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint()
-
     # materialize the edge list ONCE: it is read by the degree agg,
     # both wedge-join sides, and the closing join — without the cut,
     # an expensive pair-generation lineage (e.g. the LSH candidate
@@ -159,8 +153,29 @@ def triangle_counts(
         F.col("u").alias("x"), F.col("v").alias("z")
     )
     tris = paths.join(closing, on=["x", "z"])
-    return (
+    counts = (
         tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.select(F.col("u").alias("node"), F.col("deg").alias("degree"))
+        .join(counts, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+    )
+
+
+def triangle_counts(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(node, n_triangles), nodes in >= 1 triangle only — see
+    triangle_profile for the algorithm."""
+    return (
+        triangle_profile(pairs, id_a, id_b)
+        .where(F.col("n_triangles") > 0)
+        .select("node", "n_triangles")
     )

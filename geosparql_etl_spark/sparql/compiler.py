@@ -582,6 +582,16 @@ def _path_df(store: TripleStore, node) -> DataFrame:
 def _scan_pattern(store: TripleStore, pat) -> DataFrame:
     s, p, o = pat
     if p[0] == "path":
+        if getattr(store, "_gvar", None) is not None:
+            # path evaluation carries only (s, o) between hops; inside
+            # GRAPH ?g that silently drops the graph binding AND the
+            # same-graph constraint between hops — reject loudly.
+            # (Constant-graph scopes are fine: every hop's scan is
+            # filtered to the one graph.)
+            raise ValueError(
+                "property paths inside GRAPH ?var are unsupported; use a "
+                "constant graph or per-hop triple patterns"
+            )
         pairs = _path_df(store, p[1])
         for pos, term in (("s", s), ("o", o)):
             if term[0] == "const":
@@ -866,9 +876,18 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
     if q.construct_template is not None:
         return construct_triples(df, q.construct_template)
     aggs = [p for p in q.projections if p[0] == "agg"]
+    if q.having is not None and not (aggs or q.group_by):
+        # fail loudly, never silently drop a clause (the _expect_end
+        # convention): HAVING without aggregation has nothing to filter
+        raise ValueError("HAVING requires GROUP BY or aggregate projections")
     if aggs or q.group_by:
         agg_cols = [_agg_col(func, arg, alias) for _, func, arg, alias in aggs]
-        df = df.groupBy(*[F.col(v) for v in q.group_by]).agg(*agg_cols)
+        if agg_cols:
+            df = df.groupBy(*[F.col(v) for v in q.group_by]).agg(*agg_cols)
+        else:
+            # GROUP BY with no aggregate projections == the distinct
+            # grouped keys (Spark's .agg() rejects an empty list)
+            df = df.select(*q.group_by).dropDuplicates()
         if q.having is not None:
             # HAVING over the aggregate ALIASES (?alias comparisons) —
             # applied post-aggregation like its SQL namesake

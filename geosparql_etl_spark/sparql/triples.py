@@ -285,11 +285,14 @@ class GraphScopedStore:
 
     Requires a quad-bearing base store (a ``g`` column — e.g.
     ``from_ntriples(..., with_graphs=True)``). A constant graph term
-    filters; a variable graph term emits ``g`` as that variable on
-    EVERY pattern in the scope, so the shared-variable join machinery
-    automatically keeps all scope patterns (and every hop of a
-    property path) inside one graph — exactly SPARQL's GRAPH
-    semantics.
+    filters every scan (plain patterns AND property-path hops, which
+    all route through this ``scan``); a variable graph term emits
+    ``g`` as that variable on every PLAIN pattern in the scope, so the
+    shared-variable join machinery keeps the scope single-graph —
+    SPARQL's GRAPH semantics. Property paths inside a VARIABLE graph
+    scope are rejected loudly (``_path_df``'s seq/closure steps carry
+    only (s, o) and would silently drop the binding — see
+    compiler._scan_pattern).
 
     Scale note: graph scopes bypass the per-predicate vertical dict
     (built without g); a production quad lake partitions by (g, p)
@@ -316,6 +319,14 @@ class GraphScopedStore:
             df = df.where(F.col("g") == self._gconst)
         al = dict(aliases)
         if self._gvar is not None:
+            if self._gvar in al.values():
+                # GRAPH ?g { ?s ?g ?o }: the same output alias from two
+                # positions would shadow, silently losing the required
+                # position==graph equality — reject instead
+                raise ValueError(
+                    f"graph variable ?{self._gvar} also used in a triple "
+                    "pattern position (unsupported)"
+                )
             al["g"] = self._gvar
         cols = [F.col(pos).alias(name) for pos, name in al.items()]
         if not cols:

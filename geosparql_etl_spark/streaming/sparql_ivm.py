@@ -44,10 +44,7 @@ from geosparql_etl_spark.sparql.compiler import (
 from geosparql_etl_spark.sparql.triples import TripleStore
 
 
-def _cut(df: DataFrame) -> DataFrame:
-    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+from geosparql_etl_spark.util import cut_lineage as _cut
 
 
 class IncrementalConstructView:

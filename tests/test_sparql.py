@@ -552,3 +552,57 @@ class TestSubqueries:
             "ORDER BY ?n LIMIT 2 } }",
         ).collect()
         assert sorted(r.n for r in rows) == ["ada", "alan"]
+
+
+class TestReviewFixes:
+    def test_having_without_aggregates_rejected(self, toy_store):
+        with pytest.raises(ValueError, match="HAVING"):
+            run(
+                toy_store,
+                "SELECT ?x WHERE { ?s ex:name ?x } HAVING(?x > 5)",
+            )
+
+    def test_group_by_without_aggregates_is_distinct_keys(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?t WHERE { ?x a ?t } GROUP BY ?t ORDER BY ?t",
+        ).collect()
+        assert [r.t for r in rows] == ["urn:ex:City", "urn:ex:Person"]
+
+    def test_path_inside_constant_graph_stays_scoped(self, spark):
+        rows = [
+            ("a", "p", "m", "g1"),
+            ("m", "q", "z", "g1"),
+            ("b", "p", "n", "g1"),
+            ("n", "q", "y", "g2"),  # second hop in the OTHER graph
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string, g string")
+        )
+        got = sparql_select(
+            store,
+            "SELECT ?s ?o WHERE { GRAPH <g1> { ?s <p>/<q> ?o } }",
+        ).collect()
+        assert [(r.s, r.o) for r in got] == [("a", "z")]
+
+    def test_path_inside_variable_graph_rejected(self, spark):
+        store = TripleStore(
+            spark.createDataFrame(
+                [("a", "p", "b", "g1")], "s string, p string, o string, g string"
+            )
+        )
+        with pytest.raises(ValueError, match="GRAPH \\?var"):
+            sparql_select(
+                store, "SELECT ?s WHERE { GRAPH ?g { ?s <p>/<q> ?o } }"
+            )
+
+    def test_graph_var_position_collision_rejected(self, spark):
+        store = TripleStore(
+            spark.createDataFrame(
+                [("a", "p", "b", "g1")], "s string, p string, o string, g string"
+            )
+        )
+        with pytest.raises(ValueError, match="also used"):
+            sparql_select(
+                store, "SELECT ?g WHERE { GRAPH ?g { ?s ?g ?o } }"
+            ).collect()
