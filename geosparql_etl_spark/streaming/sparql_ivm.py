@@ -42,8 +42,6 @@ from geosparql_etl_spark.sparql.compiler import (
     parse_query,
 )
 from geosparql_etl_spark.sparql.triples import TripleStore
-
-
 from geosparql_etl_spark.util import cut_lineage as _cut
 
 
