@@ -6453,6 +6453,84 @@ def _sql_sp15():
     """
 
 
+def sp16_update_rewrite(spark, sf_dir):
+    """SPARQL Update: rename ex:acctbal to ex:balance for VIP
+    customers only — the reference's in-place TTL URN surgery
+    (sha256-hash rewrite scripts) as one declarative DELETE/INSERT,
+    returning the post-update graph copy-on-write. The oracle
+    reconstructs the ENTIRE vocabulary independently in SQL and
+    applies the rename as a CASE — so this one row-for-row compare
+    attests the full triple rendering AND the update semantics
+    (~68k triples at sf0.01)."""
+    from geosparql_etl_spark.sparql import sparql_update, tpch_store
+
+    return sparql_update(
+        tpch_store(spark, sf_dir),
+        _SPARQL_PFX
+        + """
+        DELETE { ?c ex:acctbal ?b }
+        INSERT { ?c ex:balance ?b }
+        WHERE { ?c ex:acctbal ?b . ?c ex:vip "true" }
+        """,
+    )
+
+
+def _sql_sp16():
+    full = """
+      SELECT 'urn:region:' || r_regionkey AS s, 'rdf:type' AS p,
+             'urn:ex:Region' AS o FROM region
+      UNION ALL SELECT 'urn:region:' || r_regionkey, 'urn:ex:name', r_name
+        FROM region
+      UNION ALL SELECT 'urn:nation:' || n_nationkey, 'rdf:type',
+        'urn:ex:Nation' FROM nation
+      UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:name', n_name
+        FROM nation
+      UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:region',
+        'urn:region:' || n_regionkey FROM nation
+      UNION ALL SELECT 'urn:cust:' || c_custkey, 'rdf:type',
+        'urn:ex:Customer' FROM customer
+      UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:name', c_name
+        FROM customer
+      UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:segment',
+        c_mktsegment FROM customer
+      UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:nation',
+        'urn:nation:' || c_nationkey FROM customer
+      UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:acctbal',
+        printf('%.2f', c_acctbal) FROM customer
+      UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:vip', 'true'
+        FROM customer WHERE c_acctbal > 9000
+      UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type',
+        'urn:ex:Supplier' FROM supplier
+      UNION ALL SELECT 'urn:supp:' || s_suppkey, 'urn:ex:name', s_name
+        FROM supplier
+      UNION ALL SELECT 'urn:supp:' || s_suppkey, 'urn:ex:nation',
+        'urn:nation:' || s_nationkey FROM supplier
+      UNION ALL SELECT 'urn:supp:' || s_suppkey, 'geo:asWKT',
+        printf('POINT(%d %d)', (s_suppkey * 37) % 100,
+               (s_suppkey * 61) % 100) FROM supplier
+      UNION ALL SELECT 'urn:supp:' || s_suppkey, 'urn:ex:parent',
+        'urn:supp:' || (s_suppkey // 2) FROM supplier WHERE s_suppkey > 1
+      UNION ALL SELECT 'urn:order:' || o_orderkey, 'rdf:type',
+        'urn:ex:Order' FROM orders
+      UNION ALL SELECT 'urn:order:' || o_orderkey, 'urn:ex:customer',
+        'urn:cust:' || o_custkey FROM orders
+      UNION ALL SELECT 'urn:order:' || o_orderkey, 'urn:ex:total',
+        printf('%.2f', o_totalprice) FROM orders
+      UNION ALL SELECT 'urn:order:' || o_orderkey, 'urn:ex:priority',
+        o_orderpriority FROM orders
+    """
+    return f"""
+    WITH full_graph AS ({full}),
+    vips AS (SELECT 'urn:cust:' || c_custkey AS vs FROM customer
+             WHERE c_acctbal > 9000)
+    SELECT s,
+           CASE WHEN p = 'urn:ex:acctbal' AND s IN (SELECT vs FROM vips)
+                THEN 'urn:ex:balance' ELSE p END AS p,
+           o
+    FROM full_graph
+    """
+
+
 def llm16_repeated_spans(spark, sf_dir):
     """ExactSubstr-style cross-document repeated-span report (Lee et
     al., "Deduplicating Training Data Makes Language Models Better"):
@@ -7077,7 +7155,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-stamped on round-3 testdata, outside the judge r04 spot-
     # sample). The remaining 42 r03-stamped rows are queued first below
     # the window for the r06 rotation; the 50 rows stamped in
-    # CORRECTNESS_r04 sit last. After r06 the whole 170-query registry is
+    # CORRECTNESS_r04 sit last. After r06 the whole 171-query registry is
     # driver-attested across three consecutive rounds.
     # --- never driver-stamped (r05 positions 1-36) ---
     "q02_shipping_priority": q02_shipping_priority,
@@ -7131,10 +7209,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: ALL 27 round-5 additions (never
-    # stamped: q04/q07/q09, sp01-sp15, llm16-llm18, d13/d14, g17, dq04, txt17, er01) sit
+    # --- below the 50-row window: ALL 28 round-5 additions (never
+    # stamped: q04/q07/q09, sp01-sp16, llm16-llm18, d13/d14, g17, dq04, txt17, er01) sit
     # contiguously first, then the r03-stamped remainder — the r06
-    # window is exactly these 27 plus the 23 oldest r03 rows ---
+    # window is exactly these 28 plus the 22 oldest r03 rows ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
@@ -7153,6 +7231,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp13_describe": sp13_describe,
     "sp14_group_concat_having": sp14_group_concat_having,
     "sp15_subquery_max": sp15_subquery_max,
+    "sp16_update_rewrite": sp16_update_rewrite,
     "llm16_repeated_spans": llm16_repeated_spans,
     "llm17_preference_pairs": llm17_preference_pairs,
     "llm18_bpe_merges": llm18_bpe_merges,
@@ -7422,6 +7501,7 @@ _ORACLES: dict[str, str] = {
     "sp13_describe": _sql_sp13(),
     "sp14_group_concat_having": _sql_sp14(),
     "sp15_subquery_max": _sql_sp15(),
+    "sp16_update_rewrite": _sql_sp16(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
     "llm18_bpe_merges": _sql_llm18(),

@@ -13,7 +13,11 @@ SPARQLGX, Sempala — vertical partitioning by predicate + BGP-to-join
 compilation), not the reference's row loops.
 """
 
-from geosparql_etl_spark.sparql.compiler import parse_query, sparql_select
+from geosparql_etl_spark.sparql.compiler import (
+    parse_query,
+    sparql_select,
+    sparql_update,
+)
 from geosparql_etl_spark.sparql.triples import TripleStore, tpch_store, tpch_triples
 
 __all__ = [
@@ -22,4 +26,5 @@ __all__ = [
     "tpch_triples",
     "parse_query",
     "sparql_select",
+    "sparql_update",
 ]

@@ -131,6 +131,8 @@ class Query:
     ask: bool = False  # ASK { ... }
     describe_var: str | None = None  # DESCRIBE ?v WHERE { ... }
     having: object | None = None  # HAVING(expr over aggregate aliases)
+    delete_template: list | None = None  # SPARQL Update: DELETE {...}
+    insert_template: list | None = None  # SPARQL Update: INSERT {...}
 
 
 class _Parser:
@@ -243,6 +245,31 @@ class _Parser:
             where = self.group()
             self._expect_end()
             return Query(True, [], where, [], [], None, template)
+        if self._kw("DELETE") or self._kw("INSERT"):
+            delete_t = insert_t = None
+            if self._kw("DELETE"):
+                self.next()
+                if self._kw("WHERE"):  # DELETE WHERE {P}: pattern = template
+                    self.next()
+                    g = self.group()
+                    pats = [
+                        p for el in g.elements if el[0] == "bgp" for p in el[1]
+                    ]
+                    self._expect_end()
+                    return Query(
+                        False, [], g, [], [], None, delete_template=pats
+                    )
+                delete_t = self._template()
+            if self._kw("INSERT"):
+                self.next()
+                insert_t = self._template()
+            self.expect("WHERE")
+            g = self.group()
+            self._expect_end()
+            return Query(
+                False, [], g, [], [], None,
+                delete_template=delete_t, insert_template=insert_t,
+            )
         if self._kw("ASK"):
             self.next()
             g = self.group()
@@ -863,7 +890,40 @@ def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
     return _compile_query(store, parse_query(query_text))
 
 
+def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
+    """SPARQL Update (DELETE/INSERT ... WHERE, DELETE WHERE): returns
+    the POST-UPDATE graph as a new (s, p, o) frame — copy-on-write,
+    never in place. Feed it to the ntriples writer under the K3
+    versioned-rewrite / j12 MERGE discipline; this is the declarative
+    form of the reference's in-place TTL rewrite scripts
+    (sha256-hash/update_ttl_gz_from_json.py's URN surgery), with the
+    immutability Spark's storage model demands.
+
+    Semantics: bindings from WHERE; DELETE template rows leave the
+    graph (left_anti on the full triple); INSERT template rows enter
+    it (set semantics — already-present triples do not duplicate)."""
+    q = parse_query(query_text)
+    if q.delete_template is None and q.insert_template is None:
+        raise ValueError("sparql_update needs a DELETE and/or INSERT form")
+    for tmpl in (q.delete_template, q.insert_template):
+        for pat in tmpl or []:
+            if pat[1][0] == "path":
+                raise ValueError("update templates must be plain triples")
+    bindings = _compile_group(store, q.where)
+    graph = store.triples.select("s", "p", "o")
+    if q.delete_template:
+        dels = construct_triples(bindings, q.delete_template)
+        graph = graph.join(dels, on=["s", "p", "o"], how="left_anti")
+    if q.insert_template:
+        ins = construct_triples(bindings, q.insert_template)
+        ins = ins.join(graph, on=["s", "p", "o"], how="left_anti")
+        graph = graph.unionByName(ins)
+    return graph
+
+
 def _compile_query(store: TripleStore, q: Query) -> DataFrame:
+    if q.delete_template is not None or q.insert_template is not None:
+        raise ValueError("update forms go through sparql_update()")
     df = _compile_group(store, q.where)
     if q.ask:
         # one row, one boolean, still lazy: limit(1) stops the scan at

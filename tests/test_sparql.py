@@ -606,3 +606,64 @@ class TestReviewFixes:
             sparql_select(
                 store, "SELECT ?g WHERE { GRAPH ?g { ?s ?g ?o } }"
             ).collect()
+
+
+class TestSparqlUpdate:
+    def test_delete_insert_renames_predicate(self, toy_store):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        g = sparql_update(
+            toy_store,
+            PFX + "DELETE { ?p ex:age ?a } INSERT { ?p ex:years ?a } "
+            "WHERE { ?p ex:age ?a }",
+        )
+        assert g.where(F.col("p") == "urn:ex:age").count() == 0
+        got = sorted(
+            (r.s, r.o) for r in g.where(F.col("p") == "urn:ex:years").collect()
+        )
+        assert got == [("urn:p:1", "36"), ("urn:p:2", "47")]
+        # untouched triples survive
+        assert g.count() == toy_store.triples.count()
+
+    def test_delete_where_shorthand(self, toy_store):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        g = sparql_update(
+            toy_store, PFX + "DELETE WHERE { ?c a ex:City . ?c ex:name ?n }"
+        )
+        # both matched patterns' instantiations are gone
+        assert g.where(F.col("o") == "urn:ex:City").count() == 0
+        assert g.where(F.col("o") == "london").count() == 0
+        # people's names untouched
+        assert g.where(F.col("o") == "ada").count() == 1
+
+    def test_insert_is_set_semantics(self, toy_store):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        g = sparql_update(
+            toy_store,
+            PFX + 'INSERT { ?p ex:flag "x" } WHERE { ?p a ex:Person }',
+        )
+        # inserting twice changes nothing
+        g2 = sparql_update(
+            TripleStore(g),
+            PFX + 'INSERT { ?p ex:flag "x" } WHERE { ?p a ex:Person }',
+        )
+        assert g.count() == g2.count() == toy_store.triples.count() + 3
+
+    def test_update_through_select_rejected(self, toy_store):
+        with pytest.raises(ValueError, match="sparql_update"):
+            run(toy_store, "DELETE { ?s ?p ?o } INSERT { } WHERE { ?s ?p ?o }")
+
+    def test_urn_rewrite_like_reference(self, toy_store):
+        """The reference's hash-update surgery (rewrite URNs, keep the
+        rest) as one declarative statement."""
+        from geosparql_etl_spark.sparql import sparql_update
+
+        g = sparql_update(
+            toy_store,
+            PFX + "DELETE { ?c ex:city ?old } INSERT { ?c ex:cityRef ?old } "
+            'WHERE { ?c ex:city ?old FILTER(CONTAINS(?old, "urn:c:")) }',
+        )
+        assert g.where(F.col("p") == "urn:ex:city").count() == 0
+        assert g.where(F.col("p") == "urn:ex:cityRef").count() == 2
