@@ -98,6 +98,8 @@ HEADLINE = [
     "llm16_repeated_spans",
     "llm17_preference_pairs",
     "d13_triangle_count",
+    "llm18_bpe_merges",
+    "sp16_update_rewrite",
     # sp09's transitive closure deliberately NOT in the headline: the
     # fixpoint loop inherits the same GC/iteration variance the d11
     # exclusion documents; its constituent join shape is timed via
