@@ -6453,6 +6453,70 @@ def _sql_sp15():
     """
 
 
+def llm19_leakage_free_split(spark, sf_dir):
+    """Cluster-aware train/val/test split: near-duplicate documents
+    must land in the SAME split, or the test set leaks paraphrases of
+    training data (the decontamination failure llm05/llm11 detect,
+    prevented at split time). Mechanism: d08's transitive near-dup
+    clusters -> hash the CLUSTER id through llm03's stable 80/10/10
+    percentile rule -> every member inherits the cluster's split.
+    Singletons hash their own id, so the assignment stays stable under
+    corpus growth exactly as llm03's does."""
+    from geosparql_etl_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, min_jaccard=0.2)
+    cc = connected_components(pairs, unique_pairs=True).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    clustered = d.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    pct = md5_long(F.col("cluster_id").cast("string")) % 100
+    split = (
+        F.when(pct < 80, F.lit("train"))
+        .when(pct < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return clustered.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def _sql_llm19():
+    h = (
+        "CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) "
+        "AS BIGINT) % 100"
+    )
+    return f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+        CASE WHEN len(w) >= 3 THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END AS s
+      FROM (SELECT doc_id, {_WORDS} AS w FROM documents)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, root) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+    cc AS (SELECT node, min(root) AS cid FROM reach GROUP BY node),
+    clustered AS (
+      SELECT d.doc_id, coalesce(cc.cid, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {h} < 80 THEN 'train'
+                WHEN {h} < 90 THEN 'val' ELSE 'test' END AS split
+    FROM clustered
+    """
+
+
 def sp16_update_rewrite(spark, sf_dir):
     """SPARQL Update: rename ex:acctbal to ex:balance for VIP
     customers only — the reference's in-place TTL URN surgery
@@ -7155,7 +7219,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-stamped on round-3 testdata, outside the judge r04 spot-
     # sample). The remaining 42 r03-stamped rows are queued first below
     # the window for the r06 rotation; the 50 rows stamped in
-    # CORRECTNESS_r04 sit last. After r06 the whole 171-query registry is
+    # CORRECTNESS_r04 sit last. After r06 the whole 172-query registry is
     # driver-attested across three consecutive rounds.
     # --- never driver-stamped (r05 positions 1-36) ---
     "q02_shipping_priority": q02_shipping_priority,
@@ -7209,10 +7273,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: ALL 28 round-5 additions (never
-    # stamped: q04/q07/q09, sp01-sp16, llm16-llm18, d13/d14, g17, dq04, txt17, er01) sit
+    # --- below the 50-row window: ALL 29 round-5 additions (never
+    # stamped: q04/q07/q09, sp01-sp16, llm16-llm19, d13/d14, g17, dq04, txt17, er01) sit
     # contiguously first, then the r03-stamped remainder — the r06
-    # window is exactly these 28 plus the 22 oldest r03 rows ---
+    # window is exactly these 29 plus the 21 oldest r03 rows ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
@@ -7235,6 +7299,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm16_repeated_spans": llm16_repeated_spans,
     "llm17_preference_pairs": llm17_preference_pairs,
     "llm18_bpe_merges": llm18_bpe_merges,
+    "llm19_leakage_free_split": llm19_leakage_free_split,
     "d13_triangle_count": d13_triangle_count,
     "d14_clustering_coeff": d14_clustering_coeff,
     "g17_distance_join": g17_distance_join,
@@ -7505,6 +7570,7 @@ _ORACLES: dict[str, str] = {
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
     "llm18_bpe_merges": _sql_llm18(),
+    "llm19_leakage_free_split": _sql_llm19(),
     "d13_triangle_count": _sql_d13(),
     "d14_clustering_coeff": _sql_d14(),
     "g17_distance_join": _sql_g17(),
