@@ -667,3 +667,33 @@ class TestSparqlUpdate:
         )
         assert g.where(F.col("p") == "urn:ex:city").count() == 0
         assert g.where(F.col("p") == "urn:ex:cityRef").count() == 2
+
+
+class TestGraphScopeComposition:
+    @pytest.fixture(scope="class")
+    def qstore(self, spark):
+        rows = [
+            ("urn:p:1", "urn:ex:name", "ada", "urn:g:hr"),
+            ("urn:p:1", "urn:ex:age", "36", "urn:g:hr"),
+            ("urn:p:2", "urn:ex:name", "grace", "urn:g:hr"),
+            ("urn:p:9", "urn:ex:name", "zuse", "urn:g:archive"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string, g string")
+        )
+
+    def test_optional_inside_graph(self, qstore):
+        rows = run(
+            qstore,
+            "SELECT ?n ?a WHERE { GRAPH <urn:g:hr> { ?p ex:name ?n "
+            "OPTIONAL { ?p ex:age ?a } } } ORDER BY ?n",
+        ).collect()
+        assert [(r.n, r.a) for r in rows] == [("ada", "36"), ("grace", None)]
+
+    def test_union_inside_graph(self, qstore):
+        rows = run(
+            qstore,
+            "SELECT DISTINCT ?v WHERE { GRAPH <urn:g:hr> { "
+            "{ ?p ex:name ?v } UNION { ?p ex:age ?v } } } ORDER BY ?v",
+        ).collect()
+        assert [r.v for r in rows] == ["36", "ada", "grace"]
