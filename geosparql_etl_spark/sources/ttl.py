@@ -14,14 +14,16 @@ from geosparql_etl_spark.schemas import SLIDE_HASHES
 
 
 def read_ttl_documents(spark: SparkSession, path: str) -> DataFrame:
-    """One row per TTL document: (path, text). Handles .ttl and .ttl.gz."""
-    return (
-        spark.read.option("wholetext", "true")
-        .text(path)
-        .select(
-            F.input_file_name().alias("path"),
-            F.col("value").alias("text"),
-        )
+    """One row per TTL document: (path, text). Handles .ttl and .ttl.gz.
+
+    NOTE: must be the ``text(..., wholetext=True)`` keyword form —
+    PySpark's ``DataFrameReader.text`` passes its own ``wholetext``
+    parameter (default False) to the source, silently overriding a
+    previously set ``.option("wholetext", ...)``; the option form
+    returns LINES while claiming documents."""
+    return spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("path"),
+        F.col("value").alias("text"),
     )
 
 

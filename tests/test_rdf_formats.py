@@ -457,3 +457,82 @@ def test_ntriples_commit_refuses_missing_winner_temp(tmp_path):
     with _pytest.raises(IOError, match="missing"):
         w.commit([_Committed(gone, "part-00000.nt", 3)])
     assert not (tmp_path / "_SUCCESS").exists()
+
+
+class TestTurtleSource:
+    """sources/turtle.py: the engine's own TTL output parsed back into
+    the queryable triple schema — pipeline -> TTL -> SPARQL, the loop
+    the ntriples format closes for .nt, closed for Turtle."""
+
+    @pytest.fixture(scope="class")
+    def ttl_out(self, spark, tmp_path_factory):
+        import json
+
+        from geosparql_etl_spark.pipelines import json_etl
+
+        d = tmp_path_factory.mktemp("ttlsrc")
+        src = d / "in"
+        src.mkdir()
+        fc = {
+            "features": [
+                {
+                    "geometry": {
+                        "type": "Polygon",
+                        "coordinates": [[[0, 0], [10, 0], [10, 10]]],
+                    },
+                    "properties": {
+                        "measurements": {
+                            "prob_tumor": 0.75,
+                            "prob_stroma": 0.25,
+                        }
+                    },
+                }
+            ]
+        }
+        (src / "slideA.geojson").write_text(json.dumps(fc))
+        out = str(d / "out")
+        json_etl.run(spark, str(src), out, "2026-01-01T00:00:00+00:00")
+        return out
+
+    def test_pipeline_ttl_parses_and_queries(self, spark, ttl_out):
+        from geosparql_etl_spark.sources.ttl import read_ttl_documents
+        from geosparql_etl_spark.sources.turtle import turtle_to_triples
+        from geosparql_etl_spark.sparql import TripleStore, sparql_select
+
+        tri = turtle_to_triples(
+            read_ttl_documents(spark, ttl_out + "/*.ttl")
+        ).cache()
+        # typed literals carry their datatype; bnodes minted per doc
+        assert (
+            tri.where(
+                F.col("datatype")
+                == "http://www.w3.org/2001/XMLSchema#dateTime"
+            ).count()
+            == 1
+        )
+        assert tri.where(F.col("subject").startswith("_:b")).count() >= 2
+        store = TripleStore.from_ntriples(tri)
+        rows = sparql_select(
+            store,
+            "PREFIX exif: <http://www.w3.org/2003/12/exif/ns#> "
+            "PREFIX dc: <http://purl.org/dc/terms/> "
+            "SELECT ?slide ?w WHERE { ?img dc:identifier ?slide . "
+            "?img exif:width ?w }",
+        ).collect()
+        assert [(r.slide, r.w) for r in rows] == [("slideA", "40000")]
+
+    def test_wholetext_regression(self, spark, ttl_out):
+        """The option-form wholetext silently reads LINES (PySpark's
+        text() kwarg overrides it) — pin the fixed kwarg form: one row
+        per document."""
+        from geosparql_etl_spark.sources.ttl import read_ttl_documents
+
+        docs = read_ttl_documents(spark, ttl_out + "/*.ttl")
+        assert docs.count() == 1
+        assert docs.first().text.count("@prefix") >= 5
+
+    def test_strict_parse_raises_with_context(self):
+        from geosparql_etl_spark.sources.turtle import parse_turtle_document
+
+        with pytest.raises(ValueError, match="doc.ttl"):
+            parse_turtle_document("<urn:a> <urn:p> @@nonsense .", "doc.ttl")
