@@ -536,3 +536,36 @@ class TestTurtleSource:
 
         with pytest.raises(ValueError, match="doc.ttl"):
             parse_turtle_document("<urn:a> <urn:p> @@nonsense .", "doc.ttl")
+
+    def test_mongo_etl_gzip_ttl_parses(self, spark, tmp_path):
+        """The richer mongo-etl batches (gzipped, annotation bnodes,
+        WKT literals) parse through the same subset — and the gzip
+        path rides Spark's transparent text decompression."""
+        import json as _json
+
+        from test_pipelines import ANALYSIS, ANALYSIS_DOC, MARK_DOC, _mark
+
+        from geosparql_etl_spark.pipelines import mongo_etl
+        from geosparql_etl_spark.sources.ttl import read_ttl_documents
+        from geosparql_etl_spark.sources.turtle import turtle_to_triples
+
+        analyses = spark.createDataFrame(
+            [_json.loads(_json.dumps(ANALYSIS))], ANALYSIS_DOC
+        )
+        marks = spark.createDataFrame(
+            [_json.loads(_json.dumps(_mark(i))) for i in (1, 2)], MARK_DOC
+        )
+        out = str(tmp_path / "out")
+        mongo_etl.run(spark, analyses, marks, out)
+        tri = turtle_to_triples(
+            read_ttl_documents(spark, out + "/*/*/*.ttl.gz")
+        )
+        assert tri.count() == 31
+        # the WKT geometry literals survive with their datatype
+        assert (
+            tri.where(
+                F.col("datatype")
+                == "http://www.opengis.net/ont/geosparql#wktLiteral"
+            ).count()
+            > 0
+        )
