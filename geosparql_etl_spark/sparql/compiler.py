@@ -3,10 +3,12 @@
 Covered grammar (the practical core of SPARQL 1.1):
 
   PREFIX decls; SELECT [DISTINCT] ?v... | (AGG(?v|*) AS ?alias)...
-  or CONSTRUCT { template } or ASK {...} or DESCRIBE ?v WHERE {...} ;
+  or CONSTRUCT { template } or ASK {...} or DESCRIBE ?v WHERE {...}
+  or DELETE {t} INSERT {t} WHERE {...} / DELETE WHERE {...}  (update
+  forms go through sparql_update, returning the post-update graph) ;
   WHERE { basic graph patterns . FILTER(expr) OPTIONAL {...}
           {...} UNION {...} MINUS {...} FILTER [NOT] EXISTS {...}
-          VALUES ?v { lits } } ;
+          VALUES ?v { lits } GRAPH <iri>|?g {...} { SELECT ... } } ;
   GROUP BY ?v... HAVING(expr) ; ORDER BY [ASC|DESC](?v)... ; LIMIT n
 
 Aggregates: COUNT / SUM / MIN / MAX / AVG on DECIMAL lexicals,
