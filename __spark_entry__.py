@@ -6595,6 +6595,61 @@ def _sql_sp16():
     """
 
 
+def s13_interarrival_stats(spark, sf_dir):
+    """Inter-arrival gap distribution per event type: lag diff on one
+    (user, ts) shuffle, then exact interpolated percentiles of the gap
+    seconds — the measurement that JUSTIFIES s03's session-gap
+    parameter (pick the gap where the inter-arrival distribution
+    breaks) instead of hard-coding 30 minutes. One window pass, one
+    group aggregate; approx_percentile is the a09a-documented 100 TB
+    variant."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    # gaps stay exact micro longs; seconds conversion happens AFTER the
+    # percentile so both engines interpolate over identical integers
+    pcts = F.expr("percentile(gap_us, array(0.5D, 0.9D, 0.99D))")
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            pcts.alias("p"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(F.col("p")[0] / 1e6, 4).alias("gap_p50"),
+            F.round(F.col("p")[1] / 1e6, 4).alias("gap_p90"),
+            F.round(F.col("p")[2] / 1e6, 4).alias("gap_p99"),
+        )
+    )
+
+
+def _sql_s13():
+    return """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+               AS gap_us
+      FROM events)
+    SELECT event_type, count(*) AS n_gaps,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_us)
+                 / 1e6, 4) AS gap_p50,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_us)
+                 / 1e6, 4) AS gap_p90,
+           round(percentile_cont(0.99) WITHIN GROUP (ORDER BY gap_us)
+                 / 1e6, 4) AS gap_p99
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """
+
+
 def llm16_repeated_spans(spark, sf_dir):
     """ExactSubstr-style cross-document repeated-span report (Lee et
     al., "Deduplicating Training Data Makes Language Models Better"):
@@ -7219,7 +7274,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-stamped on round-3 testdata, outside the judge r04 spot-
     # sample). The remaining 42 r03-stamped rows are queued first below
     # the window for the r06 rotation; the 50 rows stamped in
-    # CORRECTNESS_r04 sit last. After r06 the whole 172-query registry is
+    # CORRECTNESS_r04 sit last. After r06 the whole 173-query registry is
     # driver-attested across three consecutive rounds.
     # --- never driver-stamped (r05 positions 1-36) ---
     "q02_shipping_priority": q02_shipping_priority,
@@ -7273,10 +7328,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: ALL 29 round-5 additions (never
-    # stamped: q04/q07/q09, sp01-sp16, llm16-llm19, d13/d14, g17, dq04, txt17, er01) sit
+    # --- below the 50-row window: ALL 30 round-5 additions (never
+    # stamped: q04/q07/q09, sp01-sp16, llm16-llm19, s13, d13/d14, g17, dq04, txt17, er01) sit
     # contiguously first, then the r03-stamped remainder — the r06
-    # window is exactly these 29 plus the 21 oldest r03 rows ---
+    # window is exactly these 30 plus the 20 oldest r03 rows ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
@@ -7296,6 +7351,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp14_group_concat_having": sp14_group_concat_having,
     "sp15_subquery_max": sp15_subquery_max,
     "sp16_update_rewrite": sp16_update_rewrite,
+    "s13_interarrival_stats": s13_interarrival_stats,
     "llm16_repeated_spans": llm16_repeated_spans,
     "llm17_preference_pairs": llm17_preference_pairs,
     "llm18_bpe_merges": llm18_bpe_merges,
@@ -7567,6 +7623,7 @@ _ORACLES: dict[str, str] = {
     "sp14_group_concat_having": _sql_sp14(),
     "sp15_subquery_max": _sql_sp15(),
     "sp16_update_rewrite": _sql_sp16(),
+    "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
     "llm18_bpe_merges": _sql_llm18(),
