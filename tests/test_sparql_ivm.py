@@ -141,3 +141,27 @@ def test_property_path_rejected(spark):
         IncrementalConstructView(
             PFX + "CONSTRUCT { ?p ex:loc ?cn } WHERE { ?p ex:city/ex:name ?cn }"
         )
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@given(cuts=st.lists(st.integers(min_value=1, max_value=5), min_size=0, max_size=3))
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ivm_invariant_under_any_batching(spark, cuts):
+    """Semi-naive maintenance must be independent of HOW the triple
+    stream is batched: for any cut points, the final view equals the
+    full recomputation (the property the fixed-batch tests sample)."""
+    bounds = sorted({0, len(T), *[min(c, len(T)) for c in cuts]})
+    batches = [
+        T[a:b] for a, b in zip(bounds, bounds[1:]) if T[a:b]
+    ] or [T]
+    view = IncrementalConstructView(Q_LOCATED)
+    for batch in batches:
+        view.update(_df(spark, batch))
+    want = sparql_select(TripleStore(_df(spark, T)), Q_LOCATED)
+    assert _set(view.snapshot()) == _set(want)
