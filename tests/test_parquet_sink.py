@@ -111,3 +111,30 @@ def test_jsonl_shards_roundtrip_and_manifest(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 100
     assert {r["doc_id"] for r in back.collect()} == set(range(100))
+
+
+def test_schema_evolution_mergeschema_with_defaults(spark, tmp_path):
+    """Operational reality of a long-lived lake: a later drop adds a
+    column. mergeSchema unions the schemas, earlier partitions surface
+    NULL for the new column, and the P2 coalesce-default rule turns
+    that into the documented fallback — schema-on-read evolution
+    without rewriting history."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(1, "a")], "id long, name string"
+    ).write.mode("append").parquet(out + "/drop=1")
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, name string, quality double"
+    ).write.mode("append").parquet(out + "/drop=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "name", "quality", "drop"}
+    got = {
+        r.id: r.q
+        for r in merged.select(
+            "id", F.coalesce("quality", F.lit(0.5)).alias("q")
+        ).collect()
+    }
+    assert got == {1: 0.5, 2: 0.9}
