@@ -7268,15 +7268,94 @@ def _sql_sp14():
 # file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver records correctness rows for the first 50 entries per
-    # round; order by verification need. Round-5 window: the 36 round-3/4
+    # round; order by verification need. Round-6 window: the 30 round-5
     # additions that have never had a driver CORRECTNESS stamp (builder +
-    # judge verified only), followed by 14 of the oldest rows (last
-    # driver-stamped on round-3 testdata, outside the judge r04 spot-
-    # sample). The remaining 42 r03-stamped rows are queued first below
-    # the window for the r06 rotation; the 50 rows stamped in
-    # CORRECTNESS_r04 sit last. After r06 the whole 173-query registry is
-    # driver-attested across three consecutive rounds.
-    # --- never driver-stamped (r05 positions 1-36) ---
+    # judge 30/30 verified in round 5), followed by the 20 oldest
+    # r03-stamped rows. The 23 remaining r03-stamped rows are queued
+    # first below the window; the r07 window = any round-6 additions
+    # (inserted contiguously right below the window as they land) + those
+    # 23 r03 rows + the freshest-needed remainder. After r06 every
+    # pre-round-6 query is driver-attested within three consecutive
+    # rounds (r04/r05/r06).
+    # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
+    "q04_priority_exists": q04_priority_exists,
+    "q07_nation_volume": q07_nation_volume,
+    "q09_product_profit": q09_product_profit,
+    "sp01_bgp_chain": sp01_bgp_chain,
+    "sp02_optional_vip": sp02_optional_vip,
+    "sp03_union_names": sp03_union_names,
+    "sp04_geo_within": sp04_geo_within,
+    "sp05_group_totals": sp05_group_totals,
+    "sp06_geo_distance": sp06_geo_distance,
+    "sp07_minus_no_urgent": sp07_minus_no_urgent,
+    "sp08_path_chain": sp08_path_chain,
+    "sp09_parent_closure": sp09_parent_closure,
+    "sp10_construct_graph": sp10_construct_graph,
+    "sp11_values_restrict": sp11_values_restrict,
+    "sp12_ask": sp12_ask,
+    "sp13_describe": sp13_describe,
+    "sp14_group_concat_having": sp14_group_concat_having,
+    "sp15_subquery_max": sp15_subquery_max,
+    "sp16_update_rewrite": sp16_update_rewrite,
+    "s13_interarrival_stats": s13_interarrival_stats,
+    "llm16_repeated_spans": llm16_repeated_spans,
+    "llm17_preference_pairs": llm17_preference_pairs,
+    "llm18_bpe_merges": llm18_bpe_merges,
+    "llm19_leakage_free_split": llm19_leakage_free_split,
+    "d13_triangle_count": d13_triangle_count,
+    "d14_clustering_coeff": d14_clustering_coeff,
+    "g17_distance_join": g17_distance_join,
+    "dq04_fk_audit": dq04_fk_audit,
+    "txt17_readability": txt17_readability,
+    "er01_entity_canonicalize": er01_entity_canonicalize,
+    # --- oldest driver stamp (r03), positions 31-50 ---
+    "sim07_vector_stats": sim07_vector_stats,
+    "llm05_decontaminate": llm05_decontaminate,
+    "s01_tumbling_window": s01_tumbling_window,
+    "s02_sliding_window": s02_sliding_window,
+    "s03_sessionization": s03_sessionization,
+    "s08_gap_fill_resample": s08_gap_fill_resample,
+    "mm01_media_features": mm01_media_features,
+    "mm02_frame_sampling": mm02_frame_sampling,
+    "mm03_audio_features": mm03_audio_features,
+    "h02_file_hash": h02_file_hash,
+    "llm06_incremental_dedup": llm06_incremental_dedup,
+    "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
+    "llm08_chunking": llm08_chunking,
+    "w05_window_frames": w05_window_frames,
+    "a13_grouping_sets": a13_grouping_sets,
+    "g16_point_in_polygon": g16_point_in_polygon,
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_fingerprint": d02_fingerprint,
+    "d03_minhash_signature": d03_minhash_signature,
+    "d04_ngram_jaccard": d04_ngram_jaccard,
+    # --- below the window: round-6 additions go HERE (contiguous, never
+    # stamped) so the r07 rotation is mechanical ---
+    # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
+    "d05_simhash": d05_simhash,
+    "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
+    "d07_embedding_neardup": d07_embedding_neardup,
+    "d08_dedup_clusters": d08_dedup_clusters,
+    "d09_simhash_pairs": d09_simhash_pairs,
+    "sim01_cosine_topk": sim01_cosine_topk,
+    "sim02_threshold_pairs": sim02_threshold_pairs,
+    "sim03_ann_lsh": sim03_ann_lsh,
+    "sim04_ivf_ann": sim04_ivf_ann,
+    "sim05_quantized_topk": sim05_quantized_topk,
+    "sim08_ivfpq_ann": sim08_ivfpq_ann,
+    "txt01_stats": txt01_stats,
+    "txt02_lang_id": txt02_lang_id,
+    "txt03_quality": txt03_quality,
+    "txt04_token_count": txt04_token_count,
+    "txt05_stopword_ratio": txt05_stopword_ratio,
+    "txt06_winnowing": txt06_winnowing,
+    "txt07_pii_redact": txt07_pii_redact,
+    "txt08_repetition": txt08_repetition,
+    "llm01_corpus_curation": llm01_corpus_curation,
+    "llm02_hash_sample": llm02_hash_sample,
+    "llm03_split_assign": llm03_split_assign,
+    "llm04_sequence_packing": llm04_sequence_packing,
+    # --- driver-stamped green in CORRECTNESS_r05 ---
     "q02_shipping_priority": q02_shipping_priority,
     "q03_local_supplier_volume": q03_local_supplier_volume,
     "j12_snapshot_diff": j12_snapshot_diff,
@@ -7314,7 +7393,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt14_bigram_surprisal": txt14_bigram_surprisal,
     "txt15_line_dedup": txt15_line_dedup,
     "txt16_repeat_removal": txt16_repeat_removal,
-    # --- oldest driver stamp (r03) , positions 37-50 ---
     "a10_pivot": a10_pivot,
     "s04_session_window_native": s04_session_window_native,
     "s05_attribution_join": s05_attribution_join,
@@ -7328,85 +7406,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- below the 50-row window: ALL 30 round-5 additions (never
-    # stamped: q04/q07/q09, sp01-sp16, llm16-llm19, s13, d13/d14, g17, dq04, txt17, er01) sit
-    # contiguously first, then the r03-stamped remainder — the r06
-    # window is exactly these 30 plus the 20 oldest r03 rows ---
-    "q04_priority_exists": q04_priority_exists,
-    "q07_nation_volume": q07_nation_volume,
-    "q09_product_profit": q09_product_profit,
-    "sp01_bgp_chain": sp01_bgp_chain,
-    "sp02_optional_vip": sp02_optional_vip,
-    "sp03_union_names": sp03_union_names,
-    "sp04_geo_within": sp04_geo_within,
-    "sp05_group_totals": sp05_group_totals,
-    "sp06_geo_distance": sp06_geo_distance,
-    "sp07_minus_no_urgent": sp07_minus_no_urgent,
-    "sp08_path_chain": sp08_path_chain,
-    "sp09_parent_closure": sp09_parent_closure,
-    "sp10_construct_graph": sp10_construct_graph,
-    "sp11_values_restrict": sp11_values_restrict,
-    "sp12_ask": sp12_ask,
-    "sp13_describe": sp13_describe,
-    "sp14_group_concat_having": sp14_group_concat_having,
-    "sp15_subquery_max": sp15_subquery_max,
-    "sp16_update_rewrite": sp16_update_rewrite,
-    "s13_interarrival_stats": s13_interarrival_stats,
-    "llm16_repeated_spans": llm16_repeated_spans,
-    "llm17_preference_pairs": llm17_preference_pairs,
-    "llm18_bpe_merges": llm18_bpe_merges,
-    "llm19_leakage_free_split": llm19_leakage_free_split,
-    "d13_triangle_count": d13_triangle_count,
-    "d14_clustering_coeff": d14_clustering_coeff,
-    "g17_distance_join": g17_distance_join,
-    "dq04_fk_audit": dq04_fk_audit,
-    "txt17_readability": txt17_readability,
-    "er01_entity_canonicalize": er01_entity_canonicalize,
-    "sim07_vector_stats": sim07_vector_stats,
-    "llm05_decontaminate": llm05_decontaminate,
-    "s01_tumbling_window": s01_tumbling_window,
-    "s02_sliding_window": s02_sliding_window,
-    "s03_sessionization": s03_sessionization,
-    "s08_gap_fill_resample": s08_gap_fill_resample,
-    "mm01_media_features": mm01_media_features,
-    "mm02_frame_sampling": mm02_frame_sampling,
-    "mm03_audio_features": mm03_audio_features,
-    "h02_file_hash": h02_file_hash,
-    "llm06_incremental_dedup": llm06_incremental_dedup,
-    "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
-    "llm08_chunking": llm08_chunking,
-    "w05_window_frames": w05_window_frames,
-    "a13_grouping_sets": a13_grouping_sets,
-    "g16_point_in_polygon": g16_point_in_polygon,
-    "d01_dedup_exact": d01_dedup_exact,
-    "d02_fingerprint": d02_fingerprint,
-    "d03_minhash_signature": d03_minhash_signature,
-    "d04_ngram_jaccard": d04_ngram_jaccard,
-    "d05_simhash": d05_simhash,
-    "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
-    "d07_embedding_neardup": d07_embedding_neardup,
-    "d08_dedup_clusters": d08_dedup_clusters,
-    "d09_simhash_pairs": d09_simhash_pairs,
-    "sim01_cosine_topk": sim01_cosine_topk,
-    "sim02_threshold_pairs": sim02_threshold_pairs,
-    "sim03_ann_lsh": sim03_ann_lsh,
-    "sim04_ivf_ann": sim04_ivf_ann,
-    "sim05_quantized_topk": sim05_quantized_topk,
-    "sim08_ivfpq_ann": sim08_ivfpq_ann,
-    "txt01_stats": txt01_stats,
-    "txt02_lang_id": txt02_lang_id,
-    "txt03_quality": txt03_quality,
-    "txt04_token_count": txt04_token_count,
-    "txt05_stopword_ratio": txt05_stopword_ratio,
-    "txt06_winnowing": txt06_winnowing,
-    "txt07_pii_redact": txt07_pii_redact,
-    "txt08_repetition": txt08_repetition,
-    "llm01_corpus_curation": llm01_corpus_curation,
-    "llm02_hash_sample": llm02_hash_sample,
-    "llm03_split_assign": llm03_split_assign,
-    "llm04_sequence_packing": llm04_sequence_packing,
-    # --- driver-stamped green in CORRECTNESS_r04 (freshest attestation,
-    # scheduled after the r03 remainder in r06+) ---
+    # --- driver-stamped green in CORRECTNESS_r04 (freshest attestation) ---
     "j06_anti_join": j06_anti_join,
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
     "q01_pricing_summary": q01_pricing_summary,

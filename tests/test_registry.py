@@ -18,17 +18,16 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert missing <= {"h02_file_hash"}, missing
 
 
-def test_round5_correctness_window_is_stable():
+def test_round6_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the 36 round-3/4 additions that never had a driver stamp lead
-    # (plus mm06, added this round), then 14 of the oldest r03-stamped
-    # rows close the window — additions belong INSIDE the first-37
-    # never-stamped block or BELOW position 50 (see the registry
-    # comment for the r06 rotation)
-    assert keys[:2] == ["q02_shipping_priority", "q03_local_supplier_volume"]
-    assert keys[22] == "mm06_audio_neardup"
-    assert keys[36] == "txt16_repeat_removal"
-    assert keys[49] == "sim06_pq_ann"
+    # the 30 round-5 additions that never had a driver stamp lead, then
+    # the 20 oldest r03-stamped rows close the window — round-6
+    # additions belong BELOW position 50, contiguously first (see the
+    # registry comment for the r07 rotation)
+    assert keys[:2] == ["q04_priority_exists", "q07_nation_volume"]
+    assert keys[29] == "er01_entity_canonicalize"
+    assert keys[30] == "sim07_vector_stats"
+    assert keys[49] == "d04_ngram_jaccard"
     assert len(keys) == len(set(keys))
 
 
