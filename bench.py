@@ -120,8 +120,27 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Two same-plan reps disagreeing by more than this is external load /
+# GC, not the plan — buy a third sample before believing either.
+JITTER_RERUN_RATIO = 1.25
+
+
+def _best_of(run) -> float:
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    if max(times) > min(times) * JITTER_RERUN_RATIO:
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    return min(times)
+
+
 def run_suite() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    loadavg_start = round(os.getloadavg()[0], 2)
     spark = get_spark("gsel-bench")
 
     qs = entrymod.queries()
@@ -151,21 +170,20 @@ def run_suite() -> dict:
 
     materialize(spark.range(1000).select(_warm(F.col("id"))))
 
-    # best-of-2 per query: with a 16g local heap, G1's rarer-but-longer
+    # best-of-n per query: with a 16g local heap, G1's rarer-but-longer
     # mixed collections land a ~1s stop-the-world inside ONE random
     # query per run — best-of-n measures the plan, not the GC lottery.
     # (A cluster amortizes pauses across executors; local[32] shares
-    # one JVM.)
+    # one JVM.) Two reps always; a THIRD rep only when the first two
+    # disagree by >25% — that disagreement is the jitter signature that
+    # made round-5's txt13/llm11 read 2.6x/1.6x baseline with unchanged
+    # plans, and the adaptive rep keeps suite wall time flat when the
+    # machine is quiet.
     total = 0.0
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        best = None
         try:
-            for _ in range(2):
-                t0 = time.time()
-                materialize(qs[name](spark, sf_dir))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+            best = _best_of(lambda: materialize(qs[name](spark, sf_dir)))
         except Exception as exc:  # one broken query must not void the suite
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
@@ -182,13 +200,8 @@ def run_suite() -> dict:
         ("a09a_percentiles_approx", entrymod.a09a_percentiles_approx,
          "a09_percentiles"),
     ):
-        best = None
         try:
-            for _ in range(2):
-                t0 = time.time()
-                materialize(fn(spark, sf_dir))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+            best = _best_of(lambda: materialize(fn(spark, sf_dir)))
             tol_err = _approx_tolerance_violation(
                 name, fn(spark, sf_dir), qs[gate](spark, sf_dir)
             )
@@ -207,6 +220,12 @@ def run_suite() -> dict:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        # External-load annotation (judge ask, round 5): a run whose
+        # loadavg exceeds the 32 cores Spark itself uses is contended —
+        # per-query drift vs baseline on such a run is suspect before
+        # any plan is.
+        "loadavg_start": loadavg_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
     if errors:
         result["errors"] = errors
