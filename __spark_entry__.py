@@ -6595,6 +6595,93 @@ def _sql_sp16():
     """
 
 
+def sp17_bind_bucket(spark, sf_dir):
+    """BIND(expr AS ?v) — round 6: compute a price bucket from the
+    lexical acctbal (double view, FLOOR of a division), then group on
+    the BOUND variable. Catalyst sees one projection + one aggregate;
+    the bucket expression is a plain Column, so it pushes into the
+    scan-side partial aggregation like any native groupBy key."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?bucket (COUNT(?c) AS ?n) WHERE {
+          ?c a ex:Customer .
+          ?c ex:acctbal ?b
+          BIND(FLOOR(?b / 1000) AS ?bucket)
+        } GROUP BY ?bucket ORDER BY ?bucket
+        """,
+    )
+
+
+def _sql_sp17():
+    return """
+    SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM customer GROUP BY bucket ORDER BY bucket
+    """
+
+
+def sp18_select_expressions(spark, sf_dir):
+    """SELECT expressions — round 6: arithmetic and string projections
+    ((?n * 100 / 25 AS ?score), CONCAT/UCASE/STR over an aggregate
+    alias) computed AFTER the aggregation, the SPARQL 1.1 idiom the
+    round-5 subset lacked. Counts divide exactly (100/25), so the
+    double arithmetic is replay-engine-stable."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nname (COUNT(?c) AS ?n) (?n * 100 / 25 AS ?score)
+               (CONCAT(UCASE(?nname), ":", STR(?n)) AS ?tag) WHERE {
+          ?c a ex:Customer .
+          ?c ex:nation ?nn .
+          ?nn ex:name ?nname
+        } GROUP BY ?nname ORDER BY ?nname
+        """,
+    )
+
+
+def _sql_sp18():
+    return """
+    SELECT n_name AS nname, count(*) AS n,
+           CAST(count(*) * 4 AS DOUBLE) AS score,
+           upper(n_name) || ':' || CAST(count(*) AS VARCHAR) AS tag
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY nname
+    """
+
+
+def sp19_star_closure(spark, sf_dir):
+    """Zero-or-more path ex:parent* — round 6: identity over the node
+    domain ∪ pointer-doubled closure (compiler._path_df 'star'). The
+    type pattern restricts subjects to suppliers, so every supplier
+    contributes its zero-length (s, s) row — including supplier 1,
+    which has NO parent edge and only appears via the identity domain.
+    Oracle: the sp09 recursive CTE plus the identity rows."""
+    return _sparql(
+        spark,
+        sf_dir,
+        "SELECT ?s ?a WHERE { ?s a ex:Supplier . ?s ex:parent* ?a }",
+    )
+
+
+def _sql_sp19():
+    return """
+    WITH RECURSIVE e AS (
+      SELECT s_suppkey AS k, s_suppkey // 2 AS p
+      FROM supplier WHERE s_suppkey > 1),
+    r(k, a) AS (
+      SELECT k, p FROM e
+      UNION
+      SELECT r.k, e.p FROM r JOIN e ON r.a = e.k)
+    SELECT 'urn:supp:' || s_suppkey AS s, 'urn:supp:' || s_suppkey AS a
+    FROM supplier
+    UNION
+    SELECT 'urn:supp:' || k AS s, 'urn:supp:' || a AS a FROM r
+    """
+
+
 def s13_interarrival_stats(spark, sf_dir):
     """Inter-arrival gap distribution per event type: lag diff on one
     (user, ts) shuffle, then exact interpolated percentiles of the gap
@@ -7331,6 +7418,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d04_ngram_jaccard": d04_ngram_jaccard,
     # --- below the window: round-6 additions go HERE (contiguous, never
     # stamped) so the r07 rotation is mechanical ---
+    "sp17_bind_bucket": sp17_bind_bucket,
+    "sp18_select_expressions": sp18_select_expressions,
+    "sp19_star_closure": sp19_star_closure,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -7623,6 +7713,9 @@ _ORACLES: dict[str, str] = {
     "sp14_group_concat_having": _sql_sp14(),
     "sp15_subquery_max": _sql_sp15(),
     "sp16_update_rewrite": _sql_sp16(),
+    "sp17_bind_bucket": _sql_sp17(),
+    "sp18_select_expressions": _sql_sp18(),
+    "sp19_star_closure": _sql_sp19(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),

@@ -3,13 +3,19 @@
 Covered grammar (the practical core of SPARQL 1.1):
 
   PREFIX decls; SELECT [DISTINCT] ?v... | (AGG(?v|*) AS ?alias)...
+  | (expr AS ?alias)...
   or CONSTRUCT { template } or ASK {...} or DESCRIBE ?v WHERE {...}
   or DELETE {t} INSERT {t} WHERE {...} / DELETE WHERE {...}  (update
   forms go through sparql_update, returning the post-update graph) ;
   WHERE { basic graph patterns . FILTER(expr) OPTIONAL {...}
-          {...} UNION {...} MINUS {...} FILTER [NOT] EXISTS {...}
+          BIND(expr AS ?v) {...} UNION {...} MINUS {...}
+          FILTER [NOT] EXISTS {...}
           VALUES ?v { lits } GRAPH <iri>|?g {...} { SELECT ... } } ;
   GROUP BY ?v... HAVING(expr) ; ORDER BY [ASC|DESC](?v)... ; LIMIT n
+
+Value expressions (BIND / SELECT projections / FILTER operands):
+arithmetic + - * / over the double view of lexical forms, STR /
+STRLEN / UCASE / LCASE / CONCAT / ROUND / FLOOR / CEIL / ABS.
 
 Aggregates: COUNT / SUM / MIN / MAX / AVG on DECIMAL lexicals,
 GROUP_CONCAT(?v; SEPARATOR="..") pinned to sorted order, SAMPLE as
@@ -17,7 +23,11 @@ deterministic MIN.
 
 Property paths in predicate position: sequence a/b, inverse ^a,
 alternation a|b, transitive a+ (closure by pointer doubling —
-log2(depth) self-joins, not depth-many). MINUS / FILTER NOT EXISTS
+log2(depth) self-joins, not depth-many), zero-or-more a* and
+zero-or-one a? (identity over the node domain ∪ closure / single
+hop). Paths work inside GRAPH scopes too: within ``GRAPH ?g`` every
+hop additionally joins on the graph column, so a path never closes
+across graphs. MINUS / FILTER NOT EXISTS
 compile to left_anti joins on the shared variables, FILTER EXISTS to
 left_semi — the ledger-resume anti-join shape (operators/ledger.py)
 surfacing as query syntax. CONSTRUCT returns a new (s, p, o) graph
@@ -80,15 +90,20 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+|\#[^\n]*)
     | (?P<string>"(?:[^"\\]|\\.)*")
-    | (?P<iri><[^>]*>)
+    | (?P<iri><[^<>\s]*>)
     | (?P<var>\?\w+)
     | (?P<number>-?\d+\.\d+|-?\d+)
     | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*)
     | (?P<word>[A-Za-z_]\w*)
-    | (?P<op>&&|\|\||!=|<=|>=|[{}().=<>!*,/^+|;])
+    | (?P<op>&&|\|\||!=|<=|>=|[{}().=<>!*,/^+|;?-])
     """,
     re.X,
 )
+# IRI contents exclude whitespace and nested angle brackets (RFC 3987
+# lexical space), so a '<' COMPARISON never mislexes as an IRI opener:
+# in `FILTER(?y < 5 && ?x > 1)` the span "< 5 && ?x >" contains spaces
+# and fails the iri alternative, falling through to the op rule. The
+# old greedy `<[^>]*>` swallowed it whole and produced a bogus token.
 
 
 def _tokenize(text: str) -> list[str]:
@@ -196,7 +211,7 @@ class _Parser:
 
     # -- property paths (predicate position) -------------------------------
     # path := seq ('|' seq)* ; seq := step ('/' step)* ;
-    # step := '^'? iri ('+')?        (SPARQL 1.1 subset; no '*' / '?')
+    # step := '^'? iri ('+'|'*'|'?')?
     def path_term(self) -> Term:
         first = self._path_seq()
         if self.peek() != "|":
@@ -216,20 +231,21 @@ class _Parser:
             return steps[0]
         return ("path", ("seq", [_as_path(s) for s in steps]))
 
+    _PATH_MODS = {"+": "plus", "*": "star", "?": "opt"}
+
     def _path_step(self) -> Term:
         inverse = False
         if self.peek() == "^":
             self.next()
             inverse = True
         base = self.term()
-        if base[0] == "var" and (inverse or self.peek() == "+"):
+        if base[0] == "var" and (inverse or self.peek() in self._PATH_MODS):
             raise ValueError("property-path modifiers need a constant IRI")
         out: Term = base
         if inverse:
             out = ("path", ("inv", _as_path(base)))
-        if self.peek() == "+":
-            self.next()
-            out = ("path", ("plus", _as_path(out)))
+        if self.peek() in self._PATH_MODS:
+            out = ("path", (self._PATH_MODS[self.next()], _as_path(out)))
         return out
 
     # -- query -------------------------------------------------------------
@@ -305,22 +321,37 @@ class _Parser:
                 projections.append(("var", self.next()[1:]))
             elif tok == "(":
                 self.next()
-                func = self.next().upper()
-                self.expect("(")
-                arg = None if self.peek() == "*" else self.next()[1:]
-                if arg is None:
-                    self.next()  # '*'
-                if self.peek() == ";":  # GROUP_CONCAT(?v; SEPARATOR="..")
-                    self.next()
-                    self.expect("SEPARATOR")
-                    self.expect("=")
-                    sep = _unquote(self.next())
-                    arg = (arg, sep)
-                self.expect(")")
-                self.expect("AS")
-                alias = self.next()[1:]
-                self.expect(")")
-                projections.append(("agg", func, arg, alias))
+                head = self.peek()
+                if (
+                    head is not None
+                    and head.upper() in _AGG_FUNCS
+                    and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1] == "("
+                ):
+                    func = self.next().upper()
+                    self.expect("(")
+                    arg = None if self.peek() == "*" else self.next()[1:]
+                    if arg is None:
+                        self.next()  # '*'
+                    if self.peek() == ";":  # GROUP_CONCAT(?v; SEPARATOR="..")
+                        self.next()
+                        self.expect("SEPARATOR")
+                        self.expect("=")
+                        sep = _unquote(self.next())
+                        arg = (arg, sep)
+                    self.expect(")")
+                    self.expect("AS")
+                    alias = self.next()[1:]
+                    self.expect(")")
+                    projections.append(("agg", func, arg, alias))
+                else:
+                    # (expr AS ?alias): arithmetic / string value
+                    # expression over in-scope vars and aggregate aliases
+                    expr = self._expr_or()
+                    self.expect("AS")
+                    alias = self.next()[1:]
+                    self.expect(")")
+                    projections.append(("expr", expr, alias))
             else:
                 raise ValueError(f"bad projection {tok!r}")
         if self._kw("WHERE"):
@@ -410,6 +441,17 @@ class _Parser:
                     expr = self._expr_or()
                     self.expect(")")
                     g.elements.append(("filter", expr))
+            elif tok.upper() == "BIND":
+                # BIND(expr AS ?v): extends every in-scope solution with
+                # a computed binding
+                self.next()
+                flush()
+                self.expect("(")
+                expr = self._expr_or()
+                self.expect("AS")
+                var = self.next()[1:]
+                self.expect(")")
+                g.elements.append(("bind", var, expr))
             elif tok.upper() == "OPTIONAL":
                 self.next()
                 flush()
@@ -429,7 +471,12 @@ class _Parser:
                 self.expect("{")
                 lits = []
                 while self.peek() != "}":
-                    lits.append(self.term()[1])
+                    # numeric literals keep their lexical form — the
+                    # store's object model is canonical strings
+                    if re.fullmatch(r"-?\d+\.\d+|-?\d+", self.peek()):
+                        lits.append(self.next())
+                    else:
+                        lits.append(self.term()[1])
                 self.next()
                 flush()
                 g.elements.append(("values", var, lits))
@@ -488,7 +535,25 @@ class _Parser:
             return ("cmp", op, left, self._operand())
         return left
 
+    # operand := mul (('+'|'-') mul)* ; mul := primary (('*'|'/') primary)*
+    # Binary minus needs surrounding whitespace ("?a - 1"): the lexer
+    # folds a sign into a number literal ("-1"), same as SPARQL's own
+    # tokenization of adjacent signed numerics.
     def _operand(self):
+        left = self._expr_mul()
+        while self.peek() in ("+", "-"):
+            op = self.next()
+            left = ("arith", op, left, self._expr_mul())
+        return left
+
+    def _expr_mul(self):
+        left = self._expr_primary()
+        while self.peek() in ("*", "/"):
+            op = self.next()
+            left = ("arith", op, left, self._expr_primary())
+        return left
+
+    def _expr_primary(self):
         tok = self.peek()
         if tok == "(":
             self.next()
@@ -502,16 +567,20 @@ class _Parser:
             return ("str", _unquote(tok))
         if re.fullmatch(r"-?\d+\.\d+|-?\d+", tok):
             return ("num", float(tok))
-        # function call: REGEX(...), geof:sfWithin(...), BOUND(...)
+        # function call: REGEX(...), geof:sfWithin(...), BOUND(...),
+        # STR/STRLEN/UCASE/LCASE/CONCAT/ROUND/FLOOR/CEIL/ABS
         fname = tok
         self.expect("(")
         args = []
         while self.peek() != ")":
-            args.append(self._operand())
+            args.append(self._expr_or())
             if self.peek() == ",":
                 self.next()
         self.expect(")")
         return ("call", fname.lower(), args)
+
+
+_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE"}
 
 
 def _unquote(tok: str) -> str:
@@ -550,55 +619,108 @@ def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataF
 _PLUS_MAX_ITERS = 24  # pointer doubling: covers path length 2^24
 
 
-def _path_df(store: TripleStore, node) -> DataFrame:
-    """Evaluate a property-path AST to its (s, o) node-pair frame.
+def _path_keys(has_g: bool) -> list[str]:
+    return ["__g"] if has_g else []
+
+
+def _node_domain(store, has_g: bool) -> DataFrame:
+    """The identity-path domain: every RDF term appearing as subject or
+    object (SPARQL's zero-length-path semantics), as an (s, o) frame
+    with s == o — per graph (``__g``) inside a GRAPH ?var scope, and
+    filtered to the one graph inside a constant-graph scope."""
+    triples = store.triples
+    gconst = getattr(store, "_gconst", None)
+    if gconst is not None:
+        triples = triples.where(F.col("g") == gconst)
+    extra = [F.col("g").alias("__g")] if has_g else []
+    nodes = triples.select(F.col("s").alias("n"), *extra).unionByName(
+        triples.select(F.col("o").alias("n"), *extra)
+    ).dropDuplicates()
+    return nodes.select(F.col("n").alias("s"), F.col("n").alias("o"), *(
+        [F.col("__g")] if has_g else []
+    ))
+
+
+def _path_df(store: TripleStore, node, has_g: bool = False) -> DataFrame:
+    """Evaluate a property-path AST to its (s, o) node-pair frame —
+    (s, o, __g) inside a ``GRAPH ?var`` scope, where every hop ALSO
+    joins on the graph column so a path can never close across graphs.
 
     seq is a relational join on the midpoint; alt a union; inv a swap;
-    ``+`` is transitive closure by POINTER DOUBLING — each round joins
-    the reachability frame with itself (path length doubles per round,
-    so depth-D closure needs log2(D) joins, the d08 connected-
-    components argument), distinct-ing to keep the state a SET of node
-    pairs, localCheckpoint to cut lineage, and a count() fixpoint test
-    per round (state is graph-sized, the count is the job we just ran
-    anyway)."""
+    ``*``/``?`` union the identity pairs over the node domain
+    (``_node_domain``); ``+`` is transitive closure by POINTER
+    DOUBLING — each round joins the reachability frame with itself
+    (path length doubles per round, so depth-D closure needs log2(D)
+    joins, the d08 connected-components argument), distinct-ing to
+    keep the state a SET of node pairs, ``util.cut_lineage`` to cut
+    lineage (reliable ``checkpoint`` when a checkpoint dir is
+    configured — executor-loss recovery on a cluster — matching every
+    other iterative operator), and a count() fixpoint test per round
+    (state is graph-sized, the count is the job we just ran anyway)."""
+    from geosparql_etl_spark.util import cut_lineage
+
+    keys = _path_keys(has_g)
     kind = node[0]
     if kind == "link":
-        return store.scan(None, node[1], None, {"s": "s", "o": "o"})
+        df = store.scan(None, node[1], None, {"s": "s", "o": "o"})
+        if has_g:
+            gvar = store._gvar
+            df = df.withColumnRenamed(gvar, "__g")
+        return df
     if kind == "inv":
-        inner = _path_df(store, node[1])
-        return inner.select(F.col("o").alias("s"), F.col("s").alias("o"))
+        inner = _path_df(store, node[1], has_g)
+        return inner.select(
+            F.col("o").alias("s"), F.col("s").alias("o"), *keys
+        )
     if kind == "seq":
-        cur = _path_df(store, node[1][0])
+        cur = _path_df(store, node[1][0], has_g)
         for step in node[1][1:]:
-            nxt = _path_df(store, step).select(
-                F.col("s").alias("__m"), F.col("o").alias("__o2")
+            nxt = _path_df(store, step, has_g).select(
+                F.col("s").alias("__m"), F.col("o").alias("__o2"),
+                *[F.col(k).alias("__g2") for k in keys],
             )
-            cur = (
-                cur.join(nxt, cur.o == F.col("__m"))
-                .select("s", F.col("__o2").alias("o"))
+            cond = cur.o == F.col("__m")
+            if has_g:
+                cond = cond & (cur["__g"] == F.col("__g2"))
+            cur = cur.join(nxt, cond).select(
+                "s", F.col("__o2").alias("o"), *keys
             )
         return cur
     if kind == "alt":
-        out = _path_df(store, node[1][0])
+        out = _path_df(store, node[1][0], has_g)
         for alt in node[1][1:]:
-            out = out.unionByName(_path_df(store, alt))
+            out = out.unionByName(_path_df(store, alt, has_g))
         return out
+    if kind == "opt":  # p? = identity ∪ single hop
+        return (
+            _path_df(store, node[1], has_g)
+            .unionByName(_node_domain(store, has_g))
+            .dropDuplicates()
+        )
+    if kind == "star":  # p* = identity ∪ closure(p)
+        return (
+            _path_df(store, ("plus", node[1]), has_g)
+            .unionByName(_node_domain(store, has_g))
+            .dropDuplicates()
+        )
     if kind == "plus":
-        base = _path_df(store, node[1]).dropDuplicates().localCheckpoint()
+        base = cut_lineage(_path_df(store, node[1], has_g).dropDuplicates())
         closure = base
         size = closure.count()
         for _ in range(_PLUS_MAX_ITERS):
             hop = closure.select(
-                F.col("s").alias("__m"), F.col("o").alias("__o2")
+                F.col("s").alias("__m"), F.col("o").alias("__o2"),
+                *[F.col(k).alias("__g2") for k in keys],
             )
-            grown = (
+            cond = closure.o == F.col("__m")
+            if has_g:
+                cond = cond & (closure["__g"] == F.col("__g2"))
+            grown = cut_lineage(
                 closure.unionByName(
-                    closure.join(hop, closure.o == F.col("__m")).select(
-                        "s", F.col("__o2").alias("o")
+                    closure.join(hop, cond).select(
+                        "s", F.col("__o2").alias("o"), *keys
                     )
-                )
-                .dropDuplicates()
-                .localCheckpoint()
+                ).dropDuplicates()
             )
             new_size = grown.count()
             if new_size == size:
@@ -611,17 +733,9 @@ def _path_df(store: TripleStore, node) -> DataFrame:
 def _scan_pattern(store: TripleStore, pat) -> DataFrame:
     s, p, o = pat
     if p[0] == "path":
-        if getattr(store, "_gvar", None) is not None:
-            # path evaluation carries only (s, o) between hops; inside
-            # GRAPH ?g that silently drops the graph binding AND the
-            # same-graph constraint between hops — reject loudly.
-            # (Constant-graph scopes are fine: every hop's scan is
-            # filtered to the one graph.)
-            raise ValueError(
-                "property paths inside GRAPH ?var are unsupported; use a "
-                "constant graph or per-hop triple patterns"
-            )
-        pairs = _path_df(store, p[1])
+        gvar = getattr(store, "_gvar", None)
+        has_g = gvar is not None
+        pairs = _path_df(store, p[1], has_g)
         for pos, term in (("s", s), ("o", o)):
             if term[0] == "const":
                 pairs = pairs.where(F.col(pos) == term[1])
@@ -633,6 +747,13 @@ def _scan_pattern(store: TripleStore, pat) -> DataFrame:
         if s[0] == "var" and s == o:  # ?x path ?x
             pairs = pairs.where(F.col("s") == F.col("o"))
             cols = [F.col("s").alias(s[1])]
+        if has_g:
+            cols.append(F.col("__g").alias(gvar))
+        if not cols:
+            # fully-constant endpoints (<a> p+ <b>): an existence test —
+            # keep the same one-row marker the plain-pattern scan uses
+            # (triples.py) so downstream joins see a column
+            return pairs.select(F.lit(1).alias("__exists__")).limit(1)
         return pairs.select(*cols)
     consts = {pos: term[1] for pos, term in zip("spo", pat) if term[0] == "const"}
     aliases: dict[str, str] = {}
@@ -723,6 +844,19 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             # projected bindings join the outer group on shared vars —
             # the aggregates-mid-query mechanism
             df = _join(df, _compile_query(store, payload[0]))
+        elif kind == "bind":
+            var, expr = payload
+            col = _operand_col(expr, False)
+            if df is None:
+                # BIND opening a group extends the EMPTY solution — one
+                # row carrying only the computed binding
+                spark = store.triples.sparkSession
+                df = spark.range(1).select(col.alias(var))
+            elif var in df.columns:
+                # SPARQL forbids rebinding an in-scope variable
+                raise ValueError(f"BIND would rebind in-scope ?{var}")
+            else:
+                df = df.withColumn(var, col)
         elif kind == "filter":
             filters.append(payload[0])
     if df is None:
@@ -734,11 +868,14 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
 
 # -- FILTER expression -> Column --------------------------------------------
 
-_NUMERIC_CALLS = {"geof:distance"}
+_NUMERIC_CALLS = {"geof:distance", "strlen", "round", "floor", "ceil", "abs"}
 
 
 def _is_numeric(node) -> bool:
-    return node[0] == "num" or (node[0] == "call" and node[1] in _NUMERIC_CALLS)
+    return (
+        node[0] in ("num", "arith")
+        or (node[0] == "call" and node[1] in _NUMERIC_CALLS)
+    )
 
 
 def _point_xy(col: Column) -> tuple[Column, Column]:
@@ -768,6 +905,14 @@ def _operand_col(node, numeric: bool) -> Column:
         return F.lit(node[1])
     if kind == "str":
         return F.lit(node[1])
+    if kind == "arith":
+        # arithmetic forces the numeric view of lexical operands (the
+        # same double cast FILTER comparisons use)
+        _, op, left, right = node
+        lc, rc = _operand_col(left, True), _operand_col(right, True)
+        return {
+            "+": lc + rc, "-": lc - rc, "*": lc * rc, "/": lc / rc,
+        }[op]
     if kind == "call":
         return _compile_call(node)
     raise ValueError(f"bad operand {node!r}")
@@ -783,6 +928,21 @@ def _compile_call(node) -> Column:
         return _operand_col(args[0], False).contains(args[1][1])
     if fname == "bound":
         return _operand_col(args[0], False).isNotNull()
+    if fname == "str":
+        # SPARQL STR(): the lexical form — objects already ARE lexical
+        # strings in this store, so this is a string cast
+        return _operand_col(args[0], False).cast("string")
+    if fname == "strlen":
+        return F.length(_operand_col(args[0], False))
+    if fname == "ucase":
+        return F.upper(_operand_col(args[0], False))
+    if fname == "lcase":
+        return F.lower(_operand_col(args[0], False))
+    if fname == "concat":
+        return F.concat(*[_operand_col(a, False).cast("string") for a in args])
+    if fname in ("round", "floor", "ceil", "abs"):
+        fn = {"round": F.round, "floor": F.floor, "ceil": F.ceil, "abs": F.abs}
+        return fn[fname](_operand_col(args[0], True))
     if fname == "geof:sfwithin":
         # geof:sfWithin(?wkt, "POLYGON((...))") with a constant region:
         # even-odd ray cast against the literal ring — the same
@@ -907,6 +1067,15 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
     q = parse_query(query_text)
     if q.delete_template is None and q.insert_template is None:
         raise ValueError("sparql_update needs a DELETE and/or INSERT form")
+    if "g" in store.triples.columns:
+        # a quad store's graph identity would be silently dropped (the
+        # update operates on (s,p,o) only: cross-graph duplicates
+        # collapse, DELETE hits every graph) — reject loudly, the
+        # GraphScopedStore convention
+        raise ValueError(
+            "sparql_update on a quad store (a 'g' column) is unsupported; "
+            "update one graph's triples and reassemble the quad lake"
+        )
     for tmpl in (q.delete_template, q.insert_template):
         for pat in tmpl or []:
             if pat[1][0] == "path":
@@ -954,7 +1123,15 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
             # HAVING over the aggregate ALIASES (?alias comparisons) —
             # applied post-aggregation like its SQL namesake
             df = df.where(_compile_expr(q.having))
-    out_cols = [p[1] if p[0] == "var" else p[3] for p in q.projections]
+    for p in q.projections:
+        if p[0] == "expr":
+            # (expr AS ?alias) computes over in-scope vars — or, after
+            # an aggregation, over grouped keys and aggregate aliases
+            df = df.withColumn(p[2], _operand_col(p[1], False))
+    out_cols = [
+        p[1] if p[0] == "var" else p[3] if p[0] == "agg" else p[2]
+        for p in q.projections
+    ]
     df = df.select(*out_cols)
     if q.distinct:
         df = df.dropDuplicates()

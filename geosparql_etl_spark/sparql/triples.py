@@ -34,6 +34,14 @@ from pyspark.sql import functions as F
 
 EX = "urn:ex:"
 RDF_TYPE = "rdf:type"
+RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+# The compiler's 'a' keyword and the in-engine vocabulary use the
+# compact "rdf:type"; the Turtle source (sources/turtle.py) expands 'a'
+# to the full rdf-syntax-ns#type IRI per spec. Scans treat the two as
+# THE SAME predicate so '?s a <Class>' works identically over a
+# generated store and a turtle-loaded one — without rewriting the
+# stored lexical form (a loaded graph round-trips byte-identically).
+_TYPE_FORMS = [RDF_TYPE, RDF_TYPE_IRI]
 GEO_ASWKT = "geo:asWKT"
 
 
@@ -262,14 +270,22 @@ class TripleStore:
 
     def scan(self, s: str | None, p: str | None, o: str | None, aliases: dict[str, str]) -> DataFrame:
         """aliases: position name ('s'/'p'/'o') -> output column name."""
+        p_forms = _TYPE_FORMS if p in _TYPE_FORMS else None
         if p is not None and self.vertical is not None:
-            df = self.vertical.get(p)
-            if df is None:  # predicate absent from the graph: empty slice
+            if p_forms is not None:
+                slices = [self.vertical[f] for f in p_forms if f in self.vertical]
+            else:
+                slices = [self.vertical[p]] if p in self.vertical else []
+            if not slices:  # predicate absent from the graph: empty slice
                 df = self.triples.select("s", "o").where(F.lit(False))
+            else:
+                df = _union_all(slices)
         else:
             df = self.triples
             if p is not None:
-                df = df.where(F.col("p") == p)
+                df = df.where(
+                    F.col("p").isin(p_forms) if p_forms else F.col("p") == p
+                )
         if s is not None:
             df = df.where(F.col("s") == s)
         if o is not None:
@@ -290,9 +306,9 @@ class GraphScopedStore:
     ``g`` as that variable on every PLAIN pattern in the scope, so the
     shared-variable join machinery keeps the scope single-graph —
     SPARQL's GRAPH semantics. Property paths inside a VARIABLE graph
-    scope are rejected loudly (``_path_df``'s seq/closure steps carry
-    only (s, o) and would silently drop the binding — see
-    compiler._scan_pattern).
+    scope thread the graph column through every hop (each seq/closure
+    join also equi-joins on ``g`` — compiler._path_df), so a path
+    never closes across graphs and the binding survives to the output.
 
     Scale note: graph scopes bypass the per-predicate vertical dict
     (built without g); a production quad lake partitions by (g, p)
@@ -313,7 +329,11 @@ class GraphScopedStore:
     def scan(self, s, p, o, aliases) -> DataFrame:
         df = self.triples
         for pos, const in (("s", s), ("p", p), ("o", o)):
-            if const is not None:
+            if const is None:
+                continue
+            if pos == "p" and const in _TYPE_FORMS:
+                df = df.where(F.col(pos).isin(_TYPE_FORMS))
+            else:
                 df = df.where(F.col(pos) == const)
         if self._gconst is not None:
             df = df.where(F.col("g") == self._gconst)

@@ -434,3 +434,61 @@ def test_sparql_parser_total_on_garbage(junk):
         parse_query(junk)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# zero-length property paths vs brute-force closure (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _brute_star(edges, nodes, start):
+    """p* from a fixed start: start itself (zero-length) plus everything
+    reachable over p edges — textbook BFS as the reference semantics."""
+    seen = {start} if start in nodes else set()
+    frontier = [start]
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, []).append(o)
+    while frontier:
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, []):
+                if m not in seen:
+                    seen.add(m)
+                    nxt.append(m)
+        frontier = nxt
+    # SPARQL zero-length semantics: <start> p* ?o matches (start, start)
+    # even when start has no edges, as long as start is a graph term;
+    # the engine's node domain is built from the triples, so a start
+    # constant absent from the graph still matches itself per spec —
+    # the engine restricts identity to graph terms (documented subset).
+    return seen
+
+
+@given(
+    edges=st.lists(st.tuples(_node, _node), min_size=0, max_size=10, unique=True),
+    extra=st.lists(st.tuples(_node, _node), min_size=0, max_size=3, unique=True),
+    start=_node,
+)
+@settings(**_SETTINGS)
+def test_sparql_star_path_matches_bruteforce(spark, edges, extra, start):
+    """For ANY small digraph, `<start> p* ?o` equals {start} ∪ BFS
+    closure — identity handled through the node domain, closure through
+    pointer doubling; `q` edges are distractors the path must ignore."""
+    from geosparql_etl_spark.sparql import TripleStore, sparql_select
+
+    triples = [(s, "p", o) for s, o in edges] + [(s, "q", o) for s, o in extra]
+    if not triples:
+        return
+    nodes = {t for s, _, o in triples for t in (s, o)}
+    want = _brute_star(edges, nodes, start)
+    store = TripleStore(
+        spark.createDataFrame(triples, "s string, p string, o string")
+    )
+    got = {
+        r.o
+        for r in sparql_select(
+            store, f"SELECT ?o WHERE {{ <{start}> <p>* ?o }}"
+        ).collect()
+    }
+    assert got == want
