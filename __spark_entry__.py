@@ -6918,6 +6918,123 @@ def _sql_llm18():
     )
 
 
+def llm20_bpe_tokenize(spark, sf_dir):
+    """BPE round-trip — round 6: llm18 LEARNS the merge table; this
+    APPLIES it (operators/bpe.py:apply_bpe_merges) to tokenize the
+    corpus, closing the train->apply loop. Tokenization runs over the
+    DISTINCT word domain (vocab-sized) with the 4 learned merges as
+    literal rank-ordered rewrites — no join, no Python — then
+    broadcast-joins back to word positions; per doc: word/token counts
+    and the md5 of the full token stream (the llm14 compact-proof
+    shape). Oracle: the llm18 SQL-unrolled trainer plus an apply chain
+    over the same word domain — the oracle re-learns AND re-applies,
+    so a drift in either half fails the hash."""
+    from geosparql_etl_spark.operators.bpe import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pw = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"),
+                lambda w: w.rlike("^[a-z]+$"),
+            )
+        ).alias("pos", "word"),
+    )
+    freqs = pw.groupBy("word").agg(F.count("*").alias("freq"))
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in learn_bpe_merges(freqs, num_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    toks = apply_bpe_merges(freqs.select("word"), merges)
+    return (
+        pw.join(F.broadcast(toks), on="word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("k").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                        lambda s: s.getField("toks"),
+                    ),
+                )
+            ).alias("tokens_md5"),
+        )
+    )
+
+
+def _sql_llm20():
+    def pair_cte(i):
+        return f"""
+    p{i} AS (
+      SELECT a, b FROM (
+        SELECT w[i] AS a, w[i+1] AS b, freq FROM (
+          SELECT string_split(trim(s), ' ') AS w, freq FROM w{i-1}),
+        LATERAL unnest(range(1, len(w))) AS t(i))
+      GROUP BY a, b ORDER BY sum(freq) DESC, a ASC, b ASC LIMIT 1)"""
+
+    pat = "' ' || a || ' ' || b || ' '"
+    rep = "' ' || a || b || ' '"
+
+    def word_cte(i):
+        return f"""
+    w{i} AS (
+      SELECT replace(replace(s, {pat}, {rep}), {pat}, {rep}) AS s, freq
+      FROM w{i-1} CROSS JOIN p{i})"""
+
+    def apply_cte(i):
+        return f"""
+    a{i} AS (
+      SELECT wd, replace(replace(s, {pat}, {rep}), {pat}, {rep}) AS s
+      FROM a{i-1} CROSS JOIN p{i})"""
+
+    ctes = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> regexp_matches(x, '^[a-z]+$')) AS ws
+      FROM documents WHERE text IS NOT NULL),
+    pw AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS wd
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM w)),
+    wf AS (SELECT wd AS word, count(*) AS freq FROM pw GROUP BY wd),
+    w0 AS (
+      SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s,
+             freq
+      FROM wf),
+    a0 AS (
+      SELECT word AS wd,
+             ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+      FROM wf)"""
+    for i in range(1, 5):
+        ctes += "," + pair_cte(i)
+        ctes += "," + apply_cte(i)
+        if i < 4:
+            ctes += "," + word_cte(i)
+    return (
+        ctes
+        + """,
+    done AS (
+      SELECT wd, trim(s) AS toks, len(string_split(trim(s), ' ')) AS k
+      FROM a4)
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(k) AS BIGINT) AS n_tokens,
+           md5(string_agg(toks, ' ' ORDER BY pos)) AS tokens_md5
+    FROM pw JOIN done USING (wd)
+    GROUP BY doc_id
+    """
+    )
+
+
 def d13_triangle_count(spark, sf_dir):
     """Per-node triangle counts over the cosine>=0.4 near-dup pair
     graph (the sim02 edge set): triangles measure how CLIQUE-LIKE a
@@ -7421,6 +7538,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp17_bind_bucket": sp17_bind_bucket,
     "sp18_select_expressions": sp18_select_expressions,
     "sp19_star_closure": sp19_star_closure,
+    "llm20_bpe_tokenize": llm20_bpe_tokenize,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -7716,6 +7834,7 @@ _ORACLES: dict[str, str] = {
     "sp17_bind_bucket": _sql_sp17(),
     "sp18_select_expressions": _sql_sp18(),
     "sp19_star_closure": _sql_sp19(),
+    "llm20_bpe_tokenize": _sql_llm20(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),

@@ -92,3 +92,40 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
     )
+
+
+def apply_bpe_merges(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """The APPLY side of ``learn_bpe_merges``: tokenize each distinct
+    word with an already-learned merge list, in rank order — training
+    and application round-trip on the same replace-twice rewrite, so
+    the trainer's own final word state IS this function's output for
+    the training corpus.
+
+    -> (word, toks, k): space-joined subword tokens and their count.
+
+    Scale notes: the input is the DISTINCT word domain (vocab-sized —
+    Heaps-sublinear in corpus size), and the merge list lives in the
+    plan as literals, so application is ONE stage of chained
+    ``replace`` columns — no join, no shuffle, no Python. For
+    production-sized merge tables (10k+), chunk the chain with
+    ``cut_lineage`` every few hundred merges to bound codegen size;
+    the semantics (rank-ordered rewrites) are unchanged.
+    """
+    s = F.concat(
+        F.lit(" "),
+        F.array_join(F.split(F.col(word_col), ""), " "),
+        F.lit(" "),
+    )
+    for a, b in merges:
+        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+        s = F.replace(F.replace(s, pat, rep), pat, rep)
+    toks = F.trim(s)
+    return words.select(
+        F.col(word_col).alias("word"),
+        toks.alias("toks"),
+        F.size(F.split(toks, " ")).alias("k"),
+    )

@@ -1519,3 +1519,42 @@ class TestBpeMerges:
         words = spark.createDataFrame([("ab", 2)], "word string, freq long")
         got = learn_bpe_merges(words, num_merges=5).collect()
         assert len(got) == 1  # after merging (a,b) nothing is adjacent
+
+    def test_apply_round_trips_sennrich_example(self, spark):
+        """Round 6: tokenizing with the learned table must reproduce
+        the trainer's own final word states — hand-checked on the
+        classic vocabulary after 4 merges (es, es-t, lo, lo-w)."""
+        from geosparql_etl_spark.operators.bpe import (
+            apply_bpe_merges,
+            learn_bpe_merges,
+        )
+
+        words = spark.createDataFrame(
+            [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+            "word string, freq long",
+        )
+        merges = [
+            (r["lhs"], r["rhs"])
+            for r in learn_bpe_merges(words, num_merges=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        got = {
+            r.word: (r.toks, r.k)
+            for r in apply_bpe_merges(words.select("word"), merges).collect()
+        }
+        assert got == {
+            "low": ("low", 1),
+            "lower": ("low e r", 3),
+            "newest": ("n e w est", 4),
+            "widest": ("w i d est", 4),
+        }
+
+    def test_apply_unseen_word_falls_back_to_chars(self, spark):
+        """A word sharing no learned merge decomposes to characters —
+        the open-vocabulary property application must preserve."""
+        from geosparql_etl_spark.operators.bpe import apply_bpe_merges
+
+        words = spark.createDataFrame([("zq",)], "word string")
+        (row,) = apply_bpe_merges(words, [("e", "s")]).collect()
+        assert (row.toks, row.k) == ("z q", 2)
