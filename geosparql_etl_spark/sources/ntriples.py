@@ -16,6 +16,10 @@ driver-side listing loop or a second parse pass. This is also the
 template for wrapping any line-oriented domain format (WARC, JSONL
 variants, log formats) as a queryable source.
 
+Partition pruning is OPTION-driven (``pathEquals``, ``graph``), not
+claimed-filter-driven: see NTriplesReader's docstring for the Spark
+4.1.2 multi-branch planning hazard that forced this design.
+
 Strictness: blank lines and `#` comments skip; any other unparseable
 line raises with file context — a triple store must not silently drop
 statements (the GeoJSON source's PERMISSIVE-mode lesson).
@@ -41,6 +45,12 @@ NTRIPLES_SCHEMA = (
     "subject string, predicate string, object string, "
     "is_literal boolean, datatype string, lang string, path string"
 )
+# quad-lake layout (option("graphPartitions","true") on read,
+# option("partitionBy","g") on write): files live under one
+# ``g=<percent-encoded-graph-iri>`` directory per named graph — the
+# GRAPH-scoped analog of a parquet partitionBy("g") lake, where a
+# constant-graph scan prunes whole directories before any file opens
+NTQUADS_SCHEMA = NTRIPLES_SCHEMA + ", g string"
 
 _LINE = re.compile(r"^<([^>]*)> <([^>]*)> (.+?) \.\s*$", re.S)
 _LITERAL = re.compile(
@@ -60,8 +70,21 @@ def _unescape(s: str) -> str:
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, graph: str | None = None):
         self.path = path
+        self.graph = graph
+
+
+def _enc_graph(g: str) -> str:
+    from urllib.parse import quote
+
+    return quote(g, safe="")
+
+
+def _dec_graph(dirname: str) -> str:
+    from urllib.parse import unquote
+
+    return unquote(dirname[len("g="):])
 
 
 def _list_nt_files(path: str) -> list[str]:
@@ -69,7 +92,7 @@ def _list_nt_files(path: str) -> list[str]:
 
     Accepted forms (comma-separable, so a partitioned triple lake
     like ``out/exec/img,out/exec/rad`` or ``out/**/*.nt.gz`` reads as
-    ONE table; pair with the pushed ``path`` equality filter for
+    ONE table; pair with ``option("pathEquals", <file>)`` for
     partition pruning on top):
       - a directory           -> its *.nt + *.nt.gz files
       - a glob (supports **)  -> every match (dirs expand recursively)
@@ -95,62 +118,98 @@ def _list_nt_files(path: str) -> list[str]:
 
 
 class NTriplesReader(DataSourceReader):
+    """Reader with OPTION-driven partition pruning and NO claimed
+    filter pushdown.
+
+    Why no pushFilters claims (round-6 finding, Spark 4.1.2): when the
+    same ntriples source appears in several branches of one plan (a
+    BGP self-join, an update's bindings + full-graph scan), Spark's
+    Python-data-source planning does not keep the per-branch claimed
+    filter state apart — branches execute with ANOTHER branch's
+    claimed equalities and silently return wrong rows (verified
+    empirically; the regression test pins it). Claims REMOVE filters
+    from the plan, so correctness then depends on exactly which
+    pickled reader ran — unacceptable. This reader therefore claims
+    nothing: Spark keeps every filter in the plan and applies it above
+    the scan, branch by branch — always correct.
+
+    Pruning still exists, through read OPTIONS, which are part of the
+    relation identity and therefore can never cross branches:
+      - ``option("pathEquals", <file>)``: scan exactly one file
+      - ``option("graph", <iri>)`` (+ graphPartitions): scan one
+        ``g=<enc>`` directory of a quad lake
+    NTriplesLakeStore / GraphScopedStore set these per scan."""
+
     def __init__(self, options: dict):
         path = options.get("path")
         if not path:
             raise ValueError("ntriples source needs a path: .load(<path>)")
         self.path = path
-        self._eq: dict[str, object] = {}
-        # set when pushed equalities contradict each other (x=='a' AND
-        # x=='b'): the scan is provably empty and must RETURN empty —
-        # accepting both filters but applying only one would silently
-        # return the wrong rows (ADVICE r04)
-        self._impossible = False
+        self.graph_partitions = (
+            options.get("graphPartitions", "false").lower() == "true"
+        )
+        self.path_equals = options.get("pathequals")
+        self.graph = options.get("graph")
+        if self.graph is not None and not self.graph_partitions:
+            raise ValueError(
+                "ntriples option 'graph' needs graphPartitions=true "
+                "(a quad lake laid out as g=<enc> directories)"
+            )
 
     def pushFilters(self, filters):
-        """Source-side filter pushdown: equality on subject/predicate/
-        object drops rows DURING the parse (before Arrow serialization
-        to the JVM), and equality on ``path`` prunes whole files out
-        of ``partitions()`` — the custom-format analog of parquet's
-        PushedFilters + partition pruning. Everything else is returned
-        unsupported, so Spark re-applies it (pushdown must never
-        change semantics, only cost). Two contradictory equalities on
-        one column mark the scan impossible (zero partitions' worth of
-        rows) instead of last-write-wins."""
-        from pyspark.sql.datasource import EqualTo
-
-        unsupported = []
-        for f in filters:
-            if isinstance(f, EqualTo) and len(f.attribute) == 1 and \
-                    f.attribute[0] in ("subject", "predicate", "object", "path"):
-                attr = f.attribute[0]
-                if attr in self._eq and self._eq[attr] != f.value:
-                    self._impossible = True
-                else:
-                    self._eq[attr] = f.value
-            else:
-                unsupported.append(f)
-        return unsupported
+        """Claim NOTHING (see class docstring): every filter is
+        returned unsupported so Spark re-applies it above the scan.
+        The method still exists so registration's filterPushdown
+        session guard keeps working."""
+        return list(filters)
 
     def partitions(self):
-        if self._impossible:
-            # contradictory pushed equalities: one sentinel partition
-            # whose read() yields nothing (the API requires >=1)
-            return [_FilePartition("")]
+        if self.graph_partitions:
+            return self._graph_partitions()
         files = _list_nt_files(self.path)
         if not files:
             raise FileNotFoundError(f"no .nt/.nt.gz files under {self.path}")
-        if "path" in self._eq:  # pushed path equality prunes whole files
-            files = [p for p in files if p == self._eq["path"]]
+        if self.path_equals is not None:  # option prunes to one file
+            files = [p for p in files if p == self.path_equals]
             if not files:
                 return [_FilePartition("")]
         # one partition per file: an N-file directory scans N-wide and
         # a task re-run re-reads exactly one file
         return [_FilePartition(p) for p in files]
 
+    def _graph_partitions(self):
+        """Quad lake: one ``g=<enc>`` directory per graph under the
+        root. option("graph", <iri>) prunes whole DIRECTORIES here —
+        zero file opens for the other graphs, the partition-pruning
+        behavior a parquet partitionBy("g") lake gets from Catalyst."""
+        dirs = sorted(glob.glob(os.path.join(self.path, "g=*")))
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
+            raise FileNotFoundError(
+                f"no g=* graph directories under {self.path} "
+                "(not a quad lake? drop graphPartitions)"
+            )
+        if self.graph is not None:
+            want = os.path.join(self.path, "g=" + _enc_graph(self.graph))
+            dirs = [d for d in dirs if d == want]
+            if not dirs:
+                return [_FilePartition("")]
+        parts = []
+        for d in dirs:
+            graph = _dec_graph(os.path.basename(d))
+            for p in sorted(
+                glob.glob(os.path.join(d, "*.nt"))
+                + glob.glob(os.path.join(d, "*.nt.gz"))
+            ):
+                parts.append(_FilePartition(p, graph))
+        return parts or [_FilePartition("")]
+
     def read(self, partition: _FilePartition):
-        if not partition.path:  # impossible-scan sentinel
+        if not partition.path:  # pruned-to-nothing sentinel
             return
+        tail = (
+            (partition.graph,) if self.graph_partitions else ()
+        )
         opener = gzip.open if partition.path.endswith(".gz") else io.open
         with opener(partition.path, "rt", encoding="utf-8") as fh:
             for n, raw in enumerate(fh, 1):
@@ -164,16 +223,10 @@ class NTriplesReader(DataSourceReader):
                         f"statement: {line[:120]!r}"
                     )
                 subj, pred, obj = m.groups()
-                if self._eq.get("subject", subj) != subj:
-                    continue
-                if self._eq.get("predicate", pred) != pred:
-                    continue
                 uri = _URI.match(obj)
                 if uri:
-                    o = uri.group(1)
-                    if self._eq.get("object", o) == o:
-                        yield (subj, pred, o, False, None, None,
-                               partition.path)
+                    yield (subj, pred, uri.group(1), False, None, None,
+                           partition.path) + tail
                     continue
                 lit = _LITERAL.match(obj)
                 if not lit:
@@ -182,12 +235,10 @@ class NTriplesReader(DataSourceReader):
                         f"{obj[:120]!r}"
                     )
                 value, dtype, lang = lit.groups()
-                o = _unescape(value)
-                if self._eq.get("object", o) != o:
-                    continue
                 yield (
-                    subj, pred, o, True, dtype, lang, partition.path,
-                )
+                    subj, pred, _unescape(value), True, dtype, lang,
+                    partition.path,
+                ) + tail
 
 
 class NTriplesDataSource(DataSource):
@@ -196,6 +247,8 @@ class NTriplesDataSource(DataSource):
         return "ntriples"
 
     def schema(self) -> str:
+        if self.options.get("graphPartitions", "false").lower() == "true":
+            return NTQUADS_SCHEMA
         return NTRIPLES_SCHEMA
 
     def reader(self, schema):
@@ -255,9 +308,10 @@ def render_line(row) -> str:
 
 
 class _Committed(WriterCommitMessage):
-    def __init__(self, tmp_path: str, final_name: str, n_rows: int):
-        self.tmp_path = tmp_path
-        self.final_name = final_name
+    def __init__(self, renames: list[tuple[str, str]], n_rows: int):
+        # [(attempt-unique temp path, final name relative to the root)]
+        # — one pair for a flat write, one PER GRAPH for partitionBy=g
+        self.renames = renames
         self.n_rows = n_rows
 
 
@@ -297,6 +351,16 @@ class NTriplesWriter(DataSourceWriter):
                 "(use 'gzip' or omit)"
             )
         self.gzip = compression == "gzip"
+        part_by = options.get("partitionby")
+        if part_by not in (None, "g"):
+            raise ValueError(
+                f"ntriples sink: partitionBy={part_by!r} unsupported "
+                "(only 'g' — one directory per named graph)"
+            )
+        # quad-lake write: rows carry a ``g`` column; each task writes
+        # one file PER GRAPH it holds under g=<enc>/ (repartition the
+        # frame by g upstream so each graph concentrates in few tasks)
+        self.graph_partitioned = part_by == "g"
 
     def write(self, iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
@@ -306,37 +370,78 @@ class NTriplesWriter(DataSourceWriter):
         attempt = ctx.taskAttemptId() if ctx else 0
         os.makedirs(self.path, exist_ok=True)
         ext = ".nt.gz" if self.gzip else ".nt"
+        opener = gzip.open if self.gzip else io.open
+        if self.graph_partitioned:
+            return self._write_graphs(iterator, pid, attempt, ext, opener)
         final_name = f"part-{pid:05d}{ext}"
         tmp = os.path.join(
             self.path, f".part-{pid:05d}-{attempt}{ext}.tmp"
         )
-        opener = gzip.open if self.gzip else io.open
         n = 0
         with opener(tmp, "wt", encoding="utf-8") as fh:
             for row in iterator:
                 fh.write(render_line(row) + "\n")
                 n += 1
-        return _Committed(tmp, final_name, n)
+        return _Committed([(tmp, final_name)], n)
+
+    def _write_graphs(self, iterator, pid, attempt, ext, opener):
+        """One temp file per graph seen by this task; the commit
+        message carries every (tmp, g=<enc>/part-<pid>) rename pair.
+        Handles live streaming: rows go straight to the open handle of
+        their graph — no per-task buffering of the data."""
+        handles: dict[str, tuple] = {}
+        n = 0
+        try:
+            for row in iterator:
+                if row.g is None:
+                    raise ValueError(
+                        "ntriples partitionBy=g: NULL graph value "
+                        "(every row of a quad lake needs a graph IRI)"
+                    )
+                fh_pair = handles.get(row.g)
+                if fh_pair is None:
+                    enc = _enc_graph(row.g)
+                    tmp = os.path.join(
+                        self.path,
+                        f".part-{pid:05d}-{attempt}-{enc}{ext}.tmp",
+                    )
+                    final = os.path.join("g=" + enc, f"part-{pid:05d}{ext}")
+                    fh_pair = (opener(tmp, "wt", encoding="utf-8"), tmp, final)
+                    handles[row.g] = fh_pair
+                fh_pair[0].write(render_line(row) + "\n")
+                n += 1
+        finally:
+            for fh, _, _ in handles.values():
+                fh.close()
+        return _Committed(
+            [(tmp, final) for _, tmp, final in handles.values()], n
+        )
 
     def commit(self, messages) -> None:
         if self.overwrite:
-            for f in glob.glob(os.path.join(self.path, "part-*.nt")) + \
-                    glob.glob(os.path.join(self.path, "part-*.nt.gz")):
-                os.remove(f)
+            pats = ("part-*.nt", "part-*.nt.gz",
+                    os.path.join("g=*", "part-*.nt"),
+                    os.path.join("g=*", "part-*.nt.gz"))
+            for pat in pats:
+                for f in glob.glob(os.path.join(self.path, pat)):
+                    os.remove(f)
         for m in messages:
             if m is None:
                 continue
-            if not os.path.exists(m.tmp_path):
-                # a reported winner whose temp vanished (concurrent job
-                # sweeping this directory, external cleanup) is a
-                # protocol violation: publishing _SUCCESS anyway would
-                # present an output silently missing that partition.
-                raise IOError(
-                    f"ntriples commit: winner temp {m.tmp_path!r} is "
-                    "missing — refusing to publish an incomplete output "
-                    "(is another job writing this directory?)"
-                )
-            os.replace(m.tmp_path, os.path.join(self.path, m.final_name))
+            for tmp, final_name in m.renames:
+                if not os.path.exists(tmp):
+                    # a reported winner whose temp vanished (concurrent
+                    # job sweeping this directory, external cleanup) is
+                    # a protocol violation: publishing _SUCCESS anyway
+                    # would present an output silently missing rows.
+                    raise IOError(
+                        f"ntriples commit: winner temp {tmp!r} is "
+                        "missing — refusing to publish an incomplete "
+                        "output (is another job writing this directory?)"
+                    )
+                dest = os.path.join(self.path, final_name)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(tmp, dest)
         self._sweep_temps()
         with io.open(
             os.path.join(self.path, "_SUCCESS"), "wt", encoding="utf-8"
@@ -345,8 +450,11 @@ class NTriplesWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+            if m is None:
+                continue
+            for tmp, _ in m.renames:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         self._sweep_temps()
 
     def _sweep_temps(self) -> None:

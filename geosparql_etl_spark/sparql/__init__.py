@@ -18,9 +18,15 @@ from geosparql_etl_spark.sparql.compiler import (
     sparql_select,
     sparql_update,
 )
-from geosparql_etl_spark.sparql.triples import TripleStore, tpch_store, tpch_triples
+from geosparql_etl_spark.sparql.triples import (
+    NTriplesLakeStore,
+    TripleStore,
+    tpch_store,
+    tpch_triples,
+)
 
 __all__ = [
+    "NTriplesLakeStore",
     "TripleStore",
     "tpch_store",
     "tpch_triples",

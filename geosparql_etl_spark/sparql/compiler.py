@@ -628,7 +628,7 @@ def _node_domain(store, has_g: bool) -> DataFrame:
     object (SPARQL's zero-length-path semantics), as an (s, o) frame
     with s == o — per graph (``__g``) inside a GRAPH ?var scope, and
     filtered to the one graph inside a constant-graph scope."""
-    triples = store.triples
+    triples = store.full()
     gconst = getattr(store, "_gconst", None)
     if gconst is not None:
         triples = triples.where(F.col("g") == gconst)
@@ -1081,7 +1081,7 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
             if pat[1][0] == "path":
                 raise ValueError("update templates must be plain triples")
     bindings = _compile_group(store, q.where)
-    graph = store.triples.select("s", "p", "o")
+    graph = store.full().select("s", "p", "o")
     if q.delete_template:
         dels = construct_triples(bindings, q.delete_template)
         graph = graph.join(dels, on=["s", "p", "o"], how="left_anti")
@@ -1103,7 +1103,7 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
         return df.limit(1).agg((F.count(F.lit(1)) > 0).alias("ask"))
     if q.describe_var is not None:
         subjects = df.select(F.col(q.describe_var).alias("s")).dropDuplicates()
-        return store.triples.join(subjects, on="s", how="left_semi")
+        return store.full().join(subjects, on="s", how="left_semi")
     if q.construct_template is not None:
         return construct_triples(df, q.construct_template)
     aggs = [p for p in q.projections if p[0] == "agg"]

@@ -235,6 +235,24 @@ class TripleStore:
         self.triples = triples
         self.vertical = vertical
 
+    def _relation(self) -> DataFrame:
+        """The frame ONE pattern scan filters. File-backed subclasses
+        (NTriplesLakeStore) return a FRESH relation per call — see its
+        docstring for the Spark 4.1 shared-relation pushdown hazard."""
+        return self.triples
+
+    def _relation_for_graph(self, gconst: str | None) -> DataFrame:
+        """Relation for a scan inside GRAPH <const>: lake subclasses
+        prune to the one graph directory via a read OPTION; here it is
+        just the base relation (the scope's Catalyst g-filter does the
+        semantic work either way)."""
+        return self._relation()
+
+    def full(self) -> DataFrame:
+        """The whole graph as a frame safe to combine with pattern
+        scans in one plan (DESCRIBE, updates, path node domains)."""
+        return self._relation()
+
     @classmethod
     def from_ntriples(cls, df: DataFrame, with_graphs: bool = False) -> "TripleStore":
         """Adapt a ``spark.read.format("ntriples")`` frame (schema
@@ -244,16 +262,31 @@ class TripleStore:
         casts operate on the lexical form, which is what ``object``
         already holds.
 
-        ``with_graphs=True`` keeps the source file path as the NAMED
-        GRAPH column ``g`` — one .nt file == one graph, the natural
-        quad reading of a triple lake, queryable with GRAPH patterns."""
+        ``with_graphs=True`` keeps the named-graph identity as column
+        ``g``: the source's own ``g`` column when present (a quad lake
+        read with ``option("graphPartitions","true")`` — the graph IRI
+        decoded from the ``g=<enc>`` directory), else the source file
+        path (one .nt file == one graph, the natural quad reading of a
+        flat triple lake). Either way the result is queryable with
+        GRAPH patterns — and for the quad lake, a constant-graph scope
+        filter pushes down to the source as directory pruning.
+
+        CAUTION (Spark 4.1): if ``df`` is a live ``format("ntriples")``
+        scan, use ``NTriplesLakeStore`` instead — a BGP self-joins the
+        ONE shared relation and Spark plans a Python data source
+        relation once per DataFrame instance, collapsing the branches'
+        claimed pushdown filters onto a single scan (wrong bindings,
+        silently). This classmethod is safe for materialized frames
+        (createDataFrame, checkpointed/parquet-backed, turtle
+        mapInPandas output)."""
         cols = [
             F.col("subject").alias("s"),
             F.col("predicate").alias("p"),
             F.col("object").alias("o"),
         ]
         if with_graphs:
-            cols.append(F.col("path").alias("g"))
+            src = "g" if "g" in df.columns else "path"
+            cols.append(F.col(src).alias("g"))
         return cls(df.select(*cols))
 
     @classmethod
@@ -281,7 +314,7 @@ class TripleStore:
             else:
                 df = _union_all(slices)
         else:
-            df = self.triples
+            df = self._relation()
             if p is not None:
                 df = df.where(
                     F.col("p").isin(p_forms) if p_forms else F.col("p") == p
@@ -294,6 +327,68 @@ class TripleStore:
         if not cols:  # pure existence pattern: keep one marker column
             return df.select(F.lit(1).alias("__exists__")).limit(1)
         return df.select(*cols)
+
+
+class NTriplesLakeStore(TripleStore):
+    """TripleStore over a live ``format("ntriples")`` lake that opens a
+    FRESH relation for every pattern scan.
+
+    Why this exists: Spark 4.1 plans a Python data source relation
+    ONCE per DataFrame instance. Every BGP is a self-join, so two
+    patterns scanning one shared loaded frame get their per-branch
+    claimed pushdown filters collapsed onto that single planning — one
+    branch silently reads with the OTHER branch's subject/predicate/
+    object equality (verified empirically; parquet relations do not
+    share this behavior). A fresh ``load()`` per scan restores the
+    invariant the compiler assumes: each pattern's claims and path/
+    graph-directory pruning are its own.
+
+    Cost: one extra plan-worker invocation per pattern (milliseconds);
+    file listing repeats per scan. Both are planning-time, not
+    data-path, and are the price of keeping pushdown claims sound.
+
+    ``quad_lake=True`` reads a ``partitionBy("g")`` layout
+    (``option("graphPartitions","true")``): the store carries ``g``
+    and a constant GRAPH scope prunes whole graph directories."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        with_graphs: bool = False,
+        quad_lake: bool = False,
+    ):
+        self._spark = spark
+        self._path = path
+        self._quad = quad_lake
+        self._wg = with_graphs or quad_lake
+        super().__init__(self._load())
+
+    def _load(self, graph: str | None = None) -> DataFrame:
+        reader = self._spark.read.format("ntriples")
+        if self._quad:
+            reader = reader.option("graphPartitions", "true")
+            if graph is not None:
+                # constant GRAPH scope: prune to the one g=<enc>
+                # directory at listing time — the option is part of
+                # the relation identity, so the pruning can never
+                # bleed into another branch of the plan
+                reader = reader.option("graph", graph)
+        df = reader.load(self._path)
+        cols = [
+            F.col("subject").alias("s"),
+            F.col("predicate").alias("p"),
+            F.col("object").alias("o"),
+        ]
+        if self._wg:
+            cols.append(F.col("g" if self._quad else "path").alias("g"))
+        return df.select(*cols)
+
+    def _relation(self) -> DataFrame:
+        return self._load()
+
+    def _relation_for_graph(self, gconst: str | None) -> DataFrame:
+        return self._load(graph=gconst)
 
 
 class GraphScopedStore:
@@ -321,13 +416,17 @@ class GraphScopedStore:
                 "GRAPH pattern needs a quad store (no 'g' column; load "
                 "with TripleStore.from_ntriples(df, with_graphs=True))"
             )
+        self._base = base
         self.triples = base.triples
         self.vertical = None
         self._gconst = gconst
         self._gvar = gvar
 
+    def full(self) -> DataFrame:
+        return self._base.full()
+
     def scan(self, s, p, o, aliases) -> DataFrame:
-        df = self.triples
+        df = self._base._relation_for_graph(self._gconst)
         for pos, const in (("s", s), ("p", p), ("o", o)):
             if const is None:
                 continue
