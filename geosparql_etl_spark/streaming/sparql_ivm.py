@@ -197,13 +197,33 @@ def run_incremental_construct(
     replays them once to rebuild its per-pattern state and discards
     their derivations — state is re-derived from durable inputs, the
     reference's checkpoint-recovery pattern (mongo-etl checkpoint
-    semantics), not persisted mutable state."""
+    semantics), not persisted mutable state.
+
+    Crash window closed (round-6 advice): if the dying run's LAST
+    parquet append committed but its epoch checkpoint did not, the
+    replayed epoch's input is absent from ``bootstrap_triples``, so
+    the rebuilt view does not hold its derivations and the in-view
+    left_anti alone would re-append them. The FIRST post-restart
+    batch therefore also dedups against the existing ``out_dir``
+    contents — one extra anti-join, paid once per restart, and the
+    append is idempotent end to end. (The window is exactly the one
+    in-flight epoch; ``bootstrap_triples`` must still cover every
+    checkpoint-acknowledged epoch, as before.)"""
     view = IncrementalConstructView(construct_text, static_store=static_store)
     if bootstrap_triples is not None:
         view.update(bootstrap_triples.select("s", "p", "o"))
+    pending_restart_dedup = [bootstrap_triples is not None]
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         fresh = view.update(batch_df.select("s", "p", "o"))
+        if pending_restart_dedup[0]:
+            pending_restart_dedup[0] = False
+            try:
+                existing = spark.read.parquet(out_dir).select("s", "p", "o")
+            except Exception:  # no prior output: nothing to dedup against
+                existing = None
+            if existing is not None:
+                fresh = fresh.join(existing, on=["s", "p", "o"], how="left_anti")
         if fresh.limit(1).count() > 0:
             fresh.write.mode("append").parquet(out_dir)
 

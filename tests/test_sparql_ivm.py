@@ -165,3 +165,59 @@ def test_ivm_invariant_under_any_batching(spark, cuts):
         view.update(_df(spark, batch))
     want = sparql_select(TripleStore(_df(spark, T)), Q_LOCATED)
     assert _set(view.snapshot()) == _set(want)
+
+
+def test_restart_with_committed_append_unacked_epoch_no_duplicates(
+    spark, tmp_path
+):
+    """Round-6 advice: crash AFTER a batch's parquet append committed
+    but BEFORE its epoch checkpoint advanced. On restart the replayed
+    epoch's input is missing from bootstrap_triples (only acknowledged
+    epochs are), so the rebuilt view lacks its derivations — the
+    first-post-restart dedup against out_dir must keep the append
+    idempotent anyway."""
+    land = str(tmp_path / "land")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # run 1: consume T[:3] (acknowledged) then T[3:5] whose append
+    # committed but whose checkpoint ack we simulate as LOST by
+    # restarting from a checkpoint that only covers the first file
+    _df(spark, T[:3]).coalesce(1).write.mode("append").parquet(land)
+    stream = (
+        spark.readStream.schema("s string, p string, o string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = run_incremental_construct(spark, stream, Q_LOCATED, out, ck)
+    assert q.awaitTermination(120)
+
+    # simulate the crashed epoch: its OUTPUT is already in out_dir …
+    view = IncrementalConstructView(Q_LOCATED)
+    view.update(_df(spark, T[:3]))
+    inflight = view.update(_df(spark, T[3:5]))
+    assert inflight.count() > 0
+    inflight.write.mode("append").parquet(out)
+    # … and its INPUT lands again for the restarted stream to replay
+    _df(spark, T[3:5]).coalesce(1).write.mode("append").parquet(land)
+
+    stream2 = (
+        spark.readStream.schema("s string, p string, o string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q2 = run_incremental_construct(
+        spark,
+        stream2,
+        Q_LOCATED,
+        out,
+        ck,
+        bootstrap_triples=_df(spark, T[:3]),  # acknowledged epochs ONLY
+    )
+    assert q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    rows = [(r.s, r.p, r.o) for r in got.collect()]
+    assert len(rows) == len(set(rows)), "restart re-appended duplicates"
+    want = sparql_select(TripleStore(_df(spark, T[:5])), Q_LOCATED)
+    assert sorted(set(rows)) == _set(want)
