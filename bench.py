@@ -103,7 +103,11 @@ HEADLINE = [
     # sp09's transitive closure deliberately NOT in the headline: the
     # fixpoint loop inherits the same GC/iteration variance the d11
     # exclusion documents; its constituent join shape is timed via
-    # sp01/sp05 and the oracle gate checks it every round.
+    # sp01/sp05 and the oracle gate checks it every round. sp19 (star
+    # closure) is excluded for the same reason.
+    # round 6: BIND bucket aggregate + the BPE train->apply round trip
+    "sp17_bind_bucket",
+    "llm20_bpe_tokenize",
 ]
 
 
