@@ -485,6 +485,128 @@ def _sql_q09():
     """
 
 
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape — round 6: top-20 customers by revenue lost to
+    returned items in one quarter. The returnflag filter pushes into
+    the lineitem scan; customer/nation broadcast; revenue sums exact
+    1e-4 longs (the q03 money rule); the top-20 cut orders by
+    (revenue DESC, custkey ASC) so ties select deterministically on
+    both engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(_revenue_e4()) / F.lit(10000.0), 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def _sql_q10():
+    return """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """
+
+
+def q12_priority_counts(spark, sf_dir):
+    """TPC-H Q12 shape — round 6 (adapted: the testdata carries no
+    shipmode/commitdate, so the classifier groups by returnflag): per
+    lineitem return class in one year, how many orders were
+    high-priority (1-URGENT/2-HIGH) vs not — the conditional-count
+    CASE WHEN aggregation over a fact-fact join. Counts, not money, so
+    the compare is exact by construction."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _sql_q12():
+    return """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape — round 6: promo revenue share for one month.
+    Both the promo and total revenue accumulate as exact 1e-4 longs
+    (one conditional sum each, a single scan+broadcast-join), and only
+    the final ratio goes through doubles — identical longs in, so the
+    replay engine lands on the identical double."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = F.col("p_type").startswith("PROMO")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(promo, _revenue_e4()).otherwise(F.lit(0)))
+                / F.sum(_revenue_e4()),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+def _sql_q14():
+    rev = ("CAST(round(l_extendedprice * 100) AS BIGINT) "
+           "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return f"""
+    SELECT round(CAST(100 AS DOUBLE)
+                 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN {rev} ELSE 0 END)
+                 / sum({rev}), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """
+
+
 def j01_multikey_equijoin(spark, sf_dir):
     """J1: the marks x analysis analog — lineitem x orders x customer."""
     li = _t(spark, sf_dir, "lineitem")
@@ -6682,6 +6804,54 @@ def _sql_sp19():
     """
 
 
+def sp20_graph_scoped_agg(spark, sf_dir):
+    """GRAPH ?g over a REAL quad store — round 6: orders render as
+    quads with one named graph per order priority, and the query
+    aggregates per graph over a TWO-pattern scope (type + customer) —
+    the scope join runs on (s AND g), so this attests GRAPH stitching
+    itself, not just per-graph filtering. First sp row whose oracle
+    checks quad semantics in the driver gate (sp01-sp19 are all
+    default-graph)."""
+    from geosparql_etl_spark.sparql import TripleStore, sparql_select
+
+    o = _t(spark, sf_dir, "orders")
+    g = F.concat(F.lit("urn:graph:"), F.col("o_orderpriority"))
+    s = F.concat(F.lit("urn:order:"), F.col("o_orderkey").cast("string"))
+    quads = o.select(
+        s.alias("s"),
+        F.lit("rdf:type").alias("p"),
+        F.lit("urn:ex:Order").alias("o"),
+        g.alias("g"),
+    ).unionByName(
+        o.select(
+            s.alias("s"),
+            F.lit("urn:ex:customer").alias("p"),
+            F.concat(
+                F.lit("urn:cust:"), F.col("o_custkey").cast("string")
+            ).alias("o"),
+            g.alias("g"),
+        )
+    )
+    return sparql_select(
+        TripleStore(quads),
+        _SPARQL_PFX
+        + """
+        SELECT ?g (COUNT(?o) AS ?n_orders) (SAMPLE(?c) AS ?first_cust)
+        WHERE { GRAPH ?g { ?o a ex:Order . ?o ex:customer ?c } }
+        GROUP BY ?g ORDER BY ?g
+        """,
+    )
+
+
+def _sql_sp20():
+    return """
+    SELECT 'urn:graph:' || o_orderpriority AS g,
+           count(*) AS n_orders,
+           min('urn:cust:' || o_custkey) AS first_cust
+    FROM orders GROUP BY g ORDER BY g
+    """
+
+
 def s13_interarrival_stats(spark, sf_dir):
     """Inter-arrival gap distribution per event type: lag diff on one
     (user, ts) shuffle, then exact interpolated percentiles of the gap
@@ -7539,6 +7709,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp18_select_expressions": sp18_select_expressions,
     "sp19_star_closure": sp19_star_closure,
     "llm20_bpe_tokenize": llm20_bpe_tokenize,
+    "sp20_graph_scoped_agg": sp20_graph_scoped_agg,
+    "q10_returned_items": q10_returned_items,
+    "q12_priority_counts": q12_priority_counts,
+    "q14_promo_effect": q14_promo_effect,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -7835,6 +8009,10 @@ _ORACLES: dict[str, str] = {
     "sp18_select_expressions": _sql_sp18(),
     "sp19_star_closure": _sql_sp19(),
     "llm20_bpe_tokenize": _sql_llm20(),
+    "sp20_graph_scoped_agg": _sql_sp20(),
+    "q10_returned_items": _sql_q10(),
+    "q12_priority_counts": _sql_q12(),
+    "q14_promo_effect": _sql_q14(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
