@@ -6804,6 +6804,268 @@ def _sql_sp19():
     """
 
 
+def a16_mad_outliers(spark, sf_dir):
+    """Robust outlier screen — round 6: per market segment, the
+    median / MAD of acctbal and how many customers sit outside the
+    standard 3-sigma-equivalent band (3 x 1.4826 x MAD). The
+    mean/stddev version dies on the very outliers it hunts; median/
+    MAD is the robust-statistics standard for quality filtering.
+    Two grouped exact-percentile passes with a broadcast of the
+    per-group medians between them — no window over the fact table.
+    Both engines interpolate percentiles over identical doubles, so
+    the compare is exact."""
+    c = _t(spark, sf_dir, "customer")
+    med = c.groupBy("c_mktsegment").agg(
+        F.median("c_acctbal").alias("med")
+    )
+    dev = c.join(F.broadcast(med), "c_mktsegment").withColumn(
+        "adev", F.abs(F.col("c_acctbal") - F.col("med"))
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.first("med").alias("med"), F.median("adev").alias("mad")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                (
+                    F.col("adev") > F.lit(3 * 1.4826) * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _sql_a16():
+    return """
+    WITH med AS (
+      SELECT c_mktsegment, median(c_acctbal) AS med
+      FROM customer GROUP BY c_mktsegment),
+    dev AS (
+      SELECT c.c_mktsegment, abs(c_acctbal - med.med) AS adev, med.med
+      FROM customer c JOIN med USING (c_mktsegment)),
+    mad AS (
+      SELECT c_mktsegment, min(med) AS med, median(adev) AS mad
+      FROM dev GROUP BY c_mktsegment)
+    SELECT d.c_mktsegment, round(mad.med, 4) AS med,
+           round(mad.mad, 4) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (c_mktsegment)
+    GROUP BY d.c_mktsegment, mad.med, mad.mad
+    ORDER BY d.c_mktsegment
+    """
+
+
+def g18_nearest_neighbor(spark, sf_dir):
+    """Bounded-radius nearest-neighbor join — round 6: each supplier
+    point's closest OTHER supplier within euclidean radius 15, grid-
+    bucketed candidates (g17's bbox machinery) then an exact argmin.
+    The radius bound is what makes the plan scale-safe: unbounded NN
+    needs expanding-ring search, while radius-R NN is one cell join
+    with 3x3 coverage. Argmin by min(struct(d2, nn)) — squared
+    INTEGER distance, so ordering and ties are exact, with the
+    neighbor key as the deterministic tie-break on both engines."""
+    from geosparql_etl_spark.operators.spatial import bbox_spatial_join
+
+    s = _t(spark, sf_dir, "supplier")
+    pts = s.select(
+        F.col("s_suppkey").alias("pid"),
+        ((F.col("s_suppkey") * 37) % 100).alias("x"),
+        ((F.col("s_suppkey") * 61) % 100).alias("y"),
+    )
+    half = 7.5  # boxes overlap iff |dx|<=15 and |dy|<=15 ⊇ the disk
+    boxes = pts.select(
+        F.col("pid").alias("box_id"),
+        (F.col("x") - half).cast("double").alias("minx"),
+        (F.col("y") - half).cast("double").alias("miny"),
+        (F.col("x") + half).cast("double").alias("maxx"),
+        (F.col("y") + half).cast("double").alias("maxy"),
+    )
+    cand = bbox_spatial_join(boxes, "box_id", cell=15.0)
+    # candidates come back id_a < id_b: a NN search needs both
+    # directions, so mirror the pair set before the argmin
+    both = cand.select("id_a", "id_b").unionByName(
+        cand.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    a = pts.select(F.col("pid").alias("id_a"), F.col("x").alias("ax"),
+                   F.col("y").alias("ay"))
+    b = pts.select(F.col("pid").alias("id_b"), F.col("x").alias("bx"),
+                   F.col("y").alias("by"))
+    d2 = (
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    return (
+        both.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= 225)
+        .groupBy(F.col("id_a").alias("s_suppkey"))
+        .agg(F.min(F.struct("d2", "id_b")).alias("m"))
+        .select(
+            "s_suppkey",
+            F.col("m.id_b").alias("nn_suppkey"),
+            F.col("m.d2").alias("d2"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _sql_g18():
+    return """
+    WITH p AS (
+      SELECT s_suppkey AS k, (s_suppkey * 37) % 100 AS x,
+             (s_suppkey * 61) % 100 AS y
+      FROM supplier),
+    c AS (
+      SELECT a.k AS s_suppkey, b.k AS nn_suppkey,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM p a JOIN p b ON a.k != b.k
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 225)
+    SELECT s_suppkey, nn_suppkey, d2 FROM c
+    QUALIFY row_number() OVER (
+      PARTITION BY s_suppkey ORDER BY d2, nn_suppkey) = 1
+    ORDER BY s_suppkey
+    """
+
+
+def txt18_lexical_diversity(spark, sf_dir):
+    """Lexical diversity per document — round 6: type-token ratio and
+    hapax share, the standard quick screens for template/boilerplate
+    text (low TTR) and OCR noise (high hapax share). One explode +
+    two grouped aggregations, exact integer counts; the ratios divide
+    identical integers on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"),
+                lambda w: w.rlike("^[a-z]+$"),
+            )
+        ).alias("word"),
+    )
+    per_word = words.groupBy("doc_id", "word").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count("*").alias("n_types"),
+            F.sum((F.col("cnt") == 1).cast("bigint")).alias("n_hapax"),
+        )
+        .withColumn(
+            "ttr",
+            F.round(F.col("n_types") / F.col("n_words"), 6),
+        )
+        .withColumn(
+            "hapax_ratio",
+            F.round(F.col("n_hapax") / F.col("n_types"), 6),
+        )
+    )
+
+
+def _sql_txt18():
+    return r"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '\s+'),
+               x -> regexp_matches(x, '^[a-z]+$'))) AS word
+      FROM documents WHERE text IS NOT NULL),
+    pw AS (
+      SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word)
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr,
+           round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_ratio
+    FROM pw GROUP BY doc_id
+    """
+
+
+def s14_rate_anomaly(spark, sf_dir):
+    """Event-rate anomaly detection — round 6: per (event_type, hour)
+    counts z-scored against the TRAILING 24 observed hours (frame
+    -24..-1 rows). The variance comes from exact BIGINT power sums
+    (n*Σx² - (Σx)² over the frame) so the z expression is one double
+    computed from identical integers on both engines — no float
+    summation-order drift, the same exactness trick as the money
+    sums. Flags |z| > 3 with at least 12 trailing hours observed."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("n").over(w).alias("k"),
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+    )
+    var = (
+        F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")
+    ) / (F.col("k") * (F.col("k") - 1))
+    z = (F.col("n") - F.col("s1") / F.col("k")) / F.sqrt(var)
+    return (
+        stats.where(F.col("k") >= 12)
+        .withColumn("z", F.round(z, 4))
+        .withColumn(
+            "is_anomaly",
+            F.when(var > 0, F.abs(F.col("z")) > 3).otherwise(F.lit(False)),
+        )
+        .select("event_type", "hour", "n", "z", "is_anomaly")
+    )
+
+
+def _sql_s14():
+    return """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n
+      FROM events GROUP BY event_type, hour),
+    st AS (
+      SELECT event_type, hour, n,
+             count(n) OVER w AS k,
+             sum(n) OVER w AS s1,
+             sum(n * n) OVER w AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hour, n,
+           round((n - CAST(s1 AS DOUBLE) / k)
+                 / sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)
+                        / (k * (k - 1))), 4) AS z,
+           CASE WHEN k * s2 - s1 * s1 > 0 THEN
+             abs((n - CAST(s1 AS DOUBLE) / k)
+                 / sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)
+                        / (k * (k - 1)))) > 3
+           ELSE FALSE END AS is_anomaly
+    FROM st WHERE k >= 12
+    """
+
+
 def sp20_graph_scoped_agg(spark, sf_dir):
     """GRAPH ?g over a REAL quad store — round 6: orders render as
     quads with one named graph per order priority, and the query
@@ -7713,6 +7975,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,
     "q12_priority_counts": q12_priority_counts,
     "q14_promo_effect": q14_promo_effect,
+    "a16_mad_outliers": a16_mad_outliers,
+    "g18_nearest_neighbor": g18_nearest_neighbor,
+    "txt18_lexical_diversity": txt18_lexical_diversity,
+    "s14_rate_anomaly": s14_rate_anomaly,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -8013,6 +8279,10 @@ _ORACLES: dict[str, str] = {
     "q10_returned_items": _sql_q10(),
     "q12_priority_counts": _sql_q12(),
     "q14_promo_effect": _sql_q14(),
+    "a16_mad_outliers": _sql_a16(),
+    "g18_nearest_neighbor": _sql_g18(),
+    "txt18_lexical_diversity": _sql_txt18(),
+    "s14_rate_anomaly": _sql_s14(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
