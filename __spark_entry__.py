@@ -7907,12 +7907,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round; order by verification need. Round-6 window: the 30 round-5
     # additions that have never had a driver CORRECTNESS stamp (builder +
     # judge 30/30 verified in round 5), followed by the 20 oldest
-    # r03-stamped rows. The 23 remaining r03-stamped rows are queued
-    # first below the window; the r07 window = any round-6 additions
-    # (inserted contiguously right below the window as they land) + those
-    # 23 r03 rows + the freshest-needed remainder. After r06 every
-    # pre-round-6 query is driver-attested within three consecutive
-    # rounds (r04/r05/r06).
+    # r03-stamped rows. After r06 every pre-round-6 query is driver-
+    # attested within three consecutive rounds (r04/r05/r06).
+    # r07 rotation (staged below the window, in order): the 12 round-6
+    # additions (sp17-sp20, llm20, q10/q12/q14, a16, g18, txt18, s14 —
+    # never driver-stamped), then the 23 remaining r03-stamped rows,
+    # then the 15 oldest r05-stamped rows (q02 ... llm11) to fill 50.
     # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
