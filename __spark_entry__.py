@@ -6804,6 +6804,36 @@ def _sql_sp19():
     """
 
 
+def sp21_solution_modifiers(spark, sf_dir):
+    """Solution modifiers — round 6: FILTER(?seg IN (...)), ORDER BY
+    on an EXPRESSION (DESC(?b * 1) forces the numeric ordering of the
+    lexical balance — the string sort would be wrong), then LIMIT +
+    OFFSET paging. The (balance, name) sort key is unique, so the
+    page cut is deterministic on both engines."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?cname ?b WHERE {
+          ?c ex:name ?cname .
+          ?c ex:acctbal ?b .
+          ?c ex:segment ?seg
+          FILTER(?seg IN ("BUILDING", "MACHINERY"))
+        } ORDER BY DESC(?b * 1) ?cname LIMIT 10 OFFSET 5
+        """,
+    )
+
+
+def _sql_sp21():
+    return """
+    SELECT c_name AS cname, printf('%.2f', c_acctbal) AS b
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ORDER BY c_acctbal DESC, cname
+    LIMIT 10 OFFSET 5
+    """
+
+
 def a16_mad_outliers(spark, sf_dir):
     """Robust outlier screen — round 6: per market segment, the
     median / MAD of acctbal and how many customers sit outside the
@@ -7909,10 +7939,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # judge 30/30 verified in round 5), followed by the 20 oldest
     # r03-stamped rows. After r06 every pre-round-6 query is driver-
     # attested within three consecutive rounds (r04/r05/r06).
-    # r07 rotation (staged below the window, in order): the 12 round-6
-    # additions (sp17-sp20, llm20, q10/q12/q14, a16, g18, txt18, s14 —
+    # r07 rotation (staged below the window, in order): the 13 round-6
+    # additions (sp17-sp21, llm20, q10/q12/q14, a16, g18, txt18, s14 —
     # never driver-stamped), then the 23 remaining r03-stamped rows,
-    # then the 15 oldest r05-stamped rows (q02 ... llm11) to fill 50.
+    # then the 14 oldest r05-stamped rows (q02 ...) to fill 50.
     # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
@@ -7979,6 +8009,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g18_nearest_neighbor": g18_nearest_neighbor,
     "txt18_lexical_diversity": txt18_lexical_diversity,
     "s14_rate_anomaly": s14_rate_anomaly,
+    "sp21_solution_modifiers": sp21_solution_modifiers,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -8283,6 +8314,7 @@ _ORACLES: dict[str, str] = {
     "g18_nearest_neighbor": _sql_g18(),
     "txt18_lexical_diversity": _sql_txt18(),
     "s14_rate_anomaly": _sql_s14(),
+    "sp21_solution_modifiers": _sql_sp21(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),

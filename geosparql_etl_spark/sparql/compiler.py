@@ -11,11 +11,13 @@ Covered grammar (the practical core of SPARQL 1.1):
           BIND(expr AS ?v) {...} UNION {...} MINUS {...}
           FILTER [NOT] EXISTS {...}
           VALUES ?v { lits } GRAPH <iri>|?g {...} { SELECT ... } } ;
-  GROUP BY ?v... HAVING(expr) ; ORDER BY [ASC|DESC](?v)... ; LIMIT n
+  GROUP BY ?v... HAVING(expr) ;
+  ORDER BY [?v | ASC(expr) | DESC(expr)]... ; LIMIT n ; OFFSET n
 
-Value expressions (BIND / SELECT projections / FILTER operands):
-arithmetic + - * / over the double view of lexical forms, STR /
-STRLEN / UCASE / LCASE / CONCAT / ROUND / FLOOR / CEIL / ABS.
+Value expressions (BIND / SELECT projections / FILTER operands /
+ORDER BY keys): arithmetic + - * / over the double view of lexical
+forms, STR / STRLEN / UCASE / LCASE / CONCAT / ROUND / FLOOR / CEIL /
+ABS / COALESCE / IF(cond, a, b); FILTER also takes ?v IN (lits).
 
 Aggregates: COUNT / SUM / MIN / MAX / AVG on DECIMAL lexicals,
 GROUP_CONCAT(?v; SEPARATOR="..") pinned to sorted order, SAMPLE as
@@ -142,7 +144,7 @@ class Query:
     projections: list  # ("var", name) | ("agg", func, arg_or_None, alias)
     where: Group
     group_by: list[str]
-    order_by: list[tuple[str, bool]]  # (var, ascending)
+    order_by: list  # (var-name-or-expr-AST, ascending)
     limit: int | None
     construct_template: list | None = None  # CONSTRUCT: [(sTerm,pTerm,oTerm)]
     ask: bool = False  # ASK { ... }
@@ -150,6 +152,7 @@ class Query:
     having: object | None = None  # HAVING(expr over aggregate aliases)
     delete_template: list | None = None  # SPARQL Update: DELETE {...}
     insert_template: list | None = None  # SPARQL Update: INSERT {...}
+    offset: int | None = None  # OFFSET n (applied after ORDER BY)
 
 
 class _Parser:
@@ -361,6 +364,7 @@ class _Parser:
         order_by: list[tuple[str, bool]] = []
         having = None
         limit = None
+        offset = None
         while self.peek() is not None and not (embedded and self.peek() == "}"):
             tok = self.next().upper()
             if tok == "GROUP":
@@ -380,19 +384,26 @@ class _Parser:
                     if nxt.startswith("?"):
                         order_by.append((self.next()[1:], True))
                     elif nxt.upper() in ("ASC", "DESC"):
+                        # ASC/DESC(expr): full value expressions — e.g.
+                        # DESC(?b * 1) forces the NUMERIC ordering of a
+                        # lexical, the SPARQL idiom for sort-by-number
                         asc = self.next().upper() == "ASC"
                         self.expect("(")
-                        order_by.append((self.next()[1:], asc))
+                        inner = self._expr_or()
                         self.expect(")")
+                        key = inner[1] if inner[0] == "var" else inner
+                        order_by.append((key, asc))
                     else:
                         break
             elif tok == "LIMIT":
                 limit = int(self.next())
+            elif tok == "OFFSET":
+                offset = int(self.next())
             else:
                 raise ValueError(f"unexpected token {tok!r} after WHERE group")
         return Query(
             distinct, projections, where, group_by, order_by, limit,
-            having=having,
+            having=having, offset=offset,
         )
 
     def _template(self) -> list:
@@ -533,6 +544,16 @@ class _Parser:
         if tok in ("=", "!=", "<", "<=", ">", ">="):
             op = self.next()
             return ("cmp", op, left, self._operand())
+        if tok is not None and tok.upper() == "IN":
+            self.next()
+            self.expect("(")
+            items = []
+            while self.peek() != ")":
+                items.append(self._expr_primary())
+                if self.peek() == ",":
+                    self.next()
+            self.expect(")")
+            return ("in", left, items)
         return left
 
     # operand := mul (('+'|'-') mul)* ; mul := primary (('*'|'/') primary)*
@@ -940,6 +961,12 @@ def _compile_call(node) -> Column:
         return F.lower(_operand_col(args[0], False))
     if fname == "concat":
         return F.concat(*[_operand_col(a, False).cast("string") for a in args])
+    if fname == "coalesce":
+        return F.coalesce(*[_operand_col(a, False) for a in args])
+    if fname == "if":
+        return F.when(
+            _compile_expr(args[0]), _operand_col(args[1], False)
+        ).otherwise(_operand_col(args[2], False))
     if fname in ("round", "floor", "ceil", "abs"):
         fn = {"round": F.round, "floor": F.floor, "ceil": F.ceil, "abs": F.abs}
         return fn[fname](_operand_col(args[0], True))
@@ -982,6 +1009,14 @@ def _compile_expr(node) -> Column:
             ">": lc > rc,
             ">=": lc >= rc,
         }[op]
+    if kind == "in":
+        _, left, items = node
+        kinds = {n[0] for n in items}
+        if kinds <= {"str"}:
+            return _operand_col(left, False).isin([n[1] for n in items])
+        if kinds <= {"num"}:
+            return _operand_col(left, True).isin([n[1] for n in items])
+        raise ValueError("IN list must be all-string or all-numeric")
     if kind == "call":
         return _compile_call(node)
     raise ValueError(f"bad boolean expression {node!r}")
@@ -1136,9 +1171,14 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
     if q.distinct:
         df = df.dropDuplicates()
     if q.order_by:
+        def okey(k) -> Column:
+            return F.col(k) if isinstance(k, str) else _operand_col(k, False)
+
         df = df.orderBy(
-            *[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]
+            *[okey(k).asc() if asc else okey(k).desc() for k, asc in q.order_by]
         )
+    if q.offset is not None:
+        df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
     return df

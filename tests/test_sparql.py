@@ -909,3 +909,66 @@ class TestRound6:
         )
         with pytest.raises(ValueError, match="quad store"):
             sparql_update(store, "DELETE WHERE { ?s <p> ?o }")
+
+
+class TestRound6Modifiers:
+    """OFFSET, ORDER BY expressions, IN, COALESCE/IF (round 6)."""
+
+    def test_order_by_expression_numeric(self, toy_store):
+        # lexical ages "36" < "47" as strings too, so force a numeric
+        # DESC through an expression and check the order flips
+        rows = run(
+            toy_store,
+            "SELECT ?n WHERE { ?p ex:name ?n . ?p ex:age ?a } "
+            "ORDER BY DESC(?a * 1) ?n",
+        ).collect()
+        assert [r.n for r in rows] == ["grace", "ada"]
+
+    def test_limit_offset_paging(self, toy_store):
+        q = "SELECT ?n WHERE { ?p a ex:Person . ?p ex:name ?n } ORDER BY ?n "
+        assert [r.n for r in run(toy_store, q + "LIMIT 2").collect()] == [
+            "ada", "alan",
+        ]
+        assert [
+            r.n for r in run(toy_store, q + "LIMIT 2 OFFSET 1").collect()
+        ] == ["alan", "grace"]
+        assert [
+            r.n for r in run(toy_store, q + "OFFSET 2").collect()
+        ] == ["grace"]
+
+    def test_in_operator_strings(self, toy_store):
+        rows = run(
+            toy_store,
+            'SELECT ?n WHERE { ?p ex:name ?n FILTER(?n IN ("ada", "alan")) } '
+            "ORDER BY ?n",
+        ).collect()
+        assert [r.n for r in rows] == ["ada", "alan"]
+
+    def test_in_operator_numeric(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?n WHERE { ?p ex:name ?n . ?p ex:age ?a "
+            "FILTER(?a IN (36, 99)) }",
+        ).collect()
+        assert [r.n for r in rows] == ["ada"]
+
+    def test_coalesce_after_optional(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?n ?age WHERE { ?p a ex:Person . ?p ex:name ?n "
+            'OPTIONAL { ?p ex:age ?a } BIND(COALESCE(?a, "unknown") AS ?age) '
+            "} ORDER BY ?n",
+        ).collect()
+        assert [(r.n, r.age) for r in rows] == [
+            ("ada", "36"), ("alan", "unknown"), ("grace", "47"),
+        ]
+
+    def test_if_expression(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?n ?cohort WHERE { ?p ex:name ?n . ?p ex:age ?a "
+            'BIND(IF(?a > 40.0, "older", "younger") AS ?cohort) } ORDER BY ?n',
+        ).collect()
+        assert [(r.n, r.cohort) for r in rows] == [
+            ("ada", "younger"), ("grace", "older"),
+        ]
