@@ -63,6 +63,13 @@ SHOWCASE = [
     ("sp01_bgp_chain", "SPARQL 5-pattern BGP: per-predicate pruned scans, star-first join order"),
     ("sp05_group_totals", "SPARQL aggregating star: orders star joins on s, DECIMAL-exact SUM"),
     ("sp16_update_rewrite", "SPARQL Update: full-graph copy-on-write — broadcast anti-join delete + set-semantics insert"),
+    ("sp17_bind_bucket", "SPARQL BIND: computed bucket is a plain column — partial-aggregates map-side like any native key"),
+    ("q10_returned_items", "TPC-H Q10 shape: returnflag pushed to lineitem scan, nation broadcast, TakeOrderedAndProject top-20"),
+    ("q14_promo_effect", "TPC-H Q14 shape: one lineitem scan, part broadcast, both conditional sums in one partial aggregate"),
+    ("a16_mad_outliers", "robust MAD screen: two grouped exact-percentile passes, per-group medians broadcast between them"),
+    ("g18_nearest_neighbor", "bounded-radius NN: grid-cell candidate join + integer-distance argmin, no cartesian"),
+    ("s14_rate_anomaly", "trailing-24h anomaly: one event_type-partitioned window, variance from exact integer power sums"),
+    ("llm20_bpe_tokenize", "BPE apply: merge table as literal rewrites over the distinct-word domain, broadcast back to positions"),
 ]
 
 
