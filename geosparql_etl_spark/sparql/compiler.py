@@ -7,7 +7,8 @@ Covered grammar (the practical core of SPARQL 1.1):
   or CONSTRUCT { template } or ASK {...} or DESCRIBE ?v WHERE {...}
   or DELETE {t} INSERT {t} WHERE {...} / DELETE WHERE {...}  (update
   forms go through sparql_update, returning the post-update graph) ;
-  WHERE { basic graph patterns . FILTER(expr) OPTIONAL {...}
+  WHERE { basic graph patterns (with Turtle-style `;`/`,`
+          predicate-object lists) . FILTER(expr) OPTIONAL {...}
           BIND(expr AS ?v) {...} UNION {...} MINUS {...}
           FILTER [NOT] EXISTS {...}
           VALUES ?v { lits } GRAPH <iri>|?g {...} { SELECT ... } } ;
@@ -16,8 +17,9 @@ Covered grammar (the practical core of SPARQL 1.1):
 
 Value expressions (BIND / SELECT projections / FILTER operands /
 ORDER BY keys): arithmetic + - * / over the double view of lexical
-forms, STR / STRLEN / UCASE / LCASE / CONCAT / ROUND / FLOOR / CEIL /
-ABS / COALESCE / IF(cond, a, b); FILTER also takes ?v IN (lits).
+forms, STR / STRLEN / UCASE / LCASE / CONCAT / SUBSTR / REPLACE(regex) /
+STRBEFORE / STRAFTER / ROUND / FLOOR / CEIL / ABS / COALESCE /
+IF(cond, a, b); FILTER also takes ?v IN (lits).
 
 Aggregates: COUNT / SUM / MIN / MAX / AVG on DECIMAL lexicals,
 GROUP_CONCAT(?v; SEPARATOR="..") pinned to sorted order, SAMPLE as
@@ -512,8 +514,28 @@ class _Parser:
             elif tok == ".":
                 self.next()
             else:
-                s, p, o = self.term(), self.path_term(), self.term()
-                bgp.append((s, p, o))
+                # triples block with Turtle-style abbreviations:
+                #   s p1 o1 , o2 ; p2 o3 .
+                # ';' repeats the subject, ',' repeats subject+predicate
+                # — the same object-list grammar the Turtle source
+                # accepts (sources/turtle.py), so queries paste from
+                # data files unchanged
+                s = self.term()
+                while True:
+                    p = self.path_term()
+                    while True:
+                        bgp.append((s, p, self.term()))
+                        if self.peek() == ",":
+                            self.next()
+                            continue
+                        break
+                    if self.peek() == ";":
+                        self.next()
+                        # dangling ';' before '.' or '}' is legal Turtle
+                        if self.peek() in (".", "}"):
+                            break
+                        continue
+                    break
                 if self.peek() == ".":
                     self.next()
 
@@ -961,6 +983,39 @@ def _compile_call(node) -> Column:
         return F.lower(_operand_col(args[0], False))
     if fname == "concat":
         return F.concat(*[_operand_col(a, False).cast("string") for a in args])
+    if fname == "substr":
+        # SPARQL SUBSTR is 1-based like SQL; optional length
+        start = _operand_col(args[1], True).cast("int")
+        if len(args) >= 3:
+            return F.substring(
+                _operand_col(args[0], False),
+                start,
+                _operand_col(args[2], True).cast("int"),
+            )
+        return F.substring(
+            _operand_col(args[0], False), start, F.lit(2147483647)
+        )
+    if fname == "replace":
+        # SPARQL REPLACE is regex-based, like regexp_replace
+        return F.regexp_replace(
+            _operand_col(args[0], False), args[1][1], args[2][1]
+        )
+    if fname == "strbefore":
+        col, sub = _operand_col(args[0], False), args[1][1]
+        # SPARQL: "" when the substring does not occur
+        return F.when(
+            col.contains(sub), F.substring_index(col, sub, 1)
+        ).otherwise(F.lit(""))
+    if fname == "strafter":
+        col, sub = _operand_col(args[0], False), args[1][1]
+        return F.when(
+            col.contains(sub),
+            F.substring(
+                col,
+                F.instr(col, sub) + F.lit(len(sub)),
+                F.lit(2147483647),
+            ),
+        ).otherwise(F.lit(""))
     if fname == "coalesce":
         return F.coalesce(*[_operand_col(a, False) for a in args])
     if fname == "if":

@@ -972,3 +972,72 @@ class TestRound6Modifiers:
         assert [(r.n, r.cohort) for r in rows] == [
             ("ada", "younger"), ("grace", "older"),
         ]
+
+
+class TestRound6TurtleSugar:
+    """Predicate-object lists (';' / ',') in BGPs and the SPARQL
+    string functions SUBSTR/REPLACE/STRBEFORE/STRAFTER (round 6)."""
+
+    def test_predicate_object_lists(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?name ?cname WHERE { "
+            "?p a ex:Person ; ex:name ?name ; ex:city ?c . "
+            "?c ex:name ?cname } ORDER BY ?name",
+        ).collect()
+        assert [(r.name, r.cname) for r in rows] == [
+            ("ada", "london"), ("grace", "york"),
+        ]
+
+    def test_object_list_requires_all(self, toy_store):
+        # s p o1 , o2 expands to TWO patterns on the same (s, p): only
+        # subjects carrying BOTH objects match (none here — names are
+        # functional in the toy graph)
+        assert (
+            run(
+                toy_store,
+                'SELECT ?p WHERE { ?p ex:name "ada" , "grace" }',
+            ).count()
+            == 0
+        )
+        # and a type + name pair through ',' on rdf:type works
+        rows = run(
+            toy_store,
+            "SELECT ?n WHERE { ?p a ex:Person ; ex:name ?n "
+            'FILTER(STRSTARTS(?n, "a")) } ORDER BY ?n',
+        ).collect()
+        assert [r.n for r in rows] == ["ada", "alan"]
+
+    def test_dangling_semicolon(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?n WHERE { ?p a ex:Person ; ex:name ?n ; . } ORDER BY ?n",
+        ).collect()
+        assert [r.n for r in rows] == ["ada", "alan", "grace"]
+
+    def test_substr_and_replace(self, toy_store):
+        rows = run(
+            toy_store,
+            "SELECT ?s ?r WHERE { ?p ex:name ?n "
+            "BIND(SUBSTR(?n, 1, 2) AS ?s) "
+            'BIND(REPLACE(?n, "[aeiou]", "_") AS ?r) '
+            'FILTER(?n = "grace") }',
+        ).collect()
+        assert [(r.s, r.r) for r in rows] == [("gr", "gr_c_")]
+
+    def test_strbefore_strafter(self, spark):
+        store = TripleStore(
+            spark.createDataFrame(
+                [("urn:p:1", "urn:ex:email", "ada@example.org")],
+                "s string, p string, o string",
+            )
+        )
+        rows = run(
+            store,
+            "SELECT ?u ?d ?m WHERE { ?p ex:email ?e "
+            'BIND(STRBEFORE(?e, "@") AS ?u) BIND(STRAFTER(?e, "@") AS ?d) '
+            'BIND(STRBEFORE(?e, "zzz") AS ?m) }',
+        ).collect()
+        assert [(r.u, r.d, r.m) for r in rows] == [
+            ("ada", "example.org", ""),  # absent substring -> "" per spec
+        ]
