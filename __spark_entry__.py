@@ -7675,6 +7675,143 @@ def _sql_er01():
     """
 
 
+def er02_golden_record(spark, sf_dir):
+    """Golden-record merge — round 6: er01 finds WHICH part rows are
+    the same entity; this merges each entity's conflicting attributes
+    into one survivor row by deterministic rules — variant count, MIN
+    retail price (in exact cents), and MAJORITY-VOTE brand with
+    lexicographic tie-break (min(struct(-cnt, brand)) — one aggregate,
+    no window). The conflict-resolution pass is one groupBy over the
+    er01 output joined to the facts; at 100 TB the vote aggregates
+    with map-side partials like any count."""
+    canon = er01_entity_canonicalize(spark, sf_dir)
+    p = _t(spark, sf_dir, "part")
+    rows = p.join(
+        F.broadcast(canon.select("p_partkey", "canonical")), "p_partkey"
+    )
+    votes = (
+        rows.groupBy("canonical", "p_brand")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("canonical")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("p_brand"))
+            ).alias("v")
+        )
+        .select("canonical", F.col("v.p_brand").alias("brand"))
+    )
+    return (
+        rows.groupBy("canonical")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("p_name").alias("n_variants"),
+            F.min(_cents("p_retailprice")).alias("min_price_cents"),
+        )
+        .join(votes, "canonical")
+        .select(
+            "canonical", "n_rows", "n_variants", "min_price_cents", "brand"
+        )
+    )
+
+
+def _sql_er02():
+    return """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
+    blocked AS (SELECT n, string_split(n, ' ')[1] AS blk FROM names),
+    pairs AS (
+      SELECT a.n AS id_a, b.n AS id_b
+      FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.n < b.n
+      WHERE levenshtein(a.n, b.n) <= 4),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, root) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node),
+    cc AS (SELECT node, min(root) AS canon FROM reach GROUP BY node),
+    rows_c AS (
+      SELECT p.*, coalesce(cc.canon, p_name) AS canonical
+      FROM part p LEFT JOIN cc ON cc.node = p_name),
+    votes AS (
+      SELECT canonical, p_brand AS brand,
+             row_number() OVER (PARTITION BY canonical
+                                ORDER BY count(*) DESC, p_brand) AS rk
+      FROM rows_c GROUP BY canonical, p_brand)
+    SELECT canonical, count(*) AS n_rows,
+           CAST(count(DISTINCT p_name) AS BIGINT) AS n_variants,
+           CAST(min(round(p_retailprice * 100)) AS BIGINT)
+             AS min_price_cents,
+           min(v.brand) AS brand
+    FROM rows_c JOIN votes v USING (canonical)
+    WHERE v.rk = 1
+    GROUP BY canonical
+    """
+
+
+def dq05_benford_audit(spark, sf_dir):
+    """Benford first-digit audit — round 6: fabricated or truncated
+    money columns deviate from the log10(1 + 1/d) leading-digit law;
+    the chi-square statistic against the Benford expectation is the
+    standard forensic screen. One scan, one 9-row aggregate; the
+    statistic computes from exact integer digit counts, so both
+    engines land on the identical double."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.where(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    import math
+
+    benford = spark.createDataFrame(
+        [(d, math.log10(1 + 1 / d)) for d in range(1, 10)],
+        "d int, p double",
+    )
+    return (
+        counts.join(F.broadcast(benford), "d")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("observed"),
+            F.round(F.col("p"), 6).alias("expected"),
+            F.round(
+                (F.col("n") - F.col("p") * F.col("tot"))
+                * (F.col("n") - F.col("p") * F.col("tot"))
+                / (F.col("p") * F.col("tot")),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
+
+
+def _sql_dq05():
+    return """
+    WITH counts AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              AS VARCHAR), 1, 1) AS INT) AS d,
+             count(*) AS n
+      FROM orders WHERE o_totalprice > 0 GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts),
+    benford AS (
+      SELECT d, log10(1 + 1.0 / d) AS p
+      FROM (SELECT unnest(range(1, 10)) AS d))
+    SELECT c.d, c.n,
+           round(CAST(c.n AS DOUBLE) / tot, 6) AS observed,
+           round(p, 6) AS expected,
+           round((c.n - p * tot) * (c.n - p * tot) / (p * tot), 6)
+             AS chi2_term
+    FROM counts c JOIN benford USING (d) CROSS JOIN tot
+    ORDER BY c.d
+    """
+
+
 def g17_distance_join(spark, sf_dir):
     """Within-distance spatial self-join (ST_DWithin shape) over the
     supplier point grid: r/2-inflated boxes ride g15's grid-bucketed
@@ -7939,10 +8076,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # judge 30/30 verified in round 5), followed by the 20 oldest
     # r03-stamped rows. After r06 every pre-round-6 query is driver-
     # attested within three consecutive rounds (r04/r05/r06).
-    # r07 rotation (staged below the window, in order): the 13 round-6
-    # additions (sp17-sp21, llm20, q10/q12/q14, a16, g18, txt18, s14 —
-    # never driver-stamped), then the 23 remaining r03-stamped rows,
-    # then the 14 oldest r05-stamped rows (q02 ...) to fill 50.
+    # r07 rotation (staged below the window, in order): the 15 round-6
+    # additions (sp17-sp21, llm20, q10/q12/q14, a16, g18, txt18, s14,
+    # er02, dq05 — never driver-stamped), then the 23 remaining
+    # r03-stamped rows, then the 12 oldest r05-stamped rows to fill 50.
     # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
@@ -8010,6 +8147,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt18_lexical_diversity": txt18_lexical_diversity,
     "s14_rate_anomaly": s14_rate_anomaly,
     "sp21_solution_modifiers": sp21_solution_modifiers,
+    "er02_golden_record": er02_golden_record,
+    "dq05_benford_audit": dq05_benford_audit,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -8315,6 +8454,8 @@ _ORACLES: dict[str, str] = {
     "txt18_lexical_diversity": _sql_txt18(),
     "s14_rate_anomaly": _sql_s14(),
     "sp21_solution_modifiers": _sql_sp21(),
+    "er02_golden_record": _sql_er02(),
+    "dq05_benford_audit": _sql_dq05(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
