@@ -7675,6 +7675,32 @@ def _sql_er01():
     """
 
 
+def sp22_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT ?v) + Turtle-style predicate-object list in a
+    BGP — round 6: distinct ordering customers per priority. The
+    distinct aggregate expands to Spark's two-phase distinct count;
+    the `;`-list parses to the same three-pattern star sp01 would
+    spell out."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?prio (COUNT(?o) AS ?n_orders)
+               (COUNT(DISTINCT ?c) AS ?n_customers) WHERE {
+          ?o a ex:Order ; ex:priority ?prio ; ex:customer ?c
+        } GROUP BY ?prio ORDER BY ?prio
+        """,
+    )
+
+
+def _sql_sp22():
+    return """
+    SELECT o_orderpriority AS prio, count(*) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY prio ORDER BY prio
+    """
+
+
 def er02_golden_record(spark, sf_dir):
     """Golden-record merge — round 6: er01 finds WHICH part rows are
     the same entity; this merges each entity's conflicting attributes
@@ -8076,10 +8102,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # judge 30/30 verified in round 5), followed by the 20 oldest
     # r03-stamped rows. After r06 every pre-round-6 query is driver-
     # attested within three consecutive rounds (r04/r05/r06).
-    # r07 rotation (staged below the window, in order): the 15 round-6
-    # additions (sp17-sp21, llm20, q10/q12/q14, a16, g18, txt18, s14,
+    # r07 rotation (staged below the window, in order): the 16 round-6
+    # additions (sp17-sp22, llm20, q10/q12/q14, a16, g18, txt18, s14,
     # er02, dq05 — never driver-stamped), then the 23 remaining
-    # r03-stamped rows, then the 12 oldest r05-stamped rows to fill 50.
+    # r03-stamped rows, then the 11 oldest r05-stamped rows to fill 50.
     # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
@@ -8149,6 +8175,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp21_solution_modifiers": sp21_solution_modifiers,
     "er02_golden_record": er02_golden_record,
     "dq05_benford_audit": dq05_benford_audit,
+    "sp22_count_distinct": sp22_count_distinct,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -8456,6 +8483,7 @@ _ORACLES: dict[str, str] = {
     "sp21_solution_modifiers": _sql_sp21(),
     "er02_golden_record": _sql_er02(),
     "dq05_benford_audit": _sql_dq05(),
+    "sp22_count_distinct": _sql_sp22(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),

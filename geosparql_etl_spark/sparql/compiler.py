@@ -21,15 +21,15 @@ forms, STR / STRLEN / UCASE / LCASE / CONCAT / SUBSTR / REPLACE(regex) /
 STRBEFORE / STRAFTER / ROUND / FLOOR / CEIL / ABS / COALESCE /
 IF(cond, a, b); FILTER also takes ?v IN (lits).
 
-Aggregates: COUNT / SUM / MIN / MAX / AVG on DECIMAL lexicals,
-GROUP_CONCAT(?v; SEPARATOR="..") pinned to sorted order, SAMPLE as
-deterministic MIN.
+Aggregates: COUNT / COUNT(DISTINCT ?v) / SUM / MIN / MAX / AVG on
+DECIMAL lexicals, GROUP_CONCAT(?v; SEPARATOR="..") pinned to sorted
+order, SAMPLE as deterministic MIN.
 
 Property paths in predicate position: sequence a/b, inverse ^a,
-alternation a|b, transitive a+ (closure by pointer doubling —
-log2(depth) self-joins, not depth-many), zero-or-more a* and
-zero-or-one a? (identity over the node domain ∪ closure / single
-hop). Paths work inside GRAPH scopes too: within ``GRAPH ?g`` every
+alternation a|b, negated sets !a / !(a|b), transitive a+ (closure by
+pointer doubling — log2(depth) self-joins, not depth-many),
+zero-or-more a* and zero-or-one a? (identity over the node domain ∪
+closure / single hop). Paths work inside GRAPH scopes too: within ``GRAPH ?g`` every
 hop additionally joins on the graph column, so a path never closes
 across graphs. MINUS / FILTER NOT EXISTS
 compile to left_anti joins on the shared variables, FILTER EXISTS to
@@ -40,7 +40,9 @@ from matched source rows, mongodb_to_rdf.py:304-357) expressed
 declaratively.
 
 FILTER expressions: comparisons (= != < <= > >=) with && || ! and
-parens; REGEX / STRSTARTS / CONTAINS / BOUND; GeoSPARQL filter
+parens; REGEX / STRSTARTS / CONTAINS / BOUND / isIRI / isLiteral /
+isBlank (per the lexical-scheme convention to_ntriples_rows
+serializes by); GeoSPARQL filter
 functions geof:sfWithin(?wkt, "POLYGON...") and geof:distance(?wkt,
 "POINT...") over WKT literals (the literals the reference mints at
 ``mongo-etl/utils/rdf_utils.py:134-153``).
@@ -243,7 +245,23 @@ class _Parser:
         if self.peek() == "^":
             self.next()
             inverse = True
-        base = self.term()
+        if self.peek() == "!":
+            # negated property set: !iri or !(a|b|...) — any predicate
+            # EXCEPT the listed ones
+            self.next()
+            negs = []
+            if self.peek() == "(":
+                self.next()
+                negs.append(self._neg_iri())
+                while self.peek() == "|":
+                    self.next()
+                    negs.append(self._neg_iri())
+                self.expect(")")
+            else:
+                negs.append(self._neg_iri())
+            base: Term = ("path", ("neg", negs))
+        else:
+            base = self.term()
         if base[0] == "var" and (inverse or self.peek() in self._PATH_MODS):
             raise ValueError("property-path modifiers need a constant IRI")
         out: Term = base
@@ -252,6 +270,12 @@ class _Parser:
         if self.peek() in self._PATH_MODS:
             out = ("path", (self._PATH_MODS[self.next()], _as_path(out)))
         return out
+
+    def _neg_iri(self) -> str:
+        t = self.term()
+        if t[0] != "const":
+            raise ValueError("negated property sets take constant IRIs")
+        return t[1]
 
     # -- query -------------------------------------------------------------
     def query(self) -> Query:
@@ -335,6 +359,9 @@ class _Parser:
                 ):
                     func = self.next().upper()
                     self.expect("(")
+                    if self._kw("DISTINCT"):  # COUNT(DISTINCT ?v)
+                        self.next()
+                        func = func + "_DISTINCT"
                     arg = None if self.peek() == "*" else self.next()[1:]
                     if arg is None:
                         self.next()  # '*'
@@ -704,6 +731,23 @@ def _path_df(store: TripleStore, node, has_g: bool = False) -> DataFrame:
 
     keys = _path_keys(has_g)
     kind = node[0]
+    if kind == "neg":
+        from geosparql_etl_spark.sparql.triples import _TYPE_FORMS
+
+        df = store.full()
+        gconst = getattr(store, "_gconst", None)
+        if gconst is not None:
+            df = df.where(F.col("g") == gconst)
+        negs = list(node[1])
+        if any(p in _TYPE_FORMS for p in negs):
+            # negating either rdf:type form excludes both (scan-time
+            # aliasing, same rule as the positive scan)
+            negs = list({*negs, *_TYPE_FORMS})
+        df = df.where(~F.col("p").isin(negs))
+        cols = [F.col("s"), F.col("o")]
+        if has_g:
+            cols.append(F.col("g").alias("__g"))
+        return df.select(*cols)
     if kind == "link":
         df = store.scan(None, node[1], None, {"s": "s", "o": "o"})
         if has_g:
@@ -971,6 +1015,23 @@ def _compile_call(node) -> Column:
         return _operand_col(args[0], False).contains(args[1][1])
     if fname == "bound":
         return _operand_col(args[0], False).isNotNull()
+    if fname in ("isiri", "isuri", "isliteral", "isblank"):
+        # the store's object model is lexical strings: a term is an IRI
+        # iff it carries an IRI scheme — the SAME convention the
+        # ntriples writer serializes by (triples.py:to_ntriples_rows),
+        # so the test agrees with what round-trips as <...>
+        col = _operand_col(args[0], False)
+        is_blank = col.startswith("_:")
+        is_iri = (
+            col.startswith("urn:")
+            | col.startswith("http://")
+            | col.startswith("https://")
+        )
+        if fname == "isblank":
+            return is_blank
+        if fname == "isliteral":
+            return ~(is_iri | is_blank)
+        return is_iri
     if fname == "str":
         # SPARQL STR(): the lexical form — objects already ARE lexical
         # strings in this store, so this is a string cast
@@ -1084,6 +1145,10 @@ def _agg_col(func: str, arg, alias: str) -> Column:
     if func == "COUNT":
         col = F.count("*") if arg is None else F.count(F.col(arg))
         return col.alias(alias)
+    if func == "COUNT_DISTINCT":  # COUNT(DISTINCT ?v)
+        if arg is None:
+            raise ValueError("COUNT(DISTINCT *) is not SPARQL")
+        return F.countDistinct(F.col(arg)).alias(alias)
     if func == "GROUP_CONCAT":
         var, sep = arg if isinstance(arg, tuple) else (arg, " ")
         # SPARQL leaves concat order undefined; this engine pins it to

@@ -1041,3 +1041,77 @@ class TestRound6TurtleSugar:
         assert [(r.u, r.d, r.m) for r in rows] == [
             ("ada", "example.org", ""),  # absent substring -> "" per spec
         ]
+
+
+class TestRound6PathsAndTerms:
+    """Negated property sets, COUNT(DISTINCT), isIRI/isLiteral/isBlank
+    (round 6)."""
+
+    @pytest.fixture(scope="class")
+    def mixed(self, spark):
+        return TripleStore(
+            spark.createDataFrame(
+                [
+                    ("urn:a", "urn:ex:knows", "urn:b"),
+                    ("urn:a", "urn:ex:hates", "urn:c"),
+                    ("urn:a", "rdf:type", "urn:ex:T"),
+                    ("urn:a", "urn:ex:label", "alpha"),
+                    ("urn:a", "urn:ex:note", "_:blank1"),
+                ],
+                "s string, p string, o string",
+            )
+        )
+
+    def test_negated_property_set(self, mixed):
+        rows = run(
+            mixed,
+            "SELECT ?o WHERE { <urn:a> !(ex:hates|ex:label|ex:note) ?o } "
+            "ORDER BY ?o",
+        ).collect()
+        assert [r.o for r in rows] == ["urn:b", "urn:ex:T"]
+
+    def test_negated_single_and_type_alias(self, mixed):
+        # negating 'a' (rdf:type) must exclude BOTH lexical type forms
+        rows = run(
+            mixed,
+            "SELECT ?o WHERE { <urn:a> !a ?o } ORDER BY ?o",
+        ).collect()
+        assert "urn:ex:T" not in [r.o for r in rows]
+        assert len(rows) == 4
+
+    def test_negated_set_rejects_variable(self, mixed):
+        with pytest.raises(ValueError, match="constant IRIs"):
+            run(mixed, "SELECT ?o WHERE { <urn:a> !(?p) ?o }")
+
+    def test_count_distinct(self, spark):
+        store = TripleStore(
+            spark.createDataFrame(
+                [
+                    ("o1", "urn:ex:cust", "c1"),
+                    ("o2", "urn:ex:cust", "c1"),
+                    ("o3", "urn:ex:cust", "c2"),
+                ],
+                "s string, p string, o string",
+            )
+        )
+        rows = run(
+            store,
+            "SELECT (COUNT(?o) AS ?n) (COUNT(DISTINCT ?c) AS ?d) "
+            "WHERE { ?o ex:cust ?c }",
+        ).collect()
+        assert [(r.n, r.d) for r in rows] == [(3, 2)]
+
+    def test_is_term_tests(self, mixed):
+        got = {
+            fn: sorted(
+                r.o
+                for r in run(
+                    mixed,
+                    f"SELECT ?o WHERE {{ <urn:a> ?p ?o FILTER({fn}(?o)) }}",
+                ).collect()
+            )
+            for fn in ("isIRI", "isLiteral", "isBlank")
+        }
+        assert got["isIRI"] == ["urn:b", "urn:c", "urn:ex:T"]
+        assert got["isLiteral"] == ["alpha"]
+        assert got["isBlank"] == ["_:blank1"]
