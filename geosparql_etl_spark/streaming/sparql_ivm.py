@@ -17,10 +17,11 @@ Per batch the work is n joins each with one batch-sized input; the
 accumulated frames are only probed, never re-joined against each
 other.
 
-Monotone fragment only (BGP + FILTER): no OPTIONAL/MINUS/NOT EXISTS,
-whose deltas can RETRACT — the standard stratification boundary for
-incremental evaluation. FILTERs commute with union-of-deltas, so they
-apply per delta term.
+Monotone fragment only (BGP + FILTER + BIND): no OPTIONAL/MINUS/NOT
+EXISTS, whose deltas can RETRACT — the standard stratification
+boundary for incremental evaluation. FILTERs and BINDs commute with
+union-of-deltas (a filter selects rows, a bind maps each row), so
+they apply per delta term.
 
 Scale notes: state frames are var-column projections sized to the
 MATCHES of one pattern (not the graph); localCheckpoint after each
@@ -37,6 +38,7 @@ from pyspark.sql import DataFrame
 from geosparql_etl_spark.sparql.compiler import (
     _compile_expr,
     _join,
+    _operand_col,
     _scan_pattern,
     construct_triples,
     parse_query,
@@ -61,15 +63,20 @@ class IncrementalConstructView:
         self.template = q.construct_template
         self.patterns: list = []
         self.filters: list = []
+        self.binds: list = []  # ordered (var, expr) — BIND is a pure
+        # per-binding map, so it commutes with union-of-deltas and the
+        # monotone fragment extends to it (round 6)
         for el in q.where.elements:
             if el[0] == "bgp":
                 self.patterns.extend(el[1])
             elif el[0] == "filter":
                 self.filters.append(el[1])
+            elif el[0] == "bind":
+                self.binds.append((el[1], el[2]))
             else:
                 raise ValueError(
-                    f"only the monotone BGP+FILTER fragment is incrementally "
-                    f"maintainable; got {el[0].upper()}"
+                    f"only the monotone BGP+FILTER+BIND fragment is "
+                    f"incrementally maintainable; got {el[0].upper()}"
                 )
         for pat in self.patterns:
             if pat[1][0] == "path":
@@ -95,6 +102,8 @@ class IncrementalConstructView:
         self.view: DataFrame | None = None  # accumulated derived triples
 
     def _derive(self, bindings: DataFrame) -> DataFrame:
+        for var, expr in self.binds:
+            bindings = bindings.withColumn(var, _operand_col(expr, False))
         for expr in self.filters:
             bindings = bindings.where(_compile_expr(expr))
         return construct_triples(bindings, self.template)

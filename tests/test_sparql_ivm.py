@@ -221,3 +221,33 @@ def test_restart_with_committed_append_unacked_epoch_no_duplicates(
     assert len(rows) == len(set(rows)), "restart re-appended duplicates"
     want = sparql_select(TripleStore(_df(spark, T[:5])), Q_LOCATED)
     assert sorted(set(rows)) == _set(want)
+
+
+def test_bind_in_incremental_view_matches_recompute(spark):
+    """Round 6: BIND joins the monotone fragment — a computed binding
+    feeds the CONSTRUCT template and the incremental view still equals
+    the full recompute after every batch."""
+    q = (
+        PFX + "CONSTRUCT { ?p ex:tag ?t } WHERE { "
+        "?p ex:city ?c . ?c ex:name ?cn "
+        'BIND(CONCAT("in-", UCASE(?cn)) AS ?t) }'
+    )
+    batches = [T[0:1], T[1:3], T[3:5], T[5:6]]
+    view = IncrementalConstructView(q)
+    seen: list = []
+    for batch in batches:
+        seen += batch
+        view.update(_df(spark, batch))
+        want = sparql_select(TripleStore(_df(spark, seen)), q)
+        assert _set(view.snapshot()) == _set(want)
+    assert ("urn:p:1", "urn:ex:tag", "in-LONDON") in _set(view.snapshot())
+
+
+def test_nonmonotone_bind_free_fragment_still_rejected(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="monotone"):
+        IncrementalConstructView(
+            PFX + "CONSTRUCT { ?p ex:x ?c } WHERE { "
+            "?p ex:city ?c OPTIONAL { ?c ex:name ?n } }"
+        )
