@@ -361,6 +361,14 @@ class NTriplesWriter(DataSourceWriter):
         # one file PER GRAPH it holds under g=<enc>/ (repartition the
         # frame by g upstream so each graph concentrates in few tasks)
         self.graph_partitioned = part_by == "g"
+        # APPEND mode needs job-unique final names: a second append job
+        # re-issues the same partition ids, and plain part-<pid> names
+        # would os.replace the PREVIOUS job's files — silent data loss.
+        # Overwrite keeps the legacy exact names (old parts are deleted
+        # at commit, so there is nothing to collide with).
+        import uuid
+
+        self.job_token = "" if overwrite else f"-{uuid.uuid4().hex[:8]}"
 
     def write(self, iterator) -> WriterCommitMessage:
         from pyspark import TaskContext
@@ -373,7 +381,7 @@ class NTriplesWriter(DataSourceWriter):
         opener = gzip.open if self.gzip else io.open
         if self.graph_partitioned:
             return self._write_graphs(iterator, pid, attempt, ext, opener)
-        final_name = f"part-{pid:05d}{ext}"
+        final_name = f"part-{pid:05d}{self.job_token}{ext}"
         tmp = os.path.join(
             self.path, f".part-{pid:05d}-{attempt}{ext}.tmp"
         )
@@ -405,7 +413,9 @@ class NTriplesWriter(DataSourceWriter):
                         self.path,
                         f".part-{pid:05d}-{attempt}-{enc}{ext}.tmp",
                     )
-                    final = os.path.join("g=" + enc, f"part-{pid:05d}{ext}")
+                    final = os.path.join(
+                        "g=" + enc, f"part-{pid:05d}{self.job_token}{ext}"
+                    )
                     fh_pair = (opener(tmp, "wt", encoding="utf-8"), tmp, final)
                     handles[row.g] = fh_pair
                 fh_pair[0].write(render_line(row) + "\n")

@@ -317,6 +317,96 @@ def test_ntriples_path_equals_option_prunes(spark, triples_df, tmp_path):
     assert len(parts) == 1 and list(r2.read(parts[0])) == []
 
 
+def test_ntriples_writer_attempt_isolation(spark, triples_df, tmp_path,
+                                           monkeypatch):
+    """Two attempts of the SAME partition (speculative execution /
+    zombie task replay) write attempt-unique temp files; commit()
+    publishes only the winning attempt's rows, and no temp survives.
+    This is the protocol the docstring claims — verified, not
+    asserted."""
+    import os
+    import types
+
+    import pyspark
+
+    from geosparql_etl_spark.sources.ntriples import NTriplesWriter
+
+    out = str(tmp_path / "out")
+    w = NTriplesWriter({"path": out}, overwrite=False)
+    rows = triples_df.collect()
+
+    def fake_ctx(attempt):
+        return types.SimpleNamespace(
+            partitionId=lambda: 0, taskAttemptId=lambda: attempt
+        )
+
+    # attempt 7 (the eventual winner) writes rows[:2]; zombie attempt 9
+    # replays the same partition with rows[2:] concurrently
+    monkeypatch.setattr(
+        pyspark.TaskContext, "get", staticmethod(lambda: fake_ctx(7))
+    )
+    msg_win = w.write(iter(rows[:2]))
+    monkeypatch.setattr(
+        pyspark.TaskContext, "get", staticmethod(lambda: fake_ctx(9))
+    )
+    w.write(iter(rows[2:]))  # zombie: Spark never reports its message
+
+    tmps = [p for p in os.listdir(out) if p.endswith(".tmp")]
+    assert len(tmps) == 2  # distinct paths -- no interleaving possible
+
+    w.commit([msg_win])
+    files = sorted(os.listdir(out))
+    # append-mode names carry the job token (round 6: a second append
+    # job must never clobber part-00000.nt from a previous job)
+    assert files[0] == "_SUCCESS" and len(files) == 2  # zombie temp swept
+    import re as _re
+
+    assert _re.fullmatch(r"part-00000-[0-9a-f]{8}\.nt", files[1])
+    body = open(os.path.join(out, files[1]), encoding="utf-8").read()
+    assert len(body.splitlines()) == 2  # only the winner's rows
+
+    # abort path: temp written, abort sweeps it, nothing final appears
+    out2 = str(tmp_path / "out2")
+    w2 = NTriplesWriter({"path": out2}, overwrite=False)
+    m = w2.write(iter(rows[:1]))
+    w2.write(iter(rows[1:2]))  # unreported attempt
+    w2.abort([m])
+    assert [p for p in os.listdir(out2) if not p.startswith(".")] == []
+    assert [p for p in os.listdir(out2) if p.endswith(".tmp")] == []
+
+
+def test_ntriples_gzip_write_roundtrip(spark, triples_df, tmp_path):
+    """option('compression','gzip') emits part-*.nt.gz (parity with the
+    read side and the reference's gzip sinks), round-trips through the
+    reader, and overwrite clears a prior gzip generation."""
+    import os
+
+    from geosparql_etl_spark.sources.ntriples import register
+
+    register(spark)
+    out = str(tmp_path / "gz")
+    triples_df.repartition(2).write.format("ntriples").option(
+        "path", out
+    ).option("compression", "gzip").mode("append").save()
+    parts = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    assert parts and all(p.endswith(".nt.gz") for p in parts)
+
+    got = spark.read.format("ntriples").load(out)
+    assert {
+        (r.subject, r.predicate, r.object, r.is_literal, r.datatype, r.lang)
+        for r in got.collect()
+    } == expected_set()
+
+    # overwrite with PLAIN output must also remove the gzip generation
+    # (reader scans both extensions -- round-4 advice)
+    triples_df.limit(1).repartition(1).write.format("ntriples").option(
+        "path", out
+    ).mode("overwrite").save()
+    parts2 = sorted(p for p in os.listdir(out) if p.startswith("part-"))
+    assert parts2 == ["part-00000.nt"]
+    assert spark.read.format("ntriples").load(out).count() == 1
+
+
 def test_ntriples_multi_dir_and_glob_listing(spark, triples_df, tmp_path):
     """A partitioned triple lake reads as ONE table: comma-separated
     dirs and ** globs both expand; the pushed `path` equality still
@@ -697,3 +787,39 @@ def test_lake_store_self_join_pushdown_isolation(spark, tmp_path):
         store, 'SELECT ?s WHERE { ?s <urn:ex:status> "draft" }'
     ).collect()
     assert [r.s for r in one] == ["urn:p:1"]
+
+
+def test_ntriples_append_jobs_accumulate(spark, triples_df, tmp_path):
+    """Round 6 regression: two APPEND jobs into one directory must
+    accumulate — the old plain part-<pid> names meant the second job's
+    os.replace silently clobbered the first job's files."""
+    import os
+
+    from geosparql_etl_spark.sources.ntriples import register
+
+    register(spark)
+    out = str(tmp_path / "acc")
+    a = triples_df.limit(2).repartition(1)
+    b = triples_df.subtract(triples_df.limit(2)).repartition(1)
+    a.write.format("ntriples").option("path", out).mode("append").save()
+    b.write.format("ntriples").option("path", out).mode("append").save()
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) == 2  # both jobs' files present
+    got = spark.read.format("ntriples").load(out)
+    assert {
+        (r.subject, r.predicate, r.object, r.is_literal, r.datatype, r.lang)
+        for r in got.collect()
+    } == expected_set()
+    # quad-lake append: same rule per graph directory
+    quads = spark.createDataFrame(
+        [("s1", "p", "o1", True, None, None, "g1")],
+        "subject string, predicate string, object string, "
+        "is_literal boolean, datatype string, lang string, g string",
+    )
+    lake = str(tmp_path / "qacc")
+    for _ in range(2):
+        quads.repartition(1).write.format("ntriples").option(
+            "partitionBy", "g"
+        ).option("path", lake).mode("append").save()
+    gparts = os.listdir(os.path.join(lake, "g=g1"))
+    assert len([p for p in gparts if p.startswith("part-")]) == 2
