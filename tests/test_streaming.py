@@ -572,3 +572,63 @@ def test_incremental_curation_stream_matches_batch_and_resumes(spark, sf_dir, tm
     fps = [r.fp for r in got.collect()]
     assert len(fps) == len(set(fps))
     shutil.rmtree(str(out))
+
+
+def test_streaming_quad_lake_ingest(spark, tmp_path):
+    """Round 6: micro-batches of quads append into the partitionBy(g)
+    ntriples lake via foreachBatch — append-safe filenames mean
+    batches accumulate (never clobber) — and the result is GRAPH-
+    queryable through NTriplesLakeStore with directory pruning."""
+    from geosparql_etl_spark.sources.ntriples import register
+    from geosparql_etl_spark.sparql import NTriplesLakeStore, sparql_select
+
+    register(spark)
+    land = str(tmp_path / "land")
+    lake = str(tmp_path / "lake")
+    ck = str(tmp_path / "ck")
+    rows1 = [("urn:p:1", "urn:ex:name", "ada", "urn:g:hr")]
+    rows2 = [
+        ("urn:p:2", "urn:ex:name", "grace", "urn:g:eng"),
+        ("urn:p:3", "urn:ex:name", "alan", "urn:g:hr"),
+    ]
+    schema = "s string, p string, o string, g string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(land)
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.selectExpr(
+            "s AS subject", "p AS predicate", "o AS object",
+            "TRUE AS is_literal", "CAST(NULL AS STRING) AS datatype",
+            "CAST(NULL AS STRING) AS lang", "g",
+        ).repartition(1, "g").write.format("ntriples").option(
+            "partitionBy", "g"
+        ).option("path", lake).mode("append").save()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    store = NTriplesLakeStore(spark, lake, quad_lake=True)
+    rows = sparql_select(
+        store,
+        "SELECT ?n WHERE { GRAPH <urn:g:hr> { ?p <urn:ex:name> ?n } } "
+        "ORDER BY ?n",
+    ).collect()
+    assert [r.n for r in rows] == ["ada", "alan"]
+    rows = sparql_select(
+        store,
+        "SELECT ?g (COUNT(?p) AS ?n) WHERE { GRAPH ?g "
+        "{ ?p <urn:ex:name> ?o } } GROUP BY ?g ORDER BY ?g",
+    ).collect()
+    assert [(r.g, r.n) for r in rows] == [("urn:g:eng", 1), ("urn:g:hr", 2)]
