@@ -7701,6 +7701,32 @@ def _sql_sp22():
     """
 
 
+def sp23_negated_path(spark, sf_dir):
+    """Negated property set — round 6: every supplier edge EXCEPT the
+    type/name/WKT/parent predicates, which leaves exactly the nation
+    link. Compiles to one NOT-IN filter over the flat scan (a negated
+    set cannot prune to a vertical slice by definition — the documented
+    cost of '!'); the type pattern restricts subjects."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?o WHERE {
+          ?s a ex:Supplier .
+          ?s !(a|ex:name|geo:asWKT|ex:parent) ?o
+        }
+        """,
+    )
+
+
+def _sql_sp23():
+    return """
+    SELECT 'urn:supp:' || s_suppkey AS s,
+           'urn:nation:' || s_nationkey AS o
+    FROM supplier
+    """
+
+
 def er02_golden_record(spark, sf_dir):
     """Golden-record merge — round 6: er01 finds WHICH part rows are
     the same entity; this merges each entity's conflicting attributes
@@ -8102,10 +8128,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # judge 30/30 verified in round 5), followed by the 20 oldest
     # r03-stamped rows. After r06 every pre-round-6 query is driver-
     # attested within three consecutive rounds (r04/r05/r06).
-    # r07 rotation (staged below the window, in order): the 16 round-6
-    # additions (sp17-sp22, llm20, q10/q12/q14, a16, g18, txt18, s14,
+    # r07 rotation (staged below the window, in order): the 17 round-6
+    # additions (sp17-sp23, llm20, q10/q12/q14, a16, g18, txt18, s14,
     # er02, dq05 — never driver-stamped), then the 23 remaining
-    # r03-stamped rows, then the 11 oldest r05-stamped rows to fill 50.
+    # r03-stamped rows, then the 10 oldest r05-stamped rows to fill 50.
     # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
@@ -8176,6 +8202,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er02_golden_record": er02_golden_record,
     "dq05_benford_audit": dq05_benford_audit,
     "sp22_count_distinct": sp22_count_distinct,
+    "sp23_negated_path": sp23_negated_path,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -8484,6 +8511,7 @@ _ORACLES: dict[str, str] = {
     "er02_golden_record": _sql_er02(),
     "dq05_benford_audit": _sql_dq05(),
     "sp22_count_distinct": _sql_sp22(),
+    "sp23_negated_path": _sql_sp23(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),

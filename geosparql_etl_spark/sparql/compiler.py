@@ -1154,6 +1154,11 @@ def _agg_col(func: str, arg, alias: str) -> Column:
         # SPARQL leaves concat order undefined; this engine pins it to
         # SORTED order (the A6 deterministic-render rule) so results
         # are identical across partitionings and replay engines.
+        # Scale note (the A6 trade, accepted): collect_list holds one
+        # group's members in executor memory — lawful because groups
+        # are entity-scoped by construction (a nation's customers, a
+        # document's lines), never corpus-sized. A corpus-keyed
+        # GROUP_CONCAT would need the sorted-write renderer instead.
         return F.array_join(
             F.array_sort(F.collect_list(F.col(var))), sep
         ).alias(alias)
