@@ -108,6 +108,20 @@ HEADLINE = [
     # round 6: BIND bucket aggregate + the BPE train->apply round trip
     "sp17_bind_bucket",
     "llm20_bpe_tokenize",
+    # round 6 second wave: warehouse top-k money, robust MAD screen,
+    # grid NN argmin, lexical diversity, trailing-window anomaly,
+    # golden-record merge, Benford audit, GRAPH-scoped quad aggregate,
+    # COUNT(DISTINCT) over the triple graph. (sp19's star closure is
+    # excluded with sp09: fixpoint-loop variance.)
+    "q10_returned_items",
+    "a16_mad_outliers",
+    "g18_nearest_neighbor",
+    "txt18_lexical_diversity",
+    "s14_rate_anomaly",
+    "er02_golden_record",
+    "dq05_benford_audit",
+    "sp20_graph_scoped_agg",
+    "sp22_count_distinct",
 ]
 
 
