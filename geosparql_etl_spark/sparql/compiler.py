@@ -5,8 +5,10 @@ Covered grammar (the practical core of SPARQL 1.1):
   PREFIX decls; SELECT [DISTINCT] ?v... | (AGG(?v|*) AS ?alias)...
   | (expr AS ?alias)...
   or CONSTRUCT { template } or ASK {...} or DESCRIBE ?v WHERE {...}
-  or DELETE {t} INSERT {t} WHERE {...} / DELETE WHERE {...}  (update
-  forms go through sparql_update, returning the post-update graph) ;
+  or [WITH <g>] DELETE {t} INSERT {t} WHERE {...} / DELETE WHERE {...}
+  (update forms go through sparql_update, returning the post-update
+  graph; WITH <g> scopes bindings and both templates to one named
+  graph of a quad store and returns the post-update QUAD frame) ;
   WHERE { basic graph patterns (with Turtle-style `;`/`,`
           predicate-object lists) . FILTER(expr) OPTIONAL {...}
           BIND(expr AS ?v) {...} UNION {...} MINUS {...}
@@ -157,6 +159,7 @@ class Query:
     delete_template: list | None = None  # SPARQL Update: DELETE {...}
     insert_template: list | None = None  # SPARQL Update: INSERT {...}
     offset: int | None = None  # OFFSET n (applied after ORDER BY)
+    with_graph: str | None = None  # WITH <g>: update scoped to one graph
 
 
 class _Parser:
@@ -292,6 +295,15 @@ class _Parser:
             where = self.group()
             self._expect_end()
             return Query(True, [], where, [], [], None, template)
+        with_graph = None
+        if self._kw("WITH"):
+            # SPARQL 1.1 Update: WITH <g> scopes the WHERE bindings and
+            # both templates to ONE named graph of a quad store
+            self.next()
+            t = self.term()
+            if t[0] != "const":
+                raise ValueError("WITH takes a constant graph IRI")
+            with_graph = t[1]
         if self._kw("DELETE") or self._kw("INSERT"):
             delete_t = insert_t = None
             if self._kw("DELETE"):
@@ -304,7 +316,8 @@ class _Parser:
                     ]
                     self._expect_end()
                     return Query(
-                        False, [], g, [], [], None, delete_template=pats
+                        False, [], g, [], [], None, delete_template=pats,
+                        with_graph=with_graph,
                     )
                 delete_t = self._template()
             if self._kw("INSERT"):
@@ -316,7 +329,10 @@ class _Parser:
             return Query(
                 False, [], g, [], [], None,
                 delete_template=delete_t, insert_template=insert_t,
+                with_graph=with_graph,
             )
+        if with_graph is not None:
+            raise ValueError("WITH <g> is only valid on update forms")
         if self._kw("ASK"):
             self.next()
             g = self.group()
@@ -1227,21 +1243,47 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
     q = parse_query(query_text)
     if q.delete_template is None and q.insert_template is None:
         raise ValueError("sparql_update needs a DELETE and/or INSERT form")
-    if "g" in store.triples.columns:
-        # a quad store's graph identity would be silently dropped (the
-        # update operates on (s,p,o) only: cross-graph duplicates
-        # collapse, DELETE hits every graph) — reject loudly, the
-        # GraphScopedStore convention
-        raise ValueError(
-            "sparql_update on a quad store (a 'g' column) is unsupported; "
-            "update one graph's triples and reassemble the quad lake"
-        )
     for tmpl in (q.delete_template, q.insert_template):
         for pat in tmpl or []:
             if pat[1][0] == "path":
                 raise ValueError("update templates must be plain triples")
+    is_quad = "g" in store.triples.columns
+    if is_quad and q.with_graph is None:
+        # a quad store's graph identity would be silently dropped (the
+        # update operates on (s,p,o) only: cross-graph duplicates
+        # collapse, DELETE hits every graph) — reject loudly unless the
+        # update names its target graph with WITH <g> (round 6)
+        raise ValueError(
+            "sparql_update on a quad store needs WITH <g> (an unscoped "
+            "update would silently apply across every graph)"
+        )
+    if q.with_graph is not None:
+        if not is_quad:
+            raise ValueError("WITH <g> needs a quad store (no 'g' column)")
+        # scope bindings AND the updated slice to the one graph; the
+        # other graphs pass through untouched and the result is the
+        # post-update QUAD frame — copy-on-write per graph
+        from geosparql_etl_spark.sparql.triples import GraphScopedStore
+
+        scoped = GraphScopedStore(store, gconst=q.with_graph, gvar=None)
+        bindings = _compile_group(scoped, q.where)
+        full = store.full()
+        slice_df = full.where(F.col("g") == q.with_graph).select(
+            "s", "p", "o"
+        )
+        rest = full.where(F.col("g") != q.with_graph)
+        updated = _apply_update(bindings, slice_df, q)
+        return rest.unionByName(
+            updated.withColumn("g", F.lit(q.with_graph)).select(*full.columns)
+        )
     bindings = _compile_group(store, q.where)
     graph = store.full().select("s", "p", "o")
+    return _apply_update(bindings, graph, q)
+
+
+def _apply_update(bindings: DataFrame, graph: DataFrame, q: Query) -> DataFrame:
+    """DELETE template rows leave the graph (left_anti on the full
+    triple); INSERT template rows enter it with set semantics."""
     if q.delete_template:
         dels = construct_triples(bindings, q.delete_template)
         graph = graph.join(dels, on=["s", "p", "o"], how="left_anti")

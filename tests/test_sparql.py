@@ -1115,3 +1115,119 @@ class TestRound6PathsAndTerms:
         assert got["isIRI"] == ["urn:b", "urn:c", "urn:ex:T"]
         assert got["isLiteral"] == ["alpha"]
         assert got["isBlank"] == ["_:blank1"]
+
+
+class TestRound6WithGraph:
+    """WITH <g>: SPARQL Update scoped to one named graph of a quad
+    store (round 6 — replaces the unconditional quad-store rejection)."""
+
+    @pytest.fixture()
+    def quads(self, spark):
+        return TripleStore(
+            spark.createDataFrame(
+                [
+                    ("a", "urn:ex:st", "draft", "g1"),
+                    ("b", "urn:ex:st", "draft", "g2"),
+                    ("a", "urn:ex:lock", "y", "g1"),
+                ],
+                "s string, p string, o string, g string",
+            )
+        )
+
+    def test_with_updates_only_named_graph(self, quads):
+        from geosparql_etl_spark.sparql.compiler import sparql_update
+
+        out = sparql_update(
+            quads,
+            'WITH <g1> DELETE { ?s <urn:ex:st> "draft" } '
+            'INSERT { ?s <urn:ex:st> "review" } '
+            'WHERE { ?s <urn:ex:st> "draft" }',
+        )
+        assert sorted(tuple(r) for r in out.collect()) == [
+            ("a", "urn:ex:lock", "y", "g1"),
+            ("a", "urn:ex:st", "review", "g1"),   # rewritten in g1
+            ("b", "urn:ex:st", "draft", "g2"),    # g2 untouched
+        ]
+
+    def test_with_bindings_are_graph_scoped(self, quads):
+        # the WHERE pattern matches in g2 as well, but WITH <g1> must
+        # bind only within g1 — so the g2 subject never reaches the
+        # insert template even if the template row would land in g1
+        from geosparql_etl_spark.sparql.compiler import sparql_update
+
+        out = sparql_update(
+            quads,
+            'WITH <g1> INSERT { ?s <urn:ex:seen> "1" } '
+            'WHERE { ?s <urn:ex:st> "draft" }',
+        )
+        ins = [r.s for r in out.collect() if r.p == "urn:ex:seen"]
+        assert ins == ["a"]
+
+    def test_unscoped_quad_update_still_rejected(self, quads):
+        from geosparql_etl_spark.sparql.compiler import sparql_update
+
+        with pytest.raises(ValueError, match="WITH"):
+            sparql_update(quads, "DELETE WHERE { ?s <urn:ex:st> ?o }")
+
+    def test_with_on_triple_store_rejected(self, toy_store):
+        from geosparql_etl_spark.sparql.compiler import sparql_update
+
+        with pytest.raises(ValueError, match="quad store"):
+            sparql_update(
+                toy_store,
+                'WITH <g1> DELETE { ?s ex:name ?n } WHERE { ?s ex:name ?n }',
+            )
+
+    def test_with_on_select_rejected(self):
+        with pytest.raises(ValueError, match="update forms"):
+            parse_query("WITH <g1> SELECT ?s WHERE { ?s <p> ?o }")
+
+    def test_with_update_quad_lake_e2e(self, spark, tmp_path):
+        """WITH update round-trips through the partitioned quad lake:
+        update one graph, rewrite the lake, re-read, other graphs
+        byte-stable."""
+        from geosparql_etl_spark.sources.ntriples import register
+        from geosparql_etl_spark.sparql import NTriplesLakeStore
+        from geosparql_etl_spark.sparql.compiler import sparql_update
+
+        register(spark)
+        lake = str(tmp_path / "lake")
+        rows = [
+            ("urn:p:1", "urn:ex:st", "draft", "urn:g:hr"),
+            ("urn:p:2", "urn:ex:st", "draft", "urn:g:eng"),
+        ]
+        spark.createDataFrame(
+            rows, "s string, p string, o string, g string"
+        ).selectExpr(
+            "s AS subject", "p AS predicate", "o AS object",
+            "TRUE AS is_literal", "CAST(NULL AS STRING) AS datatype",
+            "CAST(NULL AS STRING) AS lang", "g",
+        ).repartition(1, "g").write.format("ntriples").option(
+            "partitionBy", "g"
+        ).option("path", lake).mode("overwrite").save()
+
+        store = NTriplesLakeStore(spark, lake, quad_lake=True)
+        updated = sparql_update(
+            store,
+            'WITH <urn:g:hr> DELETE { ?s <urn:ex:st> "draft" } '
+            'INSERT { ?s <urn:ex:st> "review" } '
+            'WHERE { ?s <urn:ex:st> "draft" }',
+        )
+        out2 = str(tmp_path / "lake2")
+        updated.selectExpr(
+            "s AS subject", "p AS predicate", "o AS object",
+            "TRUE AS is_literal", "CAST(NULL AS STRING) AS datatype",
+            "CAST(NULL AS STRING) AS lang", "g",
+        ).repartition(1, "g").write.format("ntriples").option(
+            "partitionBy", "g"
+        ).option("path", out2).mode("overwrite").save()
+        got = {
+            tuple(r)
+            for r in NTriplesLakeStore(spark, out2, quad_lake=True)
+            .full()
+            .collect()
+        }
+        assert got == {
+            ("urn:p:1", "urn:ex:st", "review", "urn:g:hr"),
+            ("urn:p:2", "urn:ex:st", "draft", "urn:g:eng"),
+        }
