@@ -7106,26 +7106,8 @@ def sp20_graph_scoped_agg(spark, sf_dir):
     default-graph)."""
     from geosparql_etl_spark.sparql import TripleStore, sparql_select
 
-    o = _t(spark, sf_dir, "orders")
-    g = F.concat(F.lit("urn:graph:"), F.col("o_orderpriority"))
-    s = F.concat(F.lit("urn:order:"), F.col("o_orderkey").cast("string"))
-    quads = o.select(
-        s.alias("s"),
-        F.lit("rdf:type").alias("p"),
-        F.lit("urn:ex:Order").alias("o"),
-        g.alias("g"),
-    ).unionByName(
-        o.select(
-            s.alias("s"),
-            F.lit("urn:ex:customer").alias("p"),
-            F.concat(
-                F.lit("urn:cust:"), F.col("o_custkey").cast("string")
-            ).alias("o"),
-            g.alias("g"),
-        )
-    )
     return sparql_select(
-        TripleStore(quads),
+        TripleStore(_priority_quads(spark, sf_dir)),
         _SPARQL_PFX
         + """
         SELECT ?g (COUNT(?o) AS ?n_orders) (SAMPLE(?c) AS ?first_cust)
@@ -7141,6 +7123,63 @@ def _sql_sp20():
            count(*) AS n_orders,
            min('urn:cust:' || o_custkey) AS first_cust
     FROM orders GROUP BY g ORDER BY g
+    """
+
+
+def _priority_quads(spark, sf_dir):
+    """Orders as quads, one named graph per priority (shared by sp20
+    and sp24)."""
+    o = _t(spark, sf_dir, "orders")
+    g = F.concat(F.lit("urn:graph:"), F.col("o_orderpriority"))
+    s = F.concat(F.lit("urn:order:"), F.col("o_orderkey").cast("string"))
+    return o.select(
+        s.alias("s"),
+        F.lit("rdf:type").alias("p"),
+        F.lit("urn:ex:Order").alias("o"),
+        g.alias("g"),
+    ).unionByName(
+        o.select(
+            s.alias("s"),
+            F.lit("urn:ex:customer").alias("p"),
+            F.concat(
+                F.lit("urn:cust:"), F.col("o_custkey").cast("string")
+            ).alias("o"),
+            g.alias("g"),
+        )
+    )
+
+
+def sp24_with_graph_update(spark, sf_dir):
+    """WITH <g> graph-scoped Update — round 6: retype the urgent
+    graph's orders to ex:UrgentOrder; every other priority graph must
+    pass through UNTOUCHED. The full-quad compare attests both the
+    scoped rewrite and the pass-through (the quad analog of sp16's
+    whole-graph discipline)."""
+    from geosparql_etl_spark.sparql import TripleStore, sparql_update
+
+    return sparql_update(
+        TripleStore(_priority_quads(spark, sf_dir)),
+        _SPARQL_PFX
+        + """
+        WITH <urn:graph:1-URGENT>
+        DELETE { ?o a ex:Order }
+        INSERT { ?o a ex:UrgentOrder }
+        WHERE { ?o a ex:Order }
+        """,
+    )
+
+
+def _sql_sp24():
+    return """
+    SELECT 'urn:order:' || o_orderkey AS s, 'rdf:type' AS p,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN 'urn:ex:UrgentOrder' ELSE 'urn:ex:Order' END AS o,
+           'urn:graph:' || o_orderpriority AS g
+    FROM orders
+    UNION ALL
+    SELECT 'urn:order:' || o_orderkey, 'urn:ex:customer',
+           'urn:cust:' || o_custkey, 'urn:graph:' || o_orderpriority
+    FROM orders
     """
 
 
@@ -8128,10 +8167,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # judge 30/30 verified in round 5), followed by the 20 oldest
     # r03-stamped rows. After r06 every pre-round-6 query is driver-
     # attested within three consecutive rounds (r04/r05/r06).
-    # r07 rotation (staged below the window, in order): the 17 round-6
-    # additions (sp17-sp23, llm20, q10/q12/q14, a16, g18, txt18, s14,
+    # r07 rotation (staged below the window, in order): the 18 round-6
+    # additions (sp17-sp24, llm20, q10/q12/q14, a16, g18, txt18, s14,
     # er02, dq05 — never driver-stamped), then the 23 remaining
-    # r03-stamped rows, then the 10 oldest r05-stamped rows to fill 50.
+    # r03-stamped rows, then the 9 oldest r05-stamped rows to fill 50.
     # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
@@ -8203,6 +8242,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq05_benford_audit": dq05_benford_audit,
     "sp22_count_distinct": sp22_count_distinct,
     "sp23_negated_path": sp23_negated_path,
+    "sp24_with_graph_update": sp24_with_graph_update,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -8512,6 +8552,7 @@ _ORACLES: dict[str, str] = {
     "dq05_benford_audit": _sql_dq05(),
     "sp22_count_distinct": _sql_sp22(),
     "sp23_negated_path": _sql_sp23(),
+    "sp24_with_graph_update": _sql_sp24(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
