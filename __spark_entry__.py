@@ -1940,6 +1940,149 @@ def _sql_d08():
     """
 
 
+def d15_dedup_savings(spark, sf_dir):
+    """Dedup ROI report — round 6: the decision-support view on top of
+    d08's clusters. Per cluster SIZE: how many clusters, how many docs
+    they hold, and how many are REMOVABLE (size-1 keepers mean
+    size - 1 removable each) — the one-page answer to "what does
+    near-dup dedup buy on this corpus". Singleton docs (no near-dup)
+    appear as size 1 with zero savings, so the doc total is auditable
+    against the corpus count. One tiny aggregate over d08's output
+    joined left onto the corpus ids."""
+    from geosparql_etl_spark.operators.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, min_jaccard=0.2)
+    cc = dedup_clusters(pairs, unique_pairs=True)
+    sized = d.select("doc_id").join(
+        cc.select("doc_id", "cluster_size"), "doc_id", "left"
+    ).select(F.coalesce(F.col("cluster_size"), F.lit(1)).alias("k"))
+    return (
+        sized.groupBy("k")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.col("k").alias("cluster_size"),
+            (F.col("n_docs") / F.col("k")).cast("bigint").alias("n_clusters"),
+            "n_docs",
+            (F.col("n_docs") - F.col("n_docs") / F.col("k"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def _sql_d15():
+    base = _sql_d08()
+    return f"""
+    WITH d08 AS ({base}),
+    sized AS (
+      SELECT d.doc_id, coalesce(d08.cluster_size, 1) AS k
+      FROM documents d LEFT JOIN d08 ON d.doc_id = d08.doc_id)
+    SELECT k AS cluster_size,
+           CAST(count(*) / k AS BIGINT) AS n_clusters,
+           count(*) AS n_docs,
+           CAST(count(*) - count(*) / k AS BIGINT) AS n_removable
+    FROM sized GROUP BY k ORDER BY cluster_size
+    """
+
+
+def g19_bbox_iou(spark, sf_dir):
+    """Bbox intersection-over-union join — round 6: the detection /
+    segmentation dedup primitive (two annotators' boxes over the same
+    slide — which pairs describe the same object?). Supplier-grid
+    boxes (deterministic integer corners) ride g15's grid-bucketed
+    candidate join; IoU computes from exact INTEGER intersection /
+    union areas, so the 0.1 threshold and the values replay exactly.
+    Pairs at IoU >= 0.1 with both areas and the score."""
+    from geosparql_etl_spark.operators.spatial import bbox_spatial_join
+
+    s = _t(spark, sf_dir, "supplier")
+    # deterministic box per supplier: corner from the point grid, size
+    # 6 + (key mod 7) — overlapping neighbors by construction
+    pts = s.select(
+        F.col("s_suppkey").alias("pid"),
+        ((F.col("s_suppkey") * 37) % 100).alias("x"),
+        ((F.col("s_suppkey") * 61) % 100).alias("y"),
+        (6 + F.col("s_suppkey") % 7).alias("w"),
+    )
+    boxes = pts.select(
+        F.col("pid").alias("box_id"),
+        F.col("x").cast("double").alias("minx"),
+        F.col("y").cast("double").alias("miny"),
+        (F.col("x") + F.col("w")).cast("double").alias("maxx"),
+        (F.col("y") + F.col("w")).cast("double").alias("maxy"),
+    )
+    cand = bbox_spatial_join(boxes, "box_id", cell=20.0)
+    a = boxes.select(
+        F.col("box_id").alias("id_a"),
+        F.col("minx").cast("long").alias("ax0"),
+        F.col("miny").cast("long").alias("ay0"),
+        F.col("maxx").cast("long").alias("ax1"),
+        F.col("maxy").cast("long").alias("ay1"),
+    )
+    b = boxes.select(
+        F.col("box_id").alias("id_b"),
+        F.col("minx").cast("long").alias("bx0"),
+        F.col("miny").cast("long").alias("by0"),
+        F.col("maxx").cast("long").alias("bx1"),
+        F.col("maxy").cast("long").alias("by1"),
+    )
+    ix = F.greatest(
+        F.least(F.col("ax1"), F.col("bx1"))
+        - F.greatest(F.col("ax0"), F.col("bx0")),
+        F.lit(0),
+    )
+    iy = F.greatest(
+        F.least(F.col("ay1"), F.col("by1"))
+        - F.greatest(F.col("ay0"), F.col("by0")),
+        F.lit(0),
+    )
+    inter = ix * iy
+    area_a = (F.col("ax1") - F.col("ax0")) * (F.col("ay1") - F.col("ay0"))
+    area_b = (F.col("bx1") - F.col("bx0")) * (F.col("by1") - F.col("by0"))
+    union = area_a + area_b - inter
+    return (
+        cand.select("id_a", "id_b")
+        .join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn("inter", inter)
+        .withColumn("union_area", union)
+        .where(F.col("inter") * 10 >= F.col("union_area"))  # IoU >= 0.1 exact
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "union_area",
+            F.round(F.col("inter") / F.col("union_area"), 6).alias("iou"),
+        )
+    )
+
+
+def _sql_g19():
+    return """
+    WITH b AS (
+      SELECT s_suppkey AS id,
+             (s_suppkey * 37) % 100 AS x0, (s_suppkey * 61) % 100 AS y0,
+             (s_suppkey * 37) % 100 + 6 + s_suppkey % 7 AS x1,
+             (s_suppkey * 61) % 100 + 6 + s_suppkey % 7 AS y1
+      FROM supplier),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0)
+             * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0)
+               AS inter,
+             (a.x1 - a.x0) * (a.y1 - a.y0) + (b.x1 - b.x0) * (b.y1 - b.y0)
+               AS sum_area
+      FROM b a JOIN b b ON a.id < b.id)
+    SELECT id_a, id_b, inter,
+           sum_area - inter AS union_area,
+           round(CAST(inter AS DOUBLE) / (sum_area - inter), 6) AS iou
+    FROM pairs
+    WHERE inter * 10 >= sum_area - inter
+    """
+
+
 # =============================================================================
 # similarity search (charter scale operators)
 # =============================================================================
@@ -8167,10 +8310,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # judge 30/30 verified in round 5), followed by the 20 oldest
     # r03-stamped rows. After r06 every pre-round-6 query is driver-
     # attested within three consecutive rounds (r04/r05/r06).
-    # r07 rotation (staged below the window, in order): the 18 round-6
-    # additions (sp17-sp24, llm20, q10/q12/q14, a16, g18, txt18, s14,
-    # er02, dq05 — never driver-stamped), then the 23 remaining
-    # r03-stamped rows, then the 9 oldest r05-stamped rows to fill 50.
+    # r07 rotation (staged below the window, in order): the 20 round-6
+    # additions (sp17-sp24, llm20, q10/q12/q14, a16, g18/g19, txt18,
+    # s14, er02, dq05, d15 — never driver-stamped), then the 23
+    # remaining r03-stamped rows, then the 7 oldest r05-stamped rows
+    # to fill 50.
     # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
@@ -8243,6 +8387,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp22_count_distinct": sp22_count_distinct,
     "sp23_negated_path": sp23_negated_path,
     "sp24_with_graph_update": sp24_with_graph_update,
+    "d15_dedup_savings": d15_dedup_savings,
+    "g19_bbox_iou": g19_bbox_iou,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -8553,6 +8699,8 @@ _ORACLES: dict[str, str] = {
     "sp22_count_distinct": _sql_sp22(),
     "sp23_negated_path": _sql_sp23(),
     "sp24_with_graph_update": _sql_sp24(),
+    "d15_dedup_savings": _sql_d15(),
+    "g19_bbox_iou": _sql_g19(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),
