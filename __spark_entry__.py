@@ -485,6 +485,84 @@ def _sql_q09():
     """
 
 
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape — round 6: the distribution of orders per
+    customer INCLUDING zero-order customers — the outer-join + double
+    aggregation that trips engines which drop unmatched build rows.
+    customer left-joins orders (the pattern filter excludes 'special
+    request' comments in spec; the testdata carries no o_comment, so
+    the filter is priority != 1-URGENT — same plan shape), counts per
+    customer, then histograms the counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _sql_q13():
+    return """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape — round 6: orders whose total line quantity
+    exceeds 250, with their customer — the HAVING-over-fact +
+    semi-join-back pattern. The qualifying orderkey set aggregates
+    once with map-side partials; AQE broadcasts it back into the
+    detail join. Quantities sum as exact longs."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+def _sql_q18():
+    return """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           CAST(total_qty AS BIGINT) AS total_qty
+    FROM (
+      SELECT l_orderkey, sum(CAST(round(l_quantity) AS BIGINT))
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 250)
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey ASC
+    """
+
+
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape — round 6: top-20 customers by revenue lost to
     returned items in one quarter. The returnflag filter pushes into
@@ -8310,10 +8388,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # judge 30/30 verified in round 5), followed by the 20 oldest
     # r03-stamped rows. After r06 every pre-round-6 query is driver-
     # attested within three consecutive rounds (r04/r05/r06).
-    # r07 rotation (staged below the window, in order): the 20 round-6
-    # additions (sp17-sp24, llm20, q10/q12/q14, a16, g18/g19, txt18,
-    # s14, er02, dq05, d15 — never driver-stamped), then the 23
-    # remaining r03-stamped rows, then the 7 oldest r05-stamped rows
+    # r07 rotation (staged below the window, in order): the 22 round-6
+    # additions (sp17-sp24, llm20, q10/q12/q13/q14/q18, a16, g18/g19,
+    # txt18, s14, er02, dq05, d15 — never driver-stamped), then the 23
+    # remaining r03-stamped rows, then the 5 oldest r05-stamped rows
     # to fill 50.
     # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
     "q04_priority_exists": q04_priority_exists,
@@ -8389,6 +8467,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp24_with_graph_update": sp24_with_graph_update,
     "d15_dedup_savings": d15_dedup_savings,
     "g19_bbox_iou": g19_bbox_iou,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q18_large_orders": q18_large_orders,
     # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
@@ -8701,6 +8781,8 @@ _ORACLES: dict[str, str] = {
     "sp24_with_graph_update": _sql_sp24(),
     "d15_dedup_savings": _sql_d15(),
     "g19_bbox_iou": _sql_g19(),
+    "q13_order_count_distribution": _sql_q13(),
+    "q18_large_orders": _sql_q18(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),

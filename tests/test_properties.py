@@ -492,3 +492,58 @@ def test_sparql_star_path_matches_bruteforce(spark, edges, extra, start):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# quad-lake graph-name encoding round trip (round 6)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    g=st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",), blacklist_characters="\x00"
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_graph_dir_encoding_roundtrips(g):
+    """ANY graph IRI (spaces, '/', '%', unicode) must survive the
+    g=<enc> directory naming: decode(basename(encode)) == original,
+    and the encoded form is a single safe path segment."""
+    from geosparql_etl_spark.sources.ntriples import _dec_graph, _enc_graph
+
+    enc = _enc_graph(g)
+    assert "/" not in enc and enc == enc.strip()
+    assert _dec_graph("g=" + enc) == g
+
+
+def test_quad_lake_roundtrip_hostile_graph_names(spark, tmp_path):
+    """End to end: graphs named with spaces, percent signs, slashes and
+    unicode write into one directory each and read back exactly."""
+    from geosparql_etl_spark.sources.ntriples import register
+
+    register(spark)
+    names = ["urn:g:a b", "urn:g:100%", "http://ex.org/g/1", "urn:g:ünïcødé"]
+    rows = [
+        ("s", "p", f"o{i}", True, None, None, g) for i, g in enumerate(names)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subject string, predicate string, object string, "
+        "is_literal boolean, datatype string, lang string, g string",
+    )
+    out = str(tmp_path / "lake")
+    df.repartition(1, "g").write.format("ntriples").option(
+        "partitionBy", "g"
+    ).option("path", out).mode("overwrite").save()
+    got = (
+        spark.read.format("ntriples")
+        .option("graphPartitions", "true")
+        .load(out)
+    )
+    assert {(r.object, r.g) for r in got.collect()} == {
+        (f"o{i}", g) for i, g in enumerate(names)
+    }
