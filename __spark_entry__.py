@@ -6562,10 +6562,12 @@ def _sql_sp04():
 
 
 def sp05_group_totals(spark, sf_dir):
-    """SPARQL 1.1 aggregates: order count + DECIMAL-exact revenue per
-    nation name, a 5-pattern BGP spanning the orders star and the
-    customer star. The SUM runs on DECIMAL(18,2) lexical casts —
-    exact, order-independent, replay-portable."""
+    """SPARQL 1.1 aggregates: order count + exact revenue per nation
+    name, a 5-pattern BGP spanning the orders star and the customer
+    star. The SUM runs on DECIMAL(18,2) lexical casts (exact,
+    order-independent) and PROJECTS the canonical %.2f lexical string
+    — the store's object model — so the output schema carries no
+    DECIMAL (the round-6 typed-hash trap; see _agg_col)."""
     return _sparql(
         spark,
         sf_dir,
@@ -6584,8 +6586,8 @@ def sp05_group_totals(spark, sf_dir):
 def _sql_sp05():
     return """
     SELECT n_name AS nname, count(*) AS orders,
-           CAST(sum(CAST(printf('%.2f', o_totalprice) AS DECIMAL(18,2)))
-                AS DECIMAL(18,2)) AS total
+           printf('%.2f', sum(CAST(printf('%.2f', o_totalprice)
+                                   AS DECIMAL(18,2)))) AS total
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -6762,9 +6764,10 @@ def sp15_subquery_max(spark, sf_dir):
     """SPARQL 1.1 subquery: a grouped MAX evaluated independently,
     its bindings joined to the outer pattern on the shared variables —
     per-nation top balance and the customer(s) achieving it (the
-    aggregates-mid-query mechanism; equality on ?mx joins the
-    subquery's DECIMAL against the pattern's lexical, exact because
-    the lexical is the %.2f canonical form)."""
+    aggregates-mid-query mechanism). MAX computes on DECIMAL but
+    projects the canonical %.2f lexical string, so `?c ex:acctbal ?mx`
+    joins string=string against the store's lexical objects and the
+    output carries no DECIMAL column (the round-6 typed-hash trap)."""
     return _sparql(
         spark,
         sf_dir,
@@ -6785,12 +6788,13 @@ def _sql_sp15():
     return """
     WITH mx AS (
       SELECT c_nationkey AS nk,
-             max(CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2))) AS mx
+             printf('%.2f', max(CAST(printf('%.2f', c_acctbal)
+                                     AS DECIMAL(18,2)))) AS mx
       FROM customer GROUP BY c_nationkey)
     SELECT n_name AS nname, c_name AS cname, mx.mx
     FROM customer
     JOIN mx ON c_nationkey = mx.nk
-           AND CAST(printf('%.2f', c_acctbal) AS DECIMAL(18,2)) = mx.mx
+           AND printf('%.2f', c_acctbal) = mx.mx
     JOIN nation ON c_nationkey = n_nationkey
     ORDER BY nname
     """
@@ -8383,70 +8387,17 @@ def _sql_sp14():
 # file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver records correctness rows for the first 50 entries per
-    # round; order by verification need. Round-6 window: the 30 round-5
-    # additions that have never had a driver CORRECTNESS stamp (builder +
-    # judge 30/30 verified in round 5), followed by the 20 oldest
-    # r03-stamped rows. After r06 every pre-round-6 query is driver-
-    # attested within three consecutive rounds (r04/r05/r06).
-    # r07 rotation (staged below the window, in order): the 22 round-6
-    # additions (sp17-sp24, llm20, q10/q12/q13/q14/q18, a16, g18/g19,
-    # txt18, s14, er02, dq05, d15 — never driver-stamped), then the 23
-    # remaining r03-stamped rows, then the 5 oldest r05-stamped rows
-    # to fill 50.
-    # --- never driver-stamped round-5 additions (r06 positions 1-30) ---
-    "q04_priority_exists": q04_priority_exists,
-    "q07_nation_volume": q07_nation_volume,
-    "q09_product_profit": q09_product_profit,
-    "sp01_bgp_chain": sp01_bgp_chain,
-    "sp02_optional_vip": sp02_optional_vip,
-    "sp03_union_names": sp03_union_names,
-    "sp04_geo_within": sp04_geo_within,
-    "sp05_group_totals": sp05_group_totals,
-    "sp06_geo_distance": sp06_geo_distance,
-    "sp07_minus_no_urgent": sp07_minus_no_urgent,
-    "sp08_path_chain": sp08_path_chain,
-    "sp09_parent_closure": sp09_parent_closure,
-    "sp10_construct_graph": sp10_construct_graph,
-    "sp11_values_restrict": sp11_values_restrict,
-    "sp12_ask": sp12_ask,
-    "sp13_describe": sp13_describe,
-    "sp14_group_concat_having": sp14_group_concat_having,
-    "sp15_subquery_max": sp15_subquery_max,
-    "sp16_update_rewrite": sp16_update_rewrite,
-    "s13_interarrival_stats": s13_interarrival_stats,
-    "llm16_repeated_spans": llm16_repeated_spans,
-    "llm17_preference_pairs": llm17_preference_pairs,
-    "llm18_bpe_merges": llm18_bpe_merges,
-    "llm19_leakage_free_split": llm19_leakage_free_split,
-    "d13_triangle_count": d13_triangle_count,
-    "d14_clustering_coeff": d14_clustering_coeff,
-    "g17_distance_join": g17_distance_join,
-    "dq04_fk_audit": dq04_fk_audit,
-    "txt17_readability": txt17_readability,
-    "er01_entity_canonicalize": er01_entity_canonicalize,
-    # --- oldest driver stamp (r03), positions 31-50 ---
-    "sim07_vector_stats": sim07_vector_stats,
-    "llm05_decontaminate": llm05_decontaminate,
-    "s01_tumbling_window": s01_tumbling_window,
-    "s02_sliding_window": s02_sliding_window,
-    "s03_sessionization": s03_sessionization,
-    "s08_gap_fill_resample": s08_gap_fill_resample,
-    "mm01_media_features": mm01_media_features,
-    "mm02_frame_sampling": mm02_frame_sampling,
-    "mm03_audio_features": mm03_audio_features,
-    "h02_file_hash": h02_file_hash,
-    "llm06_incremental_dedup": llm06_incremental_dedup,
-    "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
-    "llm08_chunking": llm08_chunking,
-    "w05_window_frames": w05_window_frames,
-    "a13_grouping_sets": a13_grouping_sets,
-    "g16_point_in_polygon": g16_point_in_polygon,
-    "d01_dedup_exact": d01_dedup_exact,
-    "d02_fingerprint": d02_fingerprint,
-    "d03_minhash_signature": d03_minhash_signature,
-    "d04_ngram_jaccard": d04_ngram_jaccard,
-    # --- below the window: round-6 additions go HERE (contiguous, never
-    # stamped) so the r07 rotation is mechanical ---
+    # round; order by verification need. Round-7 window: the 22
+    # round-6 additions (never driver-stamped; judge re-verified 22/22
+    # in round 6), then sp05/sp15 (round-6 hash-only failures —
+    # DECIMAL outputs re-typed to canonical lexical strings this
+    # round, staged for a green re-stamp), then the 23 remaining
+    # r03-stamped rows, then the 3 oldest r05-stamped rows to fill 50.
+    # After r07 every registry query's latest driver stamp is r04+.
+    # r08 rotation (staged below the window, in order): the round-7
+    # additions (never stamped), then the r04-stamped block (oldest
+    # remaining attestation), then the r05-stamped remainder.
+    # --- never driver-stamped round-6 additions (r07 positions 1-22) ---
     "sp17_bind_bucket": sp17_bind_bucket,
     "sp18_select_expressions": sp18_select_expressions,
     "sp19_star_closure": sp19_star_closure,
@@ -8469,7 +8420,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g19_bbox_iou": g19_bbox_iou,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q18_large_orders": q18_large_orders,
-    # --- r03-stamped remainder (23 rows, next-oldest attestation) ---
+    # --- round-6 hash-only FAILs, re-typed this round (23-24) ---
+    "sp05_group_totals": sp05_group_totals,
+    "sp15_subquery_max": sp15_subquery_max,
+    # --- oldest driver stamp (r03), positions 25-47 ---
     "d05_simhash": d05_simhash,
     "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
     "d07_embedding_neardup": d07_embedding_neardup,
@@ -8493,10 +8447,76 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm02_hash_sample": llm02_hash_sample,
     "llm03_split_assign": llm03_split_assign,
     "llm04_sequence_packing": llm04_sequence_packing,
-    # --- driver-stamped green in CORRECTNESS_r05 ---
+    # --- oldest r05-stamped rows (48-50) ---
     "q02_shipping_priority": q02_shipping_priority,
     "q03_local_supplier_volume": q03_local_supplier_volume,
     "j12_snapshot_diff": j12_snapshot_diff,
+    # --- below the window: round-7 additions go HERE (contiguous,
+    # never stamped) so the r08 rotation is mechanical ---
+    "sp25_insert_data": sp25_insert_data,
+    "sp26_spatial_pairs": sp26_spatial_pairs,
+    "sp27_bounded_path": sp27_bounded_path,
+    "sp28_clear_graph": sp28_clear_graph,
+    "q05_regional_volume": q05_regional_volume,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_disjunctive_filter": q19_disjunctive_filter,
+    "q20_excess_inventory": q20_excess_inventory,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_idle_customers": q22_idle_customers,
+    # --- r06-stamped (round-5 additions, driver-attested in r06) ---
+    "q04_priority_exists": q04_priority_exists,
+    "q07_nation_volume": q07_nation_volume,
+    "q09_product_profit": q09_product_profit,
+    "sp01_bgp_chain": sp01_bgp_chain,
+    "sp02_optional_vip": sp02_optional_vip,
+    "sp03_union_names": sp03_union_names,
+    "sp04_geo_within": sp04_geo_within,
+    "sp06_geo_distance": sp06_geo_distance,
+    "sp07_minus_no_urgent": sp07_minus_no_urgent,
+    "sp08_path_chain": sp08_path_chain,
+    "sp09_parent_closure": sp09_parent_closure,
+    "sp10_construct_graph": sp10_construct_graph,
+    "sp11_values_restrict": sp11_values_restrict,
+    "sp12_ask": sp12_ask,
+    "sp13_describe": sp13_describe,
+    "sp14_group_concat_having": sp14_group_concat_having,
+    "sp16_update_rewrite": sp16_update_rewrite,
+    "s13_interarrival_stats": s13_interarrival_stats,
+    "llm16_repeated_spans": llm16_repeated_spans,
+    "llm17_preference_pairs": llm17_preference_pairs,
+    "llm18_bpe_merges": llm18_bpe_merges,
+    "llm19_leakage_free_split": llm19_leakage_free_split,
+    "d13_triangle_count": d13_triangle_count,
+    "d14_clustering_coeff": d14_clustering_coeff,
+    "g17_distance_join": g17_distance_join,
+    "dq04_fk_audit": dq04_fk_audit,
+    "txt17_readability": txt17_readability,
+    "er01_entity_canonicalize": er01_entity_canonicalize,
+    # --- r06-stamped (r03-era rows re-attested in r06) ---
+    "sim07_vector_stats": sim07_vector_stats,
+    "llm05_decontaminate": llm05_decontaminate,
+    "s01_tumbling_window": s01_tumbling_window,
+    "s02_sliding_window": s02_sliding_window,
+    "s03_sessionization": s03_sessionization,
+    "s08_gap_fill_resample": s08_gap_fill_resample,
+    "mm01_media_features": mm01_media_features,
+    "mm02_frame_sampling": mm02_frame_sampling,
+    "mm03_audio_features": mm03_audio_features,
+    "h02_file_hash": h02_file_hash,
+    "llm06_incremental_dedup": llm06_incremental_dedup,
+    "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
+    "llm08_chunking": llm08_chunking,
+    "w05_window_frames": w05_window_frames,
+    "a13_grouping_sets": a13_grouping_sets,
+    "g16_point_in_polygon": g16_point_in_polygon,
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_fingerprint": d02_fingerprint,
+    "d03_minhash_signature": d03_minhash_signature,
+    "d04_ngram_jaccard": d04_ngram_jaccard,
+    # --- driver-stamped green in CORRECTNESS_r05 ---
     "j13_scd2_intervals": j13_scd2_intervals,
     "j14_pit_join": j14_pit_join,
     "a14_corr_stats": a14_corr_stats,

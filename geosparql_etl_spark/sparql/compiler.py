@@ -1182,14 +1182,32 @@ def _agg_col(func: str, arg, alias: str) -> Column:
         # any binding is lawful; MIN is the deterministic choice
         return F.min(F.col(arg)).alias(alias)
     lexical = F.col(arg).cast("decimal(18,2)")
+
+    def _canon(c: Column) -> Column:
+        # The store's object model is canonical %.2f lexical strings,
+        # so numeric aggregates PROJECT the same canonical lexical: a
+        # SUM/MAX binding joins other patterns' objects string=string
+        # (sp15's `?c ex:acctbal ?mx`), and the output schema carries
+        # no DECIMAL — the one output type the driver's typed arrow
+        # hash cannot attest (round-1 s03 / round-6 sp05+sp15 failure
+        # class; SCALE.md's "no DECIMAL outputs" rule). The aggregate
+        # itself still runs on DECIMAL(18,2) — exact, order-
+        # independent — only the projection is lexical. Numeric
+        # comparisons on the alias (HAVING ?total > N) still work:
+        # cmp compiles with a double cast. ORDER BY on the raw alias
+        # would sort lexicographically — use ORDER BY DESC(?x * 1)
+        # for numeric order, the SPARQL lexical-store idiom.
+        # decimal(18,2) -> string preserves the scale (BigDecimal plain
+        # form: "47.00", "-5.25") — exactly the %.2f canonical lexical,
+        # with no float round-trip (format_string can't take Decimal)
+        return c.cast("decimal(18,2)").cast("string")
+
     if func == "SUM":
-        # DECIMAL sum: exact and order-independent — identical across
-        # partitionings, resumes, and the ANSI replay engine.
-        return F.sum(lexical).cast("decimal(18,2)").alias(alias)
+        return _canon(F.sum(lexical)).alias(alias)
     if func == "MIN":
-        return F.min(lexical).alias(alias)
+        return _canon(F.min(lexical)).alias(alias)
     if func == "MAX":
-        return F.max(lexical).alias(alias)
+        return _canon(F.max(lexical)).alias(alias)
     if func == "AVG":
         # documented caveat: double avg (not exact); round for stability
         return F.round(F.avg(F.col(arg).cast("double")), 4).alias(alias)
