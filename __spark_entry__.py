@@ -685,6 +685,504 @@ def _sql_q14():
     """
 
 
+def q05_regional_volume(spark, sf_dir):
+    """TPC-H Q5 shape — round 8: revenue per nation where the ordering
+    customer and the shipping supplier sit in the SAME nation, one
+    region, one year. The s_nationkey == c_nationkey equality rides
+    the supplier join condition (no post-filter), nation/region
+    broadcast, and revenue sums exact 1e-4 longs."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_revenue_e4()) / F.lit(10000.0), 2).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def _sql_q05():
+    return """
+    SELECT n_name,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name ASC
+    """
+
+
+def q06_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape — round 8: the pure scan-filter-aggregate
+    forecast. All three predicates push into the parquet scan; the
+    discount band compares exact integer percents (round(d*100) IN
+    5..7 — double equality on 0.05 ticks is engine-dependent, integer
+    percents are not); revenue = price * discount in exact 1e-4
+    longs, one row out."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_pct = _cents("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & disc_pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(_cents("l_extendedprice") * disc_pct) / F.lit(10000.0),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+def _sql_q06():
+    return """
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape — round 8 (adapted: the testdata has no
+    partsupp, so 'stock value' is shipped lineitem value): per part,
+    the value shipped by GERMANY's suppliers, keeping parts whose
+    value exceeds 0.08% of the total — the aggregate-vs-scalar-
+    subquery HAVING. The scalar total is a one-row frame cross-joined
+    back (broadcast by AQE); the fraction compares exact longs
+    (value * 10000 > total * 5), never a double threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    german_value = (
+        li.join(
+            F.broadcast(
+                s.join(
+                    F.broadcast(n),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("value_cents"))
+    )
+    total = german_value.agg(
+        F.sum("value_cents").alias("total_cents")
+    )
+    return (
+        german_value.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 10000 > F.col("total_cents") * 8)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_cents") / F.lit(100.0), 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("p_partkey"))
+    )
+
+
+def _sql_q11():
+    return """
+    WITH german_value AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey,
+           round(value_cents / 100.0, 2) AS value
+    FROM german_value
+    WHERE value_cents * 10000 >
+          (SELECT sum(value_cents) FROM german_value) * 8
+    ORDER BY value DESC, p_partkey ASC
+    """
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape — round 8 (adapted: lineitem is the
+    part-supplier link — no partsupp — and the 'complaints' exclusion
+    is negative account balance — no s_comment): how many distinct
+    suppliers can ship each (brand, type, size) bucket, excluding one
+    brand, a size list, and blacklisted suppliers. The blacklist is a
+    broadcast anti-join (the NOT IN subquery shape), the bucket list
+    prunes at the part scan, and the distinct-count shuffles once on
+    the grouping key."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+def _sql_q16():
+    return """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand != 'Brand#45'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — round 8: revenue lost to small-quantity
+    lines of one brand — the correlated per-part average. The
+    per-part avg(quantity) computes once over the UNFILTERED lineitem
+    (quantities are integral doubles, so both engines' double sums
+    are exact and the 0.2x threshold is the identical IEEE value),
+    broadcast back into the brand-pruned detail; the payout sums
+    exact cents and divides by 7 years only at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    part_avg = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+        .select(F.col("l_partkey").alias("avg_partkey"), "avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(part_avg),
+            F.col("l_partkey") == F.col("avg_partkey"),
+        )
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(_cents("l_extendedprice")) / F.lit(7.0) / F.lit(100.0),
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def _sql_q17():
+    return """
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / 7.0 / 100.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < 0.2 * (
+        SELECT avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    """
+
+
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape — round 8 (adapted: size bands stand in for
+    containers): revenue from three disjoint (brand, size-band,
+    quantity-band) OR-arms — the disjunctive join predicate that
+    tests whether an engine keeps the part join a hash join with a
+    residual OR filter instead of exploding per-arm. One equi-join on
+    partkey, the OR evaluates post-join, revenue in exact 1e-4
+    longs."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & qty.between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & qty.between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & qty.between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(arm1 | arm2 | arm3)
+        .agg(
+            F.round(F.sum(_revenue_e4()) / F.lit(10000.0), 2).alias("revenue")
+        )
+    )
+
+
+def _sql_q19():
+    return """
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """
+
+
+def q20_excess_inventory(spark, sf_dir):
+    """TPC-H Q20 shape — round 8 (adapted: no partsupp/availqty, so
+    'excess' means a supplier shipped more than half of a part's
+    all-time quantity in the one target year): NATION_3's suppliers
+    holding excess red parts. One pass over lineitem computes BOTH
+    the year's and the all-time quantity per (supplier, part) as
+    conditional exact-long sums (no self-join); the >50% test is
+    integer (2*year > total); part-name and nation prune via
+    broadcast semi-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    in_year = (F.col("l_shipdate") >= "1996-01-01") & (
+        F.col("l_shipdate") < "1997-01-01"
+    )
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    excess = (
+        li.join(
+            F.broadcast(red_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_year, qty).otherwise(F.lit(0))).alias("year_qty"),
+            F.sum(qty).alias("total_qty"),
+        )
+        .where(F.col("year_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .dropDuplicates()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(excess),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+def _sql_q20():
+    return """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1997-01-01'
+                        THEN CAST(round(l_quantity) AS BIGINT)
+                        ELSE 0 END) * 2
+               > sum(CAST(round(l_quantity) AS BIGINT)))
+    ORDER BY s_name
+    """
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape — round 8 (adapted: no commit/receipt dates, so
+    'late' is shipped more than 90 days after the order date): in
+    finished orders, suppliers whose line was late while EVERY other
+    supplier's line shipped on time — EXISTS + NOT EXISTS against the
+    same fact table, compiled as a semi-join ('some other supplier
+    participated') then an anti-join ('no other supplier was also
+    late') on orderkey with a suppkey inequality residual. Both
+    probes reuse the same shuffled lineitem projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    l1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(late)
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+    )
+    waiting = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.join(
+            F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def _sql_q21():
+    return """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey != l1.l_suppkey
+          AND o3.o_orderstatus = 'F'
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """
+
+
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape — round 8 (adapted: nationkey stands in for
+    the phone country code, and idleness is no orders in the data's
+    final two years — every customer has SOME order): wealthy-but-
+    idle customers per nation — above the average positive balance
+    of the cohort. The average computes over exact cents (integer-valued
+    longs, so both engines' double mean is the identical IEEE value),
+    broadcast back as a one-row scalar; the no-orders test is an
+    anti-join on the orders key projection; balances sum as exact
+    cents."""
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isin(10, 11, 12, 13, 14, 15, 16)
+    )
+    bal_cents = _cents("c_acctbal")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg(bal_cents).alias("avg_cents")
+    )
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "1999-08-01")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(bal_cents > F.col("avg_cents"))
+        .join(
+            o_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(bal_cents) / F.lit(100.0), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+def _sql_q22():
+    return """
+    SELECT c_nationkey AS cntrycode,
+           count(*) AS numcust,
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (10, 11, 12, 13, 14, 15, 16)
+      AND CAST(round(c_acctbal * 100) AS BIGINT) >
+          (SELECT avg(CAST(round(c_acctbal * 100) AS BIGINT))
+           FROM customer
+           WHERE c_nationkey IN (10, 11, 12, 13, 14, 15, 16)
+             AND c_acctbal > 0)
+      AND NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderdate >= TIMESTAMP '1999-08-01')
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """
+
+
 def j01_multikey_equijoin(spark, sf_dir):
     """J1: the marks x analysis analog — lineitem x orders x customer."""
     li = _t(spark, sf_dir, "lineitem")
@@ -7408,6 +7906,161 @@ def _sql_sp24():
     """
 
 
+def sp26_spatial_pairs(spark, sf_dir):
+    """Var-var geof:distance — round 8: supplier pairs within 7.9
+    units of each other (the 37k/61k lattice's nearest-neighbor
+    spacing is sqrt(40) ~ 6.32, so 7.9 captures exactly that band). The two BGP components {?a ?wa} x {?b ?wb}
+    share no variable, so pre-round-8 this was CartesianProduct +
+    filter; the compiler now connects them THROUGH the distance
+    FILTER as a grid-bucketed hash join on cells of side d
+    (compiler._grid_spatial_rewrite — the g17/g18 strategy reached
+    from SPARQL text; plan-audited CartesianProduct-free). 7.9 not 8:
+    the integer grid attains integer distances, a boundary no
+    cross-engine float compare should sit on."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?a ?b WHERE {
+          ?a a ex:Supplier . ?a geo:asWKT ?wa .
+          ?b a ex:Supplier . ?b geo:asWKT ?wb .
+          FILTER(geof:distance(?wa, ?wb) < 7.9)
+          FILTER(?a < ?b)
+        } ORDER BY ?a ?b
+        """,
+    )
+
+
+def _sql_sp26():
+    return """
+    WITH pts AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+             CAST((s_suppkey * 61) % 100 AS DOUBLE) AS y
+      FROM supplier)
+    SELECT p1.s AS a, p2.s AS b
+    FROM pts p1 JOIN pts p2 ON p1.s < p2.s
+    WHERE sqrt((p1.x - p2.x) * (p1.x - p2.x)
+             + (p1.y - p2.y) * (p1.y - p2.y)) < 7.9
+    ORDER BY a, b
+    """
+
+
+def sp27_bounded_path(spark, sf_dir):
+    """Bounded path quantifier p{n,m} — round 8: each supplier's
+    ancestors exactly 2 or 3 hops up the ex:parent binary tree.
+    Compiles to n fixed hop-joins plus (m - n) accumulated extensions
+    (compiler._path_df 'repeat'), never the full closure sp09 pays —
+    at 100 TB a depth-bounded walk must cost O(m) joins, not a
+    fixpoint loop."""
+    return _sparql(
+        spark, sf_dir, "SELECT ?s ?a WHERE { ?s ex:parent{2,3} ?a }"
+    )
+
+
+def _sql_sp27():
+    return """
+    WITH RECURSIVE e AS (
+      SELECT s_suppkey AS k, s_suppkey // 2 AS p
+      FROM supplier WHERE s_suppkey > 1),
+    r(k, a, d) AS (
+      SELECT k, p, 1 FROM e
+      UNION ALL
+      SELECT r.k, e.p, r.d + 1 FROM r JOIN e ON r.a = e.k WHERE r.d < 3)
+    SELECT DISTINCT 'urn:supp:' || k AS s, 'urn:supp:' || a AS a
+    FROM r WHERE d BETWEEN 2 AND 3
+    """
+
+
+def _nation_triples(spark, sf_dir):
+    """Nations as a small triple graph (sp25's update target)."""
+    n = _t(spark, sf_dir, "nation")
+    s = F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string"))
+    return n.select(
+        s.alias("s"),
+        F.lit("rdf:type").alias("p"),
+        F.lit("urn:ex:Nation").alias("o"),
+    ).unionByName(
+        n.select(
+            s.alias("s"),
+            F.lit("urn:ex:name").alias("p"),
+            F.col("n_name").alias("o"),
+        )
+    )
+
+
+def sp25_insert_data(spark, sf_dir):
+    """SPARQL 1.1 `INSERT DATA` + `DELETE DATA` — round 8: ground
+    updates with NO WHERE clause (compiler.py parses the DATA forms
+    into constant templates over a one-row empty binding). The chain
+    attests three semantics at once: two fresh triples enter, a
+    re-insert of an already-present triple is a set-semantics no-op
+    (the oracle carries it ONCE), and one ground triple leaves. The
+    reference mints ground triples imperatively
+    (mongo-etl/utils/rdf_utils.py add()); this is the declarative
+    form."""
+    from geosparql_etl_spark.sparql import TripleStore, sparql_update
+
+    g1 = sparql_update(
+        TripleStore(_nation_triples(spark, sf_dir)),
+        _SPARQL_PFX
+        + """
+        INSERT DATA {
+          <urn:nation:99> a ex:Nation .
+          <urn:nation:99> ex:name "ATLANTIS" .
+          <urn:nation:0> a ex:Nation
+        }
+        """,
+    )
+    return sparql_update(
+        TripleStore(g1),
+        _SPARQL_PFX + 'DELETE DATA { <urn:nation:0> ex:name "NATION_0" }',
+    )
+
+
+def _sql_sp25():
+    return """
+    SELECT 'urn:nation:' || n_nationkey AS s, 'rdf:type' AS p,
+           'urn:ex:Nation' AS o
+    FROM nation
+    UNION ALL
+    SELECT 'urn:nation:' || n_nationkey, 'urn:ex:name', n_name
+    FROM nation WHERE n_nationkey != 0
+    UNION ALL
+    SELECT 'urn:nation:99', 'rdf:type', 'urn:ex:Nation'
+    UNION ALL
+    SELECT 'urn:nation:99', 'urn:ex:name', 'ATLANTIS'
+    """
+
+
+def sp28_clear_graph(spark, sf_dir):
+    """`CLEAR GRAPH <g>` — round 8: graph management on the quad
+    store. The urgent graph's quads leave wholesale; the other four
+    priority graphs pass through byte-identical (full-quad compare).
+    Compiles to a partition-pruned anti-filter — no join, no shuffle —
+    which is what retiring a minted batch graph must cost at 100 TB
+    (the reference's consumers mint one graph per ETL batch,
+    mongo-etl/utils/rdf_utils.py:15-45, and retire them wholesale)."""
+    from geosparql_etl_spark.sparql import TripleStore, sparql_update
+
+    return sparql_update(
+        TripleStore(_priority_quads(spark, sf_dir)),
+        "CLEAR GRAPH <urn:graph:1-URGENT>",
+    )
+
+
+def _sql_sp28():
+    return """
+    SELECT 'urn:order:' || o_orderkey AS s, 'rdf:type' AS p,
+           'urn:ex:Order' AS o, 'urn:graph:' || o_orderpriority AS g
+    FROM orders WHERE o_orderpriority != '1-URGENT'
+    UNION ALL
+    SELECT 'urn:order:' || o_orderkey, 'urn:ex:customer',
+           'urn:cust:' || o_custkey, 'urn:graph:' || o_orderpriority
+    FROM orders WHERE o_orderpriority != '1-URGENT'
+    """
+
+
 def s13_interarrival_stats(spark, sf_dir):
     """Inter-arrival gap distribution per event type: lag diff on one
     (user, ts) shuffle, then exact interpolated percentiles of the gap
@@ -8387,16 +9040,18 @@ def _sql_sp14():
 # file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver records correctness rows for the first 50 entries per
-    # round; order by verification need. Round-7 window: the 22
-    # round-6 additions (never driver-stamped; judge re-verified 22/22
-    # in round 6), then sp05/sp15 (round-6 hash-only failures —
-    # DECIMAL outputs re-typed to canonical lexical strings this
-    # round, staged for a green re-stamp), then the 23 remaining
-    # r03-stamped rows, then the 3 oldest r05-stamped rows to fill 50.
-    # After r07 every registry query's latest driver stamp is r04+.
-    # r08 rotation (staged below the window, in order): the round-7
-    # additions (never stamped), then the r04-stamped block (oldest
-    # remaining attestation), then the r05-stamped remainder.
+    # round; order by verification need. Round-8 window: IDENTICAL to
+    # the round-7 staging — round 7's snapshot failed to import (13
+    # dangling registry names), so the driver attested nothing and the
+    # window re-runs: the 22 round-6 additions (never driver-stamped),
+    # then sp05/sp15 (round-6 hash-only failures, now DECIMAL through
+    # the plan + canonical lexical at final projection only), then the
+    # 23 remaining r03-stamped rows, then the 3 oldest r05-stamped
+    # rows to fill 50. After r08 every stamp is r04+.
+    # r09 rotation (staged below the window, in order): the round-8
+    # additions (q05..q22 TPC-H + sp25-sp28, never stamped), then the
+    # r04-stamped block (oldest remaining attestation), then the
+    # r05-stamped remainder.
     # --- never driver-stamped round-6 additions (r07 positions 1-22) ---
     "sp17_bind_bucket": sp17_bind_bucket,
     "sp18_select_expressions": sp18_select_expressions,
@@ -8803,6 +9458,20 @@ _ORACLES: dict[str, str] = {
     "g19_bbox_iou": _sql_g19(),
     "q13_order_count_distribution": _sql_q13(),
     "q18_large_orders": _sql_q18(),
+    # --- round-8 additions ---
+    "sp25_insert_data": _sql_sp25(),
+    "sp26_spatial_pairs": _sql_sp26(),
+    "sp27_bounded_path": _sql_sp27(),
+    "sp28_clear_graph": _sql_sp28(),
+    "q05_regional_volume": _sql_q05(),
+    "q06_forecast_revenue": _sql_q06(),
+    "q11_important_stock": _sql_q11(),
+    "q16_supplier_part_counts": _sql_q16(),
+    "q17_small_qty_revenue": _sql_q17(),
+    "q19_disjunctive_filter": _sql_q19(),
+    "q20_excess_inventory": _sql_q20(),
+    "q21_waiting_suppliers": _sql_q21(),
+    "q22_idle_customers": _sql_q22(),
     "s13_interarrival_stats": _sql_s13(),
     "llm16_repeated_spans": _sql_llm16(),
     "llm17_preference_pairs": _sql_llm17(),

@@ -98,7 +98,7 @@ _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+|\#[^\n]*)
     | (?P<string>"(?:[^"\\]|\\.)*")
-    | (?P<iri><[^<>\s]*>)
+    | (?P<iri><(?:[A-Za-z][A-Za-z0-9+.\-]*:[^<>\s"{}|^`\\]*|[A-Za-z0-9_./\#\-]*)>)
     | (?P<var>\?\w+)
     | (?P<number>-?\d+\.\d+|-?\d+)
     | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*)
@@ -107,11 +107,16 @@ _TOKEN_RE = re.compile(
     """,
     re.X,
 )
-# IRI contents exclude whitespace and nested angle brackets (RFC 3987
-# lexical space), so a '<' COMPARISON never mislexes as an IRI opener:
-# in `FILTER(?y < 5 && ?x > 1)` the span "< 5 && ?x >" contains spaces
-# and fails the iri alternative, falling through to the op rule. The
-# old greedy `<[^>]*>` swallowed it whole and produced a bogus token.
+# An IRI token is either scheme-qualified (`<urn:x>`, `<http://…>`,
+# RFC 3987 charset after the colon) or a SIMPLE relative reference
+# (letters/digits/._/#- only). A '<' COMPARISON therefore never
+# mislexes as an IRI opener, even space-free: in `FILTER(?a<5&&?b>1)`
+# the span "<5&&?b>" starts with a digit and carries '&' — both
+# alternatives fail and '<' falls through to the op rule. (The old
+# `<[^<>\s]*>` only excluded whitespace, so the space-free form
+# produced a bogus IRI token and a silently wrong parse.) Residual:
+# `?a<b1>` would still lex `<b1>` as a relative IRI — but a bare-word
+# operand is not a SPARQL term, so that query was invalid anyway.
 
 
 def _tokenize(text: str) -> list[str]:
@@ -160,6 +165,9 @@ class Query:
     insert_template: list | None = None  # SPARQL Update: INSERT {...}
     offset: int | None = None  # OFFSET n (applied after ORDER BY)
     with_graph: str | None = None  # WITH <g>: update scoped to one graph
+    clear_graph: str | None = None  # CLEAR/DROP GRAPH <g>: drop one graph
+    # ground updates (INSERT DATA / DELETE DATA) carry where=None:
+    # their templates are constant, so there is nothing to match
 
 
 class _Parser:
@@ -265,13 +273,31 @@ class _Parser:
             base: Term = ("path", ("neg", negs))
         else:
             base = self.term()
-        if base[0] == "var" and (inverse or self.peek() in self._PATH_MODS):
+        if base[0] == "var" and (
+            inverse or self.peek() in self._PATH_MODS or self.peek() == "{"
+        ):
             raise ValueError("property-path modifiers need a constant IRI")
         out: Term = base
         if inverse:
             out = ("path", ("inv", _as_path(base)))
         if self.peek() in self._PATH_MODS:
             out = ("path", (self._PATH_MODS[self.next()], _as_path(out)))
+        elif self.peek() == "{":
+            # bounded repetition p{n} / p{n,} / p{n,m} (SPARQL 1.1
+            # draft quantifiers; kept because the reference's
+            # hierarchy walks are depth-bounded). Only valid in
+            # predicate position — an object term never starts a
+            # brace, so the lookahead is unambiguous here.
+            self.next()
+            lo = int(self.next())
+            hi: int | None = lo
+            if self.peek() == ",":
+                self.next()
+                hi = None if self.peek() == "}" else int(self.next())
+            self.expect("}")
+            if hi is not None and hi < lo:
+                raise ValueError(f"bad path quantifier {{{lo},{hi}}}")
+            out = ("path", ("repeat", _as_path(out), lo, hi))
         return out
 
     def _neg_iri(self) -> str:
@@ -304,10 +330,35 @@ class _Parser:
             if t[0] != "const":
                 raise ValueError("WITH takes a constant graph IRI")
             with_graph = t[1]
+        if self._kw("CLEAR") or self._kw("DROP"):
+            # CLEAR GRAPH <g> / DROP GRAPH <g>: graph management on a
+            # quad store — one graph's quads leave, the rest pass
+            # through. This engine tracks no empty-graph existence, so
+            # CLEAR and DROP coincide (the reference's consumers mint
+            # graphs per batch — mongo-etl/utils/rdf_utils.py:15-45 —
+            # and retire them wholesale).
+            self.next()
+            if self._kw("SILENT"):
+                self.next()
+            self.expect("GRAPH")
+            t = self.term()
+            if t[0] != "const":
+                raise ValueError("CLEAR/DROP GRAPH takes a constant IRI")
+            self._expect_end()
+            if with_graph is not None:
+                raise ValueError("CLEAR/DROP GRAPH does not take WITH")
+            return Query(False, [], None, [], [], None, clear_graph=t[1])
         if self._kw("DELETE") or self._kw("INSERT"):
             delete_t = insert_t = None
             if self._kw("DELETE"):
                 self.next()
+                if self._kw("DATA"):  # DELETE DATA {ground triples}
+                    self.next()
+                    return Query(
+                        False, [], None, [], [], None,
+                        delete_template=self._ground_template(),
+                        with_graph=with_graph,
+                    )
                 if self._kw("WHERE"):  # DELETE WHERE {P}: pattern = template
                     self.next()
                     g = self.group()
@@ -322,6 +373,17 @@ class _Parser:
                 delete_t = self._template()
             if self._kw("INSERT"):
                 self.next()
+                if self._kw("DATA"):  # INSERT DATA {ground triples}
+                    self.next()
+                    if delete_t is not None:
+                        raise ValueError(
+                            "INSERT DATA cannot follow a DELETE template"
+                        )
+                    return Query(
+                        False, [], None, [], [], None,
+                        insert_template=self._ground_template(),
+                        with_graph=with_graph,
+                    )
                 insert_t = self._template()
             self.expect("WHERE")
             g = self.group()
@@ -450,6 +512,21 @@ class _Parser:
             distinct, projections, where, group_by, order_by, limit,
             having=having, offset=offset,
         )
+
+    def _ground_template(self) -> list:
+        """INSERT DATA / DELETE DATA block: constant triples ONLY —
+        a variable here is a user error the spec forbids, and
+        silently treating it as unbound would delete/insert nothing;
+        fail loudly instead (the _expect_end convention)."""
+        tmpl = self._template()
+        for tr in tmpl:
+            for t in tr:
+                if t[0] != "const":
+                    raise ValueError(
+                        "INSERT DATA / DELETE DATA takes ground triples "
+                        f"only — found {t!r}"
+                    )
+        return tmpl
 
     def _template(self) -> list:
         """CONSTRUCT template: plain triples only (no paths/filters)."""
@@ -806,6 +883,54 @@ def _path_df(store: TripleStore, node, has_g: bool = False) -> DataFrame:
             .unionByName(_node_domain(store, has_g))
             .dropDuplicates()
         )
+    if kind == "repeat":
+        # p{n} / p{n,} / p{n,m}: bounded repetition = n fixed hops,
+        # then (m - n) single-hop extensions ACCUMULATED (each length
+        # in n..m contributes), deduplicating per extension so the
+        # frontier stays a set — never the identity-domain join a
+        # naive p?-composition would pay. p{n,} closes with star from
+        # the n-hop frontier (pointer-doubled, not hop-at-a-time).
+        _, inner, lo, hi = node
+        base = _path_df(store, inner, has_g).dropDuplicates()
+
+        def hop(left: DataFrame) -> DataFrame:
+            nxt = base.select(
+                F.col("s").alias("__m"), F.col("o").alias("__o2"),
+                *[F.col(k).alias("__g2") for k in keys],
+            )
+            cond = left.o == F.col("__m")
+            if has_g:
+                cond = cond & (left["__g"] == F.col("__g2"))
+            return (
+                left.join(nxt, cond)
+                .select("s", F.col("__o2").alias("o"), *keys)
+                .dropDuplicates()
+            )
+
+        if lo == 0:
+            cur = _node_domain(store, has_g)
+        else:
+            cur = base
+            for _ in range(lo - 1):
+                cur = hop(cur)
+        if hi is None:  # p{n,} = p^n / p*
+            star = _path_df(store, ("star", inner), has_g).select(
+                F.col("s").alias("__m"), F.col("o").alias("__o2"),
+                *[F.col(k).alias("__g2") for k in keys],
+            )
+            cond = cur.o == F.col("__m")
+            if has_g:
+                cond = cond & (cur["__g"] == F.col("__g2"))
+            return (
+                cur.join(star, cond)
+                .select("s", F.col("__o2").alias("o"), *keys)
+                .dropDuplicates()
+            )
+        acc = cur
+        for _ in range(hi - lo):
+            cur = hop(cur)
+            acc = acc.unionByName(cur)
+        return acc.dropDuplicates()
     if kind == "plus":
         base = cut_lineage(_path_df(store, node[1], has_g).dropDuplicates())
         closure = base
@@ -877,41 +1002,84 @@ def _scan_pattern(store: TripleStore, pat) -> DataFrame:
     return df
 
 
-def _compile_bgp(store: TripleStore, patterns) -> DataFrame:
-    """Join the patterns star-first (see module docstring)."""
+def _merge_connected(frames: list) -> None:
+    """Equi-join frames that share a variable, to fixpoint — the
+    star-then-chain join order, in place."""
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(frames)):
+            for j in range(i + 1, len(frames)):
+                if set(frames[i].columns) & set(frames[j].columns):
+                    right = frames.pop(j)
+                    frames[i] = _join(frames[i], right)
+                    changed = True
+                    break
+            if changed:
+                break
+
+
+def _compile_bgp_components(store: TripleStore, patterns) -> list[DataFrame]:
+    """Compile the patterns star-first (see module docstring) into ONE
+    frame per CONNECTED component. Disconnected components return
+    separately instead of cross-joining eagerly, so _compile_group can
+    connect them through a spatial FILTER as a grid-bucketed join —
+    the only plans that still cross-join are those with no joining
+    predicate at all."""
     stars: dict[tuple, list] = {}
     for pat in patterns:
         stars.setdefault(tuple(pat[0]), []).append(pat)
-    df: DataFrame | None = None
+    comps: list[DataFrame] = []
     for pats in stars.values():
         star: DataFrame | None = None
         for pat in pats:
             star = _join(star, _scan_pattern(store, pat))
-        df = _join(df, star)
-    assert df is not None
-    return df
+        comps.append(star)
+    _merge_connected(comps)
+    return comps
 
 
 def _compile_group(store: TripleStore, group: Group) -> DataFrame:
-    df: DataFrame | None = None
+    """Compile one group graph pattern. The group's bindings live in
+    ``frames`` — one DataFrame per connected component — so that two
+    components a spatial FILTER connects (var-var geof:distance)
+    compile to a grid-bucketed equi-join instead of CartesianProduct +
+    filter. Components nothing connects still cross-join at the end
+    (pre-round-8 semantics)."""
+    frames: list[DataFrame] = []
     filters = []
+
+    def flatten() -> DataFrame | None:
+        """Collapse every pending frame to one (cross-joining the
+        genuinely disconnected ones) — the binding set the row-scoped
+        operators (OPTIONAL/MINUS/BIND/…) act on."""
+        _merge_connected(frames)
+        out: DataFrame | None = None
+        for f in frames:
+            out = _join(out, f)
+        frames.clear()
+        if out is not None:
+            frames.append(out)
+        return out
+
     for kind, payload in [(e[0], e[1:]) for e in group.elements]:
         if kind == "bgp":
-            df = _join(df, _compile_bgp(store, payload[0]))
+            frames.extend(_compile_bgp_components(store, payload[0]))
+            _merge_connected(frames)
         elif kind == "union":
             branches = [_compile_group(store, g) for g in payload[0]]
             merged = branches[0]
             for b in branches[1:]:
                 merged = merged.unionByName(b, allowMissingColumns=True)
-            df = _join(df, merged)
+            frames.append(merged)
+            _merge_connected(frames)
         elif kind == "optional":
             inner = _compile_group(store, payload[0])
-            if df is None:
-                df = inner
-            else:
-                df = _join(df, inner, how="left")
+            df = flatten()
+            frames[:] = [inner if df is None else _join(df, inner, how="left")]
         elif kind in ("minus", "exists", "notexists"):
             inner = _compile_group(store, payload[0])
+            df = flatten()
             if df is None:
                 raise ValueError(f"{kind.upper()} cannot open a group")
             shared = sorted(set(df.columns) & set(inner.columns))
@@ -925,13 +1093,14 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                     "group (unsupported)"
                 )
             how = "left_semi" if kind == "exists" else "left_anti"
-            df = df.join(inner, on=shared, how=how)
+            frames[:] = [df.join(inner, on=shared, how=how)]
         elif kind == "values":
             var, lits = payload
             spark = store.triples.sparkSession
             vals = spark.createDataFrame([(v,) for v in lits], f"{var} string")
             # broadcast: an inline VALUES list is tiny by construction
-            df = _join(df, F.broadcast(vals)) if df is not None else vals
+            frames.append(F.broadcast(vals))
+            _merge_connected(frames)
         elif kind == "graph":
             from geosparql_etl_spark.sparql.triples import GraphScopedStore
 
@@ -941,32 +1110,123 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 gconst=gterm[1] if gterm[0] == "const" else None,
                 gvar=gterm[1] if gterm[0] == "var" else None,
             )
-            df = _join(df, _compile_group(scoped, inner))
+            frames.append(_compile_group(scoped, inner))
+            _merge_connected(frames)
         elif kind == "subquery":
             # SPARQL 1.1 subquery: evaluated independently, its
             # projected bindings join the outer group on shared vars —
             # the aggregates-mid-query mechanism
-            df = _join(df, _compile_query(store, payload[0]))
+            frames.append(_compile_query(store, payload[0]))
+            _merge_connected(frames)
         elif kind == "bind":
             var, expr = payload
             col = _operand_col(expr, False)
+            df = flatten()
             if df is None:
                 # BIND opening a group extends the EMPTY solution — one
                 # row carrying only the computed binding
                 spark = store.triples.sparkSession
-                df = spark.range(1).select(col.alias(var))
+                frames[:] = [spark.range(1).select(col.alias(var))]
             elif var in df.columns:
                 # SPARQL forbids rebinding an in-scope variable
                 raise ValueError(f"BIND would rebind in-scope ?{var}")
             else:
-                df = df.withColumn(var, col)
+                frames[:] = [df.withColumn(var, col)]
         elif kind == "filter":
-            filters.append(payload[0])
-    if df is None:
+            # a top-level conjunction is the same as separate FILTERs;
+            # split it so each conjunct can push/rewrite independently
+            stack = [payload[0]]
+            while stack:
+                e = stack.pop()
+                if e[0] == "and":
+                    stack.extend((e[1], e[2]))
+                else:
+                    filters.append(e)
+    if not frames:
         raise ValueError("empty group graph pattern")
+    residual = []
     for expr in filters:
+        if len(frames) > 1 and _grid_spatial_rewrite(frames, expr):
+            continue
+        residual.append(expr)
+    df = None
+    for f in frames:
+        df = _join(df, f)
+    for expr in residual:
         df = df.where(_compile_expr(expr))
     return df
+
+
+def _match_var_var_distance(expr):
+    """``geof:distance(?u, ?v) < d`` (or <=, or mirrored with the
+    constant on the left) with BOTH arguments variables — the shape
+    the grid rewrite accepts. Returns (u, v, d) or None."""
+    if expr[0] != "cmp":
+        return None
+    _, op, left, right = expr
+    if op in ("<", "<=") and left[0] == "call" and right[0] == "num":
+        call, d = left, right[1]
+    elif op in (">", ">=") and right[0] == "call" and left[0] == "num":
+        call, d = right, left[1]
+    else:
+        return None
+    if call[1] != "geof:distance":
+        return None
+    a, b = call[2]
+    if a[0] != "var" or b[0] != "var":
+        return None
+    return a[1], b[1], float(d)
+
+
+def _grid_spatial_rewrite(frames: list, expr) -> bool:
+    """Var-var distance FILTER between two DISCONNECTED frames: join
+    them on grid cells of side d (each right-side point lands in its
+    own cell plus the 8 neighbors, so every pair within d shares a
+    cell — |x1-x2| <= d bounds the cell delta by 1), then re-apply the
+    exact predicate. Same result as crossJoin + filter, but the plan
+    is a hash join on (cx, cy): candidates ~ density x 9 cells instead
+    of |L| x |R| (the g17/g18 strategy, reached from SPARQL text).
+    Mutates ``frames`` and returns True on success."""
+    m = _match_var_var_distance(expr)
+    if not m:
+        return False
+    u, v, d = m
+    if d <= 0:
+        return False  # degenerate: empty result either way; keep simple
+    li = next((i for i, f in enumerate(frames) if u in f.columns), None)
+    ri = next((i for i, f in enumerate(frames) if v in f.columns), None)
+    if li is None or ri is None or li == ri:
+        return False
+    left, right = frames[li], frames[ri]
+    lx, ly = _point_xy(F.col(u))
+    lhs = left.withColumn("__cx", F.floor(lx / d)).withColumn(
+        "__cy", F.floor(ly / d)
+    )
+    rx, ry = _point_xy(F.col(v))
+    off = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+                for i in (-1, 0, 1)
+                for j in (-1, 0, 1)
+            ]
+        )
+    )
+    rhs = (
+        right.withColumn("__off", off)
+        .withColumn("__cx", F.floor(rx / d) + F.col("__off.i"))
+        .withColumn("__cy", F.floor(ry / d) + F.col("__off.j"))
+        .drop("__off")
+    )
+    joined = (
+        lhs.join(rhs, on=["__cx", "__cy"])
+        .drop("__cx", "__cy")
+        .where(_compile_expr(expr))
+    )
+    for idx in sorted((li, ri), reverse=True):
+        frames.pop(idx)
+    frames.append(joined)
+    return True
 
 
 # -- FILTER expression -> Column --------------------------------------------
@@ -1183,31 +1443,24 @@ def _agg_col(func: str, arg, alias: str) -> Column:
         return F.min(F.col(arg)).alias(alias)
     lexical = F.col(arg).cast("decimal(18,2)")
 
-    def _canon(c: Column) -> Column:
-        # The store's object model is canonical %.2f lexical strings,
-        # so numeric aggregates PROJECT the same canonical lexical: a
-        # SUM/MAX binding joins other patterns' objects string=string
-        # (sp15's `?c ex:acctbal ?mx`), and the output schema carries
-        # no DECIMAL — the one output type the driver's typed arrow
-        # hash cannot attest (round-1 s03 / round-6 sp05+sp15 failure
-        # class; SCALE.md's "no DECIMAL outputs" rule). The aggregate
-        # itself still runs on DECIMAL(18,2) — exact, order-
-        # independent — only the projection is lexical. Numeric
-        # comparisons on the alias (HAVING ?total > N) still work:
-        # cmp compiles with a double cast. ORDER BY on the raw alias
-        # would sort lexicographically — use ORDER BY DESC(?x * 1)
-        # for numeric order, the SPARQL lexical-store idiom.
-        # decimal(18,2) -> string preserves the scale (BigDecimal plain
-        # form: "47.00", "-5.25") — exactly the %.2f canonical lexical,
-        # with no float round-trip (format_string can't take Decimal)
-        return c.cast("decimal(18,2)").cast("string")
-
+    # SUM/MIN/MAX stay DECIMAL(18,2) through the whole plan — exact,
+    # order-independent, and crucially NUMERIC when the alias is
+    # re-used: a subquery aggregate joined against stored lexicals
+    # (sp15's `?c ex:acctbal ?mx`) compares decimal=string, which
+    # Spark coerces numerically, so "47" matches MAX 47.00 (the round-7
+    # string=string projection silently returned zero rows there);
+    # HAVING and ORDER BY on the alias compare/sort numerically too.
+    # The driver's typed arrow hash can't attest DECIMAL outputs
+    # (round-1 s03 / round-6 sp05+sp15 failure class; SCALE.md's "no
+    # DECIMAL outputs" rule), so sparql_select() — the one public
+    # SELECT entry — canonicalizes any remaining DECIMAL output column
+    # to its %.2f lexical string at FINAL projection only.
     if func == "SUM":
-        return _canon(F.sum(lexical)).alias(alias)
+        return F.sum(lexical).alias(alias)
     if func == "MIN":
-        return _canon(F.min(lexical)).alias(alias)
+        return F.min(lexical).alias(alias)
     if func == "MAX":
-        return _canon(F.max(lexical)).alias(alias)
+        return F.max(lexical).alias(alias)
     if func == "AVG":
         # documented caveat: double avg (not exact); round for stability
         return F.round(F.avg(F.col(arg).cast("double")), 4).alias(alias)
@@ -1242,8 +1495,25 @@ def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
     Accepts SELECT and CONSTRUCT forms; CONSTRUCT returns an (s, p, o)
     frame — a new graph derived from the matched bindings, which is
     exactly the reference's ETL shape (mint triples from matched
-    source rows) expressed as a query."""
-    return _compile_query(store, parse_query(query_text))
+    source rows) expressed as a query.
+
+    DECIMAL aggregate columns canonicalize to their %.2f lexical
+    string HERE — at final projection only, after every join /
+    HAVING / ORDER BY has run on the numeric column (see _agg_col).
+    Subqueries compile through _compile_query directly and so keep
+    DECIMAL for the outer join."""
+    from pyspark.sql.types import DecimalType
+
+    df = _compile_query(store, parse_query(query_text))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, DecimalType):
+            # decimal(18,2) -> string is the BigDecimal plain form
+            # ("47.00", "-5.25") — the canonical lexical, no float hop
+            df = df.withColumn(
+                f.name,
+                F.col(f.name).cast("decimal(18,2)").cast("string"),
+            )
+    return df
 
 
 def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
@@ -1259,6 +1529,16 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
     graph (left_anti on the full triple); INSERT template rows enter
     it (set semantics — already-present triples do not duplicate)."""
     q = parse_query(query_text)
+    if q.clear_graph is not None:
+        # CLEAR/DROP GRAPH <g>: the named graph's quads leave, every
+        # other graph passes through untouched — a partition-pruned
+        # anti-filter, no join. eqNullSafe: default-graph quads carry
+        # g = NULL and must survive a named-graph clear.
+        if "g" not in store.triples.columns:
+            raise ValueError("CLEAR/DROP GRAPH needs a quad store")
+        return store.full().where(
+            ~F.col("g").eqNullSafe(q.clear_graph)
+        )
     if q.delete_template is None and q.insert_template is None:
         raise ValueError("sparql_update needs a DELETE and/or INSERT form")
     for tmpl in (q.delete_template, q.insert_template):
@@ -1284,19 +1564,38 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
         from geosparql_etl_spark.sparql.triples import GraphScopedStore
 
         scoped = GraphScopedStore(store, gconst=q.with_graph, gvar=None)
-        bindings = _compile_group(scoped, q.where)
+        bindings = (
+            _ground_bindings(store)
+            if q.where is None
+            else _compile_group(scoped, q.where)
+        )
         full = store.full()
         slice_df = full.where(F.col("g") == q.with_graph).select(
             "s", "p", "o"
         )
-        rest = full.where(F.col("g") != q.with_graph)
+        # eqNullSafe: default-graph quads carry g = NULL; a plain !=
+        # is NULL there and would silently DROP them from the
+        # post-update frame (round-6 ADVICE finding)
+        rest = full.where(~F.col("g").eqNullSafe(q.with_graph))
         updated = _apply_update(bindings, slice_df, q)
         return rest.unionByName(
             updated.withColumn("g", F.lit(q.with_graph)).select(*full.columns)
         )
-    bindings = _compile_group(store, q.where)
+    bindings = (
+        _ground_bindings(store)
+        if q.where is None
+        else _compile_group(store, q.where)
+    )
     graph = store.full().select("s", "p", "o")
     return _apply_update(bindings, graph, q)
+
+
+def _ground_bindings(store: TripleStore) -> DataFrame:
+    """The empty solution mapping for ground updates (INSERT DATA /
+    DELETE DATA): ONE row, no columns needed — construct_triples
+    lit()s every constant term, so each template triple materializes
+    exactly once."""
+    return store.triples.sparkSession.range(1)
 
 
 def _apply_update(bindings: DataFrame, graph: DataFrame, q: Query) -> DataFrame:
@@ -1313,7 +1612,12 @@ def _apply_update(bindings: DataFrame, graph: DataFrame, q: Query) -> DataFrame:
 
 
 def _compile_query(store: TripleStore, q: Query) -> DataFrame:
-    if q.delete_template is not None or q.insert_template is not None:
+    if (
+        q.delete_template is not None
+        or q.insert_template is not None
+        or q.clear_graph is not None
+        or q.where is None
+    ):
         raise ValueError("update forms go through sparql_update()")
     df = _compile_group(store, q.where)
     if q.ask:

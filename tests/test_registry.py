@@ -18,17 +18,30 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert missing <= {"h02_file_hash"}, missing
 
 
-def test_round6_correctness_window_is_stable():
+def test_round8_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the 30 round-5 additions that never had a driver stamp lead, then
-    # the 20 oldest r03-stamped rows close the window — round-6
-    # additions belong BELOW position 50, contiguously first (see the
-    # registry comment for the r07 rotation)
-    assert keys[:2] == ["q04_priority_exists", "q07_nation_volume"]
-    assert keys[29] == "er01_entity_canonicalize"
-    assert keys[30] == "sim07_vector_stats"
-    assert keys[49] == "d04_ngram_jaccard"
+    # the r08 window re-stages the r07 one (round 7 attested nothing —
+    # the snapshot didn't import): the 22 round-6 additions lead, then
+    # the re-typed sp05/sp15 at 23-24, then the oldest r03 rows.
+    # Round-8 additions belong BELOW position 50, contiguously first
+    # (see the registry comment for the r09 rotation).
+    assert keys[:2] == ["sp17_bind_bucket", "sp18_select_expressions"]
+    assert keys[22] == "sp05_group_totals"
+    assert keys[23] == "sp15_subquery_max"
+    assert keys[49] == "j12_snapshot_diff"
+    assert keys[50] == "sp25_insert_data"
     assert len(keys) == len(set(keys))
+
+
+def test_module_imports_and_registry_resolves():
+    # the round-7 failure class: a registry key naming an undefined
+    # function voids the whole round (NameError at import). Importing
+    # `entry` above already proves the module loads; this pins that
+    # every registry value is a real callable and every oracle key
+    # resolves, so a dangling name can never be committed silently.
+    qs = entry.queries()
+    assert all(callable(v) for v in qs.values())
+    assert set(entry.oracle_sql()) <= set(qs)
 
 
 def test_queries_are_callable_with_two_args():

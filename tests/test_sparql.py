@@ -1231,3 +1231,253 @@ class TestRound6WithGraph:
             ("urn:p:1", "urn:ex:st", "review", "urn:g:hr"),
             ("urn:p:2", "urn:ex:st", "draft", "urn:g:eng"),
         }
+
+
+class TestRound8GroundUpdates:
+    """INSERT DATA / DELETE DATA (ground updates, no WHERE) and
+    CLEAR/DROP GRAPH (graph management) — round 8."""
+
+    def test_insert_data_adds_ground_triples(self, toy_store):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        g = sparql_update(
+            toy_store,
+            PFX + 'INSERT DATA { <urn:p:9> a ex:Person . '
+            '<urn:p:9> ex:name "kay" }',
+        )
+        assert g.count() == toy_store.triples.count() + 2
+        assert g.where(F.col("o") == "kay").count() == 1
+
+    def test_insert_data_is_idempotent(self, toy_store):
+        # re-inserting an existing triple is a set-semantics no-op
+        from geosparql_etl_spark.sparql import sparql_update
+
+        q = PFX + "INSERT DATA { <urn:p:1> a ex:Person }"
+        g = sparql_update(toy_store, q)
+        g2 = sparql_update(TripleStore(g), q)
+        assert g.count() == g2.count() == toy_store.triples.count()
+
+    def test_delete_data_removes_exact_triple(self, toy_store):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        g = sparql_update(
+            toy_store,
+            PFX + 'DELETE DATA { <urn:p:1> ex:age "36" }',
+        )
+        assert g.count() == toy_store.triples.count() - 1
+        # a non-matching ground triple deletes nothing
+        g2 = sparql_update(
+            toy_store, PFX + 'DELETE DATA { <urn:p:1> ex:age "99" }'
+        )
+        assert g2.count() == toy_store.triples.count()
+
+    def test_data_block_rejects_variables(self, toy_store):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        with pytest.raises(ValueError, match="ground"):
+            sparql_update(
+                toy_store, PFX + "INSERT DATA { ?s a ex:Person }"
+            )
+        with pytest.raises(ValueError, match="ground"):
+            sparql_update(
+                toy_store, PFX + 'DELETE DATA { <urn:p:1> ex:age ?a }'
+            )
+
+    def test_ground_update_through_select_rejected(self, toy_store):
+        with pytest.raises(ValueError, match="sparql_update"):
+            run(toy_store, "INSERT DATA { <urn:x> a ex:Y }")
+
+    @pytest.fixture()
+    def quads_with_default(self, spark):
+        # g = NULL models default-graph quads: they must survive any
+        # named-graph operation (the round-7 ADVICE eqNullSafe class)
+        return TripleStore(
+            spark.createDataFrame(
+                [
+                    ("a", "urn:ex:st", "x", "g1"),
+                    ("b", "urn:ex:st", "y", "g2"),
+                    ("c", "urn:ex:st", "z", None),
+                ],
+                "s string, p string, o string, g string",
+            )
+        )
+
+    def test_clear_graph_drops_only_named_graph(self, quads_with_default):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        out = sparql_update(quads_with_default, "CLEAR GRAPH <g1>")
+        assert sorted((r.s, r.g) for r in out.collect()) == [
+            ("b", "g2"),
+            ("c", None),  # NULL-graph quad survives (eqNullSafe)
+        ]
+
+    def test_drop_silent_is_clear(self, quads_with_default):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        out = sparql_update(quads_with_default, "DROP SILENT GRAPH <g2>")
+        assert out.count() == 2
+
+    def test_clear_needs_quad_store(self, toy_store):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        with pytest.raises(ValueError, match="quad store"):
+            sparql_update(toy_store, "CLEAR GRAPH <g1>")
+
+    def test_with_update_keeps_null_graph_quads(self, quads_with_default):
+        # the round-6 ADVICE finding: rest = g != WITH-graph dropped
+        # NULL-graph rows; eqNullSafe keeps them
+        from geosparql_etl_spark.sparql import sparql_update
+
+        out = sparql_update(
+            quads_with_default,
+            'WITH <g1> DELETE { ?s <urn:ex:st> "x" } '
+            'WHERE { ?s <urn:ex:st> "x" }',
+        )
+        assert sorted((r.s, r.g) for r in out.collect()) == [
+            ("b", "g2"),
+            ("c", None),
+        ]
+
+    def test_insert_data_on_quads_needs_with(self, quads_with_default):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        with pytest.raises(ValueError, match="WITH"):
+            sparql_update(
+                quads_with_default, "INSERT DATA { <urn:x> <urn:p> <urn:y> }"
+            )
+        out = sparql_update(
+            quads_with_default,
+            "WITH <g1> INSERT DATA { <urn:x> <urn:p> <urn:y> }",
+        )
+        assert sorted((r.s, r.g) for r in out.collect()) == [
+            ("a", "g1"),
+            ("b", "g2"),
+            ("c", None),
+            ("urn:x", "g1"),
+        ]
+
+
+class TestRound8PathsAndSpatial:
+    """p{n,m} bounded repetition and the var-var geof:distance
+    grid-join rewrite — round 8."""
+
+    @pytest.fixture(scope="class")
+    def chain_store(self, spark):
+        rows = [(f"n{i}", "urn:ex:next", f"n{i+1}") for i in range(6)]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_repeat_exact(self, chain_store):
+        got = run(chain_store, "SELECT ?b WHERE { <n0> ex:next{2} ?b }")
+        assert [r.b for r in got.collect()] == ["n2"]
+
+    def test_repeat_range(self, chain_store):
+        got = run(
+            chain_store, "SELECT ?b WHERE { <n0> ex:next{2,4} ?b }"
+        )
+        assert sorted(r.b for r in got.collect()) == ["n2", "n3", "n4"]
+
+    def test_repeat_zero_lower_bound(self, chain_store):
+        # {0,1} includes the identity pairs (zero-length path)
+        got = run(chain_store, "SELECT ?b WHERE { <n0> ex:next{0,1} ?b }")
+        assert sorted(r.b for r in got.collect()) == ["n0", "n1"]
+
+    def test_repeat_unbounded_upper(self, chain_store):
+        got = run(chain_store, "SELECT ?b WHERE { <n0> ex:next{3,} ?b }")
+        assert sorted(r.b for r in got.collect()) == [
+            "n3", "n4", "n5", "n6",
+        ]
+
+    def test_repeat_matches_seq_and_star_composition(self, chain_store):
+        # property check on the small chain: p{2,} == p/p/p*
+        a = run(chain_store, "SELECT ?a ?b WHERE { ?a ex:next{2,} ?b }")
+        b = run(
+            chain_store,
+            "SELECT ?a ?b WHERE { ?a ex:next/ex:next/ex:next* ?b }",
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_repeat_bad_bounds_rejected(self, chain_store):
+        with pytest.raises(ValueError, match="quantifier"):
+            run(chain_store, "SELECT ?b WHERE { <n0> ex:next{3,2} ?b }")
+        with pytest.raises(ValueError, match="constant"):
+            run(chain_store, "SELECT ?b WHERE { <n0> ?p{1,2} ?b }")
+
+    def test_spacefree_comparison_lexes_as_ops(self, toy_store):
+        # round-8 lexer fix: `<5&&?a>` must not lex as one IRI token
+        got = run(
+            toy_store,
+            "SELECT ?p WHERE { ?p ex:age ?a FILTER(?a<40&&?a>30) }",
+        )
+        assert [r.p for r in got.collect()] == ["urn:p:1"]
+
+    @pytest.fixture(scope="class")
+    def points_store(self, spark):
+        rows = []
+        for i, (x, y) in enumerate(
+            [(0, 0), (1, 1), (10, 10), (11, 10), (50, 50)]
+        ):
+            rows += [
+                (f"urn:e:{i}", "rdf:type", "urn:ex:Thing"),
+                (f"urn:e:{i}", "geo:asWKT", f"POINT({x} {y})"),
+            ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def _pairs(self, store, dist):
+        return run(
+            store,
+            """
+            SELECT ?a ?b WHERE {
+              ?a a ex:Thing . ?a geo:asWKT ?wa .
+              ?b a ex:Thing . ?b geo:asWKT ?wb .
+              FILTER(geof:distance(?wa, ?wb) < %s)
+              FILTER(?a < ?b)
+            }
+            """
+            % dist,
+        )
+
+    def test_var_var_distance_pairs(self, points_store):
+        got = sorted(map(tuple, self._pairs(points_store, "2.5").collect()))
+        assert got == [("urn:e:0", "urn:e:1"), ("urn:e:2", "urn:e:3")]
+
+    def test_var_var_distance_plans_grid_join(self, points_store):
+        # the rewrite's whole point: a hash join on grid cells, never
+        # CartesianProduct + filter
+        plan = (
+            self._pairs(points_store, "2.5")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+
+    def test_grid_join_boundary_complete(self, points_store):
+        # pairs exactly at cell borders: d=1.5 puts (10,10)-(11,10)
+        # in adjacent cells; the neighbor-cell scheme must keep them
+        # (and sqrt(2) ~ 1.414 < 1.5 keeps (0,0)-(1,1) too)
+        got = sorted(map(tuple, self._pairs(points_store, "1.5").collect()))
+        assert got == [("urn:e:0", "urn:e:1"), ("urn:e:2", "urn:e:3")]
+
+    def test_conjunctive_filter_splits(self, points_store):
+        # one FILTER(dist && order) conjunction behaves identically to
+        # two FILTER clauses (the and-split path)
+        got = run(
+            points_store,
+            """
+            SELECT ?a ?b WHERE {
+              ?a a ex:Thing . ?a geo:asWKT ?wa .
+              ?b a ex:Thing . ?b geo:asWKT ?wb .
+              FILTER(geof:distance(?wa, ?wb) < 2.5 && ?a < ?b)
+            }
+            """,
+        )
+        assert sorted(map(tuple, got.collect())) == [
+            ("urn:e:0", "urn:e:1"),
+            ("urn:e:2", "urn:e:3"),
+        ]
