@@ -2619,9 +2619,12 @@ def g19_bbox_iou(spark, sf_dir):
     area_b = (F.col("bx1") - F.col("bx0")) * (F.col("by1") - F.col("by0"))
     union = area_a + area_b - inter
     return (
+        # a/b grow linearly with the box table: no forced broadcast —
+        # AQE picks broadcast while they fit and falls back to a
+        # shuffled hash join at scale (round-6/7 verdict #4)
         cand.select("id_a", "id_b")
-        .join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("inter", inter)
         .withColumn("union_area", union)
         .where(F.col("inter") * 10 >= F.col("union_area"))  # IoU >= 0.1 exact
@@ -7657,8 +7660,10 @@ def g18_nearest_neighbor(spark, sf_dir):
         + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
     )
     return (
-        both.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        # a/b grow with the point table: no forced broadcast (AQE
+        # decides; see g19's note)
+        both.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("d2", d2)
         .where(F.col("d2") <= 225)
         .groupBy(F.col("id_a").alias("s_suppkey"))
@@ -8259,17 +8264,20 @@ def _sql_llm18():
         return f"""
     p{i} AS (
       SELECT a, b, CAST(sum(freq) AS BIGINT) AS f FROM (
-        SELECT w[i] AS a, w[i+1] AS b, freq FROM (
-          SELECT string_split(trim(s), ' ') AS w, freq FROM w{i-1}),
+        SELECT w[i] AS a, w[i+1] AS b, freq FROM w{i-1},
         LATERAL unnest(range(1, len(w))) AS t(i))
       GROUP BY a, b ORDER BY f DESC, a ASC, b ASC LIMIT 1)"""
 
     def word_cte(i):
-        pat = "' ' || a || ' ' || b || ' '"
-        rep = "' ' || a || b || ' '"
+        # canonical greedy left fold — mirrors operators/bpe.merge_pair
         return f"""
     w{i} AS (
-      SELECT replace(replace(s, {pat}, {rep}), {pat}, {rep}) AS s, freq
+      SELECT list_reduce(list_transform(w, x -> [x]),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = a
+                                 AND x[1] = b
+                           THEN acc[1:len(acc) - 1] || [a || b]
+                           ELSE acc || x END) AS w,
+             freq
       FROM w{i-1} CROSS JOIN p{i})"""
 
     ctes = """
@@ -8278,10 +8286,7 @@ def _sql_llm18():
         SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
         FROM documents)
       WHERE regexp_matches(word, '^[a-z]+$') GROUP BY word),
-    w0 AS (
-      SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s,
-             freq
-      FROM wf)"""
+    w0 AS (SELECT string_split(word, '') AS w, freq FROM wf)"""
     for i in range(1, 5):
         ctes += "," + pair_cte(i)
         if i < 4:
@@ -8355,25 +8360,24 @@ def _sql_llm20():
         return f"""
     p{i} AS (
       SELECT a, b FROM (
-        SELECT w[i] AS a, w[i+1] AS b, freq FROM (
-          SELECT string_split(trim(s), ' ') AS w, freq FROM w{i-1}),
+        SELECT w[i] AS a, w[i+1] AS b, freq FROM w{i-1},
         LATERAL unnest(range(1, len(w))) AS t(i))
       GROUP BY a, b ORDER BY sum(freq) DESC, a ASC, b ASC LIMIT 1)"""
 
-    pat = "' ' || a || ' ' || b || ' '"
-    rep = "' ' || a || b || ' '"
+    # canonical greedy left fold — mirrors operators/bpe.merge_pair
+    fold = ("list_reduce(list_transform(w, x -> [x]), "
+            "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = a "
+            "AND x[1] = b "
+            "THEN acc[1:len(acc) - 1] || [a || b] "
+            "ELSE acc || x END)")
 
     def word_cte(i):
         return f"""
-    w{i} AS (
-      SELECT replace(replace(s, {pat}, {rep}), {pat}, {rep}) AS s, freq
-      FROM w{i-1} CROSS JOIN p{i})"""
+    w{i} AS (SELECT {fold} AS w, freq FROM w{i-1} CROSS JOIN p{i})"""
 
     def apply_cte(i):
         return f"""
-    a{i} AS (
-      SELECT wd, replace(replace(s, {pat}, {rep}), {pat}, {rep}) AS s
-      FROM a{i-1} CROSS JOIN p{i})"""
+    a{i} AS (SELECT wd, {fold} AS w FROM a{i-1} CROSS JOIN p{i})"""
 
     ctes = r"""
     WITH w AS (
@@ -8386,14 +8390,8 @@ def _sql_llm20():
       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
             FROM w)),
     wf AS (SELECT wd AS word, count(*) AS freq FROM pw GROUP BY wd),
-    w0 AS (
-      SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s,
-             freq
-      FROM wf),
-    a0 AS (
-      SELECT word AS wd,
-             ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
-      FROM wf)"""
+    w0 AS (SELECT string_split(word, '') AS w, freq FROM wf),
+    a0 AS (SELECT word AS wd, string_split(word, '') AS w FROM wf)"""
     for i in range(1, 5):
         ctes += "," + pair_cte(i)
         ctes += "," + apply_cte(i)
@@ -8403,7 +8401,7 @@ def _sql_llm20():
         ctes
         + """,
     done AS (
-      SELECT wd, trim(s) AS toks, len(string_split(trim(s), ' ')) AS k
+      SELECT wd, array_to_string(w, ' ') AS toks, len(w) AS k
       FROM a4)
     SELECT doc_id, count(*) AS n_words,
            CAST(sum(k) AS BIGINT) AS n_tokens,
@@ -8815,8 +8813,10 @@ def g17_distance_join(spark, sf_dir):
         + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
     )
     return (
-        cand.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        # a/b grow with the point table: no forced broadcast (AQE
+        # decides; see g19's note)
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .where(dist < 8.3)
         .select("id_a", "id_b", F.round(dist, 6).alias("dist"))
     )

@@ -10,16 +10,17 @@ table plus one column rewrite. The driver holds only the merge table
 itself (num_merges rows), collecting exactly ONE argmax row per round
 — the same driver-footprint argument as pagerank/connected components.
 
-Representation: each word's symbol sequence is a single-space-joined
-string with sentinel spaces (" h e l l o "). Applying a merge (a, b)
-is then ``replace`` of " a b " -> " ab " run TWICE: one replace pass
-consumes the shared delimiter between back-to-back occurrences and
-skips every other one; the second pass picks those up, and no third
-occurrence class exists (replacement never creates a new " a b "
-context, since symbols contain no spaces). Two passes == the greedy
-left-to-right non-overlapping merge BPE defines — and ``replace`` has
-identical semantics in Spark and ANSI replay engines, which is what
-lets the oracle unroll the whole training loop in SQL.
+Representation: each word's symbol sequence is an ``array<string>``
+column. Applying a merge (a, b) is one ``aggregate`` (Catalyst HOF)
+left fold over the array: if the accumulator's last symbol is ``a``
+and the next is ``b``, they fuse to ``ab``; otherwise the symbol
+appends. That IS the canonical greedy left-to-right merge BPE defines
+— eager, so an odd run like ``a a a a a`` under merge (a, a) becomes
+``aa aa a`` (the earlier string replace-twice rewrite left the
+left-biased ``aa a aa`` on odd runs — the round-7 ADVICE finding).
+The fold stays whole-stage-codegen JVM work, and DuckDB's
+``list_reduce`` replays it exactly, which is what lets the oracle
+unroll the whole training loop in SQL.
 
 Determinism: argmax ties break (freq DESC, left ASC, right ASC), so
 the learned merge table is bit-identical across partitionings, resumes
@@ -28,10 +29,36 @@ and engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from geosparql_etl_spark.util import cut_lineage
+
+
+def merge_pair(arr: Column, a: str, b: str) -> Column:
+    """Canonical greedy left-to-right merge of one (a, b) rule over a
+    symbol array — a single Catalyst ``aggregate`` fold, no Python.
+    Eager semantics: a freshly fused ``ab`` is the accumulator's new
+    last symbol, so it only extends further if the NEXT rule-matching
+    pair starts with ``ab`` itself (exactly the reference tokenizers'
+    behavior)."""
+    fused = F.lit(a + b)
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _symbols(word: Column) -> Column:
+    # split("", …) can emit empty strings at the edges; drop them so a
+    # phantom symbol never participates in pair counts or merges
+    return F.filter(F.split(word, ""), lambda x: x != F.lit(""))
 
 
 def learn_bpe_merges(
@@ -47,19 +74,13 @@ def learn_bpe_merges(
     """
     spark = words.sparkSession
     state = words.select(
-        F.concat(
-            F.lit(" "),
-            F.array_join(F.split(F.col(word_col), ""), " "),
-            F.lit(" "),
-        ).alias("s"),
+        _symbols(F.col(word_col)).alias("w"),
         F.col(freq_col).alias("freq"),
     )
     state = cut_lineage(state)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         pairs = state.select(
-            F.split(F.trim(F.col("s")), " ").alias("w"), "freq"
-        ).select(
             # sequence(1, n) DESCENDS when n < 1 (ANSI): guard the
             # single-symbol words instead of exploding a bogus range
             F.explode(
@@ -83,11 +104,7 @@ def learn_bpe_merges(
             break
         a, b, f = top[0]["a"], top[0]["b"], top[0]["f"]
         merges.append((rank, a, b, int(f)))
-        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-        state = state.select(
-            F.replace(F.replace(F.col("s"), pat, rep), pat, rep).alias("s"),
-            "freq",
-        )
+        state = state.select(merge_pair(F.col("w"), a, b).alias("w"), "freq")
         state = cut_lineage(state)  # round k must not replay 1..k-1
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
@@ -101,31 +118,25 @@ def apply_bpe_merges(
 ) -> DataFrame:
     """The APPLY side of ``learn_bpe_merges``: tokenize each distinct
     word with an already-learned merge list, in rank order — training
-    and application round-trip on the same replace-twice rewrite, so
-    the trainer's own final word state IS this function's output for
-    the training corpus.
+    and application round-trip on the same greedy fold, so the
+    trainer's own final word state IS this function's output for the
+    training corpus.
 
     -> (word, toks, k): space-joined subword tokens and their count.
 
     Scale notes: the input is the DISTINCT word domain (vocab-sized —
     Heaps-sublinear in corpus size), and the merge list lives in the
     plan as literals, so application is ONE stage of chained
-    ``replace`` columns — no join, no shuffle, no Python. For
+    ``aggregate`` folds — no join, no shuffle, no Python. For
     production-sized merge tables (10k+), chunk the chain with
     ``cut_lineage`` every few hundred merges to bound codegen size;
     the semantics (rank-ordered rewrites) are unchanged.
     """
-    s = F.concat(
-        F.lit(" "),
-        F.array_join(F.split(F.col(word_col), ""), " "),
-        F.lit(" "),
-    )
+    arr = _symbols(F.col(word_col))
     for a, b in merges:
-        pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-        s = F.replace(F.replace(s, pat, rep), pat, rep)
-    toks = F.trim(s)
+        arr = merge_pair(arr, a, b)
     return words.select(
         F.col(word_col).alias("word"),
-        toks.alias("toks"),
-        F.size(F.split(toks, " ")).alias("k"),
+        F.array_join(arr, " ").alias("toks"),
+        F.size(arr).alias("k"),
     )

@@ -227,9 +227,26 @@ def run_incremental_construct(
         fresh = view.update(batch_df.select("s", "p", "o"))
         if pending_restart_dedup[0]:
             pending_restart_dedup[0] = False
+            from pyspark.errors import AnalysisException
+
             try:
                 existing = spark.read.parquet(out_dir).select("s", "p", "o")
-            except Exception:  # no prior output: nothing to dedup against
+            except AnalysisException as exc:
+                # ONLY "no prior output" may pass: any other read
+                # failure (corrupt footer, permission, wrong schema)
+                # must raise, or the restart-dedup silently skips and
+                # the duplicate window this path exists to close
+                # reopens (round-6 ADVICE finding)
+                err_class = (
+                    exc.getErrorClass() or ""
+                    if hasattr(exc, "getErrorClass")
+                    else ""
+                )
+                if (
+                    "PATH_NOT_FOUND" not in err_class
+                    and "Path does not exist" not in str(exc)
+                ):
+                    raise
                 existing = None
             if existing is not None:
                 fresh = fresh.join(existing, on=["s", "p", "o"], how="left_anti")

@@ -1503,15 +1503,53 @@ class TestBpeMerges:
         ]
 
     def test_back_to_back_merge_both_applied(self, spark):
-        """'aaaa' x1: round 1 merges (a,a)=3 pairs-count... the learned
-        pair is (a,a); the replace-twice rewrite must leave 'aa aa'
-        (both non-overlapping occurrences merged), so round 2 learns
-        (aa,aa)."""
+        """'aaaa' x1: round 1 counts (a,a)=3 overlapping pairs; the
+        greedy fold leaves 'aa aa' (both non-overlapping occurrences
+        merged), so round 2 learns (aa,aa)."""
         from geosparql_etl_spark.operators.bpe import learn_bpe_merges
 
         words = spark.createDataFrame([("aaaa", 1)], "word string, freq long")
         got = [tuple(r) for r in learn_bpe_merges(words, num_merges=2).collect()]
         assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+    def test_odd_run_merges_canonically(self, spark):
+        """Round 8 (the ADVICE replace-twice finding): an ODD run
+        'aaaaa' under merge (a,a) must tokenize eager-left as
+        'aa aa a' — the canonical greedy fold — never the left-biased
+        'aa a aa' the old string replace-twice rewrite produced."""
+        from geosparql_etl_spark.operators.bpe import apply_bpe_merges
+
+        words = spark.createDataFrame([("aaaaa",)], "word string")
+        got = apply_bpe_merges(words, [("a", "a")]).collect()[0]
+        assert (got.toks, got.k) == ("aa aa a", 3)
+
+    def test_apply_matches_python_reference(self, spark):
+        """Property pin: the Catalyst fold equals a plain-Python
+        canonical greedy BPE on an awkward mixed vocabulary."""
+        from geosparql_etl_spark.operators.bpe import apply_bpe_merges
+
+        def ref(word, merges):
+            syms = list(word)
+            for a, b in merges:
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+            return " ".join(syms)
+
+        merges = [("a", "a"), ("aa", "b"), ("b", "a")]
+        vocab = ["aaab", "aaaab", "ababa", "baaa", "b", "aabaab"]
+        words = spark.createDataFrame(
+            [(w,) for w in vocab], "word string"
+        )
+        got = {
+            r.word: r.toks
+            for r in apply_bpe_merges(words, merges).collect()
+        }
+        assert got == {w: ref(w, merges) for w in vocab}
 
     def test_stops_when_no_pairs(self, spark):
         from geosparql_etl_spark.operators.bpe import learn_bpe_merges

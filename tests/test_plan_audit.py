@@ -123,3 +123,18 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# g17/g18/g19 join their candidate pairs back to the full point/box
+# tables — relations that grow LINEARLY with the input. A forced
+# F.broadcast there is an executor-OOM at 100x data (round-6/7 verdict
+# finding); the choice belongs to AQE. This pins the hint's absence in
+# the analyzed logical plan (a ResolvedHint node would mark a forced
+# strategy).
+@pytest.mark.parametrize(
+    "name", ["g17_distance_join", "g18_nearest_neighbor", "g19_bbox_iou"]
+)
+def test_no_forced_broadcast_on_growing_tables(spark, sf_dir, name):
+    df = entry.queries()[name](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, f"{name} forces a join strategy"
