@@ -475,3 +475,48 @@ class NTriplesWriter(DataSourceWriter):
                 os.remove(f)
             except OSError:
                 pass
+
+
+def compact_quad_lake(spark, path: str, compression: str | None = None) -> None:
+    """Rewrite a ``g=<enc>`` quad lake so each graph holds ONE file.
+
+    Streaming MERGE/append jobs add one file per task per graph per
+    micro-batch (NTriplesWriter._write_graphs), so a long-lived lake
+    accumulates N files per graph and every scan fans one partition
+    per file — the small-files problem. This rewrites the lake in
+    place: read every graph, concentrate each graph into one task
+    (repartition on g), overwrite. Atomicity rides the writer's own
+    two-phase commit — temps first, previous generation deleted only
+    at commit — so a crash mid-compaction leaves the old lake intact;
+    the read's lineage is severed (localCheckpoint) BEFORE the
+    overwrite so the write never re-reads the files it replaces. The
+    triple SET and the g=<enc> layout are unchanged: option("graph")
+    directory pruning behaves identically after.
+
+    The parquet twin is sinks/parquet.compact_partitions; ports the
+    same pattern to the N-Triples layout (round-6 verdict #7).
+
+    Scale note: repartition(g) gives one WRITE TASK per graph — right
+    while single-graph volume fits one task's disk/time budget (the
+    layout's own constraint: a graph is one directory). A lake with a
+    few giant graphs would pass max_files_per_graph > 1 via
+    ``repartition(N, "g")`` upstream instead; the writer already
+    splits per task."""
+    df = (
+        spark.read.format("ntriples")
+        .option("graphPartitions", "true")
+        .load(path)
+    )
+    # sever lineage before overwriting the source files; drop the
+    # provenance column the writer does not serialize
+    snap = df.drop("path").localCheckpoint()
+    w = (
+        snap.repartition("g")
+        .write.format("ntriples")
+        .mode("overwrite")
+        .option("partitionBy", "g")
+        .option("path", path)
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.save()

@@ -823,3 +823,91 @@ def test_ntriples_append_jobs_accumulate(spark, triples_df, tmp_path):
         ).option("path", lake).mode("append").save()
     gparts = os.listdir(os.path.join(lake, "g=g1"))
     assert len([p for p in gparts if p.startswith("part-")]) == 2
+
+
+class TestQuadLakeCompaction:
+    """Round 8: N appended generations -> compact -> ONE file per
+    graph, identical triple set, pruning intact."""
+
+    @pytest.fixture()
+    def appended_lake(self, spark, tmp_path):
+        from geosparql_etl_spark.sources.ntriples import register
+
+        register(spark)
+        schema = (
+            "subject string, predicate string, object string, "
+            "is_literal boolean, datatype string, lang string, g string"
+        )
+        out = str(tmp_path / "quads")
+        for batch in range(3):
+            rows = [
+                (f"urn:p:{batch}", "urn:ex:name", f"n{batch}", True,
+                 None, None, "urn:g:hr"),
+                (f"urn:p:{batch}", "urn:ex:rank", str(batch), True,
+                 None, None, "urn:g:eng"),
+            ]
+            spark.createDataFrame(rows, schema).repartition(2).write.format(
+                "ntriples"
+            ).option("partitionBy", "g").option("path", out).mode(
+                "append"
+            ).save()
+        return out
+
+    def _read(self, spark, lake):
+        return (
+            spark.read.format("ntriples")
+            .option("graphPartitions", "true")
+            .load(lake)
+        )
+
+    def test_compact_one_file_per_graph_same_triples(
+        self, spark, appended_lake
+    ):
+        import glob as g
+        import os
+
+        from geosparql_etl_spark.sources.ntriples import compact_quad_lake
+
+        before = {
+            tuple(r)
+            for r in self._read(spark, appended_lake)
+            .drop("path")
+            .collect()
+        }
+        # appends left multiple files in at least one graph dir
+        assert any(
+            len(g.glob(os.path.join(d, "part-*"))) > 1
+            for d in g.glob(os.path.join(appended_lake, "g=*"))
+        )
+        compact_quad_lake(spark, appended_lake)
+        for d in g.glob(os.path.join(appended_lake, "g=*")):
+            assert len(g.glob(os.path.join(d, "part-*"))) == 1, d
+        after = {
+            tuple(r)
+            for r in self._read(spark, appended_lake)
+            .drop("path")
+            .collect()
+        }
+        assert after == before
+
+    def test_pruning_still_works_after_compact(self, spark, appended_lake):
+        from geosparql_etl_spark.sources.ntriples import (
+            NTriplesReader,
+            compact_quad_lake,
+        )
+
+        compact_quad_lake(spark, appended_lake)
+        parts = NTriplesReader(
+            {
+                "path": appended_lake,
+                "graphPartitions": "true",
+                "graph": "urn:g:hr",
+            }
+        ).partitions()
+        assert len(parts) == 1 and "g=urn%3Ag%3Ahr" in parts[0].path
+        got = (
+            self._read(spark, appended_lake)
+            .where("g = 'urn:g:hr'")
+            .count()
+        )
+        assert got == 3

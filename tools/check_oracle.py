@@ -3,6 +3,16 @@ entry on Spark and its oracle_sql() on DuckDB over the same sf dir,
 compare row count + column names + order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+       python tools/check_oracle.py [sf_dir] --changed-since <git-ref>
+
+--changed-since selects only the queries the diff vs <git-ref> could
+affect (inner-loop mode): entry functions whose source changed, any
+function transitively REFERENCING a changed function (so a changed
+helper re-checks its callers), and — when a geosparql_etl_spark/
+module changed — every query whose code imports from it. The
+selection is a conservative over-approximation (extra queries run;
+none are missed short of exotic dynamic dispatch). Explicit query
+names union with it.
 """
 
 from __future__ import annotations
@@ -100,9 +110,95 @@ def type_mismatches(spark_dtypes, arrow_schema):
     return problems
 
 
+def changed_queries(ref: str) -> set[str]:
+    """Registry queries the working-tree diff vs ``ref`` could affect.
+
+    Mechanism: extract every module-level function's source from the
+    ref's __spark_entry__.py and the working tree's; seed the changed
+    set with added/modified functions plus (for each changed
+    geosparql_etl_spark/ module) every function importing from it;
+    propagate to callers by name reference until fixpoint. A changed
+    ``_sql_<pfx>`` helper marks the ``<pfx>_*`` queries (the oracle
+    naming convention)."""
+    import ast
+    import re as _re
+    import subprocess
+
+    def run(*args):
+        return subprocess.run(
+            args, capture_output=True, text=True, cwd=REPO
+        ).stdout
+
+    old_src = run("git", "show", f"{ref}:__spark_entry__.py")
+    new_src = (REPO / "__spark_entry__.py").read_text()
+
+    def fn_sources(src: str) -> dict[str, str]:
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            return {}
+        return {
+            n.name: ast.get_source_segment(src, n) or ""
+            for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        }
+
+    old_f, new_f = fn_sources(old_src), fn_sources(new_src)
+    changed = {
+        name for name, src in new_f.items() if old_f.get(name) != src
+    }
+    # package-module changes: any function importing from the changed
+    # module (or its parent package — over-approximate) is affected
+    diff_files = run(
+        "git", "diff", "--name-only", ref, "--", "geosparql_etl_spark/"
+    ).split()
+    needles = set()
+    for f in diff_files:
+        if not f.endswith(".py"):
+            continue
+        dotted = f[:-3].replace("/", ".")
+        needles.add(dotted)
+        if "." in dotted:
+            needles.add(dotted.rsplit(".", 1)[0])
+    for name, src in new_f.items():
+        if any(n in src for n in needles):
+            changed.add(name)
+    # propagate changed helpers to their callers, to fixpoint
+    word = {name: _re.compile(rf"\b{_re.escape(name)}\b") for name in new_f}
+    grew = True
+    while grew:
+        grew = False
+        for name, src in new_f.items():
+            if name in changed:
+                continue
+            if any(word[c].search(src) for c in list(changed) if c != name):
+                changed.add(name)
+                grew = True
+    qs = set(entrymod.queries())
+    picked = changed & qs
+    for c in changed:
+        if c.startswith("_sql_"):
+            pfx = c[len("_sql_"):] + "_"
+            picked |= {q for q in qs if q.startswith(pfx)}
+    return picked
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    since = None
+    if "--changed-since" in argv:
+        i = argv.index("--changed-since")
+        since = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+    if since is not None:
+        picked = changed_queries(since)
+        only |= picked
+        print(f"--changed-since {since}: {len(picked)} affected queries")
+        if not only:
+            print("nothing affected; 0 ok, 0 rows-only, 0 FAILED")
+            return 0
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
