@@ -775,6 +775,123 @@ def _sql_q06():
     """
 
 
+def q08_market_share(spark, sf_dir):
+    """TPC-H Q8 shape — round 8: NATION_7's share of the ASIA-customer
+    STANDARD-part market, per order year. The two nation roles join
+    the same 25-row dim twice under different aliases (customer side
+    restricts through region, supplier side only labels); numerator
+    and denominator accumulate as exact 1e-4 longs in ONE conditional
+    aggregation pass, and only the final share divides through
+    doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_n = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    from_n7 = F.col("supp_nation") == "NATION_7"
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(from_n7, _revenue_e4()).otherwise(F.lit(0)))
+                / F.sum(_revenue_e4()),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def _sql_q08():
+    rev = ("CAST(round(l_extendedprice * 100) AS BIGINT) "
+           "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_7' THEN {rev}
+                          ELSE 0 END) * 1.0 / sum({rev}), 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_year ORDER BY o_year
+    """
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape — round 8: the supplier(s) with the maximum
+    quarterly revenue — the view + scalar-max self-reference. Revenue
+    per supplier aggregates once as exact 1e-4 longs; the max is a
+    one-row broadcast scalar; the equality that picks the winner(s)
+    compares those exact longs, so ties are real ties on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_revenue_e4()).alias("rev_e4")
+    )
+    top = rev.agg(F.max("rev_e4").alias("max_e4"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .where(F.col("rev_e4") == F.col("max_e4"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_e4") / F.lit(10000.0), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _sql_q15():
+    rev = ("CAST(round(l_extendedprice * 100) AS BIGINT) "
+           "* (100 - CAST(round(l_discount * 100) AS BIGINT))")
+    return f"""
+    WITH revenue AS (
+      SELECT l_suppkey, sum({rev}) AS rev_e4
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(rev_e4 / 10000.0, 2) AS total_revenue
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_e4 = (SELECT max(rev_e4) FROM revenue)
+    ORDER BY s_suppkey
+    """
+
+
 def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 shape — round 8 (adapted: the testdata has no
     partsupp, so 'stock value' is shipped lineitem value): per part,
@@ -1069,13 +1186,12 @@ def q21_waiting_suppliers(spark, sf_dir):
         F.col("l_orderkey").alias("o2_orderkey"),
         F.col("l_suppkey").alias("o2_suppkey"),
     )
-    late_others = (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(late)
-        .select(
-            F.col("l_orderkey").alias("o3_orderkey"),
-            F.col("l_suppkey").alias("o3_suppkey"),
-        )
+    # the "another supplier was ALSO late" probe is l1 itself under
+    # different names — same subtree, so Spark's ReusedExchange serves
+    # both sides from ONE lineitem-join-orders shuffle
+    late_others = l1.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
     )
     waiting = l1.join(
         others,
@@ -9114,6 +9230,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp28_clear_graph": sp28_clear_graph,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
+    "q08_market_share": q08_market_share,
+    "q15_top_supplier": q15_top_supplier,
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q17_small_qty_revenue": q17_small_qty_revenue,
@@ -9465,6 +9583,8 @@ _ORACLES: dict[str, str] = {
     "sp28_clear_graph": _sql_sp28(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
+    "q08_market_share": _sql_q08(),
+    "q15_top_supplier": _sql_q15(),
     "q11_important_stock": _sql_q11(),
     "q16_supplier_part_counts": _sql_q16(),
     "q17_small_qty_revenue": _sql_q17(),

@@ -122,6 +122,14 @@ HEADLINE = [
     "dq05_benford_audit",
     "sp20_graph_scoped_agg",
     "sp22_count_distinct",
+    # round 8: the TPC-H closers (double-role dims + conditional share;
+    # EXISTS/NOT EXISTS as semi+anti with a reused exchange) and the
+    # two new SPARQL plan shapes (grid-bucketed var-var spatial join;
+    # bounded path quantifier — O(m) hop joins, no fixpoint variance)
+    "q08_market_share",
+    "q21_waiting_suppliers",
+    "sp26_spatial_pairs",
+    "sp27_bounded_path",
 ]
 
 

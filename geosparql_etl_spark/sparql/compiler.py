@@ -229,7 +229,8 @@ class _Parser:
 
     # -- property paths (predicate position) -------------------------------
     # path := seq ('|' seq)* ; seq := step ('/' step)* ;
-    # step := '^'? iri ('+'|'*'|'?')?
+    # step := '^'? (iri | '!'negset | '(' path ')')
+    #         ('+' | '*' | '?' | '{n[,m]}')?
     def path_term(self) -> Term:
         first = self._path_seq()
         if self.peek() != "|":
@@ -271,6 +272,13 @@ class _Parser:
             else:
                 negs.append(self._neg_iri())
             base: Term = ("path", ("neg", negs))
+        elif self.peek() == "(":
+            # parenthesized path group: (a/b)+, (a|b)/c, ^(a/b) … —
+            # the group recurses into the full alt grammar and then
+            # takes modifiers/quantifiers like any step (round 8)
+            self.next()
+            base = self.path_term()
+            self.expect(")")
         else:
             base = self.term()
         if base[0] == "var" and (

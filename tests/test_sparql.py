@@ -1481,3 +1481,38 @@ class TestRound8PathsAndSpatial:
             ("urn:e:0", "urn:e:1"),
             ("urn:e:2", "urn:e:3"),
         ]
+
+
+class TestRound8GroupedPaths:
+    """Parenthesized path groups: (a/b)+, (a|b), ^(a/b), (a/b){n,m}."""
+
+    @pytest.fixture(scope="class")
+    def zig_store(self, spark):
+        # alternating two-predicate chain: n0 -a-> n1 -b-> n2 -a-> ...
+        rows = []
+        for i in range(6):
+            pred = "urn:ex:a" if i % 2 == 0 else "urn:ex:b"
+            rows.append((f"n{i}", pred, f"n{i+1}"))
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_grouped_seq_plus(self, zig_store):
+        # (a/b)+ from n0: every even node reached by >=1 full a/b hops
+        got = run(zig_store, "SELECT ?x WHERE { <n0> (ex:a/ex:b)+ ?x }")
+        assert sorted(r.x for r in got.collect()) == ["n2", "n4", "n6"]
+
+    def test_grouped_alt_quantified(self, zig_store):
+        # (a|b){2,3}: any 2- or 3-hop walk down the chain
+        got = run(
+            zig_store, "SELECT ?x WHERE { <n0> (ex:a|ex:b){2,3} ?x }"
+        )
+        assert sorted(r.x for r in got.collect()) == ["n2", "n3"]
+
+    def test_inverse_group(self, zig_store):
+        got = run(zig_store, "SELECT ?x WHERE { <n2> ^(ex:a/ex:b) ?x }")
+        assert [r.x for r in got.collect()] == ["n0"]
+
+    def test_unbalanced_paren_fails(self, zig_store):
+        with pytest.raises(ValueError):
+            run(zig_store, "SELECT ?x WHERE { <n0> (ex:a/ex:b ?x }")
