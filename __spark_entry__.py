@@ -1187,8 +1187,9 @@ def q21_waiting_suppliers(spark, sf_dir):
         F.col("l_suppkey").alias("o2_suppkey"),
     )
     # the "another supplier was ALSO late" probe is l1 itself under
-    # different names — same subtree, so Spark's ReusedExchange serves
-    # both sides from ONE lineitem-join-orders shuffle
+    # different names (one definition, no drift); Catalyst commutes
+    # the semi/anti probes below the orders join where legal and
+    # broadcasts the selective orders side into both — see PLANS.md
     late_others = l1.select(
         F.col("l_orderkey").alias("o3_orderkey"),
         F.col("l_suppkey").alias("o3_suppkey"),

@@ -70,6 +70,11 @@ SHOWCASE = [
     ("g18_nearest_neighbor", "bounded-radius NN: grid-cell candidate join + integer-distance argmin, no cartesian"),
     ("s14_rate_anomaly", "trailing-24h anomaly: one event_type-partitioned window, variance from exact integer power sums"),
     ("llm20_bpe_tokenize", "BPE apply: merge table as literal rewrites over the distinct-word domain, broadcast back to positions"),
+    ("q08_market_share", "TPC-H Q8 shape: nation dim joined twice under two roles, one conditional-share partial aggregate"),
+    ("q21_waiting_suppliers", "TPC-H Q21 shape: EXISTS/NOT EXISTS as semi+anti joins with suppkey-inequality residuals; probes commuted below the orders join, orders broadcast into both"),
+    ("sp26_spatial_pairs", "SPARQL var-var geof:distance: grid-cell hash join between BGP components — no CartesianProduct"),
+    ("sp27_bounded_path", "SPARQL p{2,3}: two hop-joins + one accumulated extension — no fixpoint loop, no node-domain join"),
+    ("sp28_clear_graph", "CLEAR GRAPH: null-safe anti-filter over the quad frame — no join"),
 ]
 
 
