@@ -899,7 +899,12 @@ def _path_df(store: TripleStore, node, has_g: bool = False) -> DataFrame:
         # naive p?-composition would pay. p{n,} closes with star from
         # the n-hop frontier (pointer-doubled, not hop-at-a-time).
         _, inner, lo, hi = node
-        base = _path_df(store, inner, has_g).dropDuplicates()
+        # materialize the hop frame once: every fixed hop and every
+        # extension joins against it, and without the cut each join
+        # re-evaluates the whole base subtree (hop k re-scans k+1
+        # times — the same re-evaluation blowup the plus-closure
+        # avoids the same way)
+        base = cut_lineage(_path_df(store, inner, has_g).dropDuplicates())
 
         def hop(left: DataFrame) -> DataFrame:
             nxt = base.select(
@@ -1295,8 +1300,36 @@ def _compile_call(node) -> Column:
         return _operand_col(args[0], False).rlike(args[1][1])
     if fname == "strstarts":
         return _operand_col(args[0], False).startswith(args[1][1])
+    if fname == "strends":
+        return _operand_col(args[0], False).endswith(args[1][1])
     if fname == "contains":
         return _operand_col(args[0], False).contains(args[1][1])
+    if fname == "sameterm":
+        # the store's term model is lexical strings, so term identity
+        # IS null-safe string equality
+        return _operand_col(args[0], False).eqNullSafe(
+            _operand_col(args[1], False)
+        )
+    if fname in ("md5", "sha1", "sha256", "sha384", "sha512"):
+        col = _operand_col(args[0], False).cast("string")
+        if fname == "md5":
+            return F.md5(col)
+        if fname == "sha1":
+            return F.sha1(col)
+        return F.sha2(col, int(fname[3:]))
+    if fname == "encode_for_uri":
+        # SPARQL ENCODE_FOR_URI = percent-encode everything outside
+        # RFC 3986 unreserved; url_encode is form-encoding (space ->
+        # '+', '~' -> %7E), so patch the two deltas after
+        return F.replace(
+            F.replace(
+                F.url_encode(_operand_col(args[0], False)),
+                F.lit("+"),
+                F.lit("%20"),
+            ),
+            F.lit("%7E"),
+            F.lit("~"),
+        )
     if fname == "bound":
         return _operand_col(args[0], False).isNotNull()
     if fname in ("isiri", "isuri", "isliteral", "isblank"):

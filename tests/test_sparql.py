@@ -1516,3 +1516,45 @@ class TestRound8GroupedPaths:
     def test_unbalanced_paren_fails(self, zig_store):
         with pytest.raises(ValueError):
             run(zig_store, "SELECT ?x WHERE { <n0> (ex:a/ex:b ?x }")
+
+
+class TestRound8Functions:
+    """STRENDS / hash functions / ENCODE_FOR_URI / sameTerm."""
+
+    def test_strends(self, toy_store):
+        got = run(
+            toy_store,
+            'SELECT ?n WHERE { ?p ex:name ?n FILTER(STRENDS(?n, "ce")) }',
+        )
+        assert [r.n for r in got.collect()] == ["grace"]
+
+    def test_hash_functions(self, toy_store):
+        import hashlib
+
+        got = run(
+            toy_store,
+            'SELECT ?n (SHA256(?n) AS ?h) (MD5(?n) AS ?m) WHERE '
+            '{ ?p ex:name ?n FILTER(?n = "ada") }',
+        ).collect()[0]
+        assert got.h == hashlib.sha256(b"ada").hexdigest()
+        assert got.m == hashlib.md5(b"ada").hexdigest()
+
+    def test_encode_for_uri(self, spark):
+        # spec examples: space -> %20, unreserved ~ . - _ stay bare
+        rows = [("s1", "urn:ex:v", "Los Angeles~CA_99.x-y/z")]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            store,
+            "SELECT (ENCODE_FOR_URI(?v) AS ?e) WHERE { ?s <urn:ex:v> ?v }",
+        ).collect()[0]
+        assert got.e == "Los%20Angeles~CA_99.x-y%2Fz"
+
+    def test_sameterm(self, toy_store):
+        got = run(
+            toy_store,
+            "SELECT ?p WHERE { ?p ex:name ?n . ?p ex:city ?c "
+            "FILTER(sameTerm(?n, ?n)) } ORDER BY ?p",
+        )
+        assert [r.p for r in got.collect()] == ["urn:p:1", "urn:p:2"]
