@@ -547,3 +547,102 @@ def test_quad_lake_roundtrip_hostile_graph_names(spark, tmp_path):
     assert {(r.object, r.g) for r in got.collect()} == {
         (f"o{i}", g) for i, g in enumerate(names)
     }
+
+
+# --- round 8: grid spatial rewrite + bounded repetition ---------------------
+
+_pt = st.tuples(
+    st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+)
+
+
+@given(
+    pts=st.lists(_pt, min_size=2, max_size=8, unique=True),
+    d_tenths=st.integers(min_value=5, max_value=120),
+)
+@settings(**_SETTINGS)
+def test_var_var_distance_matches_bruteforce(spark, pts, d_tenths):
+    """The grid-bucketed var-var geof:distance join equals the O(n^2)
+    brute-force pair set for ANY point set and threshold — candidate
+    completeness (9-neighbor cells) and the exact re-filter together.
+    Threshold in tenths so it never sits on an attainable integer
+    distance (x.5 tenths avoided by construction below)."""
+    import math
+
+    from geosparql_etl_spark.sparql import TripleStore, sparql_select
+
+    d = d_tenths / 10 + 0.05  # never an attainable sqrt of an integer
+    rows = []
+    ids = []
+    for i, (x, y) in enumerate(pts):
+        sid = f"urn:e:{i:03d}"
+        ids.append((sid, (x, y)))
+        rows += [(sid, "rdf:type", "urn:ex:P"),
+                 (sid, "geo:asWKT", f"POINT({x} {y})")]
+    store = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o string")
+    )
+    got = sorted(
+        tuple(r)
+        for r in sparql_select(
+            store,
+            "PREFIX ex: <urn:ex:> PREFIX geo: <geo:> "
+            "PREFIX geof: <geof:> "
+            "SELECT ?a ?b WHERE { ?a a ex:P . ?a geo:asWKT ?wa . "
+            "?b a ex:P . ?b geo:asWKT ?wb . "
+            f"FILTER(geof:distance(?wa, ?wb) < {d}) FILTER(?a < ?b) }}",
+        ).collect()
+    )
+    want = sorted(
+        (a, b)
+        for ai, (a, pa) in enumerate(ids)
+        for b, pb in (ids[bi] for bi in range(ai + 1, len(ids)))
+        if math.dist(pa, pb) < d
+    )
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.sampled_from("abcdefgh"), st.sampled_from("abcdefgh")),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    lo=st.integers(min_value=0, max_value=3),
+    span=st.integers(min_value=0, max_value=2),
+)
+@settings(**_SETTINGS)
+def test_bounded_repetition_matches_bruteforce(spark, edges, lo, span):
+    """p{lo,hi} equals the union of exact-length-k BFS walks for
+    k in lo..hi, for ANY small digraph (identity pairs over the node
+    domain at k=0)."""
+    from geosparql_etl_spark.sparql import TripleStore, sparql_select
+
+    hi = lo + span
+    triples = [(s, "urn:ex:p", o) for s, o in edges]
+    store = TripleStore(
+        spark.createDataFrame(triples, "s string, p string, o string")
+    )
+    nodes = {t for s, o in edges for t in (s, o)}
+    adj = {}
+    for s, o in edges:
+        adj.setdefault(s, set()).add(o)
+    want = set()
+    layer = {n: {n} for n in nodes}  # length-0 walks
+    for k in range(hi + 1):
+        if k >= lo:
+            want |= {(a, b) for a, ends in layer.items() for b in ends}
+        layer = {
+            a: {m for e in ends for m in adj.get(e, ())}
+            for a, ends in layer.items()
+        }
+    got = {
+        tuple(r)
+        for r in sparql_select(
+            store,
+            "PREFIX ex: <urn:ex:> SELECT ?a ?b WHERE "
+            f"{{ ?a ex:p{{{lo},{hi}}} ?b }}",
+        ).collect()
+    }
+    assert got == want
