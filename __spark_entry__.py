@@ -895,11 +895,18 @@ def _sql_q15():
 def q11_important_stock(spark, sf_dir):
     """TPC-H Q11 shape — round 8 (adapted: the testdata has no
     partsupp, so 'stock value' is shipped lineitem value): per part,
-    the value shipped by GERMANY's suppliers, keeping parts whose
+    the value shipped by NATION_7's suppliers, keeping parts whose
     value exceeds 0.08% of the total — the aggregate-vs-scalar-
     subquery HAVING. The scalar total is a one-row frame cross-joined
     back (broadcast by AQE); the fraction compares exact longs
-    (value * 10000 > total * 5), never a double threshold."""
+    (value * 10000 > total * 8), never a double threshold.
+
+    Scale note: the german_value subtree evaluates twice (once per
+    consumer — Spark plans each branch independently; a rollup() +
+    grouping-key filter split was measured to plan the same two
+    scans). At real scale, localCheckpoint german_value before
+    deriving the scalar — one fact scan, two reads of a vocab-sized
+    aggregate."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
