@@ -9173,9 +9173,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 23 remaining r03-stamped rows, then the 3 oldest r05-stamped
     # rows to fill 50. After r08 every stamp is r04+.
     # r09 rotation (staged below the window, in order): the round-8
-    # additions (q05..q22 TPC-H + sp25-sp28, never stamped), then the
-    # r04-stamped block (oldest remaining attestation), then the
-    # r05-stamped remainder.
+    # additions (sp25-sp28 + the TPC-H closers q05/q06/q08/q15/q11/
+    # q16/q17/q19-q22, never stamped), then the r04-stamped block
+    # (oldest remaining attestation), then the r05-stamped remainder.
     # --- never driver-stamped round-6 additions (r07 positions 1-22) ---
     "sp17_bind_bucket": sp17_bind_bucket,
     "sp18_select_expressions": sp18_select_expressions,

@@ -227,27 +227,7 @@ def run_incremental_construct(
         fresh = view.update(batch_df.select("s", "p", "o"))
         if pending_restart_dedup[0]:
             pending_restart_dedup[0] = False
-            from pyspark.errors import AnalysisException
-
-            try:
-                existing = spark.read.parquet(out_dir).select("s", "p", "o")
-            except AnalysisException as exc:
-                # ONLY "no prior output" may pass: any other read
-                # failure (corrupt footer, permission, wrong schema)
-                # must raise, or the restart-dedup silently skips and
-                # the duplicate window this path exists to close
-                # reopens (round-6 ADVICE finding)
-                err_class = (
-                    exc.getErrorClass() or ""
-                    if hasattr(exc, "getErrorClass")
-                    else ""
-                )
-                if (
-                    "PATH_NOT_FOUND" not in err_class
-                    and "Path does not exist" not in str(exc)
-                ):
-                    raise
-                existing = None
+            existing = _existing_view_output(spark, out_dir)
             if existing is not None:
                 fresh = fresh.join(existing, on=["s", "p", "o"], how="left_anti")
         if fresh.limit(1).count() > 0:
@@ -259,3 +239,27 @@ def run_incremental_construct(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _existing_view_output(spark, out_dir: str) -> DataFrame | None:
+    """The prior run's (s, p, o) view output, or None when the view
+    has never written. ONLY "no prior output" maps to None: any other
+    read failure (corrupt footer, permission, wrong schema) raises, or
+    the restart-dedup would silently skip and the duplicate window it
+    exists to close reopens (round-6 ADVICE finding)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(out_dir).select("s", "p", "o")
+    except AnalysisException as exc:
+        err_class = (
+            exc.getErrorClass() or ""
+            if hasattr(exc, "getErrorClass")
+            else ""
+        )
+        if (
+            "PATH_NOT_FOUND" not in err_class
+            and "Path does not exist" not in str(exc)
+        ):
+            raise
+        return None

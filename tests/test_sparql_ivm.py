@@ -251,3 +251,45 @@ def test_nonmonotone_bind_free_fragment_still_rejected(spark):
             PFX + "CONSTRUCT { ?p ex:x ?c } WHERE { "
             "?p ex:city ?c OPTIONAL { ?c ex:name ?n } }"
         )
+
+
+class TestRestartProbe:
+    """_existing_view_output: only path-not-found maps to 'no prior
+    output'; any other read failure must RAISE (round-6 ADVICE — a
+    swallowed corrupt-read would silently reopen the restart-duplicate
+    window)."""
+
+    def test_missing_dir_is_none(self, spark, tmp_path):
+        from geosparql_etl_spark.streaming.sparql_ivm import (
+            _existing_view_output,
+        )
+
+        assert _existing_view_output(spark, str(tmp_path / "never")) is None
+
+    def test_prior_output_is_returned(self, spark, tmp_path):
+        from geosparql_etl_spark.streaming.sparql_ivm import (
+            _existing_view_output,
+        )
+
+        out = str(tmp_path / "view")
+        spark.createDataFrame(
+            [("a", "b", "c")], "s string, p string, o string"
+        ).write.parquet(out)
+        got = _existing_view_output(spark, out)
+        assert got is not None and got.count() == 1
+
+    def test_corrupt_output_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from geosparql_etl_spark.streaming.sparql_ivm import (
+            _existing_view_output,
+        )
+
+        out = tmp_path / "view"
+        out.mkdir()
+        (out / "part-00000.parquet").write_bytes(b"this is not parquet")
+        with _pytest.raises(Exception):
+            df = _existing_view_output(spark, str(out))
+            # schema inference may be lazy; force the read if it got here
+            if df is not None:
+                df.collect()
