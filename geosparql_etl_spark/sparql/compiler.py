@@ -323,6 +323,27 @@ class _Parser:
             self.prefixes[pname.rstrip(":")] = iri[1:-1]
         if self._kw("CONSTRUCT"):
             self.next()
+            if self._kw("WHERE"):
+                # CONSTRUCT WHERE {P}: template = the matched pattern
+                # itself (SPARQL 1.1 shorthand — plain triples only,
+                # same restriction as DELETE WHERE)
+                self.next()
+                where = self.group()
+                pats = [
+                    p
+                    for el in where.elements
+                    if el[0] == "bgp"
+                    for p in el[1]
+                ]
+                if any(el[0] != "bgp" for el in where.elements) or any(
+                    t[0] == "path" for p in pats for t in p
+                ):
+                    raise ValueError(
+                        "CONSTRUCT WHERE takes plain triple patterns "
+                        "only (use an explicit template otherwise)"
+                    )
+                self._expect_end()
+                return Query(True, [], where, [], [], None, pats)
             template = self._template()
             if self._kw("WHERE"):
                 self.next()
@@ -608,19 +629,52 @@ class _Parser:
                 g.elements.append(("graph", gterm, self.group()))
             elif tok.upper() == "VALUES":
                 self.next()
-                var = self.next()[1:]
-                self.expect("{")
-                lits = []
-                while self.peek() != "}":
+
+                def _values_lit() -> str:
                     # numeric literals keep their lexical form — the
                     # store's object model is canonical strings
+                    if self._kw("UNDEF"):
+                        raise ValueError(
+                            "VALUES UNDEF is not supported (an unbound "
+                            "cell would need outer-join semantics)"
+                        )
                     if re.fullmatch(r"-?\d+\.\d+|-?\d+", self.peek()):
-                        lits.append(self.next())
-                    else:
-                        lits.append(self.term()[1])
-                self.next()
-                flush()
-                g.elements.append(("values", var, lits))
+                        return self.next()
+                    return self.term()[1]
+
+                if self.peek() == "(":
+                    # multi-var form: VALUES (?a ?b) { ("x" 1) ... }
+                    self.next()
+                    vars_ = []
+                    while self.peek() != ")":
+                        vars_.append(self.next()[1:])
+                    self.next()
+                    self.expect("{")
+                    rows = []
+                    while self.peek() != "}":
+                        self.expect("(")
+                        row = []
+                        while self.peek() != ")":
+                            row.append(_values_lit())
+                        self.next()
+                        if len(row) != len(vars_):
+                            raise ValueError(
+                                f"VALUES row arity {len(row)} != "
+                                f"{len(vars_)} variables"
+                            )
+                        rows.append(tuple(row))
+                    self.next()
+                    flush()
+                    g.elements.append(("values_multi", vars_, rows))
+                else:
+                    var = self.next()[1:]
+                    self.expect("{")
+                    lits = []
+                    while self.peek() != "}":
+                        lits.append(_values_lit())
+                    self.next()
+                    flush()
+                    g.elements.append(("values", var, lits))
             elif tok == "{":
                 flush()
                 # `{ SELECT ... }` is a SPARQL 1.1 subquery, not a
@@ -1114,6 +1168,12 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             # broadcast: an inline VALUES list is tiny by construction
             frames.append(F.broadcast(vals))
             _merge_connected(frames)
+        elif kind == "values_multi":
+            vars_, rows = payload
+            spark = store.triples.sparkSession
+            schema = ", ".join(f"{v} string" for v in vars_)
+            frames.append(F.broadcast(spark.createDataFrame(rows, schema)))
+            _merge_connected(frames)
         elif kind == "graph":
             from geosparql_etl_spark.sparql.triples import GraphScopedStore
 
@@ -1466,6 +1526,21 @@ def _agg_col(func: str, arg, alias: str) -> Column:
         if arg is None:
             raise ValueError("COUNT(DISTINCT *) is not SPARQL")
         return F.countDistinct(F.col(arg)).alias(alias)
+    if func == "SUM_DISTINCT":
+        return F.sum_distinct(F.col(arg).cast("decimal(18,2)")).alias(alias)
+    if func in ("MIN_DISTINCT", "MAX_DISTINCT"):
+        # DISTINCT is a no-op under MIN/MAX; accept the spec syntax
+        return _agg_col(func[:3], arg, alias)
+    if func == "AVG_DISTINCT":
+        return F.round(
+            F.expr(f"avg(DISTINCT cast(`{arg}` as double))"), 4
+        ).alias(alias)
+    if func == "GROUP_CONCAT_DISTINCT":
+        var, sep = arg if isinstance(arg, tuple) else (arg, " ")
+        # collect_set = DISTINCT members; sorted like plain GROUP_CONCAT
+        return F.array_join(
+            F.array_sort(F.collect_set(F.col(var))), sep
+        ).alias(alias)
     if func == "GROUP_CONCAT":
         var, sep = arg if isinstance(arg, tuple) else (arg, " ")
         # SPARQL leaves concat order undefined; this engine pins it to

@@ -1558,3 +1558,84 @@ class TestRound8Functions:
             "FILTER(sameTerm(?n, ?n)) } ORDER BY ?p",
         )
         assert [r.p for r in got.collect()] == ["urn:p:1", "urn:p:2"]
+
+
+class TestRound8SpecFills:
+    """Multi-var VALUES, aggregate DISTINCT forms, CONSTRUCT WHERE."""
+
+    def test_values_multi_var(self, toy_store):
+        got = run(
+            toy_store,
+            'SELECT ?p ?n ?tag WHERE { ?p ex:name ?n '
+            'VALUES (?n ?tag) { ("ada" "pioneer") ("alan" "founder") } }',
+        )
+        assert sorted(map(tuple, got.collect())) == [
+            ("urn:p:1", "ada", "pioneer"),
+            ("urn:p:3", "alan", "founder"),
+        ]
+
+    def test_values_multi_arity_mismatch(self, toy_store):
+        with pytest.raises(ValueError, match="arity"):
+            run(
+                toy_store,
+                'SELECT ?a WHERE { VALUES (?a ?b) { ("x") } }',
+            )
+
+    def test_values_undef_rejected(self, toy_store):
+        with pytest.raises(ValueError, match="UNDEF"):
+            run(
+                toy_store,
+                'SELECT ?a WHERE { VALUES (?a ?b) { ("x" UNDEF) } }',
+            )
+
+    def test_sum_distinct(self, spark):
+        rows = [
+            ("a", "urn:ex:v", "3"), ("b", "urn:ex:v", "3"),
+            ("c", "urn:ex:v", "5"),
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            store,
+            "SELECT (SUM(DISTINCT ?v) AS ?t) (SUM(?v) AS ?all) "
+            "WHERE { ?s <urn:ex:v> ?v }",
+        ).collect()[0]
+        assert (got.t, got.all) == ("8.00", "11.00")
+
+    def test_group_concat_distinct(self, toy_store):
+        got = run(
+            toy_store,
+            "SELECT (GROUP_CONCAT(DISTINCT ?t) AS ?ts) WHERE "
+            "{ ?p a ?t }",
+        ).collect()[0]
+        assert got.ts == "urn:ex:City urn:ex:Person"
+
+    def test_avg_min_distinct(self, spark):
+        rows = [("a", "urn:ex:v", "2"), ("b", "urn:ex:v", "2"),
+                ("c", "urn:ex:v", "4")]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            store,
+            "SELECT (AVG(DISTINCT ?v) AS ?a) (MIN(DISTINCT ?v) AS ?m) "
+            "WHERE { ?s <urn:ex:v> ?v }",
+        ).collect()[0]
+        assert (got.a, got.m) == (3.0, "2.00")
+
+    def test_construct_where_shorthand(self, toy_store):
+        got = run(toy_store, "CONSTRUCT WHERE { ?p ex:age ?a }")
+        assert sorted(map(tuple, got.collect())) == [
+            ("urn:p:1", "urn:ex:age", "36"),
+            ("urn:p:2", "urn:ex:age", "47"),
+        ]
+
+    def test_construct_where_rejects_nonbgp(self, toy_store):
+        with pytest.raises(ValueError, match="plain triple"):
+            run(
+                toy_store,
+                'CONSTRUCT WHERE { ?p ex:age ?a FILTER(?a > 40) }',
+            )
+        with pytest.raises(ValueError, match="plain triple"):
+            run(toy_store, "CONSTRUCT WHERE { ?p ex:age+ ?a }")
