@@ -8101,6 +8101,44 @@ def _sql_sp27():
     """
 
 
+def sp29_values_table(spark, sf_dir):
+    """Multi-variable VALUES + aggregate DISTINCT — round 8: a 2-column
+    inline table (segment -> campaign label) broadcast-joins the
+    customer stars, then per (segment, label): customer count and the
+    DISTINCT sorted nation list (GROUP_CONCAT DISTINCT collapses the
+    per-customer duplication that plain GROUP_CONCAT would carry).
+    The inline table is the SPARQL form of J2's broadcast lookup."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?seg ?label (COUNT(*) AS ?n_cust)
+               (GROUP_CONCAT(DISTINCT ?nname) AS ?nations) WHERE {
+          ?c a ex:Customer .
+          ?c ex:segment ?seg .
+          ?c ex:nation ?nn .
+          ?nn ex:name ?nname
+          VALUES (?seg ?label) {
+            ("BUILDING" "b2b") ("AUTOMOBILE" "consumer")
+          }
+        } GROUP BY ?seg ?label ORDER BY ?seg
+        """,
+    )
+
+
+def _sql_sp29():
+    return """
+    SELECT c_mktsegment AS seg,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 'b2b'
+                             ELSE 'consumer' END AS label,
+           count(*) AS n_cust,
+           string_agg(DISTINCT n_name, ' ' ORDER BY n_name) AS nations
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    GROUP BY seg, label ORDER BY seg
+    """
+
+
 def _nation_triples(spark, sf_dir):
     """Nations as a small triple graph (sp25's update target)."""
     n = _t(spark, sf_dir, "nation")
@@ -9236,6 +9274,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp26_spatial_pairs": sp26_spatial_pairs,
     "sp27_bounded_path": sp27_bounded_path,
     "sp28_clear_graph": sp28_clear_graph,
+    "sp29_values_table": sp29_values_table,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -9589,6 +9628,7 @@ _ORACLES: dict[str, str] = {
     "sp26_spatial_pairs": _sql_sp26(),
     "sp27_bounded_path": _sql_sp27(),
     "sp28_clear_graph": _sql_sp28(),
+    "sp29_values_table": _sql_sp29(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
