@@ -1336,7 +1336,12 @@ def _operand_col(node, numeric: bool) -> Column:
     kind = node[0]
     if kind == "var":
         col = F.col(node[1])
-        return col.cast("double") if numeric else col
+        # try_cast, not cast: under ANSI (Spark 4 default) a plain
+        # cast THROWS on a non-numeric lexical, but SPARQL says a
+        # numeric comparison over a non-number is a TYPE ERROR that
+        # makes the filter not match — NULL from try_cast gives
+        # exactly that (NULL comparison -> row dropped)
+        return col.try_cast("double") if numeric else col
     if kind == "num":
         return F.lit(node[1])
     if kind == "str":
@@ -1527,13 +1532,15 @@ def _agg_col(func: str, arg, alias: str) -> Column:
             raise ValueError("COUNT(DISTINCT *) is not SPARQL")
         return F.countDistinct(F.col(arg)).alias(alias)
     if func == "SUM_DISTINCT":
-        return F.sum_distinct(F.col(arg).cast("decimal(18,2)")).alias(alias)
+        return F.sum_distinct(
+            F.col(arg).try_cast("decimal(18,2)")
+        ).alias(alias)
     if func in ("MIN_DISTINCT", "MAX_DISTINCT"):
         # DISTINCT is a no-op under MIN/MAX; accept the spec syntax
         return _agg_col(func[:3], arg, alias)
     if func == "AVG_DISTINCT":
         return F.round(
-            F.expr(f"avg(DISTINCT cast(`{arg}` as double))"), 4
+            F.expr(f"avg(DISTINCT try_cast(`{arg}` as double))"), 4
         ).alias(alias)
     if func == "GROUP_CONCAT_DISTINCT":
         var, sep = arg if isinstance(arg, tuple) else (arg, " ")
@@ -1557,7 +1564,10 @@ def _agg_col(func: str, arg, alias: str) -> Column:
     if func == "SAMPLE":
         # any binding is lawful; MIN is the deterministic choice
         return F.min(F.col(arg)).alias(alias)
-    lexical = F.col(arg).cast("decimal(18,2)")
+    # try_cast: a non-numeric lexical under SUM/MIN/MAX is a SPARQL
+    # type error; NULL (ignored by the aggregate) is the graceful
+    # subset semantics, where ANSI cast would kill the whole job
+    lexical = F.col(arg).try_cast("decimal(18,2)")
 
     # SUM/MIN/MAX stay DECIMAL(18,2) through the whole plan — exact,
     # order-independent, and crucially NUMERIC when the alias is
@@ -1579,7 +1589,7 @@ def _agg_col(func: str, arg, alias: str) -> Column:
         return F.max(lexical).alias(alias)
     if func == "AVG":
         # documented caveat: double avg (not exact); round for stability
-        return F.round(F.avg(F.col(arg).cast("double")), 4).alias(alias)
+        return F.round(F.avg(F.col(arg).try_cast("double")), 4).alias(alias)
     raise ValueError(f"unsupported aggregate {func}")
 
 

@@ -1639,3 +1639,51 @@ class TestRound8SpecFills:
             )
         with pytest.raises(ValueError, match="plain triple"):
             run(toy_store, "CONSTRUCT WHERE { ?p ex:age+ ?a }")
+
+
+class TestRound8TypeErrors:
+    """SPARQL type-error semantics under Spark 4 ANSI mode: a numeric
+    operation over a non-numeric lexical must NOT throw — the filter
+    simply doesn't match and aggregates skip the value (try_cast)."""
+
+    @pytest.fixture(scope="class")
+    def mixed_store(self, spark):
+        rows = [
+            ("a", "urn:ex:v", "12"),
+            ("b", "urn:ex:v", "oops"),
+            ("c", "urn:ex:v", "3"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_numeric_filter_drops_nonnumeric(self, mixed_store):
+        got = run(
+            mixed_store,
+            "SELECT ?s WHERE { ?s <urn:ex:v> ?v FILTER(?v > 5) }",
+        )
+        assert [r.s for r in got.collect()] == ["a"]
+        # and the complement filter doesn't resurrect it either
+        got2 = run(
+            mixed_store,
+            "SELECT ?s WHERE { ?s <urn:ex:v> ?v FILTER(?v <= 5) }",
+        )
+        assert [r.s for r in got2.collect()] == ["c"]
+
+    def test_aggregates_skip_nonnumeric(self, mixed_store):
+        got = run(
+            mixed_store,
+            "SELECT (SUM(?v) AS ?t) (AVG(?v) AS ?a) (MAX(?v) AS ?m) "
+            "WHERE { ?s <urn:ex:v> ?v }",
+        ).collect()[0]
+        assert (got.t, got.a, got.m) == ("15.00", 7.5, "12.00")
+
+    def test_arithmetic_yields_unbound_not_error(self, mixed_store):
+        got = run(
+            mixed_store,
+            "SELECT ?s (?v * 2 AS ?d) WHERE { ?s <urn:ex:v> ?v } "
+            "ORDER BY ?s",
+        )
+        assert [(r.s, r.d) for r in got.collect()] == [
+            ("a", 24.0), ("b", None), ("c", 6.0),
+        ]
