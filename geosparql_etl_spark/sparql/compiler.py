@@ -1315,10 +1315,15 @@ def _is_numeric(node) -> bool:
 
 
 def _point_xy(col: Column) -> tuple[Column, Column]:
+    # try_cast: regexp_extract yields "" for a non-POINT literal, and
+    # the ANSI cast of "" would kill the job; NULL instead makes the
+    # geo call a SPARQL type error on that binding (filter no-match),
+    # and the grid rewrite drop the row (NULL cell joins nothing) —
+    # identical outcomes on both paths
     pat = r"POINT\(\s*(-?[\d.]+)\s+(-?[\d.]+)\s*\)"
     return (
-        F.regexp_extract(col, pat, 1).cast("double"),
-        F.regexp_extract(col, pat, 2).cast("double"),
+        F.regexp_extract(col, pat, 1).try_cast("double"),
+        F.regexp_extract(col, pat, 2).try_cast("double"),
     )
 
 

@@ -1687,3 +1687,21 @@ class TestRound8TypeErrors:
         assert [(r.s, r.d) for r in got.collect()] == [
             ("a", 24.0), ("b", None), ("c", 6.0),
         ]
+
+
+def test_geo_call_on_nonpoint_literal_is_type_error(spark):
+    # round 8 (ANSI hazard class): a non-POINT WKT under geof:distance
+    # must drop the binding, not kill the job with CAST_INVALID_INPUT
+    rows = [
+        ("a", "geo:asWKT", "POINT(1 2)"),
+        ("b", "geo:asWKT", "LINESTRING(0 0, 1 1)"),
+    ]
+    store = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o string")
+    )
+    got = run(
+        store,
+        'SELECT ?s WHERE { ?s geo:asWKT ?w '
+        'FILTER(geof:distance(?w, "POINT(0 0)") < 10) }',
+    )
+    assert [r.s for r in got.collect()] == ["a"]
