@@ -166,6 +166,8 @@ class Query:
     offset: int | None = None  # OFFSET n (applied after ORDER BY)
     with_graph: str | None = None  # WITH <g>: update scoped to one graph
     clear_graph: str | None = None  # CLEAR/DROP GRAPH <g>: drop one graph
+    load_path: str | None = None  # LOAD <file>: merge a serialized graph
+    load_into: str | None = None  # LOAD ... INTO GRAPH <g>
     # ground updates (INSERT DATA / DELETE DATA) carry where=None:
     # their templates are constant, so there is nothing to match
 
@@ -359,6 +361,32 @@ class _Parser:
             if t[0] != "const":
                 raise ValueError("WITH takes a constant graph IRI")
             with_graph = t[1]
+        if self._kw("LOAD"):
+            # LOAD [SILENT] <file> [INTO GRAPH <g>]: merge a serialized
+            # graph (.nt/.nt.gz/.ttl/.ttl.gz file or directory) into
+            # the store — the declarative form of the reference's
+            # file-lake ingestion, set semantics like INSERT
+            self.next()
+            if self._kw("SILENT"):
+                self.next()
+            t = self.term()
+            if t[0] != "const":
+                raise ValueError("LOAD takes a constant file IRI")
+            into = None
+            if self._kw("INTO"):
+                self.next()
+                self.expect("GRAPH")
+                g = self.term()
+                if g[0] != "const":
+                    raise ValueError("INTO GRAPH takes a constant IRI")
+                into = g[1]
+            self._expect_end()
+            if with_graph is not None:
+                raise ValueError("LOAD does not take WITH (use INTO GRAPH)")
+            return Query(
+                False, [], None, [], [], None,
+                load_path=t[1], load_into=into,
+            )
         if self._kw("CLEAR") or self._kw("DROP"):
             # CLEAR GRAPH <g> / DROP GRAPH <g>: graph management on a
             # quad store — one graph's quads leave, the rest pass
@@ -1660,6 +1688,8 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
     graph (left_anti on the full triple); INSERT template rows enter
     it (set semantics — already-present triples do not duplicate)."""
     q = parse_query(query_text)
+    if q.load_path is not None:
+        return _apply_load(store, q)
     if q.clear_graph is not None:
         # CLEAR/DROP GRAPH <g>: the named graph's quads leave, every
         # other graph passes through untouched — a partition-pruned
@@ -1719,6 +1749,54 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
     )
     graph = store.full().select("s", "p", "o")
     return _apply_update(bindings, graph, q)
+
+
+def _apply_load(store: TripleStore, q: Query) -> DataFrame:
+    """LOAD <file> [INTO GRAPH <g>]: parse the serialized graph
+    (.ttl[.gz] via the turtle mapInPandas parser, anything else as
+    N-Triples via the registered python source) and merge it with set
+    semantics — the same left_anti discipline INSERT uses. Quad
+    stores require INTO GRAPH (same loud-rejection rule as unscoped
+    updates); triple stores reject it."""
+    spark = store.triples.sparkSession
+    path = q.load_path
+    if path.startswith("file://"):
+        path = path[len("file://"):]
+    if path.rstrip("/").endswith((".ttl", ".ttl.gz")):
+        from geosparql_etl_spark.sources.turtle import turtle_to_triples
+
+        # wholetext: one row per TTL document; the text source handles
+        # .gz transparently, which binaryFile would leave opaque
+        docs = spark.read.text(path, wholetext=True).select(
+            F.input_file_name().alias("path"),
+            F.col("value").alias("text"),
+        )
+        loaded = turtle_to_triples(docs)
+    else:
+        from geosparql_etl_spark.sources.ntriples import register
+
+        register(spark)
+        loaded = spark.read.format("ntriples").load(path)
+    new = loaded.select(
+        F.col("subject").alias("s"),
+        F.col("predicate").alias("p"),
+        F.col("object").alias("o"),
+    )
+    is_quad = "g" in store.triples.columns
+    full = store.full()
+    if q.load_into is not None:
+        if not is_quad:
+            raise ValueError("INTO GRAPH needs a quad store ('g' column)")
+        quads = new.withColumn("g", F.lit(q.load_into)).select(*full.columns)
+        add = quads.join(full, on=list(full.columns), how="left_anti")
+        return full.unionByName(add)
+    if is_quad:
+        raise ValueError(
+            "LOAD on a quad store needs INTO GRAPH <g> (an unscoped "
+            "load has no graph identity to assign)"
+        )
+    add = new.join(full, on=["s", "p", "o"], how="left_anti")
+    return full.unionByName(add)
 
 
 def _ground_bindings(store: TripleStore) -> DataFrame:

@@ -1705,3 +1705,61 @@ def test_geo_call_on_nonpoint_literal_is_type_error(spark):
         'FILTER(geof:distance(?w, "POINT(0 0)") < 10) }',
     )
     assert [r.s for r in got.collect()] == ["a"]
+
+
+class TestRound8Load:
+    """LOAD <file> [INTO GRAPH <g>] — serialized-graph merge with set
+    semantics."""
+
+    def test_load_ntriples_merges(self, spark, toy_store, tmp_path):
+        from geosparql_etl_spark.sparql import TripleStore, sparql_update
+
+        nt = tmp_path / "extra.nt"
+        nt.write_text(
+            '<urn:p:9> <urn:ex:name> "kay" .\n'
+            '<urn:p:1> <urn:ex:name> "ada" .\n'  # already present
+        )
+        g = sparql_update(toy_store, f"LOAD <file://{nt}>")
+        assert g.count() == toy_store.triples.count() + 1
+        assert g.where(F.col("o") == "kay").count() == 1
+        # idempotent: loading again adds nothing
+        g2 = sparql_update(TripleStore(g), f"LOAD <file://{nt}>")
+        assert g2.count() == g.count()
+
+    def test_load_turtle(self, spark, toy_store, tmp_path):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        ttl = tmp_path / "extra.ttl"
+        ttl.write_text(
+            "@prefix ex: <urn:ex:> .\n"
+            '<urn:p:9> ex:name "kay" ; ex:age "9" .\n'
+        )
+        g = sparql_update(toy_store, f"LOAD <file://{ttl}>")
+        assert g.count() == toy_store.triples.count() + 2
+
+    def test_load_into_graph_on_quads(self, spark, tmp_path):
+        from geosparql_etl_spark.sparql import TripleStore, sparql_update
+
+        quads = TripleStore(
+            spark.createDataFrame(
+                [("a", "urn:ex:p", "x", "g1")],
+                "s string, p string, o string, g string",
+            )
+        )
+        nt = tmp_path / "extra.nt"
+        nt.write_text('<b> <urn:ex:p> "y" .\n')
+        g = sparql_update(quads, f"LOAD <file://{nt}> INTO GRAPH <g2>")
+        assert sorted((r.s, r.g) for r in g.collect()) == [
+            ("a", "g1"), ("b", "g2"),
+        ]
+        # unscoped load on quads rejected
+        with pytest.raises(ValueError, match="INTO GRAPH"):
+            sparql_update(quads, f"LOAD <file://{nt}>")
+
+    def test_load_into_graph_needs_quads(self, toy_store, tmp_path):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        nt = tmp_path / "x.nt"
+        nt.write_text('<b> <urn:ex:p> "y" .\n')
+        with pytest.raises(ValueError, match="quad store"):
+            sparql_update(toy_store, f"LOAD <file://{nt}> INTO GRAPH <g>")
