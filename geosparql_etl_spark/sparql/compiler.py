@@ -166,6 +166,7 @@ class Query:
     offset: int | None = None  # OFFSET n (applied after ORDER BY)
     with_graph: str | None = None  # WITH <g>: update scoped to one graph
     clear_graph: str | None = None  # CLEAR/DROP GRAPH <g>: drop one graph
+    graph_op: tuple | None = None  # (op, src, dst): ADD/COPY/MOVE
     load_path: str | None = None  # LOAD <file>: merge a serialized graph
     load_into: str | None = None  # LOAD ... INTO GRAPH <g>
     # ground updates (INSERT DATA / DELETE DATA) carry where=None:
@@ -386,6 +387,28 @@ class _Parser:
             return Query(
                 False, [], None, [], [], None,
                 load_path=t[1], load_into=into,
+            )
+        if self._kw("ADD") or self._kw("COPY") or self._kw("MOVE"):
+            # SPARQL 1.1 graph management: ADD/COPY/MOVE <g1> TO <g2>
+            # (the GRAPH keyword is optional, as in the spec grammar)
+            op = self.next().upper()
+            if self._kw("SILENT"):
+                self.next()
+            if self._kw("GRAPH"):
+                self.next()
+            src = self.term()
+            self.expect("TO")
+            if self._kw("GRAPH"):
+                self.next()
+            dst = self.term()
+            if src[0] != "const" or dst[0] != "const":
+                raise ValueError(f"{op} takes constant graph IRIs")
+            self._expect_end()
+            if with_graph is not None:
+                raise ValueError(f"{op} does not take WITH")
+            return Query(
+                False, [], None, [], [], None,
+                graph_op=(op, src[1], dst[1]),
             )
         if self._kw("CLEAR") or self._kw("DROP"):
             # CLEAR GRAPH <g> / DROP GRAPH <g>: graph management on a
@@ -1690,6 +1713,8 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
     q = parse_query(query_text)
     if q.load_path is not None:
         return _apply_load(store, q)
+    if q.graph_op is not None:
+        return _apply_graph_op(store, q)
     if q.clear_graph is not None:
         # CLEAR/DROP GRAPH <g>: the named graph's quads leave, every
         # other graph passes through untouched — a partition-pruned
@@ -1797,6 +1822,38 @@ def _apply_load(store: TripleStore, q: Query) -> DataFrame:
         )
     add = new.join(full, on=["s", "p", "o"], how="left_anti")
     return full.unionByName(add)
+
+
+def _apply_graph_op(store: TripleStore, q: Query) -> DataFrame:
+    """ADD/COPY/MOVE <src> TO <dst> over a quad store (SPARQL 1.1
+    graph management). All three are pruned slice transformations —
+    no shuffle beyond ADD's set-semantics anti-join:
+
+      ADD:  dst gains src's triples (src intact, dedup into dst)
+      COPY: dst BECOMES src's triples (src intact, old dst gone)
+      MOVE: dst BECOMES src's triples, src gone
+
+    A src == dst no-op returns the store unchanged (spec). Default-
+    graph quads (g NULL) always pass through (eqNullSafe)."""
+    op, src, dst = q.graph_op
+    if "g" not in store.triples.columns:
+        raise ValueError(f"{op} GRAPH needs a quad store")
+    full = store.full()
+    if src == dst:
+        return full
+    src_slice = full.where(F.col("g").eqNullSafe(src))
+    relabeled = src_slice.withColumn("g", F.lit(dst)).select(*full.columns)
+    if op == "ADD":
+        existing_dst = full.where(F.col("g").eqNullSafe(dst))
+        fresh = relabeled.join(
+            existing_dst, on=list(full.columns), how="left_anti"
+        )
+        return full.unionByName(fresh)
+    drop = [dst] if op == "COPY" else [src, dst]
+    rest = full
+    for g in drop:
+        rest = rest.where(~F.col("g").eqNullSafe(g))
+    return rest.unionByName(relabeled)
 
 
 def _ground_bindings(store: TripleStore) -> DataFrame:

@@ -1763,3 +1763,64 @@ class TestRound8Load:
         nt.write_text('<b> <urn:ex:p> "y" .\n')
         with pytest.raises(ValueError, match="quad store"):
             sparql_update(toy_store, f"LOAD <file://{nt}> INTO GRAPH <g>")
+
+
+class TestRound8GraphManagement:
+    """ADD / COPY / MOVE <g1> TO <g2> (SPARQL 1.1 graph management)."""
+
+    @pytest.fixture()
+    def gm_quads(self, spark):
+        return TripleStore(
+            spark.createDataFrame(
+                [
+                    ("a", "urn:ex:p", "1", "g1"),
+                    ("b", "urn:ex:p", "2", "g1"),
+                    ("b", "urn:ex:p", "2", "g2"),  # overlaps g1's b
+                    ("c", "urn:ex:p", "3", "g2"),
+                    ("d", "urn:ex:p", "4", None),  # default graph
+                ],
+                "s string, p string, o string, g string",
+            )
+        )
+
+    def _shape(self, df):
+        return sorted((r.s, r.g) for r in df.collect())
+
+    def test_add(self, gm_quads):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        out = sparql_update(gm_quads, "ADD GRAPH <g1> TO GRAPH <g2>")
+        # g2 gains a; b deduped (set semantics); g1 and default intact
+        assert self._shape(out) == [
+            ("a", "g1"), ("a", "g2"), ("b", "g1"), ("b", "g2"),
+            ("c", "g2"), ("d", None),
+        ]
+
+    def test_copy_replaces_destination(self, gm_quads):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        out = sparql_update(gm_quads, "COPY <g1> TO <g2>")
+        assert self._shape(out) == [
+            ("a", "g1"), ("a", "g2"), ("b", "g1"), ("b", "g2"),
+            ("d", None),
+        ]
+
+    def test_move(self, gm_quads):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        out = sparql_update(gm_quads, "MOVE SILENT <g1> TO <g2>")
+        assert self._shape(out) == [
+            ("a", "g2"), ("b", "g2"), ("d", None),
+        ]
+
+    def test_same_graph_noop(self, gm_quads):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        out = sparql_update(gm_quads, "COPY <g1> TO <g1>")
+        assert out.count() == gm_quads.triples.count()
+
+    def test_needs_quads(self, toy_store):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        with pytest.raises(ValueError, match="quad store"):
+            sparql_update(toy_store, "ADD <g1> TO <g2>")
