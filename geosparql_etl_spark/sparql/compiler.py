@@ -167,6 +167,7 @@ class Query:
     with_graph: str | None = None  # WITH <g>: update scoped to one graph
     clear_graph: str | None = None  # CLEAR/DROP GRAPH <g>: drop one graph
     graph_op: tuple | None = None  # (op, src, dst): ADD/COPY/MOVE
+    create_graph: str | None = None  # CREATE GRAPH <g>: documented no-op
     load_path: str | None = None  # LOAD <file>: merge a serialized graph
     load_into: str | None = None  # LOAD ... INTO GRAPH <g>
     # ground updates (INSERT DATA / DELETE DATA) carry where=None:
@@ -388,6 +389,21 @@ class _Parser:
                 False, [], None, [], [], None,
                 load_path=t[1], load_into=into,
             )
+        if self._kw("CREATE"):
+            # CREATE [SILENT] GRAPH <g>: this store has no empty-graph
+            # existence (a graph IS its quads — the g=<enc> lake
+            # materializes a directory on first write), so creation is
+            # the documented no-op the spec's SILENT mode permits;
+            # parsed rather than rejected so spec-driven clients work
+            self.next()
+            if self._kw("SILENT"):
+                self.next()
+            self.expect("GRAPH")
+            t = self.term()
+            if t[0] != "const":
+                raise ValueError("CREATE GRAPH takes a constant IRI")
+            self._expect_end()
+            return Query(False, [], None, [], [], None, create_graph=t[1])
         if self._kw("ADD") or self._kw("COPY") or self._kw("MOVE"):
             # SPARQL 1.1 graph management: ADD/COPY/MOVE <g1> TO <g2>
             # (the GRAPH keyword is optional, as in the spec grammar)
@@ -1715,6 +1731,10 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
         return _apply_load(store, q)
     if q.graph_op is not None:
         return _apply_graph_op(store, q)
+    if q.create_graph is not None:
+        if "g" not in store.triples.columns:
+            raise ValueError("CREATE GRAPH needs a quad store")
+        return store.full()  # no empty-graph tracking: spec-lawful no-op
     if q.clear_graph is not None:
         # CLEAR/DROP GRAPH <g>: the named graph's quads leave, every
         # other graph passes through untouched — a partition-pruned

@@ -1824,3 +1824,21 @@ class TestRound8GraphManagement:
 
         with pytest.raises(ValueError, match="quad store"):
             sparql_update(toy_store, "ADD <g1> TO <g2>")
+
+
+def test_create_graph_is_noop_on_quads(spark):
+    from geosparql_etl_spark.sparql import TripleStore, sparql_update
+
+    quads = TripleStore(
+        spark.createDataFrame(
+            [("a", "urn:ex:p", "1", "g1")],
+            "s string, p string, o string, g string",
+        )
+    )
+    out = sparql_update(quads, "CREATE SILENT GRAPH <g9>")
+    assert out.count() == 1
+    with pytest.raises(ValueError, match="quad store"):
+        sparql_update(
+            TripleStore(quads.triples.select("s", "p", "o")),
+            "CREATE GRAPH <g9>",
+        )
