@@ -466,7 +466,7 @@ class _Parser:
                         False, [], g, [], [], None, delete_template=pats,
                         with_graph=with_graph,
                     )
-                delete_t = self._template()
+                delete_t = self._template(allow_graph=True)
             if self._kw("INSERT"):
                 self.next()
                 if self._kw("DATA"):  # INSERT DATA {ground triples}
@@ -480,7 +480,7 @@ class _Parser:
                         insert_template=self._ground_template(),
                         with_graph=with_graph,
                     )
-                insert_t = self._template()
+                insert_t = self._template(allow_graph=True)
             self.expect("WHERE")
             g = self.group()
             self._expect_end()
@@ -613,10 +613,12 @@ class _Parser:
         """INSERT DATA / DELETE DATA block: constant triples ONLY —
         a variable here is a user error the spec forbids, and
         silently treating it as unbound would delete/insert nothing;
-        fail loudly instead (the _expect_end convention)."""
-        tmpl = self._template()
+        fail loudly instead (the _expect_end convention). GRAPH <g>
+        blocks name the target graph per quad (the spec form for quad
+        stores)."""
+        tmpl = self._template(allow_graph=True)
         for tr in tmpl:
-            for t in tr:
+            for t in tr[:3]:
                 if t[0] != "const":
                     raise ValueError(
                         "INSERT DATA / DELETE DATA takes ground triples "
@@ -624,15 +626,36 @@ class _Parser:
                     )
         return tmpl
 
-    def _template(self) -> list:
-        """CONSTRUCT template: plain triples only (no paths/filters)."""
+    def _template(self, allow_graph: bool = False) -> list:
+        """CONSTRUCT/update template: plain triples only (no paths /
+        filters). With ``allow_graph`` (update templates), GRAPH <g>
+        { ... } sections mark their triples with a constant target
+        graph: entries become (s, p, o, g-or-None) 4-tuples; without
+        it, plain 3-tuples (CONSTRUCT / IVM compatibility)."""
         self.expect("{")
         out = []
         while self.peek() != "}":
-            s, p, o = self.term(), self.term(), self.term()
-            out.append((s, p, o))
-            if self.peek() == ".":
+            if allow_graph and self._kw("GRAPH"):
                 self.next()
+                gt = self.term()
+                if gt[0] != "const":
+                    raise ValueError(
+                        "template GRAPH takes a constant IRI"
+                    )
+                self.expect("{")
+                while self.peek() != "}":
+                    s, p, o = self.term(), self.term(), self.term()
+                    out.append((s, p, o, gt[1]))
+                    if self.peek() == ".":
+                        self.next()
+                self.next()
+                if self.peek() == ".":
+                    self.next()
+            else:
+                s, p, o = self.term(), self.term(), self.term()
+                out.append((s, p, o, None) if allow_graph else (s, p, o))
+                if self.peek() == ".":
+                    self.next()
         self.next()
         return out
 
@@ -1672,7 +1695,8 @@ def construct_triples(bindings: DataFrame, template: list) -> DataFrame:
     incremental view (streaming/sparql_ivm.py) so the two cannot
     drift."""
     out: DataFrame | None = None
-    for s, p, o in template:
+    for tr in template:
+        s, p, o = tr[0], tr[1], tr[2]  # update templates may carry a 4th
         def col_of(term):
             return (
                 F.col(term[1]).cast("string")
@@ -1752,15 +1776,43 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
             if pat[1][0] == "path":
                 raise ValueError("update templates must be plain triples")
     is_quad = "g" in store.triples.columns
+    tmpl_triples = (q.delete_template or []) + (q.insert_template or [])
+    graph_blocked = tmpl_triples and all(
+        len(tr) > 3 and tr[3] is not None for tr in tmpl_triples
+    )
+    if is_quad and q.with_graph is None and graph_blocked:
+        # every template triple names its graph via GRAPH <g> blocks —
+        # the spec form for quad updates (round 8). WHERE bindings
+        # evaluate over the whole store (use GRAPH patterns to scope);
+        # delete/insert hit exactly the named (s,p,o,g) quads.
+        bindings = (
+            _ground_bindings(store)
+            if q.where is None
+            else _compile_group(store, q.where)
+        )
+        return _apply_quad_update(bindings, store.full(), q)
     if is_quad and q.with_graph is None:
         # a quad store's graph identity would be silently dropped (the
         # update operates on (s,p,o) only: cross-graph duplicates
         # collapse, DELETE hits every graph) — reject loudly unless the
-        # update names its target graph with WITH <g> (round 6)
+        # update names its target graph with WITH <g> (round 6) or
+        # every template triple sits in a GRAPH <g> block (round 8)
         raise ValueError(
-            "sparql_update on a quad store needs WITH <g> (an unscoped "
-            "update would silently apply across every graph)"
+            "sparql_update on a quad store needs WITH <g> or GRAPH "
+            "blocks on every template triple (an unscoped update "
+            "would silently apply across every graph)"
         )
+    if q.with_graph is not None and any(
+        len(tr) > 3 and tr[3] is not None for tr in tmpl_triples
+    ):
+        raise ValueError(
+            "mixing WITH <g> and template GRAPH blocks is unsupported "
+            "(use one scoping mechanism)"
+        )
+    if not is_quad and any(
+        len(tr) > 3 and tr[3] is not None for tr in tmpl_triples
+    ):
+        raise ValueError("template GRAPH blocks need a quad store")
     if q.with_graph is not None:
         if not is_quad:
             raise ValueError("WITH <g> needs a quad store (no 'g' column)")
@@ -1882,6 +1934,42 @@ def _ground_bindings(store: TripleStore) -> DataFrame:
     lit()s every constant term, so each template triple materializes
     exactly once."""
     return store.triples.sparkSession.range(1)
+
+
+def _apply_quad_update(
+    bindings: DataFrame, full: DataFrame, q: Query
+) -> DataFrame:
+    """GRAPH-blocked update over a quad frame: each template triple
+    materializes with its block's constant graph, deletes anti-join
+    and inserts dedup on the FULL (s, p, o, g) quad — other graphs
+    pass through because the quad identity includes g."""
+    def quads_of(template):
+        out = None
+        for tr in template:
+            s_t, p_t, o_t, g_c = tr[0], tr[1], tr[2], tr[3]
+            def col_of(term):
+                return (
+                    F.col(term[1]).cast("string")
+                    if term[0] == "var"
+                    else F.lit(term[1])
+                )
+            t = bindings.select(
+                col_of(s_t).alias("s"), col_of(p_t).alias("p"),
+                col_of(o_t).alias("o"), F.lit(g_c).alias("g"),
+            )
+            out = t if out is None else out.unionByName(t)
+        return out.dropDuplicates()
+
+    cols = list(full.columns)
+    if q.delete_template:
+        full = full.join(
+            quads_of(q.delete_template), on=cols, how="left_anti"
+        )
+    if q.insert_template:
+        ins = quads_of(q.insert_template).select(*cols)
+        ins = ins.join(full, on=cols, how="left_anti")
+        full = full.unionByName(ins)
+    return full
 
 
 def _apply_update(bindings: DataFrame, graph: DataFrame, q: Query) -> DataFrame:

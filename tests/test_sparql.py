@@ -1842,3 +1842,102 @@ def test_create_graph_is_noop_on_quads(spark):
             TripleStore(quads.triples.select("s", "p", "o")),
             "CREATE GRAPH <g9>",
         )
+
+
+class TestRound8TemplateGraphBlocks:
+    """GRAPH <g> { ... } blocks in DELETE/INSERT templates — the spec
+    form for quad updates, incl. cross-graph rewrites WITH cannot
+    express."""
+
+    @pytest.fixture()
+    def tb_quads(self, spark):
+        return TripleStore(
+            spark.createDataFrame(
+                [
+                    ("a", "urn:ex:st", "draft", "g1"),
+                    ("b", "urn:ex:st", "draft", "g1"),
+                    ("c", "urn:ex:st", "final", "g2"),
+                    ("d", "urn:ex:st", "x", None),
+                ],
+                "s string, p string, o string, g string",
+            )
+        )
+
+    def test_cross_graph_move_by_pattern(self, tb_quads):
+        # promote drafts: delete from g1, insert into g2 — one update
+        from geosparql_etl_spark.sparql import sparql_update
+
+        out = sparql_update(
+            tb_quads,
+            'DELETE { GRAPH <g1> { ?s <urn:ex:st> "draft" } } '
+            'INSERT { GRAPH <g2> { ?s <urn:ex:st> "review" } } '
+            'WHERE { GRAPH <g1> { ?s <urn:ex:st> "draft" } }',
+        )
+        assert sorted((r.s, r.o, r.g) for r in out.collect()) == [
+            ("a", "review", "g2"),
+            ("b", "review", "g2"),
+            ("c", "final", "g2"),
+            ("d", "x", None),
+        ]
+
+    def test_insert_data_graph_blocks(self, tb_quads):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        out = sparql_update(
+            tb_quads,
+            'INSERT DATA { GRAPH <g2> { <e> <urn:ex:st> "new" } . '
+            'GRAPH <g1> { <f> <urn:ex:st> "raw" } }',
+        )
+        got = sorted((r.s, r.g) for r in out.collect())
+        assert ("e", "g2") in got and ("f", "g1") in got
+        assert len(got) == 6
+        # set semantics: re-inserting an existing quad is a no-op
+        out2 = sparql_update(
+            tb_quads,
+            'INSERT DATA { GRAPH <g1> { <a> <urn:ex:st> "draft" } }',
+        )
+        assert out2.count() == 4
+
+    def test_delete_data_graph_block_hits_one_graph(self, tb_quads):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        # "draft" exists in g1 only; deleting it FROM g2 removes nothing
+        out = sparql_update(
+            tb_quads,
+            'DELETE DATA { GRAPH <g2> { <a> <urn:ex:st> "draft" } }',
+        )
+        assert out.count() == 4
+        out2 = sparql_update(
+            tb_quads,
+            'DELETE DATA { GRAPH <g1> { <a> <urn:ex:st> "draft" } }',
+        )
+        assert out2.count() == 3
+
+    def test_bare_triples_still_rejected_on_quads(self, tb_quads):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        with pytest.raises(ValueError, match="GRAPH"):
+            sparql_update(
+                tb_quads,
+                'INSERT { ?s <urn:ex:seen> "1" } '
+                'WHERE { GRAPH <g1> { ?s <urn:ex:st> "draft" } }',
+            )
+
+    def test_with_plus_graph_blocks_rejected(self, tb_quads):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        with pytest.raises(ValueError, match="mixing"):
+            sparql_update(
+                tb_quads,
+                'WITH <g1> DELETE { GRAPH <g2> { ?s ?p ?o } } '
+                "WHERE { ?s ?p ?o }",
+            )
+
+    def test_graph_blocks_need_quads(self, toy_store):
+        from geosparql_etl_spark.sparql import sparql_update
+
+        with pytest.raises(ValueError, match="quad store"):
+            sparql_update(
+                toy_store,
+                'INSERT DATA { GRAPH <g1> { <x> <urn:ex:p> "1" } }',
+            )
