@@ -8139,6 +8139,43 @@ def _sql_sp29():
     """
 
 
+def sp30_graph_promote(spark, sf_dir):
+    """Template GRAPH blocks — round 8: cross-graph move-by-pattern.
+    The urgent graph's order-type quads DELETE from their graph and
+    INSERT into a freshly minted urn:graph:promoted under a new type
+    — one declarative update, a shape `WITH <g>` cannot express
+    (WITH confines both templates to ONE graph). The urgent graph's
+    OTHER quads (ex:customer) stay put, attesting that quad-keyed
+    deletes touch exactly the named (s,p,o,g)."""
+    from geosparql_etl_spark.sparql import TripleStore, sparql_update
+
+    return sparql_update(
+        TripleStore(_priority_quads(spark, sf_dir)),
+        _SPARQL_PFX
+        + """
+        DELETE { GRAPH <urn:graph:1-URGENT> { ?o a ex:Order } }
+        INSERT { GRAPH <urn:graph:promoted> { ?o a ex:PromotedOrder } }
+        WHERE { GRAPH <urn:graph:1-URGENT> { ?o a ex:Order } }
+        """,
+    )
+
+
+def _sql_sp30():
+    return """
+    SELECT 'urn:order:' || o_orderkey AS s, 'rdf:type' AS p,
+           'urn:ex:Order' AS o, 'urn:graph:' || o_orderpriority AS g
+    FROM orders WHERE o_orderpriority != '1-URGENT'
+    UNION ALL
+    SELECT 'urn:order:' || o_orderkey, 'urn:ex:customer',
+           'urn:cust:' || o_custkey, 'urn:graph:' || o_orderpriority
+    FROM orders
+    UNION ALL
+    SELECT 'urn:order:' || o_orderkey, 'rdf:type',
+           'urn:ex:PromotedOrder', 'urn:graph:promoted'
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """
+
+
 def _nation_triples(spark, sf_dir):
     """Nations as a small triple graph (sp25's update target)."""
     n = _t(spark, sf_dir, "nation")
@@ -9275,6 +9312,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp27_bounded_path": sp27_bounded_path,
     "sp28_clear_graph": sp28_clear_graph,
     "sp29_values_table": sp29_values_table,
+    "sp30_graph_promote": sp30_graph_promote,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -9629,6 +9667,7 @@ _ORACLES: dict[str, str] = {
     "sp27_bounded_path": _sql_sp27(),
     "sp28_clear_graph": _sql_sp28(),
     "sp29_values_table": _sql_sp29(),
+    "sp30_graph_promote": _sql_sp30(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
