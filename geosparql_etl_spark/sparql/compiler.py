@@ -160,6 +160,7 @@ class Query:
     construct_template: list | None = None  # CONSTRUCT: [(sTerm,pTerm,oTerm)]
     ask: bool = False  # ASK { ... }
     describe_var: str | None = None  # DESCRIBE ?v WHERE { ... }
+    describe_iri: str | None = None  # DESCRIBE <iri> (no WHERE)
     having: object | None = None  # HAVING(expr over aggregate aliases)
     delete_template: list | None = None  # SPARQL Update: DELETE {...}
     insert_template: list | None = None  # SPARQL Update: INSERT {...}
@@ -498,7 +499,15 @@ class _Parser:
             return Query(False, [], g, [], [], None, ask=True)
         if self._kw("DESCRIBE"):
             self.next()
-            var = self.next()[1:]
+            t = self.term()
+            if t[0] == "const":
+                # DESCRIBE <iri>: no WHERE — the described subject IS
+                # the constant (compiled as a pruned subject scan)
+                self._expect_end()
+                return Query(
+                    False, [], None, [], [], None, describe_iri=t[1]
+                )
+            var = t[1]
             if self._kw("WHERE"):
                 self.next()
             g = self.group()
@@ -840,15 +849,27 @@ class _Parser:
             return ("cmp", op, left, self._operand())
         if tok is not None and tok.upper() == "IN":
             self.next()
-            self.expect("(")
-            items = []
-            while self.peek() != ")":
-                items.append(self._expr_primary())
-                if self.peek() == ",":
-                    self.next()
-            self.expect(")")
-            return ("in", left, items)
+            return ("in", left, self._in_list())
+        if (
+            tok is not None
+            and tok.upper() == "NOT"
+            and self.i + 1 < len(self.toks)
+            and self.toks[self.i + 1].upper() == "IN"
+        ):
+            self.next()
+            self.next()
+            return ("not", ("in", left, self._in_list()))
         return left
+
+    def _in_list(self) -> list:
+        self.expect("(")
+        items = []
+        while self.peek() != ")":
+            items.append(self._expr_primary())
+            if self.peek() == ",":
+                self.next()
+        self.expect(")")
+        return items
 
     # operand := mul (('+'|'-') mul)* ; mul := primary (('*'|'/') primary)*
     # Binary minus needs surrounding whitespace ("?a - 1"): the lexer
@@ -1986,6 +2007,10 @@ def _apply_update(bindings: DataFrame, graph: DataFrame, q: Query) -> DataFrame:
 
 
 def _compile_query(store: TripleStore, q: Query) -> DataFrame:
+    if q.describe_iri is not None:
+        # DESCRIBE <iri>: the constant subject's triples — a pruned
+        # subject-equality scan, no join
+        return store.full().where(F.col("s") == q.describe_iri)
     if (
         q.delete_template is not None
         or q.insert_template is not None

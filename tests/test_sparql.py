@@ -1941,3 +1941,26 @@ class TestRound8TemplateGraphBlocks:
                 toy_store,
                 'INSERT DATA { GRAPH <g1> { <x> <urn:ex:p> "1" } }',
             )
+
+
+class TestRound8DescribeNotIn:
+    def test_describe_const_iri(self, toy_store):
+        got = run(toy_store, "DESCRIBE <urn:p:1>")
+        assert sorted(r.p for r in got.collect()) == [
+            "rdf:type", "urn:ex:age", "urn:ex:city", "urn:ex:name",
+        ]
+
+    def test_not_in(self, toy_store):
+        got = run(
+            toy_store,
+            'SELECT ?n WHERE { ?p a ex:Person . ?p ex:name ?n '
+            'FILTER(?n NOT IN ("ada", "alan")) }',
+        )
+        assert [r.n for r in got.collect()] == ["grace"]
+
+    def test_not_in_numeric(self, toy_store):
+        got = run(
+            toy_store,
+            "SELECT ?a WHERE { ?p ex:age ?a FILTER(?a NOT IN (36)) }",
+        )
+        assert [r.a for r in got.collect()] == ["47"]
