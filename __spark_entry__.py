@@ -7523,6 +7523,8 @@ def _sql_sp16():
         FROM nation
       UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:region',
         'urn:region:' || n_regionkey FROM nation
+      UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:label', n_name
+        FROM nation
       UNION ALL SELECT 'urn:cust:' || c_custkey, 'rdf:type',
         'urn:ex:Customer' FROM customer
       UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:name', c_name

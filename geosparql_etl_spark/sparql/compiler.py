@@ -88,7 +88,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from geosparql_etl_spark.functions.geometry import point_in_ring
-from geosparql_etl_spark.sparql.triples import TripleStore
+from geosparql_etl_spark.sparql.triples import RDF_LANGSTRING, XSD, TripleStore
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -97,7 +97,9 @@ from geosparql_etl_spark.sparql.triples import TripleStore
 _TOKEN_RE = re.compile(
     r"""
       (?P<ws>\s+|\#[^\n]*)
-    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<string>"(?:[^"\\]|\\.)*"
+        (?:@[A-Za-z]+(?:-[A-Za-z0-9]+)*
+         |\^\^(?:<[^<>\s"{}|^`\\]*>|[A-Za-z_][\w-]*:[\w.-]*))?)
     | (?P<iri><(?:[A-Za-z][A-Za-z0-9+.\-]*:[^<>\s"{}|^`\\]*|[A-Za-z0-9_./\#\-]*)>)
     | (?P<var>\?\w+)
     | (?P<number>-?\d+\.\d+|-?\d+)
@@ -227,7 +229,13 @@ class _Parser:
         if tok.startswith("<"):
             return ("const", tok[1:-1])
         if tok.startswith('"'):
-            return ("const", _unquote(tok))
+            lex, lang, dt = _parse_string_token(tok, self._expand)
+            if lang is None and dt is None:
+                return ("const", lex)
+            # a language-tagged or typed literal is a DISTINCT RDF
+            # term from the plain literal with the same lexical form:
+            # it carries its metadata into the pattern match
+            return ("lit", lex, lang, dt)
         if ":" in tok:
             return ("const", self._expand(tok))
         raise ValueError(f"bad term {tok!r}")
@@ -900,12 +908,22 @@ class _Parser:
         if tok.startswith("?"):
             return ("var", tok[1:])
         if tok.startswith('"'):
-            return ("str", _unquote(tok))
+            lex, lang, dt = _parse_string_token(tok, self._expand)
+            if lang is None and dt is None:
+                return ("str", lex)
+            return ("lit", lex, lang, dt)
         if re.fullmatch(r"-?\d+\.\d+|-?\d+", tok):
             return ("num", float(tok))
+        if tok.startswith("<"):
+            # IRI constant in an expression (DATATYPE(?v) = <...>):
+            # compares lexically, like every term in this store
+            return ("str", tok[1:-1])
         # function call: REGEX(...), geof:sfWithin(...), BOUND(...),
         # STR/STRLEN/UCASE/LCASE/CONCAT/ROUND/FLOOR/CEIL/ABS
         fname = tok
+        if ":" in tok and self.peek() != "(":
+            # prefixed-name constant (xsd:decimal, geo:wktLiteral)
+            return ("str", self._expand(tok))
         self.expect("(")
         args = []
         while self.peek() != ")":
@@ -923,6 +941,22 @@ def _unquote(tok: str) -> str:
     return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
 
 
+def _parse_string_token(tok: str, expand) -> tuple[str, str | None, str | None]:
+    """``"lex"`` / ``"lex"@tag`` / ``"lex"^^<iri-or-pname>`` ->
+    (lexical, lang, datatype). The suffix never contains a double
+    quote (lang tags and pnames exclude it; the IRI charset excludes
+    it), so the CLOSING quote is the token's last one."""
+    end = tok.rindex('"')
+    lex = tok[1:end].replace('\\"', '"').replace("\\\\", "\\")
+    suffix = tok[end + 1:]
+    if not suffix:
+        return lex, None, None
+    if suffix.startswith("@"):
+        return lex, suffix[1:], None
+    dt = suffix[2:]
+    return lex, None, dt[1:-1] if dt.startswith("<") else expand(dt)
+
+
 def _as_path(term: Term):
     """Normalize a predicate Term to a path-AST node."""
     if term[0] == "path":
@@ -936,6 +970,93 @@ def parse_query(text: str) -> Query:
     return _Parser(_tokenize(text)).query()
 
 
+# -- literal-metadata need analysis ------------------------------------------
+#
+# LANG()/DATATYPE()/tagged-literal comparisons read term metadata that
+# plain (s,p,o) bindings don't carry. One pre-pass over the parsed
+# query collects WHICH variables need it; only the scans binding those
+# variables then project the store's lang/dt columns (as
+# ``__meta_{lang,dt}_<var>`` sidecars), so the 99% of queries that
+# never touch metadata plan exactly as before — zero extra columns,
+# zero extra scan width after Catalyst pruning.
+
+_META_PREFIX = "__meta_"
+
+
+def _meta_col(kind: str, var: str) -> str:
+    return f"{_META_PREFIX}{kind}_{var}"
+
+
+def _walk_expr_meta(node, need: dict[str, set[str]]) -> None:
+    if isinstance(node, list):
+        for item in node:
+            _walk_expr_meta(item, need)
+        return
+    if not isinstance(node, tuple):
+        return
+    kind = node[0]
+    if kind == "call":
+        fname, args = node[1], node[2]
+        if fname == "lang" and len(args) == 1 and args[0][0] == "var":
+            need.setdefault(args[0][1], set()).add("lang")
+        elif fname == "datatype" and len(args) == 1 and args[0][0] == "var":
+            # DATATYPE needs lang too: a tagged literal's datatype is
+            # rdf:langString regardless of any stored dt
+            need.setdefault(args[0][1], set()).update(("lang", "dt"))
+    if kind == "cmp":
+        _, _op, left, right = node
+        for v, other in ((left, right), (right, left)):
+            if v[0] != "var":
+                continue
+            if other[0] == "lit":
+                if other[2] is not None:
+                    need.setdefault(v[1], set()).add("lang")
+                if other[3] is not None:
+                    need.setdefault(v[1], set()).add("dt")
+            elif other[0] == "call" and other[1] in ("strlang", "strdt"):
+                kind_ = "lang" if other[1] == "strlang" else "dt"
+                need.setdefault(v[1], set()).add(kind_)
+    for child in node[1:]:
+        _walk_expr_meta(child, need)
+
+
+def _walk_group_meta(group: Group, need: dict[str, set[str]]) -> None:
+    for e in group.elements:
+        kind = e[0]
+        if kind == "filter":
+            _walk_expr_meta(e[1], need)
+        elif kind == "bind":
+            _walk_expr_meta(e[2], need)
+        elif kind == "union":
+            for b in e[1]:
+                _walk_group_meta(b, need)
+        elif kind in ("optional", "minus", "exists", "notexists"):
+            _walk_group_meta(e[1], need)
+        elif kind == "graph":
+            _walk_group_meta(e[2], need)
+        elif kind == "subquery":
+            _collect_meta_need(e[1], need)
+
+
+def _collect_meta_need(
+    q: Query, need: dict[str, set[str]] | None = None
+) -> dict[str, set[str]]:
+    need = need if need is not None else {}
+    if q.where is not None:
+        _walk_group_meta(q.where, need)
+    for p in q.projections:
+        if p[0] == "expr":
+            _walk_expr_meta(p[1], need)
+        elif p[0] == "agg":
+            _walk_expr_meta(p[2], need)
+    if q.having is not None:
+        _walk_expr_meta(q.having, need)
+    for k, _asc in q.order_by or []:
+        if not isinstance(k, str):
+            _walk_expr_meta(k, need)
+    return need
+
+
 # ---------------------------------------------------------------------------
 # compiler
 # ---------------------------------------------------------------------------
@@ -944,6 +1065,15 @@ def parse_query(text: str) -> Query:
 def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataFrame:
     if left is None:
         return right
+    # metadata sidecars never act as join keys: bindings join on the
+    # LEXICAL form (the engine's term model), and a NULL-lang sidecar
+    # as an equi-key would silently drop every plain-literal row. When
+    # both sides carry the same sidecar, keep the left one — sides
+    # only share a sidecar when they share its variable, and any IRI-
+    # position binding of that variable is NULL-metadata anyway.
+    dup = [c for c in right.columns if c.startswith(_META_PREFIX) and c in left.columns]
+    if dup:
+        right = right.drop(*dup)
     shared = sorted(set(left.columns) & set(right.columns))
     if shared:
         return left.join(right, on=shared, how=how)
@@ -1138,7 +1268,13 @@ def _path_df(store: TripleStore, node, has_g: bool = False) -> DataFrame:
 
 def _scan_pattern(store: TripleStore, pat) -> DataFrame:
     s, p, o = pat
+    need = getattr(store, "_meta_need", None) or {}
     if p[0] == "path":
+        if s[0] == "lit" or o[0] == "lit":
+            raise ValueError(
+                "language-tagged/typed literal endpoints are not "
+                "supported in property paths"
+            )
         gvar = getattr(store, "_gvar", None)
         has_g = gvar is not None
         pairs = _path_df(store, p[1], has_g)
@@ -1160,8 +1296,20 @@ def _scan_pattern(store: TripleStore, pat) -> DataFrame:
             # keep the same one-row marker the plain-pattern scan uses
             # (triples.py) so downstream joins see a column
             return pairs.select(F.lit(1).alias("__exists__")).limit(1)
-        return pairs.select(*cols)
+        out = pairs.select(*cols)
+        # path-bound terms are traversal results (IRIs in every store
+        # this engine generates); their literal metadata is NULL
+        return _null_meta(out, _meta_sidecars(need, ((s, "s"), (o, "o"))))
+    if s[0] == "lit" or p[0] == "lit":
+        raise ValueError(
+            "a language-tagged/typed literal is only valid in object "
+            "position"
+        )
     consts = {pos: term[1] for pos, term in zip("spo", pat) if term[0] == "const"}
+    o_lang = o_dt = None
+    if o[0] == "lit":
+        _, lex, o_lang, o_dt = o
+        consts["o"] = lex
     aliases: dict[str, str] = {}
     dup_filters: list[tuple[str, str]] = []
     for pos, term in zip("spo", pat):
@@ -1174,9 +1322,47 @@ def _scan_pattern(store: TripleStore, pat) -> DataFrame:
             dup_filters.append((name, tmp))
         else:
             aliases[pos] = name
-    df = store.scan(consts.get("s"), consts.get("p"), consts.get("o"), aliases)
+    o_meta: dict[str, str] = {}
+    null_meta: list[str] = []
+    for pos, term in zip("spo", pat):
+        if term[0] != "var" or term[1] not in need:
+            continue
+        for kind in sorted(need[term[1]]):
+            if pos == "o":
+                # object position: the real stored metadata
+                o_meta[kind] = _meta_col(kind, term[1])
+            else:
+                # subject/predicate position: always an IRI (RDF
+                # forbids literal subjects/predicates), so the term's
+                # literal metadata is exactly NULL — consistent with
+                # any object-position binding of the same variable
+                null_meta.append(_meta_col(kind, term[1]))
+    df = store.scan(
+        consts.get("s"),
+        consts.get("p"),
+        consts.get("o"),
+        aliases,
+        o_meta=o_meta or None,
+        o_lang=o_lang,
+        o_dt=o_dt,
+    )
     for name, tmp in dup_filters:
         df = df.where(F.col(name) == F.col(tmp)).drop(tmp)
+    return _null_meta(df, null_meta)
+
+
+def _meta_sidecars(need, terms) -> list[str]:
+    out = []
+    for term, _pos in terms:
+        if term[0] == "var" and term[1] in need:
+            out.extend(_meta_col(kind, term[1]) for kind in sorted(need[term[1]]))
+    return out
+
+
+def _null_meta(df: DataFrame, cols: list[str]) -> DataFrame:
+    for mcol in cols:
+        if mcol not in df.columns:
+            df = df.withColumn(mcol, F.lit(None).cast("string"))
     return df
 
 
@@ -1260,7 +1446,11 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             df = flatten()
             if df is None:
                 raise ValueError(f"{kind.upper()} cannot open a group")
-            shared = sorted(set(df.columns) & set(inner.columns))
+            shared = sorted(
+                c
+                for c in set(df.columns) & set(inner.columns)
+                if not c.startswith(_META_PREFIX)
+            )
             if not shared:
                 if kind == "minus":
                     # SPARQL spec: MINUS with disjoint domains removes
@@ -1294,6 +1484,7 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 gconst=gterm[1] if gterm[0] == "const" else None,
                 gvar=gterm[1] if gterm[0] == "var" else None,
             )
+            scoped._meta_need = getattr(store, "_meta_need", None)
             frames.append(_compile_group(scoped, inner))
             _merge_connected(frames)
         elif kind == "subquery":
@@ -1462,6 +1653,12 @@ def _operand_col(node, numeric: bool) -> Column:
         return F.lit(node[1])
     if kind == "str":
         return F.lit(node[1])
+    if kind == "lit":
+        # tagged/typed literal OUTSIDE term equality (CONCAT arg,
+        # ordering, arithmetic on "5"^^xsd:int): the lexical form —
+        # term-equality contexts are intercepted in _compile_expr
+        lex = node[1]
+        return F.lit(lex).try_cast("double") if numeric else F.lit(lex)
     if kind == "arith":
         # arithmetic forces the numeric view of lexical operands (the
         # same double cast FILTER comparisons use)
@@ -1600,7 +1797,61 @@ def _compile_call(node) -> Column:
         ax, ay = _point_xy(_operand_col(args[0], False))
         bx, by = _point_xy(_operand_col(args[1], False))
         return F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+    if fname == "lang":
+        # LANG(?x): the binding's language tag ("" for simple literals
+        # AND for IRIs — the spec makes LANG(iri) a type error that
+        # eliminates the row from any FILTER comparison, and "" never
+        # equals a real tag / never LANGMATCHES anything, so the
+        # observable semantics agree). Metadata rides the
+        # __meta_lang_<var> sidecar the need-analysis provisioned.
+        var = _meta_fn_var(fname, args)
+        return F.coalesce(F.col(_meta_col("lang", var)), F.lit(""))
+    if fname == "datatype":
+        # DATATYPE(?x): rdf:langString for tagged literals, the stored
+        # datatype IRI for typed ones, xsd:string for plain literals,
+        # NULL for IRIs/blanks (spec: a type error — NULL compares to
+        # nothing, so FILTER rows drop, same observable result)
+        var = _meta_fn_var(fname, args)
+        col = F.col(var)
+        is_blank = col.startswith("_:")
+        is_iri = (
+            col.startswith("urn:")
+            | col.startswith("http://")
+            | col.startswith("https://")
+        )
+        return (
+            F.when(F.col(_meta_col("lang", var)).isNotNull(), F.lit(RDF_LANGSTRING))
+            .when(F.col(_meta_col("dt", var)).isNotNull(), F.col(_meta_col("dt", var)))
+            .when(~(is_iri | is_blank), F.lit(XSD + "string"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+    if fname == "langmatches":
+        # LANGMATCHES(tag, range): RFC 4647 basic filtering — "*"
+        # matches any non-empty tag; otherwise case-insensitive exact
+        # or extended-subtag prefix ("fr" matches "fr" and "fr-CA")
+        tag = F.lower(_operand_col(args[0], False))
+        rng = args[1]
+        if rng[0] != "str":
+            raise ValueError("LANGMATCHES range must be a constant string")
+        r = rng[1].lower()
+        if r == "*":
+            return tag.isNotNull() & (tag != "")
+        return (tag == F.lit(r)) | tag.startswith(r + "-")
+    if fname in ("strlang", "strdt"):
+        # STRLANG/STRDT mint a new literal term; in this engine's
+        # lexical output model the projected VALUE is the lexical form
+        # (the tag/datatype is carried by term-equality compilation in
+        # _compile_expr, not by the projected string)
+        return _operand_col(args[0], False).cast("string")
     raise ValueError(f"unsupported FILTER function {fname!r}")
+
+
+def _meta_fn_var(fname: str, args) -> str:
+    if len(args) != 1 or args[0][0] != "var":
+        raise ValueError(
+            f"{fname.upper()}() argument must be a variable in this engine"
+        )
+    return args[0][1]
 
 
 def _compile_expr(node) -> Column:
@@ -1613,6 +1864,34 @@ def _compile_expr(node) -> Column:
         return ~_compile_expr(node[1])
     if kind == "cmp":
         _, op, left, right = node
+        if op in ("=", "!="):
+            for v, lit in ((left, right), (right, left)):
+                if v[0] == "var" and lit[0] == "lit":
+                    # term equality against a tagged/typed literal:
+                    # lexical AND metadata must both match (the spec's
+                    # "same RDF term" for =; its negation for !=)
+                    _, lex, lang, dt = lit
+                    eq = F.col(v[1]) == lex
+                    if lang is not None:
+                        eq = eq & F.col(_meta_col("lang", v[1])).eqNullSafe(lang)
+                    if dt is not None:
+                        eq = eq & F.col(_meta_col("dt", v[1])).eqNullSafe(dt)
+                    return eq if op == "=" else ~eq
+                if v[0] == "var" and lit[0] == "call" and lit[1] in ("strlang", "strdt"):
+                    # STRLANG(e, "tag") = ?y — the minted term equals a
+                    # bound one iff lexical AND tag/datatype both match
+                    lexc = _operand_col(lit[2][0], False)
+                    tag = lit[2][1]
+                    if tag[0] != "str":
+                        raise ValueError(
+                            f"{lit[1].upper()} tag/datatype must be a "
+                            "constant string"
+                        )
+                    mkind = "lang" if lit[1] == "strlang" else "dt"
+                    eq = (F.col(v[1]) == lexc) & F.col(
+                        _meta_col(mkind, v[1])
+                    ).eqNullSafe(tag[1])
+                    return eq if op == "=" else ~eq
         numeric = _is_numeric(left) or _is_numeric(right)
         lc, rc = _operand_col(left, numeric), _operand_col(right, numeric)
         return {
@@ -1747,7 +2026,12 @@ def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
     DECIMAL for the outer join."""
     from pyspark.sql.types import DecimalType
 
-    df = _compile_query(store, parse_query(query_text))
+    q = parse_query(query_text)
+    store._meta_need = _collect_meta_need(q)
+    try:
+        df = _compile_query(store, q)
+    finally:
+        store._meta_need = None
     for f in df.schema.fields:
         if isinstance(f.dataType, DecimalType):
             # decimal(18,2) -> string is the BigDecimal plain form
@@ -1772,6 +2056,7 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
     graph (left_anti on the full triple); INSERT template rows enter
     it (set semantics — already-present triples do not duplicate)."""
     q = parse_query(query_text)
+    store._meta_need = _collect_meta_need(q)
     if q.load_path is not None:
         return _apply_load(store, q)
     if q.graph_op is not None:

@@ -43,44 +43,96 @@ RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 # stored lexical form (a loaded graph round-trips byte-identically).
 _TYPE_FORMS = [RDF_TYPE, RDF_TYPE_IRI]
 GEO_ASWKT = "geo:asWKT"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_LANGSTRING = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+GEO_WKT_LITERAL = "geo:wktLiteral"
+# Optional literal-metadata columns a store may carry alongside (s,p,o):
+# language tag and datatype IRI of the object term. Absent columns mean
+# "no store-level metadata" (plain literals / IRIs); every consumer
+# treats a missing column as NULL. Only compiled-for scans ever project
+# them, so stores without metadata pay nothing.
+META_COLS = ("lang", "dt")
 
 
 def _urn(kind: str, key: Column) -> Column:
     return F.concat(F.lit(f"urn:{kind}:"), key.cast("string"))
 
 
-def _triples_of(df: DataFrame, subject: Column, pairs: list[tuple[str, Column]]) -> DataFrame:
+def _pair_meta(pair) -> tuple[str, Column, Column, Column]:
+    """Normalize a spec pair: (pred, obj) or (pred, obj, {lang:, dt:})
+    -> (pred, obj, lang_col, dt_col) with NULL columns for absent
+    metadata (RDF: plain literal or IRI object)."""
+    null = F.lit(None).cast("string")
+    if len(pair) == 2:
+        p, o = pair
+        return p, o, null, null
+    p, o, meta = pair
+    return (
+        p,
+        o,
+        meta.get("lang", null) if meta.get("lang") is not None else null,
+        meta.get("dt", null) if meta.get("dt") is not None else null,
+    )
+
+
+def _triples_of(df: DataFrame, subject: Column, pairs: list) -> DataFrame:
     """One scan -> N triples per row via explode of a literal array.
 
     The per-table triple fan-out is a single projection + generator
     (no join, no union-of-N-scans): at 100 TB each source table is
     read ONCE and emits its triples in the same pass. NULL objects are
     dropped after the explode — that is how sparse predicates (a
-    property only some rows carry) are expressed.
+    property only some rows carry) are expressed. Each entry carries
+    the object's literal metadata (lang tag / datatype IRI, usually
+    NULL) so the flat graph is a full RDF 1.1 term table.
     """
     entries = F.array(
-        *[F.struct(F.lit(p).alias("p"), o.cast("string").alias("o")) for p, o in pairs]
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                o.cast("string").alias("o"),
+                lang.alias("lang"),
+                dt.alias("dt"),
+            )
+            for p, o, lang, dt in (_pair_meta(pair) for pair in pairs)
+        ]
     )
     return (
         df.select(subject.alias("s"), F.explode(entries).alias("e"))
-        .select("s", F.col("e.p").alias("p"), F.col("e.o").alias("o"))
+        .select(
+            "s",
+            F.col("e.p").alias("p"),
+            F.col("e.o").alias("o"),
+            F.col("e.lang").alias("lang"),
+            F.col("e.dt").alias("dt"),
+        )
         .where(F.col("o").isNotNull())
     )
 
 
-def _tpch_spec() -> dict[str, tuple[Column, list[tuple[str, Column]]]]:
+# Deterministic language tags for nation ex:label (by regionkey): the
+# five TPC-H regions map onto five tags, so LANG() aggregates are
+# oracle-replayable from n_regionkey alone.
+_LABEL_TAGS = ("en", "fr", "de", "es", "pt")
+
+
+def _tpch_spec() -> dict[str, tuple[Column, list]]:
     """table -> (subject, [(predicate, object)]) — ONE vocabulary spec
     shared by the flat renderer and the vertical store so the two
     layouts can never drift.
 
     Vocabulary (all objects canonical strings):
       urn:region:K   rdf:type ex:Region ; ex:name
-      urn:nation:K   rdf:type ex:Nation ; ex:name ; ex:region
+      urn:nation:K   rdf:type ex:Nation ; ex:name ; ex:region ;
+                     ex:label "<n_name>"@<tag> — the name again as a
+                     LANGUAGE-TAGGED literal, tag en/fr/de/es/pt by
+                     regionkey (deterministic), for LANG()/LANGMATCHES
       urn:cust:K     rdf:type ex:Customer ; ex:name ; ex:segment ;
-                     ex:nation ; ex:acctbal (%.2f) ;
+                     ex:nation ; ex:acctbal (%.2f, ^^xsd:decimal) ;
                      ex:vip "true" (SPARSE: only acctbal > 9000)
       urn:supp:K     rdf:type ex:Supplier ; ex:name ; ex:nation ;
-                     geo:asWKT "POINT(x y)" with x=(37K)%100,
+                     geo:asWKT "POINT(x y)"^^geo:wktLiteral with
+                     x=(37K)%100,
                      y=(61K)%100 (deterministic integer grid) ;
                      ex:parent urn:supp:(K DIV 2) for K > 1 (binary
                      tree — gives property paths a real hierarchy to
@@ -99,6 +151,16 @@ def _tpch_spec() -> dict[str, tuple[Column, list[tuple[str, Column]]]]:
                 (RDF_TYPE, F.lit(EX + "Nation")),
                 (EX + "name", F.col("n_name")),
                 (EX + "region", _urn("region", F.col("n_regionkey"))),
+                (
+                    EX + "label",
+                    F.col("n_name"),
+                    {
+                        "lang": F.element_at(
+                            F.array(*[F.lit(t) for t in _LABEL_TAGS]),
+                            (F.col("n_regionkey") % 5 + 1).cast("int"),
+                        )
+                    },
+                ),
             ],
         ),
         "customer": (
@@ -108,7 +170,11 @@ def _tpch_spec() -> dict[str, tuple[Column, list[tuple[str, Column]]]]:
                 (EX + "name", F.col("c_name")),
                 (EX + "segment", F.col("c_mktsegment")),
                 (EX + "nation", _urn("nation", F.col("c_nationkey"))),
-                (EX + "acctbal", F.format_string("%.2f", F.col("c_acctbal"))),
+                (
+                    EX + "acctbal",
+                    F.format_string("%.2f", F.col("c_acctbal")),
+                    {"dt": F.lit(XSD + "decimal")},
+                ),
                 (EX + "vip", F.when(F.col("c_acctbal") > 9000, F.lit("true"))),
             ],
         ),
@@ -125,6 +191,7 @@ def _tpch_spec() -> dict[str, tuple[Column, list[tuple[str, Column]]]]:
                         (F.col("s_suppkey") * 37) % 100,
                         (F.col("s_suppkey") * 61) % 100,
                     ),
+                    {"dt": F.lit(GEO_WKT_LITERAL)},
                 ),
                 (
                     EX + "parent",
@@ -140,7 +207,11 @@ def _tpch_spec() -> dict[str, tuple[Column, list[tuple[str, Column]]]]:
             [
                 (RDF_TYPE, F.lit(EX + "Order")),
                 (EX + "customer", _urn("cust", F.col("o_custkey"))),
-                (EX + "total", F.format_string("%.2f", F.col("o_totalprice"))),
+                (
+                    EX + "total",
+                    F.format_string("%.2f", F.col("o_totalprice")),
+                    {"dt": F.lit(XSD + "decimal")},
+                ),
                 (EX + "priority", F.col("o_orderpriority")),
             ],
         ),
@@ -178,10 +249,17 @@ def tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         t = _triples_of(df, subject, pairs)
         flat = t if flat is None else flat.unionByName(t)
-        for pred, obj in pairs:
-            slice_df = df.select(
-                subject.alias("s"), obj.cast("string").alias("o")
-            ).where(obj.isNotNull())
+        for pair in pairs:
+            pred, obj, lang, dt = _pair_meta(pair)
+            cols = [subject.alias("s"), obj.cast("string").alias("o")]
+            if len(pair) == 3:
+                # metadata-bearing predicates keep their lang/dt in the
+                # slice (a parquet lake whose files carry the extra
+                # columns — pruned for free when a scan doesn't ask).
+                # Each such predicate comes from exactly one table, so
+                # per-predicate slice schemas never diverge on union.
+                cols += [lang.alias("lang"), dt.alias("dt")]
+            slice_df = df.select(*cols).where(obj.isNotNull())
             vertical.setdefault(pred, []).append(slice_df)
     merged = {
         pred: slices[0] if len(slices) == 1 else _union_all(slices)
@@ -189,6 +267,33 @@ def tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
     }
     assert flat is not None
     return TripleStore(flat, merged)
+
+
+def _apply_meta_consts(
+    df: DataFrame, o_lang: str | None, o_dt: str | None
+) -> DataFrame:
+    """Filter a scan to one tagged/typed object literal. A store whose
+    relation has no metadata column cannot hold that term -> empty."""
+    for col, want in (("lang", o_lang), ("dt", o_dt)):
+        if want is None:
+            continue
+        if col in df.columns:
+            df = df.where(F.col(col) == want)
+        else:
+            df = df.where(F.lit(False))
+    return df
+
+
+def _meta_cols(df: DataFrame, o_meta: dict[str, str] | None) -> list[Column]:
+    """Projection list for requested object metadata; NULL columns
+    stand in where the store carries none."""
+    if not o_meta:
+        return []
+    null = F.lit(None).cast("string")
+    return [
+        (F.col(kind) if kind in df.columns else null).alias(out)
+        for kind, out in sorted(o_meta.items())
+    ]
 
 
 def _union_all(dfs: list[DataFrame]) -> DataFrame:
@@ -208,13 +313,18 @@ def to_ntriples_rows(triples: DataFrame) -> DataFrame:
         | F.col("o").startswith("http://")
         | F.col("o").startswith("https://")
     )
+    null = F.lit(None).cast("string")
+    # metadata-bearing graphs (tpch_triples, turtle loads) round-trip
+    # their lang tags / datatype IRIs; bare (s,p,o) frames write plain
+    dt = F.col("dt") if "dt" in triples.columns else null
+    lang = F.col("lang") if "lang" in triples.columns else null
     return triples.select(
         F.col("s").alias("subject"),
         F.col("p").alias("predicate"),
         F.col("o").alias("object"),
         (~is_iri).alias("is_literal"),
-        F.lit(None).cast("string").alias("datatype"),
-        F.lit(None).cast("string").alias("lang"),
+        dt.alias("datatype"),
+        lang.alias("lang"),
     )
 
 
@@ -250,17 +360,26 @@ class TripleStore:
 
     def full(self) -> DataFrame:
         """The whole graph as a frame safe to combine with pattern
-        scans in one plan (DESCRIBE, updates, path node domains)."""
-        return self._relation()
+        scans in one plan (DESCRIBE, updates, path node domains).
+
+        Projects the CORE columns only — (s, p, o) plus ``g`` on quad
+        stores. Literal metadata (lang/dt) stays a pattern-scan
+        concern: updates, DESCRIBE dumps, and path domains all operate
+        on the lexical graph, so their output schema is stable whether
+        or not the store carries metadata columns."""
+        rel = self._relation()
+        core = ["s", "p", "o"] + (["g"] if "g" in rel.columns else [])
+        return rel.select(*core)
 
     @classmethod
     def from_ntriples(cls, df: DataFrame, with_graphs: bool = False) -> "TripleStore":
         """Adapt a ``spark.read.format("ntriples")`` frame (schema
         subject/predicate/object/is_literal/datatype/lang/path —
-        sources/ntriples.py) to the compiler's (s, p, o) shape. The
-        extra RDF-term metadata is dropped: the compiler's FILTER
-        casts operate on the lexical form, which is what ``object``
-        already holds.
+        sources/ntriples.py) to the compiler's (s, p, o) shape, with
+        the literal metadata kept as optional ``lang``/``dt`` columns:
+        FILTER casts still operate on the lexical form ``object``
+        holds, while LANG()/DATATYPE()/LANGMATCHES() read the
+        metadata when a query asks.
 
         ``with_graphs=True`` keeps the named-graph identity as column
         ``g``: the source's own ``g`` column when present (a quad lake
@@ -284,6 +403,10 @@ class TripleStore:
             F.col("predicate").alias("p"),
             F.col("object").alias("o"),
         ]
+        if "lang" in df.columns:
+            cols.append(F.col("lang"))
+        if "datatype" in df.columns:
+            cols.append(F.col("datatype").alias("dt"))
         if with_graphs:
             src = "g" if "g" in df.columns else "path"
             cols.append(F.col(src).alias("g"))
@@ -298,11 +421,33 @@ class TripleStore:
         the partition LISTING, not the data.
         """
         preds = [r[0] for r in triples.select("p").distinct().collect()]
-        vertical = {p: triples.where(F.col("p") == p).select("s", "o") for p in preds}
+        keep = ["s", "o"] + [c for c in META_COLS if c in triples.columns]
+        vertical = {
+            p: triples.where(F.col("p") == p).select(*keep) for p in preds
+        }
         return cls(triples, vertical)
 
-    def scan(self, s: str | None, p: str | None, o: str | None, aliases: dict[str, str]) -> DataFrame:
-        """aliases: position name ('s'/'p'/'o') -> output column name."""
+    def scan(
+        self,
+        s: str | None,
+        p: str | None,
+        o: str | None,
+        aliases: dict[str, str],
+        o_meta: dict[str, str] | None = None,
+        o_lang: str | None = None,
+        o_dt: str | None = None,
+    ) -> DataFrame:
+        """aliases: position name ('s'/'p'/'o') -> output column name.
+
+        ``o_meta`` ({'lang'|'dt': output column name}) additionally
+        projects the OBJECT term's literal metadata — NULL when the
+        store carries none, so LANG()/DATATYPE() queries run against
+        metadata-free stores and simply see plain literals. ``o_lang``
+        / ``o_dt`` constrain a constant object to one specific
+        language-tagged / typed literal (``"x"@en`` / ``"1"^^xsd:int``
+        in a pattern): on a store with no metadata columns nothing can
+        match, which is the spec answer ("x" and "x"@en are different
+        RDF terms)."""
         p_forms = _TYPE_FORMS if p in _TYPE_FORMS else None
         if p is not None and self.vertical is not None:
             if p_forms is not None:
@@ -323,7 +468,9 @@ class TripleStore:
             df = df.where(F.col("s") == s)
         if o is not None:
             df = df.where(F.col("o") == o)
+        df = _apply_meta_consts(df, o_lang, o_dt)
         cols = [F.col(pos).alias(name) for pos, name in aliases.items()]
+        cols += _meta_cols(df, o_meta)
         if not cols:  # pure existence pattern: keep one marker column
             return df.select(F.lit(1).alias("__exists__")).limit(1)
         return df.select(*cols)
@@ -379,6 +526,8 @@ class NTriplesLakeStore(TripleStore):
             F.col("subject").alias("s"),
             F.col("predicate").alias("p"),
             F.col("object").alias("o"),
+            F.col("lang"),
+            F.col("datatype").alias("dt"),
         ]
         if self._wg:
             cols.append(F.col("g" if self._quad else "path").alias("g"))
@@ -425,7 +574,7 @@ class GraphScopedStore:
     def full(self) -> DataFrame:
         return self._base.full()
 
-    def scan(self, s, p, o, aliases) -> DataFrame:
+    def scan(self, s, p, o, aliases, o_meta=None, o_lang=None, o_dt=None) -> DataFrame:
         df = self._base._relation_for_graph(self._gconst)
         for pos, const in (("s", s), ("p", p), ("o", o)):
             if const is None:
@@ -436,6 +585,7 @@ class GraphScopedStore:
                 df = df.where(F.col(pos) == const)
         if self._gconst is not None:
             df = df.where(F.col("g") == self._gconst)
+        df = _apply_meta_consts(df, o_lang, o_dt)
         al = dict(aliases)
         if self._gvar is not None:
             if self._gvar in al.values():
@@ -448,6 +598,7 @@ class GraphScopedStore:
                 )
             al["g"] = self._gvar
         cols = [F.col(pos).alias(name) for pos, name in al.items()]
+        cols += _meta_cols(df, o_meta)
         if not cols:
             return df.select(F.lit(1).alias("__exists__")).limit(1)
         return df.select(*cols)

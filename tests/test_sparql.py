@@ -1964,3 +1964,218 @@ class TestRound8DescribeNotIn:
             "SELECT ?a WHERE { ?p ex:age ?a FILTER(?a NOT IN (36)) }",
         )
         assert [r.a for r in got.collect()] == ["47"]
+
+
+class TestLiteralMetadata:
+    """RDF 1.1 literal metadata (round 8): lang tags and datatype IRIs
+    ride optional store columns; LANG()/LANGMATCHES()/DATATYPE()/
+    STRLANG()/STRDT() read them through need-provisioned sidecars, and
+    tagged/typed literal constants match as full RDF terms. Mirrors
+    the reference's typed-literal TTL output (json-etl emits
+    ^^geo:wktLiteral; rdf_utils.py mints typed literals via rdflib) —
+    which the reference itself can only WRITE, never query."""
+
+    @pytest.fixture(scope="class")
+    def meta_store(self, spark):
+        rows = [
+            ("urn:n:1", "urn:ex:label", "Berlin", "de", None),
+            ("urn:n:1", "urn:ex:label", "Berlin", None, None),
+            ("urn:n:2", "urn:ex:label", "Paris", "fr", None),
+            ("urn:n:2", "urn:ex:label", "Paris", "fr-CA", None),
+            ("urn:n:3", "urn:ex:label", "Madrid", "es-ES", None),
+            ("urn:n:1", "urn:ex:pop", "3600000", None,
+             "http://www.w3.org/2001/XMLSchema#integer"),
+            ("urn:n:2", "urn:ex:pop", "2100000", None,
+             "http://www.w3.org/2001/XMLSchema#integer"),
+            ("urn:n:1", "urn:ex:seen", "urn:n:2", None, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "s string, p string, o string, lang string, dt string"
+        )
+        return TripleStore(df)
+
+    XSD_PFX = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+
+    def test_langmatches_exact_and_subtag(self, meta_store):
+        # RFC 4647 basic filtering: "fr" matches fr AND fr-CA
+        rows = run(
+            meta_store,
+            'SELECT ?l WHERE { ?s ex:label ?l '
+            'FILTER(LANGMATCHES(LANG(?l), "fr")) } ORDER BY ?l',
+        ).collect()
+        assert [r.l for r in rows] == ["Paris", "Paris"]
+
+    def test_langmatches_star_excludes_plain(self, meta_store):
+        # "*" = any non-empty tag: the plain "Berlin" drops out
+        rows = run(
+            meta_store,
+            'SELECT ?s ?l WHERE { ?s ex:label ?l '
+            'FILTER(LANGMATCHES(LANG(?l), "*")) }',
+        ).collect()
+        assert len(rows) == 4
+
+    def test_group_by_lang(self, meta_store):
+        rows = run(
+            meta_store,
+            "SELECT ?tag (COUNT(*) AS ?n) WHERE { ?s ex:label ?l "
+            "BIND(LANG(?l) AS ?tag) } GROUP BY ?tag ORDER BY ?tag",
+        ).collect()
+        # plain literal -> "" per spec; LANG preserves the stored
+        # tag's case (only LANGMATCHES folds)
+        assert [(r.tag, int(r.n)) for r in rows] == [
+            ("", 1), ("de", 1), ("es-ES", 1), ("fr", 1), ("fr-CA", 1),
+        ]
+
+    def test_tagged_constant_in_pattern(self, meta_store):
+        # "Berlin"@de is a DIFFERENT term from plain "Berlin": the
+        # tagged pattern matches exactly the tagged row
+        assert run(
+            meta_store, 'SELECT ?s WHERE { ?s ex:label "Berlin"@de }'
+        ).collect()[0].s == "urn:n:1"
+        # ...while a PLAIN constant matches by lexical form (the
+        # engine's documented lexical term model: metadata-agnostic)
+        assert run(
+            meta_store, 'SELECT ?s WHERE { ?s ex:label "Berlin" }'
+        ).count() == 2
+
+    def test_typed_constant_in_pattern(self, meta_store):
+        rows = run(
+            meta_store,
+            self.XSD_PFX.replace("PREFIX", "PREFIX") +
+            'SELECT ?s WHERE { ?s ex:pop "3600000"^^xsd:integer }',
+        ).collect()
+        assert [r.s for r in rows] == ["urn:n:1"]
+        # wrong datatype -> no term in the store matches
+        assert run(
+            meta_store,
+            'SELECT ?s WHERE { ?s ex:pop "3600000"^^xsd:decimal }',
+        ).count() == 0
+
+    def test_datatype_function(self, meta_store):
+        rows = run(
+            meta_store,
+            "SELECT ?s ?d WHERE { ?s ex:pop ?v BIND(DATATYPE(?v) AS ?d) } "
+            "ORDER BY ?s",
+        ).collect()
+        assert all(
+            r.d == "http://www.w3.org/2001/XMLSchema#integer" for r in rows
+        )
+        # pname IRI constant on the comparison side
+        assert run(
+            meta_store,
+            self.XSD_PFX + "SELECT ?s WHERE { ?s ex:pop ?v "
+            "FILTER(DATATYPE(?v) = xsd:integer) }",
+        ).count() == 2
+
+    def test_datatype_of_tagged_plain_and_iri(self, meta_store):
+        rows = run(
+            meta_store,
+            "SELECT ?l ?d WHERE { <urn:n:1> ex:label ?l "
+            "BIND(DATATYPE(?l) AS ?d) } ORDER BY ?d",
+        ).collect()
+        assert sorted(r.d for r in rows) == [
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+            "http://www.w3.org/2001/XMLSchema#string",
+        ]
+        # IRI-valued binding: DATATYPE is a type error -> NULL -> the
+        # FILTER comparison eliminates the row
+        assert run(
+            meta_store,
+            self.XSD_PFX + "SELECT ?o WHERE { ?s ex:seen ?o "
+            "FILTER(DATATYPE(?o) = xsd:string) }",
+        ).count() == 0
+
+    def test_term_equality_filter(self, meta_store):
+        rows = run(
+            meta_store,
+            'SELECT ?s WHERE { ?s ex:label ?l FILTER(?l = "Paris"@fr) }',
+        ).collect()
+        assert [r.s for r in rows] == ["urn:n:2"]
+        # != is the term-level negation: every OTHER label row
+        assert run(
+            meta_store,
+            'SELECT ?l WHERE { ?s ex:label ?l FILTER(?l != "Paris"@fr) }',
+        ).count() == 4
+
+    def test_strlang_strdt_equality(self, meta_store):
+        assert run(
+            meta_store,
+            "SELECT ?s WHERE { ?s ex:label ?l "
+            'FILTER(?l = STRLANG("Madrid", "es-ES")) }',
+        ).collect()[0].s == "urn:n:3"
+        assert run(
+            meta_store,
+            self.XSD_PFX +
+            "SELECT ?s WHERE { ?s ex:pop ?v "
+            'FILTER(?v = STRDT("2100000", xsd:integer)) }',
+        ).collect()[0].s == "urn:n:2"
+
+    def test_lang_of_subject_position_var_is_empty(self, meta_store):
+        # ?o binds an IRI (object of ex:seen, subject elsewhere):
+        # LANG() -> "" consistently, whichever pattern provisions it
+        rows = run(
+            meta_store,
+            "SELECT ?o ?t WHERE { ?s ex:seen ?o . ?o ex:pop ?p "
+            "BIND(LANG(?o) AS ?t) }",
+        ).collect()
+        assert [(r.o, r.t) for r in rows] == [("urn:n:2", "")]
+
+    def test_turtle_roundtrip_lang_and_datatype(self, spark):
+        from geosparql_etl_spark.sources.turtle import turtle_to_triples
+
+        ttl = (
+            "@prefix ex: <urn:ex:> .\n"
+            "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n"
+            '<urn:n:1> ex:label "Berlin"@de ; ex:pop "36"^^xsd:integer .\n'
+            '<urn:n:2> ex:label "york" .\n'
+        )
+        docs = spark.createDataFrame(
+            [("mem://doc.ttl", ttl)], "path string, text string"
+        )
+        store = TripleStore.from_ntriples(turtle_to_triples(docs))
+        rows = run(
+            store,
+            'SELECT ?s WHERE { ?s ex:label ?l FILTER(LANGMATCHES(LANG(?l), "de")) }',
+        ).collect()
+        assert [r.s for r in rows] == ["urn:n:1"]
+        rows = run(
+            store,
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s ex:pop ?v FILTER(DATATYPE(?v) = xsd:integer) }",
+        ).collect()
+        assert [r.s for r in rows] == ["urn:n:1"]
+
+    def test_vertical_store_keeps_metadata(self, spark):
+        rows = [
+            ("urn:n:1", "urn:ex:label", "Berlin", "de", None),
+            ("urn:n:2", "urn:ex:label", "Paris", "fr", None),
+        ]
+        df = spark.createDataFrame(
+            rows, "s string, p string, o string, lang string, dt string"
+        )
+        store = TripleStore.vertically_partitioned(df)
+        got = run(
+            store,
+            'SELECT ?s WHERE { ?s ex:label ?l FILTER(LANG(?l) = "fr") }',
+        ).collect()
+        assert [r.s for r in got] == ["urn:n:2"]
+
+    def test_metadata_free_store_sees_plain_literals(self, toy_store):
+        # stores without lang/dt columns: LANG() == "", DATATYPE() ==
+        # xsd:string, and a tagged constant matches nothing
+        assert run(
+            toy_store,
+            'SELECT ?n WHERE { ?p ex:name ?n FILTER(LANG(?n) = "") '
+            'FILTER(?p = <urn:p:1>) }',
+        ).collect()[0].n == "ada"
+        assert run(
+            toy_store, 'SELECT ?p WHERE { ?p ex:name "ada"@en }'
+        ).count() == 0
+
+    def test_no_sidecars_in_plan_without_metadata_calls(self, meta_store):
+        # the 99%-path guarantee: a query that never touches metadata
+        # plans zero __meta_ columns even on a metadata-bearing store
+        df = run(meta_store, "SELECT ?s ?l WHERE { ?s ex:label ?l }")
+        assert not [c for c in df.columns if c.startswith("__meta_")]
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "__meta_" not in plan
