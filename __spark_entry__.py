@@ -7389,10 +7389,12 @@ def sp15_subquery_max(spark, sf_dir):
     """SPARQL 1.1 subquery: a grouped MAX evaluated independently,
     its bindings joined to the outer pattern on the shared variables —
     per-nation top balance and the customer(s) achieving it (the
-    aggregates-mid-query mechanism). MAX computes on DECIMAL but
-    projects the canonical %.2f lexical string, so `?c ex:acctbal ?mx`
-    joins string=string against the store's lexical objects and the
-    output carries no DECIMAL column (the round-6 typed-hash trap)."""
+    aggregates-mid-query mechanism). MAX orders on the numeric view
+    but returns the winning term's ORIGINAL stored lexical (spec: the
+    result is a term from the multiset, not a canonicalized copy), so
+    `?c ex:acctbal ?mx` joins string=string against the store's
+    lexical objects exactly, and the output carries no DECIMAL column
+    (the round-6 typed-hash trap)."""
     return _sparql(
         spark,
         sf_dir,
@@ -8175,6 +8177,87 @@ def _sql_sp30():
     SELECT 'urn:order:' || o_orderkey, 'rdf:type',
            'urn:ex:PromotedOrder', 'urn:graph:promoted'
     FROM orders WHERE o_orderpriority = '1-URGENT'
+    """
+
+
+def sp31_lang_facets(spark, sf_dir):
+    """LANG()/language-tagged literals — round 8: the tpch graph's
+    nation ex:label literals carry deterministic region-derived tags
+    (triples.py _LABEL_TAGS); facet the graph by tag. Exercises the
+    metadata sidecar path end to end: the need-analysis provisions
+    __meta_lang_label only on the ONE scan binding ?l in object
+    position, LANG() reads it, the BIND value groups and orders like
+    any native column. Queries that skip LANG plan zero extra columns
+    (pinned by test_no_sidecars_in_plan_without_metadata_calls). The
+    reference renders rdflib literals with .language set
+    (mongo-etl/utils/rdf_utils.py Literal(...)) but has no engine to
+    ask this question of its own output."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?tag (COUNT(?n) AS ?cnt) (MIN(?name) AS ?first_name)
+        WHERE {
+          ?n a ex:Nation .
+          ?n ex:label ?l .
+          ?n ex:name ?name .
+          FILTER(LANGMATCHES(LANG(?l), "*"))
+          BIND(LANG(?l) AS ?tag)
+        } GROUP BY ?tag ORDER BY ?tag
+        """,
+    )
+
+
+def _sql_sp31():
+    return """
+    SELECT ['en','fr','de','es','pt'][(n_regionkey % 5) + 1] AS tag,
+           count(*) AS cnt, min(n_name) AS first_name
+    FROM nation GROUP BY tag ORDER BY tag
+    """
+
+
+def sp32_datatype_audit(spark, sf_dir):
+    """DATATYPE() audit — round 8: the typed-literal census a lake
+    operator runs before schema migrations: every literal in the
+    graph bucketed by datatype IRI (xsd:string plain, xsd:decimal
+    money, geo:wktLiteral geometry, rdf:langString labels). The
+    variable-predicate pattern is an honest full-graph scan (no
+    vertical pruning possible — that is what 'audit' means); the
+    DATATYPE classification is pure Catalyst CASE over the metadata
+    sidecar + the IRI-scheme heuristic, zero UDFs. geo:wktLiteral in
+    the result is the reference's own vocabulary
+    (json-etl/geojson_to_geosparql_etl.py emits ^^geo:wktLiteral)."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?dt (COUNT(?o) AS ?cnt) WHERE {
+          ?s ?p ?o .
+          FILTER(ISLITERAL(?o))
+          BIND(DATATYPE(?o) AS ?dt)
+        } GROUP BY ?dt ORDER BY ?dt
+        """,
+    )
+
+
+def _sql_sp32():
+    xs = "http://www.w3.org/2001/XMLSchema#"
+    return f"""
+    WITH lits AS (
+      SELECT '{xs}string' AS dt FROM region
+      UNION ALL SELECT '{xs}string' FROM nation
+      UNION ALL SELECT
+        'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' FROM nation
+      UNION ALL SELECT '{xs}string' FROM customer
+      UNION ALL SELECT '{xs}string' FROM customer
+      UNION ALL SELECT '{xs}decimal' FROM customer
+      UNION ALL SELECT '{xs}string' FROM customer WHERE c_acctbal > 9000
+      UNION ALL SELECT '{xs}string' FROM supplier
+      UNION ALL SELECT 'geo:wktLiteral' FROM supplier
+      UNION ALL SELECT '{xs}string' FROM orders
+      UNION ALL SELECT '{xs}decimal' FROM orders
+    )
+    SELECT dt, count(*) AS cnt FROM lits GROUP BY dt ORDER BY dt
     """
 
 
@@ -9250,9 +9333,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 23 remaining r03-stamped rows, then the 3 oldest r05-stamped
     # rows to fill 50. After r08 every stamp is r04+.
     # r09 rotation (staged below the window, in order): the round-8
-    # additions (sp25-sp28 + the TPC-H closers q05/q06/q08/q15/q11/
-    # q16/q17/q19-q22, never stamped), then the r04-stamped block
-    # (oldest remaining attestation), then the r05-stamped remainder.
+    # additions (sp25-sp32 incl. the literal-metadata pair sp31/sp32 +
+    # the TPC-H closers q05/q06/q08/q15/q11/q16/q17/q19-q22, never
+    # stamped), then the r04-stamped block (oldest remaining
+    # attestation), then the r05-stamped remainder.
     # --- never driver-stamped round-6 additions (r07 positions 1-22) ---
     "sp17_bind_bucket": sp17_bind_bucket,
     "sp18_select_expressions": sp18_select_expressions,
@@ -9315,6 +9399,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp28_clear_graph": sp28_clear_graph,
     "sp29_values_table": sp29_values_table,
     "sp30_graph_promote": sp30_graph_promote,
+    "sp31_lang_facets": sp31_lang_facets,
+    "sp32_datatype_audit": sp32_datatype_audit,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -9670,6 +9756,8 @@ _ORACLES: dict[str, str] = {
     "sp28_clear_graph": _sql_sp28(),
     "sp29_values_table": _sql_sp29(),
     "sp30_graph_promote": _sql_sp30(),
+    "sp31_lang_facets": _sql_sp31(),
+    "sp32_datatype_audit": _sql_sp32(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

@@ -1964,24 +1964,40 @@ def _agg_col(func: str, arg, alias: str) -> Column:
     # subset semantics, where ANSI cast would kill the whole job
     lexical = F.col(arg).try_cast("decimal(18,2)")
 
-    # SUM/MIN/MAX stay DECIMAL(18,2) through the whole plan — exact,
-    # order-independent, and crucially NUMERIC when the alias is
-    # re-used: a subquery aggregate joined against stored lexicals
-    # (sp15's `?c ex:acctbal ?mx`) compares decimal=string, which
-    # Spark coerces numerically, so "47" matches MAX 47.00 (the round-7
-    # string=string projection silently returned zero rows there);
-    # HAVING and ORDER BY on the alias compare/sort numerically too.
-    # The driver's typed arrow hash can't attest DECIMAL outputs
-    # (round-1 s03 / round-6 sp05+sp15 failure class; SCALE.md's "no
-    # DECIMAL outputs" rule), so sparql_select() — the one public
-    # SELECT entry — canonicalizes any remaining DECIMAL output column
-    # to its %.2f lexical string at FINAL projection only.
+    # SUM stays DECIMAL(18,2) through the whole plan — exact,
+    # order-independent, and NUMERIC when the alias is re-used in
+    # HAVING / ORDER BY / arithmetic. The driver's typed arrow hash
+    # can't attest DECIMAL outputs (round-1 s03 / round-6 sp05+sp15
+    # failure class; SCALE.md's "no DECIMAL outputs" rule), so
+    # sparql_select() — the one public SELECT entry — canonicalizes
+    # any remaining DECIMAL output column to its %.2f lexical string
+    # at FINAL projection only.
     if func == "SUM":
         return F.sum(lexical).alias(alias)
-    if func == "MIN":
-        return F.min(lexical).alias(alias)
-    if func == "MAX":
-        return F.max(lexical).alias(alias)
+    if func in ("MIN", "MAX"):
+        # Spec-faithful MIN/MAX (round 8): the result is the WINNING
+        # TERM from the group, not a canonicalized copy — so the
+        # projected value is the winner's ORIGINAL lexical form, and
+        # an alias re-used as a join variable (sp15's `?c ex:acctbal
+        # ?mx`) matches stored lexicals EXACTLY, string=string, with
+        # no canonicalization drift (the round-7 regression class)
+        # and no decimal-coercion dependence. Ordering: if ANY value
+        # in the group parses numerically, the winner is numeric
+        # (non-numerics skipped — the engine's documented type-error
+        # rule, pinned by test_aggregates_skip_nonnumeric); an
+        # all-string group falls back to codepoint order. One pass,
+        # two mergeable aggregates — struct min/max orders by the
+        # numeric field first, original lexical as deterministic
+        # tiebreak between equal-value spellings.
+        agg = F.min if func == "MIN" else F.max
+        col = F.col(arg)
+        numeric = agg(
+            F.when(
+                lexical.isNotNull(),
+                F.struct(lexical.alias("n"), col.alias("s")),
+            )
+        )
+        return F.coalesce(numeric.getField("s"), agg(col)).alias(alias)
     if func == "AVG":
         # documented caveat: double avg (not exact); round for stability
         return F.round(F.avg(F.col(arg).try_cast("double")), 4).alias(alias)

@@ -530,7 +530,10 @@ class TestSubqueries:
             "{ SELECT (MAX(?a) AS ?m) WHERE { ?x ex:age ?a } } "
             "?p ex:age ?m . ?p ex:name ?name }",
         ).collect()
-        assert [(r.name, str(r.m)) for r in rows] == [("grace", "47.00")]
+        # MAX returns the winning TERM: the original stored lexical "47",
+        # not a canonicalized copy — which is exactly why the join back
+        # onto `?p ex:age ?m` matches string=string
+        assert [(r.name, str(r.m)) for r in rows] == [("grace", "47")]
 
     def test_subquery_group_by(self, toy_store):
         rows = run(
@@ -1622,7 +1625,7 @@ class TestRound8SpecFills:
             "SELECT (AVG(DISTINCT ?v) AS ?a) (MIN(DISTINCT ?v) AS ?m) "
             "WHERE { ?s <urn:ex:v> ?v }",
         ).collect()[0]
-        assert (got.a, got.m) == (3.0, "2.00")
+        assert (got.a, got.m) == (3.0, "2")  # MIN = the original lexical
 
     def test_construct_where_shorthand(self, toy_store):
         got = run(toy_store, "CONSTRUCT WHERE { ?p ex:age ?a }")
@@ -1676,7 +1679,7 @@ class TestRound8TypeErrors:
             "SELECT (SUM(?v) AS ?t) (AVG(?v) AS ?a) (MAX(?v) AS ?m) "
             "WHERE { ?s <urn:ex:v> ?v }",
         ).collect()[0]
-        assert (got.t, got.a, got.m) == ("15.00", 7.5, "12.00")
+        assert (got.t, got.a, got.m) == ("15.00", 7.5, "12")
 
     def test_arithmetic_yields_unbound_not_error(self, mixed_store):
         got = run(
