@@ -7519,6 +7519,11 @@ def _sql_sp16():
              'urn:ex:Region' AS o FROM region
       UNION ALL SELECT 'urn:region:' || r_regionkey, 'urn:ex:name', r_name
         FROM region
+      UNION ALL SELECT 'urn:region:' || r_regionkey, 'urn:ex:zone',
+        printf('POLYGON((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))',
+               r_regionkey * 20 - 0.5, -0.5, r_regionkey * 20 + 19.5, -0.5,
+               r_regionkey * 20 + 19.5, 99.5, r_regionkey * 20 - 0.5, 99.5,
+               r_regionkey * 20 - 0.5, -0.5) FROM region
       UNION ALL SELECT 'urn:nation:' || n_nationkey, 'rdf:type',
         'urn:ex:Nation' FROM nation
       UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:name', n_name
@@ -8245,6 +8250,7 @@ def _sql_sp32():
     return f"""
     WITH lits AS (
       SELECT '{xs}string' AS dt FROM region
+      UNION ALL SELECT 'geo:wktLiteral' FROM region
       UNION ALL SELECT '{xs}string' FROM nation
       UNION ALL SELECT
         'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString' FROM nation
@@ -8258,6 +8264,46 @@ def _sql_sp32():
       UNION ALL SELECT '{xs}decimal' FROM orders
     )
     SELECT dt, count(*) AS cnt FROM lits GROUP BY dt ORDER BY dt
+    """
+
+
+def sp33_spatial_containment(spark, sf_dir):
+    """Var-var `geof:sfWithin(?pt, ?zone)` — round 8: BOTH geometry
+    arguments bound from data (supplier POINTs x region POLYGON
+    zones), the query shape the constant-region sp04 cannot express.
+    The supplier star and the region star share no variable, so the
+    naive plan is CartesianProduct + ray cast; the compiler's
+    grid-cover rewrite (compiler.py _grid_sfwithin_rewrite) instead
+    explodes each polygon into its covered grid cells, lands each
+    point in its one cell, hash-joins on the cell, and re-applies the
+    exact even-odd test — g15's spatial-join strategy reached from
+    SPARQL text. Polygons parse per row with wkt_polygon_ring (pure
+    Catalyst — regexp/split/transform, no UDF), i.e. the engine can
+    query the ^^geo:wktLiteral polygons the reference's json-etl
+    writes. Oracle: the zone bands are x in [20K, 20K+20), so
+    containment is integer division on the supplier lattice."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?rname (COUNT(?s) AS ?cnt) WHERE {
+          ?s a ex:Supplier .
+          ?s geo:asWKT ?pt .
+          ?r a ex:Region .
+          ?r ex:zone ?zone .
+          ?r ex:name ?rname .
+          FILTER(geof:sfWithin(?pt, ?zone))
+        } GROUP BY ?rname ORDER BY ?rname
+        """,
+    )
+
+
+def _sql_sp33():
+    return """
+    SELECT r_name AS rname, count(*) AS cnt
+    FROM supplier
+    JOIN region ON ((s_suppkey * 37) % 100) // 20 = r_regionkey
+    GROUP BY rname ORDER BY rname
     """
 
 
@@ -9401,6 +9447,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp30_graph_promote": sp30_graph_promote,
     "sp31_lang_facets": sp31_lang_facets,
     "sp32_datatype_audit": sp32_datatype_audit,
+    "sp33_spatial_containment": sp33_spatial_containment,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -9758,6 +9805,7 @@ _ORACLES: dict[str, str] = {
     "sp30_graph_promote": _sql_sp30(),
     "sp31_lang_facets": _sql_sp31(),
     "sp32_datatype_audit": _sql_sp32(),
+    "sp33_spatial_containment": _sql_sp33(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

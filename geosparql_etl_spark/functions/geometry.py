@@ -357,3 +357,31 @@ def point_in_ring(ring: Column, px: Column, py: Column) -> Column:
 
     hits = F.size(F.filter(F.sequence(F.lit(1), n), crossing))
     return (hits % 2) == 1
+
+
+def wkt_polygon_ring(wkt: Column) -> Column:
+    """WKT ``POLYGON((x y, ...))`` string -> outer ring as
+    ``array<array<double>>`` (the shape ``point_in_ring`` consumes),
+    NULL for a non-POLYGON literal.
+
+    This is the VARIABLE-geometry twin of the compiler's constant-WKT
+    ring parse: it runs per row inside whole-plan expressions (regexp
+    + split + transform, no UDF), so a polygon bound from data — the
+    reference's own ``^^geo:wktLiteral`` output re-read — can sit on
+    either side of a spatial join. A closing repeat of the first
+    vertex is dropped (ring-closure is implicit in even-odd casting).
+    Inner rings (holes) are out of scope, matching the constant path.
+    """
+    body = F.regexp_extract(wkt, r"POLYGON\s*\(\s*\(([^)]*)\)\s*\)", 1)
+    pts = F.transform(
+        F.split(body, r"\s*,\s*"),
+        lambda p: F.transform(
+            F.split(F.trim(p), r"\s+"), lambda v: v.try_cast("double")
+        ),
+    )
+    ring = F.when(
+        (F.size(pts) > 1)
+        & (F.element_at(pts, 1) == F.element_at(pts, F.size(pts))),
+        F.slice(pts, 1, F.size(pts) - 1),
+    ).otherwise(pts)
+    return F.when(body != "", ring)

@@ -87,7 +87,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geosparql_etl_spark.functions.geometry import point_in_ring
+from geosparql_etl_spark.functions.geometry import point_in_ring, wkt_polygon_ring
 from geosparql_etl_spark.sparql.triples import RDF_LANGSTRING, XSD, TripleStore
 
 # ---------------------------------------------------------------------------
@@ -1553,6 +1553,90 @@ def _match_var_var_distance(expr):
     return a[1], b[1], float(d)
 
 
+# Grid side for the point-in-polygon cover join. Any value is correct
+# (the exact predicate re-applies after the candidate join); it only
+# tunes candidate counts — polygons explode into (w/CELL+1)*(h/CELL+1)
+# cover cells, points into exactly one.
+_SFWITHIN_CELL = 25.0
+
+
+def _match_var_var_sfwithin(expr):
+    """``FILTER(geof:sfWithin(?pt, ?poly))`` (or mirrored sfContains)
+    with both arguments variables. Returns (point_var, polygon_var)
+    or None."""
+    if expr[0] != "call":
+        return None
+    if expr[1] == "geof:sfwithin":
+        pt, poly = expr[2]
+    elif expr[1] == "geof:sfcontains":
+        poly, pt = expr[2]
+    else:
+        return None
+    if pt[0] != "var" or poly[0] != "var":
+        return None
+    return pt[1], poly[1]
+
+
+def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
+    """Var-var point-in-polygon FILTER between two DISCONNECTED
+    frames: the polygon side explodes into the grid cells its bbox
+    covers, the point side lands in its one cell, and a hash join on
+    (cx, cy) produces candidates — then the exact even-odd ray cast
+    re-applies. Same result as crossJoin + filter; the plan is the
+    g15 spatial-join strategy reached from SPARQL text. A point lies
+    in exactly one cell and a polygon emits each cover cell once, so
+    the join introduces no duplicates. Mutates ``frames``/returns
+    True on success."""
+    m = _match_var_var_sfwithin(expr)
+    if not m:
+        return False
+    u, v = m
+    pi = next((i for i, f in enumerate(frames) if u in f.columns), None)
+    gi = next((i for i, f in enumerate(frames) if v in f.columns), None)
+    if pi is None or gi is None or pi == gi:
+        return False
+    cell = _SFWITHIN_CELL
+    px, py = _point_xy(F.col(u))
+    pts = (
+        frames[pi]
+        .withColumn("__cx", F.floor(px / cell))
+        .withColumn("__cy", F.floor(py / cell))
+    )
+    ring = wkt_polygon_ring(F.col(v))
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    polys = (
+        frames[gi]
+        .withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.array_min(xs) / cell),
+                    F.floor(F.array_max(xs) / cell),
+                )
+            ),
+        )
+        .withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.array_min(ys) / cell),
+                    F.floor(F.array_max(ys) / cell),
+                )
+            ),
+        )
+    )
+    joined = (
+        pts.join(polys, on=["__cx", "__cy"])
+        .drop("__cx", "__cy")
+        .where(_compile_expr(expr))
+    )
+    for idx in sorted((pi, gi), reverse=True):
+        frames.pop(idx)
+    frames.append(joined)
+    return True
+
+
 def _grid_spatial_rewrite(frames: list, expr) -> bool:
     """Var-var distance FILTER between two DISCONNECTED frames: join
     them on grid cells of side d (each right-side point lands in its
@@ -1564,7 +1648,7 @@ def _grid_spatial_rewrite(frames: list, expr) -> bool:
     Mutates ``frames`` and returns True on success."""
     m = _match_var_var_distance(expr)
     if not m:
-        return False
+        return _grid_sfwithin_rewrite(frames, expr)
     u, v, d = m
     if d <= 0:
         return False  # degenerate: empty result either way; keep simple
@@ -1781,18 +1865,29 @@ def _compile_call(node) -> Column:
     if fname in ("round", "floor", "ceil", "abs"):
         fn = {"round": F.round, "floor": F.floor, "ceil": F.ceil, "abs": F.abs}
         return fn[fname](_operand_col(args[0], True))
-    if fname == "geof:sfwithin":
-        # geof:sfWithin(?wkt, "POLYGON((...))") with a constant region:
-        # even-odd ray cast against the literal ring — the same
+    if fname in ("geof:sfwithin", "geof:sfcontains", "geof:sfdisjoint"):
+        # geof:sfWithin(point, polygon): even-odd ray cast — the same
         # point_in_ring every spatial operator in the engine uses.
-        px, py = _point_xy(_operand_col(args[0], False))
-        ring = F.array(
-            *[
-                F.array(F.lit(float(x)), F.lit(float(y)))
-                for x, y in _parse_wkt_ring(args[1][1])
-            ]
-        )
-        return point_in_ring(ring, px, py)
+        # sfContains is sfWithin with the arguments mirrored (simple
+        # features: A contains B <=> B within A for point-in-polygon);
+        # sfDisjoint is its negation. The polygon side may be a
+        # CONSTANT ("POLYGON((...))" / "..."^^geo:wktLiteral — ring
+        # folded at compile time) or a VARIABLE (ring parsed per row
+        # by wkt_polygon_ring, NULL for non-polygons = SPARQL type
+        # error = binding dropped).
+        pt, poly = args if fname != "geof:sfcontains" else (args[1], args[0])
+        px, py = _point_xy(_operand_col(pt, False))
+        if poly[0] in ("str", "lit"):
+            ring = F.array(
+                *[
+                    F.array(F.lit(float(x)), F.lit(float(y)))
+                    for x, y in _parse_wkt_ring(poly[1])
+                ]
+            )
+        else:
+            ring = wkt_polygon_ring(_operand_col(poly, False))
+        inside = point_in_ring(ring, px, py)
+        return ~inside if fname == "geof:sfdisjoint" else inside
     if fname == "geof:distance":
         ax, ay = _point_xy(_operand_col(args[0], False))
         bx, by = _point_xy(_operand_col(args[1], False))

@@ -122,7 +122,11 @@ def _tpch_spec() -> dict[str, tuple[Column, list]]:
     layouts can never drift.
 
     Vocabulary (all objects canonical strings):
-      urn:region:K   rdf:type ex:Region ; ex:name
+      urn:region:K   rdf:type ex:Region ; ex:name ;
+                     ex:zone "POLYGON((...))"^^geo:wktLiteral — the
+                     vertical band x in [20K, 20K+20) of the supplier
+                     lattice, half-unit margins so no lattice point
+                     sits on an edge
       urn:nation:K   rdf:type ex:Nation ; ex:name ; ex:region ;
                      ex:label "<n_name>"@<tag> — the name again as a
                      LANGUAGE-TAGGED literal, tag en/fr/de/es/pt by
@@ -143,7 +147,29 @@ def _tpch_spec() -> dict[str, tuple[Column, list]]:
     return {
         "region": (
             _urn("region", F.col("r_regionkey")),
-            [(RDF_TYPE, F.lit(EX + "Region")), (EX + "name", F.col("r_name"))],
+            [
+                (RDF_TYPE, F.lit(EX + "Region")),
+                (EX + "name", F.col("r_name")),
+                # ex:zone: region K owns the vertical band x in
+                # [20K, 20K+20) of the supplier lattice, as a typed
+                # POLYGON literal. Half-unit margins (x0-0.5, x1+19.5,
+                # y -0.5..99.5) keep every integer lattice point
+                # strictly off the edges, so even-odd ray casting is
+                # never parity-undefined on this graph.
+                (
+                    EX + "zone",
+                    F.format_string(
+                        "POLYGON((%.1f %.1f, %.1f %.1f, %.1f %.1f, "
+                        "%.1f %.1f, %.1f %.1f))",
+                        F.col("r_regionkey") * 20 - 0.5, F.lit(-0.5),
+                        F.col("r_regionkey") * 20 + 19.5, F.lit(-0.5),
+                        F.col("r_regionkey") * 20 + 19.5, F.lit(99.5),
+                        F.col("r_regionkey") * 20 - 0.5, F.lit(99.5),
+                        F.col("r_regionkey") * 20 - 0.5, F.lit(-0.5),
+                    ),
+                    {"dt": F.lit(GEO_WKT_LITERAL)},
+                ),
+            ],
         ),
         "nation": (
             _urn("nation", F.col("n_nationkey")),

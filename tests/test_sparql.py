@@ -2182,3 +2182,100 @@ class TestLiteralMetadata:
         assert not [c for c in df.columns if c.startswith("__meta_")]
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "__meta_" not in plan
+
+
+class TestSpatialContainmentJoin:
+    """Var-var geof:sfWithin/sfContains/sfDisjoint (round 8): the
+    polygon side bound from data, compiled to the grid-cover hash
+    join when the geometry vars live in disconnected components."""
+
+    @pytest.fixture(scope="class")
+    def geo_store(self, spark):
+        rows = [
+            ("urn:pt:a", "rdf:type", "urn:ex:Pt"),
+            ("urn:pt:a", "geo:asWKT", "POINT(5 5)"),
+            ("urn:pt:b", "rdf:type", "urn:ex:Pt"),
+            ("urn:pt:b", "geo:asWKT", "POINT(45 45)"),
+            ("urn:pt:c", "rdf:type", "urn:ex:Pt"),
+            ("urn:pt:c", "geo:asWKT", "POINT(200 200)"),
+            ("urn:z:1", "rdf:type", "urn:ex:Zone"),
+            ("urn:z:1", "urn:ex:wkt", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"),
+            ("urn:z:2", "rdf:type", "urn:ex:Zone"),
+            ("urn:z:2", "urn:ex:wkt", "POLYGON((40 40, 50 40, 50 50, 40 50))"),
+            # a zone whose geometry is NOT a polygon: type error ->
+            # matches nothing, drops nothing else
+            ("urn:z:3", "rdf:type", "urn:ex:Zone"),
+            ("urn:z:3", "urn:ex:wkt", "LINESTRING(0 0, 1 1)"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def _within(self, store, fn="geof:sfWithin", a="?pt", b="?zn"):
+        return run(
+            store,
+            "SELECT ?p ?z WHERE { "
+            "?p a ex:Pt . ?p geo:asWKT ?pt . "
+            "?z a ex:Zone . ?z ex:wkt ?zn . "
+            f"FILTER({fn}({a}, {b})) }} ORDER BY ?p",
+        )
+
+    def test_var_var_sfwithin(self, geo_store):
+        got = [(r.p, r.z) for r in self._within(geo_store).collect()]
+        # z:2's ring arrives unclosed — wkt_polygon_ring treats
+        # closure as implicit, so (45,45) still matches
+        assert got == [("urn:pt:a", "urn:z:1"), ("urn:pt:b", "urn:z:2")]
+
+    def test_sfcontains_is_mirrored_sfwithin(self, geo_store):
+        got = [
+            (r.p, r.z)
+            for r in self._within(
+                geo_store, fn="geof:sfContains", a="?zn", b="?pt"
+            ).collect()
+        ]
+        assert got == [("urn:pt:a", "urn:z:1"), ("urn:pt:b", "urn:z:2")]
+
+    def test_var_var_sfwithin_plans_grid_join(self, geo_store):
+        plan = (
+            self._within(geo_store)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+
+    def test_sfdisjoint_same_frame(self, spark):
+        # disjoint needs pt and polygon already joined (here: both on
+        # one subject) — the negated ray cast, type errors drop
+        rows = [
+            ("urn:x:1", "urn:ex:pt", "POINT(5 5)"),
+            ("urn:x:1", "urn:ex:zn", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"),
+            ("urn:x:2", "urn:ex:pt", "POINT(99 99)"),
+            ("urn:x:2", "urn:ex:zn", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            store,
+            "SELECT ?x WHERE { ?x ex:pt ?p . ?x ex:zn ?z "
+            "FILTER(geof:sfDisjoint(?p, ?z)) }",
+        ).collect()
+        assert [r.x for r in got] == ["urn:x:2"]
+
+    def test_cell_straddling_polygon(self, spark):
+        # polygon spanning multiple grid cells (cell = 25): the cover
+        # explode must reach a point far from the polygon's min corner
+        rows = [
+            ("urn:pt:far", "rdf:type", "urn:ex:Pt"),
+            ("urn:pt:far", "geo:asWKT", "POINT(70 5)"),
+            ("urn:z:wide", "rdf:type", "urn:ex:Zone"),
+            ("urn:z:wide", "urn:ex:wkt",
+             "POLYGON((0 0, 80 0, 80 10, 0 10, 0 0))"),
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = [(r.p, r.z) for r in self._within(store).collect()]
+        assert got == [("urn:pt:far", "urn:z:wide")]
