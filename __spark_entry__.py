@@ -6956,6 +6956,99 @@ def _sql_sim10():
     """
 
 
+def sim12_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (round 8) — BM25 lexical arm + exact-cosine
+    vector arm fused by reciprocal rank fusion (operators/
+    retrieval.py), the industry-default RAG pattern: rank-space
+    fusion needs no score calibration between arms. Fixed query =
+    terms {query, join, filter} + the vec_id 0 embedding; top-100 per
+    arm, RRF k=60, top-20 fused.
+
+    Determinism across engines: BM25 per-term contributions round to
+    9 decimals and sum as DECIMAL(18,9) (absorbs ln() last-ulp
+    differences, order-independent sum), ranks break ties on doc_id,
+    and the fused score is a sum of two dyadic-rational-free doubles
+    computed identically from integer ranks. Scale: the lexical arm
+    is three bounded aggregations with broadcast df/stats frames and
+    a TakeOrdered cut (no corpus-sized window); the vector arm here
+    is the sim01 brute-force baseline — at 100 TB it swaps for the
+    sim03 LSH arm, and the fusion is rank-based so the swap does not
+    touch this operator."""
+    from geosparql_etl_spark.operators.retrieval import (
+        bm25_scores,
+        ranked_cut,
+        rrf_fuse,
+    )
+    from geosparql_etl_spark.operators.similarity import cosine_topk
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = ranked_cut(
+        bm25_scores(d, ["query", "join", "filter"]),
+        "score",
+        100,
+        rank_col="lex_rank",
+    )
+    vec = (
+        cosine_topk(e, e.where(F.col("vec_id") == 0), k=100, dim=64)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("vec_rank"))
+    )
+    fused = rrf_fuse([lex, vec], k=60)
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf", 6).alias("rrf"),
+        )
+    )
+
+
+def _sql_sim12():
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents),
+    toks2 AS (SELECT * FROM toks WHERE tok != ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks2
+           WHERE tok IN ('query', 'join', 'filter') GROUP BY doc_id, tok),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               9) AS DECIMAL(18,9)) AS c
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok)
+      CROSS JOIN stats),
+    bm AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+            FROM bm ORDER BY score DESC, doc_id LIMIT 100),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+          FROM embeddings),
+    vec AS (SELECT c.vec_id AS doc_id,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                              c.vec_id) AS vec_rank
+            FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id != 0
+            ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+            LIMIT 100),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+             COALESCE(1.0 / (60 + l.lex_rank), 0)
+             + COALESCE(1.0 / (60 + v.vec_rank), 0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+    SELECT doc_id, lex_rank, vec_rank, round(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -9448,6 +9541,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp31_lang_facets": sp31_lang_facets,
     "sp32_datatype_audit": sp32_datatype_audit,
     "sp33_spatial_containment": sp33_spatial_containment,
+    "sim12_hybrid_rrf": sim12_hybrid_rrf,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -9806,6 +9900,7 @@ _ORACLES: dict[str, str] = {
     "sp31_lang_facets": _sql_sp31(),
     "sp32_datatype_audit": _sql_sp32(),
     "sp33_spatial_containment": _sql_sp33(),
+    "sim12_hybrid_rrf": _sql_sim12(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

@@ -1596,3 +1596,63 @@ class TestBpeMerges:
         words = spark.createDataFrame([("zq",)], "word string")
         (row,) = apply_bpe_merges(words, [("e", "s")]).collect()
         assert (row.toks, row.k) == ("z q", 2)
+
+
+class TestHybridRetrieval:
+    """operators/retrieval.py: BM25 pinned on a hand-computed corpus,
+    RRF fusion edges (one-arm docs, determinism of the cut)."""
+
+    def test_bm25_hand_computed(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [
+                (1, "join join filter scan"),
+                (2, "join scan scan scan"),
+                (3, "table value row line"),
+            ],
+            "doc_id bigint, text string",
+        )
+        from geosparql_etl_spark.operators.retrieval import bm25_scores
+
+        got = {
+            r.doc_id: float(r.score)
+            for r in bm25_scores(docs, ["join", "filter"]).collect()
+        }
+        # N=3, avgdl=4; join: df=2, filter: df=1
+        def part(tf, dl, df):
+            idf = math.log(1 + (3 - df + 0.5) / (df + 0.5))
+            return round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 4)), 9)
+
+        assert got[1] == pytest.approx(part(2, 4, 2) + part(1, 4, 1), abs=1e-9)
+        assert got[2] == pytest.approx(part(1, 4, 2), abs=1e-9)
+        assert 3 not in got  # matches no query term -> absent
+
+    def test_rrf_fuse_single_arm_docs(self, spark):
+        from geosparql_etl_spark.operators.retrieval import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [(10, 1), (20, 2)], "doc_id bigint, lex_rank int"
+        )
+        vec = spark.createDataFrame(
+            [(20, 1), (30, 2)], "doc_id bigint, vec_rank int"
+        )
+        got = {
+            r.doc_id: (r.lex_rank, r.vec_rank, round(r.rrf, 6))
+            for r in rrf_fuse([lex, vec], k=60).collect()
+        }
+        assert got[20] == (2, 1, round(1 / 62 + 1 / 61, 6))
+        assert got[10] == (1, None, round(1 / 61, 6))
+        assert got[30] == (None, 2, round(1 / 62, 6))
+
+    def test_ranked_cut_is_topk_with_dense_ranks(self, spark):
+        from geosparql_etl_spark.operators.retrieval import ranked_cut
+
+        scored = spark.createDataFrame(
+            [(i, float(100 - i)) for i in range(50)],
+            "doc_id bigint, score double",
+        )
+        got = ranked_cut(scored, "score", 10).collect()
+        assert [(r.doc_id, r.rank) for r in got] == [
+            (i, i + 1) for i in range(10)
+        ]
