@@ -45,9 +45,23 @@ FILTER expressions: comparisons (= != < <= > >=) with && || ! and
 parens; REGEX / STRSTARTS / CONTAINS / BOUND / isIRI / isLiteral /
 isBlank (per the lexical-scheme convention to_ntriples_rows
 serializes by); GeoSPARQL filter
-functions geof:sfWithin(?wkt, "POLYGON...") and geof:distance(?wkt,
-"POINT...") over WKT literals (the literals the reference mints at
-``mongo-etl/utils/rdf_utils.py:134-153``).
+functions geof:sfWithin / sfContains / sfDisjoint and geof:distance
+over WKT literals (the literals the reference mints at
+``mongo-etl/utils/rdf_utils.py:134-153``) — the polygon/point sides
+may be constants OR data-bound variables; var-var forms between
+disconnected components compile to grid-bucketed joins, never
+CartesianProduct.
+
+Round-8 spec fills: SELECT * (in-scope vars at compile time), the
+trailing VALUES clause (joined into the group per 18.2.4.6), inline
+aggregate calls in HAVING (rewritten to existing aliases or hidden
+aggregate columns), UUID()/STRUUID(), MD5/SHA1/SHA256/SHA384/SHA512,
+ENCODE_FOR_URI, and the RDF 1.1 literal-metadata surface: LANG /
+LANGMATCHES (RFC 4647 basic filtering) / DATATYPE / STRLANG / STRDT
+with language-tagged ("x"@en) and typed ("1"^^xsd:int) literal terms
+in patterns and FILTER equality — metadata rides optional store
+columns and is provisioned per-variable by a need pre-pass, so
+queries that never ask plan zero extra columns.
 
 Compilation strategy (S2RDF / SPARQLGX, public literature — not the
 reference, which has no query engine at all):
@@ -523,6 +537,54 @@ class _Parser:
             return Query(False, [], g, [], [], None, describe_var=var)
         return self._select_query(embedded=False)
 
+    def _values_literal(self) -> str:
+        # numeric literals keep their lexical form — the store's
+        # object model is canonical strings
+        if self._kw("UNDEF"):
+            raise ValueError(
+                "VALUES UNDEF is not supported (an unbound cell would "
+                "need outer-join semantics)"
+            )
+        if re.fullmatch(r"-?\d+\.\d+|-?\d+", self.peek()):
+            return self.next()
+        return self.term()[1]
+
+    def _values_block(self):
+        """After the VALUES keyword: the inline-data block, single-var
+        or multi-var form — shared by group-level VALUES and the
+        trailing ValuesClause (spec 18.2.4.6 joins either into the
+        group pattern)."""
+        if self.peek() == "(":
+            # multi-var form: VALUES (?a ?b) { ("x" 1) ... }
+            self.next()
+            vars_ = []
+            while self.peek() != ")":
+                vars_.append(self.next()[1:])
+            self.next()
+            self.expect("{")
+            rows = []
+            while self.peek() != "}":
+                self.expect("(")
+                row = []
+                while self.peek() != ")":
+                    row.append(self._values_literal())
+                self.next()
+                if len(row) != len(vars_):
+                    raise ValueError(
+                        f"VALUES row arity {len(row)} != "
+                        f"{len(vars_)} variables"
+                    )
+                rows.append(tuple(row))
+            self.next()
+            return ("values_multi", vars_, rows)
+        var = self.next()[1:]
+        self.expect("{")
+        lits = []
+        while self.peek() != "}":
+            lits.append(self._values_literal())
+        self.next()
+        return ("values", var, lits)
+
     def _select_query(self, embedded: bool) -> Query:
         """SELECT form. ``embedded=True`` = a `{ SELECT ... }` subquery:
         the modifier loop stops at the enclosing '}' instead of
@@ -537,7 +599,12 @@ class _Parser:
             tok = self.peek()
             if tok is None or tok.upper() in ("WHERE", "{"):
                 break
-            if tok.startswith("?"):
+            if tok == "*":
+                # SELECT *: every in-scope variable, resolved at
+                # compile time from the group's bound columns
+                self.next()
+                projections.append(("star",))
+            elif tok.startswith("?"):
                 projections.append(("var", self.next()[1:]))
             elif tok == "(":
                 self.next()
@@ -619,6 +686,11 @@ class _Parser:
                 limit = int(self.next())
             elif tok == "OFFSET":
                 offset = int(self.next())
+            elif tok == "VALUES":
+                # trailing ValuesClause: the spec (18.2.4.6) JOINS the
+                # inline data into the query's group pattern — append
+                # it as a group element, reusing the in-group machinery
+                where.elements.append(self._values_block())
             else:
                 raise ValueError(f"unexpected token {tok!r} after WHERE group")
         return Query(
@@ -736,52 +808,9 @@ class _Parser:
                 g.elements.append(("graph", gterm, self.group()))
             elif tok.upper() == "VALUES":
                 self.next()
-
-                def _values_lit() -> str:
-                    # numeric literals keep their lexical form — the
-                    # store's object model is canonical strings
-                    if self._kw("UNDEF"):
-                        raise ValueError(
-                            "VALUES UNDEF is not supported (an unbound "
-                            "cell would need outer-join semantics)"
-                        )
-                    if re.fullmatch(r"-?\d+\.\d+|-?\d+", self.peek()):
-                        return self.next()
-                    return self.term()[1]
-
-                if self.peek() == "(":
-                    # multi-var form: VALUES (?a ?b) { ("x" 1) ... }
-                    self.next()
-                    vars_ = []
-                    while self.peek() != ")":
-                        vars_.append(self.next()[1:])
-                    self.next()
-                    self.expect("{")
-                    rows = []
-                    while self.peek() != "}":
-                        self.expect("(")
-                        row = []
-                        while self.peek() != ")":
-                            row.append(_values_lit())
-                        self.next()
-                        if len(row) != len(vars_):
-                            raise ValueError(
-                                f"VALUES row arity {len(row)} != "
-                                f"{len(vars_)} variables"
-                            )
-                        rows.append(tuple(row))
-                    self.next()
-                    flush()
-                    g.elements.append(("values_multi", vars_, rows))
-                else:
-                    var = self.next()[1:]
-                    self.expect("{")
-                    lits = []
-                    while self.peek() != "}":
-                        lits.append(_values_lit())
-                    self.next()
-                    flush()
-                    g.elements.append(("values", var, lits))
+                element = self._values_block()
+                flush()
+                g.elements.append(element)
             elif tok == "{":
                 flush()
                 # `{ SELECT ... }` is a SPARQL 1.1 subquery, not a
@@ -1932,6 +1961,11 @@ def _compile_call(node) -> Column:
         if r == "*":
             return tag.isNotNull() & (tag != "")
         return (tag == F.lit(r)) | tag.startswith(r + "-")
+    if fname in ("uuid", "struuid"):
+        # nondeterministic by spec; one fresh UUID per binding row.
+        # STRUUID -> the bare simple literal, UUID -> a urn:uuid: IRI
+        u = F.expr("uuid()")
+        return u if fname == "struuid" else F.concat(F.lit("urn:uuid:"), u)
     if fname in ("strlang", "strdt"):
         # STRLANG/STRDT mint a new literal term; in this engine's
         # lexical output model the projected VALUE is the lexical form
@@ -2011,6 +2045,45 @@ def _compile_expr(node) -> Column:
 
 
 # -- aggregates --------------------------------------------------------------
+
+
+_HAVING_AGG_FUNCS = {
+    "count": "COUNT",
+    "sum": "SUM",
+    "min": "MIN",
+    "max": "MAX",
+    "avg": "AVG",
+}
+
+
+def _rewrite_having_aggs(node, existing: dict, extras: list):
+    """Rewrite inline aggregate calls in a HAVING expression
+    (``HAVING(COUNT(?v) > 3)``) into variable references: an existing
+    projection alias with the same (func, arg) is reused, otherwise a
+    hidden ``__having_N`` aggregate column is provisioned (appended by
+    the caller, dropped after the filter). Only var-argument
+    aggregates rewrite; anything else passes through and fails
+    loudly in _compile_call."""
+    if isinstance(node, list):
+        return [_rewrite_having_aggs(n, existing, extras) for n in node]
+    if not isinstance(node, tuple):
+        return node
+    if (
+        node[0] == "call"
+        and node[1] in _HAVING_AGG_FUNCS
+        and len(node[2]) == 1
+        and node[2][0][0] == "var"
+    ):
+        key = (_HAVING_AGG_FUNCS[node[1]], node[2][0][1])
+        if key not in existing:
+            alias = f"__having_{len(extras)}"
+            extras.append((key[0], key[1], alias))
+            existing[key] = alias
+        return ("var", existing[key])
+    return tuple(
+        [node[0]]
+        + [_rewrite_having_aggs(child, existing, extras) for child in node[1:]]
+    )
 
 
 def _agg_col(func: str, arg, alias: str) -> Column:
@@ -2431,26 +2504,46 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
         # convention): HAVING without aggregation has nothing to filter
         raise ValueError("HAVING requires GROUP BY or aggregate projections")
     if aggs or q.group_by:
+        # HAVING may use aggregate ALIASES (?alias comparisons) or
+        # inline aggregate calls (HAVING(COUNT(?v) > 3)) — inline
+        # calls rewrite to existing aliases when one matches, else to
+        # hidden aggregate columns dropped right after the filter
+        having, extras = q.having, []
+        if having is not None:
+            existing = {
+                (f, a): al for _, f, a, al in aggs if not isinstance(a, tuple)
+            }
+            having = _rewrite_having_aggs(having, existing, extras)
         agg_cols = [_agg_col(func, arg, alias) for _, func, arg, alias in aggs]
+        agg_cols += [_agg_col(f, a, al) for f, a, al in extras]
         if agg_cols:
             df = df.groupBy(*[F.col(v) for v in q.group_by]).agg(*agg_cols)
         else:
             # GROUP BY with no aggregate projections == the distinct
             # grouped keys (Spark's .agg() rejects an empty list)
             df = df.select(*q.group_by).dropDuplicates()
-        if q.having is not None:
-            # HAVING over the aggregate ALIASES (?alias comparisons) —
-            # applied post-aggregation like its SQL namesake
-            df = df.where(_compile_expr(q.having))
+        if having is not None:
+            df = df.where(_compile_expr(having))
+            if extras:
+                df = df.drop(*[al for _f, _a, al in extras])
     for p in q.projections:
         if p[0] == "expr":
             # (expr AS ?alias) computes over in-scope vars — or, after
             # an aggregation, over grouped keys and aggregate aliases
             df = df.withColumn(p[2], _operand_col(p[1], False))
-    out_cols = [
-        p[1] if p[0] == "var" else p[3] if p[0] == "agg" else p[2]
-        for p in q.projections
-    ]
+    if any(p[0] == "star" for p in q.projections):
+        # SELECT *: every in-scope variable — the group's bound
+        # columns minus internal sidecars/markers, in binding order
+        out_cols = [
+            c
+            for c in df.columns
+            if not c.startswith("__")
+        ]
+    else:
+        out_cols = [
+            p[1] if p[0] == "var" else p[3] if p[0] == "agg" else p[2]
+            for p in q.projections
+        ]
     df = df.select(*out_cols)
     if q.distinct:
         df = df.dropDuplicates()

@@ -2279,3 +2279,101 @@ class TestSpatialContainmentJoin:
         )
         got = [(r.p, r.z) for r in self._within(store).collect()]
         assert got == [("urn:pt:far", "urn:z:wide")]
+
+
+class TestRound8SpecFills:
+    """SELECT *, trailing VALUES, inline aggregates in HAVING,
+    UUID/STRUUID (round 8 continuation)."""
+
+    @pytest.fixture(scope="class")
+    def knows_store(self, spark):
+        rows = [
+            ("urn:p:1", "urn:ex:knows", "urn:p:2"),
+            ("urn:p:1", "urn:ex:knows", "urn:p:3"),
+            ("urn:p:2", "urn:ex:knows", "urn:p:3"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_select_star(self, toy_store):
+        got = run(toy_store, "SELECT * WHERE { ?p ex:age ?a } ORDER BY ?p")
+        assert got.columns == ["p", "a"]
+        assert [tuple(r) for r in got.collect()] == [
+            ("urn:p:1", "36"), ("urn:p:2", "47"),
+        ]
+
+    def test_select_star_hides_metadata_sidecars(self, spark):
+        # SELECT * with a LANG filter: the __meta_ sidecar must not
+        # leak into the star expansion
+        rows = [("urn:n:1", "urn:ex:label", "Berlin", "de", None)]
+        store = TripleStore(
+            spark.createDataFrame(
+                rows, "s string, p string, o string, lang string, dt string"
+            )
+        )
+        got = run(
+            store,
+            'SELECT * WHERE { ?s ex:label ?l FILTER(LANG(?l) = "de") }',
+        )
+        assert got.columns == ["s", "l"]
+
+    def test_trailing_values_joins_pattern(self, toy_store):
+        got = run(
+            toy_store,
+            "SELECT ?n WHERE { ?p ex:name ?n } ORDER BY ?n "
+            'VALUES ?n { "ada" "alan" }',
+        )
+        assert [r.n for r in got.collect()] == ["ada", "alan"]
+
+    def test_trailing_values_multi(self, toy_store):
+        got = run(
+            toy_store,
+            "SELECT ?n ?a WHERE { ?p ex:name ?n . ?p ex:age ?a } "
+            'VALUES (?n ?a) { ("ada" "36") ("grace" "99") }',
+        )
+        # ("grace", "99") matches no binding: VALUES is a JOIN
+        assert [tuple(r) for r in got.collect()] == [("ada", "36")]
+
+    def test_having_inline_aggregate(self, knows_store):
+        got = run(
+            knows_store,
+            "SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s ex:knows ?o } "
+            "GROUP BY ?s HAVING(COUNT(?o) >= 2) ORDER BY ?s",
+        )
+        assert [tuple(r) for r in got.collect()] == [("urn:p:1", 2)]
+
+    def test_having_hidden_aggregate_dropped(self, knows_store):
+        # no projected aggregate at all: the hidden __having_0 column
+        # must not survive into the output
+        got = run(
+            knows_store,
+            "SELECT ?s WHERE { ?s ex:knows ?o } GROUP BY ?s "
+            "HAVING(COUNT(?o) >= 2)",
+        )
+        assert got.columns == ["s"]
+        assert [r.s for r in got.collect()] == ["urn:p:1"]
+
+    def test_having_mixes_alias_and_inline(self, knows_store):
+        got = run(
+            knows_store,
+            "SELECT ?s (COUNT(?o) AS ?c) WHERE { ?s ex:knows ?o } "
+            "GROUP BY ?s HAVING(COUNT(?o) >= 1 && ?c <= 5) ORDER BY ?s",
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            ("urn:p:1", 2), ("urn:p:2", 1),
+        ]
+
+    def test_struuid_and_uuid_shapes(self, toy_store):
+        import re as _re
+
+        got = run(
+            toy_store,
+            "SELECT ?n (STRUUID() AS ?u) (UUID() AS ?iri) "
+            "WHERE { ?p a ex:Person . ?p ex:name ?n }",
+        ).collect()
+        assert len(got) == 3
+        assert all(_re.fullmatch(r"[0-9a-f-]{36}", r.u) for r in got)
+        assert all(r.iri.startswith("urn:uuid:") for r in got)
+        # nondeterministic but UNIQUE per row
+        assert len({r.u for r in got}) == 3
