@@ -7656,6 +7656,8 @@ def _sql_sp16():
         printf('%.2f', o_totalprice) FROM orders
       UNION ALL SELECT 'urn:order:' || o_orderkey, 'urn:ex:priority',
         o_orderpriority FROM orders
+      UNION ALL SELECT 'urn:order:' || o_orderkey, 'urn:ex:date',
+        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') FROM orders
     """
     return f"""
     WITH full_graph AS ({full}),
@@ -8355,6 +8357,7 @@ def _sql_sp32():
       UNION ALL SELECT 'geo:wktLiteral' FROM supplier
       UNION ALL SELECT '{xs}string' FROM orders
       UNION ALL SELECT '{xs}decimal' FROM orders
+      UNION ALL SELECT '{xs}dateTime' FROM orders
     )
     SELECT dt, count(*) AS cnt FROM lits GROUP BY dt ORDER BY dt
     """
@@ -8397,6 +8400,39 @@ def _sql_sp33():
     FROM supplier
     JOIN region ON ((s_suppkey * 37) % 100) // 20 = r_regionkey
     GROUP BY rname ORDER BY rname
+    """
+
+
+def sp34_date_rollup(spark, sf_dir):
+    """SPARQL datetime accessors — round 8: YEAR()/MONTH() over the
+    order graph's ex:date xsd:dateTime literals (compiler.py: one
+    anchored regexp group + try_cast per accessor — pure Catalyst,
+    type-error rows drop as NULL), the monthly order-volume rollup
+    every warehouse asks of an RDF event graph. FILTER(YEAR(?d) >=
+    1997) prunes BEFORE the aggregate; grouped on the two BIND
+    columns like native keys."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?y ?m (COUNT(?o) AS ?n) WHERE {
+          ?o a ex:Order .
+          ?o ex:date ?d .
+          BIND(YEAR(?d) AS ?y)
+          BIND(MONTH(?d) AS ?m)
+          FILTER(YEAR(?d) >= 1997)
+        } GROUP BY ?y ?m ORDER BY ?y ?m
+        """,
+    )
+
+
+def _sql_sp34():
+    return """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           count(*) AS n
+    FROM orders WHERE year(o_orderdate) >= 1997
+    GROUP BY y, m ORDER BY y, m
     """
 
 
@@ -9472,10 +9508,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 23 remaining r03-stamped rows, then the 3 oldest r05-stamped
     # rows to fill 50. After r08 every stamp is r04+.
     # r09 rotation (staged below the window, in order): the round-8
-    # additions (sp25-sp32 incl. the literal-metadata pair sp31/sp32 +
-    # the TPC-H closers q05/q06/q08/q15/q11/q16/q17/q19-q22, never
-    # stamped), then the r04-stamped block (oldest remaining
-    # attestation), then the r05-stamped remainder.
+    # additions (sp25-sp34 incl. the literal-metadata pair sp31/sp32,
+    # the grid-cover containment join sp33, the datetime rollup sp34,
+    # hybrid retrieval sim12, + the TPC-H closers q05/q06/q08/q15/
+    # q11/q16/q17/q19-q22, never stamped), then the r04-stamped block
+    # (oldest remaining attestation), then the r05-stamped remainder.
     # --- never driver-stamped round-6 additions (r07 positions 1-22) ---
     "sp17_bind_bucket": sp17_bind_bucket,
     "sp18_select_expressions": sp18_select_expressions,
@@ -9542,6 +9579,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp32_datatype_audit": sp32_datatype_audit,
     "sp33_spatial_containment": sp33_spatial_containment,
     "sim12_hybrid_rrf": sim12_hybrid_rrf,
+    "sp34_date_rollup": sp34_date_rollup,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -9901,6 +9939,7 @@ _ORACLES: dict[str, str] = {
     "sp32_datatype_audit": _sql_sp32(),
     "sp33_spatial_containment": _sql_sp33(),
     "sim12_hybrid_rrf": _sql_sim12(),
+    "sp34_date_rollup": _sql_sp34(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

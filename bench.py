@@ -130,6 +130,11 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "sp26_spatial_pairs",
     "sp27_bounded_path",
+    # round 8 continuation: literal-metadata sidecar aggregation, the
+    # grid-cover point-in-polygon join, and hybrid BM25+cosine RRF
+    "sp31_lang_facets",
+    "sp33_spatial_containment",
+    "sim12_hybrid_rrf",
 ]
 
 

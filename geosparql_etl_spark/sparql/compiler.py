@@ -1631,11 +1631,17 @@ def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
         .withColumn("__cx", F.floor(px / cell))
         .withColumn("__cy", F.floor(py / cell))
     )
-    ring = wkt_polygon_ring(F.col(v))
+    # materialize the parsed ring ONCE as a column: every later use is
+    # an attribute reference. Inlining wkt_polygon_ring's parse tree
+    # into the 4 bbox bounds + the 6 references inside point_in_ring
+    # multiplies a large expression ~10x — measured 4.5s of pure
+    # driver-side analysis per query before this, ~1s after.
+    ring = F.col("__ring")
     xs = F.transform(ring, lambda p: p[0])
     ys = F.transform(ring, lambda p: p[1])
     polys = (
         frames[gi]
+        .withColumn("__ring", wkt_polygon_ring(F.col(v)))
         .withColumn(
             "__cx",
             F.explode(
@@ -1655,10 +1661,12 @@ def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
             ),
         )
     )
+    # only the positive forms reach here (_match_var_var_sfwithin):
+    # sfDisjoint pairs share no cell, so a cell join cannot express it
     joined = (
         pts.join(polys, on=["__cx", "__cy"])
-        .drop("__cx", "__cy")
-        .where(_compile_expr(expr))
+        .where(point_in_ring(ring, px, py))
+        .drop("__cx", "__cy", "__ring")
     )
     for idx in sorted((pi, gi), reverse=True):
         frames.pop(idx)
@@ -1719,7 +1727,10 @@ def _grid_spatial_rewrite(frames: list, expr) -> bool:
 
 # -- FILTER expression -> Column --------------------------------------------
 
-_NUMERIC_CALLS = {"geof:distance", "strlen", "round", "floor", "ceil", "abs"}
+_NUMERIC_CALLS = {
+    "geof:distance", "strlen", "round", "floor", "ceil", "abs",
+    "year", "month", "day", "hours", "minutes", "seconds",
+}
 
 
 def _is_numeric(node) -> bool:
@@ -1961,6 +1972,31 @@ def _compile_call(node) -> Column:
         if r == "*":
             return tag.isNotNull() & (tag != "")
         return (tag == F.lit(r)) | tag.startswith(r + "-")
+    if fname in ("year", "month", "day", "hours", "minutes", "seconds"):
+        # SPARQL datetime accessors over the LEXICAL form of an
+        # xsd:dateTime literal (yyyy-MM-ddTHH:mm:ss): one anchored
+        # regexp group + try_cast — a non-dateTime lexical extracts
+        # "" and casts to NULL, the type-error row-drop semantics
+        # every numeric path in this engine uses
+        group = {
+            "year": 1, "month": 2, "day": 3,
+            "hours": 4, "minutes": 5, "seconds": 6,
+        }[fname]
+        pat = r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})"
+        return F.regexp_extract(
+            _operand_col(args[0], False), pat, group
+        ).try_cast("int")
+    if fname == "tz":
+        # TZ(): the timezone string of the lexical — "" when absent
+        # (this engine's dateTime lexicals are timezone-free)
+        return F.regexp_extract(
+            _operand_col(args[0], False), r"(Z|[+-]\d{2}:\d{2})$", 1
+        )
+    if fname == "now":
+        # nondeterministic by nature; evaluated once per query per
+        # Spark's current_timestamp semantics, projected in the
+        # engine's canonical dateTime lexical form
+        return F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss")
     if fname in ("uuid", "struuid"):
         # nondeterministic by spec; one fresh UUID per binding row.
         # STRUUID -> the bare simple literal, UUID -> a urn:uuid: IRI

@@ -141,8 +141,9 @@ def _tpch_spec() -> dict[str, tuple[Column, list]]:
                      ex:parent urn:supp:(K DIV 2) for K > 1 (binary
                      tree — gives property paths a real hierarchy to
                      close over, depth log2(N))
-      urn:order:K    rdf:type ex:Order ; ex:customer ; ex:total (%.2f) ;
-                     ex:priority
+      urn:order:K    rdf:type ex:Order ; ex:customer ; ex:total
+                     (%.2f, ^^xsd:decimal) ; ex:priority ;
+                     ex:date "yyyy-MM-ddTHH:mm:ss"^^xsd:dateTime
     """
     return {
         "region": (
@@ -239,6 +240,11 @@ def _tpch_spec() -> dict[str, tuple[Column, list]]:
                     {"dt": F.lit(XSD + "decimal")},
                 ),
                 (EX + "priority", F.col("o_orderpriority")),
+                (
+                    EX + "date",
+                    F.date_format(F.col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss"),
+                    {"dt": F.lit(XSD + "dateTime")},
+                ),
             ],
         ),
     }

@@ -2377,3 +2377,64 @@ class TestRound8SpecFills:
         assert all(r.iri.startswith("urn:uuid:") for r in got)
         # nondeterministic but UNIQUE per row
         assert len({r.u for r in got}) == 3
+
+
+class TestDatetimeAccessors:
+    """SPARQL YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS/TZ over
+    xsd:dateTime lexicals (round 8 continuation)."""
+
+    @pytest.fixture(scope="class")
+    def dt_store(self, spark):
+        rows = [
+            ("urn:e:1", "urn:ex:at", "1997-03-15T10:30:45"),
+            ("urn:e:2", "urn:ex:at", "1998-12-01T23:59:59"),
+            ("urn:e:3", "urn:ex:at", "not-a-date"),
+            ("urn:e:4", "urn:ex:at", "2001-07-04T08:15:00+05:30"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_accessors(self, dt_store):
+        got = run(
+            dt_store,
+            "SELECT ?s (YEAR(?d) AS ?y) (MONTH(?d) AS ?mo) (DAY(?d) AS ?dd) "
+            "(HOURS(?d) AS ?h) (MINUTES(?d) AS ?mi) (SECONDS(?d) AS ?sec) "
+            "WHERE { ?s ex:at ?d } ORDER BY ?s",
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            ("urn:e:1", 1997, 3, 15, 10, 30, 45),
+            ("urn:e:2", 1998, 12, 1, 23, 59, 59),
+            # non-dateTime lexical: every accessor is a type error
+            ("urn:e:3", None, None, None, None, None, None),
+            ("urn:e:4", 2001, 7, 4, 8, 15, 0),
+        ]
+
+    def test_year_filter_drops_type_errors(self, dt_store):
+        got = run(
+            dt_store,
+            "SELECT ?s WHERE { ?s ex:at ?d FILTER(YEAR(?d) >= 1998) } "
+            "ORDER BY ?s",
+        ).collect()
+        # e:3's NULL year fails every comparison; e:1 is below the bar
+        assert [r.s for r in got] == ["urn:e:2", "urn:e:4"]
+
+    def test_tz(self, dt_store):
+        got = run(
+            dt_store,
+            "SELECT ?s (TZ(?d) AS ?z) WHERE { ?s ex:at ?d } ORDER BY ?s",
+        ).collect()
+        assert [(r.s, r.z) for r in got] == [
+            ("urn:e:1", ""), ("urn:e:2", ""), ("urn:e:3", ""),
+            ("urn:e:4", "+05:30"),
+        ]
+
+    def test_now_shape(self, dt_store):
+        import re as _re
+
+        got = run(
+            dt_store, "SELECT (NOW() AS ?t) WHERE { ?s ex:at ?d } LIMIT 1"
+        ).collect()
+        assert _re.fullmatch(
+            r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", got[0].t
+        )
