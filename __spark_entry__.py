@@ -8761,6 +8761,79 @@ def _sql_llm18():
     )
 
 
+def llm21_dataset_card(spark, sf_dir):
+    """Per-source DATASET CARD — round 8: the summary table every
+    training-data release ships (docs, token budget, language mix,
+    quality distribution), produced in ONE corpus scan: the per-doc
+    battery (BPE-ish token count, composite quality — the txt04/txt03
+    columns) computes in a single projection, then one groupBy(source)
+    with partial-aggregable stats. Exact BIGINT counts/sums; quality
+    quartiles via exact linear-interpolation percentile over the
+    rounded per-doc scores (both engines interpolate identically on
+    identical doubles). At 100 TB this is the same two-stage plan —
+    map-side combine on the projection pass, sources are few so the
+    final exchange is tiny."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        bpe_ish_token_count(F.col("text")).alias("toks"),
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.sum((F.col("lang") == "en").cast("bigint")).alias("n_en"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+            F.round(F.percentile(F.col("q"), 0.25), 6).alias("q25"),
+            F.round(F.percentile(F.col("q"), 0.5), 6).alias("q50"),
+            F.round(F.percentile(F.col("q"), 0.75), 6).alias("q75"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_llm21():
+    nospace = "regexp_replace(text, '\\s+', '', 'g')"
+    punct = (
+        f"CASE WHEN len({nospace}) > 0 THEN "
+        f"len(regexp_replace({nospace}, '[\\w]', '', 'g'))::DOUBLE "
+        f"/ len({nospace}) ELSE 0.0 END"
+    )
+    words = "regexp_split_to_array(trim(text), '\\s+')"
+    mwl = (
+        f"CASE WHEN len({words}) > 0 THEN "
+        f"list_aggregate(list_transform({words}, w -> len(w)), "
+        f"'sum')::DOUBLE / len({words}) ELSE 0.0 END"
+    )
+    quality = f"""round((
+      (CASE WHEN coalesce(len(text),0) BETWEEN 100 AND 20000 THEN 1.0
+            WHEN coalesce(len(text),0) > 0 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN {punct} <= 0.2 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN {mwl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+    ) / 3.0, 6)"""
+    return rf"""
+    WITH per AS (
+      SELECT source, lang, n_chars,
+             len(regexp_extract_all(text,
+                 '''(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]+')) AS toks,
+             {quality} AS q
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en,
+           round(avg(n_chars), 6) AS mean_chars,
+           round(quantile_cont(q, 0.25), 6) AS q25,
+           round(quantile_cont(q, 0.50), 6) AS q50,
+           round(quantile_cont(q, 0.75), 6) AS q75
+    FROM per GROUP BY source ORDER BY source
+    """
+
+
 def llm20_bpe_tokenize(spark, sf_dir):
     """BPE round-trip — round 6: llm18 LEARNS the merge table; this
     APPLIES it (operators/bpe.py:apply_bpe_merges) to tokenize the
@@ -9580,6 +9653,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp33_spatial_containment": sp33_spatial_containment,
     "sim12_hybrid_rrf": sim12_hybrid_rrf,
     "sp34_date_rollup": sp34_date_rollup,
+    "llm21_dataset_card": llm21_dataset_card,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -9940,6 +10014,7 @@ _ORACLES: dict[str, str] = {
     "sp33_spatial_containment": _sql_sp33(),
     "sim12_hybrid_rrf": _sql_sim12(),
     "sp34_date_rollup": _sql_sp34(),
+    "llm21_dataset_card": _sql_llm21(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
