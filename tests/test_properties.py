@@ -646,3 +646,52 @@ def test_bounded_repetition_matches_bruteforce(spark, edges, lo, span):
         ).collect()
     }
     assert got == want
+
+
+_lex = st.text(
+    alphabet="abcdefghij XYZ0123456789", min_size=1, max_size=12
+).filter(lambda s: s.strip() == s and s != "")
+_tag = st.one_of(
+    st.none(), st.sampled_from(["en", "fr", "de", "es-ES", "zh-Hant"])
+)
+
+
+@given(
+    lits=st.lists(st.tuples(_lex, _tag), min_size=1, max_size=12),
+    probe=st.sampled_from(["en", "fr", "es", "*"]),
+)
+@settings(**_SETTINGS)
+def test_lang_metadata_turtle_roundtrip(spark, lits, probe):
+    """Literal-metadata invariant (round 8): serializing random
+    (lexical, lang-tag) literals to Turtle, loading them back, and
+    filtering with LANGMATCHES agrees with a pure-Python RFC 4647
+    basic filter over the same pairs — parser, store metadata
+    columns, need-analysis sidecars, and the LANGMATCHES compile all
+    verified in one loop."""
+    from geosparql_etl_spark.sources.turtle import turtle_to_triples
+    from geosparql_etl_spark.sparql import TripleStore, sparql_select
+
+    lines = []
+    for i, (lex, tag) in enumerate(lits):
+        suffix = f"@{tag}" if tag else ""
+        lines.append(f'<urn:d:{i}> <urn:ex:label> "{lex}"{suffix} .')
+    docs = spark.createDataFrame(
+        [("mem://p.ttl", "\n".join(lines))], "path string, text string"
+    )
+    store = TripleStore.from_ntriples(turtle_to_triples(docs))
+    got = sparql_select(
+        store,
+        "PREFIX ex: <urn:ex:> SELECT ?s WHERE { ?s ex:label ?l "
+        f'FILTER(LANGMATCHES(LANG(?l), "{probe}")) }}',
+    ).collect()
+
+    def matches(tag):
+        if tag is None:
+            return False
+        t = tag.lower()
+        if probe == "*":
+            return True
+        return t == probe or t.startswith(probe + "-")
+
+    want = sorted(f"urn:d:{i}" for i, (_, tag) in enumerate(lits) if matches(tag))
+    assert sorted(r.s for r in got) == want
