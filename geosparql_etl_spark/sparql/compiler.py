@@ -119,7 +119,7 @@ _TOKEN_RE = re.compile(
     | (?P<number>-?\d+\.\d+|-?\d+)
     | (?P<pname>[A-Za-z_][\w-]*:[\w.-]*)
     | (?P<word>[A-Za-z_]\w*)
-    | (?P<op>&&|\|\||!=|<=|>=|[{}().=<>!*,/^+|;?-])
+    | (?P<op>&&|\|\||!=|<=|>=|[{}()\[\].=<>!*,/^+|;?-])
     """,
     re.X,
 )
@@ -192,6 +192,8 @@ class Query:
 
 
 class _Parser:
+    _anon = 0  # fresh-variable counter for [] / [ p o ] blank nodes
+
     def __init__(self, tokens: list[str]):
         self.toks = tokens
         self.i = 0
@@ -250,6 +252,12 @@ class _Parser:
             # term from the plain literal with the same lexical form:
             # it carries its metadata into the pattern match
             return ("lit", lex, lang, dt)
+        if tok.startswith("_:"):
+            # a blank node label is an existential: it compiles as a
+            # non-projectable variable (the standard desugar). Labels
+            # share scope across the whole query — a documented
+            # superset of the spec's per-BGP scoping
+            return ("var", "__bn_" + tok[2:])
         if ":" in tok:
             return ("const", self._expand(tok))
         raise ValueError(f"bad term {tok!r}")
@@ -837,25 +845,57 @@ class _Parser:
                 # ';' repeats the subject, ',' repeats subject+predicate
                 # — the same object-list grammar the Turtle source
                 # accepts (sources/turtle.py), so queries paste from
-                # data files unchanged
-                s = self.term()
-                while True:
-                    p = self.path_term()
+                # data files unchanged. '[ p o ; ... ]' blank-node
+                # property lists desugar to a fresh existential
+                # variable plus their inner patterns (subject or
+                # object position, nestable).
+                s = self._term_or_bnode(bgp)
+                # a bare '[ p o ] .' block is a complete triples node
+                if not (self.peek() in (".", "}") and s[0] == "var"
+                        and s[1].startswith("__bn_")):
                     while True:
-                        bgp.append((s, p, self.term()))
-                        if self.peek() == ",":
+                        p = self.path_term()
+                        while True:
+                            bgp.append((s, p, self._term_or_bnode(bgp)))
+                            if self.peek() == ",":
+                                self.next()
+                                continue
+                            break
+                        if self.peek() == ";":
                             self.next()
+                            # dangling ';' before '.' or '}' is legal
+                            # Turtle
+                            if self.peek() in (".", "}"):
+                                break
                             continue
                         break
-                    if self.peek() == ";":
-                        self.next()
-                        # dangling ';' before '.' or '}' is legal Turtle
-                        if self.peek() in (".", "}"):
-                            break
-                        continue
-                    break
                 if self.peek() == ".":
                     self.next()
+
+    def _term_or_bnode(self, bgp: list) -> Term:
+        """A term, or a '[' blank-node property list desugared into
+        ``bgp``: '[]' is a fresh anonymous variable; '[ p1 o1 ; p2 o2
+        ]' additionally emits the inner patterns with that variable as
+        subject. Nested brackets recurse."""
+        if self.peek() != "[":
+            return self.term()
+        self.next()
+        self._anon += 1
+        var: Term = ("var", f"__bn_anon{self._anon}")
+        while self.peek() != "]":
+            p = self.path_term()
+            while True:
+                bgp.append((var, p, self._term_or_bnode(bgp)))
+                if self.peek() == ",":
+                    self.next()
+                    continue
+                break
+            if self.peek() == ";":
+                self.next()
+                continue
+            break
+        self.expect("]")
+        return var
 
     # -- FILTER expressions (precedence: || < && < ! < cmp) ----------------
     def _expr_or(self):

@@ -418,7 +418,7 @@ def test_sparql_bgp_matches_bruteforce(spark, triples, data):
 
 @given(
     junk=st.text(
-        alphabet="?{}()<>.a b\"'|/^+;=!&,*-SELECTWHREFILconstructBINDOF0123:",
+        alphabet="?{}()<>.a b\"'|/^+;=!&,*-SELECTWHREFILconstructBINDOF0123:@eLANGVUID",
         min_size=0,
         max_size=60,
     )

@@ -2438,3 +2438,68 @@ class TestDatetimeAccessors:
         assert _re.fullmatch(
             r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}", got[0].t
         )
+
+
+class TestBlankNodeSyntax:
+    """_:label terms and [ p o ; ... ] property lists (round 8
+    continuation): both desugar to internal non-projectable
+    variables; brackets also emit their inner patterns."""
+
+    @pytest.fixture(scope="class")
+    def addr_store(self, spark):
+        rows = [
+            ("urn:p:1", "urn:ex:name", "ada"),
+            ("urn:p:1", "urn:ex:age", "36"),
+            ("urn:p:1", "urn:ex:addr", "urn:a:1"),
+            ("urn:a:1", "urn:ex:city", "london"),
+            ("urn:a:1", "urn:ex:zip", "E1"),
+            ("urn:p:2", "urn:ex:name", "grace"),
+            ("urn:p:2", "urn:ex:age", "47"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_bnode_label_joins(self, addr_store):
+        got = run(
+            addr_store,
+            'SELECT ?n WHERE { _:b ex:name ?n . _:b ex:age "47" }',
+        )
+        assert [r.n for r in got.collect()] == ["grace"]
+        assert got.columns == ["n"]  # the label never projects
+
+    def test_anon_property_list_subject(self, addr_store):
+        got = run(
+            addr_store,
+            'SELECT ?n WHERE { [ ex:name ?n ; ex:age "36" ] }',
+        ).collect()
+        assert [r.n for r in got] == ["ada"]
+
+    def test_anon_object_and_nesting(self, addr_store):
+        got = run(
+            addr_store,
+            "SELECT ?n WHERE { ?p ex:name ?n ; "
+            'ex:addr [ ex:city "london" ; ex:zip "E1" ] }',
+        ).collect()
+        assert [r.n for r in got] == ["ada"]
+
+    def test_bracket_subject_with_predicate_list(self, addr_store):
+        got = run(
+            addr_store,
+            'SELECT ?c WHERE { [ ex:city ?c ] ex:zip "E1" }',
+        ).collect()
+        assert [r.c for r in got] == ["london"]
+
+    def test_empty_anon_object(self, addr_store):
+        # []: pure existential — matches any object of ex:addr
+        got = run(
+            addr_store,
+            "SELECT ?n WHERE { ?p ex:name ?n . ?p ex:addr [] }",
+        ).collect()
+        assert [r.n for r in got] == ["ada"]
+
+    def test_select_star_excludes_bnode_vars(self, addr_store):
+        got = run(
+            addr_store, 'SELECT * WHERE { _:b ex:name ?n . _:b ex:age ?a }'
+        )
+        assert sorted(got.columns) == ["a", "n"]
