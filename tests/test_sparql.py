@@ -2503,3 +2503,41 @@ class TestBlankNodeSyntax:
             addr_store, 'SELECT * WHERE { _:b ex:name ?n . _:b ex:age ?a }'
         )
         assert sorted(got.columns) == ["a", "n"]
+
+
+def test_lake_roundtrip_preserves_literal_metadata(spark, tmp_path):
+    """Metadata e2e (round 8): a lang/datatype-bearing graph written
+    through the ntriples sink, read back as a LIVE lake store, still
+    answers LANG()/DATATYPE() — the writer serializes "x"@tag /
+    "x"^^<dt> forms, the reader re-parses them, and the lake scan
+    serves the metadata sidecars."""
+    from geosparql_etl_spark.sources.ntriples import register
+    from geosparql_etl_spark.sparql import NTriplesLakeStore
+    from geosparql_etl_spark.sparql.triples import to_ntriples_rows
+
+    register(spark)
+    rows = [
+        ("urn:n:1", "urn:ex:label", "Berlin", "de", None),
+        ("urn:n:2", "urn:ex:label", "york", None, None),
+        ("urn:n:1", "urn:ex:pop", "36", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+    ]
+    g = spark.createDataFrame(
+        rows, "s string, p string, o string, lang string, dt string"
+    )
+    out = str(tmp_path / "lake")
+    to_ntriples_rows(g).write.format("ntriples").mode("overwrite").save(out)
+    store = NTriplesLakeStore(spark, out)
+    got = sparql_select(
+        store,
+        PFX + 'SELECT ?s WHERE { ?s ex:label ?l '
+        'FILTER(LANGMATCHES(LANG(?l), "de")) }',
+    ).collect()
+    assert [r.s for r in got] == ["urn:n:1"]
+    got = sparql_select(
+        store,
+        PFX + "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        "SELECT ?s ?v WHERE { ?s ex:pop ?v "
+        "FILTER(DATATYPE(?v) = xsd:integer) }",
+    ).collect()
+    assert [tuple(r) for r in got] == [("urn:n:1", "36")]
