@@ -2439,6 +2439,63 @@ def _sql_d09():
     """
 
 
+def llm22_source_overlap(spark, sf_dir):
+    """Cross-source duplication MATRIX — round 8: for every pair of
+    sources, how many near-dup document pairs straddle them (the
+    "which crawls duplicate each other" question that decides what a
+    curation team deduplicates against what). Rides d09's
+    pigeonhole-banded SimHash pair plan unchanged — candidates from
+    band equi-joins, exact popcount decides — then two source-label
+    joins and one tiny (sources x sources) aggregation; pair keys are
+    least/greatest-normalized so the matrix is upper-triangular and
+    order-insensitive. The diagonal (src_a = src_b) is within-source
+    duplication, itself a useful budget signal."""
+    from geosparql_etl_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(d, "doc_id", "text", max_hamming=3, bands=4)
+    src = d.select("doc_id", "source")
+    labeled = (
+        pairs.select("id_a", "id_b")
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _sql_llm22():
+    base = _sql_d09()
+    return f"""
+    WITH pairs AS ({base}),
+    lab AS (
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM pairs p
+      JOIN documents da ON p.id_a = da.doc_id
+      JOIN documents db ON p.id_b = db.doc_id)
+    SELECT src_a, src_b, count(*) AS n_pairs
+    FROM lab GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """
+
+
 def d12_dup_pagerank(spark, sf_dir):
     """Near-duplication HUB ranking: fixed-point PageRank over d09's
     SimHash pair graph (operators/graph.py) — documents whose
@@ -9654,6 +9711,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim12_hybrid_rrf": sim12_hybrid_rrf,
     "sp34_date_rollup": sp34_date_rollup,
     "llm21_dataset_card": llm21_dataset_card,
+    "llm22_source_overlap": llm22_source_overlap,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10015,6 +10073,7 @@ _ORACLES: dict[str, str] = {
     "sim12_hybrid_rrf": _sql_sim12(),
     "sp34_date_rollup": _sql_sp34(),
     "llm21_dataset_card": _sql_llm21(),
+    "llm22_source_overlap": _sql_llm22(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
