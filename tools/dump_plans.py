@@ -75,6 +75,12 @@ SHOWCASE = [
     ("sp26_spatial_pairs", "SPARQL var-var geof:distance: grid-cell hash join between BGP components — no CartesianProduct"),
     ("sp27_bounded_path", "SPARQL p{2,3}: two hop-joins + one accumulated extension — no fixpoint loop, no node-domain join"),
     ("sp28_clear_graph", "CLEAR GRAPH: null-safe anti-filter over the quad frame — no join"),
+    ("sp31_lang_facets", "SPARQL LANG(): metadata sidecar from ONE scan, grouped like a native column — no extra shuffle width"),
+    ("sp33_spatial_containment", "SPARQL var-var sfWithin: polygon grid-cover explode + cell hash join + exact ray cast — no CartesianProduct"),
+    ("sp34_date_rollup", "SPARQL YEAR/MONTH: regexp accessors pushed below the aggregate, pre-aggregate year filter"),
+    ("sim12_hybrid_rrf", "hybrid retrieval: BM25 bounded aggs + TakeOrdered cuts, k-row RRF fusion join"),
+    ("llm21_dataset_card", "dataset card: one projection pass + one partial-aggregable groupBy(source)"),
+    ("llm22_source_overlap", "cross-source dup matrix: banded SimHash pairs + two label joins + sources-squared agg"),
 ]
 
 
