@@ -8493,6 +8493,69 @@ def _sql_sp34():
     """
 
 
+def sp35_event_chain(spark, sf_dir):
+    """Temporal property path over an EVENT graph — round 8: the
+    events table rendered as per-user linked chains (urn:event:K
+    ex:next urn:event:K', deterministic (ts, event_id) order, one
+    user-partitioned lead() window), then `ex:next+` asks the classic
+    funnel question: per user, how many (view -> any-later purchase)
+    pairs exist. The closure runs by pointer doubling over the next
+    slice — log2(chain) rounds, never chain-length rounds. Scale
+    note: FULL reachability is quadratic in chain length by QUERY
+    semantics (every qualifying pair is an answer row — the oracle
+    pays the same); a deployment that only needs bounded lookahead
+    writes ex:next{1,k} (sp27's quantifier) and stays linear."""
+    from pyspark.sql import Window
+
+    from geosparql_etl_spark.sparql import TripleStore, sparql_select
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.concat(F.lit("urn:event:"), F.col("event_id")).alias("s"),
+        F.col("event_type"),
+        F.concat(F.lit("urn:user:"), F.col("user_id")).alias("actor"),
+        F.concat(F.lit("urn:event:"), F.lead("event_id").over(w)).alias("nxt"),
+    )
+    triples = (
+        seq.select("s", F.lit("urn:ex:kind").alias("p"), F.col("event_type").alias("o"))
+        .unionByName(
+            seq.select("s", F.lit("urn:ex:actor").alias("p"), F.col("actor").alias("o"))
+        )
+        .unionByName(
+            seq.where(F.col("nxt").isNotNull()).select(
+                "s", F.lit("urn:ex:next").alias("p"), F.col("nxt").alias("o")
+            )
+        )
+    )
+    return sparql_select(
+        TripleStore(triples),
+        _SPARQL_PFX
+        + """
+        SELECT ?u (COUNT(?e2) AS ?n) WHERE {
+          ?e1 ex:kind "view" .
+          ?e1 ex:actor ?u .
+          ?e1 ex:next+ ?e2 .
+          ?e2 ex:kind "purchase"
+        } GROUP BY ?u ORDER BY ?u
+        """,
+    )
+
+
+def _sql_sp35():
+    return """
+    WITH seq AS (
+      SELECT 'urn:user:' || user_id AS u, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS r
+      FROM events)
+    SELECT a.u, count(*) AS n
+    FROM seq a JOIN seq b ON a.u = b.u AND b.r > a.r
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    GROUP BY a.u ORDER BY a.u
+    """
+
+
 def _nation_triples(spark, sf_dir):
     """Nations as a small triple graph (sp25's update target)."""
     n = _t(spark, sf_dir, "nation")
@@ -9712,6 +9775,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp34_date_rollup": sp34_date_rollup,
     "llm21_dataset_card": llm21_dataset_card,
     "llm22_source_overlap": llm22_source_overlap,
+    "sp35_event_chain": sp35_event_chain,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10074,6 +10138,7 @@ _ORACLES: dict[str, str] = {
     "sp34_date_rollup": _sql_sp34(),
     "llm21_dataset_card": _sql_llm21(),
     "llm22_source_overlap": _sql_llm22(),
+    "sp35_event_chain": _sql_sp35(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
