@@ -1980,7 +1980,11 @@ def _compile_call(node) -> Column:
         # observable semantics agree). Metadata rides the
         # __meta_lang_<var> sidecar the need-analysis provisioned.
         var = _meta_fn_var(fname, args)
-        return F.coalesce(F.col(_meta_col("lang", var)), F.lit(""))
+        # unbound argument -> error -> unbound (NULL), not ""
+        return F.when(
+            F.col(var).isNotNull(),
+            F.coalesce(F.col(_meta_col("lang", var)), F.lit("")),
+        )
     if fname == "datatype":
         # DATATYPE(?x): rdf:langString for tagged literals, the stored
         # datatype IRI for typed ones, xsd:string for plain literals,

@@ -2541,3 +2541,35 @@ def test_lake_roundtrip_preserves_literal_metadata(spark, tmp_path):
         "FILTER(DATATYPE(?v) = xsd:integer) }",
     ).collect()
     assert [tuple(r) for r in got] == [("urn:n:1", "36")]
+
+
+def test_lang_metadata_union_and_unbound(spark):
+    """LANG() across UNION branches (each branch provisions its own
+    sidecar; unionByName aligns them) and over an UNBOUND optional
+    variable (spec: type error -> unbound, not \"\")."""
+    rows = [
+        ("urn:n:1", "urn:ex:label", "Berlin", "de", None),
+        ("urn:n:2", "urn:ex:alias", "Paris", "fr", None),
+        ("urn:n:3", "urn:ex:label", "york", None, None),
+    ]
+    store = TripleStore(
+        spark.createDataFrame(
+            rows, "s string, p string, o string, lang string, dt string"
+        )
+    )
+    got = run(
+        store,
+        "SELECT ?s ?t WHERE { { ?s ex:label ?l } UNION { ?s ex:alias ?l } "
+        "BIND(LANG(?l) AS ?t) } ORDER BY ?s",
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        ("urn:n:1", "de"), ("urn:n:2", "fr"), ("urn:n:3", ""),
+    ]
+    got = run(
+        store,
+        "SELECT ?s ?t WHERE { ?s ex:label ?l "
+        "OPTIONAL { ?s ex:alias ?a } BIND(LANG(?a) AS ?t) } ORDER BY ?s",
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        ("urn:n:1", None), ("urn:n:3", None),
+    ]
