@@ -664,8 +664,22 @@ class _Parser:
             tok = self.next().upper()
             if tok == "GROUP":
                 self.expect("BY")
-                while self.peek() is not None and self.peek().startswith("?"):
-                    group_by.append(self.next()[1:])
+                while self.peek() is not None and (
+                    self.peek().startswith("?") or self.peek() == "("
+                ):
+                    if self.peek() == "(":
+                        # GROUP BY (expr AS ?v): the spec's computed
+                        # group key — desugared to BIND(expr AS ?v)
+                        # appended to the group + grouping on ?v
+                        self.next()
+                        expr = self._expr_or()
+                        self.expect("AS")
+                        var = self.next()[1:]
+                        self.expect(")")
+                        where.elements.append(("bind", var, expr))
+                        group_by.append(var)
+                    else:
+                        group_by.append(self.next()[1:])
             elif tok == "HAVING":
                 self.expect("(")
                 having = self._expr_or()

@@ -2573,3 +2573,24 @@ def test_lang_metadata_union_and_unbound(spark):
     assert [tuple(r) for r in got] == [
         ("urn:n:1", None), ("urn:n:3", None),
     ]
+
+
+def test_group_by_expression_key(spark):
+    """GROUP BY (expr AS ?v): the spec's computed group key,
+    desugared to BIND + grouping on the alias."""
+    rows = [
+        ("urn:n:1", "urn:ex:label", "Berlin", "de", None),
+        ("urn:n:2", "urn:ex:label", "Paris", "fr", None),
+        ("urn:n:3", "urn:ex:label", "Madrid", "fr", None),
+    ]
+    store = TripleStore(
+        spark.createDataFrame(
+            rows, "s string, p string, o string, lang string, dt string"
+        )
+    )
+    got = run(
+        store,
+        "SELECT ?t (COUNT(?l) AS ?n) WHERE { ?s ex:label ?l } "
+        "GROUP BY (LANG(?l) AS ?t) ORDER BY ?t",
+    ).collect()
+    assert [tuple(r) for r in got] == [("de", 1), ("fr", 2)]
