@@ -7106,6 +7106,91 @@ def _sql_sim12():
     """
 
 
+def sim13_mmr_rerank(spark, sf_dir):
+    """Diversified retrieval — round 8: Maximal Marginal Relevance
+    (Carbonell & Goldstein '98) re-ranking of the vec_id-0 query's
+    top-20 cosine pool (operators/retrieval.py:mmr_rerank): five
+    argmax rounds of lam*relevance - (1-lam)*max-sim-to-selected,
+    lam=0.7, expressed as k tiny anti-join + max-penalty rounds over
+    the ALREADY-CUT pool — candidate generation is the corpus-scale
+    stage, the re-rank is O(k*N^2) by construction. The oracle
+    UNROLLS all five selection rounds in SQL (the llm18/sim11
+    replay-the-iteration argument applied to retrieval), so the
+    driver value-checks the sequential algorithm end to end. Scores
+    round at 1e-9 before each argmax: selection is engine-stable."""
+    from geosparql_etl_spark.operators.retrieval import mmr_rerank
+    from geosparql_etl_spark.operators.similarity import (
+        cosine_topk,
+        pairwise_cosine,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pool = cosine_topk(e, e.where(F.col("vec_id") == 0), k=20, dim=64).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cosine_sim").alias("qsim"),
+    )
+    pool_vecs = e.join(
+        pool.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    pairs = pairwise_cosine(pool_vecs, pool_vecs, dim=64).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cosine_sim").alias("psim"),
+    )
+    return (
+        mmr_rerank(pool, pairs, k=5, lam=0.7)
+        .select(
+            "doc_id",
+            "mmr_rank",
+            F.round("mmr_score", 6).alias("mmr_score"),
+        )
+        .orderBy("mmr_rank")
+    )
+
+
+def _sql_sim13():
+    rounds = []
+    for n in range(2, 6):
+        prev = f"sel{n - 1}"
+        rounds.append(f"""
+    s{n} AS (
+      SELECT c.doc_id, {n} AS mmr_rank,
+             round(0.7 * c.qsim - 0.3 * (
+               SELECT max(p.psim) FROM pairs p
+               JOIN {prev} s ON p.id_b = s.doc_id
+               WHERE p.id_a = c.doc_id), 9) AS score
+      FROM pool c
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+      ORDER BY score DESC, c.doc_id LIMIT 1),
+    sel{n} AS (SELECT doc_id FROM {prev}
+               UNION ALL SELECT doc_id FROM s{n})""")
+    return (
+        """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    pool AS (SELECT c.vec_id AS doc_id,
+                    list_cosine_similarity(q.v, c.v) AS qsim
+             FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id != 0
+             ORDER BY qsim DESC, c.vec_id LIMIT 20),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     list_cosine_similarity(ea.v, eb.v) AS psim
+              FROM pool a JOIN pool b ON a.doc_id != b.doc_id
+              JOIN e ea ON ea.vec_id = a.doc_id
+              JOIN e eb ON eb.vec_id = b.doc_id),
+    s1 AS (SELECT doc_id, 1 AS mmr_rank, round(0.7 * qsim, 9) AS score
+           FROM pool ORDER BY round(0.7 * qsim, 9) DESC, doc_id LIMIT 1),
+    sel1 AS (SELECT doc_id FROM s1),"""
+        + ",".join(rounds)
+        + """
+    SELECT doc_id, mmr_rank, round(score, 6) AS mmr_score FROM (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+      UNION ALL SELECT * FROM s5)
+    ORDER BY mmr_rank
+    """
+    )
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -9776,6 +9861,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm21_dataset_card": llm21_dataset_card,
     "llm22_source_overlap": llm22_source_overlap,
     "sp35_event_chain": sp35_event_chain,
+    "sim13_mmr_rerank": sim13_mmr_rerank,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10139,6 +10225,7 @@ _ORACLES: dict[str, str] = {
     "llm21_dataset_card": _sql_llm21(),
     "llm22_source_overlap": _sql_llm22(),
     "sp35_event_chain": _sql_sp35(),
+    "sim13_mmr_rerank": _sql_sim13(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

@@ -127,3 +127,68 @@ def rrf_fuse(
             F.lit(1.0) / (k + F.col(rank_col)), F.lit(0.0)
         )
     return fused.withColumn(out_col, score)
+
+
+def mmr_rerank(
+    qsims: DataFrame,
+    pairsims: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified selection over a BOUNDED candidate pool.
+
+    ``qsims``: (id_col, qsim) — query relevance of each pool member.
+    ``pairsims``: (id_a, id_b, psim) — pool-internal similarities,
+    both directions. Selects k rounds of
+    ``argmax lam*qsim - (1-lam)*max(psim to selected)`` ->
+    (id_col, mmr_rank, mmr_score).
+
+    Scale design: candidate GENERATION is the corpus-scale stage
+    (TakeOrdered / ANN top-N); this re-ranker is O(k * N^2) on the
+    already-cut pool by construction, expressed as k rounds of tiny
+    anti-join + max-penalty aggregation — no driver-side collect, so
+    the pool bound can grow without touching driver memory. Scores
+    round to 9 decimals before the argmax, so selection order is
+    stable across engines (cosine ulp differences absorbed); ties
+    break on the id.
+    """
+    sel: DataFrame | None = None
+    for r in range(1, k + 1):
+        if sel is None:
+            scored = qsims.select(
+                F.col(id_col),
+                F.round(lam * F.col("qsim"), 9).alias("score"),
+            )
+        else:
+            cand = qsims.join(sel.select(id_col), id_col, "left_anti")
+            pen = (
+                pairsims.join(
+                    sel.select(F.col(id_col).alias("id_b")), "id_b"
+                )
+                .groupBy("id_a")
+                .agg(F.max("psim").alias("pen"))
+            )
+            scored = cand.join(
+                pen, cand[id_col] == pen.id_a, "left"
+            ).select(
+                F.col(id_col),
+                F.round(
+                    lam * F.col("qsim")
+                    - (1 - lam) * F.coalesce(F.col("pen"), F.lit(0.0)),
+                    9,
+                ).alias("score"),
+            )
+        pick = (
+            scored.orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(1)
+            .select(
+                F.col(id_col),
+                F.lit(r).alias("mmr_rank"),
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+    assert sel is not None
+    return sel
