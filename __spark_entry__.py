@@ -8641,6 +8641,85 @@ def _sql_sp35():
     """
 
 
+def sp36_service_join(spark, sf_dir):
+    """SPARQL 1.1 federation — `SERVICE <iri> { P }` (round 8): the
+    order graph lives in the LOCAL store; the customer->nation graph
+    lives behind a registered endpoint (compiler.register_service),
+    and one query joins across the boundary. The reference's
+    consumers would ship their TTL to an external triple store and
+    federate there; this engine models an endpoint as another table
+    provider, so federation compiles to a JOIN between two lazy
+    Catalyst plans — the selective order-side filter still prunes the
+    service side through the join, and AQE sizes the exchange.
+    SERVICE SILENT + unknown endpoint yields the spec's unit solution
+    (tests/test_sparql.py::TestService)."""
+    from geosparql_etl_spark.sparql import (
+        TripleStore,
+        register_service,
+        sparql_select,
+        tpch_store,
+        unregister_service,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    s = F.concat(F.lit("urn:order:"), F.col("o_orderkey").cast("string"))
+    local = TripleStore(
+        o.select(
+            s.alias("s"),
+            F.lit("rdf:type").alias("p"),
+            F.lit("urn:ex:Order").alias("o"),
+        )
+        .unionByName(
+            o.select(
+                s.alias("s"),
+                F.lit("urn:ex:customer").alias("p"),
+                F.concat(
+                    F.lit("urn:cust:"), F.col("o_custkey").cast("string")
+                ).alias("o"),
+            )
+        )
+        .unionByName(
+            o.select(
+                s.alias("s"),
+                F.lit("urn:ex:total").alias("p"),
+                F.format_string("%.2f", F.col("o_totalprice")).alias("o"),
+            )
+        )
+    )
+    register_service("urn:svc:tpch", tpch_store(spark, sf_dir))
+    try:
+        return sparql_select(
+            local,
+            _SPARQL_PFX
+            + """
+            SELECT ?nname (COUNT(?o) AS ?orders) (MAX(?t) AS ?top_total)
+            WHERE {
+              ?o a ex:Order . ?o ex:customer ?c . ?o ex:total ?t .
+              SERVICE <urn:svc:tpch> {
+                ?c ex:nation ?n . ?n ex:name ?nname
+              }
+              FILTER(?t > 400000.0)
+            } GROUP BY ?nname ORDER BY ?nname
+            """,
+        )
+    finally:
+        # the plan is built eagerly inside sparql_select; the registry
+        # entry is only needed at compile time
+        unregister_service("urn:svc:tpch")
+
+
+def _sql_sp36():
+    return """
+    SELECT n_name AS nname, count(*) AS orders,
+           printf('%.2f', max(o_totalprice)) AS top_total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(printf('%.2f', o_totalprice) AS DOUBLE) > 400000.0
+    GROUP BY nname ORDER BY nname
+    """
+
+
 def _nation_triples(spark, sf_dir):
     """Nations as a small triple graph (sp25's update target)."""
     n = _t(spark, sf_dir, "nation")
@@ -9862,6 +9941,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm22_source_overlap": llm22_source_overlap,
     "sp35_event_chain": sp35_event_chain,
     "sim13_mmr_rerank": sim13_mmr_rerank,
+    "sp36_service_join": sp36_service_join,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10226,6 +10306,7 @@ _ORACLES: dict[str, str] = {
     "llm22_source_overlap": _sql_llm22(),
     "sp35_event_chain": _sql_sp35(),
     "sim13_mmr_rerank": _sql_sim13(),
+    "sp36_service_join": _sql_sp36(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

@@ -15,8 +15,10 @@ compilation), not the reference's row loops.
 
 from geosparql_etl_spark.sparql.compiler import (
     parse_query,
+    register_service,
     sparql_select,
     sparql_update,
+    unregister_service,
 )
 from geosparql_etl_spark.sparql.triples import (
     NTriplesLakeStore,
@@ -31,6 +33,8 @@ __all__ = [
     "tpch_store",
     "tpch_triples",
     "parse_query",
+    "register_service",
     "sparql_select",
     "sparql_update",
+    "unregister_service",
 ]

@@ -13,7 +13,10 @@ Covered grammar (the practical core of SPARQL 1.1):
           predicate-object lists) . FILTER(expr) OPTIONAL {...}
           BIND(expr AS ?v) {...} UNION {...} MINUS {...}
           FILTER [NOT] EXISTS {...}
-          VALUES ?v { lits } GRAPH <iri>|?g {...} { SELECT ... } } ;
+          VALUES ?v { lits } GRAPH <iri>|?g {...} { SELECT ... }
+          SERVICE [SILENT] <iri> {...} (against register_service
+          stores; federation compiles to a join, SILENT + unknown
+          endpoint is the spec's unit solution) } ;
   GROUP BY ?v... HAVING(expr) ;
   ORDER BY [?v | ASC(expr) | DESC(expr)]... ; LIMIT n ; OFFSET n
 
@@ -828,6 +831,23 @@ class _Parser:
                 gterm = self.term()
                 flush()
                 g.elements.append(("graph", gterm, self.group()))
+            elif tok.upper() == "SERVICE":
+                # SERVICE [SILENT] <iri> { P }: federated pattern —
+                # the inner group evaluates against the endpoint's
+                # registered store (register_service), its bindings
+                # join the outer group like any other component.
+                self.next()
+                silent = self._kw("SILENT")
+                if silent:
+                    self.next()
+                sterm = self.term()
+                if sterm[0] != "const":
+                    raise ValueError(
+                        "SERVICE endpoint must be a constant IRI "
+                        "(variable endpoints are unsupported)"
+                    )
+                flush()
+                g.elements.append(("service", sterm[1], silent, self.group()))
             elif tok.upper() == "VALUES":
                 self.next()
                 element = self._values_block()
@@ -1117,6 +1137,8 @@ def _walk_group_meta(group: Group, need: dict[str, set[str]]) -> None:
             _walk_group_meta(e[1], need)
         elif kind == "graph":
             _walk_group_meta(e[2], need)
+        elif kind == "service":
+            _walk_group_meta(e[3], need)
         elif kind == "subquery":
             _collect_meta_need(e[1], need)
 
@@ -1143,6 +1165,24 @@ def _collect_meta_need(
 # ---------------------------------------------------------------------------
 # compiler
 # ---------------------------------------------------------------------------
+
+# SERVICE endpoint registry: IRI -> TripleStore. In a deployment each
+# entry is another catalog/table provider (a second triple lake, a
+# different warehouse); locally it is any TripleStore. The SERVICE
+# pattern compiles against the registered store and its bindings join
+# the outer group — federation as a join, not an RPC: both sides stay
+# lazy Catalyst plans, so a selective outer group still prunes the
+# service side through the join (AQE decides broadcast vs shuffle).
+_SERVICES: dict[str, "TripleStore"] = {}
+
+
+def register_service(iri: str, store: "TripleStore") -> None:
+    """Register ``store`` as the SERVICE endpoint ``<iri>``."""
+    _SERVICES[iri] = store
+
+
+def unregister_service(iri: str) -> None:
+    _SERVICES.pop(iri, None)
 
 
 def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataFrame:
@@ -1575,6 +1615,25 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             # projected bindings join the outer group on shared vars —
             # the aggregates-mid-query mechanism
             frames.append(_compile_query(store, payload[0]))
+            _merge_connected(frames)
+        elif kind == "service":
+            iri, silent, inner = payload
+            target = _SERVICES.get(iri)
+            if target is None:
+                if silent:
+                    # spec 18.6: SERVICE SILENT failure yields the
+                    # unit solution — an identity join, i.e. skip
+                    continue
+                raise ValueError(
+                    f"SERVICE endpoint not registered: <{iri}> "
+                    "(register_service)"
+                )
+            prior = getattr(target, "_meta_need", None)
+            target._meta_need = getattr(store, "_meta_need", None)
+            try:
+                frames.append(_compile_group(target, inner))
+            finally:
+                target._meta_need = prior
             _merge_connected(frames)
         elif kind == "bind":
             var, expr = payload

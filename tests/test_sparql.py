@@ -2281,9 +2281,11 @@ class TestSpatialContainmentJoin:
         assert got == [("urn:pt:far", "urn:z:wide")]
 
 
-class TestRound8SpecFills:
+class TestRound8SpecFillsCont:
     """SELECT *, trailing VALUES, inline aggregates in HAVING,
-    UUID/STRUUID (round 8 continuation)."""
+    UUID/STRUUID (round 8 continuation). Named -Cont: an earlier
+    class already holds the round-8 spec-fill tests, and a same-name
+    class would shadow it out of pytest collection entirely."""
 
     @pytest.fixture(scope="class")
     def knows_store(self, spark):
@@ -2594,3 +2596,110 @@ def test_group_by_expression_key(spark):
         "GROUP BY (LANG(?l) AS ?t) ORDER BY ?t",
     ).collect()
     assert [tuple(r) for r in got] == [("de", 1), ("fr", 2)]
+
+
+class TestService:
+    """SERVICE [SILENT] <iri> { P }: federated patterns against
+    register_service stores. Federation is a JOIN between two lazy
+    plans, not an RPC — the endpoint registry stands in for a second
+    catalog/table provider."""
+
+    @pytest.fixture()
+    def remote(self, spark):
+        from geosparql_etl_spark.sparql import (
+            register_service,
+            unregister_service,
+        )
+
+        rows = [
+            ("urn:c:1", "urn:ex:country", "uk"),
+            ("urn:c:2", "urn:ex:country", "uk"),
+            ("urn:c:9", "urn:ex:country", "fr"),
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        register_service("urn:svc:geo", store)
+        yield store
+        unregister_service("urn:svc:geo")
+
+    def test_service_joins_outer(self, toy_store, remote):
+        got = run(
+            toy_store,
+            """
+            SELECT ?n ?country WHERE {
+              ?p ex:name ?n . ?p ex:city ?c .
+              SERVICE <urn:svc:geo> { ?c ex:country ?country }
+            } ORDER BY ?n
+            """,
+        ).collect()
+        assert [tuple(r) for r in got] == [("ada", "uk"), ("grace", "uk")]
+
+    def test_service_data_stays_remote(self, toy_store, remote):
+        # the local store holds NO ex:country triples: bindings can
+        # only have come from the registered endpoint store
+        got = run(
+            toy_store,
+            "SELECT ?c ?country WHERE { ?c ex:country ?country }",
+        ).collect()
+        assert got == []
+
+    def test_service_silent_unknown_is_unit(self, toy_store):
+        got = run(
+            toy_store,
+            """
+            SELECT ?n WHERE {
+              ?p a ex:Person . ?p ex:name ?n .
+              SERVICE SILENT <urn:svc:nowhere> { ?p ex:x ?y }
+            } ORDER BY ?n
+            """,
+        ).collect()
+        # spec 18.6: SILENT failure -> unit solution; outer unchanged
+        assert [r.n for r in got] == ["ada", "alan", "grace"]
+
+    def test_service_unknown_raises(self, toy_store):
+        with pytest.raises(ValueError, match="SERVICE endpoint"):
+            run(
+                toy_store,
+                "SELECT ?n WHERE { ?p ex:name ?n . "
+                "SERVICE <urn:svc:nowhere> { ?p ex:x ?y } }",
+            )
+
+    def test_service_variable_endpoint_rejected(self, toy_store):
+        with pytest.raises(ValueError, match="constant IRI"):
+            run(
+                toy_store,
+                "SELECT ?n WHERE { "
+                "SERVICE ?ep { ?p ex:name ?n } }",
+            )
+
+    def test_service_inside_optional(self, toy_store, remote):
+        # p:3 (alan) has no city -> OPTIONAL leaves ?country unbound
+        got = run(
+            toy_store,
+            """
+            SELECT ?n ?country WHERE {
+              ?p a ex:Person . ?p ex:name ?n .
+              OPTIONAL {
+                ?p ex:city ?c .
+                SERVICE <urn:svc:geo> { ?c ex:country ?country }
+              }
+            } ORDER BY ?n
+            """,
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            ("ada", "uk"), ("alan", None), ("grace", "uk"),
+        ]
+
+    def test_service_filter_applies_to_joined(self, toy_store, remote):
+        got = run(
+            toy_store,
+            """
+            SELECT ?n WHERE {
+              ?p ex:name ?n . ?p ex:city ?c .
+              SERVICE <urn:svc:geo> { ?c ex:country ?country }
+              FILTER(?country = "uk" && ?n != "ada")
+            }
+            """,
+        ).collect()
+        assert [r.n for r in got] == ["grace"]
