@@ -7191,6 +7191,95 @@ def _sql_sim13():
     )
 
 
+def sim14_ann_recall(spark, sf_dir):
+    """ANN index-quality evaluation: per-query recall@5 of the IVF
+    path (sim04's exact configuration: 16 md5-seeded cells, n_probe=2)
+    against exact brute-force cosine top-5, over the 50-query sample
+    vec_id < 50. 'Measure, don't guess' as a first-class query — the
+    number that decides whether an index config ships. The exact arm
+    costs |sample| x corpus dot products, paid once per CONFIG (not
+    per user query), which is how production recall evals run: a fixed
+    query sample, never the full corpus as queries. The hit check is a
+    left join on (query_id, neighbor_id) — both sides are k-bounded
+    (50 x 5 rows), so the join and the per-query aggregate are
+    negligible next to candidate scoring at any scale."""
+    from geosparql_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 50)
+    exact = cosine_topk(e, q, k=5, dim=64).select("query_id", "neighbor_id")
+    approx = ivf_topk(e, q, k=5, dim=64, n_cells=16, n_probe=2).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / F.lit(5.0), 6).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_sim14():
+    from geosparql_etl_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16)
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+        FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id != q.vec_id)
+      WHERE rank <= 5),
+    ct AS (SELECT * FROM (VALUES {rows}) AS t(c, cent)),
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id < 50) WHERE rn <= 2),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    approx AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, neighbor_id
+               ) AS rank
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e ec ON ec.vec_id = cand.neighbor_id)
+      WHERE rank <= 5)
+    SELECT ex.query_id, count(ap.hit) AS n_hit,
+           round(count(ap.hit) / 5.0, 6) AS recall
+    FROM exact ex
+    LEFT JOIN approx ap
+      ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+    GROUP BY ex.query_id ORDER BY ex.query_id
+    """
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -9942,6 +10031,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp35_event_chain": sp35_event_chain,
     "sim13_mmr_rerank": sim13_mmr_rerank,
     "sp36_service_join": sp36_service_join,
+    "sim14_ann_recall": sim14_ann_recall,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10307,6 +10397,7 @@ _ORACLES: dict[str, str] = {
     "sp35_event_chain": _sql_sp35(),
     "sim13_mmr_rerank": _sql_sim13(),
     "sp36_service_join": _sql_sp36(),
+    "sim14_ann_recall": _sql_sim14(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
