@@ -147,14 +147,19 @@ def with_ivf_cell(
     dim: int = 64,
     n_cells: int = 16,
     out_col: str = "ivf_cell",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid: one vectorized
     (batch x dim) @ (dim x cells) matmul + argmax per Arrow batch (see
     with_lsh_buckets for why not per-row folds). Ties resolve to the
-    lowest cell id (np.argmax first-max), deterministically."""
+    lowest cell id (np.argmax first-max), deterministically.
+    ``centroids`` overrides the seeded quantizer with a trained one
+    (e.g. ``lloyd_refine`` output)."""
     from pyspark.sql.functions import pandas_udf
 
-    cents = np.array(_ivf_centroids(dim, n_cells)).T  # dim x cells
+    cents = np.array(
+        centroids if centroids is not None else _ivf_centroids(dim, n_cells)
+    ).T  # dim x cells
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
@@ -176,6 +181,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 1,
     carry_cols: tuple[str, ...] = (),
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: candidates live in the query's nearest
     cell(s); exact cosine re-score inside. ``n_probe`` > 1 widens the
@@ -187,14 +193,16 @@ def ivf_topk(
     generation into the output (e.g. a label for k-NN voting) — free
     vs a post-hoc join of the top-k back onto the corpus, which would
     re-shuffle corpus-sized data a second time."""
-    cb = with_ivf_cell(spread(corpus), vec_col, dim, n_cells).select(
+    cb = with_ivf_cell(
+        spread(corpus), vec_col, dim, n_cells, centroids=centroids
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col), dim).alias("__cn"),
         F.col("ivf_cell").alias("__cell"),
         *[F.col(c) for c in carry_cols],
     )
-    cents = _ivf_centroids(dim, n_cells)
+    cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells)
     scored = F.array(
         *[
             F.struct(

@@ -183,6 +183,39 @@ def test_ivf_topk_structure_and_determinism(spark):
     assert a == b and set(a.values()) <= set(range(4))
 
 
+def test_ivf_custom_centroids_override_quantizer(spark):
+    """Trained centroids (sim15's path) replace the seeded quantizer:
+    with axis-aligned custom centroids the cell is the argmax
+    coordinate, and ivf_topk candidates stay inside the probed cells."""
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_topk,
+        with_ivf_cell,
+    )
+
+    # vectors whose dominant axis is known -> cell == dominant axis
+    rows = [
+        Row(vec_id=0, embedding=[5.0, 0.1, 0.0]),
+        Row(vec_id=1, embedding=[4.0, 0.2, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 3.0, 0.1]),
+        Row(vec_id=3, embedding=[0.1, 2.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.1, 9.0]),
+    ]
+    e = spark.createDataFrame(rows)
+    axes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    cells = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in with_ivf_cell(e, dim=3, n_cells=3, centroids=axes).collect()
+    }
+    assert cells == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+    # n_probe=1 from vec 0: only the cell-0 co-resident is a candidate
+    q = e.where(F.col("vec_id") == 0)
+    got = ivf_topk(
+        e, q, k=5, dim=3, n_cells=3, n_probe=1, centroids=axes
+    ).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in got] == [(0, 1)]
+
+
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     """SCALE.md claims approx_count_distinct as the scale path for A4;
     pin its error band (default rsd=5%) against the exact count."""
