@@ -8934,6 +8934,47 @@ def _sql_sp36():
     """
 
 
+def sp37_zone_geometry(spark, sf_dir):
+    """GeoSPARQL 1.1 non-topological functions (round 8): geof:area /
+    geof:centroid / geof:envelope over the region graph's ex:zone
+    POLYGON wktLiterals — the per-zone geometry audit (how big, where
+    centered, what bounding box) every spatial catalog publishes.
+    All three compile to pure-Catalyst shoelace/bounds math over the
+    once-bound parsed ring (compiler.py binds wkt_polygon_ring as a
+    lambda variable before the multi-reference folds — the sp33
+    plan-size lesson applied at the function layer). The oracle
+    re-derives every value from the zone construction arithmetic
+    (r_regionkey bands with half-unit margins), so the driver checks
+    the geometry math, not string echoes."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?rname ?area ?c ?env WHERE {
+          ?r a ex:Region . ?r ex:name ?rname . ?r ex:zone ?z .
+          BIND(geof:area(?z) AS ?area)
+          BIND(geof:centroid(?z) AS ?c)
+          BIND(geof:envelope(?z) AS ?env)
+        } ORDER BY ?rname
+        """,
+    )
+
+
+def _sql_sp37():
+    return """
+    SELECT r_name AS rname,
+           CAST(2000.0 AS DOUBLE) AS area,
+           'POINT(' || CAST(r_regionkey * 20 + 9.5 AS VARCHAR)
+               || ' 49.5)' AS c,
+           'POLYGON((' || CAST(r_regionkey * 20 - 0.5 AS VARCHAR) || ' -0.5, '
+               || CAST(r_regionkey * 20 + 19.5 AS VARCHAR) || ' -0.5, '
+               || CAST(r_regionkey * 20 + 19.5 AS VARCHAR) || ' 99.5, '
+               || CAST(r_regionkey * 20 - 0.5 AS VARCHAR) || ' 99.5, '
+               || CAST(r_regionkey * 20 - 0.5 AS VARCHAR) || ' -0.5))' AS env
+    FROM region ORDER BY rname
+    """
+
+
 def _nation_triples(spark, sf_dir):
     """Nations as a small triple graph (sp25's update target)."""
     n = _t(spark, sf_dir, "nation")
@@ -10158,6 +10199,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp36_service_join": sp36_service_join,
     "sim14_ann_recall": sim14_ann_recall,
     "sim15_trained_ivf_recall": sim15_trained_ivf_recall,
+    "sp37_zone_geometry": sp37_zone_geometry,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10525,6 +10567,7 @@ _ORACLES: dict[str, str] = {
     "sp36_service_join": _sql_sp36(),
     "sim14_ann_recall": _sql_sim14(),
     "sim15_trained_ivf_recall": _sql_sim15(),
+    "sp37_zone_geometry": _sql_sp37(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

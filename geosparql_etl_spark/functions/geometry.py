@@ -253,6 +253,66 @@ def polygon_bounds(coordinates: Column) -> Column:
     return ring_bounds(outer_ring(coordinates))
 
 
+def ring_centroid(ring: Column) -> Column:
+    """G14: polygon centroid of one simple ring (closed or not) as
+    ``struct(cx, cy)`` — the shoelace-weighted vertex average
+    Cx = sum((x_i+x_j)(x_i*y_j - x_j*y_i)) / (6*A_signed), matching
+    shapely ``Polygon.centroid`` on simple rings. NULL for degenerate
+    rings (signed area 0) and rings with < 3 points — a SPARQL type
+    error upstream. One fold, finish-lambda division (acc fields are
+    bound values inside the lambda, so the fold runs once per row)."""
+    n = F.size(ring)
+
+    def step(acc: Column, i: Column) -> Column:
+        xi = F.element_at(ring, i)[0]
+        yi = F.element_at(ring, i)[1]
+        j = F.when(i == n, 1).otherwise(i + 1)
+        xj = F.element_at(ring, j)[0]
+        yj = F.element_at(ring, j)[1]
+        cr = xi * yj - xj * yi
+        return F.struct(
+            (acc["a2"] + cr).alias("a2"),
+            (acc["cx"] + (xi + xj) * cr).alias("cx"),
+            (acc["cy"] + (yi + yj) * cr).alias("cy"),
+        )
+
+    zero = F.struct(
+        F.lit(0.0).alias("a2"), F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy")
+    )
+    fold = F.aggregate(
+        F.sequence(F.lit(1), n),
+        zero,
+        step,
+        lambda acc: F.when(
+            acc["a2"] != 0.0,
+            F.struct(
+                (acc["cx"] / (acc["a2"] * 3.0)).alias("cx"),
+                (acc["cy"] / (acc["a2"] * 3.0)).alias("cy"),
+            ),
+        ),
+    )
+    return F.when(n >= 3, fold)
+
+
+def bounds_wkt(bounds: Column) -> Column:
+    """G15: (minx, miny, maxx, maxy) struct -> envelope ``POLYGON``
+    WKT (counter-clockwise, closed, raw double rendering — the same
+    rendering convention as polygon_wkt)."""
+    minx = bounds["minx"].cast("string")
+    miny = bounds["miny"].cast("string")
+    maxx = bounds["maxx"].cast("string")
+    maxy = bounds["maxy"].cast("string")
+    return F.concat(
+        F.lit("POLYGON(("),
+        minx, F.lit(" "), miny, F.lit(", "),
+        maxx, F.lit(" "), miny, F.lit(", "),
+        maxx, F.lit(" "), maxy, F.lit(", "),
+        minx, F.lit(" "), maxy, F.lit(", "),
+        minx, F.lit(" "), miny,
+        F.lit("))"),
+    )
+
+
 def is_valid_polygon(geometry_type: Column, coordinates: Column) -> Column:
     """G9 (structural approximation): type=='Polygon', non-empty outer ring
     with >= 4 points when closed / >= 3 distinct points, finite area.

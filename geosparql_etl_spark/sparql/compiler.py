@@ -53,7 +53,9 @@ over WKT literals (the literals the reference mints at
 ``mongo-etl/utils/rdf_utils.py:134-153``) — the polygon/point sides
 may be constants OR data-bound variables; var-var forms between
 disconnected components compile to grid-bucketed joins, never
-CartesianProduct.
+CartesianProduct. GeoSPARQL 1.1 non-topological functions
+geof:area / geof:centroid / geof:envelope (shoelace math over the
+parsed outer ring, pure Catalyst).
 
 Round-8 spec fills: SELECT * (in-scope vars at compile time), the
 trailing VALUES clause (joined into the group per 18.2.4.6), inline
@@ -104,7 +106,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geosparql_etl_spark.functions.geometry import point_in_ring, wkt_polygon_ring
+from geosparql_etl_spark.functions.geometry import (
+    bounds_wkt,
+    point_in_ring,
+    ring_area,
+    ring_bounds,
+    ring_centroid,
+    wkt_polygon_ring,
+)
 from geosparql_etl_spark.sparql.triples import RDF_LANGSTRING, XSD, TripleStore
 
 # ---------------------------------------------------------------------------
@@ -1841,7 +1850,7 @@ def _grid_spatial_rewrite(frames: list, expr) -> bool:
 # -- FILTER expression -> Column --------------------------------------------
 
 _NUMERIC_CALLS = {
-    "geof:distance", "strlen", "round", "floor", "ceil", "abs",
+    "geof:distance", "geof:area", "strlen", "round", "floor", "ceil", "abs",
     "year", "month", "day", "hours", "minutes", "seconds",
 }
 
@@ -2045,6 +2054,51 @@ def _compile_call(node) -> Column:
         ax, ay = _point_xy(_operand_col(args[0], False))
         bx, by = _point_xy(_operand_col(args[1], False))
         return F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+    if fname in ("geof:area", "geof:centroid", "geof:envelope"):
+        # GeoSPARQL 1.1 non-topological functions over wktLiterals.
+        # POINT inputs: area 0, centroid/envelope = the input geometry
+        # (returned as the ORIGINAL lexical — no re-rendering drift).
+        # POLYGON inputs: shoelace math over the parsed outer ring.
+        # Anything else: NULL = SPARQL type error, binding drops.
+        # The parsed ring is BOUND ONCE as a lambda variable before the
+        # multi-reference math — inlining wkt_polygon_ring's parse tree
+        # into every reference multiplies plan analysis time (the sp33
+        # lesson, SCALE.md round 8).
+        g = _operand_col(args[0], False)
+        is_point = g.rlike(r"^\s*POINT\s*\(")
+        ring = wkt_polygon_ring(g)
+
+        def _bound(col: Column, fn) -> Column:
+            return F.get(F.transform(F.array(col), fn), 0)
+
+        if fname == "geof:area":
+            poly_area = _bound(
+                ring, lambda r: F.when(r.isNotNull(), ring_area(r))
+            )
+            return F.when(is_point, F.lit(0.0)).otherwise(poly_area)
+        if fname == "geof:envelope":
+            env = _bound(
+                ring,
+                lambda r: F.when(r.isNotNull(), bounds_wkt(ring_bounds(r))),
+            )
+            return F.when(is_point, g).otherwise(env)
+        pt = _bound(
+            ring,
+            lambda r: _bound(
+                ring_centroid(r),
+                lambda c: F.when(
+                    c.isNotNull(),
+                    F.concat(
+                        F.lit("POINT("),
+                        c["cx"].cast("string"),
+                        F.lit(" "),
+                        c["cy"].cast("string"),
+                        F.lit(")"),
+                    ),
+                ),
+            ),
+        )
+        return F.when(is_point, g).otherwise(pt)
     if fname == "lang":
         # LANG(?x): the binding's language tag ("" for simple literals
         # AND for IRIs — the spec makes LANG(iri) a type error that

@@ -2703,3 +2703,93 @@ class TestService:
             """,
         ).collect()
         assert [r.n for r in got] == ["grace"]
+
+
+class TestGeoNonTopological:
+    """GeoSPARQL 1.1 geof:area / geof:centroid / geof:envelope:
+    shoelace math over the parsed outer ring, POINT passthrough,
+    non-geometry lexicals as type errors (BIND leaves the variable
+    unbound; FILTER drops the row)."""
+
+    @pytest.fixture(scope="class")
+    def geo_store(self, spark):
+        rows = [
+            ("urn:g:sq", "urn:ex:wkt", "POLYGON((0 0, 4 0, 4 2, 0 2, 0 0))"),
+            ("urn:g:tri", "urn:ex:wkt", "POLYGON((0 0, 6 0, 0 6, 0 0))"),
+            ("urn:g:pt", "urn:ex:wkt", "POINT(3.5 -1.5)"),
+            ("urn:g:bad", "urn:ex:wkt", "LINESTRING(0 0, 1 1)"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_area_centroid_envelope(self, geo_store):
+        got = run(
+            geo_store,
+            """
+            SELECT ?s ?a ?c ?e WHERE {
+              ?s ex:wkt ?g .
+              BIND(geof:area(?g) AS ?a)
+              BIND(geof:centroid(?g) AS ?c)
+              BIND(geof:envelope(?g) AS ?e)
+            } ORDER BY ?s
+            """,
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            ("urn:g:bad", None, None, None),
+            ("urn:g:pt", 0.0, "POINT(3.5 -1.5)", "POINT(3.5 -1.5)"),
+            (
+                "urn:g:sq",
+                8.0,
+                "POINT(2.0 1.0)",
+                "POLYGON((0.0 0.0, 4.0 0.0, 4.0 2.0, 0.0 2.0, 0.0 0.0))",
+            ),
+            (
+                "urn:g:tri",
+                18.0,
+                "POINT(2.0 2.0)",
+                "POLYGON((0.0 0.0, 6.0 0.0, 6.0 6.0, 0.0 6.0, 0.0 0.0))",
+            ),
+        ]
+
+    def test_centroid_clockwise_ring_and_unclosed(self, geo_store, spark):
+        # clockwise orientation (negative signed area) and a ring
+        # without the closing repeat both centroid correctly
+        rows = [
+            ("urn:g:cw", "urn:ex:wkt", "POLYGON((0 0, 0 2, 4 2, 4 0, 0 0))"),
+            ("urn:g:open", "urn:ex:wkt", "POLYGON((0 0, 4 0, 4 2, 0 2))"),
+        ]
+        st = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            st,
+            "SELECT ?s ?c WHERE { ?s ex:wkt ?g . "
+            "BIND(geof:centroid(?g) AS ?c) } ORDER BY ?s",
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            ("urn:g:cw", "POINT(2.0 1.0)"),
+            ("urn:g:open", "POINT(2.0 1.0)"),
+        ]
+
+    def test_area_filter_drops_type_errors(self, geo_store):
+        # FILTER over geof:area: the LINESTRING row is a type error
+        # (NULL compares to nothing) and drops; POINT area is 0
+        got = run(
+            geo_store,
+            "SELECT ?s WHERE { ?s ex:wkt ?g . "
+            "FILTER(geof:area(?g) > 5.0) } ORDER BY ?s",
+        ).collect()
+        assert [r.s for r in got] == ["urn:g:sq", "urn:g:tri"]
+
+    def test_degenerate_ring_is_type_error(self, spark):
+        # zero-area polygon: centroid is undefined -> unbound
+        rows = [("urn:g:z", "urn:ex:wkt", "POLYGON((0 0, 2 0, 4 0, 0 0))")]
+        st = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            st,
+            "SELECT ?c WHERE { ?s ex:wkt ?g . BIND(geof:centroid(?g) AS ?c) }",
+        ).collect()
+        assert [r.c for r in got] == [None]
