@@ -8975,6 +8975,59 @@ def _sql_sp37():
     """
 
 
+def sp38_route_length(spark, sf_dir):
+    """geof:length / geof:envelope over LINESTRINGs BUILT FROM DATA
+    (round 8): each supplier gets an L-shaped depot route
+    LINESTRING(50 50, x 50, x y) assembled with string functions from
+    its geo:asWKT POINT lexical, so the polyline length IS the
+    Manhattan distance to the depot — measured by the generic
+    open-polyline fold (functions/geometry.py:polyline_length), not a
+    special case. Long routes (> 60) project with their bounding box.
+    Everything stays pure Catalyst: string slicing, one bound parse of
+    the route, two folds. The oracle re-derives length and bounds from
+    the supplier lattice arithmetic ((37K)%100, (61K)%100), checking
+    the geometry math end to end."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?len ?env WHERE {
+          ?s a ex:Supplier . ?s geo:asWKT ?pt .
+          BIND(STRBEFORE(STRAFTER(?pt, "POINT("), " ") AS ?xs)
+          BIND(STRBEFORE(STRAFTER(?pt, " "), ")") AS ?ys)
+          BIND(CONCAT("LINESTRING(50 50, ", ?xs, " 50, ",
+                      ?xs, " ", ?ys, ")") AS ?route)
+          BIND(geof:length(?route) AS ?len)
+          BIND(geof:envelope(?route) AS ?env)
+          FILTER(?len > 60)
+        } ORDER BY ?s
+        """,
+    )
+
+
+def _sql_sp38():
+    return """
+    WITH s AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+             CAST((s_suppkey * 61) % 100 AS DOUBLE) AS y
+      FROM supplier)
+    SELECT 'urn:supp:' || s_suppkey AS s,
+           abs(x - 50) + abs(y - 50) AS len,
+           'POLYGON((' || CAST(least(x, 50) AS VARCHAR) || ' '
+               || CAST(least(y, 50) AS VARCHAR) || ', '
+               || CAST(greatest(x, 50) AS VARCHAR) || ' '
+               || CAST(least(y, 50) AS VARCHAR) || ', '
+               || CAST(greatest(x, 50) AS VARCHAR) || ' '
+               || CAST(greatest(y, 50) AS VARCHAR) || ', '
+               || CAST(least(x, 50) AS VARCHAR) || ' '
+               || CAST(greatest(y, 50) AS VARCHAR) || ', '
+               || CAST(least(x, 50) AS VARCHAR) || ' '
+               || CAST(least(y, 50) AS VARCHAR) || '))' AS env
+    FROM s WHERE abs(x - 50) + abs(y - 50) > 60 ORDER BY s
+    """
+
+
 def _nation_triples(spark, sf_dir):
     """Nations as a small triple graph (sp25's update target)."""
     n = _t(spark, sf_dir, "nation")
@@ -10200,6 +10253,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim14_ann_recall": sim14_ann_recall,
     "sim15_trained_ivf_recall": sim15_trained_ivf_recall,
     "sp37_zone_geometry": sp37_zone_geometry,
+    "sp38_route_length": sp38_route_length,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10568,6 +10622,7 @@ _ORACLES: dict[str, str] = {
     "sim14_ann_recall": _sql_sim14(),
     "sim15_trained_ivf_recall": _sql_sim15(),
     "sp37_zone_geometry": _sql_sp37(),
+    "sp38_route_length": _sql_sp38(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

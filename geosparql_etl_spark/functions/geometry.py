@@ -253,6 +253,81 @@ def polygon_bounds(coordinates: Column) -> Column:
     return ring_bounds(outer_ring(coordinates))
 
 
+def wkt_linestring_points(wkt: Column) -> Column:
+    """WKT ``LINESTRING(x y, ...)`` string -> point list as
+    ``array<array<double>>``, NULL for a non-LINESTRING literal. The
+    polyline twin of wkt_polygon_ring (same regexp+split+transform
+    shape, no UDF); no closing-point handling — a polyline is open.
+    Ref: utils/geometry.py:228-240 (create_linestring)."""
+    body = F.regexp_extract(wkt, r"^\s*LINESTRING\s*\(([^)]*)\)", 1)
+    pts = F.transform(
+        F.split(body, r"\s*,\s*"),
+        lambda p: F.transform(
+            F.split(F.trim(p), r"\s+"), lambda v: v.try_cast("double")
+        ),
+    )
+    return F.when(body != "", pts)
+
+
+def polyline_length(pts: Column) -> Column:
+    """Length of an OPEN polyline (no wraparound edge) — shapely
+    ``LineString.length``. Ref: utils/geometry.py:115-132."""
+    n = F.size(pts)
+    return F.when(
+        n >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), n - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.sqrt(
+                F.pow(
+                    F.element_at(pts, i + 1)[0] - F.element_at(pts, i)[0], 2
+                )
+                + F.pow(
+                    F.element_at(pts, i + 1)[1] - F.element_at(pts, i)[1], 2
+                )
+            ),
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def polyline_centroid(pts: Column) -> Column:
+    """Centroid of an open polyline as ``struct(cx, cy)``: the
+    length-weighted average of segment midpoints (shapely
+    ``LineString.centroid``). NULL when total length is 0 (degenerate
+    — all points coincident) or fewer than 2 points."""
+    n = F.size(pts)
+
+    def step(acc: Column, i: Column) -> Column:
+        x0 = F.element_at(pts, i)[0]
+        y0 = F.element_at(pts, i)[1]
+        x1 = F.element_at(pts, i + 1)[0]
+        y1 = F.element_at(pts, i + 1)[1]
+        seg = F.sqrt(F.pow(x1 - x0, 2) + F.pow(y1 - y0, 2))
+        return F.struct(
+            (acc["w"] + seg).alias("w"),
+            (acc["cx"] + seg * (x0 + x1) / 2.0).alias("cx"),
+            (acc["cy"] + seg * (y0 + y1) / 2.0).alias("cy"),
+        )
+
+    zero = F.struct(
+        F.lit(0.0).alias("w"), F.lit(0.0).alias("cx"), F.lit(0.0).alias("cy")
+    )
+    fold = F.aggregate(
+        F.sequence(F.lit(1), n - 1),
+        zero,
+        step,
+        lambda acc: F.when(
+            acc["w"] > 0.0,
+            F.struct(
+                (acc["cx"] / acc["w"]).alias("cx"),
+                (acc["cy"] / acc["w"]).alias("cy"),
+            ),
+        ),
+    )
+    return F.when(n >= 2, fold)
+
+
 def ring_centroid(ring: Column) -> Column:
     """G14: polygon centroid of one simple ring (closed or not) as
     ``struct(cx, cy)`` — the shoelace-weighted vertex average

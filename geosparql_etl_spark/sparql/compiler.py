@@ -109,9 +109,13 @@ from pyspark.sql import functions as F
 from geosparql_etl_spark.functions.geometry import (
     bounds_wkt,
     point_in_ring,
+    polyline_centroid,
+    polyline_length,
     ring_area,
     ring_bounds,
     ring_centroid,
+    ring_perimeter,
+    wkt_linestring_points,
     wkt_polygon_ring,
 )
 from geosparql_etl_spark.sparql.triples import RDF_LANGSTRING, XSD, TripleStore
@@ -1850,7 +1854,8 @@ def _grid_spatial_rewrite(frames: list, expr) -> bool:
 # -- FILTER expression -> Column --------------------------------------------
 
 _NUMERIC_CALLS = {
-    "geof:distance", "geof:area", "strlen", "round", "floor", "ceil", "abs",
+    "geof:distance", "geof:area", "geof:length",
+    "strlen", "round", "floor", "ceil", "abs",
     "year", "month", "day", "hours", "minutes", "seconds",
 }
 
@@ -2054,51 +2059,65 @@ def _compile_call(node) -> Column:
         ax, ay = _point_xy(_operand_col(args[0], False))
         bx, by = _point_xy(_operand_col(args[1], False))
         return F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
-    if fname in ("geof:area", "geof:centroid", "geof:envelope"):
-        # GeoSPARQL 1.1 non-topological functions over wktLiterals.
-        # POINT inputs: area 0, centroid/envelope = the input geometry
-        # (returned as the ORIGINAL lexical — no re-rendering drift).
-        # POLYGON inputs: shoelace math over the parsed outer ring.
-        # Anything else: NULL = SPARQL type error, binding drops.
-        # The parsed ring is BOUND ONCE as a lambda variable before the
-        # multi-reference math — inlining wkt_polygon_ring's parse tree
-        # into every reference multiplies plan analysis time (the sp33
-        # lesson, SCALE.md round 8).
+    if fname in (
+        "geof:area", "geof:centroid", "geof:envelope", "geof:length"
+    ):
+        # GeoSPARQL 1.1 non-topological functions over wktLiterals,
+        # for POINT / LINESTRING / POLYGON inputs. POINT: area and
+        # length 0, centroid/envelope = the input geometry (returned
+        # as the ORIGINAL lexical — no re-rendering drift). POLYGON:
+        # shoelace math over the parsed outer ring (length = ring
+        # perimeter, shapely convention). LINESTRING: open-polyline
+        # math. Anything else: NULL = SPARQL type error, binding
+        # drops. Parsed point lists are BOUND ONCE as lambda variables
+        # before the multi-reference math — inlining the WKT parse
+        # tree into every reference multiplies plan analysis time (the
+        # sp33 lesson, SCALE.md round 8).
         g = _operand_col(args[0], False)
         is_point = g.rlike(r"^\s*POINT\s*\(")
         ring = wkt_polygon_ring(g)
+        line = wkt_linestring_points(g)
 
         def _bound(col: Column, fn) -> Column:
             return F.get(F.transform(F.array(col), fn), 0)
 
-        if fname == "geof:area":
-            poly_area = _bound(
-                ring, lambda r: F.when(r.isNotNull(), ring_area(r))
+        def _per_kind(poly_fn, line_fn, point_val: Column) -> Column:
+            """point_val for POINT, poly_fn over the bound ring for
+            POLYGON, line_fn over the bound point list for LINESTRING,
+            NULL otherwise."""
+            return F.when(is_point, point_val).otherwise(
+                F.coalesce(
+                    _bound(ring, lambda r: F.when(r.isNotNull(), poly_fn(r))),
+                    _bound(line, lambda l: F.when(l.isNotNull(), line_fn(l))),
+                )
             )
-            return F.when(is_point, F.lit(0.0)).otherwise(poly_area)
-        if fname == "geof:envelope":
-            env = _bound(
-                ring,
-                lambda r: F.when(r.isNotNull(), bounds_wkt(ring_bounds(r))),
-            )
-            return F.when(is_point, g).otherwise(env)
-        pt = _bound(
-            ring,
-            lambda r: _bound(
-                ring_centroid(r),
-                lambda c: F.when(
-                    c.isNotNull(),
-                    F.concat(
-                        F.lit("POINT("),
-                        c["cx"].cast("string"),
-                        F.lit(" "),
-                        c["cy"].cast("string"),
-                        F.lit(")"),
-                    ),
+
+        def _pt_wkt(c: Column) -> Column:
+            return F.when(
+                c.isNotNull(),
+                F.concat(
+                    F.lit("POINT("),
+                    c["cx"].cast("string"),
+                    F.lit(" "),
+                    c["cy"].cast("string"),
+                    F.lit(")"),
                 ),
-            ),
+            )
+
+        if fname == "geof:area":
+            return _per_kind(
+                ring_area, lambda l: F.lit(0.0), F.lit(0.0)
+            )
+        if fname == "geof:length":
+            return _per_kind(ring_perimeter, polyline_length, F.lit(0.0))
+        if fname == "geof:envelope":
+            env = lambda p: bounds_wkt(ring_bounds(p))  # noqa: E731
+            return _per_kind(env, env, g)
+        return _per_kind(
+            lambda r: _bound(ring_centroid(r), _pt_wkt),
+            lambda l: _bound(polyline_centroid(l), _pt_wkt),
+            g,
         )
-        return F.when(is_point, g).otherwise(pt)
     if fname == "lang":
         # LANG(?x): the binding's language tag ("" for simple literals
         # AND for IRIs — the spec makes LANG(iri) a type error that

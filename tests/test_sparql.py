@@ -2717,7 +2717,7 @@ class TestGeoNonTopological:
             ("urn:g:sq", "urn:ex:wkt", "POLYGON((0 0, 4 0, 4 2, 0 2, 0 0))"),
             ("urn:g:tri", "urn:ex:wkt", "POLYGON((0 0, 6 0, 0 6, 0 0))"),
             ("urn:g:pt", "urn:ex:wkt", "POINT(3.5 -1.5)"),
-            ("urn:g:bad", "urn:ex:wkt", "LINESTRING(0 0, 1 1)"),
+            ("urn:g:bad", "urn:ex:wkt", "MULTIPOINT(0 0, 1 1)"),
         ]
         return TripleStore(
             spark.createDataFrame(rows, "s string, p string, o string")
@@ -2781,6 +2781,41 @@ class TestGeoNonTopological:
             "FILTER(geof:area(?g) > 5.0) } ORDER BY ?s",
         ).collect()
         assert [r.s for r in got] == ["urn:g:sq", "urn:g:tri"]
+
+    def test_linestring_length_centroid_envelope(self, spark):
+        rows = [("urn:g:ls", "urn:ex:wkt", "LINESTRING(0 0, 3 4, 3 10)")]
+        st = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            st,
+            """
+            SELECT ?len ?a ?c ?e WHERE {
+              ?s ex:wkt ?g .
+              BIND(geof:length(?g) AS ?len)
+              BIND(geof:area(?g) AS ?a)
+              BIND(geof:centroid(?g) AS ?c)
+              BIND(geof:envelope(?g) AS ?e)
+            }
+            """,
+        ).collect()
+        (r,) = got
+        # segments 5 + 6; centroid = length-weighted midpoints
+        # (5*(1.5,2) + 6*(3,7)) / 11 — shapely LineString conventions
+        assert r.len == 11.0 and r.a == 0.0
+        assert r.c == "POINT(2.3181818181818183 4.7272727272727275)"
+        assert r.e == "POLYGON((0.0 0.0, 3.0 0.0, 3.0 10.0, 0.0 10.0, 0.0 0.0))"
+
+    def test_polygon_length_is_perimeter(self, geo_store):
+        got = run(
+            geo_store,
+            "SELECT ?s ?len WHERE { ?s ex:wkt ?g . "
+            "BIND(geof:length(?g) AS ?len) FILTER(?len > 0) } ORDER BY ?s",
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            ("urn:g:sq", 12.0),
+            ("urn:g:tri", 12.0 + (72.0 ** 0.5)),
+        ]
 
     def test_degenerate_ring_is_type_error(self, spark):
         # zero-area polygon: centroid is undefined -> unbound
