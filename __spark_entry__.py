@@ -8336,6 +8336,61 @@ def _sql_txt18():
     """
 
 
+def txt19_lang_label_audit(spark, sf_dir):
+    """Language-LABEL quality audit (round 8): the declared ``lang``
+    column cross-tabulated against txt02's n-gram prediction, per
+    source — (source, declared, predicted, n). Before a mixture build
+    trusts its language labels (llm09 weights BY declared lang), this
+    is the query that says how far the labels and the text disagree
+    and WHERE: a source whose 'en' rows predict 'und'/'de' at volume
+    has a labeling bug upstream, and every declared-lang budget
+    downstream inherits it. One corpus scan (the stopword-hit counts
+    are per-row expressions), one (source, lang, pred) groupBy —
+    partial aggregation bounds the shuffle at sources x langs^2, never
+    corpus rows."""
+    from geosparql_etl_spark.functions.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    pred = lang_id(F.col("text"))
+    return (
+        d.select("source", "lang", pred.alias("pred"))
+        .groupBy("source", "lang", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "lang", "pred")
+    )
+
+
+def _sql_txt19():
+    # txt02's prediction CASE, grouped into the per-source confusion
+    # table
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    counts = {
+        "en": ("the", "and", "of", "is", "to"),
+        "de": ("der", "die", "und", "ist", "das"),
+        "fr": ("le", "la", "et", "est", "les"),
+        "es": ("el", "la", "y", "es", "los"),
+    }
+    hit_cols = ", ".join(
+        f"len(list_filter({toks}, t -> t IN {tuple(ws)!r})) AS h_{code}".replace(
+            '"', "'"
+        )
+        for code, ws in counts.items()
+    )
+    return f"""
+    WITH h AS (SELECT source, lang, {hit_cols} FROM documents),
+    p AS (
+      SELECT source, lang,
+        CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de AND h_fr > 0 THEN 'fr'
+             WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
+             WHEN h_en >= h_de AND h_en > 0 THEN 'en'
+             WHEN h_de > 0 THEN 'de'
+             ELSE 'und' END AS pred
+      FROM h)
+    SELECT source, lang, pred, count(*) AS n
+    FROM p GROUP BY source, lang, pred ORDER BY source, lang, pred
+    """
+
+
 def s14_rate_anomaly(spark, sf_dir):
     """Event-rate anomaly detection — round 6: per (event_type, hour)
     counts z-scored against the TRAILING 24 observed hours (frame
@@ -9840,6 +9895,84 @@ def _sql_er02():
     """
 
 
+def er03_blocking_quality(spark, sf_dir):
+    """Blocking-quality evaluation for er01's entity resolution —
+    'measure, don't guess' applied to ER: pair completeness (what
+    fraction of TRUE matches does first-word blocking keep?) and
+    reduction ratio (what fraction of the all-pairs work does it
+    avoid?), the two numbers every blocking scheme is judged by
+    (Christen, 2012). Ground truth is brute-force Levenshtein <= 4
+    over ALL name pairs — affordable because it runs on the DISTINCT
+    name domain (vocab-sized, like sim14's query sample: the eval
+    costs vocab^2, paid once per blocking config, never corpus^2).
+    One constant-key equi-join builds the pair set (hash join, not
+    CartesianProduct — the plan audit holds), one aggregate derives
+    all four counts, so the report is a single pass over vocab^2
+    rows. At sf0.01 it measures 0.36 pair completeness: first-word
+    blocking drops two thirds of true matches — exactly the audit
+    finding that sends a blocking scheme back for a second key."""
+    p = _t(spark, sf_dir, "part")
+    names = (
+        p.select(F.col("p_name").alias("n"))
+        .distinct()
+        .select(
+            "n",
+            F.split(F.col("n"), " ").getItem(0).alias("blk"),
+            F.lit(1).alias("one"),
+        )
+    )
+    a = names.select(
+        "one", F.col("n").alias("na"), F.col("blk").alias("ba")
+    )
+    b = names.select(
+        "one", F.col("n").alias("nb"), F.col("blk").alias("bb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "one")
+        .where(F.col("na") < F.col("nb"))
+        .select(
+            (F.levenshtein("na", "nb") <= 4).cast("long").alias("is_true"),
+            (F.col("ba") == F.col("bb")).cast("long").alias("is_cand"),
+        )
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_true").alias("n_true"),
+        F.sum("is_cand").alias("n_cand"),
+        F.sum(F.col("is_true") * F.col("is_cand")).alias("n_captured"),
+    )
+    return agg.select(
+        "n_true",
+        "n_cand",
+        "n_captured",
+        F.round(F.col("n_captured") / F.col("n_true"), 6).alias(
+            "pair_completeness"
+        ),
+        F.round(F.lit(1.0) - F.col("n_cand") / F.col("n_pairs"), 6).alias(
+            "reduction_ratio"
+        ),
+    )
+
+
+def _sql_er03():
+    return """
+    WITH names AS (SELECT DISTINCT p_name AS n FROM part),
+    blocked AS (SELECT n, string_split(n, ' ')[1] AS blk FROM names),
+    pairs AS (
+      SELECT CASE WHEN levenshtein(a.n, b.n) <= 4 THEN 1 ELSE 0 END AS is_true,
+             CASE WHEN a.blk = b.blk THEN 1 ELSE 0 END AS is_cand
+      FROM blocked a JOIN blocked b ON a.n < b.n)
+    SELECT CAST(sum(is_true) AS BIGINT) AS n_true,
+           CAST(sum(is_cand) AS BIGINT) AS n_cand,
+           CAST(sum(is_true * is_cand) AS BIGINT) AS n_captured,
+           round(CAST(sum(is_true * is_cand) AS DOUBLE)
+                 / CAST(sum(is_true) AS DOUBLE), 6) AS pair_completeness,
+           round(1.0 - CAST(sum(is_cand) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS reduction_ratio
+    FROM pairs
+    """
+
+
 def dq05_benford_audit(spark, sf_dir):
     """Benford first-digit audit — round 6: fabricated or truncated
     money columns deviate from the log10(1 + 1/d) leading-digit law;
@@ -9901,6 +10034,88 @@ def _sql_dq05():
     FROM counts c JOIN benford USING (d) CROSS JOIN tot
     ORDER BY c.d
     """
+
+
+def dq06_fd_audit(spark, sf_dir):
+    """Functional-dependency audit (round 8) — the profiling primitive
+    behind key discovery and schema validation (Metanome-class FD
+    checking, Papenbrock et al. 2015): for each CANDIDATE dependency
+    lhs -> rhs, how many lhs groups exist, how many VIOLATE (more than
+    one rhs value), and the worst multiplicity. c_custkey -> c_nationkey
+    must hold (key); l_partkey -> l_suppkey and o_custkey ->
+    o_orderpriority must fail loudly (parts ship from many suppliers,
+    customers order at many priorities) — a zero-violation report on
+    those would mean the audit is broken, which is why both directions
+    sit in the same query. Each candidate is one groupBy with map-side
+    partial aggregation (shuffle bounded by distinct lhs, not rows);
+    exact countDistinct because violations is a correctness-grade
+    number — dq02's sketch note covers when approx is the right
+    trade."""
+
+    def audit(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
+        return (
+            df.groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("d"))
+            .agg(
+                F.count(F.lit(1)).alias("lhs_groups"),
+                F.sum((F.col("d") > 1).cast("long")).alias("violations"),
+                F.max("d").alias("max_rhs_distinct"),
+            )
+            .select(
+                F.lit(name).alias("fd"),
+                "lhs_groups",
+                "violations",
+                "max_rhs_distinct",
+            )
+        )
+
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        audit(c, "customer: c_custkey -> c_nationkey", "c_custkey", "c_nationkey")
+        .unionByName(
+            audit(li, "lineitem: l_partkey -> l_suppkey", "l_partkey", "l_suppkey")
+        )
+        .unionByName(
+            audit(
+                o,
+                "orders: o_custkey -> o_orderpriority",
+                "o_custkey",
+                "o_orderpriority",
+            )
+        )
+        .orderBy("fd")
+    )
+
+
+def _sql_dq06():
+    def one(name, table, lhs, rhs):
+        return f"""
+        SELECT '{name}' AS fd, count(*) AS lhs_groups,
+               CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violations,
+               max(d) AS max_rhs_distinct
+        FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS d
+              FROM {table} GROUP BY {lhs})"""
+
+    return (
+        one(
+            "customer: c_custkey -> c_nationkey",
+            "customer", "c_custkey", "c_nationkey",
+        )
+        + " UNION ALL "
+        + one(
+            "lineitem: l_partkey -> l_suppkey",
+            "lineitem", "l_partkey", "l_suppkey",
+        )
+        + " UNION ALL "
+        + one(
+            "orders: o_custkey -> o_orderpriority",
+            "orders", "o_custkey", "o_orderpriority",
+        )
+        + " ORDER BY fd"
+    )
 
 
 def g17_distance_join(spark, sf_dir):
@@ -10254,6 +10469,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim15_trained_ivf_recall": sim15_trained_ivf_recall,
     "sp37_zone_geometry": sp37_zone_geometry,
     "sp38_route_length": sp38_route_length,
+    "er03_blocking_quality": er03_blocking_quality,
+    "txt19_lang_label_audit": txt19_lang_label_audit,
+    "dq06_fd_audit": dq06_fd_audit,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10623,6 +10841,9 @@ _ORACLES: dict[str, str] = {
     "sim15_trained_ivf_recall": _sql_sim15(),
     "sp37_zone_geometry": _sql_sp37(),
     "sp38_route_length": _sql_sp38(),
+    "er03_blocking_quality": _sql_er03(),
+    "txt19_lang_label_audit": _sql_txt19(),
+    "dq06_fd_audit": _sql_dq06(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

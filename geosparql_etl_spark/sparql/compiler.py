@@ -618,6 +618,12 @@ class _Parser:
         if self._kw("DISTINCT"):
             self.next()
             distinct = True
+        elif self._kw("REDUCED"):
+            # REDUCED *permits* duplicate elimination but does not
+            # require it (spec 18.2.5.2) — the identity implementation
+            # is conformant, and in a distributed engine skipping the
+            # non-mandatory global shuffle is the right reading
+            self.next()
         projections = []
         while True:
             tok = self.peek()
@@ -1119,6 +1125,15 @@ def _walk_expr_meta(node, need: dict[str, set[str]]) -> None:
             # DATATYPE needs lang too: a tagged literal's datatype is
             # rdf:langString regardless of any stored dt
             need.setdefault(args[0][1], set()).update(("lang", "dt"))
+        elif fname == "isnumeric" and len(args) == 1 and args[0][0] == "var":
+            # a tagged literal is never numeric; a typed one only for
+            # numeric xsd datatypes
+            need.setdefault(args[0][1], set()).update(("lang", "dt"))
+        elif fname == "sameterm":
+            # term identity compares the full (lexical, lang, dt) term
+            for a in args:
+                if a[0] == "var":
+                    need.setdefault(a[1], set()).update(("lang", "dt"))
     if kind == "cmp":
         _, _op, left, right = node
         for v, other in ((left, right), (right, left)):
@@ -1933,12 +1948,6 @@ def _compile_call(node) -> Column:
         return _operand_col(args[0], False).endswith(args[1][1])
     if fname == "contains":
         return _operand_col(args[0], False).contains(args[1][1])
-    if fname == "sameterm":
-        # the store's term model is lexical strings, so term identity
-        # IS null-safe string equality
-        return _operand_col(args[0], False).eqNullSafe(
-            _operand_col(args[1], False)
-        )
     if fname in ("md5", "sha1", "sha256", "sha384", "sha512"):
         col = _operand_col(args[0], False).cast("string")
         if fname == "md5":
@@ -1982,6 +1991,83 @@ def _compile_call(node) -> Column:
         # SPARQL STR(): the lexical form — objects already ARE lexical
         # strings in this store, so this is a string cast
         return _operand_col(args[0], False).cast("string")
+    if fname == "isnumeric":
+        # isNumeric(?x): the binding is a numeric literal. Lexical-
+        # scheme reading (consistent with this engine's numeric-view
+        # FILTER convention): a non-IRI, non-blank, untagged lexical
+        # that parses as a number, whose datatype (when typed) is a
+        # numeric xsd type. Strict spec would call a PLAIN "47" an
+        # xsd:string (false); on untyped graphs — the practical core
+        # this engine serves — that reading makes the function useless,
+        # so plain parseable lexicals count (documented deviation).
+        var = _meta_fn_var(fname, args)
+        col = F.col(var)
+        numeric_names = (
+            "integer", "decimal", "double", "float", "int", "long",
+            "short", "byte", "nonNegativeInteger", "nonPositiveInteger",
+            "negativeInteger", "positiveInteger", "unsignedLong",
+            "unsignedInt", "unsignedShort", "unsignedByte",
+        )
+        dt = F.col(_meta_col("dt", var))
+        numeric_dt = dt.isNull() | dt.isin(
+            [f"xsd:{n}" for n in numeric_names]
+            + [XSD + n for n in numeric_names]
+        )
+        not_term = (
+            col.startswith("_:")
+            | col.startswith("urn:")
+            | col.startswith("http://")
+            | col.startswith("https://")
+        )
+        return F.when(
+            col.isNotNull(),
+            ~not_term
+            & F.col(_meta_col("lang", var)).isNull()
+            & col.try_cast("double").isNotNull()
+            & numeric_dt,
+        )
+    if fname == "sameterm":
+        # sameTerm(a, b): RDF term identity — the full (lexical, lang,
+        # datatype) triple must match, with NO value coercion (unlike
+        # '=', which compares numeric views: sameTerm("01"^^xsd:int,
+        # "1"^^xsd:int) is false while '=' is true). Stored forms
+        # compare as stored (no xsd:string/plain normalization).
+        # Unbound arguments are a type error (NULL — FILTER drops the
+        # row, and the negation stays an error rather than true).
+        if len(args) != 2:
+            raise ValueError("sameTerm takes exactly two arguments")
+
+        def _term_triple(a):
+            if a[0] == "var":
+                v = a[1]
+                return (
+                    F.col(v),
+                    F.col(_meta_col("lang", v)),
+                    F.col(_meta_col("dt", v)),
+                )
+            if a[0] == "lit":
+                return (
+                    F.lit(a[1]).cast("string"),
+                    F.lit(a[2]).cast("string"),
+                    F.lit(a[3]).cast("string"),
+                )
+            if a[0] in ("str", "const"):
+                return (
+                    F.lit(a[1]).cast("string"),
+                    F.lit(None).cast("string"),
+                    F.lit(None).cast("string"),
+                )
+            raise ValueError(
+                "sameTerm arguments must be variables or constant terms"
+            )
+
+        (la, ga, da), (lb, gb, db) = _term_triple(args[0]), _term_triple(
+            args[1]
+        )
+        return F.when(
+            la.isNotNull() & lb.isNotNull(),
+            (la == lb) & ga.eqNullSafe(gb) & da.eqNullSafe(db),
+        )
     if fname == "strlen":
         return F.length(_operand_col(args[0], False))
     if fname == "ucase":

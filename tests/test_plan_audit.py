@@ -54,6 +54,8 @@ VECTORIZED_PYTHON_OK = {
     "sim09_filtered_ann",
     "sim10_knn_classify",
     "sim11_kmeans_refine",  # with_ivf_cell's batch matmul assignment
+    "sim14_ann_recall",  # IVF arm rides with_ivf_cell's batch matmul
+    "sim15_trained_ivf_recall",  # same, with trained centroids
     "mm01_media_features",
     "mm02_frame_sampling",
     "mm03_audio_features",

@@ -2828,3 +2828,75 @@ class TestGeoNonTopological:
             "SELECT ?c WHERE { ?s ex:wkt ?g . BIND(geof:centroid(?g) AS ?c) }",
         ).collect()
         assert [r.c for r in got] == [None]
+
+
+class TestSpecFillsRound8c:
+    """REDUCED (identity — spec-lawful), isNumeric, sameTerm."""
+
+    @pytest.fixture(scope="class")
+    def typed_store(self, spark):
+        rows = [
+            # (s, p, o, lang, dt)
+            ("urn:x:1", "urn:ex:v", "47", None, None),
+            ("urn:x:2", "urn:ex:v", "47", None, "xsd:integer"),
+            ("urn:x:3", "urn:ex:v", "47", "en", None),
+            ("urn:x:4", "urn:ex:v", "urn:other:47", None, None),
+            ("urn:x:5", "urn:ex:v", "fourty-seven", None, None),
+            ("urn:x:6", "urn:ex:v", "47", None, "xsd:string"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(
+                rows, "s string, p string, o string, lang string, dt string"
+            )
+        )
+
+    def test_reduced_parses_and_keeps_rows(self, toy_store):
+        got = run(
+            toy_store,
+            "SELECT REDUCED ?c WHERE { ?p ex:city ?c }",
+        ).collect()
+        # identity implementation: every city binding survives, same
+        # as the plain (non-DISTINCT) projection
+        plain = run(
+            toy_store, "SELECT ?c WHERE { ?p ex:city ?c }"
+        ).collect()
+        assert sorted(r.c for r in got) == sorted(r.c for r in plain)
+        assert len(got) >= 2
+
+    def test_isnumeric(self, typed_store):
+        got = run(
+            typed_store,
+            "SELECT ?s WHERE { ?s ex:v ?o . FILTER(isNumeric(?o)) } ORDER BY ?s",
+        ).collect()
+        # plain parseable + numeric-typed pass; tagged, IRI, word,
+        # string-typed fail
+        assert [r.s for r in got] == ["urn:x:1", "urn:x:2"]
+
+    def test_sameterm_is_strict_term_identity(self, typed_store):
+        # "47" plain matches only the OTHER plain "47" — not the
+        # integer-typed, tagged, or string-typed spellings '=' might
+        # coerce together
+        got = run(
+            typed_store,
+            """
+            SELECT ?a ?b WHERE {
+              ?a ex:v ?x . ?b ex:v ?y .
+              FILTER(sameTerm(?x, ?y) && STR(?a) < STR(?b))
+            } ORDER BY ?a ?b
+            """,
+        ).collect()
+        assert [tuple(r) for r in got] == []
+
+    def test_sameterm_const_and_var(self, typed_store):
+        got = run(
+            typed_store,
+            'SELECT ?s WHERE { ?s ex:v ?o . FILTER(sameTerm(?o, "47")) }',
+        ).collect()
+        assert [r.s for r in got] == ["urn:x:1"]
+
+    def test_sameterm_tagged_const(self, typed_store):
+        got = run(
+            typed_store,
+            'SELECT ?s WHERE { ?s ex:v ?o . FILTER(sameTerm(?o, "47"@en)) }',
+        ).collect()
+        assert [r.s for r in got] == ["urn:x:3"]
