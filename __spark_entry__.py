@@ -5917,6 +5917,113 @@ def _sql_mm04():
     """
 
 
+def mm07_shot_boundaries(spark, sf_dir):
+    """Video shot-boundary (scene-cut) detection — the temporal video
+    op the frame family was missing: mm04's rasterized 4-frame GSV1
+    videos, ALL frames decoded (every_ms=500 at 2 fps — sequential
+    access this time, boundaries need consecutive frames), then the
+    classic grayscale-mean-difference detector: a cut is a
+    frame-to-frame luminance shift above threshold (the first signal
+    in every shot-segmentation stack before histogram/edge methods).
+    The shift comes from a lag() window PARTITIONED BY media_id over
+    the 16-dim feature rows — frames and pixels never cross the
+    shuffle, only (media_id, frame_index, gray_mean), and each video's
+    window is 4 rows. Value oracle: per-frame grayscale means
+    re-derived from hex(encode(text)) byte arithmetic, MIRRORING the
+    engine's two-step mean (per-pixel channel mean, then frame mean)
+    so both engines compute bit-identical doubles; threshold 0.01
+    flags ~p90 shifts at sf0.01."""
+    import pandas as pd
+
+    from geosparql_etl_spark.operators.multimodal import extract_frames
+
+    d = _t(spark, sf_dir, "documents")
+
+    def rasterize(batches):
+        import numpy as np
+
+        from geosparql_etl_spark.functions.codecs import encode_video
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                total = 4 * 96
+                reps = -(-total // max(len(raw), 1))
+                buf = (raw * reps + b"\x00" * total)[:total]
+                frames = [
+                    np.frombuffer(
+                        buf[f * 96 : (f + 1) * 96], dtype=np.uint8
+                    ).reshape(4, 8, 3)
+                    for f in range(4)
+                ]
+                payloads.append(encode_video(frames, fps=2))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "content": payloads}
+            )
+
+    media = (
+        d.select("doc_id", "text")
+        .mapInPandas(rasterize, "media_id string, content binary")
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            "content",
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(2000).alias("duration_ms"),
+                F.lit("video/gsv1").alias("mime"),
+            ).alias("meta"),
+        )
+    )
+    frames = extract_frames(media, every_ms=500, max_frames=8)
+    # feature index 8 (0-based) = grayscale mean / 255
+    gm = F.element_at("features", 9)
+    w = Window.partitionBy("media_id").orderBy("frame_index")
+    shifted = frames.select(
+        "media_id", "frame_index", gm.alias("gm")
+    ).withColumn("prev", F.lag("gm").over(w))
+    return (
+        shifted.where(F.col("prev").isNotNull())
+        .select(
+            "media_id",
+            "frame_index",
+            F.round(F.abs(F.col("gm") - F.col("prev")), 6).alias("shift"),
+            (F.abs(F.col("gm") - F.col("prev")) > 0.01).alias("is_cut"),
+        )
+        .orderBy("media_id", "frame_index")
+    )
+
+
+def _sql_mm07():
+    return """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    by_byte AS (
+      SELECT doc_id, f, i,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(('0x' || substr(hx, ((f * 96 + i) % n) * 2 + 1, 2)) AS INT)
+             END AS b,
+             i // 3 AS px
+      FROM h, (VALUES (0), (1), (2), (3)) AS fr(f),
+           generate_series(0, 95) AS t(i)),
+    gray AS (
+      SELECT doc_id, f, px, avg(b) AS g FROM by_byte GROUP BY doc_id, f, px),
+    gs AS (
+      SELECT doc_id, f, avg(g) / 255.0 AS gm FROM gray GROUP BY doc_id, f),
+    d AS (
+      SELECT doc_id, f,
+             abs(gm - lag(gm) OVER (PARTITION BY doc_id ORDER BY f)) AS shift
+      FROM gs)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id, f AS frame_index,
+           round(shift, 6) AS shift, shift > 0.01 AS is_cut
+    FROM d WHERE shift IS NOT NULL
+    ORDER BY media_id, frame_index
+    """
+
+
 def mm05_image_neardup(spark, sf_dir):
     """Image near-dup detection: mm01's rasterized BMPs -> perceptual
     difference hash (operators/multimodal.py:image_dhash — REAL
@@ -10472,6 +10579,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er03_blocking_quality": er03_blocking_quality,
     "txt19_lang_label_audit": txt19_lang_label_audit,
     "dq06_fd_audit": dq06_fd_audit,
+    "mm07_shot_boundaries": mm07_shot_boundaries,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10844,6 +10952,7 @@ _ORACLES: dict[str, str] = {
     "er03_blocking_quality": _sql_er03(),
     "txt19_lang_label_audit": _sql_txt19(),
     "dq06_fd_audit": _sql_dq06(),
+    "mm07_shot_boundaries": _sql_mm07(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

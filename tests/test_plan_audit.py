@@ -62,6 +62,7 @@ VECTORIZED_PYTHON_OK = {
     "mm04_video_frames",
     "mm05_image_neardup",  # rasterize + dHash decode batches
     "mm06_audio_neardup",  # WAV synth + chromaprint decode batches
+    "mm07_shot_boundaries",  # rasterize + all-frame decode batches
 }
 
 
