@@ -7512,6 +7512,43 @@ def _sql_sim15():
     """
 
 
+def sim16_ivf_index_probe(spark, sf_dir):
+    """The inverted file made PHYSICAL (round 8): sim04 computes cells
+    on the fly; this query first WRITES the corpus as a persisted IVF
+    index — parquet partitioned by ivf_cell, norms precomputed at
+    build time (operators/similarity.py:write_ivf_index) — then
+    answers the same 5-query probe through ivf_index_topk, which
+    collects the probed cell set (|queries| x n_probe ints) and pushes
+    it into the scan as a PARTITION FILTER. The scan therefore reads
+    ONLY the probed ivf_cell=K/ directories: per-probe cost, not
+    per-corpus — what 'index' means at 100 TB, and pinned by the
+    PartitionFilters plan test. Results are by construction identical
+    to sim04's in-flight path, so the oracle is the same replay."""
+    import os
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gsel_ivf_index_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_ivf_index(e, path, dim=64, n_cells=16)
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_index_topk(
+        spark, path, q, k=5, dim=64, n_cells=16, n_probe=2
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -10580,6 +10617,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt19_lang_label_audit": txt19_lang_label_audit,
     "dq06_fd_audit": dq06_fd_audit,
     "mm07_shot_boundaries": mm07_shot_boundaries,
+    "sim16_ivf_index_probe": sim16_ivf_index_probe,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10953,6 +10991,10 @@ _ORACLES: dict[str, str] = {
     "txt19_lang_label_audit": _sql_txt19(),
     "dq06_fd_audit": _sql_dq06(),
     "mm07_shot_boundaries": _sql_mm07(),
+    # identical semantics to sim04 by construction (same probe +
+    # re-score over the same cells, just read back from the persisted
+    # partitioned index), so the oracle is the same replay
+    "sim16_ivf_index_probe": _sql_sim04(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

@@ -203,6 +203,21 @@ def ivf_topk(
         *[F.col(c) for c in carry_cols],
     )
     cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells)
+    qb = _probe_frame(queries, id_col, vec_col, dim, cents, n_probe)
+    return _probe_topk(cb, qb, k=k, dim=dim, carry_cols=carry_cols)
+
+
+def _probe_frame(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    cents: list[list[float]],
+    n_probe: int,
+) -> DataFrame:
+    """Queries -> (query_id, __qv, __qn, __cell), one row per probed
+    cell (the top n_probe centroid dot products, ties to the highest
+    cell — the convention every IVF oracle replays)."""
     scored = F.array(
         *[
             F.struct(
@@ -213,12 +228,23 @@ def ivf_topk(
         ]
     )
     probes = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
-    qb = queries.select(
+    return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         l2_norm(F.col(vec_col), dim).alias("__qn"),
         F.explode(F.transform(probes, lambda s: s["cell"])).alias("__cell"),
     )
+
+
+def _probe_topk(
+    cb: DataFrame,
+    qb: DataFrame,
+    k: int,
+    dim: int,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Probe join + exact cosine re-score + per-query top-k over a
+    pre-celled corpus frame (neighbor_id, __cv, __cn, __cell, *carry)."""
     cand = cb.join(F.broadcast(qb), "__cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -239,6 +265,71 @@ def ivf_topk(
     return scored_pairs.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the inverted file: the corpus written as parquet
+    PARTITIONED BY its IVF cell — one ``ivf_cell=K/`` directory per
+    cell, so a probe is a partition-pruned scan (ivf_topk's docstring
+    claim made physical). The norm is precomputed into the file
+    (``__cn``) because the index pays it once at build time instead of
+    every probe."""
+    with_ivf_cell(
+        spread(corpus), vec_col, dim, n_cells, centroids=centroids
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col), dim).alias("__cn"),
+        "ivf_cell",
+    ).write.mode(mode).partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 1,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k against a PERSISTED ``write_ivf_index`` index.
+
+    The query batch's probed cell set is collected first (at most
+    |queries| x n_probe ints — index metadata, like sim15's trained
+    centroids) and pushed into the scan as a partition filter, so the
+    read touches ONLY the probed ``ivf_cell=K/`` directories: the scan
+    cost is per-probe, not per-corpus, which is the entire point of an
+    inverted file at 100 TB. The plan shows the pruning as
+    PartitionFilters on ivf_cell (pinned by test)."""
+    cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells)
+    qb = _probe_frame(queries, id_col, vec_col, dim, cents, n_probe)
+    cells = sorted(
+        r["__cell"] for r in qb.select("__cell").distinct().collect()
+    )
+    cb = (
+        spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin(cells))
+        .select(
+            "neighbor_id",
+            "__cv",
+            "__cn",
+            F.col("ivf_cell").alias("__cell"),
+        )
+    )
+    return _probe_topk(cb, qb, k=k, dim=dim)
 
 
 def knn_classify(

@@ -216,6 +216,53 @@ def test_ivf_custom_centroids_override_quantizer(spark):
     assert [(r["query_id"], r["neighbor_id"]) for r in got] == [(0, 1)]
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """write_ivf_index -> ivf_index_topk: the probe scan must carry a
+    PartitionFilters entry on ivf_cell (reads only probed directories)
+    and return exactly what the in-flight ivf_topk path returns."""
+    import random
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(80)
+    ]
+    e = spark.createDataFrame(rows)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(e, path, dim=8, n_cells=4)
+
+    # the partition layout is one directory per cell
+    import os
+
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("ivf_cell=")
+    )
+    assert dirs and all(d.split("=")[1].isdigit() for d in dirs)
+
+    q = e.where(F.col("vec_id") < 3)
+    idx = ivf_index_topk(
+        spark, path, q, k=4, dim=8, n_cells=4, n_probe=2
+    )
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+    flight = ivf_topk(e, q, k=4, dim=8, n_cells=4, n_probe=2)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in idx.collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in flight.collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_approx_count_distinct_within_tolerance(spark, sf_dir):
     """SCALE.md claims approx_count_distinct as the scale path for A4;
     pin its error band (default rsd=5%) against the exact count."""
