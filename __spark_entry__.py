@@ -8346,6 +8346,61 @@ def _sql_a16():
     """
 
 
+def a17_cumulative_uniques(spark, sf_dir):
+    """Cumulative distinct adopters per event type by day (round 8) —
+    the feature-adoption growth curve every events warehouse serves:
+    per (event_type, day), how many users performed that action for
+    the FIRST time, and the running total of distinct adopters so far.
+    The scale-correct shape: first touch via a groupBy-min keyed on
+    (user, type) — ONE corpus shuffle, map-side combined — THEN the
+    daily aggregate (types x days rows), THEN the running sum as a
+    window PARTITIONED BY event_type over that tiny frame: the
+    cumulative window never sees corpus rows. The naive alternative
+    (count(DISTINCT user) OVER (ORDER BY day) per type) re-scans every
+    prefix or funnels the corpus through one partition; first-touch +
+    prefix sum is the linear form."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min(F.to_date("ts")).alias("first_day"))
+        .groupBy("event_type", "first_day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+            "new_users",
+            F.sum("new_users").over(w).alias("total_users"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _sql_a17():
+    return """
+    WITH first AS (
+      SELECT user_id, event_type, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id, event_type),
+    daily AS (
+      SELECT event_type, first_day, count(*) AS new_users
+      FROM first GROUP BY event_type, first_day)
+    SELECT event_type,
+           strftime(first_day, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(sum(new_users) OVER (PARTITION BY event_type
+                ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS total_users
+    FROM daily ORDER BY event_type, day
+    """
+
+
 def g18_nearest_neighbor(spark, sf_dir):
     """Bounded-radius nearest-neighbor join — round 6: each supplier
     point's closest OTHER supplier within euclidean radius 15, grid-
@@ -10618,6 +10673,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq06_fd_audit": dq06_fd_audit,
     "mm07_shot_boundaries": mm07_shot_boundaries,
     "sim16_ivf_index_probe": sim16_ivf_index_probe,
+    "a17_cumulative_uniques": a17_cumulative_uniques,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -10995,6 +11051,7 @@ _ORACLES: dict[str, str] = {
     # re-score over the same cells, just read back from the persisted
     # partitioned index), so the oracle is the same replay
     "sim16_ivf_index_probe": _sql_sim04(),
+    "a17_cumulative_uniques": _sql_a17(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
