@@ -9282,6 +9282,62 @@ def _sql_sp38():
     """
 
 
+def sp39_zone_overlap(spark, sf_dir):
+    """Var-var POLYGON-POLYGON GeoSPARQL join (round 8): each supplier
+    gets a +-3 service box BUILT FROM ITS POINT with string/arith
+    BINDs, and FILTER(geof:sfIntersects(?box, ?zone)) against the
+    region zones compiles to the grid-cover join — BOTH sides explode
+    into covered cells, candidates hash-join on the cell, each pair
+    survives on its one canonical cell (no dedup pass), and the exact
+    vertex-in-ring/edge-cross test decides (compiler.py:
+    _grid_sfintersects_rewrite; functions/geometry.py:rings_intersect).
+    Integer box corners vs half-unit zone edges mean no boundary-
+    degenerate contact. Completes the var-var spatial family:
+    distance (sp26), point-in-polygon (sp33), polygon-polygon (this).
+    Oracle: axis-aligned interval-overlap arithmetic per (supplier,
+    zone) from the lattice construction."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?rname (COUNT(?s) AS ?n) WHERE {
+          ?s a ex:Supplier . ?s geo:asWKT ?pt .
+          BIND(STRBEFORE(STRAFTER(?pt, "POINT("), " ") AS ?xs)
+          BIND(STRBEFORE(STRAFTER(?pt, " "), ")") AS ?ys)
+          BIND(CONCAT("POLYGON((",
+               STR(?xs - 3), " ", STR(?ys - 3), ", ",
+               STR(?xs + 3), " ", STR(?ys - 3), ", ",
+               STR(?xs + 3), " ", STR(?ys + 3), ", ",
+               STR(?xs - 3), " ", STR(?ys + 3), ", ",
+               STR(?xs - 3), " ", STR(?ys - 3), "))") AS ?box)
+          ?r a ex:Region . ?r ex:name ?rname . ?r ex:zone ?z .
+          FILTER(geof:sfIntersects(?box, ?z))
+        } GROUP BY ?rname ORDER BY ?rname
+        """,
+    )
+
+
+def _sql_sp39():
+    return """
+    WITH s AS (
+      SELECT s_suppkey,
+             CAST((s_suppkey * 37) % 100 AS DOUBLE) AS x,
+             CAST((s_suppkey * 61) % 100 AS DOUBLE) AS y
+      FROM supplier),
+    z AS (
+      SELECT r_name,
+             r_regionkey * 20 - 0.5 AS zx0,
+             r_regionkey * 20 + 19.5 AS zx1,
+             -0.5 AS zy0, 99.5 AS zy1
+      FROM region)
+    SELECT r_name AS rname, count(*) AS n
+    FROM s JOIN z
+      ON x - 3 <= zx1 AND zx0 <= x + 3
+     AND y - 3 <= zy1 AND zy0 <= y + 3
+    GROUP BY rname ORDER BY rname
+    """
+
+
 def _nation_triples(spark, sf_dir):
     """Nations as a small triple graph (sp25's update target)."""
     n = _t(spark, sf_dir, "nation")
@@ -10674,6 +10730,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm07_shot_boundaries": mm07_shot_boundaries,
     "sim16_ivf_index_probe": sim16_ivf_index_probe,
     "a17_cumulative_uniques": a17_cumulative_uniques,
+    "sp39_zone_overlap": sp39_zone_overlap,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -11052,6 +11109,7 @@ _ORACLES: dict[str, str] = {
     # partitioned index), so the oracle is the same replay
     "sim16_ivf_index_probe": _sql_sim04(),
     "a17_cumulative_uniques": _sql_a17(),
+    "sp39_zone_overlap": _sql_sp39(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

@@ -369,6 +369,59 @@ def ring_centroid(ring: Column) -> Column:
     return F.when(n >= 3, fold)
 
 
+def _orient(ax, ay, bx, by, cx, cy) -> Column:
+    """Signed orientation of (a, b, c): >0 counter-clockwise, <0
+    clockwise, 0 collinear."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def rings_intersect(ra: Column, rb: Column) -> Column:
+    """G16: do two simple rings (open point lists, wkt_polygon_ring
+    shape) intersect as filled polygons? True iff any A vertex lies in
+    B, any B vertex lies in A, or any edge pair PROPERLY crosses —
+    which together cover every simple-polygon intersection except pure
+    boundary contact (shared edges / vertex-on-edge touching), the
+    same boundary-degenerate class point_in_ring's even-odd cast
+    already excludes; data with margins (half-unit-offset zones vs
+    integer lattices) never produces it.
+
+    Pass MATERIALIZED columns (or lambda-bound vars) for ra/rb: both
+    rings are referenced O(|A|x|B|) times by the edge fold, so an
+    inlined WKT parse tree would multiply through the plan (the sp33
+    lesson)."""
+
+    def edge(r: Column, n: Column, i: Column):
+        j = F.when(i == n, 1).otherwise(i + 1)
+        return (
+            F.element_at(r, i)[0],
+            F.element_at(r, i)[1],
+            F.element_at(r, j)[0],
+            F.element_at(r, j)[1],
+        )
+
+    na, nb = F.size(ra), F.size(rb)
+    a_in_b = F.exists(ra, lambda p: point_in_ring(rb, p[0], p[1]))
+    b_in_a = F.exists(rb, lambda p: point_in_ring(ra, p[0], p[1]))
+
+    def crosses(i: Column, j: Column) -> Column:
+        p1x, p1y, p2x, p2y = edge(ra, na, i)
+        q1x, q1y, q2x, q2y = edge(rb, nb, j)
+        d1 = _orient(q1x, q1y, q2x, q2y, p1x, p1y)
+        d2 = _orient(q1x, q1y, q2x, q2y, p2x, p2y)
+        d3 = _orient(p1x, p1y, p2x, p2y, q1x, q1y)
+        d4 = _orient(p1x, p1y, p2x, p2y, q2x, q2y)
+        return (
+            ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+            & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+        )
+
+    any_cross = F.exists(
+        F.sequence(F.lit(1), na),
+        lambda i: F.exists(F.sequence(F.lit(1), nb), lambda j: crosses(i, j)),
+    )
+    return a_in_b | b_in_a | any_cross
+
+
 def bounds_wkt(bounds: Column) -> Column:
     """G15: (minx, miny, maxx, maxy) struct -> envelope ``POLYGON``
     WKT (counter-clockwise, closed, raw double rendering — the same

@@ -115,6 +115,7 @@ from geosparql_etl_spark.functions.geometry import (
     ring_bounds,
     ring_centroid,
     ring_perimeter,
+    rings_intersect,
     wkt_linestring_points,
     wkt_polygon_ring,
 )
@@ -1747,6 +1748,92 @@ def _match_var_var_sfwithin(expr):
     return pt[1], poly[1]
 
 
+def _match_var_var_sfintersects(expr):
+    if expr[0] != "call" or expr[1] != "geof:sfintersects":
+        return None
+    a, b = expr[2]
+    if a[0] != "var" or b[0] != "var":
+        return None
+    return a[1], b[1]
+
+
+def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
+    """Var-var POLYGON-POLYGON sfIntersects FILTER between two
+    DISCONNECTED frames: both sides explode into the grid cells their
+    bboxes cover and hash-join on (cx, cy); a candidate pair survives
+    on exactly ONE canonical cell — the lower-left cell of the bbox
+    overlap (per axis, the max of the two cover minima), which shared
+    coverage guarantees both sides emit — so no dedup pass and no
+    duplicate solutions. The exact rings_intersect predicate then
+    decides. Point rows parse to NULL rings and drop: the
+    point-in-polygon form of a var-var spatial join is sfWithin's
+    rewrite, this one is the polygon-polygon member of the family."""
+    m = _match_var_var_sfintersects(expr)
+    if not m:
+        return False
+    u, v = m
+    ai = next((i for i, f in enumerate(frames) if u in f.columns), None)
+    bi = next((i for i, f in enumerate(frames) if v in f.columns), None)
+    if ai is None or bi is None or ai == bi:
+        return False
+    cell = _SFWITHIN_CELL
+
+    def prep(f: DataFrame, var: str, ring_col: str, x0: str, y0: str):
+        ring = F.col(ring_col)
+        xs = F.transform(ring, lambda p: p[0])
+        ys = F.transform(ring, lambda p: p[1])
+        return (
+            f.withColumn(ring_col, wkt_polygon_ring(F.col(var)))
+            .withColumn(x0, F.array_min(xs))
+            .withColumn(y0, F.array_min(ys))
+            .withColumn(
+                "__cx",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(x0) / cell),
+                        F.floor(F.array_max(xs) / cell),
+                    )
+                ),
+            )
+            .withColumn(
+                "__cy",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(y0) / cell),
+                        F.floor(F.array_max(ys) / cell),
+                    )
+                ),
+            )
+        )
+
+    a = prep(frames[ai], u, "__ring_a", "__ax0", "__ay0")
+    b = prep(frames[bi], v, "__ring_b", "__bx0", "__by0")
+    canonical = (
+        F.col("__cx")
+        == F.greatest(
+            F.floor(F.col("__ax0") / cell), F.floor(F.col("__bx0") / cell)
+        )
+    ) & (
+        F.col("__cy")
+        == F.greatest(
+            F.floor(F.col("__ay0") / cell), F.floor(F.col("__by0") / cell)
+        )
+    )
+    joined = (
+        a.join(b, on=["__cx", "__cy"])
+        .where(canonical)
+        .where(rings_intersect(F.col("__ring_a"), F.col("__ring_b")))
+        .drop(
+            "__cx", "__cy", "__ring_a", "__ring_b",
+            "__ax0", "__ay0", "__bx0", "__by0",
+        )
+    )
+    for idx in sorted((ai, bi), reverse=True):
+        frames.pop(idx)
+    frames.append(joined)
+    return True
+
+
 def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
     """Var-var point-in-polygon FILTER between two DISCONNECTED
     frames: the polygon side explodes into the grid cells its bbox
@@ -1826,7 +1913,9 @@ def _grid_spatial_rewrite(frames: list, expr) -> bool:
     Mutates ``frames`` and returns True on success."""
     m = _match_var_var_distance(expr)
     if not m:
-        return _grid_sfwithin_rewrite(frames, expr)
+        return _grid_sfwithin_rewrite(frames, expr) or _grid_sfintersects_rewrite(
+            frames, expr
+        )
     u, v, d = m
     if d <= 0:
         return False  # degenerate: empty result either way; keep simple
@@ -2145,6 +2234,56 @@ def _compile_call(node) -> Column:
         ax, ay = _point_xy(_operand_col(args[0], False))
         bx, by = _point_xy(_operand_col(args[1], False))
         return F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+    if fname == "geof:sfintersects":
+        # sfIntersects over any POINT/POLYGON mix in one frame (the
+        # var-var disconnected-frame form goes through the grid-cover
+        # join rewrite instead). Point-point degenerates to coordinate
+        # equality; point-polygon to the even-odd cast;
+        # polygon-polygon to rings_intersect. Rings are lambda-bound
+        # before the O(|A|x|B|) edge fold (sp33 plan-size lesson).
+        a = _operand_col(args[0], False)
+        b = _operand_col(args[1], False)
+        pa, pb = a.rlike(r"^\s*POINT\s*\("), b.rlike(r"^\s*POINT\s*\(")
+        pax, pay = _point_xy(a)
+        pbx, pby = _point_xy(b)
+        ra, rb = wkt_polygon_ring(a), wkt_polygon_ring(b)
+
+        def _bound(col: Column, fn) -> Column:
+            return F.get(F.transform(F.array(col), fn), 0)
+
+        return (
+            F.when(pa & pb, (pax == pbx) & (pay == pby))
+            .when(
+                pa,
+                _bound(
+                    rb,
+                    lambda r: F.when(
+                        r.isNotNull(), point_in_ring(r, pax, pay)
+                    ),
+                ),
+            )
+            .when(
+                pb,
+                _bound(
+                    ra,
+                    lambda r: F.when(
+                        r.isNotNull(), point_in_ring(r, pbx, pby)
+                    ),
+                ),
+            )
+            .otherwise(
+                _bound(
+                    ra,
+                    lambda r1: _bound(
+                        rb,
+                        lambda r2: F.when(
+                            r1.isNotNull() & r2.isNotNull(),
+                            rings_intersect(r1, r2),
+                        ),
+                    ),
+                )
+            )
+        )
     if fname in (
         "geof:area", "geof:centroid", "geof:envelope", "geof:length"
     ):

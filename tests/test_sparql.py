@@ -2900,3 +2900,105 @@ class TestSpecFillsRound8c:
             'SELECT ?s WHERE { ?s ex:v ?o . FILTER(sameTerm(?o, "47"@en)) }',
         ).collect()
         assert [r.s for r in got] == ["urn:x:3"]
+
+
+class TestSfIntersects:
+    """geof:sfIntersects: point-point / point-polygon / polygon-polygon
+    in one frame, and the var-var polygon-polygon grid-cover join
+    rewrite (no CartesianProduct, no duplicate solutions)."""
+
+    SQUARE = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+    @pytest.fixture(scope="class")
+    def shapes(self, spark):
+        rows = [
+            ("urn:a:overlap", "urn:ex:g", "POLYGON((3 3, 6 3, 6 6, 3 6, 3 3))"),
+            ("urn:a:inside", "urn:ex:g", "POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))"),
+            # a strip passing clean through: NO vertex of either
+            # polygon is inside the other — only the edge-cross arm
+            # can detect this intersection
+            ("urn:a:cross", "urn:ex:g", "POLYGON((-1 1, 5 1, 5 2, -1 2, -1 1))"),
+            ("urn:a:far", "urn:ex:g", "POLYGON((10 10, 12 10, 12 12, 10 12, 10 10))"),
+            ("urn:a:pt_in", "urn:ex:g", "POINT(3 3)"),
+            ("urn:a:pt_out", "urn:ex:g", "POINT(9 9)"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_same_frame_vs_constant(self, shapes):
+        got = run(
+            shapes,
+            "SELECT ?s WHERE { ?s ex:g ?g . "
+            f'FILTER(geof:sfIntersects(?g, "{self.SQUARE}")) }} ORDER BY ?s',
+        ).collect()
+        assert [r.s for r in got] == [
+            "urn:a:cross", "urn:a:inside", "urn:a:overlap", "urn:a:pt_in",
+        ]
+
+    def test_point_argument(self, shapes):
+        # point-polygon: strictly interior point of 'overlap' only;
+        # point-point: exact coordinate equality
+        got = run(
+            shapes,
+            'SELECT ?s WHERE { ?s ex:g ?g . '
+            'FILTER(geof:sfIntersects(?g, "POINT(3.5 3.5)")) } ORDER BY ?s',
+        ).collect()
+        assert [r.s for r in got] == ["urn:a:overlap"]
+        got = run(
+            shapes,
+            'SELECT ?s WHERE { ?s ex:g ?g . '
+            'FILTER(geof:sfIntersects(?g, "POINT(9 9)")) } ORDER BY ?s',
+        ).collect()
+        assert [r.s for r in got] == ["urn:a:pt_out"]
+
+    def test_var_var_grid_join(self, shapes, spark):
+        zones = TripleStore(
+            spark.createDataFrame(
+                [
+                    ("urn:z:low", "urn:ex:zone", self.SQUARE),
+                    (
+                        "urn:z:high",
+                        "urn:ex:zone",
+                        "POLYGON((9 9, 13 9, 13 13, 9 13, 9 9))",
+                    ),
+                ],
+                "s string, p string, o string",
+            ).unionByName(shapes.df.select("s", "p", "o"))
+            if hasattr(shapes, "df")
+            else spark.createDataFrame(
+                [
+                    ("urn:z:low", "urn:ex:zone", self.SQUARE),
+                    (
+                        "urn:z:high",
+                        "urn:ex:zone",
+                        "POLYGON((9 9, 13 9, 13 13, 9 13, 9 9))",
+                    ),
+                    ("urn:a:overlap", "urn:ex:g", "POLYGON((3 3, 6 3, 6 6, 3 6, 3 3))"),
+                    ("urn:a:inside", "urn:ex:g", "POLYGON((1 1, 2 1, 2 2, 1 2, 1 1))"),
+                    ("urn:a:cross", "urn:ex:g", "POLYGON((-1 1, 5 1, 5 2, -1 2, -1 1))"),
+                    ("urn:a:far", "urn:ex:g", "POLYGON((10 10, 12 10, 12 12, 10 12, 10 10))"),
+                ],
+                "s string, p string, o string",
+            )
+        )
+        df = run(
+            zones,
+            """
+            SELECT ?s ?z WHERE {
+              ?s ex:g ?g . ?z ex:zone ?w .
+              FILTER(geof:sfIntersects(?g, ?w))
+            } ORDER BY ?s ?z
+            """,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        got = [tuple(r) for r in df.collect()]
+        # each matching pair exactly ONCE (canonical-cell rule), even
+        # though big shapes share several cover cells
+        assert got == [
+            ("urn:a:cross", "urn:z:low"),
+            ("urn:a:far", "urn:z:high"),
+            ("urn:a:inside", "urn:z:low"),
+            ("urn:a:overlap", "urn:z:low"),
+        ]
