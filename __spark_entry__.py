@@ -10643,11 +10643,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 23 remaining r03-stamped rows, then the 3 oldest r05-stamped
     # rows to fill 50. After r08 every stamp is r04+.
     # r09 rotation (staged below the window, in order): the round-8
-    # additions (sp25-sp34 incl. the literal-metadata pair sp31/sp32,
+    # additions (sp25-sp39 incl. the literal-metadata pair sp31/sp32,
     # the grid-cover containment join sp33, the datetime rollup sp34,
-    # hybrid retrieval sim12, + the TPC-H closers q05/q06/q08/q15/
-    # q11/q16/q17/q19-q22, never stamped), then the r04-stamped block
-    # (oldest remaining attestation), then the r05-stamped remainder.
+    # SERVICE federation sp36, the geof function audits sp37/sp38, the
+    # polygon-polygon join sp39, retrieval sim12-sim16, llm21/llm22,
+    # the evaluation trio er03/txt19/dq06, mm07, a17, + the TPC-H
+    # closers q05/q06/q08/q15/q11/q16/q17/q19-q22 — all never
+    # stamped; they outnumber one window, so r09 takes the first 50 in
+    # registry order and r10 continues from there), then the
+    # r04-stamped block (oldest remaining attestation), then the
+    # r05-stamped remainder.
     # --- never driver-stamped round-6 additions (r07 positions 1-22) ---
     "sp17_bind_bucket": sp17_bind_bucket,
     "sp18_select_expressions": sp18_select_expressions,
