@@ -81,6 +81,11 @@ SHOWCASE = [
     ("sim12_hybrid_rrf", "hybrid retrieval: BM25 bounded aggs + TakeOrdered cuts, k-row RRF fusion join"),
     ("llm21_dataset_card", "dataset card: one projection pass + one partial-aggregable groupBy(source)"),
     ("llm22_source_overlap", "cross-source dup matrix: banded SimHash pairs + two label joins + sources-squared agg"),
+    ("sp36_service_join", "SPARQL SERVICE federation: endpoint store joins the local graph as a lazy plan — a join, not an RPC"),
+    ("sim16_ivf_index_probe", "persisted IVF index probe: PartitionFilters on ivf_cell — the scan reads only probed directories"),
+    ("sp39_zone_overlap", "SPARQL var-var polygon-polygon sfIntersects: grid-cover cell join + canonical-cell survival — no CartesianProduct, no dedup"),
+    ("a17_cumulative_uniques", "adoption curve: first-touch groupBy-min, then the prefix-sum window over the tiny daily aggregate"),
+    ("dq06_fd_audit", "FD audit: per-candidate groupBy with partial aggregation — shuffle bounded by distinct lhs"),
 ]
 
 
