@@ -695,3 +695,47 @@ def test_lang_metadata_turtle_roundtrip(spark, lits, probe):
 
     want = sorted(f"urn:d:{i}" for i, (_, tag) in enumerate(lits) if matches(tag))
     assert sorted(r.s for r in got) == want
+
+
+@given(
+    ax=st.integers(min_value=0, max_value=20),
+    ay=st.integers(min_value=0, max_value=20),
+    aw=st.integers(min_value=1, max_value=12),
+    ah=st.integers(min_value=1, max_value=12),
+    bx=st.integers(min_value=0, max_value=20),
+    by=st.integers(min_value=0, max_value=20),
+    bw=st.integers(min_value=1, max_value=12),
+    bh=st.integers(min_value=1, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_rings_intersect_matches_interval_overlap(
+    spark, ax, ay, aw, ah, bx, by, bw, bh
+):
+    """rings_intersect == axis-aligned interval-overlap for rectangle
+    pairs. B sits on the half-offset grid so no edge is ever collinear
+    with an A edge and no vertex ever lies ON the other's boundary —
+    the boundary-degenerate class the function documents as out of
+    scope never arises, exactly like the engine's margin-constructed
+    zone data."""
+    from geosparql_etl_spark.functions.geometry import (
+        rings_intersect,
+        wkt_polygon_ring,
+    )
+
+    def rect_wkt(x0, y0, x1, y1):
+        return (
+            f"POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+        )
+
+    a = (ax, ay, ax + aw, ay + ah)
+    b = (bx + 0.5, by + 0.5, bx + bw + 0.5, by + bh + 0.5)
+    df = spark.createDataFrame(
+        [(rect_wkt(*a), rect_wkt(*b))], "wa string, wb string"
+    )
+    got = df.select(
+        rings_intersect(
+            wkt_polygon_ring(F.col("wa")), wkt_polygon_ring(F.col("wb"))
+        ).alias("hit")
+    ).collect()[0]["hit"]
+    want = (a[0] < b[2] and b[0] < a[2]) and (a[1] < b[3] and b[1] < a[3])
+    assert got == want
