@@ -7549,6 +7549,71 @@ def sim16_ivf_index_probe(spark, sf_dir):
     )
 
 
+def sim17_label_purity(spark, sf_dir):
+    """Embedding-space coherence audit (round 8): for each query in
+    the 50-vector sample, what fraction of its exact top-5 cosine
+    neighbors share its label — the kNN-purity sanity every embedding
+    column must pass before semantic dedup (d11) or kNN labeling
+    (sim10) can be trusted: purity at chance level means the
+    embeddings don't encode the labels and every downstream
+    'semantic' operator is noise. Exact arm over the sample (sample x
+    corpus, the sim14 evaluation-cost argument); labels ride the
+    corpus side through the top-k, one tiny join for the query's own
+    label."""
+    from geosparql_etl_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 50)
+    nn = cosine_topk(e, q, k=5, dim=64).select("query_id", "neighbor_id")
+    nlab = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+    )
+    qlab = e.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("label")
+    ).where(F.col("query_id") < 50)
+    return (
+        nn.join(nlab, "neighbor_id")
+        .join(F.broadcast(qlab), "query_id")
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum(
+                (F.col("n_label") == F.col("label")).cast("long")
+            ).alias("n_same"),
+            F.round(
+                F.sum((F.col("n_label") == F.col("label")).cast("long"))
+                / F.lit(5.0),
+                6,
+            ).alias("purity"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _sql_sim17():
+    return """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+        FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id != q.vec_id)
+      WHERE rank <= 5)
+    SELECT nn.query_id, ql.label,
+           CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same,
+           round(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) / 5.0, 6)
+             AS purity
+    FROM nn
+    JOIN e nl ON nl.vec_id = nn.neighbor_id
+    JOIN e ql ON ql.vec_id = nn.query_id
+    GROUP BY nn.query_id, ql.label ORDER BY nn.query_id
+    """
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -10736,6 +10801,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim16_ivf_index_probe": sim16_ivf_index_probe,
     "a17_cumulative_uniques": a17_cumulative_uniques,
     "sp39_zone_overlap": sp39_zone_overlap,
+    "sim17_label_purity": sim17_label_purity,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -11115,6 +11181,7 @@ _ORACLES: dict[str, str] = {
     "sim16_ivf_index_probe": _sql_sim04(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
+    "sim17_label_purity": _sql_sim17(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
