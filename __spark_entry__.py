@@ -2744,6 +2744,84 @@ def _sql_d15():
     """
 
 
+def d16_threshold_sensitivity(spark, sf_dir):
+    """Dedup-threshold sensitivity report (round 8) — before anyone
+    picks 'cosine >= 0.8' for near-dup removal, this is the query that
+    shows what each candidate threshold would DO: per threshold, how
+    many pairs fire and how many distinct documents get touched. One
+    banded-LSH pair computation at the loosest threshold (sim02's
+    exact-rescored plan, the expensive part paid once), then each pair
+    explodes into only the thresholds it clears (array filter — no
+    per-threshold rescan, no pair recomputation) and two bounded
+    aggregates produce the curve. The report is monotone by
+    construction — a non-monotone row would mean the pair plan is
+    broken."""
+    from geosparql_etl_spark.operators.similarity import (
+        lsh_threshold_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = lsh_threshold_pairs(
+        e, threshold=0.4, dim=64, bands=48, bits_per_band=4
+    )
+    t_arr = F.array(
+        *[F.lit(t) for t in (0.4, 0.42, 0.44, 0.46, 0.48, 0.5)]
+    )
+    fired = pairs.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.filter(t_arr, lambda t: t <= F.col("cosine_sim"))
+        ).alias("threshold"),
+    )
+    n_pairs = fired.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = (
+        fired.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("id")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_docs_touched"))
+    )
+    return (
+        n_pairs.join(n_docs, "threshold")
+        .select(
+            F.round("threshold", 2).alias("threshold"),
+            "n_pairs",
+            "n_docs_touched",
+        )
+        .orderBy("threshold")
+    )
+
+
+def _sql_d16():
+    return """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+               FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+    t AS (SELECT * FROM (VALUES (0.4), (0.42), (0.44), (0.46), (0.48), (0.5))
+          AS tt(threshold)),
+    fired AS (
+      SELECT t.threshold, id_a, id_b FROM pairs JOIN t ON t.threshold <= sim),
+    np AS (SELECT threshold, count(*) AS n_pairs FROM fired GROUP BY threshold),
+    nd AS (
+      SELECT threshold, count(*) AS n_docs_touched FROM (
+        SELECT DISTINCT threshold, id FROM (
+          SELECT threshold, id_a AS id FROM fired
+          UNION ALL SELECT threshold, id_b FROM fired))
+      GROUP BY threshold)
+    SELECT CAST(round(np.threshold, 2) AS DOUBLE) AS threshold,
+           n_pairs, n_docs_touched
+    FROM np JOIN nd USING (threshold) ORDER BY threshold
+    """
+
+
 def g19_bbox_iou(spark, sf_dir):
     """Bbox intersection-over-union join — round 6: the detection /
     segmentation dedup primitive (two annotators' boxes over the same
@@ -10802,6 +10880,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a17_cumulative_uniques": a17_cumulative_uniques,
     "sp39_zone_overlap": sp39_zone_overlap,
     "sim17_label_purity": sim17_label_purity,
+    "d16_threshold_sensitivity": d16_threshold_sensitivity,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -11182,6 +11261,7 @@ _ORACLES: dict[str, str] = {
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),
+    "d16_threshold_sensitivity": _sql_d16(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

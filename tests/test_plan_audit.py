@@ -46,6 +46,7 @@ VECTORIZED_PYTHON_OK = {
     "d07_embedding_neardup",
     "d11_semantic_clusters",
     "sim02_threshold_pairs",
+    "d16_threshold_sensitivity",  # rides sim02's banded-LSH pair plan
     "d13_triangle_count",  # edges come from sim02's banded-LSH pair plan
     "sim03_ann_lsh",
     "sim04_ivf_ann",
