@@ -9481,6 +9481,33 @@ def _sql_sp39():
     """
 
 
+def sp40_top_nations(spark, sf_dir):
+    """Inline aggregates in ORDER BY (spec 18.2.4.4, round 8): the
+    top-10 nations by customer count ordered by `DESC(COUNT(?c))` —
+    the aggregate call in the sort key rewrites to the projected
+    alias when one matches (here) or to a hidden aggregate column
+    that rides to the sort and drops after (compiler.py: the HAVING
+    inline-aggregate machinery extended to ORDER BY). Deterministic
+    tie-break on the name keeps the LIMIT cut stable cross-engine."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nname (COUNT(?c) AS ?n) WHERE {
+          ?c a ex:Customer . ?c ex:nation ?nt . ?nt ex:name ?nname .
+        } GROUP BY ?nname ORDER BY DESC(COUNT(?c)) ?nname LIMIT 10
+        """,
+    )
+
+
+def _sql_sp40():
+    return """
+    SELECT n_name AS nname, count(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY nname ORDER BY n DESC, nname LIMIT 10
+    """
+
+
 def _nation_triples(spark, sf_dir):
     """Nations as a small triple graph (sp25's update target)."""
     n = _t(spark, sf_dir, "nation")
@@ -10881,6 +10908,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp39_zone_overlap": sp39_zone_overlap,
     "sim17_label_purity": sim17_label_purity,
     "d16_threshold_sensitivity": d16_threshold_sensitivity,
+    "sp40_top_nations": sp40_top_nations,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -11262,6 +11290,7 @@ _ORACLES: dict[str, str] = {
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),
     "d16_threshold_sensitivity": _sql_d16(),
+    "sp40_top_nations": _sql_sp40(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

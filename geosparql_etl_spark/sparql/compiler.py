@@ -2954,17 +2954,50 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
         # fail loudly, never silently drop a clause (the _expect_end
         # convention): HAVING without aggregation has nothing to filter
         raise ValueError("HAVING requires GROUP BY or aggregate projections")
+    order_by = q.order_by
+    order_hidden: list[str] = []
     if aggs or q.group_by:
-        # HAVING may use aggregate ALIASES (?alias comparisons) or
-        # inline aggregate calls (HAVING(COUNT(?v) > 3)) — inline
-        # calls rewrite to existing aliases when one matches, else to
-        # hidden aggregate columns dropped right after the filter
+        # HAVING and ORDER BY may use aggregate ALIASES (?alias
+        # comparisons) or inline aggregate calls (HAVING(COUNT(?v) >
+        # 3), ORDER BY DESC(COUNT(?v)) — spec 18.2.4.4) — inline calls
+        # rewrite to existing aliases when one matches, else to hidden
+        # aggregate columns: HAVING-only hiddens drop right after the
+        # filter, ORDER-BY ones ride through the final projection and
+        # drop after the sort
         having, extras = q.having, []
+        existing = {
+            (f, a): al for _, f, a, al in aggs if not isinstance(a, tuple)
+        }
         if having is not None:
-            existing = {
-                (f, a): al for _, f, a, al in aggs if not isinstance(a, tuple)
-            }
             having = _rewrite_having_aggs(having, existing, extras)
+        n_having_extras = len(extras)
+        if order_by:
+            order_by = [
+                (
+                    k
+                    if isinstance(k, str)
+                    else _rewrite_having_aggs(k, existing, extras),
+                    asc,
+                )
+                for k, asc in order_by
+            ]
+
+            def _hidden_refs(node, out):
+                if isinstance(node, (list, tuple)):
+                    if (
+                        isinstance(node, tuple)
+                        and node[0] == "var"
+                        and node[1].startswith("__having_")
+                    ):
+                        out.add(node[1])
+                    for child in node:
+                        _hidden_refs(child, out)
+
+            refs: set[str] = set()
+            for k, _asc in order_by:
+                if not isinstance(k, str):
+                    _hidden_refs(k, refs)
+            order_hidden = sorted(refs)
         agg_cols = [_agg_col(func, arg, alias) for _, func, arg, alias in aggs]
         agg_cols += [_agg_col(f, a, al) for f, a, al in extras]
         if agg_cols:
@@ -2975,8 +3008,13 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
             df = df.select(*q.group_by).dropDuplicates()
         if having is not None:
             df = df.where(_compile_expr(having))
-            if extras:
-                df = df.drop(*[al for _f, _a, al in extras])
+        drop_now = [
+            al
+            for _f, _a, al in extras[:n_having_extras]
+            if al not in order_hidden
+        ]
+        if drop_now:
+            df = df.drop(*drop_now)
     for p in q.projections:
         if p[0] == "expr":
             # (expr AS ?alias) computes over in-scope vars — or, after
@@ -2995,16 +3033,24 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
             p[1] if p[0] == "var" else p[3] if p[0] == "agg" else p[2]
             for p in q.projections
         ]
-    df = df.select(*out_cols)
+    df = df.select(*(out_cols + order_hidden))
     if q.distinct:
-        df = df.dropDuplicates()
-    if q.order_by:
+        if order_hidden:
+            # hidden sort columns are functionally determined by the
+            # aggregate keys, but keep DISTINCT over the VISIBLE
+            # projection only (spec semantics)
+            df = df.dropDuplicates(out_cols)
+        else:
+            df = df.dropDuplicates()
+    if order_by:
         def okey(k) -> Column:
             return F.col(k) if isinstance(k, str) else _operand_col(k, False)
 
         df = df.orderBy(
-            *[okey(k).asc() if asc else okey(k).desc() for k, asc in q.order_by]
+            *[okey(k).asc() if asc else okey(k).desc() for k, asc in order_by]
         )
+    if order_hidden:
+        df = df.drop(*order_hidden)
     if q.offset is not None:
         df = df.offset(q.offset)
     if q.limit is not None:

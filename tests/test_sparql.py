@@ -3002,3 +3002,53 @@ class TestSfIntersects:
             ("urn:a:inside", "urn:z:low"),
             ("urn:a:overlap", "urn:z:low"),
         ]
+
+
+class TestOrderByAggregates:
+    """Inline aggregate calls in ORDER BY (spec 18.2.4.4): reuse a
+    projected alias when one matches, otherwise a hidden aggregate
+    column that rides to the sort and is dropped after."""
+
+    @pytest.fixture(scope="class")
+    def cities(self, spark):
+        rows = [
+            ("urn:p:%d" % i, "urn:ex:city", c)
+            for i, c in enumerate(["a", "b", "b", "c", "c", "c"])
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_orderby_agg_reuses_projected_alias(self, cities):
+        got = run(
+            cities,
+            "SELECT ?c (COUNT(?s) AS ?n) WHERE { ?s ex:city ?c } "
+            "GROUP BY ?c ORDER BY DESC(COUNT(?s)) ?c",
+        ).collect()
+        assert [tuple(r) for r in got] == [("c", 3), ("b", 2), ("a", 1)]
+
+    def test_orderby_agg_not_projected(self, cities):
+        got = run(
+            cities,
+            "SELECT ?c WHERE { ?s ex:city ?c } "
+            "GROUP BY ?c ORDER BY DESC(COUNT(?s)) ?c",
+        )
+        assert got.columns == ["c"]  # the hidden sort column is gone
+        assert [r.c for r in got.collect()] == ["c", "b", "a"]
+
+    def test_orderby_and_having_share_hidden_aggregate(self, cities):
+        got = run(
+            cities,
+            "SELECT ?c WHERE { ?s ex:city ?c } GROUP BY ?c "
+            "HAVING(COUNT(?s) > 1) ORDER BY DESC(COUNT(?s))",
+        ).collect()
+        assert [r.c for r in got] == ["c", "b"]
+
+    def test_distinct_with_hidden_order_column(self, cities):
+        got = run(
+            cities,
+            "SELECT DISTINCT ?c WHERE { ?s ex:city ?c } "
+            "GROUP BY ?c ORDER BY DESC(COUNT(?s))",
+        )
+        assert got.columns == ["c"]
+        assert [r.c for r in got.collect()] == ["c", "b", "a"]
