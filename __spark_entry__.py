@@ -6900,6 +6900,62 @@ def llm10_gopher_quality(spark, sf_dir):
     )
 
 
+def s15_quality_router(spark, sf_dir):
+    """Batch analog of the streaming quality router
+    (streaming/corpus.py:run_quality_router — the dead-letter pattern:
+    accept / review / reject, nothing silently dropped): destination
+    populations and total rule failures per destination. The routing
+    rules are llm10's Gopher metrics; 'review' is the fails-exactly-
+    one borderline queue. Per-row native expressions at scan speed,
+    one 3-group aggregate — the streaming form writes the same split
+    to three epoch-tagged sinks (pytest pins batch==stream
+    destinations)."""
+    from geosparql_etl_spark.streaming.corpus import route_by_quality
+
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return (
+        route_by_quality(d)
+        .groupBy("destination")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_failed").alias("total_rule_failures"),
+        )
+        .orderBy("destination")
+    )
+
+
+def _sql_s15():
+    toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+    nw = f"CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0 ELSE len({toks}) END"
+    tot = f"list_aggregate(list_transform({toks}, t -> len(t)), 'sum')"
+    mwl = f"CASE WHEN {nw} > 0 THEN {tot}::DOUBLE / {nw} ELSE 0.0 END"
+    nsym = "len(regexp_extract_all(text, '#|\\.\\.\\.'))"
+    symr = f"CASE WHEN {nw} > 0 THEN {nsym}::DOUBLE / {nw} ELSE 0.0 END"
+    alpha = (
+        f"CASE WHEN {nw} > 0 THEN len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))::DOUBLE / {nw} ELSE 0.0 END"
+    )
+    stops = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+    sh = f"len(list_filter({toks}, t -> t IN {stops}))"
+    fails = (
+        f"(CASE WHEN NOT ({nw} BETWEEN 50 AND 100000) THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN NOT ({mwl} BETWEEN 3.0 AND 10.0) THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {symr} > 0.1 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {alpha} < 0.8 THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {sh} < 2 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    WITH routed AS (
+      SELECT {fails} AS n_failed,
+             CASE WHEN {fails} = 0 THEN 'accept'
+                  WHEN {fails} = 1 THEN 'review'
+                  ELSE 'reject' END AS destination
+      FROM documents WHERE text IS NOT NULL)
+    SELECT destination, count(*) AS n_docs,
+           CAST(sum(n_failed) AS BIGINT) AS total_rule_failures
+    FROM routed GROUP BY destination ORDER BY destination
+    """
+
+
 def _sql_llm10():
     toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
     nw = f"CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0 ELSE len({toks}) END"
@@ -10909,6 +10965,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim17_label_purity": sim17_label_purity,
     "d16_threshold_sensitivity": d16_threshold_sensitivity,
     "sp40_top_nations": sp40_top_nations,
+    "s15_quality_router": s15_quality_router,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -11291,6 +11348,7 @@ _ORACLES: dict[str, str] = {
     "sim17_label_purity": _sql_sim17(),
     "d16_threshold_sensitivity": _sql_d16(),
     "sp40_top_nations": _sql_sp40(),
+    "s15_quality_router": _sql_s15(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),

@@ -1048,6 +1048,13 @@ class _Parser:
             # prefixed-name constant (xsd:decimal, geo:wktLiteral)
             return ("str", self._expand(tok))
         self.expect("(")
+        if fname.upper() == "COUNT" and self.peek() == "*":
+            # COUNT(*) inside HAVING / ORDER BY expressions — the
+            # star marks the no-argument row count (rewritten to an
+            # aggregate column by _rewrite_having_aggs)
+            self.next()
+            self.expect(")")
+            return ("call", "count", [("star",)])
         args = []
         while self.peek() != ")":
             args.append(self._expr_or())
@@ -2523,12 +2530,17 @@ def _rewrite_having_aggs(node, existing: dict, extras: list):
         node[0] == "call"
         and node[1] in _HAVING_AGG_FUNCS
         and len(node[2]) == 1
-        and node[2][0][0] == "var"
+        and node[2][0][0] in ("var", "star")
     ):
-        key = (_HAVING_AGG_FUNCS[node[1]], node[2][0][1])
+        # COUNT(*) carries arg None — the same no-argument row count
+        # _agg_col implements for the projection form
+        arg = None if node[2][0][0] == "star" else node[2][0][1]
+        if node[2][0][0] == "star" and node[1] != "count":
+            raise ValueError(f"{node[1].upper()}(*) is not SPARQL")
+        key = (_HAVING_AGG_FUNCS[node[1]], arg)
         if key not in existing:
             alias = f"__having_{len(extras)}"
-            extras.append((key[0], key[1], alias))
+            extras.append((key[0], arg, alias))
             existing[key] = alias
         return ("var", existing[key])
     return tuple(

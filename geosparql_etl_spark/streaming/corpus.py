@@ -105,3 +105,69 @@ def run_incremental_curation(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def route_by_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-rule router: every doc gets a destination —
+    ``accept`` (passes all rules), ``review`` (fails exactly one:
+    borderline, a human or a second model looks), ``reject`` (fails
+    two or more). The dead-letter pattern for curation: nothing is
+    silently dropped, every row is accounted for in exactly one
+    destination, and the per-rule failure flags ride along so the
+    review queue knows WHY. Works identically on batch frames (the
+    s15 registry analog pins it against the oracle). Line-shape rules
+    are omitted like llm10 (single-line corpus: constant columns)."""
+    from geosparql_etl_spark.functions.textstats import gopher_metrics
+
+    m = gopher_metrics(F.col("text"))
+    fails = (
+        (~m["n_words"].between(50, 100_000)).cast("int")
+        + (~m["mean_word_len"].between(3.0, 10.0)).cast("int")
+        + (m["symbol_ratio"] > 0.1).cast("int")
+        + (m["alpha_frac"] < 0.8).cast("int")
+        + (m["stop_hits"] < 2).cast("int")
+    )
+    return docs.withColumn("n_failed", fails).withColumn(
+        "destination",
+        F.when(F.col("n_failed") == 0, "accept")
+        .when(F.col("n_failed") == 1, "review")
+        .otherwise("reject"),
+    )
+
+
+def run_quality_router(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Land-dir -> three destination tables, exactly once per epoch.
+
+    foreachBatch splits each micro-batch by destination and writes
+    out_dir/<destination>/epoch=N — one streaming pass, three sinks,
+    and a replayed epoch overwrites its own directories in all three
+    destinations (idempotence at the replay unit, like
+    run_incremental_curation). Returns the started StreamingQuery."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        routed = route_by_quality(batch_df).persist()
+        try:
+            for dest in ("accept", "review", "reject"):
+                (
+                    routed.where(F.col("destination") == dest)
+                    .drop("destination")
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(out_dir, dest, f"epoch={epoch_id}"))
+                )
+        finally:
+            routed.unpersist()
+
+    stream = docs_file_stream(spark, source_dir).where(
+        F.col("text").isNotNull()
+    )
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

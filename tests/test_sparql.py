@@ -3052,3 +3052,28 @@ class TestOrderByAggregates:
         )
         assert got.columns == ["c"]
         assert [r.c for r in got.collect()] == ["c", "b", "a"]
+
+    def test_count_star_in_having_and_orderby(self, cities):
+        got = run(
+            cities,
+            "SELECT ?c WHERE { ?s ex:city ?c } GROUP BY ?c "
+            "HAVING(COUNT(*) > 1) ORDER BY DESC(COUNT(*)) ?c",
+        ).collect()
+        assert [r.c for r in got] == ["c", "b"]
+
+    def test_count_star_reuses_projected_alias(self, cities):
+        got = run(
+            cities,
+            "SELECT ?c (COUNT(*) AS ?n) WHERE { ?s ex:city ?c } "
+            "GROUP BY ?c ORDER BY DESC(COUNT(*))",
+        ).collect()
+        assert [tuple(r) for r in got] == [("c", 3), ("b", 2), ("a", 1)]
+
+    def test_sum_star_rejected(self, cities):
+        # only COUNT takes the star; SUM(*) fails loudly at parse
+        with pytest.raises(ValueError):
+            run(
+                cities,
+                "SELECT ?c WHERE { ?s ex:city ?c } GROUP BY ?c "
+                "HAVING(SUM(*) > 1)",
+            ).collect()

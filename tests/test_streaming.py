@@ -632,3 +632,48 @@ def test_streaming_quad_lake_ingest(spark, tmp_path):
         "{ ?p <urn:ex:name> ?o } } GROUP BY ?g ORDER BY ?g",
     ).collect()
     assert [(r.g, r.n) for r in rows] == [("urn:g:eng", 1), ("urn:g:hr", 2)]
+
+
+def test_quality_router_stream_matches_batch_split(spark, sf_dir, tmp_path):
+    """The streaming dead-letter router: every non-null doc lands in
+    exactly ONE of accept/review/reject, the three destination tables
+    partition the input, and the split equals the batch
+    route_by_quality answer."""
+    from geosparql_etl_spark.streaming.corpus import (
+        route_by_quality,
+        run_quality_router,
+    )
+
+    land = tmp_path / "land"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 400
+    )
+    docs.write.mode("append").parquet(str(land))
+
+    q = run_quality_router(spark, str(land), str(out), str(ck))
+    assert q.awaitTermination(120)
+
+    batch = route_by_quality(docs.where(F.col("text").isNotNull()))
+    want = {
+        dest: {r.doc_id for r in batch.where(
+            F.col("destination") == dest).collect()}
+        for dest in ("accept", "review", "reject")
+    }
+    got = {}
+    for dest in ("accept", "review", "reject"):
+        try:
+            got[dest] = {
+                r.doc_id
+                for r in spark.read.parquet(f"{out}/{dest}").collect()
+            }
+        except Exception:
+            got[dest] = set()
+    assert got == want
+    # the three destinations PARTITION the input: disjoint, complete
+    all_ids = got["accept"] | got["review"] | got["reject"]
+    assert len(all_ids) == sum(len(v) for v in got.values())
+    n_in = docs.where(F.col("text").isNotNull()).count()
+    assert len(all_ids) == n_in and len(got["accept"]) > 0
