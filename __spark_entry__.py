@@ -2317,6 +2317,109 @@ def _sql_d03():
     """
 
 
+def d17_minhash_error(spark, sf_dir):
+    """MinHash estimator-quality report (round 8) — dq02's
+    sketch-contract idea applied to MinHash: for every exact near-dup
+    pair (d04's inverted-index Jaccard, the ground truth), the
+    signature-match estimate at 4 and at 16 hashes with absolute
+    errors, so the report SHOWS the estimator converging
+    (E[matches/n] = J, variance J(1-J)/n) and quantifies what a
+    4-hash signature is — a banding/bucketing tool, not an estimator.
+    The eval is pair-bounded: signatures join onto d04's qualifying
+    pairs (never all pairs), and each signature set is one corpus
+    scan. The oracle replays both seeded signature sets and the exact
+    Jaccard in SQL."""
+    from geosparql_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        with_minhash,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sig4 = with_minhash(
+        d, "text", "doc_id", num_hashes=4, k=3, out_col="sig4"
+    ).select("doc_id", "sig4")
+    sig16 = with_minhash(
+        d, "text", "doc_id", num_hashes=16, k=3, out_col="sig16"
+    ).select("doc_id", "sig16")
+    sigs = sig4.join(sig16, "doc_id")
+
+    def est(a: Column, b: Column, n: int) -> Column:
+        return (
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(n))
+        )
+
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, min_jaccard=0.2)
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig4").alias("a4"),
+        F.col("sig16").alias("a16"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig4").alias("b4"),
+        F.col("sig16").alias("b16"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    e4 = est(F.col("a4"), F.col("b4"), 4)
+    e16 = est(F.col("a16"), F.col("b16"), 16)
+    # errors measure against the round-6 jaccard BOTH engines emit, so
+    # the error doubles are bit-identical cross-engine
+    jr = F.round("jaccard", 6)
+    return j.select(
+        "id_a",
+        "id_b",
+        jr.alias("jaccard"),
+        e4.alias("est4"),
+        F.round(F.abs(e4 - jr), 6).alias("abs_err4"),
+        e16.alias("est16"),
+        F.round(F.abs(e16 - jr), 6).alias("abs_err16"),
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_d17():
+    shingles = (
+        "CASE WHEN len(w) >= 3 THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+        "for i in range(1, len(w) - 1)]) ELSE [array_to_string(w, ' ')] END"
+    )
+    mh = {
+        n: ", ".join(
+            f"list_aggregate(list_transform(sh, s -> {_hex60(f_seed)}), 'min') AS mh{n}_{i}"
+            for i in range(n)
+            for f_seed in [f"'{i}:' || s"]
+        )
+        for n in (4, 16)
+    }
+    m4 = " + ".join(
+        f"(CASE WHEN a.mh4_{i} = b.mh4_{i} THEN 1 ELSE 0 END)" for i in range(4)
+    )
+    m16 = " + ".join(
+        f"(CASE WHEN a.mh16_{i} = b.mh16_{i} THEN 1 ELSE 0 END)"
+        for i in range(16)
+    )
+    d04 = _sql_d04()
+    return f"""
+    WITH exact AS ({d04}),
+    sigs AS (
+      SELECT doc_id, {mh[4]}, {mh[16]} FROM (
+        SELECT doc_id, {shingles} AS sh FROM
+          (SELECT doc_id, {_WORDS} AS w FROM documents)))
+    SELECT id_a, id_b, jaccard,
+           ({m4})::DOUBLE / 4.0 AS est4,
+           round(abs(({m4})::DOUBLE / 4.0 - jaccard), 6) AS abs_err4,
+           ({m16})::DOUBLE / 16.0 AS est16,
+           round(abs(({m16})::DOUBLE / 16.0 - jaccard), 6) AS abs_err16
+    FROM exact
+    JOIN sigs a ON a.doc_id = exact.id_a
+    JOIN sigs b ON b.doc_id = exact.id_b
+    ORDER BY id_a, id_b
+    """
+
+
 def d04_ngram_jaccard(spark, sf_dir):
     """Exact word-3-shingle Jaccard near-dup pairs (inverted-index join),
     threshold 0.2."""
@@ -10966,6 +11069,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d16_threshold_sensitivity": d16_threshold_sensitivity,
     "sp40_top_nations": sp40_top_nations,
     "s15_quality_router": s15_quality_router,
+    "d17_minhash_error": d17_minhash_error,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -11349,6 +11453,7 @@ _ORACLES: dict[str, str] = {
     "d16_threshold_sensitivity": _sql_d16(),
     "sp40_top_nations": _sql_sp40(),
     "s15_quality_router": _sql_s15(),
+    "d17_minhash_error": _sql_d17(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
