@@ -4506,6 +4506,65 @@ def llm04_sequence_packing(spark, sf_dir):
     )
 
 
+def llm23_packing_efficiency(spark, sf_dir):
+    """Packing-efficiency report over llm04's sequence packing (round
+    8): per source — sequences built, docs and tokens packed, mean
+    fill ratio against the 2000-token budget, and how many sequences
+    OVERFLOW it (llm04's bin is where a doc STARTS, so a straddling
+    doc overfills its bin — the report makes that semantics visible
+    instead of leaving it implicit). This is the number a pretraining
+    team actually watches: mean fill is wasted-compute fraction, and
+    a low value says the doc-length mix needs packing with lookahead
+    (first-fit-decreasing) rather than contiguous greedy. Rides
+    llm04's plan: one more source-level aggregate on the seqs frame."""
+    from geosparql_etl_spark.functions.textstats import bpe_ish_token_count
+
+    budget = 2000
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    packed = toks.withColumn("__cum", F.sum("n_tok").over(w)).withColumn(
+        "seq_id",
+        F.floor((F.col("__cum") - F.col("n_tok")) / budget).cast("bigint"),
+    )
+    seqs = packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("seq_tokens"),
+    )
+    return (
+        seqs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("seq_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("seq_tokens") / (F.count(F.lit(1)) * F.lit(float(budget))),
+                6,
+            ).alias("mean_fill"),
+            F.sum((F.col("seq_tokens") > budget).cast("long")).alias(
+                "n_overflow"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_llm23():
+    return f"""
+    WITH seqs AS ({_sql_llm04()})
+    SELECT source, count(*) AS n_seqs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(seq_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(seq_tokens) AS DOUBLE) / (count(*) * 2000.0), 6)
+             AS mean_fill,
+           CAST(sum(CASE WHEN seq_tokens > 2000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow
+    FROM seqs GROUP BY source ORDER BY source
+    """
+
+
 def _sql_llm04():
     n_tok = r"len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]+'))"
     return f"""
@@ -11070,6 +11129,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp40_top_nations": sp40_top_nations,
     "s15_quality_router": s15_quality_router,
     "d17_minhash_error": d17_minhash_error,
+    "llm23_packing_efficiency": llm23_packing_efficiency,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -11454,6 +11514,7 @@ _ORACLES: dict[str, str] = {
     "sp40_top_nations": _sql_sp40(),
     "s15_quality_router": _sql_s15(),
     "d17_minhash_error": _sql_d17(),
+    "llm23_packing_efficiency": _sql_llm23(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
