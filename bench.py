@@ -108,6 +108,12 @@ HEADLINE = [
     # round 6: BIND bucket aggregate + the BPE train->apply round trip
     "sp17_bind_bucket",
     "llm20_bpe_tokenize",
+    # round 8 continuation: federation join, persisted-index probe,
+    # polygon-polygon grid join, all-frame video decode
+    "sp36_service_join",
+    "sim16_ivf_index_probe",
+    "sp39_zone_overlap",
+    "mm07_shot_boundaries",
     # round 6 second wave: warehouse top-k money, robust MAD screen,
     # grid NN argmin, lexical diversity, trailing-window anomaly,
     # golden-record merge, Benford audit, GRAPH-scoped quad aggregate,
