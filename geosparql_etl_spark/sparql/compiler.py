@@ -2424,6 +2424,25 @@ def _compile_call(node) -> Column:
         # STRUUID -> the bare simple literal, UUID -> a urn:uuid: IRI
         u = F.expr("uuid()")
         return u if fname == "struuid" else F.concat(F.lit("urn:uuid:"), u)
+    if fname in ("iri", "uri"):
+        # IRI(str): terms ARE lexical strings in this store, so
+        # minting an IRI from a string is the string itself (no base
+        # IRI — relative references pass through unresolved, the same
+        # convention the ntriples writer serializes by). IRI of an
+        # IRI is itself per spec.
+        return _operand_col(args[0], False).cast("string")
+    if fname == "bnode":
+        # BNODE(): a fresh blank node per binding row (uuid-backed).
+        # BNODE(str): a DETERMINISTIC _:md5(str) node — stable across
+        # solutions rather than scoped per-solution (documented
+        # deviation: deterministic skolemization is what a distributed
+        # ETL wants; per-solution scoping would need a row identity
+        # no engine output carries).
+        if not args:
+            return F.concat(F.lit("_:b"), F.expr("replace(uuid(), '-', '')"))
+        return F.concat(
+            F.lit("_:b"), F.md5(_operand_col(args[0], False).cast("string"))
+        )
     if fname in ("strlang", "strdt"):
         # STRLANG/STRDT mint a new literal term; in this engine's
         # lexical output model the projected VALUE is the lexical form

@@ -3077,3 +3077,55 @@ class TestOrderByAggregates:
                 "SELECT ?c WHERE { ?s ex:city ?c } GROUP BY ?c "
                 "HAVING(SUM(*) > 1)",
             ).collect()
+
+
+class TestTermConstructors:
+    """IRI()/URI(), BNODE() and BNODE(str): term minting in the
+    lexical-string store."""
+
+    def test_iri_from_concat(self, toy_store):
+        names = sorted(
+            r.n for r in run(
+                toy_store, "SELECT ?n WHERE { ?p ex:name ?n }"
+            ).collect()
+        )
+        got = run(
+            toy_store,
+            'SELECT ?u WHERE { ?p ex:name ?n . '
+            'BIND(IRI(CONCAT("urn:person:", ?n)) AS ?u) } ORDER BY ?u',
+        ).collect()
+        assert [r.u for r in got] == ["urn:person:" + n for n in names]
+        # the minted term is an IRI to isIRI()
+        got = run(
+            toy_store,
+            'SELECT ?n WHERE { ?p ex:name ?n . '
+            'FILTER(isIRI(URI(CONCAT("urn:person:", ?n)))) }',
+        ).collect()
+        assert len(got) == len(names)
+
+    def test_bnode_fresh_per_row(self, toy_store):
+        got = run(
+            toy_store,
+            "SELECT ?b WHERE { ?p ex:name ?n . BIND(BNODE() AS ?b) }",
+        ).collect()
+        vals = [r.b for r in got]
+        assert len(vals) == len(set(vals)) >= 3
+        assert all(v.startswith("_:") for v in vals)
+
+    def test_bnode_deterministic_from_arg(self, toy_store):
+        q = (
+            "SELECT ?n ?b WHERE { ?p ex:name ?n . BIND(BNODE(?n) AS ?b) } "
+            "ORDER BY ?n"
+        )
+        by_name = {r.n: r.b for r in run(toy_store, q).collect()}
+        # stable skolemization: same label -> same node, run to run
+        assert by_name == {r.n: r.b for r in run(toy_store, q).collect()}
+        assert by_name and all(
+            b.startswith("_:") for b in by_name.values()
+        )
+        # the minted node answers isBlank()
+        got = run(
+            toy_store,
+            "SELECT ?n WHERE { ?p ex:name ?n . FILTER(isBlank(BNODE(?n))) }",
+        ).collect()
+        assert len(got) == len(by_name) or len(got) >= 3
