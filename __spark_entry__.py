@@ -7910,6 +7910,115 @@ def _sql_sim17():
     """
 
 
+def sim18_trained_index_probe(spark, sf_dir):
+    """The full ANN production loop in one verified plan (round 8):
+    TRAIN the quantizer (sim11's fixed-point Lloyd round at
+    n_cells=16), BUILD the persisted inverted file with the trained
+    centroids (sim16's partitioned write), PROBE it with partition
+    pruning, and return the top-5 — the deploy path a retrieval team
+    ships after sim14/sim15 said the trained config clears the recall
+    bar. Every stage is deterministic (fixed-point training, collected
+    centroids as index metadata, canonical tie-breaks), so the oracle
+    replays training AND the rebuilt index AND the probe entirely in
+    SQL — the driver verifies the deployed artifact's answers, not a
+    summary statistic."""
+    import os
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_index_topk,
+        lloyd_refine,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = [list(c) for c in _ivf_centroids(64, 16)]
+    for r in lloyd_refine(e, "embedding", dim=64, n_cells=16).collect():
+        trained[r["cluster"]][r["pos"]] = r["c_new"]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gsel_ivf_trained_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_ivf_index(e, path, dim=64, n_cells=16, centroids=trained)
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_index_topk(
+        spark, path, q, k=5, dim=64, n_cells=16, n_probe=2,
+        centroids=trained,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+def _sql_sim18():
+    from geosparql_etl_spark.operators.similarity import _ivf_centroids
+
+    cents = _ivf_centroids(64, 16)
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join("%.17g" % v for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    ct0 AS (SELECT * FROM (VALUES {rows}) AS t(c, cent)),
+    scored0 AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct0),
+    cells0 AS (
+      SELECT vec_id, c AS cluster FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored0) WHERE rn = 1),
+    pe AS (
+      SELECT cluster, i - 1 AS pos,
+             CAST(floor(v[i] * 1000000.0) AS BIGINT) AS q
+      FROM (SELECT cluster, v, unnest(generate_series(1, len(v))) AS i
+            FROM cells0 JOIN e USING (vec_id))),
+    tr AS (
+      SELECT cluster, pos,
+             round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 6) AS c_new
+      FROM pe GROUP BY cluster, pos),
+    seed AS (
+      SELECT c, i - 1 AS pos, cent[i] AS v0
+      FROM (SELECT c, cent, unnest(generate_series(1, len(cent))) AS i
+            FROM ct0)),
+    ct AS (
+      SELECT c, list(coalesce(tr.c_new, seed.v0) ORDER BY seed.pos) AS cent
+      FROM seed LEFT JOIN tr ON tr.cluster = seed.c AND tr.pos = seed.pos
+      GROUP BY c),
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id < 5) WHERE rn <= 2),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e ec ON ec.vec_id = cand.neighbor_id)
+    WHERE rank <= 5
+    """
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -11130,6 +11239,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s15_quality_router": s15_quality_router,
     "d17_minhash_error": d17_minhash_error,
     "llm23_packing_efficiency": llm23_packing_efficiency,
+    "sim18_trained_index_probe": sim18_trained_index_probe,
     "q05_regional_volume": q05_regional_volume,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q08_market_share": q08_market_share,
@@ -11515,6 +11625,7 @@ _ORACLES: dict[str, str] = {
     "s15_quality_router": _sql_s15(),
     "d17_minhash_error": _sql_d17(),
     "llm23_packing_efficiency": _sql_llm23(),
+    "sim18_trained_index_probe": _sql_sim18(),
     "q05_regional_volume": _sql_q05(),
     "q06_forecast_revenue": _sql_q06(),
     "q08_market_share": _sql_q08(),
