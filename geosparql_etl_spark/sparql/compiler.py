@@ -349,7 +349,8 @@ class _Parser:
             # predicate position — an object term never starts a
             # brace, so the lookahead is unambiguous here.
             self.next()
-            lo = int(self.next())
+            # p{,m} = p{0,m} (empty lower bound)
+            lo = 0 if self.peek() == "," else int(self.next())
             hi: int | None = lo
             if self.peek() == ",":
                 self.next()

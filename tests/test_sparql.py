@@ -1392,6 +1392,11 @@ class TestRound8PathsAndSpatial:
             "n3", "n4", "n5", "n6",
         ]
 
+    def test_repeat_empty_lower_bound(self, chain_store):
+        # p{,2} = p{0,2}: includes the zero-length identity binding
+        got = run(chain_store, "SELECT ?b WHERE { <n0> ex:next{,2} ?b }")
+        assert sorted(r.b for r in got.collect()) == ["n0", "n1", "n2"]
+
     def test_repeat_matches_seq_and_star_composition(self, chain_store):
         # property check on the small chain: p{2,} == p/p/p*
         a = run(chain_store, "SELECT ?a ?b WHERE { ?a ex:next{2,} ?b }")
