@@ -1222,6 +1222,19 @@ def unregister_service(iri: str) -> None:
     _SERVICES.pop(iri, None)
 
 
+def _expr_vars(node, out: set | None = None) -> set:
+    """All variable names referenced by an expression AST."""
+    if out is None:
+        out = set()
+    if isinstance(node, tuple) and node and node[0] == "var":
+        out.add(node[1])
+        return out
+    if isinstance(node, (tuple, list)):
+        for child in node:
+            _expr_vars(child, out)
+    return out
+
+
 def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataFrame:
     if left is None:
         return right
@@ -1598,9 +1611,61 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             frames.append(merged)
             _merge_connected(frames)
         elif kind == "optional":
-            inner = _compile_group(store, payload[0])
+            g = payload[0]
+            lifted: list = []
+            stay_group = g
+            top_filters = [e for e in g.elements if e[0] == "filter"]
+            if top_filters:
+                # filters apply to the whole group regardless of
+                # position, so splitting them out is semantics-neutral;
+                # ones whose variables the inner group does not bind
+                # become the LeftJoin CONDITION (spec 18.2.2.5)
+                rest = [e for e in g.elements if e[0] != "filter"]
+                probe = _compile_group(store, Group(elements=list(rest)))
+                stay = []
+                for e in top_filters:
+                    if _expr_vars(e[1]) <= set(probe.columns):
+                        stay.append(e)
+                    else:
+                        lifted.append(e[1])
+                stay_group = Group(elements=rest + stay)
+            inner = _compile_group(store, stay_group)
             df = flatten()
-            frames[:] = [inner if df is None else _join(df, inner, how="left")]
+            if not lifted:
+                frames[:] = [
+                    inner if df is None else _join(df, inner, how="left")
+                ]
+                continue
+            # OPTIONAL whose top-level FILTER references OUTER
+            # variables: the filter is the LeftJoin condition — a left
+            # row keeps a match only when the MERGED solution passes;
+            # rows with no passing match survive with the optional
+            # side unbound. Compiled as inner-join + filter for the
+            # matches, null-safe anti-join for the survivors, unioned
+            # (missing optional columns fill as NULL).
+            if df is None:
+                raise ValueError(
+                    "OPTIONAL filter references variables bound outside, "
+                    "but the OPTIONAL opens its group"
+                )
+            cond = None
+            for e in lifted:
+                c = _compile_expr(e)
+                cond = c if cond is None else (cond & c)
+            matched = _join(df, inner, how="inner").where(cond)
+            left_cols = list(df.columns)
+            lhs = df.alias("__optL")
+            rhs = matched.select(*left_cols).dropDuplicates().alias("__optM")
+            anti = None
+            for c in left_cols:
+                eq = F.col(f"__optL.{c}").eqNullSafe(F.col(f"__optM.{c}"))
+                anti = eq if anti is None else (anti & eq)
+            unmatched = lhs.join(rhs, anti, "left_anti").select(
+                *[F.col(f"__optL.{c}").alias(c) for c in left_cols]
+            )
+            frames[:] = [
+                matched.unionByName(unmatched, allowMissingColumns=True)
+            ]
         elif kind in ("minus", "exists", "notexists"):
             inner = _compile_group(store, payload[0])
             df = flatten()

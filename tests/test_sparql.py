@@ -3134,3 +3134,52 @@ class TestTermConstructors:
             "SELECT ?n WHERE { ?p ex:name ?n . FILTER(isBlank(BNODE(?n))) }",
         ).collect()
         assert len(got) == len(by_name) or len(got) >= 3
+
+
+class TestOptionalFilterScope:
+    """FILTER inside OPTIONAL referencing outer variables is the
+    LeftJoin CONDITION (spec 18.2.2.5): a left row keeps a match only
+    when the merged solution passes, and keeps the optional side
+    unbound otherwise — never dropped."""
+
+    @pytest.fixture(scope="class")
+    def people(self, spark):
+        rows = [
+            ("urn:p:1", "urn:ex:name", "ada"),
+            ("urn:p:1", "urn:ex:city", "urn:c:1"),
+            ("urn:p:2", "urn:ex:name", "bob"),
+            ("urn:p:2", "urn:ex:city", "urn:c:2"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_outer_var_filter_is_join_condition(self, people):
+        got = run(
+            people,
+            'SELECT ?n ?c WHERE { ?p ex:name ?n '
+            'OPTIONAL { ?p ex:city ?c FILTER(?n = "ada") } } ORDER BY ?n',
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            ("ada", "urn:c:1"), ("bob", None),
+        ]
+
+    def test_inner_only_filter_keeps_current_path(self, people):
+        got = run(
+            people,
+            'SELECT ?n ?c WHERE { ?p ex:name ?n '
+            'OPTIONAL { ?p ex:city ?c FILTER(?c = "urn:c:1") } } ORDER BY ?n',
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            ("ada", "urn:c:1"), ("bob", None),
+        ]
+
+    def test_mixed_condition_over_both_sides(self, people):
+        got = run(
+            people,
+            'SELECT ?n ?c WHERE { ?p ex:name ?n OPTIONAL { ?p ex:city ?c '
+            'FILTER(?n = "bob" && ?c = "urn:c:2") } } ORDER BY ?n',
+        ).collect()
+        assert [tuple(r) for r in got] == [
+            ("ada", None), ("bob", "urn:c:2"),
+        ]
