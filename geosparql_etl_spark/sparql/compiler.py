@@ -96,6 +96,12 @@ compatibility semantics would let an unbound variable match anything.
 The divergence arises only when an OPTIONAL/UNION-produced variable is
 re-joined by a LATER pattern group; the practical engines this design
 follows (and every query in the registry) stay outside that corner.
+
+Second documented deviation: ungrouped SUM over ZERO solutions is
+unbound here (and in DuckDB, the replay oracle), where spec 18.5.1.5
+defines Sum({}) = 0. Grouped sums never see an empty group, so the
+corner only exists for an aggregate-projection query whose WHERE
+matches nothing.
 """
 
 from __future__ import annotations
