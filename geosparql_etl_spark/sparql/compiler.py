@@ -2731,7 +2731,35 @@ def construct_triples(bindings: DataFrame, template: list) -> DataFrame:
     (s, p, o) row per template triple per binding, deduplicated (a
     graph is a SET of triples). Shared by the batch compiler and the
     incremental view (streaming/sparql_ivm.py) so the two cannot
-    drift."""
+    drift.
+
+    Template blank nodes (``_:x`` labels the WHERE clause does not
+    bind) mint a node PER SOLUTION — the same label within one
+    solution's instantiation shares the node, different solutions get
+    different nodes. Minting is deterministic (md5 skolem over the
+    solution's bindings), so identical solutions share a node — the
+    engine's BNODE(str) skolemization deviation, unobservable in the
+    set-semantics output unless the WHERE produces duplicate rows."""
+    tmpl_labels = sorted(
+        {
+            term[1]
+            for tr in template
+            for term in tr[:3]
+            if term[0] == "var"
+            and term[1].startswith("__bn_")
+            and term[1] not in bindings.columns
+        }
+    )
+    if tmpl_labels:
+        sol_cols = [F.col(c).cast("string") for c in bindings.columns]
+        for name in tmpl_labels:
+            bindings = bindings.withColumn(
+                name,
+                F.concat(
+                    F.lit("_:"),
+                    F.md5(F.concat_ws("\x1f", F.lit(name), *sol_cols)),
+                ),
+            )
     out: DataFrame | None = None
     for tr in template:
         s, p, o = tr[0], tr[1], tr[2]  # update templates may carry a 4th

@@ -3183,3 +3183,30 @@ class TestOptionalFilterScope:
         assert [tuple(r) for r in got] == [
             ("ada", None), ("bob", "urn:c:2"),
         ]
+
+
+def test_construct_template_blank_nodes_fresh_per_solution(toy_store, spark):
+    """Template blank nodes mint one node per solution: the same _:x
+    within a solution's instantiation shares the node, different
+    solutions differ."""
+    rows = [
+        ("urn:p:1", "urn:ex:name", "ada"),
+        ("urn:p:2", "urn:ex:name", "bob"),
+    ]
+    st = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o string")
+    )
+    got = run(
+        st,
+        'CONSTRUCT { _:x ex:label ?n . _:x ex:type "person" } '
+        "WHERE { ?p ex:name ?n }",
+    ).collect()
+    by_node = {}
+    for r in got:
+        by_node.setdefault(r.s, []).append((r.p, r.o))
+    # two solutions -> two distinct bnodes, each with both triples
+    assert len(by_node) == 2
+    for triples in by_node.values():
+        assert len(triples) == 2
+        assert any(p.endswith("type") and o == "person" for p, o in triples)
+    assert all(n.startswith("_:") for n in by_node)
