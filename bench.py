@@ -327,6 +327,49 @@ def check_regressions(result: dict) -> int:
     return 1 if failures else 0
 
 
+def compact_summary(result: dict) -> dict:
+    """A second, SHORT JSON line printed after the full result: the
+    driver's log window keeps only the last 2000 chars of stdout, and
+    the full per-query line outgrew that at ~88 headline rows (judge
+    finding, rounds 5-8: BENCH_r0{5,6,8} all recorded "parsed": null).
+    This line carries the suite total, the ratio vs the committed
+    baseline, the worst-ratio query, and the 10 slowest rows — complete
+    and parseable inside any 2000-char tail."""
+    timings = result.get("queries", {})
+    summary = {
+        "metric": result.get("metric", "headline_suite_seconds"),
+        "value": result.get("value"),
+        "unit": "sec",
+        "sf": result.get("sf"),
+        "n_queries": len(timings),
+        "n_errors": len(result.get("errors", {})),
+        "loadavg_start": result.get("loadavg_start"),
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        ),
+        "summary_of_full_line_above": True,
+    }
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            base = json.load(f)
+        bq = base.get("queries", {})
+        common = [n for n in bq if n in timings]
+        if common:
+            got = sum(timings[n] for n in common)
+            ref = sum(bq[n] for n in common)
+            summary["ratio_vs_baseline"] = round(got / ref, 3) if ref else None
+            worst = max(common, key=lambda n: timings[n] / bq[n] if bq[n] else 0)
+            summary["worst_query"] = worst
+            summary["worst_ratio"] = round(timings[worst] / bq[worst], 2)
+            summary["n_common_with_baseline"] = len(common)
+    line = json.dumps(summary)
+    # hard guarantee: stay inside the driver's tail window
+    while len(line) > 1800 and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary)
+    return summary
+
+
 def main() -> None:
     args = sys.argv[1:]
     check = "--check" in args
@@ -338,6 +381,8 @@ def main() -> None:
     else:
         result = run_suite()
         print(json.dumps(result))
+        print(json.dumps(compact_summary(result)))
+        sys.stdout.flush()
     if check:
         raise SystemExit(check_regressions(result))
 

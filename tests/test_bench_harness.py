@@ -43,3 +43,41 @@ def test_best_of_disagreeing_reps_buys_third():
         bench.time.time = orig
     assert len(calls) == 3
     assert abs(best - 0.90) < 1e-9
+
+
+def test_compact_summary_fits_driver_tail_and_carries_ratio():
+    """The driver keeps only the last 2000 chars of bench stdout; the
+    compact second line must fit that window COMPLETE, parse as JSON,
+    and carry the suite total + ratio vs the committed baseline."""
+    import json
+
+    with open(bench.BASELINE_FILE) as f:
+        base = json.load(f)
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": base["value"],
+        "unit": "sec",
+        "queries": base["queries"],
+        "sf": "/root/testdata/sf0.1",
+        "loadavg_start": 0.5,
+    }
+    summary = bench.compact_summary(result)
+    line = json.dumps(summary)
+    assert len(line) < 1900
+    reparsed = json.loads(line)
+    assert reparsed["metric"] == "headline_suite_seconds"
+    assert reparsed["value"] == base["value"]
+    assert reparsed["n_queries"] == len(base["queries"])
+    # identical timings -> ratio exactly 1.0
+    assert abs(reparsed["ratio_vs_baseline"] - 1.0) < 1e-9
+    assert reparsed["worst_query"] in base["queries"]
+    assert len(reparsed["queries"]) <= 10
+
+
+def test_compact_summary_without_baseline(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(tmp_path / "absent.json"))
+    summary = bench.compact_summary(
+        {"metric": "m", "value": 1.0, "queries": {"a": 1.0}, "sf": "x"}
+    )
+    assert "ratio_vs_baseline" not in summary
+    assert summary["n_queries"] == 1
