@@ -10451,41 +10451,65 @@ def _sql_d14():
 
 def er01_entity_canonicalize(spark, sf_dir):
     """End-to-end entity canonicalization — the composition j11 only
-    starts: blocked Levenshtein candidate pairs over the DISTINCT name
-    domain -> transitive closure via distributed connected components
-    (min-label = the canonical spelling, so no separate canonical-pick
-    step) -> broadcast the vocabulary-sized canonical map back onto
-    the fact rows. The llm01-style composition argument: each stage is
-    an already-verified operator (j11's blocking, d08's components),
+    starts: MULTI-KEY blocked Levenshtein candidate pairs over the
+    DISTINCT name domain -> transitive closure via distributed
+    connected components (min-label = the canonical spelling, so no
+    separate canonical-pick step) -> broadcast the vocabulary-sized
+    canonical map back onto the fact rows.
+
+    Blocking (redesigned round 9 after its own er03 audit measured the
+    round-6 single-key scheme at 0.36 pair completeness): each name
+    emits one key per TOKEN POSITION ('1|'+tok1, '2|'+tok2, key-space
+    disjoint by the position prefix), candidates = the deduped union
+    of same-key pairs — the standard multi-pass blocking union
+    (Christen 2012). A true pair must then agree exactly on at least
+    one token; at the match rule below that is loss-free here (er03
+    measures pair completeness 1.0). The match rule itself tightened
+    from lev<=4 to lev<=3: with no blocking holes left, lev<=4 on
+    9-char two-token names merges the whole domain into 2 components
+    (adjacent nouns like ring/gear are 4 edits apart) — a matcher that
+    only looked selective because the blocker was dropping 64% of its
+    matches. The llm01-style composition argument: each stage is an
+    already-verified operator (j11's blocking, d08's components),
     composed in one plan; per-row work on the 100 TB side is a single
-    broadcast-join lookup. Names ride through the components step as
-    64-bit hashes (long labels shuffle cheaper than strings across
-    log(d) rounds); the canonical SPELLING is min(name) per cluster,
-    picked after — identical to the oracle's min-over-component."""
+    broadcast-join lookup; the explode only doubles the vocab-sized
+    key table, never the corpus. Names ride through the components
+    step as 64-bit hashes (long labels shuffle cheaper than strings
+    across log(d) rounds); the canonical SPELLING is min(name) per
+    cluster, picked after — identical to the oracle's
+    min-over-component."""
     from geosparql_etl_spark.functions.hashing import md5_long
     from geosparql_etl_spark.operators.dedup import connected_components
 
     p = _t(spark, sf_dir, "part")
+    toks = F.split(F.col("n"), " ")
     names = (
         p.select(F.col("p_name").alias("n"))
         .distinct()
-        .select(
-            "n",
-            F.split(F.col("n"), " ").getItem(0).alias("blk"),
-            md5_long(F.col("n")).alias("hid"),
-        )
+        .select("n", md5_long(F.col("n")).alias("hid"))
     )
-    a = names.select("blk", F.col("n").alias("na"), F.col("hid").alias("ha"))
-    b = names.select("blk", F.col("n").alias("nb"), F.col("hid").alias("hb"))
+    keyed = names.select(
+        "n",
+        "hid",
+        F.explode(
+            F.array(
+                F.concat(F.lit("1|"), toks.getItem(0)),
+                F.concat(F.lit("2|"), toks.getItem(1)),
+            )
+        ).alias("blk"),
+    )
+    a = keyed.select("blk", F.col("n").alias("na"), F.col("hid").alias("ha"))
+    b = keyed.select("blk", F.col("n").alias("nb"), F.col("hid").alias("hb"))
     pairs = (
         a.join(b, "blk")
         .where(F.col("na") < F.col("nb"))
-        .where(F.levenshtein(F.col("na"), F.col("nb")) <= 4)
+        .select("na", "nb", "ha", "hb")
+        .dropDuplicates(["na", "nb"])
+        .where(F.levenshtein(F.col("na"), F.col("nb")) <= 3)
         .select(
             F.least("ha", "hb").alias("id_a"),
             F.greatest("ha", "hb").alias("id_b"),
         )
-        .dropDuplicates()
     )
     cc = connected_components(pairs, unique_pairs=True)
     clustered = names.join(cc, names.hid == cc.node, "left").select(
@@ -10503,11 +10527,16 @@ def er01_entity_canonicalize(spark, sf_dir):
 def _sql_er01():
     return """
     WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
-    blocked AS (SELECT n, string_split(n, ' ')[1] AS blk FROM names),
+    keyed AS (
+      SELECT n, '1|' || string_split(n, ' ')[1] AS blk FROM names
+      UNION ALL
+      SELECT n, '2|' || string_split(n, ' ')[2] AS blk FROM names),
+    cand AS (
+      SELECT DISTINCT a.n AS id_a, b.n AS id_b
+      FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.n < b.n),
     pairs AS (
-      SELECT a.n AS id_a, b.n AS id_b
-      FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.n < b.n
-      WHERE levenshtein(a.n, b.n) <= 4),
+      SELECT id_a, id_b FROM cand
+      WHERE levenshtein(id_a, id_b) <= 3),
     edges AS (
       SELECT id_a AS s, id_b AS d FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs),
@@ -10615,11 +10644,16 @@ def er02_golden_record(spark, sf_dir):
 def _sql_er02():
     return """
     WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
-    blocked AS (SELECT n, string_split(n, ' ')[1] AS blk FROM names),
+    keyed AS (
+      SELECT n, '1|' || string_split(n, ' ')[1] AS blk FROM names
+      UNION ALL
+      SELECT n, '2|' || string_split(n, ' ')[2] AS blk FROM names),
+    cand AS (
+      SELECT DISTINCT a.n AS id_a, b.n AS id_b
+      FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.n < b.n),
     pairs AS (
-      SELECT a.n AS id_a, b.n AS id_b
-      FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.n < b.n
-      WHERE levenshtein(a.n, b.n) <= 4),
+      SELECT id_a, id_b FROM cand
+      WHERE levenshtein(id_a, id_b) <= 3),
     edges AS (
       SELECT id_a AS s, id_b AS d FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs),
@@ -10660,31 +10694,46 @@ def er03_blocking_quality(spark, sf_dir):
     One constant-key equi-join builds the pair set (hash join, not
     CartesianProduct — the plan audit holds), one aggregate derives
     all four counts, so the report is a single pass over vocab^2
-    rows. At sf0.01 it measures 0.36 pair completeness: first-word
-    blocking drops two thirds of true matches — exactly the audit
-    finding that sends a blocking scheme back for a second key."""
+    rows. History: this audit measured round-6's single-key scheme at
+    0.36 pair completeness, which drove round-9's redesign; it now
+    measures the shipping er01 scheme — multi-key union (token-1 OR
+    token-2 agreement) against the tightened lev<=3 match rule — at
+    pair completeness 1.0. Reduction ratio at sf0.01 is 0.778, and
+    that is the structural ceiling for this 8x8 combinational domain:
+    every name shares each of its two blocks with exactly 7 others,
+    so candidates = 64*14/2 = 448 of C(64,2) = 2016 pairs regardless
+    of vocab content. Reduction is the quantity that IMPROVES with
+    scale — block sizes stay bounded by token frequency while
+    all-pairs grows with vocab^2 — so the small-domain 0.778 is the
+    floor, not the trend."""
     p = _t(spark, sf_dir, "part")
+    toks = F.split(F.col("n"), " ")
     names = (
         p.select(F.col("p_name").alias("n"))
         .distinct()
         .select(
             "n",
-            F.split(F.col("n"), " ").getItem(0).alias("blk"),
+            toks.getItem(0).alias("t1"),
+            toks.getItem(1).alias("t2"),
             F.lit(1).alias("one"),
         )
     )
     a = names.select(
-        "one", F.col("n").alias("na"), F.col("blk").alias("ba")
+        "one", F.col("n").alias("na"),
+        F.col("t1").alias("a1"), F.col("t2").alias("a2"),
     )
     b = names.select(
-        "one", F.col("n").alias("nb"), F.col("blk").alias("bb")
+        "one", F.col("n").alias("nb"),
+        F.col("t1").alias("b1"), F.col("t2").alias("b2"),
     )
     pairs = (
         a.join(F.broadcast(b), "one")
         .where(F.col("na") < F.col("nb"))
         .select(
-            (F.levenshtein("na", "nb") <= 4).cast("long").alias("is_true"),
-            (F.col("ba") == F.col("bb")).cast("long").alias("is_cand"),
+            (F.levenshtein("na", "nb") <= 3).cast("long").alias("is_true"),
+            (
+                (F.col("a1") == F.col("b1")) | (F.col("a2") == F.col("b2"))
+            ).cast("long").alias("is_cand"),
         )
     )
     agg = pairs.agg(
@@ -10709,10 +10758,11 @@ def er03_blocking_quality(spark, sf_dir):
 def _sql_er03():
     return """
     WITH names AS (SELECT DISTINCT p_name AS n FROM part),
-    blocked AS (SELECT n, string_split(n, ' ')[1] AS blk FROM names),
+    blocked AS (SELECT n, string_split(n, ' ')[1] AS t1,
+                   string_split(n, ' ')[2] AS t2 FROM names),
     pairs AS (
-      SELECT CASE WHEN levenshtein(a.n, b.n) <= 4 THEN 1 ELSE 0 END AS is_true,
-             CASE WHEN a.blk = b.blk THEN 1 ELSE 0 END AS is_cand
+      SELECT CASE WHEN levenshtein(a.n, b.n) <= 3 THEN 1 ELSE 0 END AS is_true,
+             CASE WHEN a.t1 = b.t1 OR a.t2 = b.t2 THEN 1 ELSE 0 END AS is_cand
       FROM blocked a JOIN blocked b ON a.n < b.n)
     SELECT CAST(sum(is_true) AS BIGINT) AS n_true,
            CAST(sum(is_cand) AS BIGINT) AS n_cand,
