@@ -11181,81 +11181,20 @@ def _sql_sp14():
 # file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver records correctness rows for the first 50 entries per
-    # round; order by verification need. Round-8 window: IDENTICAL to
-    # the round-7 staging — round 7's snapshot failed to import (13
-    # dangling registry names), so the driver attested nothing and the
-    # window re-runs: the 22 round-6 additions (never driver-stamped),
-    # then sp05/sp15 (round-6 hash-only failures, now DECIMAL through
-    # the plan + canonical lexical at final projection only), then the
-    # 23 remaining r03-stamped rows, then the 3 oldest r05-stamped
-    # rows to fill 50. After r08 every stamp is r04+.
-    # r09 rotation (staged below the window, in order): the round-8
-    # additions (sp25-sp39 incl. the literal-metadata pair sp31/sp32,
-    # the grid-cover containment join sp33, the datetime rollup sp34,
-    # SERVICE federation sp36, the geof function audits sp37/sp38, the
-    # polygon-polygon join sp39, retrieval sim12-sim16, llm21/llm22,
-    # the evaluation trio er03/txt19/dq06, mm07, a17, + the TPC-H
-    # closers q05/q06/q08/q15/q11/q16/q17/q19-q22 — all never
-    # stamped; they outnumber one window, so r09 takes the first 50 in
-    # registry order and r10 continues from there), then the
-    # r04-stamped block (oldest remaining attestation), then the
-    # r05-stamped remainder.
-    # --- never driver-stamped round-6 additions (r07 positions 1-22) ---
-    "sp17_bind_bucket": sp17_bind_bucket,
-    "sp18_select_expressions": sp18_select_expressions,
-    "sp19_star_closure": sp19_star_closure,
-    "llm20_bpe_tokenize": llm20_bpe_tokenize,
-    "sp20_graph_scoped_agg": sp20_graph_scoped_agg,
-    "q10_returned_items": q10_returned_items,
-    "q12_priority_counts": q12_priority_counts,
-    "q14_promo_effect": q14_promo_effect,
-    "a16_mad_outliers": a16_mad_outliers,
-    "g18_nearest_neighbor": g18_nearest_neighbor,
-    "txt18_lexical_diversity": txt18_lexical_diversity,
-    "s14_rate_anomaly": s14_rate_anomaly,
-    "sp21_solution_modifiers": sp21_solution_modifiers,
-    "er02_golden_record": er02_golden_record,
-    "dq05_benford_audit": dq05_benford_audit,
-    "sp22_count_distinct": sp22_count_distinct,
-    "sp23_negated_path": sp23_negated_path,
-    "sp24_with_graph_update": sp24_with_graph_update,
-    "d15_dedup_savings": d15_dedup_savings,
-    "g19_bbox_iou": g19_bbox_iou,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q18_large_orders": q18_large_orders,
-    # --- round-6 hash-only FAILs, re-typed this round (23-24) ---
-    "sp05_group_totals": sp05_group_totals,
-    "sp15_subquery_max": sp15_subquery_max,
-    # --- oldest driver stamp (r03), positions 25-47 ---
-    "d05_simhash": d05_simhash,
-    "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
-    "d07_embedding_neardup": d07_embedding_neardup,
-    "d08_dedup_clusters": d08_dedup_clusters,
-    "d09_simhash_pairs": d09_simhash_pairs,
-    "sim01_cosine_topk": sim01_cosine_topk,
-    "sim02_threshold_pairs": sim02_threshold_pairs,
-    "sim03_ann_lsh": sim03_ann_lsh,
-    "sim04_ivf_ann": sim04_ivf_ann,
-    "sim05_quantized_topk": sim05_quantized_topk,
-    "sim08_ivfpq_ann": sim08_ivfpq_ann,
-    "txt01_stats": txt01_stats,
-    "txt02_lang_id": txt02_lang_id,
-    "txt03_quality": txt03_quality,
-    "txt04_token_count": txt04_token_count,
-    "txt05_stopword_ratio": txt05_stopword_ratio,
-    "txt06_winnowing": txt06_winnowing,
-    "txt07_pii_redact": txt07_pii_redact,
-    "txt08_repetition": txt08_repetition,
-    "llm01_corpus_curation": llm01_corpus_curation,
-    "llm02_hash_sample": llm02_hash_sample,
-    "llm03_split_assign": llm03_split_assign,
-    "llm04_sequence_packing": llm04_sequence_packing,
-    # --- oldest r05-stamped rows (48-50) ---
-    "q02_shipping_priority": q02_shipping_priority,
-    "q03_local_supplier_volume": q03_local_supplier_volume,
-    "j12_snapshot_diff": j12_snapshot_diff,
-    # --- below the window: round-7 additions go HERE (contiguous,
-    # never stamped) so the r08 rotation is mechanical ---
+    # round; order by verification need. Round-9 window: the round-8
+    # additions that have never carried a driver stamp (sp25-sp40,
+    # sim12-sim18, llm21-llm23, er03/txt19/dq06/mm07/a17, d16/d17, s15,
+    # and the TPC-H closers q05-q22 — 45 queries, registry order
+    # unchanged), then er01/er02 at 46-47 (their blocking scheme and
+    # match rule were REDESIGNED this round — the old r06/r08 stamps
+    # attest the retired lev<=4 single-key semantics), then the three
+    # oldest r04-stamped rows to fill 50.
+    # r10 rotation (staged below the window, in order): round-9
+    # additions go contiguously first (never stamped), then the
+    # r04-stamped remainder (oldest attestation), then the r05 block,
+    # then the two r06 blocks, then the round-8-stamped window rows
+    # (freshest — r10 takes the first 50 in registry order).
+    # --- never driver-stamped round-8 additions (1-45) ---
     "sp25_insert_data": sp25_insert_data,
     "sp26_spatial_pairs": sp26_spatial_pairs,
     "sp27_bounded_path": sp27_bounded_path,
@@ -11301,108 +11240,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_excess_inventory": q20_excess_inventory,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_customers": q22_idle_customers,
-    # --- r06-stamped (round-5 additions, driver-attested in r06) ---
-    "q04_priority_exists": q04_priority_exists,
-    "q07_nation_volume": q07_nation_volume,
-    "q09_product_profit": q09_product_profit,
-    "sp01_bgp_chain": sp01_bgp_chain,
-    "sp02_optional_vip": sp02_optional_vip,
-    "sp03_union_names": sp03_union_names,
-    "sp04_geo_within": sp04_geo_within,
-    "sp06_geo_distance": sp06_geo_distance,
-    "sp07_minus_no_urgent": sp07_minus_no_urgent,
-    "sp08_path_chain": sp08_path_chain,
-    "sp09_parent_closure": sp09_parent_closure,
-    "sp10_construct_graph": sp10_construct_graph,
-    "sp11_values_restrict": sp11_values_restrict,
-    "sp12_ask": sp12_ask,
-    "sp13_describe": sp13_describe,
-    "sp14_group_concat_having": sp14_group_concat_having,
-    "sp16_update_rewrite": sp16_update_rewrite,
-    "s13_interarrival_stats": s13_interarrival_stats,
-    "llm16_repeated_spans": llm16_repeated_spans,
-    "llm17_preference_pairs": llm17_preference_pairs,
-    "llm18_bpe_merges": llm18_bpe_merges,
-    "llm19_leakage_free_split": llm19_leakage_free_split,
-    "d13_triangle_count": d13_triangle_count,
-    "d14_clustering_coeff": d14_clustering_coeff,
-    "g17_distance_join": g17_distance_join,
-    "dq04_fk_audit": dq04_fk_audit,
-    "txt17_readability": txt17_readability,
+    # --- redesigned this round: multi-key blocking + lev<=3 (46-47) ---
     "er01_entity_canonicalize": er01_entity_canonicalize,
-    # --- r06-stamped (r03-era rows re-attested in r06) ---
-    "sim07_vector_stats": sim07_vector_stats,
-    "llm05_decontaminate": llm05_decontaminate,
-    "s01_tumbling_window": s01_tumbling_window,
-    "s02_sliding_window": s02_sliding_window,
-    "s03_sessionization": s03_sessionization,
-    "s08_gap_fill_resample": s08_gap_fill_resample,
-    "mm01_media_features": mm01_media_features,
-    "mm02_frame_sampling": mm02_frame_sampling,
-    "mm03_audio_features": mm03_audio_features,
-    "h02_file_hash": h02_file_hash,
-    "llm06_incremental_dedup": llm06_incremental_dedup,
-    "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
-    "llm08_chunking": llm08_chunking,
-    "w05_window_frames": w05_window_frames,
-    "a13_grouping_sets": a13_grouping_sets,
-    "g16_point_in_polygon": g16_point_in_polygon,
-    "d01_dedup_exact": d01_dedup_exact,
-    "d02_fingerprint": d02_fingerprint,
-    "d03_minhash_signature": d03_minhash_signature,
-    "d04_ngram_jaccard": d04_ngram_jaccard,
-    # --- driver-stamped green in CORRECTNESS_r05 ---
-    "j13_scd2_intervals": j13_scd2_intervals,
-    "j14_pit_join": j14_pit_join,
-    "a14_corr_stats": a14_corr_stats,
-    "a15_heavy_hitters": a15_heavy_hitters,
-    "d10_containment_pairs": d10_containment_pairs,
-    "d11_semantic_clusters": d11_semantic_clusters,
-    "d12_dup_pagerank": d12_dup_pagerank,
-    "dq01_profile": dq01_profile,
-    "dq02_distinct_sketch": dq02_distinct_sketch,
-    "dq03_profile_drift": dq03_profile_drift,
-    "llm09_data_mixture": llm09_data_mixture,
-    "llm10_gopher_quality": llm10_gopher_quality,
-    "llm11_contamination_report": llm11_contamination_report,
-    "llm12_curriculum_deciles": llm12_curriculum_deciles,
-    "llm13_epoch_shuffle": llm13_epoch_shuffle,
-    "llm14_wordpiece_tokenize": llm14_wordpiece_tokenize,
-    "llm15_block_packing": llm15_block_packing,
-    "mm04_video_frames": mm04_video_frames,
-    "mm05_image_neardup": mm05_image_neardup,
-    "mm06_audio_neardup": mm06_audio_neardup,
-    "p14_json_props": p14_json_props,
-    "p15_variant_props": p15_variant_props,
-    "s09_retention_cohorts": s09_retention_cohorts,
-    "s10_markov_transitions": s10_markov_transitions,
-    "s11_windowed_topk": s11_windowed_topk,
-    "s12_attribution_outer": s12_attribution_outer,
-    "sim09_filtered_ann": sim09_filtered_ann,
-    "sim10_knn_classify": sim10_knn_classify,
-    "sim11_kmeans_refine": sim11_kmeans_refine,
-    "txt12_surprisal": txt12_surprisal,
-    "txt13_char_entropy": txt13_char_entropy,
-    "txt14_bigram_surprisal": txt14_bigram_surprisal,
-    "txt15_line_dedup": txt15_line_dedup,
-    "txt16_repeat_removal": txt16_repeat_removal,
-    "a10_pivot": a10_pivot,
-    "s04_session_window_native": s04_session_window_native,
-    "s05_attribution_join": s05_attribution_join,
-    "s06_stream_dedup_batch": s06_stream_dedup_batch,
-    "s07_funnel": s07_funnel,
-    "txt09_normalize": txt09_normalize,
-    "txt10_tfidf_topterms": txt10_tfidf_topterms,
-    "txt11_boilerplate": txt11_boilerplate,
-    "a11_cube": a11_cube,
-    "a12_histogram": a12_histogram,
-    "w04_global_rank": w04_global_rank,
-    "j10_set_ops": j10_set_ops,
-    "sim06_pq_ann": sim06_pq_ann,
-    # --- driver-stamped green in CORRECTNESS_r04 (freshest attestation) ---
+    "er02_golden_record": er02_golden_record,
+    # --- oldest r04-stamped rows fill the window (48-50) ---
     "j06_anti_join": j06_anti_join,
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
     "q01_pricing_summary": q01_pricing_summary,
+    # --- below the window: round-9 additions go HERE (contiguous,
+    # never stamped) so the r10 rotation is mechanical ---
+    # --- r04-stamped remainder (oldest attestation) ---
     "j01_multikey_equijoin": j01_multikey_equijoin,
     "j02_broadcast_lookup": j02_broadcast_lookup,
     "j03_enrich_missing_flag": j03_enrich_missing_flag,
@@ -11450,6 +11297,153 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t07_format_string": t07_format_string,
     "t08_iso_timestamp": t08_iso_timestamp,
     "t10_to_json": t10_to_json,
+    # --- r05-stamped block ---
+    "j13_scd2_intervals": j13_scd2_intervals,
+    "j14_pit_join": j14_pit_join,
+    "a14_corr_stats": a14_corr_stats,
+    "a15_heavy_hitters": a15_heavy_hitters,
+    "d10_containment_pairs": d10_containment_pairs,
+    "d11_semantic_clusters": d11_semantic_clusters,
+    "d12_dup_pagerank": d12_dup_pagerank,
+    "dq01_profile": dq01_profile,
+    "dq02_distinct_sketch": dq02_distinct_sketch,
+    "dq03_profile_drift": dq03_profile_drift,
+    "llm09_data_mixture": llm09_data_mixture,
+    "llm10_gopher_quality": llm10_gopher_quality,
+    "llm11_contamination_report": llm11_contamination_report,
+    "llm12_curriculum_deciles": llm12_curriculum_deciles,
+    "llm13_epoch_shuffle": llm13_epoch_shuffle,
+    "llm14_wordpiece_tokenize": llm14_wordpiece_tokenize,
+    "llm15_block_packing": llm15_block_packing,
+    "mm04_video_frames": mm04_video_frames,
+    "mm05_image_neardup": mm05_image_neardup,
+    "mm06_audio_neardup": mm06_audio_neardup,
+    "p14_json_props": p14_json_props,
+    "p15_variant_props": p15_variant_props,
+    "s09_retention_cohorts": s09_retention_cohorts,
+    "s10_markov_transitions": s10_markov_transitions,
+    "s11_windowed_topk": s11_windowed_topk,
+    "s12_attribution_outer": s12_attribution_outer,
+    "sim09_filtered_ann": sim09_filtered_ann,
+    "sim10_knn_classify": sim10_knn_classify,
+    "sim11_kmeans_refine": sim11_kmeans_refine,
+    "txt12_surprisal": txt12_surprisal,
+    "txt13_char_entropy": txt13_char_entropy,
+    "txt14_bigram_surprisal": txt14_bigram_surprisal,
+    "txt15_line_dedup": txt15_line_dedup,
+    "txt16_repeat_removal": txt16_repeat_removal,
+    "a10_pivot": a10_pivot,
+    "s04_session_window_native": s04_session_window_native,
+    "s05_attribution_join": s05_attribution_join,
+    "s06_stream_dedup_batch": s06_stream_dedup_batch,
+    "s07_funnel": s07_funnel,
+    "txt09_normalize": txt09_normalize,
+    "txt10_tfidf_topterms": txt10_tfidf_topterms,
+    "txt11_boilerplate": txt11_boilerplate,
+    "a11_cube": a11_cube,
+    "a12_histogram": a12_histogram,
+    "w04_global_rank": w04_global_rank,
+    "j10_set_ops": j10_set_ops,
+    "sim06_pq_ann": sim06_pq_ann,
+    # --- r06-stamped (round-5 additions) ---
+    "q04_priority_exists": q04_priority_exists,
+    "q07_nation_volume": q07_nation_volume,
+    "q09_product_profit": q09_product_profit,
+    "sp01_bgp_chain": sp01_bgp_chain,
+    "sp02_optional_vip": sp02_optional_vip,
+    "sp03_union_names": sp03_union_names,
+    "sp04_geo_within": sp04_geo_within,
+    "sp06_geo_distance": sp06_geo_distance,
+    "sp07_minus_no_urgent": sp07_minus_no_urgent,
+    "sp08_path_chain": sp08_path_chain,
+    "sp09_parent_closure": sp09_parent_closure,
+    "sp10_construct_graph": sp10_construct_graph,
+    "sp11_values_restrict": sp11_values_restrict,
+    "sp12_ask": sp12_ask,
+    "sp13_describe": sp13_describe,
+    "sp14_group_concat_having": sp14_group_concat_having,
+    "sp16_update_rewrite": sp16_update_rewrite,
+    "s13_interarrival_stats": s13_interarrival_stats,
+    "llm16_repeated_spans": llm16_repeated_spans,
+    "llm17_preference_pairs": llm17_preference_pairs,
+    "llm18_bpe_merges": llm18_bpe_merges,
+    "llm19_leakage_free_split": llm19_leakage_free_split,
+    "d13_triangle_count": d13_triangle_count,
+    "d14_clustering_coeff": d14_clustering_coeff,
+    "g17_distance_join": g17_distance_join,
+    "dq04_fk_audit": dq04_fk_audit,
+    "txt17_readability": txt17_readability,
+    # --- r06-stamped (r03-era rows re-attested in r06) ---
+    "sim07_vector_stats": sim07_vector_stats,
+    "llm05_decontaminate": llm05_decontaminate,
+    "s01_tumbling_window": s01_tumbling_window,
+    "s02_sliding_window": s02_sliding_window,
+    "s03_sessionization": s03_sessionization,
+    "s08_gap_fill_resample": s08_gap_fill_resample,
+    "mm01_media_features": mm01_media_features,
+    "mm02_frame_sampling": mm02_frame_sampling,
+    "mm03_audio_features": mm03_audio_features,
+    "h02_file_hash": h02_file_hash,
+    "llm06_incremental_dedup": llm06_incremental_dedup,
+    "llm07_stratified_topk_sample": llm07_stratified_topk_sample,
+    "llm08_chunking": llm08_chunking,
+    "w05_window_frames": w05_window_frames,
+    "a13_grouping_sets": a13_grouping_sets,
+    "g16_point_in_polygon": g16_point_in_polygon,
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_fingerprint": d02_fingerprint,
+    "d03_minhash_signature": d03_minhash_signature,
+    "d04_ngram_jaccard": d04_ngram_jaccard,
+    # --- r08-stamped (freshest; r10 reaches these last) ---
+    "sp17_bind_bucket": sp17_bind_bucket,
+    "sp18_select_expressions": sp18_select_expressions,
+    "sp19_star_closure": sp19_star_closure,
+    "llm20_bpe_tokenize": llm20_bpe_tokenize,
+    "sp20_graph_scoped_agg": sp20_graph_scoped_agg,
+    "q10_returned_items": q10_returned_items,
+    "q12_priority_counts": q12_priority_counts,
+    "q14_promo_effect": q14_promo_effect,
+    "a16_mad_outliers": a16_mad_outliers,
+    "g18_nearest_neighbor": g18_nearest_neighbor,
+    "txt18_lexical_diversity": txt18_lexical_diversity,
+    "s14_rate_anomaly": s14_rate_anomaly,
+    "sp21_solution_modifiers": sp21_solution_modifiers,
+    "dq05_benford_audit": dq05_benford_audit,
+    "sp22_count_distinct": sp22_count_distinct,
+    "sp23_negated_path": sp23_negated_path,
+    "sp24_with_graph_update": sp24_with_graph_update,
+    "d15_dedup_savings": d15_dedup_savings,
+    "g19_bbox_iou": g19_bbox_iou,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q18_large_orders": q18_large_orders,
+    "sp05_group_totals": sp05_group_totals,
+    "sp15_subquery_max": sp15_subquery_max,
+    "d05_simhash": d05_simhash,
+    "d06_minhash_dedup_e2e": d06_minhash_dedup_e2e,
+    "d07_embedding_neardup": d07_embedding_neardup,
+    "d08_dedup_clusters": d08_dedup_clusters,
+    "d09_simhash_pairs": d09_simhash_pairs,
+    "sim01_cosine_topk": sim01_cosine_topk,
+    "sim02_threshold_pairs": sim02_threshold_pairs,
+    "sim03_ann_lsh": sim03_ann_lsh,
+    "sim04_ivf_ann": sim04_ivf_ann,
+    "sim05_quantized_topk": sim05_quantized_topk,
+    "sim08_ivfpq_ann": sim08_ivfpq_ann,
+    "txt01_stats": txt01_stats,
+    "txt02_lang_id": txt02_lang_id,
+    "txt03_quality": txt03_quality,
+    "txt04_token_count": txt04_token_count,
+    "txt05_stopword_ratio": txt05_stopword_ratio,
+    "txt06_winnowing": txt06_winnowing,
+    "txt07_pii_redact": txt07_pii_redact,
+    "txt08_repetition": txt08_repetition,
+    "llm01_corpus_curation": llm01_corpus_curation,
+    "llm02_hash_sample": llm02_hash_sample,
+    "llm03_split_assign": llm03_split_assign,
+    "llm04_sequence_packing": llm04_sequence_packing,
+    "q02_shipping_priority": q02_shipping_priority,
+    "q03_local_supplier_volume": q03_local_supplier_volume,
+    "j12_snapshot_diff": j12_snapshot_diff,
 }
 
 _ORACLES: dict[str, str] = {

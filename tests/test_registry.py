@@ -18,18 +18,20 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert missing <= {"h02_file_hash"}, missing
 
 
-def test_round8_correctness_window_is_stable():
+def test_round9_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the r08 window re-stages the r07 one (round 7 attested nothing —
-    # the snapshot didn't import): the 22 round-6 additions lead, then
-    # the re-typed sp05/sp15 at 23-24, then the oldest r03 rows.
-    # Round-8 additions belong BELOW position 50, contiguously first
-    # (see the registry comment for the r09 rotation).
-    assert keys[:2] == ["sp17_bind_bucket", "sp18_select_expressions"]
-    assert keys[22] == "sp05_group_totals"
-    assert keys[23] == "sp15_subquery_max"
-    assert keys[49] == "j12_snapshot_diff"
-    assert keys[50] == "sp25_insert_data"
+    # the r09 window: the 45 never-stamped round-8 additions lead
+    # (sp25 first, q22 at 45), then er01/er02 at 46-47 (blocking scheme
+    # redesigned this round — prior stamps attest retired semantics),
+    # then the three oldest r04-stamped rows fill 50. Round-9 additions
+    # belong BELOW position 50, contiguously first (see the registry
+    # comment for the r10 rotation).
+    assert keys[0] == "sp25_insert_data"
+    assert keys[44] == "q22_idle_customers"
+    assert keys[45] == "er01_entity_canonicalize"
+    assert keys[46] == "er02_golden_record"
+    assert keys[49] == "q01_pricing_summary"
+    assert keys[50] == "j01_multikey_equijoin"
     assert len(keys) == len(set(keys))
 
 
