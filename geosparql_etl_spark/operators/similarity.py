@@ -1027,6 +1027,7 @@ def lloyd_refine(
     dim: int = 64,
     n_cells: int = 8,
     scale: float = 1_000_000.0,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """One spherical k-means (Lloyd) update of the IVF coarse
     quantizer: assign every vector to its max-dot-product centroid
@@ -1053,7 +1054,8 @@ def lloyd_refine(
     classic distributed-kmeans partial-sum shape.
     """
     assigned = with_ivf_cell(
-        corpus, vec_col, dim, n_cells, out_col="cluster"
+        corpus, vec_col, dim, n_cells, out_col="cluster",
+        centroids=centroids,
     )
     pe = assigned.select(
         "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
@@ -1072,3 +1074,57 @@ def lloyd_refine(
             "n",
         )
     )
+
+
+# Trained quantizers are deterministic functions of (corpus, config), so
+# one training run per process serves every query that probes the same
+# index — the memo is what "the index is built once" means in a test
+# process; production persists the centroids next to the index files.
+_LLOYD_MEMO: dict[tuple, list[list[float]]] = {}
+
+
+def lloyd_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    rounds: int = 10,
+    scale: float = 1_000_000.0,
+    memo_key: str | None = None,
+) -> list[list[float]]:
+    """Iterate ``lloyd_refine`` for a FIXED number of rounds and return
+    the trained coarse quantizer (round-9 answer to the round-8 audit:
+    one Lloyd round left sim14-measured recall@5 at 0.34; ten rounds
+    converge — assignment churn reaches 0 around round 10 on the test
+    corpus and the centroids are a fixed point thereafter, which a
+    fixed round count captures REPRODUCIBLY, unlike churn-triggered
+    stopping whose round count would vary with data order).
+
+    Each round is one Spark job whose output is n_cells x dim rows of
+    INDEX METADATA collected to the driver and fed to the next
+    assignment as plan literals — the canonical iterative-training
+    shape (10 jobs total, centroid state never corpus-sized; compare
+    operators/bpe.py where per-merge jobs ARE the scaling concern
+    because a vocab wants 32k merges, vs 10 Lloyd rounds here). Empty
+    clusters carry the previous round's centroid forward. Because
+    every round is bit-reproducible (fixed-point long sums), the whole
+    training run unrolls into oracle SQL — the DuckDB replay in
+    ``__spark_entry__._sql_lloyd_train_ctes`` is this loop verbatim.
+
+    ``memo_key`` (e.g. the sf_dir) caches the result per
+    (key, vec_col, dim, n_cells, rounds): training is deterministic,
+    so sim15/sim16/sim18 probing the same index share one run.
+    """
+    key = (memo_key, vec_col, dim, n_cells, rounds, scale)
+    if memo_key is not None and key in _LLOYD_MEMO:
+        return [list(c) for c in _LLOYD_MEMO[key]]
+    cents = [list(c) for c in _ivf_centroids(dim, n_cells)]
+    for _ in range(rounds):
+        for r in lloyd_refine(
+            corpus, vec_col, dim=dim, n_cells=n_cells, scale=scale,
+            centroids=cents,
+        ).collect():
+            cents[r["cluster"]][r["pos"]] = r["c_new"]
+    if memo_key is not None:
+        _LLOYD_MEMO[key] = [list(c) for c in cents]
+    return cents
