@@ -8591,57 +8591,70 @@ def sp16_update_rewrite(spark, sf_dir):
 
 
 def _sql_sp16():
+    # every arm now carries the literal-metadata sidecars (lang, dt):
+    # round 9 made updates return full(meta=True), so the post-update
+    # graph keeps the label's language tag and the typed literals'
+    # datatype IRIs (round-8 ADVICE: a core-only update result was
+    # silently degrading every tagged/typed literal graph-wide)
     full = """
       SELECT 'urn:region:' || r_regionkey AS s, 'rdf:type' AS p,
-             'urn:ex:Region' AS o FROM region
-      UNION ALL SELECT 'urn:region:' || r_regionkey, 'urn:ex:name', r_name
-        FROM region
+             'urn:ex:Region' AS o, CAST(NULL AS VARCHAR) AS lang,
+             CAST(NULL AS VARCHAR) AS dt FROM region
+      UNION ALL SELECT 'urn:region:' || r_regionkey, 'urn:ex:name', r_name,
+        NULL, NULL FROM region
       UNION ALL SELECT 'urn:region:' || r_regionkey, 'urn:ex:zone',
         printf('POLYGON((%.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f, %.1f %.1f))',
                r_regionkey * 20 - 0.5, -0.5, r_regionkey * 20 + 19.5, -0.5,
                r_regionkey * 20 + 19.5, 99.5, r_regionkey * 20 - 0.5, 99.5,
-               r_regionkey * 20 - 0.5, -0.5) FROM region
+               r_regionkey * 20 - 0.5, -0.5), NULL, 'geo:wktLiteral'
+        FROM region
       UNION ALL SELECT 'urn:nation:' || n_nationkey, 'rdf:type',
-        'urn:ex:Nation' FROM nation
-      UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:name', n_name
-        FROM nation
+        'urn:ex:Nation', NULL, NULL FROM nation
+      UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:name', n_name,
+        NULL, NULL FROM nation
       UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:region',
-        'urn:region:' || n_regionkey FROM nation
-      UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:label', n_name
+        'urn:region:' || n_regionkey, NULL, NULL FROM nation
+      UNION ALL SELECT 'urn:nation:' || n_nationkey, 'urn:ex:label', n_name,
+        ['en', 'fr', 'de', 'es', 'pt'][n_regionkey % 5 + 1], NULL
         FROM nation
       UNION ALL SELECT 'urn:cust:' || c_custkey, 'rdf:type',
-        'urn:ex:Customer' FROM customer
-      UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:name', c_name
-        FROM customer
+        'urn:ex:Customer', NULL, NULL FROM customer
+      UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:name', c_name,
+        NULL, NULL FROM customer
       UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:segment',
-        c_mktsegment FROM customer
+        c_mktsegment, NULL, NULL FROM customer
       UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:nation',
-        'urn:nation:' || c_nationkey FROM customer
+        'urn:nation:' || c_nationkey, NULL, NULL FROM customer
       UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:acctbal',
-        printf('%.2f', c_acctbal) FROM customer
-      UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:vip', 'true'
-        FROM customer WHERE c_acctbal > 9000
+        printf('%.2f', c_acctbal), NULL,
+        'http://www.w3.org/2001/XMLSchema#decimal' FROM customer
+      UNION ALL SELECT 'urn:cust:' || c_custkey, 'urn:ex:vip', 'true',
+        NULL, NULL FROM customer WHERE c_acctbal > 9000
       UNION ALL SELECT 'urn:supp:' || s_suppkey, 'rdf:type',
-        'urn:ex:Supplier' FROM supplier
-      UNION ALL SELECT 'urn:supp:' || s_suppkey, 'urn:ex:name', s_name
-        FROM supplier
+        'urn:ex:Supplier', NULL, NULL FROM supplier
+      UNION ALL SELECT 'urn:supp:' || s_suppkey, 'urn:ex:name', s_name,
+        NULL, NULL FROM supplier
       UNION ALL SELECT 'urn:supp:' || s_suppkey, 'urn:ex:nation',
-        'urn:nation:' || s_nationkey FROM supplier
+        'urn:nation:' || s_nationkey, NULL, NULL FROM supplier
       UNION ALL SELECT 'urn:supp:' || s_suppkey, 'geo:asWKT',
         printf('POINT(%d %d)', (s_suppkey * 37) % 100,
-               (s_suppkey * 61) % 100) FROM supplier
+               (s_suppkey * 61) % 100), NULL, 'geo:wktLiteral'
+        FROM supplier
       UNION ALL SELECT 'urn:supp:' || s_suppkey, 'urn:ex:parent',
-        'urn:supp:' || (s_suppkey // 2) FROM supplier WHERE s_suppkey > 1
+        'urn:supp:' || (s_suppkey // 2), NULL, NULL
+        FROM supplier WHERE s_suppkey > 1
       UNION ALL SELECT 'urn:order:' || o_orderkey, 'rdf:type',
-        'urn:ex:Order' FROM orders
+        'urn:ex:Order', NULL, NULL FROM orders
       UNION ALL SELECT 'urn:order:' || o_orderkey, 'urn:ex:customer',
-        'urn:cust:' || o_custkey FROM orders
+        'urn:cust:' || o_custkey, NULL, NULL FROM orders
       UNION ALL SELECT 'urn:order:' || o_orderkey, 'urn:ex:total',
-        printf('%.2f', o_totalprice) FROM orders
+        printf('%.2f', o_totalprice), NULL,
+        'http://www.w3.org/2001/XMLSchema#decimal' FROM orders
       UNION ALL SELECT 'urn:order:' || o_orderkey, 'urn:ex:priority',
-        o_orderpriority FROM orders
+        o_orderpriority, NULL, NULL FROM orders
       UNION ALL SELECT 'urn:order:' || o_orderkey, 'urn:ex:date',
-        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') FROM orders
+        strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), NULL,
+        'http://www.w3.org/2001/XMLSchema#dateTime' FROM orders
     """
     return f"""
     WITH full_graph AS ({full}),
@@ -8650,7 +8663,13 @@ def _sql_sp16():
     SELECT s,
            CASE WHEN p = 'urn:ex:acctbal' AND s IN (SELECT vs FROM vips)
                 THEN 'urn:ex:balance' ELSE p END AS p,
-           o
+           o, lang,
+           -- the renamed triple is TEMPLATE-INSERTED: the engine's
+           -- object model binds ?b lexically, so the new ex:balance
+           -- row carries NULL metadata (documented deviation — a
+           -- term-model engine would re-attach ^^xsd:decimal)
+           CASE WHEN p = 'urn:ex:acctbal' AND s IN (SELECT vs FROM vips)
+                THEN NULL ELSE dt END AS dt
     FROM full_graph
     """
 

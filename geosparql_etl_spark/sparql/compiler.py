@@ -2126,15 +2126,19 @@ def _compile_call(node) -> Column:
     if fname == "encode_for_uri":
         # SPARQL ENCODE_FOR_URI = percent-encode everything outside
         # RFC 3986 unreserved; url_encode is form-encoding (space ->
-        # '+', '~' -> %7E), so patch the two deltas after
+        # '+', '~' -> %7E, '*' passes raw), so patch the three deltas
         return F.replace(
             F.replace(
-                F.url_encode(_operand_col(args[0], False)),
-                F.lit("+"),
-                F.lit("%20"),
+                F.replace(
+                    F.url_encode(_operand_col(args[0], False)),
+                    F.lit("+"),
+                    F.lit("%20"),
+                ),
+                F.lit("%7E"),
+                F.lit("~"),
             ),
-            F.lit("%7E"),
-            F.lit("~"),
+            F.lit("*"),
+            F.lit("%2A"),
         )
     if fname == "bound":
         return _operand_col(args[0], False).isNotNull()
@@ -2801,10 +2805,18 @@ def sparql_select(store: TripleStore, query_text: str) -> DataFrame:
     for f in df.schema.fields:
         if isinstance(f.dataType, DecimalType):
             # decimal(18,2) -> string is the BigDecimal plain form
-            # ("47.00", "-5.25") — the canonical lexical, no float hop
+            # ("47.00", "-5.25") — the canonical lexical, no float hop.
+            # try_cast, not cast: SUM over decimal(18,2) is
+            # decimal(28,2), and under ANSI mode a plain down-cast of a
+            # >= 10^16 total would THROW at final projection; the
+            # coalesce arm keeps the value's own (same-scale) lexical
+            # instead (round-8 ADVICE finding).
             df = df.withColumn(
                 f.name,
-                F.col(f.name).cast("decimal(18,2)").cast("string"),
+                F.coalesce(
+                    F.col(f.name).try_cast("decimal(18,2)").cast("string"),
+                    F.col(f.name).cast("string"),
+                ),
             )
     return df
 
@@ -2822,7 +2834,18 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
     graph (left_anti on the full triple); INSERT template rows enter
     it (set semantics — already-present triples do not duplicate)."""
     q = parse_query(query_text)
+    # same try/finally discipline as sparql_select: an exception
+    # mid-compile (or the early-return LOAD/graph-op paths) must not
+    # leave stale sidecar demand on the shared store object (round-8
+    # ADVICE finding)
     store._meta_need = _collect_meta_need(q)
+    try:
+        return _sparql_update_impl(store, q)
+    finally:
+        store._meta_need = None
+
+
+def _sparql_update_impl(store: TripleStore, q: Query) -> DataFrame:
     if q.load_path is not None:
         return _apply_load(store, q)
     if q.graph_op is not None:
@@ -2830,7 +2853,7 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
     if q.create_graph is not None:
         if "g" not in store.triples.columns:
             raise ValueError("CREATE GRAPH needs a quad store")
-        return store.full()  # no empty-graph tracking: spec-lawful no-op
+        return store.full(meta=True)  # no empty-graph tracking: spec-lawful no-op
     if q.clear_graph is not None:
         # CLEAR/DROP GRAPH <g>: the named graph's quads leave, every
         # other graph passes through untouched — a partition-pruned
@@ -2838,7 +2861,7 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
         # g = NULL and must survive a named-graph clear.
         if "g" not in store.triples.columns:
             raise ValueError("CLEAR/DROP GRAPH needs a quad store")
-        return store.full().where(
+        return store.full(meta=True).where(
             ~F.col("g").eqNullSafe(q.clear_graph)
         )
     if q.delete_template is None and q.insert_template is None:
@@ -2862,7 +2885,7 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
             if q.where is None
             else _compile_group(store, q.where)
         )
-        return _apply_quad_update(bindings, store.full(), q)
+        return _apply_quad_update(bindings, store.full(meta=True), q)
     if is_quad and q.with_graph is None:
         # a quad store's graph identity would be silently dropped (the
         # update operates on (s,p,o) only: cross-graph duplicates
@@ -2899,10 +2922,8 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
             if q.where is None
             else _compile_group(scoped, q.where)
         )
-        full = store.full()
-        slice_df = full.where(F.col("g") == q.with_graph).select(
-            "s", "p", "o"
-        )
+        full = store.full(meta=True)
+        slice_df = full.where(F.col("g") == q.with_graph).drop("g")
         # eqNullSafe: default-graph quads carry g = NULL; a plain !=
         # is NULL there and would silently DROP them from the
         # post-update frame (round-6 ADVICE finding)
@@ -2916,7 +2937,7 @@ def sparql_update(store: TripleStore, query_text: str) -> DataFrame:
         if q.where is None
         else _compile_group(store, q.where)
     )
-    graph = store.full().select("s", "p", "o")
+    graph = store.full(meta=True)
     return _apply_update(bindings, graph, q)
 
 
@@ -2946,26 +2967,38 @@ def _apply_load(store: TripleStore, q: Query) -> DataFrame:
 
         register(spark)
         loaded = spark.read.format("ntriples").load(path)
-    new = loaded.select(
+    # the loaded frame's own literal metadata rides along when the
+    # parser provides it (ntriples/turtle emit lang + datatype);
+    # set-semantics joins key on the lexical core only
+    new_cols = [
         F.col("subject").alias("s"),
         F.col("predicate").alias("p"),
         F.col("object").alias("o"),
-    )
+    ]
+    if "lang" in loaded.columns:
+        new_cols.append(F.col("lang"))
+    if "datatype" in loaded.columns:
+        new_cols.append(F.col("datatype").alias("dt"))
+    new = loaded.select(*new_cols)
     is_quad = "g" in store.triples.columns
-    full = store.full()
+    full = store.full(meta=True)
     if q.load_into is not None:
         if not is_quad:
             raise ValueError("INTO GRAPH needs a quad store ('g' column)")
-        quads = new.withColumn("g", F.lit(q.load_into)).select(*full.columns)
-        add = quads.join(full, on=list(full.columns), how="left_anti")
-        return full.unionByName(add)
+        quads = new.withColumn("g", F.lit(q.load_into))
+        add = quads.join(full, on=["s", "p", "o", "g"], how="left_anti")
+        return full.unionByName(add, allowMissingColumns=True).select(
+            "s", "p", "o", "g",
+            *[c for c in ("lang", "dt")
+              if c in full.columns or c in quads.columns],
+        )
     if is_quad:
         raise ValueError(
             "LOAD on a quad store needs INTO GRAPH <g> (an unscoped "
             "load has no graph identity to assign)"
         )
     add = new.join(full, on=["s", "p", "o"], how="left_anti")
-    return full.unionByName(add)
+    return full.unionByName(add, allowMissingColumns=True)
 
 
 def _apply_graph_op(store: TripleStore, q: Query) -> DataFrame:
@@ -2982,15 +3015,17 @@ def _apply_graph_op(store: TripleStore, q: Query) -> DataFrame:
     op, src, dst = q.graph_op
     if "g" not in store.triples.columns:
         raise ValueError(f"{op} GRAPH needs a quad store")
-    full = store.full()
+    full = store.full(meta=True)
     if src == dst:
         return full
     src_slice = full.where(F.col("g").eqNullSafe(src))
     relabeled = src_slice.withColumn("g", F.lit(dst)).select(*full.columns)
     if op == "ADD":
         existing_dst = full.where(F.col("g").eqNullSafe(dst))
+        # anti-join on the CORE quad identity (the frame may carry
+        # lang/dt sidecars, whose NULLs never equi-join)
         fresh = relabeled.join(
-            existing_dst, on=list(full.columns), how="left_anti"
+            existing_dst, on=["s", "p", "o", "g"], how="left_anti"
         )
         return full.unionByName(fresh)
     drop = [dst] if op == "COPY" else [src, dst]
@@ -3032,28 +3067,36 @@ def _apply_quad_update(
             out = t if out is None else out.unionByName(t)
         return out.dropDuplicates()
 
-    cols = list(full.columns)
+    # joins key on the CORE quad identity only: the frame may carry
+    # lang/dt sidecars (full(meta=True)), and NULL metadata never
+    # equi-joins — keying on it would make deletes of plain literals
+    # silently miss. Surviving rows keep their metadata; template-
+    # inserted rows get NULL metadata (allowMissingColumns).
+    core = ["s", "p", "o", "g"]
     if q.delete_template:
         full = full.join(
-            quads_of(q.delete_template), on=cols, how="left_anti"
+            quads_of(q.delete_template), on=core, how="left_anti"
         )
     if q.insert_template:
-        ins = quads_of(q.insert_template).select(*cols)
-        ins = ins.join(full, on=cols, how="left_anti")
-        full = full.unionByName(ins)
+        ins = quads_of(q.insert_template).select(*core)
+        ins = ins.join(full, on=core, how="left_anti")
+        full = full.unionByName(ins, allowMissingColumns=True)
     return full
 
 
 def _apply_update(bindings: DataFrame, graph: DataFrame, q: Query) -> DataFrame:
     """DELETE template rows leave the graph (left_anti on the full
-    triple); INSERT template rows enter it with set semantics."""
+    triple); INSERT template rows enter it with set semantics. The
+    graph frame may carry lang/dt sidecars (full(meta=True)): joins
+    key on the lexical (s, p, o) core only, surviving rows keep their
+    metadata, template-inserted rows get NULL metadata."""
     if q.delete_template:
         dels = construct_triples(bindings, q.delete_template)
         graph = graph.join(dels, on=["s", "p", "o"], how="left_anti")
     if q.insert_template:
         ins = construct_triples(bindings, q.insert_template)
         ins = ins.join(graph, on=["s", "p", "o"], how="left_anti")
-        graph = graph.unionByName(ins)
+        graph = graph.unionByName(ins, allowMissingColumns=True)
     return graph
 
 

@@ -390,17 +390,27 @@ class TripleStore:
         semantic work either way)."""
         return self._relation()
 
-    def full(self) -> DataFrame:
+    def full(self, meta: bool = False) -> DataFrame:
         """The whole graph as a frame safe to combine with pattern
         scans in one plan (DESCRIBE, updates, path node domains).
 
-        Projects the CORE columns only — (s, p, o) plus ``g`` on quad
-        stores. Literal metadata (lang/dt) stays a pattern-scan
-        concern: updates, DESCRIBE dumps, and path domains all operate
-        on the lexical graph, so their output schema is stable whether
-        or not the store carries metadata columns."""
+        By default projects the CORE columns only — (s, p, o) plus
+        ``g`` on quad stores — so DESCRIBE dumps and path domains have
+        a stable schema whether or not the store carries metadata
+        columns. ``meta=True`` additionally carries the lang/dt
+        sidecar columns when the relation has them: update entry
+        points MUST use this form, because an update's return value is
+        the post-update graph and a core-only projection would
+        silently strip every language tag and datatype IRI graph-wide
+        (round-8 ADVICE finding — writing such a result via
+        to_ntriples_rows degrades every tagged/typed literal on disk).
+        Update joins still key on the core columns only: NULL metadata
+        never joins (NULL != NULL), and the engine's term identity is
+        lexical."""
         rel = self._relation()
         core = ["s", "p", "o"] + (["g"] if "g" in rel.columns else [])
+        if meta:
+            core += [c for c in META_COLS if c in rel.columns]
         return rel.select(*core)
 
     @classmethod
@@ -603,8 +613,8 @@ class GraphScopedStore:
         self._gconst = gconst
         self._gvar = gvar
 
-    def full(self) -> DataFrame:
-        return self._base.full()
+    def full(self, meta: bool = False) -> DataFrame:
+        return self._base.full(meta=meta)
 
     def scan(self, s, p, o, aliases, o_meta=None, o_lang=None, o_dt=None) -> DataFrame:
         df = self._base._relation_for_graph(self._gconst)

@@ -1548,8 +1548,10 @@ class TestRound8Functions:
         assert got.m == hashlib.md5(b"ada").hexdigest()
 
     def test_encode_for_uri(self, spark):
-        # spec examples: space -> %20, unreserved ~ . - _ stay bare
-        rows = [("s1", "urn:ex:v", "Los Angeles~CA_99.x-y/z")]
+        # spec examples: space -> %20, unreserved ~ . - _ stay bare;
+        # '*' is NOT unreserved (URLEncoder passes it raw — round-8
+        # ADVICE finding) -> %2A
+        rows = [("s1", "urn:ex:v", "Los Angeles~CA_99.x-y/z*w")]
         store = TripleStore(
             spark.createDataFrame(rows, "s string, p string, o string")
         )
@@ -1557,7 +1559,19 @@ class TestRound8Functions:
             store,
             "SELECT (ENCODE_FOR_URI(?v) AS ?e) WHERE { ?s <urn:ex:v> ?v }",
         ).collect()[0]
-        assert got.e == "Los%20Angeles~CA_99.x-y%2Fz"
+        assert got.e == "Los%20Angeles~CA_99.x-y%2Fz%2Aw"
+
+    def test_update_resets_meta_need_on_error(self, toy_store):
+        # round-8 ADVICE: a failing compile must not leave stale
+        # sidecar demand on the shared store object
+        from geosparql_etl_spark.sparql.compiler import sparql_update
+
+        try:
+            sparql_update(toy_store, "DELETE WHERE { ?s ex:name ?o . "
+                                     "?s (ex:a|ex:b) ?x }")
+        except ValueError:
+            pass
+        assert getattr(toy_store, "_meta_need", None) is None
 
     def test_sameterm(self, toy_store):
         got = run(
@@ -3210,3 +3224,59 @@ def test_construct_template_blank_nodes_fresh_per_solution(toy_store, spark):
         assert len(triples) == 2
         assert any(p.endswith("type") and o == "person" for p, o in triples)
     assert all(n.startswith("_:") for n in by_node)
+
+
+class TestUpdateMetadataPreservation:
+    """Round-9 ADVICE fix: updates return full(meta=True) — a single
+    update must not strip lang/datatype metadata graph-wide."""
+
+    def _meta_store(self, spark):
+        rows = [
+            ("urn:n:1", "urn:ex:label", "hello", "en", None),
+            ("urn:n:1", "urn:ex:size", "42", None,
+             "http://www.w3.org/2001/XMLSchema#integer"),
+            ("urn:n:1", "urn:ex:junk", "x", None, None),
+        ]
+        return TripleStore(spark.createDataFrame(
+            rows, "s string, p string, o string, lang string, dt string"
+        ))
+
+    def test_delete_keeps_survivor_metadata(self, spark):
+        from geosparql_etl_spark.sparql.compiler import sparql_update
+
+        out = sparql_update(
+            self._meta_store(spark),
+            'DELETE WHERE { <urn:n:1> <urn:ex:junk> ?o }',
+        )
+        assert set(out.columns) == {"s", "p", "o", "lang", "dt"}
+        rows = {r.p: r for r in out.collect()}
+        assert set(rows) == {"urn:ex:label", "urn:ex:size"}
+        assert rows["urn:ex:label"].lang == "en"
+        assert rows["urn:ex:size"].dt.endswith("#integer")
+
+    def test_insert_rows_get_null_metadata(self, spark):
+        from geosparql_etl_spark.sparql.compiler import sparql_update
+
+        out = sparql_update(
+            self._meta_store(spark),
+            'INSERT DATA { <urn:n:2> <urn:ex:label> "salut" }',
+        )
+        rows = {(r.s, r.p): r for r in out.collect()}
+        assert rows[("urn:n:2", "urn:ex:label")].lang is None
+        # pre-existing tagged literal untouched
+        assert rows[("urn:n:1", "urn:ex:label")].lang == "en"
+
+    def test_update_result_roundtrips_tags_to_ntriples(self, spark):
+        from geosparql_etl_spark.sinks.rdf import render_ntriples
+        from geosparql_etl_spark.sparql.compiler import sparql_update
+        from geosparql_etl_spark.sparql.triples import to_ntriples_rows
+
+        out = sparql_update(
+            self._meta_store(spark),
+            'DELETE WHERE { <urn:n:1> <urn:ex:junk> ?o }',
+        )
+        lines = {r.line for r in render_ntriples(to_ntriples_rows(out)).collect()}
+        assert '<urn:n:1> <urn:ex:label> "hello"@en .' in lines
+        assert ('<urn:n:1> <urn:ex:size> '
+                '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+                ) in lines
