@@ -1837,16 +1837,25 @@ def _match_var_var_sfintersects(expr):
 
 
 def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
-    """Var-var POLYGON-POLYGON sfIntersects FILTER between two
-    DISCONNECTED frames: both sides explode into the grid cells their
-    bboxes cover and hash-join on (cx, cy); a candidate pair survives
-    on exactly ONE canonical cell — the lower-left cell of the bbox
-    overlap (per axis, the max of the two cover minima), which shared
-    coverage guarantees both sides emit — so no dedup pass and no
-    duplicate solutions. The exact rings_intersect predicate then
-    decides. Point rows parse to NULL rings and drop: the
-    point-in-polygon form of a var-var spatial join is sfWithin's
-    rewrite, this one is the polygon-polygon member of the family."""
+    """Var-var sfIntersects FILTER between two DISCONNECTED frames,
+    for ANY POINT/POLYGON mix: each side explodes into the grid cells
+    its bbox covers (a POINT's bbox is degenerate — its single cell,
+    exactly like the sfWithin rewrite's point side) and hash-joins on
+    (cx, cy); a candidate pair survives on exactly ONE canonical cell
+    — the lower-left cell of the bbox overlap (per axis, the max of
+    the two cover minima), which shared coverage guarantees both
+    sides emit — so no dedup pass and no duplicate solutions. The
+    FULL mixed exact predicate then decides (point-point coordinate
+    equality, point-polygon even-odd cast, polygon-polygon
+    rings_intersect — the same case split the connected-frame FILTER
+    compiles), built over the already-materialized ring columns so
+    wkt_polygon_ring is parsed once per side (sp33 plan-size lesson).
+    Round 9: the previous version handled polygons only and silently
+    DROPPED point rows (NULL rings), so the same FILTER gave
+    different results on connected vs disconnected plans — the
+    round-8 ADVICE divergence. Rows whose lexical is neither form
+    drop here; on the connected path the predicate is NULL for them —
+    identical no-match outcomes."""
     m = _match_var_var_sfintersects(expr)
     if not m:
         return False
@@ -1857,20 +1866,26 @@ def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
         return False
     cell = _SFWITHIN_CELL
 
-    def prep(f: DataFrame, var: str, ring_col: str, x0: str, y0: str):
+    def prep(f: DataFrame, var: str, ring_col: str, pre: str):
+        x0, y0, x1, y1 = (f"__{pre}x0", f"__{pre}y0",
+                          f"__{pre}x1", f"__{pre}y1")
         ring = F.col(ring_col)
         xs = F.transform(ring, lambda p: p[0])
         ys = F.transform(ring, lambda p: p[1])
+        px, py = _point_xy(F.col(var))
         return (
             f.withColumn(ring_col, wkt_polygon_ring(F.col(var)))
-            .withColumn(x0, F.array_min(xs))
-            .withColumn(y0, F.array_min(ys))
+            .withColumn(x0, F.coalesce(F.array_min(xs), px))
+            .withColumn(y0, F.coalesce(F.array_min(ys), py))
+            .withColumn(x1, F.coalesce(F.array_max(xs), px))
+            .withColumn(y1, F.coalesce(F.array_max(ys), py))
+            .where(F.col(x0).isNotNull() & F.col(y0).isNotNull())
             .withColumn(
                 "__cx",
                 F.explode(
                     F.sequence(
                         F.floor(F.col(x0) / cell),
-                        F.floor(F.array_max(xs) / cell),
+                        F.floor(F.col(x1) / cell),
                     )
                 ),
             )
@@ -1879,14 +1894,14 @@ def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
                 F.explode(
                     F.sequence(
                         F.floor(F.col(y0) / cell),
-                        F.floor(F.array_max(ys) / cell),
+                        F.floor(F.col(y1) / cell),
                     )
                 ),
             )
         )
 
-    a = prep(frames[ai], u, "__ring_a", "__ax0", "__ay0")
-    b = prep(frames[bi], v, "__ring_b", "__bx0", "__by0")
+    a = prep(frames[ai], u, "__ring_a", "a")
+    b = prep(frames[bi], v, "__ring_b", "b")
     canonical = (
         F.col("__cx")
         == F.greatest(
@@ -1898,13 +1913,29 @@ def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
             F.floor(F.col("__ay0") / cell), F.floor(F.col("__by0") / cell)
         )
     )
+    pa = F.col(u).rlike(r"^\s*POINT\s*\(")
+    pb = F.col(v).rlike(r"^\s*POINT\s*\(")
+    pax, pay = _point_xy(F.col(u))
+    pbx, pby = _point_xy(F.col(v))
+    ra, rb = F.col("__ring_a"), F.col("__ring_b")
+    exact = (
+        F.when(pa & pb, (pax == pbx) & (pay == pby))
+        .when(pa, F.when(rb.isNotNull(), point_in_ring(rb, pax, pay)))
+        .when(pb, F.when(ra.isNotNull(), point_in_ring(ra, pbx, pby)))
+        .otherwise(
+            F.when(
+                ra.isNotNull() & rb.isNotNull(), rings_intersect(ra, rb)
+            )
+        )
+    )
     joined = (
         a.join(b, on=["__cx", "__cy"])
         .where(canonical)
-        .where(rings_intersect(F.col("__ring_a"), F.col("__ring_b")))
+        .where(exact)
         .drop(
             "__cx", "__cy", "__ring_a", "__ring_b",
-            "__ax0", "__ay0", "__bx0", "__by0",
+            "__ax0", "__ay0", "__ax1", "__ay1",
+            "__bx0", "__by0", "__bx1", "__by1",
         )
     )
     for idx in sorted((ai, bi), reverse=True):

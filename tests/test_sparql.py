@@ -3022,6 +3022,47 @@ class TestSfIntersects:
             ("urn:a:overlap", "urn:z:low"),
         ]
 
+    def test_var_var_grid_join_with_points(self, spark):
+        # round-9 ADVICE fix: POINT geometries used to parse to NULL
+        # rings and silently DROP from the grid-cover rewrite, so the
+        # same FILTER gave different answers on connected vs
+        # disconnected plans. Points now land in their single cell and
+        # the full mixed predicate re-applies after the cell join —
+        # point-point, point-polygon, polygon-point, polygon-polygon
+        # all in one var-var join.
+        rows = [
+            ("urn:q:in_low", "urn:ex:g", "POINT(3.5 3.5)"),
+            ("urn:q:in_high", "urn:ex:g", "POINT(10.5 10.5)"),
+            ("urn:q:nowhere", "urn:ex:g", "POINT(20 20)"),
+            ("urn:q:poly", "urn:ex:g", "POLYGON((3 3, 6 3, 6 6, 3 6, 3 3))"),
+            ("urn:z:low", "urn:ex:zone", self.SQUARE),
+            ("urn:z:high", "urn:ex:zone",
+             "POLYGON((9 9, 13 9, 13 13, 9 13, 9 9))"),
+            ("urn:z:pt", "urn:ex:zone", "POINT(3.5 3.5)"),
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        df = run(
+            store,
+            """
+            SELECT ?s ?z WHERE {
+              ?s ex:g ?g . ?z ex:zone ?w .
+              FILTER(geof:sfIntersects(?g, ?w))
+            } ORDER BY ?s ?z
+            """,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        got = [tuple(r) for r in df.collect()]
+        assert got == [
+            ("urn:q:in_high", "urn:z:high"),
+            ("urn:q:in_low", "urn:z:low"),
+            ("urn:q:in_low", "urn:z:pt"),
+            ("urn:q:poly", "urn:z:low"),
+            ("urn:q:poly", "urn:z:pt"),
+        ]
+
 
 class TestOrderByAggregates:
     """Inline aggregate calls in ORDER BY (spec 18.2.4.4): reuse a
