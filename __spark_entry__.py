@@ -11202,6 +11202,150 @@ def _sql_sp14():
     """
 
 
+def sp41_quad_lake_rollup(spark, sf_dir):
+    """The persisted quad lake end-to-end under the driver gate
+    (round 9; the surface was pytest-green but registry-unattested):
+    write the priority quads as an N-Triples quad lake in TWO append
+    jobs (so every graph directory accumulates multiple part files —
+    the streaming-MERGE small-files shape), COMPACT it in place
+    (sources/ntriples.py:compact_quad_lake — one file per graph,
+    atomic via the writer's two-phase commit), then answer a
+    GRAPH-pruned SPARQL aggregate through NTriplesLakeStore: heavy
+    urgent-order customers. The constant GRAPH scope becomes
+    option("graph") on the scan, which prunes to the ONE g=<enc>
+    directory at listing time — zero file opens for the other four
+    priority graphs, the Python-datasource analog of parquet
+    PartitionFilters (pinned by tests/test_rdf_formats.py's
+    single-partition assertion). The oracle replays the aggregate
+    from the orders table directly, so a value match attests write ->
+    append -> compact -> pruned scan -> parse -> aggregate."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.sources.ntriples import (
+        compact_quad_lake,
+        register,
+    )
+    from geosparql_etl_spark.sparql import sparql_select
+    from geosparql_etl_spark.sparql.triples import NTriplesLakeStore
+
+    register(spark)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gsel_quad_lake_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    quads = _priority_quads(spark, sf_dir)
+    rows = quads.select(
+        F.col("s").alias("subject"),
+        F.col("p").alias("predicate"),
+        F.col("o").alias("object"),
+        (~F.col("o").startswith("urn:")).alias("is_literal"),
+        F.lit(None).cast("string").alias("datatype"),
+        F.lit(None).cast("string").alias("lang"),
+        "g",
+    )
+    # two appends, each 2-way parallel -> >= 2 files per graph per
+    # batch; parity split on the subject's key keeps the batches
+    # deterministic and disjoint
+    key = F.regexp_extract(F.col("subject"), r"(\d+)$", 1).cast("long")
+    for batch in (0, 1):
+        rows.where(key % 2 == batch).repartition(2).write.format(
+            "ntriples"
+        ).mode("append").option("partitionBy", "g").save(path)
+    compact_quad_lake(spark, path)
+    store = NTriplesLakeStore(spark, path, quad_lake=True)
+    return sparql_select(
+        store,
+        _SPARQL_PFX
+        + """
+        SELECT ?cust (COUNT(?o) AS ?n) WHERE {
+          GRAPH <urn:graph:1-URGENT> {
+            ?o a ex:Order .
+            ?o ex:customer ?cust
+          }
+        } GROUP BY ?cust HAVING (?n >= 5) ORDER BY DESC(?n) ?cust
+        """,
+    )
+
+
+def _sql_sp41():
+    return """
+    SELECT 'urn:cust:' || o_custkey AS cust, count(*) AS n
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY cust HAVING count(*) >= 5 ORDER BY n DESC, cust
+    """
+
+
+def warc01_crawl_curation(spark, sf_dir):
+    """Web-crawl ingest end-to-end (round 9, the one LLM-ingest
+    surface previously absent): render the documents table as WARC
+    response records (sinks side: one .warc file per partition under
+    the two-phase commit), read the archive back through the
+    registered `format("warc")` source (one InputPartition per file,
+    payload an opaque binary column — sources/warc.py), recover the
+    text and its source from the record itself (payload bytes +
+    WARC-Target-URI), and compute llm01-style per-source curation
+    stats. The oracle computes the same stats from the documents table
+    DIRECTLY, so a value match attests the entire WARC write->parse
+    round trip byte-for-byte: any framing error (Content-Length drift,
+    CRLF mangling, charset damage) changes n_chars/n_tokens and fails
+    the hash. 100 TB shape: the archive scans file-parallel, the only
+    shuffle is the 20-group aggregate, and payloads never shuffle at
+    all (consumed inside the scan projection)."""
+    import os
+    import tempfile
+
+    from geosparql_etl_spark.sources import warc as warcmod
+
+    warcmod.register(spark)
+    d = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gsel_warc_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    d.select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:gsel:doc:"), F.col("doc_id")).alias("record_id"),
+        F.concat(
+            F.lit("http://crawl.example/"), F.col("source"), F.lit("/"),
+            F.col("doc_id"),
+        ).alias("target_uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.concat(F.lit("text/plain; charset=utf-8; lang="), F.col("lang"))
+        .alias("content_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).write.format("warc").mode("overwrite").save(path)
+    crawl = spark.read.format("warc").load(path)
+    text = F.decode(F.col("payload"), "UTF-8")
+    src = F.regexp_extract(
+        F.col("target_uri"), r"^http://crawl\.example/([^/]+)/", 1
+    )
+    return (
+        crawl.where(F.col("warc_type") == "response")
+        .select(src.alias("source"), text.alias("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_warc01():
+    return """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """
+
+
 # =============================================================================
 # registry
 # =============================================================================
@@ -11276,13 +11420,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- redesigned this round: multi-key blocking + lev<=3 (46-47) ---
     "er01_entity_canonicalize": er01_entity_canonicalize,
     "er02_golden_record": er02_golden_record,
-    # --- oldest r04-stamped rows fill the window (48-50) ---
+    # --- round-9 additions (48-49): never stamped, new this round ---
+    "warc01_crawl_curation": warc01_crawl_curation,
+    "sp41_quad_lake_rollup": sp41_quad_lake_rollup,
+    # --- oldest r04-stamped row fills the window (50) ---
     "j06_anti_join": j06_anti_join,
+    # --- below the window: further round-9 additions go HERE
+    # (contiguous, never stamped) so the r10 rotation is mechanical ---
+    # --- r04-stamped remainder (oldest attestation) ---
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
     "q01_pricing_summary": q01_pricing_summary,
-    # --- below the window: round-9 additions go HERE (contiguous,
-    # never stamped) so the r10 rotation is mechanical ---
-    # --- r04-stamped remainder (oldest attestation) ---
     "j01_multikey_equijoin": j01_multikey_equijoin,
     "j02_broadcast_lookup": j02_broadcast_lookup,
     "j03_enrich_missing_flag": j03_enrich_missing_flag,
@@ -11694,6 +11841,8 @@ _ORACLES: dict[str, str] = {
     # re-score over the same cells, just read back from the persisted
     # partitioned index), so the oracle is the same replay
     "sim16_ivf_index_probe": _sql_sim16(),
+    "warc01_crawl_curation": _sql_warc01(),
+    "sp41_quad_lake_rollup": _sql_sp41(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

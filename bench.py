@@ -141,6 +141,10 @@ HEADLINE = [
     "sp31_lang_facets",
     "sp33_spatial_containment",
     "sim12_hybrid_rrf",
+    # round 9: web-crawl ingest round trip (documents -> WARC ->
+    # parse -> curation stats; times the write AND the file-parallel
+    # binary-payload scan)
+    "warc01_crawl_curation",
 ]
 
 

@@ -30,8 +30,11 @@ def test_round9_correctness_window_is_stable():
     assert keys[44] == "q22_idle_customers"
     assert keys[45] == "er01_entity_canonicalize"
     assert keys[46] == "er02_golden_record"
-    assert keys[49] == "q01_pricing_summary"
-    assert keys[50] == "j01_multikey_equijoin"
+    # round-9 additions claim window slots directly (never stamped)
+    assert keys[47] == "warc01_crawl_curation"
+    assert keys[48] == "sp41_quad_lake_rollup"
+    assert keys[49] == "j06_anti_join"
+    assert keys[50] == "j11_fuzzy_candidates"
     assert len(keys) == len(set(keys))
 
 

@@ -1,0 +1,143 @@
+"""WARC source/sink: byte-exact round-trip, framing edge cases,
+two-phase write artifacts, option-driven pruning."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.sources import warc as warcmod
+
+
+@pytest.fixture(scope="module")
+def warc_spark(spark):
+    warcmod.register(spark)
+    return spark
+
+
+def _docs(spark):
+    rows = [
+        (0, "plain text doc"),
+        (1, "embedded\r\n\r\nCRLF CRLF payload"),   # framing trap
+        (2, "unicode: café — emoji \U0001f600"),
+        (3, ""),                                     # empty payload
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:gsel:doc:"), F.col("doc_id")).alias("record_id"),
+        F.concat(F.lit("http://example.com/doc/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/plain; charset=utf-8").alias("content_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+@pytest.mark.parametrize("compression", ["none", "gzip"])
+def test_roundtrip(warc_spark, tmp_path, compression):
+    out = str(tmp_path / f"crawl_{compression}")
+    _docs(warc_spark).repartition(2).write.format("warc").option(
+        "compression", compression
+    ).mode("overwrite").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    ext = ".warc.gz" if compression == "gzip" else ".warc"
+    assert all(
+        f.endswith(ext) or f == "_SUCCESS" for f in os.listdir(out)
+    )
+    back = warc_spark.read.format("warc").load(out)
+    rows = {r.record_id: r for r in back.collect()}
+    assert len(rows) == 4
+    assert rows["urn:gsel:doc:1"].payload == (
+        b"embedded\r\n\r\nCRLF CRLF payload"
+    )
+    assert rows["urn:gsel:doc:2"].payload.decode("utf-8").startswith(
+        "unicode: café"
+    )
+    assert rows["urn:gsel:doc:3"].content_length == 0
+    assert rows["urn:gsel:doc:0"].warc_type == "response"
+    assert rows["urn:gsel:doc:0"].content_type.startswith("text/plain")
+    assert rows["urn:gsel:doc:0"].warc_date == "2026-01-01T00:00:00Z"
+
+
+def test_one_partition_per_file_and_path_equals(warc_spark, tmp_path):
+    out = str(tmp_path / "crawl")
+    _docs(warc_spark).repartition(3).write.format("warc").mode(
+        "overwrite"
+    ).save(out)
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".warc")
+    )
+    assert len(files) == 3
+    back = warc_spark.read.format("warc").load(out)
+    assert back.rdd.getNumPartitions() == 3
+    one = warc_spark.read.format("warc").option(
+        "pathEquals", files[0]
+    ).load(out)
+    got = one.select("path").distinct().collect()
+    assert [r.path for r in got] == [files[0]]
+
+
+def test_warc10_accepted_and_offsets(warc_spark, tmp_path):
+    p = tmp_path / "legacy.warc"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: urn:x:1\r\n"
+        b"Content-Length: 5\r\n"
+        b"\r\n"
+        b"hello"
+        b"\r\n\r\n"
+    )
+    p.write_bytes(rec + rec)
+    rows = (
+        warc_spark.read.format("warc")
+        .load(str(p))
+        .orderBy("record_offset")
+        .collect()
+    )
+    assert [r.record_offset for r in rows] == [0, len(rec)]
+    assert rows[0].payload == b"hello"
+    assert rows[0].warc_type == "resource"
+
+
+@pytest.mark.parametrize(
+    "blob, msg",
+    [
+        (b"NOT-WARC\r\nContent-Length: 0\r\n\r\n\r\n\r\n", "expected WARC"),
+        (
+            b"WARC/1.1\r\nWARC-Type: resource\r\n\r\n\r\n\r\n",
+            "missing Content-Length",
+        ),
+        (
+            b"WARC/1.1\r\nContent-Length: 99\r\n\r\nshort\r\n\r\n",
+            "truncated payload",
+        ),
+        (
+            b"WARC/1.1\r\nContent-Length: 5\r\n\r\nhelloXXXX",
+            "not terminated",
+        ),
+    ],
+)
+def test_malformed_raises(blob, msg, tmp_path):
+    p = tmp_path / "bad.warc"
+    p.write_bytes(blob)
+    with io.open(p, "rb") as fh:
+        with pytest.raises(ValueError, match=msg):
+            list(warcmod.parse_warc_records(fh, str(p)))
+
+
+def test_gzip_file_reads(warc_spark, tmp_path):
+    p = tmp_path / "z.warc.gz"
+    with gzip.open(p, "wb") as fh:
+        fh.write(
+            b"WARC/1.1\r\nWARC-Record-ID: urn:z:1\r\n"
+            b"Content-Length: 3\r\n\r\nabc\r\n\r\n"
+        )
+    rows = warc_spark.read.format("warc").load(str(p)).collect()
+    assert rows[0].payload == b"abc"
