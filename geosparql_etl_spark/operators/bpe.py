@@ -61,16 +61,72 @@ def _symbols(word: Column) -> Column:
     return F.filter(F.split(word, ""), lambda x: x != F.lit(""))
 
 
+def _batch_prefix(rows, batch_size: int, complete: bool = False):
+    """Select the prefix of one round's sorted pair list that is SAFE
+    to merge in a single pass with sequential-BPE parity:
+
+      - pairs must be mutually symbol-disjoint (a merge never changes
+        the count of a pair it shares no symbol with, so their stale
+        counts stay exact);
+      - the walk STOPS at the first conflicting pair (never
+        skip-and-continue: a skipped conflict could, after the earlier
+        merges, still be the true sequential argmax);
+      - accepted pairs (beyond the guaranteed first) must have freq
+        STRICTLY above the stop-position freq: merging (a, b) can
+        mint new pairs like (x, ab) whose count is bounded by the
+        stale count of the conflicting (x, a) — which sorts at/after
+        the stop — so strict dominance over f_stop rules out any new
+        or affected pair overtaking an accepted one (ties could flip
+        on the lexicographic tie-break otherwise).
+
+    The FIRST pair is always the sequential choice by definition, so a
+    round always progresses even when batching admits nothing else.
+    """
+    accepted: list = []
+    used: set[str] = set()
+    f_stop = None
+    for r in rows[:batch_size]:
+        if r["a"] in used or r["b"] in used or r["a"] + r["b"] in used:
+            f_stop = r["f"]
+            break
+        accepted.append(r)
+        used.update((r["a"], r["b"], r["a"] + r["b"]))
+    else:
+        # window exhausted without conflict: pairs past the window are
+        # unseen — treat the boundary like a conflict at the last freq.
+        # ``complete`` says the window holds the ENTIRE pair universe
+        # (the count query returned fewer rows than asked): nothing is
+        # unseen, no boundary guard needed.
+        if not complete and rows:
+            f_stop = rows[min(batch_size, len(rows)) - 1]["f"]
+    if f_stop is not None:
+        accepted = [accepted[0]] + [r for r in accepted[1:] if r["f"] > f_stop]
+    return accepted
+
+
 def learn_bpe_merges(
     words: DataFrame,
     word_col: str = "word",
     freq_col: str = "freq",
     num_merges: int = 4,
+    batch_size: int = 1,
 ) -> DataFrame:
     """words: (word, freq) distinct-word frequency table.
 
     -> (merge_rank, lhs, rhs, pair_freq): the learned merge table, one
     row per round in learning order.
+
+    ``batch_size`` (round-9, the round-8 verdict's wall-clock finding):
+    1 = one Spark job per merge — exact but 32k sequential jobs for a
+    real vocab. > 1 counts pairs ONCE per round and merges the top-k
+    mutually symbol-disjoint pairs in a single pass (classic fast-BPE
+    batching), with the conservative acceptance rule in
+    ``_batch_prefix`` that preserves SEQUENTIAL PARITY — the learned
+    table is identical to batch_size=1 (pinned by test on the Sennrich
+    vocabulary and a 64-merge documents-corpus run); only the job
+    count changes (~num_merges/accepted-per-round jobs). The default
+    stays 1 so llm18/llm20's unrolled SQL oracles replay unchanged
+    semantics; bench_curation exercises 256 merges at batch_size=32.
     """
     spark = words.sparkSession
     state = words.select(
@@ -79,7 +135,7 @@ def learn_bpe_merges(
     )
     state = cut_lineage(state)
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, num_merges + 1):
+    while len(merges) < num_merges:
         pairs = state.select(
             # sequence(1, n) DESCENDS when n < 1 (ANSI): guard the
             # single-symbol words instead of exploding a bogus range
@@ -93,18 +149,22 @@ def learn_bpe_merges(
             ).alias("p"),
             "freq",
         )
+        want = min(batch_size, num_merges - len(merges))
         top = (
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("f"))
             .orderBy(F.desc("f"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(want)
             .collect()
         )
         if not top:  # no adjacent pairs left anywhere
             break
-        a, b, f = top[0]["a"], top[0]["b"], top[0]["f"]
-        merges.append((rank, a, b, int(f)))
-        state = state.select(merge_pair(F.col("w"), a, b).alias("w"), "freq")
+        batch = _batch_prefix(top, want, complete=len(top) < want)
+        arr = F.col("w")
+        for r in batch:
+            merges.append((len(merges) + 1, r["a"], r["b"], int(r["f"])))
+            arr = merge_pair(arr, r["a"], r["b"])
+        state = state.select(arr.alias("w"), "freq")
         state = cut_lineage(state)  # round k must not replay 1..k-1
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"

@@ -1736,3 +1736,65 @@ class TestHybridRetrieval:
         assert [(r.doc_id, r.rank) for r in got] == [
             (i, i + 1) for i in range(10)
         ]
+
+
+class TestBpeBatchedParity:
+    """batch_size > 1 must learn the IDENTICAL merge table as the
+    sequential trainer (the _batch_prefix acceptance rule's whole
+    point) — only the Spark job count may differ."""
+
+    def test_sennrich_parity_all_batch_sizes(self, spark):
+        from geosparql_etl_spark.operators.bpe import learn_bpe_merges
+
+        words = spark.createDataFrame(
+            [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+            "word string, freq long",
+        )
+        seq = [tuple(r) for r in learn_bpe_merges(words, num_merges=6).collect()]
+        for bs in (2, 4, 8):
+            got = [
+                tuple(r)
+                for r in learn_bpe_merges(
+                    words, num_merges=6, batch_size=bs
+                ).collect()
+            ]
+            assert got == seq, f"batch_size={bs} diverged"
+
+    def test_corpus_parity_64_merges(self, spark, sf_dir):
+        """Real word-frequency distribution (documents corpus), deep
+        enough that batched rounds accept several merges."""
+        from geosparql_etl_spark.operators.bpe import learn_bpe_merges
+
+        words = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        seq = [
+            tuple(r)
+            for r in learn_bpe_merges(words, num_merges=64).collect()
+        ]
+        bat = [
+            tuple(r)
+            for r in learn_bpe_merges(
+                words, num_merges=64, batch_size=16
+            ).collect()
+        ]
+        assert bat == seq
+
+    def test_back_to_back_pairs_never_batch(self, spark):
+        """'aaaa': (a,a) fuses to 'aa' whose follow-up merge (aa,aa)
+        depends on round-1 counts — the disjointness rule must force
+        it into the NEXT round, preserving (a,a)=3 then (aa,aa)=1."""
+        from geosparql_etl_spark.operators.bpe import learn_bpe_merges
+
+        words = spark.createDataFrame([("aaaa", 1)], "word string, freq long")
+        got = [
+            tuple(r)
+            for r in learn_bpe_merges(
+                words, num_merges=2, batch_size=8
+            ).collect()
+        ]
+        assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]

@@ -148,6 +148,23 @@ def main():
     line_dedup_plan(docs).write.format("noop").mode("overwrite").save()
     t_ld = time.time() - t0
 
+    # BPE vocabulary induction at production merge depth: 256 merges
+    # over the corpus's distinct-word table, batched 32 pairs/round
+    # (parity with sequential is test-pinned; the batching exists
+    # exactly so a deep-vocab run is tens of jobs, not 256)
+    from geosparql_etl_spark.operators.bpe import learn_bpe_merges
+
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    n_merges = learn_bpe_merges(words, num_merges=256, batch_size=32).count()
+    t_bpe = time.time() - t0
+
     print(
         json.dumps(
             {
@@ -162,6 +179,8 @@ def main():
                 "tokenize_tokens_per_sec": round(n_tokens / t_tok),
                 "line_dedup_sec": round(t_ld, 2),
                 "line_dedup_docs_per_sec": round(n_docs / t_ld),
+                "bpe_merges": n_merges,
+                "bpe_256merge_sec": round(t_bpe, 2),
             }
         )
     )
