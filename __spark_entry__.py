@@ -8033,6 +8033,109 @@ def _sql_sim18():
     return _sql_trained_index_probe(n_probe=6)
 
 
+def sim19_probe_sweep(spark, sf_dir):
+    """The recall-vs-cost CURVE for the trained IVF index (round 9):
+    recall@5 of the converged quantizer at every probe budget
+    n_probe in {1, 2, 4, 6, 8}, in one result — the plot a retrieval
+    team reads to pick its operating point (sim15 certifies the chosen
+    point, 6/16 at 0.732; this query shows the whole dial, including
+    that the curve is still rising at 8, i.e. recall is probe-bound,
+    not quantizer-bound). Training is memoized per sf_dir (one run
+    shared with sim15/16/18); each sweep arm is exactly sim04's
+    verified probe plan at a different budget, so the sweep costs five
+    bounded candidate joins over one 50-query sample — evaluation
+    cost, paid per CONFIG. Recall aggregates are computed from integer
+    hit counts (sum/min of n_hit over the exact top-5), so both
+    engines land on the identical doubles."""
+    from geosparql_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lloyd_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    q = e.where(F.col("vec_id") < 50)
+    exact = cosine_topk(e, q, k=5, dim=64).select("query_id", "neighbor_id")
+    out = None
+    for n in (1, 2, 4, 6, 8):
+        approx = ivf_topk(
+            e, q, k=5, dim=64, n_cells=16, n_probe=n, centroids=trained
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        per_q = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("hit").alias("n_hit"),
+                F.count(F.lit(1)).alias("n_exact"),
+            )
+        )
+        blk = per_q.agg(
+            F.round(F.sum("n_hit") / F.sum("n_exact"), 6).alias(
+                "mean_recall"
+            ),
+            F.round(F.min(F.col("n_hit") / F.col("n_exact")), 6).alias(
+                "min_recall"
+            ),
+        ).select(F.lit(n).alias("n_probe"), "mean_recall", "min_recall")
+        out = blk if out is None else out.unionByName(blk)
+    return out.orderBy("n_probe")
+
+
+def _sql_sim19():
+    blocks = []
+    for n in (1, 2, 4, 6, 8):
+        blocks.append(f"""
+    SELECT {n} AS n_probe,
+           round(CAST(sum(n_hit) AS DOUBLE) / sum(n_exact), 6)
+             AS mean_recall,
+           round(min(CAST(n_hit AS DOUBLE) / n_exact), 6) AS min_recall
+    FROM (
+      SELECT ex.query_id, count(ap.hit) AS n_hit, count(*) AS n_exact
+      FROM exact ex
+      LEFT JOIN (
+        SELECT query_id, neighbor_id, 1 AS hit FROM (
+          SELECT cand.query_id, cand.neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY cand.query_id
+                   ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                            cand.neighbor_id) AS rank
+          FROM (SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+                FROM pranks p JOIN cells cl USING (cell)
+                WHERE p.rn <= {n} AND cl.vec_id != p.vec_id) cand
+          JOIN e eq ON eq.vec_id = cand.query_id
+          JOIN e ec ON ec.vec_id = cand.neighbor_id)
+        WHERE rank <= 5) ap
+        ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+      GROUP BY ex.query_id)""")
+    union = "\n    UNION ALL\n".join(blocks)
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+        FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id != q.vec_id)
+      WHERE rank <= 5),
+    scored AS MATERIALIZED (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    pranks AS MATERIALIZED (
+      SELECT vec_id, c AS cell, rn FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id < 50) WHERE rn <= 8)
+    SELECT * FROM ({union}) ORDER BY n_probe
+    """
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -11423,11 +11526,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-9 additions (48-49): never stamped, new this round ---
     "warc01_crawl_curation": warc01_crawl_curation,
     "sp41_quad_lake_rollup": sp41_quad_lake_rollup,
-    # --- oldest r04-stamped row fills the window (50) ---
-    "j06_anti_join": j06_anti_join,
+    "sim19_probe_sweep": sim19_probe_sweep,
     # --- below the window: further round-9 additions go HERE
     # (contiguous, never stamped) so the r10 rotation is mechanical ---
     # --- r04-stamped remainder (oldest attestation) ---
+    "j06_anti_join": j06_anti_join,
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
     "q01_pricing_summary": q01_pricing_summary,
     "j01_multikey_equijoin": j01_multikey_equijoin,
@@ -11843,6 +11946,7 @@ _ORACLES: dict[str, str] = {
     "sim16_ivf_index_probe": _sql_sim16(),
     "warc01_crawl_curation": _sql_warc01(),
     "sp41_quad_lake_rollup": _sql_sp41(),
+    "sim19_probe_sweep": _sql_sim19(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

@@ -30,11 +30,12 @@ def test_round9_correctness_window_is_stable():
     assert keys[44] == "q22_idle_customers"
     assert keys[45] == "er01_entity_canonicalize"
     assert keys[46] == "er02_golden_record"
-    # round-9 additions claim window slots directly (never stamped)
+    # round-9 additions claim window slots directly (never stamped) —
+    # the full window is 45 round-8 + er01/er02 (redesigned) + 3 new
     assert keys[47] == "warc01_crawl_curation"
     assert keys[48] == "sp41_quad_lake_rollup"
-    assert keys[49] == "j06_anti_join"
-    assert keys[50] == "j11_fuzzy_candidates"
+    assert keys[49] == "sim19_probe_sweep"
+    assert keys[50] == "j06_anti_join"
     assert len(keys) == len(set(keys))
 
 
