@@ -11381,6 +11381,136 @@ def _sql_sp41():
     """
 
 
+def s16_crawl_ingest(spark, sf_dir):
+    """Batch analog of the streaming crawl ingest
+    (streaming/crawl.py:run_crawl_ingest): WARC archives -> vectorized
+    record parse -> documents shape -> quality gate -> fingerprint
+    dedup -> per-source curated-corpus stats. The streaming form
+    consumes a GROWING crawl directory exactly once per archive
+    (binaryFile file-source checkpointing) with state-store
+    fingerprint dedup; pytest pins stream==batch on the same archive
+    set. One difference, deliberate: the batch analog picks the
+    min-doc_id survivor per fingerprint (deterministic — streaming
+    dropDuplicates keeps the arrival-order first, which a replayed
+    oracle cannot see), so the driver hash is stable by construction.
+    The parse is the SAME parse_warc_records the batch source uses,
+    here through mapInPandas over whole-archive bytes — the streaming
+    execution surface, exercised under the driver gate."""
+    from geosparql_etl_spark.functions.textstats import (
+        bpe_ish_token_count,
+        oracle_norm,
+        quality_score,
+    )
+    from geosparql_etl_spark.streaming.crawl import (
+        parse_warc_bytes,
+        records_to_docs,
+    )
+
+    path = _write_docs_warc(spark, sf_dir, name="gsel_crawl_")
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+    )
+    docs = records_to_docs(parse_warc_bytes(raw))
+    scored = (
+        docs.where(F.col("text").isNotNull())
+        .withColumn("fp", F.md5(oracle_norm(F.col("text"))))
+        .withColumn("quality", F.round(quality_score(F.col("text")), 6))
+        .withColumn("n_toks", bpe_ish_token_count(F.col("text")))
+        .where(F.col("quality") >= 0.5)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    uniq = scored.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return (
+        uniq.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_s16():
+    nospace = "regexp_replace(text, '\\s+', '', 'g')"
+    punct = (
+        f"CASE WHEN len({nospace}) > 0 THEN"
+        f" len(regexp_replace({nospace}, '[\\w]', '', 'g'))::DOUBLE / len({nospace})"
+        f" ELSE 0.0 END"
+    )
+    words = "regexp_split_to_array(trim(text), '\\s+')"
+    mwl = (
+        f"CASE WHEN len({words}) > 0 THEN"
+        f" list_aggregate(list_transform({words}, w -> len(w)), 'sum')::DOUBLE"
+        f" / len({words}) ELSE 0.0 END"
+    )
+    quality = f"""round((
+      (CASE WHEN coalesce(len(text),0) BETWEEN 100 AND 20000 THEN 1.0
+            WHEN coalesce(len(text),0) > 0 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN {punct} <= 0.2 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN {mwl} BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+    ) / 3.0, 6)"""
+    n_tokens = (
+        r"len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]+'))"
+    )
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+    WITH kept AS (
+      SELECT doc_id, source, text, {quality} AS q, md5({norm}) AS digest
+      FROM documents
+      WHERE text IS NOT NULL AND {quality} >= 0.5),
+    uniq AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum({n_tokens}) AS BIGINT) AS n_tokens,
+           round(avg(q), 4) AS avg_quality
+    FROM uniq GROUP BY source ORDER BY source
+    """
+
+
+def _write_docs_warc(spark, sf_dir, name="gsel_warc_"):
+    """Render the documents table as a WARC archive directory (shared
+    by warc01 and s16; the warc01 docstring explains the record
+    vocabulary)."""
+    import os
+    import tempfile
+
+    from geosparql_etl_spark.sources import warc as warcmod
+
+    warcmod.register(spark)
+    d = _t(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        name + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    d.select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:gsel:doc:"), F.col("doc_id")).alias("record_id"),
+        F.concat(
+            F.lit("http://crawl.example/"), F.col("source"), F.lit("/"),
+            F.col("doc_id"),
+        ).alias("target_uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/plain; charset=utf-8; lang=").alias("__ct_prefix"),
+        F.col("lang").alias("__lang"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).select(
+        "warc_type",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        F.concat(F.col("__ct_prefix"), F.col("__lang")).alias("content_type"),
+        "payload",
+    ).write.format("warc").mode("overwrite").save(path)
+    return path
+
+
 def warc01_crawl_curation(spark, sf_dir):
     """Web-crawl ingest end-to-end (round 9, the one LLM-ingest
     surface previously absent): render the documents table as WARC
@@ -11397,29 +11527,7 @@ def warc01_crawl_curation(spark, sf_dir):
     the hash. 100 TB shape: the archive scans file-parallel, the only
     shuffle is the 20-group aggregate, and payloads never shuffle at
     all (consumed inside the scan projection)."""
-    import os
-    import tempfile
-
-    from geosparql_etl_spark.sources import warc as warcmod
-
-    warcmod.register(spark)
-    d = _t(spark, sf_dir, "documents")
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "gsel_warc_" + os.path.basename(os.path.normpath(sf_dir)),
-    )
-    d.select(
-        F.lit("response").alias("warc_type"),
-        F.concat(F.lit("urn:gsel:doc:"), F.col("doc_id")).alias("record_id"),
-        F.concat(
-            F.lit("http://crawl.example/"), F.col("source"), F.lit("/"),
-            F.col("doc_id"),
-        ).alias("target_uri"),
-        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
-        F.concat(F.lit("text/plain; charset=utf-8; lang="), F.col("lang"))
-        .alias("content_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
-    ).write.format("warc").mode("overwrite").save(path)
+    path = _write_docs_warc(spark, sf_dir)
     crawl = spark.read.format("warc").load(path)
     text = F.decode(F.col("payload"), "UTF-8")
     src = F.regexp_extract(
@@ -11529,6 +11637,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim19_probe_sweep": sim19_probe_sweep,
     # --- below the window: further round-9 additions go HERE
     # (contiguous, never stamped) so the r10 rotation is mechanical ---
+    "s16_crawl_ingest": s16_crawl_ingest,
     # --- r04-stamped remainder (oldest attestation) ---
     "j06_anti_join": j06_anti_join,
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
@@ -11947,6 +12056,7 @@ _ORACLES: dict[str, str] = {
     "warc01_crawl_curation": _sql_warc01(),
     "sp41_quad_lake_rollup": _sql_sp41(),
     "sim19_probe_sweep": _sql_sim19(),
+    "s16_crawl_ingest": _sql_s16(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

@@ -64,6 +64,7 @@ VECTORIZED_PYTHON_OK = {
     "mm05_image_neardup",  # rasterize + dHash decode batches
     "mm06_audio_neardup",  # WAV synth + chromaprint decode batches
     "mm07_shot_boundaries",  # rasterize + all-frame decode batches
+    "s16_crawl_ingest",  # WARC archive-bytes record parse batches
 }
 
 

@@ -141,3 +141,105 @@ def test_gzip_file_reads(warc_spark, tmp_path):
         )
     rows = warc_spark.read.format("warc").load(str(p)).collect()
     assert rows[0].payload == b"abc"
+
+
+def test_crawl_ingest_stream_matches_batch_and_is_exactly_once(
+    warc_spark, sf_dir, tmp_path
+):
+    """Two WARC archives land in sequence; the curated table after both
+    availableNow runs must equal batch curation of the union (incl.
+    cross-archive fingerprint dedup — a doc re-crawled in archive 2
+    must NOT reappear), and the file-source checkpoint makes run 2
+    parse only the new archive."""
+    import shutil
+
+    import __spark_entry__ as entry
+    from geosparql_etl_spark.streaming.corpus import curate
+    from geosparql_etl_spark.streaming.crawl import (
+        parse_warc_bytes,
+        records_to_docs,
+        run_crawl_ingest,
+    )
+
+    spark = warc_spark
+    crawl = tmp_path / "crawl"
+    out = tmp_path / "curated"
+    ck = tmp_path / "ck"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def land(df, fname):
+        tmp = tmp_path / ("stage_" + fname)
+        entry_rows = df.select(
+            F.lit("response").alias("warc_type"),
+            F.concat(F.lit("urn:gsel:doc:"), F.col("doc_id")).alias(
+                "record_id"
+            ),
+            F.concat(
+                F.lit("http://crawl.example/"), F.col("source"),
+                F.lit("/"), F.col("doc_id"),
+            ).alias("target_uri"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+            F.concat(
+                F.lit("text/plain; charset=utf-8; lang="), F.col("lang")
+            ).alias("content_type"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+        entry_rows.coalesce(1).write.format("warc").mode("overwrite").save(
+            str(tmp)
+        )
+        crawl.mkdir(exist_ok=True)
+        part = next(p for p in tmp.iterdir() if p.suffix == ".warc")
+        shutil.move(str(part), str(crawl / fname))
+
+    land(docs.where(F.col("doc_id") < 120), "shard-0.warc")
+    q = run_crawl_ingest(spark, str(crawl), str(out), str(ck))
+    assert q.awaitTermination(120)
+    # archive 2 re-crawls 100-119 (dup text) plus fresh 120-239
+    land(docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 240)),
+         "shard-1.warc")
+    q2 = run_crawl_ingest(spark, str(crawl), str(out), str(ck))
+    assert q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    want = curate(
+        records_to_docs(
+            parse_warc_bytes(
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.warc*")
+                .load(str(crawl))
+            )
+        )
+    )
+    g = {(r.fp, r.n_tokens, r.source) for r in got.collect()}
+    w = {(r.fp, r.n_tokens, r.source) for r in want.collect()}
+    assert g == w and len(g) > 0
+    fps = [r.fp for r in got.collect()]
+    assert len(fps) == len(set(fps))  # exactly one row per fingerprint
+
+
+def test_records_to_docs_recovers_document_fields(warc_spark, sf_dir, tmp_path):
+    """The WARC round trip loses nothing the curation needs: doc_id,
+    text, lang, source all reconstruct exactly."""
+    import __spark_entry__ as entry
+
+    spark = warc_spark
+    from geosparql_etl_spark.streaming.crawl import (
+        parse_warc_bytes,
+        records_to_docs,
+    )
+
+    path = entry._write_docs_warc(spark, sf_dir, name="gsel_warc_test_")
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+    )
+    got = records_to_docs(parse_warc_bytes(raw)).orderBy("doc_id")
+    want = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
