@@ -8136,6 +8136,166 @@ def _sql_sim19():
     """
 
 
+def sim20_pq_training_gain(spark, sf_dir):
+    """PQ codebook training, measured (round 9 — lloyd_train's twin
+    for the product quantizer, closing the `_pq_codebooks` 'production
+    would k-means a sample' placeholder): recall@5 of the ADC top-5
+    (sim06's exact plan) under the SEEDED books vs the pq_train books
+    (10 one-job Lloyd rounds over all 8 subspaces at once, fixed-point
+    means, per-round state = 1 Ki floats of index metadata). On this
+    corpus training roughly triples ADC recall (0.052 -> 0.152) and
+    doubles shortlist containment at every budget — the number that
+    decides whether the compressed scan can feed sim08's
+    shortlist-then-rescore pipeline. Aggregates derive from integer
+    hit counts (sim19's discipline); the oracle replays the full
+    10-round training AND both recall arms in SQL."""
+    from geosparql_etl_spark.operators.similarity import (
+        _pq_codebooks,
+        cosine_topk,
+        pq_topk,
+        pq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    arms = (
+        ("seeded", _pq_codebooks(64, 8, 16)),
+        ("trained", pq_train(e, "embedding", rounds=10, memo_key=sf_dir)),
+    )
+    q = e.where(F.col("vec_id") < 50)
+    exact = cosine_topk(e, q, k=5, dim=64).select("query_id", "neighbor_id")
+    out = None
+    for name, books in arms:
+        approx = pq_topk(
+            e, q, kq=5, dim=64, m=8, k=16, codebooks=books
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        per_q = (
+            exact.join(approx, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count("hit").alias("n_hit"),
+                F.count(F.lit(1)).alias("n_exact"),
+            )
+        )
+        blk = per_q.agg(
+            F.round(F.sum("n_hit") / F.sum("n_exact"), 6).alias(
+                "mean_recall"
+            ),
+            F.round(F.min(F.col("n_hit") / F.col("n_exact")), 6).alias(
+                "min_recall"
+            ),
+        ).select(F.lit(name).alias("codebooks"), "mean_recall", "min_recall")
+        out = blk if out is None else out.unionByName(blk)
+    return out.orderBy("codebooks")
+
+
+def _sql_pq_train_ctes(rounds, m=8, k=16, sub=8):
+    """CTE chain replaying pq_train in DuckDB: cb0 = the seeded books
+    as VALUES, then per round assign (squared-L2 argmin per subspace,
+    tie -> lowest code) -> fixed-point per-(j, c, subpos) mean ->
+    coalesce (empty codes carry the previous book). Ends at cbT. Same
+    MATERIALIZED discipline as _sql_lloyd_train_ctes (multi-referenced
+    CTEs inline exponentially otherwise)."""
+    from geosparql_etl_spark.operators.similarity import _pq_codebooks
+
+    books = _pq_codebooks(m * sub, m, k)
+    rows = ", ".join(
+        "(%d, %d, [%s]::DOUBLE[])"
+        % (j, c, ", ".join("%.17g" % v for v in cent))
+        for j, cents in enumerate(books)
+        for c, cent in enumerate(cents)
+    )
+    parts = [
+        f"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cb0 AS (SELECT * FROM (VALUES {rows}) AS t(j, c, cent))"""
+    ]
+    for i in range(rounds):
+        parts.append(f"""scp{i} AS (
+      SELECT vec_id, j, c,
+             -2 * list_dot_product(list_slice(v, j * {sub} + 1, (j + 1) * {sub}), cent)
+               + list_dot_product(cent, cent) AS d
+      FROM e, cb{i}),
+    codep{i} AS MATERIALIZED (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM scp{i}) WHERE rn = 1),
+    pep{i} AS (
+      SELECT j, c, si - 1 AS subpos,
+             CAST(floor(v[j * {sub} + si] * 1000000.0) AS BIGINT) AS q
+      FROM (SELECT cp.j, cp.c, e.v, unnest(generate_series(1, {sub})) AS si
+            FROM codep{i} cp JOIN e USING (vec_id))),
+    trp{i} AS (
+      SELECT j, c, subpos,
+             round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000.0, 6) AS c_new
+      FROM pep{i} GROUP BY j, c, subpos),
+    posp{i} AS (
+      SELECT j, c, si - 1 AS subpos, cent[si] AS v0
+      FROM (SELECT j, c, cent, unnest(generate_series(1, len(cent))) AS si
+            FROM cb{i})),
+    cb{i + 1} AS MATERIALIZED (
+      SELECT p.j, p.c, list(coalesce(t.c_new, p.v0) ORDER BY p.subpos) AS cent
+      FROM posp{i} p LEFT JOIN trp{i} t
+        ON t.j = p.j AND t.c = p.c AND t.subpos = p.subpos
+      GROUP BY p.j, p.c)""")
+    parts.append(f"cbT AS (SELECT * FROM cb{rounds})")
+    return ",\n    ".join(parts)
+
+
+def _sql_sim20():
+    def arm(name, cb, sub=8):
+        return f"""
+    SELECT '{name}' AS codebooks,
+           round(CAST(sum(n_hit) AS DOUBLE) / sum(n_exact), 6)
+             AS mean_recall,
+           round(min(CAST(n_hit AS DOUBLE) / n_exact), 6) AS min_recall
+    FROM (
+      SELECT ex.query_id, count(ap.hit) AS n_hit, count(*) AS n_exact
+      FROM exact ex
+      LEFT JOIN (
+        SELECT query_id, neighbor_id, 1 AS hit FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx_d2 ASC, neighbor_id ASC
+          ) AS rn FROM (
+            SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                   round(list_dot_product(q.v, q.v)
+                         - 2 * list_dot_product(q.v, r.rv)
+                         + list_dot_product(r.rv, r.rv), 6) AS approx_d2
+            FROM e q
+            JOIN (
+              SELECT codes.vec_id, flatten(list(cent ORDER BY codes.j)) AS rv
+              FROM (
+                SELECT vec_id, j, c FROM (
+                  SELECT vec_id, j, c, row_number() OVER (
+                    PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+                  FROM (
+                    SELECT vec_id, j, c,
+                           -2 * list_dot_product(
+                             list_slice(v, j * {sub} + 1, (j + 1) * {sub}),
+                             cent)
+                             + list_dot_product(cent, cent) AS d
+                    FROM e, {cb})) WHERE rn = 1) codes
+              JOIN {cb} USING (j, c) GROUP BY codes.vec_id) r
+              ON r.vec_id != q.vec_id
+            WHERE q.vec_id < 50))
+        WHERE rn <= 5) ap
+        ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+      GROUP BY ex.query_id)"""
+
+    return f"""
+    WITH {_sql_pq_train_ctes(10)},
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+        FROM e q JOIN e c ON q.vec_id < 50 AND c.vec_id != q.vec_id)
+      WHERE rank <= 5)
+    SELECT * FROM ({arm("seeded", "cb0")}
+    UNION ALL {arm("trained", "cbT")}) ORDER BY codebooks
+    """
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -11638,6 +11798,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- below the window: further round-9 additions go HERE
     # (contiguous, never stamped) so the r10 rotation is mechanical ---
     "s16_crawl_ingest": s16_crawl_ingest,
+    "sim20_pq_training_gain": sim20_pq_training_gain,
     # --- r04-stamped remainder (oldest attestation) ---
     "j06_anti_join": j06_anti_join,
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
@@ -12057,6 +12218,7 @@ _ORACLES: dict[str, str] = {
     "sp41_quad_lake_rollup": _sql_sp41(),
     "sim19_probe_sweep": _sql_sim19(),
     "s16_crawl_ingest": _sql_s16(),
+    "sim20_pq_training_gain": _sql_sim20(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

@@ -57,6 +57,7 @@ VECTORIZED_PYTHON_OK = {
     "sim11_kmeans_refine",  # with_ivf_cell's batch matmul assignment
     "sim14_ann_recall",  # IVF arm rides with_ivf_cell's batch matmul
     "sim15_trained_ivf_recall",  # same, with trained centroids
+    "sim19_probe_sweep",  # five ivf_topk arms over the trained quantizer
     "mm01_media_features",
     "mm02_frame_sampling",
     "mm03_audio_features",
@@ -65,6 +66,7 @@ VECTORIZED_PYTHON_OK = {
     "mm06_audio_neardup",  # WAV synth + chromaprint decode batches
     "mm07_shot_boundaries",  # rasterize + all-frame decode batches
     "s16_crawl_ingest",  # WARC archive-bytes record parse batches
+    "sim20_pq_training_gain",  # with_pq_code batch matmul encoding
 }
 
 
