@@ -8296,6 +8296,61 @@ def _sql_sim20():
     """
 
 
+def sim21_incremental_index_probe(spark, sf_dir):
+    """Streaming index maintenance under the driver gate (round 9):
+    the persisted IVF index is BUILT from the first 250 vectors
+    (epoch=base), the REST land as a parquet drop and flow in through
+    streaming/ann.py:run_index_maintenance (file-source checkpointed
+    discovery -> same-quantizer cell assignment -> epoch-tagged
+    idempotent append), and the probe then answers from the combined
+    index with ivf_cell partition pruning ACROSS epochs. The oracle is
+    sim18's full-corpus trained-index replay: a value match proves the
+    incrementally-maintained index answers EXACTLY like an index built
+    from everything at once — the invariant that makes streaming
+    maintenance trustworthy. Fresh temp dirs per run (rmtree) keep the
+    query idempotent under re-execution."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import run_index_maintenance
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "gsel_ivf_incr_" + tag)
+    landing = os.path.join(root, "landing")
+    index = os.path.join(root, "index")
+    ck = os.path.join(root, "ck")
+    shutil.rmtree(root, ignore_errors=True)
+    write_ivf_index(
+        e.where(F.col("vec_id") < 250), index, dim=64, n_cells=16,
+        centroids=trained, epoch="base",
+    )
+    e.where(F.col("vec_id") >= 250).write.mode("overwrite").parquet(landing)
+    q = run_index_maintenance(
+        spark, landing, index, ck, centroids=trained, dim=64, n_cells=16
+    )
+    q.awaitTermination(300)
+    probe = e.where(F.col("vec_id") < 5)
+    return ivf_index_topk(
+        spark, index, probe, k=5, dim=64, n_cells=16, n_probe=6,
+        centroids=trained,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -11799,6 +11854,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (contiguous, never stamped) so the r10 rotation is mechanical ---
     "s16_crawl_ingest": s16_crawl_ingest,
     "sim20_pq_training_gain": sim20_pq_training_gain,
+    "sim21_incremental_index_probe": sim21_incremental_index_probe,
     # --- r04-stamped remainder (oldest attestation) ---
     "j06_anti_join": j06_anti_join,
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
@@ -12219,6 +12275,9 @@ _ORACLES: dict[str, str] = {
     "sim19_probe_sweep": _sql_sim19(),
     "s16_crawl_ingest": _sql_s16(),
     "sim20_pq_training_gain": _sql_sim20(),
+    # sim21's oracle IS sim18's full-corpus replay: the incrementally
+    # maintained index must answer exactly like a from-scratch build
+    "sim21_incremental_index_probe": _sql_trained_index_probe(n_probe=6),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

@@ -276,13 +276,25 @@ def write_ivf_index(
     n_cells: int = 16,
     centroids: list[list[float]] | None = None,
     mode: str = "overwrite",
+    epoch: str | None = None,
 ) -> None:
     """Persist the inverted file: the corpus written as parquet
     PARTITIONED BY its IVF cell — one ``ivf_cell=K/`` directory per
     cell, so a probe is a partition-pruned scan (ivf_topk's docstring
     claim made physical). The norm is precomputed into the file
     (``__cn``) because the index pays it once at build time instead of
-    every probe."""
+    every probe.
+
+    ``epoch`` switches to the INCREMENTAL layout
+    ``path/epoch=<tag>/ivf_cell=K/`` (the base generation of a
+    streaming-maintained index — streaming/ann.py appends later
+    epochs). Readers see one extra partition column; ivf_cell pruning
+    is unchanged because Spark prunes on any partition-column
+    predicate regardless of directory nesting order."""
+    if epoch is not None:
+        import os
+
+        path = os.path.join(path, f"epoch={epoch}")
     with_ivf_cell(
         spread(corpus), vec_col, dim, n_cells, centroids=centroids
     ).select(

@@ -1,0 +1,90 @@
+"""Streaming maintenance of the persisted IVF index: new embedding
+drops land continuously and must become PROBE-VISIBLE exactly once —
+the index-freshness half of the ANN story (sim16/sim18 build; this
+module maintains).
+
+Design:
+  - discovery/exactly-once rides the parquet file source (checkpointed:
+    a restarted stream never re-ingests a drop);
+  - each micro-batch assigns cells with the SAME trained quantizer the
+    index was built with (``with_ivf_cell(centroids=...)`` — quantizer
+    drift between build and maintenance would corrupt probe recall
+    silently, so the centroids are a required argument, not a default);
+  - the batch writes ``index_path/epoch=<id>/ivf_cell=K/`` in OVERWRITE
+    mode: a replayed epoch (failure/restart) rewrites ITS OWN directory
+    idempotently — the run_incremental_curation discipline applied to
+    an index. The initial batch build is ``epoch=base``
+    (write_ivf_index(..., epoch="base")).
+  - probes are unchanged: ``ivf_index_topk`` reads the root, Spark
+    discovers (epoch, ivf_cell) partition columns, and the probed-cell
+    partition filter prunes ivf_cell directories ACROSS all epochs —
+    per-probe scan cost regardless of how many maintenance epochs have
+    accumulated. (Many tiny epochs = the small-files problem; compact
+    by rewriting to a fresh base exactly like compact_quad_lake.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.operators.similarity import l2_norm, with_ivf_cell
+
+EMBEDDINGS_SCHEMA = (
+    "vec_id long, embedding array<float>, label string, norm double"
+)
+
+
+def embeddings_file_stream(
+    spark: SparkSession, landing_dir: str
+) -> DataFrame:
+    """File-source stream of embedding parquet drops (schema sniffed
+    from footers when files already exist, the testdata embeddings
+    shape otherwise)."""
+    try:
+        schema = spark.read.parquet(landing_dir).schema
+    except Exception:
+        schema = EMBEDDINGS_SCHEMA
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(landing_dir)
+    )
+
+
+def run_index_maintenance(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+):
+    """Landing dir -> the persisted IVF index, exactly once per drop.
+    Returns the started StreamingQuery (availableNow)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = with_ivf_cell(
+            batch_df, vec_col, dim, n_cells, centroids=centroids
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            l2_norm(F.col(vec_col), dim).alias("__cn"),
+            "ivf_cell",
+        )
+        rows.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+            os.path.join(index_path, f"epoch={epoch_id}")
+        )
+
+    stream = embeddings_file_stream(spark, landing_dir)
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

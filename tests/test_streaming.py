@@ -677,3 +677,69 @@ def test_quality_router_stream_matches_batch_split(spark, sf_dir, tmp_path):
     assert len(all_ids) == sum(len(v) for v in got.values())
     n_in = docs.where(F.col("text").isNotNull()).count()
     assert len(all_ids) == n_in and len(got["accept"]) > 0
+
+
+def test_ivf_index_maintenance_exactly_once_and_probe_parity(
+    spark, sf_dir, tmp_path
+):
+    """Two embedding drops land in sequence; after both availableNow
+    runs the maintained index must answer probes EXACTLY like an index
+    built from everything at once, the checkpoint must make run 2
+    ingest only the new drop (one epoch directory per micro-batch),
+    and the probe scan must still prune on ivf_cell across epochs."""
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import run_index_maintenance
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=2, memo_key=None
+    )
+    landing = str(tmp_path / "landing")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+    write_ivf_index(
+        e.where(F.col("vec_id") < 200), index, dim=64, n_cells=16,
+        centroids=trained, epoch="base",
+    )
+    e.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)).write.mode(
+        "append"
+    ).parquet(landing)
+    q = run_index_maintenance(spark, landing, index, ck, centroids=trained)
+    assert q.awaitTermination(120)
+    e.where(F.col("vec_id") >= 350).write.mode("append").parquet(landing)
+    q2 = run_index_maintenance(spark, landing, index, ck, centroids=trained)
+    assert q2.awaitTermination(120)
+
+    # every vector present exactly once across epochs
+    idx = spark.read.parquet(index)
+    ids = [r.neighbor_id for r in idx.select("neighbor_id").collect()]
+    assert sorted(ids) == sorted(
+        r.vec_id for r in e.select("vec_id").collect()
+    )
+
+    probe = e.where(F.col("vec_id") < 5)
+    got = ivf_index_topk(
+        spark, index, probe, k=5, dim=64, n_cells=16, n_probe=4,
+        centroids=trained,
+    )
+    # partition pruning must survive the extra epoch partition column
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+
+    full = str(tmp_path / "full_index")
+    write_ivf_index(e, full, dim=64, n_cells=16, centroids=trained)
+    want = ivf_index_topk(
+        spark, full, probe, k=5, dim=64, n_cells=16, n_probe=4,
+        centroids=trained,
+    )
+    g = [(r.query_id, r.neighbor_id, r.rank) for r in
+         got.orderBy("query_id", "rank").collect()]
+    w = [(r.query_id, r.neighbor_id, r.rank) for r in
+         want.orderBy("query_id", "rank").collect()]
+    assert g == w and len(g) == 25
