@@ -88,3 +88,29 @@ def run_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
+    """Rewrite an epoch-accumulated IVF index so ``epoch=base`` holds
+    everything and the maintenance epochs disappear — the
+    compact_quad_lake pattern for the ANN lake: long-lived maintenance
+    accumulates one small parquet file per cell per epoch, and probe
+    scans fan one task per file.
+
+    The read's lineage is severed (localCheckpoint) BEFORE the
+    overwrite so the rewrite never re-reads the files it replaces;
+    cell assignments are NOT recomputed (rows keep the ivf_cell they
+    were ingested with — compaction must never move a vector between
+    cells, or the index would disagree with a probe that already saw
+    it). The triple (neighbor_id, __cv, __cn) set is unchanged;
+    probes behave identically after (pinned by test)."""
+    import shutil
+
+    df = spark.read.parquet(index_path).select(
+        "neighbor_id", "__cv", "__cn", "ivf_cell"
+    )
+    snap = df.localCheckpoint()
+    shutil.rmtree(index_path, ignore_errors=True)
+    snap.repartition("ivf_cell").write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(os.path.join(index_path, "epoch=base"))

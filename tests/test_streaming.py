@@ -743,3 +743,58 @@ def test_ivf_index_maintenance_exactly_once_and_probe_parity(
     w = [(r.query_id, r.neighbor_id, r.rank) for r in
          want.orderBy("query_id", "rank").collect()]
     assert g == w and len(g) == 25
+
+
+def test_ivf_index_compaction_preserves_probe_answers(spark, sf_dir, tmp_path):
+    """After compaction: one epoch (base), at most one file per cell,
+    same vector set, identical probe answers."""
+    import glob
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import (
+        compact_ivf_index,
+        run_index_maintenance,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=2, memo_key=None
+    )
+    landing = str(tmp_path / "landing")
+    index = str(tmp_path / "index")
+    write_ivf_index(
+        e.where(F.col("vec_id") < 200), index, dim=64, n_cells=16,
+        centroids=trained, epoch="base",
+    )
+    e.where(F.col("vec_id") >= 200).write.mode("append").parquet(landing)
+    q = run_index_maintenance(
+        spark, landing, index, str(tmp_path / "ck"), centroids=trained
+    )
+    assert q.awaitTermination(120)
+
+    probe = e.where(F.col("vec_id") < 5)
+
+    def answers():
+        return [
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_index_topk(
+                spark, index, probe, k=5, dim=64, n_cells=16, n_probe=4,
+                centroids=trained,
+            ).orderBy("query_id", "rank").collect()
+        ]
+
+    before = answers()
+    n_before = spark.read.parquet(index).count()
+    compact_ivf_index(spark, index)
+    epochs = glob.glob(os.path.join(index, "epoch=*"))
+    assert [os.path.basename(p) for p in epochs] == ["epoch=base"]
+    for cell_dir in glob.glob(os.path.join(index, "epoch=base", "ivf_cell=*")):
+        files = [f for f in os.listdir(cell_dir) if f.endswith(".parquet")]
+        assert len(files) <= 1, cell_dir
+    assert spark.read.parquet(index).count() == n_before
+    assert answers() == before and len(before) == 25
