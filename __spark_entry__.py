@@ -11790,10 +11790,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # and the TPC-H closers q05-q22 — 45 queries, registry order
     # unchanged), then er01/er02 at 46-47 (their blocking scheme and
     # match rule were REDESIGNED this round — the old r06/r08 stamps
-    # attest the retired lev<=4 single-key semantics), then the three
-    # oldest r04-stamped rows to fill 50.
-    # r10 rotation (staged below the window, in order): round-9
-    # additions go contiguously first (never stamped), then the
+    # attest the retired lev<=4 single-key semantics), then three new
+    # round-9 queries at 48-50 (warc01 crawl round trip, sp41 quad
+    # lake e2e, sim19 probe sweep) — a fully never-stamped window.
+    # r10 rotation (staged below the window, in order): the remaining
+    # round-9 additions go contiguously first (s16 crawl ingest, sim20
+    # trained PQ, sim21 incremental index — never stamped), then the
     # r04-stamped remainder (oldest attestation), then the r05 block,
     # then the two r06 blocks, then the round-8-stamped window rows
     # (freshest — r10 takes the first 50 in registry order).
