@@ -35,7 +35,13 @@ def test_round9_correctness_window_is_stable():
     assert keys[47] == "warc01_crawl_curation"
     assert keys[48] == "sp41_quad_lake_rollup"
     assert keys[49] == "sim19_probe_sweep"
-    assert keys[50] == "j06_anti_join"
+    # below the window: the remaining round-9 additions staged for r10
+    assert keys[50:53] == [
+        "s16_crawl_ingest",
+        "sim20_pq_training_gain",
+        "sim21_incremental_index_probe",
+    ]
+    assert keys[53] == "j06_anti_join"
     assert len(keys) == len(set(keys))
 
 
