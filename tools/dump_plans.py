@@ -86,6 +86,8 @@ SHOWCASE = [
     ("sp39_zone_overlap", "SPARQL var-var polygon-polygon sfIntersects: grid-cover cell join + canonical-cell survival — no CartesianProduct, no dedup"),
     ("a17_cumulative_uniques", "adoption curve: first-touch groupBy-min, then the prefix-sum window over the tiny daily aggregate"),
     ("dq06_fd_audit", "FD audit: per-candidate groupBy with partial aggregation — shuffle bounded by distinct lhs"),
+    ("warc01_crawl_curation", "WARC ingest: file-parallel archive scan, payload consumed inside the scan projection, one bounded aggregate"),
+    ("sim21_incremental_index_probe", "streaming-maintained IVF index probe: ivf_cell PartitionFilters prune across epoch directories"),
 ]
 
 
