@@ -1867,19 +1867,37 @@ def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
     cell = _SFWITHIN_CELL
 
     def prep(f: DataFrame, var: str, ring_col: str, pre: str):
+        # every derived quantity (ring, point flag, point coords, bbox
+        # bounds) materializes as a COLUMN before use: inlining the
+        # parse trees into the exact predicate's when-chain multiplied
+        # the serialized plan to a ~3 MiB task binary and tripled the
+        # query's wall time (the sp33 plan-size lesson, re-measured on
+        # sp39 this round)
         x0, y0, x1, y1 = (f"__{pre}x0", f"__{pre}y0",
                           f"__{pre}x1", f"__{pre}y1")
+        pt, pxc, pyc = f"__{pre}pt", f"__{pre}px", f"__{pre}py"
         ring = F.col(ring_col)
         xs = F.transform(ring, lambda p: p[0])
         ys = F.transform(ring, lambda p: p[1])
         px, py = _point_xy(F.col(var))
         return (
             f.withColumn(ring_col, wkt_polygon_ring(F.col(var)))
-            .withColumn(x0, F.coalesce(F.array_min(xs), px))
-            .withColumn(y0, F.coalesce(F.array_min(ys), py))
-            .withColumn(x1, F.coalesce(F.array_max(xs), px))
-            .withColumn(y1, F.coalesce(F.array_max(ys), py))
-            .where(F.col(x0).isNotNull() & F.col(y0).isNotNull())
+            .withColumn(pt, F.col(var).rlike(r"^\s*POINT\s*\("))
+            .withColumn(pxc, px)
+            .withColumn(pyc, py)
+            .withColumn(x0, F.coalesce(F.array_min(xs), F.col(pxc)))
+            .withColumn(y0, F.coalesce(F.array_min(ys), F.col(pyc)))
+            .withColumn(x1, F.coalesce(F.array_max(xs), F.col(pxc)))
+            .withColumn(y1, F.coalesce(F.array_max(ys), F.col(pyc)))
+            # no explicit null-drop filter: a lexical that is neither
+            # POINT nor POLYGON leaves x0/x1 NULL, sequence(NULL, ...)
+            # is NULL, and explode() of NULL emits no rows — the same
+            # drop for free. (An explicit .where(x0.isNotNull()) was
+            # measured to DOUBLE this query's wall time: pushdown
+            # inlines the coalesce(ring-parse, point-parse) trees into
+            # a below-projection filter — a ~3 MiB task binary that
+            # falls out of JIT — the sp33 plan-size lesson in filter
+            # form.)
             .withColumn(
                 "__cx",
                 F.explode(
@@ -1913,27 +1931,37 @@ def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
             F.floor(F.col("__ay0") / cell), F.floor(F.col("__by0") / cell)
         )
     )
-    pa = F.col(u).rlike(r"^\s*POINT\s*\(")
-    pb = F.col(v).rlike(r"^\s*POINT\s*\(")
-    pax, pay = _point_xy(F.col(u))
-    pbx, pby = _point_xy(F.col(v))
+    pa, pb = F.col("__apt"), F.col("__bpt")
+    pax, pay = F.col("__apx"), F.col("__apy")
+    pbx, pby = F.col("__bpx"), F.col("__bpy")
     ra, rb = F.col("__ring_a"), F.col("__ring_b")
-    exact = (
-        F.when(pa & pb, (pax == pbx) & (pay == pby))
-        .when(pa, F.when(rb.isNotNull(), point_in_ring(rb, pax, pay)))
-        .when(pb, F.when(ra.isNotNull(), point_in_ring(ra, pbx, pby)))
-        .otherwise(
-            F.when(
-                ra.isNotNull() & rb.isNotNull(), rings_intersect(ra, rb)
-            )
+    # The four POINT/POLYGON shape combinations run as a UNION of four
+    # shape-filtered joins, NOT one when-chain predicate: a single
+    # CASE whose branches contain the rings_intersect fold AND two
+    # point_in_ring folds generated a ~3 MiB task binary and doubled
+    # the all-polygon query's wall time (codegen past JIT size limits
+    # falls back to interpreted evaluation — measured on sp39 this
+    # round). Each branch compiles only its own fold; the categories
+    # are disjoint and exhaustive, and the shape filters prune each
+    # branch's inputs BEFORE its join, so all-polygon workloads plan
+    # three trivially-empty branches and the round-8 polygon plan.
+    # (A ~pt survivor always has a non-NULL ring: the bbox null-drop
+    # in prep removed every lexical that parsed as neither form.)
+    def branch(fa, fb, pred):
+        return (
+            a.where(fa).join(b.where(fb), on=["__cx", "__cy"])
+            .where(canonical)
+            .where(pred)
         )
-    )
+
     joined = (
-        a.join(b, on=["__cx", "__cy"])
-        .where(canonical)
-        .where(exact)
+        branch(~pa, ~pb, rings_intersect(ra, rb))
+        .unionByName(branch(pa, ~pb, point_in_ring(rb, pax, pay)))
+        .unionByName(branch(~pa, pb, point_in_ring(ra, pbx, pby)))
+        .unionByName(branch(pa, pb, (pax == pbx) & (pay == pby)))
         .drop(
             "__cx", "__cy", "__ring_a", "__ring_b",
+            "__apt", "__apx", "__apy", "__bpt", "__bpx", "__bpy",
             "__ax0", "__ay0", "__ax1", "__ay1",
             "__bx0", "__by0", "__bx1", "__by1",
         )
