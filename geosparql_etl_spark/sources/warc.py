@@ -97,13 +97,6 @@ def _list_warc_files(path: str) -> list[str]:
     return sorted(set(files))
 
 
-def _read_line(fh) -> bytes:
-    line = fh.readline()
-    if line.endswith(b"\r\n"):
-        return line[:-2]
-    return line.rstrip(b"\n")
-
-
 def parse_warc_records(fh, path: str):
     """Stream (headers: dict, payload: bytes, offset: int) tuples from
     an open BINARY file object. Shared by the reader and the tests'
