@@ -112,6 +112,47 @@ def main():
             f"{r:>9.3f} {hi:>9.3f} {frac:>11.3f} {dt:>6.1f}"
         )
 
+    # trained quantizers (round 9): the shipped configs
+    from geosparql_etl_spark.operators.similarity import (  # noqa: E402
+        lloyd_train,
+        pq_topk,
+        pq_train,
+    )
+
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tcells = with_ivf_cell(e, "embedding", 64, 16, centroids=trained)
+    tsizes = {
+        row["ivf_cell"]: row["c"]
+        for row in tcells.groupBy("ivf_cell").agg(F.count("*").alias("c")).collect()
+    }
+    avg_tcell = sum(tsizes.values()) / max(1, len(tsizes))
+    for n_probe in [2, 4, 6, 8]:
+        t0 = time.time()
+        approx = ivf_topk(
+            e, q, k=k, dim=64, n_cells=16, n_probe=n_probe,
+            centroids=trained,
+        )
+        r, hi = recall_of(approx, exact, k)
+        dt = time.time() - t0
+        frac = n_probe * avg_tcell / n_corpus
+        print(
+            f"{'IVF(trained x10) probe=' + str(n_probe):<34} "
+            f"{r:>9.3f} {hi:>9.3f} {frac:>11.3f} {dt:>6.1f}"
+        )
+
+    books = pq_train(e, "embedding", rounds=10, memo_key=sf_dir)
+    for name, bk in [("seeded", None), ("trained", books)]:
+        t0 = time.time()
+        approx = pq_topk(e, q, kq=k, dim=64, m=8, k=16, codebooks=bk)
+        r, hi = recall_of(approx, exact, k)
+        dt = time.time() - t0
+        print(
+            f"{'PQ ADC (' + name + ')':<34} "
+            f"{r:>9.3f} {hi:>9.3f} {1.0:>11.3f} {dt:>6.1f}"
+        )
+
     for n_probe, shortlist in [(2, 20), (4, 40), (8, 40)]:
         t0 = time.time()
         approx = ivf_pq_topk(
