@@ -739,3 +739,51 @@ def test_rings_intersect_matches_interval_overlap(
     ).collect()[0]["hit"]
     want = (a[0] < b[2] and b[0] < a[2]) and (a[1] < b[3] and b[1] < a[3])
     assert got == want
+
+
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=200), min_size=1, max_size=8),
+    uri_tail=st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_warc_framing_roundtrips_arbitrary_payloads(payloads, uri_tail, tmp_path_factory):
+    """Pure-python WARC framing property (no Spark): ANY byte payloads
+    — including ones embedding CRLF CRLF, WARC/1.1 magic, or nothing at
+    all — must round-trip through render_record -> parse_warc_records
+    byte-exactly and in order. Content-Length framing means no payload
+    byte can ever act as a delimiter."""
+    import io
+    from types import SimpleNamespace
+
+    from geosparql_etl_spark.sources.warc import (
+        parse_warc_records,
+        render_record,
+    )
+
+    rows = [
+        SimpleNamespace(
+            warc_type="response",
+            record_id=f"urn:x:{i}",
+            target_uri=f"http://crawl.example/{uri_tail}/{i}",
+            warc_date="2026-01-01T00:00:00Z",
+            content_type="application/octet-stream",
+            payload=p,
+        )
+        for i, p in enumerate(payloads)
+    ]
+    blob = b"".join(render_record(r) for r in rows)
+    got = list(parse_warc_records(io.BytesIO(blob), "prop.warc"))
+    assert [g[1] for g in got] == payloads
+    assert [h.get("warc-record-id") for h, _, _ in got] == [
+        r.record_id for r in rows
+    ]
+    # offsets are the cumulative record byte lengths
+    lens = [len(render_record(r)) for r in rows]
+    starts = [sum(lens[:i]) for i in range(len(rows))]
+    assert [pos for _, _, pos in got] == starts
