@@ -11689,6 +11689,98 @@ def _sql_s16():
     """
 
 
+def warc02_html_extraction(spark, sf_dir):
+    """HTML text extraction over a crawl archive (round 9): real crawl
+    payloads are HTML, and every curation signal downstream (quality,
+    language ID, dedup fingerprints) must run on EXTRACTED text, not
+    markup. Each document renders into a full HTML page (title, style
+    and script blocks, nav boilerplate, entity-escaped body), ships as
+    a WARC response, and the reader side recovers plain text with the
+    native html_to_text chain (script/style drop whole, tags become
+    spaces, entities decode single-pass, whitespace collapses). The
+    oracle COMPOSES the expected text directly from the documents
+    table — title + nav + collapsed body — so a value match attests
+    the whole escape -> WARC framing -> strip -> decode pipeline
+    byte-for-byte. Per-source char/token sums make any extraction
+    drift (a swallowed tag boundary, a double-decoded entity) a hash
+    failure. All JVM-side regex; the only Python is the archive
+    record scan."""
+    from geosparql_etl_spark.functions.textstats import html_to_text
+    from geosparql_etl_spark.sources import warc as warcmod
+    from geosparql_etl_spark.streaming.crawl import parse_warc_bytes
+
+    import os
+    import tempfile
+
+    warcmod.register(spark)
+    d = _t(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>body{margin:0}</style>"
+              "<script>var p = 1 < 2;</script></head>"
+              "<body><nav>Home | About</nav><p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gsel_html_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    d.select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:gsel:page:"), F.col("doc_id")).alias(
+            "record_id"
+        ),
+        F.concat(
+            F.lit("http://crawl.example/"), F.col("source"), F.lit("/"),
+            F.col("doc_id"),
+        ).alias("target_uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+        F.encode(html, "UTF-8").alias("payload"),
+    ).write.format("warc").mode("overwrite").save(path)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+    )
+    pages = parse_warc_bytes(raw).select(
+        F.regexp_extract(
+            F.col("target_uri"), r"^http://crawl\.example/([^/]+)/", 1
+        ).alias("source"),
+        html_to_text(F.decode(F.col("payload"), "UTF-8")).alias("t"),
+    )
+    return (
+        pages.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("t")).alias("n_chars"),
+            F.sum(F.size(F.split(F.col("t"), r"\s+"))).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_warc02():
+    return r"""
+    WITH pages AS (
+      SELECT source,
+             trim('Doc ' || doc_id || ' Home | About ' ||
+                  trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))
+               AS t
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(length(t)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split_regex(t, '\s+'))) AS BIGINT)
+             AS n_tokens
+    FROM pages GROUP BY source ORDER BY source
+    """
+
+
 def _write_docs_warc(spark, sf_dir, name="gsel_warc_"):
     """Render the documents table as a WARC archive directory (shared
     by warc01 and s16; the warc01 docstring explains the record
@@ -11857,6 +11949,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s16_crawl_ingest": s16_crawl_ingest,
     "sim20_pq_training_gain": sim20_pq_training_gain,
     "sim21_incremental_index_probe": sim21_incremental_index_probe,
+    "warc02_html_extraction": warc02_html_extraction,
     # --- r04-stamped remainder (oldest attestation) ---
     "j06_anti_join": j06_anti_join,
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
@@ -12280,6 +12373,7 @@ _ORACLES: dict[str, str] = {
     # sim21's oracle IS sim18's full-corpus replay: the incrementally
     # maintained index must answer exactly like a from-scratch build
     "sim21_incremental_index_probe": _sql_trained_index_probe(n_probe=6),
+    "warc02_html_extraction": _sql_warc02(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

@@ -424,3 +424,38 @@ def wordpiece_doc_tokens(
         )
     )
     return pw.join(F.broadcast(dom), "w")
+
+
+def html_to_text(col: Column) -> Column:
+    """Plain text from an HTML document — the first transform every
+    web-crawl payload needs before any curation signal applies
+    (quality scores and language ID over raw markup measure the
+    markup, not the document). Native regex/replace chain, no Python:
+
+      1. script/style blocks drop WHOLE (their text is code, not
+         content; Java regex backreference ``</\\1>`` closes the same
+         tag that opened — fine here, the ORACLE side never parses
+         HTML, it composes expected text directly);
+      2. comments drop; remaining tags become spaces (tags separate
+         words: ``a</p><p>b`` must not fuse to ``ab``);
+      3. the five named entities + ``&#39;`` decode, ``&amp;`` LAST so
+         ``&amp;lt;`` yields the literal ``&lt;`` (single-pass decode,
+         never double);
+      4. whitespace collapses to single spaces, trimmed — the same
+         canonicalization ``oracle_norm`` applies to plain text.
+    """
+    out = F.regexp_replace(
+        col, r"(?is)<(script|style)[^>]*>.*?</\1\s*>", " "
+    )
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -304,3 +304,40 @@ def test_repeat_removal_crafted_cases(spark):
     assert out[1] == (6, 0, md5("a b a b a b"))
     assert out[2] == (8, 0, md5("p q r s p q r s"))
     assert out[3] == (7, 3, md5("m n o tail"))
+
+
+class TestHtmlToText:
+    """html_to_text: the crawl-payload extraction chain (round 9)."""
+
+    def _one(self, spark, html):
+        from geosparql_etl_spark.functions.textstats import html_to_text
+
+        return (
+            spark.createDataFrame([(html,)], "h string")
+            .select(html_to_text(F.col("h")).alias("t"))
+            .collect()[0]
+            .t
+        )
+
+    def test_script_style_drop_whole_even_with_tags_inside(self, spark):
+        got = self._one(
+            spark,
+            '<style>p{a:1}</style><script>if(1<2){x("</p>fake")}</script>'
+            "<p>real</p>",
+        )
+        assert got == "real"
+
+    def test_tags_separate_words(self, spark):
+        assert self._one(spark, "<p>a</p><p>b</p>") == "a b"
+
+    def test_entities_decode_single_pass(self, spark):
+        # &amp;lt; must yield the LITERAL string "&lt;", never "<"
+        got = self._one(spark, "<p>x &amp;lt; y &lt;tag&gt; &#39;q&#39;</p>")
+        assert got == "x &lt; y <tag> 'q'"
+
+    def test_comments_and_whitespace_collapse(self, spark):
+        got = self._one(spark, "  <p>a\n\n b</p><!-- <p>no</p> -->  c ")
+        assert got == "a b c"
+
+    def test_plain_text_is_identity_modulo_collapse(self, spark):
+        assert self._one(spark, "no  markup\there") == "no markup here"

@@ -36,12 +36,13 @@ def test_round9_correctness_window_is_stable():
     assert keys[48] == "sp41_quad_lake_rollup"
     assert keys[49] == "sim19_probe_sweep"
     # below the window: the remaining round-9 additions staged for r10
-    assert keys[50:53] == [
+    assert keys[50:54] == [
         "s16_crawl_ingest",
         "sim20_pq_training_gain",
         "sim21_incremental_index_probe",
+        "warc02_html_extraction",
     ]
-    assert keys[53] == "j06_anti_join"
+    assert keys[54] == "j06_anti_join"
     assert len(keys) == len(set(keys))
 
 
