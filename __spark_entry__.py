@@ -11876,81 +11876,24 @@ def _sql_warc01():
 # file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver records correctness rows for the first 50 entries per
-    # round; order by verification need. Round-9 window: the round-8
-    # additions that have never carried a driver stamp (sp25-sp40,
-    # sim12-sim18, llm21-llm23, er03/txt19/dq06/mm07/a17, d16/d17, s15,
-    # and the TPC-H closers q05-q22 — 45 queries, registry order
-    # unchanged), then er01/er02 at 46-47 (their blocking scheme and
-    # match rule were REDESIGNED this round — the old r06/r08 stamps
-    # attest the retired lev<=4 single-key semantics), then three new
-    # round-9 queries at 48-50 (warc01 crawl round trip, sp41 quad
-    # lake e2e, sim19 probe sweep) — a fully never-stamped window.
-    # r10 rotation (staged below the window, in order): the remaining
-    # round-9 additions go contiguously first (s16 crawl ingest, sim20
-    # trained PQ, sim21 incremental index — never stamped), then the
-    # r04-stamped remainder (oldest attestation), then the r05 block,
-    # then the two r06 blocks, then the round-8-stamped window rows
-    # (freshest — r10 takes the first 50 in registry order).
-    # --- never driver-stamped round-8 additions (1-45) ---
-    "sp25_insert_data": sp25_insert_data,
-    "sp26_spatial_pairs": sp26_spatial_pairs,
-    "sp27_bounded_path": sp27_bounded_path,
-    "sp28_clear_graph": sp28_clear_graph,
-    "sp29_values_table": sp29_values_table,
-    "sp30_graph_promote": sp30_graph_promote,
-    "sp31_lang_facets": sp31_lang_facets,
-    "sp32_datatype_audit": sp32_datatype_audit,
-    "sp33_spatial_containment": sp33_spatial_containment,
-    "sim12_hybrid_rrf": sim12_hybrid_rrf,
-    "sp34_date_rollup": sp34_date_rollup,
-    "llm21_dataset_card": llm21_dataset_card,
-    "llm22_source_overlap": llm22_source_overlap,
-    "sp35_event_chain": sp35_event_chain,
-    "sim13_mmr_rerank": sim13_mmr_rerank,
-    "sp36_service_join": sp36_service_join,
-    "sim14_ann_recall": sim14_ann_recall,
-    "sim15_trained_ivf_recall": sim15_trained_ivf_recall,
-    "sp37_zone_geometry": sp37_zone_geometry,
-    "sp38_route_length": sp38_route_length,
-    "er03_blocking_quality": er03_blocking_quality,
-    "txt19_lang_label_audit": txt19_lang_label_audit,
-    "dq06_fd_audit": dq06_fd_audit,
-    "mm07_shot_boundaries": mm07_shot_boundaries,
-    "sim16_ivf_index_probe": sim16_ivf_index_probe,
-    "a17_cumulative_uniques": a17_cumulative_uniques,
-    "sp39_zone_overlap": sp39_zone_overlap,
-    "sim17_label_purity": sim17_label_purity,
-    "d16_threshold_sensitivity": d16_threshold_sensitivity,
-    "sp40_top_nations": sp40_top_nations,
-    "s15_quality_router": s15_quality_router,
-    "d17_minhash_error": d17_minhash_error,
-    "llm23_packing_efficiency": llm23_packing_efficiency,
-    "sim18_trained_index_probe": sim18_trained_index_probe,
-    "q05_regional_volume": q05_regional_volume,
-    "q06_forecast_revenue": q06_forecast_revenue,
-    "q08_market_share": q08_market_share,
-    "q15_top_supplier": q15_top_supplier,
-    "q11_important_stock": q11_important_stock,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q17_small_qty_revenue": q17_small_qty_revenue,
-    "q19_disjunctive_filter": q19_disjunctive_filter,
-    "q20_excess_inventory": q20_excess_inventory,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_idle_customers": q22_idle_customers,
-    # --- redesigned this round: multi-key blocking + lev<=3 (46-47) ---
-    "er01_entity_canonicalize": er01_entity_canonicalize,
-    "er02_golden_record": er02_golden_record,
-    # --- round-9 additions (48-49): never stamped, new this round ---
-    "warc01_crawl_curation": warc01_crawl_curation,
-    "sp41_quad_lake_rollup": sp41_quad_lake_rollup,
-    "sim19_probe_sweep": sim19_probe_sweep,
-    # --- below the window: further round-9 additions go HERE
-    # (contiguous, never stamped) so the r10 rotation is mechanical ---
+    # round; order by verification need. Round-10 window: the four
+    # round-9 late adds that have never carried a driver stamp lead
+    # (s16 crawl ingest, sim20 trained PQ, sim21 incremental index,
+    # warc02 HTML extraction — positions 1-4), then the r04-stamped
+    # block (oldest attestation, heavily refactored since r04) fills
+    # 5-50 (j06 head through t05_urn_rewrite, 46 rows).
+    # r11 rotation (staged below the window, in order): new round-10
+    # additions go contiguously first (never stamped), then the four
+    # remaining r04-stamped rows (t06/t07/t08/t10), then the r05 block,
+    # then the two r06 blocks, then the r08-stamped rows, then the
+    # r09-stamped rows (freshest) last — r11 takes the first 50 in
+    # registry order.
+    # --- never driver-stamped round-9 late adds (1-4) ---
     "s16_crawl_ingest": s16_crawl_ingest,
     "sim20_pq_training_gain": sim20_pq_training_gain,
     "sim21_incremental_index_probe": sim21_incremental_index_probe,
     "warc02_html_extraction": warc02_html_extraction,
-    # --- r04-stamped remainder (oldest attestation) ---
+    # --- r04-stamped block, oldest attestation (5-50) ---
     "j06_anti_join": j06_anti_join,
     "j11_fuzzy_candidates": j11_fuzzy_candidates,
     "q01_pricing_summary": q01_pricing_summary,
@@ -11997,6 +11940,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t03_prefix_ops": t03_prefix_ops,
     "t04_regex_extract": t04_regex_extract,
     "t05_urn_rewrite": t05_urn_rewrite,
+    # --- below the window: new round-10 additions go HERE
+    # (contiguous, never stamped) so the r11 rotation is mechanical ---
+    # --- r04-stamped remainder (oldest attestation after the window) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
     "t08_iso_timestamp": t08_iso_timestamp,
@@ -12148,6 +12094,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q02_shipping_priority": q02_shipping_priority,
     "q03_local_supplier_volume": q03_local_supplier_volume,
     "j12_snapshot_diff": j12_snapshot_diff,
+    # --- r09-stamped (freshest; r11 reaches these last) ---
+    "sp25_insert_data": sp25_insert_data,
+    "sp26_spatial_pairs": sp26_spatial_pairs,
+    "sp27_bounded_path": sp27_bounded_path,
+    "sp28_clear_graph": sp28_clear_graph,
+    "sp29_values_table": sp29_values_table,
+    "sp30_graph_promote": sp30_graph_promote,
+    "sp31_lang_facets": sp31_lang_facets,
+    "sp32_datatype_audit": sp32_datatype_audit,
+    "sp33_spatial_containment": sp33_spatial_containment,
+    "sim12_hybrid_rrf": sim12_hybrid_rrf,
+    "sp34_date_rollup": sp34_date_rollup,
+    "llm21_dataset_card": llm21_dataset_card,
+    "llm22_source_overlap": llm22_source_overlap,
+    "sp35_event_chain": sp35_event_chain,
+    "sim13_mmr_rerank": sim13_mmr_rerank,
+    "sp36_service_join": sp36_service_join,
+    "sim14_ann_recall": sim14_ann_recall,
+    "sim15_trained_ivf_recall": sim15_trained_ivf_recall,
+    "sp37_zone_geometry": sp37_zone_geometry,
+    "sp38_route_length": sp38_route_length,
+    "er03_blocking_quality": er03_blocking_quality,
+    "txt19_lang_label_audit": txt19_lang_label_audit,
+    "dq06_fd_audit": dq06_fd_audit,
+    "mm07_shot_boundaries": mm07_shot_boundaries,
+    "sim16_ivf_index_probe": sim16_ivf_index_probe,
+    "a17_cumulative_uniques": a17_cumulative_uniques,
+    "sp39_zone_overlap": sp39_zone_overlap,
+    "sim17_label_purity": sim17_label_purity,
+    "d16_threshold_sensitivity": d16_threshold_sensitivity,
+    "sp40_top_nations": sp40_top_nations,
+    "s15_quality_router": s15_quality_router,
+    "d17_minhash_error": d17_minhash_error,
+    "llm23_packing_efficiency": llm23_packing_efficiency,
+    "sim18_trained_index_probe": sim18_trained_index_probe,
+    "q05_regional_volume": q05_regional_volume,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q08_market_share": q08_market_share,
+    "q15_top_supplier": q15_top_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "q19_disjunctive_filter": q19_disjunctive_filter,
+    "q20_excess_inventory": q20_excess_inventory,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_idle_customers": q22_idle_customers,
+    "er01_entity_canonicalize": er01_entity_canonicalize,
+    "er02_golden_record": er02_golden_record,
+    "warc01_crawl_curation": warc01_crawl_curation,
+    "sp41_quad_lake_rollup": sp41_quad_lake_rollup,
+    "sim19_probe_sweep": sim19_probe_sweep,
 }
 
 _ORACLES: dict[str, str] = {

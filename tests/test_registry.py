@@ -18,31 +18,26 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert missing <= {"h02_file_hash"}, missing
 
 
-def test_round9_correctness_window_is_stable():
+def test_round10_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the r09 window: the 45 never-stamped round-8 additions lead
-    # (sp25 first, q22 at 45), then er01/er02 at 46-47 (blocking scheme
-    # redesigned this round — prior stamps attest retired semantics),
-    # then the three oldest r04-stamped rows fill 50. Round-9 additions
-    # belong BELOW position 50, contiguously first (see the registry
-    # comment for the r10 rotation).
-    assert keys[0] == "sp25_insert_data"
-    assert keys[44] == "q22_idle_customers"
-    assert keys[45] == "er01_entity_canonicalize"
-    assert keys[46] == "er02_golden_record"
-    # round-9 additions claim window slots directly (never stamped) —
-    # the full window is 45 round-8 + er01/er02 (redesigned) + 3 new
-    assert keys[47] == "warc01_crawl_curation"
-    assert keys[48] == "sp41_quad_lake_rollup"
-    assert keys[49] == "sim19_probe_sweep"
-    # below the window: the remaining round-9 additions staged for r10
-    assert keys[50:54] == [
+    # the r10 window: the four never-stamped round-9 late adds lead
+    # (s16/sim20/sim21/warc02 at 1-4), then the r04-stamped block
+    # (oldest attestation, heavily refactored since r04) fills 5-50:
+    # j06 head, t05_urn_rewrite at 50. Round-10 additions belong BELOW
+    # position 50, contiguously first (see the registry comment for
+    # the r11 rotation).
+    assert keys[0:4] == [
         "s16_crawl_ingest",
         "sim20_pq_training_gain",
         "sim21_incremental_index_probe",
         "warc02_html_extraction",
     ]
-    assert keys[54] == "j06_anti_join"
+    assert keys[4] == "j06_anti_join"
+    assert keys[49] == "t05_urn_rewrite"
+    # below the window: new round-10 additions, then the four remaining
+    # r04-stamped rows head the post-window order
+    assert "t06_conditional_insert" in keys[50:60]
+    assert keys[-1] == "sim19_probe_sweep"
     assert len(keys) == len(set(keys))
 
 
