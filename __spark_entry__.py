@@ -8338,7 +8338,13 @@ def sim21_incremental_index_probe(spark, sf_dir):
     q = run_index_maintenance(
         spark, landing, index, ck, centroids=trained, dim=64, n_cells=16
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "sim21: index-maintenance stream did not drain in 300s — "
+            "probing a partially maintained index would record a "
+            "spurious, non-deterministic mismatch"
+        )
     probe = e.where(F.col("vec_id") < 5)
     return ivf_index_topk(
         spark, index, probe, k=5, dim=64, n_cells=16, n_probe=6,
@@ -11714,7 +11720,11 @@ def warc02_html_extraction(spark, sf_dir):
 
     warcmod.register(spark)
     d = _t(spark, sf_dir, "documents")
-    esc = F.col("text")
+    # NULL text renders as the empty body so both engines agree by
+    # construction (the oracle's coalesce(text, '') arm) — without
+    # this, F.concat over a NULL text yields NULL html while the
+    # oracle still composes 'Doc N Home | About'
+    esc = F.coalesce(F.col("text"), F.lit(""))
     for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
         esc = F.replace(esc, F.lit(raw), F.lit(ent))
     html = F.concat(

@@ -1102,7 +1102,35 @@ def lloyd_refine(
 # one training run per process serves every query that probes the same
 # index — the memo is what "the index is built once" means in a test
 # process; production persists the centroids next to the index files.
+# The key carries a metadata fingerprint of the memo_key path (file
+# names, sizes, mtimes — no data scan) so regenerated/appended data
+# under the same path invalidates the entry instead of silently
+# serving centroids trained on the old corpus.
 _LLOYD_MEMO: dict[tuple, list[list[float]]] = {}
+
+
+def _memo_fingerprint(memo_key: str | None) -> tuple:
+    """Cheap invalidation token for _LLOYD_MEMO: when the memo key is
+    a real directory/file, fold in (relpath, size, mtime_ns) of every
+    file under it — pure os.stat metadata, no read. Non-path keys
+    fingerprint as themselves."""
+    import os
+
+    if memo_key is None or not os.path.exists(memo_key):
+        return ()
+    entries = []
+    if os.path.isdir(memo_key):
+        for root, _dirs, files in os.walk(memo_key):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, memo_key), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        st = os.stat(memo_key)
+        entries.append((os.path.basename(memo_key), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(entries))
 
 
 def lloyd_train(
@@ -1137,7 +1165,10 @@ def lloyd_train(
     (key, vec_col, dim, n_cells, rounds): training is deterministic,
     so sim15/sim16/sim18 probing the same index share one run.
     """
-    key = (memo_key, vec_col, dim, n_cells, rounds, scale)
+    key = (
+        memo_key, _memo_fingerprint(memo_key), vec_col, dim, n_cells,
+        rounds, scale,
+    )
     if memo_key is not None and key in _LLOYD_MEMO:
         return [list(c) for c in _LLOYD_MEMO[key]]
     cents = [list(c) for c in _ivf_centroids(dim, n_cells)]
@@ -1228,7 +1259,10 @@ def pq_train(
     budget (ADC recall@5 0.052 -> 0.152; shortlist-20 containment
     0.144 -> 0.340). ``memo_key`` caches per (key, config) like
     lloyd_train."""
-    key = ("pq", memo_key, vec_col, dim, m, k, rounds, scale)
+    key = (
+        "pq", memo_key, _memo_fingerprint(memo_key), vec_col, dim, m, k,
+        rounds, scale,
+    )
     if memo_key is not None and key in _LLOYD_MEMO:
         return [[list(c) for c in b] for b in _LLOYD_MEMO[key]]
     books = [[list(c) for c in b] for b in _pq_codebooks(dim, m, k)]

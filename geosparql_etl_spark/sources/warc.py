@@ -117,6 +117,7 @@ def parse_warc_records(fh, path: str):
                 f"header, got {line[:60]!r}"
             )
         headers: dict[str, str] = {}
+        last_name: str | None = None
         while True:
             raw = fh.readline()
             if not raw:
@@ -125,15 +126,25 @@ def parse_warc_records(fh, path: str):
             h = raw.rstrip(b"\r\n")
             if not h:
                 break
+            if raw[:1] in (b" ", b"\t"):
+                # ISO 28500 header folding: a continuation line (leading
+                # SP/HT) appends to the previous header's value — real
+                # Common Crawl archives use this
+                if last_name is None:
+                    raise ValueError(
+                        f"{path}@{pos}: continuation line before any "
+                        f"header {h[:60]!r}"
+                    )
+                headers[last_name] += " " + h.strip().decode("utf-8")
+                continue
             if b":" not in h:
                 raise ValueError(
                     f"{path}@{pos}: malformed WARC header line "
                     f"{h[:60]!r}"
                 )
             name, _, value = h.partition(b":")
-            headers[name.strip().lower().decode("ascii")] = (
-                value.strip().decode("utf-8")
-            )
+            last_name = name.strip().lower().decode("ascii")
+            headers[last_name] = value.strip().decode("utf-8")
         if _H_CLEN not in headers:
             raise ValueError(f"{path}@{pos}: record missing Content-Length")
         clen = int(headers[_H_CLEN])
@@ -144,13 +155,18 @@ def parse_warc_records(fh, path: str):
                 f"({len(payload)} of {clen} bytes)"
             )
         offset += clen
-        trailer = fh.read(4)
-        if trailer != b"\r\n\r\n":
+        # ISO 28500 terminates a record with CRLF CRLF; accept the
+        # first separator as CRLF or bare LF (lenient read — archives
+        # in the wild differ) and let the top-of-loop blank tolerance
+        # consume the second, so strict and single-separator framings
+        # both parse. Offsets are unchanged for the sink's own output.
+        sep = fh.readline()
+        if sep.strip(b"\r\n") != b"" or not sep:
             raise ValueError(
-                f"{path}@{pos}: record not terminated by CRLF CRLF "
-                f"(got {trailer!r})"
+                f"{path}@{pos}: payload not followed by a blank "
+                f"separator line (got {sep[:8]!r})"
             )
-        offset += 4
+        offset += len(sep)
         yield headers, payload, pos
 
 

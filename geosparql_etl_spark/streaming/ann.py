@@ -97,20 +97,28 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     accumulates one small parquet file per cell per epoch, and probe
     scans fan one task per file.
 
-    The read's lineage is severed (localCheckpoint) BEFORE the
-    overwrite so the rewrite never re-reads the files it replaces;
-    cell assignments are NOT recomputed (rows keep the ivf_cell they
-    were ingested with — compaction must never move a vector between
+    Two-phase: the compacted generation is written COMPLETELY to a
+    sibling temp directory while the live index keeps serving probes,
+    and only after that write succeeds is the old tree removed and the
+    temp renamed into place — a crash, write failure, or lost executor
+    mid-compaction leaves the original index untouched (the same
+    old-generation-deleted-only-at-commit discipline as the ntriples
+    two-phase-commit writer behind compact_quad_lake). Cell
+    assignments are NOT recomputed (rows keep the ivf_cell they were
+    ingested with — compaction must never move a vector between
     cells, or the index would disagree with a probe that already saw
     it). The triple (neighbor_id, __cv, __cn) set is unchanged;
     probes behave identically after (pinned by test)."""
     import shutil
 
+    tmp_path = index_path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp_path, ignore_errors=True)
     df = spark.read.parquet(index_path).select(
         "neighbor_id", "__cv", "__cn", "ivf_cell"
     )
-    snap = df.localCheckpoint()
-    shutil.rmtree(index_path, ignore_errors=True)
-    snap.repartition("ivf_cell").write.mode("overwrite").partitionBy(
+    df.repartition("ivf_cell").write.mode("overwrite").partitionBy(
         "ivf_cell"
-    ).parquet(os.path.join(index_path, "epoch=base"))
+    ).parquet(os.path.join(tmp_path, "epoch=base"))
+    # commit point: the replacement generation is fully on disk
+    shutil.rmtree(index_path)
+    os.replace(tmp_path, index_path)

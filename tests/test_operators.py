@@ -1798,3 +1798,47 @@ class TestBpeBatchedParity:
             ).collect()
         ]
         assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
+
+
+def test_lloyd_memo_invalidates_when_corpus_path_changes(spark, tmp_path):
+    """_LLOYD_MEMO keys on (memo_key, metadata fingerprint): rewriting
+    the data under the same path must retrain, not serve stale
+    centroids (a long-lived process over regenerated testdata)."""
+    import os
+    import time
+
+    from geosparql_etl_spark.operators.similarity import (
+        _LLOYD_MEMO,
+        _memo_fingerprint,
+        lloyd_train,
+    )
+
+    d = str(tmp_path / "corpus")
+    src = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda i: ((F.col("id") + i) % 5).cast("float"),
+        ).alias("embedding"),
+    )
+    src.write.mode("overwrite").parquet(d)
+    fp1 = _memo_fingerprint(d)
+    c1 = lloyd_train(src, "embedding", dim=8, n_cells=2, rounds=1,
+                     memo_key=d)
+    n_keys = len(_LLOYD_MEMO)
+    # same path, same bytes: memo hit, no new key
+    assert lloyd_train(src, "embedding", dim=8, n_cells=2, rounds=1,
+                       memo_key=d) == c1
+    assert len(_LLOYD_MEMO) == n_keys
+    # rewrite the corpus under the SAME path -> fingerprint moves
+    time.sleep(0.01)
+    src2 = src.withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: x + F.lit(3.0)),
+    )
+    src2.write.mode("overwrite").parquet(d)
+    assert _memo_fingerprint(d) != fp1
+    c2 = lloyd_train(src2, "embedding", dim=8, n_cells=2, rounds=1,
+                     memo_key=d)
+    assert len(_LLOYD_MEMO) == n_keys + 1  # retrained, new entry
+    assert c2 != c1

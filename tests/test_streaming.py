@@ -798,3 +798,43 @@ def test_ivf_index_compaction_preserves_probe_answers(spark, sf_dir, tmp_path):
         assert len(files) <= 1, cell_dir
     assert spark.read.parquet(index).count() == n_before
     assert answers() == before and len(before) == 25
+    # two-phase: no temp generation left behind after the commit
+    assert not os.path.exists(index.rstrip("/") + ".compact.tmp")
+
+
+def test_ivf_compaction_failure_leaves_index_intact(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A write failure mid-compaction must NOT destroy the live index:
+    the compacted generation goes to a sibling temp dir first, and the
+    old tree is removed only after the replacement is fully on disk."""
+    import os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from geosparql_etl_spark.operators.similarity import (
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=1, memo_key=None
+    )
+    index = str(tmp_path / "index")
+    write_ivf_index(
+        e.where(F.col("vec_id") < 100), index, dim=64, n_cells=16,
+        centroids=trained, epoch="base",
+    )
+    n_before = spark.read.parquet(index).count()
+
+    def boom(self, path):
+        raise IOError("injected: executor lost during compaction write")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.raises(IOError, match="injected"):
+        compact_ivf_index(spark, index)
+    monkeypatch.undo()
+    # the live index is untouched and still fully readable
+    assert spark.read.parquet(index).count() == n_before

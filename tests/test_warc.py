@@ -106,6 +106,53 @@ def test_warc10_accepted_and_offsets(warc_spark, tmp_path):
     assert rows[0].warc_type == "resource"
 
 
+def test_header_continuation_lines_fold(tmp_path):
+    # ISO 28500 header folding: leading SP/HT continues the previous
+    # header value — Common Crawl archives use this for long URIs
+    p = tmp_path / "folded.warc"
+    p.write_bytes(
+        b"WARC/1.1\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.com/very/\r\n"
+        b"\tlong/path\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\n"
+        b"ok"
+        b"\r\n\r\n"
+    )
+    with io.open(p, "rb") as fh:
+        recs = list(warcmod.parse_warc_records(fh, str(p)))
+    assert len(recs) == 1
+    headers, payload, _ = recs[0]
+    assert headers["warc-target-uri"] == (
+        "http://example.com/very/ long/path"
+    )
+    assert payload == b"ok"
+
+
+def test_continuation_before_any_header_raises(tmp_path):
+    p = tmp_path / "orphan.warc"
+    p.write_bytes(b"WARC/1.1\r\n\tdangling\r\n\r\n\r\n\r\n")
+    with io.open(p, "rb") as fh:
+        with pytest.raises(ValueError, match="continuation line"):
+            list(warcmod.parse_warc_records(fh, str(p)))
+
+
+def test_single_separator_and_bare_lf_framings_parse(tmp_path):
+    # record separated by ONE CRLF (lenient) then a strict record; and
+    # a bare-LF separator — both spec-divergent framings seen in the
+    # wild must parse without moving self-produced offsets
+    p = tmp_path / "lenient.warc"
+    p.write_bytes(
+        b"WARC/1.1\r\nContent-Length: 1\r\n\r\na\r\n"  # one separator
+        b"WARC/1.1\r\nContent-Length: 1\r\n\r\nb\n"    # bare LF
+        b"WARC/1.1\r\nContent-Length: 1\r\n\r\nc\r\n\r\n"  # strict
+    )
+    with io.open(p, "rb") as fh:
+        recs = list(warcmod.parse_warc_records(fh, str(p)))
+    assert [r[1] for r in recs] == [b"a", b"b", b"c"]
+
+
 @pytest.mark.parametrize(
     "blob, msg",
     [
@@ -120,7 +167,7 @@ def test_warc10_accepted_and_offsets(warc_spark, tmp_path):
         ),
         (
             b"WARC/1.1\r\nContent-Length: 5\r\n\r\nhelloXXXX",
-            "not terminated",
+            "not followed by a blank separator",
         ),
     ],
 )
