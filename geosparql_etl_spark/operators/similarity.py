@@ -946,6 +946,8 @@ def ivf_pq_topk(
     n_probe: int = 2,
     m: int = 8,
     k: int = 16,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """The composed billion-scale ANN pipeline: IVF cells prune which
     partitions are read, PQ codes make the per-cell scan cheap, exact
@@ -964,11 +966,17 @@ def ivf_pq_topk(
 
     Both rankings order on ROUNDED scores with id tie-breaks, so the
     result is deterministic and oracle-replicable end to end.
+    ``centroids``/``codebooks`` swap in TRAINED quantizers (lloyd_train
+    / pq_train output) — the shippable configuration (sim22 measures
+    the seeded-vs-trained gap end to end).
     """
     cb = with_pq_code(
-        with_ivf_cell(spread(corpus), vec_col, dim, n_cells), vec_col, dim, m, k
+        with_ivf_cell(
+            spread(corpus), vec_col, dim, n_cells, centroids=centroids
+        ),
+        vec_col, dim, m, k, codebooks=codebooks,
     )
-    recon = pq_reconstruct(F.col("pq_code"), dim, m, k)
+    recon = pq_reconstruct(F.col("pq_code"), dim, m, k, codebooks=codebooks)
     cseln = cb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("ivf_cell").alias("__cell"),
@@ -978,7 +986,9 @@ def ivf_pq_topk(
         "__cn", l2_norm(F.col("__cv"), dim)
     )
 
-    cents = _ivf_centroids(dim, n_cells)
+    cents = centroids if centroids is not None else _ivf_centroids(
+        dim, n_cells
+    )
     scored_cells = F.array(
         *[
             F.struct(
@@ -1256,9 +1266,11 @@ def pq_train(
     default config) — index metadata, never corpus-sized. Empty codes
     carry the previous round's centroid. Measured on the test corpus
     (sim20): trained books roughly double PQ recall at every shortlist
-    budget (ADC recall@5 0.052 -> 0.152; shortlist-20 containment
-    0.144 -> 0.340). ``memo_key`` caches per (key, config) like
-    lloyd_train."""
+    budget (ADC recall@5 0.052 -> 0.152 at m=8). The SHIPPABLE config
+    is m=16 (sub=4 — halving subspace width beats k=256 at m=8 per
+    byte, measured): composed IVF+PQ recall@5 0.720 vs the 0.732
+    probe-budget ceiling at n_probe=6, shortlist=80 (sim22).
+    ``memo_key`` caches per (key, config) like lloyd_train."""
     key = (
         "pq", memo_key, _memo_fingerprint(memo_key), vec_col, dim, m, k,
         rounds, scale,

@@ -67,6 +67,7 @@ VECTORIZED_PYTHON_OK = {
     "mm07_shot_boundaries",  # rasterize + all-frame decode batches
     "s16_crawl_ingest",  # WARC archive-bytes record parse batches
     "sim20_pq_training_gain",  # with_pq_code batch matmul encoding
+    "sim22_shippable_ann",  # with_ivf_cell + with_pq_code batch matmuls
     "warc02_html_extraction",  # WARC archive-bytes record parse batches
 }
 

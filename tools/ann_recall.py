@@ -169,6 +169,26 @@ def main():
             f"{r:>9.3f} {hi:>9.3f} {frac:>11.3f} {dt:>6.1f}"
         )
 
+    # the SHIPPABLE composed config (round 10, sim22): trained IVF +
+    # trained m=16 PQ -> shortlist 80 -> exact re-score
+    books16 = pq_train(
+        e, "embedding", dim=64, m=16, k=16, rounds=10, memo_key=sf_dir
+    )
+    for n_probe, shortlist in [(6, 80), (8, 80), (8, 120)]:
+        t0 = time.time()
+        approx = ivf_pq_topk(
+            e, q, kq=k, shortlist=shortlist, dim=64, n_cells=16,
+            n_probe=n_probe, m=16, k=16,
+            centroids=trained, codebooks=books16,
+        )
+        r, hi = recall_of(approx, exact, k)
+        dt = time.time() - t0
+        frac = shortlist / (n_corpus - 1)
+        print(
+            f"{'IVF+PQ(tr m=16) p=' + str(n_probe) + ' s=' + str(shortlist):<34} "
+            f"{r:>9.3f} {hi:>9.3f} {frac:>11.3f} {dt:>6.1f}"
+        )
+
 
 if __name__ == "__main__":
     main()
