@@ -3805,12 +3805,21 @@ def _sql_g01():
 
 
 def g09_validity(spark, sf_dir):
-    """G9: structural polygon validity — type, ring size >= 3, area > 0."""
+    """G9: full polygon validity — type, ring size >= 3, area > 0, and
+    a SIMPLE boundary (round 10 closed deviation D8: the %7 arm builds
+    a BOWTIE ring whose non-adjacent edges properly cross at the
+    center; structurally fine — 4 distinct points, positive shoelace
+    area — so only the ring_self_intersects test catches it, exactly
+    the class shapely's is_valid flagged in the reference at
+    utils/geometry.py:156-172). The oracle states each arm's
+    statically-known validity; a value match attests the Spark-side
+    edge-crossing machinery classifies every row the same way."""
     from geosparql_etl_spark.functions.geometry import is_valid_polygon
 
     p = _t(spark, sf_dir, "part")
     s = F.col("p_size").cast("double")
     degenerate = F.col("p_partkey") % 4 == 0
+    bowtie = F.col("p_partkey") % 7 == 0
     coords = F.when(
         degenerate,
         # collinear -> zero area -> invalid
@@ -3819,6 +3828,20 @@ def g09_validity(spark, sf_dir):
                 F.array(F.lit(0.0), F.lit(0.0)),
                 F.array(s, s),
                 F.array(s * 2, s * 2),
+            )
+        ),
+    ).when(
+        bowtie,
+        # ASYMMETRIC bowtie: edges (0,0)-(s,s) and (s,0)-(0,s/2)
+        # properly cross at x=s/3, but the lobes are unequal so the
+        # |shoelace| area is s^2/4 > 0 — the structural checks all
+        # pass and ONLY the self-intersection test rejects it
+        F.array(
+            F.array(
+                F.array(F.lit(0.0), F.lit(0.0)),
+                F.array(s, s),
+                F.array(s, F.lit(0.0)),
+                F.array(F.lit(0.0), s / 2),
             )
         ),
     ).otherwise(
@@ -3841,7 +3864,8 @@ def g09_validity(spark, sf_dir):
 def _sql_g09():
     return """
     SELECT p_partkey,
-           (p_partkey % 9 != 0 AND p_partkey % 4 != 0 AND p_size > 0) AS is_valid
+           (p_partkey % 9 != 0 AND p_partkey % 4 != 0
+            AND p_partkey % 7 != 0 AND p_size > 0) AS is_valid
     FROM part
     """
 

@@ -422,6 +422,93 @@ def rings_intersect(ra: Column, rb: Column) -> Column:
     return a_in_b | b_in_a | any_cross
 
 
+def ring_self_intersects(ring: Column) -> Column:
+    """Is a ring (open point list) NON-SIMPLE — i.e. does its closed
+    boundary self-intersect? True iff any NON-ADJACENT edge pair of
+    the closed cycle intersects (proper crossing like a bowtie, or a
+    collinear/vertex touch), or any vertex repeats (other than the
+    implicit closure). This is the OGC simple-ring test the round-9
+    deviation D8 left structural-only; the reference reached it via
+    shapely ``is_valid`` (utils/geometry.py:156-172).
+
+    Adjacent edges share a vertex by construction and are skipped;
+    the degenerate spike case (adjacent edges folding back onto each
+    other) is caught by the duplicate-vertex arm when exact and by
+    the non-adjacent test when the spike spans further edges.
+
+    Accepts closed (GeoJSON-style, first == last) or open rings: a
+    closing duplicate is stripped before the test, and the normalized
+    ring is LAMBDA-BOUND once (the sp33 ``transform(array(x), f)[0]``
+    trick) so the O(n^2) fold references a variable, not a copy of
+    the input expression tree — safe to call on parse-derived
+    columns."""
+    n0 = F.size(ring)
+    first, last = F.element_at(ring, 1), F.element_at(ring, n0)
+    opened = F.when(
+        (n0 >= 2) & (first[0] == last[0]) & (first[1] == last[1]),
+        F.slice(ring, 1, n0 - 1),
+    ).otherwise(ring)
+    return F.element_at(
+        F.transform(F.array(opened), _open_ring_self_intersects), 1
+    )
+
+
+def _open_ring_self_intersects(ring: Column) -> Column:
+    """ring_self_intersects' core over an OPEN ring (lambda variable
+    — referencing it is free)."""
+    n = F.size(ring)
+
+    def edge(i: Column):
+        j = F.when(i == n, 1).otherwise(i + 1)
+        return (
+            F.element_at(ring, i)[0],
+            F.element_at(ring, i)[1],
+            F.element_at(ring, j)[0],
+            F.element_at(ring, j)[1],
+        )
+
+    def on_span(px, py, qx, qy, rx, ry) -> Column:
+        # given (r) collinear with segment (p, q): does r lie within
+        # the segment's bbox (i.e. ON the segment)?
+        return (
+            (rx >= F.least(px, qx)) & (rx <= F.greatest(px, qx))
+            & (ry >= F.least(py, qy)) & (ry <= F.greatest(py, qy))
+        )
+
+    def pair_intersects(i: Column, j: Column) -> Column:
+        p1x, p1y, p2x, p2y = edge(i)
+        q1x, q1y, q2x, q2y = edge(j)
+        d1 = _orient(q1x, q1y, q2x, q2y, p1x, p1y)
+        d2 = _orient(q1x, q1y, q2x, q2y, p2x, p2y)
+        d3 = _orient(p1x, p1y, p2x, p2y, q1x, q1y)
+        d4 = _orient(p1x, p1y, p2x, p2y, q2x, q2y)
+        proper = (
+            ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+            & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+        )
+        touch = (
+            ((d1 == 0) & on_span(q1x, q1y, q2x, q2y, p1x, p1y))
+            | ((d2 == 0) & on_span(q1x, q1y, q2x, q2y, p2x, p2y))
+            | ((d3 == 0) & on_span(p1x, p1y, p2x, p2y, q1x, q1y))
+            | ((d4 == 0) & on_span(p1x, p1y, p2x, p2y, q2x, q2y))
+        )
+        return proper | touch
+
+    nonadjacent_hit = F.exists(
+        F.sequence(F.lit(1), n),
+        lambda i: F.exists(
+            F.sequence(F.lit(1), n),
+            lambda j: (j > i + 1)
+            & ~((i == 1) & (j == n))
+            & pair_intersects(i, j),
+        ),
+    )
+    dup_vertex = F.size(F.array_distinct(ring)) < n
+    return F.when(n >= 3, nonadjacent_hit | dup_vertex).otherwise(
+        F.lit(False)
+    )
+
+
 def bounds_wkt(bounds: Column) -> Column:
     """G15: (minx, miny, maxx, maxy) struct -> envelope ``POLYGON``
     WKT (counter-clockwise, closed, raw double rendering — the same
@@ -442,13 +529,15 @@ def bounds_wkt(bounds: Column) -> Column:
 
 
 def is_valid_polygon(geometry_type: Column, coordinates: Column) -> Column:
-    """G9 (structural approximation): type=='Polygon', non-empty outer ring
-    with >= 4 points when closed / >= 3 distinct points, finite area.
+    """G9: type=='Polygon', non-empty outer ring with >= 3 distinct
+    points, positive area, and a SIMPLE boundary (no ring
+    self-intersection — ring_self_intersects, closing round-9
+    deviation D8 natively; the reference reached the same answer via
+    shapely's is_valid, utils/geometry.py:156-172).
 
-    The reference used shapely's full OGC is_valid (utils/geometry.py:156-172);
-    self-intersection checking is O(n^2) and deliberately out of scope —
-    documented deviation (SURVEY.md §7 "What's hard").
-    """
+    For big parse-derived coordinate expressions, materialize the
+    outer ring as a column first (the sp33/rings_intersect plan-size
+    rule) — the self-intersection fold references it O(n^2) times."""
     ring = outer_ring(coordinates)
     ok = (
         geometry_type.isNotNull()
@@ -458,6 +547,7 @@ def is_valid_polygon(geometry_type: Column, coordinates: Column) -> Column:
         & ring.isNotNull()
         & (F.size(ring) >= 3)
         & (ring_area(ring) > 0.0)
+        & ~ring_self_intersects(ring)
     )
     return F.coalesce(ok, F.lit(False))
 

@@ -115,6 +115,50 @@ def test_is_valid_polygon(spark):
     assert bad is False
 
 
+def test_ring_self_intersects_classes(spark):
+    """D8 closure: simple rings (open or GeoJSON-closed) pass, bowtie
+    crossings / repeated vertices / vertex-on-edge touches fail."""
+    cases = [
+        ("square_open", [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]], False),
+        ("square_closed",
+         [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]], False),
+        ("triangle", [[0.0, 0.0], [3.0, 0.0], [0.0, 3.0]], False),
+        ("bowtie", [[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 4.0]], True),
+        ("asym_bowtie",
+         [[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 2.0]], True),
+        ("dup_vertex", [[0.0, 0.0], [4.0, 0.0], [4.0, 0.0], [0.0, 4.0]], True),
+        ("vertex_on_edge",
+         [[0.0, 0.0], [6.0, 0.0], [6.0, 6.0], [3.0, 0.0], [0.0, 6.0]], True),
+    ]
+    df = spark.createDataFrame(
+        [(n, r) for n, r, _ in cases], "name string, ring array<array<double>>"
+    )
+    got = {
+        r["name"]: r["si"]
+        for r in df.select(
+            "name", G.ring_self_intersects(F.col("ring")).alias("si")
+        ).collect()
+    }
+    assert got == {n: want for n, _, want in cases}
+
+
+def test_is_valid_polygon_rejects_self_intersection(spark):
+    """The asymmetric bowtie passes every structural check (4 distinct
+    points, |shoelace| area 4 > 0) — only the D8 simplicity test can
+    reject it."""
+    bowtie = [[0.0, 0.0], [4.0, 4.0], [4.0, 0.0], [0.0, 2.0]]
+    assert G is not None
+    assert _one(
+        spark, G.ring_area(F.col("c")[0]), c=[bowtie]
+    ) == 4.0
+    assert _one(
+        spark,
+        G.is_valid_polygon(F.col("t"), F.col("c")),
+        t="Polygon",
+        c=[bowtie],
+    ) is False
+
+
 def test_image_bbox_wkt(spark):
     out = _one(
         spark, G.image_bbox_wkt(F.lit(40000), F.lit(30000)), dummy=1
