@@ -1591,6 +1591,9 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
     (pre-round-8 semantics)."""
     frames: list[DataFrame] = []
     filters = []
+    # var -> statically provable WKT shape class of its BIND expression
+    # (consumed by the grid sfIntersects rewrite to prune shape arms)
+    static_shapes: dict[str, str] = {}
 
     def flatten() -> DataFrame | None:
         """Collapse every pending frame to one (cross-joining the
@@ -1745,6 +1748,9 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             _merge_connected(frames)
         elif kind == "bind":
             var, expr = payload
+            shape = _static_wkt_shape(expr)
+            if shape is not None:
+                static_shapes[var] = shape
             col = _operand_col(expr, False)
             df = flatten()
             if df is None:
@@ -1771,7 +1777,9 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
         raise ValueError("empty group graph pattern")
     residual = []
     for expr in filters:
-        if len(frames) > 1 and _grid_spatial_rewrite(frames, expr):
+        if len(frames) > 1 and _grid_spatial_rewrite(
+            frames, expr, static_shapes
+        ):
             continue
         residual.append(expr)
     df = None
@@ -1836,7 +1844,27 @@ def _match_var_var_sfintersects(expr):
     return a[1], b[1]
 
 
-def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
+def _static_wkt_shape(expr) -> str | None:
+    """Statically provable WKT shape class of a BIND expression: a
+    string constant, or a CONCAT whose FIRST argument is a string
+    constant, decides by prefix — CONCAT("POLYGON((", ...) can only
+    ever produce POLYGON lexicals regardless of the remaining
+    arguments. Returns "POLYGON", "POINT", or None (unknown)."""
+    node = expr
+    if node[0] == "call" and node[1] == "concat" and node[2]:
+        node = node[2][0]
+    if node[0] == "str":
+        s = node[1].lstrip().upper()
+        if s.startswith("POLYGON"):
+            return "POLYGON"
+        if s.startswith("POINT"):
+            return "POINT"
+    return None
+
+
+def _grid_sfintersects_rewrite(
+    frames: list, expr, static_shapes: dict | None = None
+) -> bool:
     """Var-var sfIntersects FILTER between two DISCONNECTED frames,
     for ANY POINT/POLYGON mix: each side explodes into the grid cells
     its bbox covers (a POINT's bbox is degenerate — its single cell,
@@ -1947,6 +1975,28 @@ def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
     # three trivially-empty branches and the round-8 polygon plan.
     # (A ~pt survivor always has a non-NULL ring: the bbox null-drop
     # in prep removed every lexical that parsed as neither form.)
+    # Round 10: a branch is BUILT only if both sides' lexical domains
+    # can feed it. The domain comes from STATIC constant analysis of
+    # BIND expressions (``static_shapes``: a var bound by
+    # CONCAT("POLYGON((", ...) is provably all-POLYGON) — zero extra
+    # scans, so an all-polygon side skips its point arms entirely
+    # (they were pure overhead: sp39 carried a measured 1.34x
+    # residual from planning, scanning, and unioning always-empty
+    # subtrees). A runtime pre-scan was measured NET-NEGATIVE at
+    # sf0.1 (two plan-time aggregate jobs cost ~0.9 s, more than the
+    # arms they prune), so unknown domains keep both arms — sound for
+    # mixed data, and store-derived vars stay unknown.
+    def domain(var: str) -> tuple[bool, bool]:
+        s = (static_shapes or {}).get(var)
+        if s == "POLYGON":
+            return False, True
+        if s == "POINT":
+            return True, False
+        return True, True
+
+    a_pt, a_poly = domain(u)
+    b_pt, b_poly = domain(v)
+
     def branch(fa, fb, pred):
         return (
             a.where(fa).join(b.where(fb), on=["__cx", "__cy"])
@@ -1954,11 +2004,22 @@ def _grid_sfintersects_rewrite(frames: list, expr) -> bool:
             .where(pred)
         )
 
+    arms = []
+    if a_poly and b_poly:
+        arms.append(branch(~pa, ~pb, rings_intersect(ra, rb)))
+    if a_pt and b_poly:
+        arms.append(branch(pa, ~pb, point_in_ring(rb, pax, pay)))
+    if a_poly and b_pt:
+        arms.append(branch(~pa, pb, point_in_ring(ra, pbx, pby)))
+    if a_pt and b_pt:
+        arms.append(branch(pa, pb, (pax == pbx) & (pay == pby)))
+    if not arms:  # a side is empty/shapeless: no pair can match
+        arms = [branch(F.lit(False), F.lit(False), F.lit(False))]
+    joined = arms[0]
+    for extra in arms[1:]:
+        joined = joined.unionByName(extra)
     joined = (
-        branch(~pa, ~pb, rings_intersect(ra, rb))
-        .unionByName(branch(pa, ~pb, point_in_ring(rb, pax, pay)))
-        .unionByName(branch(~pa, pb, point_in_ring(ra, pbx, pby)))
-        .unionByName(branch(pa, pb, (pax == pbx) & (pay == pby)))
+        joined
         .drop(
             "__cx", "__cy", "__ring_a", "__ring_b",
             "__apt", "__apx", "__apy", "__bpt", "__bpx", "__bpy",
@@ -2040,7 +2101,9 @@ def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
     return True
 
 
-def _grid_spatial_rewrite(frames: list, expr) -> bool:
+def _grid_spatial_rewrite(
+    frames: list, expr, static_shapes: dict | None = None
+) -> bool:
     """Var-var distance FILTER between two DISCONNECTED frames: join
     them on grid cells of side d (each right-side point lands in its
     own cell plus the 8 neighbors, so every pair within d shares a
@@ -2052,7 +2115,7 @@ def _grid_spatial_rewrite(frames: list, expr) -> bool:
     m = _match_var_var_distance(expr)
     if not m:
         return _grid_sfwithin_rewrite(frames, expr) or _grid_sfintersects_rewrite(
-            frames, expr
+            frames, expr, static_shapes
         )
     u, v, d = m
     if d <= 0:

@@ -3022,6 +3022,53 @@ class TestSfIntersects:
             ("urn:a:overlap", "urn:z:low"),
         ]
 
+    def test_static_polygon_bind_prunes_point_arms(self, spark):
+        """Round 10: a var bound by CONCAT("POLYGON((", ...) is
+        statically all-POLYGON, so the grid sfIntersects rewrite
+        builds only the two arms that side can feed (polygon-polygon,
+        polygon-point) — 2 joins in the optimized plan instead of 4 —
+        while a store-derived side (unknown domain) keeps its mixed
+        arms and both shape classes still match correctly."""
+        from geosparql_etl_spark.sparql.compiler import _static_wkt_shape
+
+        assert _static_wkt_shape(("str", "POLYGON((0 0, 1 0, 0 1, 0 0))")) == "POLYGON"
+        assert _static_wkt_shape(("str", "  point(1 2)")) == "POINT"
+        assert _static_wkt_shape(
+            ("call", "concat", [("str", "POLYGON(("), ("var", "x")])
+        ) == "POLYGON"
+        assert _static_wkt_shape(("var", "x")) is None
+        assert _static_wkt_shape(("call", "concat", [("var", "x")])) is None
+
+        store = TripleStore(
+            spark.createDataFrame(
+                [
+                    ("urn:s:1", "urn:ex:w", "0"),
+                    ("urn:z:1", "urn:ex:zone",
+                     "POLYGON((3 3, 6 3, 6 6, 3 6, 3 3))"),
+                    ("urn:z:2", "urn:ex:zone", "POINT(1 1)"),
+                    ("urn:z:3", "urn:ex:zone", "POINT(20 20)"),
+                ],
+                "s string, p string, o string",
+            )
+        )
+        q = """
+        SELECT ?s ?z WHERE {
+          ?s ex:w ?a .
+          BIND(CONCAT("POLYGON((", STR(?a), " 0, 9 0, 9 9, 0 9, 0 0))") AS ?ga)
+          ?z ex:zone ?w .
+          FILTER(geof:sfIntersects(?ga, ?w))
+        } ORDER BY ?s ?z
+        """
+        df = run(store, q)
+        # both reachable shape classes match; the far point does not
+        assert sorted(tuple(r) for r in df.collect()) == [
+            ("urn:s:1", "urn:z:1"),
+            ("urn:s:1", "urn:z:2"),
+        ]
+        op = df._jdf.queryExecution().optimizedPlan().toString()
+        n_joins = len([ln for ln in op.splitlines() if "Join" in ln])
+        assert n_joins == 2, f"expected 2 shape arms, plan has {n_joins} joins"
+
     def test_var_var_grid_join_with_points(self, spark):
         # round-9 ADVICE fix: POINT geometries used to parse to NULL
         # rings and silently DROP from the grid-cover rewrite, so the
