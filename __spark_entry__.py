@@ -12004,6 +12004,130 @@ def _sql_warc02():
     """
 
 
+def warc03_crawl_encodings(spark, sf_dir):
+    """Mixed-encoding crawl ingest (round 10 — the first thing a
+    CommonCrawl-shaped input breaks): each document ships as an HTML
+    WARC response in one of three TRANSPORT encodings by doc_id % 3 —
+    plain UTF-8, ISO-8859-1 (charset declared in Content-Type), or
+    gzip-compressed UTF-8 (Content-Encoding: gzip, deterministic
+    mtime-0 bytes) — and every page body carries a non-ASCII token
+    ('café') whose byte form DIFFERS per charset (0xC3 0xA9 vs 0xE9),
+    so a decode that ignores the charset or the compression corrupts
+    or crashes. The read side is the real production chain:
+    format('warc') scan (now surfacing Content-Encoding) ->
+    decode_payload (gunzip + per-row charset, latin-1 fallback) ->
+    html_to_text -> per-(source, encoding) char/token/café-count
+    aggregates. The oracle composes expected text straight from the
+    documents table — identical for all three arms by construction —
+    so a value match attests that every transport decodes to the SAME
+    text, which is precisely the property the decode step must
+    provide. Python only at the vectorized archive-scan/decode
+    boundary."""
+    from geosparql_etl_spark.functions.textstats import (
+        decode_payload,
+        gzip_bytes,
+        html_to_text,
+    )
+    from geosparql_etl_spark.sources import warc as warcmod
+
+    import os
+    import tempfile
+
+    warcmod.register(spark)
+    d = _t(spark, sf_dir, "documents")
+    esc = F.coalesce(F.col("text"), F.lit(""))
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"),
+        esc,
+        F.lit(" café</p></body></html>"),
+    )
+    arm = F.col("doc_id") % 3
+    payload = (
+        F.when(arm == 1, F.encode(html, "ISO-8859-1"))
+        .when(arm == 2, gzip_bytes(F.encode(html, "UTF-8")))
+        .otherwise(F.encode(html, "UTF-8"))
+    )
+    ctype = F.when(
+        arm == 1, F.lit("text/html; charset=iso-8859-1")
+    ).otherwise(F.lit("text/html; charset=utf-8"))
+    cenc = F.when(arm == 2, F.lit("gzip"))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gsel_mixenc_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    d.select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:gsel:page:"), F.col("doc_id")).alias(
+            "record_id"
+        ),
+        F.concat(
+            F.lit("http://crawl.example/"), F.col("source"), F.lit("/"),
+            F.col("doc_id"),
+        ).alias("target_uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        ctype.alias("content_type"),
+        cenc.alias("content_encoding"),
+        payload.alias("payload"),
+    ).write.format("warc").mode("overwrite").save(path)
+    rec = spark.read.format("warc").load(path)
+    pages = rec.select(
+        F.regexp_extract(
+            F.col("target_uri"), r"^http://crawl\.example/([^/]+)/", 1
+        ).alias("source"),
+        F.when(F.col("content_encoding") == "gzip", F.lit("gzip"))
+        .when(
+            F.col("content_type").contains("iso-8859-1"), F.lit("latin1")
+        )
+        .otherwise(F.lit("utf8"))
+        .alias("enc"),
+        html_to_text(
+            decode_payload(
+                F.col("payload"),
+                F.col("content_type"),
+                F.col("content_encoding"),
+            )
+        ).alias("t"),
+    )
+    cafe = F.lit("café")
+    return (
+        pages.groupBy("source", "enc")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("t")).alias("n_chars"),
+            F.sum(
+                (F.length("t") - F.length(F.replace(F.col("t"), cafe)))
+                / F.lit(4)
+            )
+            .cast("long")
+            .alias("n_cafe"),
+        )
+        .orderBy("source", "enc")
+    )
+
+
+def _sql_warc03():
+    return """
+    WITH pages AS (
+      SELECT source,
+             CASE doc_id % 3 WHEN 1 THEN 'latin1' WHEN 2 THEN 'gzip'
+                  ELSE 'utf8' END AS enc,
+             trim(regexp_replace(
+               'Doc ' || doc_id || ' ' || coalesce(text, '')
+                 || ' café',
+               '\\s+', ' ', 'g')) AS t
+      FROM documents)
+    SELECT source, enc, count(*) AS n_docs,
+           CAST(sum(length(t)) AS BIGINT) AS n_chars,
+           CAST(sum((length(t) - length(replace(t, 'café', ''))) / 4)
+             AS BIGINT) AS n_cafe
+    FROM pages GROUP BY source, enc ORDER BY source, enc
+    """
+
+
 def _write_docs_warc(spark, sf_dir, name="gsel_warc_"):
     """Render the documents table as a WARC archive directory (shared
     by warc01 and s16; the warc01 docstring explains the record
@@ -12166,6 +12290,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- below the window: new round-10 additions go HERE
     # (contiguous, never stamped) so the r11 rotation is mechanical ---
     "sim22_shippable_ann": sim22_shippable_ann,
+    "warc03_crawl_encodings": warc03_crawl_encodings,
     # --- r04-stamped remainder (oldest attestation after the window) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
@@ -12596,6 +12721,7 @@ _ORACLES: dict[str, str] = {
     "sim21_incremental_index_probe": _sql_trained_index_probe(n_probe=6),
     "warc02_html_extraction": _sql_warc02(),
     "sim22_shippable_ann": _sql_sim22(),
+    "warc03_crawl_encodings": _sql_warc03(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

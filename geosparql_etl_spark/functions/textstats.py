@@ -9,6 +9,7 @@ documents table processes at scan speed with no Python boundary.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -459,3 +460,72 @@ def html_to_text(col: Column) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def decode_payload(
+    payload: Column,
+    content_type: Column,
+    content_encoding: Column | None = None,
+) -> Column:
+    """Crawl payload bytes -> text, the step BEFORE html_to_text on
+    real archives (round 10): gunzip when Content-Encoding says gzip,
+    then decode via the ``charset=`` parameter of the Content-Type
+    header, latin-1 fallback (latin-1 decodes ANY byte string, so a
+    mislabeled or unknown charset degrades to mojibake instead of
+    failing the scan — the CommonCrawl-processing convention).
+
+    Vectorized pandas_udf: gzip has no native SQL expression and the
+    charset varies PER ROW, so a when-chain over F.decode cannot
+    express it. Arrow-batched; only (payload, two header strings)
+    cross the boundary."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _dec(p: pd.Series, ct: pd.Series, ce: pd.Series) -> pd.Series:
+        import gzip as _gz
+        import re as _re
+
+        out = []
+        for payload_b, ctype, cenc in zip(p, ct, ce):
+            if payload_b is None:
+                out.append(None)
+                continue
+            b = bytes(payload_b)
+            if cenc is not None and cenc.strip().lower() == "gzip":
+                b = _gz.decompress(b)
+            m = _re.search(r"charset=([\w.\-]+)", ctype or "", _re.I)
+            cs = m.group(1).lower() if m else "utf-8"
+            try:
+                out.append(b.decode(cs))
+            except (UnicodeDecodeError, LookupError):
+                out.append(b.decode("latin-1"))
+        return pd.Series(out, dtype=object)
+
+    ce = content_encoding if content_encoding is not None else F.lit(None)
+    return _dec(payload, content_type, ce.cast("string"))
+
+
+def gzip_bytes(data: Column) -> Column:
+    """Deterministic per-row gzip (mtime pinned to 0 so identical
+    input bytes always produce identical archive bytes — the
+    reproducibility rule every sink here follows). Fixture/transport
+    helper for gzip'd crawl payloads; vectorized pandas_udf."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gz(p: pd.Series) -> pd.Series:
+        import gzip as _gzip
+        import io as _io
+
+        out = []
+        for b in p:
+            if b is None:
+                out.append(None)
+                continue
+            buf = _io.BytesIO()
+            with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as fh:
+                fh.write(bytes(b))
+            out.append(buf.getvalue())
+        return pd.Series(out, dtype=object)
+
+    return _gz(data)

@@ -56,8 +56,9 @@ from pyspark.sql.datasource import (
 
 WARC_SCHEMA = (
     "warc_type string, record_id string, target_uri string, "
-    "warc_date string, content_type string, content_length long, "
-    "payload binary, path string, record_offset long"
+    "warc_date string, content_type string, content_encoding string, "
+    "content_length long, payload binary, path string, "
+    "record_offset long"
 )
 
 # headers the schema surfaces by name; anything else is preserved on
@@ -67,6 +68,7 @@ _H_ID = "warc-record-id"
 _H_URI = "warc-target-uri"
 _H_DATE = "warc-date"
 _H_CTYPE = "content-type"
+_H_CENC = "content-encoding"
 _H_CLEN = "content-length"
 
 
@@ -209,6 +211,7 @@ class WarcReader(DataSourceReader):
                     headers.get(_H_URI),
                     headers.get(_H_DATE),
                     headers.get(_H_CTYPE),
+                    headers.get(_H_CENC),
                     len(payload),
                     payload,
                     partition.path,
@@ -315,6 +318,10 @@ def render_record(row) -> bytes:
         ("WARC-Target-URI", row.target_uri),
         ("WARC-Date", row.warc_date),
         ("Content-Type", row.content_type),
+        # optional: gzip'd response payloads declare their transport
+        # encoding (round 10 — the first thing a CommonCrawl-shaped
+        # input needs); absent on rows without the column
+        ("Content-Encoding", getattr(row, "content_encoding", None)),
         ("Content-Length", str(len(payload))),
     ]
     out = [b"WARC/1.1\r\n"]

@@ -54,8 +54,8 @@ def parse_warc_bytes(raw: DataFrame) -> DataFrame:
 
     cols = [
         "warc_type", "record_id", "target_uri", "warc_date",
-        "content_type", "content_length", "payload", "path",
-        "record_offset",
+        "content_type", "content_encoding", "content_length", "payload",
+        "path", "record_offset",
     ]
 
     def gen(batches):
@@ -74,6 +74,7 @@ def parse_warc_bytes(raw: DataFrame) -> DataFrame:
                             headers.get("warc-target-uri"),
                             headers.get("warc-date"),
                             headers.get("content-type"),
+                            headers.get("content-encoding"),
                             len(payload),
                             payload,
                             path,

@@ -290,3 +290,83 @@ def test_records_to_docs_recovers_document_fields(warc_spark, sf_dir, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_decode_payload_charsets_and_gzip(warc_spark):
+    """decode_payload: gunzip by Content-Encoding, charset from the
+    Content-Type parameter, latin-1 fallback on unknown/broken
+    charsets — all three transports of the same text decode equal."""
+    import gzip as _gzip
+    import io as _io
+
+    from geosparql_etl_spark.functions.textstats import decode_payload
+
+    text = "café rápido"
+    buf = _io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as fh:
+        fh.write(text.encode("utf-8"))
+    rows = [
+        ("utf8", text.encode("utf-8"), "text/html; charset=utf-8", None),
+        ("latin1", text.encode("iso-8859-1"),
+         "text/html; charset=iso-8859-1", None),
+        ("gzip", buf.getvalue(), "text/html; charset=utf-8", "gzip"),
+        # unknown charset label -> latin-1 fallback decodes the bytes
+        ("fallback", "abc".encode("ascii"),
+         "text/html; charset=no-such-cs", None),
+        # utf-8 label over latin-1 bytes -> decode error -> fallback
+        ("mislabeled", text.encode("iso-8859-1"),
+         "text/html; charset=utf-8", None),
+    ]
+    df = warc_spark.createDataFrame(
+        rows, "name string, payload binary, ct string, ce string"
+    )
+    got = {
+        r["name"]: r["t"]
+        for r in df.select(
+            "name",
+            decode_payload(
+                F.col("payload"), F.col("ct"), F.col("ce")
+            ).alias("t"),
+        ).collect()
+    }
+    assert got["utf8"] == text
+    assert got["latin1"] == text
+    assert got["gzip"] == text
+    assert got["fallback"] == "abc"
+    assert got["mislabeled"] == text.encode("iso-8859-1").decode("latin-1")
+
+
+def test_gzip_bytes_deterministic_roundtrip(warc_spark):
+    import gzip as _gzip
+
+    from geosparql_etl_spark.functions.textstats import gzip_bytes
+
+    df = warc_spark.createDataFrame(
+        [(b"hello world",), (b"hello world",), (None,)], "b binary"
+    )
+    out = [r["z"] for r in df.select(gzip_bytes(F.col("b")).alias("z")).collect()]
+    assert out[0] == out[1]  # mtime pinned -> identical archive bytes
+    assert _gzip.decompress(bytes(out[0])) == b"hello world"
+    assert out[2] is None
+
+
+def test_content_encoding_header_roundtrips(warc_spark, tmp_path):
+    """The sink writes Content-Encoding only when present; the reader
+    surfaces it as a column."""
+    p = str(tmp_path / "enc")
+    warc_spark.createDataFrame(
+        [
+            ("resource", "urn:e:1", "http://x/1", "2026-01-01T00:00:00Z",
+             "text/plain", "gzip", b"zz"),
+            ("resource", "urn:e:2", "http://x/2", "2026-01-01T00:00:00Z",
+             "text/plain", None, b"yy"),
+        ],
+        "warc_type string, record_id string, target_uri string, "
+        "warc_date string, content_type string, content_encoding string, "
+        "payload binary",
+    ).write.format("warc").mode("overwrite").save(p)
+    rows = {
+        r["record_id"]: r["content_encoding"]
+        for r in warc_spark.read.format("warc").load(p).collect()
+    }
+    assert rows == {"urn:e:1": "gzip", "urn:e:2": None}
