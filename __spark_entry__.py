@@ -12128,6 +12128,199 @@ def _sql_warc03():
     """
 
 
+def llm24_crawl_training_pipeline(spark, sf_dir):
+    """The full crawl -> training-data funnel as ONE pipeline (round
+    10 — every stage was individually green; this is the composition
+    a user actually runs): documents render as HTML WARC responses,
+    then format('warc') scan -> html_to_text -> Gopher quality rules
+    (llm10's exact predicate) -> fingerprint dedup (d02's 60-bit fp,
+    min-doc_id keeper among quality survivors) -> token-budget
+    sequence packing (llm04's windowed cumsum, 2000-token budget) ->
+    one per-source dataset report: crawled / quality-kept / unique
+    docs, sequences built, packed tokens, mean fill.
+
+    Plan shape (the audit target): the archive is scanned ONCE; the
+    funnel is per-row flags + two windows (fp for the keeper rule,
+    source for the packing cumsum) + ONE final aggregate — no stage
+    re-reads the corpus, no joins of sub-aggregates. At 100 TB the
+    scan dominates and each window shuffles only (ids, fp, n_tok)-
+    width rows. The oracle replays the whole funnel from the
+    documents table via the same composed-text construction."""
+    from geosparql_etl_spark.functions.textstats import (
+        bpe_ish_token_count,
+        fingerprint64,
+        gopher_metrics,
+        html_to_text,
+    )
+    from geosparql_etl_spark.sources import warc as warcmod
+
+    import os
+    import tempfile
+
+    warcmod.register(spark)
+    d = _t(spark, sf_dir, "documents")
+    esc = F.coalesce(F.col("text"), F.lit(""))
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    html = F.concat(
+        F.lit("<html><head><title>Crawl Page</title>"
+              "<style>p{margin:0}</style></head>"
+              "<body><nav>Home | About</nav><p>"),
+        esc,
+        F.lit("</p></body></html>"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gsel_e2e_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    # every doc crawls once; every 7th RE-CRAWLS under a later page id
+    # (same content, different URL visit — the duplicate class a real
+    # crawl produces and the dedup stage exists to kill; the corpus
+    # texts themselves are unique at this SF)
+    crawl_id = F.explode(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(F.col("doc_id"), F.col("doc_id") + 1000000),
+        ).otherwise(F.array(F.col("doc_id")))
+    ).alias("crawl_id")
+    d.select("doc_id", "source", crawl_id, html.alias("__html")).select(
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("urn:gsel:page:"), F.col("crawl_id")).alias(
+            "record_id"
+        ),
+        F.concat(
+            F.lit("http://crawl.example/"), F.col("source"), F.lit("/"),
+            F.col("crawl_id"),
+        ).alias("target_uri"),
+        F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+        F.encode(F.col("__html"), "UTF-8").alias("payload"),
+    ).write.format("warc").mode("overwrite").save(path)
+
+    budget = 2000
+    rec = spark.read.format("warc").load(path)
+    pages = rec.select(
+        F.regexp_extract(F.col("record_id"), r"(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract(
+            F.col("target_uri"), r"^http://crawl\.example/([^/]+)/", 1
+        ).alias("source"),
+        html_to_text(F.decode(F.col("payload"), "UTF-8")).alias("t"),
+    )
+    m = gopher_metrics(F.col("t"))
+    flagged = pages.select(
+        "doc_id",
+        "source",
+        "t",
+        m["keep"].alias("keep_q"),
+        fingerprint64(F.col("t")).alias("fp"),
+        bpe_ish_token_count(F.col("t")).alias("n_tok"),
+    )
+    # dedup among QUALITY SURVIVORS: the min-doc_id keeper per fp
+    # (quality-rejected rows never block a duplicate from surviving)
+    wfp = Window.partitionBy("fp")
+    deduped = flagged.withColumn(
+        "keeper",
+        F.min(F.when(F.col("keep_q"), F.col("doc_id"))).over(wfp),
+    ).withColumn(
+        "survive", F.col("keep_q") & (F.col("doc_id") == F.col("keeper"))
+    )
+    # packing cumsum over survivors only, in doc_id order per source
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surv_tok = F.when(F.col("survive"), F.col("n_tok")).otherwise(F.lit(0))
+    packed = deduped.withColumn("__cum", F.sum(surv_tok).over(wsrc)).withColumn(
+        "seq_id",
+        F.when(
+            F.col("survive"),
+            F.floor((F.col("__cum") - F.col("n_tok")) / budget),
+        ).cast("bigint"),
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_crawled"),
+            F.sum(F.col("keep_q").cast("long")).alias("n_quality"),
+            F.sum(F.col("survive").cast("long")).alias("n_unique"),
+            F.count_distinct(F.col("seq_id")).alias("n_seqs"),
+            F.sum(surv_tok).alias("total_tokens"),
+            F.round(
+                F.sum(surv_tok)
+                / (F.count_distinct(F.col("seq_id")) * F.lit(float(budget))),
+                6,
+            ).alias("mean_fill"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_llm24():
+    # llm10's Gopher fragments over the COMPOSED extracted text
+    toks = "regexp_split_to_array(lower(trim(t)), '\\s+')"
+    nw = f"CASE WHEN t IS NULL OR len(trim(t)) = 0 THEN 0 ELSE len({toks}) END"
+    tot = f"list_aggregate(list_transform({toks}, x -> len(x)), 'sum')"
+    mwl = f"CASE WHEN {nw} > 0 THEN {tot}::DOUBLE / {nw} ELSE 0.0 END"
+    nsym = "len(regexp_extract_all(t, '#|\\.\\.\\.'))"
+    symr = f"CASE WHEN {nw} > 0 THEN {nsym}::DOUBLE / {nw} ELSE 0.0 END"
+    alpha = (
+        f"CASE WHEN {nw} > 0 THEN len(list_filter({toks}, "
+        f"x -> regexp_matches(x, '[a-z]')))::DOUBLE / {nw} ELSE 0.0 END"
+    )
+    stops = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with')"
+    sh = f"len(list_filter({toks}, x -> x IN {stops}))"
+    keep = (
+        f"({nw} BETWEEN 50 AND 100000 AND {mwl} BETWEEN 3.0 AND 10.0 "
+        f"AND {symr} <= 0.1 AND {alpha} >= 0.8 AND {sh} >= 2)"
+    )
+    fp = "CAST(('0x' || substr(md5(regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')), 1, 15)) AS BIGINT)"
+    n_tok = r"len(regexp_extract_all(t, '''(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]+'))"
+    return f"""
+    WITH crawled AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, source, text
+      FROM documents WHERE doc_id % 7 = 0),
+    pages AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(
+               'Crawl Page Home | About ' || coalesce(text, ''),
+               '\\s+', ' ', 'g')) AS t
+      FROM crawled),
+    flagged AS MATERIALIZED (
+      SELECT doc_id, source, {keep} AS keep_q, {fp} AS fp,
+             {n_tok} AS n_tok
+      FROM pages),
+    deduped AS (
+      SELECT *, keep_q AND doc_id = min(CASE WHEN keep_q THEN doc_id END)
+                   OVER (PARTITION BY fp) AS survive
+      FROM flagged),
+    packed AS (
+      SELECT source, keep_q, survive,
+             CASE WHEN survive THEN n_tok ELSE 0 END AS stok,
+             CASE WHEN survive THEN CAST(floor(
+               (sum(CASE WHEN survive THEN n_tok ELSE 0 END)
+                  OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tok) / 2000.0) AS BIGINT) END AS seq_id
+      FROM deduped)
+    SELECT source,
+           count(*) AS n_crawled,
+           CAST(sum(CASE WHEN keep_q THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(sum(CASE WHEN survive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(sum(stok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(stok) AS DOUBLE)
+                 / (count(DISTINCT seq_id) * 2000.0), 6) AS mean_fill
+    FROM packed GROUP BY source ORDER BY source
+    """
+
+
 def _write_docs_warc(spark, sf_dir, name="gsel_warc_"):
     """Render the documents table as a WARC archive directory (shared
     by warc01 and s16; the warc01 docstring explains the record
@@ -12291,6 +12484,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (contiguous, never stamped) so the r11 rotation is mechanical ---
     "sim22_shippable_ann": sim22_shippable_ann,
     "warc03_crawl_encodings": warc03_crawl_encodings,
+    "llm24_crawl_training_pipeline": llm24_crawl_training_pipeline,
     # --- r04-stamped remainder (oldest attestation after the window) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
@@ -12722,6 +12916,7 @@ _ORACLES: dict[str, str] = {
     "warc02_html_extraction": _sql_warc02(),
     "sim22_shippable_ann": _sql_sim22(),
     "warc03_crawl_encodings": _sql_warc03(),
+    "llm24_crawl_training_pipeline": _sql_llm24(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),
