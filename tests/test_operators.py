@@ -1842,3 +1842,66 @@ def test_lloyd_memo_invalidates_when_corpus_path_changes(spark, tmp_path):
                      memo_key=d)
     assert len(_LLOYD_MEMO) == n_keys + 1  # retrained, new entry
     assert c2 != c1
+
+
+def test_er_blocking_reduction_scales_with_domain_size(spark):
+    """er03's reduction 0.778 at sf0.01 is the ceiling of its 8x8 name
+    domain; the docstring claims reduction CLIMBS with domain size
+    while completeness stays 1.0. Measured here on a 220-name domain
+    drawn from 650 distinct tokens per slot: every token pair from the
+    generator differs by >= 2 edits and any two names sharing NO token
+    differ by >= 4, so the lev<=3 truth set is exactly the shared-
+    token typo pairs — completeness provably 1.0 — while block sizes
+    stay O(names/tokens), so reduction >= 0.95."""
+    import string
+
+    letters = string.ascii_lowercase
+    toks = [c1 * 3 + c2 * 2 for c1 in letters for c2 in letters if c1 != c2]
+    names = []
+    for i in range(200):
+        names.append(f"{toks[(i * 37) % 650]} {toks[(i * 61 + 13) % 650]}")
+    # typo variants: same first token, second token edited by 2 chars
+    # (lev 2 <= 3 -> a TRUE match the blocking must capture via t1)
+    for i in range(0, 200, 10):
+        t1, t2 = names[i].split()
+        names.append(f"{t1} {t2[:3]}xy")
+    names = sorted(set(names))
+    assert len(names) >= 200
+
+    df = spark.createDataFrame([(n,) for n in names], "n string")
+    toks_col = F.split(F.col("n"), " ")
+    blocked = df.select(
+        "n",
+        toks_col.getItem(0).alias("t1"),
+        toks_col.getItem(1).alias("t2"),
+        F.lit(1).alias("one"),
+    )
+    a = blocked.select(
+        "one", F.col("n").alias("na"),
+        F.col("t1").alias("a1"), F.col("t2").alias("a2"),
+    )
+    b = blocked.select(
+        "one", F.col("n").alias("nb"),
+        F.col("t1").alias("b1"), F.col("t2").alias("b2"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), "one")
+        .where(F.col("na") < F.col("nb"))
+        .select(
+            (F.levenshtein("na", "nb") <= 3).cast("long").alias("is_true"),
+            ((F.col("a1") == F.col("b1")) | (F.col("a2") == F.col("b2")))
+            .cast("long")
+            .alias("is_cand"),
+        )
+    )
+    row = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_true").alias("n_true"),
+        F.sum("is_cand").alias("n_cand"),
+        F.sum(F.col("is_true") * F.col("is_cand")).alias("n_captured"),
+    ).first()
+    assert row["n_true"] >= 20  # the typo pairs are really in the truth set
+    completeness = row["n_captured"] / row["n_true"]
+    reduction = 1.0 - row["n_cand"] / row["n_pairs"]
+    assert completeness == 1.0
+    assert reduction >= 0.95, f"reduction {reduction:.4f} on 220-name domain"
