@@ -8509,6 +8509,124 @@ def _sql_sim22():
     UNION ALL {arm("trained", "cbT")}) ORDER BY codebooks"""
 
 
+def sim23_persisted_ivfpq_probe(spark, sf_dir):
+    """The billion-scale SERVING layout, probed end to end (round 10 —
+    sim22 certified the composed math; this certifies the composed
+    PHYSICAL reads): write_ivf_pq_index persists the corpus
+    partitioned by trained IVF cell with each row's m=16 PQ code
+    PACKED into one BIGINT (pack_pq_code — 8 bytes, the sign bit is
+    payload), then ivf_index_pq_topk answers with the three-stage
+    read: probed-cell partition pruning bounds WHICH rows, the ADC
+    stage's (neighbor_id, __pq) projection bounds HOW WIDE (the
+    256-byte float vectors stay unread — parquet column pruning,
+    plan-pinned by test), and the wide column is fetched only for the
+    shortlist's rows via a broadcast-ids join. Results are pinned
+    equal to the in-memory composed pipeline by construction (same
+    rounding/tie rules); the oracle replays both trainings and the
+    full composed path for the 5-query probe."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_pq_topk,
+        lloyd_train,
+        pq_train,
+        write_ivf_pq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    books = pq_train(
+        e, "embedding", dim=64, m=16, k=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_ivfpq_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_ivf_pq_index(
+        e, idx, dim=64, n_cells=16, m=16, k=16,
+        centroids=cents, codebooks=books,
+    )
+    probe = e.where(F.col("vec_id") < 5)
+    return ivf_index_pq_topk(
+        spark, idx, probe, kq=5, shortlist=_SIM22_SHORTLIST, dim=64,
+        n_cells=16, n_probe=_SIM22_PROBE, m=16, k=16,
+        centroids=cents, codebooks=books,
+    ).select("query_id", "neighbor_id", "rank", "cosine_sim")
+
+
+def _sql_sim23():
+    m, k = _SIM22_M, _SIM22_K
+    sub = 64 // m
+    n_probe, shortlist = _SIM22_PROBE, _SIM22_SHORTLIST
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    {_sql_pq_train_ctes(10, m=m, k=k, sub=sub, include_e=False)},
+    norms AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    scored AS MATERIALIZED (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    pranks AS MATERIALIZED (
+      SELECT vec_id, c AS cell, rn FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id < 5) WHERE rn <= {n_probe}),
+    cand AS MATERIALIZED (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM pranks p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    codes_t AS MATERIALIZED (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM (
+          SELECT vec_id, j, c,
+                 -2 * list_dot_product(
+                   list_slice(v, j * {sub} + 1, (j + 1) * {sub}), cent)
+                   + list_dot_product(cent, cent) AS d
+          FROM e, cbT)) WHERE rn = 1),
+    rv_t AS MATERIALIZED (
+      SELECT codes.vec_id, flatten(list(cent ORDER BY codes.j)) AS rv
+      FROM codes_t codes JOIN cbT USING (j, c)
+      GROUP BY codes.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, a.neighbor_id, row_number() OVER (
+          PARTITION BY a.query_id
+          ORDER BY a.approx_d2 ASC, a.neighbor_id ASC) AS rn1
+        FROM (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_dot_product(q.v, q.v)
+                       - 2 * list_dot_product(q.v, r.rv)
+                       + list_dot_product(r.rv, r.rv), 6) AS approx_d2
+          FROM cand
+          JOIN e q ON q.vec_id = cand.query_id
+          JOIN rv_t r ON r.vec_id = cand.neighbor_id) a)
+      WHERE rn1 <= {shortlist})
+    SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+      SELECT sh.query_id, sh.neighbor_id,
+             round(CASE WHEN qn.nrm * cn.nrm > 0
+                   THEN list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)
+                   ELSE 0 END, 6) AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY sh.query_id
+               ORDER BY round(CASE WHEN qn.nrm * cn.nrm > 0
+                     THEN list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)
+                     ELSE 0 END, 6) DESC, sh.neighbor_id ASC) AS rank
+      FROM short sh
+      JOIN norms qn ON qn.vec_id = sh.query_id
+      JOIN norms cn ON cn.vec_id = sh.neighbor_id)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
 def sim21_incremental_index_probe(spark, sf_dir):
     """Streaming index maintenance under the driver gate (round 9):
     the persisted IVF index is BUILT from the first 250 vectors
@@ -12485,6 +12603,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim22_shippable_ann": sim22_shippable_ann,
     "warc03_crawl_encodings": warc03_crawl_encodings,
     "llm24_crawl_training_pipeline": llm24_crawl_training_pipeline,
+    "sim23_persisted_ivfpq_probe": sim23_persisted_ivfpq_probe,
     # --- r04-stamped remainder (oldest attestation after the window) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
@@ -12917,6 +13036,7 @@ _ORACLES: dict[str, str] = {
     "sim22_shippable_ann": _sql_sim22(),
     "warc03_crawl_encodings": _sql_warc03(),
     "llm24_crawl_training_pipeline": _sql_llm24(),
+    "sim23_persisted_ivfpq_probe": _sql_sim23(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

@@ -305,6 +305,196 @@ def write_ivf_index(
     ).write.mode(mode).partitionBy("ivf_cell").parquet(path)
 
 
+def pack_pq_code(codes: Column, m: int, k: int) -> Column:
+    """Pack an m-element PQ code array into ONE BIGINT (big-endian,
+    ceil(log2 k) bits per code): the 8-byte stored representation that
+    makes a persisted ADC scan read a single fixed-width column
+    instead of an array — at m=16, k=16 a vector's code is exactly 64
+    bits. Pure native fold; unpack is shift/mask (unpack_pq_code)."""
+    bits = max(1, (k - 1).bit_length())
+    if m * bits > 64:
+        raise ValueError(f"packed code needs {m * bits} bits > 64")
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: F.shiftleft(acc, bits) + c.cast("long"),
+    )
+
+
+def unpack_pq_code(packed: Column, j: int, m: int, k: int) -> Column:
+    """Code of subspace ``j`` (0-based) out of a pack_pq_code BIGINT.
+    Unsigned shift: a full 64-bit pack (m=16, k=16) uses the sign bit
+    as payload, so arithmetic shifts would sign-extend subspace 0."""
+    bits = max(1, (k - 1).bit_length())
+    # mask, not %: at shift 0 the value is still sign-bit-negative and
+    # Spark % keeps the dividend's sign (-5 instead of 11)
+    return (
+        F.shiftrightunsigned(packed, bits * (m - 1 - j)).bitwiseAND(
+            F.lit((1 << bits) - 1)
+        )
+    ).cast("int")
+
+
+def write_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    m: int = 16,
+    k: int = 16,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """write_ivf_index plus the PQ arm: each row additionally stores
+    its packed product-quantization code (``__pq``, one BIGINT — 8
+    bytes at the shipped m=16/k=16 config). The probe's ADC stage then
+    scans (neighbor_id, __pq) ONLY — parquet column pruning keeps the
+    256-byte float vectors unread until the shortlist re-score — and
+    only in the probed ``ivf_cell=K/`` directories. This is the
+    billion-scale serving layout: partition pruning bounds WHICH rows
+    are read, column pruning bounds HOW WIDE, and the wide column is
+    touched for shortlist x queries rows total (sim23 pins the plan)."""
+    coded = with_pq_code(
+        with_ivf_cell(
+            spread(corpus), vec_col, dim, n_cells, centroids=centroids
+        ),
+        vec_col, dim, m, k, out_col="__codes", codebooks=codebooks,
+    )
+    coded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col), dim).alias("__cn"),
+        pack_pq_code(F.col("__codes"), m, k).alias("__pq"),
+        "ivf_cell",
+    ).write.mode(mode).partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_index_pq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kq: int = 5,
+    shortlist: int = 20,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m: int = 16,
+    k: int = 16,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The composed ANN pipeline against a PERSISTED write_ivf_pq_index
+    layout — sim22's three stages with the physical reads they imply:
+
+    Stage 1 (prune):   probed cells collect as |queries| x n_probe ints
+                       and push into BOTH scans as partition filters.
+    Stage 2 (scan):    ADC over the CODES-ONLY projection — parquet
+                       reads (neighbor_id, __pq): 8-byte codes, never
+                       the float vectors; reconstruct via shift/mask +
+                       codebook literals, rank, keep ``shortlist``.
+    Stage 3 (verify):  the shortlist's ids broadcast back into a
+                       second probed-partition read that projects
+                       (neighbor_id, __cv, __cn) — the wide column is
+                       read for shortlist-joined rows only — then
+                       exact cosine, final top ``kq``.
+
+    Same rounding/tie rules as ivf_pq_topk, so the persisted path
+    returns EXACTLY the in-memory composed result (pinned by sim23's
+    oracle and by test)."""
+    cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells)
+    books = codebooks if codebooks is not None else _pq_codebooks(dim, m, k)
+    sub = dim // m
+    qb = _probe_frame(queries, id_col, vec_col, dim, cents, n_probe).select(
+        "query_id",
+        "__qv",
+        "__qn",
+        dot(F.col("__qv"), F.col("__qv"), dim).alias("__qq"),
+        "__cell",
+    )
+    cells = sorted(
+        r["__cell"] for r in qb.select("__cell").distinct().collect()
+    )
+    # stage 2: codes-only scan of the probed partitions
+    code_scan = (
+        spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin(cells))
+        .select(
+            "neighbor_id", "__pq", F.col("ivf_cell").alias("__cell")
+        )
+    )
+    parts = []
+    for j in range(m):
+        lut = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in books[j]]
+        )
+        parts.append(
+            F.element_at(lut, unpack_pq_code(F.col("__pq"), j, m, k) + 1)
+        )
+    rv = F.concat(*parts)
+    cand = code_scan.join(F.broadcast(qb), "__cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # the reconstructed vector is LAMBDA-BOUND once (sp33 rule): the
+    # codebook-literal concat tree would otherwise copy into each of
+    # the three dot-product folds
+    adc = F.element_at(
+        F.transform(
+            F.array(rv),
+            lambda r: F.round(
+                F.col("__qq")
+                - F.lit(2.0) * dot(F.col("__qv"), r, dim)
+                + dot(r, r, dim),
+                6,
+            ),
+        ),
+        1,
+    )
+    approx = cand.select(
+        "query_id",
+        "neighbor_id",
+        "__qv",
+        "__qn",
+        adc.alias("approx_d2"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    short = approx.withColumn("__rn1", F.row_number().over(w1)).where(
+        F.col("__rn1") <= shortlist
+    )
+    # stage 3: wide-column read only for the shortlist's rows
+    vec_scan = (
+        spark.read.parquet(path)
+        .where(F.col("ivf_cell").isin(cells))
+        .select("neighbor_id", "__cv", "__cn")
+    )
+    fetched = vec_scan.join(
+        F.broadcast(short.select("query_id", "neighbor_id", "__qv", "__qn")),
+        "neighbor_id",
+    )
+    denom = F.col("__qn") * F.col("__cn")
+    exact = fetched.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= kq
+    )
+
+
 def ivf_index_topk(
     spark,
     path: str,

@@ -1905,3 +1905,75 @@ def test_er_blocking_reduction_scales_with_domain_size(spark):
     reduction = 1.0 - row["n_cand"] / row["n_pairs"]
     assert completeness == 1.0
     assert reduction >= 0.95, f"reduction {reduction:.4f} on 220-name domain"
+
+
+def test_persisted_ivfpq_index_prunes_columns_and_partitions(
+    spark, sf_dir, tmp_path
+):
+    """The serving layout's two physical claims, plan-pinned: the ADC
+    stage scans (neighbor_id, __pq) ONLY (the float vectors stay
+    unread until the shortlist fetch), both scans carry ivf_cell
+    PartitionFilters, and the persisted answer equals the in-memory
+    composed pipeline exactly."""
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_pq_topk,
+        ivf_pq_topk,
+        lloyd_train,
+        pq_train,
+        write_ivf_pq_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = lloyd_train(e, "embedding", dim=64, n_cells=16, rounds=2,
+                        memo_key=None)
+    books = pq_train(e, "embedding", dim=64, m=16, k=16, rounds=2,
+                     memo_key=None)
+    idx = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(e, idx, dim=64, n_cells=16, m=16, k=16,
+                       centroids=cents, codebooks=books)
+    q = e.where(F.col("vec_id") < 3)
+    got = ivf_index_pq_topk(
+        spark, idx, q, kq=5, shortlist=40, dim=64, n_cells=16,
+        n_probe=4, m=16, k=16, centroids=cents, codebooks=books,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    code_scans = [s for s in schemas if "__pq" in s]
+    assert code_scans, "no codes-only scan in the plan"
+    assert all("__cv" not in s for s in code_scans), (
+        "ADC scan reads the float vectors — column pruning lost"
+    )
+    assert plan.count("PartitionFilters: [ivf_cell") >= 2 or (
+        "ivf_cell" in plan and "PartitionFilters" in plan
+    )
+    g = [(r.query_id, r.neighbor_id, r.rank, r.cosine_sim)
+         for r in got.orderBy("query_id", "rank").collect()]
+    want = ivf_pq_topk(
+        e, q, kq=5, shortlist=40, dim=64, n_cells=16, n_probe=4,
+        m=16, k=16, centroids=cents, codebooks=books,
+    )
+    w = [(r.query_id, r.neighbor_id, r.rank, round(r.cosine_sim, 6))
+         for r in want.select("query_id", "neighbor_id", "rank",
+                              "cosine_sim")
+         .orderBy("query_id", "rank").collect()]
+    assert g == w and len(g) == 15
+
+
+def test_pack_unpack_pq_code_roundtrip_full_64_bits(spark):
+    from geosparql_etl_spark.operators.similarity import (
+        pack_pq_code,
+        unpack_pq_code,
+    )
+
+    codes = [15, 0, 7, 8, 1, 2, 14, 9, 5, 11, 4, 6, 13, 10, 12, 3]
+    df = spark.createDataFrame([(codes,)], "c array<int>")
+    packed = df.select(pack_pq_code(F.col("c"), 16, 16).alias("p"))
+    row = packed.select(
+        "p",
+        *[unpack_pq_code(F.col("p"), j, 16, 16).alias(f"u{j}")
+          for j in range(16)],
+    ).first()
+    # leading code 15 sets the SIGN bit: the pack is negative and the
+    # unsigned-shift + mask unpack must still recover every subspace
+    assert row["p"] < 0
+    assert [row[f"u{j}"] for j in range(16)] == codes
