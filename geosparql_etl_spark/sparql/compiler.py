@@ -1594,6 +1594,11 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
     # var -> statically provable WKT shape class of its BIND expression
     # (consumed by the grid sfIntersects rewrite to prune shape arms)
     static_shapes: dict[str, str] = {}
+    # object var -> the constant predicate that binds it in THIS
+    # group's BGPs — lets the grid rewrite consult the store's
+    # predicate shape STATISTICS lazily (zero cost unless a rewrite
+    # actually fires on the var)
+    var_preds: dict[str, str] = {}
 
     def flatten() -> DataFrame | None:
         """Collapse every pending frame to one (cross-joining the
@@ -1610,6 +1615,10 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
 
     for kind, payload in [(e[0], e[1:]) for e in group.elements]:
         if kind == "bgp":
+            for pat in payload[0]:
+                _s, _p, _o = pat
+                if _p[0] == "const" and _o[0] == "var":
+                    var_preds.setdefault(_o[1], _p[1])
             frames.extend(_compile_bgp_components(store, payload[0]))
             _merge_connected(frames)
         elif kind == "union":
@@ -1778,7 +1787,7 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
     residual = []
     for expr in filters:
         if len(frames) > 1 and _grid_spatial_rewrite(
-            frames, expr, static_shapes
+            frames, expr, static_shapes, var_preds, store
         ):
             continue
         residual.append(expr)
@@ -1863,7 +1872,11 @@ def _static_wkt_shape(expr) -> str | None:
 
 
 def _grid_sfintersects_rewrite(
-    frames: list, expr, static_shapes: dict | None = None
+    frames: list,
+    expr,
+    static_shapes: dict | None = None,
+    var_preds: dict | None = None,
+    store=None,
 ) -> bool:
     """Var-var sfIntersects FILTER between two DISCONNECTED frames,
     for ANY POINT/POLYGON mix: each side explodes into the grid cells
@@ -1988,6 +2001,16 @@ def _grid_sfintersects_rewrite(
     # mixed data, and store-derived vars stay unknown.
     def domain(var: str) -> tuple[bool, bool]:
         s = (static_shapes or {}).get(var)
+        if s is None and var_preds and store is not None:
+            # store-derived var: consult the predicate's shape
+            # statistics (memoized one-pass aggregate — the table-
+            # statistics half of the pruning; BIND constants are the
+            # static half)
+            pred = var_preds.get(var)
+            if pred is not None and hasattr(
+                store, "predicate_object_shape"
+            ):
+                s = store.predicate_object_shape(pred)
         if s == "POLYGON":
             return False, True
         if s == "POINT":
@@ -2102,7 +2125,11 @@ def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
 
 
 def _grid_spatial_rewrite(
-    frames: list, expr, static_shapes: dict | None = None
+    frames: list,
+    expr,
+    static_shapes: dict | None = None,
+    var_preds: dict | None = None,
+    store=None,
 ) -> bool:
     """Var-var distance FILTER between two DISCONNECTED frames: join
     them on grid cells of side d (each right-side point lands in its
@@ -2115,7 +2142,7 @@ def _grid_spatial_rewrite(
     m = _match_var_var_distance(expr)
     if not m:
         return _grid_sfwithin_rewrite(frames, expr) or _grid_sfintersects_rewrite(
-            frames, expr, static_shapes
+            frames, expr, static_shapes, var_preds, store
         )
     u, v, d = m
     if d <= 0:

@@ -298,7 +298,12 @@ def tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
         for pred, slices in vertical.items()
     }
     assert flat is not None
-    return TripleStore(flat, merged)
+    out = TripleStore(flat, merged)
+    # the test parquet under sf_dir is immutable: predicate shape
+    # statistics memoize process-wide across the per-query store
+    # instances bench/driver runs construct
+    out.stats_key = "tpch:" + sf_dir
+    return out
 
 
 def _apply_meta_consts(
@@ -360,6 +365,13 @@ def to_ntriples_rows(triples: DataFrame) -> DataFrame:
     )
 
 
+# process-wide predicate->object-shape statistics for stores whose
+# backing data is immutable (stats_key set): the table-statistics
+# analog for the grid rewrite's shape-arm pruning — one column-pruned
+# aggregate per (key, predicate) per process, every later query free
+_PRED_SHAPE_STATS: dict[tuple, str | None] = {}
+
+
 class TripleStore:
     """Scan interface the compiler queries against.
 
@@ -373,9 +385,50 @@ class TripleStore:
     directory pruning, zero I/O for the other predicates.
     """
 
+    #: set to a stable identifier (e.g. the source dir) when the
+    #: backing data is immutable — predicate shape statistics then
+    #: memoize process-wide instead of per store instance
+    stats_key: str | None = None
+
     def __init__(self, triples: DataFrame, vertical: dict[str, DataFrame] | None = None):
         self.triples = triples
         self.vertical = vertical
+
+    def predicate_object_shape(self, pred: str) -> str | None:
+        """WKT shape domain of ``pred``'s objects: "POLYGON" when every
+        object lexical is a POLYGON, "POINT" when every one is a
+        POINT, None for mixed / non-WKT / empty. This is TABLE
+        STATISTICS for the grid sfIntersects rewrite: a store-derived
+        variable whose predicate is provably single-shape prunes the
+        impossible shape arms the same way a BIND-constant does
+        (compiler.py:_static_wkt_shape). One column-pruned aggregate
+        pass per (store, predicate), consulted LAZILY (only when a
+        grid rewrite actually fires) and memoized — process-wide when
+        ``stats_key`` marks the backing data immutable, per-instance
+        otherwise."""
+        if self.stats_key is not None:
+            memo, key = _PRED_SHAPE_STATS, (self.stats_key, pred)
+        else:
+            memo = self.__dict__.setdefault("_shape_stats", {})
+            key = pred
+        if key in memo:
+            return memo[key]
+        df = self.scan(None, pred, None, {"o": "o"})
+        is_pt = F.col("o").rlike(r"^\s*POINT\s*\(")
+        is_poly = F.col("o").rlike(r"^\s*POLYGON\s*\(")
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_pt.cast("long")).alias("npt"),
+            F.sum(is_poly.cast("long")).alias("npoly"),
+        ).first()
+        shape = None
+        if row["n"]:
+            if row["npoly"] == row["n"]:
+                shape = "POLYGON"
+            elif row["npt"] == row["n"]:
+                shape = "POINT"
+        memo[key] = shape
+        return shape
 
     def _relation(self) -> DataFrame:
         """The frame ONE pattern scan filters. File-backed subclasses

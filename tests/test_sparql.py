@@ -3368,3 +3368,44 @@ class TestUpdateMetadataPreservation:
         assert ('<urn:n:1> <urn:ex:size> '
                 '"42"^^<http://www.w3.org/2001/XMLSchema#integer> .'
                 ) in lines
+
+
+def test_predicate_shape_statistics_prune_store_side_arms(spark):
+    """Round 10, the statistics half of shape-arm pruning: a store
+    whose predicate's objects are ALL polygons prunes the point arms
+    for a store-derived var the same way a BIND constant does — ONE
+    join subtree for a polygon-polygon var-var filter — while a
+    mixed-shape predicate keeps its arms and stats memoize per
+    instance (one aggregate pass, then free)."""
+    rows = [
+        ("urn:a:1", "urn:ex:g", "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"),
+        ("urn:a:2", "urn:ex:g", "POLYGON((10 10, 12 10, 12 12, 10 12, 10 10))"),
+        ("urn:z:1", "urn:ex:zone", "POLYGON((3 3, 6 3, 6 6, 3 6, 3 3))"),
+        ("urn:z:2", "urn:ex:zone", "POLYGON((20 20, 22 20, 22 22, 20 22, 20 20))"),
+        ("urn:m:1", "urn:ex:mixed", "POINT(1 1)"),
+        ("urn:m:2", "urn:ex:mixed", "POLYGON((0 0, 2 0, 0 2, 0 0))"),
+    ]
+    store = TripleStore(
+        spark.createDataFrame(rows, "s string, p string, o string")
+    )
+    assert store.predicate_object_shape("urn:ex:g") == "POLYGON"
+    assert store.predicate_object_shape("urn:ex:zone") == "POLYGON"
+    assert store.predicate_object_shape("urn:ex:mixed") is None
+    assert store.predicate_object_shape("urn:ex:absent") is None
+    # memoized per instance (immutable-data stores set stats_key for a
+    # process-wide memo — tpch_store does)
+    assert store._shape_stats["urn:ex:g"] == "POLYGON"
+
+    df = run(
+        store,
+        """
+        SELECT ?a ?z WHERE {
+          ?a ex:g ?ga . ?z ex:zone ?w .
+          FILTER(geof:sfIntersects(?ga, ?w))
+        } ORDER BY ?a ?z
+        """,
+    )
+    assert [tuple(r) for r in df.collect()] == [("urn:a:1", "urn:z:1")]
+    op = df._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = len([ln for ln in op.splitlines() if "Join" in ln])
+    assert n_joins == 1, f"stats should prune to 1 arm, got {n_joins}"
