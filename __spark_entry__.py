@@ -11933,6 +11933,47 @@ def _sql_sp41():
     """
 
 
+def sp42_values_undef(spark, sf_dir):
+    """VALUES with UNDEF cells (round 10 — this was the engine's one
+    LOUD VALUES rejection; now full spec 18.2 solution compatibility):
+    an UNDEF cell matches ANY binding, a solution compatible with
+    several VALUES rows joins EACH (the (NATION_3, BUILDING) customers
+    are counted twice — multiplicity is the semantics, and the oracle
+    replays it), and the merged solution takes the bound side's value.
+    Compiled as a broadcast nested-loop join with per-var
+    either-side-NULL-or-equal conditions over the inline-tiny VALUES
+    side — never a shuffle, and the equi-join fast path is untouched
+    for fully-bound VALUES."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nname ?seg (COUNT(?c) AS ?n) WHERE {
+          ?c a ex:Customer . ?c ex:nation ?nt .
+          ?nt ex:name ?nname . ?c ex:segment ?seg .
+          VALUES (?nname ?seg) { ("NATION_3" UNDEF) (UNDEF "BUILDING") }
+        } GROUP BY ?nname ?seg ORDER BY ?nname ?seg
+        """,
+    )
+
+
+def _sql_sp42():
+    return """
+    WITH base AS (
+      SELECT c.c_custkey AS cid, n.n_name AS nname,
+             c.c_mktsegment AS seg
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    vals(vn, vs) AS (
+      SELECT * FROM (VALUES ('NATION_3', NULL), (NULL, 'BUILDING'))),
+    joined AS (
+      SELECT b.nname, b.seg FROM base b JOIN vals v
+        ON (v.vn IS NULL OR v.vn = b.nname)
+       AND (v.vs IS NULL OR v.vs = b.seg))
+    SELECT nname, seg, count(*) AS n
+    FROM joined GROUP BY nname, seg ORDER BY nname, seg
+    """
+
+
 def s16_crawl_ingest(spark, sf_dir):
     """Batch analog of the streaming crawl ingest
     (streaming/crawl.py:run_crawl_ingest): WARC archives -> vectorized
@@ -12604,6 +12645,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc03_crawl_encodings": warc03_crawl_encodings,
     "llm24_crawl_training_pipeline": llm24_crawl_training_pipeline,
     "sim23_persisted_ivfpq_probe": sim23_persisted_ivfpq_probe,
+    "sp42_values_undef": sp42_values_undef,
     # --- r04-stamped remainder (oldest attestation after the window) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
@@ -13037,6 +13079,7 @@ _ORACLES: dict[str, str] = {
     "warc03_crawl_encodings": _sql_warc03(),
     "llm24_crawl_training_pipeline": _sql_llm24(),
     "sim23_persisted_ivfpq_probe": _sql_sim23(),
+    "sp42_values_undef": _sql_sp42(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

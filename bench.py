@@ -145,6 +145,16 @@ HEADLINE = [
     # parse -> curation stats; times the write AND the file-parallel
     # binary-payload scan)
     "warc01_crawl_curation",
+    # round 10: mixed-encoding transport decode, the crawl->training
+    # funnel (one scan + two windows + one aggregate), the composed
+    # trained IVF+PQ recall eval, and the persisted serving layout's
+    # three-stage probe (partition + column pruning). sim22/sim23
+    # share one memoized training run per process — the bench times
+    # the first (training included) and the serving probe separately.
+    "warc03_crawl_encodings",
+    "llm24_crawl_training_pipeline",
+    "sim22_shippable_ann",
+    "sim23_persisted_ivfpq_probe",
 ]
 
 

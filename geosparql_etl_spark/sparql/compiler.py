@@ -569,14 +569,13 @@ class _Parser:
             return Query(False, [], g, [], [], None, describe_var=var)
         return self._select_query(embedded=False)
 
-    def _values_literal(self) -> str:
+    def _values_literal(self) -> str | None:
         # numeric literals keep their lexical form — the store's
-        # object model is canonical strings
+        # object model is canonical strings; UNDEF parses to None (the
+        # unbound cell — compiled as a COMPATIBILITY join, spec 18.2)
         if self._kw("UNDEF"):
-            raise ValueError(
-                "VALUES UNDEF is not supported (an unbound cell would "
-                "need outer-join semantics)"
-            )
+            self.next()
+            return None
         if re.fullmatch(r"-?\d+\.\d+|-?\d+", self.peek()):
             return self.next()
         return self.term()[1]
@@ -1705,19 +1704,64 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 )
             how = "left_semi" if kind == "exists" else "left_anti"
             frames[:] = [df.join(inner, on=shared, how=how)]
-        elif kind == "values":
-            var, lits = payload
-            spark = store.triples.sparkSession
-            vals = spark.createDataFrame([(v,) for v in lits], f"{var} string")
-            # broadcast: an inline VALUES list is tiny by construction
-            frames.append(F.broadcast(vals))
-            _merge_connected(frames)
-        elif kind == "values_multi":
-            vars_, rows = payload
+        elif kind in ("values", "values_multi"):
+            if kind == "values":
+                var, lits = payload
+                vars_, rows = [var], [(v,) for v in lits]
+            else:
+                vars_, rows = payload
             spark = store.triples.sparkSession
             schema = ", ".join(f"{v} string" for v in vars_)
-            frames.append(F.broadcast(spark.createDataFrame(rows, schema)))
-            _merge_connected(frames)
+            vals = spark.createDataFrame(rows, schema)
+            if all(c is not None for row in rows for c in row):
+                # fully-bound inline data: an ordinary (broadcast)
+                # equi-join frame — tiny by construction
+                frames.append(F.broadcast(vals))
+                _merge_connected(frames)
+            else:
+                # UNDEF cells: COMPATIBILITY join (spec 18.2 solution
+                # compatibility — an unbound cell matches anything and
+                # the merged solution takes the bound side's value).
+                # Expressed as a broadcast nested-loop join with
+                # per-var (either-side-NULL OR equal) conditions: the
+                # VALUES side is inline-tiny, so the non-equi join is
+                # a broadcast loop over it, never a shuffle.
+                df = flatten()
+                if df is None:
+                    raise ValueError(
+                        "VALUES with UNDEF must follow the patterns "
+                        "binding its variables (an UNDEF frame cannot "
+                        "open a group: later equi-joins would drop the "
+                        "unbound rows)"
+                    )
+                shared = [v for v in vars_ if v in df.columns]
+                fresh = [v for v in vars_ if v not in df.columns]
+                renamed = F.broadcast(
+                    vals.select(
+                        *[F.col(v).alias(f"__val_{v}") for v in vars_]
+                    )
+                )
+                if shared:
+                    cond = None
+                    for v in shared:
+                        c = (
+                            F.col(f"__val_{v}").isNull()
+                            | F.col(v).isNull()
+                            | (F.col(f"__val_{v}") == F.col(v))
+                        )
+                        cond = c if cond is None else (cond & c)
+                    joined = df.join(renamed, cond)
+                else:
+                    joined = df.crossJoin(renamed)
+                out_cols = [
+                    (
+                        F.coalesce(F.col(v), F.col(f"__val_{v}")).alias(v)
+                        if v in shared
+                        else F.col(v)
+                    )
+                    for v in df.columns
+                ] + [F.col(f"__val_{v}").alias(v) for v in fresh]
+                frames[:] = [joined.select(*out_cols)]
         elif kind == "graph":
             from geosparql_etl_spark.sparql.triples import GraphScopedStore
 

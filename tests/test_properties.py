@@ -787,3 +787,28 @@ def test_warc_framing_roundtrips_arbitrary_payloads(payloads, uri_tail, tmp_path
     lens = [len(render_record(r)) for r in rows]
     starts = [sum(lens[:i]) for i in range(len(rows))]
     assert [pos for _, _, pos in got] == starts
+
+
+@given(
+    codes=st.lists(
+        st.integers(min_value=0, max_value=15), min_size=16, max_size=16
+    )
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pq_pack_unpack_roundtrip_property(spark, codes):
+    """pack_pq_code/unpack_pq_code: ANY m=16 4-bit code vector
+    round-trips through the 64-bit pack (including vectors whose
+    leading code sets the sign bit)."""
+    from geosparql_etl_spark.operators.similarity import (
+        pack_pq_code,
+        unpack_pq_code,
+    )
+
+    df = spark.createDataFrame([(codes,)], "c array<int>")
+    row = df.select(
+        pack_pq_code(F.col("c"), 16, 16).alias("p")
+    ).select(
+        *[unpack_pq_code(F.col("p"), j, 16, 16).alias(f"u{j}")
+          for j in range(16)]
+    ).first()
+    assert [row[f"u{j}"] for j in range(16)] == codes

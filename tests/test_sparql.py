@@ -1603,12 +1603,71 @@ class TestRound8SpecFills:
                 'SELECT ?a WHERE { VALUES (?a ?b) { ("x") } }',
             )
 
-    def test_values_undef_rejected(self, toy_store):
+    def test_values_undef_opening_group_rejected(self, toy_store):
+        # an UNDEF frame cannot OPEN a group (later equi-joins would
+        # drop the unbound rows) — still a loud error, not silence
         with pytest.raises(ValueError, match="UNDEF"):
             run(
                 toy_store,
                 'SELECT ?a WHERE { VALUES (?a ?b) { ("x" UNDEF) } }',
             )
+
+    def test_values_undef_compatibility_join(self, spark):
+        """Spec 18.2 solution compatibility for VALUES UNDEF (round
+        10, closing the loud rejection): an UNDEF cell matches ANY
+        binding of that var, a solution compatible with several VALUES
+        rows joins each (multiplicity preserved), and the merged
+        solution takes the bound side's value."""
+        rows = [
+            ("urn:c:1", "urn:ex:nation", "N3"),
+            ("urn:c:1", "urn:ex:segment", "BUILDING"),
+            ("urn:c:2", "urn:ex:nation", "N3"),
+            ("urn:c:2", "urn:ex:segment", "AUTO"),
+            ("urn:c:3", "urn:ex:nation", "N7"),
+            ("urn:c:3", "urn:ex:segment", "BUILDING"),
+            ("urn:c:4", "urn:ex:nation", "N7"),
+            ("urn:c:4", "urn:ex:segment", "AUTO"),
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            store,
+            """
+            SELECT ?c ?n ?s WHERE {
+              ?c ex:nation ?n . ?c ex:segment ?s .
+              VALUES (?n ?s) { ("N3" UNDEF) (UNDEF "BUILDING") }
+            } ORDER BY ?c ?n ?s
+            """,
+        ).collect()
+        # c1 (N3, BUILDING) is compatible with BOTH rows -> twice;
+        # c2 matches the N3 row, c3 the BUILDING row, c4 neither
+        assert [tuple(r) for r in got] == [
+            ("urn:c:1", "N3", "BUILDING"),
+            ("urn:c:1", "N3", "BUILDING"),
+            ("urn:c:2", "N3", "AUTO"),
+            ("urn:c:3", "N7", "BUILDING"),
+        ]
+
+    def test_values_undef_binds_fresh_var_unbound(self, spark):
+        """A fresh var introduced only by VALUES stays unbound (NULL)
+        in the rows whose cell is UNDEF."""
+        store = TripleStore(
+            spark.createDataFrame(
+                [("urn:x:1", "urn:ex:name", "a")],
+                "s string, p string, o string",
+            )
+        )
+        got = run(
+            store,
+            """
+            SELECT ?v ?extra WHERE {
+              ?x ex:name ?v .
+              VALUES (?v ?extra) { ("a" UNDEF) ("a" "tag") }
+            } ORDER BY ?extra
+            """,
+        ).collect()
+        assert [tuple(r) for r in got] == [(("a"), None), ("a", "tag")]
 
     def test_sum_distinct(self, spark):
         rows = [
