@@ -6288,6 +6288,156 @@ def _sql_mm07():
     """
 
 
+def mm08_shot_keyframes(spark, sf_dir):
+    """Per-shot KEYFRAME selection (round 10) — the video
+    training-data sampling strategy shot boundaries exist to feed:
+    sample one representative frame per SHOT instead of uniformly, so
+    a 2-hour static shot contributes one frame, not 14,400. Frames
+    segment into shots by mm07's luminance-shift cuts (shot id =
+    running count of cuts per video), and each shot's keyframe is its
+    BRIGHTEST frame — ranked by the frame's EXACT integer byte total,
+    recovered from the decoded grayscale mean as round(gm * 255 * 96):
+    totals are <= 24480, the double's accumulated error is ~1e-10
+    against an integer spacing of 1, so BOTH engines land on the
+    identical BIGINT (ranking the raw double means was measured to
+    FLIP at a 1-ULP near-tie — doc 6's frames 1/3 differ only in the
+    last bit and DuckDB's summation order reverses them). Tie ->
+    earliest frame. Plan:
+    mm07's decode + 4-row lag window, one more 4-row window for the
+    shot assignment and the in-shot rank, one aggregate. Only
+    (media_id, frame, gray_mean) ever cross a shuffle. The oracle
+    extends mm07's hex-byte replay through the same two windows."""
+    import pandas as pd
+
+    from geosparql_etl_spark.operators.multimodal import extract_frames
+
+    d = _t(spark, sf_dir, "documents")
+
+    def rasterize(batches):
+        import numpy as np
+
+        from geosparql_etl_spark.functions.codecs import encode_video
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                total = 4 * 96
+                reps = -(-total // max(len(raw), 1))
+                buf = (raw * reps + b"\x00" * total)[:total]
+                frames = [
+                    np.frombuffer(
+                        buf[f * 96 : (f + 1) * 96], dtype=np.uint8
+                    ).reshape(4, 8, 3)
+                    for f in range(4)
+                ]
+                payloads.append(encode_video(frames, fps=2))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(str), "content": payloads}
+            )
+
+    media = (
+        d.select("doc_id", "text")
+        .mapInPandas(rasterize, "media_id string, content binary")
+        .select(
+            "media_id",
+            F.lit("video").alias("kind"),
+            "content",
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(2000).alias("duration_ms"),
+                F.lit("video/gsv1").alias("mime"),
+            ).alias("meta"),
+        )
+    )
+    frames = extract_frames(media, every_ms=500, max_frames=8)
+    gm = F.element_at("features", 9)
+    w = Window.partitionBy("media_id").orderBy("frame_index")
+    shifted = frames.select(
+        "media_id", "frame_index", gm.alias("gm")
+    ).withColumn(
+        "is_cut",
+        (
+            F.lag("gm").over(w).isNotNull()
+            & (F.abs(F.col("gm") - F.lag("gm").over(w)) > 0.01)
+        ).cast("long"),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    shots = shifted.withColumn(
+        "shot_id", F.sum("is_cut").over(wcum)
+    ).withColumn(
+        "brightness",
+        F.round(F.col("gm") * F.lit(255.0 * 96)).cast("long"),
+    )
+    wshot = Window.partitionBy("media_id", "shot_id").orderBy(
+        F.desc("brightness"), F.asc("frame_index")
+    )
+    ranked = shots.withColumn("rn", F.row_number().over(wshot)).withColumn(
+        "shot_id", F.col("shot_id").cast("long")
+    )
+    return (
+        ranked.groupBy("media_id", "shot_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max(
+                F.when(F.col("rn") == 1, F.col("frame_index"))
+            ).alias("keyframe_index"),
+            F.max(
+                F.when(F.col("rn") == 1, F.col("brightness"))
+            ).alias("key_brightness"),
+        )
+        .orderBy("media_id", "shot_id")
+    )
+
+
+def _sql_mm08():
+    return """
+    WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents),
+    by_byte AS (
+      SELECT doc_id, f, i,
+             CASE WHEN n = 0 THEN 0
+                  ELSE CAST(('0x' || substr(hx, ((f * 96 + i) % n) * 2 + 1, 2)) AS INT)
+             END AS b,
+             i // 3 AS px
+      FROM h, (VALUES (0), (1), (2), (3)) AS fr(f),
+           generate_series(0, 95) AS t(i)),
+    gray AS (
+      SELECT doc_id, f, px, avg(b) AS g FROM by_byte GROUP BY doc_id, f, px),
+    gs AS (
+      SELECT doc_id, f, avg(g) / 255.0 AS gm FROM gray GROUP BY doc_id, f),
+    cuts AS (
+      SELECT doc_id, f, gm,
+             CASE WHEN lag(gm) OVER (PARTITION BY doc_id ORDER BY f)
+                       IS NOT NULL
+                   AND abs(gm - lag(gm) OVER (PARTITION BY doc_id
+                                              ORDER BY f)) > 0.01
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM gs),
+    shots AS (
+      SELECT doc_id, f, gm,
+             CAST(round(gm * 255.0 * 96) AS BIGINT) AS brightness,
+             sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS shot_id
+      FROM cuts),
+    ranked AS (
+      SELECT doc_id, f, brightness, shot_id,
+             row_number() OVER (PARTITION BY doc_id, shot_id
+                                ORDER BY brightness DESC, f ASC) AS rn
+      FROM shots)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(shot_id AS BIGINT) AS shot_id,
+           count(*) AS n_frames,
+           max(CASE WHEN rn = 1 THEN f END) AS keyframe_index,
+           max(CASE WHEN rn = 1 THEN brightness END) AS key_brightness
+    FROM ranked GROUP BY media_id, shot_id
+    ORDER BY media_id, shot_id
+    """
+
+
 def mm05_image_neardup(spark, sf_dir):
     """Image near-dup detection: mm01's rasterized BMPs -> perceptual
     difference hash (operators/multimodal.py:image_dhash — REAL
@@ -12646,6 +12796,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm24_crawl_training_pipeline": llm24_crawl_training_pipeline,
     "sim23_persisted_ivfpq_probe": sim23_persisted_ivfpq_probe,
     "sp42_values_undef": sp42_values_undef,
+    "mm08_shot_keyframes": mm08_shot_keyframes,
     # --- r04-stamped remainder (oldest attestation after the window) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
@@ -13080,6 +13231,7 @@ _ORACLES: dict[str, str] = {
     "llm24_crawl_training_pipeline": _sql_llm24(),
     "sim23_persisted_ivfpq_probe": _sql_sim23(),
     "sp42_values_undef": _sql_sp42(),
+    "mm08_shot_keyframes": _sql_mm08(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

@@ -65,6 +65,7 @@ VECTORIZED_PYTHON_OK = {
     "mm05_image_neardup",  # rasterize + dHash decode batches
     "mm06_audio_neardup",  # WAV synth + chromaprint decode batches
     "mm07_shot_boundaries",  # rasterize + all-frame decode batches
+    "mm08_shot_keyframes",  # rides mm07's rasterize + decode batches
     "s16_crawl_ingest",  # WARC archive-bytes record parse batches
     "sim20_pq_training_gain",  # with_pq_code batch matmul encoding
     "sim22_shippable_ann",  # with_ivf_cell + with_pq_code batch matmuls
