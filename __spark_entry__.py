@@ -8777,6 +8777,126 @@ def _sql_sim23():
     """
 
 
+def sim24_filtered_persisted_ann(spark, sf_dir):
+    """Filtered ANN on the persisted serving layout (round 10 —
+    sim09's semantics on sim23's physical plan): 'nearest neighbors
+    WITH label 3' pre-filters candidates in the codes scan ITSELF —
+    the label rides beside the packed codes as a carry column, the
+    predicate pushes to the parquet reader (PushedFilters), and
+    ineligible rows die before the ADC stage, so the shortlist fills
+    with ELIGIBLE neighbors (post-filtering a shortlist silently
+    shrinks k — the classic filtered-ANN mistake sim09 documents).
+    One plan shows all three prunings at once: partition (probed
+    cells), predicate (label), and column (codes-only projection).
+    Oracle: the composed trained replay restricted to label-3
+    candidates."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_pq_topk,
+        lloyd_train,
+        pq_train,
+        write_ivf_pq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    books = pq_train(
+        e, "embedding", dim=64, m=16, k=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_ivfpq_lbl_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_ivf_pq_index(
+        e, idx, dim=64, n_cells=16, m=16, k=16,
+        centroids=cents, codebooks=books, carry_cols=("label",),
+    )
+    probe = e.where(F.col("vec_id") < 5)
+    return ivf_index_pq_topk(
+        spark, idx, probe, kq=5, shortlist=_SIM22_SHORTLIST, dim=64,
+        n_cells=16, n_probe=_SIM22_PROBE, m=16, k=16,
+        centroids=cents, codebooks=books,
+        candidate_filter=F.col("label") == 3,
+    ).select("query_id", "neighbor_id", "rank", "cosine_sim")
+
+
+def _sql_sim24():
+    m, k = _SIM22_M, _SIM22_K
+    sub = 64 // m
+    n_probe, shortlist = _SIM22_PROBE, _SIM22_SHORTLIST
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    {_sql_pq_train_ctes(10, m=m, k=k, sub=sub, include_e=False)},
+    norms AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    scored AS MATERIALIZED (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    pranks AS MATERIALIZED (
+      SELECT vec_id, c AS cell, rn FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id < 5) WHERE rn <= {n_probe}),
+    eligible AS MATERIALIZED (
+      SELECT vec_id FROM embeddings WHERE label = 3),
+    cand AS MATERIALIZED (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM pranks p JOIN cells cl USING (cell)
+      JOIN eligible el ON el.vec_id = cl.vec_id
+      WHERE cl.vec_id != p.vec_id),
+    codes_t AS MATERIALIZED (
+      SELECT vec_id, j, c FROM (
+        SELECT vec_id, j, c, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        FROM (
+          SELECT vec_id, j, c,
+                 -2 * list_dot_product(
+                   list_slice(v, j * {sub} + 1, (j + 1) * {sub}), cent)
+                   + list_dot_product(cent, cent) AS d
+          FROM e, cbT)) WHERE rn = 1),
+    rv_t AS MATERIALIZED (
+      SELECT codes.vec_id, flatten(list(cent ORDER BY codes.j)) AS rv
+      FROM codes_t codes JOIN cbT USING (j, c)
+      GROUP BY codes.vec_id),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, a.neighbor_id, row_number() OVER (
+          PARTITION BY a.query_id
+          ORDER BY a.approx_d2 ASC, a.neighbor_id ASC) AS rn1
+        FROM (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_dot_product(q.v, q.v)
+                       - 2 * list_dot_product(q.v, r.rv)
+                       + list_dot_product(r.rv, r.rv), 6) AS approx_d2
+          FROM cand
+          JOIN e q ON q.vec_id = cand.query_id
+          JOIN rv_t r ON r.vec_id = cand.neighbor_id) a)
+      WHERE rn1 <= {shortlist})
+    SELECT query_id, neighbor_id, rank, cosine_sim FROM (
+      SELECT sh.query_id, sh.neighbor_id,
+             round(CASE WHEN qn.nrm * cn.nrm > 0
+                   THEN list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)
+                   ELSE 0 END, 6) AS cosine_sim,
+             row_number() OVER (
+               PARTITION BY sh.query_id
+               ORDER BY round(CASE WHEN qn.nrm * cn.nrm > 0
+                     THEN list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)
+                     ELSE 0 END, 6) DESC, sh.neighbor_id ASC) AS rank
+      FROM short sh
+      JOIN norms qn ON qn.vec_id = sh.query_id
+      JOIN norms cn ON cn.vec_id = sh.neighbor_id)
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
 def sim21_incremental_index_probe(spark, sf_dir):
     """Streaming index maintenance under the driver gate (round 9):
     the persisted IVF index is BUILT from the first 250 vectors
@@ -12797,6 +12917,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim23_persisted_ivfpq_probe": sim23_persisted_ivfpq_probe,
     "sp42_values_undef": sp42_values_undef,
     "mm08_shot_keyframes": mm08_shot_keyframes,
+    "sim24_filtered_persisted_ann": sim24_filtered_persisted_ann,
     # --- r04-stamped remainder (oldest attestation after the window) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
@@ -13232,6 +13353,7 @@ _ORACLES: dict[str, str] = {
     "sim23_persisted_ivfpq_probe": _sql_sim23(),
     "sp42_values_undef": _sql_sp42(),
     "mm08_shot_keyframes": _sql_mm08(),
+    "sim24_filtered_persisted_ann": _sql_sim24(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

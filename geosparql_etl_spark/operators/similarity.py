@@ -347,6 +347,7 @@ def write_ivf_pq_index(
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
     mode: str = "overwrite",
+    carry_cols: tuple[str, ...] = (),
 ) -> None:
     """write_ivf_index plus the PQ arm: each row additionally stores
     its packed product-quantization code (``__pq``, one BIGINT — 8
@@ -368,6 +369,10 @@ def write_ivf_pq_index(
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col), dim).alias("__cn"),
         pack_pq_code(F.col("__codes"), m, k).alias("__pq"),
+        # filterable metadata rides BESIDE the codes: a filtered probe
+        # (sim24) pushes its predicate into the codes-only scan, so
+        # ineligible rows die at the parquet reader, before ADC
+        *carry_cols,
         "ivf_cell",
     ).write.mode(mode).partitionBy("ivf_cell").parquet(path)
 
@@ -387,6 +392,7 @@ def ivf_index_pq_topk(
     k: int = 16,
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    candidate_filter: Column | None = None,
 ) -> DataFrame:
     """The composed ANN pipeline against a PERSISTED write_ivf_pq_index
     layout — sim22's three stages with the physical reads they imply:
@@ -405,7 +411,15 @@ def ivf_index_pq_topk(
 
     Same rounding/tie rules as ivf_pq_topk, so the persisted path
     returns EXACTLY the in-memory composed result (pinned by sim23's
-    oracle and by test)."""
+    oracle and by test).
+
+    ``candidate_filter`` (a Column over carry_cols the index was
+    written with, e.g. ``F.col("label") == "x"``) PRE-filters
+    candidates in the codes scan itself — the predicate pushes to the
+    parquet reader (PushedFilters), so ineligible rows never reach
+    the ADC stage and the shortlist fills with ELIGIBLE neighbors
+    (post-filtering a shortlist would silently shrink k — the classic
+    filtered-ANN mistake)."""
     cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells)
     books = codebooks if codebooks is not None else _pq_codebooks(dim, m, k)
     sub = dim // m
@@ -420,12 +434,13 @@ def ivf_index_pq_topk(
         r["__cell"] for r in qb.select("__cell").distinct().collect()
     )
     # stage 2: codes-only scan of the probed partitions
-    code_scan = (
-        spark.read.parquet(path)
-        .where(F.col("ivf_cell").isin(cells))
-        .select(
-            "neighbor_id", "__pq", F.col("ivf_cell").alias("__cell")
-        )
+    code_scan = spark.read.parquet(path).where(
+        F.col("ivf_cell").isin(cells)
+    )
+    if candidate_filter is not None:
+        code_scan = code_scan.where(candidate_filter)
+    code_scan = code_scan.select(
+        "neighbor_id", "__pq", F.col("ivf_cell").alias("__cell")
     )
     parts = []
     for j in range(m):

@@ -1977,3 +1977,54 @@ def test_pack_unpack_pq_code_roundtrip_full_64_bits(spark):
     # unsigned-shift + mask unpack must still recover every subspace
     assert row["p"] < 0
     assert [row[f"u{j}"] for j in range(16)] == codes
+
+
+def test_filtered_persisted_ann_pushes_predicate_into_codes_scan(
+    spark, sf_dir, tmp_path
+):
+    """sim24's physical claim: the candidate_filter lands in the codes
+    scan as a parquet PushedFilters entry (ineligible rows die at the
+    reader, before ADC), every returned neighbor is eligible, and the
+    shortlist fills with eligible rows (k results per query, not a
+    post-filtered remnant)."""
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_pq_topk,
+        lloyd_train,
+        pq_train,
+        write_ivf_pq_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = lloyd_train(e, "embedding", dim=64, n_cells=16, rounds=1,
+                        memo_key=None)
+    books = pq_train(e, "embedding", dim=64, m=16, k=16, rounds=1,
+                     memo_key=None)
+    idx = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(e, idx, dim=64, n_cells=16, m=16, k=16,
+                       centroids=cents, codebooks=books,
+                       carry_cols=("label",))
+    q = e.where(F.col("vec_id") < 3)
+    got = ivf_index_pq_topk(
+        spark, idx, q, kq=5, shortlist=40, dim=64, n_cells=16,
+        n_probe=8, m=16, k=16, centroids=cents, codebooks=books,
+        candidate_filter=F.col("label") == 3,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(label), EqualTo(label,3)]" in plan or (
+        "EqualTo(label,3)" in plan
+    ), "label predicate not pushed to the parquet reader"
+    rows = got.collect()
+    labels = {
+        r["label"]
+        for r in e.join(
+            spark.createDataFrame(
+                [(r.neighbor_id,) for r in rows], "vec_id long"
+            ),
+            "vec_id",
+        ).select("label").collect()
+    }
+    assert labels == {3}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())

@@ -71,6 +71,7 @@ VECTORIZED_PYTHON_OK = {
     "sim22_shippable_ann",  # with_ivf_cell + with_pq_code batch matmuls
     "warc03_crawl_encodings",  # gzip_bytes fixture + decode_payload
     "sim23_persisted_ivfpq_probe",  # index build's batch matmul encoders
+    "sim24_filtered_persisted_ann",  # same index build path, filtered probe
     "warc02_html_extraction",  # WARC archive-bytes record parse batches
 }
 
