@@ -1649,6 +1649,40 @@ class TestRound8SpecFills:
             ("urn:c:3", "N7", "BUILDING"),
         ]
 
+    def test_values_join_merges_optional_unbound_with_bound_cell(self, spark):
+        """The OTHER side of compatibility: a solution whose var is
+        unbound (OPTIONAL miss) is compatible with a BOUND VALUES
+        cell, and the merged solution takes the VALUES value (spec
+        solution merge) — plain equi-join semantics would drop it."""
+        rows = [
+            ("urn:p:1", "urn:ex:name", "ann"),
+            ("urn:p:2", "urn:ex:name", "bob"),
+            ("urn:p:1", "urn:ex:tag", "vip"),
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            store,
+            """
+            SELECT ?n ?t WHERE {
+              ?x ex:name ?n .
+              OPTIONAL { ?x ex:tag ?t }
+              VALUES (?t) { ("vip") (UNDEF) }
+            } ORDER BY ?n ?t
+            """,
+        ).collect()
+        # ann: t bound 'vip' -> compatible with BOTH rows (equal /
+        # undef) -> twice. bob: t unbound -> compatible with both; the
+        # ("vip") row MERGES t:='vip' into the solution, the (UNDEF)
+        # row leaves it unbound.
+        assert [tuple(r) for r in got] == [
+            ("ann", "vip"),
+            ("ann", "vip"),
+            ("bob", None),
+            ("bob", "vip"),
+        ]
+
     def test_values_undef_binds_fresh_var_unbound(self, spark):
         """A fresh var introduced only by VALUES stays unbound (NULL)
         in the rows whose cell is UNDEF."""
