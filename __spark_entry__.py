@@ -12851,11 +12851,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # warc02 HTML extraction — positions 1-4), then the r04-stamped
     # block (oldest attestation, heavily refactored since r04) fills
     # 5-50 (j06 head through t05_urn_rewrite, 46 rows).
-    # r11 rotation (staged below the window, in order): new round-10
-    # additions go contiguously first (never stamped), then the four
-    # remaining r04-stamped rows (t06/t07/t08/t10), then the r05 block,
-    # then the two r06 blocks, then the r08-stamped rows, then the
-    # r09-stamped rows (freshest) last — r11 takes the first 50 in
+    # r11 rotation (staged below the window, in order): the seven
+    # never-stamped round-10 additions go first (sim22 shippable ANN,
+    # warc03 mixed encodings, llm24 crawl->training funnel, sim23
+    # persisted IVF+PQ, sp42 VALUES UNDEF, mm08 shot keyframes, sim24
+    # filtered persisted ANN), then the four remaining r04-stamped
+    # rows (t06/t07/t08/t10), then the r05 block fills the window;
+    # the two r06 blocks, the r08-stamped rows, and the r09-stamped
+    # rows (freshest) follow for r12+ — r11 takes the first 50 in
     # registry order.
     # --- never driver-stamped round-9 late adds (1-4) ---
     "s16_crawl_ingest": s16_crawl_ingest,
