@@ -88,6 +88,13 @@ SHOWCASE = [
     ("dq06_fd_audit", "FD audit: per-candidate groupBy with partial aggregation — shuffle bounded by distinct lhs"),
     ("warc01_crawl_curation", "WARC ingest: file-parallel archive scan, payload consumed inside the scan projection, one bounded aggregate"),
     ("sim21_incremental_index_probe", "streaming-maintained IVF index probe: ivf_cell PartitionFilters prune across epoch directories"),
+    # round 10
+    ("sim23_persisted_ivfpq_probe", "persisted IVF+PQ probe: codes-only ADC ReadSchema (8-byte __pq, floats unread), ivf_cell PartitionFilters, shortlist-bounded wide fetch"),
+    ("sim24_filtered_persisted_ann", "filtered persisted ANN: label predicate in PushedFilters of the codes scan — partition+predicate+column pruning in one plan"),
+    ("llm24_crawl_training_pipeline", "crawl->training funnel: ONE archive scan, fp + source windows of narrow rows, one final aggregate"),
+    ("warc03_crawl_encodings", "mixed-encoding ingest: archive scan + vectorized decode boundary, per-(source, transport) aggregate"),
+    ("sp42_values_undef", "SPARQL VALUES UNDEF: broadcast nested-loop compatibility join over the inline side — bounded, no shuffle"),
+    ("mm08_shot_keyframes", "shot keyframes: decode batches die in the scan; two 4-row windows + one aggregate over (media, frame, gm) rows"),
 ]
 
 
