@@ -6321,7 +6321,9 @@ def mm08_shot_keyframes(spark, sf_dir):
         for pdf in batches:
             payloads = []
             for text in pdf["text"]:
-                raw = text.encode("utf-8")
+                # NULL text renders as the all-zero video (oracle arm:
+                # coalesce(text, '') -> n=0 -> b=0) — the warc02 rule
+                raw = (text or "").encode("utf-8")
                 total = 4 * 96
                 reps = -(-total // max(len(raw), 1))
                 buf = (raw * reps + b"\x00" * total)[:total]
@@ -6394,7 +6396,8 @@ def mm08_shot_keyframes(spark, sf_dir):
 def _sql_mm08():
     return """
     WITH h AS (
-      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+             octet_length(encode(coalesce(text, ''))) AS n
       FROM documents),
     by_byte AS (
       SELECT doc_id, f, i,
@@ -8707,10 +8710,24 @@ def sim23_persisted_ivfpq_probe(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank", "cosine_sim")
 
 
-def _sql_sim23():
+def _sql_ivfpq_probe_replay(eligible_pred: str | None = None) -> str:
+    """Shared oracle for the persisted IVF+PQ probes (sim23/sim24):
+    both trainings unrolled, trained-cell probe, ADC shortlist, exact
+    re-score, top 5 — ONE replay so a tie/rounding-rule change cannot
+    silently diverge the two. ``eligible_pred`` (SQL over the
+    embeddings table, e.g. "label = 3") restricts candidates the way
+    sim24's candidate_filter pre-filters the codes scan."""
     m, k = _SIM22_M, _SIM22_K
     sub = 64 // m
     n_probe, shortlist = _SIM22_PROBE, _SIM22_SHORTLIST
+    if eligible_pred is None:
+        eligible_ctes = ""
+        eligible_join = ""
+    else:
+        eligible_ctes = f"""
+    eligible AS MATERIALIZED (
+      SELECT vec_id FROM embeddings WHERE {eligible_pred}),"""
+        eligible_join = "JOIN eligible el ON el.vec_id = cl.vec_id"
     return f"""
     WITH {_sql_lloyd_train_ctes(10)},
     {_sql_pq_train_ctes(10, m=m, k=k, sub=sub, include_e=False)},
@@ -8727,10 +8744,11 @@ def _sql_sim23():
       SELECT vec_id, c AS cell, rn FROM (
         SELECT vec_id, c, row_number() OVER (
           PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
-        FROM scored WHERE vec_id < 5) WHERE rn <= {n_probe}),
+        FROM scored WHERE vec_id < 5) WHERE rn <= {n_probe}),{eligible_ctes}
     cand AS MATERIALIZED (
       SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
       FROM pranks p JOIN cells cl USING (cell)
+      {eligible_join}
       WHERE cl.vec_id != p.vec_id),
     codes_t AS MATERIALIZED (
       SELECT vec_id, j, c FROM (
@@ -8775,6 +8793,10 @@ def _sql_sim23():
       JOIN norms cn ON cn.vec_id = sh.neighbor_id)
     WHERE rank <= 5 ORDER BY query_id, rank
     """
+
+
+def _sql_sim23():
+    return _sql_ivfpq_probe_replay()
 
 
 def sim24_filtered_persisted_ann(spark, sf_dir):
@@ -8825,77 +8847,7 @@ def sim24_filtered_persisted_ann(spark, sf_dir):
 
 
 def _sql_sim24():
-    m, k = _SIM22_M, _SIM22_K
-    sub = 64 // m
-    n_probe, shortlist = _SIM22_PROBE, _SIM22_SHORTLIST
-    return f"""
-    WITH {_sql_lloyd_train_ctes(10)},
-    {_sql_pq_train_ctes(10, m=m, k=k, sub=sub, include_e=False)},
-    norms AS MATERIALIZED (
-      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-    scored AS MATERIALIZED (
-      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
-    cells AS MATERIALIZED (
-      SELECT vec_id, c AS cell FROM (
-        SELECT vec_id, c, row_number() OVER (
-          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
-        FROM scored) WHERE rn = 1),
-    pranks AS MATERIALIZED (
-      SELECT vec_id, c AS cell, rn FROM (
-        SELECT vec_id, c, row_number() OVER (
-          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
-        FROM scored WHERE vec_id < 5) WHERE rn <= {n_probe}),
-    eligible AS MATERIALIZED (
-      SELECT vec_id FROM embeddings WHERE label = 3),
-    cand AS MATERIALIZED (
-      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
-      FROM pranks p JOIN cells cl USING (cell)
-      JOIN eligible el ON el.vec_id = cl.vec_id
-      WHERE cl.vec_id != p.vec_id),
-    codes_t AS MATERIALIZED (
-      SELECT vec_id, j, c FROM (
-        SELECT vec_id, j, c, row_number() OVER (
-          PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
-        FROM (
-          SELECT vec_id, j, c,
-                 -2 * list_dot_product(
-                   list_slice(v, j * {sub} + 1, (j + 1) * {sub}), cent)
-                   + list_dot_product(cent, cent) AS d
-          FROM e, cbT)) WHERE rn = 1),
-    rv_t AS MATERIALIZED (
-      SELECT codes.vec_id, flatten(list(cent ORDER BY codes.j)) AS rv
-      FROM codes_t codes JOIN cbT USING (j, c)
-      GROUP BY codes.vec_id),
-    short AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT a.query_id, a.neighbor_id, row_number() OVER (
-          PARTITION BY a.query_id
-          ORDER BY a.approx_d2 ASC, a.neighbor_id ASC) AS rn1
-        FROM (
-          SELECT cand.query_id, cand.neighbor_id,
-                 round(list_dot_product(q.v, q.v)
-                       - 2 * list_dot_product(q.v, r.rv)
-                       + list_dot_product(r.rv, r.rv), 6) AS approx_d2
-          FROM cand
-          JOIN e q ON q.vec_id = cand.query_id
-          JOIN rv_t r ON r.vec_id = cand.neighbor_id) a)
-      WHERE rn1 <= {shortlist})
-    SELECT query_id, neighbor_id, rank, cosine_sim FROM (
-      SELECT sh.query_id, sh.neighbor_id,
-             round(CASE WHEN qn.nrm * cn.nrm > 0
-                   THEN list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)
-                   ELSE 0 END, 6) AS cosine_sim,
-             row_number() OVER (
-               PARTITION BY sh.query_id
-               ORDER BY round(CASE WHEN qn.nrm * cn.nrm > 0
-                     THEN list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)
-                     ELSE 0 END, 6) DESC, sh.neighbor_id ASC) AS rank
-      FROM short sh
-      JOIN norms qn ON qn.vec_id = sh.query_id
-      JOIN norms cn ON cn.vec_id = sh.neighbor_id)
-    WHERE rank <= 5 ORDER BY query_id, rank
-    """
-
+    return _sql_ivfpq_probe_replay("label = 3")
 
 def sim21_incremental_index_probe(spark, sf_dir):
     """Streaming index maintenance under the driver gate (round 9):

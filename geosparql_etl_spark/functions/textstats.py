@@ -492,7 +492,14 @@ def decode_payload(
                 continue
             b = bytes(payload_b)
             if cenc is not None and cenc.strip().lower() == "gzip":
-                b = _gz.decompress(b)
+                try:
+                    b = _gz.decompress(b)
+                except (OSError, EOFError):
+                    # corrupt/truncated gzip (real CommonCrawl has
+                    # them): degrade to the raw bytes — the same
+                    # degrade-not-fail rule as the charset fallback,
+                    # a bad record must not kill the scan
+                    pass
             m = _re.search(r"charset=([\w.\-]+)", ctype or "", _re.I)
             cs = m.group(1).lower() if m else "utf-8"
             try:

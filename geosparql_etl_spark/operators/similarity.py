@@ -442,15 +442,10 @@ def ivf_index_pq_topk(
     code_scan = code_scan.select(
         "neighbor_id", "__pq", F.col("ivf_cell").alias("__cell")
     )
-    parts = []
-    for j in range(m):
-        lut = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in books[j]]
-        )
-        parts.append(
-            F.element_at(lut, unpack_pq_code(F.col("__pq"), j, m, k) + 1)
-        )
-    rv = F.concat(*parts)
+    rv = pq_reconstruct(
+        None, dim, m, k, codebooks=books,
+        code_at=lambda j: unpack_pq_code(F.col("__pq"), j, m, k),
+    )
     cand = code_scan.join(F.broadcast(qb), "__cell").where(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -492,22 +487,7 @@ def ivf_index_pq_topk(
         F.broadcast(short.select("query_id", "neighbor_id", "__qv", "__qn")),
         "neighbor_id",
     )
-    denom = F.col("__qn") * F.col("__cn")
-    exact = fetched.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
-            .otherwise(F.lit(0.0)),
-            6,
-        ).alias("cosine_sim"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return exact.withColumn("rank", F.row_number().over(w2)).where(
-        F.col("rank") <= kq
-    )
+    return _exact_cosine_topk(fetched, kq, dim)
 
 
 def ivf_index_topk(
@@ -1067,22 +1047,31 @@ def with_pq_code(
 
 
 def pq_reconstruct(
-    code_col: Column,
+    code_col: Column | None,
     dim: int = 64,
     m: int = 8,
     k: int = 16,
     codebooks: list[list[list[float]]] | None = None,
+    code_at=None,
 ) -> Column:
     """Decode a PQ code to its approximate vector: per-subspace
     codebook lookup (literal arrays, pure native expressions) +
-    concat. Lives JVM-side so downstream scoring stays in codegen."""
+    concat. Lives JVM-side so downstream scoring stays in codegen.
+
+    ``code_at`` overrides how subspace j's code is read — the
+    array-column accessor by default, a shift/mask over a
+    pack_pq_code BIGINT for the persisted layout (ivf_index_pq_topk).
+    """
     books = codebooks if codebooks is not None else _pq_codebooks(dim, m, k)
+    if code_at is None:
+        def code_at(j):  # noqa: E306
+            return F.element_at(code_col, j + 1)
     parts = []
     for j in range(m):
         lut = F.array(
             *[F.array(*[F.lit(float(v)) for v in c]) for c in books[j]]
         )
-        parts.append(F.element_at(lut, F.element_at(code_col, j + 1) + 1))
+        parts.append(F.element_at(lut, code_at(j) + 1))
     return F.concat(*parts)
 
 
@@ -1135,6 +1124,30 @@ def pq_topk(
         F.asc("approx_d2"), F.asc("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= kq
+    )
+
+
+def _exact_cosine_topk(cands: DataFrame, kq: int, dim: int) -> DataFrame:
+    """Shared verify stage of the composed ANN paths: exact rounded
+    cosine over (query_id, neighbor_id, __qv, __qn, __cv, __cn)
+    candidate rows, per-query top ``kq`` with the id tie-break. Lives
+    in ONE place because sim23 pins the persisted and in-memory paths
+    EXACTLY equal — a rounding/tie change must hit both at once."""
+    denom = F.col("__qn") * F.col("__cn")
+    exact = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= kq
     )
 
@@ -1237,22 +1250,7 @@ def ivf_pq_topk(
     short = approx.withColumn("__rn1", F.row_number().over(w1)).where(
         F.col("__rn1") <= shortlist
     )
-    denom = F.col("__qn") * F.col("__cn")
-    exact = short.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
-            .otherwise(F.lit(0.0)),
-            6,
-        ).alias("cosine_sim"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return exact.withColumn("rank", F.row_number().over(w2)).where(
-        F.col("rank") <= kq
-    )
+    return _exact_cosine_topk(short, kq, dim)
 
 
 # --- IVF training: Lloyd refinement ------------------------------------------

@@ -406,6 +406,12 @@ class TripleStore:
         grid rewrite actually fires) and memoized — process-wide when
         ``stats_key`` marks the backing data immutable, per-instance
         otherwise."""
+        if not getattr(self, "shape_stats_enabled", True):
+            # mutable backing data (live lake stores): a memoized
+            # shape could go stale after appends and silently prune a
+            # now-reachable arm — unknown domain keeps every arm,
+            # which is always sound
+            return None
         if self.stats_key is not None:
             memo, key = _PRED_SHAPE_STATS, (self.stats_key, pred)
         else:
@@ -592,6 +598,10 @@ class NTriplesLakeStore(TripleStore):
     ``quad_lake=True`` reads a ``partitionBy("g")`` layout
     (``option("graphPartitions","true")``): the store carries ``g``
     and a constant GRAPH scope prunes whole graph directories."""
+
+    # the lake is LIVE (appends land between queries): memoized shape
+    # statistics could go stale and silently prune a reachable arm
+    shape_stats_enabled = False
 
     def __init__(
         self,

@@ -97,13 +97,17 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     accumulates one small parquet file per cell per epoch, and probe
     scans fan one task per file.
 
-    Two-phase: the compacted generation is written COMPLETELY to a
-    sibling temp directory while the live index keeps serving probes,
-    and only after that write succeeds is the old tree removed and the
-    temp renamed into place — a crash, write failure, or lost executor
-    mid-compaction leaves the original index untouched (the same
+    Two-phase with a recoverable swap: the compacted generation is
+    written COMPLETELY to a sibling temp directory while the live
+    index keeps serving probes; the swap then renames the live index
+    ASIDE (``.old``) before renaming the temp into place, and only
+    deletes ``.old`` last — so at every crash point a full copy of
+    the data exists on disk (write failure: live index untouched;
+    crash between the two renames: ``.old`` holds everything and the
+    next call's recovery preamble restores it; crash before the final
+    cleanup: the live index is already the new generation). Same
     old-generation-deleted-only-at-commit discipline as the ntriples
-    two-phase-commit writer behind compact_quad_lake). Cell
+    two-phase-commit writer behind compact_quad_lake. Cell
     assignments are NOT recomputed (rows keep the ivf_cell they were
     ingested with — compaction must never move a vector between
     cells, or the index would disagree with a probe that already saw
@@ -112,6 +116,11 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     import shutil
 
     tmp_path = index_path.rstrip("/") + ".compact.tmp"
+    old_path = index_path.rstrip("/") + ".compact.old"
+    if not os.path.exists(index_path) and os.path.exists(old_path):
+        # recover from a crash between the two swap renames: the
+        # moved-aside generation is the only live copy — restore it
+        os.replace(old_path, index_path)
     shutil.rmtree(tmp_path, ignore_errors=True)
     df = spark.read.parquet(index_path).select(
         "neighbor_id", "__cv", "__cn", "ivf_cell"
@@ -120,5 +129,7 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         "ivf_cell"
     ).parquet(os.path.join(tmp_path, "epoch=base"))
     # commit point: the replacement generation is fully on disk
-    shutil.rmtree(index_path)
+    shutil.rmtree(old_path, ignore_errors=True)
+    os.replace(index_path, old_path)
     os.replace(tmp_path, index_path)
+    shutil.rmtree(old_path)

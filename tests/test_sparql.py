@@ -3502,3 +3502,27 @@ def test_predicate_shape_statistics_prune_store_side_arms(spark):
     op = df._jdf.queryExecution().optimizedPlan().toString()
     n_joins = len([ln for ln in op.splitlines() if "Join" in ln])
     assert n_joins == 1, f"stats should prune to 1 arm, got {n_joins}"
+
+
+def test_lake_store_shape_stats_disabled(spark, tmp_path):
+    """NTriplesLakeStore's backing data is LIVE (appends land between
+    queries): predicate_object_shape must return unknown (both arms
+    kept — always sound) instead of memoizing a stale domain."""
+    from geosparql_etl_spark.sources.ntriples import register
+    from geosparql_etl_spark.sparql.triples import (
+        NTriplesLakeStore,
+        to_ntriples_rows,
+    )
+
+    register(spark)
+    rows = spark.createDataFrame(
+        [("urn:z:1", "urn:ex:zone", "POLYGON((0 0, 2 0, 0 2, 0 0))")],
+        "s string, p string, o string",
+    )
+    path = str(tmp_path / "lake")
+    to_ntriples_rows(rows).write.format("ntriples").mode(
+        "overwrite"
+    ).save(path)
+    store = NTriplesLakeStore(spark, path)
+    assert store.shape_stats_enabled is False
+    assert store.predicate_object_shape("urn:ex:zone") is None

@@ -838,3 +838,36 @@ def test_ivf_compaction_failure_leaves_index_intact(
     monkeypatch.undo()
     # the live index is untouched and still fully readable
     assert spark.read.parquet(index).count() == n_before
+
+
+def test_ivf_compaction_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
+    """The swap's crash window (index moved aside, replacement not yet
+    renamed in): the next compaction call must RESTORE the moved-aside
+    generation instead of deleting the only surviving copy."""
+    import os
+    import shutil
+
+    from geosparql_etl_spark.operators.similarity import (
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=1, memo_key=None
+    )
+    index = str(tmp_path / "index")
+    write_ivf_index(
+        e.where(F.col("vec_id") < 100), index, dim=64, n_cells=16,
+        centroids=trained, epoch="base",
+    )
+    n = spark.read.parquet(index).count()
+    # simulate a crash between the two swap renames: the live index
+    # directory is gone, everything survives only in .compact.old
+    os.replace(index, index + ".compact.old")
+    assert not os.path.exists(index)
+    compact_ivf_index(spark, index)
+    assert spark.read.parquet(index).count() == n
+    assert not os.path.exists(index + ".compact.old")
+    assert not os.path.exists(index + ".compact.tmp")

@@ -370,3 +370,34 @@ def test_content_encoding_header_roundtrips(warc_spark, tmp_path):
         for r in warc_spark.read.format("warc").load(p).collect()
     }
     assert rows == {"urn:e:1": "gzip", "urn:e:2": None}
+
+
+def test_decode_payload_degrades_on_corrupt_gzip(warc_spark):
+    """A truncated/corrupt gzip payload must not kill the scan: the
+    decode degrades to the raw bytes (same rule as the charset
+    fallback) instead of raising through the task."""
+    import gzip as _gzip
+    import io as _io
+
+    from geosparql_etl_spark.functions.textstats import decode_payload
+
+    buf = _io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as fh:
+        fh.write(b"hello world, a real payload")
+    truncated = buf.getvalue()[: len(buf.getvalue()) // 2]
+    df = warc_spark.createDataFrame(
+        [("bad", truncated, "text/plain; charset=utf-8", "gzip"),
+         ("junk", b"\x01\x02\x03", "text/plain", "gzip")],
+        "name string, payload binary, ct string, ce string",
+    )
+    got = {
+        r["name"]: r["t"]
+        for r in df.select(
+            "name",
+            decode_payload(F.col("payload"), F.col("ct"), F.col("ce"))
+            .alias("t"),
+        ).collect()
+    }
+    # degraded, not dead: raw bytes decoded via the latin-1 fallback
+    assert got["bad"] == truncated.decode("latin-1")
+    assert got["junk"] == b"\x01\x02\x03".decode("latin-1")
