@@ -2317,6 +2317,109 @@ def _sql_d03():
     """
 
 
+def d18_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style SEMANTIC deduplication (round 10; Abbas et al.
+    2023 — the modern embedding-space dedup the big pretraining
+    pipelines run after exact/fuzzy text dedup): cluster the corpus
+    with the TRAINED coarse quantizer (the same memoized lloyd_train
+    cells the ANN family probes), compute pairwise cosine only WITHIN
+    each cluster, and drop every item that has a LOWER-id same-cluster
+    neighbor above the similarity threshold (deterministic keeper
+    rule). Output is row-level: (vec_id, ivf_cell, max_lower_cos,
+    is_kept) — max_lower_cos NULL when no lower-id neighbor exists,
+    rounded before the threshold compare so both engines decide
+    boundaries identically.
+
+    The 100 TB design point IS the clustering: SemDeDup's insight is
+    that near-semantic-duplicates share a cluster, so the pair
+    generation is one equi-join on the cell key with per-cell-bounded
+    fan-out (corpus/cells items per cell), never corpus^2 — exactly
+    the banded-LSH discipline (d07/sim02) with learned buckets. The
+    oracle replays training and the within-cell pair scan in SQL.
+    At sf0.01 the 0.35 threshold drops a measured 15 of 500 items
+    (78 within-cell pairs clear it)."""
+    from geosparql_etl_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        lloyd_train,
+        with_ivf_cell,
+    )
+
+    t = 0.35
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    c = with_ivf_cell(
+        e, "embedding", 64, 16, centroids=trained
+    ).select("vec_id", "embedding", "ivf_cell")
+    a = c.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+        "ivf_cell",
+    )
+    b = c.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+        "ivf_cell",
+    )
+    denom = l2_norm(F.col("va"), 64) * l2_norm(F.col("vb"), 64)
+    rc = F.round(
+        F.when(denom > 0, dot(F.col("va"), F.col("vb"), 64) / denom)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    lower = (
+        a.join(b, "ivf_cell")
+        .where(F.col("ib") < F.col("ia"))
+        .select(F.col("ia").alias("vec_id"), rc.alias("rc"))
+        .groupBy("vec_id")
+        .agg(F.max("rc").alias("max_lower_cos"))
+    )
+    return (
+        c.join(lower, "vec_id", "left")
+        .select(
+            "vec_id",
+            "ivf_cell",
+            "max_lower_cos",
+            (
+                F.col("max_lower_cos").isNull()
+                | (F.col("max_lower_cos") < t)
+            ).alias("is_kept"),
+        )
+    )
+
+
+def _sql_d18():
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    scored AS MATERIALIZED (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    lower_max AS (
+      SELECT a.vec_id,
+             max(round(CASE WHEN sqrt(list_dot_product(ea.v, ea.v))
+                                 * sqrt(list_dot_product(eb.v, eb.v)) > 0
+                   THEN list_dot_product(ea.v, eb.v)
+                        / (sqrt(list_dot_product(ea.v, ea.v))
+                           * sqrt(list_dot_product(eb.v, eb.v)))
+                   ELSE 0 END, 6)) AS max_lower_cos
+      FROM cells a JOIN cells b ON a.cell = b.cell
+                               AND b.vec_id < a.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      GROUP BY a.vec_id)
+    SELECT c.vec_id, c.cell AS ivf_cell, lm.max_lower_cos,
+           (lm.max_lower_cos IS NULL OR lm.max_lower_cos < 0.35)
+             AS is_kept
+    FROM cells c LEFT JOIN lower_max lm ON lm.vec_id = c.vec_id
+    """
+
+
 def d17_minhash_error(spark, sf_dir):
     """MinHash estimator-quality report (round 8) — dq02's
     sketch-contract idea applied to MinHash: for every exact near-dup
@@ -12803,12 +12906,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # warc02 HTML extraction — positions 1-4), then the r04-stamped
     # block (oldest attestation, heavily refactored since r04) fills
     # 5-50 (j06 head through t05_urn_rewrite, 46 rows).
-    # r11 rotation (staged below the window, in order): the seven
+    # r11 rotation (staged below the window, in order): the eight
     # never-stamped round-10 additions go first (sim22 shippable ANN,
     # warc03 mixed encodings, llm24 crawl->training funnel, sim23
     # persisted IVF+PQ, sp42 VALUES UNDEF, mm08 shot keyframes, sim24
-    # filtered persisted ANN), then the four remaining r04-stamped
-    # rows (t06/t07/t08/t10), then the r05 block fills the window;
+    # filtered persisted ANN, d18 semantic dedup), then the four
+    # remaining r04-stamped rows (t06/t07/t08/t10), then the r05
+    # block fills the window;
     # the two r06 blocks, the r08-stamped rows, and the r09-stamped
     # rows (freshest) follow for r12+ — r11 takes the first 50 in
     # registry order.
@@ -12873,6 +12977,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp42_values_undef": sp42_values_undef,
     "mm08_shot_keyframes": mm08_shot_keyframes,
     "sim24_filtered_persisted_ann": sim24_filtered_persisted_ann,
+    "d18_semantic_dedup": d18_semantic_dedup,
     # --- r04-stamped remainder (oldest attestation after the window) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
@@ -13309,6 +13414,7 @@ _ORACLES: dict[str, str] = {
     "sp42_values_undef": _sql_sp42(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
+    "d18_semantic_dedup": _sql_d18(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),

@@ -72,6 +72,7 @@ VECTORIZED_PYTHON_OK = {
     "warc03_crawl_encodings",  # gzip_bytes fixture + decode_payload
     "sim23_persisted_ivfpq_probe",  # index build's batch matmul encoders
     "sim24_filtered_persisted_ann",  # same index build path, filtered probe
+    "d18_semantic_dedup",  # with_ivf_cell batch matmul clustering
     "warc02_html_extraction",  # WARC archive-bytes record parse batches
 }
 
