@@ -2420,6 +2420,117 @@ def _sql_d18():
     """
 
 
+def d19_incremental_semantic_dedup(spark, sf_dir):
+    """d18's INCREMENTAL twin — the form a crawl pipeline actually
+    runs: a NEW embedding batch (vec_id >= 250) dedups against the
+    PERSISTED corpus index (vec_id < 250, written cell-partitioned by
+    the trained quantizer) without ever rescanning the corpus as a
+    whole. Each new vector reads ONLY its own cell's directory
+    (partition filter from the batch's cell set — |batch| ints of
+    driver state, the ivf_index_topk discipline) and is a duplicate
+    if any indexed vector there reaches the 0.35 threshold. Embedding-
+    space llm06: the corpus-sized side is partition-pruned parquet,
+    the batch broadcasts, nothing corpus^2. The oracle replays
+    training, both memberships, and the same-cell pair scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        dot,
+        lloyd_train,
+        with_ivf_cell,
+        write_ivf_index,
+    )
+
+    t = 0.35
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_semdedup_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_ivf_index(
+        e.where(F.col("vec_id") < 250), idx, dim=64, n_cells=16,
+        centroids=trained,
+    )
+    nb = with_ivf_cell(
+        e.where(F.col("vec_id") >= 250), "embedding", 64, 16,
+        centroids=trained,
+    ).select(
+        "vec_id",
+        F.col("embedding").alias("__qv"),
+        F.col("ivf_cell").alias("__cell"),
+    )
+    cells = sorted(
+        r["__cell"] for r in nb.select("__cell").distinct().collect()
+    )
+    base = (
+        spark.read.parquet(idx)
+        .where(F.col("ivf_cell").isin(cells))
+        .select("neighbor_id", "__cv", "__cn",
+                F.col("ivf_cell").alias("__cell"))
+    )
+    denom = F.sqrt(dot(F.col("__qv"), F.col("__qv"), 64)) * F.col("__cn")
+    rc = F.round(
+        F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), 64) / denom)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    hits = (
+        base.join(F.broadcast(nb), "__cell")
+        .select("vec_id", rc.alias("rc"))
+        .groupBy("vec_id")
+        .agg(F.max("rc").alias("max_base_cos"))
+    )
+    return (
+        nb.select("vec_id", F.col("__cell").alias("ivf_cell"))
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "ivf_cell",
+            "max_base_cos",
+            (
+                F.col("max_base_cos").isNotNull()
+                & (F.col("max_base_cos") >= t)
+            ).alias("is_dup"),
+        )
+    )
+
+
+def _sql_d19():
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    scored AS MATERIALIZED (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    hits AS (
+      SELECT nb.vec_id,
+             max(round(CASE WHEN sqrt(list_dot_product(en.v, en.v))
+                                 * sqrt(list_dot_product(eb.v, eb.v)) > 0
+                   THEN list_dot_product(en.v, eb.v)
+                        / (sqrt(list_dot_product(en.v, en.v))
+                           * sqrt(list_dot_product(eb.v, eb.v)))
+                   ELSE 0 END, 6)) AS max_base_cos
+      FROM cells nb JOIN cells bs ON nb.cell = bs.cell
+                                 AND bs.vec_id < 250
+      JOIN e en ON en.vec_id = nb.vec_id
+      JOIN e eb ON eb.vec_id = bs.vec_id
+      WHERE nb.vec_id >= 250
+      GROUP BY nb.vec_id)
+    SELECT c.vec_id, c.cell AS ivf_cell, h.max_base_cos,
+           (h.max_base_cos IS NOT NULL AND h.max_base_cos >= 0.35)
+             AS is_dup
+    FROM cells c LEFT JOIN hits h ON h.vec_id = c.vec_id
+    WHERE c.vec_id >= 250
+    """
+
+
 def d17_minhash_error(spark, sf_dir):
     """MinHash estimator-quality report (round 8) — dq02's
     sketch-contract idea applied to MinHash: for every exact near-dup
@@ -12910,7 +13021,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never-stamped round-10 additions go first (sim22 shippable ANN,
     # warc03 mixed encodings, llm24 crawl->training funnel, sim23
     # persisted IVF+PQ, sp42 VALUES UNDEF, mm08 shot keyframes, sim24
-    # filtered persisted ANN, d18 semantic dedup), then the four
+    # filtered persisted ANN, d18/d19 semantic dedup), then the four
     # remaining r04-stamped rows (t06/t07/t08/t10), then the r05
     # block fills the window;
     # the two r06 blocks, the r08-stamped rows, and the r09-stamped
@@ -12978,6 +13089,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm08_shot_keyframes": mm08_shot_keyframes,
     "sim24_filtered_persisted_ann": sim24_filtered_persisted_ann,
     "d18_semantic_dedup": d18_semantic_dedup,
+    "d19_incremental_semantic_dedup": d19_incremental_semantic_dedup,
     # --- r04-stamped remainder (oldest attestation after the window) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
@@ -13415,6 +13527,7 @@ _ORACLES: dict[str, str] = {
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),
+    "d19_incremental_semantic_dedup": _sql_d19(),
     "a17_cumulative_uniques": _sql_a17(),
     "sp39_zone_overlap": _sql_sp39(),
     "sim17_label_purity": _sql_sim17(),
