@@ -13011,76 +13011,20 @@ def _sql_warc01():
 # file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver records correctness rows for the first 50 entries per
-    # round; order by verification need. Round-10 window: the four
-    # round-9 late adds that have never carried a driver stamp lead
-    # (s16 crawl ingest, sim20 trained PQ, sim21 incremental index,
-    # warc02 HTML extraction — positions 1-4), then the r04-stamped
-    # block (oldest attestation, heavily refactored since r04) fills
-    # 5-50 (j06 head through t05_urn_rewrite, 46 rows).
-    # r11 rotation (staged below the window, in order): the eight
-    # never-stamped round-10 additions go first (sim22 shippable ANN,
+    # round; order by verification need. Round-11 window: the nine
+    # never-stamped round-10 additions lead (sim22 shippable ANN,
     # warc03 mixed encodings, llm24 crawl->training funnel, sim23
     # persisted IVF+PQ, sp42 VALUES UNDEF, mm08 shot keyframes, sim24
-    # filtered persisted ANN, d18/d19 semantic dedup), then the four
-    # remaining r04-stamped rows (t06/t07/t08/t10), then the r05
-    # block fills the window;
-    # the two r06 blocks, the r08-stamped rows, and the r09-stamped
-    # rows (freshest) follow for r12+ — r11 takes the first 50 in
-    # registry order.
-    # --- never driver-stamped round-9 late adds (1-4) ---
-    "s16_crawl_ingest": s16_crawl_ingest,
-    "sim20_pq_training_gain": sim20_pq_training_gain,
-    "sim21_incremental_index_probe": sim21_incremental_index_probe,
-    "warc02_html_extraction": warc02_html_extraction,
-    # --- r04-stamped block, oldest attestation (5-50) ---
-    "j06_anti_join": j06_anti_join,
-    "j11_fuzzy_candidates": j11_fuzzy_candidates,
-    "q01_pricing_summary": q01_pricing_summary,
-    "j01_multikey_equijoin": j01_multikey_equijoin,
-    "j02_broadcast_lookup": j02_broadcast_lookup,
-    "j03_enrich_missing_flag": j03_enrich_missing_flag,
-    "j05_stem_join": j05_stem_join,
-    "j07_semi_join": j07_semi_join,
-    "j08_range_join": j08_range_join,
-    "j09_asof_join": j09_asof_join,
-    "a01_argmax_window": a01_argmax_window,
-    "a02_map_argmax": a02_map_argmax,
-    "a04_distinct_agg": a04_distinct_agg,
-    "a05_rate_metrics": a05_rate_metrics,
-    "a06_group_concat": a06_group_concat,
-    "a07_union_distinct": a07_union_distinct,
-    "a08_rollup": a08_rollup,
-    "a09_percentiles": a09_percentiles,
-    "p02_nested_defaults": p02_nested_defaults,
-    "p03_first_element": p03_first_element,
-    "p04_map_prefix_filter": p04_map_prefix_filter,
-    "p05_empty_geometry_filter": p05_empty_geometry_filter,
-    "p06_membership_filter": p06_membership_filter,
-    "p07_annotation_predicate": p07_annotation_predicate,
-    "p08_structured_string_predicate": p08_structured_string_predicate,
-    "p09_ledger_resume": p09_ledger_resume,
-    "p11_start_from": p11_start_from,
-    "p12_line_filter": p12_line_filter,
-    "p13_regex_exists": p13_regex_exists,
-    "w01_batch_window": w01_batch_window,
-    "w03_sort_offset": w03_sort_offset,
-    "g01_polygon_wkt": g01_polygon_wkt,
-    "g02_parse_polygon": g02_parse_polygon,
-    "g03_denormalized_wkt": g03_denormalized_wkt,
-    "g06_geometry_measures": g06_geometry_measures,
-    "g09_validity": g09_validity,
-    "g12_safe_wkt": g12_safe_wkt,
-    "g13_image_bbox": g13_image_bbox,
-    "g14_zorder_key": g14_zorder_key,
-    "g15_spatial_join": g15_spatial_join,
-    "h01_sha256": h01_sha256,
-    "t01_image_id": t01_image_id,
-    "t02_patch_metadata": t02_patch_metadata,
-    "t03_prefix_ops": t03_prefix_ops,
-    "t04_regex_extract": t04_regex_extract,
-    "t05_urn_rewrite": t05_urn_rewrite,
-    # --- below the window: new round-10 additions go HERE
-    # (contiguous, never stamped) so the r11 rotation is mechanical ---
+    # filtered persisted ANN, d18/d19 semantic dedup — positions 1-9),
+    # then the four remaining r04-stamped rows (t06/t07/t08/t10,
+    # positions 10-13), then the r05-stamped block (oldest remaining
+    # attestation) fills 14-50 (j13 head, s05_attribution_join at 50).
+    # r12 rotation (staged below the window, in order): new round-11
+    # additions first (contiguous, never stamped), then the r05
+    # remainder (s06..sim06), the two r06 blocks, the r08 block, the
+    # r09 block, and the r10-stamped rows (freshest) last — r12 takes
+    # the first 50 in registry order.
+    # --- never driver-stamped round-10 additions (1-9) ---
     "sim22_shippable_ann": sim22_shippable_ann,
     "warc03_crawl_encodings": warc03_crawl_encodings,
     "llm24_crawl_training_pipeline": llm24_crawl_training_pipeline,
@@ -13090,12 +13034,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim24_filtered_persisted_ann": sim24_filtered_persisted_ann,
     "d18_semantic_dedup": d18_semantic_dedup,
     "d19_incremental_semantic_dedup": d19_incremental_semantic_dedup,
-    # --- r04-stamped remainder (oldest attestation after the window) ---
+    # --- r04-stamped remainder, oldest attestation (10-13) ---
     "t06_conditional_insert": t06_conditional_insert,
     "t07_format_string": t07_format_string,
     "t08_iso_timestamp": t08_iso_timestamp,
     "t10_to_json": t10_to_json,
-    # --- r05-stamped block ---
+    # --- r05-stamped block, oldest remaining attestation (14-50) ---
     "j13_scd2_intervals": j13_scd2_intervals,
     "j14_pit_join": j14_pit_join,
     "a14_corr_stats": a14_corr_stats,
@@ -13133,6 +13077,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_pivot": a10_pivot,
     "s04_session_window_native": s04_session_window_native,
     "s05_attribution_join": s05_attribution_join,
+    # --- below the window: new round-11 additions go HERE
+    # (contiguous, never stamped) so the r12 rotation is mechanical ---
+    # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
     "txt09_normalize": txt09_normalize,
@@ -13143,7 +13090,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- r06-stamped (round-5 additions) ---
+    # --- r06-stamped blocks, r08 block, r09 block (r12 order) ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
@@ -13171,7 +13118,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g17_distance_join": g17_distance_join,
     "dq04_fk_audit": dq04_fk_audit,
     "txt17_readability": txt17_readability,
-    # --- r06-stamped (r03-era rows re-attested in r06) ---
     "sim07_vector_stats": sim07_vector_stats,
     "llm05_decontaminate": llm05_decontaminate,
     "s01_tumbling_window": s01_tumbling_window,
@@ -13192,7 +13138,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d02_fingerprint": d02_fingerprint,
     "d03_minhash_signature": d03_minhash_signature,
     "d04_ngram_jaccard": d04_ngram_jaccard,
-    # --- r08-stamped (freshest; r10 reaches these last) ---
     "sp17_bind_bucket": sp17_bind_bucket,
     "sp18_select_expressions": sp18_select_expressions,
     "sp19_star_closure": sp19_star_closure,
@@ -13242,7 +13187,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q02_shipping_priority": q02_shipping_priority,
     "q03_local_supplier_volume": q03_local_supplier_volume,
     "j12_snapshot_diff": j12_snapshot_diff,
-    # --- r09-stamped (freshest; r11 reaches these last) ---
     "sp25_insert_data": sp25_insert_data,
     "sp26_spatial_pairs": sp26_spatial_pairs,
     "sp27_bounded_path": sp27_bounded_path,
@@ -13293,6 +13237,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc01_crawl_curation": warc01_crawl_curation,
     "sp41_quad_lake_rollup": sp41_quad_lake_rollup,
     "sim19_probe_sweep": sim19_probe_sweep,
+    # --- r10-stamped rows (freshest; r12+ reaches these last) ---
+    "s16_crawl_ingest": s16_crawl_ingest,
+    "sim20_pq_training_gain": sim20_pq_training_gain,
+    "sim21_incremental_index_probe": sim21_incremental_index_probe,
+    "warc02_html_extraction": warc02_html_extraction,
+    "j06_anti_join": j06_anti_join,
+    "j11_fuzzy_candidates": j11_fuzzy_candidates,
+    "q01_pricing_summary": q01_pricing_summary,
+    "j01_multikey_equijoin": j01_multikey_equijoin,
+    "j02_broadcast_lookup": j02_broadcast_lookup,
+    "j03_enrich_missing_flag": j03_enrich_missing_flag,
+    "j05_stem_join": j05_stem_join,
+    "j07_semi_join": j07_semi_join,
+    "j08_range_join": j08_range_join,
+    "j09_asof_join": j09_asof_join,
+    "a01_argmax_window": a01_argmax_window,
+    "a02_map_argmax": a02_map_argmax,
+    "a04_distinct_agg": a04_distinct_agg,
+    "a05_rate_metrics": a05_rate_metrics,
+    "a06_group_concat": a06_group_concat,
+    "a07_union_distinct": a07_union_distinct,
+    "a08_rollup": a08_rollup,
+    "a09_percentiles": a09_percentiles,
+    "p02_nested_defaults": p02_nested_defaults,
+    "p03_first_element": p03_first_element,
+    "p04_map_prefix_filter": p04_map_prefix_filter,
+    "p05_empty_geometry_filter": p05_empty_geometry_filter,
+    "p06_membership_filter": p06_membership_filter,
+    "p07_annotation_predicate": p07_annotation_predicate,
+    "p08_structured_string_predicate": p08_structured_string_predicate,
+    "p09_ledger_resume": p09_ledger_resume,
+    "p11_start_from": p11_start_from,
+    "p12_line_filter": p12_line_filter,
+    "p13_regex_exists": p13_regex_exists,
+    "w01_batch_window": w01_batch_window,
+    "w03_sort_offset": w03_sort_offset,
+    "g01_polygon_wkt": g01_polygon_wkt,
+    "g02_parse_polygon": g02_parse_polygon,
+    "g03_denormalized_wkt": g03_denormalized_wkt,
+    "g06_geometry_measures": g06_geometry_measures,
+    "g09_validity": g09_validity,
+    "g12_safe_wkt": g12_safe_wkt,
+    "g13_image_bbox": g13_image_bbox,
+    "g14_zorder_key": g14_zorder_key,
+    "g15_spatial_join": g15_spatial_join,
+    "h01_sha256": h01_sha256,
+    "t01_image_id": t01_image_id,
+    "t02_patch_metadata": t02_patch_metadata,
+    "t03_prefix_ops": t03_prefix_ops,
+    "t04_regex_extract": t04_regex_extract,
+    "t05_urn_rewrite": t05_urn_rewrite,
 }
 
 _ORACLES: dict[str, str] = {

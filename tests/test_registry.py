@@ -18,26 +18,32 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert missing <= {"h02_file_hash"}, missing
 
 
-def test_round10_correctness_window_is_stable():
+def test_round11_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the r10 window: the four never-stamped round-9 late adds lead
-    # (s16/sim20/sim21/warc02 at 1-4), then the r04-stamped block
-    # (oldest attestation, heavily refactored since r04) fills 5-50:
-    # j06 head, t05_urn_rewrite at 50. Round-10 additions belong BELOW
-    # position 50, contiguously first (see the registry comment for
-    # the r11 rotation).
-    assert keys[0:4] == [
-        "s16_crawl_ingest",
-        "sim20_pq_training_gain",
-        "sim21_incremental_index_probe",
-        "warc02_html_extraction",
+    # the r11 window: the nine never-stamped round-10 additions lead
+    # (sim22..d19 at 1-9), then the four remaining r04-stamped rows
+    # (t06/t07/t08/t10 at 10-13), then the r05-stamped block fills
+    # 14-50: j13 head, s05_attribution_join at 50. Round-11 additions
+    # belong BELOW position 50, contiguously first (see the registry
+    # comment for the r12 rotation).
+    assert keys[0:9] == [
+        "sim22_shippable_ann",
+        "warc03_crawl_encodings",
+        "llm24_crawl_training_pipeline",
+        "sim23_persisted_ivfpq_probe",
+        "sp42_values_undef",
+        "mm08_shot_keyframes",
+        "sim24_filtered_persisted_ann",
+        "d18_semantic_dedup",
+        "d19_incremental_semantic_dedup",
     ]
-    assert keys[4] == "j06_anti_join"
-    assert keys[49] == "t05_urn_rewrite"
-    # below the window: new round-10 additions, then the four remaining
-    # r04-stamped rows head the post-window order
-    assert "t06_conditional_insert" in keys[50:60]
-    assert keys[-1] == "sim19_probe_sweep"
+    assert keys[9] == "t06_conditional_insert"
+    assert keys[13] == "j13_scd2_intervals"
+    assert keys[49] == "s05_attribution_join"
+    # below the window: the r05 remainder heads the post-window order
+    # (after any new round-11 additions), r10-stamped rows are last
+    assert "s06_stream_dedup_batch" in keys[50:60]
+    assert keys[-1] == "t05_urn_rewrite"
     assert len(keys) == len(set(keys))
 
 
