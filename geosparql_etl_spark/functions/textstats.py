@@ -491,7 +491,17 @@ def decode_payload(
                 out.append(None)
                 continue
             b = bytes(payload_b)
-            if cenc is not None and cenc.strip().lower() == "gzip":
+            # Content-Encoding is a comma-separated token list in the
+            # wild: real CommonCrawl carries "x-gzip" and compound
+            # values like "gzip, identity" — exact-match on "gzip"
+            # silently skipped decompression and degraded to latin-1
+            # mojibake of the COMPRESSED bytes (round-11 advice)
+            enc_tokens = (
+                {t.strip().lower() for t in cenc.split(",")}
+                if cenc is not None
+                else set()
+            )
+            if enc_tokens & {"gzip", "x-gzip"}:
                 try:
                     b = _gz.decompress(b)
                 except (OSError, EOFError):

@@ -121,6 +121,12 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         # recover from a crash between the two swap renames: the
         # moved-aside generation is the only live copy — restore it
         os.replace(old_path, index_path)
+    elif os.path.exists(old_path):
+        # crash AFTER the swap committed but before cleanup: the live
+        # index is already the new generation, the ``.old`` copy is
+        # stale — sweep it now rather than carrying it to the next
+        # compaction's commit phase
+        shutil.rmtree(old_path, ignore_errors=True)
     shutil.rmtree(tmp_path, ignore_errors=True)
     df = spark.read.parquet(index_path).select(
         "neighbor_id", "__cv", "__cn", "ivf_cell"
@@ -132,4 +138,7 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     shutil.rmtree(old_path, ignore_errors=True)
     os.replace(index_path, old_path)
     os.replace(tmp_path, index_path)
-    shutil.rmtree(old_path)
+    # post-commit cleanup: the compaction has already committed, so a
+    # transient FS error here must not raise out of a successful call
+    # (the preamble sweeps any leftover ``.old`` on the next run)
+    shutil.rmtree(old_path, ignore_errors=True)

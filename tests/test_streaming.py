@@ -800,6 +800,19 @@ def test_ivf_index_compaction_preserves_probe_answers(spark, sf_dir, tmp_path):
     assert answers() == before and len(before) == 25
     # two-phase: no temp generation left behind after the commit
     assert not os.path.exists(index.rstrip("/") + ".compact.tmp")
+    assert not os.path.exists(index.rstrip("/") + ".compact.old")
+
+    # crash AFTER commit but before cleanup leaves a stale .old copy;
+    # the next compaction's recovery preamble must sweep it (the live
+    # index is already the newer generation — restoring it would
+    # roll the index back)
+    import shutil
+
+    old = index.rstrip("/") + ".compact.old"
+    shutil.copytree(index, old)
+    compact_ivf_index(spark, index)
+    assert not os.path.exists(old)
+    assert answers() == before
 
 
 def test_ivf_compaction_failure_leaves_index_intact(

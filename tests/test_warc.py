@@ -310,6 +310,14 @@ def test_decode_payload_charsets_and_gzip(warc_spark):
         ("latin1", text.encode("iso-8859-1"),
          "text/html; charset=iso-8859-1", None),
         ("gzip", buf.getvalue(), "text/html; charset=utf-8", "gzip"),
+        # real CommonCrawl variants: the legacy x-gzip token and a
+        # compound token list must both trigger decompression
+        ("xgzip", buf.getvalue(), "text/html; charset=utf-8", "x-gzip"),
+        ("compound", buf.getvalue(), "text/html; charset=utf-8",
+         "gzip, identity"),
+        # identity alone must NOT attempt decompression
+        ("identity", text.encode("utf-8"),
+         "text/html; charset=utf-8", "identity"),
         # unknown charset label -> latin-1 fallback decodes the bytes
         ("fallback", "abc".encode("ascii"),
          "text/html; charset=no-such-cs", None),
@@ -332,6 +340,9 @@ def test_decode_payload_charsets_and_gzip(warc_spark):
     assert got["utf8"] == text
     assert got["latin1"] == text
     assert got["gzip"] == text
+    assert got["xgzip"] == text
+    assert got["compound"] == text
+    assert got["identity"] == text
     assert got["fallback"] == "abc"
     assert got["mislabeled"] == text.encode("iso-8859-1").decode("latin-1")
 
