@@ -12410,6 +12410,54 @@ def _sql_sp42():
     """
 
 
+def sp43_optional_rejoin(spark, sf_dir):
+    """Deviation D1 CLOSED (round 11) — the last spec-semantics gap:
+    an OPTIONAL-produced variable re-joined by a LATER group uses spec
+    18.3 COMPATIBILITY semantics (unbound matches anything, the merged
+    solution takes the bound side's value), not SQL NULL-equality.
+    ex:vip is SPARSE (acctbal > 9000 only, 153/1500 customers at
+    sf0.01): the non-vip majority leaves ?vip unbound, and the later
+    same-nation witness group re-joins it — under the old semantics
+    those 1347 customers silently vanished. The compiler tracks
+    maybe-unbound vars per frame and compiles this as a NULL-MASK
+    SPLIT: the bound arm equi-joins on (nation, vip), the unbound arm
+    equi-joins on (nation) alone — two pure shuffle-plannable
+    equi-joins unioned, no BroadcastNestedLoopJoin, which is what
+    makes the compatibility semantics viable at 100 TB (the compat
+    var rides the split, never a join condition)."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nname (COUNT(?c) AS ?n_pairs)
+               (COUNT(DISTINCT ?c) AS ?n_cust) WHERE {
+          ?c a ex:Customer . ?c ex:nation ?nt . ?nt ex:name ?nname .
+          OPTIONAL { ?c ex:vip ?vip }
+          ?w ex:vip ?vip . ?w ex:nation ?nt .
+        } GROUP BY ?nname ORDER BY ?nname
+        """,
+    )
+
+
+def _sql_sp43():
+    return """
+    WITH cust AS (
+      SELECT c.c_custkey AS cid, c.c_nationkey AS nk, n.n_name AS nname,
+             CASE WHEN c.c_acctbal > 9000 THEN 'true' END AS vip
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    wit AS (
+      SELECT c_custkey AS wid, c_nationkey AS nk, 'true' AS vip
+      FROM customer WHERE c_acctbal > 9000),
+    pairs AS (
+      SELECT c.nname, c.cid
+      FROM cust c JOIN wit w
+        ON c.nk = w.nk AND (c.vip IS NULL OR c.vip = w.vip))
+    SELECT nname, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT cid) AS BIGINT) AS n_cust
+    FROM pairs GROUP BY nname ORDER BY nname
+    """
+
+
 def s16_crawl_ingest(spark, sf_dir):
     """Batch analog of the streaming crawl ingest
     (streaming/crawl.py:run_crawl_ingest): WARC archives -> vectorized
@@ -13079,6 +13127,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s05_attribution_join": s05_attribution_join,
     # --- below the window: new round-11 additions go HERE
     # (contiguous, never stamped) so the r12 rotation is mechanical ---
+    "sp43_optional_rejoin": sp43_optional_rejoin,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -13519,6 +13568,7 @@ _ORACLES: dict[str, str] = {
     "llm24_crawl_training_pipeline": _sql_llm24(),
     "sim23_persisted_ivfpq_probe": _sql_sim23(),
     "sp42_values_undef": _sql_sp42(),
+    "sp43_optional_rejoin": _sql_sp43(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

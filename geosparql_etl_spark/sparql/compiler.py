@@ -89,13 +89,24 @@ reference, which has no query engine at all):
 
 Everything is Column expressions — no UDFs, no driver-side row loops.
 
-Documented deviation: joins between binding sets use SQL equality on
-the shared variables, so a row whose shared variable is UNBOUND (NULL
-from an OPTIONAL or a UNION branch) does not join — SPARQL's
-compatibility semantics would let an unbound variable match anything.
-The divergence arises only when an OPTIONAL/UNION-produced variable is
-re-joined by a LATER pattern group; the practical engines this design
-follows (and every query in the registry) stay outside that corner.
+Closed deviation (D1, round 11): joins between binding sets use spec
+18.3 COMPATIBILITY semantics whenever a shared variable can be UNBOUND
+(NULL from an OPTIONAL, a non-uniform UNION, a VALUES UNDEF cell, or a
+subquery projecting one of those). The compiler tracks maybe-unbound
+variables per frame (``_maybe_null_vars`` — set where NULLs are
+introduced, propagated through every frame transformation) and ``_join``
+switches those shared variables from equi-keys to
+either-side-unbound-or-equal conditions with a coalesced output. Inner
+joins take a NULL-MASK SPLIT (each arm a pure equi-join on the vars
+bound on both sides — scalable shuffle plans, no BNLJ) when the mask
+count is small, else a single condition join; frames whose shared vars
+are never-null keep the untouched equi-join fast path, so BGP plans are
+unaffected. MINUS/EXISTS over maybe-unbound shared vars apply the same
+compatibility test (MINUS with the spec's additional
+overlapping-domain requirement). Residual corner, out of scope: a
+BIND whose expression errors yields unbound per spec 10.1; the engine
+does not mark BIND outputs, so a later join of an error-NULL BIND var
+still uses SQL equality.
 
 Second documented deviation: ungrouped SUM over ZERO solutions is
 unbound here (and in DuckDB, the replay oracle), where spec 18.5.1.5
@@ -1240,6 +1251,36 @@ def _expr_vars(node, out: set | None = None) -> set:
     return out
 
 
+def _maybe_null_vars(df: DataFrame) -> frozenset:
+    """Variables of this frame that can be UNBOUND (NULL) — set where
+    NULLs enter a plan (OPTIONAL, non-uniform UNION, VALUES UNDEF) and
+    propagated through every frame transformation, so ``_join`` knows
+    when SQL equality would silently diverge from spec 18.3 solution
+    compatibility (deviation D1, closed round 11)."""
+    return getattr(df, "_sparql_maybe_null", frozenset())
+
+
+def _mark_maybe_null(df: DataFrame, vars_) -> DataFrame:
+    vs = frozenset(
+        v for v in vars_ if v in df.columns and not v.startswith("__")
+    )
+    cur = _maybe_null_vars(df)
+    if vs - cur:
+        df._sparql_maybe_null = cur | vs
+    return df
+
+
+def _propagate_mn(new_df: DataFrame, *sources, extra=()) -> DataFrame:
+    """Carry maybe-unbound marks from source frames onto a derived
+    frame (marks live on the DataFrame OBJECT, so every select/where/
+    withColumn would otherwise silently drop them)."""
+    vs = set(extra)
+    for s in sources:
+        if s is not None:
+            vs |= _maybe_null_vars(s)
+    return _mark_maybe_null(new_df, vs)
+
+
 def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataFrame:
     if left is None:
         return right
@@ -1251,13 +1292,127 @@ def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataF
     # position binding of that variable is NULL-metadata anyway.
     dup = [c for c in right.columns if c.startswith(_META_PREFIX) and c in left.columns]
     if dup:
-        right = right.drop(*dup)
+        right = _propagate_mn(right.drop(*dup), right)
     shared = sorted(set(left.columns) & set(right.columns))
+    mnl, mnr = _maybe_null_vars(left), _maybe_null_vars(right)
+    compat = [v for v in shared if v in mnl or v in mnr]
+    if shared and not compat:
+        # fast path: no shared var can be unbound — plain equi-join
+        # (every BGP join takes this path; D1 machinery costs nothing)
+        out = left.join(right, on=shared, how=how)
+        extra = (
+            set(right.columns) - set(left.columns) if how == "left" else ()
+        )
+        return _propagate_mn(out, left, right, extra=extra)
     if shared:
-        return left.join(right, on=shared, how=how)
+        return _compat_join(left, right, shared, compat, mnl, mnr, how)
     if how != "inner":
         raise ValueError("OPTIONAL group shares no variable with the outer group")
-    return left.crossJoin(right)
+    return _propagate_mn(left.crossJoin(right), left, right)
+
+
+def _compat_out_marks(left, right, shared, compat, mnl, mnr, how):
+    """Maybe-unbound set of a compatibility-join result: a coalesced
+    shared var stays nullable only if BOTH sides can be unbound (inner)
+    or the left side can (left join keeps unmatched left NULLs);
+    non-shared marks carry through; a left join adds right-only cols."""
+    marks = {v for v in (set(mnl) | set(mnr)) if v not in shared}
+    for v in compat:
+        if how == "left":
+            if v in mnl:
+                marks.add(v)
+        elif v in mnl and v in mnr:
+            marks.add(v)
+    if how == "left":
+        marks |= set(right.columns) - set(left.columns)
+    return marks
+
+
+def _compat_join(left, right, shared, compat, mnl, mnr, how):
+    """Spec 18.3 compatibility join: two solutions join when every
+    SHARED variable is equal or unbound on either side, and the merged
+    solution takes the bound side's value. For INNER joins with few
+    nullable vars this compiles to a NULL-MASK SPLIT — one arm per
+    (left-mask, right-mask) pair, each a pure EQUI-join on the vars
+    bound on both sides (shuffle-plannable at any scale; the all-
+    unbound arm is the product the spec defines). Left joins and wide
+    masks take a single condition join (equality conjuncts still plan
+    as hash/sort-merge keys; only the nullable vars ride as join
+    conditions)."""
+    lnull = [v for v in compat if v in mnl]
+    rnull = [v for v in compat if v in mnr]
+    marks = _compat_out_marks(left, right, shared, compat, mnl, mnr, how)
+    if how == "inner" and 2 ** (len(lnull) + len(rnull)) <= 8:
+        arms = []
+        l_masks = _mask_subsets(lnull)
+        r_masks = _mask_subsets(rnull)
+        for lm in l_masks:
+            l_arm = left
+            for v in lnull:
+                l_arm = l_arm.where(
+                    F.col(v).isNull() if v in lm else F.col(v).isNotNull()
+                )
+            for rm in r_masks:
+                r_arm = right
+                for v in rnull:
+                    r_arm = r_arm.where(
+                        F.col(v).isNull() if v in rm else F.col(v).isNotNull()
+                    )
+                dropped = set(lm) | set(rm)
+                keys = [v for v in shared if v not in dropped]
+                rr = r_arm
+                for v in dropped:
+                    if v in r_arm.columns:
+                        rr = rr.withColumnRenamed(v, f"__cj_{v}")
+                j = (
+                    l_arm.join(rr, on=keys)
+                    if keys
+                    else l_arm.crossJoin(rr)
+                )
+                sel = [
+                    F.coalesce(F.col(c), F.col(f"__cj_{c}")).alias(c)
+                    if c in dropped
+                    else F.col(c)
+                    for c in left.columns
+                ]
+                sel += [
+                    F.col(c)
+                    for c in right.columns
+                    if c not in set(left.columns)
+                ]
+                arms.append(j.select(*sel))
+        out = arms[0]
+        for a in arms[1:]:
+            out = out.unionByName(a)
+        return _mark_maybe_null(out, marks)
+    # condition-join path: rename shared cols on the right, join on a
+    # conjunction of equalities (still extracted as equi keys by the
+    # planner) and either-side-null-or-equal terms for nullable vars
+    rr = right
+    for v in shared:
+        rr = rr.withColumnRenamed(v, f"__cj_{v}")
+    cond = None
+    for v in shared:
+        lv, rv = F.col(v), F.col(f"__cj_{v}")
+        c = (lv.isNull() | rv.isNull() | (lv == rv)) if v in compat else (lv == rv)
+        cond = c if cond is None else cond & c
+    joined = left.join(rr, cond, how)
+    sel = [
+        F.coalesce(F.col(c), F.col(f"__cj_{c}")).alias(c)
+        if c in compat
+        else F.col(c)
+        for c in left.columns
+    ]
+    sel += [F.col(c) for c in rr.columns if not c.startswith("__cj_")]
+    return _mark_maybe_null(joined.select(*sel), marks)
+
+
+def _mask_subsets(vars_: list) -> list:
+    """All subsets of a (small) var list — the null-mask enumeration."""
+    out = [frozenset()]
+    for v in vars_:
+        out += [m | {v} for m in out]
+    return out
 
 
 _PLUS_MAX_ITERS = 24  # pointer doubling: covers path length 2^24
@@ -1581,6 +1736,79 @@ def _compile_bgp_components(store: TripleStore, patterns) -> list[DataFrame]:
     return comps
 
 
+def _apply_values_undef(spark, frames: list, vars_, rows, defer_ok: bool) -> bool:
+    """Compile VALUES with UNDEF cells: spec 18.2 solution
+    compatibility — an unbound cell matches anything and the merged
+    solution takes the bound side's value. Joins ONLY the frames that
+    share a VALUES variable (disconnected frames stay pending for the
+    FILTER-stage grid spatial rewrite); the VALUES side is
+    inline-tiny, so the compatibility conditions ride a broadcast
+    join, never a shuffle.
+
+    Returns False when ``defer_ok`` and a variable with an UNDEF cell
+    is not bound by any frame yet — compiling it then would
+    materialize a literal NULL column that a LATER pattern binding the
+    var would equi-join, silently dropping the spec-compatible rows
+    (the round-11 advice bug). The caller re-applies at group end; an
+    UNDEF var still unbound there materializes NULL and is MARKED
+    maybe-unbound, so any later join of the group's result applies
+    compatibility semantics (D1)."""
+    undef_vars = {
+        v for i, v in enumerate(vars_) if any(r[i] is None for r in rows)
+    }
+    bound = set().union(*(set(f.columns) for f in frames)) if frames else set()
+    sharing = [i for i, f in enumerate(frames) if set(f.columns) & set(vars_)]
+    if defer_ok and ((undef_vars - bound) or not sharing):
+        return False
+    schema = ", ".join(f"{v} string" for v in vars_)
+    vals = spark.createDataFrame(rows, schema)
+    if not sharing:
+        frames.append(_mark_maybe_null(vals, undef_vars))
+        return True
+    picked = [frames[i] for i in sharing]
+    for i in reversed(sharing):
+        frames.pop(i)
+    df = picked[0]
+    shared = [v for v in vars_ if v in df.columns]
+    fresh = [v for v in vars_ if v not in df.columns]
+    renamed = F.broadcast(
+        vals.select(*[F.col(v).alias(f"__val_{v}") for v in vars_])
+    )
+    cond = None
+    for v in shared:
+        c = (
+            F.col(f"__val_{v}").isNull()
+            | F.col(v).isNull()
+            | (F.col(f"__val_{v}") == F.col(v))
+        )
+        cond = c if cond is None else (cond & c)
+    joined = (
+        df.join(renamed, cond) if cond is not None else df.crossJoin(renamed)
+    )
+    out_cols = [
+        (
+            F.coalesce(F.col(v), F.col(f"__val_{v}")).alias(v)
+            if v in shared
+            else F.col(v)
+        )
+        for v in df.columns
+    ] + [F.col(f"__val_{v}").alias(v) for v in fresh]
+    out = joined.select(*out_cols)
+    # nullable bookkeeping: a coalesced shared var stays maybe-unbound
+    # only if BOTH sides can be null; a var with no UNDEF cell is now
+    # definitely bound (unmark); fresh UNDEF vars are maybe-unbound
+    carried = {v for v in _maybe_null_vars(df) if v not in shared}
+    marks = {v for v in shared if v in _maybe_null_vars(df) and v in undef_vars}
+    out = _mark_maybe_null(out, carried | marks | (set(fresh) & undef_vars))
+    # fold the remaining sharing frames back in: they bind VALUES vars
+    # the merged frame now carries, so _join applies equi or
+    # compatibility semantics per the marks
+    for f in picked[1:]:
+        out = _join(out, f)
+    frames.append(out)
+    return True
+
+
 def _compile_group(store: TripleStore, group: Group) -> DataFrame:
     """Compile one group graph pattern. The group's bindings live in
     ``frames`` — one DataFrame per connected component — so that two
@@ -1590,6 +1818,9 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
     (pre-round-8 semantics)."""
     frames: list[DataFrame] = []
     filters = []
+    # VALUES blocks with UNDEF cells whose vars no frame binds yet —
+    # compiled at group end (joins are order-independent, spec 18.5)
+    deferred_values: list = []
     # var -> statically provable WKT shape class of its BIND expression
     # (consumed by the grid sfIntersects rewrite to prune shape arms)
     static_shapes: dict[str, str] = {}
@@ -1625,6 +1856,13 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             merged = branches[0]
             for b in branches[1:]:
                 merged = merged.unionByName(b, allowMissingColumns=True)
+            # a var missing from ANY branch is NULL on that branch's
+            # rows — maybe-unbound for every later join (D1)
+            all_cols = set().union(*(set(b.columns) for b in branches))
+            common = set.intersection(*(set(b.columns) for b in branches))
+            merged = _propagate_mn(
+                merged, *branches, extra=all_cols - common
+            )
             frames.append(merged)
             _merge_connected(frames)
         elif kind == "optional":
@@ -1681,7 +1919,13 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 *[F.col(f"__optL.{c}").alias(c) for c in left_cols]
             )
             frames[:] = [
-                matched.unionByName(unmatched, allowMissingColumns=True)
+                _propagate_mn(
+                    matched.unionByName(unmatched, allowMissingColumns=True),
+                    df,
+                    inner,
+                    # optional-only vars are NULL on the unmatched arm
+                    extra=set(inner.columns) - set(left_cols),
+                )
             ]
         elif kind in ("minus", "exists", "notexists"):
             inner = _compile_group(store, payload[0])
@@ -1703,7 +1947,32 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                     "group (unsupported)"
                 )
             how = "left_semi" if kind == "exists" else "left_anti"
-            frames[:] = [df.join(inner, on=shared, how=how)]
+            nullable = [
+                c
+                for c in shared
+                if c in _maybe_null_vars(df) or c in _maybe_null_vars(inner)
+            ]
+            if not nullable:
+                frames[:] = [_propagate_mn(df.join(inner, on=shared, how=how), df)]
+            else:
+                # D1 (round 11): compatibility test over the commonly-
+                # BOUND shared vars — equality applies only where both
+                # sides bind; MINUS additionally requires at least one
+                # commonly-bound var (spec 8.3 dom-overlap: disjoint
+                # domains remove nothing)
+                rr = inner
+                for v in shared:
+                    rr = rr.withColumnRenamed(v, f"__mx_{v}")
+                cond, overlap = None, None
+                for v in shared:
+                    lv, rv = F.col(v), F.col(f"__mx_{v}")
+                    c = lv.isNull() | rv.isNull() | (lv == rv)
+                    cond = c if cond is None else cond & c
+                    o = lv.isNotNull() & rv.isNotNull()
+                    overlap = o if overlap is None else overlap | o
+                if kind == "minus":
+                    cond = cond & overlap
+                frames[:] = [_propagate_mn(df.join(rr, cond, how), df)]
         elif kind in ("values", "values_multi"):
             if kind == "values":
                 var, lits = payload
@@ -1711,57 +1980,23 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             else:
                 vars_, rows = payload
             spark = store.triples.sparkSession
-            schema = ", ".join(f"{v} string" for v in vars_)
-            vals = spark.createDataFrame(rows, schema)
             if all(c is not None for row in rows for c in row):
                 # fully-bound inline data: an ordinary (broadcast)
                 # equi-join frame — tiny by construction
-                frames.append(F.broadcast(vals))
+                schema = ", ".join(f"{v} string" for v in vars_)
+                frames.append(F.broadcast(spark.createDataFrame(rows, schema)))
                 _merge_connected(frames)
-            else:
-                # UNDEF cells: COMPATIBILITY join (spec 18.2 solution
-                # compatibility — an unbound cell matches anything and
-                # the merged solution takes the bound side's value).
-                # Expressed as a broadcast nested-loop join with
-                # per-var (either-side-NULL OR equal) conditions: the
-                # VALUES side is inline-tiny, so the non-equi join is
-                # a broadcast loop over it, never a shuffle.
-                df = flatten()
-                if df is None:
-                    raise ValueError(
-                        "VALUES with UNDEF must follow the patterns "
-                        "binding its variables (an UNDEF frame cannot "
-                        "open a group: later equi-joins would drop the "
-                        "unbound rows)"
-                    )
-                shared = [v for v in vars_ if v in df.columns]
-                fresh = [v for v in vars_ if v not in df.columns]
-                renamed = F.broadcast(
-                    vals.select(
-                        *[F.col(v).alias(f"__val_{v}") for v in vars_]
-                    )
-                )
-                if shared:
-                    cond = None
-                    for v in shared:
-                        c = (
-                            F.col(f"__val_{v}").isNull()
-                            | F.col(v).isNull()
-                            | (F.col(f"__val_{v}") == F.col(v))
-                        )
-                        cond = c if cond is None else (cond & c)
-                    joined = df.join(renamed, cond)
-                else:
-                    joined = df.crossJoin(renamed)
-                out_cols = [
-                    (
-                        F.coalesce(F.col(v), F.col(f"__val_{v}")).alias(v)
-                        if v in shared
-                        else F.col(v)
-                    )
-                    for v in df.columns
-                ] + [F.col(f"__val_{v}").alias(v) for v in fresh]
-                frames[:] = [joined.select(*out_cols)]
+            elif not _apply_values_undef(spark, frames, vars_, rows, defer_ok=True):
+                # an UNDEF var not bound by any frame YET would
+                # materialize as a literal NULL column — compile the
+                # inline data at group end instead (spec 18.5: a
+                # group's joins are order-independent), when every
+                # pattern that binds its variables has been seen.
+                # Deferral also keeps disconnected frames pending for
+                # the FILTER-stage grid spatial rewrite (round-11
+                # advice: an eager flatten here reverted those plans
+                # to CartesianProduct).
+                deferred_values.append((vars_, rows))
         elif kind == "graph":
             from geosparql_etl_spark.sparql.triples import GraphScopedStore
 
@@ -1815,7 +2050,7 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 # SPARQL forbids rebinding an in-scope variable
                 raise ValueError(f"BIND would rebind in-scope ?{var}")
             else:
-                frames[:] = [df.withColumn(var, col)]
+                frames[:] = [_propagate_mn(df.withColumn(var, col), df)]
         elif kind == "filter":
             # a top-level conjunction is the same as separate FILTERs;
             # split it so each conjunct can push/rewrite independently
@@ -1826,20 +2061,30 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                     stack.extend((e[1], e[2]))
                 else:
                     filters.append(e)
+    for vars_, rows in deferred_values:
+        _apply_values_undef(
+            store.triples.sparkSession, frames, vars_, rows, defer_ok=False
+        )
     if not frames:
         raise ValueError("empty group graph pattern")
     residual = []
     for expr in filters:
-        if len(frames) > 1 and _grid_spatial_rewrite(
-            frames, expr, static_shapes, var_preds, store
-        ):
-            continue
+        if len(frames) > 1:
+            pre = set().union(*(_maybe_null_vars(f) for f in frames))
+            if _grid_spatial_rewrite(
+                frames, expr, static_shapes, var_preds, store
+            ):
+                if pre:
+                    # the rewrite rebuilt frames from the originals —
+                    # re-mark conservatively so D1 marks survive it
+                    frames[:] = [_mark_maybe_null(f, pre) for f in frames]
+                continue
         residual.append(expr)
     df = None
     for f in frames:
         df = _join(df, f)
     for expr in residual:
-        df = df.where(_compile_expr(expr))
+        df = _propagate_mn(df.where(_compile_expr(expr)), df)
     return df
 
 
@@ -3306,6 +3551,10 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
     ):
         raise ValueError("update forms go through sparql_update()")
     df = _compile_group(store, q.where)
+    # maybe-unbound vars of the group survive projection: a subquery
+    # projecting an OPTIONAL-produced var re-joined by the OUTER group
+    # is exactly the D1 corner (marks re-applied before return)
+    group_mn = _maybe_null_vars(df)
     if q.ask:
         # one row, one boolean, still lazy: limit(1) stops the scan at
         # the first match (a LocalLimit above each partition — no full
@@ -3422,4 +3671,4 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
-    return df
+    return _mark_maybe_null(df, group_mn)

@@ -1603,14 +1603,46 @@ class TestRound8SpecFills:
                 'SELECT ?a WHERE { VALUES (?a ?b) { ("x") } }',
             )
 
-    def test_values_undef_opening_group_rejected(self, toy_store):
-        # an UNDEF frame cannot OPEN a group (later equi-joins would
-        # drop the unbound rows) — still a loud error, not silence
-        with pytest.raises(ValueError, match="UNDEF"):
-            run(
-                toy_store,
-                'SELECT ?a WHERE { VALUES (?a ?b) { ("x" UNDEF) } }',
-            )
+    def test_values_undef_opening_group(self, toy_store):
+        # round 11 (D1 closed): an UNDEF frame may OPEN a group — the
+        # unbound cell materializes NULL and is MARKED maybe-unbound,
+        # so any later join applies compatibility semantics instead of
+        # silently dropping the rows (which was why round 10 rejected
+        # this shape loudly)
+        got = run(
+            toy_store,
+            'SELECT ?a ?b WHERE { VALUES (?a ?b) { ("x" UNDEF) } }',
+        )
+        assert [tuple(r) for r in got.collect()] == [("x", None)]
+
+    def test_values_undef_before_binding_pattern(self, toy_store):
+        # round-11 medium advice: VALUES mid-group BEFORE the pattern
+        # that binds one of its UNDEF variables must behave exactly
+        # like the same VALUES placed after it (spec 18.5 join
+        # order-independence) — the old code materialized a literal
+        # NULL column the later BGP equi-joined, silently dropping the
+        # spec-compatible rows
+        before = run(
+            toy_store,
+            """SELECT ?p ?name ?age WHERE {
+                 ?p ex:name ?name .
+                 VALUES (?name ?age) { ("ada" UNDEF) (UNDEF "47") }
+                 ?p ex:age ?age .
+               } ORDER BY ?p""",
+        )
+        after = run(
+            toy_store,
+            """SELECT ?p ?name ?age WHERE {
+                 ?p ex:name ?name . ?p ex:age ?age .
+                 VALUES (?name ?age) { ("ada" UNDEF) (UNDEF "47") }
+               } ORDER BY ?p""",
+        )
+        got_b = [tuple(r) for r in before.collect()]
+        got_a = [tuple(r) for r in after.collect()]
+        assert got_b == got_a == [
+            ("urn:p:1", "ada", "36"),
+            ("urn:p:2", "grace", "47"),
+        ]
 
     def test_values_undef_compatibility_join(self, spark):
         """Spec 18.2 solution compatibility for VALUES UNDEF (round
@@ -3526,3 +3558,109 @@ def test_lake_store_shape_stats_disabled(spark, tmp_path):
     store = NTriplesLakeStore(spark, path)
     assert store.shape_stats_enabled is False
     assert store.predicate_object_shape("urn:ex:zone") is None
+
+
+class TestD1CompatibilityJoins:
+    """Deviation D1 CLOSED (round 11): a shared variable that can be
+    UNBOUND (OPTIONAL / non-uniform UNION / VALUES UNDEF / subquery
+    projection of one) joins later groups with spec 18.3 COMPATIBILITY
+    semantics — unbound matches anything, the merged solution takes
+    the bound side's value — instead of SQL NULL-equality (which
+    silently dropped those rows). Never-null shared vars keep the
+    untouched equi-join fast path."""
+
+    def test_optional_null_var_rejoined_by_later_bgp(self, toy_store):
+        # alan has no ex:city -> ?c unbound -> compatible with EVERY
+        # (?c ex:name ?cname) binding; merged solution takes its ?c
+        got = run(
+            toy_store,
+            """SELECT ?p ?c ?cname WHERE {
+                 ?p a ex:Person .
+                 OPTIONAL { ?p ex:city ?c }
+                 ?c a ex:City . ?c ex:name ?cname .
+               } ORDER BY ?p ?c""",
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            ("urn:p:1", "urn:c:1", "london"),
+            ("urn:p:2", "urn:c:2", "york"),
+            ("urn:p:3", "urn:c:1", "london"),
+            ("urn:p:3", "urn:c:2", "york"),
+        ]
+
+    def test_union_missing_var_rejoined(self, toy_store):
+        # the second UNION branch does not bind ?c -> its rows carry
+        # NULL -> must join every city, not vanish
+        got = run(
+            toy_store,
+            """SELECT ?p ?c ?cname WHERE {
+                 { ?p ex:city ?c } UNION { ?p ex:name "alan" }
+                 ?c a ex:City . ?c ex:name ?cname .
+               } ORDER BY ?p ?c""",
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            ("urn:p:1", "urn:c:1", "london"),
+            ("urn:p:2", "urn:c:2", "york"),
+            ("urn:p:3", "urn:c:1", "london"),
+            ("urn:p:3", "urn:c:2", "york"),
+        ]
+
+    def test_exists_with_unbound_shared_var(self, toy_store):
+        # spec compatibility: alan's unbound ?c is compatible with any
+        # EXISTS solution -> alan passes the filter (SQL semi-join on
+        # NULL would drop it)
+        got = run(
+            toy_store,
+            """SELECT ?p WHERE {
+                 ?p a ex:Person .
+                 OPTIONAL { ?p ex:city ?c }
+                 FILTER EXISTS { ?c ex:name ?any }
+               } ORDER BY ?p""",
+        )
+        assert [r.p for r in got.collect()] == [
+            "urn:p:1", "urn:p:2", "urn:p:3",
+        ]
+
+    def test_minus_domain_overlap_rule(self, toy_store):
+        # MINUS removes ada (bound ?c matches the london binding);
+        # alan's domain is DISJOINT from the MINUS solutions (?c
+        # unbound) so spec 8.3 keeps it even though it is "compatible"
+        got = run(
+            toy_store,
+            """SELECT ?p WHERE {
+                 ?p a ex:Person .
+                 OPTIONAL { ?p ex:city ?c }
+                 MINUS { ?c ex:name "london" . }
+               } ORDER BY ?p""",
+        )
+        assert [r.p for r in got.collect()] == ["urn:p:2", "urn:p:3"]
+
+    def test_subquery_projects_nullable_var(self, toy_store):
+        # the maybe-unbound mark must survive subquery projection: the
+        # OUTER group re-joins ?c produced by an OPTIONAL inside the
+        # subquery
+        got = run(
+            toy_store,
+            """SELECT ?p ?cname WHERE {
+                 { SELECT ?p ?c WHERE {
+                     ?p a ex:Person . OPTIONAL { ?p ex:city ?c }
+                 } }
+                 ?c a ex:City . ?c ex:name ?cname .
+               } ORDER BY ?p ?cname""",
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            ("urn:p:1", "london"),
+            ("urn:p:2", "york"),
+            ("urn:p:3", "london"),
+            ("urn:p:3", "york"),
+        ]
+
+    def test_bound_vars_keep_equi_join_plan(self, toy_store):
+        # never-null shared vars must keep the plain equi-join fast
+        # path: no BroadcastNestedLoopJoin in a pure BGP chain plan
+        df = run(
+            toy_store,
+            "SELECT ?p ?cname WHERE { ?p ex:city ?c . ?c ex:name ?cname }",
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
