@@ -2336,8 +2336,7 @@ def d18_semantic_dedup(spark, sf_dir):
     fan-out (corpus/cells items per cell), never corpus^2 — exactly
     the banded-LSH discipline (d07/sim02) with learned buckets. The
     oracle replays training and the within-cell pair scan in SQL.
-    At sf0.01 the 0.35 threshold drops a measured 15 of 500 items
-    (78 within-cell pairs clear it)."""
+    At sf0.01 the 0.35 threshold drops a measured 71 of 500 items."""
     from geosparql_etl_spark.operators.similarity import (
         dot,
         l2_norm,
@@ -12964,6 +12963,205 @@ def _sql_llm24():
     """
 
 
+def llm25_semantic_training_funnel(spark, sf_dir):
+    """The crawl -> training-data funnel with the SEMANTIC dedup stage
+    wired in at its realistic position (round 11; llm24 is the
+    text-side funnel, d18 the standalone SemDeDup — this is the
+    composed order a real pretraining pipeline runs: exact dedup ->
+    semantic dedup -> mixture construction):
+
+      1. crawl multiplicity: every 7th doc re-crawls under a later id
+         (llm24's duplicate class);
+      2. EXACT dedup: md5 of whitespace-normalized text, min-crawl_id
+         keeper — kills the re-crawl copies before any embedding work
+         (the cheap stage always runs first: at 100 TB the exact pass
+         is one hash shuffle and removes ~30-50% of a real crawl);
+      3. SEMANTIC dedup (SemDeDup): exact survivors join their
+         embeddings (inner — a doc without an embedding cannot enter
+         the semantic stage), cells from the TRAINED memoized
+         quantizer, pairwise cosine only WITHIN a cell among
+         SURVIVORS, drop on a lower-id neighbor >= 0.35;
+      4. MIXTURE: per-source doc/token counts over semantic keepers
+         and the token-share mixture weight (llm09's shape) via a
+         broadcast one-row total.
+
+    Plan shape: one documents scan (the crawl union re-reads nothing),
+    one fp window, one cell equi-join for the pair stage (per-cell
+    fan-out, never corpus^2 — d18's scale argument), one row-level
+    left join of the semantic verdicts back onto the crawl rows, ONE
+    final aggregate + broadcast-scalar total. The oracle replays every
+    stage: training CTEs, exact window, within-cell pair scan,
+    mixture weights."""
+    from geosparql_etl_spark.functions.textstats import (
+        bpe_ish_token_count,
+        oracle_norm,
+    )
+    from geosparql_etl_spark.operators.similarity import (
+        dot,
+        l2_norm,
+        lloyd_train,
+        with_ivf_cell,
+    )
+
+    t = 0.35
+    d = _t(spark, sf_dir, "documents")
+    crawled = d.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.array(F.col("doc_id"), F.col("doc_id") + 1000000),
+            ).otherwise(F.array(F.col("doc_id")))
+        ).alias("crawl_id"),
+        "source",
+        "text",
+    )
+    wfp = Window.partitionBy("fp")
+    ex = crawled.withColumn("fp", F.md5(oracle_norm(F.col("text")))).withColumn(
+        "exact_keep", F.col("crawl_id") == F.min("crawl_id").over(wfp)
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    emb = with_ivf_cell(e, "embedding", 64, 16, centroids=trained).select(
+        "vec_id", "embedding", "ivf_cell"
+    )
+    surv = (
+        ex.where(F.col("exact_keep"))
+        .select(F.col("crawl_id").alias("sid"), "text")
+        .join(emb, F.col("sid") == F.col("vec_id"))
+        .select("sid", "text", "embedding", "ivf_cell")
+    )
+    a = surv.select(
+        F.col("sid").alias("ia"), F.col("embedding").alias("va"), "ivf_cell"
+    )
+    b = surv.select(
+        F.col("sid").alias("ib"), F.col("embedding").alias("vb"), "ivf_cell"
+    )
+    denom = l2_norm(F.col("va"), 64) * l2_norm(F.col("vb"), 64)
+    rc = F.round(
+        F.when(denom > 0, dot(F.col("va"), F.col("vb"), 64) / denom)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    lower = (
+        a.join(b, "ivf_cell")
+        .where(F.col("ib") < F.col("ia"))
+        .select(F.col("ia").alias("sid"), rc.alias("rc"))
+        .groupBy("sid")
+        .agg(F.max("rc").alias("max_lower_cos"))
+    )
+    sem = (
+        surv.join(lower, "sid", "left")
+        .select(
+            "sid",
+            (
+                F.col("max_lower_cos").isNull()
+                | (F.col("max_lower_cos") < t)
+            ).alias("sem_keep"),
+            bpe_ish_token_count(F.col("text")).alias("n_tok"),
+        )
+    )
+    flags = ex.join(
+        sem,
+        (F.col("crawl_id") == F.col("sid")) & F.col("exact_keep"),
+        "left",
+    )
+    sem_tok = F.when(F.col("sem_keep"), F.col("n_tok")).otherwise(F.lit(0))
+    per_src = (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_crawled"),
+            F.sum(F.col("exact_keep").cast("long")).alias("n_exact"),
+            F.sum(
+                F.coalesce(F.col("sem_keep"), F.lit(False)).cast("long")
+            ).alias("n_semantic"),
+            F.sum(sem_tok).alias("sem_tokens"),
+        )
+    )
+    total = per_src.agg(F.sum("sem_tokens").alias("__total"))
+    return (
+        per_src.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_crawled",
+            "n_exact",
+            "n_semantic",
+            "sem_tokens",
+            F.round(F.col("sem_tokens") / F.col("__total"), 6).alias(
+                "mix_weight"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_llm25():
+    n_tok = r"len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]+'))"
+    cos = (
+        "CASE WHEN sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v)) > 0"
+        " THEN list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v)))"
+        " ELSE 0 END"
+    )
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    scored AS MATERIALIZED (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    crawled AS (
+      SELECT doc_id AS crawl_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, source, text
+      FROM documents WHERE doc_id % 7 = 0),
+    exk AS MATERIALIZED (
+      SELECT crawl_id, source, text,
+             crawl_id = min(crawl_id) OVER (PARTITION BY
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ) AS exact_keep
+      FROM crawled),
+    scell AS MATERIALIZED (
+      SELECT k.crawl_id AS sid, c.cell
+      FROM exk k JOIN cells c ON c.vec_id = k.crawl_id
+      WHERE k.exact_keep),
+    lower_max AS (
+      SELECT a.sid, max(round({cos}, 6)) AS max_lower_cos
+      FROM scell a JOIN scell b ON a.cell = b.cell AND b.sid < a.sid
+      JOIN e ea ON ea.vec_id = a.sid
+      JOIN e eb ON eb.vec_id = b.sid
+      GROUP BY a.sid),
+    sem AS (
+      SELECT s.sid,
+             (lm.max_lower_cos IS NULL OR lm.max_lower_cos < 0.35)
+               AS sem_keep
+      FROM scell s LEFT JOIN lower_max lm ON lm.sid = s.sid),
+    flags AS (
+      SELECT k.source, k.exact_keep, sem.sem_keep,
+             CASE WHEN coalesce(sem.sem_keep, false)
+                  THEN {n_tok} ELSE 0 END AS stok
+      FROM exk k LEFT JOIN sem ON sem.sid = k.crawl_id AND k.exact_keep),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_crawled,
+             CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+             CAST(sum(CASE WHEN coalesce(sem_keep, false) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_semantic,
+             CAST(sum(stok) AS BIGINT) AS sem_tokens
+      FROM flags GROUP BY source)
+    SELECT source, n_crawled, n_exact, n_semantic, sem_tokens,
+           round(CAST(sem_tokens AS DOUBLE) / sum(sem_tokens) OVER (), 6)
+             AS mix_weight
+    FROM per_src ORDER BY source
+    """
+
+
 def _write_docs_warc(spark, sf_dir, name="gsel_warc_"):
     """Render the documents table as a WARC archive directory (shared
     by warc01 and s16; the warc01 docstring explains the record
@@ -13128,6 +13326,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- below the window: new round-11 additions go HERE
     # (contiguous, never stamped) so the r12 rotation is mechanical ---
     "sp43_optional_rejoin": sp43_optional_rejoin,
+    "llm25_semantic_training_funnel": llm25_semantic_training_funnel,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -13569,6 +13768,7 @@ _ORACLES: dict[str, str] = {
     "sim23_persisted_ivfpq_probe": _sql_sim23(),
     "sp42_values_undef": _sql_sp42(),
     "sp43_optional_rejoin": _sql_sp43(),
+    "llm25_semantic_training_funnel": _sql_llm25(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

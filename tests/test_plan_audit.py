@@ -73,6 +73,7 @@ VECTORIZED_PYTHON_OK = {
     "sim23_persisted_ivfpq_probe",  # index build's batch matmul encoders
     "sim24_filtered_persisted_ann",  # same index build path, filtered probe
     "d18_semantic_dedup",  # with_ivf_cell batch matmul clustering
+    "llm25_semantic_training_funnel",  # with_ivf_cell semantic stage
     "d19_incremental_semantic_dedup",  # same clustering, batch vs index
     "warc02_html_extraction",  # WARC archive-bytes record parse batches
 }
