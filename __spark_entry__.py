@@ -2530,6 +2530,110 @@ def _sql_d19():
     """
 
 
+_D20_BOILER = (
+    " please like share and subscribe to our weekly newsletter today"
+)
+
+
+def _d20_corpus(spark, sf_dir):
+    """Adversarial hot-key corpus for the skew-cap proof (round 11):
+    30% of documents (doc_id % 10 < 3) carry an identical boilerplate
+    sentence — its interior 3-shingles appear in 150+ docs at sf0.01
+    (1,500+ at sf0.1), the stop-shingle class whose posting-list
+    self-join is quadratic in df. Every 25th doc additionally
+    re-appears as a genuine NEAR-DUP (id + 2000, three words
+    appended), so the capped join still has true positives to find."""
+    d = _t(spark, sf_dir, "documents")
+    boiler = F.when(
+        F.col("doc_id") % 10 < 3, F.lit(_D20_BOILER)
+    ).otherwise(F.lit(""))
+    aug = d.select(
+        "doc_id", F.concat(F.col("text"), boiler).alias("text")
+    )
+    copies = (
+        d.where(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") + 2000).alias("doc_id"),
+            F.concat(
+                F.col("text"), boiler, F.lit(" closing remarks appended")
+            ).alias("text"),
+        )
+    )
+    return aug.unionByName(copies)
+
+
+def d20_skew_capped_neardup(spark, sf_dir):
+    """The max_df skew cap exercised against an ADVERSARIAL hot key
+    (round 11 — converting the 100 TB bounded-work claim from design
+    argument to driver-checked behavior): the corpus plants one
+    boilerplate sentence in 30% of documents. Uncapped, each interior
+    boilerplate shingle's posting list self-joins quadratically
+    (df^2/2 candidate pairs — at sf0.1 the hot shingles alone emit
+    ~10.7M candidates); with max_df=50 the hot postings are dropped
+    via a broadcast anti-filter BEFORE the join, candidates stay
+    near-linear, and the planted near-dup pairs (which share plenty of
+    non-boilerplate shingles) all survive with conservatively-lower
+    scores (capped shingles count in the set sizes but not the
+    intersection). The oracle replays the exact cap semantics
+    brute-force: df over the same corpus, hot set excluded from the
+    intersection, full sizes in the denominator. Measured capped vs
+    uncapped candidate counts: SCALE.md round-11 row."""
+    from geosparql_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _d20_corpus(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=3,
+        min_jaccard=0.5,
+        max_df=50,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def _sql_d20():
+    sh3 = (
+        "CASE WHEN len(w) >= 3 THEN list_distinct([w[i] || ' ' || w[i+1]"
+        " || ' ' || w[i+2] for i in range(1, len(w) - 1)])"
+        " ELSE [array_to_string(w, ' ')] END"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 10 < 3
+                          THEN '{_D20_BOILER}' ELSE '' END AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2000,
+             text || CASE WHEN doc_id % 10 < 3
+                          THEN '{_D20_BOILER}' ELSE '' END
+                  || ' closing remarks appended' AS text
+      FROM documents WHERE doc_id % 25 = 0),
+    sh AS MATERIALIZED (
+      SELECT doc_id, {sh3} AS s
+      FROM (SELECT doc_id, {_WORDS} AS w FROM corpus)),
+    post AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    hot AS (SELECT sg FROM post GROUP BY sg HAVING count(*) > 50),
+    keptl AS MATERIALIZED (
+      SELECT p.doc_id, list(p.sg) AS ks
+      FROM post p LEFT JOIN hot h ON p.sg = h.sg
+      WHERE h.sg IS NULL GROUP BY p.doc_id),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ks, b.ks))::DOUBLE /
+                 (na.n + nb.n - len(list_intersect(a.ks, b.ks))), 6)
+             AS jaccard
+    FROM keptl a JOIN keptl b ON a.doc_id < b.doc_id
+    JOIN sizes na ON na.doc_id = a.doc_id
+    JOIN sizes nb ON nb.doc_id = b.doc_id
+    WHERE len(list_intersect(a.ks, b.ks))::DOUBLE /
+          (na.n + nb.n - len(list_intersect(a.ks, b.ks))) >= 0.5
+    ORDER BY id_a, id_b
+    """
+
+
 def d17_minhash_error(spark, sf_dir):
     """MinHash estimator-quality report (round 8) — dq02's
     sketch-contract idea applied to MinHash: for every exact near-dup
@@ -13327,6 +13431,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (contiguous, never stamped) so the r12 rotation is mechanical ---
     "sp43_optional_rejoin": sp43_optional_rejoin,
     "llm25_semantic_training_funnel": llm25_semantic_training_funnel,
+    "d20_skew_capped_neardup": d20_skew_capped_neardup,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -13769,6 +13874,7 @@ _ORACLES: dict[str, str] = {
     "sp42_values_undef": _sql_sp42(),
     "sp43_optional_rejoin": _sql_sp43(),
     "llm25_semantic_training_funnel": _sql_llm25(),
+    "d20_skew_capped_neardup": _sql_d20(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),
