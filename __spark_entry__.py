@@ -2634,6 +2634,91 @@ def _sql_d20():
     """
 
 
+def g20_dense_cell_cap(spark, sf_dir):
+    """The max_cell spatial skew cap exercised against an ADVERSARIAL
+    dense cell (round 11, the spatial twin of d20): organic boxes sit
+    on the supplier lattice ((37k%100, 61k%100), 6.5-unit squares,
+    spread over all grid cells), while every third customer plants a
+    1-unit box INSIDE cell (0,0) — one downtown cell holding 500+
+    boxes at sf0.01 (5,000+ at sf0.1) whose self-join alone is
+    f^2/2 candidates. With max_cell=100 the hot cell is dropped via a
+    broadcast anti-filter BEFORE the cell equi-join: candidates stay
+    proportional to organic density, and pairs whose ONLY shared cell
+    is hot are missed — the documented bounded-work trade, which the
+    oracle replays EXACTLY (same cell cover, same df cap, same
+    closed-boundary intersection predicate, pair-key dedup)."""
+    from geosparql_etl_spark.operators.spatial import bbox_spatial_join
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    organic = s.select(
+        F.col("s_suppkey").alias("box_id"),
+        ((F.col("s_suppkey") * 37) % 100).cast("double").alias("minx"),
+        ((F.col("s_suppkey") * 61) % 100).cast("double").alias("miny"),
+    ).select(
+        "box_id",
+        "minx",
+        "miny",
+        # 6.5 = just past the lattice's minimum Chebyshev spacing (6,
+        # at key offsets +/-46), so each box meets its nearest lattice
+        # neighbors and the organic pair set is non-empty
+        (F.col("minx") + 6.5).alias("maxx"),
+        (F.col("miny") + 6.5).alias("maxy"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    dense = c.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 100000).alias("box_id"),
+        ((F.col("c_custkey") % 10) * 0.5).alias("minx"),
+        ((F.col("c_custkey") % 7) * 0.5).alias("miny"),
+    ).select(
+        "box_id",
+        "minx",
+        "miny",
+        (F.col("minx") + 1.0).alias("maxx"),
+        (F.col("miny") + 1.0).alias("maxy"),
+    )
+    pairs = bbox_spatial_join(
+        organic.unionByName(dense), "box_id", cell=25.0, max_cell=100
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _sql_g20():
+    cover = (
+        "unnest([i for i in range(CAST(floor(minx/25) AS BIGINT),"
+        " CAST(floor(maxx/25) AS BIGINT) + 1)]) AS ux(cx),"
+        " unnest([j for j in range(CAST(floor(miny/25) AS BIGINT),"
+        " CAST(floor(maxy/25) AS BIGINT) + 1)]) AS uy(cy)"
+    )
+    return f"""
+    WITH boxes AS (
+      SELECT s_suppkey AS box_id,
+             CAST((s_suppkey * 37) % 100 AS DOUBLE) AS minx,
+             CAST((s_suppkey * 61) % 100 AS DOUBLE) AS miny,
+             CAST((s_suppkey * 37) % 100 AS DOUBLE) + 6.5 AS maxx,
+             CAST((s_suppkey * 61) % 100 AS DOUBLE) + 6.5 AS maxy
+      FROM supplier
+      UNION ALL
+      SELECT c_custkey + 100000,
+             (c_custkey % 10) * 0.5, (c_custkey % 7) * 0.5,
+             (c_custkey % 10) * 0.5 + 1.0, (c_custkey % 7) * 0.5 + 1.0
+      FROM customer WHERE c_custkey % 3 = 0),
+    cells AS MATERIALIZED (
+      SELECT box_id, minx, miny, maxx, maxy, cx, cy
+      FROM boxes, {cover}),
+    hot AS (SELECT cx, cy FROM cells GROUP BY cx, cy HAVING count(*) > 100),
+    kept AS (
+      SELECT c.* FROM cells c
+      LEFT JOIN hot h ON c.cx = h.cx AND c.cy = h.cy
+      WHERE h.cx IS NULL)
+    SELECT DISTINCT a.box_id AS id_a, b.box_id AS id_b
+    FROM kept a JOIN kept b
+      ON a.cx = b.cx AND a.cy = b.cy AND a.box_id < b.box_id
+    WHERE a.minx <= b.maxx AND b.minx <= a.maxx
+      AND a.miny <= b.maxy AND b.miny <= a.maxy
+    ORDER BY id_a, id_b
+    """
+
+
 def d17_minhash_error(spark, sf_dir):
     """MinHash estimator-quality report (round 8) — dq02's
     sketch-contract idea applied to MinHash: for every exact near-dup
@@ -13432,6 +13517,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp43_optional_rejoin": sp43_optional_rejoin,
     "llm25_semantic_training_funnel": llm25_semantic_training_funnel,
     "d20_skew_capped_neardup": d20_skew_capped_neardup,
+    "g20_dense_cell_cap": g20_dense_cell_cap,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -13875,6 +13961,7 @@ _ORACLES: dict[str, str] = {
     "sp43_optional_rejoin": _sql_sp43(),
     "llm25_semantic_training_funnel": _sql_llm25(),
     "d20_skew_capped_neardup": _sql_d20(),
+    "g20_dense_cell_cap": _sql_g20(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),
