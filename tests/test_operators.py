@@ -2028,3 +2028,38 @@ def test_filtered_persisted_ann_pushes_predicate_into_codes_scan(
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_lsh_max_bucket_bounds_hot_band_skew(spark):
+    """max_bucket is lsh_candidate_pairs' bounded-work dial (the LSH
+    twin of ngram_jaccard_pairs' max_df): a band bucket shared by f
+    documents self-joins to f^2/2 candidates, so one boilerplate
+    signature class must not explode the join. Identical signatures
+    land in every band's same bucket; the cap drops the hot buckets
+    while pairs in small buckets survive."""
+    from geosparql_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    # 40 docs share ONE signature (the boilerplate class); two pairs
+    # of docs share their own distinct signatures (true near-dups)
+    rows = [(i, [7, 7, 7, 7]) for i in range(40)]
+    rows += [(100, [1, 2, 3, 4]), (101, [1, 2, 3, 4])]
+    rows += [(200, [9, 8, 5, 6]), (201, [9, 8, 5, 6])]
+    df = spark.createDataFrame(rows, "doc_id int, minhash array<int>")
+
+    uncapped = lsh_candidate_pairs(
+        df, "doc_id", "minhash", bands=4, max_bucket=10_000
+    )
+    # the hot class alone contributes 40*39/2 = 780 pairs
+    assert uncapped.count() == 780 + 2
+
+    capped = lsh_candidate_pairs(
+        df, "doc_id", "minhash", bands=4, max_bucket=10
+    )
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101), (200, 201)}
+
+    # the kept-bucket filter joins AGGREGATED bucket sizes (band,
+    # bucket, count), never the posting list against itself on a hot
+    # key — the candidate join's inputs are already cap-bounded
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
