@@ -9312,6 +9312,109 @@ def sim21_incremental_index_probe(spark, sf_dir):
     )
 
 
+def sim25_ann_deletes(spark, sf_dir):
+    """DELETE support for the persisted ANN index (round 11 — the
+    missing third of the index lifecycle: sim16/18 build, sim21
+    appends, this deletes): dropped ids are appended as TOMBSTONES
+    under ``<index>/_tombstones/`` (O(|deletes|) metadata write — at
+    100 TB a delete that rewrites cell files is an outage), probe
+    readers anti-join the tombstone set (broadcast, bounded by
+    deletes-since-compaction) BEFORE top-k so a deleted neighbor never
+    displaces a live one, and compaction applies the deletes
+    physically while clearing the tombstones atomically with its
+    generation swap. Two arms in one result: ``tombstoned`` (logical
+    delete) and ``compacted`` (physical) — the oracle replays the
+    probe over corpus-minus-deleted ONCE and expects both arms to
+    match it exactly, which is the invariant that makes logical
+    deletes trustworthy."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index = os.path.join(tempfile.gettempdir(), "gsel_ivf_del_" + tag)
+    shutil.rmtree(index, ignore_errors=True)
+    write_ivf_index(e, index, dim=64, n_cells=16, centroids=trained)
+    delete_from_ivf_index(
+        spark, index,
+        e.where(F.col("vec_id") % 5 == 0).select("vec_id"),
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def probed(arm: str):
+        out = ivf_index_topk(
+            spark, index, probe, k=5, dim=64, n_cells=16, n_probe=6,
+            centroids=trained,
+        ).select(
+            F.lit(arm).alias("arm"),
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+        # materialize BEFORE the index mutates under the lazy plan
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    arm1 = probed("tombstoned")
+    compact_ivf_index(spark, index)
+    if os.path.exists(os.path.join(index, "_tombstones")):
+        raise RuntimeError("compaction must clear applied tombstones")
+    arm2 = probed("compacted")
+    return arm1.unionByName(arm2).orderBy("arm", "query_id", "rank")
+
+
+def _sql_sim25():
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id < 5) WHERE rn <= 6),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id AND cl.vec_id % 5 != 0),
+    res AS (
+      SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+      FROM (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(eq.v, ec.v) AS sim,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                          neighbor_id
+               ) AS rank
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e ec ON ec.vec_id = cand.neighbor_id)
+      WHERE rank <= 5)
+    SELECT arms.arm, query_id, neighbor_id, rank, cosine_sim
+    FROM res CROSS JOIN (
+      SELECT unnest(['compacted', 'tombstoned']) AS arm) arms
+    ORDER BY arm, query_id, rank
+    """
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -13518,6 +13621,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm25_semantic_training_funnel": llm25_semantic_training_funnel,
     "d20_skew_capped_neardup": d20_skew_capped_neardup,
     "g20_dense_cell_cap": g20_dense_cell_cap,
+    "sim25_ann_deletes": sim25_ann_deletes,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -13962,6 +14066,7 @@ _ORACLES: dict[str, str] = {
     "llm25_semantic_training_funnel": _sql_llm25(),
     "d20_skew_capped_neardup": _sql_d20(),
     "g20_dense_cell_cap": _sql_g20(),
+    "sim25_ann_deletes": _sql_sim25(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

@@ -305,6 +305,44 @@ def write_ivf_index(
     ).write.mode(mode).partitionBy("ivf_cell").parquet(path)
 
 
+def delete_from_ivf_index(spark, index_path: str, ids) -> None:
+    """DELETE support for the persisted index lake: dropped ids are
+    appended as TOMBSTONES under ``<index>/_tombstones/`` — an
+    O(|deleted ids|) metadata write, never an index rewrite (at 100 TB
+    a delete that rewrites cell files is an outage; a delete that
+    appends a parquet file of ids is a row op). The underscore prefix
+    makes Spark's file index treat the directory as hidden, so plain
+    ``spark.read.parquet(index)`` scans are untouched; probe readers
+    (``ivf_index_topk`` / ``ivf_index_pq_topk``) anti-join the
+    tombstone set (broadcast — bounded by deletes-since-compaction),
+    and ``compact_ivf_index`` applies tombstones physically and clears
+    them atomically with its generation swap."""
+    import os
+
+    if isinstance(ids, DataFrame):
+        df = ids.select(
+            F.col(ids.columns[0]).cast("long").alias("neighbor_id")
+        )
+    else:
+        df = spark.createDataFrame(
+            [(int(i),) for i in ids], "neighbor_id long"
+        )
+    df.coalesce(1).write.mode("append").parquet(
+        os.path.join(index_path, "_tombstones")
+    )
+
+
+def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
+    """The index's pending tombstone set (deduped), or None when no
+    delete has been issued since the last compaction."""
+    import os
+
+    p = os.path.join(index_path, "_tombstones")
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p).select("neighbor_id").dropDuplicates()
+
+
 def pack_pq_code(codes: Column, m: int, k: int) -> Column:
     """Pack an m-element PQ code array into ONE BIGINT (big-endian,
     ceil(log2 k) bits per code): the 8-byte stored representation that
@@ -442,6 +480,14 @@ def ivf_index_pq_topk(
     code_scan = code_scan.select(
         "neighbor_id", "__pq", F.col("ivf_cell").alias("__cell")
     )
+    tomb = read_index_tombstones(spark, path)
+    if tomb is not None:
+        # pending deletes: anti-join the tombstone set (broadcast —
+        # bounded by deletes-since-compaction) before the shortlist
+        # fills, so a deleted neighbor can never crowd out a live one
+        code_scan = code_scan.join(
+            F.broadcast(tomb), "neighbor_id", "left_anti"
+        )
     rv = pq_reconstruct(
         None, dim, m, k, codebooks=books,
         code_at=lambda j: unpack_pq_code(F.col("__pq"), j, m, k),
@@ -526,6 +572,13 @@ def ivf_index_topk(
             F.col("ivf_cell").alias("__cell"),
         )
     )
+    tomb = read_index_tombstones(spark, path)
+    if tomb is not None:
+        # pending deletes (delete_from_ivf_index): anti-join the
+        # tombstone set — broadcast, bounded by deletes-since-
+        # compaction, applied before top-k so a deleted neighbor
+        # never displaces a live one
+        cb = cb.join(F.broadcast(tomb), "neighbor_id", "left_anti")
     return _probe_topk(cb, qb, k=k, dim=dim)
 
 

@@ -30,7 +30,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from geosparql_etl_spark.operators.similarity import l2_norm, with_ivf_cell
+from geosparql_etl_spark.operators.similarity import (
+    l2_norm,
+    read_index_tombstones,
+    with_ivf_cell,
+)
 
 EMBEDDINGS_SCHEMA = (
     "vec_id long, embedding array<float>, label string, norm double"
@@ -131,6 +135,14 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     df = spark.read.parquet(index_path).select(
         "neighbor_id", "__cv", "__cn", "ivf_cell"
     )
+    tomb = read_index_tombstones(spark, index_path)
+    if tomb is not None:
+        # apply pending deletes physically; the tombstone directory is
+        # NOT copied into the new generation, so the swap clears it
+        # atomically with the rewrite (crash before the swap leaves
+        # both the rows and their tombstones in place — probes stay
+        # correct either way)
+        df = df.join(F.broadcast(tomb), "neighbor_id", "left_anti")
     df.repartition("ivf_cell").write.mode("overwrite").partitionBy(
         "ivf_cell"
     ).parquet(os.path.join(tmp_path, "epoch=base"))

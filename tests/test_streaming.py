@@ -884,3 +884,66 @@ def test_ivf_compaction_recovers_from_crashed_swap(spark, sf_dir, tmp_path):
     assert spark.read.parquet(index).count() == n
     assert not os.path.exists(index + ".compact.old")
     assert not os.path.exists(index + ".compact.tmp")
+
+
+def test_ivf_index_tombstone_delete_lifecycle(spark, sf_dir, tmp_path):
+    """delete_from_ivf_index is an O(|deletes|) tombstone append: the
+    probe must exclude deleted ids immediately (logical delete),
+    answer EXACTLY like an index built without them, and compaction
+    must apply the deletes physically while clearing the tombstones
+    atomically with the generation swap."""
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        read_index_tombstones,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=2, memo_key=None
+    )
+    index = str(tmp_path / "index")
+    ref = str(tmp_path / "ref")
+    write_ivf_index(e, index, dim=64, n_cells=16, centroids=trained)
+    write_ivf_index(
+        e.where(F.col("vec_id") % 7 != 0), ref, dim=64, n_cells=16,
+        centroids=trained,
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def answers(path):
+        return [
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in ivf_index_topk(
+                spark, path, probe, k=5, dim=64, n_cells=16, n_probe=4,
+                centroids=trained,
+            ).orderBy("query_id", "rank").collect()
+        ]
+
+    before = answers(index)
+    assert any(n % 7 == 0 for _, n, _ in before), "fixture must bite"
+
+    # two delete batches accumulate (dedup across files)
+    delete_from_ivf_index(
+        spark, index, e.where(F.col("vec_id") % 14 == 0).select("vec_id")
+    )
+    delete_from_ivf_index(
+        spark, index, e.where(F.col("vec_id") % 7 == 0).select("vec_id")
+    )
+    logical = answers(index)
+    assert not any(n % 7 == 0 for _, n, _ in logical)
+    # the logical view answers exactly like an index built without them
+    assert logical == answers(ref)
+
+    # compaction applies tombstones physically and clears them
+    n_live = e.where(F.col("vec_id") % 7 != 0).count()
+    compact_ivf_index(spark, index)
+    assert not os.path.exists(os.path.join(index, "_tombstones"))
+    assert read_index_tombstones(spark, index) is None
+    assert spark.read.parquet(index).count() == n_live
+    assert answers(index) == logical
