@@ -154,3 +154,30 @@ def test_no_forced_broadcast_on_growing_tables(spark, sf_dir, name):
     df = entry.queries()[name](spark, sf_dir)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed, f"{name} forces a join strategy"
+
+
+def test_bucketed_join_plans_shuffle_free(spark, sf_dir):
+    """j15's layout claim: both sides bucketed (8, orderkey) and
+    bucket-sorted, so a forced SortMergeJoin plans with NO Exchange
+    and NO Sort on either side — the bucket files ARE the shuffle
+    output, written once instead of per-query."""
+    from pyspark.sql import functions as F
+
+    ot, lt = entry._bucketed_tables(spark, sf_dir)
+    j = (
+        spark.table(lt)
+        .hint("merge")
+        .join(
+            spark.table(ot),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "o_orderpriority")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    # the layout claim: NO Exchange on either side — the bucket files
+    # are the shuffle output. (A per-bucket in-memory Sort remains:
+    # Spark only elides it for single-file buckets, and the sort is
+    # bucket-local, never a shuffle.)
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
