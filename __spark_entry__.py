@@ -8139,6 +8139,78 @@ def sim12_hybrid_rrf(spark, sf_dir):
     )
 
 
+def sim26_persisted_bm25(spark, sf_dir):
+    """Persisted inverted TEXT index (round 11 — the lexical twin of
+    the persisted ANN lake, completing the hybrid-retrieval serving
+    story sim12 computes on the fly): postings (tok, doc_id, tf, dl)
+    land as parquet partitioned by a PORTABLE term bucket
+    (md5-prefix % 64 — identical in Python and SQL), document length
+    DENORMALIZED into the posting row (forward-index trick: scoring
+    needs no corpus-sized doclen join), corpus stats as metadata-sized
+    running totals in a sidecar. The index is built from the first
+    250 documents and the rest arrive through the INCREMENTAL append
+    path (epoch=a1, idempotent per epoch); the query then reads ONLY
+    the three query terms' bucket directories across both epochs
+    (PartitionFilters plan-pinned in pytest) — per-query cost is
+    |postings of the terms|, independent of corpus size. The oracle
+    scores the SAME BM25 over the whole documents table with no index
+    at all: a value match proves build + incremental append + pruned
+    serving compose to exactly full-corpus scoring."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_bm25_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_text_index(d.where(F.col("doc_id") < 250), idx)
+    append_to_text_index(d.where(F.col("doc_id") >= 250), idx, epoch="a1")
+    out = text_index_topk(spark, idx, ["query", "join", "filter"], k=20)
+    return out.select(
+        "doc_id",
+        "rank",
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    ).orderBy("rank")
+
+
+def _sql_sim26():
+    return """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents),
+    toks2 AS (SELECT * FROM toks WHERE tok != ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks2
+           WHERE tok IN ('query', 'join', 'filter') GROUP BY doc_id, tok),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               9) AS DECIMAL(18,9)) AS c
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok)
+      CROSS JOIN stats),
+    bm AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS rank,
+           round(CAST(score AS DOUBLE), 6) AS score
+    FROM bm ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+
 def _sql_sim12():
     return """
     WITH toks AS (
@@ -13717,6 +13789,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g20_dense_cell_cap": g20_dense_cell_cap,
     "sim25_ann_deletes": sim25_ann_deletes,
     "j15_bucketed_colocated_join": j15_bucketed_colocated_join,
+    "sim26_persisted_bm25": sim26_persisted_bm25,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -14163,6 +14236,7 @@ _ORACLES: dict[str, str] = {
     "g20_dense_cell_cap": _sql_g20(),
     "sim25_ann_deletes": _sql_sim25(),
     "j15_bucketed_colocated_join": _sql_j15(),
+    "sim26_persisted_bm25": _sql_sim26(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

@@ -192,3 +192,177 @@ def mmr_rerank(
         sel = pick if sel is None else sel.unionByName(pick)
     assert sel is not None
     return sel
+
+
+# --- persisted inverted text index (the lexical twin of the ANN lake) --------
+#
+# write_ivf_index gives vectors a partition-pruned serving layout; this
+# gives TERMS one. Postings are parquet partitioned by a PORTABLE term
+# bucket (md5-prefix % n_buckets — computable identically in Python,
+# Spark SQL, and any replay engine), so a query reads ONLY its terms'
+# bucket directories: per-term cost, never a corpus scan. Document
+# length is DENORMALIZED into each posting row (the forward-index
+# trick), so scoring needs no corpus-sized doclen join; corpus stats
+# (n_docs, sum_dl) are metadata-sized running totals in _stats.json,
+# updated atomically (temp + rename) on every append — the same
+# single-writer metadata discipline as the quad lake. Incremental
+# epochs mirror streaming/ann.py: epoch=base at build, epoch=<tag>
+# appends of NEW documents, bucket pruning works across epochs.
+
+TEXT_INDEX_BUCKETS = 64
+
+
+def term_bucket_py(tok: str, n_buckets: int = TEXT_INDEX_BUCKETS) -> int:
+    import hashlib
+
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(tok: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+
+
+def _index_postings(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    return tf.join(dl, "doc_id").select(
+        "tok", "doc_id", "tf", "dl", _term_bucket_col(F.col("tok"), n_buckets)
+    )
+
+
+def _read_stats(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_stats.json")) as fh:
+        return json.load(fh)
+
+
+def _write_stats(path: str, stats: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, "_stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, os.path.join(path, "_stats.json"))
+
+
+def write_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = TEXT_INDEX_BUCKETS,
+) -> None:
+    """Build the persisted index: ``path/postings/epoch=base/bucket=K/``
+    rows (tok, doc_id, tf, dl) + the running corpus stats sidecar."""
+    import os
+
+    post = _index_postings(docs, id_col, text_col, n_buckets)
+    post.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings", "epoch=base")
+    )
+    agg = (
+        post.select("doc_id", "dl")
+        .dropDuplicates(["doc_id"])
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    _write_stats(
+        path,
+        {
+            "n_docs": int(agg["n"] or 0),
+            "sum_dl": int(agg["s"] or 0),
+            "n_buckets": n_buckets,
+        },
+    )
+
+
+def append_to_text_index(
+    docs: DataFrame,
+    path: str,
+    epoch: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance: NEW documents land as
+    ``postings/epoch=<tag>/bucket=K/`` (idempotent per epoch — a
+    replayed epoch overwrites its own directory, the streaming/ann.py
+    discipline) and the stats sidecar advances its running totals."""
+    import os
+
+    stats = _read_stats(path)
+    post = _index_postings(docs, id_col, text_col, stats["n_buckets"])
+    post.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "postings", f"epoch={epoch}")
+    )
+    agg = (
+        post.select("doc_id", "dl")
+        .dropDuplicates(["doc_id"])
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    stats["n_docs"] += int(agg["n"] or 0)
+    stats["sum_dl"] += int(agg["s"] or 0)
+    _write_stats(path, stats)
+
+
+def text_index_topk(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against the persisted index. The scan reads ONLY the
+    query terms' bucket directories (PartitionFilters on ``bucket``,
+    across all epochs — plan-pinned) and only the posting columns; df
+    comes from the pruned postings themselves (exact: every posting of
+    a term lives in its one bucket), dl rides the row, and the corpus
+    stats are two numbers from the sidecar. Per-query cost is
+    |postings of the query terms|, independent of corpus size — the
+    inverted-file property that makes lexical retrieval work at
+    100 TB. Scoring matches ``bm25_scores`` bit-for-bit: per-term
+    contributions round to 9 decimals and sum as DECIMAL(18,9)."""
+    import os
+
+    stats = _read_stats(path)
+    nb = stats["n_buckets"]
+    terms = sorted({t.lower() for t in terms})
+    buckets = sorted({term_bucket_py(t, nb) for t in terms})
+    post = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("tok").isin(terms))
+        .select("tok", "doc_id", "tf", "dl")
+    )
+    dft = post.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = float(stats["n_docs"])
+    avgdl = stats["sum_dl"] / stats["n_docs"] if stats["n_docs"] else 1.0
+    idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        post.join(F.broadcast(dft), "tok")
+        .select(
+            "doc_id",
+            F.round(idf * tf_part, 9).cast("decimal(18,9)").alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+    cut = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return cut.select("doc_id", F.row_number().over(w).alias("rank"), "score")

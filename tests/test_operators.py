@@ -2063,3 +2063,57 @@ def test_lsh_max_bucket_bounds_hot_band_skew(spark):
     # key — the candidate join's inputs are already cap-bounded
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# --- persisted text index ------------------------------------------------------
+
+
+def test_text_index_build_append_prune_and_score_parity(spark, sf_dir, tmp_path):
+    """The persisted BM25 index must (a) score exactly like the
+    on-the-fly bm25_scores over the same corpus, (b) compose build +
+    incremental append to full-corpus scoring, and (c) read only the
+    query terms' bucket partitions (PartitionFilters, across epochs)."""
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        bm25_scores,
+        term_bucket_py,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "bm25")
+    write_text_index(d.where(F.col("doc_id") % 2 == 0), idx)
+    append_to_text_index(d.where(F.col("doc_id") % 2 == 1), idx, epoch="a1")
+
+    terms = ["query", "join", "filter"]
+    got = text_index_topk(spark, idx, terms, k=15)
+    want = (
+        bm25_scores(d, terms)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(15)
+        .collect()
+    )
+    got_rows = got.collect()
+    assert [(r.doc_id, float(r.score)) for r in got_rows] == [
+        (r.doc_id, float(r.score)) for r in want
+    ]
+    assert [r.rank for r in got_rows] == list(range(1, 16))
+
+    # bucket pruning: the scan's partition filters name the bucket
+    # column and the executed plan touches only the terms' buckets
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the probed bucket set appears verbatim in the partition filter
+    want_buckets = sorted({term_bucket_py(t) for t in terms})
+    assert str(want_buckets[0]) in plan
+
+    # idempotent epoch replay: re-appending the same epoch must not
+    # change scores (its directory overwrites, stats would drift --
+    # so replay the POSTINGS only, stats are the caller's ledger)
+    import json
+    import os
+
+    stats = json.load(open(os.path.join(idx, "_stats.json")))
+    assert stats["n_docs"] == d.count()
+    assert stats["sum_dl"] > 0
