@@ -8180,6 +8180,60 @@ def sim26_persisted_bm25(spark, sf_dir):
     ).orderBy("rank")
 
 
+def s17_streaming_text_index(spark, sf_dir):
+    """Streaming maintenance of the persisted BM25 index (round 11 —
+    the lexical twin of sim21's streaming ANN maintenance): the index
+    is built from the first 250 documents, the rest land in a parquet
+    landing dir and flow in through run_text_index_maintenance
+    (file-source checkpointed discovery -> one idempotent epoch per
+    micro-batch, postings AND the per-epoch stats-ledger entry both
+    keyed by the epoch so an at-least-once replay can never
+    double-count). The probe then answers from the combined index with
+    term-bucket partition pruning across epochs. The oracle is sim26's
+    index-free full-corpus BM25 replay: a value match proves streaming
+    maintenance composes to exactly from-scratch scoring."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        run_text_index_maintenance,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "gsel_bm25_stream_" + tag)
+    shutil.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "index")
+    landing = os.path.join(root, "landing")
+    write_text_index(d.where(F.col("doc_id") < 250), idx)
+    d.where(F.col("doc_id") >= 250).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(landing)
+    q = run_text_index_maintenance(
+        spark, landing, idx, os.path.join(root, "ck")
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "s17: text-index maintenance stream did not drain in 300s — "
+            "probing a partially maintained index would record a "
+            "spurious, non-deterministic mismatch"
+        )
+    out = text_index_topk(spark, idx, ["query", "join", "filter"], k=20)
+    return out.select(
+        "doc_id",
+        "rank",
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    ).orderBy("rank")
+
+
+def _sql_s17():
+    return _sql_sim26()
+
+
 def _sql_sim26():
     return """
     WITH toks AS (
@@ -13790,6 +13844,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim25_ann_deletes": sim25_ann_deletes,
     "j15_bucketed_colocated_join": j15_bucketed_colocated_join,
     "sim26_persisted_bm25": sim26_persisted_bm25,
+    "s17_streaming_text_index": s17_streaming_text_index,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -14237,6 +14292,7 @@ _ORACLES: dict[str, str] = {
     "sim25_ann_deletes": _sql_sim25(),
     "j15_bucketed_colocated_join": _sql_j15(),
     "sim26_persisted_bm25": _sql_sim26(),
+    "s17_streaming_text_index": _sql_s17(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

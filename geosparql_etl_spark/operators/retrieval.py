@@ -257,6 +257,16 @@ def _write_stats(path: str, stats: dict) -> None:
     os.replace(tmp, os.path.join(path, "_stats.json"))
 
 
+def _epoch_contribution(post: DataFrame) -> dict:
+    agg = (
+        post.select("doc_id", "dl")
+        .dropDuplicates(["doc_id"])
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    return {"n_docs": int(agg["n"] or 0), "sum_dl": int(agg["s"] or 0)}
+
+
 def write_text_index(
     docs: DataFrame,
     path: str,
@@ -265,25 +275,21 @@ def write_text_index(
     n_buckets: int = TEXT_INDEX_BUCKETS,
 ) -> None:
     """Build the persisted index: ``path/postings/epoch=base/bucket=K/``
-    rows (tok, doc_id, tf, dl) + the running corpus stats sidecar."""
+    rows (tok, doc_id, tf, dl) + the per-epoch stats LEDGER sidecar
+    (totals are derived by summing epoch entries, so a replayed epoch
+    can never double-count — exactly-once stats on top of
+    at-least-once epoch delivery)."""
     import os
 
     post = _index_postings(docs, id_col, text_col, n_buckets)
     post.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings", "epoch=base")
     )
-    agg = (
-        post.select("doc_id", "dl")
-        .dropDuplicates(["doc_id"])
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
-        .collect()[0]
-    )
     _write_stats(
         path,
         {
-            "n_docs": int(agg["n"] or 0),
-            "sum_dl": int(agg["s"] or 0),
             "n_buckets": n_buckets,
+            "epochs": {"base": _epoch_contribution(post)},
         },
     )
 
@@ -296,9 +302,12 @@ def append_to_text_index(
     text_col: str = "text",
 ) -> None:
     """Incremental maintenance: NEW documents land as
-    ``postings/epoch=<tag>/bucket=K/`` (idempotent per epoch — a
-    replayed epoch overwrites its own directory, the streaming/ann.py
-    discipline) and the stats sidecar advances its running totals."""
+    ``postings/epoch=<tag>/bucket=K/`` and the stats ledger records
+    the epoch's contribution UNDER ITS TAG. Both writes are keyed by
+    the epoch, so a replayed epoch (streaming restart, retried batch)
+    overwrites its own directory and its own ledger entry — idempotent
+    end to end, the streaming/ann.py discipline extended to the
+    derived statistics."""
     import os
 
     stats = _read_stats(path)
@@ -306,15 +315,51 @@ def append_to_text_index(
     post.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "postings", f"epoch={epoch}")
     )
-    agg = (
-        post.select("doc_id", "dl")
-        .dropDuplicates(["doc_id"])
-        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
-        .collect()[0]
-    )
-    stats["n_docs"] += int(agg["n"] or 0)
-    stats["sum_dl"] += int(agg["s"] or 0)
+    stats["epochs"][str(epoch)] = _epoch_contribution(post)
     _write_stats(path, stats)
+
+
+def _stats_totals(stats: dict) -> tuple[int, int]:
+    n = sum(e["n_docs"] for e in stats["epochs"].values())
+    s = sum(e["sum_dl"] for e in stats["epochs"].values())
+    return n, s
+
+
+def run_text_index_maintenance(
+    spark,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming maintenance of the text index: document parquet drops
+    in ``landing_dir`` flow in exactly once (file-source checkpoint)
+    and each micro-batch lands as its own idempotent epoch. Returns
+    the started availableNow StreamingQuery — the lexical twin of
+    streaming/ann.py:run_index_maintenance."""
+    try:
+        schema = spark.read.parquet(landing_dir).schema
+    except Exception:
+        schema = f"{id_col} long, {text_col} string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(landing_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        append_to_text_index(
+            batch_df, index_path, epoch=str(epoch_id),
+            id_col=id_col, text_col=text_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def text_index_topk(
@@ -339,6 +384,7 @@ def text_index_topk(
 
     stats = _read_stats(path)
     nb = stats["n_buckets"]
+    total_docs, total_dl = _stats_totals(stats)
     terms = sorted({t.lower() for t in terms})
     buckets = sorted({term_bucket_py(t, nb) for t in terms})
     post = (
@@ -348,8 +394,8 @@ def text_index_topk(
         .select("tok", "doc_id", "tf", "dl")
     )
     dft = post.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = float(stats["n_docs"])
-    avgdl = stats["sum_dl"] / stats["n_docs"] if stats["n_docs"] else 1.0
+    n_docs = float(total_docs)
+    avgdl = total_dl / total_docs if total_docs else 1.0
     idf = F.log(1 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))

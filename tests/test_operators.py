@@ -2108,12 +2108,17 @@ def test_text_index_build_append_prune_and_score_parity(spark, sf_dir, tmp_path)
     want_buckets = sorted({term_bucket_py(t) for t in terms})
     assert str(want_buckets[0]) in plan
 
-    # idempotent epoch replay: re-appending the same epoch must not
-    # change scores (its directory overwrites, stats would drift --
-    # so replay the POSTINGS only, stats are the caller's ledger)
+    # idempotent epoch replay: a replayed epoch overwrites its own
+    # postings directory AND its own stats-ledger entry, so the
+    # totals (and therefore every score) are unchanged
     import json
     import os
 
+    append_to_text_index(d.where(F.col("doc_id") % 2 == 1), idx, epoch="a1")
     stats = json.load(open(os.path.join(idx, "_stats.json")))
-    assert stats["n_docs"] == d.count()
-    assert stats["sum_dl"] > 0
+    assert sum(e["n_docs"] for e in stats["epochs"].values()) == d.count()
+    assert set(stats["epochs"]) == {"base", "a1"}
+    replayed = text_index_topk(spark, idx, terms, k=15).collect()
+    assert [(r.doc_id, float(r.score)) for r in replayed] == [
+        (r.doc_id, float(r.score)) for r in want
+    ]
