@@ -12159,6 +12159,158 @@ def er01_entity_canonicalize(spark, sf_dir):
     )
 
 
+def er04_incremental_resolution(spark, sf_dir):
+    """Incremental entity resolution against a PERSISTED canonical
+    store (round 11 — the form a living MDM/record-linkage pipeline
+    runs, completing the incremental family: llm06 text fingerprints,
+    d19 embeddings, sim21/sim25 ANN, s17 lexical index, now
+    entities): er01's canonicalization machinery (position-prefixed
+    token blocking -> lev<=3 -> connected components -> min-name
+    canonical) builds the store from the names whose FIRST token sorts
+    below 'm' (half the domain), persisted as a vocabulary-sized
+    parquet map. The incoming batch (every distinct name) then
+    resolves INCREMENTALLY: block keys against the store only
+    (broadcast — the store map is vocab-sized by construction), lev<=3
+    match, best = (min lev, then min canonical, then min store name),
+    unmatched names mint themselves (is_new). Per-batch cost is
+    |batch| x bounded block fan-out — the corpus is never rescanned.
+    The oracle replays store construction (recursive CC, er01's SQL)
+    AND the deterministic best-match rule."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.functions.hashing import md5_long
+    from geosparql_etl_spark.operators.dedup import connected_components
+
+    p = _t(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("n")).distinct()
+    toks = F.split(F.col("n"), " ")
+
+    def keyed(df):
+        return df.select(
+            *df.columns,
+            F.explode(
+                F.array(
+                    F.concat(F.lit("1|"), F.split(F.col("n"), " ").getItem(0)),
+                    F.concat(F.lit("2|"), F.split(F.col("n"), " ").getItem(1)),
+                )
+            ).alias("blk"),
+        )
+
+    # ---- store build: er01 over the tok1 < 'm' half of the domain
+    snames = names.where(toks.getItem(0) < "m").select(
+        "n", md5_long(F.col("n")).alias("hid")
+    )
+    sk = keyed(snames)
+    a = sk.select("blk", F.col("n").alias("na"), F.col("hid").alias("ha"))
+    b = sk.select("blk", F.col("n").alias("nb"), F.col("hid").alias("hb"))
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("na") < F.col("nb"))
+        .select("na", "nb", "ha", "hb")
+        .dropDuplicates(["na", "nb"])
+        .where(F.levenshtein(F.col("na"), F.col("nb")) <= 3)
+        .select(
+            F.least("ha", "hb").alias("id_a"),
+            F.greatest("ha", "hb").alias("id_b"),
+        )
+    )
+    cc = connected_components(pairs, unique_pairs=True)
+    clustered = snames.join(cc, snames.hid == cc.node, "left").select(
+        "n", F.coalesce(F.col("cluster_id"), F.col("hid")).alias("cid")
+    )
+    canon = clustered.groupBy("cid").agg(F.min("n").alias("canonical"))
+    store_df = clustered.join(canon, "cid").select("n", "canonical")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store_path = os.path.join(tempfile.gettempdir(), "gsel_er_store_" + tag)
+    shutil.rmtree(store_path, ignore_errors=True)
+    store_df.write.mode("overwrite").parquet(store_path)
+
+    # ---- incremental batch resolution against the persisted store
+    store = spark.read.parquet(store_path)
+    bk = keyed(names)
+    sk2 = keyed(store.select(F.col("n"), "canonical")).select(
+        "blk", F.col("n").alias("sn"), "canonical"
+    )
+    m = (
+        bk.join(F.broadcast(sk2), "blk")
+        .select(F.col("n"), "sn", "canonical")
+        .dropDuplicates(["n", "sn"])
+        .withColumn("lev", F.levenshtein(F.col("n"), F.col("sn")))
+        .where(F.col("lev") <= 3)
+    )
+    w = Window.partitionBy("n").orderBy("lev", "canonical", "sn")
+    best = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("n", F.col("canonical").alias("__match"))
+    )
+    return (
+        names.join(best, "n", "left")
+        .select(
+            F.col("n").alias("p_name"),
+            F.coalesce(F.col("__match"), F.col("n")).alias("canonical"),
+            F.col("__match").isNull().alias("is_new"),
+        )
+        .orderBy("p_name")
+    )
+
+
+def _sql_er04():
+    return """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
+    snames AS (SELECT n FROM names WHERE string_split(n, ' ')[1] < 'm'),
+    skeyed AS (
+      SELECT n, '1|' || string_split(n, ' ')[1] AS blk FROM snames
+      UNION ALL
+      SELECT n, '2|' || string_split(n, ' ')[2] AS blk FROM snames),
+    scand AS (
+      SELECT DISTINCT a.n AS id_a, b.n AS id_b
+      FROM skeyed a JOIN skeyed b ON a.blk = b.blk AND a.n < b.n),
+    spairs AS (
+      SELECT id_a, id_b FROM scand WHERE levenshtein(id_a, id_b) <= 3),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM spairs
+      UNION ALL SELECT id_b, id_a FROM spairs),
+    reach(node, root) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node),
+    cc AS (SELECT node, min(root) AS canon FROM reach GROUP BY node),
+    smap AS (
+      SELECT s.n, coalesce(cc.canon, s.n) AS canonical
+      FROM snames s LEFT JOIN cc ON cc.node = s.n),
+    bkeyed AS (
+      SELECT n, '1|' || string_split(n, ' ')[1] AS blk FROM names
+      UNION ALL
+      SELECT n, '2|' || string_split(n, ' ')[2] AS blk FROM names),
+    skeyed2 AS (
+      SELECT m.n AS sn, m.canonical,
+             '1|' || string_split(m.n, ' ')[1] AS blk
+      FROM smap m
+      UNION ALL
+      SELECT m.n, m.canonical, '2|' || string_split(m.n, ' ')[2]
+      FROM smap m),
+    mcand AS (
+      SELECT DISTINCT b.n, s.sn, s.canonical
+      FROM bkeyed b JOIN skeyed2 s ON b.blk = s.blk),
+    matched AS (
+      SELECT n, sn, canonical, levenshtein(n, sn) AS lev
+      FROM mcand WHERE levenshtein(n, sn) <= 3),
+    best AS (
+      SELECT n, canonical FROM (
+        SELECT n, canonical, row_number() OVER (
+          PARTITION BY n ORDER BY lev, canonical, sn) AS rn
+        FROM matched) WHERE rn = 1)
+    SELECT names.n AS p_name,
+           coalesce(best.canonical, names.n) AS canonical,
+           best.canonical IS NULL AS is_new
+    FROM names LEFT JOIN best ON best.n = names.n
+    ORDER BY p_name
+    """
+
+
 def _sql_er01():
     return """
     WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
@@ -13845,6 +13997,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j15_bucketed_colocated_join": j15_bucketed_colocated_join,
     "sim26_persisted_bm25": sim26_persisted_bm25,
     "s17_streaming_text_index": s17_streaming_text_index,
+    "er04_incremental_resolution": er04_incremental_resolution,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -14293,6 +14446,7 @@ _ORACLES: dict[str, str] = {
     "j15_bucketed_colocated_join": _sql_j15(),
     "sim26_persisted_bm25": _sql_sim26(),
     "s17_streaming_text_index": _sql_s17(),
+    "er04_incremental_resolution": _sql_er04(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),
