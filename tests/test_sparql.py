@@ -3664,3 +3664,30 @@ class TestD1CompatibilityJoins:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_values_undef_keeps_grid_rewrite_alive(toy_store):
+    """Round-11 advice #2: an UNDEF VALUES must not eagerly flatten
+    pending DISCONNECTED frames — deferral leaves them for the
+    FILTER-stage grid spatial rewrite, so a var-var geof:distance
+    between two city frames still compiles to the grid-bucketed join
+    (no CartesianProduct), with the VALUES compatibility join applied
+    on top."""
+    df = run(
+        toy_store,
+        """SELECT ?a ?b ?tag WHERE {
+             ?a a ex:City . ?a geo:asWKT ?wa .
+             ?b a ex:City . ?b geo:asWKT ?wb .
+             VALUES (?a ?tag) { (<urn:c:1> UNDEF) (<urn:c:2> "x") }
+             FILTER(geof:distance(?wa, ?wb) < 200)
+           } ORDER BY ?a ?b""",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        ("urn:c:1", "urn:c:1", None),
+        ("urn:c:1", "urn:c:2", None),
+        ("urn:c:2", "urn:c:1", "x"),
+        ("urn:c:2", "urn:c:2", "x"),
+    ]
