@@ -95,6 +95,12 @@ SHOWCASE = [
     ("warc03_crawl_encodings", "mixed-encoding ingest: archive scan + vectorized decode boundary, per-(source, transport) aggregate"),
     ("sp42_values_undef", "SPARQL VALUES UNDEF: broadcast nested-loop compatibility join over the inline side — bounded, no shuffle"),
     ("mm08_shot_keyframes", "shot keyframes: decode batches die in the scan; two 4-row windows + one aggregate over (media, frame, gm) rows"),
+    # round 11
+    ("sp43_optional_rejoin", "D1 compatibility join: null-mask split — bound arm equi-joins (nt, vip), unbound arm equi-joins (nt), unioned; no BroadcastNestedLoopJoin"),
+    ("d20_skew_capped_neardup", "adversarial max_df cap: hot postings die in a broadcast anti-filter BEFORE the inverted-index self-join"),
+    ("j15_bucketed_colocated_join", "bucketed co-located join: both scans Bucketed: true, SortMergeJoin with zero Exchange"),
+    ("sim25_ann_deletes", "tombstoned index probe: partition-pruned cells anti-joined against the broadcast tombstone set before top-k"),
+    ("sim26_persisted_bm25", "persisted BM25: term-bucket PartitionFilters across epochs, postings-only ReadSchema, broadcast df join"),
 ]
 
 
