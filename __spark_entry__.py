@@ -8234,6 +8234,137 @@ def _sql_s17():
     return _sql_sim26()
 
 
+def sim27_hybrid_persisted_serving(spark, sf_dir):
+    """The full production hybrid-retrieval SERVING path (round 11
+    capstone — sim12 proved the fusion math over on-the-fly arms; this
+    runs both arms against their PERSISTED lakes): the lexical arm
+    probes the term-bucket-partitioned BM25 index (sim26's layout,
+    bucket-pruned scan), the vector arm probes the cell-partitioned
+    trained IVF index (sim16/18's layout, partition-pruned to the
+    probe cells), and reciprocal rank fusion merges the two rank lists
+    — so the whole query touches only |terms| postings buckets +
+    n_probe vector cells of two write-once layouts. Fixed query =
+    terms {query, join, filter} + the vec_id 0 embedding, top-100 per
+    arm, RRF k=60, top-20 fused. The oracle replays BOTH arms
+    index-free (full-corpus BM25 + trained-quantizer probe replay)
+    and the same integer-rank fusion."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        rrf_fuse,
+        text_index_topk,
+        write_text_index,
+    )
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tidx = os.path.join(tempfile.gettempdir(), "gsel_hybrid_bm25_" + tag)
+    vidx = os.path.join(tempfile.gettempdir(), "gsel_hybrid_ivf_" + tag)
+    shutil.rmtree(tidx, ignore_errors=True)
+    shutil.rmtree(vidx, ignore_errors=True)
+    write_text_index(d, tidx)
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    write_ivf_index(e, vidx, dim=64, n_cells=16, centroids=trained)
+
+    lex = text_index_topk(
+        spark, tidx, ["query", "join", "filter"], k=100
+    ).select("doc_id", F.col("rank").alias("lex_rank"))
+    vec = ivf_index_topk(
+        spark, vidx, e.where(F.col("vec_id") == 0), k=100, dim=64,
+        n_cells=16, n_probe=6, centroids=trained,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = rrf_fuse([lex, vec], k=60)
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "vec_rank",
+            F.round("rrf", 6).alias("rrf"),
+        )
+    )
+
+
+def _sql_sim27():
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id = 0) WHERE rn <= 6),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    vres AS (
+      SELECT neighbor_id AS doc_id, rank AS vec_rank FROM (
+        SELECT neighbor_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                          neighbor_id) AS rank
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e ec ON ec.vec_id = cand.neighbor_id)
+      WHERE rank <= 100),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents),
+    toks2 AS (SELECT * FROM toks WHERE tok != ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks2
+           WHERE tok IN ('query', 'join', 'filter') GROUP BY doc_id, tok),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               9) AS DECIMAL(18,9)) AS c
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok)
+      CROSS JOIN stats),
+    bm AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+            FROM bm ORDER BY score DESC, doc_id LIMIT 100),
+    fused AS (
+      SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             coalesce(1.0 / (60 + l.lex_rank), 0)
+               + coalesce(1.0 / (60 + v.vec_rank), 0) AS rrf
+      FROM lex l FULL JOIN vres v ON v.doc_id = l.doc_id)
+    SELECT doc_id, CAST(lex_rank AS INT) AS lex_rank,
+           CAST(vec_rank AS INT) AS vec_rank,
+           round(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+
 def _sql_sim26():
     return """
     WITH toks AS (
@@ -13998,6 +14129,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim26_persisted_bm25": sim26_persisted_bm25,
     "s17_streaming_text_index": s17_streaming_text_index,
     "er04_incremental_resolution": er04_incremental_resolution,
+    "sim27_hybrid_persisted_serving": sim27_hybrid_persisted_serving,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -14447,6 +14579,7 @@ _ORACLES: dict[str, str] = {
     "sim26_persisted_bm25": _sql_sim26(),
     "s17_streaming_text_index": _sql_s17(),
     "er04_incremental_resolution": _sql_er04(),
+    "sim27_hybrid_persisted_serving": _sql_sim27(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

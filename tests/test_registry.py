@@ -42,7 +42,7 @@ def test_round11_correctness_window_is_stable():
     assert keys[49] == "s05_attribution_join"
     # below the window: the r05 remainder heads the post-window order
     # (after any new round-11 additions), r10-stamped rows are last
-    assert "s06_stream_dedup_batch" in keys[50:60]
+    assert "s06_stream_dedup_batch" in keys[50:65]
     assert keys[-1] == "t05_urn_rewrite"
     assert len(keys) == len(set(keys))
 
