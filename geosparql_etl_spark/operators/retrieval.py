@@ -257,9 +257,14 @@ def _write_stats(path: str, stats: dict) -> None:
     os.replace(tmp, os.path.join(path, "_stats.json"))
 
 
-def _epoch_contribution(post: DataFrame) -> dict:
+def _epoch_contribution(spark, epoch_path: str) -> dict:
+    """Doc count + length total of ONE epoch, read back from its
+    just-written parquet (tiny and already materialized — recomputing
+    the tokenize/aggregate pipeline here would run the whole DAG a
+    second time per build/append, review finding round 11)."""
     agg = (
-        post.select("doc_id", "dl")
+        spark.read.parquet(epoch_path)
+        .select("doc_id", "dl")
         .dropDuplicates(["doc_id"])
         .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
         .collect()[0]
@@ -280,16 +285,23 @@ def write_text_index(
     can never double-count — exactly-once stats on top of
     at-least-once epoch delivery)."""
     import os
+    import shutil
 
+    # a REBUILD must reset the whole layout: overwriting only
+    # epoch=base would leave stale append epochs on disk while the
+    # fresh ledger no longer lists them (review finding round 11 —
+    # ghost postings, silently wrong df/avgdl)
+    shutil.rmtree(os.path.join(path, "postings"), ignore_errors=True)
+    epoch_path = os.path.join(path, "postings", "epoch=base")
     post = _index_postings(docs, id_col, text_col, n_buckets)
-    post.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "postings", "epoch=base")
-    )
+    post.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
     _write_stats(
         path,
         {
             "n_buckets": n_buckets,
-            "epochs": {"base": _epoch_contribution(post)},
+            "epochs": {
+                "base": _epoch_contribution(docs.sparkSession, epoch_path)
+            },
         },
     )
 
@@ -311,11 +323,17 @@ def append_to_text_index(
     import os
 
     stats = _read_stats(path)
+    epoch_path = os.path.join(path, "postings", f"epoch={epoch}")
     post = _index_postings(docs, id_col, text_col, stats["n_buckets"])
-    post.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "postings", f"epoch={epoch}")
+    post.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
+    # postings first, ledger second: the ledger entry is the COMMIT
+    # point — readers scan only ledger-listed epochs, so a crash
+    # between the two writes leaves an invisible orphan epoch, never
+    # a half-counted one (the next replay of the same epoch overwrites
+    # both keys idempotently)
+    stats["epochs"][str(epoch)] = _epoch_contribution(
+        docs.sparkSession, epoch_path
     )
-    stats["epochs"][str(epoch)] = _epoch_contribution(post)
     _write_stats(path, stats)
 
 
@@ -389,6 +407,11 @@ def text_index_topk(
     buckets = sorted({term_bucket_py(t, nb) for t in terms})
     post = (
         spark.read.parquet(os.path.join(path, "postings"))
+        # only LEDGER-LISTED epochs are visible: an epoch whose
+        # postings landed but whose stats entry did not commit (crash
+        # window) must not leak into df/tf while being absent from
+        # n_docs/avgdl
+        .where(F.col("epoch").cast("string").isin(sorted(stats["epochs"])))
         .where(F.col("bucket").isin(buckets))
         .where(F.col("tok").isin(terms))
         .select("tok", "doc_id", "tf", "dl")

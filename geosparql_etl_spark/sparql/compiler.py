@@ -1843,6 +1843,23 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             frames.append(out)
         return out
 
+    def flush_deferred() -> None:
+        """Compile any deferred UNDEF VALUES NOW. Deferral is only
+        legal across Joins (spec 18.5 join commutativity) — LeftJoin
+        (OPTIONAL), Minus, and Extend (BIND) do NOT commute with Join,
+        so the inline data must be in place before any of them
+        evaluates (round-11 review: deferring past an OPTIONAL dropped
+        the spec-mandated unextended solutions of VALUES rows
+        incompatible with the optional match). A still-unbound UNDEF
+        var materializes NULL and is MARKED maybe-unbound, so a later
+        pattern binding it joins with compatibility semantics — the
+        spec join either way."""
+        if deferred_values:
+            spark = store.triples.sparkSession
+            for vars_, rows in deferred_values:
+                _apply_values_undef(spark, frames, vars_, rows, defer_ok=False)
+            deferred_values.clear()
+
     for kind, payload in [(e[0], e[1:]) for e in group.elements]:
         if kind == "bgp":
             for pat in payload[0]:
@@ -1866,6 +1883,7 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             frames.append(merged)
             _merge_connected(frames)
         elif kind == "optional":
+            flush_deferred()
             g = payload[0]
             lifted: list = []
             stay_group = g
@@ -1907,10 +1925,43 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
             for e in lifted:
                 c = _compile_expr(e)
                 cond = c if cond is None else (cond & c)
-            matched = _join(df, inner, how="inner").where(cond)
             left_cols = list(df.columns)
+            # D1 round-11 fix: when a shared var is maybe-unbound, the
+            # compatibility join COALESCES it to the inner side's
+            # value, so projecting `matched` back to left_cols no
+            # longer equals the original left row and the anti-join
+            # would keep it — a PHANTOM unmatched row beside its own
+            # compatibility matches. Snapshot the ORIGINAL left values
+            # into hidden __orig_ columns before the join and compare
+            # the anti-join against THOSE.
+            orig_vars = sorted(
+                v
+                for v in set(left_cols) & set(inner.columns)
+                if v in _maybe_null_vars(df)
+            )
+            df2 = _propagate_mn(df, df)
+            for v in orig_vars:
+                df2 = _propagate_mn(
+                    df2.withColumn(f"__orig_{v}", F.col(v)), df2
+                )
+            matched_full = _join(df2, inner, how="inner").where(cond)
+            matched = matched_full.drop(
+                *[f"__orig_{v}" for v in orig_vars]
+            )
+            matched = _propagate_mn(matched, matched_full)
             lhs = df.alias("__optL")
-            rhs = matched.select(*left_cols).dropDuplicates().alias("__optM")
+            rhs = (
+                matched_full.select(
+                    *[
+                        F.col(f"__orig_{c}").alias(c)
+                        if c in orig_vars
+                        else F.col(c)
+                        for c in left_cols
+                    ]
+                )
+                .dropDuplicates()
+                .alias("__optM")
+            )
             anti = None
             for c in left_cols:
                 eq = F.col(f"__optL.{c}").eqNullSafe(F.col(f"__optM.{c}"))
@@ -1928,6 +1979,7 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 )
             ]
         elif kind in ("minus", "exists", "notexists"):
+            flush_deferred()
             inner = _compile_group(store, payload[0])
             df = flatten()
             if df is None:
@@ -2035,6 +2087,7 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 target._meta_need = prior
             _merge_connected(frames)
         elif kind == "bind":
+            flush_deferred()
             var, expr = payload
             shape = _static_wkt_shape(expr)
             if shape is not None:
@@ -2061,10 +2114,7 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                     stack.extend((e[1], e[2]))
                 else:
                     filters.append(e)
-    for vars_, rows in deferred_values:
-        _apply_values_undef(
-            store.triples.sparkSession, frames, vars_, rows, defer_ok=False
-        )
+    flush_deferred()
     if not frames:
         raise ValueError("empty group graph pattern")
     residual = []

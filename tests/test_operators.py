@@ -2122,3 +2122,59 @@ def test_text_index_build_append_prune_and_score_parity(spark, sf_dir, tmp_path)
     assert [(r.doc_id, float(r.score)) for r in replayed] == [
         (r.doc_id, float(r.score)) for r in want
     ]
+
+
+def test_text_index_rebuild_resets_layout_and_orphans_stay_invisible(
+    spark, sf_dir, tmp_path
+):
+    """Review-fix pins: (a) write_text_index on a path holding an
+    appended index must reset the WHOLE layout (stale append epochs
+    must not ghost into df/avgdl); (b) an epoch whose postings landed
+    but whose ledger entry never committed (crash window) is invisible
+    to probes until the replay commits both."""
+    import json
+    import os
+    import shutil
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        bm25_scores,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "bm25")
+    half = d.where(F.col("doc_id") % 2 == 0)
+    write_text_index(half, idx)
+    append_to_text_index(d.where(F.col("doc_id") % 2 == 1), idx, epoch="a1")
+
+    # (a) REBUILD from scratch over the half corpus: the a1 epoch must
+    # be gone from disk and from scores
+    write_text_index(half, idx)
+    assert not os.path.exists(os.path.join(idx, "postings", "epoch=a1"))
+    terms = ["query", "join", "filter"]
+    got = text_index_topk(spark, idx, terms, k=10).collect()
+    want = (
+        bm25_scores(half, terms)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+        .collect()
+    )
+    assert [(r.doc_id, float(r.score)) for r in got] == [
+        (r.doc_id, float(r.score)) for r in want
+    ]
+
+    # (b) simulate the crash window: postings of a new epoch exist,
+    # ledger entry does not -> probes must not see the orphan
+    append_to_text_index(d.where(F.col("doc_id") % 2 == 1), idx, epoch="a2")
+    stats_path = os.path.join(idx, "_stats.json")
+    stats = json.load(open(stats_path))
+    del stats["epochs"]["a2"]
+    with open(stats_path, "w") as fh:
+        json.dump(stats, fh)
+    orphaned = text_index_topk(spark, idx, terms, k=10).collect()
+    assert [(r.doc_id, float(r.score)) for r in orphaned] == [
+        (r.doc_id, float(r.score)) for r in want
+    ]
+    shutil.rmtree(idx)

@@ -3691,3 +3691,68 @@ def test_values_undef_keeps_grid_rewrite_alive(toy_store):
         ("urn:c:2", "urn:c:1", "x"),
         ("urn:c:2", "urn:c:2", "x"),
     ]
+
+
+class TestRound11ReviewFixes:
+    """Round-11 code-review repros, pinned: (1) the OPTIONAL
+    lifted-filter path must not emit a phantom unmatched row beside a
+    row's own compatibility matches; (2) UNDEF VALUES may defer only
+    across Joins — it must be flushed before an OPTIONAL/MINUS/BIND
+    (LeftJoin/Minus/Extend do not commute with Join)."""
+
+    @pytest.fixture()
+    def people(self, spark):
+        rows = [
+            ("urn:p:1", "rdf:type", "urn:ex:Person"),
+            ("urn:p:1", "urn:ex:age", "36"),
+            ("urn:p:1", "urn:ex:city", "urn:c:1"),
+            ("urn:p:2", "rdf:type", "urn:ex:Person"),
+            ("urn:p:2", "urn:ex:age", "47"),
+            ("urn:p:2", "urn:ex:city", "urn:c:2"),
+            ("urn:p:3", "rdf:type", "urn:ex:Person"),
+            ("urn:p:3", "urn:ex:age", "45"),
+            ("urn:c:1", "urn:ex:name", "london"),
+            ("urn:c:2", "urn:ex:name", "york"),
+        ]
+        return TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+
+    def test_lifted_filter_no_phantom_beside_compat_matches(self, people):
+        # p:3 has no city -> ?c unbound -> its compatibility matches
+        # pass the lifted filter (?a = "45"), so p:3 must NOT also
+        # survive as an unmatched (None, None) row
+        got = run(
+            people,
+            """SELECT ?p ?c ?cn WHERE {
+                 ?p a ex:Person . ?p ex:age ?a .
+                 OPTIONAL { ?p ex:city ?c }
+                 OPTIONAL { ?c ex:name ?cn FILTER(?a = "45") }
+               } ORDER BY ?p ?c""",
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            ("urn:p:1", "urn:c:1", None),
+            ("urn:p:2", "urn:c:2", None),
+            ("urn:p:3", "urn:c:1", "london"),
+            ("urn:p:3", "urn:c:2", "york"),
+        ]
+
+    def test_values_undef_flushes_before_optional(self, people):
+        # spec 18.2.4.2: VALUES joins at its position, THEN the
+        # LeftJoin applies. The ("47") VALUES row is incompatible with
+        # p:1's age match, so it survives the OPTIONAL unextended —
+        # a deferral past the OPTIONAL would drop it
+        got = run(
+            people,
+            """SELECT ?p ?y WHERE {
+                 ?p a ex:Person . ?p ex:city ?anyc .
+                 VALUES ?y { UNDEF "47" }
+                 OPTIONAL { ?p ex:age ?y }
+               } ORDER BY ?p ?y""",
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            ("urn:p:1", "36"),
+            ("urn:p:1", "47"),
+            ("urn:p:2", "47"),
+            ("urn:p:2", "47"),
+        ]

@@ -1,10 +1,11 @@
 """ANN recall frontier at an EXPANDED corpus — the 10x scale check
 (round 11, VERDICT item 6): the largest driver-generated embeddings
 table is sf0.1's 2,000 vectors, so this harness grows the corpus with
-deterministic CONVEX MIXTURES of real vector pairs (seeded rng;
-normalize(v + lam * (u - v)), lam in 0.1..0.45) — new points on the
-same data manifold, not replicas (replicas would land in their
-source's cell and flatter the quantizer).
+deterministic CONVEX MIXTURES of DISTINCT real vector pairs (seeded
+rng; normalize(u + lam * (w - u)) with u != w guaranteed by an offset
+permutation, lam in 0.3..0.7) — new points on the same data manifold,
+never replicas (a replica lands in its source's cell and flatters the
+quantizer).
 
     python tools/ann_scale_sweep.py [sf_dir] [factor] [n_queries] [k]
 
@@ -63,10 +64,14 @@ def expanded_corpus(spark, sf_dir: str, factor: int):
     rng = np.random.default_rng(42)
     rows = list(zip(base["vec_id"].tolist(), [list(map(float, v)) for v in vecs]))
     for r in range(1, factor):
-        # mixtures of two RANDOM OTHER vectors (never row i itself):
-        # new points between real ones, so no query gains a near-copy
-        # that would flatter the quantizer
-        p1, p2 = rng.permutation(n), rng.permutation(n)
+        # mixtures of two DISTINCT vectors: p2 = p1 rotated by a
+        # nonzero offset, so p1[i] != p2[i] for every row — two
+        # independent permutations collide with P = 1/n per row
+        # (~one exact replica per round), which is exactly the
+        # recall-flattering artifact this harness excludes
+        p1 = rng.permutation(n)
+        off = int(rng.integers(1, n))
+        p2 = np.roll(p1, off)
         lam = 0.3 + 0.4 * (r - 1) / max(1, factor - 2)
         mixed = vecs[p1] + lam * (vecs[p2] - vecs[p1])
         norms = np.linalg.norm(mixed, axis=1, keepdims=True)
