@@ -8396,6 +8396,102 @@ def _sql_sim26():
     """
 
 
+def sim28_bm25_deletes(spark, sf_dir):
+    """DELETE support for the persisted TEXT index (round 11 — the
+    lifecycle third the BM25 lake was missing after sim25 gave it to
+    the ANN lake: sim26 builds/appends, s17 streams, this deletes):
+    dropped doc ids append as TOMBSTONES under ``<index>/_tombstones/``
+    (O(|deletes|) metadata write — a doc's postings are scattered
+    across term buckets, so a physical per-delete rewrite would be a
+    full-index op). Serving anti-joins the tombstone set BEFORE the
+    df aggregate (a deleted doc must not inflate document frequency)
+    and adjusts n_docs/avgdl from the ``_doclens`` forward sidecar
+    pruned to the tombstoned docs' buckets — so the scored result is
+    bit-identical to an index never containing them. Two arms:
+    ``tombstoned`` (logical) and ``compacted`` (physical, generation
+    swap that clears tombstones + collapses the epoch ledger); the
+    oracle replays full-corpus BM25 over documents-minus-deleted ONCE
+    and both arms must match it exactly — the invariant that makes
+    logical deletes trustworthy. See operators/retrieval.py
+    (delete_from_text_index / compact_text_index)."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_bm25_del_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_text_index(d.where(F.col("doc_id") < 250), idx)
+    append_to_text_index(d.where(F.col("doc_id") >= 250), idx, epoch="a1")
+    delete_from_text_index(
+        spark, idx, d.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    terms = ["query", "join", "filter"]
+
+    def probed(arm: str):
+        out = text_index_topk(spark, idx, terms, k=20).select(
+            F.lit(arm).alias("arm"),
+            "doc_id",
+            "rank",
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+        # materialize BEFORE the index mutates under the lazy plan
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    arm1 = probed("tombstoned")
+    compact_text_index(spark, idx)
+    if os.path.exists(os.path.join(idx, "_tombstones")):
+        raise RuntimeError("compaction must clear applied tombstones")
+    arm2 = probed("compacted")
+    return arm1.unionByName(arm2).orderBy("arm", "rank")
+
+
+def _sql_sim28():
+    return """
+    WITH live AS (SELECT * FROM documents WHERE doc_id % 7 != 3),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM live),
+    toks2 AS (SELECT * FROM toks WHERE tok != ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks2
+           WHERE tok IN ('query', 'join', 'filter') GROUP BY doc_id, tok),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               9) AS DECIMAL(18,9)) AS c
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok)
+      CROSS JOIN stats),
+    bm AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+    res AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rank,
+             round(CAST(score AS DOUBLE), 6) AS score
+      FROM bm ORDER BY score DESC, doc_id LIMIT 20)
+    SELECT arms.arm, doc_id, rank, score
+    FROM res CROSS JOIN (
+      SELECT unnest(['compacted', 'tombstoned']) AS arm) arms
+    ORDER BY arm, rank
+    """
+
+
 def _sql_sim12():
     return """
     WITH toks AS (
@@ -14130,6 +14226,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s17_streaming_text_index": s17_streaming_text_index,
     "er04_incremental_resolution": er04_incremental_resolution,
     "sim27_hybrid_persisted_serving": sim27_hybrid_persisted_serving,
+    "sim28_bm25_deletes": sim28_bm25_deletes,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -14580,6 +14677,7 @@ _ORACLES: dict[str, str] = {
     "s17_streaming_text_index": _sql_s17(),
     "er04_incremental_resolution": _sql_er04(),
     "sim27_hybrid_persisted_serving": _sql_sim27(),
+    "sim28_bm25_deletes": _sql_sim28(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

@@ -225,6 +225,26 @@ def _term_bucket_col(tok: Column, n_buckets: int) -> Column:
     ).alias("bucket")
 
 
+def doc_bucket_py(doc_id: int, n_buckets: int = TEXT_INDEX_BUCKETS) -> int:
+    """Portable doc-id bucket for the forward (doclen) sidecar — md5
+    of the decimal id string, same recipe as the term bucket so any
+    replay engine can compute it."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(str(int(doc_id)).encode()).hexdigest()[:8], 16)
+        % n_buckets
+    )
+
+
+def _doc_bucket_col(doc_id: Column, n_buckets: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    ).alias("dbucket")
+
+
 def _index_postings(
     docs: DataFrame, id_col: str, text_col: str, n_buckets: int
 ) -> DataFrame:
@@ -272,6 +292,28 @@ def _epoch_contribution(spark, epoch_path: str) -> dict:
     return {"n_docs": int(agg["n"] or 0), "sum_dl": int(agg["s"] or 0)}
 
 
+def _write_doclens_epoch(
+    spark, path: str, epoch: str, postings_epoch_path: str, n_buckets: int
+) -> None:
+    """Forward-index sidecar: ``_doclens/epoch=<tag>/dbucket=K/`` rows
+    (doc_id, dl), derived from the epoch's just-written postings.
+    Underscore dir — invisible to plain postings scans. Bucketed by
+    the PORTABLE doc-id bucket so delete-time stats adjustment reads
+    only the tombstoned docs' buckets (per-delete cost, never a
+    corpus-wide forward scan)."""
+    import os
+
+    (
+        spark.read.parquet(postings_epoch_path)
+        .select("doc_id", "dl")
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl", _doc_bucket_col(F.col("doc_id"), n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("dbucket")
+        .parquet(os.path.join(path, "_doclens", f"epoch={epoch}"))
+    )
+
+
 def write_text_index(
     docs: DataFrame,
     path: str,
@@ -292,9 +334,14 @@ def write_text_index(
     # fresh ledger no longer lists them (review finding round 11 —
     # ghost postings, silently wrong df/avgdl)
     shutil.rmtree(os.path.join(path, "postings"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "_doclens"), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
     epoch_path = os.path.join(path, "postings", "epoch=base")
     post = _index_postings(docs, id_col, text_col, n_buckets)
     post.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
+    _write_doclens_epoch(
+        docs.sparkSession, path, "base", epoch_path, n_buckets
+    )
     _write_stats(
         path,
         {
@@ -326,6 +373,9 @@ def append_to_text_index(
     epoch_path = os.path.join(path, "postings", f"epoch={epoch}")
     post = _index_postings(docs, id_col, text_col, stats["n_buckets"])
     post.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
+    _write_doclens_epoch(
+        docs.sparkSession, path, str(epoch), epoch_path, stats["n_buckets"]
+    )
     # postings first, ledger second: the ledger entry is the COMMIT
     # point — readers scan only ledger-listed epochs, so a crash
     # between the two writes leaves an invisible orphan epoch, never
@@ -341,6 +391,135 @@ def _stats_totals(stats: dict) -> tuple[int, int]:
     n = sum(e["n_docs"] for e in stats["epochs"].values())
     s = sum(e["sum_dl"] for e in stats["epochs"].values())
     return n, s
+
+
+def delete_from_text_index(spark, path: str, ids) -> None:
+    """DELETE support for the text lake (takedowns / re-crawl
+    replacements): dropped doc ids append as TOMBSTONES under
+    ``<index>/_tombstones/`` — an O(|deletes|) metadata write, never a
+    postings rewrite (a doc's postings are scattered across term
+    buckets; rewriting them per delete would be a full-index op).
+    Serving anti-joins the tombstone set before df/score (so deleted
+    docs neither rank nor inflate document frequency) and adjusts
+    n_docs/avgdl from the ``_doclens`` forward sidecar, pruned to the
+    tombstoned docs' buckets; ``compact_text_index`` applies deletes
+    physically and clears tombstones atomically. Duplicate tombstones
+    and ids absent from the index are harmless (dedup + semi-join
+    against doclens)."""
+    import os
+
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+    df.coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "_tombstones")
+    )
+
+
+def read_text_tombstones(spark, path: str) -> DataFrame | None:
+    """Pending tombstoned doc ids (deduped), or None when no delete
+    has been issued since the last compaction."""
+    import os
+
+    p = os.path.join(path, "_tombstones")
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p).select("doc_id").dropDuplicates()
+
+
+def _tombstone_adjustment(
+    spark, path: str, stats: dict, tomb: DataFrame
+) -> tuple[int, int]:
+    """(n_deleted, dl_deleted) of the tombstoned docs actually present
+    in the index: the tombstone ids (bounded by deletes-since-
+    compaction — same collect discipline as the probed-cell sets)
+    prune the ``_doclens`` sidecar to their doc buckets, and the
+    semi-join makes phantom/duplicate tombstones contribute zero.
+    Ledger-gated like the postings scan: an uncommitted epoch's
+    doclens must not enter the adjustment."""
+    import os
+
+    nb = stats["n_buckets"]
+    ids = sorted(r["doc_id"] for r in tomb.collect())
+    if not ids:
+        return 0, 0
+    dbuckets = sorted({doc_bucket_py(i, nb) for i in ids})
+    agg = (
+        spark.read.parquet(os.path.join(path, "_doclens"))
+        .where(F.col("epoch").cast("string").isin(sorted(stats["epochs"])))
+        .where(F.col("dbucket").isin(dbuckets))
+        .where(F.col("doc_id").isin(ids))
+        .dropDuplicates(["doc_id"])
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    return int(agg["n"] or 0), int(agg["s"] or 0)
+
+
+def compact_text_index(spark, path: str) -> None:
+    """Apply pending tombstones physically and collapse maintenance
+    epochs to a fresh ``epoch=base`` generation — the
+    compact_ivf_index two-phase swap applied to the text lake's WHOLE
+    root (postings + _doclens + _stats.json move together, so a probe
+    never sees postings of one generation with the stats of another).
+    The replacement generation is fully written to a sibling temp dir
+    while the live index keeps serving; the swap renames live aside
+    (``.old``), temp into place, and deletes ``.old`` last, with the
+    same crash-recovery preamble as the ANN lake. Stats are
+    recomputed from the compacted doclens — the ledger collapses to
+    one exact base entry and the tombstone dir is simply not copied,
+    so the deletes clear atomically with the rewrite."""
+    import os
+    import shutil
+
+    tmp_path = path.rstrip("/") + ".compact.tmp"
+    old_path = path.rstrip("/") + ".compact.old"
+    if not os.path.exists(path) and os.path.exists(old_path):
+        os.replace(old_path, path)
+    elif os.path.exists(old_path):
+        shutil.rmtree(old_path, ignore_errors=True)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+    stats = _read_stats(path)
+    live_epochs = sorted(stats["epochs"])
+    tomb = read_text_tombstones(spark, path)
+    post = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("epoch").cast("string").isin(live_epochs))
+        .select("tok", "doc_id", "tf", "dl", "bucket")
+    )
+    dlens = (
+        spark.read.parquet(os.path.join(path, "_doclens"))
+        .where(F.col("epoch").cast("string").isin(live_epochs))
+        .select("doc_id", "dl", "dbucket")
+        .dropDuplicates(["doc_id"])
+    )
+    if tomb is not None:
+        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+        dlens = dlens.join(F.broadcast(tomb), "doc_id", "left_anti")
+    post.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(tmp_path, "postings", "epoch=base"))
+    dlens.repartition("dbucket").write.mode("overwrite").partitionBy(
+        "dbucket"
+    ).parquet(os.path.join(tmp_path, "_doclens", "epoch=base"))
+    _write_stats(
+        tmp_path,
+        {
+            "n_buckets": stats["n_buckets"],
+            "epochs": {
+                "base": _epoch_contribution(
+                    spark, os.path.join(tmp_path, "_doclens", "epoch=base")
+                )
+            },
+        },
+    )
+    # commit point: the replacement generation is fully on disk
+    shutil.rmtree(old_path, ignore_errors=True)
+    os.replace(path, old_path)
+    os.replace(tmp_path, path)
+    shutil.rmtree(old_path, ignore_errors=True)
 
 
 def run_text_index_maintenance(
@@ -416,6 +595,16 @@ def text_index_topk(
         .where(F.col("tok").isin(terms))
         .select("tok", "doc_id", "tf", "dl")
     )
+    tomb = read_text_tombstones(spark, path)
+    if tomb is not None:
+        # logical deletes: drop tombstoned docs BEFORE df so a deleted
+        # doc neither ranks nor inflates document frequency, and take
+        # their (count, length) contribution out of the corpus stats —
+        # scoring is then bit-identical to an index built without them
+        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+        n_del, dl_del = _tombstone_adjustment(spark, path, stats, tomb)
+        total_docs -= n_del
+        total_dl -= dl_del
     dft = post.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = float(total_docs)
     avgdl = total_dl / total_docs if total_docs else 1.0

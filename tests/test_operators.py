@@ -2178,3 +2178,58 @@ def test_text_index_rebuild_resets_layout_and_orphans_stay_invisible(
         (r.doc_id, float(r.score)) for r in want
     ]
     shutil.rmtree(idx)
+
+
+def test_text_index_delete_compact_lifecycle(spark, sf_dir, tmp_path):
+    """Text-lake deletes (the BM25 twin of the ANN tombstone
+    lifecycle): (a) a tombstoned index scores bit-identically to an
+    index BUILT WITHOUT the deleted docs (df, n_docs and avgdl all
+    adjust, not just the ranked ids); (b) compaction applies deletes
+    physically, collapses the epoch ledger to one exact base entry
+    and clears the tombstones atomically, leaving scores unchanged;
+    (c) duplicate and phantom tombstones are harmless."""
+    import json
+    import os
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["query", "join", "filter"]
+    idx = str(tmp_path / "bm25")
+    write_text_index(d.where(F.col("doc_id") % 2 == 0), idx)
+    append_to_text_index(d.where(F.col("doc_id") % 2 == 1), idx, epoch="a1")
+    delete_from_text_index(
+        spark, idx, d.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    # duplicate + phantom tombstones: dedup/semi-join make them no-ops
+    delete_from_text_index(spark, idx, [3, 10**9])
+
+    fresh = str(tmp_path / "bm25_fresh")
+    write_text_index(d.where(F.col("doc_id") % 7 != 3), fresh)
+    want = [
+        (r.doc_id, float(r.score))
+        for r in text_index_topk(spark, fresh, terms, k=15).collect()
+    ]
+    got = [
+        (r.doc_id, float(r.score))
+        for r in text_index_topk(spark, idx, terms, k=15).collect()
+    ]
+    assert got == want
+
+    compact_text_index(spark, idx)
+    assert not os.path.exists(os.path.join(idx, "_tombstones"))
+    stats = json.load(open(os.path.join(idx, "_stats.json")))
+    assert list(stats["epochs"]) == ["base"]
+    fresh_stats = json.load(open(os.path.join(fresh, "_stats.json")))
+    assert stats["epochs"]["base"] == fresh_stats["epochs"]["base"]
+    after = [
+        (r.doc_id, float(r.score))
+        for r in text_index_topk(spark, idx, terms, k=15).collect()
+    ]
+    assert after == want
