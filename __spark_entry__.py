@@ -14053,6 +14053,109 @@ def _sql_llm25():
     """
 
 
+def llm26_snapshot_diff(spark, sf_dir):
+    """Dataset VERSIONING diff (round 11 — the audit a training-data
+    team runs when corpus v(N+1) lands: what exactly changed since the
+    snapshot we trained on?): row-level added/removed/changed/
+    unchanged classification between two corpus versions plus the
+    per-source size delta. v2 is a deterministic evolution of the
+    documents table — doc_id % 11 == 5 disappears (takedowns),
+    % 11 == 3 gets re-crawled with edited text, % 11 == 7 additionally
+    re-appears under a fresh id (new crawl discoveries) — so the
+    expected diff is exactly replayable.
+
+    Scale design: each side projects down to (doc_id, sha256(text),
+    length, source) BEFORE the full-outer join — only 8-byte ids and
+    32-byte fingerprints cross the exchange, never document bodies
+    (at 100 TB the narrow projection is the difference between a
+    ~3 TB shuffle and a corpus-sized one); the join itself is a
+    single hash-partitioned full outer on doc_id (both sides
+    co-partition, no broadcast needed at any scale), and the final
+    aggregate collapses map-side onto the tiny (status x source)
+    domain. Content equality is decided on the fingerprint, which is
+    what a real lake stores as column metadata — the diff never needs
+    to re-read v1's text at all."""
+    d = _t(spark, sf_dir, "documents")
+    changed = F.col("doc_id") % 11 == 3
+    v2 = (
+        d.where(F.col("doc_id") % 11 != 5)
+        .select(
+            "doc_id",
+            F.when(
+                changed, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text")).alias("text"),
+            "source",
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 7).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                "text",
+                "source",
+            )
+        )
+    )
+    a = d.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("fp1"),
+        F.length("text").cast("long").alias("len1"),
+        F.col("source").alias("src1"),
+    )
+    b = v2.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("fp2"),
+        F.length("text").cast("long").alias("len2"),
+        F.col("source").alias("src2"),
+    )
+    j = a.join(b, "doc_id", "full")
+    status = (
+        F.when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") == F.col("fp2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce("src2", "src1").alias("source"),
+            (
+                F.coalesce("len2", F.lit(0)) - F.coalesce("len1", F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("status", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("delta").alias("chars_delta"),
+        )
+        .orderBy("status", "source")
+    )
+
+
+def _sql_llm26():
+    return """
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 3 THEN text || ' [rev2]'
+                  ELSE text END AS text,
+             source
+      FROM documents WHERE doc_id % 11 != 5
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text, source
+      FROM documents WHERE doc_id % 11 = 7),
+    j AS (
+      SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.text = b.text THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             coalesce(b.source, a.source) AS source,
+             coalesce(length(b.text), 0) - coalesce(length(a.text), 0)
+               AS delta
+      FROM documents a FULL JOIN v2 b ON a.doc_id = b.doc_id)
+    SELECT status, source, count(*) AS n_docs,
+           CAST(sum(delta) AS BIGINT) AS chars_delta
+    FROM j GROUP BY status, source ORDER BY status, source
+    """
+
+
 def _write_docs_warc(spark, sf_dir, name="gsel_warc_"):
     """Render the documents table as a WARC archive directory (shared
     by warc01 and s16; the warc01 docstring explains the record
@@ -14227,6 +14330,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er04_incremental_resolution": er04_incremental_resolution,
     "sim27_hybrid_persisted_serving": sim27_hybrid_persisted_serving,
     "sim28_bm25_deletes": sim28_bm25_deletes,
+    "llm26_snapshot_diff": llm26_snapshot_diff,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -14678,6 +14782,7 @@ _ORACLES: dict[str, str] = {
     "er04_incremental_resolution": _sql_er04(),
     "sim27_hybrid_persisted_serving": _sql_sim27(),
     "sim28_bm25_deletes": _sql_sim28(),
+    "llm26_snapshot_diff": _sql_llm26(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

@@ -164,6 +164,9 @@ HEADLINE = [
     "sp43_optional_rejoin",
     "d20_skew_capped_neardup",
     "llm25_semantic_training_funnel",
+    # round 11 continuation: the dataset-versioning diff (narrow
+    # fingerprint projection -> co-partitioned full-outer SMJ)
+    "llm26_snapshot_diff",
 ]
 
 
