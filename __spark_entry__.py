@@ -14130,6 +14130,182 @@ def llm26_snapshot_diff(spark, sf_dir):
     )
 
 
+def sim29_bm25_updates(spark, sf_dir):
+    """Document UPDATES for the persisted text index (round 11 — the
+    re-crawl-replacement op that completes the lake's CRUD story on
+    top of sim28's deletes): tombstones are SEQ-SCOPED (each records
+    the highest committed epoch seq at delete time and kills a doc's
+    rows only in epochs up to that seq — the segment-local delete
+    rule of LSM/segment indexes), so update = tombstone + fresh epoch
+    with NO rebuild, and the re-inserted version outranks its own
+    tombstone. Mutation script: docs %13==4 are re-crawled with
+    ' query revision' appended (changes dl AND the df/tf of the query
+    term — avgdl, idf and tf all shift), then docs %11==5 are deleted
+    AFTER the update (a doc hit by both — e.g. 82 — proves the
+    supersede path: the later delete kills the updated version too).
+    Arms ``tombstoned`` / ``compacted``; the oracle scores full-corpus
+    BM25 over the CASE-updated, delete-filtered documents ONCE and
+    both arms must match exactly. See operators/retrieval.py
+    (update_text_index / _anti_join_tombstones)."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        text_index_topk,
+        update_text_index,
+        write_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_bm25_upd_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_text_index(d.where(F.col("doc_id") < 250), idx)
+    append_to_text_index(d.where(F.col("doc_id") >= 250), idx, epoch="a1")
+    update_text_index(
+        d.where(F.col("doc_id") % 13 == 4).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" query revision")).alias("text"),
+        ),
+        idx,
+        epoch="u1",
+    )
+    delete_from_text_index(
+        spark, idx, d.where(F.col("doc_id") % 11 == 5).select("doc_id")
+    )
+    terms = ["query", "join", "filter"]
+
+    def probed(arm: str):
+        out = text_index_topk(spark, idx, terms, k=20).select(
+            F.lit(arm).alias("arm"),
+            "doc_id",
+            "rank",
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+        # materialize BEFORE the index mutates under the lazy plan
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    arm1 = probed("tombstoned")
+    compact_text_index(spark, idx)
+    arm2 = probed("compacted")
+    return arm1.unionByName(arm2).orderBy("arm", "rank")
+
+
+def _sql_bm25_over(live_cte: str) -> str:
+    """Full-corpus BM25 top-20 (sim26's scoring) over an arbitrary
+    ``live(doc_id, text)`` CTE body."""
+    return f"""
+    WITH live AS ({live_cte}),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM live),
+    toks2 AS (SELECT * FROM toks WHERE tok != ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks2
+           WHERE tok IN ('query', 'join', 'filter') GROUP BY doc_id, tok),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+               9) AS DECIMAL(18,9)) AS c
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (tok)
+      CROSS JOIN stats),
+    bm AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id),
+    res AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rank,
+             round(CAST(score AS DOUBLE), 6) AS score
+      FROM bm ORDER BY score DESC, doc_id LIMIT 20)
+    """
+
+
+def _sql_sim29():
+    live = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 4 THEN text || ' query revision'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 11 != 5"""
+    return (
+        _sql_bm25_over(live)
+        + """
+    SELECT arms.arm, doc_id, rank, score
+    FROM res CROSS JOIN (
+      SELECT unnest(['compacted', 'tombstoned']) AS arm) arms
+    ORDER BY arm, rank
+    """
+    )
+
+
+def s18_streaming_text_upserts(spark, sf_dir):
+    """Streaming CDC into the text lake (round 11 — the upsert twin
+    of s17's append-only maintenance): re-crawled versions of KNOWN
+    docs land in a parquet dir and flow in through
+    run_text_index_upserts — file-source checkpointed discovery, each
+    micro-batch applied as update_text_index under its epoch id, so
+    the batch's seq-scoped tombstone + replacement epoch + ledger
+    entry are all keyed by the epoch and an at-least-once replay
+    converges (pinned in pytest: replayed update + checkpoint restart
+    are both no-ops). Mutation: docs %3==1 re-crawl with
+    ' fresh crawl query' appended. Serving afterwards must equal
+    index-free full-corpus BM25 over the UPDATED corpus — streaming
+    upserts compose to exactly from-scratch scoring."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        run_text_index_upserts,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "gsel_bm25_cdc_" + tag)
+    shutil.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "index")
+    landing = os.path.join(root, "landing")
+    write_text_index(d, idx)
+    d.where(F.col("doc_id") % 3 == 1).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" fresh crawl query")).alias("text"),
+    ).repartition(8).write.mode("overwrite").parquet(landing)
+    q = run_text_index_upserts(spark, landing, idx, os.path.join(root, "ck"))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "s18: text-index upsert stream did not drain in 300s — "
+            "probing a partially upserted index would record a "
+            "spurious, non-deterministic mismatch"
+        )
+    out = text_index_topk(spark, idx, ["query", "join", "filter"], k=20)
+    return out.select(
+        "doc_id",
+        "rank",
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    ).orderBy("rank")
+
+
+def _sql_s18():
+    live = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN text || ' fresh crawl query'
+                  ELSE text END AS text
+      FROM documents"""
+    return _sql_bm25_over(live) + "SELECT doc_id, rank, score FROM res"
+
+
 def _sql_llm26():
     return """
     WITH v2 AS (
@@ -14331,6 +14507,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim27_hybrid_persisted_serving": sim27_hybrid_persisted_serving,
     "sim28_bm25_deletes": sim28_bm25_deletes,
     "llm26_snapshot_diff": llm26_snapshot_diff,
+    "sim29_bm25_updates": sim29_bm25_updates,
+    "s18_streaming_text_upserts": s18_streaming_text_upserts,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -14783,6 +14961,8 @@ _ORACLES: dict[str, str] = {
     "sim27_hybrid_persisted_serving": _sql_sim27(),
     "sim28_bm25_deletes": _sql_sim28(),
     "llm26_snapshot_diff": _sql_llm26(),
+    "sim29_bm25_updates": _sql_sim29(),
+    "s18_streaming_text_upserts": _sql_s18(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

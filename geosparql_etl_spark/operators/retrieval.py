@@ -342,15 +342,9 @@ def write_text_index(
     _write_doclens_epoch(
         docs.sparkSession, path, "base", epoch_path, n_buckets
     )
-    _write_stats(
-        path,
-        {
-            "n_buckets": n_buckets,
-            "epochs": {
-                "base": _epoch_contribution(docs.sparkSession, epoch_path)
-            },
-        },
-    )
+    base = _epoch_contribution(docs.sparkSession, epoch_path)
+    base["seq"] = 0
+    _write_stats(path, {"n_buckets": n_buckets, "epochs": {"base": base}})
 
 
 def append_to_text_index(
@@ -381,9 +375,15 @@ def append_to_text_index(
     # between the two writes leaves an invisible orphan epoch, never
     # a half-counted one (the next replay of the same epoch overwrites
     # both keys idempotently)
-    stats["epochs"][str(epoch)] = _epoch_contribution(
-        docs.sparkSession, epoch_path
+    entry = _epoch_contribution(docs.sparkSession, epoch_path)
+    prior = _epoch_seqs(stats)
+    # a REPLAYED epoch keeps its original seq (its postings overwrite
+    # in place, so its position relative to existing tombstones must
+    # not move); a new epoch sequences after everything committed
+    entry["seq"] = prior.get(
+        str(epoch), max(prior.values(), default=-1) + 1
     )
+    stats["epochs"][str(epoch)] = entry
     _write_stats(path, stats)
 
 
@@ -393,7 +393,26 @@ def _stats_totals(stats: dict) -> tuple[int, int]:
     return n, s
 
 
-def delete_from_text_index(spark, path: str, ids) -> None:
+def _epoch_seqs(stats: dict) -> dict[str, int]:
+    """Monotonic sequence number per committed epoch (recorded in the
+    ledger entry at commit; entries predating the seq field fall back
+    to ledger insertion order, which json preserves). Tombstones are
+    SCOPED by seq — a delete kills a doc's rows only in epochs that
+    were already committed when the delete was issued, so a
+    re-inserted (updated) version in a LATER epoch survives. This is
+    the segment-local delete rule every LSM/segment index uses; it is
+    what makes update = delete + append correct without a rebuild.
+    Replayed epochs keep their original seq, so a replayed update's
+    tombstone/epoch pair lands in the same relative order."""
+    seqs = {}
+    for i, (name, entry) in enumerate(stats["epochs"].items()):
+        seqs[str(name)] = int(entry.get("seq", i))
+    return seqs
+
+
+def delete_from_text_index(
+    spark, path: str, ids, at_seq: int | None = None
+) -> None:
     """DELETE support for the text lake (takedowns / re-crawl
     replacements): dropped doc ids append as TOMBSTONES under
     ``<index>/_tombstones/`` — an O(|deletes|) metadata write, never a
@@ -405,52 +424,155 @@ def delete_from_text_index(spark, path: str, ids) -> None:
     tombstoned docs' buckets; ``compact_text_index`` applies deletes
     physically and clears tombstones atomically. Duplicate tombstones
     and ids absent from the index are harmless (dedup + semi-join
-    against doclens)."""
+    against doclens).
+
+    Tombstones are SEQ-SCOPED: each records the highest committed
+    epoch seq at delete time and kills the doc's rows only in epochs
+    up to that seq — so ``update_text_index`` can re-insert the doc
+    in a later epoch and the new version serves (the segment-local
+    delete rule of LSM/segment indexes). ``at_seq`` overrides the
+    scope (used by ``update_text_index`` so a REPLAYED update's
+    tombstone does not outrank the epoch it re-inserts)."""
     import os
 
+    stats = _read_stats(path)
+    seq_now = (
+        at_seq
+        if at_seq is not None
+        else max(_epoch_seqs(stats).values(), default=0)
+    )
     if isinstance(ids, DataFrame):
         df = ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
     else:
         df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
-    df.coalesce(1).write.mode("append").parquet(
-        os.path.join(path, "_tombstones")
-    )
+    df.select("doc_id", F.lit(seq_now).cast("int").alias("seq")).coalesce(
+        1
+    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
 
 
 def read_text_tombstones(spark, path: str) -> DataFrame | None:
-    """Pending tombstoned doc ids (deduped), or None when no delete
-    has been issued since the last compaction."""
+    """Pending tombstones as (doc_id, seq) — one row per doc with the
+    HIGHEST seq it was deleted at (a later re-delete supersedes an
+    earlier one; keeping one row per doc also keeps the stats-
+    adjustment join duplicate-free). None when no delete has been
+    issued since the last compaction. Tombstone files predating the
+    seq column count as delete-everything (seq = MAX_INT)."""
     import os
 
     p = os.path.join(path, "_tombstones")
     if not os.path.exists(p):
         return None
-    return spark.read.parquet(p).select("doc_id").dropDuplicates()
+    t = spark.read.parquet(p)
+    seq = (
+        F.col("seq") if "seq" in t.columns else F.lit(2**31 - 1)
+    )
+    return (
+        t.select("doc_id", seq.cast("int").alias("seq"))
+        .groupBy("doc_id")
+        .agg(F.max("seq").alias("seq"))
+    )
+
+
+def update_text_index(
+    docs: DataFrame,
+    path: str,
+    epoch: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """UPSERT for the text lake (re-crawl replacements / CDC): the
+    incoming docs' CURRENT rows are tombstoned (seq-scoped to the
+    epochs committed so far) and the new versions land as a fresh
+    epoch that sequences AFTER the tombstone — delete + append, no
+    index rebuild, per-batch cost. Docs not previously indexed insert
+    cleanly (their tombstone is a phantom no-op).
+
+    Replay-safe: the tombstone is scoped to the seq JUST BELOW the
+    update's own epoch — on a replay (streaming restart, retried
+    batch) the epoch keeps its original seq, so the re-issued
+    tombstone still ranks below the re-inserted rows instead of
+    killing them (naively re-deleting at the current max seq
+    would)."""
+    stats = _read_stats(path)
+    seqs = _epoch_seqs(stats)
+    before = (
+        seqs[str(epoch)] - 1
+        if str(epoch) in seqs
+        else max(seqs.values(), default=0)
+    )
+    delete_from_text_index(
+        docs.sparkSession,
+        path,
+        docs.select(F.col(id_col).alias("doc_id")),
+        at_seq=before,
+    )
+    append_to_text_index(
+        docs, path, epoch, id_col=id_col, text_col=text_col
+    )
+
+
+def _epoch_seq_col(stats: dict) -> Column:
+    """Literal epoch-name -> seq map applied to the partition column
+    (ledger-sized, folds into the plan as a constant map)."""
+    pairs = []
+    for name, seq in _epoch_seqs(stats).items():
+        pairs.extend([F.lit(name), F.lit(seq)])
+    return F.element_at(
+        F.create_map(*pairs), F.col("epoch").cast("string")
+    ).alias("__eseq")
+
+
+def _anti_join_tombstones(rows: DataFrame, tomb: DataFrame) -> DataFrame:
+    """Drop index rows killed by a tombstone: same doc AND the row's
+    epoch seq at-or-before the delete's seq (rows the doc re-inserted
+    LATER survive). Equi key + residual condition — stays a broadcast
+    hash anti-join."""
+    t = tomb.select(
+        F.col("doc_id").alias("__td"), F.col("seq").alias("__ts")
+    )
+    return rows.join(
+        F.broadcast(t),
+        (F.col("doc_id") == F.col("__td"))
+        & (F.col("__eseq") <= F.col("__ts")),
+        "left_anti",
+    )
 
 
 def _tombstone_adjustment(
     spark, path: str, stats: dict, tomb: DataFrame
 ) -> tuple[int, int]:
-    """(n_deleted, dl_deleted) of the tombstoned docs actually present
-    in the index: the tombstone ids (bounded by deletes-since-
+    """(n_deleted, dl_deleted) of the index rows actually killed by
+    tombstones: the tombstone rows (bounded by deletes-since-
     compaction — same collect discipline as the probed-cell sets)
     prune the ``_doclens`` sidecar to their doc buckets, and the
-    semi-join makes phantom/duplicate tombstones contribute zero.
-    Ledger-gated like the postings scan: an uncommitted epoch's
+    seq-scoped join counts each killed (doc, epoch) version exactly
+    once — an updated doc's superseded versions all leave the stats,
+    its live re-insert stays. Phantom/duplicate tombstones contribute
+    zero. Ledger-gated like the postings scan: an uncommitted epoch's
     doclens must not enter the adjustment."""
     import os
 
     nb = stats["n_buckets"]
-    ids = sorted(r["doc_id"] for r in tomb.collect())
-    if not ids:
+    rows = tomb.collect()
+    if not rows:
         return 0, 0
+    ids = sorted(r["doc_id"] for r in rows)
     dbuckets = sorted({doc_bucket_py(i, nb) for i in ids})
+    tdf = spark.createDataFrame(
+        [(int(r["doc_id"]), int(r["seq"])) for r in rows],
+        "__td long, __ts int",
+    )
     agg = (
         spark.read.parquet(os.path.join(path, "_doclens"))
         .where(F.col("epoch").cast("string").isin(sorted(stats["epochs"])))
         .where(F.col("dbucket").isin(dbuckets))
         .where(F.col("doc_id").isin(ids))
-        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl", _epoch_seq_col(stats))
+        .join(
+            F.broadcast(tdf),
+            (F.col("doc_id") == F.col("__td"))
+            & (F.col("__eseq") <= F.col("__ts")),
+        )
         .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
         .collect()[0]
     )
@@ -487,33 +609,33 @@ def compact_text_index(spark, path: str) -> None:
     post = (
         spark.read.parquet(os.path.join(path, "postings"))
         .where(F.col("epoch").cast("string").isin(live_epochs))
-        .select("tok", "doc_id", "tf", "dl", "bucket")
+        .select("tok", "doc_id", "tf", "dl", "bucket", _epoch_seq_col(stats))
     )
     dlens = (
         spark.read.parquet(os.path.join(path, "_doclens"))
         .where(F.col("epoch").cast("string").isin(live_epochs))
-        .select("doc_id", "dl", "dbucket")
-        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl", "dbucket", _epoch_seq_col(stats))
     )
     if tomb is not None:
-        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
-        dlens = dlens.join(F.broadcast(tomb), "doc_id", "left_anti")
+        post = _anti_join_tombstones(post, tomb)
+        dlens = _anti_join_tombstones(dlens, tomb)
+    post = post.select("tok", "doc_id", "tf", "dl", "bucket")
+    dlens = dlens.select("doc_id", "dl", "dbucket").dropDuplicates(
+        ["doc_id"]
+    )
     post.repartition("bucket").write.mode("overwrite").partitionBy(
         "bucket"
     ).parquet(os.path.join(tmp_path, "postings", "epoch=base"))
     dlens.repartition("dbucket").write.mode("overwrite").partitionBy(
         "dbucket"
     ).parquet(os.path.join(tmp_path, "_doclens", "epoch=base"))
+    base = _epoch_contribution(
+        spark, os.path.join(tmp_path, "_doclens", "epoch=base")
+    )
+    base["seq"] = 0
     _write_stats(
         tmp_path,
-        {
-            "n_buckets": stats["n_buckets"],
-            "epochs": {
-                "base": _epoch_contribution(
-                    spark, os.path.join(tmp_path, "_doclens", "epoch=base")
-                )
-            },
-        },
+        {"n_buckets": stats["n_buckets"], "epochs": {"base": base}},
     )
     # commit point: the replacement generation is fully on disk
     shutil.rmtree(old_path, ignore_errors=True)
@@ -559,6 +681,46 @@ def run_text_index_maintenance(
     )
 
 
+def run_text_index_upserts(
+    spark,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """CDC into the text lake: document drops in ``landing_dir`` are
+    UPSERTS (re-crawls of known docs replace their indexed version;
+    unseen docs insert) — each micro-batch runs update_text_index
+    under its epoch id, so the batch's seq-scoped tombstone + fresh
+    epoch + ledger entry are all keyed by the epoch and an
+    at-least-once replay converges to the same index state. Returns
+    the started availableNow StreamingQuery — the upsert twin of
+    run_text_index_maintenance."""
+    try:
+        schema = spark.read.parquet(landing_dir).schema
+    except Exception:
+        schema = f"{id_col} long, {text_col} string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(landing_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        update_text_index(
+            batch_df, index_path, epoch=f"u{epoch_id}",
+            id_col=id_col, text_col=text_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def text_index_topk(
     spark,
     path: str,
@@ -593,18 +755,23 @@ def text_index_topk(
         .where(F.col("epoch").cast("string").isin(sorted(stats["epochs"])))
         .where(F.col("bucket").isin(buckets))
         .where(F.col("tok").isin(terms))
-        .select("tok", "doc_id", "tf", "dl")
+        .select("tok", "doc_id", "tf", "dl", "epoch")
     )
     tomb = read_text_tombstones(spark, path)
     if tomb is not None:
-        # logical deletes: drop tombstoned docs BEFORE df so a deleted
+        # logical deletes: drop tombstoned rows BEFORE df so a deleted
         # doc neither ranks nor inflates document frequency, and take
-        # their (count, length) contribution out of the corpus stats —
-        # scoring is then bit-identical to an index built without them
-        post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+        # the killed versions' (count, length) contribution out of the
+        # corpus stats — scoring is then bit-identical to an index
+        # never containing them. Seq-scoped: an updated doc's live
+        # re-insert (later epoch) survives its own tombstone.
+        post = _anti_join_tombstones(
+            post.select("tok", "doc_id", "tf", "dl", _epoch_seq_col(stats))
+        , tomb)
         n_del, dl_del = _tombstone_adjustment(spark, path, stats, tomb)
         total_docs -= n_del
         total_dl -= dl_del
+    post = post.select("tok", "doc_id", "tf", "dl")
     dft = post.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = float(total_docs)
     avgdl = total_dl / total_docs if total_docs else 1.0

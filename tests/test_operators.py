@@ -2233,3 +2233,68 @@ def test_text_index_delete_compact_lifecycle(spark, sf_dir, tmp_path):
         for r in text_index_topk(spark, idx, terms, k=15).collect()
     ]
     assert after == want
+
+
+def test_text_index_updates_seq_scoped_tombstones(spark, sf_dir, tmp_path):
+    """UPDATE = seq-scoped tombstone + fresh epoch: (a) the updated
+    version serves and df/avgdl/n_docs reflect the REPLACEMENT (not
+    doc-count growth); (b) a delete issued AFTER an update kills the
+    updated version too (supersede); (c) a REPLAYED update epoch is a
+    no-op — its tombstone must not outrank the rows it re-inserts;
+    (d) post-compaction deletes still work (seq resets to base)."""
+    from geosparql_etl_spark.operators.retrieval import (
+        bm25_scores,
+        compact_text_index,
+        delete_from_text_index,
+        text_index_topk,
+        update_text_index,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["query", "join", "filter"]
+    idx = str(tmp_path / "bm25")
+    write_text_index(d, idx)
+    upd = d.where(F.col("doc_id") % 13 == 4).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" query revision")).alias("text"),
+    )
+    update_text_index(upd, idx, epoch="u1")
+    update_text_index(upd, idx, epoch="u1")  # (c) replay
+
+    live = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 4,
+            F.concat(F.col("text"), F.lit(" query revision")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+    def topk(frame=None):
+        if frame is not None:
+            return [
+                (r.doc_id, float(r.score))
+                for r in bm25_scores(frame, terms)
+                .orderBy(F.col("score").desc(), "doc_id")
+                .limit(15)
+                .collect()
+            ]
+        return [
+            (r.doc_id, float(r.score))
+            for r in text_index_topk(spark, idx, terms, k=15).collect()
+        ]
+
+    assert topk() == topk(live)  # (a) + (c)
+
+    # (b) delete AFTER update supersedes the updated version
+    delete_from_text_index(
+        spark, idx, d.where(F.col("doc_id") % 11 == 5).select("doc_id")
+    )
+    live2 = live.where(F.col("doc_id") % 11 != 5)
+    assert topk() == topk(live2)
+
+    # (d) compaction then a further delete of an updated doc
+    compact_text_index(spark, idx)
+    victim = [r.doc_id for r in upd.limit(1).collect()]
+    delete_from_text_index(spark, idx, victim)
+    assert topk() == topk(live2.where(~F.col("doc_id").isin(victim)))

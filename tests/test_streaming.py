@@ -947,3 +947,66 @@ def test_ivf_index_tombstone_delete_lifecycle(spark, sf_dir, tmp_path):
     assert read_index_tombstones(spark, index) is None
     assert spark.read.parquet(index).count() == n_live
     assert answers(index) == logical
+
+
+def test_text_index_cdc_upserts_converge_and_restart_noop(
+    spark, sf_dir, tmp_path
+):
+    """CDC into the text lake: streamed upsert batches (re-crawled
+    versions of known docs) must leave serving equal to index-free
+    scoring of the UPDATED corpus, and a checkpoint restart over the
+    same landing dir must change nothing (exactly-once discovery on
+    top of idempotent per-epoch upserts)."""
+    import os
+
+    from geosparql_etl_spark.operators.retrieval import (
+        bm25_scores,
+        run_text_index_upserts,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["query", "join", "filter"]
+    root = str(tmp_path)
+    idx = os.path.join(root, "index")
+    landing = os.path.join(root, "landing")
+    write_text_index(d, idx)
+    d.where(F.col("doc_id") % 3 == 1).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" fresh crawl query")).alias("text"),
+    ).repartition(8).write.mode("overwrite").parquet(landing)
+
+    q = run_text_index_upserts(spark, landing, idx, os.path.join(root, "ck"))
+    assert q.awaitTermination(300)
+
+    live = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("text"), F.lit(" fresh crawl query")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    want = [
+        (r.doc_id, float(r.score))
+        for r in bm25_scores(live, terms)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+        .collect()
+    ]
+    got = [
+        (r.doc_id, float(r.score))
+        for r in text_index_topk(spark, idx, terms, k=15).collect()
+    ]
+    assert got == want
+
+    # restart against the same checkpoint: nothing new to ingest
+    q2 = run_text_index_upserts(
+        spark, landing, idx, os.path.join(root, "ck")
+    )
+    assert q2.awaitTermination(300)
+    again = [
+        (r.doc_id, float(r.score))
+        for r in text_index_topk(spark, idx, terms, k=15).collect()
+    ]
+    assert again == want
