@@ -9862,6 +9862,139 @@ def _sql_sim25():
     """
 
 
+def sim30_ann_updates(spark, sf_dir):
+    """Vector UPDATES for the persisted ANN index (round 11 — the
+    re-embedding op that completes the vector lake's CRUD story on
+    top of sim25's deletes; the text twin is sim29): tombstones gain
+    an EPOCH SCOPE — ``update_ivf_index`` writes one (neighbor_id,
+    epoch) pair per epoch existing at call time (excluding its own
+    epoch, so replays re-issue the identical scope) and lands the new
+    vectors as a fresh epoch assigned by the SAME trained quantizer.
+    Probe readers anti-join both tombstone classes (NULL scope =
+    delete everywhere; named scope = that epoch's version only), so
+    the re-embedded vector serves from its new cell while every
+    superseded version is invisible. Mutation script: vec %10==2
+    re-embeds to its successor's vector (a pure row move — no float
+    arithmetic to drift between engines), then vec %9==4 is deleted
+    AFTER the update (ids hit by both — e.g. 22 — prove the plain
+    delete outranks the scoped re-insert). Arms ``tombstoned`` /
+    ``compacted``; the oracle assigns cells over the LIVE corpus with
+    the trained-centroid CTEs and replays the probe ONCE — both arms
+    must match it exactly. See operators/similarity.py
+    (update_ivf_index / _apply_ann_tombstones)."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index = os.path.join(tempfile.gettempdir(), "gsel_ivf_upd_" + tag)
+    shutil.rmtree(index, ignore_errors=True)
+    write_ivf_index(
+        e, index, dim=64, n_cells=16, centroids=trained, epoch="base"
+    )
+    nxt = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("nemb"),
+    )
+    upd = (
+        e.where(F.col("vec_id") % 10 == 2)
+        .join(nxt, "vec_id")
+        .select("vec_id", F.col("nemb").alias("embedding"))
+    )
+    update_ivf_index(
+        spark, upd, index, epoch="u1", dim=64, n_cells=16,
+        centroids=trained,
+    )
+    delete_from_ivf_index(
+        spark, index, e.where(F.col("vec_id") % 9 == 4).select("vec_id")
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def probed(arm: str):
+        out = ivf_index_topk(
+            spark, index, probe, k=5, dim=64, n_cells=16, n_probe=6,
+            centroids=trained,
+        ).select(
+            F.lit(arm).alias("arm"),
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+        # materialize BEFORE the index mutates under the lazy plan
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    arm1 = probed("tombstoned")
+    compact_ivf_index(spark, index)
+    if os.path.exists(os.path.join(index, "_tombstones")):
+        raise RuntimeError("compaction must clear applied tombstones")
+    arm2 = probed("compacted")
+    return arm1.unionByName(arm2).orderBy("arm", "query_id", "rank")
+
+
+def _sql_sim30():
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    upd AS (
+      SELECT a.vec_id, b.v FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 10 = 2),
+    e_live AS (
+      SELECT e.vec_id, coalesce(u.v, e.v) AS v
+      FROM e LEFT JOIN upd u USING (vec_id)
+      WHERE e.vec_id % 9 != 4),
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e_live, ct),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    qscored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM e, ct WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM qscored) WHERE rn <= 6),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    res AS (
+      SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+      FROM (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(eq.v, ec.v) AS sim,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                          neighbor_id
+               ) AS rank
+        FROM cand
+        JOIN e eq ON eq.vec_id = cand.query_id
+        JOIN e_live ec ON ec.vec_id = cand.neighbor_id)
+      WHERE rank <= 5)
+    SELECT arms.arm, query_id, neighbor_id, rank, cosine_sim
+    FROM res CROSS JOIN (
+      SELECT unnest(['compacted', 'tombstoned']) AS arm) arms
+    ORDER BY arm, query_id, rank
+    """
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -14509,6 +14642,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm26_snapshot_diff": llm26_snapshot_diff,
     "sim29_bm25_updates": sim29_bm25_updates,
     "s18_streaming_text_upserts": s18_streaming_text_upserts,
+    "sim30_ann_updates": sim30_ann_updates,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -14963,6 +15097,7 @@ _ORACLES: dict[str, str] = {
     "llm26_snapshot_diff": _sql_llm26(),
     "sim29_bm25_updates": _sql_sim29(),
     "s18_streaming_text_upserts": _sql_s18(),
+    "sim30_ann_updates": _sql_sim30(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

@@ -333,14 +333,108 @@ def delete_from_ivf_index(spark, index_path: str, ids) -> None:
 
 
 def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
-    """The index's pending tombstone set (deduped), or None when no
-    delete has been issued since the last compaction."""
+    """The index's pending tombstone set as (neighbor_id, epoch),
+    deduped, or None when no delete has been issued since the last
+    compaction. ``epoch`` is NULL for plain deletes (kill everywhere)
+    and names ONE epoch for update-scoped tombstones (kill only that
+    epoch's version — ``update_ivf_index`` re-inserts the vector in a
+    later epoch that must survive). Files predating the epoch column
+    read as NULL-scoped via mergeSchema."""
     import os
 
     p = os.path.join(index_path, "_tombstones")
     if not os.path.exists(p):
         return None
-    return spark.read.parquet(p).select("neighbor_id").dropDuplicates()
+    t = spark.read.option("mergeSchema", "true").parquet(p)
+    if "epoch" not in t.columns:
+        t = t.withColumn("epoch", F.lit(None).cast("string"))
+    return t.select(
+        "neighbor_id", F.col("epoch").cast("string").alias("epoch")
+    ).dropDuplicates()
+
+
+def _apply_ann_tombstones(rows: DataFrame, tomb: DataFrame) -> DataFrame:
+    """Drop index rows killed by pending tombstones (both broadcast —
+    bounded by deletes-since-compaction). NULL-scoped tombstones kill
+    the id everywhere; epoch-scoped ones kill only the named epoch's
+    version, so an updated vector's re-insert survives. ``rows``
+    must carry the ``epoch`` partition column when the index has an
+    epoch layout (scoped tombstones can only exist for such indexes
+    — update_ivf_index refuses flat layouts)."""
+    unscoped = tomb.where(F.col("epoch").isNull()).select("neighbor_id")
+    rows = rows.join(F.broadcast(unscoped), "neighbor_id", "left_anti")
+    scoped = tomb.where(F.col("epoch").isNotNull())
+    if "epoch" in rows.columns:
+        rows = rows.join(
+            F.broadcast(scoped),
+            ["neighbor_id", "epoch"],
+            "left_anti",
+        )
+    return rows
+
+
+def update_ivf_index(
+    spark,
+    new_rows: DataFrame,
+    index_path: str,
+    epoch: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """UPSERT for the vector lake (re-embedding after a model refresh
+    or content change): the incoming ids' CURRENT rows are tombstoned
+    per-epoch — one (neighbor_id, epoch) pair for every epoch that
+    exists at call time, EXCLUDING the update's own epoch so a replay
+    re-issues the identical scope — and the new vectors land as a
+    fresh ``epoch=<tag>`` assigned by the SAME trained quantizer
+    (quantizer drift between build and update corrupts recall
+    silently, hence the explicit centroids). Delete + append, no
+    rebuild, per-batch cost; ids not previously indexed insert
+    cleanly (phantom tombstone pairs match nothing). Requires the
+    epoch layout (``write_ivf_index(..., epoch='base')``) — a flat
+    index has no segment order to scope deletes against.
+
+    Plain-IVF layout only: a PQ-coded index's update epoch would need
+    the build-time codebooks to encode ``__pq``; re-encode through
+    ``write_ivf_pq_index`` + compaction instead."""
+    import glob
+    import os
+
+    epochs_now = sorted(
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(index_path, "epoch=*"))
+    )
+    epochs_now = [e for e in epochs_now if e != str(epoch)]
+    if not epochs_now:
+        raise ValueError(
+            "update_ivf_index requires an epoch-layout index "
+            "(write_ivf_index(..., epoch='base'))"
+        )
+    (
+        new_rows.select(F.col(id_col).cast("long").alias("neighbor_id"))
+        .crossJoin(
+            spark.createDataFrame(
+                [(e,) for e in epochs_now], "epoch string"
+            )
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(index_path, "_tombstones"))
+    )
+    write_ivf_index(
+        new_rows,
+        index_path,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_cells=n_cells,
+        centroids=centroids,
+        mode="overwrite",
+        epoch=str(epoch),
+    )
 
 
 def pack_pq_code(codes: Column, m: int, k: int) -> Column:
@@ -477,17 +571,17 @@ def ivf_index_pq_topk(
     )
     if candidate_filter is not None:
         code_scan = code_scan.where(candidate_filter)
-    code_scan = code_scan.select(
-        "neighbor_id", "__pq", F.col("ivf_cell").alias("__cell")
+    keep = ["neighbor_id", "__pq"] + (
+        ["epoch"] if "epoch" in code_scan.columns else []
     )
+    code_scan = code_scan.select(*keep, F.col("ivf_cell").alias("__cell"))
     tomb = read_index_tombstones(spark, path)
     if tomb is not None:
         # pending deletes: anti-join the tombstone set (broadcast —
         # bounded by deletes-since-compaction) before the shortlist
         # fills, so a deleted neighbor can never crowd out a live one
-        code_scan = code_scan.join(
-            F.broadcast(tomb), "neighbor_id", "left_anti"
-        )
+        code_scan = _apply_ann_tombstones(code_scan, tomb)
+    code_scan = code_scan.drop("epoch")
     rv = pq_reconstruct(
         None, dim, m, k, codebooks=books,
         code_at=lambda j: unpack_pq_code(F.col("__pq"), j, m, k),
@@ -523,12 +617,18 @@ def ivf_index_pq_topk(
     short = approx.withColumn("__rn1", F.row_number().over(w1)).where(
         F.col("__rn1") <= shortlist
     )
-    # stage 3: wide-column read only for the shortlist's rows
-    vec_scan = (
-        spark.read.parquet(path)
-        .where(F.col("ivf_cell").isin(cells))
-        .select("neighbor_id", "__cv", "__cn")
+    # stage 3: wide-column read only for the shortlist's rows; the
+    # tombstone filter applies here too — a shortlisted id must fetch
+    # its LIVE vector, never a superseded/deleted row that happens to
+    # share the id
+    vs = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
+    vkeep = ["neighbor_id", "__cv", "__cn"] + (
+        ["epoch"] if "epoch" in vs.columns else []
     )
+    vec_scan = vs.select(*vkeep)
+    if tomb is not None:
+        vec_scan = _apply_ann_tombstones(vec_scan, tomb)
+    vec_scan = vec_scan.drop("epoch")
     fetched = vec_scan.join(
         F.broadcast(short.select("query_id", "neighbor_id", "__qv", "__qn")),
         "neighbor_id",
@@ -562,24 +662,20 @@ def ivf_index_topk(
     cells = sorted(
         r["__cell"] for r in qb.select("__cell").distinct().collect()
     )
-    cb = (
-        spark.read.parquet(path)
-        .where(F.col("ivf_cell").isin(cells))
-        .select(
-            "neighbor_id",
-            "__cv",
-            "__cn",
-            F.col("ivf_cell").alias("__cell"),
-        )
+    scan = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
+    keep = ["neighbor_id", "__cv", "__cn"] + (
+        ["epoch"] if "epoch" in scan.columns else []
     )
+    cb = scan.select(*keep, F.col("ivf_cell").alias("__cell"))
     tomb = read_index_tombstones(spark, path)
     if tomb is not None:
-        # pending deletes (delete_from_ivf_index): anti-join the
-        # tombstone set — broadcast, bounded by deletes-since-
-        # compaction, applied before top-k so a deleted neighbor
-        # never displaces a live one
-        cb = cb.join(F.broadcast(tomb), "neighbor_id", "left_anti")
-    return _probe_topk(cb, qb, k=k, dim=dim)
+        # pending deletes/updates: anti-join the tombstone set —
+        # broadcast, bounded by deletes-since-compaction, applied
+        # before top-k so a deleted (or superseded) neighbor never
+        # displaces a live one; epoch-scoped tombstones spare the
+        # updated vector's re-insert
+        cb = _apply_ann_tombstones(cb, tomb)
+    return _probe_topk(cb.drop("epoch"), qb, k=k, dim=dim)
 
 
 def knn_classify(

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geosparql_etl_spark.operators.similarity import (
+    _apply_ann_tombstones,
     l2_norm,
     read_index_tombstones,
     with_ivf_cell,
@@ -132,17 +133,22 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         # compaction's commit phase
         shutil.rmtree(old_path, ignore_errors=True)
     shutil.rmtree(tmp_path, ignore_errors=True)
-    df = spark.read.parquet(index_path).select(
-        "neighbor_id", "__cv", "__cn", "ivf_cell"
+    scan = spark.read.parquet(index_path)
+    keep = ["neighbor_id", "__cv", "__cn", "ivf_cell"] + (
+        ["epoch"] if "epoch" in scan.columns else []
     )
+    df = scan.select(*keep)
     tomb = read_index_tombstones(spark, index_path)
     if tomb is not None:
-        # apply pending deletes physically; the tombstone directory is
-        # NOT copied into the new generation, so the swap clears it
-        # atomically with the rewrite (crash before the swap leaves
-        # both the rows and their tombstones in place — probes stay
-        # correct either way)
-        df = df.join(F.broadcast(tomb), "neighbor_id", "left_anti")
+        # apply pending deletes physically (epoch-scoped update
+        # tombstones spare the re-inserted version — the compacted
+        # base keeps exactly the live rows); the tombstone directory
+        # is NOT copied into the new generation, so the swap clears
+        # it atomically with the rewrite (crash before the swap
+        # leaves both the rows and their tombstones in place —
+        # probes stay correct either way)
+        df = _apply_ann_tombstones(df, tomb)
+    df = df.drop("epoch")
     df.repartition("ivf_cell").write.mode("overwrite").partitionBy(
         "ivf_cell"
     ).parquet(os.path.join(tmp_path, "epoch=base"))

@@ -1010,3 +1010,82 @@ def test_text_index_cdc_upserts_converge_and_restart_noop(
         for r in text_index_topk(spark, idx, terms, k=15).collect()
     ]
     assert again == want
+
+
+def test_ivf_index_update_lifecycle(spark, sf_dir, tmp_path):
+    """Vector updates via epoch-scoped tombstones: (a) after
+    update + plain delete, probes answer exactly like an index built
+    FRESH over the live corpus (re-embedded vectors serve from their
+    new cells, superseded versions invisible); (b) a replayed update
+    epoch is a no-op; (c) compaction applies everything physically,
+    clears tombstones and preserves answers; (d) a plain delete of an
+    updated id kills the re-insert too."""
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=16, rounds=10)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(
+        e, idx, dim=64, n_cells=16, centroids=trained, epoch="base"
+    )
+    nxt = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("nemb"),
+    )
+    upd = (
+        e.where(F.col("vec_id") % 10 == 2)
+        .join(nxt, "vec_id")
+        .select("vec_id", F.col("nemb").alias("embedding"))
+    )
+    update_ivf_index(
+        spark, upd, idx, epoch="u1", dim=64, n_cells=16, centroids=trained
+    )
+    # (b) replay re-issues the identical tombstone scope + epoch
+    update_ivf_index(
+        spark, upd, idx, epoch="u1", dim=64, n_cells=16, centroids=trained
+    )
+    delete_from_ivf_index(
+        spark, idx, e.where(F.col("vec_id") % 9 == 4).select("vec_id")
+    )
+
+    live = (
+        e.join(
+            upd.select("vec_id", F.col("embedding").alias("ne")),
+            "vec_id",
+            "left",
+        )
+        .select("vec_id", F.coalesce("ne", "embedding").alias("embedding"))
+        .where(F.col("vec_id") % 9 != 4)
+    )
+    ref = str(tmp_path / "ref")
+    write_ivf_index(
+        live, ref, dim=64, n_cells=16, centroids=trained, epoch="base"
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def answers(p):
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_topk(
+                spark, p, probe, k=5, dim=64, n_cells=16, n_probe=6,
+                centroids=trained,
+            ).collect()
+        ]
+
+    got = answers(idx)
+    assert got == answers(ref)  # (a) + (b)
+    # (d) a plain delete of an updated id removes its live re-insert
+    assert not any(n % 9 == 4 for _, n, _ in got)
+
+    compact_ivf_index(spark, idx)
+    assert not os.path.exists(os.path.join(idx, "_tombstones"))
+    assert answers(idx) == got  # (c)
