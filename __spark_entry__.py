@@ -9995,6 +9995,121 @@ def _sql_sim30():
     """
 
 
+def s19_streaming_ann_upserts(spark, sf_dir):
+    """Streaming CDC into the vector lake (round 11 — the vector twin
+    of s18's text-lake CDC, completing the symmetric serving story:
+    both lakes now build, append, stream, update, delete and
+    compact): re-embedded versions of KNOWN vectors land in a parquet
+    dir and flow in through run_ann_upserts — file-source
+    checkpointed discovery, each micro-batch applied as
+    update_ivf_index under its epoch id (epoch-scoped tombstones +
+    replacement epoch, sim30's machinery). Mutation: vec %4==3
+    re-embeds to its successor's vector (pure row move, no float
+    drift). Probes afterwards must equal an index-free replay over
+    the UPDATED corpus — streaming upserts compose to exactly
+    from-scratch assignment + scoring."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import run_ann_upserts
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "gsel_ann_cdc_" + tag)
+    shutil.rmtree(root, ignore_errors=True)
+    index = os.path.join(root, "index")
+    landing = os.path.join(root, "landing")
+    write_ivf_index(
+        e, index, dim=64, n_cells=16, centroids=trained, epoch="base"
+    )
+    nxt = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("nemb"),
+    )
+    (
+        e.where(F.col("vec_id") % 4 == 3)
+        .join(nxt, "vec_id")
+        .select("vec_id", F.col("nemb").alias("embedding"))
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(landing)
+    )
+    q = run_ann_upserts(
+        spark, landing, index, os.path.join(root, "ck"), centroids=trained
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "s19: ANN upsert stream did not drain in 300s — probing a "
+            "partially upserted index would record a spurious, "
+            "non-deterministic mismatch"
+        )
+    probe = e.where(F.col("vec_id") < 5)
+    return ivf_index_topk(
+        spark, index, probe, k=5, dim=64, n_cells=16, n_probe=6,
+        centroids=trained,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    ).orderBy("query_id", "rank")
+
+
+def _sql_s19():
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    upd AS (
+      SELECT a.vec_id, b.v FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 4 = 3),
+    e_live AS (
+      SELECT e.vec_id, coalesce(u.v, e.v) AS v
+      FROM e LEFT JOIN upd u USING (vec_id)),
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e_live, ct),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    qscored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM e, ct WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM qscored) WHERE rn <= 6),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim
+    FROM (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                        neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e_live ec ON ec.vec_id = cand.neighbor_id)
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
 def sim11_kmeans_refine(spark, sf_dir):
     """IVF quantizer TRAINING: one spherical-kmeans Lloyd update of
     the seeded coarse centroids (k=8) over the corpus — see
@@ -14643,6 +14758,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim29_bm25_updates": sim29_bm25_updates,
     "s18_streaming_text_upserts": s18_streaming_text_upserts,
     "sim30_ann_updates": sim30_ann_updates,
+    "s19_streaming_ann_upserts": s19_streaming_ann_upserts,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -15098,6 +15214,7 @@ _ORACLES: dict[str, str] = {
     "sim29_bm25_updates": _sql_sim29(),
     "s18_streaming_text_upserts": _sql_s18(),
     "sim30_ann_updates": _sql_sim30(),
+    "s19_streaming_ann_upserts": _sql_s19(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

@@ -95,6 +95,46 @@ def run_index_maintenance(
     )
 
 
+def run_ann_upserts(
+    spark: SparkSession,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+):
+    """CDC into the vector lake: embedding drops in ``landing_dir``
+    are UPSERTS (re-embeddings of known ids replace their indexed
+    version; unseen ids insert) — each micro-batch runs
+    update_ivf_index under its epoch id, so the batch's epoch-scoped
+    tombstones + replacement epoch are both keyed by the epoch.
+    Replay-safe under Structured Streaming's contract: only the
+    LATEST uncommitted batch ever replays (earlier batches are
+    checkpoint-committed), and a replayed latest batch re-issues an
+    identical tombstone scope (its own epoch is excluded). Returns
+    the started availableNow StreamingQuery — the upsert twin of
+    run_index_maintenance."""
+    from geosparql_etl_spark.operators.similarity import update_ivf_index
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        update_ivf_index(
+            spark, batch_df, index_path, epoch=f"u{epoch_id}",
+            id_col=id_col, vec_col=vec_col, dim=dim, n_cells=n_cells,
+            centroids=centroids,
+        )
+
+    stream = embeddings_file_stream(spark, landing_dir)
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     """Rewrite an epoch-accumulated IVF index so ``epoch=base`` holds
     everything and the maintenance epochs disappear — the

@@ -1089,3 +1089,70 @@ def test_ivf_index_update_lifecycle(spark, sf_dir, tmp_path):
     compact_ivf_index(spark, idx)
     assert not os.path.exists(os.path.join(idx, "_tombstones"))
     assert answers(idx) == got  # (c)
+
+
+def test_ann_cdc_upserts_converge_and_restart_noop(spark, sf_dir, tmp_path):
+    """Streamed vector upserts must leave probes equal to an index
+    built fresh over the updated corpus, and a checkpoint restart
+    over the same landing dir must change nothing."""
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import run_ann_upserts
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=16, rounds=10)
+    root = str(tmp_path)
+    index = os.path.join(root, "index")
+    landing = os.path.join(root, "landing")
+    write_ivf_index(
+        e, index, dim=64, n_cells=16, centroids=trained, epoch="base"
+    )
+    nxt = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("nemb"),
+    )
+    upd = (
+        e.where(F.col("vec_id") % 4 == 3)
+        .join(nxt, "vec_id")
+        .select("vec_id", F.col("nemb").alias("embedding"))
+    )
+    upd.repartition(8).write.mode("overwrite").parquet(landing)
+    q = run_ann_upserts(
+        spark, landing, index, os.path.join(root, "ck"), centroids=trained
+    )
+    assert q.awaitTermination(300)
+
+    live = (
+        e.join(
+            upd.select("vec_id", F.col("embedding").alias("ne")),
+            "vec_id",
+            "left",
+        ).select("vec_id", F.coalesce("ne", "embedding").alias("embedding"))
+    )
+    ref = os.path.join(root, "ref")
+    write_ivf_index(
+        live, ref, dim=64, n_cells=16, centroids=trained, epoch="base"
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def answers(p):
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_topk(
+                spark, p, probe, k=5, dim=64, n_cells=16, n_probe=6,
+                centroids=trained,
+            ).collect()
+        ]
+
+    want = answers(ref)
+    assert answers(index) == want
+    q2 = run_ann_upserts(
+        spark, landing, index, os.path.join(root, "ck"), centroids=trained
+    )
+    assert q2.awaitTermination(300)
+    assert answers(index) == want
