@@ -14554,6 +14554,128 @@ def _sql_s18():
     return _sql_bm25_over(live) + "SELECT doc_id, rank, score FROM res"
 
 
+def sim31_bm25_time_travel(spark, sf_dir):
+    """TIME TRAVEL over the persisted text index (round 11 capstone
+    for the lake machinery): ``text_index_topk(as_of_seq=k)`` serves
+    the index EXACTLY as it stood at ledger seq k — only epochs
+    committed by k and tombstones ISSUED by k participate — with
+    zero extra storage, because snapshot isolation falls out of
+    pieces the lake already has (write-once epoch dirs, the seq'd
+    stats ledger, issue-stamped tombstones): the same mechanism every
+    lakehouse table format uses. History: seq 0 = first 250 docs,
+    seq 1 = full corpus append, seq 2 = re-crawl update of %13==4
+    (' query revision'), then a delete of %11==5. Three arms serve
+    three different corpus states FROM ONE INDEX — ``v0`` (as-of 0),
+    ``v1`` (as-of 1, pre-update: the update's tombstone is issued at
+    seq 2 so the original text still serves), ``latest`` — and the
+    oracle replays each state's full-corpus BM25 independently."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        delete_from_text_index,
+        text_index_topk,
+        update_text_index,
+        write_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_bm25_tt_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_text_index(d.where(F.col("doc_id") < 250), idx)
+    append_to_text_index(d.where(F.col("doc_id") >= 250), idx, epoch="a1")
+    update_text_index(
+        d.where(F.col("doc_id") % 13 == 4).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" query revision")).alias("text"),
+        ),
+        idx,
+        epoch="u1",
+    )
+    delete_from_text_index(
+        spark, idx, d.where(F.col("doc_id") % 11 == 5).select("doc_id")
+    )
+    terms = ["query", "join", "filter"]
+
+    def arm(name, **kw):
+        return text_index_topk(spark, idx, terms, k=20, **kw).select(
+            F.lit(name).alias("arm"),
+            "doc_id",
+            "rank",
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+
+    return (
+        arm("v0", as_of_seq=0)
+        .unionByName(arm("v1", as_of_seq=1))
+        .unionByName(arm("latest"))
+        .orderBy("arm", "rank")
+    )
+
+
+def _sql_bm25_arm(sfx: str, arm: str, live_body: str) -> str:
+    """CTE chain scoring one corpus state (suffix-disambiguated) ->
+    ``res<sfx>`` with an arm literal."""
+    return f"""
+    live{sfx} AS ({live_body}),
+    toks{sfx} AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM live{sfx}),
+    tk{sfx} AS (SELECT * FROM toks{sfx} WHERE tok != ''),
+    dl{sfx} AS (SELECT doc_id, count(*) AS dl FROM tk{sfx} GROUP BY doc_id),
+    st{sfx} AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl{sfx}),
+    tf{sfx} AS (SELECT doc_id, tok, count(*) AS tf FROM tk{sfx}
+           WHERE tok IN ('query', 'join', 'filter') GROUP BY doc_id, tok),
+    dft{sfx} AS (SELECT tok, count(*) AS df FROM tf{sfx} GROUP BY tok),
+    ctb{sfx} AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)),
+               9) AS DECIMAL(18,9)) AS c
+      FROM tf{sfx} t JOIN dl{sfx} d USING (doc_id)
+      JOIN dft{sfx} f USING (tok) CROSS JOIN st{sfx} s),
+    bm{sfx} AS (SELECT doc_id, sum(c) AS score FROM ctb{sfx}
+                GROUP BY doc_id),
+    res{sfx} AS (
+      SELECT '{arm}' AS arm, doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rank,
+             round(CAST(score AS DOUBLE), 6) AS score
+      FROM bm{sfx} ORDER BY score DESC, doc_id LIMIT 20)"""
+
+
+def _sql_sim31():
+    a0 = _sql_bm25_arm(
+        "0", "v0", "SELECT doc_id, text FROM documents WHERE doc_id < 250"
+    )
+    a1 = _sql_bm25_arm("1", "v1", "SELECT doc_id, text FROM documents")
+    a2 = _sql_bm25_arm(
+        "2",
+        "latest",
+        """
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 4 THEN text || ' query revision'
+                  ELSE text END AS text
+      FROM documents WHERE doc_id % 11 != 5""",
+    )
+    return f"""
+    WITH {a0},
+    {a1},
+    {a2}
+    SELECT * FROM res0
+    UNION ALL SELECT * FROM res1
+    UNION ALL SELECT * FROM res2
+    ORDER BY arm, rank
+    """
+
+
 def _sql_llm26():
     return """
     WITH v2 AS (
@@ -14759,6 +14881,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s18_streaming_text_upserts": s18_streaming_text_upserts,
     "sim30_ann_updates": sim30_ann_updates,
     "s19_streaming_ann_upserts": s19_streaming_ann_upserts,
+    "sim31_bm25_time_travel": sim31_bm25_time_travel,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -15215,6 +15338,7 @@ _ORACLES: dict[str, str] = {
     "s18_streaming_text_upserts": _sql_s18(),
     "sim30_ann_updates": _sql_sim30(),
     "s19_streaming_ann_upserts": _sql_s19(),
+    "sim31_bm25_time_travel": _sql_sim31(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

@@ -411,7 +411,11 @@ def _epoch_seqs(stats: dict) -> dict[str, int]:
 
 
 def delete_from_text_index(
-    spark, path: str, ids, at_seq: int | None = None
+    spark,
+    path: str,
+    ids,
+    at_seq: int | None = None,
+    issued_seq: int | None = None,
 ) -> None:
     """DELETE support for the text lake (takedowns / re-crawl
     replacements): dropped doc ids append as TOMBSTONES under
@@ -432,45 +436,64 @@ def delete_from_text_index(
     in a later epoch and the new version serves (the segment-local
     delete rule of LSM/segment indexes). ``at_seq`` overrides the
     scope (used by ``update_text_index`` so a REPLAYED update's
-    tombstone does not outrank the epoch it re-inserts)."""
+    tombstone does not outrank the epoch it re-inserts).
+
+    Each tombstone also records WHEN it was issued (``issued`` = the
+    ledger seq current at issue time; an update's tombstone is issued
+    AT its epoch though scoped below it) — that is what lets
+    ``text_index_topk(as_of_seq=k)`` serve a historical snapshot:
+    tombstones issued after k simply don't exist yet at k."""
     import os
 
     stats = _read_stats(path)
-    seq_now = (
-        at_seq
-        if at_seq is not None
-        else max(_epoch_seqs(stats).values(), default=0)
-    )
+    max_now = max(_epoch_seqs(stats).values(), default=0)
+    seq_now = at_seq if at_seq is not None else max_now
+    issued = issued_seq if issued_seq is not None else max_now
     if isinstance(ids, DataFrame):
         df = ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
     else:
         df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
-    df.select("doc_id", F.lit(seq_now).cast("int").alias("seq")).coalesce(
-        1
-    ).write.mode("append").parquet(os.path.join(path, "_tombstones"))
+    df.select(
+        "doc_id",
+        F.lit(seq_now).cast("int").alias("seq"),
+        F.lit(issued).cast("int").alias("issued"),
+    ).coalesce(1).write.mode("append").parquet(
+        os.path.join(path, "_tombstones")
+    )
 
 
-def read_text_tombstones(spark, path: str) -> DataFrame | None:
+def read_text_tombstones(
+    spark, path: str, as_of_seq: int | None = None
+) -> DataFrame | None:
     """Pending tombstones as (doc_id, seq) — one row per doc with the
     HIGHEST seq it was deleted at (a later re-delete supersedes an
     earlier one; keeping one row per doc also keeps the stats-
     adjustment join duplicate-free). None when no delete has been
-    issued since the last compaction. Tombstone files predating the
-    seq column count as delete-everything (seq = MAX_INT)."""
+    issued since the last compaction. ``as_of_seq`` restricts to
+    tombstones ISSUED at or before that ledger seq — the time-travel
+    view in which later deletes/updates have not happened yet.
+    Tombstone files predating the seq columns count as
+    delete-everything issued at seq 0."""
     import os
 
     p = os.path.join(path, "_tombstones")
     if not os.path.exists(p):
         return None
-    t = spark.read.parquet(p)
-    seq = (
-        F.col("seq") if "seq" in t.columns else F.lit(2**31 - 1)
+    t = spark.read.option("mergeSchema", "true").parquet(p)
+    seq = F.col("seq") if "seq" in t.columns else F.lit(2**31 - 1)
+    issued = (
+        F.coalesce(F.col("issued"), F.col("seq"))
+        if "issued" in t.columns
+        else (F.col("seq") if "seq" in t.columns else F.lit(0))
     )
-    return (
-        t.select("doc_id", seq.cast("int").alias("seq"))
-        .groupBy("doc_id")
-        .agg(F.max("seq").alias("seq"))
+    t = t.select(
+        "doc_id",
+        seq.cast("int").alias("seq"),
+        issued.cast("int").alias("issued"),
     )
+    if as_of_seq is not None:
+        t = t.where(F.col("issued") <= as_of_seq)
+    return t.groupBy("doc_id").agg(F.max("seq").alias("seq"))
 
 
 def update_text_index(
@@ -505,6 +528,9 @@ def update_text_index(
         path,
         docs.select(F.col(id_col).alias("doc_id")),
         at_seq=before,
+        # issued AT the update's epoch: a time-travel read pinned
+        # before it must still see the superseded version
+        issued_seq=before + 1,
     )
     append_to_text_index(
         docs, path, epoch, id_col=id_col, text_col=text_col
@@ -728,6 +754,7 @@ def text_index_topk(
     k: int = 20,
     k1: float = 1.2,
     b: float = 0.75,
+    as_of_seq: int | None = None,
 ) -> DataFrame:
     """BM25 top-k against the persisted index. The scan reads ONLY the
     query terms' bucket directories (PartitionFilters on ``bucket``,
@@ -738,10 +765,27 @@ def text_index_topk(
     |postings of the query terms|, independent of corpus size — the
     inverted-file property that makes lexical retrieval work at
     100 TB. Scoring matches ``bm25_scores`` bit-for-bit: per-term
-    contributions round to 9 decimals and sum as DECIMAL(18,9)."""
+    contributions round to 9 decimals and sum as DECIMAL(18,9).
+
+    ``as_of_seq`` pins the read to a historical snapshot: only epochs
+    committed at seq <= as_of_seq and tombstones ISSUED by then
+    participate — time travel falls out of the write-once epoch
+    layout + the ledger + issue-stamped tombstones, with zero extra
+    storage (the exact mechanism every snapshot-isolated lakehouse
+    table format uses)."""
     import os
 
     stats = _read_stats(path)
+    if as_of_seq is not None:
+        seqs = _epoch_seqs(stats)
+        stats = {
+            "n_buckets": stats["n_buckets"],
+            "epochs": {
+                n: e
+                for n, e in stats["epochs"].items()
+                if seqs[str(n)] <= as_of_seq
+            },
+        }
     nb = stats["n_buckets"]
     total_docs, total_dl = _stats_totals(stats)
     terms = sorted({t.lower() for t in terms})
@@ -751,13 +795,13 @@ def text_index_topk(
         # only LEDGER-LISTED epochs are visible: an epoch whose
         # postings landed but whose stats entry did not commit (crash
         # window) must not leak into df/tf while being absent from
-        # n_docs/avgdl
+        # n_docs/avgdl; an as_of pin restricts the listing further
         .where(F.col("epoch").cast("string").isin(sorted(stats["epochs"])))
         .where(F.col("bucket").isin(buckets))
         .where(F.col("tok").isin(terms))
         .select("tok", "doc_id", "tf", "dl", "epoch")
     )
-    tomb = read_text_tombstones(spark, path)
+    tomb = read_text_tombstones(spark, path, as_of_seq=as_of_seq)
     if tomb is not None:
         # logical deletes: drop tombstoned rows BEFORE df so a deleted
         # doc neither ranks nor inflates document frequency, and take

@@ -2298,3 +2298,64 @@ def test_text_index_updates_seq_scoped_tombstones(spark, sf_dir, tmp_path):
     victim = [r.doc_id for r in upd.limit(1).collect()]
     delete_from_text_index(spark, idx, victim)
     assert topk() == topk(live2.where(~F.col("doc_id").isin(victim)))
+
+
+def test_text_index_time_travel_snapshots(spark, sf_dir, tmp_path):
+    """as_of_seq pins the read to a historical snapshot: each pinned
+    view must score bit-identically to a fresh index over that
+    moment's corpus — epochs committed later and tombstones issued
+    later (including an update's, though its SCOPE is below the pin)
+    do not exist yet at the pin."""
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        bm25_scores,
+        delete_from_text_index,
+        text_index_topk,
+        update_text_index,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["query", "join", "filter"]
+    idx = str(tmp_path / "bm25")
+    write_text_index(d.where(F.col("doc_id") < 250), idx)      # seq 0
+    append_to_text_index(
+        d.where(F.col("doc_id") >= 250), idx, epoch="a1"
+    )                                                          # seq 1
+    update_text_index(
+        d.where(F.col("doc_id") % 13 == 4).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" query revision")).alias("text"),
+        ),
+        idx,
+        epoch="u1",
+    )                                                          # seq 2
+    delete_from_text_index(
+        spark, idx, d.where(F.col("doc_id") % 11 == 5).select("doc_id")
+    )
+
+    def fresh(corpus):
+        return [
+            (r.doc_id, float(r.score))
+            for r in bm25_scores(corpus, terms)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(15)
+            .collect()
+        ]
+
+    def served(**kw):
+        return [
+            (r.doc_id, float(r.score))
+            for r in text_index_topk(spark, idx, terms, k=15, **kw).collect()
+        ]
+
+    latest = d.where(F.col("doc_id") % 11 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 4,
+            F.concat(F.col("text"), F.lit(" query revision")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    assert served(as_of_seq=0) == fresh(d.where(F.col("doc_id") < 250))
+    assert served(as_of_seq=1) == fresh(d)
+    assert served(as_of_seq=2) == served() == fresh(latest)
