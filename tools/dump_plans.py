@@ -101,6 +101,11 @@ SHOWCASE = [
     ("j15_bucketed_colocated_join", "bucketed co-located join: both scans Bucketed: true, SortMergeJoin with zero Exchange"),
     ("sim25_ann_deletes", "tombstoned index probe: partition-pruned cells anti-joined against the broadcast tombstone set before top-k"),
     ("sim26_persisted_bm25", "persisted BM25: term-bucket PartitionFilters across epochs, postings-only ReadSchema, broadcast df join"),
+    # round 11, second session
+    ("llm26_snapshot_diff", "dataset diff: narrow fingerprint projection BEFORE the co-partitioned full-outer SMJ — bodies never shuffle"),
+    ("sim29_bm25_updates", "updated text index: seq-scoped tombstone anti-join (broadcast, residual seq condition) between the pruned scan and df"),
+    ("sim30_ann_updates", "updated ANN index: both tombstone classes anti-joined on the partition-pruned cells before top-k"),
+    ("sim31_bm25_time_travel", "time-travel probe: the as-of pin restricts the epoch isin filter — historical reads stay bucket-pruned"),
 ]
 
 
