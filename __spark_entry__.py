@@ -14864,7 +14864,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s04_session_window_native": s04_session_window_native,
     "s05_attribution_join": s05_attribution_join,
     # --- below the window: new round-11 additions go HERE
-    # (contiguous, never stamped) so the r12 rotation is mechanical ---
+    # (contiguous, never stamped) so the r12 rotation is mechanical;
+    # the second-wave rows (sim28..sim31, s18/s19, llm26) continue the
+    # same contiguous block ---
     "sp43_optional_rejoin": sp43_optional_rejoin,
     "llm25_semantic_training_funnel": llm25_semantic_training_funnel,
     "d20_skew_capped_neardup": d20_skew_capped_neardup,

@@ -564,29 +564,77 @@ def _anti_join_tombstones(rows: DataFrame, tomb: DataFrame) -> DataFrame:
     )
 
 
+def _tombstone_fingerprint(path: str) -> tuple | None:
+    """Content fingerprint of the tombstone directory (file names +
+    sizes — append-only writes, so this changes iff a delete lands).
+    None when no tombstones exist."""
+    import os
+
+    p = os.path.join(path, "_tombstones")
+    if not os.path.exists(p):
+        return None
+    return tuple(
+        sorted(
+            (f, os.path.getsize(os.path.join(p, f)))
+            for f in os.listdir(p)
+            if not f.startswith(("_", "."))
+        )
+    )
+
+
+# Serving-path memo: (index path, tombstone fingerprint, visible-epoch
+# set, as_of pin) -> (collected tombstone rows, n_deleted, dl_deleted).
+# Tombstones change only when a delete lands, but a query pays the
+# read+collect+adjustment as THREE extra driver jobs — ~1.4 s of fixed
+# scheduling latency per probe measured at sf0.1 regardless of delete
+# count. The realistic serving pattern is thousands of probes between
+# deletes, so the state is computed once per (mutation, snapshot) and
+# replayed as literals; a cache miss (fresh process, new delete, new
+# pin) recomputes from disk, so correctness never depends on the memo.
+_TOMB_MEMO: dict = {}
+
+
+def _tombstone_state(
+    spark, path: str, stats: dict, as_of_seq: int | None
+) -> tuple[list, int, int] | None:
+    fp = _tombstone_fingerprint(path)
+    if fp is None:
+        return None
+    key = (path, fp, tuple(sorted(stats["epochs"])), as_of_seq)
+    if key not in _TOMB_MEMO:
+        tomb = read_text_tombstones(spark, path, as_of_seq=as_of_seq)
+        rows = [
+            (int(r["doc_id"]), int(r["seq"])) for r in tomb.collect()
+        ]
+        if not rows:
+            _TOMB_MEMO[key] = ([], 0, 0)
+        else:
+            n_del, dl_del = _tombstone_adjustment(spark, path, stats, rows)
+            _TOMB_MEMO[key] = (rows, n_del, dl_del)
+    return _TOMB_MEMO[key]
+
+
 def _tombstone_adjustment(
-    spark, path: str, stats: dict, tomb: DataFrame
+    spark, path: str, stats: dict, rows: list
 ) -> tuple[int, int]:
     """(n_deleted, dl_deleted) of the index rows actually killed by
-    tombstones: the tombstone rows (bounded by deletes-since-
-    compaction — same collect discipline as the probed-cell sets)
-    prune the ``_doclens`` sidecar to their doc buckets, and the
-    seq-scoped join counts each killed (doc, epoch) version exactly
-    once — an updated doc's superseded versions all leave the stats,
-    its live re-insert stays. Phantom/duplicate tombstones contribute
-    zero. Ledger-gated like the postings scan: an uncommitted epoch's
-    doclens must not enter the adjustment."""
+    the given tombstone rows [(doc_id, seq)] (bounded by deletes-
+    since-compaction — same collect discipline as the probed-cell
+    sets): the ids prune the ``_doclens`` sidecar to their doc
+    buckets, and the seq-scoped join counts each killed (doc, epoch)
+    version exactly once — an updated doc's superseded versions all
+    leave the stats, its live re-insert stays. Phantom/duplicate
+    tombstones contribute zero. Ledger-gated like the postings scan:
+    an uncommitted epoch's doclens must not enter the adjustment."""
     import os
 
     nb = stats["n_buckets"]
-    rows = tomb.collect()
     if not rows:
         return 0, 0
-    ids = sorted(r["doc_id"] for r in rows)
+    ids = sorted(r[0] for r in rows)
     dbuckets = sorted({doc_bucket_py(i, nb) for i in ids})
     tdf = spark.createDataFrame(
-        [(int(r["doc_id"]), int(r["seq"])) for r in rows],
-        "__td long, __ts int",
+        [(int(i), int(s)) for i, s in rows], "__td long, __ts int"
     )
     agg = (
         spark.read.parquet(os.path.join(path, "_doclens"))
@@ -801,18 +849,21 @@ def text_index_topk(
         .where(F.col("tok").isin(terms))
         .select("tok", "doc_id", "tf", "dl", "epoch")
     )
-    tomb = read_text_tombstones(spark, path, as_of_seq=as_of_seq)
-    if tomb is not None:
+    state = _tombstone_state(spark, path, stats, as_of_seq)
+    if state is not None and state[0]:
         # logical deletes: drop tombstoned rows BEFORE df so a deleted
         # doc neither ranks nor inflates document frequency, and take
         # the killed versions' (count, length) contribution out of the
         # corpus stats — scoring is then bit-identical to an index
         # never containing them. Seq-scoped: an updated doc's live
-        # re-insert (later epoch) survives its own tombstone.
+        # re-insert (later epoch) survives its own tombstone. The
+        # whole state is memoized on the tombstone-dir fingerprint, so
+        # repeated probes pay ZERO extra jobs between deletes.
+        rows, n_del, dl_del = state
+        tomb = spark.createDataFrame(rows, "doc_id long, seq int")
         post = _anti_join_tombstones(
             post.select("tok", "doc_id", "tf", "dl", _epoch_seq_col(stats))
         , tomb)
-        n_del, dl_del = _tombstone_adjustment(spark, path, stats, tomb)
         total_docs -= n_del
         total_dl -= dl_del
     post = post.select("tok", "doc_id", "tf", "dl")
