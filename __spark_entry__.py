@@ -5497,6 +5497,108 @@ def _sql_j11():
     """
 
 
+def w06_gap_fill(spark, sf_dir):
+    """Time-series RESAMPLE + gap-fill + forward-fill (round 11 —
+    the timeseries staple the registry lacked: turn an irregular
+    event stream into a dense hourly frame): per event_type, every
+    hour of the global span appears exactly once, carrying the event
+    count (0 for gap hours) and the LAST observed value forward-
+    filled across gaps (deterministic last = max (ts, event_id) in
+    the hour; hours before a type's first observation stay NULL —
+    fill-forward never invents data).
+
+    Scale design: the hour spine GENERATES from a broadcast 1-row
+    min/max aggregate (``sequence()`` + explode — no driver loop, no
+    collect), the per-(type, hour) aggregates reduce map-side onto a
+    domain that is types x hours (not corpus-sized), both joins are
+    spine-sized, and the forward-fill window partitions by
+    event_type over SPINE rows only — the corpus is scanned twice
+    (count + last-pick) and never windowed globally."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    span = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = span.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    spine = e.select("event_type").distinct().crossJoin(F.broadcast(hours))
+    counts = e.groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    wlast = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        e.select("event_type", hour.alias("hour"), "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(wlast))
+        .where(F.col("__rn") == 1)
+        .select("event_type", "hour", "value")
+    )
+    joined = (
+        spine.join(counts, ["event_type", "hour"], "left")
+        .join(last, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "value",
+        )
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.unix_micros(F.col("hour")).alias("hour_us"),
+        "n_events",
+        F.round(F.last("value", ignorenulls=True).over(wf), 6).alias(
+            "value_ffill"
+        ),
+    ).orderBy("event_type", "hour_us")
+
+
+def _sql_w06():
+    return """
+    WITH span AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM events),
+    hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM span),
+    spine AS (
+      SELECT event_type, hour
+      FROM (SELECT DISTINCT event_type FROM events), hours),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2),
+    lastv AS (
+      SELECT event_type, hour, value FROM (
+        SELECT event_type, date_trunc('hour', ts) AS hour, value,
+               row_number() OVER (
+                 PARTITION BY event_type, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1),
+    joined AS (
+      SELECT s.event_type, s.hour,
+             coalesce(c.n_events, 0) AS n_events, l.value
+      FROM spine s
+      LEFT JOIN counts c USING (event_type, hour)
+      LEFT JOIN lastv l USING (event_type, hour))
+    SELECT event_type, epoch_us(hour) AS hour_us, n_events,
+           round(last_value(value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS UNBOUNDED PRECEDING), 6) AS value_ffill
+    FROM joined ORDER BY event_type, hour_us
+    """
+
+
 def w05_window_frames(spark, sf_dir):
     """Window FRAME coverage (§2.5 extension): per-customer running
     order total (unbounded preceding) and 3-order moving average —
@@ -14884,6 +14986,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim30_ann_updates": sim30_ann_updates,
     "s19_streaming_ann_upserts": s19_streaming_ann_upserts,
     "sim31_bm25_time_travel": sim31_bm25_time_travel,
+    "w06_gap_fill": w06_gap_fill,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -15341,6 +15444,7 @@ _ORACLES: dict[str, str] = {
     "sim30_ann_updates": _sql_sim30(),
     "s19_streaming_ann_upserts": _sql_s19(),
     "sim31_bm25_time_travel": _sql_sim31(),
+    "w06_gap_fill": _sql_w06(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

@@ -2359,3 +2359,83 @@ def test_text_index_time_travel_snapshots(spark, sf_dir, tmp_path):
     assert served(as_of_seq=0) == fresh(d.where(F.col("doc_id") < 250))
     assert served(as_of_seq=1) == fresh(d)
     assert served(as_of_seq=2) == served() == fresh(latest)
+
+
+def test_text_index_random_op_sequence_matches_model(spark, sf_dir, tmp_path):
+    """Stateful lifecycle fuzz (seeded): a random interleaving of
+    append / update / delete / compact ops applied to the index must
+    keep serving bit-identical to index-free BM25 over a plain model
+    of the corpus state after every op."""
+    import random
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        bm25_scores,
+        compact_text_index,
+        delete_from_text_index,
+        text_index_topk,
+        update_text_index,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    rows = {r.doc_id: r.text for r in d.collect()}
+    ids = sorted(rows)
+    half = ids[: len(ids) // 2]
+    rest = ids[len(ids) // 2:]
+    terms = ["query", "join", "filter"]
+    idx = str(tmp_path / "bm25")
+
+    model = {i: rows[i] for i in half}
+    write_text_index(d.where(F.col("doc_id").isin(half)), idx)
+
+    def check():
+        live = spark.createDataFrame(
+            list(model.items()), "doc_id long, text string"
+        )
+        want = [
+            (r.doc_id, float(r.score))
+            for r in bm25_scores(live, terms)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(10)
+            .collect()
+        ]
+        got = [
+            (r.doc_id, float(r.score))
+            for r in text_index_topk(spark, idx, terms, k=10).collect()
+        ]
+        assert got == want
+
+    rng = random.Random(20260816)
+    epoch_n = 0
+    for step in range(6):
+        op = rng.choice(["append", "update", "delete", "compact"])
+        if op == "append" and rest:
+            batch = rest[: 40]
+            rest = rest[40:]
+            for i in batch:
+                model[i] = rows[i]
+            epoch_n += 1
+            append_to_text_index(
+                d.where(F.col("doc_id").isin(batch)), idx, epoch=f"a{epoch_n}"
+            )
+        elif op == "update":
+            victims = rng.sample(sorted(model), min(25, len(model)))
+            upd = spark.createDataFrame(
+                [(i, model[i] + " revised query text") for i in victims],
+                "doc_id long, text string",
+            )
+            for i in victims:
+                model[i] = model[i] + " revised query text"
+            epoch_n += 1
+            update_text_index(upd, idx, epoch=f"u{epoch_n}")
+        elif op == "delete":
+            victims = rng.sample(sorted(model), min(15, len(model)))
+            for i in victims:
+                del model[i]
+            delete_from_text_index(spark, idx, victims)
+        else:
+            compact_text_index(spark, idx)
+        check()
