@@ -14446,21 +14446,26 @@ def llm26_snapshot_diff(spark, sf_dir):
     )
     a = d.select(
         "doc_id",
+        F.lit(1).alias("p1"),
         F.sha2(F.col("text"), 256).alias("fp1"),
         F.length("text").cast("long").alias("len1"),
         F.col("source").alias("src1"),
     )
     b = v2.select(
         "doc_id",
+        F.lit(1).alias("p2"),
         F.sha2(F.col("text"), 256).alias("fp2"),
         F.length("text").cast("long").alias("len2"),
         F.col("source").alias("src2"),
     )
     j = a.join(b, "doc_id", "full")
+    # presence flags, not fingerprint NULL-ness: a NULL-text row must
+    # classify by row existence (null-safe fp equality decides
+    # changed/unchanged), or it would masquerade as added/removed
     status = (
-        F.when(F.col("fp1").isNull(), F.lit("added"))
-        .when(F.col("fp2").isNull(), F.lit("removed"))
-        .when(F.col("fp1") == F.col("fp2"), F.lit("unchanged"))
+        F.when(F.col("p1").isNull(), F.lit("added"))
+        .when(F.col("p2").isNull(), F.lit("removed"))
+        .when(F.col("fp1").eqNullSafe(F.col("fp2")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (
@@ -14792,7 +14797,7 @@ def _sql_llm26():
     j AS (
       SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
                   WHEN b.doc_id IS NULL THEN 'removed'
-                  WHEN a.text = b.text THEN 'unchanged'
+                  WHEN a.text IS NOT DISTINCT FROM b.text THEN 'unchanged'
                   ELSE 'changed' END AS status,
              coalesce(b.source, a.source) AS source,
              coalesce(length(b.text), 0) - coalesce(length(a.text), 0)

@@ -480,11 +480,22 @@ def read_text_tombstones(
     if not os.path.exists(p):
         return None
     t = spark.read.option("mergeSchema", "true").parquet(p)
-    seq = F.col("seq") if "seq" in t.columns else F.lit(2**31 - 1)
+    # per-ROW coalescing, not per-directory: a mixed dir (legacy files
+    # + seq'd files) merges schemas and the legacy rows read as NULL —
+    # which would NULL out the anti-join residual and silently
+    # resurrect the deleted doc (review finding, round 11). Legacy
+    # rows mean delete-everything, issued-at-the-beginning.
+    seq = (
+        F.coalesce(F.col("seq"), F.lit(2**31 - 1))
+        if "seq" in t.columns
+        else F.lit(2**31 - 1)
+    )
     issued = (
-        F.coalesce(F.col("issued"), F.col("seq"))
-        if "issued" in t.columns
-        else (F.col("seq") if "seq" in t.columns else F.lit(0))
+        F.coalesce(
+            F.col("issued") if "issued" in t.columns else F.lit(None),
+            F.col("seq") if "seq" in t.columns else F.lit(None),
+            F.lit(0),
+        )
     )
     t = t.select(
         "doc_id",
@@ -492,6 +503,14 @@ def read_text_tombstones(
         issued.cast("int").alias("issued"),
     )
     if as_of_seq is not None:
+        # the ACTIVATION gate, doing double duty: (a) time travel —
+        # tombstones issued after the pin don't exist yet at the pin;
+        # (b) crash atomicity — an update's tombstone is issued AT its
+        # epoch's seq, so until that epoch's ledger entry commits
+        # (max committed seq < issued) the tombstone is dormant and
+        # the superseded version keeps serving: a crash between the
+        # tombstone write and the epoch commit can never make a doc
+        # vanish (review finding, round 11)
         t = t.where(F.col("issued") <= as_of_seq)
     return t.groupBy("doc_id").agg(F.max("seq").alias("seq"))
 
@@ -582,6 +601,27 @@ def _tombstone_fingerprint(path: str) -> tuple | None:
     )
 
 
+def _ensure_doclens(spark, path: str, stats: dict) -> None:
+    """One-time migration: a ledger epoch written before the doclens
+    sidecar existed (pre-delete-support index) gets its forward index
+    BACKFILLED from its own postings — without this, deleting a doc
+    from such an epoch would silently miss the stats adjustment
+    (n_docs/avgdl stay inflated) and compaction would crash on the
+    absent directory (review finding, round 11)."""
+    import os
+
+    for name in stats["epochs"]:
+        dl = os.path.join(path, "_doclens", f"epoch={name}")
+        if not os.path.exists(dl):
+            _write_doclens_epoch(
+                spark,
+                path,
+                str(name),
+                os.path.join(path, "postings", f"epoch={name}"),
+                stats["n_buckets"],
+            )
+
+
 # Serving-path memo: (index path, tombstone fingerprint, visible-epoch
 # set, as_of pin) -> (collected tombstone rows, n_deleted, dl_deleted).
 # Tombstones change only when a delete lands, but a query pays the
@@ -591,7 +631,11 @@ def _tombstone_fingerprint(path: str) -> tuple | None:
 # deletes, so the state is computed once per (mutation, snapshot) and
 # replayed as literals; a cache miss (fresh process, new delete, new
 # pin) recomputes from disk, so correctness never depends on the memo.
+# Bounded: at most _TOMB_MEMO_CAP entries per index path (a serving
+# process pinning many distinct as_of snapshots between deletes would
+# otherwise retain every tombstone list forever).
 _TOMB_MEMO: dict = {}
+_TOMB_MEMO_CAP = 8
 
 
 def _tombstone_state(
@@ -600,18 +644,22 @@ def _tombstone_state(
     fp = _tombstone_fingerprint(path)
     if fp is None:
         return None
-    key = (path, fp, tuple(sorted(stats["epochs"])), as_of_seq)
-    if key not in _TOMB_MEMO:
+    per_path = _TOMB_MEMO.setdefault(path, {})
+    key = (fp, tuple(sorted(stats["epochs"])), as_of_seq)
+    if key not in per_path:
         tomb = read_text_tombstones(spark, path, as_of_seq=as_of_seq)
         rows = [
             (int(r["doc_id"]), int(r["seq"])) for r in tomb.collect()
         ]
         if not rows:
-            _TOMB_MEMO[key] = ([], 0, 0)
+            val = ([], 0, 0)
         else:
             n_del, dl_del = _tombstone_adjustment(spark, path, stats, rows)
-            _TOMB_MEMO[key] = (rows, n_del, dl_del)
-    return _TOMB_MEMO[key]
+            val = (rows, n_del, dl_del)
+        if len(per_path) >= _TOMB_MEMO_CAP:
+            per_path.pop(next(iter(per_path)))
+        per_path[key] = val
+    return per_path[key]
 
 
 def _tombstone_adjustment(
@@ -631,6 +679,7 @@ def _tombstone_adjustment(
     nb = stats["n_buckets"]
     if not rows:
         return 0, 0
+    _ensure_doclens(spark, path, stats)
     ids = sorted(r[0] for r in rows)
     dbuckets = sorted({doc_bucket_py(i, nb) for i in ids})
     tdf = spark.createDataFrame(
@@ -679,7 +728,16 @@ def compact_text_index(spark, path: str) -> None:
 
     stats = _read_stats(path)
     live_epochs = sorted(stats["epochs"])
-    tomb = read_text_tombstones(spark, path)
+    _ensure_doclens(spark, path, stats)
+    # only ACTIVE tombstones apply: a dormant one (its update epoch
+    # never committed) must neither delete the surviving old version
+    # nor be carried forward — the orphan epoch is not copied either,
+    # so dropping the dormant tombstone restores the pre-update state
+    # and a replay re-runs the whole upsert cleanly
+    tomb = read_text_tombstones(
+        spark, path,
+        as_of_seq=max(_epoch_seqs(stats).values(), default=0),
+    )
     post = (
         spark.read.parquet(os.path.join(path, "postings"))
         .where(F.col("epoch").cast("string").isin(live_epochs))
@@ -718,6 +776,49 @@ def compact_text_index(spark, path: str) -> None:
     shutil.rmtree(old_path, ignore_errors=True)
 
 
+def stream_id(checkpoint_dir: str) -> str:
+    """Stable 8-hex id of one logical stream, derived from its
+    checkpoint location. Epoch tags are the replay identity — two
+    streams maintaining the SAME index from different checkpoints
+    would otherwise both mint epoch '0' and silently overwrite each
+    other's batches (review finding, round 11); the checkpoint path
+    is the one name that is already unique per stream."""
+    import hashlib
+    import os
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+
+
+def _run_doc_batch_stream(
+    spark,
+    landing_dir: str,
+    checkpoint_dir: str,
+    per_batch,
+    id_col: str,
+    text_col: str,
+):
+    """Shared scaffold for the text-lake streaming runners: schema
+    sniff with fallback, file-source discovery, checkpointed
+    availableNow foreachBatch."""
+    try:
+        schema = spark.read.parquet(landing_dir).schema
+    except Exception:
+        schema = f"{id_col} long, {text_col} string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(landing_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_text_index_maintenance(
     spark,
     landing_dir: str,
@@ -728,30 +829,20 @@ def run_text_index_maintenance(
 ):
     """Streaming maintenance of the text index: document parquet drops
     in ``landing_dir`` flow in exactly once (file-source checkpoint)
-    and each micro-batch lands as its own idempotent epoch. Returns
-    the started availableNow StreamingQuery — the lexical twin of
-    streaming/ann.py:run_index_maintenance."""
-    try:
-        schema = spark.read.parquet(landing_dir).schema
-    except Exception:
-        schema = f"{id_col} long, {text_col} string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(landing_dir)
-    )
+    and each micro-batch lands as its own idempotent epoch (tagged by
+    stream id + batch id, so independent streams never collide).
+    Returns the started availableNow StreamingQuery — the lexical
+    twin of streaming/ann.py:run_index_maintenance."""
+    sid = stream_id(checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         append_to_text_index(
-            batch_df, index_path, epoch=str(epoch_id),
+            batch_df, index_path, epoch=f"{sid}-{epoch_id}",
             id_col=id_col, text_col=text_col,
         )
 
-    return (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_doc_batch_stream(
+        spark, landing_dir, checkpoint_dir, write_batch, id_col, text_col
     )
 
 
@@ -766,32 +857,21 @@ def run_text_index_upserts(
     """CDC into the text lake: document drops in ``landing_dir`` are
     UPSERTS (re-crawls of known docs replace their indexed version;
     unseen docs insert) — each micro-batch runs update_text_index
-    under its epoch id, so the batch's seq-scoped tombstone + fresh
-    epoch + ledger entry are all keyed by the epoch and an
-    at-least-once replay converges to the same index state. Returns
-    the started availableNow StreamingQuery — the upsert twin of
-    run_text_index_maintenance."""
-    try:
-        schema = spark.read.parquet(landing_dir).schema
-    except Exception:
-        schema = f"{id_col} long, {text_col} string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(landing_dir)
-    )
+    under its stream-scoped epoch tag, so the batch's seq-scoped
+    tombstone + fresh epoch + ledger entry are all keyed by the epoch
+    and an at-least-once replay converges to the same index state.
+    Returns the started availableNow StreamingQuery — the upsert twin
+    of run_text_index_maintenance."""
+    sid = stream_id(checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         update_text_index(
-            batch_df, index_path, epoch=f"u{epoch_id}",
+            batch_df, index_path, epoch=f"u{sid}-{epoch_id}",
             id_col=id_col, text_col=text_col,
         )
 
-    return (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_doc_batch_stream(
+        spark, landing_dir, checkpoint_dir, write_batch, id_col, text_col
     )
 
 
@@ -824,6 +904,15 @@ def text_index_topk(
     import os
 
     stats = _read_stats(path)
+    # the effective pin: an explicit as_of, else the max COMMITTED
+    # seq — always passed to the tombstone reader so a dormant update
+    # tombstone (its epoch's ledger entry not yet committed) stays
+    # invisible to latest reads too
+    pin = (
+        as_of_seq
+        if as_of_seq is not None
+        else max(_epoch_seqs(stats).values(), default=0)
+    )
     if as_of_seq is not None:
         seqs = _epoch_seqs(stats)
         stats = {
@@ -849,7 +938,7 @@ def text_index_topk(
         .where(F.col("tok").isin(terms))
         .select("tok", "doc_id", "tf", "dl", "epoch")
     )
-    state = _tombstone_state(spark, path, stats, as_of_seq)
+    state = _tombstone_state(spark, path, stats, pin)
     if state is not None and state[0]:
         # logical deletes: drop tombstoned rows BEFORE df so a deleted
         # doc neither ranks nor inflates document frequency, and take

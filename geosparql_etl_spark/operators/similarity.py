@@ -332,6 +332,19 @@ def delete_from_ivf_index(spark, index_path: str, ids) -> None:
     )
 
 
+def _committed_epochs(index_path: str) -> list[str]:
+    """Epoch tags whose directory carries Spark's ``_SUCCESS`` commit
+    marker — the activation gate for update-issued tombstones."""
+    import glob
+    import os
+
+    out = []
+    for d in glob.glob(os.path.join(index_path, "epoch=*")):
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            out.append(os.path.basename(d).split("=", 1)[1])
+    return sorted(out)
+
+
 def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
     """The index's pending tombstone set as (neighbor_id, epoch),
     deduped, or None when no delete has been issued since the last
@@ -339,7 +352,14 @@ def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
     and names ONE epoch for update-scoped tombstones (kill only that
     epoch's version — ``update_ivf_index`` re-inserts the vector in a
     later epoch that must survive). Files predating the epoch column
-    read as NULL-scoped via mergeSchema."""
+    read as NULL-scoped via mergeSchema.
+
+    Update tombstones also carry ``src_epoch`` (the epoch that
+    re-inserts the vector) and stay DORMANT until that epoch's
+    ``_SUCCESS`` marker exists: update_ivf_index writes tombstones
+    first and the epoch's commit activates them, so a crash between
+    the two leaves the old version serving instead of vanishing the
+    vector (review finding, round 11)."""
     import os
 
     p = os.path.join(index_path, "_tombstones")
@@ -348,6 +368,12 @@ def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
     t = spark.read.option("mergeSchema", "true").parquet(p)
     if "epoch" not in t.columns:
         t = t.withColumn("epoch", F.lit(None).cast("string"))
+    if "src_epoch" in t.columns:
+        committed = _committed_epochs(index_path)
+        t = t.where(
+            F.col("src_epoch").isNull()
+            | F.col("src_epoch").cast("string").isin(committed)
+        )
     return t.select(
         "neighbor_id", F.col("epoch").cast("string").alias("epoch")
     ).dropDuplicates()
@@ -399,7 +425,18 @@ def update_ivf_index(
 
     Plain-IVF layout only: a PQ-coded index's update epoch would need
     the build-time codebooks to encode ``__pq``; re-encode through
-    ``write_ivf_pq_index`` + compaction instead."""
+    ``write_ivf_pq_index`` + compaction instead (enforced).
+
+    Crash-atomic: the tombstones are written FIRST but stamped with
+    ``src_epoch`` and stay dormant until the replacement epoch's
+    ``_SUCCESS`` marker commits — a crash between the two writes
+    leaves the old version serving (never a vanished vector), and the
+    replay overwrites both sides idempotently.
+
+    ``new_rows`` is evaluated twice (id projection for the tombstones,
+    full rows for the epoch write) — both reads are columnar-pruned
+    (the tombstone job touches only the id column), so the second
+    pass costs one narrow scan, not a duplicate of the wide one."""
     import glob
     import os
 
@@ -413,12 +450,21 @@ def update_ivf_index(
             "update_ivf_index requires an epoch-layout index "
             "(write_ivf_index(..., epoch='base'))"
         )
+    if "__pq" in spark.read.parquet(index_path).columns:
+        raise ValueError(
+            "update_ivf_index does not support PQ-coded layouts — the "
+            "update epoch cannot encode __pq without the build-time "
+            "codebooks; re-encode via write_ivf_pq_index + compaction"
+        )
     (
         new_rows.select(F.col(id_col).cast("long").alias("neighbor_id"))
         .crossJoin(
             spark.createDataFrame(
                 [(e,) for e in epochs_now], "epoch string"
             )
+        )
+        .select(
+            "neighbor_id", "epoch", F.lit(str(epoch)).alias("src_epoch")
         )
         .coalesce(1)
         .write.mode("append")

@@ -59,6 +59,18 @@ def embeddings_file_stream(
     )
 
 
+def _stream_id(checkpoint_dir: str) -> str:
+    """Stable 8-hex stream id from the checkpoint path — epoch tags
+    are the replay identity, and two streams maintaining the same
+    index from different checkpoints must never mint the same tag
+    (review finding, round 11)."""
+    import hashlib
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:8]
+
+
 def run_index_maintenance(
     spark: SparkSession,
     landing_dir: str,
@@ -71,7 +83,10 @@ def run_index_maintenance(
     n_cells: int = 16,
 ):
     """Landing dir -> the persisted IVF index, exactly once per drop.
-    Returns the started StreamingQuery (availableNow)."""
+    Epochs tag as <stream id>-<batch id> so independent maintenance
+    streams never collide. Returns the started StreamingQuery
+    (availableNow)."""
+    sid = _stream_id(checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         rows = with_ivf_cell(
@@ -83,7 +98,7 @@ def run_index_maintenance(
             "ivf_cell",
         )
         rows.write.mode("overwrite").partitionBy("ivf_cell").parquet(
-            os.path.join(index_path, f"epoch={epoch_id}")
+            os.path.join(index_path, f"epoch={sid}-{epoch_id}")
         )
 
     stream = embeddings_file_stream(spark, landing_dir)
@@ -114,14 +129,17 @@ def run_ann_upserts(
     Replay-safe under Structured Streaming's contract: only the
     LATEST uncommitted batch ever replays (earlier batches are
     checkpoint-committed), and a replayed latest batch re-issues an
-    identical tombstone scope (its own epoch is excluded). Returns
-    the started availableNow StreamingQuery — the upsert twin of
-    run_index_maintenance."""
+    identical tombstone scope (its own epoch is excluded). Epochs tag
+    as u<stream id>-<batch id> so independent streams never collide.
+    Returns the started availableNow StreamingQuery — the upsert twin
+    of run_index_maintenance."""
     from geosparql_etl_spark.operators.similarity import update_ivf_index
+
+    sid = _stream_id(checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         update_ivf_index(
-            spark, batch_df, index_path, epoch=f"u{epoch_id}",
+            spark, batch_df, index_path, epoch=f"u{sid}-{epoch_id}",
             id_col=id_col, vec_col=vec_col, dim=dim, n_cells=n_cells,
             centroids=centroids,
         )

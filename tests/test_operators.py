@@ -2439,3 +2439,75 @@ def test_text_index_random_op_sequence_matches_model(spark, sf_dir, tmp_path):
         else:
             compact_text_index(spark, idx)
         check()
+
+
+def test_text_index_torn_update_never_vanishes_doc(spark, sf_dir, tmp_path):
+    """Crash atomicity: an update's tombstone is DORMANT until its
+    epoch's ledger entry commits — simulate the crash window (delete
+    issued at the not-yet-committed seq, no epoch append) and the old
+    version must keep serving; committing the epoch then activates
+    the tombstone atomically."""
+    import json
+    import os
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        bm25_scores,
+        delete_from_text_index,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["query", "join", "filter"]
+    idx = str(tmp_path / "bm25")
+    write_text_index(d, idx)
+
+    def served():
+        return [
+            (r.doc_id, float(r.score))
+            for r in text_index_topk(spark, idx, terms, k=10).collect()
+        ]
+
+    def fresh(corpus):
+        return [
+            (r.doc_id, float(r.score))
+            for r in bm25_scores(corpus, terms)
+            .orderBy(F.col("score").desc(), "doc_id")
+            .limit(10)
+            .collect()
+        ]
+
+    before = served()
+    # the torn half of update_text_index: tombstone written with
+    # issued = the (never-committed) update epoch's seq
+    upd_ids = d.where(F.col("doc_id") % 13 == 4).select("doc_id")
+    delete_from_text_index(spark, idx, upd_ids, at_seq=0, issued_seq=1)
+    assert served() == before  # dormant — nothing vanished
+
+    # the replayed update commits the epoch: tombstone activates with it
+    upd = d.where(F.col("doc_id") % 13 == 4).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" query revision")).alias("text"),
+    )
+    append_to_text_index(upd, idx, epoch="u1")
+    live = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 4,
+            F.concat(F.col("text"), F.lit(" query revision")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    assert served() == fresh(live)
+
+    # compaction with a dormant tombstone must DROP it, not apply it
+    idx2 = str(tmp_path / "bm25b")
+    write_text_index(d, idx2)
+    delete_from_text_index(
+        spark, idx2, upd_ids, at_seq=0, issued_seq=1
+    )
+    from geosparql_etl_spark.operators.retrieval import compact_text_index
+
+    compact_text_index(spark, idx2)
+    stats = json.load(open(os.path.join(idx2, "_stats.json")))
+    assert stats["epochs"]["base"]["n_docs"] == d.count()

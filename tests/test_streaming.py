@@ -1156,3 +1156,63 @@ def test_ann_cdc_upserts_converge_and_restart_noop(spark, sf_dir, tmp_path):
     )
     assert q2.awaitTermination(300)
     assert answers(index) == want
+
+
+def test_ivf_torn_update_tombstones_dormant_until_epoch_commits(
+    spark, sf_dir, tmp_path
+):
+    """ANN crash atomicity: update tombstones are stamped with their
+    src_epoch and stay dormant until that epoch's _SUCCESS marker
+    exists — simulate the crash (tombstones on disk, epoch dir
+    removed) and probes must serve the OLD versions; re-landing the
+    epoch activates the tombstones with its commit."""
+    import os
+    import shutil
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=16, rounds=10)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(
+        e, idx, dim=64, n_cells=16, centroids=trained, epoch="base"
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def answers():
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_topk(
+                spark, idx, probe, k=5, dim=64, n_cells=16, n_probe=6,
+                centroids=trained,
+            ).collect()
+        ]
+
+    before = answers()
+    nxt = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("nemb"),
+    )
+    upd = (
+        e.where(F.col("vec_id") % 10 == 2)
+        .join(nxt, "vec_id")
+        .select("vec_id", F.col("nemb").alias("embedding"))
+    )
+    update_ivf_index(
+        spark, upd, idx, epoch="u1", dim=64, n_cells=16, centroids=trained
+    )
+    after = answers()
+    # simulate the crash window: replacement epoch gone, tombstones left
+    shutil.rmtree(os.path.join(idx, "epoch=u1"))
+    assert answers() == before  # dormant — old versions serve
+
+    # replayed update re-lands the epoch; its commit activates them
+    update_ivf_index(
+        spark, upd, idx, epoch="u1", dim=64, n_cells=16, centroids=trained
+    )
+    assert answers() == after
