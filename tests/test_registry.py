@@ -40,9 +40,23 @@ def test_round11_correctness_window_is_stable():
     assert keys[9] == "t06_conditional_insert"
     assert keys[13] == "j13_scd2_intervals"
     assert keys[49] == "s05_attribution_join"
-    # below the window: the r05 remainder heads the post-window order
-    # (after any new round-11 additions), r10-stamped rows are last
-    assert "s06_stream_dedup_batch" in keys[50:65]
+    # below the window: the round-11 additions sit contiguously first
+    # (first wave then second wave — never stamped, so they lead the
+    # r12 rotation), the r05 remainder follows, r10-stamped rows last
+    assert keys[50] == "sp43_optional_rejoin"
+    r11_adds = {
+        "sp43_optional_rejoin", "llm25_semantic_training_funnel",
+        "d20_skew_capped_neardup", "g20_dense_cell_cap",
+        "sim25_ann_deletes", "j15_bucketed_colocated_join",
+        "sim26_persisted_bm25", "s17_streaming_text_index",
+        "er04_incremental_resolution", "sim27_hybrid_persisted_serving",
+        "sim28_bm25_deletes", "llm26_snapshot_diff",
+        "sim29_bm25_updates", "s18_streaming_text_upserts",
+        "sim30_ann_updates", "s19_streaming_ann_upserts",
+        "sim31_bm25_time_travel", "w06_gap_fill",
+    }
+    assert set(keys[50:50 + len(r11_adds)]) == r11_adds
+    assert keys[50 + len(r11_adds)] == "s06_stream_dedup_batch"
     assert keys[-1] == "t05_urn_rewrite"
     assert len(keys) == len(set(keys))
 
