@@ -2511,3 +2511,50 @@ def test_text_index_torn_update_never_vanishes_doc(spark, sf_dir, tmp_path):
     compact_text_index(spark, idx2)
     stats = json.load(open(os.path.join(idx2, "_stats.json")))
     assert stats["epochs"]["base"]["n_docs"] == d.count()
+
+
+def test_text_index_compaction_recovers_from_crashed_swap(
+    spark, sf_dir, tmp_path
+):
+    """The text-lake compaction swap's crash windows: (a) index moved
+    aside, replacement not yet renamed in -> the next call restores
+    the moved-aside generation instead of deleting the only copy;
+    (b) a stale .old from a crash after commit is swept, not served."""
+    import os
+    import shutil
+
+    from geosparql_etl_spark.operators.retrieval import (
+        compact_text_index,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["query", "join", "filter"]
+    idx = str(tmp_path / "bm25")
+    write_text_index(d, idx)
+    want = [
+        (r.doc_id, float(r.score))
+        for r in text_index_topk(spark, idx, terms, k=10).collect()
+    ]
+
+    # (a) crash between the two renames: live dir gone
+    os.replace(idx, idx + ".compact.old")
+    assert not os.path.exists(idx)
+    compact_text_index(spark, idx)
+    got = [
+        (r.doc_id, float(r.score))
+        for r in text_index_topk(spark, idx, terms, k=10).collect()
+    ]
+    assert got == want
+    assert not os.path.exists(idx + ".compact.old")
+    assert not os.path.exists(idx + ".compact.tmp")
+
+    # (b) crash after commit, before cleanup: stale .old copy on disk
+    shutil.copytree(idx, idx + ".compact.old")
+    compact_text_index(spark, idx)
+    assert not os.path.exists(idx + ".compact.old")
+    assert [
+        (r.doc_id, float(r.score))
+        for r in text_index_topk(spark, idx, terms, k=10).collect()
+    ] == want
