@@ -1216,3 +1216,99 @@ def test_ivf_torn_update_tombstones_dormant_until_epoch_commits(
         spark, upd, idx, epoch="u1", dim=64, n_cells=16, centroids=trained
     )
     assert answers() == after
+
+
+def test_ivf_index_random_op_sequence_matches_fresh_index(
+    spark, sf_dir, tmp_path
+):
+    """Stateful lifecycle fuzz for the vector lake (seeded): a random
+    interleaving of append / update / delete / compact must keep
+    probes identical to an index built FRESH over the model's live
+    vector set after every op."""
+    import random
+
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=16, rounds=5)
+    vecs = {
+        r.vec_id: r.embedding
+        for r in e.select("vec_id", "embedding").collect()
+    }
+    ids = sorted(vecs)
+    half = ids[: len(ids) // 2]
+    rest = ids[len(ids) // 2:]
+    idx = str(tmp_path / "ivf")
+    model = {i: vecs[i] for i in half}
+    write_ivf_index(
+        e.where(F.col("vec_id").isin(half)), idx,
+        dim=64, n_cells=16, centroids=trained, epoch="base",
+    )
+    probe = e.where(F.col("vec_id") < 3)
+
+    def check(step):
+        live = spark.createDataFrame(
+            [(i, v) for i, v in model.items()],
+            "vec_id long, embedding array<float>",
+        )
+        ref = str(tmp_path / f"ref{step}")
+        write_ivf_index(
+            live, ref, dim=64, n_cells=16, centroids=trained, epoch="base"
+        )
+
+        def answers(p):
+            return [
+                (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+                for r in ivf_index_topk(
+                    spark, p, probe, k=5, dim=64, n_cells=16,
+                    n_probe=6, centroids=trained,
+                ).collect()
+            ]
+
+        assert answers(idx) == answers(ref)
+
+    rng = random.Random(20260816)
+    epoch_n = 0
+    for step in range(5):
+        op = rng.choice(["append", "update", "delete", "compact"])
+        if op == "append" and rest:
+            batch, rest = rest[:60], rest[60:]
+            for i in batch:
+                model[i] = vecs[i]
+            epoch_n += 1
+            write_ivf_index(
+                e.where(F.col("vec_id").isin(batch)), idx,
+                dim=64, n_cells=16, centroids=trained,
+                epoch=f"a{epoch_n}",
+            )
+        elif op == "update":
+            victims = rng.sample(sorted(model), min(20, len(model)))
+            donor = {
+                v: vecs[(v + 13) % len(ids)] for v in victims
+            }
+            upd = spark.createDataFrame(
+                [(v, donor[v]) for v in victims],
+                "vec_id long, embedding array<float>",
+            )
+            for v in victims:
+                model[v] = donor[v]
+            epoch_n += 1
+            update_ivf_index(
+                spark, upd, idx, epoch=f"u{epoch_n}",
+                dim=64, n_cells=16, centroids=trained,
+            )
+        elif op == "delete":
+            victims = rng.sample(sorted(model), min(12, len(model)))
+            for v in victims:
+                del model[v]
+            delete_from_ivf_index(spark, idx, victims)
+        else:
+            compact_ivf_index(spark, idx)
+        check(step)
