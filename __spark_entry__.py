@@ -14783,6 +14783,66 @@ def _sql_sim31():
     """
 
 
+def sim32_phrase_search(spark, sf_dir):
+    """PHRASE search over the positional text index (round 11 — the
+    postings grew a sorted 1-based position list per (term, doc), so
+    the lake serves exact-sequence queries, not just bag-of-words
+    BM25): docs containing the exact token sequence "query join",
+    ranked by occurrence count, ties to the lowest doc_id. The
+    adjacency test is a native array fold over the FIRST term's
+    occurrence list (filter(pos0, x -> array_contains(pos1, x+1))) —
+    per-candidate cost is |occurrences|, the scan reads only the two
+    terms' bucket partitions across epochs, and a doc missing either
+    term exits at the doc_id inner join before any position work.
+    The oracle recomputes positions from the raw text with DuckDB
+    list comprehensions — index-free — so a value match proves the
+    positional payload survives build + incremental append exactly.
+    See operators/retrieval.py:phrase_topk."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        phrase_topk,
+        write_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_bm25_pos_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_text_index(d.where(F.col("doc_id") < 250), idx)
+    append_to_text_index(d.where(F.col("doc_id") >= 250), idx, epoch="a1")
+    return phrase_topk(spark, idx, ["query", "join"], k=20).orderBy("rank")
+
+
+def _sql_sim32():
+    return """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x != '') AS a
+      FROM documents),
+    pos AS (
+      SELECT doc_id,
+             [i for i in range(1, len(a) + 1) if a[i] = 'query'] AS p0,
+             [i for i in range(1, len(a) + 1) if a[i] = 'join'] AS p1
+      FROM t),
+    m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(p0, x -> list_contains(p1, x + 1)))
+                  AS INT) AS n_phrase
+      FROM pos WHERE len(p0) > 0 AND len(p1) > 0)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_phrase DESC, doc_id) AS INT)
+             AS rank,
+           n_phrase
+    FROM m WHERE n_phrase > 0
+    ORDER BY n_phrase DESC, doc_id LIMIT 20
+    """
+
+
 def _sql_llm26():
     return """
     WITH v2 AS (
@@ -14992,6 +15052,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s19_streaming_ann_upserts": s19_streaming_ann_upserts,
     "sim31_bm25_time_travel": sim31_bm25_time_travel,
     "w06_gap_fill": w06_gap_fill,
+    "sim32_phrase_search": sim32_phrase_search,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -15450,6 +15511,7 @@ _ORACLES: dict[str, str] = {
     "s19_streaming_ann_upserts": _sql_s19(),
     "sim31_bm25_time_travel": _sql_sim31(),
     "w06_gap_fill": _sql_w06(),
+    "sim32_phrase_search": _sql_sim32(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

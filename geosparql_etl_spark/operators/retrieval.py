@@ -248,14 +248,26 @@ def _doc_bucket_col(doc_id: Column, n_buckets: int) -> Column:
 def _index_postings(
     docs: DataFrame, id_col: str, text_col: str, n_buckets: int
 ) -> DataFrame:
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).where(F.col("tok") != "")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    return tf.join(dl, "doc_id").select(
-        "tok", "doc_id", "tf", "dl", _term_bucket_col(F.col("tok"), n_buckets)
+    """Positional postings: (tok, doc_id, tf, dl, pos) where ``pos``
+    is the sorted 1-based occurrence list within the doc's cleaned
+    token sequence — what phrase/proximity queries consume
+    (``phrase_topk``); tf/dl are derived from the same sequence so
+    BM25 scoring is unchanged by the position payload."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), arr.alias("__t"))
+    toks = base.select(
+        "doc_id", F.size("__t").alias("dl"),
+        F.posexplode("__t").alias("__p", "tok"),
+    )
+    grouped = toks.groupBy("doc_id", "dl", "tok").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list(F.col("__p") + 1)).alias("pos"),
+    )
+    return grouped.select(
+        "tok", "doc_id", "tf", "dl", "pos",
+        _term_bucket_col(F.col("tok"), n_buckets),
     )
 
 
@@ -738,11 +750,13 @@ def compact_text_index(spark, path: str) -> None:
         spark, path,
         as_of_seq=max(_epoch_seqs(stats).values(), default=0),
     )
-    post = (
-        spark.read.parquet(os.path.join(path, "postings"))
-        .where(F.col("epoch").cast("string").isin(live_epochs))
-        .select("tok", "doc_id", "tf", "dl", "bucket", _epoch_seq_col(stats))
+    pscan = spark.read.parquet(os.path.join(path, "postings"))
+    pcols = ["tok", "doc_id", "tf", "dl", "bucket"] + (
+        ["pos"] if "pos" in pscan.columns else []
     )
+    post = pscan.where(
+        F.col("epoch").cast("string").isin(live_epochs)
+    ).select(*pcols, _epoch_seq_col(stats))
     dlens = (
         spark.read.parquet(os.path.join(path, "_doclens"))
         .where(F.col("epoch").cast("string").isin(live_epochs))
@@ -751,7 +765,7 @@ def compact_text_index(spark, path: str) -> None:
     if tomb is not None:
         post = _anti_join_tombstones(post, tomb)
         dlens = _anti_join_tombstones(dlens, tomb)
-    post = post.select("tok", "doc_id", "tf", "dl", "bucket")
+    post = post.select(*pcols)
     dlens = dlens.select("doc_id", "dl", "dbucket").dropDuplicates(
         ["doc_id"]
     )
@@ -975,3 +989,87 @@ def text_index_topk(
     cut = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return cut.select("doc_id", F.row_number().over(w).alias("rank"), "score")
+
+
+def phrase_topk(
+    spark,
+    path: str,
+    phrase: list[str],
+    k: int = 20,
+    as_of_seq: int | None = None,
+) -> DataFrame:
+    """PHRASE search against the positional postings: docs containing
+    the exact token sequence ``phrase``, ranked by occurrence count
+    (ties to the lowest doc_id) -> (doc_id, rank, n_phrase).
+
+    The inverted-file cost model is unchanged: the scan reads ONLY
+    the phrase terms' bucket partitions, each term contributes its
+    position list as ONE array column, and adjacency is a native
+    array fold — ``filter(pos_0, x -> array_contains(pos_1, x+1) AND
+    ...)`` — evaluated per candidate doc after the per-term frames
+    inner-join on doc_id (a doc missing any term exits at the join).
+    No corpus scan, no explode of positions, no Python. Tombstones
+    and the as-of pin apply exactly as in ``text_index_topk`` (minus
+    the stats adjustment — phrase ranks need no corpus statistics)."""
+    import os
+
+    stats = _read_stats(path)
+    pin = (
+        as_of_seq
+        if as_of_seq is not None
+        else max(_epoch_seqs(stats).values(), default=0)
+    )
+    if as_of_seq is not None:
+        seqs = _epoch_seqs(stats)
+        stats = {
+            "n_buckets": stats["n_buckets"],
+            "epochs": {
+                n: e
+                for n, e in stats["epochs"].items()
+                if seqs[str(n)] <= as_of_seq
+            },
+        }
+    nb = stats["n_buckets"]
+    terms = [t.lower() for t in phrase]
+    buckets = sorted({term_bucket_py(t, nb) for t in terms})
+    post = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("epoch").cast("string").isin(sorted(stats["epochs"])))
+        .where(F.col("bucket").isin(buckets))
+        .where(F.col("tok").isin(sorted(set(terms))))
+        .select("tok", "doc_id", "pos", "epoch")
+    )
+    state = _tombstone_state(spark, path, stats, pin)
+    if state is not None and state[0]:
+        tomb = spark.createDataFrame(state[0], "doc_id long, seq int")
+        post = _anti_join_tombstones(
+            post.select("tok", "doc_id", "pos", _epoch_seq_col(stats)),
+            tomb,
+        )
+    post = post.select("tok", "doc_id", "pos")
+    joined = None
+    for i, t in enumerate(terms):
+        fi = post.where(F.col("tok") == t).select(
+            "doc_id", F.col("pos").alias(f"__pos{i}")
+        )
+        joined = fi if joined is None else joined.join(fi, "doc_id")
+    assert joined is not None
+
+    # adjacency fold over the FIRST term's occurrence list: an
+    # occurrence at x is a phrase hit iff term i sits at x+i for all i
+    def _adj(x):
+        c = None
+        for i in range(1, len(terms)):
+            step = F.array_contains(F.col(f"__pos{i}"), x + i)
+            c = step if c is None else c & step
+        return c if c is not None else F.lit(True)
+
+    n_phrase = F.size(F.filter(F.col("__pos0"), _adj))
+    hits = joined.select("doc_id", n_phrase.alias("n_phrase")).where(
+        F.col("n_phrase") > 0
+    )
+    cut = hits.orderBy(F.col("n_phrase").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("n_phrase").desc(), F.col("doc_id"))
+    return cut.select(
+        "doc_id", F.row_number().over(w).alias("rank"), "n_phrase"
+    )

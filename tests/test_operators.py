@@ -2558,3 +2558,56 @@ def test_text_index_compaction_recovers_from_crashed_swap(
         (r.doc_id, float(r.score))
         for r in text_index_topk(spark, idx, terms, k=10).collect()
     ] == want
+
+
+def test_phrase_topk_matches_brute_force_and_prunes(spark, sf_dir, tmp_path):
+    """Positional postings serve exact-sequence queries: phrase hits
+    and counts must equal a brute-force scan over the raw token
+    arrays, the scan must stay term-bucket-pruned, and the position
+    payload must leave BM25 scoring untouched."""
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        phrase_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "bm25")
+    write_text_index(d.where(F.col("doc_id") % 2 == 0), idx)
+    append_to_text_index(d.where(F.col("doc_id") % 2 == 1), idx, epoch="a1")
+
+    got = [
+        (r.doc_id, r.n_phrase)
+        for r in phrase_topk(spark, idx, ["query", "join"], k=20).collect()
+    ]
+    arr = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    brute = [
+        (r.doc_id, r.n)
+        for r in d.select("doc_id", arr.alias("t"))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.expr(
+                        "transform(t, (x, i) -> CASE WHEN x = 'query' "
+                        "AND i + 1 < size(t) AND t[i+1] = 'join' "
+                        "THEN 1 ELSE 0 END)"
+                    ),
+                    lambda v: v == 1,
+                )
+            ).alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .orderBy(F.col("n").desc(), "doc_id")
+        .limit(20)
+        .collect()
+    ]
+    assert got == brute and got
+
+    plan = (
+        phrase_topk(spark, idx, ["query", "join"], k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
