@@ -106,6 +106,8 @@ SHOWCASE = [
     ("sim29_bm25_updates", "updated text index: seq-scoped tombstone anti-join (broadcast, residual seq condition) between the pruned scan and df"),
     ("sim30_ann_updates", "updated ANN index: both tombstone classes anti-joined on the partition-pruned cells before top-k"),
     ("sim31_bm25_time_travel", "time-travel probe: the as-of pin restricts the epoch isin filter — historical reads stay bucket-pruned"),
+    ("sim32_phrase_search", "phrase search: per-term bucket-pruned position arrays, doc_id inner joins, native array-adjacency fold — no position explode"),
+    ("w06_gap_fill", "resample+ffill: sequence()-generated spine from a broadcast 1-row span, map-side hourly aggregates, spine-sized ffill window"),
 ]
 
 
