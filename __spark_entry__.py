@@ -14843,6 +14843,69 @@ def _sql_sim32():
     """
 
 
+def sim33_proximity_search(spark, sf_dir):
+    """PROXIMITY search over the positional index (round 11 — the
+    unordered relaxation of sim32's phrase: "these words NEAR each
+    other", the query form lexical retrieval uses when word order is
+    free): docs where some occurrence of 'query' has BOTH 'join' and
+    'filter' within +-5 positions, ranked by qualifying-anchor count.
+    The test is a NESTED native array fold — filter(pos0, x ->
+    exists(pos1, y -> |y-x| <= 5) AND exists(pos2, ...)) — over the
+    same bucket-pruned per-term position arrays as sim32; the oracle
+    replays the nested fold with DuckDB list_filter lambdas over
+    positions recomputed from raw text. See
+    operators/retrieval.py:proximity_topk."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        proximity_topk,
+        write_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_bm25_prox_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_text_index(d.where(F.col("doc_id") < 250), idx)
+    append_to_text_index(d.where(F.col("doc_id") >= 250), idx, epoch="a1")
+    return proximity_topk(
+        spark, idx, ["query", "join", "filter"], window=5, k=20
+    ).orderBy("rank")
+
+
+def _sql_sim33():
+    return """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x != '') AS a
+      FROM documents),
+    pos AS (
+      SELECT doc_id,
+             [i for i in range(1, len(a) + 1) if a[i] = 'query'] AS p0,
+             [i for i in range(1, len(a) + 1) if a[i] = 'join'] AS p1,
+             [i for i in range(1, len(a) + 1) if a[i] = 'filter'] AS p2
+      FROM t),
+    m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(p0, x ->
+               len(list_filter(p1, y -> abs(y - x) <= 5)) > 0
+               AND len(list_filter(p2, y -> abs(y - x) <= 5)) > 0))
+               AS INT) AS n_prox
+      FROM pos
+      WHERE len(p0) > 0 AND len(p1) > 0 AND len(p2) > 0)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY n_prox DESC, doc_id) AS INT)
+             AS rank,
+           n_prox
+    FROM m WHERE n_prox > 0
+    ORDER BY n_prox DESC, doc_id LIMIT 20
+    """
+
+
 def _sql_llm26():
     return """
     WITH v2 AS (
@@ -15053,6 +15116,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim31_bm25_time_travel": sim31_bm25_time_travel,
     "w06_gap_fill": w06_gap_fill,
     "sim32_phrase_search": sim32_phrase_search,
+    "sim33_proximity_search": sim33_proximity_search,
     # --- r05-stamped remainder ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
@@ -15512,6 +15576,7 @@ _ORACLES: dict[str, str] = {
     "sim31_bm25_time_travel": _sql_sim31(),
     "w06_gap_fill": _sql_w06(),
     "sim32_phrase_search": _sql_sim32(),
+    "sim33_proximity_search": _sql_sim33(),
     "mm08_shot_keyframes": _sql_mm08(),
     "sim24_filtered_persisted_ann": _sql_sim24(),
     "d18_semantic_dedup": _sql_d18(),

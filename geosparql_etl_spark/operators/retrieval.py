@@ -991,26 +991,15 @@ def text_index_topk(
     return cut.select("doc_id", F.row_number().over(w).alias("rank"), "score")
 
 
-def phrase_topk(
-    spark,
-    path: str,
-    phrase: list[str],
-    k: int = 20,
-    as_of_seq: int | None = None,
+def _positional_frame(
+    spark, path: str, terms: list[str], as_of_seq: int | None
 ) -> DataFrame:
-    """PHRASE search against the positional postings: docs containing
-    the exact token sequence ``phrase``, ranked by occurrence count
-    (ties to the lowest doc_id) -> (doc_id, rank, n_phrase).
-
-    The inverted-file cost model is unchanged: the scan reads ONLY
-    the phrase terms' bucket partitions, each term contributes its
-    position list as ONE array column, and adjacency is a native
-    array fold — ``filter(pos_0, x -> array_contains(pos_1, x+1) AND
-    ...)`` — evaluated per candidate doc after the per-term frames
-    inner-join on doc_id (a doc missing any term exits at the join).
-    No corpus scan, no explode of positions, no Python. Tombstones
-    and the as-of pin apply exactly as in ``text_index_topk`` (minus
-    the stats adjustment — phrase ranks need no corpus statistics)."""
+    """One row per doc containing ALL ``terms``, columns ``__pos0..N``
+    holding each term's position array. Bucket-pruned scan, ledger
+    gate, tombstone anti-join and as-of pin exactly as
+    ``text_index_topk`` (minus the stats adjustment — position
+    queries need no corpus statistics); a doc missing any term exits
+    at the doc_id inner join before any position work."""
     import os
 
     stats = _read_stats(path)
@@ -1030,7 +1019,6 @@ def phrase_topk(
             },
         }
     nb = stats["n_buckets"]
-    terms = [t.lower() for t in phrase]
     buckets = sorted({term_bucket_py(t, nb) for t in terms})
     post = (
         spark.read.parquet(os.path.join(path, "postings"))
@@ -1054,6 +1042,37 @@ def phrase_topk(
         )
         joined = fi if joined is None else joined.join(fi, "doc_id")
     assert joined is not None
+    return joined
+
+
+def _ranked_hits(hits: DataFrame, k: int, n_col: str) -> DataFrame:
+    cut = hits.orderBy(F.col(n_col).desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col(n_col).desc(), F.col("doc_id"))
+    return cut.select(
+        "doc_id", F.row_number().over(w).alias("rank"), n_col
+    )
+
+
+def phrase_topk(
+    spark,
+    path: str,
+    phrase: list[str],
+    k: int = 20,
+    as_of_seq: int | None = None,
+) -> DataFrame:
+    """PHRASE search against the positional postings: docs containing
+    the exact token sequence ``phrase``, ranked by occurrence count
+    (ties to the lowest doc_id) -> (doc_id, rank, n_phrase).
+
+    The inverted-file cost model is unchanged: the scan reads ONLY
+    the phrase terms' bucket partitions, each term contributes its
+    position list as ONE array column, and adjacency is a native
+    array fold — ``filter(pos_0, x -> array_contains(pos_1, x+1) AND
+    ...)`` — evaluated per candidate doc after the per-term frames
+    inner-join on doc_id. No corpus scan, no position explode, no
+    Python."""
+    terms = [t.lower() for t in phrase]
+    joined = _positional_frame(spark, path, terms, as_of_seq)
 
     # adjacency fold over the FIRST term's occurrence list: an
     # occurrence at x is a phrase hit iff term i sits at x+i for all i
@@ -1068,8 +1087,42 @@ def phrase_topk(
     hits = joined.select("doc_id", n_phrase.alias("n_phrase")).where(
         F.col("n_phrase") > 0
     )
-    cut = hits.orderBy(F.col("n_phrase").desc(), F.col("doc_id")).limit(k)
-    w = Window.orderBy(F.col("n_phrase").desc(), F.col("doc_id"))
-    return cut.select(
-        "doc_id", F.row_number().over(w).alias("rank"), "n_phrase"
+    return _ranked_hits(hits, k, "n_phrase")
+
+
+def proximity_topk(
+    spark,
+    path: str,
+    terms: list[str],
+    window: int = 5,
+    k: int = 20,
+    as_of_seq: int | None = None,
+) -> DataFrame:
+    """PROXIMITY (windowed co-occurrence) search: docs where some
+    occurrence of ``terms[0]`` has EVERY other term within ±``window``
+    positions, ranked by qualifying-anchor count -> (doc_id, rank,
+    n_prox). The unordered relaxation of ``phrase_topk`` — "these
+    words near each other" — expressed as a NESTED array fold:
+    ``filter(pos_0, x -> forall i: exists(pos_i, y -> |y-x| <= W))``,
+    all native HOFs over the same bucket-pruned positional frame."""
+    terms = [t.lower() for t in terms]
+    joined = _positional_frame(spark, path, terms, as_of_seq)
+
+    def _near(x):
+        # the inner lambda takes exactly ONE parameter (PySpark reads
+        # the signature to pick the HOF arity); x and the array column
+        # are captured by closure, materialized per loop iteration
+        c = None
+        for i in range(1, len(terms)):
+            arr_i = F.col(f"__pos{i}")
+            step = F.exists(
+                arr_i, lambda y: (y >= x - window) & (y <= x + window)
+            )
+            c = step if c is None else c & step
+        return c if c is not None else F.lit(True)
+
+    n_prox = F.size(F.filter(F.col("__pos0"), _near))
+    hits = joined.select("doc_id", n_prox.alias("n_prox")).where(
+        F.col("n_prox") > 0
     )
+    return _ranked_hits(hits, k, "n_prox")

@@ -2611,3 +2611,46 @@ def test_phrase_topk_matches_brute_force_and_prunes(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_proximity_topk_matches_brute_force(spark, sf_dir, tmp_path):
+    """Windowed co-occurrence: qualifying-anchor counts must equal a
+    brute-force scan over the raw token arrays."""
+    from geosparql_etl_spark.operators.retrieval import (
+        proximity_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "bm25")
+    write_text_index(d, idx)
+    got = [
+        (r.doc_id, r.n_prox)
+        for r in proximity_topk(
+            spark, idx, ["query", "join"], window=3, k=20
+        ).collect()
+    ]
+    arr = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    brute = [
+        (r.doc_id, r.n)
+        for r in d.select("doc_id", arr.alias("t"))
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.expr(
+                        "transform(t, (x, i) -> CASE WHEN x = 'query' AND "
+                        "exists(sequence(greatest(0, i - 3), "
+                        "least(size(t) - 1, i + 3)), "
+                        "j -> t[j] = 'join') THEN 1 ELSE 0 END)"
+                    ),
+                    lambda v: v == 1,
+                )
+            ).alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .orderBy(F.col("n").desc(), "doc_id")
+        .limit(20)
+        .collect()
+    ]
+    assert got == brute and got
