@@ -54,6 +54,7 @@ def test_round11_correctness_window_is_stable():
         "sim29_bm25_updates", "s18_streaming_text_upserts",
         "sim30_ann_updates", "s19_streaming_ann_upserts",
         "sim31_bm25_time_travel", "w06_gap_fill",
+        "sim32_phrase_search", "sim33_proximity_search",
     }
     assert set(keys[50:50 + len(r11_adds)]) == r11_adds
     assert keys[50 + len(r11_adds)] == "s06_stream_dedup_batch"
