@@ -377,6 +377,19 @@ def append_to_text_index(
 
     stats = _read_stats(path)
     epoch_path = os.path.join(path, "postings", f"epoch={epoch}")
+    if docs.limit(1).count() == 0:
+        # an EMPTY epoch (streams deliver empty micro-batches): a
+        # zero-row parquet write leaves no readable footer, so skip
+        # the data writes and commit a zero ledger entry — the epoch
+        # stays replay-keyed, probes' isin filter matches no dir
+        entry = {"n_docs": 0, "sum_dl": 0}
+        prior = _epoch_seqs(stats)
+        entry["seq"] = prior.get(
+            str(epoch), max(prior.values(), default=-1) + 1
+        )
+        stats["epochs"][str(epoch)] = entry
+        _write_stats(path, stats)
+        return
     post = _index_postings(docs, id_col, text_col, stats["n_buckets"])
     post.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
     _write_doclens_epoch(
@@ -465,6 +478,11 @@ def delete_from_text_index(
         df = ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
     else:
         df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
+    if df.limit(1).count() == 0:
+        # empty delete set (e.g. an upsert batch of only-new docs
+        # routed through update): a zero-row parquet write leaves an
+        # unreadable footer-less dir — skip it
+        return
     df.select(
         "doc_id",
         F.lit(seq_now).cast("int").alias("seq"),
@@ -622,7 +640,11 @@ def _ensure_doclens(spark, path: str, stats: dict) -> None:
     absent directory (review finding, round 11)."""
     import os
 
-    for name in stats["epochs"]:
+    for name, entry in stats["epochs"].items():
+        if entry.get("n_docs", 0) == 0:
+            # a committed EMPTY epoch has no postings dir at all —
+            # nothing to backfill
+            continue
         dl = os.path.join(path, "_doclens", f"epoch={name}")
         if not os.path.exists(dl):
             _write_doclens_epoch(

@@ -456,6 +456,11 @@ def update_ivf_index(
             "update epoch cannot encode __pq without the build-time "
             "codebooks; re-encode via write_ivf_pq_index + compaction"
         )
+    if new_rows.limit(1).count() == 0:
+        # empty upsert batch (streams deliver empty micro-batches): a
+        # zero-row tombstone write leaves a footer-less parquet dir —
+        # skip the whole op, nothing to replace
+        return
     (
         new_rows.select(F.col(id_col).cast("long").alias("neighbor_id"))
         .crossJoin(

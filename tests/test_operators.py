@@ -2654,3 +2654,47 @@ def test_proximity_topk_matches_brute_force(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert got == brute and got
+
+
+def test_phrase_search_respects_tombstones_and_as_of(spark, sf_dir, tmp_path):
+    """The positional frame applies the same tombstone anti-join and
+    as-of pin as BM25 serving: deleting a phrase-hit doc removes it
+    from results, and a read pinned before the delete still sees it."""
+    from geosparql_etl_spark.operators.retrieval import (
+        delete_from_text_index,
+        phrase_topk,
+        write_text_index,
+    )
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "bm25")
+    write_text_index(d, idx)                                   # seq 0
+    base_view = [
+        (r.doc_id, r.n_phrase)
+        for r in phrase_topk(spark, idx, ["query", "join"], k=10).collect()
+    ]
+    assert base_view
+    victim = base_view[0][0]
+    append_to_text_index(
+        d.limit(0), idx, epoch="a1"
+    )                                                          # seq 1
+    # delete issued while seq 1 is current (issued = 1)
+    delete_from_text_index(spark, idx, [victim])
+    latest = [
+        (r.doc_id, r.n_phrase)
+        for r in phrase_topk(spark, idx, ["query", "join"], k=10).collect()
+    ]
+    assert victim not in [i for i, _ in latest]
+    # time travel: pinned at seq 0 (before the delete was issued),
+    # the victim still serves
+    pinned = [
+        (r.doc_id, r.n_phrase)
+        for r in phrase_topk(
+            spark, idx, ["query", "join"], k=10, as_of_seq=0
+        ).collect()
+    ]
+    assert pinned == base_view
