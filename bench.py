@@ -158,9 +158,10 @@ HEADLINE = [
     # round 11: the D1 compatibility-join null-mask split plan, the
     # adversarial max_df skew-cap join (2.4M -> 1.2M candidates at
     # sf0.1), and the exact->semantic->mixture training funnel
-    # (training memoized with sim22/23's run). sim25/sim28/g20/j15
-    # excluded: index-build + compaction / fixture-dominated /
-    # bucket-write wall time would measure setup, not the plan.
+    # (training memoized with sim22/23's run). sim25/sim28-33/g20/j15
+    # and s18/s19 excluded: index-build + compaction + CDC-stream
+    # wall time would measure setup, not the serving plan (the probe
+    # costs are measured in SCALE.md's round-11 rows instead).
     "sp43_optional_rejoin",
     "d20_skew_capped_neardup",
     "llm25_semantic_training_funnel",
