@@ -15027,76 +15027,17 @@ def _sql_warc01():
 # file covers every query that round 1's file did not.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver records correctness rows for the first 50 entries per
-    # round; order by verification need. Round-11 window: the nine
-    # never-stamped round-10 additions lead (sim22 shippable ANN,
-    # warc03 mixed encodings, llm24 crawl->training funnel, sim23
-    # persisted IVF+PQ, sp42 VALUES UNDEF, mm08 shot keyframes, sim24
-    # filtered persisted ANN, d18/d19 semantic dedup — positions 1-9),
-    # then the four remaining r04-stamped rows (t06/t07/t08/t10,
-    # positions 10-13), then the r05-stamped block (oldest remaining
-    # attestation) fills 14-50 (j13 head, s05_attribution_join at 50).
-    # r12 rotation (staged below the window, in order): new round-11
-    # additions first (contiguous, never stamped), then the r05
-    # remainder (s06..sim06), the two r06 blocks, the r08 block, the
-    # r09 block, and the r10-stamped rows (freshest) last — r12 takes
-    # the first 50 in registry order.
-    # --- never driver-stamped round-10 additions (1-9) ---
-    "sim22_shippable_ann": sim22_shippable_ann,
-    "warc03_crawl_encodings": warc03_crawl_encodings,
-    "llm24_crawl_training_pipeline": llm24_crawl_training_pipeline,
-    "sim23_persisted_ivfpq_probe": sim23_persisted_ivfpq_probe,
-    "sp42_values_undef": sp42_values_undef,
-    "mm08_shot_keyframes": mm08_shot_keyframes,
-    "sim24_filtered_persisted_ann": sim24_filtered_persisted_ann,
-    "d18_semantic_dedup": d18_semantic_dedup,
-    "d19_incremental_semantic_dedup": d19_incremental_semantic_dedup,
-    # --- r04-stamped remainder, oldest attestation (10-13) ---
-    "t06_conditional_insert": t06_conditional_insert,
-    "t07_format_string": t07_format_string,
-    "t08_iso_timestamp": t08_iso_timestamp,
-    "t10_to_json": t10_to_json,
-    # --- r05-stamped block, oldest remaining attestation (14-50) ---
-    "j13_scd2_intervals": j13_scd2_intervals,
-    "j14_pit_join": j14_pit_join,
-    "a14_corr_stats": a14_corr_stats,
-    "a15_heavy_hitters": a15_heavy_hitters,
-    "d10_containment_pairs": d10_containment_pairs,
-    "d11_semantic_clusters": d11_semantic_clusters,
-    "d12_dup_pagerank": d12_dup_pagerank,
-    "dq01_profile": dq01_profile,
-    "dq02_distinct_sketch": dq02_distinct_sketch,
-    "dq03_profile_drift": dq03_profile_drift,
-    "llm09_data_mixture": llm09_data_mixture,
-    "llm10_gopher_quality": llm10_gopher_quality,
-    "llm11_contamination_report": llm11_contamination_report,
-    "llm12_curriculum_deciles": llm12_curriculum_deciles,
-    "llm13_epoch_shuffle": llm13_epoch_shuffle,
-    "llm14_wordpiece_tokenize": llm14_wordpiece_tokenize,
-    "llm15_block_packing": llm15_block_packing,
-    "mm04_video_frames": mm04_video_frames,
-    "mm05_image_neardup": mm05_image_neardup,
-    "mm06_audio_neardup": mm06_audio_neardup,
-    "p14_json_props": p14_json_props,
-    "p15_variant_props": p15_variant_props,
-    "s09_retention_cohorts": s09_retention_cohorts,
-    "s10_markov_transitions": s10_markov_transitions,
-    "s11_windowed_topk": s11_windowed_topk,
-    "s12_attribution_outer": s12_attribution_outer,
-    "sim09_filtered_ann": sim09_filtered_ann,
-    "sim10_knn_classify": sim10_knn_classify,
-    "sim11_kmeans_refine": sim11_kmeans_refine,
-    "txt12_surprisal": txt12_surprisal,
-    "txt13_char_entropy": txt13_char_entropy,
-    "txt14_bigram_surprisal": txt14_bigram_surprisal,
-    "txt15_line_dedup": txt15_line_dedup,
-    "txt16_repeat_removal": txt16_repeat_removal,
-    "a10_pivot": a10_pivot,
-    "s04_session_window_native": s04_session_window_native,
-    "s05_attribution_join": s05_attribution_join,
-    # --- below the window: new round-11 additions go HERE
-    # (contiguous, never stamped) so the r12 rotation is mechanical;
-    # the second-wave rows (sim28..sim31, s18/s19, llm26) continue the
-    # same contiguous block ---
+    # round; order by verification need. Round-12 window: the twenty
+    # never-stamped round-11 additions lead (positions 1-20), then the
+    # r05-stamped remainder (s06..sim06, oldest attestation, 21-30),
+    # then the head of the r06-stamped block fills 31-50
+    # (q04_priority_exists head, llm17_preference_pairs at 50).
+    # r13 rotation (staged below the window, in order): any round-12
+    # additions go contiguously first (never stamped), then the
+    # remaining r06/r08/r09 blocks in registry order, then the
+    # r10-stamped rows, and the 50 freshly-r11-stamped rows (the old
+    # r11 window) sit at the very end as the freshest attestations.
+    # --- never driver-stamped round-11 additions (1-20) ---
     "sp43_optional_rejoin": sp43_optional_rejoin,
     "llm25_semantic_training_funnel": llm25_semantic_training_funnel,
     "d20_skew_capped_neardup": d20_skew_capped_neardup,
@@ -15117,7 +15058,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w06_gap_fill": w06_gap_fill,
     "sim32_phrase_search": sim32_phrase_search,
     "sim33_proximity_search": sim33_proximity_search,
-    # --- r05-stamped remainder ---
+    # --- r05-stamped remainder, oldest remaining attestation (21-30) ---
     "s06_stream_dedup_batch": s06_stream_dedup_batch,
     "s07_funnel": s07_funnel,
     "txt09_normalize": txt09_normalize,
@@ -15128,7 +15069,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w04_global_rank": w04_global_rank,
     "j10_set_ops": j10_set_ops,
     "sim06_pq_ann": sim06_pq_ann,
-    # --- r06-stamped blocks, r08 block, r09 block (r12 order) ---
+    # --- r06-stamped block head fills 31-50 (llm17 at 50); below the
+    # window: round-12 additions slot in directly after sp44 marker
+    # comment when added, then the rest of the r06/r08/r09/r10 blocks ---
     "q04_priority_exists": q04_priority_exists,
     "q07_nation_volume": q07_nation_volume,
     "q09_product_profit": q09_product_profit,
@@ -15275,7 +15218,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc01_crawl_curation": warc01_crawl_curation,
     "sp41_quad_lake_rollup": sp41_quad_lake_rollup,
     "sim19_probe_sweep": sim19_probe_sweep,
-    # --- r10-stamped rows (freshest; r12+ reaches these last) ---
+    # --- r10-stamped rows (r13 rotation reaches these after r06/r08/r09) ---
     "s16_crawl_ingest": s16_crawl_ingest,
     "sim20_pq_training_gain": sim20_pq_training_gain,
     "sim21_incremental_index_probe": sim21_incremental_index_probe,
@@ -15326,6 +15269,58 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t03_prefix_ops": t03_prefix_ops,
     "t04_regex_extract": t04_regex_extract,
     "t05_urn_rewrite": t05_urn_rewrite,
+    # --- r11-stamped rows (the old r11 window; freshest attestation,
+    # rotation reaches these last) ---
+    "sim22_shippable_ann": sim22_shippable_ann,
+    "warc03_crawl_encodings": warc03_crawl_encodings,
+    "llm24_crawl_training_pipeline": llm24_crawl_training_pipeline,
+    "sim23_persisted_ivfpq_probe": sim23_persisted_ivfpq_probe,
+    "sp42_values_undef": sp42_values_undef,
+    "mm08_shot_keyframes": mm08_shot_keyframes,
+    "sim24_filtered_persisted_ann": sim24_filtered_persisted_ann,
+    "d18_semantic_dedup": d18_semantic_dedup,
+    "d19_incremental_semantic_dedup": d19_incremental_semantic_dedup,
+    "t06_conditional_insert": t06_conditional_insert,
+    "t07_format_string": t07_format_string,
+    "t08_iso_timestamp": t08_iso_timestamp,
+    "t10_to_json": t10_to_json,
+    "j13_scd2_intervals": j13_scd2_intervals,
+    "j14_pit_join": j14_pit_join,
+    "a14_corr_stats": a14_corr_stats,
+    "a15_heavy_hitters": a15_heavy_hitters,
+    "d10_containment_pairs": d10_containment_pairs,
+    "d11_semantic_clusters": d11_semantic_clusters,
+    "d12_dup_pagerank": d12_dup_pagerank,
+    "dq01_profile": dq01_profile,
+    "dq02_distinct_sketch": dq02_distinct_sketch,
+    "dq03_profile_drift": dq03_profile_drift,
+    "llm09_data_mixture": llm09_data_mixture,
+    "llm10_gopher_quality": llm10_gopher_quality,
+    "llm11_contamination_report": llm11_contamination_report,
+    "llm12_curriculum_deciles": llm12_curriculum_deciles,
+    "llm13_epoch_shuffle": llm13_epoch_shuffle,
+    "llm14_wordpiece_tokenize": llm14_wordpiece_tokenize,
+    "llm15_block_packing": llm15_block_packing,
+    "mm04_video_frames": mm04_video_frames,
+    "mm05_image_neardup": mm05_image_neardup,
+    "mm06_audio_neardup": mm06_audio_neardup,
+    "p14_json_props": p14_json_props,
+    "p15_variant_props": p15_variant_props,
+    "s09_retention_cohorts": s09_retention_cohorts,
+    "s10_markov_transitions": s10_markov_transitions,
+    "s11_windowed_topk": s11_windowed_topk,
+    "s12_attribution_outer": s12_attribution_outer,
+    "sim09_filtered_ann": sim09_filtered_ann,
+    "sim10_knn_classify": sim10_knn_classify,
+    "sim11_kmeans_refine": sim11_kmeans_refine,
+    "txt12_surprisal": txt12_surprisal,
+    "txt13_char_entropy": txt13_char_entropy,
+    "txt14_bigram_surprisal": txt14_bigram_surprisal,
+    "txt15_line_dedup": txt15_line_dedup,
+    "txt16_repeat_removal": txt16_repeat_removal,
+    "a10_pivot": a10_pivot,
+    "s04_session_window_native": s04_session_window_native,
+    "s05_attribution_join": s05_attribution_join,
 }
 
 _ORACLES: dict[str, str] = {

@@ -18,32 +18,14 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert missing <= {"h02_file_hash"}, missing
 
 
-def test_round11_correctness_window_is_stable():
+def test_round12_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the r11 window: the nine never-stamped round-10 additions lead
-    # (sim22..d19 at 1-9), then the four remaining r04-stamped rows
-    # (t06/t07/t08/t10 at 10-13), then the r05-stamped block fills
-    # 14-50: j13 head, s05_attribution_join at 50. Round-11 additions
-    # belong BELOW position 50, contiguously first (see the registry
-    # comment for the r12 rotation).
-    assert keys[0:9] == [
-        "sim22_shippable_ann",
-        "warc03_crawl_encodings",
-        "llm24_crawl_training_pipeline",
-        "sim23_persisted_ivfpq_probe",
-        "sp42_values_undef",
-        "mm08_shot_keyframes",
-        "sim24_filtered_persisted_ann",
-        "d18_semantic_dedup",
-        "d19_incremental_semantic_dedup",
-    ]
-    assert keys[9] == "t06_conditional_insert"
-    assert keys[13] == "j13_scd2_intervals"
-    assert keys[49] == "s05_attribution_join"
-    # below the window: the round-11 additions sit contiguously first
-    # (first wave then second wave — never stamped, so they lead the
-    # r12 rotation), the r05 remainder follows, r10-stamped rows last
-    assert keys[50] == "sp43_optional_rejoin"
+    # the r12 window: the twenty never-stamped round-11 additions lead
+    # (sp43..sim33 at 1-20), then the r05-stamped remainder
+    # (s06..sim06 at 21-30), then the head of the r06-stamped block
+    # fills 31-50 (q04 head, llm17_preference_pairs at 50). Round-12
+    # additions belong BELOW position 50, contiguously first (see the
+    # registry comment for the r13 rotation).
     r11_adds = {
         "sp43_optional_rejoin", "llm25_semantic_training_funnel",
         "d20_skew_capped_neardup", "g20_dense_cell_cap",
@@ -56,9 +38,21 @@ def test_round11_correctness_window_is_stable():
         "sim31_bm25_time_travel", "w06_gap_fill",
         "sim32_phrase_search", "sim33_proximity_search",
     }
-    assert set(keys[50:50 + len(r11_adds)]) == r11_adds
-    assert keys[50 + len(r11_adds)] == "s06_stream_dedup_batch"
-    assert keys[-1] == "t05_urn_rewrite"
+    assert keys[0] == "sp43_optional_rejoin"
+    assert set(keys[0:20]) == r11_adds
+    r05_rem = {
+        "s06_stream_dedup_batch", "s07_funnel", "txt09_normalize",
+        "txt10_tfidf_topterms", "txt11_boilerplate", "a11_cube",
+        "a12_histogram", "w04_global_rank", "j10_set_ops",
+        "sim06_pq_ann",
+    }
+    assert set(keys[20:30]) == r05_rem
+    assert keys[30] == "q04_priority_exists"
+    assert keys[49] == "llm17_preference_pairs"
+    # round-12 additions (if any) sit contiguously right below the
+    # window; the freshly-r11-stamped old window sits at the very end
+    assert keys[-1] == "s05_attribution_join"
+    assert "sim22_shippable_ann" in keys[-50:]
     assert len(keys) == len(set(keys))
 
 
