@@ -5514,7 +5514,7 @@ def w06_gap_fill(spark, sf_dir):
     spine-sized, and the forward-fill window partitions by
     event_type over SPINE rows only — the corpus is scanned twice
     (count + last-pick) and never windowed globally."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     hour = F.date_trunc("hour", F.col("ts"))
     span = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
@@ -11041,7 +11041,7 @@ def a17_cumulative_uniques(spark, sf_dir):
     (count(DISTINCT user) OVER (ORDER BY day) per type) re-scans every
     prefix or funnels the corpus through one partition; first-touch +
     prefix sum is the linear form."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     daily = (
         e.groupBy("user_id", "event_type")
         .agg(F.min(F.to_date("ts")).alias("first_day"))
@@ -11280,7 +11280,7 @@ def s14_rate_anomaly(spark, sf_dir):
     computed from identical integers on both engines — no float
     summation-order drift, the same exactness trick as the money
     sums. Flags |z| > 3 with at least 12 trailing hours observed."""
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     hourly = (
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
@@ -11744,7 +11744,7 @@ def sp35_event_chain(spark, sf_dir):
 
     from geosparql_etl_spark.sparql import TripleStore, sparql_select
 
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         F.concat(F.lit("urn:event:"), F.col("event_id")).alias("s"),

@@ -76,3 +76,17 @@ def test_queries_are_callable_with_two_args():
             if p.default is inspect.Parameter.empty
         ]
         assert len(params) == 2, f"{name} must take (spark, sf_dir)"
+
+
+def test_events_reads_are_ts_normalized():
+    # events.parquet's ts physical encoding varies by testdata
+    # generation (TIMESTAMP(NANOS) / NTZ-micros / TIMESTAMP). Every
+    # registry query must read it through _events(), which normalizes
+    # all three; a raw _t(spark, sf_dir, "events") read breaks the
+    # moment the driver regenerates testdata with a different encoding.
+    # The single allowed raw read is the one inside _events() itself.
+    src = open(entry.__file__).read()
+    raw_reads = src.count('_t(spark, sf_dir, "events")')
+    assert raw_reads == 1, (
+        f"{raw_reads} raw events reads; route them through _events()"
+    )
