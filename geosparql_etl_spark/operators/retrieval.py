@@ -671,6 +671,48 @@ def _ensure_doclens(spark, path: str, stats: dict) -> None:
 _TOMB_MEMO: dict = {}
 _TOMB_MEMO_CAP = 8
 
+# Per-(path, epoch set) positional-payload attestation. Keyed by the
+# live epoch set, so an append/compaction re-checks; bounded the same
+# way as the tombstone memo.
+_POS_MEMO: dict = {}
+
+
+def _assert_positional(spark, path: str, live_epochs: list) -> None:
+    """Fail LOUDLY when any live epoch predates the positional
+    payload: doclens got a silent backfill (``_ensure_doclens``), but
+    positions cannot be reconstructed from the index — the postings
+    no longer know token order. Without this check a legacy epoch
+    either breaks the hard ``pos`` select or (when Spark merges a
+    pos-bearing footer into the schema) reads NULL positions and
+    silently DROPS the epoch's docs from phrase/proximity results
+    (round-11 advisor finding). A footer-per-epoch schema sniff,
+    memoized per (path, epoch set) so steady-state probes pay
+    nothing."""
+    import os
+
+    per_path = _POS_MEMO.setdefault(path, {})
+    key = tuple(str(e) for e in live_epochs)
+    if key in per_path:
+        return
+    if len(per_path) >= _TOMB_MEMO_CAP:
+        per_path.clear()
+    legacy = []
+    for e in live_epochs:
+        cols = spark.read.parquet(
+            os.path.join(path, "postings", f"epoch={e}")
+        ).columns
+        if "pos" not in cols:
+            legacy.append(str(e))
+    if legacy:
+        raise ValueError(
+            "phrase/proximity search needs positional postings, but "
+            f"epoch(s) {legacy} of index {path} were written before "
+            "the positional payload existed — rebuild the index (or "
+            "re-append those epochs' docs) to enable phrase search; "
+            "BM25 term scoring (text_index_topk) remains available"
+        )
+    per_path[key] = True
+
 
 def _tombstone_state(
     spark, path: str, stats: dict, as_of_seq: int | None
@@ -773,8 +815,22 @@ def compact_text_index(spark, path: str) -> None:
         as_of_seq=max(_epoch_seqs(stats).values(), default=0),
     )
     pscan = spark.read.parquet(os.path.join(path, "postings"))
+    # carry positions only when EVERY live epoch has them: a mixed
+    # index (legacy pre-positional epochs + positional ones) would
+    # otherwise compact NULL positions into the base generation,
+    # where the per-epoch footer sniff (_assert_positional) can no
+    # longer see the gap and phrase queries would silently drop the
+    # legacy docs. Dropping pos keeps the compacted index honestly
+    # non-positional — phrase_topk fails loudly with the rebuild hint.
+    keep_pos = "pos" in pscan.columns and not any(
+        "pos"
+        not in spark.read.parquet(
+            os.path.join(path, "postings", f"epoch={e}")
+        ).columns
+        for e in live_epochs
+    )
     pcols = ["tok", "doc_id", "tf", "dl", "bucket"] + (
-        ["pos"] if "pos" in pscan.columns else []
+        ["pos"] if keep_pos else []
     )
     post = pscan.where(
         F.col("epoch").cast("string").isin(live_epochs)
@@ -791,16 +847,34 @@ def compact_text_index(spark, path: str) -> None:
     dlens = dlens.select("doc_id", "dl", "dbucket").dropDuplicates(
         ["doc_id"]
     )
-    post.repartition("bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(tmp_path, "postings", "epoch=base"))
-    dlens.repartition("dbucket").write.mode("overwrite").partitionBy(
-        "dbucket"
-    ).parquet(os.path.join(tmp_path, "_doclens", "epoch=base"))
-    base = _epoch_contribution(
-        spark, os.path.join(tmp_path, "_doclens", "epoch=base")
-    )
-    base["seq"] = 0
+    if dlens.limit(1).count() == 0:
+        # fully-tombstoned index: a partitionBy write of zero rows
+        # emits only _SUCCESS, leaving a footer-less generation no
+        # later read can infer a schema from — compaction could then
+        # never complete. Write footer-bearing empty files into one
+        # explicit bucket dir instead (same directory depth as a real
+        # generation, so a later append's partition discovery stays
+        # consistent) and seed the zero ledger entry directly.
+        post.drop("bucket").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp_path, "postings", "epoch=base", "bucket=0")
+        )
+        dlens.drop("dbucket").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(
+            os.path.join(tmp_path, "_doclens", "epoch=base", "dbucket=0")
+        )
+        base = {"n_docs": 0, "sum_dl": 0, "seq": 0}
+    else:
+        post.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(tmp_path, "postings", "epoch=base"))
+        dlens.repartition("dbucket").write.mode("overwrite").partitionBy(
+            "dbucket"
+        ).parquet(os.path.join(tmp_path, "_doclens", "epoch=base"))
+        base = _epoch_contribution(
+            spark, os.path.join(tmp_path, "_doclens", "epoch=base")
+        )
+        base["seq"] = 0
     _write_stats(
         tmp_path,
         {"n_buckets": stats["n_buckets"], "epochs": {"base": base}},
@@ -1042,6 +1116,7 @@ def _positional_frame(
         }
     nb = stats["n_buckets"]
     buckets = sorted({term_bucket_py(t, nb) for t in terms})
+    _assert_positional(spark, path, sorted(stats["epochs"]))
     post = (
         spark.read.parquet(os.path.join(path, "postings"))
         .where(F.col("epoch").cast("string").isin(sorted(stats["epochs"])))

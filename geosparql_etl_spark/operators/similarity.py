@@ -267,13 +267,35 @@ def _probe_topk(
     )
 
 
+def auto_n_cells(n_rows: int, rows_per_cell: int | None = None) -> int:
+    """Coarse-quantizer size for a corpus of ``n_rows`` vectors when
+    the caller does not hand-tune one: the power of two nearest
+    sqrt(n_rows), clamped to [4, 65536]. sqrt balances the two halves
+    of probe cost — cells scanned per probe and rows per cell both
+    grow ~sqrt(N) — and the round-11 10x sweep measured exactly this
+    failure mode for a FIXED cell count (16 cells at 20k vectors =
+    1,250 rows/cell; retrained 64 gave the same recall at half the
+    scan). ``rows_per_cell`` switches to an explicit occupancy
+    target (ceil(n/rows_per_cell), same rounding/clamp). Powers of
+    two keep cell counts stable under small corpus drift, so a
+    re-train is only triggered by a real step-change (~2x growth)."""
+    import math
+
+    if n_rows <= 0:
+        return 4
+    target = (
+        n_rows / rows_per_cell if rows_per_cell else math.sqrt(n_rows)
+    )
+    return max(4, min(65536, 2 ** round(math.log2(max(target, 1.0)))))
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     centroids: list[list[float]] | None = None,
     mode: str = "overwrite",
     epoch: str | None = None,
@@ -290,7 +312,17 @@ def write_ivf_index(
     streaming-maintained index — streaming/ann.py appends later
     epochs). Readers see one extra partition column; ivf_cell pruning
     is unchanged because Spark prunes on any partition-column
-    predicate regardless of directory nesting order."""
+    predicate regardless of directory nesting order.
+
+    ``n_cells=None`` auto-sizes: ``len(centroids)`` when a trained
+    quantizer is handed in, else ``auto_n_cells(corpus.count())`` —
+    the sqrt-of-corpus default the round-11 scale sweep motivated."""
+    if n_cells is None:
+        n_cells = (
+            len(centroids)
+            if centroids is not None
+            else auto_n_cells(corpus.count())
+        )
     if epoch is not None:
         import os
 
@@ -316,7 +348,23 @@ def delete_from_ivf_index(spark, index_path: str, ids) -> None:
     (``ivf_index_topk`` / ``ivf_index_pq_topk``) anti-join the
     tombstone set (broadcast — bounded by deletes-since-compaction),
     and ``compact_ivf_index`` applies tombstones physically and clears
-    them atomically with its generation swap."""
+    them atomically with its generation swap.
+
+    On an epoch-layout index the tombstones are SCOPED to the epochs
+    committed at issue time — one (neighbor_id, epoch) pair per
+    committed epoch, the same segment-local delete rule as the text
+    lake's seq-scoped tombstones — so an epoch that lands AFTER the
+    delete (a re-insert of the same id via ``update_ivf_index`` /
+    ``run_ann_upserts``) serves instead of being silently suppressed
+    and physically dropped at compaction (review finding, round 11:
+    the two lakes' CDC upsert semantics diverged here). Deleting ids
+    absent from the index is a harmless phantom; a delete against an
+    epoch layout with nothing committed yet is a no-op (an in-flight
+    epoch that commits later post-dates the delete and must survive).
+    A flat (epoch-less) layout has no segment order to scope against,
+    so its tombstones stay NULL-scoped = kill-everywhere — exact
+    there, since flat layouts refuse updates."""
+    import glob
     import os
 
     if isinstance(ids, DataFrame):
@@ -327,6 +375,19 @@ def delete_from_ivf_index(spark, index_path: str, ids) -> None:
         df = spark.createDataFrame(
             [(int(i),) for i in ids], "neighbor_id long"
         )
+    if df.limit(1).count() == 0:
+        # empty delete set: a zero-row parquet write leaves a
+        # footer-less dir that poisons every later tombstone read
+        return
+    if glob.glob(os.path.join(index_path, "epoch=*")):
+        committed = _committed_epochs(index_path)
+        if not committed:
+            return
+        df = df.crossJoin(
+            spark.createDataFrame(
+                [(e,) for e in committed], "epoch string"
+            )
+        ).select("neighbor_id", "epoch")
     df.coalesce(1).write.mode("append").parquet(
         os.path.join(index_path, "_tombstones")
     )
@@ -348,11 +409,13 @@ def _committed_epochs(index_path: str) -> list[str]:
 def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
     """The index's pending tombstone set as (neighbor_id, epoch),
     deduped, or None when no delete has been issued since the last
-    compaction. ``epoch`` is NULL for plain deletes (kill everywhere)
-    and names ONE epoch for update-scoped tombstones (kill only that
-    epoch's version — ``update_ivf_index`` re-inserts the vector in a
-    later epoch that must survive). Files predating the epoch column
-    read as NULL-scoped via mergeSchema.
+    compaction. ``epoch`` names ONE epoch the tombstone kills the id
+    in: plain deletes fan one row per epoch committed at issue time,
+    update tombstones cover every epoch except the one re-inserting
+    the vector — either way an epoch that lands later survives.
+    ``epoch`` is NULL only for flat-layout deletes (kill everywhere;
+    exact there) and for files predating the epoch column, which read
+    as NULL-scoped via mergeSchema (legacy = delete-everything).
 
     Update tombstones also carry ``src_epoch`` (the epoch that
     re-inserts the vector) and stay DORMANT until that epoch's
@@ -433,6 +496,16 @@ def update_ivf_index(
     leaves the old version serving (never a vanished vector), and the
     replay overwrites both sides idempotently.
 
+    Replay-safe scope: the tombstone rows already on disk for this
+    ``src_epoch`` ARE the persisted scope — a replay (streaming
+    restart, retried batch) detects them and skips the tombstone
+    write instead of recomputing the epoch set, so epochs committed
+    by ANOTHER writer between crash and replay are never tombstoned
+    for this batch's ids (the epoch-set twin of the text lake's
+    replayed-epoch-keeps-its-seq rule). Epoch tags are therefore
+    replay identities: re-running an epoch tag with a DIFFERENT row
+    set is undefined — mint a fresh tag per logical batch.
+
     ``new_rows`` is evaluated twice (id projection for the tombstones,
     full rows for the epoch write) — both reads are columnar-pruned
     (the tombstone job touches only the id column), so the second
@@ -461,20 +534,34 @@ def update_ivf_index(
         # zero-row tombstone write leaves a footer-less parquet dir —
         # skip the whole op, nothing to replace
         return
-    (
-        new_rows.select(F.col(id_col).cast("long").alias("neighbor_id"))
-        .crossJoin(
-            spark.createDataFrame(
-                [(e,) for e in epochs_now], "epoch string"
+    tomb_dir = os.path.join(index_path, "_tombstones")
+    replayed = False
+    if os.path.exists(tomb_dir):
+        prev = spark.read.option("mergeSchema", "true").parquet(tomb_dir)
+        replayed = (
+            "src_epoch" in prev.columns
+            and prev.where(
+                F.col("src_epoch").cast("string") == str(epoch)
+            ).limit(1).count() > 0
+        )
+    if not replayed:
+        (
+            new_rows.select(
+                F.col(id_col).cast("long").alias("neighbor_id")
             )
+            .crossJoin(
+                spark.createDataFrame(
+                    [(e,) for e in epochs_now], "epoch string"
+                )
+            )
+            .select(
+                "neighbor_id", "epoch",
+                F.lit(str(epoch)).alias("src_epoch"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tomb_dir)
         )
-        .select(
-            "neighbor_id", "epoch", F.lit(str(epoch)).alias("src_epoch")
-        )
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(os.path.join(index_path, "_tombstones"))
-    )
     write_ivf_index(
         new_rows,
         index_path,
@@ -524,7 +611,7 @@ def write_ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     m: int = 16,
     k: int = 16,
     centroids: list[list[float]] | None = None,
@@ -1550,7 +1637,7 @@ def lloyd_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     rounds: int = 10,
     scale: float = 1_000_000.0,
     memo_key: str | None = None,
@@ -1577,7 +1664,14 @@ def lloyd_train(
     ``memo_key`` (e.g. the sf_dir) caches the result per
     (key, vec_col, dim, n_cells, rounds): training is deterministic,
     so sim15/sim16/sim18 probing the same index share one run.
+
+    ``n_cells=None`` auto-sizes to ``auto_n_cells(corpus.count())``
+    — re-running after a corpus step-change (~2x growth) yields a
+    LARGER quantizer, which is the intended re-train trigger (the
+    round-11 sweep's finding that cells must scale with the corpus).
     """
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus.count())
     key = (
         memo_key, _memo_fingerprint(memo_key), vec_col, dim, n_cells,
         rounds, scale,

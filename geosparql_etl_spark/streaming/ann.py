@@ -126,11 +126,12 @@ def run_ann_upserts(
     version; unseen ids insert) — each micro-batch runs
     update_ivf_index under its epoch id, so the batch's epoch-scoped
     tombstones + replacement epoch are both keyed by the epoch.
-    Replay-safe under Structured Streaming's contract: only the
-    LATEST uncommitted batch ever replays (earlier batches are
-    checkpoint-committed), and a replayed latest batch re-issues an
-    identical tombstone scope (its own epoch is excluded). Epochs tag
-    as u<stream id>-<batch id> so independent streams never collide.
+    Replay-safe: a replayed batch finds its own tombstones (keyed by
+    ``src_epoch``) already on disk and reuses them as the persisted
+    scope instead of recomputing the epoch set — so epochs committed
+    by another stream (or a manual append) between crash and replay
+    are never tombstoned for this batch's ids. Epochs tag as
+    u<stream id>-<batch id> so independent streams never collide.
     Returns the started availableNow StreamingQuery — the upsert twin
     of run_index_maintenance."""
     from geosparql_etl_spark.operators.similarity import update_ivf_index
@@ -207,9 +208,20 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         # probes stay correct either way)
         df = _apply_ann_tombstones(df, tomb)
     df = df.drop("epoch")
-    df.repartition("ivf_cell").write.mode("overwrite").partitionBy(
-        "ivf_cell"
-    ).parquet(os.path.join(tmp_path, "epoch=base"))
+    if df.limit(1).count() == 0:
+        # fully-tombstoned index: a partitionBy write of zero rows
+        # emits only _SUCCESS — a footer-less generation that no
+        # later probe or compaction could infer a schema from. Write
+        # a footer-bearing empty file into one explicit cell dir
+        # instead (same directory depth as a real generation, so a
+        # later append's partition discovery stays consistent).
+        df.drop("ivf_cell").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp_path, "epoch=base", "ivf_cell=0")
+        )
+    else:
+        df.repartition("ivf_cell").write.mode("overwrite").partitionBy(
+            "ivf_cell"
+        ).parquet(os.path.join(tmp_path, "epoch=base"))
     # commit point: the replacement generation is fully on disk
     shutil.rmtree(old_path, ignore_errors=True)
     os.replace(index_path, old_path)

@@ -1800,6 +1800,59 @@ class TestBpeBatchedParity:
         assert got == [(1, "a", "a", 3), (2, "aa", "aa", 1)]
 
 
+def test_auto_n_cells_sqrt_sizing():
+    """auto_n_cells: power of two nearest sqrt(N), clamped [4, 65536];
+    rows_per_cell overrides with an occupancy target. The power-of-two
+    rounding makes the retrain trigger fire on ~2x growth only."""
+    from geosparql_etl_spark.operators.similarity import auto_n_cells
+
+    assert auto_n_cells(0) == 4
+    assert auto_n_cells(16) == 4
+    assert auto_n_cells(125) == 8
+    assert auto_n_cells(500) == 16
+    assert auto_n_cells(2000) == 32
+    assert auto_n_cells(20000) == 128
+    assert auto_n_cells(10**12) == 65536  # clamp
+    # small drift does not move the size (away from the rounding
+    # boundary); ~2x growth does
+    assert auto_n_cells(420) == auto_n_cells(400)
+    assert auto_n_cells(2 * 500) > auto_n_cells(500)
+    # occupancy target override
+    assert auto_n_cells(20000, rows_per_cell=1250) == 16
+
+
+def test_write_ivf_index_auto_sizes_from_corpus(spark, sf_dir, tmp_path):
+    """n_cells=None auto-sizes: lloyd_train picks auto_n_cells(N) and
+    write_ivf_index inherits len(centroids); the persisted layout has
+    exactly that many cell directories and probes answer identically
+    to the explicit-n_cells build."""
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        auto_n_cells,
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    want = auto_n_cells(n)
+    t_auto = lloyd_train(e, "embedding", dim=64, n_cells=None, rounds=3)
+    t_expl = lloyd_train(e, "embedding", dim=64, n_cells=want, rounds=3)
+    assert t_auto == t_expl and len(t_auto) == want
+    idx = str(tmp_path / "ivf_auto")
+    write_ivf_index(e, idx, dim=64, n_cells=None, centroids=t_auto)
+    cells = {d for d in os.listdir(idx) if d.startswith("ivf_cell=")}
+    assert len(cells) == want
+    probe = e.where(F.col("vec_id") < 3)
+    got = ivf_index_topk(
+        spark, idx, probe, k=5, dim=64, n_cells=want, n_probe=4,
+        centroids=t_auto,
+    ).collect()
+    assert len(got) > 0
+
+
 def test_lloyd_memo_invalidates_when_corpus_path_changes(spark, tmp_path):
     """_LLOYD_MEMO keys on (memo_key, metadata fingerprint): rewriting
     the data under the same path must retrain, not serve stale
@@ -2410,19 +2463,30 @@ def test_text_index_random_op_sequence_matches_model(spark, sf_dir, tmp_path):
 
     rng = random.Random(20260816)
     epoch_n = 0
+    deleted: set = set()
     for step in range(6):
         op = rng.choice(["append", "update", "delete", "compact"])
         if op == "append" and rest:
-            batch = rest[: 40]
+            # re-append previously deleted docs alongside the fresh
+            # batch: seq-scoped tombstones must let the later epoch's
+            # re-insert serve (delete-then-reinsert)
+            reins = sorted(deleted)[:4]
+            batch = rest[: 40] + reins
             rest = rest[40:]
             for i in batch:
                 model[i] = rows[i]
+            deleted.difference_update(reins)
             epoch_n += 1
             append_to_text_index(
                 d.where(F.col("doc_id").isin(batch)), idx, epoch=f"a{epoch_n}"
             )
         elif op == "update":
             victims = rng.sample(sorted(model), min(25, len(model)))
+            reins = sorted(deleted)[:4]
+            deleted.difference_update(reins)
+            for i in reins:
+                model[i] = rows[i]
+            victims = sorted(set(victims) | set(reins))
             upd = spark.createDataFrame(
                 [(i, model[i] + " revised query text") for i in victims],
                 "doc_id long, text string",
@@ -2435,10 +2499,47 @@ def test_text_index_random_op_sequence_matches_model(spark, sf_dir, tmp_path):
             victims = rng.sample(sorted(model), min(15, len(model)))
             for i in victims:
                 del model[i]
+            deleted.update(victims)
             delete_from_text_index(spark, idx, victims)
         else:
             compact_text_index(spark, idx)
         check()
+
+
+def test_text_index_compact_fully_tombstoned(spark, sf_dir, tmp_path):
+    """Compacting an index whose every doc is tombstoned must complete
+    and leave a VALID empty generation: a partitionBy write of zero
+    rows emits only _SUCCESS (no parquet footer), which used to make
+    the post-write stats read fail with 'unable to infer schema' —
+    compaction of a fully-deleted index could never finish (round-11
+    advisor finding). The compacted index must serve empty results,
+    accept a fresh append, and compact again cleanly."""
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    )
+    idx = str(tmp_path / "bm25")
+    write_text_index(d, idx)
+    delete_from_text_index(
+        spark, idx, [r.doc_id for r in d.select("doc_id").collect()]
+    )
+    compact_text_index(spark, idx)
+    assert text_index_topk(spark, idx, ["query"], k=5).count() == 0
+    # the empty generation is a real index: appends + a second
+    # compaction behave normally
+    append_to_text_index(
+        d.where(F.col("doc_id") < 10), idx, epoch="a1"
+    )
+    assert text_index_topk(spark, idx, ["query"], k=5).count() > 0
+    compact_text_index(spark, idx)
+    assert text_index_topk(spark, idx, ["query"], k=5).count() > 0
 
 
 def test_text_index_torn_update_never_vanishes_doc(spark, sf_dir, tmp_path):
@@ -2654,6 +2755,57 @@ def test_proximity_topk_matches_brute_force(spark, sf_dir, tmp_path):
         .collect()
     ]
     assert got == brute and got
+
+
+def test_phrase_search_rejects_pre_positional_epochs(
+    spark, sf_dir, tmp_path
+):
+    """A legacy epoch written before the positional payload cannot
+    answer phrase queries — the probe must fail LOUDLY with a rebuild
+    hint, never silently drop the legacy docs (NULL positions) or die
+    on a missing column. Compacting the mixed index drops positions
+    entirely (they are unknowable for the legacy docs), after which
+    phrase search still refuses while BM25 keeps serving; a rebuild
+    restores phrase search."""
+    import os
+    import shutil
+
+    import pytest
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        compact_text_index,
+        phrase_topk,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "bm25")
+    write_text_index(d.where(F.col("doc_id") < 30), idx)
+    # simulate a legacy pre-positional epoch: strip pos from base
+    base = os.path.join(idx, "postings", "epoch=base")
+    legacy = spark.read.parquet(base).drop("pos")
+    tmp = str(tmp_path / "legacy")
+    legacy.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    shutil.rmtree(base)
+    os.replace(tmp, base)
+    append_to_text_index(d.where(F.col("doc_id") >= 30), idx, epoch="a1")
+
+    with pytest.raises(ValueError, match="positional"):
+        phrase_topk(spark, idx, ["query", "join"], k=5)
+    # BM25 scoring is untouched by the missing payload
+    assert text_index_topk(spark, idx, ["query"], k=5).count() > 0
+
+    compact_text_index(spark, idx)
+    with pytest.raises(ValueError, match="positional"):
+        phrase_topk(spark, idx, ["query", "join"], k=5)
+    assert text_index_topk(spark, idx, ["query"], k=5).count() > 0
+
+    # rebuild restores phrase search (count() forces execution)
+    shutil.rmtree(idx)
+    write_text_index(d, idx)
+    assert phrase_topk(spark, idx, ["query", "join"], k=5).count() >= 0
 
 
 def test_phrase_search_respects_tombstones_and_as_of(spark, sf_dir, tmp_path):

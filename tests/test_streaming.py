@@ -1218,13 +1218,175 @@ def test_ivf_torn_update_tombstones_dormant_until_epoch_commits(
     assert answers() == after
 
 
+def test_ivf_index_replayed_update_spares_interleaved_epoch(
+    spark, sf_dir, tmp_path
+):
+    """A REPLAYED update must re-issue its ORIGINAL tombstone scope,
+    not recompute it: if another writer commits an epoch between the
+    crash and the replay, a recomputed scope would tombstone that
+    newer epoch's version of any shared id (round-11 advisor
+    finding). The persisted scope is the batch's own src_epoch-keyed
+    tombstone rows — the replay detects and reuses them."""
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    vecs = {r.vec_id: r.embedding for r in e.collect()}
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=4, rounds=3)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(e, idx, dim=64, n_cells=4, centroids=trained,
+                    epoch="base")
+
+    shared = 7
+    donor_a = vecs[(shared + 13) % 200]
+    donor_b = vecs[(shared + 29) % 200]
+
+    def upd(vid, emb, epoch):
+        df = spark.createDataFrame(
+            [(vid, emb)], "vec_id long, embedding array<float>"
+        )
+        update_ivf_index(spark, df, idx, epoch=epoch, dim=64,
+                         n_cells=4, centroids=trained)
+
+    # batch u1 updates the shared id...
+    upd(shared, donor_a, "u1")
+    # ...then a SECOND writer's epoch u2 updates it again (newer wins)
+    upd(shared, donor_b, "u2")
+
+    def served_vec():
+        probe = spark.createDataFrame(
+            [(9999, donor_b)], "vec_id long, embedding array<float>"
+        )
+        top = ivf_index_topk(
+            spark, idx, probe, k=1, dim=64, n_cells=4, n_probe=4,
+            centroids=trained,
+        ).collect()
+        return top[0].neighbor_id, round(top[0].cosine_sim, 6)
+
+    want = served_vec()
+    assert want[0] == shared and want[1] == 1.0  # u2's version serves
+
+    # replay u1 (crash/restart re-runs the batch): the recomputed
+    # scope would now include u2 and kill donor_b; the persisted
+    # scope must spare it
+    upd(shared, donor_a, "u1")
+    assert served_vec() == want
+
+
+def test_ivf_index_compact_fully_tombstoned(spark, sf_dir, tmp_path):
+    """Compacting an ANN index whose every vector is tombstoned must
+    complete and leave a valid (empty but schema-bearing) base
+    generation that still probes, accepts appends and compacts again
+    — the vector-lake twin of the fully-deleted text compaction
+    hazard (zero-row partitionBy writes no parquet footer)."""
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 50
+    )
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=4, rounds=3)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(e, idx, dim=64, n_cells=4, centroids=trained,
+                    epoch="base")
+    delete_from_ivf_index(
+        spark, idx, [r.vec_id for r in e.select("vec_id").collect()]
+    )
+    compact_ivf_index(spark, idx)
+    probe = e.where(F.col("vec_id") < 3)
+
+    def n_hits():
+        return ivf_index_topk(
+            spark, idx, probe, k=5, dim=64, n_cells=4, n_probe=4,
+            centroids=trained,
+        ).count()
+
+    assert n_hits() == 0
+    write_ivf_index(
+        e.where(F.col("vec_id") >= 10), idx, dim=64, n_cells=4,
+        centroids=trained, epoch="a1",
+    )
+    assert n_hits() > 0
+    compact_ivf_index(spark, idx)
+    assert n_hits() > 0
+
+
+def test_ivf_index_delete_then_reinsert_serves(spark, sf_dir, tmp_path):
+    """Plain-delete tombstones are scoped to the epochs committed at
+    issue time (like the text lake's seq scope), so an UPDATE that
+    re-inserts a previously deleted id lands in a later epoch and
+    serves — and survives compaction physically. The round-11 advisor
+    finding: NULL-scoped deletes killed the id in ALL epochs forever,
+    so a deleted-then-reinserted vector was silently suppressed and
+    then dropped by compact_ivf_index."""
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=16, rounds=5)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(e, idx, dim=64, n_cells=16, centroids=trained,
+                    epoch="base")
+    probe = e.where(F.col("vec_id") < 3)
+
+    def hits():
+        return {
+            r.neighbor_id
+            for r in ivf_index_topk(
+                spark, idx, probe, k=5, dim=64, n_cells=16,
+                n_probe=16, centroids=trained,
+            ).collect()
+        }
+
+    # pick a currently-served neighbor as the victim (self-matches
+    # are excluded from top-k, so a probe id won't do)
+    victim = min(hits())
+    delete_from_ivf_index(spark, idx, [victim])
+    assert victim not in hits()
+
+    # re-insert via the CDC upsert path: the new epoch post-dates the
+    # delete's tombstone scope, so the vector serves again
+    update_ivf_index(
+        spark, e.where(F.col("vec_id") == victim), idx, epoch="u-re",
+        dim=64, n_cells=16, centroids=trained,
+    )
+    assert victim in hits()
+
+    # and compaction keeps it physically (old bug: tombstone applied
+    # unscoped at compaction dropped the re-insert)
+    compact_ivf_index(spark, idx)
+    assert victim in hits()
+
+
 def test_ivf_index_random_op_sequence_matches_fresh_index(
     spark, sf_dir, tmp_path
 ):
     """Stateful lifecycle fuzz for the vector lake (seeded): a random
     interleaving of append / update / delete / compact must keep
     probes identical to an index built FRESH over the model's live
-    vector set after every op."""
+    vector set after every op. Updates and appends deliberately
+    RE-INSERT previously deleted ids: plain-delete tombstones are
+    scoped to the epochs committed at issue time, so a later epoch's
+    re-insert must serve (the round-11 advisor finding — NULL-scoped
+    deletes suppressed re-inserts forever and compaction dropped them
+    physically)."""
     import random
 
     from geosparql_etl_spark.operators.similarity import (
@@ -1276,12 +1438,17 @@ def test_ivf_index_random_op_sequence_matches_fresh_index(
 
     rng = random.Random(20260816)
     epoch_n = 0
-    for step in range(5):
+    deleted: set = set()
+    for step in range(7):
         op = rng.choice(["append", "update", "delete", "compact"])
         if op == "append" and rest:
-            batch, rest = rest[:60], rest[60:]
+            # re-append up to 4 previously deleted ids alongside the
+            # fresh batch — they must come back (delete-then-reinsert)
+            reins = sorted(deleted)[:4]
+            batch, rest = rest[:60] + reins, rest[60:]
             for i in batch:
                 model[i] = vecs[i]
+            deleted.difference_update(reins)
             epoch_n += 1
             write_ivf_index(
                 e.where(F.col("vec_id").isin(batch)), idx,
@@ -1290,6 +1457,11 @@ def test_ivf_index_random_op_sequence_matches_fresh_index(
             )
         elif op == "update":
             victims = rng.sample(sorted(model), min(20, len(model)))
+            # re-update up to 4 previously deleted ids — an upsert of
+            # a deleted id is an insert and must serve
+            reins = sorted(deleted)[:4]
+            victims = sorted(set(victims) | set(reins))
+            deleted.difference_update(reins)
             donor = {
                 v: vecs[(v + 13) % len(ids)] for v in victims
             }
@@ -1308,6 +1480,7 @@ def test_ivf_index_random_op_sequence_matches_fresh_index(
             victims = rng.sample(sorted(model), min(12, len(model)))
             for v in victims:
                 del model[v]
+            deleted.update(victims)
             delete_from_ivf_index(spark, idx, victims)
         else:
             compact_ivf_index(spark, idx)
