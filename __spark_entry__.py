@@ -13698,6 +13698,57 @@ def _sql_sp43():
     """
 
 
+def sp44_erroring_bind(spark, sf_dir):
+    """D1 residual CLOSED (round 12) — spec 10.1: a BIND whose
+    expression ERRORS binds nothing. ``?seg * 2`` is a numeric type
+    error for every customer (market segments are words), so
+    ``?badnum`` is UNBOUND everywhere; the later witness group
+    re-joins it, and compatibility semantics make the unbound var
+    match every same-nation vip instead of SQL-equi-joining on NULL
+    (zero rows, the old deviation). The compiler statically marks
+    BIND outputs whose expression can error (arithmetic over vars /
+    non-numeric lexicals, operands already maybe-unbound —
+    ``_bind_maybe_unbound``, sparql/compiler.py). The double-typed
+    BIND var meets the witness group's string lexicals, so the join
+    takes the CONDITION path with ``_safe_eq`` (try_cast value
+    equality: bound-but-incomparable = non-match, never an ANSI cast
+    error); the nation var stays a plain equality conjunct the
+    planner extracts as the shuffle key, so the plan is still a hash
+    join on ?nt — no BroadcastNestedLoopJoin. Reference parity:
+    geosparql-etl has no SPARQL engine; semantics follow spec
+    18.3/10.1."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nname (COUNT(?c) AS ?n_pairs)
+               (COUNT(DISTINCT ?c) AS ?n_cust)
+               (COUNT(DISTINCT ?w) AS ?n_wit) WHERE {
+          ?c a ex:Customer . ?c ex:segment ?seg . ?c ex:nation ?nt .
+          ?nt ex:name ?nname .
+          BIND(?seg * 2 AS ?badnum)
+          ?w ex:vip ?badnum . ?w ex:nation ?nt .
+        } GROUP BY ?nname ORDER BY ?nname
+        """,
+    )
+
+
+def _sql_sp44():
+    return """
+    WITH cust AS (
+      SELECT c.c_custkey AS cid, c.c_nationkey AS nk, n.n_name AS nname
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    wit AS (
+      SELECT c_custkey AS wid, c_nationkey AS nk
+      FROM customer WHERE c_acctbal > 9000)
+    SELECT nname, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT cid) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT wid) AS BIGINT) AS n_wit
+    FROM cust JOIN wit USING (nk)
+    GROUP BY nname ORDER BY nname
+    """
+
+
 def s16_crawl_ingest(spark, sf_dir):
     """Batch analog of the streaming crawl ingest
     (streaming/crawl.py:run_crawl_ingest): WARC archives -> vectorized
@@ -14906,6 +14957,127 @@ def _sql_sim33():
     """
 
 
+def sim34_autosized_retrain(spark, sf_dir):
+    """Auto-sized coarse quantizer + re-train at a corpus step-change
+    (round-12, the round-11 sweep's own prescription): ``n_cells``
+    defaults to the power of two nearest sqrt(N)
+    (operators/similarity.py:auto_n_cells) instead of a hand-tuned
+    constant — the sweep measured that a FIXED 16 cells at 10x corpus
+    leaves 1,250 rows/cell and doubles probe scan cost for the same
+    recall. Era 1 indexes the first quarter of the corpus at its auto
+    size; the corpus then steps to full (4x) and the auto size GROWS
+    (8 -> 16 cells at sf0.01), so the engine re-trains on the full
+    corpus and atomically swaps the re-partitioned generation into
+    the live path (write-complete-then-rename, the compact_ivf_index
+    discipline — probes keep serving the old generation until the
+    swap). The probe answers from the swapped index; cells_era1 /
+    cells_era2 expose the step-change the oracle pins. At 100 TB this
+    is the retrain trigger policy: sqrt sizing keeps cells-scanned
+    and rows-per-cell balanced at ~sqrt(N) each, and powers of two
+    make the trigger fire only on ~2x growth, not corpus jitter."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        auto_n_cells,
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    n_full = e.count()
+    era1 = e.where(F.col("vec_id") < n_full // 4)
+    cells_era1 = auto_n_cells(n_full // 4)
+    cells_era2 = auto_n_cells(n_full)
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "gsel_ivf_auto_" + os.path.basename(os.path.normpath(sf_dir)),
+    )
+    # era 1: quarter corpus at its auto size (n_cells=None resolves
+    # via auto_n_cells inside lloyd_train)
+    t1 = lloyd_train(
+        era1, "embedding", dim=64, n_cells=None, rounds=10,
+        memo_key=sf_dir + ":sim34e1",
+    )
+    write_ivf_index(era1, path, dim=64, n_cells=None, centroids=t1)
+
+    # step-change: corpus is now 4x — auto size grew, so re-train on
+    # the full corpus and swap the re-partitioned generation in
+    assert cells_era2 > cells_era1
+    t2 = lloyd_train(
+        e, "embedding", dim=64, n_cells=None, rounds=10,
+        memo_key=sf_dir + ":sim34e2",
+    )
+    tmp = path + ".retrain.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_ivf_index(e, tmp, dim=64, n_cells=None, centroids=t2)
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+
+    q = e.where(F.col("vec_id") < 5)
+    return ivf_index_topk(
+        spark, path, q, k=5, dim=64, n_cells=cells_era2, n_probe=6,
+        centroids=t2,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+        F.lit(cells_era1).cast("int").alias("cells_era1"),
+        F.lit(cells_era2).cast("int").alias("cells_era2"),
+    )
+
+
+def _sql_sim34():
+    """sim34's oracle: the full-corpus replay of the trained-index
+    probe at the AUTO cell count for the sf0.01 corpus (computed from
+    the parquet footer, exactly auto_n_cells), plus the two era
+    constants the query exposes."""
+    import pyarrow.parquet as pq
+
+    from geosparql_etl_spark.operators.similarity import auto_n_cells
+
+    n = pq.ParquetFile(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).metadata.num_rows
+    c1, c2 = auto_n_cells(n // 4), auto_n_cells(n)
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10, n_cells=c2)},
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM scored WHERE vec_id < 5) WHERE rn <= 6),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim,
+           {c1} AS cells_era1, {c2} AS cells_era2
+    FROM (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(eq.v, ec.v) DESC, neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e ec ON ec.vec_id = cand.neighbor_id)
+    WHERE rank <= 5
+    """
+
+
 def _sql_llm26():
     return """
     WITH v2 AS (
@@ -15092,6 +15264,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s13_interarrival_stats": s13_interarrival_stats,
     "llm16_repeated_spans": llm16_repeated_spans,
     "llm17_preference_pairs": llm17_preference_pairs,
+    # --- round-12 additions: below the window, contiguous, never
+    # stamped — these lead the r13 rotation ---
+    "sp44_erroring_bind": sp44_erroring_bind,
+    "sim34_autosized_retrain": sim34_autosized_retrain,
     "llm18_bpe_merges": llm18_bpe_merges,
     "llm19_leakage_free_split": llm19_leakage_free_split,
     "d13_triangle_count": d13_triangle_count,
@@ -15553,6 +15729,7 @@ _ORACLES: dict[str, str] = {
     "sim23_persisted_ivfpq_probe": _sql_sim23(),
     "sp42_values_undef": _sql_sp42(),
     "sp43_optional_rejoin": _sql_sp43(),
+    "sp44_erroring_bind": _sql_sp44(),
     "llm25_semantic_training_funnel": _sql_llm25(),
     "d20_skew_capped_neardup": _sql_d20(),
     "g20_dense_cell_cap": _sql_g20(),
@@ -15614,6 +15791,14 @@ _ORACLES: dict[str, str] = {
 # rows-only check it had in round 1.
 try:
     _ORACLES["h02_file_hash"] = _sql_h02()
+except OSError:
+    pass
+
+# sim34's oracle derives the auto cell count from the sf0.01 parquet
+# footer at registry-build time; foreign environments degrade to the
+# rows-only check, like h02.
+try:
+    _ORACLES["sim34_autosized_retrain"] = _sql_sim34()
 except OSError:
     pass
 

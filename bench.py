@@ -168,6 +168,13 @@ HEADLINE = [
     # round 11 continuation: the dataset-versioning diff (narrow
     # fingerprint projection -> co-partitioned full-outer SMJ)
     "llm26_snapshot_diff",
+    # round 12: the erroring-BIND compatibility join (condition path
+    # with _safe_eq try_cast equality — nation stays the extracted
+    # shuffle key). sim34 excluded like the other index-lifecycle
+    # queries: its wall time is two Lloyd trainings + an index swap
+    # (setup, not serving — the auto-sizing scan-fraction story is
+    # measured in SCALE.md's round-12 sweep row instead).
+    "sp44_erroring_bind",
 ]
 
 

@@ -103,10 +103,15 @@ count is small, else a single condition join; frames whose shared vars
 are never-null keep the untouched equi-join fast path, so BGP plans are
 unaffected. MINUS/EXISTS over maybe-unbound shared vars apply the same
 compatibility test (MINUS with the spec's additional
-overlapping-domain requirement). Residual corner, out of scope: a
-BIND whose expression errors yields unbound per spec 10.1; the engine
-does not mark BIND outputs, so a later join of an error-NULL BIND var
-still uses SQL equality.
+overlapping-domain requirement). BIND outputs whose expression can
+ERROR (spec 10.1: an erroring BIND yields unbound) are statically
+marked maybe-unbound too (``_bind_maybe_unbound`` — arithmetic over
+vars or non-numeric lexicals, operands already maybe-unbound), so a
+later join of an error-NULL BIND var gets compatibility semantics;
+type-mismatched compat joins (numeric BIND var vs lexical terms)
+compare via ``_safe_eq`` try_cast value equality — a type error is a
+non-match, never a query-killing ANSI cast (D1 closed fully, round
+12).
 
 Second documented deviation: ungrouped SUM over ZERO solutions is
 unbound here (and in DuckDB, the replay oracle), where spec 18.5.1.5
@@ -1281,6 +1286,62 @@ def _propagate_mn(new_df: DataFrame, *sources, extra=()) -> DataFrame:
     return _mark_maybe_null(new_df, vs)
 
 
+def _bind_maybe_unbound(expr, mn) -> bool:
+    """True when a BIND of ``expr`` can yield UNBOUND per spec 10.1:
+    an erroring expression binds nothing — the engine evaluates those
+    errors as NULL (try_cast arithmetic, unbound operands propagate),
+    so the BIND output must carry the maybe-unbound mark for later
+    joins to apply compatibility semantics (the D1 residual, closed
+    round 12). Static and conservative: marking a never-null output
+    only costs a compat-path join if that output is ever a join key;
+    missing a nullable one would silently drop solutions."""
+    kind = expr[0]
+    if kind == "var":
+        # copying a maybe-unbound var copies its unboundness
+        return expr[1] in mn
+    if kind in ("num", "str", "lit"):
+        return False
+    if kind == "arith":
+        _, _, left, right = expr
+        return _arith_operand_can_null(left, mn) or _arith_operand_can_null(
+            right, mn
+        )
+    if kind == "call":
+        # builtins are total over bound strings, but an unbound (or
+        # error-NULL nested) operand propagates NULL through them
+        _, _, args = expr
+        return any(
+            _bind_maybe_unbound(a, mn)
+            for a in args
+            if isinstance(a, tuple)
+        )
+    return True
+
+
+def _arith_operand_can_null(node, mn) -> bool:
+    """Can this operand's NUMERIC view (the try_cast-to-double the
+    engine evaluates arithmetic under) be NULL? A var's lexical may
+    not parse as a number even when bound — the spec's numeric type
+    error — so any var operand taints the expression."""
+    kind = node[0]
+    if kind == "num":
+        return False
+    if kind == "var":
+        return True
+    if kind in ("str", "lit"):
+        try:
+            float(node[1])
+            return False
+        except (TypeError, ValueError):
+            return True
+    if kind == "arith":
+        _, _, left, right = node
+        return _arith_operand_can_null(left, mn) or _arith_operand_can_null(
+            right, mn
+        )
+    return True
+
+
 def _join(left: DataFrame | None, right: DataFrame, how: str = "inner") -> DataFrame:
     if left is None:
         return right
@@ -1342,7 +1403,20 @@ def _compat_join(left, right, shared, compat, mnl, mnr, how):
     lnull = [v for v in compat if v in mnl]
     rnull = [v for v in compat if v in mnr]
     marks = _compat_out_marks(left, right, shared, compat, mnl, mnr, how)
-    if how == "inner" and 2 ** (len(lnull) + len(rnull)) <= 8:
+    # a shared var whose two sides carry DIFFERENT Spark types (a
+    # numeric BIND output joined against lexical string terms): the
+    # mask-split's equi keys and coalesces would insert ANSI casts
+    # that THROW on non-numeric lexicals, so those joins take the
+    # condition path, where _safe_eq compares via try_cast — SPARQL
+    # value equality, with bound-but-incomparable terms a NON-match
+    # (type error), never an error (D1 residual, round 12)
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+    mismatched = {v for v in shared if ltypes[v] != rtypes[v]}
+    if (
+        how == "inner"
+        and not mismatched
+        and 2 ** (len(lnull) + len(rnull)) <= 8
+    ):
         arms = []
         l_masks = _mask_subsets(lnull)
         r_masks = _mask_subsets(rnull)
@@ -1394,17 +1468,47 @@ def _compat_join(left, right, shared, compat, mnl, mnr, how):
     cond = None
     for v in shared:
         lv, rv = F.col(v), F.col(f"__cj_{v}")
-        c = (lv.isNull() | rv.isNull() | (lv == rv)) if v in compat else (lv == rv)
+        eq = _safe_eq(lv, rv, ltypes[v], rtypes[v])
+        c = (lv.isNull() | rv.isNull() | eq) if v in compat else eq
         cond = c if cond is None else cond & c
     joined = left.join(rr, cond, how)
-    sel = [
-        F.coalesce(F.col(c), F.col(f"__cj_{c}")).alias(c)
-        if c in compat
-        else F.col(c)
-        for c in left.columns
-    ]
+
+    def merged(c):
+        if c not in compat:
+            return F.col(c)
+        lv, rv = F.col(c), F.col(f"__cj_{c}")
+        if c in mismatched:
+            # the merged solution takes the bound side's VALUE; with
+            # differing types only string can carry both (double ->
+            # string never errors under ANSI, string stays itself)
+            return F.coalesce(lv.cast("string"), rv.cast("string")).alias(c)
+        return F.coalesce(lv, rv).alias(c)
+
+    sel = [merged(c) for c in left.columns]
     sel += [F.col(c) for c in rr.columns if not c.startswith("__cj_")]
     return _mark_maybe_null(joined.select(*sel), marks)
+
+
+def _safe_eq(lv: Column, rv: Column, lt: str, rt: str) -> Column:
+    """Equality for a shared var whose sides may carry different Spark
+    types. Same type: plain equality. Numeric vs string: SPARQL value
+    equality via try_cast of the string side — a non-numeric lexical
+    is a type error, i.e. NULL, i.e. a non-match (ANSI's implicit
+    cast would THROW the whole query instead). Anything else:
+    lexical-form comparison."""
+
+    def isnum(t):
+        return t in (
+            "double", "float", "int", "bigint", "smallint", "tinyint"
+        ) or t.startswith("decimal")
+
+    if lt == rt:
+        return lv == rv
+    if isnum(lt) and rt == "string":
+        return lv == rv.try_cast(lt)
+    if isnum(rt) and lt == "string":
+        return lv.try_cast(rt) == rv
+    return lv.cast("string") == rv.cast("string")
 
 
 def _mask_subsets(vars_: list) -> list:
@@ -2098,12 +2202,25 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 # BIND opening a group extends the EMPTY solution — one
                 # row carrying only the computed binding
                 spark = store.triples.sparkSession
-                frames[:] = [spark.range(1).select(col.alias(var))]
+                out = spark.range(1).select(col.alias(var))
+                if _bind_maybe_unbound(expr, frozenset()):
+                    out = _mark_maybe_null(out, {var})
+                frames[:] = [out]
             elif var in df.columns:
                 # SPARQL forbids rebinding an in-scope variable
                 raise ValueError(f"BIND would rebind in-scope ?{var}")
             else:
-                frames[:] = [_propagate_mn(df.withColumn(var, col), df)]
+                # spec 10.1: an erroring BIND expression yields
+                # UNBOUND — mark the output so a later join applies
+                # compatibility semantics (D1 residual, round 12)
+                mark = (
+                    {var}
+                    if _bind_maybe_unbound(expr, _maybe_null_vars(df))
+                    else set()
+                )
+                frames[:] = [
+                    _propagate_mn(df.withColumn(var, col), df, extra=mark)
+                ]
         elif kind == "filter":
             # a top-level conjunction is the same as separate FILTERs;
             # split it so each conjunct can push/rewrite independently

@@ -3654,6 +3654,62 @@ class TestD1CompatibilityJoins:
             ("urn:p:3", "york"),
         ]
 
+    def test_erroring_bind_var_rejoined(self, toy_store):
+        # spec 10.1: BIND whose expression ERRORS binds nothing — a
+        # string lexical under arithmetic is a numeric type error, so
+        # ?x is unbound for every person; unbound ?x is compatible
+        # with EVERY ?x the later BGP binds (ages), and the merged
+        # solution takes the bound side's value. The round-11 residual:
+        # unmarked BIND outputs equi-joined on NULL -> zero rows.
+        got = run(
+            toy_store,
+            """SELECT ?p ?q ?x WHERE {
+                 ?p a ex:Person . ?p ex:name ?name .
+                 BIND(?name * 2 AS ?x)
+                 ?q ex:age ?x .
+               } ORDER BY ?p ?q""",
+        )
+        rows = [tuple(r) for r in got.collect()]
+        # 3 persons x 2 age bindings, ?x takes the age value
+        assert len(rows) == 6
+        assert ("urn:p:3", "urn:p:1", 36.0) in rows
+        assert ("urn:p:3", "urn:p:2", 47.0) in rows
+
+    def test_bind_of_maybe_unbound_var_propagates_mark(self, toy_store):
+        # copying an OPTIONAL-produced var through BIND copies its
+        # unboundness: alan's ?c2 is unbound and must re-join both
+        # cities, exactly like joining ?c directly
+        got = run(
+            toy_store,
+            """SELECT ?p ?c2 ?cn WHERE {
+                 ?p a ex:Person .
+                 OPTIONAL { ?p ex:city ?c }
+                 BIND(?c AS ?c2)
+                 ?c2 a ex:City . ?c2 ex:name ?cn .
+               } ORDER BY ?p ?c2""",
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            ("urn:p:1", "urn:c:1", "london"),
+            ("urn:p:2", "urn:c:2", "york"),
+            ("urn:p:3", "urn:c:1", "london"),
+            ("urn:p:3", "urn:c:2", "york"),
+        ]
+
+    def test_total_bind_is_not_marked(self, toy_store):
+        # a BIND that can never error (string function over a var the
+        # BGP guarantees bound) must NOT be marked maybe-unbound: a
+        # later join on it keeps the equi fast path (marks survive
+        # projection, so a wrong mark would show on the result frame)
+        from geosparql_etl_spark.sparql.compiler import _maybe_null_vars
+
+        inner = run(
+            toy_store,
+            """SELECT ?p ?u WHERE {
+                 ?p ex:city ?c . BIND(UCASE(?c) AS ?u)
+               }""",
+        )
+        assert "u" not in _maybe_null_vars(inner)
+
     def test_bound_vars_keep_equi_join_plan(self, toy_store):
         # never-null shared vars must keep the plain equi-join fast
         # path: no BroadcastNestedLoopJoin in a pure BGP chain plan

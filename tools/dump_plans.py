@@ -98,7 +98,11 @@ SHOWCASE = [
     # round 11
     ("sp43_optional_rejoin", "D1 compatibility join: null-mask split — bound arm equi-joins (nt, vip), unbound arm equi-joins (nt), unioned; no BroadcastNestedLoopJoin"),
     ("d20_skew_capped_neardup", "adversarial max_df cap: hot postings die in a broadcast anti-filter BEFORE the inverted-index self-join"),
-    ("j15_bucketed_colocated_join", "bucketed co-located join: both scans Bucketed: true, SortMergeJoin with zero Exchange"),
+    # dumped with broadcast disabled (see QUERY_CONFS): at sf0.01 AQE
+    # picks a broadcast join — valid, but the claim worth pinning is
+    # that the bucketed layout joins with NO shuffle when the build
+    # side outgrows the broadcast threshold (the 100 TB case)
+    ("j15_bucketed_colocated_join", "bucketed co-located join: both scans Bucketed: true, SortMergeJoin with zero Exchange (broadcast disabled, the at-scale shape)"),
     ("sim25_ann_deletes", "tombstoned index probe: partition-pruned cells anti-joined against the broadcast tombstone set before top-k"),
     ("sim26_persisted_bm25", "persisted BM25: term-bucket PartitionFilters across epochs, postings-only ReadSchema, broadcast df join"),
     # round 11, second session
@@ -109,6 +113,18 @@ SHOWCASE = [
     ("sim32_phrase_search", "phrase search: per-term bucket-pruned position arrays, doc_id inner joins, native array-adjacency fold — no position explode"),
     ("w06_gap_fill", "resample+ffill: sequence()-generated spine from a broadcast 1-row span, map-side hourly aggregates, spine-sized ffill window"),
 ]
+
+
+# Per-query session-conf overrides applied only while dumping that
+# query's plan (restored after). j15's pinned claim is the AT-SCALE
+# shape — zero-Exchange SortMergeJoin off the bucketed layout — which
+# AQE correctly downgrades to a broadcast join at sf0.01 sizes.
+QUERY_CONFS = {
+    "j15_bucketed_colocated_join": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    },
+}
 
 
 def main() -> None:
@@ -122,11 +138,19 @@ def main() -> None:
         "",
     ]
     for name, why in SHOWCASE:
-        df = qs[name](spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        plan = buf.getvalue()
+        confs = QUERY_CONFS.get(name, {})
+        saved = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            df = qs[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         # keep the operator tree + scan details, drop codegen ids noise
         out += [f"## {name} — {why}", "", "```", plan.rstrip(), "```", ""]
     (REPO / "PLANS.md").write_text("\n".join(out))
