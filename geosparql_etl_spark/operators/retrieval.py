@@ -203,11 +203,25 @@ def mmr_rerank(
 # bucket directories: per-term cost, never a corpus scan. Document
 # length is DENORMALIZED into each posting row (the forward-index
 # trick), so scoring needs no corpus-sized doclen join; corpus stats
-# (n_docs, sum_dl) are metadata-sized running totals in _stats.json,
-# updated atomically (temp + rename) on every append — the same
-# single-writer metadata discipline as the quad lake. Incremental
-# epochs mirror streaming/ann.py: epoch=base at build, epoch=<tag>
-# appends of NEW documents, bucket pruning works across epochs.
+# are metadata-sized per-epoch ledger entries. Incremental epochs
+# mirror streaming/ann.py: epoch=base at build, epoch=<tag> appends of
+# NEW documents, bucket pruning works across epochs.
+#
+# Concurrency model (round 12): appends/upserts/deletes are
+# MULTI-WRITER safe — every commit is one atomic rename of a file the
+# writer alone names (epoch data dirs are stream-id-namespaced, ledger
+# entries are per-epoch sidecar files in _ledger/, tombstones are
+# uniquely-named driver-written parquet files via
+# util.atomic_parquet_append — never a Spark append job's shared
+# _temporary staging, never a read-modify-write of a shared file).
+# Two concurrent NEW epochs may draw the same seq; that is benign for
+# tombstone scoping (both sit strictly after every tombstone issued
+# before either committed) — seq ORDER between concurrent writers is
+# not defined, which is the same statement. COMPACTION is the one
+# single-actor op: it swaps the whole index root, so epochs committed
+# while a compaction is writing would be discarded by the swap — run
+# it from one maintenance owner with writers quiesced (the usual LSM
+# major-compaction rule).
 
 TEXT_INDEX_BUCKETS = 64
 
@@ -272,11 +286,26 @@ def _index_postings(
 
 
 def _read_stats(path: str) -> dict:
+    """The index's ledger: ``_stats.json`` (n_buckets + the epochs
+    present at build/compaction time) merged with one sidecar entry
+    file per appended epoch (``_ledger/<epoch>.json``). The sidecar
+    form is what makes the lake MULTI-WRITER: an epoch commit is one
+    atomic rename of its own file — no read-modify-write of a shared
+    ledger, so two concurrent upsert streams can never lose each
+    other's commit (round-12; previously an interleaved stats rewrite
+    could orphan a just-committed epoch). Entries sort by filename
+    for the legacy positional-seq fallback."""
+    import glob
     import json
     import os
 
     with open(os.path.join(path, "_stats.json")) as fh:
-        return json.load(fh)
+        stats = json.load(fh)
+    for f in sorted(glob.glob(os.path.join(path, "_ledger", "*.json"))):
+        name = os.path.basename(f)[: -len(".json")]
+        with open(f) as fh:
+            stats["epochs"][name] = json.load(fh)
+    return stats
 
 
 def _write_stats(path: str, stats: dict) -> None:
@@ -287,6 +316,21 @@ def _write_stats(path: str, stats: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(stats, fh)
     os.replace(tmp, os.path.join(path, "_stats.json"))
+
+
+def _commit_epoch_entry(path: str, epoch: str, entry: dict) -> None:
+    """Atomically commit ONE epoch's ledger entry as its own sidecar
+    file — the multi-writer commit point (see ``_read_stats``). A
+    replayed epoch overwrites its own file idempotently."""
+    import json
+    import os
+
+    led = os.path.join(path, "_ledger")
+    os.makedirs(led, exist_ok=True)
+    tmp = os.path.join(led, f".{epoch}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    os.replace(tmp, os.path.join(led, f"{epoch}.json"))
 
 
 def _epoch_contribution(spark, epoch_path: str) -> dict:
@@ -387,8 +431,7 @@ def append_to_text_index(
         entry["seq"] = prior.get(
             str(epoch), max(prior.values(), default=-1) + 1
         )
-        stats["epochs"][str(epoch)] = entry
-        _write_stats(path, stats)
+        _commit_epoch_entry(path, str(epoch), entry)
         return
     post = _index_postings(docs, id_col, text_col, stats["n_buckets"])
     post.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
@@ -408,8 +451,7 @@ def append_to_text_index(
     entry["seq"] = prior.get(
         str(epoch), max(prior.values(), default=-1) + 1
     )
-    stats["epochs"][str(epoch)] = entry
-    _write_stats(path, stats)
+    _commit_epoch_entry(path, str(epoch), entry)
 
 
 def _stats_totals(stats: dict) -> tuple[int, int]:
@@ -470,25 +512,41 @@ def delete_from_text_index(
     tombstones issued after k simply don't exist yet at k."""
     import os
 
+    import pyarrow as pa
+
+    from geosparql_etl_spark.util import atomic_parquet_append
+
     stats = _read_stats(path)
     max_now = max(_epoch_seqs(stats).values(), default=0)
     seq_now = at_seq if at_seq is not None else max_now
     issued = issued_seq if issued_seq is not None else max_now
     if isinstance(ids, DataFrame):
-        df = ids.select(F.col(ids.columns[0]).cast("long").alias("doc_id"))
+        id_list = [
+            int(r[0])
+            for r in ids.select(
+                F.col(ids.columns[0]).cast("long")
+            ).collect()
+        ]
     else:
-        df = spark.createDataFrame([(int(i),) for i in ids], "doc_id long")
-    if df.limit(1).count() == 0:
+        id_list = [int(i) for i in ids]
+    if not id_list:
         # empty delete set (e.g. an upsert batch of only-new docs
-        # routed through update): a zero-row parquet write leaves an
-        # unreadable footer-less dir — skip it
+        # routed through update): nothing to kill
         return
-    df.select(
-        "doc_id",
-        F.lit(seq_now).cast("int").alias("seq"),
-        F.lit(issued).cast("int").alias("issued"),
-    ).coalesce(1).write.mode("append").parquet(
-        os.path.join(path, "_tombstones")
+    # driver-side atomic single-file append (util.atomic_parquet_append):
+    # concurrent upsert streams tombstone into ONE _tombstones dir, and
+    # a Spark append job's shared _temporary staging is not safe under
+    # two writers. The set is bounded by deletes-since-compaction —
+    # serving collects it to the driver anyway.
+    atomic_parquet_append(
+        os.path.join(path, "_tombstones"),
+        pa.table(
+            {
+                "doc_id": pa.array(id_list, pa.int64()),
+                "seq": pa.array([seq_now] * len(id_list), pa.int32()),
+                "issued": pa.array([issued] * len(id_list), pa.int32()),
+            }
+        ),
     )
 
 
@@ -507,7 +565,12 @@ def read_text_tombstones(
     import os
 
     p = os.path.join(path, "_tombstones")
-    if not os.path.exists(p):
+    # visible-file check, not just existence: a concurrent deleter may
+    # have created the dir but not yet renamed its first file in
+    # (atomic_parquet_append), and reading an empty dir throws
+    if not os.path.exists(p) or not any(
+        not f.startswith(("_", ".")) for f in os.listdir(p)
+    ):
         return None
     t = spark.read.option("mergeSchema", "true").parquet(p)
     # per-ROW coalescing, not per-directory: a mixed dir (legacy files

@@ -367,29 +367,47 @@ def delete_from_ivf_index(spark, index_path: str, ids) -> None:
     import glob
     import os
 
+    import pyarrow as pa
+
+    from geosparql_etl_spark.util import atomic_parquet_append
+
     if isinstance(ids, DataFrame):
-        df = ids.select(
-            F.col(ids.columns[0]).cast("long").alias("neighbor_id")
-        )
+        id_list = [
+            int(r[0])
+            for r in ids.select(
+                F.col(ids.columns[0]).cast("long")
+            ).collect()
+        ]
     else:
-        df = spark.createDataFrame(
-            [(int(i),) for i in ids], "neighbor_id long"
-        )
-    if df.limit(1).count() == 0:
-        # empty delete set: a zero-row parquet write leaves a
-        # footer-less dir that poisons every later tombstone read
+        id_list = [int(i) for i in ids]
+    if not id_list:
         return
+    # driver-side atomic single-file append: concurrent CDC streams
+    # and manual deletes share ONE _tombstones dir, and a Spark
+    # append job's shared _temporary staging is unsafe under two
+    # writers (util.atomic_parquet_append). Bounded metadata: |ids| x
+    # |committed epochs|.
     if glob.glob(os.path.join(index_path, "epoch=*")):
         committed = _committed_epochs(index_path)
         if not committed:
             return
-        df = df.crossJoin(
-            spark.createDataFrame(
-                [(e,) for e in committed], "epoch string"
-            )
-        ).select("neighbor_id", "epoch")
-    df.coalesce(1).write.mode("append").parquet(
-        os.path.join(index_path, "_tombstones")
+        nid, eps = [], []
+        for i in id_list:
+            for e in committed:
+                nid.append(i)
+                eps.append(e)
+        table = pa.table(
+            {
+                "neighbor_id": pa.array(nid, pa.int64()),
+                "epoch": pa.array(eps, pa.string()),
+            }
+        )
+    else:
+        table = pa.table(
+            {"neighbor_id": pa.array(id_list, pa.int64())}
+        )
+    atomic_parquet_append(
+        os.path.join(index_path, "_tombstones"), table
     )
 
 
@@ -426,7 +444,12 @@ def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
     import os
 
     p = os.path.join(index_path, "_tombstones")
-    if not os.path.exists(p):
+    # visible-file check, not just existence: a concurrent deleter may
+    # have created the dir but not yet renamed its first file in
+    # (atomic_parquet_append), and reading an empty dir throws
+    if not os.path.exists(p) or not any(
+        not f.startswith(("_", ".")) for f in os.listdir(p)
+    ):
         return None
     t = spark.read.option("mergeSchema", "true").parquet(p)
     if "epoch" not in t.columns:
@@ -536,7 +559,9 @@ def update_ivf_index(
         return
     tomb_dir = os.path.join(index_path, "_tombstones")
     replayed = False
-    if os.path.exists(tomb_dir):
+    if os.path.exists(tomb_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(tomb_dir)
+    ):
         prev = spark.read.option("mergeSchema", "true").parquet(tomb_dir)
         replayed = (
             "src_epoch" in prev.columns
@@ -545,22 +570,34 @@ def update_ivf_index(
             ).limit(1).count() > 0
         )
     if not replayed:
-        (
-            new_rows.select(
-                F.col(id_col).cast("long").alias("neighbor_id")
-            )
-            .crossJoin(
-                spark.createDataFrame(
-                    [(e,) for e in epochs_now], "epoch string"
-                )
-            )
-            .select(
-                "neighbor_id", "epoch",
-                F.lit(str(epoch)).alias("src_epoch"),
-            )
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(tomb_dir)
+        import pyarrow as pa
+
+        from geosparql_etl_spark.util import atomic_parquet_append
+
+        # driver-side atomic append (see delete_from_ivf_index): the
+        # id projection is columnar-pruned and batch-bounded
+        batch_ids = [
+            int(r[0])
+            for r in new_rows.select(
+                F.col(id_col).cast("long")
+            ).collect()
+        ]
+        nid, eps = [], []
+        for i in batch_ids:
+            for e in epochs_now:
+                nid.append(i)
+                eps.append(e)
+        atomic_parquet_append(
+            tomb_dir,
+            pa.table(
+                {
+                    "neighbor_id": pa.array(nid, pa.int64()),
+                    "epoch": pa.array(eps, pa.string()),
+                    "src_epoch": pa.array(
+                        [str(epoch)] * len(nid), pa.string()
+                    ),
+                }
+            ),
         )
     write_ivf_index(
         new_rows,

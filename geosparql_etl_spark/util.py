@@ -18,3 +18,29 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint()
+
+
+def atomic_parquet_append(dir_path: str, table) -> None:
+    """Append ONE parquet file with a unique name to ``dir_path`` via
+    write-to-hidden-tmp-then-rename — safe under CONCURRENT writers.
+
+    A Spark ``mode("append")`` job stages into a shared
+    ``_temporary/`` dir inside the target, so two simultaneous
+    appends (e.g. two CDC streams tombstoning into one index) can
+    delete each other's staging at job commit. This helper is a
+    driver-side pyarrow write: no job, no shared staging, one atomic
+    rename per file; the half-written tmp is dot-prefixed, which
+    Spark's file index ignores. By design callers append BOUNDED
+    metadata only (tombstone sets — bounded by
+    deletes-since-compaction, already collected/broadcast at serving
+    time), never corpus-sized data."""
+    import os
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(dir_path, exist_ok=True)
+    name = f"part-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(dir_path, f".{name}.tmp")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(dir_path, name))
