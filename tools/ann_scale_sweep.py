@@ -26,6 +26,7 @@ import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from geosparql_etl_spark.operators.similarity import (  # noqa: E402
+    auto_n_cells,
     cosine_topk,
     ivf_pq_topk,
     ivf_topk,
@@ -111,7 +112,8 @@ def main():
     hdr = f"{'config':<40} {'recall@' + str(k):>9} {'hi-recall':>9} {'scan-frac':>9} {'sec':>6}"
     print(hdr)
 
-    for n_cells in (16, 64):
+    auto = auto_n_cells(n_corpus)
+    for n_cells in dict.fromkeys((16, 64, auto)):
         trained = lloyd_train(
             e, "embedding", dim=64, n_cells=n_cells, rounds=10, memo_key=None
         )
@@ -121,7 +123,17 @@ def main():
             for r in cells.groupBy("ivf_cell").agg(F.count("*").alias("c")).collect()
         ]
         avg_cell = sum(sizes) / max(1, len(sizes))
-        probes = (2, 4, 6, 8) if n_cells == 16 else (8, 16, 24)
+        label = " (auto)" if n_cells == auto else ""
+        if n_cells == auto:
+            # auto-sized row (round 12): probe proportional to cells
+            # (probe/cells = the scan-fraction dial), so the SAME
+            # fractions are comparable across any corpus size without
+            # hand-tuning — the sim34 scan-fraction-parity claim
+            probes = tuple(
+                sorted({max(1, auto // 8), max(1, auto // 4), max(2, auto // 2)})
+            )
+        else:
+            probes = (2, 4, 6, 8) if n_cells == 16 else (8, 16, 24)
         for n_probe in probes:
             t0 = time.time()
             approx = ivf_topk(
@@ -132,7 +144,7 @@ def main():
             dt = time.time() - t0
             frac = n_probe * avg_cell / n_corpus
             print(
-                f"{'trained IVF cells=' + str(n_cells) + ' probe=' + str(n_probe):<40} "
+                f"{'trained IVF cells=' + str(n_cells) + ' probe=' + str(n_probe) + label:<40} "
                 f"{r:>9.3f} {hi:>9.3f} {frac:>9.3f} {dt:>6.1f}"
             )
         if n_cells == 16:

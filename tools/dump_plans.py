@@ -112,6 +112,8 @@ SHOWCASE = [
     ("sim31_bm25_time_travel", "time-travel probe: the as-of pin restricts the epoch isin filter — historical reads stay bucket-pruned"),
     ("sim32_phrase_search", "phrase search: per-term bucket-pruned position arrays, doc_id inner joins, native array-adjacency fold — no position explode"),
     ("w06_gap_fill", "resample+ffill: sequence()-generated spine from a broadcast 1-row span, map-side hourly aggregates, spine-sized ffill window"),
+    # round 12
+    ("sp44_erroring_bind", "erroring-BIND compatibility join: condition path with _safe_eq try_cast equality, nation stays the extracted equi key — no BNLJ"),
 ]
 
 
