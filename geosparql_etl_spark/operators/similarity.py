@@ -612,6 +612,69 @@ def update_ivf_index(
     )
 
 
+def maybe_retrain_ivf_index(
+    spark,
+    index_path: str,
+    current_n_cells: int,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    rounds: int = 10,
+) -> tuple[int, list[list[float]] | None]:
+    """The corpus-step-change retrain trigger (round 12, the
+    operational wrapper around sim34's flow): counts the index's LIVE
+    rows (tombstones applied — a metadata count, no vector columns
+    read), compares ``auto_n_cells(live)`` against the quantizer size
+    the index was built with, and when they differ — powers of two,
+    so only a ~2x corpus change moves the target — re-trains on the
+    live vectors and atomically swaps a re-partitioned ``epoch=base``
+    generation into the live path (write-complete-then-rename, the
+    compact_ivf_index discipline; probes keep serving the old
+    generation until the rename). Single-actor like compaction: run
+    from the maintenance owner with writers quiesced. Plain-IVF layouts only (a PQ re-train also needs new
+    codebooks — rebuild via write_ivf_pq_index explicitly).
+
+    Returns ``(n_cells, centroids)`` — the post-call quantizer size
+    and, when a retrain fired, the NEW trained centroids probes must
+    use from now on (``None`` when unchanged: keep the old ones)."""
+    import os
+    import shutil
+
+    scan = spark.read.parquet(index_path)
+    if "__pq" in scan.columns:
+        raise ValueError(
+            "maybe_retrain_ivf_index does not support PQ-coded "
+            "layouts — rebuild via write_ivf_pq_index"
+        )
+    rows = scan.select(
+        "neighbor_id",
+        F.col("__cv").alias(vec_col),
+        *(["epoch"] if "epoch" in scan.columns else []),
+    )
+    tomb = read_index_tombstones(spark, index_path)
+    if tomb is not None:
+        rows = _apply_ann_tombstones(rows, tomb)
+    rows = rows.drop("epoch").withColumnRenamed("neighbor_id", "vec_id")
+    # the count prunes to the id column — no vector bytes read
+    target = auto_n_cells(rows.count())
+    if target == current_n_cells:
+        return current_n_cells, None
+    trained = lloyd_train(
+        rows, vec_col, dim=dim, n_cells=target, rounds=rounds
+    )
+    tmp = index_path.rstrip("/") + ".retrain.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_ivf_index(
+        rows, tmp, id_col="vec_id", vec_col=vec_col, dim=dim,
+        n_cells=target, centroids=trained, epoch="base",
+    )
+    old = index_path.rstrip("/") + ".retrain.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(index_path, old)
+    os.replace(tmp, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return target, trained
+
+
 def pack_pq_code(codes: Column, m: int, k: int) -> Column:
     """Pack an m-element PQ code array into ONE BIGINT (big-endian,
     ceil(log2 k) bits per code): the 8-byte stored representation that

@@ -1384,6 +1384,72 @@ def test_ivf_torn_update_tombstones_dormant_until_epoch_commits(
     assert answers() == after
 
 
+def test_maybe_retrain_fires_on_step_change_only(spark, sf_dir, tmp_path):
+    """The auto-retrain trigger: no-op while auto_n_cells(live) equals
+    the built size; after a 4x corpus step-change it re-trains at the
+    new auto size, swaps the re-partitioned base generation in
+    (applying pending tombstones), and probes answer identically to a
+    fresh build over the live corpus with the returned centroids."""
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        auto_n_cells,
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        maybe_retrain_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    quarter = e.where(F.col("vec_id") < n // 4)
+    c1 = auto_n_cells(n // 4)
+    t1 = lloyd_train(quarter, "embedding", dim=64, n_cells=c1, rounds=3)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(quarter, idx, dim=64, n_cells=c1, centroids=t1,
+                    epoch="base")
+
+    # steady state: no retrain
+    got_cells, got_cents = maybe_retrain_ivf_index(
+        spark, idx, current_n_cells=c1, rounds=3
+    )
+    assert (got_cells, got_cents) == (c1, None)
+
+    # step-change: append the rest, delete a few, then trigger
+    write_ivf_index(
+        e.where(F.col("vec_id") >= n // 4), idx, dim=64, n_cells=c1,
+        centroids=t1, epoch="a1",
+    )
+    victims = [0, 1]
+    delete_from_ivf_index(spark, idx, victims)
+    c2 = auto_n_cells(n - len(victims))
+    assert c2 > c1
+    got_cells, got_cents = maybe_retrain_ivf_index(
+        spark, idx, current_n_cells=c1, rounds=3
+    )
+    assert got_cells == c2 and got_cents is not None
+    # tombstones were applied physically by the swap
+    assert not os.path.exists(os.path.join(idx, "_tombstones"))
+
+    live = e.where(~F.col("vec_id").isin(victims))
+    ref = str(tmp_path / "ref")
+    write_ivf_index(live, ref, dim=64, n_cells=c2, centroids=got_cents,
+                    epoch="base")
+    probe = e.where(F.col("vec_id") < 3)
+
+    def answers(p):
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_topk(
+                spark, p, probe, k=5, dim=64, n_cells=c2, n_probe=c2,
+                centroids=got_cents,
+            ).collect()
+        ]
+
+    assert answers(idx) == answers(ref)
+
+
 def test_ivf_index_replayed_update_spares_interleaved_epoch(
     spark, sf_dir, tmp_path
 ):

@@ -141,7 +141,12 @@ def main() -> None:
     ]
     for name, why in SHOWCASE:
         confs = QUERY_CONFS.get(name, {})
-        saved = {k: spark.conf.get(k) for k in confs}
+        saved = {}
+        for k in confs:
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
         for k, v in confs.items():
             spark.conf.set(k, v)
         try:
@@ -152,7 +157,10 @@ def main() -> None:
             plan = buf.getvalue()
         finally:
             for k, v in saved.items():
-                spark.conf.set(k, v)
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
         # keep the operator tree + scan details, drop codegen ids noise
         out += [f"## {name} — {why}", "", "```", plan.rstrip(), "```", ""]
     (REPO / "PLANS.md").write_text("\n".join(out))
