@@ -3838,4 +3838,13 @@ def _compile_query(store: TripleStore, q: Query) -> DataFrame:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
-    return _mark_maybe_null(df, group_mn)
+    # a (expr AS ?alias) projection is BIND's twin for spec 10.1: an
+    # erroring expression leaves the alias unbound, so a subquery
+    # projecting it must hand the maybe-unbound mark to the outer
+    # group's joins (same static test as BIND outputs, round 12)
+    expr_mn = {
+        p[2]
+        for p in q.projections
+        if p[0] == "expr" and _bind_maybe_unbound(p[1], group_mn)
+    }
+    return _mark_maybe_null(df, set(group_mn) | expr_mn)
