@@ -15078,6 +15078,145 @@ def _sql_sim34():
     """
 
 
+def sim35_ann_time_travel(spark, sf_dir):
+    """TIME TRAVEL over the persisted VECTOR index (round 12 — sim31's
+    snapshot isolation brought to the ANN lake, completing the two
+    lakes' symmetry): ``ivf_index_topk(as_of_seq=k)`` serves the
+    index exactly as it stood at ledger seq k. The vector lake gained
+    the text lake's per-epoch seq ledger (``_ledger/<epoch>.json``,
+    one atomic rename per commit — multi-writer safe, replays keep
+    their seq) and issue-stamped tombstones; the as-of pin is ANOTHER
+    partition filter (epoch isin), so a historical probe scans LESS
+    than latest, never more. History: seq 0 = first 250 vectors,
+    seq 1 = the rest, seq 2 = re-embed %10==2 to its successor (a
+    pure row move) then delete %9==4 (both issued at 2). Three arms
+    serve three corpus states FROM ONE INDEX; the oracle replays each
+    state's cell assignment + probe independently with the
+    trained-centroid CTEs."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_ivf_tt_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_ivf_index(
+        e.where(F.col("vec_id") < 250), idx, dim=64, n_cells=16,
+        centroids=trained, epoch="base",
+    )
+    write_ivf_index(
+        e.where(F.col("vec_id") >= 250), idx, dim=64, n_cells=16,
+        centroids=trained, epoch="a1",
+    )
+    nxt = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("nemb"),
+    )
+    upd = (
+        e.where(F.col("vec_id") % 10 == 2)
+        .join(nxt, "vec_id")
+        .select("vec_id", F.col("nemb").alias("embedding"))
+    )
+    update_ivf_index(
+        spark, upd, idx, epoch="u2", dim=64, n_cells=16,
+        centroids=trained,
+    )
+    delete_from_ivf_index(
+        spark, idx, e.where(F.col("vec_id") % 9 == 4).select("vec_id")
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def arm(name, as_of):
+        return ivf_index_topk(
+            spark, idx, probe, k=5, dim=64, n_cells=16, n_probe=6,
+            centroids=trained, as_of_seq=as_of,
+        ).select(
+            F.lit(name).alias("arm"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+
+    return (
+        arm("v0", 0)
+        .unionByName(arm("v1", 1))
+        .unionByName(arm("latest", None))
+        .orderBy("arm", "query_id", "rank")
+    )
+
+
+def _sql_sim35():
+    def arm(name, corpus_cte):
+        return f"""
+    scored_{name} AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM {corpus_cte}, ct),
+    cells_{name} AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored_{name}) WHERE rn = 1),
+    cand_{name} AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells_{name} cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    res_{name} AS (
+      SELECT '{name}' AS arm, query_id, neighbor_id, rank,
+             round(sim, 6) AS cosine_sim
+      FROM (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(eq.v, ec.v) AS sim,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                          neighbor_id
+               ) AS rank
+        FROM cand_{name}
+        JOIN e eq ON eq.vec_id = cand_{name}.query_id
+        JOIN {corpus_cte} ec ON ec.vec_id = cand_{name}.neighbor_id)
+      WHERE rank <= 5)"""
+
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    e_v0 AS (SELECT * FROM e WHERE vec_id < 250),
+    upd AS (
+      SELECT a.vec_id, b.v FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 10 = 2),
+    e_latest AS (
+      SELECT e.vec_id, coalesce(u.v, e.v) AS v
+      FROM e LEFT JOIN upd u USING (vec_id)
+      WHERE e.vec_id % 9 != 4),
+    qscored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM e, ct WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM qscored) WHERE rn <= 6),
+    {arm("v0", "e_v0")},
+    {arm("v1", "e")},
+    {arm("latest", "e_latest")}
+    SELECT * FROM res_v0
+    UNION ALL SELECT * FROM res_v1
+    UNION ALL SELECT * FROM res_latest
+    ORDER BY arm, query_id, rank
+    """
+
+
 def _sql_llm26():
     return """
     WITH v2 AS (
@@ -15268,6 +15407,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stamped — these lead the r13 rotation ---
     "sp44_erroring_bind": sp44_erroring_bind,
     "sim34_autosized_retrain": sim34_autosized_retrain,
+    "sim35_ann_time_travel": sim35_ann_time_travel,
     "llm18_bpe_merges": llm18_bpe_merges,
     "llm19_leakage_free_split": llm19_leakage_free_split,
     "d13_triangle_count": d13_triangle_count,
@@ -15801,6 +15941,8 @@ try:
     _ORACLES["sim34_autosized_retrain"] = _sql_sim34()
 except OSError:
     pass
+
+_ORACLES["sim35_ann_time_travel"] = _sql_sim35()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -326,6 +326,13 @@ def write_ivf_index(
     if epoch is not None:
         import os
 
+        # ledger-before-data, like the text lake's tombstone-first
+        # discipline inverted: the seq is allocated (and persisted)
+        # before the epoch writes, the epoch's _SUCCESS remains the
+        # commit point, and _ann_epoch_seqs only counts committed
+        # epochs — so a crash between the two leaves a harmless
+        # reserved seq, and a replay reuses it
+        _commit_ann_epoch(path, str(epoch))
         path = os.path.join(path, f"epoch={epoch}")
     with_ivf_cell(
         spread(corpus), vec_col, dim, n_cells, centroids=centroids
@@ -391,6 +398,7 @@ def delete_from_ivf_index(spark, index_path: str, ids) -> None:
         committed = _committed_epochs(index_path)
         if not committed:
             return
+        issued = max(_ann_epoch_seqs(index_path).values(), default=0)
         nid, eps = [], []
         for i in id_list:
             for e in committed:
@@ -400,6 +408,11 @@ def delete_from_ivf_index(spark, index_path: str, ids) -> None:
             {
                 "neighbor_id": pa.array(nid, pa.int64()),
                 "epoch": pa.array(eps, pa.string()),
+                # WHEN the delete was issued (current max ledger seq):
+                # a time-travel probe pinned before it sees the
+                # pre-delete index (as_of filter in
+                # read_index_tombstones)
+                "issued": pa.array([issued] * len(nid), pa.int32()),
             }
         )
     else:
@@ -424,7 +437,69 @@ def _committed_epochs(index_path: str) -> list[str]:
     return sorted(out)
 
 
-def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
+def _ann_epoch_seqs(index_path: str) -> dict[str, int]:
+    """Monotonic sequence number per COMMITTED epoch — the vector
+    lake's twin of the text ledger (round 12, enables time travel):
+    each epoch writer commits ``_ledger/<epoch>.json`` ({"seq": n})
+    with one atomic rename (multi-writer safe, replay keeps the
+    original seq). Epochs predating the ledger fall back to
+    name order with ``base`` first — exact for every index this
+    engine writes (base then appends), approximate only for a
+    hand-built legacy layout."""
+    import glob
+    import json
+    import os
+
+    committed = _committed_epochs(index_path)
+    seqs: dict[str, int] = {}
+    for f in glob.glob(os.path.join(index_path, "_ledger", "*.json")):
+        name = os.path.basename(f)[: -len(".json")]
+        if name in committed:
+            with open(f) as fh:
+                seqs[name] = int(json.load(fh)["seq"])
+    legacy = [e for e in committed if e not in seqs]
+    if legacy:
+        nxt = max(seqs.values(), default=-1) + 1
+        ordered = [e for e in ("base",) if e in legacy] + sorted(
+            e for e in legacy if e != "base"
+        )
+        for e in ordered:
+            seqs[e] = nxt
+            nxt += 1
+    return seqs
+
+
+def _commit_ann_epoch(index_path: str, epoch: str) -> int:
+    """Assign-and-commit the epoch's ledger seq: a replayed epoch
+    keeps its original seq (its tombstones' relative order must not
+    move), a new epoch sequences after everything committed. Atomic
+    single-file rename — the multi-writer commit point."""
+    import json
+    import os
+
+    seqs = _ann_epoch_seqs(index_path)
+    # include not-yet-committed ledger entries too (a crashed writer's
+    # epoch may hold a seq whose reuse would alias two epochs)
+    import glob
+
+    for f in glob.glob(os.path.join(index_path, "_ledger", "*.json")):
+        name = os.path.basename(f)[: -len(".json")]
+        if name not in seqs:
+            with open(f) as fh:
+                seqs[name] = int(json.load(fh)["seq"])
+    seq = seqs.get(str(epoch), max(seqs.values(), default=-1) + 1)
+    led = os.path.join(index_path, "_ledger")
+    os.makedirs(led, exist_ok=True)
+    tmp = os.path.join(led, f".{epoch}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"seq": seq}, fh)
+    os.replace(tmp, os.path.join(led, f"{epoch}.json"))
+    return seq
+
+
+def read_index_tombstones(
+    spark, index_path: str, as_of_seq: int | None = None
+) -> DataFrame | None:
     """The index's pending tombstone set as (neighbor_id, epoch),
     deduped, or None when no delete has been issued since the last
     compaction. ``epoch`` names ONE epoch the tombstone kills the id
@@ -440,7 +515,12 @@ def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
     ``_SUCCESS`` marker exists: update_ivf_index writes tombstones
     first and the epoch's commit activates them, so a crash between
     the two leaves the old version serving instead of vanishing the
-    vector (review finding, round 11)."""
+    vector (review finding, round 11).
+
+    ``as_of_seq`` restricts to tombstones ISSUED at or before that
+    ledger seq (round 12 time travel — the text lake rule): deletes
+    and updates that happened after the pin don't exist yet at the
+    pin. Files predating the issued column count as issued at 0."""
     import os
 
     p = os.path.join(index_path, "_tombstones")
@@ -460,6 +540,13 @@ def read_index_tombstones(spark, index_path: str) -> DataFrame | None:
             F.col("src_epoch").isNull()
             | F.col("src_epoch").cast("string").isin(committed)
         )
+    if as_of_seq is not None:
+        issued = (
+            F.coalesce(F.col("issued"), F.lit(0))
+            if "issued" in t.columns
+            else F.lit(0)
+        )
+        t = t.where(issued <= as_of_seq)
     return t.select(
         "neighbor_id", F.col("epoch").cast("string").alias("epoch")
     ).dropDuplicates()
@@ -574,6 +661,12 @@ def update_ivf_index(
 
         from geosparql_etl_spark.util import atomic_parquet_append
 
+        # allocate (and persist) the replacement epoch's seq FIRST so
+        # the tombstones can stamp it as their issue time — a
+        # time-travel probe pinned before the update sees the old
+        # version (the text lake's issued-AT-its-epoch rule); the
+        # write_ivf_index call below re-commits the same seq
+        issued = _commit_ann_epoch(index_path, str(epoch))
         # driver-side atomic append (see delete_from_ivf_index): the
         # id projection is columnar-pruned and batch-bounded
         batch_ids = [
@@ -596,6 +689,7 @@ def update_ivf_index(
                     "src_epoch": pa.array(
                         [str(epoch)] * len(nid), pa.string()
                     ),
+                    "issued": pa.array([issued] * len(nid), pa.int32()),
                 }
             ),
         )
@@ -885,6 +979,7 @@ def ivf_index_topk(
     n_cells: int = 16,
     n_probe: int = 1,
     centroids: list[list[float]] | None = None,
+    as_of_seq: int | None = None,
 ) -> DataFrame:
     """Approximate top-k against a PERSISTED ``write_ivf_index`` index.
 
@@ -894,18 +989,22 @@ def ivf_index_topk(
     read touches ONLY the probed ``ivf_cell=K/`` directories: the scan
     cost is per-probe, not per-corpus, which is the entire point of an
     inverted file at 100 TB. The plan shows the pruning as
-    PartitionFilters on ivf_cell (pinned by test)."""
+    PartitionFilters on ivf_cell (pinned by test).
+
+    ``as_of_seq`` pins the probe to a historical snapshot (round 12,
+    the text lake's time travel brought to the vector lake): only
+    epochs whose ledger seq is <= the pin and tombstones ISSUED by
+    then participate — the epoch restriction is another partition
+    filter, so a historical read scans LESS than latest, never more.
+    Requires the epoch layout (a flat index has no history)."""
     cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells)
     qb = _probe_frame(queries, id_col, vec_col, dim, cents, n_probe)
     cells = sorted(
         r["__cell"] for r in qb.select("__cell").distinct().collect()
     )
     scan = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
-    keep = ["neighbor_id", "__cv", "__cn"] + (
-        ["epoch"] if "epoch" in scan.columns else []
-    )
-    cb = scan.select(*keep, F.col("ivf_cell").alias("__cell"))
-    tomb = read_index_tombstones(spark, path)
+    cb = _ann_scan_restrict(spark, scan, path, as_of_seq)
+    tomb = read_index_tombstones(spark, path, as_of_seq=as_of_seq)
     if tomb is not None:
         # pending deletes/updates: anti-join the tombstone set —
         # broadcast, bounded by deletes-since-compaction, applied
@@ -914,6 +1013,27 @@ def ivf_index_topk(
         # updated vector's re-insert
         cb = _apply_ann_tombstones(cb, tomb)
     return _probe_topk(cb.drop("epoch"), qb, k=k, dim=dim)
+
+
+def _ann_scan_restrict(spark, scan, path, as_of_seq, extra_cols=()):
+    """Project a probe scan to its candidate columns and, when
+    ``as_of_seq`` is set, restrict to epochs committed at or before
+    the pin (ledger lookup -> epoch isin partition filter)."""
+    keep = ["neighbor_id", "__cv", "__cn", *extra_cols] + (
+        ["epoch"] if "epoch" in scan.columns else []
+    )
+    cb = scan.select(*keep, F.col("ivf_cell").alias("__cell"))
+    if as_of_seq is None:
+        return cb
+    if "epoch" not in scan.columns:
+        raise ValueError(
+            "as_of_seq requires an epoch-layout index "
+            "(write_ivf_index(..., epoch='base'))"
+        )
+    live = sorted(
+        e for e, s in _ann_epoch_seqs(path).items() if s <= as_of_seq
+    )
+    return cb.where(F.col("epoch").cast("string").isin(live))
 
 
 def knn_classify(

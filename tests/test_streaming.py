@@ -1384,6 +1384,75 @@ def test_ivf_torn_update_tombstones_dormant_until_epoch_commits(
     assert answers() == after
 
 
+def test_ivf_index_time_travel(spark, sf_dir, tmp_path):
+    """as_of_seq pins a probe to a historical snapshot of the vector
+    lake (round 12 — sim31's time travel brought to the ANN side):
+    epochs committed after the pin and tombstones issued after it
+    don't exist yet at the pin. Each arm must equal a FRESH index
+    built over that moment's corpus; the historical arms must be
+    unaffected by later updates/deletes."""
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {r.vec_id: r.embedding for r in e.collect()}
+    n = len(vecs)
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=3)
+    idx = str(tmp_path / "ivf")
+    half = e.where(F.col("vec_id") < n // 2)
+    rest = e.where(F.col("vec_id") >= n // 2)
+    write_ivf_index(half, idx, dim=64, n_cells=8, centroids=trained,
+                    epoch="base")                                  # seq 0
+    write_ivf_index(rest, idx, dim=64, n_cells=8, centroids=trained,
+                    epoch="a1", mode="overwrite")                  # seq 1
+    upd_ids = [5, 6]
+    upd = spark.createDataFrame(
+        [(i, vecs[(i + 31) % n]) for i in upd_ids],
+        "vec_id long, embedding array<float>",
+    )
+    update_ivf_index(spark, upd, idx, epoch="u2", dim=64, n_cells=8,
+                     centroids=trained)                            # seq 2
+    del_ids = [7, 8]
+    delete_from_ivf_index(spark, idx, del_ids)                     # issued 2
+
+    probe = e.where(F.col("vec_id") < 3)
+
+    def answers(path, as_of=None):
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_topk(
+                spark, path, probe, k=5, dim=64, n_cells=8, n_probe=8,
+                centroids=trained, as_of_seq=as_of,
+            ).collect()
+        ]
+
+    def fresh(tag, df):
+        p = str(tmp_path / tag)
+        write_ivf_index(df, p, dim=64, n_cells=8, centroids=trained,
+                        epoch="base")
+        return answers(p)
+
+    assert answers(idx, as_of=0) == fresh("ref0", half)
+    assert answers(idx, as_of=1) == fresh("ref1", e)
+    latest_live = (
+        e.select("vec_id", "embedding")
+        .where(~F.col("vec_id").isin(del_ids + upd_ids))
+        .unionByName(
+            spark.createDataFrame(
+                [(i, vecs[(i + 31) % n]) for i in upd_ids],
+                "vec_id long, embedding array<float>",
+            )
+        )
+    )
+    assert answers(idx, as_of=2) == fresh("ref2", latest_live)
+    assert answers(idx) == answers(idx, as_of=2)
+
+
 def test_maybe_retrain_fires_on_step_change_only(spark, sf_dir, tmp_path):
     """The auto-retrain trigger: no-op while auto_n_cells(live) equals
     the built size; after a 4x corpus step-change it re-trains at the
