@@ -170,10 +170,10 @@ HEADLINE = [
     "llm26_snapshot_diff",
     # round 12: the erroring-BIND compatibility join (condition path
     # with _safe_eq try_cast equality — nation stays the extracted
-    # shuffle key). sim34 excluded like the other index-lifecycle
-    # queries: its wall time is two Lloyd trainings + an index swap
-    # (setup, not serving — the auto-sizing scan-fraction story is
-    # measured in SCALE.md's round-12 sweep row instead).
+    # shuffle key). sim34/sim35 excluded like the other
+    # index-lifecycle queries: their wall time is Lloyd trainings +
+    # index builds/swaps (setup, not serving — auto-sizing and
+    # time-travel probe costs are measured in SCALE.md instead).
     "sp44_erroring_bind",
 ]
 

@@ -392,6 +392,9 @@ def write_text_index(
     shutil.rmtree(os.path.join(path, "postings"), ignore_errors=True)
     shutil.rmtree(os.path.join(path, "_doclens"), ignore_errors=True)
     shutil.rmtree(os.path.join(path, "_tombstones"), ignore_errors=True)
+    # the per-epoch ledger sidecars too (round 12): stale entries
+    # would resurrect the previous generation's epochs in _read_stats
+    shutil.rmtree(os.path.join(path, "_ledger"), ignore_errors=True)
     epoch_path = os.path.join(path, "postings", "epoch=base")
     post = _index_postings(docs, id_col, text_col, n_buckets)
     post.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
@@ -761,9 +764,12 @@ def _assert_positional(spark, path: str, live_epochs: list) -> None:
         per_path.clear()
     legacy = []
     for e in live_epochs:
-        cols = spark.read.parquet(
-            os.path.join(path, "postings", f"epoch={e}")
-        ).columns
+        ep = os.path.join(path, "postings", f"epoch={e}")
+        if not os.path.exists(ep):
+            # a zero-doc epoch commits a ledger entry with no
+            # postings dir — nothing to be positional about
+            continue
+        cols = spark.read.parquet(ep).columns
         if "pos" not in cols:
             legacy.append(str(e))
     if legacy:
@@ -891,6 +897,8 @@ def compact_text_index(spark, path: str) -> None:
             os.path.join(path, "postings", f"epoch={e}")
         ).columns
         for e in live_epochs
+        # zero-doc epochs commit a ledger entry with no postings dir
+        if os.path.exists(os.path.join(path, "postings", f"epoch={e}"))
     )
     pcols = ["tok", "doc_id", "tf", "dl", "bucket"] + (
         ["pos"] if keep_pos else []

@@ -2168,7 +2168,9 @@ def test_text_index_build_append_prune_and_score_parity(spark, sf_dir, tmp_path)
     import os
 
     append_to_text_index(d.where(F.col("doc_id") % 2 == 1), idx, epoch="a1")
-    stats = json.load(open(os.path.join(idx, "_stats.json")))
+    from geosparql_etl_spark.operators.retrieval import _read_stats
+
+    stats = _read_stats(idx)
     assert sum(e["n_docs"] for e in stats["epochs"].values()) == d.count()
     assert set(stats["epochs"]) == {"base", "a1"}
     replayed = text_index_topk(spark, idx, terms, k=15).collect()
@@ -2221,11 +2223,9 @@ def test_text_index_rebuild_resets_layout_and_orphans_stay_invisible(
     # (b) simulate the crash window: postings of a new epoch exist,
     # ledger entry does not -> probes must not see the orphan
     append_to_text_index(d.where(F.col("doc_id") % 2 == 1), idx, epoch="a2")
-    stats_path = os.path.join(idx, "_stats.json")
-    stats = json.load(open(stats_path))
-    del stats["epochs"]["a2"]
-    with open(stats_path, "w") as fh:
-        json.dump(stats, fh)
+    # the epoch's commit is its _ledger sidecar file now (round 12
+    # multi-writer ledger) — deleting it simulates the crash window
+    os.remove(os.path.join(idx, "_ledger", "a2.json"))
     orphaned = text_index_topk(spark, idx, terms, k=10).collect()
     assert [(r.doc_id, float(r.score)) for r in orphaned] == [
         (r.doc_id, float(r.score)) for r in want
@@ -2277,9 +2277,14 @@ def test_text_index_delete_compact_lifecycle(spark, sf_dir, tmp_path):
 
     compact_text_index(spark, idx)
     assert not os.path.exists(os.path.join(idx, "_tombstones"))
-    stats = json.load(open(os.path.join(idx, "_stats.json")))
+    # compaction collapses the whole ledger (sidecar files included —
+    # the swap drops the _ledger dir) to one exact base entry
+    from geosparql_etl_spark.operators.retrieval import _read_stats
+
+    assert not os.path.exists(os.path.join(idx, "_ledger"))
+    stats = _read_stats(idx)
     assert list(stats["epochs"]) == ["base"]
-    fresh_stats = json.load(open(os.path.join(fresh, "_stats.json")))
+    fresh_stats = _read_stats(fresh)
     assert stats["epochs"]["base"] == fresh_stats["epochs"]["base"]
     after = [
         (r.doc_id, float(r.score))
