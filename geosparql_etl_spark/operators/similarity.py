@@ -289,6 +289,50 @@ def auto_n_cells(n_rows: int, rows_per_cell: int | None = None) -> int:
     return max(4, min(65536, 2 ** round(math.log2(max(target, 1.0)))))
 
 
+def _persist_quantizer(path: str, meta: dict, replace: bool) -> None:
+    """Write the index's quantizer sidecar (``_quantizer.json``,
+    atomic rename). When ``replace`` is False (epoch appends) and a
+    sidecar already exists, the incoming quantizer must MATCH it —
+    appending cells assigned by a different quantizer corrupts probe
+    recall silently (the drift hazard every docstring here warns
+    about), so it fails loudly instead."""
+    import json
+    import os
+
+    p = os.path.join(path, "_quantizer.json")
+    if not replace and os.path.exists(p):
+        with open(p) as fh:
+            existing = json.load(fh)
+        if any(existing.get(k) != meta.get(k) for k in meta):
+            raise ValueError(
+                f"quantizer drift: {path} was built with a different "
+                "quantizer than this write supplies — rebuild the "
+                "index (or pass the original centroids/codebooks)"
+            )
+        return
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, p)
+
+
+def read_index_quantizer(index_path: str) -> dict | None:
+    """The quantizer the index was BUILT with, from its sidecar
+    (round 12 — indexes are self-describing: probes called without
+    explicit centroids/codebooks resolve them from here, so a caller
+    can never probe with a drifted quantizer by accident, and a
+    retrain swap automatically re-points every subsequent probe).
+    None for indexes predating the sidecar."""
+    import json
+    import os
+
+    p = os.path.join(index_path, "_quantizer.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -323,6 +367,7 @@ def write_ivf_index(
             if centroids is not None
             else auto_n_cells(corpus.count())
         )
+    root = path
     if epoch is not None:
         import os
 
@@ -333,6 +378,13 @@ def write_ivf_index(
         # epochs — so a crash between the two leaves a harmless
         # reserved seq, and a replay reuses it
         _commit_ann_epoch(path, str(epoch))
+        # epoch appends must use the quantizer the index was built
+        # with (drift guard); the base epoch of a fresh dir persists it
+        _persist_quantizer(
+            path,
+            _quantizer_meta(dim, n_cells, centroids),
+            replace=False,
+        )
         path = os.path.join(path, f"epoch={epoch}")
     with_ivf_cell(
         spread(corpus), vec_col, dim, n_cells, centroids=centroids
@@ -342,6 +394,40 @@ def write_ivf_index(
         l2_norm(F.col(vec_col), dim).alias("__cn"),
         "ivf_cell",
     ).write.mode(mode).partitionBy("ivf_cell").parquet(path)
+    if epoch is None:
+        # the flat overwrite just cleared the dir — re-persist
+        _persist_quantizer(
+            root, _quantizer_meta(dim, n_cells, centroids), replace=True
+        )
+
+
+def _quantizer_meta(
+    dim: int,
+    n_cells: int,
+    centroids,
+    m: int | None = None,
+    k: int | None = None,
+    codebooks=None,
+) -> dict:
+    meta = {
+        "dim": dim,
+        "n_cells": n_cells,
+        "centroids": [
+            [float(x) for x in c]
+            for c in (
+                centroids
+                if centroids is not None
+                else _ivf_centroids(dim, n_cells)
+            )
+        ],
+    }
+    if m is not None:
+        meta["m"] = m
+        meta["k"] = k
+        meta["codebooks"] = [
+            [[float(x) for x in c] for c in book] for book in codebooks
+        ]
+    return meta
 
 
 def delete_from_ivf_index(spark, index_path: str, ids) -> None:
@@ -839,6 +925,18 @@ def write_ivf_pq_index(
         *carry_cols,
         "ivf_cell",
     ).write.mode(mode).partitionBy("ivf_cell").parquet(path)
+    _persist_quantizer(
+        path,
+        _quantizer_meta(
+            dim, n_cells, centroids, m=m, k=k,
+            codebooks=(
+                codebooks
+                if codebooks is not None
+                else _pq_codebooks(dim, m, k)
+            ),
+        ),
+        replace=True,
+    )
 
 
 def ivf_index_pq_topk(
@@ -883,9 +981,34 @@ def ivf_index_pq_topk(
     parquet reader (PushedFilters), so ineligible rows never reach
     the ADC stage and the shortlist fills with ELIGIBLE neighbors
     (post-filtering a shortlist would silently shrink k — the classic
-    filtered-ANN mistake)."""
-    cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells)
-    books = codebooks if codebooks is not None else _pq_codebooks(dim, m, k)
+    filtered-ANN mistake).
+
+    ``centroids=None`` / ``codebooks=None`` resolve from the index's
+    ``_quantizer.json`` sidecar (self-describing probes, see
+    ivf_index_topk)."""
+    q = (
+        read_index_quantizer(path)
+        if centroids is None or codebooks is None
+        else None
+    )
+    if centroids is None and q is not None:
+        dim, n_cells = int(q["dim"]), int(q["n_cells"])
+        cents = q["centroids"]
+    else:
+        cents = (
+            centroids
+            if centroids is not None
+            else _ivf_centroids(dim, n_cells)
+        )
+    if codebooks is None and q is not None and "codebooks" in q:
+        m, k = int(q["m"]), int(q["k"])
+        books = q["codebooks"]
+    else:
+        books = (
+            codebooks
+            if codebooks is not None
+            else _pq_codebooks(dim, m, k)
+        )
     sub = dim // m
     qb = _probe_frame(queries, id_col, vec_col, dim, cents, n_probe).select(
         "query_id",
@@ -996,8 +1119,22 @@ def ivf_index_topk(
     epochs whose ledger seq is <= the pin and tombstones ISSUED by
     then participate — the epoch restriction is another partition
     filter, so a historical read scans LESS than latest, never more.
-    Requires the epoch layout (a flat index has no history)."""
-    cents = centroids if centroids is not None else _ivf_centroids(dim, n_cells)
+    Requires the epoch layout (a flat index has no history).
+
+    ``centroids=None`` resolves the quantizer from the index's own
+    ``_quantizer.json`` sidecar (dim/n_cells/centroids wholesale) —
+    the index is self-describing, so a probe can never use a drifted
+    quantizer by accident and a retrain swap re-points every
+    subsequent sidecar-resolved probe automatically."""
+    if centroids is None:
+        q = read_index_quantizer(path)
+        if q is not None:
+            dim, n_cells = int(q["dim"]), int(q["n_cells"])
+            cents = q["centroids"]
+        else:
+            cents = _ivf_centroids(dim, n_cells)
+    else:
+        cents = centroids
     qb = _probe_frame(queries, id_col, vec_col, dim, cents, n_probe)
     cells = sorted(
         r["__cell"] for r in qb.select("__cell").distinct().collect()

@@ -89,6 +89,21 @@ def run_index_maintenance(
     sid = _stream_id(checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from geosparql_etl_spark.operators.similarity import (
+            _commit_ann_epoch,
+            _persist_quantizer,
+            _quantizer_meta,
+        )
+
+        # ledger seq + drift guard, same as write_ivf_index's epoch
+        # path (the ledger makes maintenance epochs time-travelable;
+        # the guard fails loudly on a quantizer mismatch)
+        _commit_ann_epoch(index_path, f"{sid}-{epoch_id}")
+        _persist_quantizer(
+            index_path,
+            _quantizer_meta(dim, n_cells, centroids),
+            replace=False,
+        )
         rows = with_ivf_cell(
             batch_df, vec_col, dim, n_cells, centroids=centroids
         ).select(
@@ -222,6 +237,14 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         df.repartition("ivf_cell").write.mode("overwrite").partitionBy(
             "ivf_cell"
         ).parquet(os.path.join(tmp_path, "epoch=base"))
+    # the quantizer sidecar survives compaction (rows keep their
+    # cells, so the quantizer is unchanged); the epoch ledger does
+    # NOT — the collapsed base re-seeds at seq 0 via the legacy rule
+    qfile = os.path.join(index_path, "_quantizer.json")
+    if os.path.exists(qfile):
+        shutil.copyfile(
+            qfile, os.path.join(tmp_path, "_quantizer.json")
+        )
     # commit point: the replacement generation is fully on disk
     shutil.rmtree(old_path, ignore_errors=True)
     os.replace(index_path, old_path)

@@ -1384,6 +1384,88 @@ def test_ivf_torn_update_tombstones_dormant_until_epoch_commits(
     assert answers() == after
 
 
+def test_ivf_index_self_describing_quantizer(spark, sf_dir, tmp_path):
+    """Indexes persist their quantizer (_quantizer.json, round 12):
+    probes called WITHOUT centroids resolve dim/n_cells/centroids
+    from the sidecar and must answer exactly like an explicit-arg
+    probe; after a retrain swap the sidecar-resolved probe follows
+    the NEW quantizer automatically; an epoch append with a different
+    quantizer fails loudly (drift guard); the PQ layout resolves its
+    codebooks the same way."""
+    import pytest
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_pq_topk,
+        ivf_index_topk,
+        lloyd_train,
+        maybe_retrain_ivf_index,
+        pq_train,
+        write_ivf_index,
+        write_ivf_pq_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=3)
+    idx = str(tmp_path / "ivf")
+    quarter = e.where(F.col("vec_id") < 125)
+    write_ivf_index(quarter, idx, dim=64, n_cells=8, centroids=trained,
+                    epoch="base")
+    probe = e.where(F.col("vec_id") < 3)
+
+    def ans(**kw):
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_topk(
+                spark, idx, probe, k=5, n_probe=8, **kw
+            ).collect()
+        ]
+
+    explicit = ans(dim=64, n_cells=8, centroids=trained)
+    assert ans() == explicit  # sidecar-resolved
+
+    # appending with a DIFFERENT quantizer fails loudly
+    other = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=1)
+    assert other != trained
+    with pytest.raises(ValueError, match="drift"):
+        write_ivf_index(
+            e.where(F.col("vec_id") >= 125), idx, dim=64, n_cells=8,
+            centroids=other, epoch="a1",
+        )
+
+    # a retrain swap re-points sidecar-resolved probes automatically
+    write_ivf_index(
+        e.where(F.col("vec_id") >= 125), idx, dim=64, n_cells=8,
+        centroids=trained, epoch="a1",
+    )
+    got_cells, got_cents = maybe_retrain_ivf_index(
+        spark, idx, current_n_cells=8, rounds=3
+    )
+    assert got_cents is not None
+    assert ans() == ans(
+        dim=64, n_cells=got_cells, centroids=got_cents
+    )
+
+    # PQ layout: codebooks resolve from the sidecar too
+    books = pq_train(e, "embedding", dim=64, m=16, k=16, rounds=3)
+    pq_idx = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(e, pq_idx, dim=64, n_cells=8, centroids=trained,
+                       codebooks=books)
+    exp = [
+        (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+        for r in ivf_index_pq_topk(
+            spark, pq_idx, probe, kq=5, n_probe=8, dim=64, n_cells=8,
+            centroids=trained, codebooks=books,
+        ).collect()
+    ]
+    got = [
+        (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+        for r in ivf_index_pq_topk(
+            spark, pq_idx, probe, kq=5, n_probe=8
+        ).collect()
+    ]
+    assert got == exp
+
+
 def test_ivf_index_time_travel(spark, sf_dir, tmp_path):
     """as_of_seq pins a probe to a historical snapshot of the vector
     lake (round 12 — sim31's time travel brought to the ANN side):
