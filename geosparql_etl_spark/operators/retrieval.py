@@ -1294,3 +1294,98 @@ def proximity_topk(
         F.col("n_prox") > 0
     )
     return _ranked_hits(hits, k, "n_prox")
+
+
+def fsck_text_index(spark, path: str) -> list[dict]:
+    """Invariant check (fsck) for a text-lake index — the ops tool a
+    production lake needs after a crash, a partial copy, or a suspect
+    replication: returns a list of findings ({check, severity,
+    detail}), empty when healthy. Read-only; driver-side metadata
+    work plus one footer sniff per epoch (never a corpus scan).
+
+    Checks: ledger entries vs postings/doclens dirs both ways (an
+    orphan DATA dir is benign — an uncommitted epoch, invisible to
+    probes; a ledger entry with n_docs > 0 but NO data dir is serving
+    loss), duplicate seqs (benign, concurrent writers — reported
+    info), tombstone readability/schema, positional coverage
+    (pre-positional epochs break phrase search), and stats totals
+    matching the per-epoch doclens contributions."""
+    import os
+
+    findings: list[dict] = []
+
+    def add(check, severity, detail):
+        findings.append(
+            {"check": check, "severity": severity, "detail": detail}
+        )
+
+    try:
+        stats = _read_stats(path)
+    except Exception as exc:
+        add("stats", "error", f"unreadable ledger: {exc}")
+        return findings
+    seqs = _epoch_seqs(stats)
+    post_dirs = {
+        d.split("=", 1)[1]
+        for d in os.listdir(os.path.join(path, "postings"))
+        if d.startswith("epoch=")
+    } if os.path.exists(os.path.join(path, "postings")) else set()
+    for name, entry in stats["epochs"].items():
+        if entry.get("n_docs", 0) > 0 and str(name) not in post_dirs:
+            add(
+                "ledger_dangling", "error",
+                f"epoch {name} committed with n_docs="
+                f"{entry['n_docs']} but has no postings dir — its "
+                "docs cannot serve",
+            )
+    for name in post_dirs - set(str(e) for e in stats["epochs"]):
+        add(
+            "orphan_epoch", "info",
+            f"postings/epoch={name} has no ledger entry — an "
+            "uncommitted (crashed or in-flight) epoch, invisible to "
+            "probes; a replay will overwrite it",
+        )
+    by_seq: dict = {}
+    for name, s in seqs.items():
+        by_seq.setdefault(s, []).append(name)
+    for s, names in by_seq.items():
+        if len(names) > 1:
+            add(
+                "duplicate_seq", "info",
+                f"epochs {sorted(names)} share seq {s} (concurrent "
+                "writers) — benign for tombstone scoping, as-of order "
+                "between them is undefined",
+            )
+    try:
+        tomb = read_text_tombstones(spark, path)
+        if tomb is not None:
+            tomb.limit(1).collect()
+    except Exception as exc:
+        add("tombstones", "error", f"unreadable tombstones: {exc}")
+    legacy = []
+    for name in stats["epochs"]:
+        ep = os.path.join(path, "postings", f"epoch={name}")
+        if os.path.exists(ep):
+            if "pos" not in spark.read.parquet(ep).columns:
+                legacy.append(str(name))
+    if legacy:
+        add(
+            "pre_positional", "warn",
+            f"epoch(s) {legacy} lack the positional payload — BM25 "
+            "serves, phrase/proximity refuse until rebuild",
+        )
+    dl_root = os.path.join(path, "_doclens")
+    for name, entry in stats["epochs"].items():
+        dp = os.path.join(dl_root, f"epoch={name}")
+        if entry.get("n_docs", 0) > 0 and os.path.exists(dp):
+            got = _epoch_contribution(spark, dp)
+            want = {
+                "n_docs": entry["n_docs"], "sum_dl": entry["sum_dl"]
+            }
+            if got != want:
+                add(
+                    "stats_mismatch", "error",
+                    f"epoch {name}: ledger says {want}, doclens say "
+                    f"{got} — scores computed from wrong corpus stats",
+                )
+    return findings

@@ -2141,3 +2141,98 @@ def pq_train(
     if memo_key is not None:
         _LLOYD_MEMO[key] = [[list(c) for c in b] for b in books]
     return books
+
+
+def fsck_ivf_index(spark, index_path: str) -> list[dict]:
+    """Invariant check (fsck) for a vector-lake index — the ops twin
+    of ``fsck_text_index``: returns findings ({check, severity,
+    detail}), empty when healthy. Read-only, metadata-sized work.
+
+    Checks: committed epochs vs ledger entries both ways (orphan data
+    dirs are benign in-flight epochs; a ledger entry whose committed
+    dir vanished is serving loss), duplicate seqs (info), tombstone
+    readability + epoch references (a tombstone naming a nonexistent
+    epoch is a phantom — info), quantizer sidecar presence and cell
+    consistency (every ivf_cell on disk must be addressable by the
+    quantizer, or probes can never reach those rows)."""
+    import glob
+    import json
+    import os
+
+    findings: list[dict] = []
+
+    def add(check, severity, detail):
+        findings.append(
+            {"check": check, "severity": severity, "detail": detail}
+        )
+
+    epoch_dirs = {
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(index_path, "epoch=*"))
+    }
+    committed = set(_committed_epochs(index_path))
+    for e in epoch_dirs - committed:
+        add(
+            "uncommitted_epoch", "info",
+            f"epoch={e} has no _SUCCESS — in-flight or crashed write, "
+            "invisible to ledger-gated reads; a replay overwrites it",
+        )
+    led = {
+        os.path.basename(f)[: -len(".json")]
+        for f in glob.glob(os.path.join(index_path, "_ledger", "*.json"))
+    }
+    for e in led - epoch_dirs:
+        add(
+            "ledger_dangling", "error",
+            f"_ledger/{e}.json exists but epoch={e} has no data dir — "
+            "if it ever committed, its vectors cannot serve",
+        )
+    seqs = _ann_epoch_seqs(index_path)
+    by_seq: dict = {}
+    for name, s in seqs.items():
+        by_seq.setdefault(s, []).append(name)
+    for s, names in by_seq.items():
+        if len(names) > 1:
+            add(
+                "duplicate_seq", "info",
+                f"epochs {sorted(names)} share seq {s} (concurrent "
+                "writers) — benign for tombstone scoping",
+            )
+    try:
+        tomb = read_index_tombstones(spark, index_path)
+        if tomb is not None:
+            refs = {
+                r["epoch"]
+                for r in tomb.select("epoch").distinct().collect()
+                if r["epoch"] is not None
+            }
+            for e in sorted(refs - epoch_dirs):
+                add(
+                    "phantom_tombstone", "info",
+                    f"tombstones reference epoch {e} which no longer "
+                    "exists (compacted or rebuilt) — harmless no-op",
+                )
+    except Exception as exc:
+        add("tombstones", "error", f"unreadable tombstones: {exc}")
+    q = read_index_quantizer(index_path)
+    if q is None:
+        add(
+            "quantizer", "warn",
+            "no _quantizer.json sidecar — probes must supply the "
+            "build-time centroids themselves (pre-round-12 index)",
+        )
+    else:
+        n_cells = int(q["n_cells"])
+        cell_dirs = set()
+        for pat in ("ivf_cell=*", "epoch=*/ivf_cell=*"):
+            for d in glob.glob(os.path.join(index_path, pat)):
+                cell_dirs.add(int(os.path.basename(d).split("=", 1)[1]))
+        bad = sorted(c for c in cell_dirs if c >= n_cells)
+        if bad:
+            add(
+                "cell_out_of_range", "error",
+                f"cells {bad} exist on disk but the quantizer has only "
+                f"{n_cells} cells — those rows are unreachable by any "
+                "probe (quantizer/layout mismatch; rebuild)",
+            )
+    return findings

@@ -2855,3 +2855,109 @@ def test_phrase_search_respects_tombstones_and_as_of(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert pinned == base_view
+
+
+def test_fsck_text_index_detects_each_corruption(spark, sf_dir, tmp_path):
+    """fsck_text_index: clean index -> no findings; each staged
+    corruption surfaces as its named check with the right severity."""
+    import json
+    import os
+    import shutil
+
+    from geosparql_etl_spark.operators.retrieval import (
+        append_to_text_index,
+        delete_from_text_index,
+        fsck_text_index,
+        write_text_index,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 60
+    )
+    idx = str(tmp_path / "bm25")
+    write_text_index(d.where(F.col("doc_id") < 30), idx)
+    append_to_text_index(d.where(F.col("doc_id") >= 30), idx, epoch="a1")
+    delete_from_text_index(spark, idx, [3, 5])
+    assert fsck_text_index(spark, idx) == []
+
+    # orphan data dir (uncommitted epoch) -> info
+    shutil.copytree(
+        os.path.join(idx, "postings", "epoch=a1"),
+        os.path.join(idx, "postings", "epoch=crash"),
+    )
+    checks = {f["check"]: f["severity"] for f in fsck_text_index(spark, idx)}
+    assert checks == {"orphan_epoch": "info"}
+    shutil.rmtree(os.path.join(idx, "postings", "epoch=crash"))
+
+    # dangling ledger entry -> error
+    with open(os.path.join(idx, "_ledger", "ghost.json"), "w") as fh:
+        json.dump({"n_docs": 7, "sum_dl": 70, "seq": 9}, fh)
+    checks = {f["check"]: f["severity"] for f in fsck_text_index(spark, idx)}
+    assert checks.get("ledger_dangling") == "error"
+    os.remove(os.path.join(idx, "_ledger", "ghost.json"))
+
+    # stats mismatch -> error
+    led = os.path.join(idx, "_ledger", "a1.json")
+    entry = json.load(open(led))
+    entry["n_docs"] += 1
+    with open(led, "w") as fh:
+        json.dump(entry, fh)
+    checks = {f["check"]: f["severity"] for f in fsck_text_index(spark, idx)}
+    assert checks.get("stats_mismatch") == "error"
+    entry["n_docs"] -= 1
+    with open(led, "w") as fh:
+        json.dump(entry, fh)
+    assert fsck_text_index(spark, idx) == []
+
+
+def test_fsck_ivf_index_detects_each_corruption(spark, sf_dir, tmp_path):
+    """fsck_ivf_index: clean index -> no findings; staged corruptions
+    surface (uncommitted epoch, dangling ledger, out-of-range cell)."""
+    import json
+    import os
+    import shutil
+
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        fsck_ivf_index,
+        lloyd_train,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 100
+    )
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=4, rounds=2)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(e.where(F.col("vec_id") < 50), idx, dim=64,
+                    n_cells=4, centroids=trained, epoch="base")
+    write_ivf_index(e.where(F.col("vec_id") >= 50), idx, dim=64,
+                    n_cells=4, centroids=trained, epoch="a1")
+    delete_from_ivf_index(spark, idx, [1])
+    assert fsck_ivf_index(spark, idx) == []
+
+    # uncommitted epoch (no _SUCCESS) -> info
+    shutil.copytree(
+        os.path.join(idx, "epoch=a1"), os.path.join(idx, "epoch=crash")
+    )
+    os.remove(os.path.join(idx, "epoch=crash", "_SUCCESS"))
+    checks = {f["check"]: f["severity"] for f in fsck_ivf_index(spark, idx)}
+    assert checks == {"uncommitted_epoch": "info"}
+    shutil.rmtree(os.path.join(idx, "epoch=crash"))
+
+    # dangling ledger -> error
+    with open(os.path.join(idx, "_ledger", "ghost.json"), "w") as fh:
+        json.dump({"seq": 9}, fh)
+    checks = {f["check"]: f["severity"] for f in fsck_ivf_index(spark, idx)}
+    assert checks.get("ledger_dangling") == "error"
+    os.remove(os.path.join(idx, "_ledger", "ghost.json"))
+
+    # out-of-range cell vs quantizer -> error
+    shutil.copytree(
+        os.path.join(idx, "epoch=a1", "ivf_cell=0"),
+        os.path.join(idx, "epoch=a1", "ivf_cell=9"),
+    )
+    checks = {f["check"]: f["severity"] for f in fsck_ivf_index(spark, idx)}
+    assert checks.get("cell_out_of_range") == "error"
+    shutil.rmtree(os.path.join(idx, "epoch=a1", "ivf_cell=9"))
+    assert fsck_ivf_index(spark, idx) == []
