@@ -732,6 +732,19 @@ def test_ivf_index_maintenance_exactly_once_and_probe_parity(
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cell" in plan
 
+    # the as-of pin must ALSO land in PartitionFilters (epoch
+    # equality/isin folds into partition pruning — historical probes
+    # scan fewer directories, never more; round-12 plan pin)
+    pinned = ivf_index_topk(
+        spark, index, probe, k=5, dim=64, n_cells=16, n_probe=4,
+        centroids=trained, as_of_seq=0,
+    )
+    pplan = pinned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = "".join(re.findall(r"PartitionFilters: \[[^\]]*\]", pplan))
+    assert "epoch" in pf and "ivf_cell" in pf
+
     full = str(tmp_path / "full_index")
     write_ivf_index(e, full, dim=64, n_cells=16, centroids=trained)
     want = ivf_index_topk(
