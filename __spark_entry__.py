@@ -14712,6 +14712,88 @@ def _sql_s18():
     return _sql_bm25_over(live) + "SELECT doc_id, rank, score FROM res"
 
 
+def s20_concurrent_upsert_streams(spark, sf_dir):
+    """TWO independent CDC streams upsert into ONE text index (round
+    12 — the multi-writer lake as an oracle-checked query): stream A
+    re-crawls even docs, stream B odd docs, each in two waves with a
+    CHECKPOINT RESTART between them (the second run of each stream
+    must ingest only its new files). This is exactly the interleaving
+    the round-12 multi-writer machinery exists for: epoch data dirs
+    are stream-id-namespaced, every ledger commit is a per-epoch
+    sidecar file (one atomic rename — the old read-modify-write
+    _stats.json could orphan the other stream's commit), and
+    tombstones append driver-side as uniquely-named files. Serving
+    afterwards must equal index-free full-corpus BM25 over the MERGED
+    final corpus — four stream runs from two writers compose to
+    from-scratch scoring. Excluded from the bench headline
+    (stream-setup dominated, like s17-s19)."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.retrieval import (
+        run_text_index_upserts,
+        text_index_topk,
+        write_text_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "gsel_bm25_mw_" + tag)
+    shutil.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "index")
+    write_text_index(d, idx)
+    even, odd = F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1
+
+    def land(name, pred, suffix):
+        d.where(pred).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+        ).coalesce(2).write.mode("append").parquet(
+            os.path.join(root, name)
+        )
+
+    def run(name):
+        q = run_text_index_upserts(
+            spark, os.path.join(root, name), idx,
+            os.path.join(root, "ck_" + name),
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"s20: stream {name} did not drain")
+
+    # wave 1, interleaved; wave 2 restarts each stream's checkpoint
+    land("la", even, " rev query")
+    run("la")
+    land("lb", odd, " rev join")
+    run("lb")
+    land("lb", odd & (F.col("doc_id") % 5 == 0), " rev join filter")
+    run("lb")
+    land("la", even & (F.col("doc_id") % 4 == 0), " rev query filter")
+    run("la")
+
+    out = text_index_topk(spark, idx, ["query", "join", "filter"], k=20)
+    return out.select(
+        "doc_id",
+        "rank",
+        F.round(F.col("score").cast("double"), 6).alias("score"),
+    ).orderBy("rank")
+
+
+def _sql_s20():
+    live = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN
+               CASE WHEN doc_id % 4 = 0 THEN text || ' rev query filter'
+                    ELSE text || ' rev query' END
+             ELSE
+               CASE WHEN doc_id % 5 = 0 THEN text || ' rev join filter'
+                    ELSE text || ' rev join' END
+             END AS text
+      FROM documents"""
+    return _sql_bm25_over(live) + "SELECT doc_id, rank, score FROM res"
+
+
 def sim31_bm25_time_travel(spark, sf_dir):
     """TIME TRAVEL over the persisted text index (round 11 capstone
     for the lake machinery): ``text_index_topk(as_of_seq=k)`` serves
@@ -15408,6 +15490,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp44_erroring_bind": sp44_erroring_bind,
     "sim34_autosized_retrain": sim34_autosized_retrain,
     "sim35_ann_time_travel": sim35_ann_time_travel,
+    "s20_concurrent_upsert_streams": s20_concurrent_upsert_streams,
     "llm18_bpe_merges": llm18_bpe_merges,
     "llm19_leakage_free_split": llm19_leakage_free_split,
     "d13_triangle_count": d13_triangle_count,
@@ -15943,6 +16026,7 @@ except OSError:
     pass
 
 _ORACLES["sim35_ann_time_travel"] = _sql_sim35()
+_ORACLES["s20_concurrent_upsert_streams"] = _sql_s20()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
