@@ -682,9 +682,12 @@ def update_ivf_index(
     epoch layout (``write_ivf_index(..., epoch='base')``) — a flat
     index has no segment order to scope deletes against.
 
-    Plain-IVF layout only: a PQ-coded index's update epoch would need
-    the build-time codebooks to encode ``__pq``; re-encode through
-    ``write_ivf_pq_index`` + compaction instead (enforced).
+    PQ-coded layouts update too (round 12): the update epoch encodes
+    ``__pq`` with the build-time codebooks from the index's
+    ``_quantizer.json`` sidecar — drift impossible by construction —
+    and must supply the index's carry columns (filtered probes would
+    otherwise read NULLs for updated rows). Pre-sidecar PQ indexes
+    still refuse with a rebuild hint.
 
     Crash-atomic: the tombstones are written FIRST but stamped with
     ``src_epoch`` and stay dormant until the replacement epoch's
@@ -719,12 +722,39 @@ def update_ivf_index(
             "update_ivf_index requires an epoch-layout index "
             "(write_ivf_index(..., epoch='base'))"
         )
-    if "__pq" in spark.read.parquet(index_path).columns:
-        raise ValueError(
-            "update_ivf_index does not support PQ-coded layouts — the "
-            "update epoch cannot encode __pq without the build-time "
-            "codebooks; re-encode via write_ivf_pq_index + compaction"
+    base_cols = spark.read.parquet(index_path).columns
+    is_pq = "__pq" in base_cols
+    pq_meta = None
+    if is_pq:
+        # round 12: the PQ refusal is lifted — the build-time
+        # codebooks persist in the _quantizer.json sidecar, so the
+        # update epoch can encode __pq with the EXACT quantizer the
+        # index serves with (drift impossible by construction)
+        pq_meta = read_index_quantizer(index_path)
+        if pq_meta is None or "codebooks" not in pq_meta:
+            raise ValueError(
+                "PQ update needs the index's _quantizer.json sidecar "
+                "(with codebooks) — rebuild once via round-12 "
+                "write_ivf_pq_index to enable in-place PQ updates"
+            )
+        carry = tuple(
+            sorted(
+                c
+                for c in base_cols
+                if c
+                not in (
+                    "neighbor_id", "__cv", "__cn", "__pq",
+                    "ivf_cell", "epoch",
+                )
+            )
         )
+        missing = [c for c in carry if c not in new_rows.columns]
+        if missing:
+            raise ValueError(
+                f"PQ update batch lacks the index's carry column(s) "
+                f"{missing} — filtered probes would read NULLs for "
+                "the updated rows"
+            )
     if new_rows.limit(1).count() == 0:
         # empty upsert batch (streams deliver empty micro-batches): a
         # zero-row tombstone write leaves a footer-less parquet dir —
@@ -779,17 +809,34 @@ def update_ivf_index(
                 }
             ),
         )
-    write_ivf_index(
-        new_rows,
-        index_path,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        n_cells=n_cells,
-        centroids=centroids,
-        mode="overwrite",
-        epoch=str(epoch),
-    )
+    if is_pq:
+        write_ivf_pq_index(
+            new_rows,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=int(pq_meta["dim"]),
+            n_cells=int(pq_meta["n_cells"]),
+            m=int(pq_meta["m"]),
+            k=int(pq_meta["k"]),
+            centroids=pq_meta["centroids"],
+            codebooks=pq_meta["codebooks"],
+            mode="overwrite",
+            carry_cols=carry,
+            epoch=str(epoch),
+        )
+    else:
+        write_ivf_index(
+            new_rows,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            n_cells=n_cells,
+            centroids=centroids,
+            mode="overwrite",
+            epoch=str(epoch),
+        )
 
 
 def maybe_retrain_ivf_index(
@@ -898,6 +945,7 @@ def write_ivf_pq_index(
     codebooks: list[list[list[float]]] | None = None,
     mode: str = "overwrite",
     carry_cols: tuple[str, ...] = (),
+    epoch: str | None = None,
 ) -> None:
     """write_ivf_index plus the PQ arm: each row additionally stores
     its packed product-quantization code (``__pq``, one BIGINT — 8
@@ -907,7 +955,37 @@ def write_ivf_pq_index(
     only in the probed ``ivf_cell=K/`` directories. This is the
     billion-scale serving layout: partition pruning bounds WHICH rows
     are read, column pruning bounds HOW WIDE, and the wide column is
-    touched for shortlist x queries rows total (sim23 pins the plan)."""
+    touched for shortlist x queries rows total (sim23 pins the plan).
+
+    ``n_cells=None`` auto-sizes exactly like ``write_ivf_index``.
+    ``epoch`` switches to the incremental layout (round 12: with the
+    codebooks persisted in ``_quantizer.json``, the PQ lake supports
+    the same epoch appends/updates as the plain layout — ledger seq
+    committed before data, drift guard on the quantizer)."""
+    if n_cells is None:
+        n_cells = (
+            len(centroids)
+            if centroids is not None
+            else auto_n_cells(corpus.count())
+        )
+    out_path = path
+    if epoch is not None:
+        import os
+
+        _commit_ann_epoch(path, str(epoch))
+        _persist_quantizer(
+            path,
+            _quantizer_meta(
+                dim, n_cells, centroids, m=m, k=k,
+                codebooks=(
+                    codebooks
+                    if codebooks is not None
+                    else _pq_codebooks(dim, m, k)
+                ),
+            ),
+            replace=False,
+        )
+        out_path = os.path.join(path, f"epoch={epoch}")
     coded = with_pq_code(
         with_ivf_cell(
             spread(corpus), vec_col, dim, n_cells, centroids=centroids
@@ -924,7 +1002,9 @@ def write_ivf_pq_index(
         # ineligible rows die at the parquet reader, before ADC
         *carry_cols,
         "ivf_cell",
-    ).write.mode(mode).partitionBy("ivf_cell").parquet(path)
+    ).write.mode(mode).partitionBy("ivf_cell").parquet(out_path)
+    if epoch is not None:
+        return
     _persist_quantizer(
         path,
         _quantizer_meta(

@@ -208,10 +208,11 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         shutil.rmtree(old_path, ignore_errors=True)
     shutil.rmtree(tmp_path, ignore_errors=True)
     scan = spark.read.parquet(index_path)
-    keep = ["neighbor_id", "__cv", "__cn", "ivf_cell"] + (
-        ["epoch"] if "epoch" in scan.columns else []
-    )
-    df = scan.select(*keep)
+    # keep EVERY data column — a PQ layout carries __pq and arbitrary
+    # carry_cols beside the vectors, and dropping them at compaction
+    # would silently break the codes-only ADC probe (round-12 fix:
+    # the old explicit keep-list lost __pq)
+    df = scan
     tomb = read_index_tombstones(spark, index_path)
     if tomb is not None:
         # apply pending deletes physically (epoch-scoped update

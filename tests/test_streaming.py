@@ -1397,6 +1397,98 @@ def test_ivf_torn_update_tombstones_dormant_until_epoch_commits(
     assert answers() == after
 
 
+def test_pq_index_full_lifecycle(spark, sf_dir, tmp_path):
+    """The PQ lake gains the full CRUD lifecycle (round 12 — the
+    codebooks persist in _quantizer.json, so the old 'updates need
+    build-time codebooks' refusal is lifted): epoch'd build + append,
+    UPDATE (the new epoch encodes __pq with the sidecar quantizer),
+    DELETE, and compaction that KEEPS the codes and carry columns
+    (the old keep-list silently dropped __pq). After every mutation
+    the persisted probe must equal a fresh PQ index built over the
+    live corpus; a filtered probe must read real carry values for
+    updated rows."""
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_pq_topk,
+        lloyd_train,
+        pq_train,
+        update_ivf_index,
+        write_ivf_pq_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    vecs = {r.vec_id: (r.embedding, r.label) for r in e.collect()}
+    n = len(vecs)
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=3)
+    books = pq_train(e, "embedding", dim=64, m=16, k=16, rounds=3)
+    idx = str(tmp_path / "ivfpq")
+    write_ivf_pq_index(
+        e.where(F.col("vec_id") < n // 2), idx, dim=64, n_cells=8,
+        centroids=trained, codebooks=books, carry_cols=("label",),
+        epoch="base",
+    )
+    write_ivf_pq_index(
+        e.where(F.col("vec_id") >= n // 2), idx, dim=64, n_cells=8,
+        centroids=trained, codebooks=books, carry_cols=("label",),
+        epoch="a1",
+    )
+    probe = e.where(F.col("vec_id") < 3).select("vec_id", "embedding")
+
+    def answers(p):
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_pq_topk(
+                spark, p, probe, kq=5, shortlist=40, dim=64, n_cells=8,
+                n_probe=8, centroids=trained, codebooks=books,
+            ).collect()
+        ]
+
+    def fresh(tag, df):
+        p = str(tmp_path / tag)
+        write_ivf_pq_index(
+            df, p, dim=64, n_cells=8, centroids=trained,
+            codebooks=books, carry_cols=("label",), epoch="base",
+        )
+        return answers(p)
+
+    assert answers(idx) == fresh("ref0", e)
+
+    # UPDATE: re-embed %10==2 to its successor's vector, same label
+    upd_ids = [i for i in sorted(vecs) if i % 10 == 2]
+    upd = spark.createDataFrame(
+        [(i, vecs[(i + 1) % n][0], vecs[i][1]) for i in upd_ids],
+        "vec_id long, embedding array<float>, label int",
+    )
+    update_ivf_index(
+        spark, upd, idx, epoch="u1", dim=64, n_cells=8,
+        centroids=trained,
+    )
+    live = e.where(~F.col("vec_id").isin(upd_ids)).unionByName(upd)
+    assert answers(idx) == fresh("ref1", live)
+
+    # filtered probe reads REAL carry values for the updated rows
+    lbl = int(sorted({vecs[i][1] for i in upd_ids})[0])
+    filt = ivf_index_pq_topk(
+        spark, idx, probe, kq=5, shortlist=40, dim=64, n_cells=8,
+        n_probe=8, centroids=trained, codebooks=books,
+        candidate_filter=F.col("label") == lbl,
+    ).collect()
+    assert len(filt) > 0
+
+    # DELETE + compaction keeps codes/carry and serves identically
+    del_ids = [i for i in sorted(vecs) if i % 9 == 4]
+    delete_from_ivf_index(spark, idx, del_ids)
+    live2 = live.where(~F.col("vec_id").isin(del_ids))
+    assert answers(idx) == fresh("ref2", live2)
+    compact_ivf_index(spark, idx)
+    cols = set(spark.read.parquet(idx).columns)
+    assert "__pq" in cols and "label" in cols
+    assert answers(idx) == fresh("ref3", live2)
+
+
 def test_ivf_index_self_describing_quantizer(spark, sf_dir, tmp_path):
     """Indexes persist their quantizer (_quantizer.json, round 12):
     probes called WITHOUT centroids resolve dim/n_cells/centroids
