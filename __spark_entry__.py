@@ -9661,13 +9661,19 @@ def sim23_persisted_ivfpq_probe(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank", "cosine_sim")
 
 
-def _sql_ivfpq_probe_replay(eligible_pred: str | None = None) -> str:
-    """Shared oracle for the persisted IVF+PQ probes (sim23/sim24):
-    both trainings unrolled, trained-cell probe, ADC shortlist, exact
-    re-score, top 5 — ONE replay so a tie/rounding-rule change cannot
-    silently diverge the two. ``eligible_pred`` (SQL over the
-    embeddings table, e.g. "label = 3") restricts candidates the way
-    sim24's candidate_filter pre-filters the codes scan."""
+def _sql_ivfpq_probe_replay(
+    eligible_pred: str | None = None, corpus_sql: str | None = None
+) -> str:
+    """Shared oracle for the persisted IVF+PQ probes (sim23/sim24,
+    round-12 sim36): both trainings unrolled, trained-cell probe, ADC
+    shortlist, exact re-score, top 5 — ONE replay so a tie/rounding-
+    rule change cannot silently diverge them. ``eligible_pred`` (SQL
+    over the embeddings table, e.g. "label = 3") restricts candidates
+    the way sim24's candidate_filter pre-filters the codes scan.
+    ``corpus_sql`` (a SELECT producing (vec_id, v)) replaces the
+    CORPUS side — cell assignment, PQ codes, candidate set, neighbor
+    norms — while query vectors stay the ORIGINAL embeddings, which
+    is how sim36 replays an UPDATED index."""
     m, k = _SIM22_M, _SIM22_K
     sub = 64 // m
     n_probe, shortlist = _SIM22_PROBE, _SIM22_SHORTLIST
@@ -9679,13 +9685,20 @@ def _sql_ivfpq_probe_replay(eligible_pred: str | None = None) -> str:
     eligible AS MATERIALIZED (
       SELECT vec_id FROM embeddings WHERE {eligible_pred}),"""
         eligible_join = "JOIN eligible el ON el.vec_id = cl.vec_id"
+    corpus = corpus_sql if corpus_sql is not None else "SELECT vec_id, v FROM e"
     return f"""
     WITH {_sql_lloyd_train_ctes(10)},
     {_sql_pq_train_ctes(10, m=m, k=k, sub=sub, include_e=False)},
-    norms AS MATERIALIZED (
+    ecorp AS MATERIALIZED ({corpus}),
+    norms_q AS MATERIALIZED (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    norms_c AS MATERIALIZED (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ecorp),
     scored AS MATERIALIZED (
-      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM e, ct),
+      SELECT vec_id, c, list_dot_product(v, cent) AS score FROM ecorp, ct),
+    qscored AS MATERIALIZED (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM e, ct WHERE vec_id < 5),
     cells AS MATERIALIZED (
       SELECT vec_id, c AS cell FROM (
         SELECT vec_id, c, row_number() OVER (
@@ -9695,7 +9708,7 @@ def _sql_ivfpq_probe_replay(eligible_pred: str | None = None) -> str:
       SELECT vec_id, c AS cell, rn FROM (
         SELECT vec_id, c, row_number() OVER (
           PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
-        FROM scored WHERE vec_id < 5) WHERE rn <= {n_probe}),{eligible_ctes}
+        FROM qscored) WHERE rn <= {n_probe}),{eligible_ctes}
     cand AS MATERIALIZED (
       SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
       FROM pranks p JOIN cells cl USING (cell)
@@ -9710,7 +9723,7 @@ def _sql_ivfpq_probe_replay(eligible_pred: str | None = None) -> str:
                  -2 * list_dot_product(
                    list_slice(v, j * {sub} + 1, (j + 1) * {sub}), cent)
                    + list_dot_product(cent, cent) AS d
-          FROM e, cbT)) WHERE rn = 1),
+          FROM ecorp, cbT)) WHERE rn = 1),
     rv_t AS MATERIALIZED (
       SELECT codes.vec_id, flatten(list(cent ORDER BY codes.j)) AS rv
       FROM codes_t codes JOIN cbT USING (j, c)
@@ -9740,14 +9753,116 @@ def _sql_ivfpq_probe_replay(eligible_pred: str | None = None) -> str:
                      THEN list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)
                      ELSE 0 END, 6) DESC, sh.neighbor_id ASC) AS rank
       FROM short sh
-      JOIN norms qn ON qn.vec_id = sh.query_id
-      JOIN norms cn ON cn.vec_id = sh.neighbor_id)
+      JOIN norms_q qn ON qn.vec_id = sh.query_id
+      JOIN norms_c cn ON cn.vec_id = sh.neighbor_id)
     WHERE rank <= 5 ORDER BY query_id, rank
     """
 
 
 def _sql_sim23():
     return _sql_ivfpq_probe_replay()
+
+
+def sim36_pq_updates(spark, sf_dir):
+    """In-place UPDATES for the PQ-coded serving layout (round 12 —
+    the round-11 refusal lifted: the build-time codebooks persist in
+    the index's ``_quantizer.json`` sidecar, so a replacement epoch
+    can encode ``__pq`` with the EXACT quantizer the index serves
+    with). Same mutation script as sim30 on the PQ layout: base +
+    append epochs, vec %10==2 re-embeds to its successor's vector (a
+    pure row move), vec %9==4 deleted after. Arms ``tombstoned`` /
+    ``compacted`` — compaction must keep the codes (round-12 fix: the
+    old keep-list silently dropped ``__pq``) — and BOTH must equal
+    ONE oracle replay of the three-stage ADC probe over the live
+    corpus."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_pq_topk,
+        lloyd_train,
+        pq_train,
+        update_ivf_index,
+        write_ivf_pq_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    books = pq_train(
+        e, "embedding", dim=64, m=16, k=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_ivfpq_upd_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_ivf_pq_index(
+        e.where(F.col("vec_id") < 250), idx, dim=64, n_cells=16,
+        m=16, k=16, centroids=cents, codebooks=books, epoch="base",
+    )
+    write_ivf_pq_index(
+        e.where(F.col("vec_id") >= 250), idx, dim=64, n_cells=16,
+        m=16, k=16, centroids=cents, codebooks=books, epoch="a1",
+    )
+    nxt = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("nemb"),
+    )
+    upd = (
+        e.where(F.col("vec_id") % 10 == 2)
+        .join(nxt, "vec_id")
+        .select("vec_id", F.col("nemb").alias("embedding"))
+    )
+    update_ivf_index(
+        spark, upd, idx, epoch="u1", dim=64, n_cells=16,
+        centroids=cents,
+    )
+    delete_from_ivf_index(
+        spark, idx, e.where(F.col("vec_id") % 9 == 4).select("vec_id")
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def probed(arm: str):
+        out = ivf_index_pq_topk(
+            spark, idx, probe, kq=5, shortlist=_SIM22_SHORTLIST,
+            dim=64, n_cells=16, n_probe=_SIM22_PROBE, m=16, k=16,
+            centroids=cents, codebooks=books,
+        ).select(
+            F.lit(arm).alias("arm"),
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+        # materialize BEFORE the index mutates under the lazy plan
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    arm1 = probed("tombstoned")
+    compact_ivf_index(spark, idx)
+    return (
+        arm1.unionByName(probed("compacted"))
+        .orderBy("arm", "query_id", "rank")
+    )
+
+
+def _sql_sim36():
+    live = """
+      SELECT e.vec_id, coalesce(u.v, e.v) AS v
+      FROM e LEFT JOIN (
+        SELECT a.vec_id, b.v FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 10 = 2) u USING (vec_id)
+      WHERE e.vec_id % 9 != 4"""
+    inner = _sql_ivfpq_probe_replay(corpus_sql=live)
+    return f"""
+    WITH res AS ({inner})
+    SELECT arms.arm, query_id, neighbor_id, rank, cosine_sim
+    FROM res CROSS JOIN (
+      SELECT unnest(['compacted', 'tombstoned']) AS arm) arms
+    ORDER BY arm, query_id, rank
+    """
 
 
 def sim24_filtered_persisted_ann(spark, sf_dir):
@@ -15491,6 +15606,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim34_autosized_retrain": sim34_autosized_retrain,
     "sim35_ann_time_travel": sim35_ann_time_travel,
     "s20_concurrent_upsert_streams": s20_concurrent_upsert_streams,
+    "sim36_pq_updates": sim36_pq_updates,
     "llm18_bpe_merges": llm18_bpe_merges,
     "llm19_leakage_free_split": llm19_leakage_free_split,
     "d13_triangle_count": d13_triangle_count,
@@ -16027,6 +16143,7 @@ except OSError:
 
 _ORACLES["sim35_ann_time_travel"] = _sql_sim35()
 _ORACLES["s20_concurrent_upsert_streams"] = _sql_s20()
+_ORACLES["sim36_pq_updates"] = _sql_sim36()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
