@@ -2719,6 +2719,118 @@ def _sql_g20():
     """
 
 
+def g21_polygon_holes(spark, sf_dir):
+    """Interior rings (round 13 — the full closure of deviation D8):
+    per-part donut polygons with two square holes, exercising the
+    whole multi-ring surface — shoelace area MINUS holes, boundary
+    length INCLUDING holes, hole-aware validity (containment +
+    pairwise disjointness), hole-aware point-in-polygon, and the
+    multi-ring WKT render→parse round trip (area recomputed from the
+    parsed WKT must equal the direct one).
+
+    Fixture: outer square side W = p_size+5 at the origin; hole A of
+    side a = p_size%2+1 at (1,1); unit hole B at (W-2,W-2). Two
+    seeded corruption classes make validity non-trivial: p_size%7==0
+    moves hole A to straddle the outer boundary (not contained);
+    p_size%11==3 (and not %7) moves hole B onto hole A (overlapping
+    holes). Area/perimeter are position-independent, so their
+    closed forms hold in every variant — the DuckDB oracle states all
+    columns as hand-computed closed forms over p_size."""
+    from geosparql_etl_spark.functions.geometry import (
+        is_valid_polygon_holes,
+        point_in_polygon_holes,
+        polygon_area_holes,
+        polygon_perimeter_holes,
+        polygon_wkt_rings,
+        wkt_polygon_rings,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    W = (F.col("p_size") + 5).cast("double")
+    a = (F.col("p_size") % 2 + 1).cast("double")
+
+    def sq(x0, y0, s):
+        return F.array(
+            F.array(x0, y0),
+            F.array(x0 + s, y0),
+            F.array(x0 + s, y0 + s),
+            F.array(x0, y0 + s),
+        )
+
+    one = F.lit(1.0)
+    hole_a = F.when(
+        F.col("p_size") % 7 == 0, sq(W - 1.0, W - 1.0, a)
+    ).otherwise(sq(one, one, a))
+    hole_b = F.when(
+        (F.col("p_size") % 11 == 3) & (F.col("p_size") % 7 != 0),
+        sq(F.lit(1.25), F.lit(1.25), one),
+    ).otherwise(sq(W - 2.0, W - 2.0, one))
+    d = p.select(
+        "p_partkey",
+        "p_size",
+        F.array(sq(F.lit(0.0), F.lit(0.0), W), hole_a, hole_b).alias(
+            "coords"
+        ),
+    )
+
+    def bound(f):
+        # lambda-bind coords (and anything else the folds reference
+        # O(n^2) times) — the sp33 plan-size rule
+        return F.element_at(
+            F.transform(F.array(F.col("coords")), f), 1
+        )
+
+    W2 = (F.col("p_size") + 5).cast("double")
+    return d.select(
+        "p_partkey",
+        F.round(polygon_area_holes(F.col("coords")), 4).alias("area"),
+        F.round(
+            polygon_perimeter_holes(F.col("coords")), 4
+        ).alias("perimeter"),
+        is_valid_polygon_holes(F.lit("Polygon"), F.col("coords")).alias(
+            "valid"
+        ),
+        bound(
+            lambda c: point_in_polygon_holes(c, F.lit(1.5), F.lit(1.5))
+        ).alias("pip_mid"),
+        bound(
+            lambda c: point_in_polygon_holes(c, W2 - 1.5, W2 - 1.5)
+        ).alias("pip_far"),
+        F.round(
+            F.element_at(
+                F.transform(
+                    F.array(
+                        wkt_polygon_rings(
+                            polygon_wkt_rings(F.col("coords"))
+                        )
+                    ),
+                    lambda c: polygon_area_holes(c),
+                ),
+                1,
+            ),
+            4,
+        ).alias("area_rt"),
+    )
+
+
+def _sql_g21():
+    # CAST to DOUBLE: DuckDB types 5.0 literals as DECIMAL, and
+    # round(DECIMAL) stays DECIMAL — the driver compares type classes
+    w = "(CAST(p_size AS DOUBLE) + 5)"
+    a = "(CAST(p_size % 2 AS DOUBLE) + 1)"
+    area = f"round({w}*{w} - {a}*{a} - 1, 4)"
+    return f"""
+    SELECT p_partkey,
+      {area} AS area,
+      round(4*{w} + 4*{a} + 4, 4) AS perimeter,
+      (p_size % 7 <> 0 AND p_size % 11 <> 3) AS valid,
+      (p_size % 7 = 0) AS pip_mid,
+      (p_size % 11 = 3 AND p_size % 7 <> 0) AS pip_far,
+      {area} AS area_rt
+    FROM part
+    """
+
+
 def d17_minhash_error(spark, sf_dir):
     """MinHash estimator-quality report (round 8) — dq02's
     sketch-contract idea applied to MinHash: for every exact near-dup
@@ -15550,6 +15662,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "llm25_semantic_training_funnel": llm25_semantic_training_funnel,
     "d20_skew_capped_neardup": d20_skew_capped_neardup,
     "g20_dense_cell_cap": g20_dense_cell_cap,
+    "g21_polygon_holes": g21_polygon_holes,
     "sim25_ann_deletes": sim25_ann_deletes,
     "j15_bucketed_colocated_join": j15_bucketed_colocated_join,
     "sim26_persisted_bm25": sim26_persisted_bm25,
@@ -16072,6 +16185,7 @@ _ORACLES: dict[str, str] = {
     "llm25_semantic_training_funnel": _sql_llm25(),
     "d20_skew_capped_neardup": _sql_d20(),
     "g20_dense_cell_cap": _sql_g20(),
+    "g21_polygon_holes": _sql_g21(),
     "sim25_ann_deletes": _sql_sim25(),
     "j15_bucketed_colocated_join": _sql_j15(),
     "sim26_persisted_bm25": _sql_sim26(),
@@ -16146,8 +16260,78 @@ _ORACLES["s20_concurrent_upsert_streams"] = _sql_s20()
 _ORACLES["sim36_pq_updates"] = _sql_sim36()
 
 
+# Round-13 correctness window: the driver records correctness rows for
+# the FIRST 50 entries of queries(). Rather than re-ordering the _QUERIES
+# literal each round, the window is this explicit list — queries() moves
+# it to the head and leaves everything else in registry order. Contents,
+# per the round-12 verdict's rotation instructions: the five
+# never-driver-stamped round-12 additions lead, then this round's new
+# queries, then the 27 queries whose latest stamp is r6 (the oldest
+# surviving attestations), then the head of the r8-stamped block fills
+# to 50.
+_WINDOW_R13 = [
+    # never stamped (round-12 additions)
+    "sp44_erroring_bind",
+    "sim34_autosized_retrain",
+    "sim35_ann_time_travel",
+    "s20_concurrent_upsert_streams",
+    "sim36_pq_updates",
+    # round-13 additions
+    "g21_polygon_holes",
+    # r6-stamped block (oldest attestations), registry order
+    "llm18_bpe_merges",
+    "llm19_leakage_free_split",
+    "d13_triangle_count",
+    "d14_clustering_coeff",
+    "g17_distance_join",
+    "dq04_fk_audit",
+    "txt17_readability",
+    "sim07_vector_stats",
+    "llm05_decontaminate",
+    "s01_tumbling_window",
+    "s02_sliding_window",
+    "s03_sessionization",
+    "s08_gap_fill_resample",
+    "mm01_media_features",
+    "mm02_frame_sampling",
+    "mm03_audio_features",
+    "h02_file_hash",
+    "llm06_incremental_dedup",
+    "llm07_stratified_topk_sample",
+    "llm08_chunking",
+    "w05_window_frames",
+    "a13_grouping_sets",
+    "g16_point_in_polygon",
+    "d01_dedup_exact",
+    "d02_fingerprint",
+    "d03_minhash_signature",
+    "d04_ngram_jaccard",
+    # r8-stamped head fills the remainder to 50
+    "sp17_bind_bucket",
+    "sp18_select_expressions",
+    "sp19_star_closure",
+    "llm20_bpe_tokenize",
+    "sp20_graph_scoped_agg",
+    "q10_returned_items",
+    "q12_priority_counts",
+    "q14_promo_effect",
+    "a16_mad_outliers",
+    "g18_nearest_neighbor",
+    "txt18_lexical_diversity",
+    "s14_rate_anomaly",
+    "sp21_solution_modifiers",
+    "dq05_benford_audit",
+    "sp22_count_distinct",
+    "sp23_negated_path",
+    "sp24_with_graph_update",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    head = {k: _QUERIES[k] for k in _WINDOW_R13}
+    return head | {
+        k: v for k, v in _QUERIES.items() if k not in head
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -53,24 +53,11 @@ def _close_ring(pts: Column) -> Column:
     ).otherwise(pts)
 
 
-def _closed_ring_wkt(pts: Column) -> Column:
-    """'POLYGON ((...))' with auto-close, built in ONE fold over the
-    formatted point strings.
-
-    Performance note: higher-order-function lambdas are interpreted (not
-    whole-stage-codegen'd), and every *reference* to an expression
-    re-evaluates it — a close check written as when(size(pts)>0 &
-    first!=last, concat(pts,...)) evaluates the whole transform 4x per
-    row. The single aggregate fold evaluates each point exactly once
-    (measured ~5x on the sf0.1 bench for G3).
-
-    Codegen note: the zero struct uses ''-sentinels, NOT null literals —
-    a null field in an aggregate() zero struct combined with a nested
-    higher-order input trips a Janino "isNull is not an rvalue" compile
-    error (Spark 4.1.2) that silently drops the whole projection to
-    interpreter mode. '' is unambiguous: every formatted point contains
-    a space.
-    """
+def _closed_ring_body(pts: Column) -> Column:
+    """The comma-joined body of one auto-closed ring ('x y, ..., x1 y1'),
+    NULL for an empty point list — the per-ring core `_closed_ring_wkt`
+    (single ring) and `polygon_wkt_rings` (multi-ring) both wrap. One
+    fold; see _closed_ring_wkt for why."""
     zero = F.struct(
         F.lit("").alias("s"),
         F.lit("").alias("first"),
@@ -89,14 +76,38 @@ def _closed_ring_wkt(pts: Column) -> Column:
         lambda acc: F.when(
             acc["first"] != "",
             F.concat(
-                F.lit("POLYGON (("),
                 acc["s"],
                 F.when(
-                    acc["first"] != acc["last"], F.concat(F.lit(", "), acc["first"])
+                    acc["first"] != acc["last"],
+                    F.concat(F.lit(", "), acc["first"]),
                 ).otherwise(F.lit("")),
-                F.lit("))"),
             ),
         ),
+    )
+
+
+def _closed_ring_wkt(pts: Column) -> Column:
+    """'POLYGON ((...))' with auto-close, built in ONE fold over the
+    formatted point strings.
+
+    Performance note: higher-order-function lambdas are interpreted (not
+    whole-stage-codegen'd), and every *reference* to an expression
+    re-evaluates it — a close check written as when(size(pts)>0 &
+    first!=last, concat(pts,...)) evaluates the whole transform 4x per
+    row. The single aggregate fold evaluates each point exactly once
+    (measured ~5x on the sf0.1 bench for G3).
+
+    Codegen note: the zero struct uses ''-sentinels, NOT null literals —
+    a null field in an aggregate() zero struct combined with a nested
+    higher-order input trips a Janino "isNull is not an rvalue" compile
+    error (Spark 4.1.2) that silently drops the whole projection to
+    interpreter mode. '' is unambiguous: every formatted point contains
+    a space.
+    """
+    body = _closed_ring_body(pts)
+    return F.when(
+        body.isNotNull(),
+        F.concat(F.lit("POLYGON (("), body, F.lit("))")),
     )
 
 
@@ -389,6 +400,17 @@ def rings_intersect(ra: Column, rb: Column) -> Column:
     rings are referenced O(|A|x|B|) times by the edge fold, so an
     inlined WKT parse tree would multiply through the plan (the sp33
     lesson)."""
+    a_in_b = F.exists(ra, lambda p: point_in_ring(rb, p[0], p[1]))
+    b_in_a = F.exists(rb, lambda p: point_in_ring(ra, p[0], p[1]))
+    return a_in_b | b_in_a | _rings_edges_cross(ra, rb)
+
+
+def _rings_edges_cross(ra: Column, rb: Column) -> Column:
+    """Does any edge of closed ring A PROPERLY cross any edge of
+    closed ring B? (The edge-pair arm of rings_intersect, exposed for
+    the hole-containment check — a hole whose boundary crosses the
+    outer ring is not contained even if all its vertices are.) Same
+    materialized-input caveat as rings_intersect."""
 
     def edge(r: Column, n: Column, i: Column):
         j = F.when(i == n, 1).otherwise(i + 1)
@@ -400,8 +422,6 @@ def rings_intersect(ra: Column, rb: Column) -> Column:
         )
 
     na, nb = F.size(ra), F.size(rb)
-    a_in_b = F.exists(ra, lambda p: point_in_ring(rb, p[0], p[1]))
-    b_in_a = F.exists(rb, lambda p: point_in_ring(ra, p[0], p[1]))
 
     def crosses(i: Column, j: Column) -> Column:
         p1x, p1y, p2x, p2y = edge(ra, na, i)
@@ -415,11 +435,10 @@ def rings_intersect(ra: Column, rb: Column) -> Column:
             & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
         )
 
-    any_cross = F.exists(
+    return F.exists(
         F.sequence(F.lit(1), na),
         lambda i: F.exists(F.sequence(F.lit(1), nb), lambda j: crosses(i, j)),
     )
-    return a_in_b | b_in_a | any_cross
 
 
 def ring_self_intersects(ring: Column) -> Column:
@@ -663,3 +682,180 @@ def wkt_polygon_ring(wkt: Column) -> Column:
         F.slice(pts, 1, F.size(pts) - 1),
     ).otherwise(pts)
     return F.when(body != "", ring)
+
+
+# --- interior rings / polygon holes (round 13; closes D8's residual) -----
+#
+# The reference's data model reads only coordinates[0] (json-etl:34), so
+# rounds 1-12 carried outer rings exclusively. Real GeoJSON polygons carry
+# interior rings (holes): coordinates[1:] — area subtracts them, validity
+# requires them simple / contained / pairwise disjoint, and WKT renders
+# one parenthesized ring list per ring. These extend the canonical
+# array<array<array<double>>> form to all rings; the single-ring G1-G13
+# functions are unchanged.
+
+
+def hole_rings(coordinates: Column) -> Column:
+    """Interior rings (GeoJSON coordinates[1:]) — empty array when the
+    polygon has no holes."""
+    return F.slice(
+        coordinates, 2, F.greatest(F.size(coordinates) - 1, F.lit(0))
+    )
+
+
+def polygon_area_holes(coordinates: Column) -> Column:
+    """Shoelace area over ALL rings: |outer| − Σ|holes| — shapely's
+    Polygon.area for a polygon with interior rings. Holes are assumed
+    nested (is_valid_polygon_holes checks that); each ring's area is
+    the absolute shoelace value, so ring orientation is irrelevant."""
+    return ring_area(outer_ring(coordinates)) - F.aggregate(
+        hole_rings(coordinates),
+        F.lit(0.0),
+        lambda acc, r: acc + ring_area(r),
+    )
+
+
+def polygon_perimeter_holes(coordinates: Column) -> Column:
+    """Boundary length over ALL rings (shapely .length includes hole
+    boundaries)."""
+    return F.aggregate(
+        coordinates, F.lit(0.0), lambda acc, r: acc + ring_perimeter(r)
+    )
+
+
+def polygon_wkt_rings(coordinates: Column) -> Column:
+    """Multi-ring ``POLYGON ((outer), (hole1), ...)`` WKT with per-ring
+    auto-close and raw double rendering — the all-rings form of
+    polygon_wkt/G1 (which renders coordinates[0] only, matching the
+    reference). NULL when the coordinates or the outer ring are
+    empty; an empty INTERIOR ring is skipped (array_join drops the
+    null body)."""
+    bodies = F.transform(
+        coordinates,
+        lambda ring: F.concat(
+            F.lit("("),
+            _closed_ring_body(F.transform(ring, _fmt_point_raw)),
+            F.lit(")"),
+        ),
+    )
+    ring0 = outer_ring(coordinates)
+    empty = (
+        coordinates.isNull()
+        | (F.size(coordinates) == 0)
+        | ring0.isNull()
+        | (F.size(ring0) == 0)
+    )
+    return F.when(
+        ~empty,
+        F.concat(
+            F.lit("POLYGON ("), F.array_join(bodies, ", "), F.lit(")")
+        ),
+    )
+
+
+def wkt_polygon_rings(wkt: Column) -> Column:
+    """Multi-ring WKT ``POLYGON((...), (...))`` -> ALL rings as
+    ``array<array<array<double>>>`` (the canonical coordinates shape),
+    NULL for a non-POLYGON literal — the all-rings form of
+    wkt_polygon_ring. Each ring's closing repeat of its first vertex
+    is dropped (closure is implicit everywhere downstream). Same
+    regexp+split+transform construction, no UDF."""
+    inner = F.regexp_extract(wkt, r"^\s*POLYGON\s*\((.*)\)\s*$", 1)
+    ring_strs = F.split(
+        F.regexp_replace(inner, r"^\s*\(|\)\s*$", ""), r"\)\s*,\s*\("
+    )
+
+    def parse_ring(body: Column) -> Column:
+        pts = F.transform(
+            F.split(body, r"\s*,\s*"),
+            lambda p: F.transform(
+                F.split(F.trim(p), r"\s+"), lambda v: v.try_cast("double")
+            ),
+        )
+        return F.when(
+            (F.size(pts) > 1)
+            & (F.element_at(pts, 1) == F.element_at(pts, F.size(pts))),
+            F.slice(pts, 1, F.size(pts) - 1),
+        ).otherwise(pts)
+
+    return F.when(inner != "", F.transform(ring_strs, parse_ring))
+
+
+def point_in_polygon_holes(
+    coordinates: Column, px: Column, py: Column
+) -> Column:
+    """Even-odd point-in-polygon over ALL rings: strictly inside the
+    outer ring AND not inside any hole. Points on any ring boundary
+    are parity-undefined, as in point_in_ring."""
+    return point_in_ring(outer_ring(coordinates), px, py) & ~F.exists(
+        hole_rings(coordinates), lambda h: point_in_ring(h, px, py)
+    )
+
+
+def _valid_holes_core(coords: Column) -> Column:
+    """is_valid_polygon_holes' ring checks over a LAMBDA-BOUND
+    coordinates variable (the sp33 binding trick — the containment and
+    disjointness folds reference the rings O(n^2) times, so the input
+    must be a variable, not an expression tree)."""
+    outer = F.get(coords, 0)
+    holes = F.slice(
+        coords, 2, F.greatest(F.size(coords) - 1, F.lit(0))
+    )
+    outer_ok = (
+        outer.isNotNull()
+        & (F.size(outer) >= 3)
+        & (ring_area(outer) > 0.0)
+        & ~ring_self_intersects(outer)
+    )
+    # each hole: simple ring with positive area, STRICTLY contained in
+    # the outer ring (every vertex inside + no boundary cross — vertex
+    # tests alone miss a hole whose edges stab through the outer ring)
+    hole_ok = F.forall(
+        holes,
+        lambda h: (F.size(h) >= 3)
+        & (ring_area(h) > 0.0)
+        & ~ring_self_intersects(h)
+        & F.forall(h, lambda p: point_in_ring(outer, p[0], p[1]))
+        & ~_rings_edges_cross(outer, h),
+    )
+    # holes pairwise disjoint as filled regions (covers overlapping AND
+    # nested holes — both OGC-invalid); pure point/edge boundary
+    # contact between holes is not detected (rings_intersect's
+    # documented degenerate class) — fixtures keep margins
+    nh = F.size(holes)
+    disjoint = F.when(
+        nh >= 2,
+        ~F.exists(
+            F.sequence(F.lit(1), nh),
+            lambda i: F.exists(
+                F.sequence(F.lit(1), nh),
+                lambda j: (j > i)
+                & rings_intersect(
+                    F.element_at(holes, i), F.element_at(holes, j)
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(True))
+    return outer_ok & hole_ok & disjoint
+
+
+def is_valid_polygon_holes(
+    geometry_type: Column, coordinates: Column
+) -> Column:
+    """G9 extended to interior rings (round 13 — the full closure of
+    deviation D8): type=='Polygon', valid simple outer ring (the
+    is_valid_polygon checks), and every hole simple, positive-area,
+    strictly inside the outer ring, and pairwise disjoint (no
+    overlapping or nested holes). The reference never validated holes
+    (it never read them — json-etl:34); semantics follow shapely
+    is_valid on the same fixtures."""
+    ok = (
+        geometry_type.isNotNull()
+        & (geometry_type == F.lit("Polygon"))
+        & coordinates.isNotNull()
+        & (F.size(coordinates) > 0)
+        & F.element_at(
+            F.transform(F.array(coordinates), _valid_holes_core), 1
+        )
+    )
+    return F.coalesce(ok, F.lit(False))

@@ -303,7 +303,21 @@ def _persist_quantizer(path: str, meta: dict, replace: bool) -> None:
     if not replace and os.path.exists(p):
         with open(p) as fh:
             existing = json.load(fh)
-        if any(existing.get(k) != meta.get(k) for k in meta):
+        # symmetric comparison (round-13 fix): a plain-IVF append
+        # whose meta simply LACKS the codebook keys must not pass the
+        # guard on a PQ index — its rows would land without __pq and
+        # the ADC probe ranks NULL approx_d2 first, silently
+        # polluting every shortlist
+        if "codebooks" in existing and "codebooks" not in meta:
+            raise ValueError(
+                f"codebook-less write onto PQ index {path}: this "
+                "index stores packed PQ codes, so epoch appends must "
+                "encode __pq with its codebooks — use "
+                "update_ivf_index / write_ivf_pq_index"
+            )
+        if set(existing) != set(meta) or any(
+            existing.get(k) != meta.get(k) for k in meta
+        ):
             raise ValueError(
                 f"quantizer drift: {path} was built with a different "
                 "quantizer than this write supplies — rebuild the "
@@ -529,9 +543,13 @@ def _ann_epoch_seqs(index_path: str) -> dict[str, int]:
     each epoch writer commits ``_ledger/<epoch>.json`` ({"seq": n})
     with one atomic rename (multi-writer safe, replay keeps the
     original seq). Epochs predating the ledger fall back to
-    name order with ``base`` first — exact for every index this
-    engine writes (base then appends), approximate only for a
-    hand-built legacy layout."""
+    name order with ``base`` first, sequenced BELOW every ledgered
+    seq — un-ledgered epochs can only predate the ledger (every
+    write path since round 12 commits a ledger entry), so ranking
+    them after ledgered epochs would let a compacted base drift
+    ABOVE later appends and silently vanish from time-travel probes
+    (round-13 fix; compaction also now seeds ``base``'s ledger entry
+    so this fallback is a legacy-layout safety net only)."""
     import glob
     import json
     import os
@@ -545,7 +563,7 @@ def _ann_epoch_seqs(index_path: str) -> dict[str, int]:
                 seqs[name] = int(json.load(fh)["seq"])
     legacy = [e for e in committed if e not in seqs]
     if legacy:
-        nxt = max(seqs.values(), default=-1) + 1
+        nxt = min(seqs.values(), default=len(legacy)) - len(legacy)
         ordered = [e for e in ("base",) if e in legacy] + sorted(
             e for e in legacy if e != "base"
         )
@@ -712,16 +730,24 @@ def update_ivf_index(
     import glob
     import os
 
-    epochs_now = sorted(
+    layout_epochs = [
         os.path.basename(d).split("=", 1)[1]
         for d in glob.glob(os.path.join(index_path, "epoch=*"))
-    )
-    epochs_now = [e for e in epochs_now if e != str(epoch)]
-    if not epochs_now:
+        if os.path.basename(d).split("=", 1)[1] != str(epoch)
+    ]
+    if not layout_epochs:
         raise ValueError(
             "update_ivf_index requires an epoch-layout index "
             "(write_ivf_index(..., epoch='base'))"
         )
+    # tombstone scope = COMMITTED epochs only (round-13 fix; the
+    # delete_from_ivf_index rule): a concurrent writer's in-flight
+    # epoch post-dates this update — if it commits later it must
+    # survive, so tombstoning it here would contradict the documented
+    # 'an epoch that lands later survives' multi-writer semantics
+    epochs_now = [
+        e for e in _committed_epochs(index_path) if e != str(epoch)
+    ]
     base_cols = spark.read.parquet(index_path).columns
     is_pq = "__pq" in base_cols
     pq_meta = None
@@ -796,19 +822,26 @@ def update_ivf_index(
             for e in epochs_now:
                 nid.append(i)
                 eps.append(e)
-        atomic_parquet_append(
-            tomb_dir,
-            pa.table(
-                {
-                    "neighbor_id": pa.array(nid, pa.int64()),
-                    "epoch": pa.array(eps, pa.string()),
-                    "src_epoch": pa.array(
-                        [str(epoch)] * len(nid), pa.string()
-                    ),
-                    "issued": pa.array([issued] * len(nid), pa.int32()),
-                }
-            ),
-        )
+        if nid:
+            # nid is empty only when NO other epoch is committed yet
+            # (an upsert racing the initial build) — nothing visible
+            # to tombstone, and the delete rule already says an epoch
+            # that commits later must survive
+            atomic_parquet_append(
+                tomb_dir,
+                pa.table(
+                    {
+                        "neighbor_id": pa.array(nid, pa.int64()),
+                        "epoch": pa.array(eps, pa.string()),
+                        "src_epoch": pa.array(
+                            [str(epoch)] * len(nid), pa.string()
+                        ),
+                        "issued": pa.array(
+                            [issued] * len(nid), pa.int32()
+                        ),
+                    }
+                ),
+            )
     if is_pq:
         write_ivf_pq_index(
             new_rows,
@@ -866,6 +899,18 @@ def maybe_retrain_ivf_index(
     import os
     import shutil
 
+    old = index_path.rstrip("/") + ".retrain.old"
+    if not os.path.exists(index_path) and os.path.exists(old):
+        # crash between the swap's two renames left the moved-aside
+        # generation as the only live copy — restore it (the
+        # compact_ivf_index recovery preamble, round-13 fix: without
+        # this, nothing ever brought the index back)
+        os.replace(old, index_path)
+    elif os.path.exists(old):
+        # crash after the swap committed but before cleanup: the live
+        # index is already the new generation — sweep the stale copy
+        shutil.rmtree(old, ignore_errors=True)
+
     scan = spark.read.parquet(index_path)
     if "__pq" in scan.columns:
         raise ValueError(
@@ -894,7 +939,6 @@ def maybe_retrain_ivf_index(
         rows, tmp, id_col="vec_id", vec_col=vec_col, dim=dim,
         n_cells=target, centroids=trained, epoch="base",
     )
-    old = index_path.rstrip("/") + ".retrain.old"
     shutil.rmtree(old, ignore_errors=True)
     os.replace(index_path, old)
     os.replace(tmp, index_path)

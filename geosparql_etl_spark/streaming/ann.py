@@ -239,13 +239,23 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
             "ivf_cell"
         ).parquet(os.path.join(tmp_path, "epoch=base"))
     # the quantizer sidecar survives compaction (rows keep their
-    # cells, so the quantizer is unchanged); the epoch ledger does
-    # NOT — the collapsed base re-seeds at seq 0 via the legacy rule
+    # cells, so the quantizer is unchanged); the epoch ledger
+    # collapses to ONE entry — base at seq 0, written explicitly
+    # (round-13 fix: relying on the un-ledgered fallback let the
+    # first post-compaction append push base's inferred seq ABOVE
+    # its own, so as_of_seq probes pinned at the append excluded the
+    # entire compacted corpus and issue stamps drifted per append)
     qfile = os.path.join(index_path, "_quantizer.json")
     if os.path.exists(qfile):
         shutil.copyfile(
             qfile, os.path.join(tmp_path, "_quantizer.json")
         )
+    import json
+
+    led = os.path.join(tmp_path, "_ledger")
+    os.makedirs(led, exist_ok=True)
+    with open(os.path.join(led, "base.json"), "w") as fh:
+        json.dump({"seq": 0}, fh)
     # commit point: the replacement generation is fully on disk
     shutil.rmtree(old_path, ignore_errors=True)
     os.replace(index_path, old_path)

@@ -196,3 +196,118 @@ def test_point_in_ring_nonconvex(spark):
             point_in_ring(ring, F.lit(px), F.lit(py)).alias("r")
         ).first()["r"]
         assert got == want, (px, py, got)
+
+
+# --- interior rings (round 13: D8 full closure) --------------------------
+
+DONUT = [
+    [[0.0, 0.0], [6.0, 0.0], [6.0, 6.0], [0.0, 6.0]],
+    [[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0]],
+    [[4.0, 4.0], [5.0, 4.0], [5.0, 5.0], [4.0, 5.0]],
+]
+
+
+def test_polygon_area_perimeter_holes(spark):
+    # hand-computed shoelace: 36 - 4 - 1; boundary 24 + 8 + 4
+    assert _one(
+        spark, G.polygon_area_holes(F.col("coords")), coords=DONUT
+    ) == 31.0
+    assert _one(
+        spark, G.polygon_perimeter_holes(F.col("coords")), coords=DONUT
+    ) == 36.0
+    # no holes: degrades to the single-ring measures
+    assert _one(
+        spark, G.polygon_area_holes(F.col("coords")), coords=[DONUT[0]]
+    ) == 36.0
+
+
+def test_point_in_polygon_holes(spark):
+    for px, py, want in [
+        (0.5, 0.5, True),    # between outer and holes
+        (2.0, 2.0, False),   # inside hole 1
+        (4.5, 4.5, False),   # inside hole 2
+        (3.5, 3.5, True),    # between the holes
+        (7.0, 7.0, False),   # outside the outer ring
+    ]:
+        got = _one(
+            spark,
+            G.point_in_polygon_holes(
+                F.col("coords"), F.lit(px), F.lit(py)
+            ),
+            coords=DONUT,
+        )
+        assert got == want, (px, py, got)
+
+
+def test_multi_ring_wkt_render_and_parse(spark):
+    wkt = _one(spark, G.polygon_wkt_rings(F.col("coords")), coords=DONUT)
+    assert wkt == (
+        "POLYGON ((0.0 0.0, 6.0 0.0, 6.0 6.0, 0.0 6.0, 0.0 0.0), "
+        "(1.0 1.0, 3.0 1.0, 3.0 3.0, 1.0 3.0, 1.0 1.0), "
+        "(4.0 4.0, 5.0 4.0, 5.0 5.0, 4.0 5.0, 4.0 4.0))"
+    )
+    # parse drops the closing repeats and returns the canonical form
+    rt = _one(
+        spark,
+        G.wkt_polygon_rings(G.polygon_wkt_rings(F.col("coords"))),
+        coords=DONUT,
+    )
+    assert [[list(p) for p in ring] for ring in rt] == DONUT
+    # single-ring WKT parses to a one-ring coordinates array
+    one = _one(
+        spark,
+        G.wkt_polygon_rings(F.lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")),
+        dummy=1,
+    )
+    assert [[list(p) for p in r] for r in one] == [
+        [[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0]]
+    ]
+    assert _one(
+        spark, G.wkt_polygon_rings(F.lit("POINT (1 2)")), dummy=1
+    ) is None
+
+
+def test_is_valid_polygon_holes(spark):
+    def valid(coords):
+        return _one(
+            spark,
+            G.is_valid_polygon_holes(F.lit("Polygon"), F.col("coords")),
+            coords=coords,
+        )
+
+    assert valid(DONUT) is True
+    assert valid([DONUT[0]]) is True  # no holes
+    # hole straddling the outer boundary: vertices outside + edge cross
+    assert valid(
+        [DONUT[0], [[5.0, 5.0], [8.0, 5.0], [8.0, 8.0], [5.0, 8.0]]]
+    ) is False
+    # hole fully OUTSIDE the outer ring (no edge cross, vertices out)
+    assert valid(
+        [DONUT[0], [[7.0, 7.0], [8.0, 7.0], [8.0, 8.0], [7.0, 8.0]]]
+    ) is False
+    # overlapping holes
+    assert valid(
+        [DONUT[0], DONUT[1], [[2.0, 2.0], [4.0, 2.0], [4.0, 4.0], [2.0, 4.0]]]
+    ) is False
+    # nested holes (hole inside hole) — OGC-invalid
+    assert valid(
+        [DONUT[0], DONUT[1],
+         [[1.5, 1.5], [2.0, 1.5], [2.0, 2.0], [1.5, 2.0]]]
+    ) is False
+    # degenerate hole (zero area)
+    assert valid(
+        [DONUT[0], [[1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]]
+    ) is False
+    # self-intersecting (bowtie) hole
+    assert valid(
+        [DONUT[0], [[1.0, 1.0], [3.0, 3.0], [3.0, 1.0], [1.0, 3.0]]]
+    ) is False
+    # invalid OUTER still fails with clean holes
+    assert valid(
+        [[[0.0, 0.0], [6.0, 6.0], [6.0, 0.0], [0.0, 6.0]], DONUT[2]]
+    ) is False
+    assert _one(
+        spark,
+        G.is_valid_polygon_holes(F.lit("Point"), F.col("coords")),
+        coords=DONUT,
+    ) is False

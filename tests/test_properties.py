@@ -812,3 +812,70 @@ def test_pq_pack_unpack_roundtrip_property(spark, codes):
           for j in range(16)]
     ).first()
     assert [row[f"u{j}"] for j in range(16)] == codes
+
+
+@given(
+    holes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # grid cell x
+            st.integers(min_value=0, max_value=3),  # grid cell y
+            st.floats(min_value=0.1, max_value=0.8),  # hole side
+        ),
+        max_size=4,
+        unique_by=lambda h: (h[0], h[1]),
+    ),
+    px=st.floats(min_value=0.01, max_value=7.99),
+    py=st.floats(min_value=0.01, max_value=7.99),
+)
+@settings(**_SETTINGS)
+def test_polygon_holes_area_and_containment(spark, holes, px, py):
+    """Interior-ring invariants (round 13): placing disjoint square
+    holes on a grid inside an 8x8 outer square, (a) the polygon is
+    valid, (b) area == 64 - sum(hole areas) (always < outer), and
+    (c) point-in-polygon == inside-outer AND not inside any hole,
+    computed independently in Python."""
+    from hypothesis import assume
+
+    from geosparql_etl_spark.functions.geometry import (
+        is_valid_polygon_holes,
+        point_in_polygon_holes,
+        polygon_area_holes,
+    )
+
+    outer = [[0.0, 0.0], [8.0, 0.0], [8.0, 8.0], [0.0, 8.0]]
+    # one hole per 2x2 grid cell, side < 0.8 with 0.5 margin: disjoint
+    # from each other and strictly inside the outer ring by construction
+    rings = [outer]
+    boxes = []
+    for cx, cy, side in holes:
+        x0, y0 = 2.0 * cx + 0.5, 2.0 * cy + 0.5
+        rings.append(
+            [[x0, y0], [x0 + side, y0], [x0 + side, y0 + side],
+             [x0, y0 + side]]
+        )
+        boxes.append((x0, y0, x0 + side, y0 + side))
+    # keep the probe off every boundary (parity-undefined there)
+    eps = 1e-6
+    assume(all(abs(px - v) > eps for b in boxes for v in (b[0], b[2])))
+    assume(all(abs(py - v) > eps for b in boxes for v in (b[1], b[3])))
+
+    df = spark.createDataFrame(
+        [(rings,)], "coords array<array<array<double>>>"
+    )
+    row = df.select(
+        polygon_area_holes(F.col("coords")).alias("area"),
+        is_valid_polygon_holes(F.lit("Polygon"), F.col("coords")).alias(
+            "valid"
+        ),
+        point_in_polygon_holes(
+            F.col("coords"), F.lit(px), F.lit(py)
+        ).alias("pip"),
+    ).first()
+    want_area = 64.0 - sum(s * s for _, _, s in holes)
+    assert row["valid"] is True
+    assert abs(row["area"] - want_area) < 1e-9
+    assert row["area"] <= 64.0
+    in_hole = any(
+        b[0] < px < b[2] and b[1] < py < b[3] for b in boxes
+    )
+    assert row["pip"] == (not in_hole)

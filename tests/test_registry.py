@@ -18,42 +18,41 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert missing <= {"h02_file_hash"}, missing
 
 
-def test_round12_correctness_window_is_stable():
+def test_round13_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the r12 window: the twenty never-stamped round-11 additions lead
-    # (sp43..sim33 at 1-20), then the r05-stamped remainder
-    # (s06..sim06 at 21-30), then the head of the r06-stamped block
-    # fills 31-50 (q04 head, llm17_preference_pairs at 50). Round-12
-    # additions belong BELOW position 50, contiguously first (see the
-    # registry comment for the r13 rotation).
-    r11_adds = {
-        "sp43_optional_rejoin", "llm25_semantic_training_funnel",
-        "d20_skew_capped_neardup", "g20_dense_cell_cap",
-        "sim25_ann_deletes", "j15_bucketed_colocated_join",
-        "sim26_persisted_bm25", "s17_streaming_text_index",
-        "er04_incremental_resolution", "sim27_hybrid_persisted_serving",
-        "sim28_bm25_deletes", "llm26_snapshot_diff",
-        "sim29_bm25_updates", "s18_streaming_text_upserts",
-        "sim30_ann_updates", "s19_streaming_ann_upserts",
-        "sim31_bm25_time_travel", "w06_gap_fill",
-        "sim32_phrase_search", "sim33_proximity_search",
+    # the r13 window is the explicit _WINDOW_R13 list: the five
+    # never-driver-stamped round-12 additions lead, then the round-13
+    # additions, then the 27 r6-stamped queries (oldest surviving
+    # attestations), then the r8-stamped head fills to 50. queries()
+    # moves the list to the front; everything else keeps registry
+    # order behind it.
+    assert len(entry._WINDOW_R13) == 50
+    assert keys[:50] == entry._WINDOW_R13
+    assert keys[:5] == [
+        "sp44_erroring_bind",
+        "sim34_autosized_retrain",
+        "sim35_ann_time_travel",
+        "s20_concurrent_upsert_streams",
+        "sim36_pq_updates",
+    ]
+    r6_block = {
+        "llm18_bpe_merges", "llm19_leakage_free_split",
+        "d13_triangle_count", "d14_clustering_coeff",
+        "g17_distance_join", "dq04_fk_audit", "txt17_readability",
+        "sim07_vector_stats", "llm05_decontaminate",
+        "s01_tumbling_window", "s02_sliding_window",
+        "s03_sessionization", "s08_gap_fill_resample",
+        "mm01_media_features", "mm02_frame_sampling",
+        "mm03_audio_features", "h02_file_hash",
+        "llm06_incremental_dedup", "llm07_stratified_topk_sample",
+        "llm08_chunking", "w05_window_frames", "a13_grouping_sets",
+        "g16_point_in_polygon", "d01_dedup_exact", "d02_fingerprint",
+        "d03_minhash_signature", "d04_ngram_jaccard",
     }
-    assert keys[0] == "sp43_optional_rejoin"
-    assert set(keys[0:20]) == r11_adds
-    r05_rem = {
-        "s06_stream_dedup_batch", "s07_funnel", "txt09_normalize",
-        "txt10_tfidf_topterms", "txt11_boilerplate", "a11_cube",
-        "a12_histogram", "w04_global_rank", "j10_set_ops",
-        "sim06_pq_ann",
-    }
-    assert set(keys[20:30]) == r05_rem
-    assert keys[30] == "q04_priority_exists"
-    assert keys[49] == "llm17_preference_pairs"
-    # round-12 additions (if any) sit contiguously right below the
-    # window; the freshly-r11-stamped old window sits at the very end
-    assert keys[-1] == "s05_attribution_join"
-    assert "sim22_shippable_ann" in keys[-50:]
+    assert r6_block <= set(keys[:50])
+    assert keys[49] == "sp24_with_graph_update"
     assert len(keys) == len(set(keys))
+    assert len(keys) == len(entry._QUERIES)
 
 
 def test_module_imports_and_registry_resolves():

@@ -1973,3 +1973,194 @@ def test_ivf_index_random_op_sequence_matches_fresh_index(
         else:
             compact_ivf_index(spark, idx)
         check(step)
+
+
+def test_compact_then_append_time_travel(spark, sf_dir, tmp_path):
+    """Round-13 regression (advisor, high): compaction collapses the
+    epoch ledger to ONE seeded entry (base at seq 0) — before the fix
+    it dropped the ledger entirely and the un-ledgered fallback
+    pushed base's inferred seq ABOVE the first post-compaction
+    append, so as_of probes pinned at that append silently excluded
+    the entire compacted corpus and delete issue stamps drifted
+    upward per append."""
+    from geosparql_etl_spark.operators.similarity import (
+        _ann_epoch_seqs,
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=3)
+    idx = str(tmp_path / "ivf")
+    half = e.where(F.col("vec_id") < n // 2)
+    rest = e.where(F.col("vec_id") >= n // 2)
+    write_ivf_index(half, idx, dim=64, n_cells=8, centroids=trained,
+                    epoch="base")
+    write_ivf_index(rest.where(F.col("vec_id") % 2 == 0), idx, dim=64,
+                    n_cells=8, centroids=trained, epoch="a1")
+    compact_ivf_index(spark, idx)
+    assert _ann_epoch_seqs(idx) == {"base": 0}
+    write_ivf_index(rest.where(F.col("vec_id") % 2 == 1), idx, dim=64,
+                    n_cells=8, centroids=trained, epoch="a2")
+    # base keeps seq 0 under the new append — the bug inferred base=2
+    seqs = _ann_epoch_seqs(idx)
+    assert seqs == {"base": 0, "a2": 1}
+
+    probe = e.where(F.col("vec_id") < 3)
+
+    def answers(path, as_of=None):
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_topk(
+                spark, path, probe, k=5, dim=64, n_cells=8, n_probe=8,
+                centroids=trained, as_of_seq=as_of,
+            ).collect()
+        ]
+
+    # the pin at the compacted generation sees EXACTLY its corpus
+    ref0 = str(tmp_path / "ref0")
+    write_ivf_index(
+        half.unionByName(rest.where(F.col("vec_id") % 2 == 0)), ref0,
+        dim=64, n_cells=8, centroids=trained, epoch="base",
+    )
+    assert answers(idx, as_of=0) == answers(ref0)
+    refall = str(tmp_path / "refall")
+    write_ivf_index(e, refall, dim=64, n_cells=8, centroids=trained,
+                    epoch="base")
+    assert answers(idx, as_of=1) == answers(refall)
+    # delete issue stamps are stable at the ledgered max (1), so a
+    # pin at 0 pre-dates the delete and still serves the victim
+    delete_from_ivf_index(spark, idx, [0])
+    tomb = spark.read.option("mergeSchema", "true").parquet(
+        f"{idx}/_tombstones"
+    )
+    assert {r.issued for r in tomb.select("issued").collect()} == {1}
+    assert answers(idx, as_of=0) == answers(ref0)
+
+
+def test_quantizer_guard_refuses_codebookless_write_on_pq(
+    spark, sf_dir, tmp_path
+):
+    """Round-13 regression (advisor, medium): a plain-IVF epoch
+    append onto a PQ index must fail the drift guard even though its
+    (subset) meta keys all match — its rows would land without __pq
+    and NULL approx_d2 sorts FIRST in the ADC shortlist."""
+    import pytest
+
+    from geosparql_etl_spark.operators.similarity import (
+        lloyd_train,
+        pq_train,
+        write_ivf_index,
+        write_ivf_pq_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=3)
+    books = pq_train(e, "embedding", dim=64, m=16, k=16, rounds=3)
+    idx = str(tmp_path / "pq")
+    write_ivf_pq_index(
+        e.where(F.col("vec_id") < 50), idx, dim=64, n_cells=8,
+        centroids=trained, codebooks=books, epoch="base",
+    )
+    with pytest.raises(ValueError, match="PQ index"):
+        write_ivf_index(
+            e.where(F.col("vec_id") >= 50), idx, dim=64, n_cells=8,
+            centroids=trained, epoch="a1",
+        )
+
+
+def test_retrain_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """Round-13 regression (advisor, low): maybe_retrain_ivf_index's
+    generation swap now carries the compact_ivf_index recovery
+    preamble — a crash between its two renames leaves only the
+    ``.retrain.old`` copy, and the next call must restore it instead
+    of failing on a missing index forever."""
+    import os
+    import shutil
+
+    from geosparql_etl_spark.operators.similarity import (
+        auto_n_cells,
+        ivf_index_topk,
+        lloyd_train,
+        maybe_retrain_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # build at the auto size so the recovery calls are no-op retrains
+    # (this test isolates the swap recovery, not the retrain itself)
+    c = auto_n_cells(e.count())
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=c, rounds=3)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(e, idx, dim=64, n_cells=c, centroids=trained,
+                    epoch="base")
+    probe = e.where(F.col("vec_id") < 3)
+
+    def answers():
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_topk(
+                spark, idx, probe, k=5, dim=64, n_cells=c, n_probe=c,
+                centroids=trained,
+            ).collect()
+        ]
+
+    before = answers()
+    # simulate the crash window: index moved aside, tmp vanished
+    os.replace(idx, idx + ".retrain.old")
+    n_cells, cents = maybe_retrain_ivf_index(
+        spark, idx, current_n_cells=c, rounds=3
+    )
+    assert (n_cells, cents) == (c, None)
+    assert os.path.exists(idx)
+    assert not os.path.exists(idx + ".retrain.old")
+    assert answers() == before
+    # stale .old beside a live index (crash after commit) is swept
+    shutil.copytree(idx, idx + ".retrain.old")
+    maybe_retrain_ivf_index(spark, idx, current_n_cells=c, rounds=3)
+    assert not os.path.exists(idx + ".retrain.old")
+
+
+def test_update_tombstones_scope_committed_epochs_only(
+    spark, sf_dir, tmp_path
+):
+    """Round-13 regression (advisor, low): update_ivf_index scopes
+    its tombstones over COMMITTED epochs only — a concurrent writer's
+    in-flight (no _SUCCESS) epoch that commits after the upsert must
+    keep its rows, per the multi-writer 'an epoch that lands later
+    survives' rule delete_from_ivf_index already follows."""
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=3)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(e.where(F.col("vec_id") < 50), idx, dim=64,
+                    n_cells=8, centroids=trained, epoch="base")
+    # another writer's in-flight epoch: committed dir minus _SUCCESS
+    write_ivf_index(
+        e.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 80)), idx,
+        dim=64, n_cells=8, centroids=trained, epoch="zz",
+    )
+    os.remove(os.path.join(idx, "epoch=zz", "_SUCCESS"))
+
+    upd = spark.createDataFrame(
+        [(60, [float(i % 7) for i in range(64)])],
+        "vec_id long, embedding array<float>",
+    )
+    update_ivf_index(spark, upd, idx, epoch="u1", dim=64, n_cells=8,
+                     centroids=trained)
+    tomb = spark.read.option("mergeSchema", "true").parquet(
+        f"{idx}/_tombstones"
+    )
+    scoped = {r.epoch for r in tomb.select("epoch").collect()}
+    assert scoped == {"base"}
