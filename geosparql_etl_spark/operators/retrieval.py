@@ -295,16 +295,14 @@ def _read_stats(path: str) -> dict:
     other's commit (round-12; previously an interleaved stats rewrite
     could orphan a just-committed epoch). Entries sort by filename
     for the legacy positional-seq fallback."""
-    import glob
     import json
     import os
 
+    from geosparql_etl_spark.lakes import commit as lc
+
     with open(os.path.join(path, "_stats.json")) as fh:
         stats = json.load(fh)
-    for f in sorted(glob.glob(os.path.join(path, "_ledger", "*.json"))):
-        name = os.path.basename(f)[: -len(".json")]
-        with open(f) as fh:
-            stats["epochs"][name] = json.load(fh)
+    stats["epochs"].update(lc.read_ledger_entries(path))
     return stats
 
 
@@ -320,17 +318,12 @@ def _write_stats(path: str, stats: dict) -> None:
 
 def _commit_epoch_entry(path: str, epoch: str, entry: dict) -> None:
     """Atomically commit ONE epoch's ledger entry as its own sidecar
-    file — the multi-writer commit point (see ``_read_stats``). A
-    replayed epoch overwrites its own file idempotently."""
-    import json
-    import os
+    file — the multi-writer commit point (see ``_read_stats``;
+    lakes.commit.commit_ledger_entry). A replayed epoch overwrites
+    its own file idempotently."""
+    from geosparql_etl_spark.lakes import commit as lc
 
-    led = os.path.join(path, "_ledger")
-    os.makedirs(led, exist_ok=True)
-    tmp = os.path.join(led, f".{epoch}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(entry, fh)
-    os.replace(tmp, os.path.join(led, f"{epoch}.json"))
+    lc.commit_ledger_entry(path, epoch, entry)
 
 
 def _epoch_contribution(spark, epoch_path: str) -> dict:
@@ -429,11 +422,10 @@ def append_to_text_index(
         # zero-row parquet write leaves no readable footer, so skip
         # the data writes and commit a zero ledger entry — the epoch
         # stays replay-keyed, probes' isin filter matches no dir
+        from geosparql_etl_spark.lakes.commit import assign_seq
+
         entry = {"n_docs": 0, "sum_dl": 0}
-        prior = _epoch_seqs(stats)
-        entry["seq"] = prior.get(
-            str(epoch), max(prior.values(), default=-1) + 1
-        )
+        entry["seq"] = assign_seq(_epoch_seqs(stats), str(epoch))
         _commit_epoch_entry(path, str(epoch), entry)
         return
     post = _index_postings(docs, id_col, text_col, stats["n_buckets"])
@@ -447,13 +439,12 @@ def append_to_text_index(
     # a half-counted one (the next replay of the same epoch overwrites
     # both keys idempotently)
     entry = _epoch_contribution(docs.sparkSession, epoch_path)
-    prior = _epoch_seqs(stats)
     # a REPLAYED epoch keeps its original seq (its postings overwrite
     # in place, so its position relative to existing tombstones must
     # not move); a new epoch sequences after everything committed
-    entry["seq"] = prior.get(
-        str(epoch), max(prior.values(), default=-1) + 1
-    )
+    from geosparql_etl_spark.lakes.commit import assign_seq
+
+    entry["seq"] = assign_seq(_epoch_seqs(stats), str(epoch))
     _commit_epoch_entry(path, str(epoch), entry)
 
 
@@ -523,15 +514,9 @@ def delete_from_text_index(
     max_now = max(_epoch_seqs(stats).values(), default=0)
     seq_now = at_seq if at_seq is not None else max_now
     issued = issued_seq if issued_seq is not None else max_now
-    if isinstance(ids, DataFrame):
-        id_list = [
-            int(r[0])
-            for r in ids.select(
-                F.col(ids.columns[0]).cast("long")
-            ).collect()
-        ]
-    else:
-        id_list = [int(i) for i in ids]
+    from geosparql_etl_spark.lakes.commit import collect_id_list
+
+    id_list = collect_id_list(ids)
     if not id_list:
         # empty delete set (e.g. an upsert batch of only-new docs
         # routed through update): nothing to kill
@@ -565,17 +550,11 @@ def read_text_tombstones(
     view in which later deletes/updates have not happened yet.
     Tombstone files predating the seq columns count as
     delete-everything issued at seq 0."""
-    import os
+    from geosparql_etl_spark.lakes.commit import read_tombstone_frame
 
-    p = os.path.join(path, "_tombstones")
-    # visible-file check, not just existence: a concurrent deleter may
-    # have created the dir but not yet renamed its first file in
-    # (atomic_parquet_append), and reading an empty dir throws
-    if not os.path.exists(p) or not any(
-        not f.startswith(("_", ".")) for f in os.listdir(p)
-    ):
+    t = read_tombstone_frame(spark, path)
+    if t is None:
         return None
-    t = spark.read.option("mergeSchema", "true").parquet(p)
     # per-ROW coalescing, not per-directory: a mixed dir (legacy files
     # + seq'd files) merges schemas and the legacy rows read as NULL —
     # which would NULL out the anti-join residual and silently
@@ -685,16 +664,9 @@ def _tombstone_fingerprint(path: str) -> tuple | None:
     None when no tombstones exist."""
     import os
 
-    p = os.path.join(path, "_tombstones")
-    if not os.path.exists(p):
-        return None
-    return tuple(
-        sorted(
-            (f, os.path.getsize(os.path.join(p, f)))
-            for f in os.listdir(p)
-            if not f.startswith(("_", "."))
-        )
-    )
+    from geosparql_etl_spark.lakes.commit import dir_fingerprint
+
+    return dir_fingerprint(os.path.join(path, "_tombstones"))
 
 
 def _ensure_doclens(spark, path: str, stats: dict) -> None:
@@ -863,12 +835,10 @@ def compact_text_index(spark, path: str) -> None:
     import os
     import shutil
 
-    tmp_path = path.rstrip("/") + ".compact.tmp"
-    old_path = path.rstrip("/") + ".compact.old"
-    if not os.path.exists(path) and os.path.exists(old_path):
-        os.replace(old_path, path)
-    elif os.path.exists(old_path):
-        shutil.rmtree(old_path, ignore_errors=True)
+    from geosparql_etl_spark.lakes import commit as lc
+
+    tmp_path, old_path = lc.swap_paths(path, "compact")
+    lc.recover_swap(path, old_path)
     shutil.rmtree(tmp_path, ignore_errors=True)
 
     stats = _read_stats(path)
@@ -951,10 +921,7 @@ def compact_text_index(spark, path: str) -> None:
         {"n_buckets": stats["n_buckets"], "epochs": {"base": base}},
     )
     # commit point: the replacement generation is fully on disk
-    shutil.rmtree(old_path, ignore_errors=True)
-    os.replace(path, old_path)
-    os.replace(tmp_path, path)
-    shutil.rmtree(old_path, ignore_errors=True)
+    lc.commit_swap(path, tmp_path, old_path)
 
 
 def stream_id(checkpoint_dir: str) -> str:
@@ -964,12 +931,9 @@ def stream_id(checkpoint_dir: str) -> str:
     would otherwise both mint epoch '0' and silently overwrite each
     other's batches (review finding, round 11); the checkpoint path
     is the one name that is already unique per stream."""
-    import hashlib
-    import os
+    from geosparql_etl_spark.lakes import commit as lc
 
-    return hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:8]
+    return lc.stream_id(checkpoint_dir)
 
 
 def _run_doc_batch_stream(
@@ -983,20 +947,13 @@ def _run_doc_batch_stream(
     """Shared scaffold for the text-lake streaming runners: schema
     sniff with fallback, file-source discovery, checkpointed
     availableNow foreachBatch."""
-    try:
-        schema = spark.read.parquet(landing_dir).schema
-    except Exception:
-        schema = f"{id_col} long, {text_col} string"
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(landing_dir)
+    from geosparql_etl_spark.lakes.commit import (
+        run_availablenow_file_stream,
     )
-    return (
-        stream.writeStream.foreachBatch(per_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+
+    return run_availablenow_file_stream(
+        spark, landing_dir, checkpoint_dir, per_batch,
+        f"{id_col} long, {text_col} string",
     )
 
 
@@ -1345,17 +1302,9 @@ def fsck_text_index(spark, path: str) -> list[dict]:
             "uncommitted (crashed or in-flight) epoch, invisible to "
             "probes; a replay will overwrite it",
         )
-    by_seq: dict = {}
-    for name, s in seqs.items():
-        by_seq.setdefault(s, []).append(name)
-    for s, names in by_seq.items():
-        if len(names) > 1:
-            add(
-                "duplicate_seq", "info",
-                f"epochs {sorted(names)} share seq {s} (concurrent "
-                "writers) — benign for tombstone scoping, as-of order "
-                "between them is undefined",
-            )
+    from geosparql_etl_spark.lakes.commit import duplicate_seq_findings
+
+    findings.extend(duplicate_seq_findings(seqs))
     try:
         tomb = read_text_tombstones(spark, path)
         if tomb is not None:

@@ -476,17 +476,10 @@ def delete_from_ivf_index(spark, index_path: str, ids) -> None:
 
     import pyarrow as pa
 
+    from geosparql_etl_spark.lakes import commit as lc
     from geosparql_etl_spark.util import atomic_parquet_append
 
-    if isinstance(ids, DataFrame):
-        id_list = [
-            int(r[0])
-            for r in ids.select(
-                F.col(ids.columns[0]).cast("long")
-            ).collect()
-        ]
-    else:
-        id_list = [int(i) for i in ids]
+    id_list = lc.collect_id_list(ids)
     if not id_list:
         return
     # driver-side atomic single-file append: concurrent CDC streams
@@ -550,26 +543,15 @@ def _ann_epoch_seqs(index_path: str) -> dict[str, int]:
     ABOVE later appends and silently vanish from time-travel probes
     (round-13 fix; compaction also now seeds ``base``'s ledger entry
     so this fallback is a legacy-layout safety net only)."""
-    import glob
-    import json
-    import os
+    from geosparql_etl_spark.lakes import commit as lc
 
     committed = _committed_epochs(index_path)
-    seqs: dict[str, int] = {}
-    for f in glob.glob(os.path.join(index_path, "_ledger", "*.json")):
-        name = os.path.basename(f)[: -len(".json")]
-        if name in committed:
-            with open(f) as fh:
-                seqs[name] = int(json.load(fh)["seq"])
-    legacy = [e for e in committed if e not in seqs]
-    if legacy:
-        nxt = min(seqs.values(), default=len(legacy)) - len(legacy)
-        ordered = [e for e in ("base",) if e in legacy] + sorted(
-            e for e in legacy if e != "base"
-        )
-        for e in ordered:
-            seqs[e] = nxt
-            nxt += 1
+    seqs = {
+        name: int(entry["seq"])
+        for name, entry in lc.read_ledger_entries(index_path).items()
+        if name in committed
+    }
+    seqs.update(lc.sequence_unledgered(committed, seqs))
     return seqs
 
 
@@ -577,27 +559,18 @@ def _commit_ann_epoch(index_path: str, epoch: str) -> int:
     """Assign-and-commit the epoch's ledger seq: a replayed epoch
     keeps its original seq (its tombstones' relative order must not
     move), a new epoch sequences after everything committed. Atomic
-    single-file rename — the multi-writer commit point."""
-    import json
-    import os
+    single-file rename — the multi-writer commit point
+    (lakes.commit.commit_ledger_entry)."""
+    from geosparql_etl_spark.lakes import commit as lc
 
     seqs = _ann_epoch_seqs(index_path)
     # include not-yet-committed ledger entries too (a crashed writer's
     # epoch may hold a seq whose reuse would alias two epochs)
-    import glob
-
-    for f in glob.glob(os.path.join(index_path, "_ledger", "*.json")):
-        name = os.path.basename(f)[: -len(".json")]
+    for name, entry in lc.read_ledger_entries(index_path).items():
         if name not in seqs:
-            with open(f) as fh:
-                seqs[name] = int(json.load(fh)["seq"])
-    seq = seqs.get(str(epoch), max(seqs.values(), default=-1) + 1)
-    led = os.path.join(index_path, "_ledger")
-    os.makedirs(led, exist_ok=True)
-    tmp = os.path.join(led, f".{epoch}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"seq": seq}, fh)
-    os.replace(tmp, os.path.join(led, f"{epoch}.json"))
+            seqs[name] = int(entry["seq"])
+    seq = lc.assign_seq(seqs, str(epoch))
+    lc.commit_ledger_entry(index_path, str(epoch), {"seq": seq})
     return seq
 
 
@@ -625,17 +598,11 @@ def read_index_tombstones(
     ledger seq (round 12 time travel — the text lake rule): deletes
     and updates that happened after the pin don't exist yet at the
     pin. Files predating the issued column count as issued at 0."""
-    import os
+    from geosparql_etl_spark.lakes import commit as lc
 
-    p = os.path.join(index_path, "_tombstones")
-    # visible-file check, not just existence: a concurrent deleter may
-    # have created the dir but not yet renamed its first file in
-    # (atomic_parquet_append), and reading an empty dir throws
-    if not os.path.exists(p) or not any(
-        not f.startswith(("_", ".")) for f in os.listdir(p)
-    ):
+    t = lc.read_tombstone_frame(spark, index_path)
+    if t is None:
         return None
-    t = spark.read.option("mergeSchema", "true").parquet(p)
     if "epoch" not in t.columns:
         t = t.withColumn("epoch", F.lit(None).cast("string"))
     if "src_epoch" in t.columns:
@@ -786,18 +753,17 @@ def update_ivf_index(
         # zero-row tombstone write leaves a footer-less parquet dir —
         # skip the whole op, nothing to replace
         return
+    from geosparql_etl_spark.lakes import commit as lc
+
     tomb_dir = os.path.join(index_path, "_tombstones")
-    replayed = False
-    if os.path.exists(tomb_dir) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(tomb_dir)
-    ):
-        prev = spark.read.option("mergeSchema", "true").parquet(tomb_dir)
-        replayed = (
-            "src_epoch" in prev.columns
-            and prev.where(
-                F.col("src_epoch").cast("string") == str(epoch)
-            ).limit(1).count() > 0
-        )
+    prev = lc.read_tombstone_frame(spark, index_path)
+    replayed = (
+        prev is not None
+        and "src_epoch" in prev.columns
+        and prev.where(
+            F.col("src_epoch").cast("string") == str(epoch)
+        ).limit(1).count() > 0
+    )
     if not replayed:
         import pyarrow as pa
 
@@ -896,20 +862,15 @@ def maybe_retrain_ivf_index(
     Returns ``(n_cells, centroids)`` — the post-call quantizer size
     and, when a retrain fired, the NEW trained centroids probes must
     use from now on (``None`` when unchanged: keep the old ones)."""
-    import os
     import shutil
 
-    old = index_path.rstrip("/") + ".retrain.old"
-    if not os.path.exists(index_path) and os.path.exists(old):
-        # crash between the swap's two renames left the moved-aside
-        # generation as the only live copy — restore it (the
-        # compact_ivf_index recovery preamble, round-13 fix: without
-        # this, nothing ever brought the index back)
-        os.replace(old, index_path)
-    elif os.path.exists(old):
-        # crash after the swap committed but before cleanup: the live
-        # index is already the new generation — sweep the stale copy
-        shutil.rmtree(old, ignore_errors=True)
+    from geosparql_etl_spark.lakes import commit as lc
+
+    tmp, old = lc.swap_paths(index_path, "retrain")
+    # crash-recovery preamble (round-13 fix: without it, a crash
+    # between the swap's two renames left no live index and nothing
+    # ever restored the moved-aside copy)
+    lc.recover_swap(index_path, old)
 
     scan = spark.read.parquet(index_path)
     if "__pq" in scan.columns:
@@ -933,16 +894,12 @@ def maybe_retrain_ivf_index(
     trained = lloyd_train(
         rows, vec_col, dim=dim, n_cells=target, rounds=rounds
     )
-    tmp = index_path.rstrip("/") + ".retrain.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     write_ivf_index(
         rows, tmp, id_col="vec_id", vec_col=vec_col, dim=dim,
         n_cells=target, centroids=trained, epoch="base",
     )
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(index_path, old)
-    os.replace(tmp, index_path)
-    shutil.rmtree(old, ignore_errors=True)
+    lc.commit_swap(index_path, tmp, old)
     return target, trained
 
 
@@ -2280,7 +2237,6 @@ def fsck_ivf_index(spark, index_path: str) -> list[dict]:
     consistency (every ivf_cell on disk must be addressable by the
     quantizer, or probes can never reach those rows)."""
     import glob
-    import json
     import os
 
     findings: list[dict] = []
@@ -2301,27 +2257,17 @@ def fsck_ivf_index(spark, index_path: str) -> list[dict]:
             f"epoch={e} has no _SUCCESS — in-flight or crashed write, "
             "invisible to ledger-gated reads; a replay overwrites it",
         )
-    led = {
-        os.path.basename(f)[: -len(".json")]
-        for f in glob.glob(os.path.join(index_path, "_ledger", "*.json"))
-    }
-    for e in led - epoch_dirs:
+    from geosparql_etl_spark.lakes import commit as lc
+
+    for e in set(lc.read_ledger_entries(index_path)) - epoch_dirs:
         add(
             "ledger_dangling", "error",
             f"_ledger/{e}.json exists but epoch={e} has no data dir — "
             "if it ever committed, its vectors cannot serve",
         )
-    seqs = _ann_epoch_seqs(index_path)
-    by_seq: dict = {}
-    for name, s in seqs.items():
-        by_seq.setdefault(s, []).append(name)
-    for s, names in by_seq.items():
-        if len(names) > 1:
-            add(
-                "duplicate_seq", "info",
-                f"epochs {sorted(names)} share seq {s} (concurrent "
-                "writers) — benign for tombstone scoping",
-            )
+    findings.extend(
+        lc.duplicate_seq_findings(_ann_epoch_seqs(index_path))
+    )
     try:
         tomb = read_index_tombstones(spark, index_path)
         if tomb is not None:

@@ -42,33 +42,12 @@ EMBEDDINGS_SCHEMA = (
 )
 
 
-def embeddings_file_stream(
-    spark: SparkSession, landing_dir: str
-) -> DataFrame:
-    """File-source stream of embedding parquet drops (schema sniffed
-    from footers when files already exist, the testdata embeddings
-    shape otherwise)."""
-    try:
-        schema = spark.read.parquet(landing_dir).schema
-    except Exception:
-        schema = EMBEDDINGS_SCHEMA
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4)
-        .parquet(landing_dir)
-    )
-
-
 def _stream_id(checkpoint_dir: str) -> str:
     """Stable 8-hex stream id from the checkpoint path — epoch tags
-    are the replay identity, and two streams maintaining the same
-    index from different checkpoints must never mint the same tag
-    (review finding, round 11)."""
-    import hashlib
+    are the replay identity (lakes.commit.stream_id)."""
+    from geosparql_etl_spark.lakes.commit import stream_id
 
-    return hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:8]
+    return stream_id(checkpoint_dir)
 
 
 def run_index_maintenance(
@@ -116,12 +95,13 @@ def run_index_maintenance(
             os.path.join(index_path, f"epoch={sid}-{epoch_id}")
         )
 
-    stream = embeddings_file_stream(spark, landing_dir)
-    return (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from geosparql_etl_spark.lakes.commit import (
+        run_availablenow_file_stream,
+    )
+
+    return run_availablenow_file_stream(
+        spark, landing_dir, checkpoint_dir, write_batch,
+        EMBEDDINGS_SCHEMA,
     )
 
 
@@ -160,12 +140,13 @@ def run_ann_upserts(
             centroids=centroids,
         )
 
-    stream = embeddings_file_stream(spark, landing_dir)
-    return (
-        stream.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    from geosparql_etl_spark.lakes.commit import (
+        run_availablenow_file_stream,
+    )
+
+    return run_availablenow_file_stream(
+        spark, landing_dir, checkpoint_dir, write_batch,
+        EMBEDDINGS_SCHEMA,
     )
 
 
@@ -194,18 +175,10 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     probes behave identically after (pinned by test)."""
     import shutil
 
-    tmp_path = index_path.rstrip("/") + ".compact.tmp"
-    old_path = index_path.rstrip("/") + ".compact.old"
-    if not os.path.exists(index_path) and os.path.exists(old_path):
-        # recover from a crash between the two swap renames: the
-        # moved-aside generation is the only live copy — restore it
-        os.replace(old_path, index_path)
-    elif os.path.exists(old_path):
-        # crash AFTER the swap committed but before cleanup: the live
-        # index is already the new generation, the ``.old`` copy is
-        # stale — sweep it now rather than carrying it to the next
-        # compaction's commit phase
-        shutil.rmtree(old_path, ignore_errors=True)
+    from geosparql_etl_spark.lakes import commit as lc
+
+    tmp_path, old_path = lc.swap_paths(index_path, "compact")
+    lc.recover_swap(index_path, old_path)
     shutil.rmtree(tmp_path, ignore_errors=True)
     scan = spark.read.parquet(index_path)
     # keep EVERY data column — a PQ layout carries __pq and arbitrary
@@ -250,17 +223,6 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         shutil.copyfile(
             qfile, os.path.join(tmp_path, "_quantizer.json")
         )
-    import json
-
-    led = os.path.join(tmp_path, "_ledger")
-    os.makedirs(led, exist_ok=True)
-    with open(os.path.join(led, "base.json"), "w") as fh:
-        json.dump({"seq": 0}, fh)
+    lc.commit_ledger_entry(tmp_path, "base", {"seq": 0})
     # commit point: the replacement generation is fully on disk
-    shutil.rmtree(old_path, ignore_errors=True)
-    os.replace(index_path, old_path)
-    os.replace(tmp_path, index_path)
-    # post-commit cleanup: the compaction has already committed, so a
-    # transient FS error here must not raise out of a successful call
-    # (the preamble sweeps any leftover ``.old`` on the next run)
-    shutil.rmtree(old_path, ignore_errors=True)
+    lc.commit_swap(index_path, tmp_path, old_path)

@@ -33,7 +33,14 @@ def atomic_parquet_append(dir_path: str, table) -> None:
     Spark's file index ignores. By design callers append BOUNDED
     metadata only (tombstone sets — bounded by
     deletes-since-compaction, already collected/broadcast at serving
-    time), never corpus-sized data."""
+    time), never corpus-sized data.
+
+    Rename-atomicity caveat: os.replace is atomic on POSIX
+    filesystems and HDFS, NOT on raw object stores (S3 has no atomic
+    rename) — an S3 deployment needs a manifest-based commit in front
+    of this path and the lakes' ledger sidecars; see SCALE.md
+    'Deploying at cluster scale' and lakes/commit.py's module
+    docstring."""
     import os
     import uuid
 
