@@ -2831,6 +2831,103 @@ def _sql_g21():
     """
 
 
+def g22_multipolygon(spark, sf_dir):
+    """MultiPolygon support (round 13): per-part two- or three-member
+    MULTIPOLYGONs — a donut (outer W = p_size+5, hole a = p_size%2+1
+    at (1,1)), a detached square (side 2 at (W+2,0)), and, when
+    p_size%3==0, an ISLAND inside the donut's hole (side 0.5 at
+    (1.25,1.25)) — the OGC-valid nesting case the hole-aware overlap
+    test must accept. Measures sum across members; validity requires
+    members pairwise disjoint (p_size%5==0 moves the square onto the
+    donut: invalid); point-in-multipolygon is any-member hole-aware;
+    and the MULTIPOLYGON WKT render→parse round trip re-derives the
+    area. All columns are closed forms over p_size in the oracle."""
+    from geosparql_etl_spark.functions.geometry import (
+        is_valid_multipolygon,
+        multipolygon_area,
+        multipolygon_perimeter,
+        multipolygon_wkt,
+        point_in_multipolygon,
+        wkt_multipolygon,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    W = (F.col("p_size") + 5).cast("double")
+    a = (F.col("p_size") % 2 + 1).cast("double")
+
+    def sq(x0, y0, s):
+        return F.array(
+            F.array(x0, y0),
+            F.array(x0 + s, y0),
+            F.array(x0 + s, y0 + s),
+            F.array(x0, y0 + s),
+        )
+
+    one = F.lit(1.0)
+    donut = F.array(sq(F.lit(0.0), F.lit(0.0), W), sq(one, one, a))
+    square = F.when(
+        F.col("p_size") % 5 == 0, F.array(sq(W - 1.0, one, F.lit(2.0)))
+    ).otherwise(F.array(sq(W + 2.0, F.lit(0.0), F.lit(2.0))))
+    island = F.array(sq(F.lit(1.25), F.lit(1.25), F.lit(0.5)))
+    coords = F.when(
+        F.col("p_size") % 3 == 0, F.array(donut, square, island)
+    ).otherwise(F.array(donut, square))
+    d = p.select("p_partkey", "p_size", coords.alias("mp"))
+
+    def bound(f):
+        return F.element_at(F.transform(F.array(F.col("mp")), f), 1)
+
+    return d.select(
+        "p_partkey",
+        F.round(multipolygon_area(F.col("mp")), 4).alias("area"),
+        F.round(
+            multipolygon_perimeter(F.col("mp")), 4
+        ).alias("perimeter"),
+        is_valid_multipolygon(F.col("mp")).alias("valid"),
+        bound(
+            lambda c: point_in_multipolygon(
+                c, (F.col("p_size") + 8).cast("double"), F.lit(1.0)
+            )
+        ).alias("pip_square"),
+        bound(
+            lambda c: point_in_multipolygon(c, F.lit(1.5), F.lit(1.5))
+        ).alias("pip_island"),
+        F.round(
+            F.element_at(
+                F.transform(
+                    F.array(
+                        wkt_multipolygon(multipolygon_wkt(F.col("mp")))
+                    ),
+                    lambda c: multipolygon_area(c),
+                ),
+                1,
+            ),
+            4,
+        ).alias("area_rt"),
+    )
+
+
+def _sql_g22():
+    w = "(CAST(p_size AS DOUBLE) + 5)"
+    a = "(CAST(p_size % 2 AS DOUBLE) + 1)"
+    area = (
+        f"round({w}*{w} - {a}*{a} + 4"
+        " + CASE WHEN p_size % 3 = 0 THEN 0.25 ELSE 0 END, 4)"
+    )
+    return f"""
+    SELECT p_partkey,
+      {area} AS area,
+      round(4*{w} + 4*{a} + 8
+            + CASE WHEN p_size % 3 = 0 THEN 2 ELSE 0 END, 4)
+        AS perimeter,
+      (p_size % 5 <> 0) AS valid,
+      (p_size % 5 <> 0) AS pip_square,
+      (p_size % 3 = 0) AS pip_island,
+      {area} AS area_rt
+    FROM part
+    """
+
+
 def d17_minhash_error(spark, sf_dir):
     """MinHash estimator-quality report (round 8) — dq02's
     sketch-contract idea applied to MinHash: for every exact near-dup
@@ -15526,6 +15623,139 @@ def _sql_sim35():
     """
 
 
+def sim37_compacted_time_travel(spark, sf_dir):
+    """TIME TRAVEL ACROSS A COMPACTION BOUNDARY (round 13 — the
+    advisor's high finding under the oracle gate): compaction
+    collapses the epoch ledger to ONE seeded entry (base at seq 0),
+    so post-compaction appends sequence at 1 and an ``as_of_seq=0``
+    probe serves exactly the compacted corpus. Before the fix the
+    un-ledgered fallback inferred the compacted base's seq ABOVE the
+    first append, so the as-of pin silently excluded the ENTIRE
+    compacted corpus and delete issue stamps drifted upward per
+    append. History: base = first 250 vectors (seq 0), a1 = the even
+    remainder (seq 1), delete %9==4, COMPACT (applies the delete
+    physically, ledger collapses to base@0), append a2 = the odd
+    remainder (seq 1), then delete %7==3 AFTER the append (issued at
+    the ledgered max, 1). Arms: v0 = as_of 0 (the compacted corpus,
+    UNAFFECTED by the later delete), latest = everything minus both
+    delete sets plus a2. The oracle replays both corpus states
+    index-free with the trained-centroid CTEs."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        delete_from_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_ivf_ctt_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_ivf_index(
+        e.where(F.col("vec_id") < 250), idx, dim=64, n_cells=16,
+        centroids=trained, epoch="base",
+    )
+    write_ivf_index(
+        e.where((F.col("vec_id") >= 250) & (F.col("vec_id") % 2 == 0)),
+        idx, dim=64, n_cells=16, centroids=trained, epoch="a1",
+    )
+    delete_from_ivf_index(
+        spark, idx, e.where(F.col("vec_id") % 9 == 4).select("vec_id")
+    )
+    compact_ivf_index(spark, idx)
+    write_ivf_index(
+        e.where((F.col("vec_id") >= 250) & (F.col("vec_id") % 2 == 1)),
+        idx, dim=64, n_cells=16, centroids=trained, epoch="a2",
+    )
+    delete_from_ivf_index(
+        spark, idx, e.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def arm(name, as_of):
+        return ivf_index_topk(
+            spark, idx, probe, k=5, dim=64, n_cells=16, n_probe=6,
+            centroids=trained, as_of_seq=as_of,
+        ).select(
+            F.lit(name).alias("arm"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+
+    return (
+        arm("v0", 0)
+        .unionByName(arm("latest", None))
+        .orderBy("arm", "query_id", "rank")
+    )
+
+
+def _sql_sim37():
+    def arm(name, corpus_cte):
+        return f"""
+    scored_{name} AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM {corpus_cte}, ct),
+    cells_{name} AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored_{name}) WHERE rn = 1),
+    cand_{name} AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells_{name} cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    res_{name} AS (
+      SELECT '{name}' AS arm, query_id, neighbor_id, rank,
+             round(sim, 6) AS cosine_sim
+      FROM (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(eq.v, ec.v) AS sim,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                          neighbor_id
+               ) AS rank
+        FROM cand_{name}
+        JOIN e eq ON eq.vec_id = cand_{name}.query_id
+        JOIN {corpus_cte} ec ON ec.vec_id = cand_{name}.neighbor_id)
+      WHERE rank <= 5)"""
+
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    e_v0 AS (
+      SELECT * FROM e
+      WHERE (vec_id < 250 OR vec_id % 2 = 0) AND vec_id % 9 != 4),
+    e_latest AS (
+      SELECT * FROM e
+      WHERE ((vec_id < 250 OR vec_id % 2 = 0) AND vec_id % 9 != 4
+             OR (vec_id >= 250 AND vec_id % 2 = 1))
+        AND vec_id % 7 != 3),
+    qscored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM e, ct WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM qscored) WHERE rn <= 6),
+    {arm("v0", "e_v0")},
+    {arm("latest", "e_latest")}
+    SELECT * FROM res_v0
+    UNION ALL SELECT * FROM res_latest
+    ORDER BY arm, query_id, rank
+    """
+
+
 def _sql_llm26():
     return """
     WITH v2 AS (
@@ -15663,6 +15893,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d20_skew_capped_neardup": d20_skew_capped_neardup,
     "g20_dense_cell_cap": g20_dense_cell_cap,
     "g21_polygon_holes": g21_polygon_holes,
+    "sim37_compacted_time_travel": sim37_compacted_time_travel,
+    "g22_multipolygon": g22_multipolygon,
     "sim25_ann_deletes": sim25_ann_deletes,
     "j15_bucketed_colocated_join": j15_bucketed_colocated_join,
     "sim26_persisted_bm25": sim26_persisted_bm25,
@@ -16186,6 +16418,7 @@ _ORACLES: dict[str, str] = {
     "d20_skew_capped_neardup": _sql_d20(),
     "g20_dense_cell_cap": _sql_g20(),
     "g21_polygon_holes": _sql_g21(),
+    "g22_multipolygon": _sql_g22(),
     "sim25_ann_deletes": _sql_sim25(),
     "j15_bucketed_colocated_join": _sql_j15(),
     "sim26_persisted_bm25": _sql_sim26(),
@@ -16258,6 +16491,7 @@ except OSError:
 _ORACLES["sim35_ann_time_travel"] = _sql_sim35()
 _ORACLES["s20_concurrent_upsert_streams"] = _sql_s20()
 _ORACLES["sim36_pq_updates"] = _sql_sim36()
+_ORACLES["sim37_compacted_time_travel"] = _sql_sim37()
 
 
 # Round-13 correctness window: the driver records correctness rows for
@@ -16278,6 +16512,8 @@ _WINDOW_R13 = [
     "sim36_pq_updates",
     # round-13 additions
     "g21_polygon_holes",
+    "sim37_compacted_time_travel",
+    "g22_multipolygon",
     # r6-stamped block (oldest attestations), registry order
     "llm18_bpe_merges",
     "llm19_leakage_free_split",
@@ -16322,8 +16558,6 @@ _WINDOW_R13 = [
     "sp21_solution_modifiers",
     "dq05_benford_audit",
     "sp22_count_distinct",
-    "sp23_negated_path",
-    "sp24_with_graph_update",
 ]
 
 

@@ -859,3 +859,168 @@ def is_valid_polygon_holes(
         )
     )
     return F.coalesce(ok, F.lit(False))
+
+
+# --- MultiPolygon (round 13) ------------------------------------------------
+#
+# GeoJSON MultiPolygon: coordinates = array of POLYGON coordinate arrays
+# (array<array<array<array<double>>>>). Measures sum over the member
+# polygons; validity additionally requires the members' filled regions
+# pairwise disjoint (an island inside another member's HOLE is valid —
+# the overlap test is hole-aware). Completes the geometry data model the
+# reference's readers truncate (they read coordinates[0] of Polygons
+# only, json-etl:34).
+
+
+def multipolygon_area(coordinates: Column) -> Column:
+    """Σ polygon_area_holes over the member polygons."""
+    return F.aggregate(
+        coordinates,
+        F.lit(0.0),
+        lambda acc, poly: acc + polygon_area_holes(poly),
+    )
+
+
+def multipolygon_perimeter(coordinates: Column) -> Column:
+    """Σ boundary length over every ring of every member."""
+    return F.aggregate(
+        coordinates,
+        F.lit(0.0),
+        lambda acc, poly: acc + polygon_perimeter_holes(poly),
+    )
+
+
+def multipolygon_wkt(coordinates: Column) -> Column:
+    """``MULTIPOLYGON (((...)), ((...), (...)))`` WKT with per-ring
+    auto-close and raw double rendering. NULL when the member list is
+    empty or the first member has no outer ring."""
+    polys = F.transform(
+        coordinates,
+        lambda poly: F.concat(
+            F.lit("("),
+            F.array_join(
+                F.transform(
+                    poly,
+                    lambda ring: F.concat(
+                        F.lit("("),
+                        _closed_ring_body(
+                            F.transform(ring, _fmt_point_raw)
+                        ),
+                        F.lit(")"),
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit(")"),
+        ),
+    )
+    first_outer = F.get(F.get(coordinates, 0), 0)
+    empty = (
+        coordinates.isNull()
+        | (F.size(coordinates) == 0)
+        | first_outer.isNull()
+        | (F.size(first_outer) == 0)
+    )
+    return F.when(
+        ~empty,
+        F.concat(
+            F.lit("MULTIPOLYGON ("), F.array_join(polys, ", "), F.lit(")")
+        ),
+    )
+
+
+def wkt_multipolygon(wkt: Column) -> Column:
+    """Multi-ring ``MULTIPOLYGON`` WKT -> the canonical 4-deep
+    coordinates array; NULL for a non-MULTIPOLYGON literal. Ring
+    closing repeats are dropped, like wkt_polygon_rings."""
+    inner = F.regexp_extract(
+        wkt, r"^\s*MULTIPOLYGON\s*\((.*)\)\s*$", 1
+    )
+    poly_strs = F.split(
+        F.regexp_replace(inner, r"^\s*\(|\)\s*$", ""),
+        r"\)\s*\)\s*,\s*\(\s*\(",
+    )
+
+    def parse_poly(body: Column) -> Column:
+        ring_strs = F.split(body, r"\)\s*,\s*\(")
+
+        def parse_ring(rbody: Column) -> Column:
+            pts = F.transform(
+                F.split(F.regexp_replace(rbody, r"^\s*\(|\)\s*$", ""),
+                        r"\s*,\s*"),
+                lambda p: F.transform(
+                    F.split(F.trim(p), r"\s+"),
+                    lambda v: v.try_cast("double"),
+                ),
+            )
+            return F.when(
+                (F.size(pts) > 1)
+                & (
+                    F.element_at(pts, 1)
+                    == F.element_at(pts, F.size(pts))
+                ),
+                F.slice(pts, 1, F.size(pts) - 1),
+            ).otherwise(pts)
+
+        return F.transform(ring_strs, parse_ring)
+
+    return F.when(inner != "", F.transform(poly_strs, parse_poly))
+
+
+def point_in_multipolygon(
+    coordinates: Column, px: Column, py: Column
+) -> Column:
+    """Inside ANY member polygon (hole-aware)."""
+    return F.exists(
+        coordinates, lambda poly: point_in_polygon_holes(poly, px, py)
+    )
+
+
+def _polygons_overlap(pa: Column, pb: Column) -> Column:
+    """Do two polygons' FILLED regions (holes respected) overlap?
+    Hole-aware on the vertex tests, so an island sitting inside the
+    other member's hole is NOT an overlap (OGC-valid nesting); outer
+    boundary crossings catch partial overlaps whose vertices all sit
+    outside. Pure boundary contact is not detected (the documented
+    rings_intersect degenerate class)."""
+    a_in_b = F.exists(
+        F.get(pa, 0), lambda p: point_in_polygon_holes(pb, p[0], p[1])
+    )
+    b_in_a = F.exists(
+        F.get(pb, 0), lambda p: point_in_polygon_holes(pa, p[0], p[1])
+    )
+    return a_in_b | b_in_a | _rings_edges_cross(
+        F.get(pa, 0), F.get(pb, 0)
+    )
+
+
+def is_valid_multipolygon(coordinates: Column) -> Column:
+    """Every member a valid polygon-with-holes AND members' filled
+    regions pairwise disjoint. Lambda-bound like
+    is_valid_polygon_holes (the folds reference the members O(p^2 *
+    n^2) times)."""
+
+    def core(polys: Column) -> Column:
+        each = F.forall(polys, _valid_holes_core)
+        np = F.size(polys)
+        disjoint = F.when(
+            np >= 2,
+            ~F.exists(
+                F.sequence(F.lit(1), np),
+                lambda i: F.exists(
+                    F.sequence(F.lit(1), np),
+                    lambda j: (j > i)
+                    & _polygons_overlap(
+                        F.element_at(polys, i), F.element_at(polys, j)
+                    ),
+                ),
+            ),
+        ).otherwise(F.lit(True))
+        return each & disjoint
+
+    ok = (
+        coordinates.isNotNull()
+        & (F.size(coordinates) > 0)
+        & F.element_at(F.transform(F.array(coordinates), core), 1)
+    )
+    return F.coalesce(ok, F.lit(False))

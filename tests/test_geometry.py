@@ -311,3 +311,73 @@ def test_is_valid_polygon_holes(spark):
         G.is_valid_polygon_holes(F.lit("Point"), F.col("coords")),
         coords=DONUT,
     ) is False
+
+
+def test_multipolygon_measures_and_validity(spark):
+    import pyspark.sql.types as T
+
+    donut = [DONUT[0], DONUT[1]]  # 6x6 outer, 2x2 hole -> area 32
+    sq = [[[8.0, 0.0], [10.0, 0.0], [10.0, 2.0], [8.0, 2.0]]]
+    island = [[[1.5, 1.5], [2.5, 1.5], [2.5, 2.5], [1.5, 2.5]]]
+    overlap = [[[5.0, 1.0], [7.0, 1.0], [7.0, 3.0], [5.0, 3.0]]]
+    mp_t = T.ArrayType(
+        T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+    )
+    df = spark.createDataFrame(
+        [(1, [donut, sq]), (2, [donut, island]), (3, [donut, overlap])],
+        T.StructType([
+            T.StructField("id", T.IntegerType()),
+            T.StructField("mp", mp_t),
+        ]),
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            G.multipolygon_area(F.col("mp")).alias("area"),
+            G.multipolygon_perimeter(F.col("mp")).alias("perim"),
+            G.is_valid_multipolygon(F.col("mp")).alias("valid"),
+            G.point_in_multipolygon(
+                F.col("mp"), F.lit(2.0), F.lit(2.0)
+            ).alias("pip_hole"),
+        ).collect()
+    }
+    # disjoint donut + square
+    assert (rows[1].area, rows[1].perim) == (36.0, 40.0)
+    assert rows[1].valid is True and rows[1].pip_hole is False
+    # island INSIDE the donut's hole: valid OGC nesting, pip flips
+    assert rows[2].area == 33.0
+    assert rows[2].valid is True and rows[2].pip_hole is True
+    # overlapping members: invalid
+    assert rows[3].valid is False
+
+
+def test_multipolygon_wkt_roundtrip(spark):
+    import pyspark.sql.types as T
+
+    mp = [
+        [DONUT[0], DONUT[1]],
+        [[[8.0, 0.0], [10.0, 0.0], [10.0, 2.0], [8.0, 2.0]]],
+    ]
+    mp_t = T.ArrayType(
+        T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+    )
+    df = spark.createDataFrame(
+        [(mp,)], T.StructType([T.StructField("mp", mp_t)])
+    )
+    wkt = df.select(
+        G.multipolygon_wkt(F.col("mp")).alias("w")
+    ).first()["w"]
+    assert wkt.startswith("MULTIPOLYGON (((0.0 0.0, 6.0 0.0")
+    assert "), (1.0 1.0," in wkt  # the hole ring
+    assert ")), ((8.0 0.0" in wkt  # the second member
+    rt = df.select(
+        G.wkt_multipolygon(G.multipolygon_wkt(F.col("mp"))).alias("c")
+    ).first()["c"]
+    assert [
+        [[list(p) for p in ring] for ring in poly] for poly in rt
+    ] == mp
+    assert df.select(
+        G.wkt_multipolygon(F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1))"))
+        .alias("c")
+    ).first()["c"] is None
