@@ -2928,6 +2928,99 @@ def _sql_g22():
     """
 
 
+def g23_zone_holes_join(spark, sf_dir):
+    """Hole-aware DISTRIBUTED point-in-zone join (round 13): donut
+    zones (10x10 outer square on the supplier lattice, 4x4 hole at
+    its center) joined to customer points by grid cell — the
+    bbox_spatial_join discipline with the NEW point_in_polygon_holes
+    predicate as the exact re-check, so a point falling in a zone's
+    hole is NOT matched. Zones explode to their covered cells
+    (operators/spatial.py:covered_cells), points hash to exactly one
+    cell, the equi-join keeps the shuffle cell-partitioned, and the
+    even-odd predicate runs only on candidates. Because the zones are
+    axis-aligned, the oracle replays membership as pure interval
+    arithmetic (inside outer box AND NOT inside hole box) — an
+    INDEPENDENT formulation of the same semantics, stronger than
+    replaying the ray casting term-for-term. Points carry a 0.05
+    offset so no coordinate ever lands on a zone boundary (even-odd
+    is parity-undefined there)."""
+    from geosparql_etl_spark.functions.geometry import (
+        point_in_polygon_holes,
+    )
+    from geosparql_etl_spark.operators.spatial import covered_cells
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    zx = ((F.col("s_suppkey") * 37) % 90).cast("double")
+    zy = ((F.col("s_suppkey") * 61) % 90).cast("double")
+
+    def sq(x0, y0, side):
+        return F.array(
+            F.array(x0, y0),
+            F.array(x0 + side, y0),
+            F.array(x0 + side, y0 + side),
+            F.array(x0, y0 + side),
+        )
+
+    zones = s.select(
+        F.col("s_suppkey").alias("zone_id"),
+        F.array(
+            sq(zx, zy, F.lit(10.0)),
+            sq(zx + 3.0, zy + 3.0, F.lit(4.0)),
+        ).alias("zone"),
+        F.explode(
+            covered_cells(zx, zy, zx + 10.0, zy + 10.0, 10.0)
+        ).alias("cell"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    px = ((F.col("c_custkey") * 13) % 1000).cast("double") / 10.0 + 0.05
+    py = ((F.col("c_custkey") * 29) % 1000).cast("double") / 10.0 + 0.05
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        px.alias("px"),
+        py.alias("py"),
+        F.struct(
+            F.floor(px / 10.0).cast("long").alias("cx"),
+            F.floor(py / 10.0).cast("long").alias("cy"),
+        ).alias("cell"),
+    )
+    cand = zones.join(pts, "cell")
+    hit = cand.where(
+        F.element_at(
+            F.transform(
+                F.array(F.col("zone")),
+                lambda z: point_in_polygon_holes(
+                    z, F.col("px"), F.col("py")
+                ),
+            ),
+            1,
+        )
+    )
+    return hit.select("zone_id", "point_id").orderBy(
+        "zone_id", "point_id"
+    )
+
+
+def _sql_g23():
+    return """
+    WITH z AS (
+      SELECT s_suppkey AS zone_id,
+             CAST((s_suppkey * 37) % 90 AS DOUBLE) AS zx,
+             CAST((s_suppkey * 61) % 90 AS DOUBLE) AS zy
+      FROM supplier),
+    pt AS (
+      SELECT c_custkey AS point_id,
+             CAST((c_custkey * 13) % 1000 AS DOUBLE) / 10 + 0.05 AS px,
+             CAST((c_custkey * 29) % 1000 AS DOUBLE) / 10 + 0.05 AS py
+      FROM customer)
+    SELECT zone_id, point_id
+    FROM z JOIN pt
+      ON px > zx AND px < zx + 10 AND py > zy AND py < zy + 10
+     AND NOT (px > zx + 3 AND px < zx + 7
+              AND py > zy + 3 AND py < zy + 7)
+    ORDER BY zone_id, point_id
+    """
+
+
 def d17_minhash_error(spark, sf_dir):
     """MinHash estimator-quality report (round 8) — dq02's
     sketch-contract idea applied to MinHash: for every exact near-dup
@@ -15895,6 +15988,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g21_polygon_holes": g21_polygon_holes,
     "sim37_compacted_time_travel": sim37_compacted_time_travel,
     "g22_multipolygon": g22_multipolygon,
+    "g23_zone_holes_join": g23_zone_holes_join,
     "sim25_ann_deletes": sim25_ann_deletes,
     "j15_bucketed_colocated_join": j15_bucketed_colocated_join,
     "sim26_persisted_bm25": sim26_persisted_bm25,
@@ -16419,6 +16513,7 @@ _ORACLES: dict[str, str] = {
     "g20_dense_cell_cap": _sql_g20(),
     "g21_polygon_holes": _sql_g21(),
     "g22_multipolygon": _sql_g22(),
+    "g23_zone_holes_join": _sql_g23(),
     "sim25_ann_deletes": _sql_sim25(),
     "j15_bucketed_colocated_join": _sql_j15(),
     "sim26_persisted_bm25": _sql_sim26(),
@@ -16514,6 +16609,7 @@ _WINDOW_R13 = [
     "g21_polygon_holes",
     "sim37_compacted_time_travel",
     "g22_multipolygon",
+    "g23_zone_holes_join",
     # r6-stamped block (oldest attestations), registry order
     "llm18_bpe_merges",
     "llm19_leakage_free_split",
@@ -16557,7 +16653,6 @@ _WINDOW_R13 = [
     "s14_rate_anomaly",
     "sp21_solution_modifiers",
     "dq05_benford_audit",
-    "sp22_count_distinct",
 ]
 
 
