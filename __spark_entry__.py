@@ -14115,6 +14115,52 @@ def _sql_sp43():
     """
 
 
+def sp45_donut_zone(spark, sf_dir):
+    """Hole-aware GeoSPARQL (round 13): a donut zone — outer
+    rectangle (5.5,4.5)-(74.5,80.5) with a 19x19 interior ring
+    centered on the outer centroid — bound per row as a wktLiteral
+    VARIABLE, so geof:area (subtracts the hole), geof:length
+    (includes the hole boundary), geof:centroid (ring-weighted — the
+    symmetric hole leaves it at the outer centroid, exactly
+    representable so the POINT lexical is engine-portable) and the
+    hole-aware geof:sfWithin all run the per-row multi-ring parse
+    path (compiler round 13). The FILTER must exclude lattice points
+    inside the hole; the oracle replays membership as interval
+    arithmetic and the measures as closed forms."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?w ?a ?c ?l WHERE {
+          ?s geo:asWKT ?w
+          BIND("POLYGON((5.5 4.5, 74.5 4.5, 74.5 80.5, 5.5 80.5, 5.5 4.5), (30.5 33, 49.5 33, 49.5 52, 30.5 52, 30.5 33))" AS ?d)
+          BIND(geof:area(?d) AS ?a)
+          BIND(geof:centroid(?d) AS ?c)
+          BIND(geof:length(?d) AS ?l)
+          FILTER(geof:sfWithin(?w, ?d))
+        }
+        """,
+    )
+
+
+def _sql_sp45():
+    # area = 69*76 - 19*19 = 4883; length = 2*(69+76) + 4*19 = 366;
+    # centroid = outer centroid (hole symmetric about it)
+    return """
+    WITH pts AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             (s_suppkey * 37) % 100 AS x, (s_suppkey * 61) % 100 AS y
+      FROM supplier)
+    SELECT s, printf('POINT(%d %d)', x, y) AS w,
+           CAST(4883 AS DOUBLE) AS a,
+           'POINT(40.0 42.5)' AS c,
+           CAST(366 AS DOUBLE) AS l
+    FROM pts
+    WHERE x > 5.5 AND x < 74.5 AND y > 4.5 AND y < 80.5
+      AND NOT (x > 30.5 AND x < 49.5 AND y > 33 AND y < 52)
+    """
+
+
 def sp44_erroring_bind(spark, sf_dir):
     """D1 residual CLOSED (round 12) — spec 10.1: a BIND whose
     expression ERRORS binds nothing. ``?seg * 2`` is a numeric type
@@ -16042,6 +16088,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-12 additions: below the window, contiguous, never
     # stamped — these lead the r13 rotation ---
     "sp44_erroring_bind": sp44_erroring_bind,
+    "sp45_donut_zone": sp45_donut_zone,
     "sim34_autosized_retrain": sim34_autosized_retrain,
     "sim35_ann_time_travel": sim35_ann_time_travel,
     "s20_concurrent_upsert_streams": s20_concurrent_upsert_streams,
@@ -16587,6 +16634,7 @@ _ORACLES["sim35_ann_time_travel"] = _sql_sim35()
 _ORACLES["s20_concurrent_upsert_streams"] = _sql_s20()
 _ORACLES["sim36_pq_updates"] = _sql_sim36()
 _ORACLES["sim37_compacted_time_travel"] = _sql_sim37()
+_ORACLES["sp45_donut_zone"] = _sql_sp45()
 
 
 # Round-13 correctness window: the driver records correctness rows for
@@ -16610,6 +16658,7 @@ _WINDOW_R13 = [
     "sim37_compacted_time_travel",
     "g22_multipolygon",
     "g23_zone_holes_join",
+    "sp45_donut_zone",
     # r6-stamped block (oldest attestations), registry order
     "llm18_bpe_merges",
     "llm19_leakage_free_split",
@@ -16652,7 +16701,6 @@ _WINDOW_R13 = [
     "txt18_lexical_diversity",
     "s14_rate_anomaly",
     "sp21_solution_modifiers",
-    "dq05_benford_audit",
 ]
 
 

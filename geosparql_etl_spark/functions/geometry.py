@@ -1024,3 +1024,53 @@ def is_valid_multipolygon(coordinates: Column) -> Column:
         & F.element_at(F.transform(F.array(coordinates), core), 1)
     )
     return F.coalesce(ok, F.lit(False))
+
+
+def polygon_centroid_holes(coordinates: Column) -> Column:
+    """Centroid of a polygon WITH interior rings as ``struct(cx, cy)``:
+    the ring-wise signed combination
+    ``(A_outer*C_outer − Σ A_hole*C_hole) / (A_outer − Σ A_holes)``
+    with absolute shoelace areas — shapely ``Polygon.centroid`` on the
+    same fixtures. NULL when the outer ring is degenerate or the live
+    area is 0 (a SPARQL type error upstream). The per-ring folds are
+    computed once into one bound struct (the sp33 rule) before the
+    final division references them."""
+    outer = outer_ring(coordinates)
+    holes = hole_rings(coordinates)
+    zero = F.struct(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("x"),
+        F.lit(0.0).alias("y"),
+    )
+    agg = F.aggregate(
+        holes,
+        zero,
+        lambda acc, h: F.struct(
+            (acc["a"] + ring_area(h)).alias("a"),
+            (acc["x"] + ring_area(h) * ring_centroid(h)["cx"]).alias("x"),
+            (acc["y"] + ring_area(h) * ring_centroid(h)["cy"]).alias("y"),
+        ),
+    )
+    pre = F.struct(
+        ring_area(outer).alias("a0"),
+        ring_centroid(outer).alias("c0"),
+        agg.alias("h"),
+    )
+    return F.get(
+        F.transform(
+            F.array(pre),
+            lambda s: F.when(
+                (s["a0"] - s["h"]["a"] > 0.0) & s["c0"].isNotNull(),
+                F.struct(
+                    (
+                        (s["a0"] * s["c0"]["cx"] - s["h"]["x"])
+                        / (s["a0"] - s["h"]["a"])
+                    ).alias("cx"),
+                    (
+                        (s["a0"] * s["c0"]["cy"] - s["h"]["y"])
+                        / (s["a0"] - s["h"]["a"])
+                    ).alias("cy"),
+                ),
+            ),
+        ),
+        0,
+    )

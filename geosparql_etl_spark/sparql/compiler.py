@@ -130,16 +130,16 @@ from pyspark.sql import functions as F
 
 from geosparql_etl_spark.functions.geometry import (
     bounds_wkt,
-    point_in_ring,
+    point_in_polygon_holes,
+    polygon_area_holes,
+    polygon_centroid_holes,
+    polygon_perimeter_holes,
     polyline_centroid,
     polyline_length,
-    ring_area,
     ring_bounds,
-    ring_centroid,
-    ring_perimeter,
     rings_intersect,
     wkt_linestring_points,
-    wkt_polygon_ring,
+    wkt_polygon_rings,
 )
 from geosparql_etl_spark.sparql.triples import RDF_LANGSTRING, XSD, TripleStore
 
@@ -2346,7 +2346,7 @@ def _grid_sfintersects_rewrite(
     equality, point-polygon even-odd cast, polygon-polygon
     rings_intersect — the same case split the connected-frame FILTER
     compiles), built over the already-materialized ring columns so
-    wkt_polygon_ring is parsed once per side (sp33 plan-size lesson).
+    wkt_polygon_rings is parsed once per side (sp33 plan-size lesson).
     Round 9: the previous version handled polygons only and silently
     DROPPED point rows (NULL rings), so the same FILTER gave
     different results on connected vs disconnected plans — the
@@ -2373,12 +2373,14 @@ def _grid_sfintersects_rewrite(
         x0, y0, x1, y1 = (f"__{pre}x0", f"__{pre}y0",
                           f"__{pre}x1", f"__{pre}y1")
         pt, pxc, pyc = f"__{pre}pt", f"__{pre}px", f"__{pre}py"
-        ring = F.col(ring_col)
-        xs = F.transform(ring, lambda p: p[0])
-        ys = F.transform(ring, lambda p: p[1])
+        # ALL rings (round 13); bbox bounds from the OUTER ring only
+        # (holes cannot extend it)
+        outer = F.get(F.col(ring_col), 0)
+        xs = F.transform(outer, lambda p: p[0])
+        ys = F.transform(outer, lambda p: p[1])
         px, py = _point_xy(F.col(var))
         return (
-            f.withColumn(ring_col, wkt_polygon_ring(F.col(var)))
+            f.withColumn(ring_col, wkt_polygon_rings(F.col(var)))
             .withColumn(pt, F.col(var).rlike(r"^\s*POINT\s*\("))
             .withColumn(pxc, px)
             .withColumn(pyc, py)
@@ -2432,6 +2434,7 @@ def _grid_sfintersects_rewrite(
     pax, pay = F.col("__apx"), F.col("__apy")
     pbx, pby = F.col("__bpx"), F.col("__bpy")
     ra, rb = F.col("__ring_a"), F.col("__ring_b")
+    ra_outer, rb_outer = F.get(ra, 0), F.get(rb, 0)
     # The four POINT/POLYGON shape combinations run as a UNION of four
     # shape-filtered joins, NOT one when-chain predicate: a single
     # CASE whose branches contain the rings_intersect fold AND two
@@ -2485,11 +2488,17 @@ def _grid_sfintersects_rewrite(
 
     arms = []
     if a_poly and b_poly:
-        arms.append(branch(~pa, ~pb, rings_intersect(ra, rb)))
+        # outer hulls, matching the connected-frame compile (donuts
+        # meeting only inside each other's holes are out of scope)
+        arms.append(branch(~pa, ~pb, rings_intersect(ra_outer, rb_outer)))
     if a_pt and b_poly:
-        arms.append(branch(pa, ~pb, point_in_ring(rb, pax, pay)))
+        arms.append(
+            branch(pa, ~pb, point_in_polygon_holes(rb, pax, pay))
+        )
     if a_poly and b_pt:
-        arms.append(branch(~pa, pb, point_in_ring(ra, pbx, pby)))
+        arms.append(
+            branch(~pa, pb, point_in_polygon_holes(ra, pbx, pby))
+        )
     if a_pt and b_pt:
         arms.append(branch(pa, pb, (pax == pbx) & (pay == pby)))
     if not arms:  # a side is empty/shapeless: no pair can match
@@ -2542,12 +2551,17 @@ def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
     # into the 4 bbox bounds + the 6 references inside point_in_ring
     # multiplies a large expression ~10x — measured 4.5s of pure
     # driver-side analysis per query before this, ~1s after.
-    ring = F.col("__ring")
-    xs = F.transform(ring, lambda p: p[0])
-    ys = F.transform(ring, lambda p: p[1])
+    # ALL rings (round 13): the bbox cover comes from the OUTER ring
+    # (holes cannot extend it) and the exact predicate is hole-aware,
+    # keeping this rewrite's answers identical to the connected-frame
+    # FILTER compile (the round-8 divergence lesson)
+    rings = F.col("__rings")
+    outer = F.get(rings, 0)
+    xs = F.transform(outer, lambda p: p[0])
+    ys = F.transform(outer, lambda p: p[1])
     polys = (
         frames[gi]
-        .withColumn("__ring", wkt_polygon_ring(F.col(v)))
+        .withColumn("__rings", wkt_polygon_rings(F.col(v)))
         .withColumn(
             "__cx",
             F.explode(
@@ -2571,8 +2585,8 @@ def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
     # sfDisjoint pairs share no cell, so a cell join cannot express it
     joined = (
         pts.join(polys, on=["__cx", "__cy"])
-        .where(point_in_ring(ring, px, py))
-        .drop("__cx", "__cy", "__ring")
+        .where(point_in_polygon_holes(rings, px, py))
+        .drop("__cx", "__cy", "__rings")
     )
     for idx in sorted((pi, gi), reverse=True):
         frames.pop(idx)
@@ -2668,14 +2682,25 @@ def _point_xy(col: Column) -> tuple[Column, Column]:
     )
 
 
-def _parse_wkt_ring(wkt: str) -> list[tuple[float, float]]:
-    m = re.match(r"\s*POLYGON\s*\(\s*\((.*?)\)\s*\)\s*", wkt)
+def _parse_wkt_rings(wkt: str) -> list[list[tuple[float, float]]]:
+    """Constant POLYGON WKT -> ALL rings (outer first, then holes),
+    closing repeats dropped — compile-time fold of the same shape
+    wkt_polygon_rings parses per row (round 13: the SPARQL geo
+    surface is hole-aware end to end)."""
+    m = re.match(r"\s*POLYGON\s*\((.*)\)\s*$", wkt, re.S)
     if not m:
         raise ValueError(f"unsupported constant WKT: {wkt!r}")
-    pts = [tuple(float(v) for v in xy.split()) for xy in m.group(1).split(",")]
-    if len(pts) > 1 and pts[0] == pts[-1]:  # closed ring: drop the repeat
-        pts = pts[:-1]
-    return pts
+    body = re.sub(r"^\s*\(|\)\s*$", "", m.group(1).strip())
+    rings = []
+    for ring_s in re.split(r"\)\s*,\s*\(", body):
+        pts = [
+            tuple(float(v) for v in xy.split())
+            for xy in ring_s.split(",")
+        ]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        rings.append(pts)
+    return rings
 
 
 def _operand_col(node, numeric: bool) -> Column:
@@ -2908,15 +2933,30 @@ def _compile_call(node) -> Column:
         pt, poly = args if fname != "geof:sfcontains" else (args[1], args[0])
         px, py = _point_xy(_operand_col(pt, False))
         if poly[0] in ("str", "lit"):
-            ring = F.array(
+            rings = F.array(
                 *[
-                    F.array(F.lit(float(x)), F.lit(float(y)))
-                    for x, y in _parse_wkt_ring(poly[1])
+                    F.array(
+                        *[
+                            F.array(F.lit(float(x)), F.lit(float(y)))
+                            for x, y in ring
+                        ]
+                    )
+                    for ring in _parse_wkt_rings(poly[1])
                 ]
             )
         else:
-            ring = wkt_polygon_ring(_operand_col(poly, False))
-        inside = point_in_ring(ring, px, py)
+            rings = wkt_polygon_rings(_operand_col(poly, False))
+        # hole-aware (round 13): a point inside an interior ring is
+        # NOT within; single-ring WKT degenerates to the old ray cast
+        inside = F.get(
+            F.transform(
+                F.array(rings),
+                lambda c: F.when(
+                    c.isNotNull(), point_in_polygon_holes(c, px, py)
+                ),
+            ),
+            0,
+        )
         return ~inside if fname == "geof:sfdisjoint" else inside
     if fname == "geof:distance":
         ax, ay = _point_xy(_operand_col(args[0], False))
@@ -2934,7 +2974,11 @@ def _compile_call(node) -> Column:
         pa, pb = a.rlike(r"^\s*POINT\s*\("), b.rlike(r"^\s*POINT\s*\(")
         pax, pay = _point_xy(a)
         pbx, pby = _point_xy(b)
-        ra, rb = wkt_polygon_ring(a), wkt_polygon_ring(b)
+        # all rings (round 13): point-polygon arms are hole-aware; the
+        # polygon-polygon arm intersects the OUTER hulls (hole-blind —
+        # two donuts meeting only inside each other's holes are beyond
+        # this predicate, documented limitation)
+        ra, rb = wkt_polygon_rings(a), wkt_polygon_rings(b)
 
         def _bound(col: Column, fn) -> Column:
             return F.get(F.transform(F.array(col), fn), 0)
@@ -2946,7 +2990,8 @@ def _compile_call(node) -> Column:
                 _bound(
                     rb,
                     lambda r: F.when(
-                        r.isNotNull(), point_in_ring(r, pax, pay)
+                        r.isNotNull(),
+                        point_in_polygon_holes(r, pax, pay),
                     ),
                 ),
             )
@@ -2955,7 +3000,8 @@ def _compile_call(node) -> Column:
                 _bound(
                     ra,
                     lambda r: F.when(
-                        r.isNotNull(), point_in_ring(r, pbx, pby)
+                        r.isNotNull(),
+                        point_in_polygon_holes(r, pbx, pby),
                     ),
                 ),
             )
@@ -2966,7 +3012,7 @@ def _compile_call(node) -> Column:
                         rb,
                         lambda r2: F.when(
                             r1.isNotNull() & r2.isNotNull(),
-                            rings_intersect(r1, r2),
+                            rings_intersect(F.get(r1, 0), F.get(r2, 0)),
                         ),
                     ),
                 )
@@ -2988,19 +3034,22 @@ def _compile_call(node) -> Column:
         # sp33 lesson, SCALE.md round 8).
         g = _operand_col(args[0], False)
         is_point = g.rlike(r"^\s*POINT\s*\(")
-        ring = wkt_polygon_ring(g)
+        # ALL rings (round 13): area subtracts holes, length includes
+        # hole boundaries, centroid is the ring-weighted combination,
+        # envelope is the outer ring's (holes cannot extend it)
+        rings = wkt_polygon_rings(g)
         line = wkt_linestring_points(g)
 
         def _bound(col: Column, fn) -> Column:
             return F.get(F.transform(F.array(col), fn), 0)
 
         def _per_kind(poly_fn, line_fn, point_val: Column) -> Column:
-            """point_val for POINT, poly_fn over the bound ring for
-            POLYGON, line_fn over the bound point list for LINESTRING,
-            NULL otherwise."""
+            """point_val for POINT, poly_fn over the bound ALL-rings
+            array for POLYGON, line_fn over the bound point list for
+            LINESTRING, NULL otherwise."""
             return F.when(is_point, point_val).otherwise(
                 F.coalesce(
-                    _bound(ring, lambda r: F.when(r.isNotNull(), poly_fn(r))),
+                    _bound(rings, lambda r: F.when(r.isNotNull(), poly_fn(r))),
                     _bound(line, lambda l: F.when(l.isNotNull(), line_fn(l))),
                 )
             )
@@ -3019,15 +3068,20 @@ def _compile_call(node) -> Column:
 
         if fname == "geof:area":
             return _per_kind(
-                ring_area, lambda l: F.lit(0.0), F.lit(0.0)
+                polygon_area_holes, lambda l: F.lit(0.0), F.lit(0.0)
             )
         if fname == "geof:length":
-            return _per_kind(ring_perimeter, polyline_length, F.lit(0.0))
+            return _per_kind(
+                polygon_perimeter_holes, polyline_length, F.lit(0.0)
+            )
         if fname == "geof:envelope":
-            env = lambda p: bounds_wkt(ring_bounds(p))  # noqa: E731
-            return _per_kind(env, env, g)
+            return _per_kind(
+                lambda r: bounds_wkt(ring_bounds(F.get(r, 0))),
+                lambda l: bounds_wkt(ring_bounds(l)),
+                g,
+            )
         return _per_kind(
-            lambda r: _bound(ring_centroid(r), _pt_wkt),
+            lambda r: _bound(polygon_centroid_holes(r), _pt_wkt),
             lambda l: _bound(polyline_centroid(l), _pt_wkt),
             g,
         )

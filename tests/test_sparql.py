@@ -3831,3 +3831,99 @@ class TestRound11ReviewFixes:
             ("urn:p:2", "47"),
             ("urn:p:2", "47"),
         ]
+
+
+class TestHoleAwareGeo:
+    """Round 13: the geo surface is hole-aware end to end — interior
+    rings subtract from area, add to length, weight the centroid, and
+    exclude points from sfWithin/sfIntersects, on the constant-WKT,
+    variable-WKT and grid-rewrite paths alike."""
+
+    DONUT = (
+        '"POLYGON((0 0, 50 0, 50 50, 0 50, 0 0), '
+        '(5 15, 15 15, 15 25, 5 25, 5 15))"'
+    )  # london POINT(10 20) sits INSIDE the hole
+
+    @pytest.fixture(scope="class")
+    def donut_store(self, spark):
+        rows = [
+            ("urn:c:1", "urn:ex:name", "london"),
+            ("urn:c:1", "geo:asWKT", "POINT(10 20)"),
+            ("urn:c:2", "urn:ex:name", "york"),
+            ("urn:c:2", "geo:asWKT", "POINT(30 30)"),
+            ("urn:z:1", "urn:ex:name", "zone"),
+            (
+                "urn:z:1", "geo:asWKT",
+                "POLYGON((0 0, 50 0, 50 50, 0 50, 0 0), "
+                "(5 15, 15 15, 15 25, 5 25, 5 15))",
+            ),
+        ]
+        df = spark.createDataFrame(rows, "s string, p string, o string")
+        return TripleStore(df)
+
+    def test_sfwithin_constant_donut_excludes_hole(self, donut_store):
+        rows = run(
+            donut_store,
+            "SELECT ?cn WHERE { ?c geo:asWKT ?w . ?c ex:name ?cn "
+            f"FILTER(geof:sfWithin(?w, {self.DONUT})) }}",
+        ).collect()
+        # london (10,20) is in the hole; york (30,30) is in the donut;
+        # the zone polygon itself is not a POINT (type error, drops)
+        assert [r.cn for r in rows] == ["york"]
+
+    def test_sfwithin_variable_donut(self, donut_store):
+        rows = run(
+            donut_store,
+            "SELECT ?cn WHERE { ?c geo:asWKT ?w . ?c ex:name ?cn . "
+            "?z ex:name \"zone\" . ?z geo:asWKT ?d "
+            "FILTER(geof:sfWithin(?w, ?d)) }",
+        ).collect()
+        assert [r.cn for r in rows] == ["york"]
+
+    def test_measures_over_donut_variable(self, donut_store):
+        rows = run(
+            donut_store,
+            'SELECT ?a ?l ?c ?env WHERE { ?z ex:name "zone" . '
+            "?z geo:asWKT ?d "
+            "BIND(geof:area(?d) AS ?a) BIND(geof:length(?d) AS ?l) "
+            "BIND(geof:centroid(?d) AS ?c) "
+            "BIND(geof:envelope(?d) AS ?env) }",
+        ).collect()
+        (r,) = rows
+        assert r.a == 2500.0 - 100.0
+        assert r.l == 200.0 + 40.0
+        # outer centroid (25,25), hole area 100 at (10,20):
+        # ((2500*25 - 100*10)/2400, (2500*25 - 100*20)/2400)
+        assert r.c == "POINT(25.625 25.208333333333332)"
+        assert r.env == "POLYGON((0.0 0.0, 50.0 0.0, 50.0 50.0, 0.0 50.0, 0.0 0.0))"
+
+    def test_sfintersects_point_donut_hole_aware(self, donut_store):
+        rows = run(
+            donut_store,
+            "SELECT ?cn WHERE { ?c geo:asWKT ?w . ?c ex:name ?cn "
+            f"FILTER(geof:sfIntersects(?w, {self.DONUT})) }}",
+        ).collect()
+        # london's point is in the hole (no intersection); york's is
+        # in the donut; the zone's own POLYGON lexical hits the
+        # polygon-polygon arm (outer hulls coincide -> intersects)
+        assert sorted(r.cn for r in rows) == ["york", "zone"]
+
+    def test_grid_rewrite_sfwithin_hole_aware(self, spark):
+        # DISCONNECTED frames -> the grid-cover rewrite path must give
+        # the same answer as the connected compile (round-8 lesson)
+        rows = [
+            ("urn:a:1", "urn:ex:pt", "POINT(10 20)"),   # in the hole
+            ("urn:a:2", "urn:ex:pt", "POINT(30 30)"),   # in the donut
+            ("urn:b:1", "urn:ex:poly",
+             "POLYGON((0 0, 50 0, 50 50, 0 50, 0 0), "
+             "(5 15, 15 15, 15 25, 5 25, 5 15))"),
+        ]
+        store = TripleStore(
+            spark.createDataFrame(rows, "s string, p string, o string")
+        )
+        got = run(
+            store,
+            "SELECT ?s WHERE { ?s ex:pt ?w . ?z ex:poly ?d "
+            "FILTER(geof:sfWithin(?w, ?d)) }",
+        ).collect()
+        assert [r.s for r in got] == ["urn:a:2"]
