@@ -14161,6 +14161,48 @@ def _sql_sp45():
     """
 
 
+def sp46_multipolygon_zone(spark, sf_dir):
+    """MULTIPOLYGON wktLiterals in SPARQL (round 13): a two-member
+    zone — a donut (outer (5.5,4.5)-(40.5,60.5), hole
+    (10.5,10.5)-(30.5,50.5)) plus a detached box
+    ((50.5,10.5)-(90.5,70.5)) — bound per row as a VARIABLE, so
+    geof:area (members summed, holes subtracted), geof:length (all
+    boundaries) and the member-aware geof:sfWithin run the per-row
+    MULTIPOLYGON parse path. Membership = inside member 1 outside its
+    hole, OR inside member 2; the oracle replays it as interval
+    arithmetic with closed-form measures."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?w ?a ?l WHERE {
+          ?s geo:asWKT ?w
+          BIND("MULTIPOLYGON(((5.5 4.5, 40.5 4.5, 40.5 60.5, 5.5 60.5, 5.5 4.5), (10.5 10.5, 30.5 10.5, 30.5 50.5, 10.5 50.5, 10.5 10.5)), ((50.5 10.5, 90.5 10.5, 90.5 70.5, 50.5 70.5, 50.5 10.5)))" AS ?d)
+          BIND(geof:area(?d) AS ?a)
+          BIND(geof:length(?d) AS ?l)
+          FILTER(geof:sfWithin(?w, ?d))
+        }
+        """,
+    )
+
+
+def _sql_sp46():
+    # area = 35*56 - 20*40 + 40*60 = 3560; length = 182 + 120 + 200
+    return """
+    WITH pts AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             (s_suppkey * 37) % 100 AS x, (s_suppkey * 61) % 100 AS y
+      FROM supplier)
+    SELECT s, printf('POINT(%d %d)', x, y) AS w,
+           CAST(3560 AS DOUBLE) AS a,
+           CAST(502 AS DOUBLE) AS l
+    FROM pts
+    WHERE (x > 5.5 AND x < 40.5 AND y > 4.5 AND y < 60.5
+           AND NOT (x > 10.5 AND x < 30.5 AND y > 10.5 AND y < 50.5))
+       OR (x > 50.5 AND x < 90.5 AND y > 10.5 AND y < 70.5)
+    """
+
+
 def sp44_erroring_bind(spark, sf_dir):
     """D1 residual CLOSED (round 12) — spec 10.1: a BIND whose
     expression ERRORS binds nothing. ``?seg * 2`` is a numeric type
@@ -16089,6 +16131,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stamped — these lead the r13 rotation ---
     "sp44_erroring_bind": sp44_erroring_bind,
     "sp45_donut_zone": sp45_donut_zone,
+    "sp46_multipolygon_zone": sp46_multipolygon_zone,
     "sim34_autosized_retrain": sim34_autosized_retrain,
     "sim35_ann_time_travel": sim35_ann_time_travel,
     "s20_concurrent_upsert_streams": s20_concurrent_upsert_streams,
@@ -16635,6 +16678,7 @@ _ORACLES["s20_concurrent_upsert_streams"] = _sql_s20()
 _ORACLES["sim36_pq_updates"] = _sql_sim36()
 _ORACLES["sim37_compacted_time_travel"] = _sql_sim37()
 _ORACLES["sp45_donut_zone"] = _sql_sp45()
+_ORACLES["sp46_multipolygon_zone"] = _sql_sp46()
 
 
 # Round-13 correctness window: the driver records correctness rows for
@@ -16659,6 +16703,7 @@ _WINDOW_R13 = [
     "g22_multipolygon",
     "g23_zone_holes_join",
     "sp45_donut_zone",
+    "sp46_multipolygon_zone",
     # r6-stamped block (oldest attestations), registry order
     "llm18_bpe_merges",
     "llm19_leakage_free_split",
@@ -16700,7 +16745,6 @@ _WINDOW_R13 = [
     "g18_nearest_neighbor",
     "txt18_lexical_diversity",
     "s14_rate_anomaly",
-    "sp21_solution_modifiers",
 ]
 
 

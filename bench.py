@@ -175,6 +175,14 @@ HEADLINE = [
     # index builds/swaps (setup, not serving — auto-sizing and
     # time-travel probe costs are measured in SCALE.md instead).
     "sp44_erroring_bind",
+    # round 13: the hole-aware spatial join (grid cells + exact donut
+    # predicate) and the multi-ring SPARQL geo path. g21/g22 (validity
+    # audits over 20k synthetic donuts/multipolygons) and sim37
+    # (compaction lifecycle) are excluded like sim34/sim35: their wall
+    # time is fixture construction + index builds, not serving plans —
+    # the per-row validity cost is documented in SCALE.md instead.
+    "g23_zone_holes_join",
+    "sp45_donut_zone",
 ]
 
 

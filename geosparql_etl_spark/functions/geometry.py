@@ -1074,3 +1074,43 @@ def polygon_centroid_holes(coordinates: Column) -> Column:
         ),
         0,
     )
+
+
+def multipolygon_centroid(coordinates: Column) -> Column:
+    """Centroid of a MultiPolygon as ``struct(cx, cy)``: the
+    area-weighted combination of the members' hole-aware centroids
+    (Σ Ai*Ci / Σ Ai). NULL when the total live area is 0."""
+    zero = F.struct(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("x"),
+        F.lit(0.0).alias("y"),
+    )
+    agg = F.aggregate(
+        coordinates,
+        zero,
+        lambda acc, poly: F.struct(
+            (acc["a"] + polygon_area_holes(poly)).alias("a"),
+            (
+                acc["x"]
+                + polygon_area_holes(poly)
+                * polygon_centroid_holes(poly)["cx"]
+            ).alias("x"),
+            (
+                acc["y"]
+                + polygon_area_holes(poly)
+                * polygon_centroid_holes(poly)["cy"]
+            ).alias("y"),
+        ),
+    )
+    return F.get(
+        F.transform(
+            F.array(agg),
+            lambda s: F.when(
+                s["a"] > 0.0,
+                F.struct(
+                    (s["x"] / s["a"]).alias("cx"),
+                    (s["y"] / s["a"]).alias("cy"),
+                ),
+            ),
+        ),
+        0,
+    )

@@ -130,6 +130,10 @@ from pyspark.sql import functions as F
 
 from geosparql_etl_spark.functions.geometry import (
     bounds_wkt,
+    multipolygon_area,
+    multipolygon_centroid,
+    multipolygon_perimeter,
+    point_in_multipolygon,
     point_in_polygon_holes,
     polygon_area_holes,
     polygon_centroid_holes,
@@ -139,6 +143,7 @@ from geosparql_etl_spark.functions.geometry import (
     ring_bounds,
     rings_intersect,
     wkt_linestring_points,
+    wkt_multipolygon,
     wkt_polygon_rings,
 )
 from geosparql_etl_spark.sparql.triples import RDF_LANGSTRING, XSD, TripleStore
@@ -2551,17 +2556,29 @@ def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
     # into the 4 bbox bounds + the 6 references inside point_in_ring
     # multiplies a large expression ~10x — measured 4.5s of pure
     # driver-side analysis per query before this, ~1s after.
-    # ALL rings (round 13): the bbox cover comes from the OUTER ring
-    # (holes cannot extend it) and the exact predicate is hole-aware,
-    # keeping this rewrite's answers identical to the connected-frame
-    # FILTER compile (the round-8 divergence lesson)
+    # ALL rings + MULTIPOLYGON (round 13): the polygon side
+    # normalizes to the MultiPolygon member form (a POLYGON is a
+    # 1-member MultiPolygon), the bbox cover comes from the members'
+    # OUTER rings (holes cannot extend it), and the exact predicate
+    # is hole-aware — keeping this rewrite's answers identical to the
+    # connected-frame FILTER compile (the round-8 divergence lesson)
     rings = F.col("__rings")
-    outer = F.get(rings, 0)
-    xs = F.transform(outer, lambda p: p[0])
-    ys = F.transform(outer, lambda p: p[1])
+    outers = F.flatten(F.transform(rings, lambda p: F.get(p, 0)))
+    xs = F.transform(outers, lambda p: p[0])
+    ys = F.transform(outers, lambda p: p[1])
+    as_mp = F.coalesce(
+        F.get(
+            F.transform(
+                F.array(wkt_polygon_rings(F.col(v))),
+                lambda r: F.when(r.isNotNull(), F.array(r)),
+            ),
+            0,
+        ),
+        wkt_multipolygon(F.col(v)),
+    )
     polys = (
         frames[gi]
-        .withColumn("__rings", wkt_polygon_rings(F.col(v)))
+        .withColumn("__rings", as_mp)
         .withColumn(
             "__cx",
             F.explode(
@@ -2585,7 +2602,7 @@ def _grid_sfwithin_rewrite(frames: list, expr) -> bool:
     # sfDisjoint pairs share no cell, so a cell join cannot express it
     joined = (
         pts.join(polys, on=["__cx", "__cy"])
-        .where(point_in_polygon_holes(rings, px, py))
+        .where(point_in_multipolygon(rings, px, py))
         .drop("__cx", "__cy", "__rings")
     )
     for idx in sorted((pi, gi), reverse=True):
@@ -2680,6 +2697,33 @@ def _point_xy(col: Column) -> tuple[Column, Column]:
         F.regexp_extract(col, pat, 1).try_cast("double"),
         F.regexp_extract(col, pat, 2).try_cast("double"),
     )
+
+
+def _parse_wkt_multipolygon(
+    wkt: str,
+) -> list[list[list[tuple[float, float]]]]:
+    """Constant MULTIPOLYGON WKT -> members -> rings -> points,
+    closing repeats dropped (the compile-time twin of
+    wkt_multipolygon). Raises for non-MULTIPOLYGON — callers try
+    _parse_wkt_rings first."""
+    m = re.match(r"\s*MULTIPOLYGON\s*\((.*)\)\s*$", wkt, re.S)
+    if not m:
+        raise ValueError(f"unsupported constant WKT: {wkt!r}")
+    body = re.sub(r"^\s*\(|\)\s*$", "", m.group(1).strip())
+    out = []
+    for poly_s in re.split(r"\)\s*\)\s*,\s*\(\s*\(", body):
+        rings = []
+        for ring_s in re.split(r"\)\s*,\s*\(", poly_s):
+            ring_s = re.sub(r"^\s*\(|\)\s*$", "", ring_s)
+            pts = [
+                tuple(float(v) for v in xy.split())
+                for xy in ring_s.split(",")
+            ]
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            rings.append(pts)
+        out.append(rings)
+    return out
 
 
 def _parse_wkt_rings(wkt: str) -> list[list[tuple[float, float]]]:
@@ -2932,8 +2976,9 @@ def _compile_call(node) -> Column:
         # error = binding dropped).
         pt, poly = args if fname != "geof:sfcontains" else (args[1], args[0])
         px, py = _point_xy(_operand_col(pt, False))
-        if poly[0] in ("str", "lit"):
-            rings = F.array(
+
+        def _rings_lit(rings):
+            return F.array(
                 *[
                     F.array(
                         *[
@@ -2941,21 +2986,59 @@ def _compile_call(node) -> Column:
                             for x, y in ring
                         ]
                     )
-                    for ring in _parse_wkt_rings(poly[1])
+                    for ring in rings
                 ]
             )
-        else:
-            rings = wkt_polygon_rings(_operand_col(poly, False))
+
         # hole-aware (round 13): a point inside an interior ring is
-        # NOT within; single-ring WKT degenerates to the old ray cast
-        inside = F.get(
-            F.transform(
-                F.array(rings),
-                lambda c: F.when(
-                    c.isNotNull(), point_in_polygon_holes(c, px, py)
+        # NOT within; single-ring WKT degenerates to the old ray
+        # cast. MULTIPOLYGON lexicals test membership in ANY member.
+        if poly[0] in ("str", "lit"):
+            lex = poly[1].lstrip().upper()
+            if lex.startswith("MULTIPOLYGON"):
+                mp = F.array(
+                    *[
+                        _rings_lit(rings)
+                        for rings in _parse_wkt_multipolygon(poly[1])
+                    ]
+                )
+                inside = F.get(
+                    F.transform(
+                        F.array(mp),
+                        lambda m: point_in_multipolygon(m, px, py),
+                    ),
+                    0,
+                )
+                return ~inside if fname == "geof:sfdisjoint" else inside
+            rings = _rings_lit(_parse_wkt_rings(poly[1]))
+            inside = F.get(
+                F.transform(
+                    F.array(rings),
+                    lambda c: point_in_polygon_holes(c, px, py),
                 ),
+                0,
+            )
+            return ~inside if fname == "geof:sfdisjoint" else inside
+        g = _operand_col(poly, False)
+        inside = F.coalesce(
+            F.get(
+                F.transform(
+                    F.array(wkt_polygon_rings(g)),
+                    lambda c: F.when(
+                        c.isNotNull(), point_in_polygon_holes(c, px, py)
+                    ),
+                ),
+                0,
             ),
-            0,
+            F.get(
+                F.transform(
+                    F.array(wkt_multipolygon(g)),
+                    lambda m: F.when(
+                        m.isNotNull(), point_in_multipolygon(m, px, py)
+                    ),
+                ),
+                0,
+            ),
         )
         return ~inside if fname == "geof:sfdisjoint" else inside
     if fname == "geof:distance":
@@ -3039,19 +3122,30 @@ def _compile_call(node) -> Column:
         # envelope is the outer ring's (holes cannot extend it)
         rings = wkt_polygon_rings(g)
         line = wkt_linestring_points(g)
+        mp = wkt_multipolygon(g)
 
         def _bound(col: Column, fn) -> Column:
             return F.get(F.transform(F.array(col), fn), 0)
 
-        def _per_kind(poly_fn, line_fn, point_val: Column) -> Column:
+        def _per_kind(
+            poly_fn, line_fn, point_val: Column, mp_fn=None
+        ) -> Column:
             """point_val for POINT, poly_fn over the bound ALL-rings
             array for POLYGON, line_fn over the bound point list for
-            LINESTRING, NULL otherwise."""
-            return F.when(is_point, point_val).otherwise(
-                F.coalesce(
-                    _bound(rings, lambda r: F.when(r.isNotNull(), poly_fn(r))),
-                    _bound(line, lambda l: F.when(l.isNotNull(), line_fn(l))),
+            LINESTRING, mp_fn over the bound member array for
+            MULTIPOLYGON (when given), NULL otherwise. Coalesce
+            short-circuits, so a POLYGON row never evaluates the
+            MULTIPOLYGON parse."""
+            arms = [
+                _bound(rings, lambda r: F.when(r.isNotNull(), poly_fn(r))),
+                _bound(line, lambda l: F.when(l.isNotNull(), line_fn(l))),
+            ]
+            if mp_fn is not None:
+                arms.append(
+                    _bound(mp, lambda m: F.when(m.isNotNull(), mp_fn(m)))
                 )
+            return F.when(is_point, point_val).otherwise(
+                F.coalesce(*arms)
             )
 
         def _pt_wkt(c: Column) -> Column:
@@ -3068,22 +3162,32 @@ def _compile_call(node) -> Column:
 
         if fname == "geof:area":
             return _per_kind(
-                polygon_area_holes, lambda l: F.lit(0.0), F.lit(0.0)
+                polygon_area_holes, lambda l: F.lit(0.0), F.lit(0.0),
+                mp_fn=multipolygon_area,
             )
         if fname == "geof:length":
             return _per_kind(
-                polygon_perimeter_holes, polyline_length, F.lit(0.0)
+                polygon_perimeter_holes, polyline_length, F.lit(0.0),
+                mp_fn=multipolygon_perimeter,
             )
         if fname == "geof:envelope":
             return _per_kind(
                 lambda r: bounds_wkt(ring_bounds(F.get(r, 0))),
                 lambda l: bounds_wkt(ring_bounds(l)),
                 g,
+                # envelope over every member's outer ring, flattened
+                mp_fn=lambda m: bounds_wkt(
+                    ring_bounds(
+                        F.flatten(F.transform(m, lambda p: F.get(p, 0)))
+                    )
+                ),
             )
         return _per_kind(
             lambda r: _bound(polygon_centroid_holes(r), _pt_wkt),
             lambda l: _bound(polyline_centroid(l), _pt_wkt),
             g,
+            # area-weighted member centroids (hole-aware per member)
+            mp_fn=lambda m: _bound(multipolygon_centroid(m), _pt_wkt),
         )
     if fname == "lang":
         # LANG(?x): the binding's language tag ("" for simple literals

@@ -3927,3 +3927,72 @@ class TestHoleAwareGeo:
             "FILTER(geof:sfWithin(?w, ?d)) }",
         ).collect()
         assert [r.s for r in got] == ["urn:a:2"]
+
+
+class TestMultiPolygonGeo:
+    """Round 13: geof functions accept MULTIPOLYGON lexicals —
+    constant and variable — with hole-aware member semantics."""
+
+    MP = (
+        '"MULTIPOLYGON(((0 0, 20 0, 20 20, 0 20, 0 0), '
+        '(5 5, 15 5, 15 15, 5 15, 5 5)), '
+        '((30 0, 40 0, 40 10, 30 10, 30 0)))"'
+    )  # donut (area 300) + square (area 100)
+
+    @pytest.fixture(scope="class")
+    def mp_store(self, spark):
+        rows = [
+            ("urn:c:1", "urn:ex:name", "in_hole"),
+            ("urn:c:1", "geo:asWKT", "POINT(10 10)"),
+            ("urn:c:2", "urn:ex:name", "in_donut"),
+            ("urn:c:2", "geo:asWKT", "POINT(2 2)"),
+            ("urn:c:3", "urn:ex:name", "in_square"),
+            ("urn:c:3", "geo:asWKT", "POINT(35 5)"),
+            ("urn:c:4", "urn:ex:name", "outside"),
+            ("urn:c:4", "geo:asWKT", "POINT(25 25)"),
+            ("urn:z:1", "urn:ex:name", "mzone"),
+            (
+                "urn:z:1", "geo:asWKT",
+                "MULTIPOLYGON(((0 0, 20 0, 20 20, 0 20, 0 0), "
+                "(5 5, 15 5, 15 15, 5 15, 5 5)), "
+                "((30 0, 40 0, 40 10, 30 10, 30 0)))",
+            ),
+        ]
+        df = spark.createDataFrame(rows, "s string, p string, o string")
+        return TripleStore(df)
+
+    def test_sfwithin_multipolygon_constant(self, mp_store):
+        rows = run(
+            mp_store,
+            "SELECT ?cn WHERE { ?c geo:asWKT ?w . ?c ex:name ?cn "
+            f"FILTER(geof:sfWithin(?w, {self.MP})) }}",
+        ).collect()
+        assert sorted(r.cn for r in rows) == ["in_donut", "in_square"]
+
+    def test_sfwithin_multipolygon_variable(self, mp_store):
+        rows = run(
+            mp_store,
+            "SELECT ?cn WHERE { ?c geo:asWKT ?w . ?c ex:name ?cn . "
+            '?z ex:name "mzone" . ?z geo:asWKT ?d '
+            "FILTER(geof:sfWithin(?w, ?d)) }",
+        ).collect()
+        assert sorted(r.cn for r in rows) == ["in_donut", "in_square"]
+
+    def test_measures_over_multipolygon_variable(self, mp_store):
+        rows = run(
+            mp_store,
+            'SELECT ?a ?l ?c ?env WHERE { ?z ex:name "mzone" . '
+            "?z geo:asWKT ?d "
+            "BIND(geof:area(?d) AS ?a) BIND(geof:length(?d) AS ?l) "
+            "BIND(geof:centroid(?d) AS ?c) "
+            "BIND(geof:envelope(?d) AS ?env) }",
+        ).collect()
+        (r,) = rows
+        assert r.a == 400.0  # 400 - 100 + 100
+        assert r.l == 80.0 + 40.0 + 40.0
+        # donut centroid (10,10) area 300; square centroid (35,5)
+        # area 100 -> ((300*10+100*35)/400, (300*10+100*5)/400)
+        assert r.c == "POINT(16.25 8.75)"
+        assert r.env == (
+            "POLYGON((0.0 0.0, 40.0 0.0, 40.0 20.0, 0.0 20.0, 0.0 0.0))"
+        )
