@@ -883,6 +883,14 @@ def maybe_retrain_ivf_index(
         F.col("__cv").alias(vec_col),
         *(["epoch"] if "epoch" in scan.columns else []),
     )
+    if "epoch" in rows.columns:
+        # committed epochs only (round-13 fix): a torn epoch must not
+        # be counted, trained on, or baked into the swapped generation
+        rows = rows.where(
+            F.col("epoch").cast("string").isin(
+                _committed_epochs(index_path)
+            )
+        )
     tomb = read_index_tombstones(spark, index_path)
     if tomb is not None:
         rows = _apply_ann_tombstones(rows, tomb)
@@ -1111,6 +1119,14 @@ def ivf_index_pq_topk(
         ["epoch"] if "epoch" in code_scan.columns else []
     )
     code_scan = code_scan.select(*keep, F.col("ivf_cell").alias("__cell"))
+    if "epoch" in keep:
+        # committed epochs only (round-13 fix, the _ann_scan_restrict
+        # rule): a torn epoch's partial codes must not enter the ADC
+        # shortlist
+        committed = _committed_epochs(path)
+        code_scan = code_scan.where(
+            F.col("epoch").cast("string").isin(committed)
+        )
     tomb = read_index_tombstones(spark, path)
     if tomb is not None:
         # pending deletes: anti-join the tombstone set (broadcast —
@@ -1162,6 +1178,10 @@ def ivf_index_pq_topk(
         ["epoch"] if "epoch" in vs.columns else []
     )
     vec_scan = vs.select(*vkeep)
+    if "epoch" in vkeep:
+        vec_scan = vec_scan.where(
+            F.col("epoch").cast("string").isin(_committed_epochs(path))
+        )
     if tomb is not None:
         vec_scan = _apply_ann_tombstones(vec_scan, tomb)
     vec_scan = vec_scan.drop("epoch")
@@ -1234,23 +1254,32 @@ def ivf_index_topk(
 
 
 def _ann_scan_restrict(spark, scan, path, as_of_seq, extra_cols=()):
-    """Project a probe scan to its candidate columns and, when
-    ``as_of_seq`` is set, restrict to epochs committed at or before
-    the pin (ledger lookup -> epoch isin partition filter)."""
+    """Project a probe scan to its candidate columns, restricted to
+    COMMITTED epochs: latest reads (``as_of_seq=None``) see only
+    epochs whose ``_SUCCESS`` marker exists — a concurrent writer's
+    in-flight epoch, or a crashed writer's torn one, never serves
+    partial rows (round-13 fix; the text lake has always gated every
+    read on its ledger, the ANN side only gated time travel). With
+    ``as_of_seq`` the gate tightens further to epochs committed at or
+    before the pin. Both are epoch-isin PARTITION filters — pruned
+    directories, not scanned-and-dropped rows."""
     keep = ["neighbor_id", "__cv", "__cn", *extra_cols] + (
         ["epoch"] if "epoch" in scan.columns else []
     )
     cb = scan.select(*keep, F.col("ivf_cell").alias("__cell"))
-    if as_of_seq is None:
-        return cb
     if "epoch" not in scan.columns:
+        if as_of_seq is None:
+            return cb
         raise ValueError(
             "as_of_seq requires an epoch-layout index "
             "(write_ivf_index(..., epoch='base'))"
         )
-    live = sorted(
-        e for e, s in _ann_epoch_seqs(path).items() if s <= as_of_seq
-    )
+    if as_of_seq is None:
+        live = _committed_epochs(path)
+    else:
+        live = sorted(
+            e for e, s in _ann_epoch_seqs(path).items() if s <= as_of_seq
+        )
     return cb.where(F.col("epoch").cast("string").isin(live))
 
 

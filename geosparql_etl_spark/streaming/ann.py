@@ -181,6 +181,20 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
     lc.recover_swap(index_path, old_path)
     shutil.rmtree(tmp_path, ignore_errors=True)
     scan = spark.read.parquet(index_path)
+    if "epoch" in scan.columns:
+        # committed epochs only (round-13 fix): a crashed writer's
+        # torn epoch must not be baked into the compacted base — and
+        # since the swap replaces the whole root, the orphan directory
+        # is garbage-collected by the same stroke
+        from geosparql_etl_spark.operators.similarity import (
+            _committed_epochs,
+        )
+
+        scan = scan.where(
+            F.col("epoch").cast("string").isin(
+                _committed_epochs(index_path)
+            )
+        )
     # keep EVERY data column — a PQ layout carries __pq and arbitrary
     # carry_cols beside the vectors, and dropping them at compaction
     # would silently break the codes-only ADC probe (round-12 fix:

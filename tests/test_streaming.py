@@ -2164,3 +2164,81 @@ def test_update_tombstones_scope_committed_epochs_only(
     )
     scoped = {r.epoch for r in tomb.select("epoch").collect()}
     assert scoped == {"base"}
+
+
+def test_uncommitted_epoch_invisible_everywhere(spark, sf_dir, tmp_path):
+    """Round-13 fix: the ANN lake now matches the text lake's rule
+    that EVERY read is commit-gated — an epoch directory without its
+    _SUCCESS marker (in-flight concurrent writer, or a crashed torn
+    write) must not serve in latest probes (plain or PQ), must not be
+    counted/trained by maybe_retrain, and must not be baked into a
+    compacted base (compaction garbage-collects it instead)."""
+    import os
+    import shutil
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        pq_train,
+        write_ivf_index,
+        write_ivf_pq_index,
+        ivf_index_pq_topk,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=3)
+    probe = e.where(F.col("vec_id") < 3)
+    half = e.where(F.col("vec_id") < 200)
+
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(half, idx, dim=64, n_cells=8, centroids=trained,
+                    epoch="base")
+    ref = str(tmp_path / "ref")
+    write_ivf_index(half, ref, dim=64, n_cells=8, centroids=trained,
+                    epoch="base")
+
+    def answers(path):
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_topk(
+                spark, path, probe, k=5, dim=64, n_cells=8, n_probe=8,
+                centroids=trained,
+            ).collect()
+        ]
+
+    # torn epoch: full data dir, _SUCCESS removed
+    write_ivf_index(e.where(F.col("vec_id") >= 200), idx, dim=64,
+                    n_cells=8, centroids=trained, epoch="zz")
+    os.remove(os.path.join(idx, "epoch=zz", "_SUCCESS"))
+
+    assert answers(idx) == answers(ref)
+    # compaction garbage-collects the torn epoch instead of baking it
+    compact_ivf_index(spark, idx)
+    assert not os.path.exists(os.path.join(idx, "epoch=zz"))
+    assert answers(idx) == answers(ref)
+
+    # PQ probe path: same rule on both its scans
+    books = pq_train(e, "embedding", dim=64, m=16, k=16, rounds=3)
+    pq = str(tmp_path / "pq")
+    pq_ref = str(tmp_path / "pqref")
+    for p in (pq, pq_ref):
+        write_ivf_pq_index(half, p, dim=64, n_cells=8,
+                           centroids=trained, codebooks=books,
+                           epoch="base")
+    write_ivf_pq_index(
+        e.where(F.col("vec_id") >= 200), pq, dim=64, n_cells=8,
+        centroids=trained, codebooks=books, epoch="zz",
+    )
+    os.remove(os.path.join(pq, "epoch=zz", "_SUCCESS"))
+
+    def pq_answers(path):
+        return [
+            (r.query_id, r.neighbor_id, round(r.cosine_sim, 6))
+            for r in ivf_index_pq_topk(
+                spark, path, probe, kq=5, n_probe=8,
+            ).collect()
+        ]
+
+    assert pq_answers(pq) == pq_answers(pq_ref)
+    shutil.rmtree(idx, ignore_errors=True)
