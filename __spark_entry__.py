@@ -15937,6 +15937,95 @@ def _sql_sim37():
     """
 
 
+def sim38_torn_epoch_probe(spark, sf_dir):
+    """COMMIT-GATED SERVING under a torn write (round 13 — the
+    gating fix under the oracle gate): a concurrent writer crashed
+    mid-epoch, leaving a full ``epoch=zz`` data directory WITHOUT its
+    ``_SUCCESS`` marker (and with its pre-allocated ledger seq, since
+    the ledger commits before the data — the crash window). Latest
+    probes must serve exactly the committed corpus: the torn epoch's
+    rows never rank, never crowd a shortlist, and the oracle replays
+    the committed-only corpus index-free. (Before round 13 the ANN
+    lake gated only time-travel reads — a torn epoch's partial rows
+    served in latest probes and compaction baked them into the
+    base.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_ivf_torn_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    write_ivf_index(
+        e.where(F.col("vec_id") < 250), idx, dim=64, n_cells=16,
+        centroids=trained, epoch="base",
+    )
+    write_ivf_index(
+        e.where(F.col("vec_id") >= 250), idx, dim=64, n_cells=16,
+        centroids=trained, epoch="zz",
+    )
+    os.remove(os.path.join(idx, "epoch=zz", "_SUCCESS"))
+    probe = e.where(F.col("vec_id") < 5)
+    return ivf_index_topk(
+        spark, idx, probe, k=5, dim=64, n_cells=16, n_probe=6,
+        centroids=trained,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    )
+
+
+def _sql_sim38():
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    e_live AS (SELECT * FROM e WHERE vec_id < 250),
+    scored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM e_live, ct),
+    cells AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored) WHERE rn = 1),
+    qscored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM e, ct WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM qscored) WHERE rn <= 6),
+    cand AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl USING (cell)
+      WHERE cl.vec_id != p.vec_id)
+    SELECT query_id, neighbor_id, rank, round(sim, 6) AS cosine_sim FROM (
+      SELECT query_id, neighbor_id,
+             list_cosine_similarity(eq.v, ec.v) AS sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                        neighbor_id
+             ) AS rank
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e_live ec ON ec.vec_id = cand.neighbor_id)
+    WHERE rank <= 5
+    """
+
+
 def _sql_llm26():
     return """
     WITH v2 AS (
@@ -16132,6 +16221,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp44_erroring_bind": sp44_erroring_bind,
     "sp45_donut_zone": sp45_donut_zone,
     "sp46_multipolygon_zone": sp46_multipolygon_zone,
+    "sim38_torn_epoch_probe": sim38_torn_epoch_probe,
     "sim34_autosized_retrain": sim34_autosized_retrain,
     "sim35_ann_time_travel": sim35_ann_time_travel,
     "s20_concurrent_upsert_streams": s20_concurrent_upsert_streams,
@@ -16679,6 +16769,7 @@ _ORACLES["sim36_pq_updates"] = _sql_sim36()
 _ORACLES["sim37_compacted_time_travel"] = _sql_sim37()
 _ORACLES["sp45_donut_zone"] = _sql_sp45()
 _ORACLES["sp46_multipolygon_zone"] = _sql_sp46()
+_ORACLES["sim38_torn_epoch_probe"] = _sql_sim38()
 
 
 # Round-13 correctness window: the driver records correctness rows for
@@ -16704,6 +16795,7 @@ _WINDOW_R13 = [
     "g23_zone_holes_join",
     "sp45_donut_zone",
     "sp46_multipolygon_zone",
+    "sim38_torn_epoch_probe",
     # r6-stamped block (oldest attestations), registry order
     "llm18_bpe_merges",
     "llm19_leakage_free_split",
@@ -16744,7 +16836,6 @@ _WINDOW_R13 = [
     "a16_mad_outliers",
     "g18_nearest_neighbor",
     "txt18_lexical_diversity",
-    "s14_rate_anomaly",
 ]
 
 

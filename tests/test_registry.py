@@ -50,7 +50,7 @@ def test_round13_correctness_window_is_stable():
         "d03_minhash_signature", "d04_ngram_jaccard",
     }
     assert r6_block <= set(keys[:50])
-    assert keys[49] == "s14_rate_anomaly"
+    assert keys[49] == "txt18_lexical_diversity"
     assert len(keys) == len(set(keys))
     assert len(keys) == len(entry._QUERIES)
 
