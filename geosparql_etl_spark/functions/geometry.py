@@ -53,11 +53,18 @@ def _close_ring(pts: Column) -> Column:
     ).otherwise(pts)
 
 
-def _closed_ring_body(pts: Column) -> Column:
-    """The comma-joined body of one auto-closed ring ('x y, ..., x1 y1'),
-    NULL for an empty point list — the per-ring core `_closed_ring_wkt`
-    (single ring) and `polygon_wkt_rings` (multi-ring) both wrap. One
-    fold; see _closed_ring_wkt for why."""
+def _closed_ring_body(
+    pts: Column, prefix: str = "", suffix: str = ""
+) -> Column:
+    """The comma-joined body of one auto-closed ring ('x y, ..., x1 y1')
+    wrapped in ``prefix``/``suffix``, NULL for an empty point list —
+    the per-ring core `_closed_ring_wkt` (single ring, full 'POLYGON
+    ((...))' wrap) and `polygon_wkt_rings` / `multipolygon_wkt`
+    ('(...)' per ring) build on. The wrap happens INSIDE the fold's
+    finish lambda so the whole render stays ONE fold per ring — a
+    separate isNotNull-guarded concat would reference (and re-evaluate)
+    the aggregate twice per row; see _closed_ring_wkt for why that
+    matters."""
     zero = F.struct(
         F.lit("").alias("s"),
         F.lit("").alias("first"),
@@ -76,11 +83,13 @@ def _closed_ring_body(pts: Column) -> Column:
         lambda acc: F.when(
             acc["first"] != "",
             F.concat(
+                F.lit(prefix),
                 acc["s"],
                 F.when(
                     acc["first"] != acc["last"],
                     F.concat(F.lit(", "), acc["first"]),
                 ).otherwise(F.lit("")),
+                F.lit(suffix),
             ),
         ),
     )
@@ -104,11 +113,7 @@ def _closed_ring_wkt(pts: Column) -> Column:
     interpreter mode. '' is unambiguous: every formatted point contains
     a space.
     """
-    body = _closed_ring_body(pts)
-    return F.when(
-        body.isNotNull(),
-        F.concat(F.lit("POLYGON (("), body, F.lit("))")),
-    )
+    return _closed_ring_body(pts, "POLYGON ((", "))")
 
 
 def polygon_wkt(coordinates: Column) -> Column:
@@ -732,10 +737,8 @@ def polygon_wkt_rings(coordinates: Column) -> Column:
     null body)."""
     bodies = F.transform(
         coordinates,
-        lambda ring: F.concat(
-            F.lit("("),
-            _closed_ring_body(F.transform(ring, _fmt_point_raw)),
-            F.lit(")"),
+        lambda ring: _closed_ring_body(
+            F.transform(ring, _fmt_point_raw), "(", ")"
         ),
     )
     ring0 = outer_ring(coordinates)
@@ -901,12 +904,8 @@ def multipolygon_wkt(coordinates: Column) -> Column:
             F.array_join(
                 F.transform(
                     poly,
-                    lambda ring: F.concat(
-                        F.lit("("),
-                        _closed_ring_body(
-                            F.transform(ring, _fmt_point_raw)
-                        ),
-                        F.lit(")"),
+                    lambda ring: _closed_ring_body(
+                        F.transform(ring, _fmt_point_raw), "(", ")"
                     ),
                 ),
                 ", ",
@@ -979,9 +978,14 @@ def point_in_multipolygon(
 def _polygons_overlap(pa: Column, pb: Column) -> Column:
     """Do two polygons' FILLED regions (holes respected) overlap?
     Hole-aware on the vertex tests, so an island sitting inside the
-    other member's hole is NOT an overlap (OGC-valid nesting); outer
-    boundary crossings catch partial overlaps whose vertices all sit
-    outside. Pure boundary contact is not detected (the documented
+    other member's hole is NOT an overlap (OGC-valid nesting); edge
+    crossings are tested between EVERY ring pair, not just the outer
+    hulls — a member whose vertices all sit inside the other's
+    non-convex hole but whose edges span the hole's gap crosses the
+    HOLE ring, never the outer one (round-13 review finding). Any
+    proper boundary crossing between two valid polygons implies their
+    filled regions overlap; an island strictly inside a hole crosses
+    nothing. Pure boundary contact is not detected (the documented
     rings_intersect degenerate class)."""
     a_in_b = F.exists(
         F.get(pa, 0), lambda p: point_in_polygon_holes(pb, p[0], p[1])
@@ -989,9 +993,13 @@ def _polygons_overlap(pa: Column, pb: Column) -> Column:
     b_in_a = F.exists(
         F.get(pb, 0), lambda p: point_in_polygon_holes(pa, p[0], p[1])
     )
-    return a_in_b | b_in_a | _rings_edges_cross(
-        F.get(pa, 0), F.get(pb, 0)
+    any_ring_cross = F.exists(
+        pa,
+        lambda ra: F.exists(
+            pb, lambda rb: _rings_edges_cross(ra, rb)
+        ),
     )
+    return a_in_b | b_in_a | any_ring_cross
 
 
 def is_valid_multipolygon(coordinates: Column) -> Column:
@@ -1041,15 +1049,34 @@ def polygon_centroid_holes(coordinates: Column) -> Column:
         F.lit(0.0).alias("a"), F.lit(0.0).alias("x"),
         F.lit(0.0).alias("y"),
     )
-    agg = F.aggregate(
-        holes,
-        zero,
-        lambda acc, h: F.struct(
-            (acc["a"] + ring_area(h)).alias("a"),
-            (acc["x"] + ring_area(h) * ring_centroid(h)["cx"]).alias("x"),
-            (acc["y"] + ring_area(h) * ring_centroid(h)["cy"]).alias("y"),
-        ),
-    )
+    def hole_step(acc: Column, h: Column) -> Column:
+        # bind (area, centroid) once per hole; a DEGENERATE hole
+        # (zero area -> NULL centroid) contributes zero weight rather
+        # than NULL-poisoning the fold (round-13 review finding)
+        return F.get(
+            F.transform(
+                F.array(
+                    F.struct(
+                        ring_area(h).alias("a"),
+                        ring_centroid(h).alias("c"),
+                    )
+                ),
+                lambda s: F.struct(
+                    (acc["a"] + s["a"]).alias("a"),
+                    F.when(
+                        s["c"].isNotNull(),
+                        acc["x"] + s["a"] * s["c"]["cx"],
+                    ).otherwise(acc["x"]).alias("x"),
+                    F.when(
+                        s["c"].isNotNull(),
+                        acc["y"] + s["a"] * s["c"]["cy"],
+                    ).otherwise(acc["y"]).alias("y"),
+                ),
+            ),
+            0,
+        )
+
+    agg = F.aggregate(holes, zero, hole_step)
     pre = F.struct(
         ring_area(outer).alias("a0"),
         ring_centroid(outer).alias("c0"),
@@ -1079,28 +1106,41 @@ def polygon_centroid_holes(coordinates: Column) -> Column:
 def multipolygon_centroid(coordinates: Column) -> Column:
     """Centroid of a MultiPolygon as ``struct(cx, cy)``: the
     area-weighted combination of the members' hole-aware centroids
-    (Σ Ai*Ci / Σ Ai). NULL when the total live area is 0."""
+    (Σ Ai*Ci / Σ Ai). NULL when the TOTAL live area is 0; a single
+    degenerate (zero-area) member contributes zero weight instead of
+    NULL-poisoning the fold, and each member's (area, centroid) pair
+    is bound once (the sp33 rule) rather than re-evaluating the
+    shoelace folds per field (both round-13 review findings)."""
     zero = F.struct(
         F.lit(0.0).alias("a"), F.lit(0.0).alias("x"),
         F.lit(0.0).alias("y"),
     )
-    agg = F.aggregate(
-        coordinates,
-        zero,
-        lambda acc, poly: F.struct(
-            (acc["a"] + polygon_area_holes(poly)).alias("a"),
-            (
-                acc["x"]
-                + polygon_area_holes(poly)
-                * polygon_centroid_holes(poly)["cx"]
-            ).alias("x"),
-            (
-                acc["y"]
-                + polygon_area_holes(poly)
-                * polygon_centroid_holes(poly)["cy"]
-            ).alias("y"),
-        ),
-    )
+
+    def member_step(acc: Column, poly: Column) -> Column:
+        return F.get(
+            F.transform(
+                F.array(
+                    F.struct(
+                        polygon_area_holes(poly).alias("a"),
+                        polygon_centroid_holes(poly).alias("c"),
+                    )
+                ),
+                lambda s: F.struct(
+                    (acc["a"] + s["a"]).alias("a"),
+                    F.when(
+                        s["c"].isNotNull(),
+                        acc["x"] + s["a"] * s["c"]["cx"],
+                    ).otherwise(acc["x"]).alias("x"),
+                    F.when(
+                        s["c"].isNotNull(),
+                        acc["y"] + s["a"] * s["c"]["cy"],
+                    ).otherwise(acc["y"]).alias("y"),
+                ),
+            ),
+            0,
+        )
+
+    agg = F.aggregate(coordinates, zero, member_step)
     return F.get(
         F.transform(
             F.array(agg),

@@ -788,26 +788,35 @@ def update_ivf_index(
             for e in epochs_now:
                 nid.append(i)
                 eps.append(e)
-        if nid:
-            # nid is empty only when NO other epoch is committed yet
-            # (an upsert racing the initial build) — nothing visible
-            # to tombstone, and the delete rule already says an epoch
-            # that commits later must survive
-            atomic_parquet_append(
-                tomb_dir,
-                pa.table(
-                    {
-                        "neighbor_id": pa.array(nid, pa.int64()),
-                        "epoch": pa.array(eps, pa.string()),
-                        "src_epoch": pa.array(
-                            [str(epoch)] * len(nid), pa.string()
-                        ),
-                        "issued": pa.array(
-                            [issued] * len(nid), pa.int32()
-                        ),
-                    }
-                ),
-            )
+        if not nid:
+            # empty scope (an upsert racing the initial build: no
+            # OTHER epoch committed yet): nothing visible to
+            # tombstone — but the empty scope must still PERSIST as
+            # this epoch's replay marker, or a replay after another
+            # writer commits would recompute a non-empty scope and
+            # tombstone an epoch that landed after the upsert
+            # (round-13 review finding). One src_epoch-keyed row
+            # scoped to a reserved epoch name no writer can mint
+            # ("__none__" — write paths tag epochs base/a*/u*-style):
+            # a phantom that kills nothing, read as an ordinary
+            # scoped tombstone everywhere.
+            nid = [int(batch_ids[0])]
+            eps = ["__none__"]
+        atomic_parquet_append(
+            tomb_dir,
+            pa.table(
+                {
+                    "neighbor_id": pa.array(nid, pa.int64()),
+                    "epoch": pa.array(eps, pa.string()),
+                    "src_epoch": pa.array(
+                        [str(epoch)] * len(nid), pa.string()
+                    ),
+                    "issued": pa.array(
+                        [issued] * len(nid), pa.int32()
+                    ),
+                }
+            ),
+        )
     if is_pq:
         write_ivf_pq_index(
             new_rows,

@@ -221,6 +221,13 @@ def compact_ivf_index(spark: SparkSession, index_path: str) -> None:
         df.drop("ivf_cell").coalesce(1).write.mode("overwrite").parquet(
             os.path.join(tmp_path, "epoch=base", "ivf_cell=0")
         )
+        # the explicit-cell write leaves Spark's _SUCCESS one level
+        # too deep — touch the epoch-level marker so the commit gate
+        # (_committed_epochs) classifies the compacted base as
+        # committed, not torn (round-13 review finding)
+        open(
+            os.path.join(tmp_path, "epoch=base", "_SUCCESS"), "w"
+        ).close()
     else:
         df.repartition("ivf_cell").write.mode("overwrite").partitionBy(
             "ivf_cell"

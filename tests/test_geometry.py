@@ -381,3 +381,82 @@ def test_multipolygon_wkt_roundtrip(spark):
         G.wkt_multipolygon(F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1))"))
         .alias("c")
     ).first()["c"] is None
+
+
+def test_multipolygon_overlap_through_nonconvex_hole(spark):
+    """Round-13 review fix: a member whose vertices all sit inside
+    another member's NON-CONVEX hole but whose edges span the hole's
+    gap overlaps through the hole ring — the pairwise test must check
+    edge crossings against every ring pair, not just the outer
+    hulls."""
+    # member A: 10x10 square with a U-shaped hole (arms at x in
+    # [2,3.5] and [6.5,8], base y in [2,3], height to y=8)
+    u_hole = [
+        [2.0, 2.0], [8.0, 2.0], [8.0, 8.0], [6.5, 8.0],
+        [6.5, 3.0], [3.5, 3.0], [3.5, 8.0], [2.0, 8.0],
+    ]
+    a = [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]], u_hole]
+    # member B: thin bar whose endpoints sit INSIDE the two U arms
+    # but whose span crosses the solid block between them (y in
+    # [4,5], which is A-filled for x in [3.5,6.5])
+    b = [[[2.5, 4.0], [7.5, 4.0], [7.5, 5.0], [2.5, 5.0]]]
+    import pyspark.sql.types as T
+
+    mp_t = T.ArrayType(
+        T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+    )
+    df = spark.createDataFrame(
+        [([a, b],)], T.StructType([T.StructField("mp", mp_t)])
+    )
+    assert df.select(
+        G.is_valid_multipolygon(F.col("mp")).alias("v")
+    ).first()["v"] is False
+    # sanity: the same bar fully inside ONE arm is valid nesting
+    b_ok = [[[2.5, 4.0], [3.0, 4.0], [3.0, 5.0], [2.5, 5.0]]]
+    df2 = spark.createDataFrame(
+        [([a, b_ok],)], T.StructType([T.StructField("mp", mp_t)])
+    )
+    assert df2.select(
+        G.is_valid_multipolygon(F.col("mp")).alias("v")
+    ).first()["v"] is True
+
+
+def test_centroid_degenerate_members_contribute_zero(spark):
+    """Round-13 review fix: a zero-area member (or hole) contributes
+    zero weight to the weighted centroid instead of NULL-poisoning
+    the fold."""
+    import pyspark.sql.types as T
+
+    sq = [[[10.0, 10.0], [20.0, 10.0], [20.0, 20.0], [10.0, 20.0]]]
+    degenerate = [[[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]]  # collinear
+    mp_t = T.ArrayType(
+        T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+    )
+    df = spark.createDataFrame(
+        [([degenerate, sq],)], T.StructType([T.StructField("mp", mp_t)])
+    )
+    c = df.select(
+        G.multipolygon_centroid(F.col("mp")).alias("c")
+    ).first()["c"]
+    assert (c.cx, c.cy) == (15.0, 15.0)
+    # degenerate HOLE inside a polygon: zero weight, not NULL
+    donut_deg = [sq[0], [[11.0, 11.0], [12.0, 11.0], [13.0, 11.0]]]
+    df2 = spark.createDataFrame(
+        [(donut_deg,)],
+        T.StructType([
+            T.StructField(
+                "c", T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))
+            )
+        ]),
+    )
+    c2 = df2.select(
+        G.polygon_centroid_holes(F.col("c")).alias("ct")
+    ).first()["ct"]
+    assert (c2.cx, c2.cy) == (15.0, 15.0)
+    # all-degenerate: NULL (total live area 0)
+    df3 = spark.createDataFrame(
+        [([degenerate],)], T.StructType([T.StructField("mp", mp_t)])
+    )
+    assert df3.select(
+        G.multipolygon_centroid(F.col("mp")).alias("c")
+    ).first()["c"] is None

@@ -2242,3 +2242,103 @@ def test_uncommitted_epoch_invisible_everywhere(spark, sf_dir, tmp_path):
 
     assert pq_answers(pq) == pq_answers(pq_ref)
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_empty_scope_update_replay_marker(spark, sf_dir, tmp_path):
+    """Round-13 review fix: an upsert whose tombstone scope is EMPTY
+    (no other epoch committed at run time) still persists its
+    src_epoch replay marker — a replay after another writer commits
+    must reuse the (empty) persisted scope, never recompute one that
+    would tombstone the later-landing epoch."""
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        lloyd_train,
+        update_ivf_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=3)
+    vecs = {r.vec_id: r.embedding for r in e.where(F.col("vec_id") < 5).collect()}
+    idx = str(tmp_path / "ivf")
+    # writer B's base build is IN FLIGHT: data dir exists, no _SUCCESS
+    write_ivf_index(e.where(F.col("vec_id") < 100), idx, dim=64,
+                    n_cells=8, centroids=trained, epoch="base")
+    os.remove(os.path.join(idx, "epoch=base", "_SUCCESS"))
+
+    upd = spark.createDataFrame(
+        [(0, vecs[1])], "vec_id long, embedding array<float>"
+    )
+    update_ivf_index(spark, upd, idx, epoch="u1", dim=64, n_cells=8,
+                     centroids=trained)
+    # the empty scope persisted as a no-op marker row
+    tomb = spark.read.option("mergeSchema", "true").parquet(
+        f"{idx}/_tombstones"
+    )
+    rows = tomb.collect()
+    assert {r.src_epoch for r in rows} == {"u1"}
+    assert {r.epoch for r in rows} == {"__none__"}
+    # writer B commits AFTER the upsert; the u1 REPLAY must not
+    # tombstone it
+    open(os.path.join(idx, "epoch=base", "_SUCCESS"), "w").close()
+    update_ivf_index(spark, upd, idx, epoch="u1", dim=64, n_cells=8,
+                     centroids=trained)
+    tomb2 = spark.read.option("mergeSchema", "true").parquet(
+        f"{idx}/_tombstones"
+    )
+    assert {r.epoch for r in tomb2.collect()} == {"__none__"}
+    # id 0 serves BOTH versions' reconciliation: base's row survives
+    # (it landed after the upsert's scope) alongside u1's re-insert —
+    # per the multi-writer rule the later-committed epoch's rows live
+    got = {
+        r.neighbor_id
+        for r in ivf_index_topk(
+            spark, idx, e.where(F.col("vec_id") == 3), k=100, dim=64,
+            n_cells=8, n_probe=8, centroids=trained,
+        ).collect()
+    }
+    assert 0 in got
+
+
+def test_fully_tombstoned_compaction_commits_base(spark, sf_dir, tmp_path):
+    """Round-13 review fix: the fully-tombstoned compaction's
+    explicit-cell write left Spark's _SUCCESS one level too deep, so
+    the commit gate classified the (legal, empty) compacted base as a
+    torn epoch and fsck flagged a healthy index."""
+    import os
+
+    from geosparql_etl_spark.operators.similarity import (
+        _ann_epoch_seqs,
+        _committed_epochs,
+        delete_from_ivf_index,
+        fsck_ivf_index,
+        ivf_index_topk,
+        lloyd_train,
+        write_ivf_index,
+    )
+    from geosparql_etl_spark.streaming.ann import compact_ivf_index
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = lloyd_train(e, "embedding", dim=64, n_cells=8, rounds=3)
+    idx = str(tmp_path / "ivf")
+    sub = e.where(F.col("vec_id") < 40)
+    write_ivf_index(sub, idx, dim=64, n_cells=8, centroids=trained,
+                    epoch="base")
+    delete_from_ivf_index(spark, idx, sub.select("vec_id"))
+    compact_ivf_index(spark, idx)
+    assert _committed_epochs(idx) == ["base"]
+    assert _ann_epoch_seqs(idx) == {"base": 0}
+    assert os.path.exists(os.path.join(idx, "epoch=base", "_SUCCESS"))
+    findings = [
+        f for f in fsck_ivf_index(spark, idx)
+        if f["check"] in ("uncommitted_epoch", "ledger_dangling")
+    ]
+    assert findings == []
+    # the empty committed index serves empty (not an error)
+    got = ivf_index_topk(
+        spark, idx, e.where(F.col("vec_id") < 2), k=5, dim=64,
+        n_cells=8, n_probe=8, centroids=trained,
+    ).collect()
+    assert got == []
