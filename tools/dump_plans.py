@@ -114,6 +114,10 @@ SHOWCASE = [
     ("w06_gap_fill", "resample+ffill: sequence()-generated spine from a broadcast 1-row span, map-side hourly aggregates, spine-sized ffill window"),
     # round 12
     ("sp44_erroring_bind", "erroring-BIND compatibility join: condition path with _safe_eq try_cast equality, nation stays the extracted equi key — no BNLJ"),
+    # round 13
+    ("g23_zone_holes_join", "hole-aware spatial join: covered-cells explode + cell equi-join, exact donut predicate on candidates only — no CartesianProduct"),
+    ("sp45_donut_zone", "SPARQL multi-ring geo: per-row wkt_polygon_rings parse, hole-aware within + area/length/centroid over bound ring folds"),
+    ("sim38_torn_epoch_probe", "commit-gated probe: epoch isin(committed) is a PartitionFilter beside the probed-cell filter — the torn epoch's directories are pruned, not scanned"),
 ]
 
 
