@@ -1154,3 +1154,352 @@ def multipolygon_centroid(coordinates: Column) -> Column:
         ),
         0,
     )
+
+
+# --- simple-features predicates (round 14) -------------------------------
+#
+# GeoSPARQL's remaining simple-features relations — sfTouches,
+# sfOverlaps, sfEquals, sfCrosses — plus the hole-aware / boundary-
+# contact-aware polygon-polygon sfIntersects that closes the round-13
+# "outer-hull, contact-blind" residual. The reference never shipped
+# these (its spatial surface is point-in-polygon via shapely,
+# utils/geometry.py:156-172); they are the natural completion of the
+# geof: family for a consumer whose zones are donuts/multi-part.
+#
+# Decision procedure (all native HOF folds, no UDF):
+#   boundary contact  = any closed-edge pair of any ring pair shares a
+#                       point (proper cross OR endpoint-on-segment OR
+#                       collinear overlap — _seg_touch).
+#   interior overlap  = any PROBE point (ring vertices + edge
+#                       midpoints) of A strictly inside B (even-odd,
+#                       hole-aware, boundary excluded) or vice versa,
+#                       OR any ring pair properly crossing (a proper
+#                       boundary crossing of two valid polygons always
+#                       exposes an interior∩interior neighborhood).
+#   A within B        = every probe of A inside-or-on B, no proper
+#                       ring crossing, and no probe of B strictly
+#                       inside A (a hole of B poking into A, or B
+#                       spilling out, both leave such a witness).
+# Then touches = contact ∧ ¬interior-overlap ∧ ¬within either way;
+# overlaps = interior-overlap ∧ ¬within either way; equals =
+# within both ways (OGC's own definition — no canonicalization, so a
+# ring with an extra collinear vertex still equals its minimal form).
+#
+# Probe resolution: vertices + edge midpoints decide every pair of
+# axis-aligned / general-position polygons, including the collinear-
+# shifted overlaps the proper-cross test alone misses; adversarial
+# needle geometries thinner than half an edge can evade probes
+# (documented — densify rings upstream if such data exists). Exact
+# contact at binary-representable coordinates (.0/.5 lattices, the
+# fixture convention) is decided exactly by the orientation signs.
+# All inputs must be MATERIALIZED/lambda-bound columns (the sp33
+# plan-size rule): every fold references its rings O(|A|x|B|) times.
+
+
+def _on_segment(ax, ay, bx, by, cx, cy, d) -> Column:
+    """Is c (already known collinear when d==0) on closed segment
+    a-b?"""
+    return (
+        (d == 0)
+        & (cx >= F.least(ax, bx)) & (cx <= F.greatest(ax, bx))
+        & (cy >= F.least(ay, by)) & (cy <= F.greatest(ay, by))
+    )
+
+
+def _seg_touch(px1, py1, px2, py2, qx1, qy1, qx2, qy2) -> Column:
+    """Do CLOSED segments p and q share at least one point? Proper
+    crossing, endpoint contact, T-contact and collinear overlap all
+    count (collinear overlap always puts one segment's endpoint on
+    the other)."""
+    d1 = _orient(qx1, qy1, qx2, qy2, px1, py1)
+    d2 = _orient(qx1, qy1, qx2, qy2, px2, py2)
+    d3 = _orient(px1, py1, px2, py2, qx1, qy1)
+    d4 = _orient(px1, py1, px2, py2, qx2, qy2)
+    proper = (
+        ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+        & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+    )
+    return (
+        proper
+        | _on_segment(qx1, qy1, qx2, qy2, px1, py1, d1)
+        | _on_segment(qx1, qy1, qx2, qy2, px2, py2, d2)
+        | _on_segment(px1, py1, px2, py2, qx1, qy1, d3)
+        | _on_segment(px1, py1, px2, py2, qx2, qy2, d4)
+    )
+
+
+def _ring_edge(r: Column, n: Column, i: Column):
+    """Edge i of a closed ring (open point list r of size n), with the
+    wraparound closing edge at i == n."""
+    j = F.when(i == n, 1).otherwise(i + 1)
+    return (
+        F.element_at(r, i)[0], F.element_at(r, i)[1],
+        F.element_at(r, j)[0], F.element_at(r, j)[1],
+    )
+
+
+def rings_edges_touch(ra: Column, rb: Column) -> Column:
+    """Does any closed-edge pair of rings A and B share a point
+    (boundary contact, contrast _rings_edges_cross's proper-only
+    test)? Same materialized-input caveat."""
+    na, nb = F.size(ra), F.size(rb)
+
+    def touch(i: Column, j: Column) -> Column:
+        p1x, p1y, p2x, p2y = _ring_edge(ra, na, i)
+        q1x, q1y, q2x, q2y = _ring_edge(rb, nb, j)
+        return _seg_touch(p1x, p1y, p2x, p2y, q1x, q1y, q2x, q2y)
+
+    return F.exists(
+        F.sequence(F.lit(1), na),
+        lambda i: F.exists(F.sequence(F.lit(1), nb), lambda j: touch(i, j)),
+    )
+
+
+def point_on_rings_boundary(rings: Column, px: Column, py: Column) -> Column:
+    """Is (px, py) exactly on any edge of any ring of a multi-ring
+    polygon (coordinates shape array<ring>)? Exact at binary-
+    representable lattices; the deterministic complement to the
+    even-odd cast's parity-undefined boundary."""
+    def on_ring(r: Column) -> Column:
+        n = F.size(r)
+
+        def on_edge(i: Column) -> Column:
+            x1, y1, x2, y2 = _ring_edge(r, n, i)
+            return _on_segment(
+                x1, y1, x2, y2, px, py, _orient(x1, y1, x2, y2, px, py)
+            )
+
+        return F.exists(F.sequence(F.lit(1), n), on_edge)
+
+    return F.exists(rings, on_ring)
+
+
+def point_strictly_in_polygon(
+    rings: Column, px: Column, py: Column
+) -> Column:
+    """Strict interior membership: even-odd hole-aware AND not on any
+    ring boundary (where the cast's parity is undefined)."""
+    return point_in_polygon_holes(rings, px, py) & ~point_on_rings_boundary(
+        rings, px, py
+    )
+
+
+def _ring_probes(r: Column) -> Column:
+    """Probe points of a closed ring: its vertices plus every edge
+    midpoint (wraparound edge included). Midpoints decide the
+    collinear-shifted configurations where every vertex of one
+    polygon lands exactly on the other's boundary."""
+    n = F.size(r)
+    mids = F.transform(
+        F.sequence(F.lit(1), n), lambda i: _mid_of(_ring_edge(r, n, i))
+    )
+    return F.concat(r, mids)
+
+
+def _mid_of(edge) -> Column:
+    x1, y1, x2, y2 = edge
+    return F.array((x1 + x2) / 2, (y1 + y2) / 2)
+
+
+def polygon_probes(rings: Column) -> Column:
+    """All probe points of a multi-ring polygon (every ring's vertices
+    + midpoints), as one flat array<point>."""
+    return F.flatten(F.transform(rings, _ring_probes))
+
+
+def _any_ring_pair(pa: Column, pb: Column, fn) -> Column:
+    return F.exists(pa, lambda ra: F.exists(pb, lambda rb: fn(ra, rb)))
+
+
+def polygons_boundaries_touch(pa: Column, pb: Column) -> Column:
+    """Do the boundaries (all rings) of two polygons share any
+    point?"""
+    return _any_ring_pair(pa, pb, rings_edges_touch)
+
+
+def polygons_interiors_overlap(pa: Column, pb: Column) -> Column:
+    """Do the INTERIORS (hole-aware, boundary-excluded) of two valid
+    polygons intersect? Probe witnesses or a proper boundary
+    crossing. The equal-polygon / within-with-shared-boundary cases
+    leave no strict probe witness and no proper crossing — callers
+    that must distinguish them (sfTouches) additionally test
+    polygon_within_polygon both ways."""
+    a_in_b = F.exists(
+        polygon_probes(pa),
+        lambda p: point_strictly_in_polygon(pb, p[0], p[1]),
+    )
+    b_in_a = F.exists(
+        polygon_probes(pb),
+        lambda p: point_strictly_in_polygon(pa, p[0], p[1]),
+    )
+    return a_in_b | b_in_a | _any_ring_pair(pa, pb, _rings_edges_cross)
+
+
+def polygon_within_polygon(pa: Column, pb: Column) -> Column:
+    """A ⊆ B for valid hole-aware polygons (boundary contact allowed,
+    OGC sfWithin for the polygon-polygon case): every probe of A
+    inside-or-on B, no proper ring crossing, and no probe of B
+    strictly inside A — the last conjunct catches both a hole of B
+    nested inside A (A would cover non-B area) and B strictly larger
+    than A on a shared boundary."""
+    probes_ok = F.forall(
+        polygon_probes(pa),
+        lambda p: point_in_polygon_holes(pb, p[0], p[1])
+        | point_on_rings_boundary(pb, p[0], p[1]),
+    )
+    no_cross = ~_any_ring_pair(pa, pb, _rings_edges_cross)
+    no_b_inside_a = ~F.exists(
+        polygon_probes(pb),
+        lambda p: point_strictly_in_polygon(pa, p[0], p[1]),
+    )
+    # A whose entire outer boundary lies ON B's hole boundary IS that
+    # filled hole (a simple closed curve inside another ring's point
+    # set is that ring) — its interior is B's exterior, so it is NOT
+    # within even though every boundary probe passes. B's interior
+    # face itself keeps its probes on B's OUTER ring, so true
+    # containment (including equality) survives this conjunct.
+    not_hole_fill = ~(
+        (F.size(pb) > 1)
+        & F.forall(
+            _ring_probes(outer_ring(pa)),
+            lambda p: point_on_rings_boundary(hole_rings(pb), p[0], p[1]),
+        )
+    )
+    return probes_ok & no_cross & no_b_inside_a & not_hole_fill
+
+
+def polygons_touch(pa: Column, pb: Column) -> Column:
+    """OGC sfTouches, polygon-polygon: boundaries share a point,
+    interiors do not intersect. The within tests exclude the
+    shared-boundary containment/equality cases the probe-based
+    interior test cannot witness."""
+    return (
+        polygons_boundaries_touch(pa, pb)
+        & ~polygons_interiors_overlap(pa, pb)
+        & ~polygon_within_polygon(pa, pb)
+        & ~polygon_within_polygon(pb, pa)
+    )
+
+
+def polygons_overlap_sf(pa: Column, pb: Column) -> Column:
+    """OGC sfOverlaps, polygon-polygon: interiors intersect and
+    neither is within the other (equality implies within both ways,
+    so equal polygons are correctly NOT overlaps)."""
+    return (
+        polygons_interiors_overlap(pa, pb)
+        & ~polygon_within_polygon(pa, pb)
+        & ~polygon_within_polygon(pb, pa)
+    )
+
+
+def polygons_equal_sf(pa: Column, pb: Column) -> Column:
+    """OGC sfEquals, polygon-polygon: within both ways — topological
+    equality, so vertex order, starting vertex, winding and extra
+    collinear vertices are all irrelevant (no canonicalization)."""
+    return polygon_within_polygon(pa, pb) & polygon_within_polygon(pb, pa)
+
+
+def polygons_intersect_sf(pa: Column, pb: Column) -> Column:
+    """OGC sfIntersects, polygon-polygon, hole-aware AND boundary-
+    contact-aware (round 14 — closes the round-13 outer-hull
+    residual): interiors overlap or boundaries touch. A polygon
+    sitting wholly inside another's hole has neither witness —
+    disjoint, as OGC requires."""
+    return polygons_interiors_overlap(pa, pb) | polygons_boundaries_touch(
+        pa, pb
+    )
+
+
+def _polyline_probes(pts: Column) -> Column:
+    """Vertices + segment midpoints of an OPEN polyline (no
+    wraparound edge)."""
+    n = F.size(pts)
+    mids = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.array(
+            (F.element_at(pts, i)[0] + F.element_at(pts, i + 1)[0]) / 2,
+            (F.element_at(pts, i)[1] + F.element_at(pts, i + 1)[1]) / 2,
+        ),
+    )
+    return F.concat(pts, mids)
+
+
+def _polyline_crosses_rings(pts: Column, rings: Column) -> Column:
+    """Does any OPEN polyline segment PROPERLY cross any closed ring
+    edge of the polygon?"""
+    n = F.size(pts)
+
+    def seg_crosses_ring(i: Column, r: Column) -> Column:
+        nr = F.size(r)
+        p1x, p1y = F.element_at(pts, i)[0], F.element_at(pts, i)[1]
+        p2x, p2y = (
+            F.element_at(pts, i + 1)[0], F.element_at(pts, i + 1)[1],
+        )
+
+        def crosses(j: Column) -> Column:
+            q1x, q1y, q2x, q2y = _ring_edge(r, nr, j)
+            d1 = _orient(q1x, q1y, q2x, q2y, p1x, p1y)
+            d2 = _orient(q1x, q1y, q2x, q2y, p2x, p2y)
+            d3 = _orient(p1x, p1y, p2x, p2y, q1x, q1y)
+            d4 = _orient(p1x, p1y, p2x, p2y, q2x, q2y)
+            return (
+                ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+                & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+            )
+
+        return F.exists(F.sequence(F.lit(1), nr), crosses)
+
+    return F.exists(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.exists(rings, lambda r: seg_crosses_ring(i, r)),
+    )
+
+
+def line_crosses_polygon(pts: Column, rings: Column) -> Column:
+    """OGC sfCrosses for LINESTRING x POLYGON: the line's interior
+    meets both the polygon's interior and its exterior. A proper
+    crossing of any boundary ring witnesses both sides at once;
+    otherwise probe points (vertices + midpoints) must land strictly
+    inside AND strictly outside (hole-aware — a hole is exterior)."""
+    probes = _polyline_probes(pts)
+    some_in = F.exists(
+        probes, lambda p: point_strictly_in_polygon(rings, p[0], p[1])
+    )
+    some_out = F.exists(
+        probes,
+        lambda p: ~point_in_polygon_holes(rings, p[0], p[1])
+        & ~point_on_rings_boundary(rings, p[0], p[1]),
+    )
+    return (some_in & some_out) | _polyline_crosses_rings(pts, rings)
+
+
+def lines_cross(pa: Column, pb: Column) -> Column:
+    """OGC sfCrosses for LINESTRING x LINESTRING: some proper segment
+    crossing (a point interior to both lines). Endpoint contact and
+    collinear overlap are NOT crosses (dimension rules)."""
+    na, nb = F.size(pa), F.size(pb)
+
+    def edge(p: Column, i: Column):
+        return (
+            F.element_at(p, i)[0], F.element_at(p, i)[1],
+            F.element_at(p, i + 1)[0], F.element_at(p, i + 1)[1],
+        )
+
+    def crosses(i: Column, j: Column) -> Column:
+        p1x, p1y, p2x, p2y = edge(pa, i)
+        q1x, q1y, q2x, q2y = edge(pb, j)
+        d1 = _orient(q1x, q1y, q2x, q2y, p1x, p1y)
+        d2 = _orient(q1x, q1y, q2x, q2y, p2x, p2y)
+        d3 = _orient(p1x, p1y, p2x, p2y, q1x, q1y)
+        d4 = _orient(p1x, p1y, p2x, p2y, q2x, q2y)
+        return (
+            ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+            & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+        )
+
+    return F.exists(
+        F.sequence(F.lit(1), na - 1),
+        lambda i: F.exists(
+            F.sequence(F.lit(1), nb - 1), lambda j: crosses(i, j)
+        ),
+    )

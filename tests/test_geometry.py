@@ -460,3 +460,159 @@ def test_centroid_degenerate_members_contribute_zero(spark):
     assert df3.select(
         G.multipolygon_centroid(F.col("mp")).alias("c")
     ).first()["c"] is None
+
+
+# --- simple-features predicates (round 14) -------------------------------
+
+
+def _rect(x0, y0, x1, y1):
+    return [
+        [float(x0), float(y0)], [float(x1), float(y0)],
+        [float(x1), float(y1)], [float(x0), float(y1)],
+    ]
+
+
+def _fl(ring):
+    return [[float(a), float(b)] for a, b in ring]
+
+
+# (name, polygon A rings, polygon B rings,
+#  expected (touches, overlaps, equals, intersects, A-within-B))
+_SF_CASES = [
+    ("disjoint", [_rect(0, 0, 2, 2)], [_rect(5, 5, 7, 7)],
+     (False, False, False, False, False)),
+    ("edge_touch", [_rect(0, 0, 2, 2)], [_rect(2, 0, 4, 2)],
+     (True, False, False, True, False)),
+    ("corner_touch", [_rect(0, 0, 2, 2)], [_rect(2, 2, 4, 4)],
+     (True, False, False, True, False)),
+    ("partial_overlap", [_rect(0, 0, 4, 4)], [_rect(2, 2, 6, 6)],
+     (False, True, False, True, False)),
+    # every vertex of one on the other's boundary; midpoint probes decide
+    ("collinear_shift", [_rect(0, 0, 2, 1)], [_rect(1, 0, 3, 1)],
+     (False, True, False, True, False)),
+    ("equal", [_rect(0, 0, 4, 4)], [_rect(0, 0, 4, 4)],
+     (False, False, True, True, True)),
+    # topological equality: start vertex / winding irrelevant
+    ("equal_rotated", [_rect(0, 0, 4, 4)],
+     [_fl([[4, 0], [4, 4], [0, 4], [0, 0]])],
+     (False, False, True, True, True)),
+    # an extra collinear vertex still equals the minimal ring
+    ("equal_extra_vertex", [_rect(0, 0, 4, 4)],
+     [_fl([[0, 0], [2, 0], [4, 0], [4, 4], [0, 4]])],
+     (False, False, True, True, True)),
+    ("within_strict", [_rect(1, 1, 2, 2)], [_rect(0, 0, 4, 4)],
+     (False, False, False, True, True)),
+    ("within_shared_edge", [_rect(0, 0, 2, 4)], [_rect(0, 0, 4, 4)],
+     (False, False, False, True, True)),
+    # the round-13 residual: hole-only overlap is DISJOINT
+    ("island_in_hole", [_rect(3, 3, 5, 5)],
+     [_rect(0, 0, 8, 8), _rect(2, 2, 6, 6)],
+     (False, False, False, False, False)),
+    ("straddles_hole_edge", [_rect(1, 1, 3, 3)],
+     [_rect(0, 0, 8, 8), _rect(2, 2, 6, 6)],
+     (False, True, False, True, False)),
+    ("donut_within_donut", [_rect(0, 0, 8, 8), _rect(2, 2, 6, 6)],
+     [_rect(0, 0, 8, 8), _rect(2, 2, 6, 6)],
+     (False, False, True, True, True)),
+    # interiors overlap with every vertex probe outside the other
+    ("cross_plus_sign", [_rect(4, 0, 6, 10)], [_rect(0, 4, 10, 6)],
+     (False, True, False, True, False)),
+    # island exactly filling the hole: touches, NOT within
+    ("hole_touch_island", [_rect(2, 2, 6, 6)],
+     [_rect(0, 0, 8, 8), _rect(2, 2, 6, 6)],
+     (True, False, False, True, False)),
+    ("donut_in_bigger_donut",
+     [_rect(1, 1, 7, 7), _rect(3, 3, 5, 5)],
+     [_rect(0, 0, 8, 8), _rect(3, 3, 5, 5)],
+     (False, False, False, True, True)),
+    # B's hole pokes into A: overlap, no containment either way
+    ("b_hole_pokes_a", [_rect(0, 0, 8, 4)],
+     [_rect(0, 0, 8, 8), _rect(2, 2, 6, 6)],
+     (False, True, False, True, False)),
+]
+
+
+def test_simple_features_polygon_predicates(spark):
+    df = spark.createDataFrame(
+        [(c[0], c[1], c[2]) for c in _SF_CASES],
+        "name string, a array<array<array<double>>>, "
+        "b array<array<array<double>>>",
+    )
+    rows = df.select(
+        "name",
+        G.polygons_touch(F.col("a"), F.col("b")).alias("t"),
+        G.polygons_overlap_sf(F.col("a"), F.col("b")).alias("o"),
+        G.polygons_equal_sf(F.col("a"), F.col("b")).alias("e"),
+        G.polygons_intersect_sf(F.col("a"), F.col("b")).alias("i"),
+        G.polygon_within_polygon(F.col("a"), F.col("b")).alias("w"),
+    ).collect()
+    exp = {c[0]: c[3] for c in _SF_CASES}
+    got = {r["name"]: (r["t"], r["o"], r["e"], r["i"], r["w"]) for r in rows}
+    assert got == exp
+
+
+def test_simple_features_symmetric(spark):
+    # touches/overlaps/equals/intersects are symmetric relations
+    df = spark.createDataFrame(
+        [(c[0], c[1], c[2]) for c in _SF_CASES],
+        "name string, a array<array<array<double>>>, "
+        "b array<array<array<double>>>",
+    )
+    rows = df.select(
+        "name",
+        (G.polygons_touch(F.col("a"), F.col("b"))
+         == G.polygons_touch(F.col("b"), F.col("a"))).alias("t"),
+        (G.polygons_overlap_sf(F.col("a"), F.col("b"))
+         == G.polygons_overlap_sf(F.col("b"), F.col("a"))).alias("o"),
+        (G.polygons_equal_sf(F.col("a"), F.col("b"))
+         == G.polygons_equal_sf(F.col("b"), F.col("a"))).alias("e"),
+        (G.polygons_intersect_sf(F.col("a"), F.col("b"))
+         == G.polygons_intersect_sf(F.col("b"), F.col("a"))).alias("i"),
+    ).collect()
+    for r in rows:
+        assert r["t"] and r["o"] and r["e"] and r["i"], r["name"]
+
+
+def test_line_crosses_polygon(spark):
+    cases = [
+        ("through", _fl([[-2, 5], [12, 5]]), [_rect(0, 0, 10, 10)], True),
+        ("inside_only", _fl([[2, 2], [8, 8]]), [_rect(0, 0, 10, 10)], False),
+        ("outside", _fl([[-5, -5], [-1, -1]]), [_rect(0, 0, 10, 10)], False),
+        # exits the interior INTO the hole: hole is exterior -> crosses
+        ("into_hole", _fl([[4, 5], [12, 5]]),
+         [_rect(0, 0, 10, 10), _rect(3, 3, 7, 7)], True),
+        ("touch_edge_only", _fl([[-2, 0], [12, 0]]),
+         [_rect(0, 0, 10, 10)], False),
+    ]
+    df = spark.createDataFrame(
+        cases,
+        "name string, l array<array<double>>, "
+        "p array<array<array<double>>>, want boolean",
+    )
+    rows = df.select(
+        "name", "want",
+        G.line_crosses_polygon(F.col("l"), F.col("p")).alias("got"),
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["name"]
+
+
+def test_lines_cross(spark):
+    cases = [
+        ("proper_cross", _fl([[0, 0], [4, 4]]), _fl([[0, 4], [4, 0]]), True),
+        ("endpoint_touch", _fl([[0, 0], [2, 2]]), _fl([[2, 2], [4, 0]]),
+         False),
+        ("collinear_overlap", _fl([[0, 0], [4, 0]]), _fl([[2, 0], [6, 0]]),
+         False),
+        ("parallel", _fl([[0, 0], [4, 0]]), _fl([[0, 1], [4, 1]]), False),
+    ]
+    df = spark.createDataFrame(
+        cases,
+        "name string, a array<array<double>>, b array<array<double>>, "
+        "want boolean",
+    )
+    rows = df.select(
+        "name", "want", G.lines_cross(F.col("a"), F.col("b")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r["name"]
