@@ -3021,6 +3021,102 @@ def _sql_g23():
     """
 
 
+def g24_multipolygon_grid_join(spark, sf_dir):
+    """MULTIPOLYGON zones in the DISTRIBUTED grid join (round 14,
+    extends g23): each supplier zone is a two-member MultiPolygon —
+    a 10x10 donut with a 4x4 hole, plus a 2x2 ISLAND inside that
+    hole (OGC-valid nesting). Zones explode to the cells of the
+    combined bbox (the island lies inside the donut's, so coverage
+    never duplicates a candidate pair), customer points hash to one
+    cell, and point_in_multipolygon decides: annulus points match,
+    hole points do NOT, island points match again — three nesting
+    depths in one exact predicate. The oracle replays membership as
+    interval arithmetic ((outer AND NOT hole) OR island). Points
+    carry the g23 0.05 offset so nothing lands on a boundary."""
+    from geosparql_etl_spark.functions.geometry import (
+        point_in_multipolygon,
+    )
+    from geosparql_etl_spark.operators.spatial import covered_cells
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    zx = ((F.col("s_suppkey") * 37) % 90).cast("double")
+    zy = ((F.col("s_suppkey") * 61) % 90).cast("double")
+
+    def sq(x0, y0, side):
+        return F.array(
+            F.array(x0, y0),
+            F.array(x0 + side, y0),
+            F.array(x0 + side, y0 + side),
+            F.array(x0, y0 + side),
+        )
+
+    zones = s.select(
+        F.col("s_suppkey").alias("zone_id"),
+        F.array(
+            F.array(  # member 0: donut (outer + hole)
+                sq(zx, zy, F.lit(10.0)),
+                sq(zx + 3.0, zy + 3.0, F.lit(4.0)),
+            ),
+            F.array(  # member 1: island inside the hole
+                sq(zx + 4.0, zy + 4.0, F.lit(2.0))
+            ),
+        ).alias("zone"),
+        F.explode(
+            covered_cells(zx, zy, zx + 10.0, zy + 10.0, 10.0)
+        ).alias("cell"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    px = ((F.col("c_custkey") * 13) % 1000).cast("double") / 10.0 + 0.05
+    py = ((F.col("c_custkey") * 29) % 1000).cast("double") / 10.0 + 0.05
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        px.alias("px"),
+        py.alias("py"),
+        F.struct(
+            F.floor(px / 10.0).cast("long").alias("cx"),
+            F.floor(py / 10.0).cast("long").alias("cy"),
+        ).alias("cell"),
+    )
+    cand = zones.join(pts, "cell")
+    hit = cand.where(
+        F.element_at(
+            F.transform(
+                F.array(F.col("zone")),
+                lambda z: point_in_multipolygon(
+                    z, F.col("px"), F.col("py")
+                ),
+            ),
+            1,
+        )
+    )
+    return hit.select("zone_id", "point_id").orderBy(
+        "zone_id", "point_id"
+    )
+
+
+def _sql_g24():
+    return """
+    WITH z AS (
+      SELECT s_suppkey AS zone_id,
+             CAST((s_suppkey * 37) % 90 AS DOUBLE) AS zx,
+             CAST((s_suppkey * 61) % 90 AS DOUBLE) AS zy
+      FROM supplier),
+    pt AS (
+      SELECT c_custkey AS point_id,
+             CAST((c_custkey * 13) % 1000 AS DOUBLE) / 10 + 0.05 AS px,
+             CAST((c_custkey * 29) % 1000 AS DOUBLE) / 10 + 0.05 AS py
+      FROM customer)
+    SELECT zone_id, point_id
+    FROM z JOIN pt
+      ON ((px > zx AND px < zx + 10 AND py > zy AND py < zy + 10
+           AND NOT (px > zx + 3 AND px < zx + 7
+                    AND py > zy + 3 AND py < zy + 7))
+          OR (px > zx + 4 AND px < zx + 6
+              AND py > zy + 4 AND py < zy + 6))
+    ORDER BY zone_id, point_id
+    """
+
+
 def d17_minhash_error(spark, sf_dir):
     """MinHash estimator-quality report (round 8) — dq02's
     sketch-contract idea applied to MinHash: for every exact near-dup
@@ -14203,6 +14299,262 @@ def _sql_sp46():
     """
 
 
+def sp47_zone_relate(spark, sf_dir):
+    """Simple-features relations in SPARQL (round 14): each supplier's
+    2x2 integer box classified against a constant 20x20 zone with
+    geof:sfTouches / sfOverlaps / sfWithin — per-row flags, so the
+    oracle pins every row's value, not just the survivors of a
+    FILTER. Integer box edges against the zone's integer edges make
+    exact boundary contact COMMON (the configuration the round-13
+    engine could not express): an edge- or corner-contact box
+    touches; a straddling box overlaps; a contained box (boundary
+    contact allowed) is within. All three compile to the native HOF
+    folds in functions/geometry.py (round-14 section); the oracle
+    replays each flag as closed-form interval arithmetic."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?t ?o ?w WHERE {
+          ?s a ex:Supplier . ?s geo:asWKT ?pt .
+          BIND(STRBEFORE(STRAFTER(?pt, "POINT("), " ") AS ?xs)
+          BIND(STRBEFORE(STRAFTER(?pt, " "), ")") AS ?ys)
+          BIND(CONCAT("POLYGON((", STR(?xs), " ", STR(?ys), ", ",
+               STR(?xs + 2), " ", STR(?ys), ", ",
+               STR(?xs + 2), " ", STR(?ys + 2), ", ",
+               STR(?xs), " ", STR(?ys + 2), "))") AS ?box)
+          BIND("POLYGON((20 20, 40 20, 40 40, 20 40, 20 20))" AS ?z)
+          BIND(IF(geof:sfTouches(?box, ?z), 1, 0) AS ?t)
+          BIND(IF(geof:sfOverlaps(?box, ?z), 1, 0) AS ?o)
+          BIND(IF(geof:sfWithin(?box, ?z), 1, 0) AS ?w)
+        }
+        """,
+    )
+
+
+def _sql_sp47():
+    # box [x,x+2]^2 vs zone [20,40]^2: touches = edge/corner contact
+    # without interior overlap; overlaps = strict interval overlap
+    # minus containment; within = closed containment
+    return """
+    WITH s AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             (s_suppkey * 37) % 100 AS x, (s_suppkey * 61) % 100 AS y
+      FROM supplier)
+    SELECT s,
+      CAST(CASE WHEN ((x+2 = 20 OR x = 40) AND y+2 >= 20 AND y <= 40)
+              OR ((y+2 = 20 OR y = 40) AND x+2 >= 20 AND x <= 40)
+           THEN 1 ELSE 0 END AS DOUBLE) AS t,
+      CAST(CASE WHEN x < 40 AND x+2 > 20 AND y < 40 AND y+2 > 20
+              AND NOT (x >= 20 AND x+2 <= 40 AND y >= 20 AND y+2 <= 40)
+           THEN 1 ELSE 0 END AS DOUBLE) AS o,
+      CAST(CASE WHEN x >= 20 AND x+2 <= 40 AND y >= 20 AND y+2 <= 40
+           THEN 1 ELSE 0 END AS DOUBLE) AS w
+    FROM s
+    """
+
+
+def sp48_route_crossings(spark, sf_dir):
+    """geof:sfCrosses (round 14), both supported shape mixes per row:
+    a 60-unit horizontal route from each supplier point, tested
+    against a half-unit-offset 30x30 zone (LINESTRING x POLYGON — the
+    route must have points strictly inside AND strictly outside, so a
+    route whose overlap is boundary-only does NOT cross) and against
+    a constant vertical trunk line (LINESTRING x LINESTRING — only a
+    PROPER interior crossing counts; meeting the trunk at its
+    endpoint y=0/y=99 does not). Routes are long enough that some
+    cross the zone with BOTH endpoints outside — the segment-midpoint
+    probe/proper-crossing arms decide those, not endpoint membership.
+    Oracle: closed-form interval arithmetic on the lattice."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?c1 ?c2 WHERE {
+          ?s a ex:Supplier . ?s geo:asWKT ?pt .
+          BIND(STRBEFORE(STRAFTER(?pt, "POINT("), " ") AS ?xs)
+          BIND(STRBEFORE(STRAFTER(?pt, " "), ")") AS ?ys)
+          BIND(CONCAT("LINESTRING(", STR(?xs), " ", STR(?ys), ", ",
+               STR(?xs + 60), " ", STR(?ys), ")") AS ?seg)
+          BIND("POLYGON((20.5 20.5, 50.5 20.5, 50.5 50.5, 20.5 50.5, 20.5 20.5))" AS ?z)
+          BIND(IF(geof:sfCrosses(?seg, ?z), 1, 0) AS ?c1)
+          BIND(IF(geof:sfCrosses(?seg, "LINESTRING(50.5 0, 50.5 99)"), 1, 0) AS ?c2)
+        }
+        """,
+    )
+
+
+def _sql_sp48():
+    # seg (x,y)-(x+60,y) vs zone (20.5,50.5)^2: the zone is narrower
+    # than the route, so any interior y-row with x <= 50 enters and
+    # exits; vs trunk x=50.5 (y 0..99): proper crossing needs the
+    # trunk's interior, excluding y=0 and y=99
+    return """
+    WITH s AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             (s_suppkey * 37) % 100 AS x, (s_suppkey * 61) % 100 AS y
+      FROM supplier)
+    SELECT s,
+      CAST(CASE WHEN y >= 21 AND y <= 50 AND x <= 50
+           THEN 1 ELSE 0 END AS DOUBLE) AS c1,
+      CAST(CASE WHEN x <= 50 AND y >= 1 AND y <= 98
+           THEN 1 ELSE 0 END AS DOUBLE) AS c2
+    FROM s
+    """
+
+
+def sp49_equal_zones(spark, sf_dir):
+    """geof:sfEquals is TOPOLOGICAL (round 14): each supplier's box —
+    built counter-clockwise from its southwest corner — is compared
+    to its even-lattice snap cell built CLOCKWISE from the NORTHEAST
+    corner WITH an extra collinear mid-edge vertex. The two lexicals
+    never string-match, their vertex counts differ, their windings
+    differ; equality holds exactly when the box sits on the even
+    lattice (x, y both even). Within-both-ways semantics
+    (functions/geometry.py:polygons_equal_sf) decide it with no ring
+    canonicalization. Oracle: parity arithmetic."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?eq WHERE {
+          ?s a ex:Supplier . ?s geo:asWKT ?pt .
+          BIND(STRBEFORE(STRAFTER(?pt, "POINT("), " ") AS ?xs)
+          BIND(STRBEFORE(STRAFTER(?pt, " "), ")") AS ?ys)
+          BIND(CONCAT("POLYGON((", STR(?xs), " ", STR(?ys), ", ",
+               STR(?xs + 2), " ", STR(?ys), ", ",
+               STR(?xs + 2), " ", STR(?ys + 2), ", ",
+               STR(?xs), " ", STR(?ys + 2), "))") AS ?box)
+          BIND(FLOOR(?xs / 2) * 2 AS ?bx)
+          BIND(FLOOR(?ys / 2) * 2 AS ?by)
+          BIND(CONCAT("POLYGON((", STR(?bx + 2), " ", STR(?by + 2), ", ",
+               STR(?bx + 1), " ", STR(?by + 2), ", ",
+               STR(?bx), " ", STR(?by + 2), ", ",
+               STR(?bx), " ", STR(?by), ", ",
+               STR(?bx + 2), " ", STR(?by), "))") AS ?cell)
+          BIND(IF(geof:sfEquals(?box, ?cell), 1, 0) AS ?eq)
+        }
+        """,
+    )
+
+
+def _sql_sp49():
+    return """
+    WITH s AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             (s_suppkey * 37) % 100 AS x, (s_suppkey * 61) % 100 AS y
+      FROM supplier)
+    SELECT s,
+      CAST(CASE WHEN x % 2 = 0 AND y % 2 = 0
+           THEN 1 ELSE 0 END AS DOUBLE) AS eq
+    FROM s
+    """
+
+
+def sp50_donut_disjoint(spark, sf_dir):
+    """Hole-aware polygon-polygon sfDisjoint/sfIntersects (round 14 —
+    the residual the round-13 verdict named): supplier boxes tested
+    against a DONUT zone. A box wholly inside the donut's hole shares
+    no point with the zone — geof:sfDisjoint(?box, ?d) must keep it,
+    which the outer-hull-only round-13 test could not express; a box
+    straddling the hole's edge intersects the annulus and must drop.
+    Survivors are classified with the round-14 POLYGON-POLYGON
+    sfWithin against the hole rectangle ('hole' vs 'outside').
+    Oracle: interval arithmetic on the box/donut bounds."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s ?cls WHERE {
+          ?s a ex:Supplier . ?s geo:asWKT ?pt .
+          BIND(STRBEFORE(STRAFTER(?pt, "POINT("), " ") AS ?xs)
+          BIND(STRBEFORE(STRAFTER(?pt, " "), ")") AS ?ys)
+          BIND(CONCAT("POLYGON((", STR(?xs), " ", STR(?ys), ", ",
+               STR(?xs + 2), " ", STR(?ys), ", ",
+               STR(?xs + 2), " ", STR(?ys + 2), ", ",
+               STR(?xs), " ", STR(?ys + 2), "))") AS ?box)
+          BIND("POLYGON((0.5 0.5, 89.5 0.5, 89.5 89.5, 0.5 89.5, 0.5 0.5), (20.5 20.5, 69.5 20.5, 69.5 69.5, 20.5 69.5, 20.5 20.5))" AS ?d)
+          FILTER(geof:sfDisjoint(?box, ?d))
+          BIND(IF(geof:sfWithin(?box, "POLYGON((20.5 20.5, 69.5 20.5, 69.5 69.5, 20.5 69.5, 20.5 20.5))"), "hole", "outside") AS ?cls)
+        }
+        """,
+    )
+
+
+def _sql_sp50():
+    # disjoint = wholly inside the hole (x,y in [21,67]^2 for integer
+    # 2-boxes against .5 edges) or wholly outside the outer ring
+    # (x or y >= 90); boxes straddling either boundary intersect
+    return """
+    WITH s AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             (s_suppkey * 37) % 100 AS x, (s_suppkey * 61) % 100 AS y
+      FROM supplier)
+    SELECT s,
+      CASE WHEN x >= 21 AND x <= 67 AND y >= 21 AND y <= 67
+           THEN 'hole' ELSE 'outside' END AS cls
+    FROM s
+    WHERE (x >= 21 AND x <= 67 AND y >= 21 AND y <= 67)
+       OR x >= 90 OR y >= 90
+    """
+
+
+def sp51_donut_grid_join(spark, sf_dir):
+    """Var-var spatial join over DONUT zones (round 14): supplier ±3
+    service boxes against five VALUES-bound donut zones through the
+    grid-cover rewrite — both sides explode to covered cells,
+    candidates hash-join on the cell, and the exact test takes the
+    round-14 MULTI-RING arm (polygons_intersect_sf): a box wholly
+    inside a zone's hole shares its cells but must NOT match. The
+    single-ring fast arm (sp39's plan) stays untouched for ringless
+    pairs — this query pins the gated path's other branch. Oracle:
+    per-(supplier, zone) interval arithmetic."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?zname (COUNT(?s) AS ?n) WHERE {
+          ?s a ex:Supplier . ?s geo:asWKT ?pt .
+          BIND(STRBEFORE(STRAFTER(?pt, "POINT("), " ") AS ?xs)
+          BIND(STRBEFORE(STRAFTER(?pt, " "), ")") AS ?ys)
+          BIND(CONCAT("POLYGON((",
+               STR(?xs - 3), " ", STR(?ys - 3), ", ",
+               STR(?xs + 3), " ", STR(?ys - 3), ", ",
+               STR(?xs + 3), " ", STR(?ys + 3), ", ",
+               STR(?xs - 3), " ", STR(?ys + 3), ", ",
+               STR(?xs - 3), " ", STR(?ys - 3), "))") AS ?box)
+          VALUES (?zname ?zd) {
+            ("z0" "POLYGON((-0.5 -0.5, 19.5 -0.5, 19.5 99.5, -0.5 99.5, -0.5 -0.5), (4.5 30.5, 14.5 30.5, 14.5 69.5, 4.5 69.5, 4.5 30.5))")
+            ("z1" "POLYGON((19.5 -0.5, 39.5 -0.5, 39.5 99.5, 19.5 99.5, 19.5 -0.5), (24.5 30.5, 34.5 30.5, 34.5 69.5, 24.5 69.5, 24.5 30.5))")
+            ("z2" "POLYGON((39.5 -0.5, 59.5 -0.5, 59.5 99.5, 39.5 99.5, 39.5 -0.5), (44.5 30.5, 54.5 30.5, 54.5 69.5, 44.5 69.5, 44.5 30.5))")
+            ("z3" "POLYGON((59.5 -0.5, 79.5 -0.5, 79.5 99.5, 59.5 99.5, 59.5 -0.5), (64.5 30.5, 74.5 30.5, 74.5 69.5, 64.5 69.5, 64.5 30.5))")
+            ("z4" "POLYGON((79.5 -0.5, 99.5 -0.5, 99.5 99.5, 79.5 99.5, 79.5 -0.5), (84.5 30.5, 94.5 30.5, 94.5 69.5, 84.5 69.5, 84.5 30.5))")
+          }
+          FILTER(geof:sfIntersects(?box, ?zd))
+        } GROUP BY ?zname ORDER BY ?zname
+        """,
+    )
+
+
+def _sql_sp51():
+    # zone k: outer x in [20k-0.5, 20k+19.5] (y spans the lattice),
+    # hole x in [20k+4.5, 20k+14.5], y in [30.5, 69.5]; box = ±3.
+    # intersects = not outside the outer ring and not inside the hole
+    return """
+    WITH s AS (
+      SELECT (s_suppkey * 37) % 100 AS x, (s_suppkey * 61) % 100 AS y
+      FROM supplier),
+    z AS (SELECT r_regionkey AS k, 'z' || r_regionkey AS zname
+          FROM region)
+    SELECT zname, CAST(count(*) AS BIGINT) AS n
+    FROM s JOIN z
+      ON NOT (x <= 20*k - 4 OR x >= 20*k + 23)
+     AND NOT (x >= 20*k + 8 AND x <= 20*k + 11
+              AND y >= 34 AND y <= 66)
+    GROUP BY zname ORDER BY zname
+    """
+
+
 def sp44_erroring_bind(spark, sf_dir):
     """D1 residual CLOSED (round 12) — spec 10.1: a BIND whose
     expression ERRORS binds nothing. ``?seg * 2`` is a numeric type
@@ -16220,6 +16572,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stamped — these lead the r13 rotation ---
     "sp44_erroring_bind": sp44_erroring_bind,
     "sp45_donut_zone": sp45_donut_zone,
+    "sp47_zone_relate": sp47_zone_relate,
+    "sp48_route_crossings": sp48_route_crossings,
+    "sp49_equal_zones": sp49_equal_zones,
+    "sp50_donut_disjoint": sp50_donut_disjoint,
+    "sp51_donut_grid_join": sp51_donut_grid_join,
+    "g24_multipolygon_grid_join": g24_multipolygon_grid_join,
     "sp46_multipolygon_zone": sp46_multipolygon_zone,
     "sim38_torn_epoch_probe": sim38_torn_epoch_probe,
     "sim34_autosized_retrain": sim34_autosized_retrain,
@@ -16770,6 +17128,12 @@ _ORACLES["sim37_compacted_time_travel"] = _sql_sim37()
 _ORACLES["sp45_donut_zone"] = _sql_sp45()
 _ORACLES["sp46_multipolygon_zone"] = _sql_sp46()
 _ORACLES["sim38_torn_epoch_probe"] = _sql_sim38()
+_ORACLES["sp47_zone_relate"] = _sql_sp47()
+_ORACLES["sp48_route_crossings"] = _sql_sp48()
+_ORACLES["sp49_equal_zones"] = _sql_sp49()
+_ORACLES["sp50_donut_disjoint"] = _sql_sp50()
+_ORACLES["sp51_donut_grid_join"] = _sql_sp51()
+_ORACLES["g24_multipolygon_grid_join"] = _sql_g24()
 
 
 # Round-13 correctness window: the driver records correctness rows for
