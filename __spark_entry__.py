@@ -14299,6 +14299,149 @@ def _sql_sp46():
     """
 
 
+def sim39_manifest_lake_probe(spark, sf_dir):
+    """OBJECT-STORE MANIFEST COMMIT for the ANN lake (round 14 — the
+    documented S3 limitation turned into code, lakes/manifest.py):
+    data files land under attempt-unique prefixes and ONE manifest
+    PUT per commit is the commit point; readers resolve the visible
+    file set, cell pruning metadata, epoch seqs and tombstones from
+    manifests alone — no rename atomicity, no data-prefix LISTing, no
+    _SUCCESS markers. History: seq 0 = first 250 vectors, seq 1 = the
+    rest, seq 2 = a sequenced tombstone commit deleting %9==4. Four
+    arms from one index: as_of 0, as_of 1 (pre-delete — the delete is
+    its OWN sequenced commit here, unlike the rename lake), latest,
+    and latest again after (a) injecting a torn write attempt plus a
+    torn manifest — both must stay invisible — and (b) vacuuming the
+    garbage. fsck must report the torn attempt as an orphan before
+    the vacuum and nothing but benign findings after. The oracle
+    replays each corpus state's trained-IVF probe independently."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.lakes import manifest as M
+    from geosparql_etl_spark.operators.similarity import lloyd_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    trained = lloyd_train(
+        e, "embedding", dim=64, n_cells=16, rounds=10, memo_key=sf_dir
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_manifest_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    M.manifest_write_ivf_index(
+        e.where(F.col("vec_id") < 250), idx, dim=64,
+        centroids=trained, epoch="base",
+    )
+    M.manifest_write_ivf_index(
+        e.where(F.col("vec_id") >= 250), idx, dim=64,
+        centroids=trained, epoch="a1",
+    )
+    M.manifest_delete_from_ivf_index(
+        spark, idx, e.where(F.col("vec_id") % 9 == 4).select("vec_id")
+    )
+    probe = e.where(F.col("vec_id") < 5)
+
+    def arm(name, as_of):
+        out = M.manifest_ivf_topk(
+            spark, idx, probe, k=5, dim=64, n_cells=16, n_probe=6,
+            centroids=trained, as_of_seq=as_of,
+        ).select(
+            F.lit(name).alias("arm"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    a0 = arm("v0", 0)
+    a1 = arm("v1", 1)
+    a2 = arm("latest", None)
+    # torn writer: parquet bytes with no manifest, plus a torn
+    # manifest PUT — both invisible by construction
+    torn = os.path.join(idx, "epoch=zz", "attempt=deadbeef")
+    e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("neighbor_id")
+    ).write.mode("overwrite").parquet(torn)
+    with open(
+        os.path.join(idx, "_manifests", "m-99999999-zz-0000.json"), "w"
+    ) as fh:
+        fh.write('{"kind": "append", "files": [{"pa')
+    finds = M.manifest_fsck(idx)
+    if not any(f["check"] == "orphan_file" for f in finds):
+        raise RuntimeError("fsck must flag the torn attempt")
+    if any(f["severity"] == "error" for f in finds):
+        raise RuntimeError(f"fsck errors: {finds}")
+    if not M.manifest_vacuum(idx):
+        raise RuntimeError("vacuum must reclaim the torn attempt")
+    if any(
+        f["severity"] == "error" or f["check"] == "orphan_file"
+        for f in M.manifest_fsck(idx)
+    ):
+        raise RuntimeError("fsck must be clean after vacuum")
+    a3 = arm("vacuumed", None)
+    return (
+        a0.unionByName(a1).unionByName(a2).unionByName(a3)
+        .orderBy("arm", "query_id", "rank")
+    )
+
+
+def _sql_sim39():
+    def arm(name, corpus_cte):
+        return f"""
+    scored_{name} AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM {corpus_cte}, ct),
+    cells_{name} AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c ASC) AS rn
+        FROM scored_{name}) WHERE rn = 1),
+    cand_{name} AS (
+      SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells_{name} cl USING (cell)
+      WHERE cl.vec_id != p.vec_id),
+    res_{name} AS (
+      SELECT '{name}' AS arm, query_id, neighbor_id, rank,
+             round(sim, 6) AS cosine_sim
+      FROM (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(eq.v, ec.v) AS sim,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(eq.v, ec.v) DESC,
+                          neighbor_id
+               ) AS rank
+        FROM cand_{name}
+        JOIN e eq ON eq.vec_id = cand_{name}.query_id
+        JOIN {corpus_cte} ec ON ec.vec_id = cand_{name}.neighbor_id)
+      WHERE rank <= 5)"""
+
+    return f"""
+    WITH {_sql_lloyd_train_ctes(10)},
+    e_v0 AS (SELECT * FROM e WHERE vec_id < 250),
+    e_latest AS (SELECT * FROM e WHERE vec_id % 9 != 4),
+    qscored AS (
+      SELECT vec_id, c, list_dot_product(v, cent) AS score
+      FROM e, ct WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id, c AS cell FROM (
+        SELECT vec_id, c, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, c DESC) AS rn
+        FROM qscored) WHERE rn <= 6),
+    {arm("v0", "e_v0")},
+    {arm("v1", "e")},
+    {arm("latest", "e_latest")},
+    {arm("vacuumed", "e_latest")}
+    SELECT * FROM res_v0
+    UNION ALL SELECT * FROM res_v1
+    UNION ALL SELECT * FROM res_latest
+    UNION ALL SELECT * FROM res_vacuumed
+    ORDER BY arm, query_id, rank
+    """
+
+
 def sp47_zone_relate(spark, sf_dir):
     """Simple-features relations in SPARQL (round 14): each supplier's
     2x2 integer box classified against a constant 20x20 zone with
@@ -16572,6 +16715,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stamped — these lead the r13 rotation ---
     "sp44_erroring_bind": sp44_erroring_bind,
     "sp45_donut_zone": sp45_donut_zone,
+    "sim39_manifest_lake_probe": sim39_manifest_lake_probe,
     "sp47_zone_relate": sp47_zone_relate,
     "sp48_route_crossings": sp48_route_crossings,
     "sp49_equal_zones": sp49_equal_zones,
@@ -17128,6 +17272,7 @@ _ORACLES["sim37_compacted_time_travel"] = _sql_sim37()
 _ORACLES["sp45_donut_zone"] = _sql_sp45()
 _ORACLES["sp46_multipolygon_zone"] = _sql_sp46()
 _ORACLES["sim38_torn_epoch_probe"] = _sql_sim38()
+_ORACLES["sim39_manifest_lake_probe"] = _sql_sim39()
 _ORACLES["sp47_zone_relate"] = _sql_sp47()
 _ORACLES["sp48_route_crossings"] = _sql_sp48()
 _ORACLES["sp49_equal_zones"] = _sql_sp49()

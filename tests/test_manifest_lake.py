@@ -1,0 +1,252 @@
+"""Manifest-commit protocol tests (round 14): the object-store-safe
+lake substrate (lakes/manifest.py) — commit atomicity via single
+manifest PUTs, torn-write invisibility, replay, delete scoping, time
+travel, compaction generations, vacuum, fsck."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geosparql_etl_spark.lakes import manifest as M
+
+DIM = 8
+
+
+def _vec(i):
+    # deterministic, non-degenerate unit-ish vectors
+    return [float((i * (j + 3) * 37) % 19 - 9) / 9.0 for j in range(DIM)]
+
+
+def _corpus(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+
+
+def _probe_ids(spark, path, probe, as_of=None, k=3):
+    rows = M.manifest_ivf_topk(
+        spark, path, probe, k=k, dim=DIM, n_cells=4, n_probe=4,
+        as_of_seq=as_of,
+    ).collect()
+    return {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in rows
+    }
+
+
+def _brute(spark, corpus, probe, k=3):
+    import math
+
+    cs = {r["vec_id"]: r["embedding"] for r in corpus.collect()}
+    ps = {r["vec_id"]: r["embedding"] for r in probe.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na * nb > 0 else 0.0
+
+    out = {}
+    for q, qv in ps.items():
+        ranked = sorted(
+            ((cos(qv, v), -i) for i, v in cs.items() if i != q),
+            reverse=True,
+        )
+        for rank, (_, ni) in enumerate(ranked[:k], 1):
+            out[(q, rank)] = -ni
+    return out
+
+
+@pytest.fixture()
+def lake(tmp_path, spark):
+    path = str(tmp_path / "mlake")
+    M.manifest_write_ivf_index(
+        _corpus(spark, range(40)), path, dim=DIM, n_cells=4, epoch="base"
+    )
+    return path
+
+
+def test_build_and_probe_matches_bruteforce(spark, lake):
+    # n_probe = n_cells makes the IVF probe exhaustive -> exact
+    probe = _corpus(spark, [100])
+    got = _probe_ids(spark, lake, probe)
+    want = _brute(spark, _corpus(spark, range(40)), probe)
+    assert got == want
+
+
+def test_torn_attempt_is_invisible_and_vacuumable(spark, lake):
+    probe = _corpus(spark, [100])
+    before = _probe_ids(spark, lake, probe)
+    # a writer that died mid-attempt: parquet bytes, no manifest
+    torn = os.path.join(lake, "epoch=a1", "attempt=deadbeef",
+                        "ivf_cell=0")
+    os.makedirs(torn)
+    _corpus(spark, range(1000, 1010)).write.parquet(
+        os.path.join(torn, "junk"), mode="overwrite"
+    )
+    assert _probe_ids(spark, lake, probe) == before
+    finds = M.manifest_fsck(lake)
+    assert any(f["check"] == "orphan_file" for f in finds)
+    assert not any(f["severity"] == "error" for f in finds)
+    removed = M.manifest_vacuum(lake)
+    assert removed
+    assert _probe_ids(spark, lake, probe) == before
+    assert not any(
+        f["check"] == "orphan_file" for f in M.manifest_fsck(lake)
+    )
+
+
+def test_torn_manifest_is_skipped(spark, lake):
+    probe = _corpus(spark, [100])
+    before = _probe_ids(spark, lake, probe)
+    with open(os.path.join(lake, "_manifests", "m-99999999-x-0000.json"),
+              "w") as fh:
+        fh.write('{"kind": "append", "files": [{"pa')  # torn PUT
+    assert _probe_ids(spark, lake, probe) == before
+
+
+def test_append_epoch_and_delete_scoping(spark, lake):
+    probe = _corpus(spark, [100])
+    # delete ids 0..9 (scoped to base, the only committed epoch)
+    M.manifest_delete_from_ivf_index(
+        spark, lake, _corpus(spark, range(10)).select("vec_id")
+    )
+    got = _probe_ids(spark, lake, probe, k=5)
+    want = _brute(spark, _corpus(spark, range(10, 40)), probe, k=5)
+    assert got == want
+    # an epoch landing AFTER the delete re-introduces id 5
+    M.manifest_write_ivf_index(
+        _corpus(spark, [5]), lake, dim=DIM, n_cells=4, epoch="a1"
+    )
+    got = _probe_ids(spark, lake, probe, k=5)
+    want = _brute(
+        spark,
+        _corpus(spark, [5, *range(10, 40)]),
+        probe,
+        k=5,
+    )
+    assert got == want
+
+
+def test_time_travel_pins(spark, lake):
+    probe = _corpus(spark, [100])
+    M.manifest_write_ivf_index(
+        _corpus(spark, range(40, 60)), lake, dim=DIM, n_cells=4,
+        epoch="a1",
+    )
+    M.manifest_delete_from_ivf_index(
+        spark, lake, _corpus(spark, range(20)).select("vec_id")
+    )
+    # seq 0 = base only
+    assert _probe_ids(spark, lake, probe, as_of=0) == _brute(
+        spark, _corpus(spark, range(40)), probe
+    )
+    # seq 1 = base + a1, pre-delete
+    assert _probe_ids(spark, lake, probe, as_of=1) == _brute(
+        spark, _corpus(spark, range(60)), probe
+    )
+    # latest = post-delete
+    assert _probe_ids(spark, lake, probe) == _brute(
+        spark, _corpus(spark, range(20, 60)), probe
+    )
+
+
+def test_replayed_epoch_does_not_double_rows(spark, lake):
+    probe = _corpus(spark, [100])
+    M.manifest_write_ivf_index(
+        _corpus(spark, range(40, 50)), lake, dim=DIM, n_cells=4,
+        epoch="a1",
+    )
+    seqs1 = M.epoch_seqs(lake)
+    # replay the same epoch (stream restart): fresh attempt, same seq
+    M.manifest_write_ivf_index(
+        _corpus(spark, range(40, 50)), lake, dim=DIM, n_cells=4,
+        epoch="a1",
+    )
+    assert M.epoch_seqs(lake) == seqs1
+    got = _probe_ids(spark, lake, probe, k=5)
+    want = _brute(spark, _corpus(spark, range(50)), probe, k=5)
+    assert got == want  # rows not doubled, latest attempt serves
+
+
+def test_compaction_generation_and_vacuum(spark, lake):
+    probe = _corpus(spark, [100])
+    M.manifest_write_ivf_index(
+        _corpus(spark, range(40, 60)), lake, dim=DIM, n_cells=4,
+        epoch="a1",
+    )
+    M.manifest_delete_from_ivf_index(
+        spark, lake, _corpus(spark, range(30)).select("vec_id")
+    )
+    latest = _probe_ids(spark, lake, probe, k=5)
+    M.manifest_compact_ivf_index(spark, lake)
+    assert _probe_ids(spark, lake, probe, k=5) == latest
+    # pre-compaction pins are gone in the manifest lake (documented)
+    with pytest.raises(ValueError, match="predates the current"):
+        _probe_ids(spark, lake, probe, as_of=0)
+    # vacuum reclaims the old generation; probe unchanged, fsck clean
+    removed = M.manifest_vacuum(lake)
+    assert removed
+    assert _probe_ids(spark, lake, probe, k=5) == latest
+    finds = M.manifest_fsck(lake)
+    assert not any(f["severity"] == "error" for f in finds)
+
+
+def test_concurrent_seq_race_loses_no_commit(spark, lake):
+    # two writers race: both allocate seq 1 for different epochs —
+    # distinct manifest keys, both commits visible, fsck reports the
+    # shared seq as the benign duplicate_seq finding
+    probe = _corpus(spark, [100])
+    M.manifest_write_ivf_index(
+        _corpus(spark, range(40, 50)), lake, dim=DIM, n_cells=4,
+        epoch="w1",
+    )
+    # simulate the race: rewrite w1's manifest twin under epoch w2
+    # with the same seq via the public API surface
+    M.manifest_write_ivf_index(
+        _corpus(spark, range(50, 60)), lake, dim=DIM, n_cells=4,
+        epoch="w2",
+    )
+    md = os.path.join(lake, "_manifests")
+    w2 = [f for f in os.listdir(md) if "-w2-" in f][0]
+    with open(os.path.join(md, w2)) as fh:
+        m = json.load(fh)
+    m["seq"] = 1
+    os.remove(os.path.join(md, w2))
+    with open(os.path.join(md, "m-00000001-w2-0000.json"), "w") as fh:
+        json.dump(m, fh)
+    got = _probe_ids(spark, lake, probe, k=5)
+    want = _brute(spark, _corpus(spark, range(60)), probe, k=5)
+    assert got == want
+    assert any(
+        f["check"] == "duplicate_seq" for f in M.manifest_fsck(lake)
+    )
+
+
+def test_manifest_probe_matches_rename_lake(spark, tmp_path):
+    # the two substrates must answer identically from the same rows
+    from geosparql_etl_spark.operators.similarity import (
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    corpus = _corpus(spark, range(40))
+    probe = _corpus(spark, [100, 101])
+    mp = str(tmp_path / "m")
+    rp = str(tmp_path / "r")
+    M.manifest_write_ivf_index(corpus, mp, dim=DIM, n_cells=4)
+    write_ivf_index(corpus, rp, dim=DIM, n_cells=4, epoch="base")
+    a = M.manifest_ivf_topk(
+        spark, mp, probe, k=5, dim=DIM, n_cells=4, n_probe=2
+    )
+    b = ivf_index_topk(
+        spark, rp, probe, k=5, dim=DIM, n_cells=4, n_probe=2
+    )
+    ra = sorted(map(tuple, a.select(
+        "query_id", "rank", "neighbor_id",
+        F.round("cosine_sim", 9)).collect()))
+    rb = sorted(map(tuple, b.select(
+        "query_id", "rank", "neighbor_id",
+        F.round("cosine_sim", 9)).collect()))
+    assert ra == rb
