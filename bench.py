@@ -183,6 +183,18 @@ HEADLINE = [
     # the per-row validity cost is documented in SCALE.md instead.
     "g23_zone_holes_join",
     "sp45_donut_zone",
+    # round 14: the simple-features predicate folds (per-row
+    # touches/overlaps/within flags), the hole-aware polygon-polygon
+    # disjoint filter, the var-var donut grid join (multi-ring exact
+    # arm), and the distributed multipolygon point-in-zone join.
+    # sp48/sp49 are excluded: same per-row fold shape as sp47 (the
+    # d11 constituent-shapes rule); sim39 is excluded with the other
+    # index-lifecycle queries (wall time = builds + fsck + vacuum,
+    # not a serving plan).
+    "sp47_zone_relate",
+    "sp50_donut_disjoint",
+    "sp51_donut_grid_join",
+    "g24_multipolygon_grid_join",
 ]
 
 
@@ -310,7 +322,59 @@ def run_suite() -> dict:
         result["errors"] = errors
     if warmup_error:
         result["warmup_error"] = warmup_error
+    _adjudicate_outliers(result, qs, spark, sf_dir)
     return result
+
+
+# A suite row reading worse than this vs the committed baseline gets an
+# automatic post-suite re-measurement. Driver bench runs regularly start
+# at loadavg > 3 (the round-12/13 verdicts each spent a session chasing
+# 2.4-2.9x rows that re-measured at parity once idle) — the artifact
+# now carries its own adjudication instead.
+ADJUDICATE_RATIO = 2.0
+ADJUDICATE_MAX = 5
+
+
+def _adjudicate_outliers(result, qs, spark, sf_dir) -> None:
+    """Re-measure every >2x-vs-baseline suite row in isolation (after
+    the suite, best-of-n again) and attach the readings. An outlier
+    that re-measures near baseline was load/GC skew; one that stays
+    slow is a real regression — the distinction rides in the BENCH
+    artifact, so nobody has to re-run the suite to make it."""
+    if not os.path.exists(BASELINE_FILE):
+        return
+    with open(BASELINE_FILE) as f:
+        base = json.load(f).get("queries", {})
+    timings = result.get("queries", {})
+    suspects = [
+        n
+        for n, t in timings.items()
+        if n in base
+        and base[n] > 0
+        and t > base[n] * ADJUDICATE_RATIO
+        and t - base[n] > REGRESSION_MIN_DELTA
+    ]
+    if not suspects:
+        return
+    suspects = sorted(
+        suspects, key=lambda n: -timings[n] / base[n]
+    )[:ADJUDICATE_MAX]
+    verdicts = {}
+    for name in suspects:
+        try:
+            iso = _best_of(lambda: materialize(qs[name](spark, sf_dir)))
+        except Exception as exc:
+            verdicts[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            continue
+        verdicts[name] = {
+            "suite": timings[name],
+            "isolated": round(iso, 3),
+            "baseline": base[name],
+            "ratio_suite": round(timings[name] / base[name], 2),
+            "ratio_isolated": round(iso / base[name], 2),
+            "loadavg": round(os.getloadavg()[0], 2),
+        }
+    result["adjudicated"] = verdicts
 
 
 # Pinned accuracy contract for the approx bench rows (mirrored by
@@ -391,6 +455,11 @@ def compact_summary(result: dict) -> dict:
         ),
         "summary_of_full_line_above": True,
     }
+    if result.get("adjudicated"):
+        summary["adjudicated"] = {
+            n: v.get("ratio_isolated", v.get("error"))
+            for n, v in result["adjudicated"].items()
+        }
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             base = json.load(f)

@@ -81,3 +81,31 @@ def test_compact_summary_without_baseline(tmp_path, monkeypatch):
     )
     assert "ratio_vs_baseline" not in summary
     assert summary["n_queries"] == 1
+
+
+def test_adjudicate_outliers_selection_and_summary(tmp_path, monkeypatch):
+    # only >2x rows with >0.5s absolute delta get re-measured; the
+    # isolated reading and ratios ride the artifact and the compact
+    # summary
+    base = {"queries": {"a": 1.0, "b": 0.2, "c": 4.0, "d": 1.0}}
+    bfile = tmp_path / "base.json"
+    bfile.write_text(bench.json.dumps(base))
+    monkeypatch.setattr(bench, "BASELINE_FILE", str(bfile))
+    monkeypatch.setattr(bench, "_best_of", lambda run: 1.1)
+    result = {
+        "queries": {
+            "a": 2.6,   # 2.6x, delta 1.6 -> adjudicated
+            "b": 0.55,  # 2.75x but delta 0.35 -> grace floor, skipped
+            "c": 4.4,   # 1.1x -> fine
+            "d": 0.9,   # faster -> fine
+            "e": 99.0,  # no baseline -> skipped
+        }
+    }
+    bench._adjudicate_outliers(result, {"a": None}, None, None)
+    adj = result["adjudicated"]
+    assert set(adj) == {"a"}
+    assert adj["a"]["isolated"] == 1.1
+    assert adj["a"]["ratio_suite"] == 2.6
+    assert adj["a"]["ratio_isolated"] == 1.1
+    summary = bench.compact_summary(result)
+    assert summary["adjudicated"] == {"a": 1.1}
