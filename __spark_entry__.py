@@ -17290,66 +17290,65 @@ _ORACLES["g24_multipolygon_grid_join"] = _sql_g24()
 # queries, then the 27 queries whose latest stamp is r6 (the oldest
 # surviving attestations), then the head of the r8-stamped block fills
 # to 50.
-_WINDOW_R13 = [
-    # never stamped (round-12 additions)
-    "sp44_erroring_bind",
-    "sim34_autosized_retrain",
-    "sim35_ann_time_travel",
-    "s20_concurrent_upsert_streams",
-    "sim36_pq_updates",
-    # round-13 additions
-    "g21_polygon_holes",
-    "sim37_compacted_time_travel",
-    "g22_multipolygon",
-    "g23_zone_holes_join",
-    "sp45_donut_zone",
-    "sp46_multipolygon_zone",
-    "sim38_torn_epoch_probe",
-    # r6-stamped block (oldest attestations), registry order
-    "llm18_bpe_merges",
-    "llm19_leakage_free_split",
-    "d13_triangle_count",
-    "d14_clustering_coeff",
-    "g17_distance_join",
-    "dq04_fk_audit",
-    "txt17_readability",
-    "sim07_vector_stats",
-    "llm05_decontaminate",
-    "s01_tumbling_window",
-    "s02_sliding_window",
-    "s03_sessionization",
-    "s08_gap_fill_resample",
-    "mm01_media_features",
-    "mm02_frame_sampling",
-    "mm03_audio_features",
-    "h02_file_hash",
-    "llm06_incremental_dedup",
-    "llm07_stratified_topk_sample",
-    "llm08_chunking",
-    "w05_window_frames",
-    "a13_grouping_sets",
-    "g16_point_in_polygon",
-    "d01_dedup_exact",
-    "d02_fingerprint",
-    "d03_minhash_signature",
-    "d04_ngram_jaccard",
-    # r8-stamped head fills the remainder to 50
-    "sp17_bind_bucket",
-    "sp18_select_expressions",
-    "sp19_star_closure",
-    "llm20_bpe_tokenize",
-    "sp20_graph_scoped_agg",
-    "q10_returned_items",
-    "q12_priority_counts",
-    "q14_promo_effect",
-    "a16_mad_outliers",
-    "g18_nearest_neighbor",
-    "txt18_lexical_diversity",
+_WINDOW_R14 = [
+    # round-14 additions (never stamped)
+    "sim39_manifest_lake_probe",
+    "sp47_zone_relate",
+    "sp48_route_crossings",
+    "sp49_equal_zones",
+    "sp50_donut_disjoint",
+    "sp51_donut_grid_join",
+    "g24_multipolygon_grid_join",
+    # r8-stamped block (oldest surviving attestations), registry order
+    "s14_rate_anomaly",
+    "sp21_solution_modifiers",
+    "dq05_benford_audit",
+    "sp22_count_distinct",
+    "sp23_negated_path",
+    "sp24_with_graph_update",
+    "d15_dedup_savings",
+    "g19_bbox_iou",
+    "q13_order_count_distribution",
+    "q18_large_orders",
+    "sp05_group_totals",
+    "sp15_subquery_max",
+    "d05_simhash",
+    "d06_minhash_dedup_e2e",
+    "d07_embedding_neardup",
+    "d08_dedup_clusters",
+    "d09_simhash_pairs",
+    "sim01_cosine_topk",
+    "sim02_threshold_pairs",
+    "sim03_ann_lsh",
+    "sim04_ivf_ann",
+    "sim05_quantized_topk",
+    "sim08_ivfpq_ann",
+    "txt01_stats",
+    "txt02_lang_id",
+    "txt03_quality",
+    "txt04_token_count",
+    "txt05_stopword_ratio",
+    "txt06_winnowing",
+    "txt07_pii_redact",
+    "txt08_repetition",
+    "llm01_corpus_curation",
+    "llm02_hash_sample",
+    "llm03_split_assign",
+    "llm04_sequence_packing",
+    "q02_shipping_priority",
+    "q03_local_supplier_volume",
+    "j12_snapshot_diff",
+    # r9-stamped head fills the remainder to 50
+    "sp25_insert_data",
+    "sp26_spatial_pairs",
+    "sp27_bounded_path",
+    "sp28_clear_graph",
+    "sp29_values_table",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = {k: _QUERIES[k] for k in _WINDOW_R13}
+    head = {k: _QUERIES[k] for k in _WINDOW_R14}
     return head | {
         k: v for k, v in _QUERIES.items() if k not in head
     }

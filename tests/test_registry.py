@@ -18,39 +18,46 @@ def test_every_query_has_an_oracle_and_vice_versa():
     assert missing <= {"h02_file_hash"}, missing
 
 
-def test_round13_correctness_window_is_stable():
+def test_round14_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the r13 window is the explicit _WINDOW_R13 list: the five
-    # never-driver-stamped round-12 additions lead, then the round-13
-    # additions, then the 27 r6-stamped queries (oldest surviving
-    # attestations), then the r8-stamped head fills to 50. queries()
-    # moves the list to the front; everything else keeps registry
-    # order behind it.
-    assert len(entry._WINDOW_R13) == 50
-    assert keys[:50] == entry._WINDOW_R13
-    assert keys[:5] == [
-        "sp44_erroring_bind",
-        "sim34_autosized_retrain",
-        "sim35_ann_time_travel",
-        "s20_concurrent_upsert_streams",
-        "sim36_pq_updates",
+    # the r14 window is the explicit _WINDOW_R14 list: the seven
+    # never-driver-stamped round-14 additions lead (manifest lake +
+    # the simple-features family), then the 38 r8-stamped queries
+    # (oldest surviving attestations), then the r9-stamped head fills
+    # to 50. queries() moves the list to the front; everything else
+    # keeps registry order behind it.
+    assert len(entry._WINDOW_R14) == 50
+    assert keys[:50] == entry._WINDOW_R14
+    assert keys[:7] == [
+        "sim39_manifest_lake_probe",
+        "sp47_zone_relate",
+        "sp48_route_crossings",
+        "sp49_equal_zones",
+        "sp50_donut_disjoint",
+        "sp51_donut_grid_join",
+        "g24_multipolygon_grid_join",
     ]
-    r6_block = {
-        "llm18_bpe_merges", "llm19_leakage_free_split",
-        "d13_triangle_count", "d14_clustering_coeff",
-        "g17_distance_join", "dq04_fk_audit", "txt17_readability",
-        "sim07_vector_stats", "llm05_decontaminate",
-        "s01_tumbling_window", "s02_sliding_window",
-        "s03_sessionization", "s08_gap_fill_resample",
-        "mm01_media_features", "mm02_frame_sampling",
-        "mm03_audio_features", "h02_file_hash",
-        "llm06_incremental_dedup", "llm07_stratified_topk_sample",
-        "llm08_chunking", "w05_window_frames", "a13_grouping_sets",
-        "g16_point_in_polygon", "d01_dedup_exact", "d02_fingerprint",
-        "d03_minhash_signature", "d04_ngram_jaccard",
+    r8_block = {
+        "s14_rate_anomaly", "sp21_solution_modifiers",
+        "dq05_benford_audit", "sp22_count_distinct",
+        "sp23_negated_path", "sp24_with_graph_update",
+        "d15_dedup_savings", "g19_bbox_iou",
+        "q13_order_count_distribution", "q18_large_orders",
+        "sp05_group_totals", "sp15_subquery_max", "d05_simhash",
+        "d06_minhash_dedup_e2e", "d07_embedding_neardup",
+        "d08_dedup_clusters", "d09_simhash_pairs", "sim01_cosine_topk",
+        "sim02_threshold_pairs", "sim03_ann_lsh", "sim04_ivf_ann",
+        "sim05_quantized_topk", "sim08_ivfpq_ann", "txt01_stats",
+        "txt02_lang_id", "txt03_quality", "txt04_token_count",
+        "txt05_stopword_ratio", "txt06_winnowing", "txt07_pii_redact",
+        "txt08_repetition", "llm01_corpus_curation", "llm02_hash_sample",
+        "llm03_split_assign", "llm04_sequence_packing",
+        "q02_shipping_priority", "q03_local_supplier_volume",
+        "j12_snapshot_diff",
     }
-    assert r6_block <= set(keys[:50])
-    assert keys[49] == "txt18_lexical_diversity"
+    assert len(r8_block) == 38
+    assert r8_block <= set(keys[:50])
+    assert keys[49] == "sp29_values_table"
     assert len(keys) == len(set(keys))
     assert len(keys) == len(entry._QUERIES)
 
