@@ -1317,86 +1317,118 @@ def polygons_boundaries_touch(pa: Column, pb: Column) -> Column:
     return _any_ring_pair(pa, pb, rings_edges_touch)
 
 
+def _sf_pieces(
+    pa: Column, pb: Column, need: tuple = ("touch", "io", "wab", "wba")
+) -> dict:
+    """The shared building blocks of the composite simple-features
+    predicates, each constructed ONCE and reused by reference.
+
+    Column trees are immutable, so embedding the same Column object in
+    several predicates costs nothing extra — but re-CONSTRUCTING these
+    folds per predicate costs real driver time (every F.* call is a
+    py4j round trip; the first cut built polygons_touch from four
+    independent within/overlap trees and spent ~3 s of pure Python
+    plan construction per call — measured round 14). ``need`` names
+    the pieces the caller composes; anything else (and its exclusive
+    prerequisites) is skipped."""
+    need = set(need)
+    probes_a, probes_b = polygon_probes(pa), polygon_probes(pb)
+    cross = _any_ring_pair(pa, pb, _rings_edges_cross)
+    a_strict = (
+        F.exists(
+            probes_a, lambda p: point_strictly_in_polygon(pb, p[0], p[1])
+        )
+        if need & {"io", "wba"}
+        else None
+    )
+    b_strict = (
+        F.exists(
+            probes_b, lambda p: point_strictly_in_polygon(pa, p[0], p[1])
+        )
+        if need & {"io", "wab"}
+        else None
+    )
+    pieces = {}
+    if "touch" in need:
+        pieces["touch"] = _any_ring_pair(pa, pb, rings_edges_touch)
+    if "io" in need:
+        # interiors intersect: a strict probe witness either way, or a
+        # proper boundary crossing (which always exposes an
+        # interior∩interior neighborhood between valid polygons). The
+        # equal / within-with-shared-boundary cases leave neither —
+        # the within pieces distinguish them.
+        pieces["io"] = a_strict | b_strict | cross
+    if not need & {"wab", "wba"}:
+        return pieces
+
+    def _within(pa_, pb_, probes_a_, other_strict) -> Column:
+        """A ⊆ B (boundary contact allowed): every probe of A
+        inside-or-on B, no proper ring crossing, no probe of B
+        strictly inside A (a hole of B nested inside A, or B
+        spilling out, both leave such a witness), and A's outer
+        boundary not lying wholly ON B's hole boundary — a simple
+        closed curve inside another ring's point set IS that ring,
+        so such an A is B's filled hole (exterior), not contained;
+        B's interior face keeps its probes on B's OUTER ring, so
+        equality survives this conjunct."""
+        probes_ok = F.forall(
+            probes_a_,
+            lambda p: point_in_polygon_holes(pb_, p[0], p[1])
+            | point_on_rings_boundary(pb_, p[0], p[1]),
+        )
+        not_hole_fill = ~(
+            (F.size(pb_) > 1)
+            & F.forall(
+                _ring_probes(outer_ring(pa_)),
+                lambda p: point_on_rings_boundary(
+                    hole_rings(pb_), p[0], p[1]
+                ),
+            )
+        )
+        return probes_ok & ~cross & ~other_strict & not_hole_fill
+
+    if "wab" in need:
+        pieces["wab"] = _within(pa, pb, probes_a, b_strict)
+    if "wba" in need:
+        pieces["wba"] = _within(pb, pa, probes_b, a_strict)
+    return pieces
+
+
 def polygons_interiors_overlap(pa: Column, pb: Column) -> Column:
     """Do the INTERIORS (hole-aware, boundary-excluded) of two valid
-    polygons intersect? Probe witnesses or a proper boundary
-    crossing. The equal-polygon / within-with-shared-boundary cases
-    leave no strict probe witness and no proper crossing — callers
-    that must distinguish them (sfTouches) additionally test
-    polygon_within_polygon both ways."""
-    a_in_b = F.exists(
-        polygon_probes(pa),
-        lambda p: point_strictly_in_polygon(pb, p[0], p[1]),
-    )
-    b_in_a = F.exists(
-        polygon_probes(pb),
-        lambda p: point_strictly_in_polygon(pa, p[0], p[1]),
-    )
-    return a_in_b | b_in_a | _any_ring_pair(pa, pb, _rings_edges_cross)
+    polygons intersect? See ``_sf_pieces`` ("io")."""
+    return _sf_pieces(pa, pb, need=("io",))["io"]
 
 
 def polygon_within_polygon(pa: Column, pb: Column) -> Column:
     """A ⊆ B for valid hole-aware polygons (boundary contact allowed,
-    OGC sfWithin for the polygon-polygon case): every probe of A
-    inside-or-on B, no proper ring crossing, and no probe of B
-    strictly inside A — the last conjunct catches both a hole of B
-    nested inside A (A would cover non-B area) and B strictly larger
-    than A on a shared boundary."""
-    probes_ok = F.forall(
-        polygon_probes(pa),
-        lambda p: point_in_polygon_holes(pb, p[0], p[1])
-        | point_on_rings_boundary(pb, p[0], p[1]),
-    )
-    no_cross = ~_any_ring_pair(pa, pb, _rings_edges_cross)
-    no_b_inside_a = ~F.exists(
-        polygon_probes(pb),
-        lambda p: point_strictly_in_polygon(pa, p[0], p[1]),
-    )
-    # A whose entire outer boundary lies ON B's hole boundary IS that
-    # filled hole (a simple closed curve inside another ring's point
-    # set is that ring) — its interior is B's exterior, so it is NOT
-    # within even though every boundary probe passes. B's interior
-    # face itself keeps its probes on B's OUTER ring, so true
-    # containment (including equality) survives this conjunct.
-    not_hole_fill = ~(
-        (F.size(pb) > 1)
-        & F.forall(
-            _ring_probes(outer_ring(pa)),
-            lambda p: point_on_rings_boundary(hole_rings(pb), p[0], p[1]),
-        )
-    )
-    return probes_ok & no_cross & no_b_inside_a & not_hole_fill
+    OGC sfWithin for the polygon-polygon case). See ``_sf_pieces``."""
+    return _sf_pieces(pa, pb, need=("wab",))["wab"]
 
 
 def polygons_touch(pa: Column, pb: Column) -> Column:
     """OGC sfTouches, polygon-polygon: boundaries share a point,
-    interiors do not intersect. The within tests exclude the
+    interiors do not intersect. The within pieces exclude the
     shared-boundary containment/equality cases the probe-based
     interior test cannot witness."""
-    return (
-        polygons_boundaries_touch(pa, pb)
-        & ~polygons_interiors_overlap(pa, pb)
-        & ~polygon_within_polygon(pa, pb)
-        & ~polygon_within_polygon(pb, pa)
-    )
+    p = _sf_pieces(pa, pb)
+    return p["touch"] & ~p["io"] & ~p["wab"] & ~p["wba"]
 
 
 def polygons_overlap_sf(pa: Column, pb: Column) -> Column:
     """OGC sfOverlaps, polygon-polygon: interiors intersect and
     neither is within the other (equality implies within both ways,
     so equal polygons are correctly NOT overlaps)."""
-    return (
-        polygons_interiors_overlap(pa, pb)
-        & ~polygon_within_polygon(pa, pb)
-        & ~polygon_within_polygon(pb, pa)
-    )
+    p = _sf_pieces(pa, pb, need=("io", "wab", "wba"))
+    return p["io"] & ~p["wab"] & ~p["wba"]
 
 
 def polygons_equal_sf(pa: Column, pb: Column) -> Column:
     """OGC sfEquals, polygon-polygon: within both ways — topological
     equality, so vertex order, starting vertex, winding and extra
     collinear vertices are all irrelevant (no canonicalization)."""
-    return polygon_within_polygon(pa, pb) & polygon_within_polygon(pb, pa)
+    p = _sf_pieces(pa, pb, need=("wab", "wba"))
+    return p["wab"] & p["wba"]
 
 
 def polygons_intersect_sf(pa: Column, pb: Column) -> Column:
@@ -1405,9 +1437,8 @@ def polygons_intersect_sf(pa: Column, pb: Column) -> Column:
     residual): interiors overlap or boundaries touch. A polygon
     sitting wholly inside another's hole has neither witness —
     disjoint, as OGC requires."""
-    return polygons_interiors_overlap(pa, pb) | polygons_boundaries_touch(
-        pa, pb
-    )
+    p = _sf_pieces(pa, pb, need=("io", "touch"))
+    return p["io"] | p["touch"]
 
 
 def _polyline_probes(pts: Column) -> Column:
