@@ -14442,6 +14442,113 @@ def _sql_sim39():
     """
 
 
+def sim40_manifest_text_probe(spark, sf_dir):
+    """MANIFEST COMMIT for the BM25 TEXT lake (round 14 — the second
+    lake on the object-store substrate, keeping the twin lakes
+    symmetric): one manifest object per commit carries the epoch's
+    file list AND its corpus-stats contribution — the rename lake's
+    three commit artifacts (_stats.json totals, _ledger sidecar,
+    epoch prefix) collapse into one PUT, and totals are the sum over
+    visible manifests (a replayed epoch can never double-count).
+    Deletes store their exact stats ADJUSTMENT in the tombstone
+    manifest (doclens buckets read once at delete time), so probes
+    recover BM25 stats with zero extra jobs. History: seq 0 = first
+    250 docs, seq 1 = the rest, seq 2 = a sequenced tombstone commit
+    deleting %11==3. Two arms — the pre-delete pin and latest — each
+    oracle-replayed as index-free full-corpus BM25 (the sim26
+    equivalence: manifest build + append + delete + pruned serving
+    compose to exactly full-corpus scoring). Scoring runs through the
+    SAME bm25_rank_postings tail as the rename lake (bit-identical by
+    construction)."""
+    import os
+    import shutil
+    import tempfile
+
+    from geosparql_etl_spark.lakes import manifest as M
+
+    d = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = os.path.join(tempfile.gettempdir(), "gsel_mtext_" + tag)
+    shutil.rmtree(idx, ignore_errors=True)
+    M.manifest_write_text_index(
+        d.where(F.col("doc_id") < 250), idx, epoch="base"
+    )
+    M.manifest_write_text_index(
+        d.where(F.col("doc_id") >= 250), idx, epoch="a1"
+    )
+    M.manifest_delete_from_text_index(
+        spark, idx,
+        d.where(F.col("doc_id") % 11 == 3).select("doc_id"),
+    )
+    terms = ["query", "join", "filter"]
+
+    def arm(name, as_of):
+        out = M.manifest_text_topk(
+            spark, idx, terms, k=20, as_of_seq=as_of
+        ).select(
+            F.lit(name).alias("arm"),
+            "doc_id",
+            "rank",
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+
+    return (
+        arm("v1", 1)
+        .unionByName(arm("latest", None))
+        .orderBy("arm", "rank")
+    )
+
+
+def _sql_sim40():
+    def arm(name, where):
+        return f"""
+    toks_{name} AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+      FROM documents {where}),
+    toks2_{name} AS (SELECT * FROM toks_{name} WHERE tok != ''),
+    dl_{name} AS (
+      SELECT doc_id, count(*) AS dl FROM toks2_{name} GROUP BY doc_id),
+    stats_{name} AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl_{name}),
+    tf_{name} AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks2_{name}
+      WHERE tok IN ('query', 'join', 'filter') GROUP BY doc_id, tok),
+    dft_{name} AS (
+      SELECT tok, count(*) AS df FROM tf_{name} GROUP BY tok),
+    contrib_{name} AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+               9) AS DECIMAL(18,9)) AS c
+      FROM tf_{name} tf
+      JOIN dl_{name} dl USING (doc_id)
+      JOIN dft_{name} dft USING (tok)
+      CROSS JOIN stats_{name} st),
+    bm_{name} AS (
+      SELECT doc_id, sum(c) AS score FROM contrib_{name}
+      GROUP BY doc_id),
+    res_{name} AS (
+      SELECT '{name}' AS arm, doc_id,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rank,
+             round(CAST(score AS DOUBLE), 6) AS score
+      FROM bm_{name} ORDER BY score DESC, doc_id LIMIT 20)"""
+
+    return f"""
+    WITH {arm("v1", "")},
+    {arm("latest", "WHERE doc_id % 11 != 3")}
+    SELECT * FROM res_v1
+    UNION ALL SELECT * FROM res_latest
+    ORDER BY arm, rank
+    """
+
+
 def sp47_zone_relate(spark, sf_dir):
     """Simple-features relations in SPARQL (round 14): each supplier's
     2x2 integer box classified against a constant 20x20 zone with
@@ -16716,6 +16823,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp44_erroring_bind": sp44_erroring_bind,
     "sp45_donut_zone": sp45_donut_zone,
     "sim39_manifest_lake_probe": sim39_manifest_lake_probe,
+    "sim40_manifest_text_probe": sim40_manifest_text_probe,
     "sp47_zone_relate": sp47_zone_relate,
     "sp48_route_crossings": sp48_route_crossings,
     "sp49_equal_zones": sp49_equal_zones,
@@ -17273,6 +17381,7 @@ _ORACLES["sp45_donut_zone"] = _sql_sp45()
 _ORACLES["sp46_multipolygon_zone"] = _sql_sp46()
 _ORACLES["sim38_torn_epoch_probe"] = _sql_sim38()
 _ORACLES["sim39_manifest_lake_probe"] = _sql_sim39()
+_ORACLES["sim40_manifest_text_probe"] = _sql_sim40()
 _ORACLES["sp47_zone_relate"] = _sql_sp47()
 _ORACLES["sp48_route_crossings"] = _sql_sp48()
 _ORACLES["sp49_equal_zones"] = _sql_sp49()
@@ -17293,6 +17402,7 @@ _ORACLES["g24_multipolygon_grid_join"] = _sql_g24()
 _WINDOW_R14 = [
     # round-14 additions (never stamped)
     "sim39_manifest_lake_probe",
+    "sim40_manifest_text_probe",
     "sp47_zone_relate",
     "sp48_route_crossings",
     "sp49_equal_zones",
@@ -17343,7 +17453,6 @@ _WINDOW_R14 = [
     "sp26_spatial_pairs",
     "sp27_bounded_path",
     "sp28_clear_graph",
-    "sp29_values_table",
 ]
 
 

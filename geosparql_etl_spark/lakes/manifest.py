@@ -478,16 +478,17 @@ def manifest_vacuum(path: str) -> list[str]:
         for f in m.get("files", [])
     }
     removed = []
-    for sub in ("epoch=", TOMBSTONE_DIR):
-        for dirpath, _, files in os.walk(path):
-            rel_dir = os.path.relpath(dirpath, path)
-            if not rel_dir.startswith(sub):
-                continue
-            for f in files:
-                rel = os.path.join(rel_dir, f)
-                if f.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(dirpath, f))
-                    removed.append(rel)
+    for dirpath, _, files in os.walk(path):
+        rel_dir = os.path.relpath(dirpath, path)
+        if rel_dir == MANIFEST_DIR or rel_dir.startswith(
+            MANIFEST_DIR + os.sep
+        ):
+            continue
+        for f in files:
+            rel = os.path.join(rel_dir, f) if rel_dir != "." else f
+            if f.endswith(".parquet") and rel not in live:
+                os.remove(os.path.join(dirpath, f))
+                removed.append(rel)
     for m in ms:
         if int(m.get("generation", 0)) < gen:
             os.remove(os.path.join(_manifest_dir(path), m["_name"]))
@@ -557,3 +558,249 @@ def manifest_fsck(path: str) -> list[dict]:
         )
     )
     return out
+
+
+# --- BM25 text lake on the manifest substrate ------------------------------
+#
+# Same protocol, second lake (round 14 symmetry): the rename lake's
+# THREE commit artifacts per epoch (_stats.json totals, _ledger/<epoch>
+# sidecar, the epoch's parquet prefix) collapse into ONE manifest that
+# carries the file list AND the epoch's stats contribution
+# (n_docs, sum_dl, seq) — totals are the sum over visible manifests, so
+# a replayed epoch can never double-count and there is no shared stats
+# object to read-modify-write at all. Deletes store their corpus-stats
+# adjustment IN the tombstone manifest (the deleter reads the doclens
+# buckets once at delete time), so probes recover exact BM25 stats with
+# zero extra jobs — the fingerprint-memoized state cache the rename
+# lake needs becomes structural.
+
+
+def manifest_write_text_index(
+    docs,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
+    epoch: str = "base",
+) -> None:
+    """``write_text_index``/``append_to_text_index`` on the manifest
+    substrate: positional postings (term-bucketed) + doclens forward
+    sidecar (doc-bucketed) into attempt-unique prefixes, ONE manifest
+    PUT as the commit. Replays keep the epoch's seq."""
+    from geosparql_etl_spark.operators.retrieval import (
+        TEXT_INDEX_BUCKETS,
+        _doc_bucket_col,
+        _index_postings,
+    )
+
+    spark = docs.sparkSession
+    nb = n_buckets or TEXT_INDEX_BUCKETS
+    attempt = uuid.uuid4().hex[:8]
+    rel_post = os.path.join(
+        "postings", f"epoch={epoch}", f"attempt={attempt}"
+    )
+    rel_dl = os.path.join(
+        "_doclens", f"epoch={epoch}", f"attempt={attempt}"
+    )
+    _index_postings(docs, id_col, text_col, nb).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(os.path.join(path, rel_post))
+    (
+        spark.read.parquet(os.path.join(path, rel_post))
+        .select("doc_id", "dl")
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl", _doc_bucket_col(F.col("doc_id"), nb))
+        .write.mode("overwrite")
+        .partitionBy("dbucket")
+        .parquet(os.path.join(path, rel_dl))
+    )
+    agg = (
+        spark.read.parquet(os.path.join(path, rel_dl))
+        .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+        .collect()[0]
+    )
+    ms = read_manifests(path)
+    seqs = epoch_seqs(path)
+    publish_manifest(
+        path,
+        {
+            "kind": "append",
+            "generation": current_generation(ms),
+            "epoch": str(epoch),
+            "seq": seqs.get(str(epoch), next_seq(ms)),
+            "attempt": attempt,
+            "n_buckets": nb,
+            "stats": {
+                "n_docs": int(agg["n"] or 0),
+                "sum_dl": int(agg["s"] or 0),
+            },
+            "files": _list_attempt_files(path, rel_post)
+            + _list_attempt_files(path, rel_dl),
+        },
+    )
+
+
+def _text_file_meta(rel: str) -> dict:
+    out = {}
+    for part in rel.split(os.sep):
+        for key in ("bucket", "dbucket", "epoch"):
+            if part.startswith(key + "="):
+                out[key] = part.split("=", 1)[1]
+    out["role"] = "doclens" if rel.startswith("_doclens") else "postings"
+    return out
+
+
+def manifest_delete_from_text_index(spark, path: str, doc_ids) -> None:
+    """Logical delete with the stats adjustment computed AT DELETE
+    TIME and stored in the tombstone manifest: the deleter reads only
+    the tombstoned docs' doclens buckets (per-delete cost), records
+    (n_del, dl_del) per killed (doc, epoch) version, and probes
+    subtract the aggregate without ever scanning doclens again. Scope
+    = epochs committed at issue; a later epoch re-introducing the doc
+    survives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geosparql_etl_spark.lakes.commit import collect_id_list
+    from geosparql_etl_spark.operators.retrieval import doc_bucket_py
+
+    id_list = sorted(collect_id_list(doc_ids))
+    ms = read_manifests(path)
+    vis = visible_manifests(path)
+    issued = next_seq(ms)
+    nb = max(
+        (int(m["n_buckets"]) for m in vis if "n_buckets" in m), default=64
+    )
+    dbuckets = sorted({doc_bucket_py(i, nb) for i in id_list})
+    dl_files = [
+        os.path.join(path, f["path"])
+        for m in vis
+        if m.get("kind") in ("append", "reset")
+        for f in m["files"]
+        if _text_file_meta(f["path"])["role"] == "doclens"
+        and int(_text_file_meta(f["path"]).get("dbucket", -1)) in dbuckets
+    ]
+    killed = []
+    if dl_files:
+        rows = (
+            spark.read.option("basePath", path)
+            .parquet(*dl_files)
+            .where(F.col("doc_id").isin(id_list))
+            .select("doc_id", "dl", F.col("epoch").cast("string"))
+            .collect()
+        )
+        killed = [(int(r["doc_id"]), int(r["dl"]), r["epoch"]) for r in rows]
+    table = pa.table(
+        {
+            "doc_id": pa.array([k[0] for k in killed], pa.int64()),
+            "epoch": pa.array([k[2] for k in killed], pa.string()),
+            "issued": pa.array([issued] * len(killed), pa.int32()),
+        }
+    )
+    td = os.path.join(path, TOMBSTONE_DIR)
+    os.makedirs(td, exist_ok=True)
+    fname = f"t-{uuid.uuid4().hex[:12]}.parquet"
+    pq.write_table(table, os.path.join(td, fname))
+    publish_manifest(
+        path,
+        {
+            "kind": "tombstone",
+            "generation": current_generation(ms),
+            "epoch": f"tomb-{uuid.uuid4().hex[:8]}",
+            "seq": issued,
+            "issued": issued,
+            "adjustment": {
+                "n_del": len(killed),
+                "dl_del": sum(k[1] for k in killed),
+            },
+            "files": [{"path": os.path.join(TOMBSTONE_DIR, fname)}],
+        },
+    )
+
+
+def manifest_text_topk(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    as_of_seq: int | None = None,
+) -> "DataFrame":
+    """``text_index_topk`` on the manifest substrate: term buckets
+    select postings FILES from manifest metadata, corpus stats are the
+    sum of visible manifests' contributions minus visible tombstone
+    adjustments (no stats object, no doclens scan), and the shared
+    ``bm25_rank_postings`` tail makes scoring bit-identical to the
+    rename lake."""
+    from geosparql_etl_spark.operators.retrieval import (
+        bm25_rank_postings,
+        term_bucket_py,
+    )
+
+    vis = visible_manifests(path)
+    if as_of_seq is not None and as_of_seq < generation_floor(path):
+        raise ValueError(
+            f"as_of_seq={as_of_seq} predates the current generation "
+            f"(floor {generation_floor(path)})"
+        )
+    data = [
+        m
+        for m in vis
+        if m.get("kind") in ("append", "reset")
+        and (as_of_seq is None or int(m["seq"]) <= as_of_seq)
+    ]
+    tombs = [
+        m
+        for m in vis
+        if m.get("kind") == "tombstone"
+        and (as_of_seq is None or int(m.get("issued", 0)) <= as_of_seq)
+    ]
+    total_docs = sum(m["stats"]["n_docs"] for m in data)
+    total_dl = sum(m["stats"]["sum_dl"] for m in data)
+    nb = max((int(m["n_buckets"]) for m in data), default=64)
+    terms = sorted({t.lower() for t in terms})
+    buckets = {term_bucket_py(t, nb) for t in terms}
+    files = [
+        os.path.join(path, f["path"])
+        for m in data
+        for f in m["files"]
+        if _text_file_meta(f["path"])["role"] == "postings"
+        and int(_text_file_meta(f["path"]).get("bucket", -1)) in buckets
+    ]
+    if not files:
+        return spark.createDataFrame(
+            [], "doc_id long, rank int, score decimal(18,9)"
+        )
+    post = (
+        spark.read.option("basePath", path)
+        .parquet(*files)
+        .where(F.col("tok").isin(terms))
+        .select(
+            "tok", "doc_id", "tf", "dl",
+            F.col("epoch").cast("string").alias("epoch"),
+        )
+    )
+    if tombs:
+        tfiles = [
+            os.path.join(path, f["path"]) for m in tombs for f in m["files"]
+        ]
+        # each tombstone file carries one delete batch at one issued
+        # seq — the manifest-level pin filter above already decided
+        # row visibility, so no row-level issued filter is needed
+        tomb = (
+            spark.read.parquet(*tfiles)
+            .select("doc_id", F.col("epoch").cast("string").alias("epoch"))
+            .dropDuplicates()
+        )
+        post = post.join(F.broadcast(tomb), ["doc_id", "epoch"], "left_anti")
+        # the epoch scope recorded in the tombstone file is exact, so
+        # the seq-pinned adjustment is the manifest field's sum only
+        # when the pin admits the whole tombstone — which the `tombs`
+        # filter already guarantees
+        total_docs -= sum(m["adjustment"]["n_del"] for m in tombs)
+        total_dl -= sum(m["adjustment"]["dl_del"] for m in tombs)
+    return bm25_rank_postings(
+        post.select("tok", "doc_id", "tf", "dl"),
+        total_docs, total_dl, k, k1, b,
+    )

@@ -1094,6 +1094,22 @@ def text_index_topk(
         total_docs -= n_del
         total_dl -= dl_del
     post = post.select("tok", "doc_id", "tf", "dl")
+    return bm25_rank_postings(post, total_docs, total_dl, k, k1, b)
+
+
+def bm25_rank_postings(
+    post: DataFrame,
+    total_docs: int,
+    total_dl: int,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """The shared BM25 scoring tail over a pruned postings frame
+    (tok, doc_id, tf, dl): df from the postings themselves, per-term
+    contributions rounded to 9 decimals summed as DECIMAL(18,9), dense
+    top-k. Factored (round 14) so the manifest-committed text lake
+    scores BIT-IDENTICALLY to this one — both substrates call this."""
     dft = post.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = float(total_docs)
     avgdl = total_dl / total_docs if total_docs else 1.0

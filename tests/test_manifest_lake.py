@@ -250,3 +250,111 @@ def test_manifest_probe_matches_rename_lake(spark, tmp_path):
         "query_id", "rank", "neighbor_id",
         F.round("cosine_sim", 9)).collect()))
     assert ra == rb
+
+
+# --- BM25 text lake on the manifest substrate ------------------------------
+
+
+_DOCS = [
+    (1, "spark shuffles data across the cluster"),
+    (2, "the inverted index prunes the scan"),
+    (3, "spark prunes partitions with filters"),
+    (4, "bm25 ranks documents by term rarity"),
+    (5, "the index lake commits with manifests"),
+    (6, "manifests replace rename atomicity"),
+    (7, "spark spark spark repetition document"),
+    (8, "a torn write leaves invisible garbage"),
+]
+
+
+def _docs_df(spark, rows=None):
+    return spark.createDataFrame(
+        rows or _DOCS, "doc_id long, text string"
+    )
+
+
+def _rank_rows(df):
+    return [
+        (r["doc_id"], r["rank"], str(r["score"])) for r in df.collect()
+    ]
+
+
+def test_manifest_text_matches_rename_lake(spark, tmp_path):
+    from geosparql_etl_spark.operators.retrieval import (
+        text_index_topk,
+        write_text_index,
+    )
+
+    mp, rp = str(tmp_path / "mt"), str(tmp_path / "rt")
+    M.manifest_write_text_index(_docs_df(spark), mp)
+    write_text_index(_docs_df(spark), rp)
+    terms = ["spark", "index", "manifests"]
+    a = _rank_rows(M.manifest_text_topk(spark, mp, terms, k=5))
+    b = _rank_rows(text_index_topk(spark, rp, terms, k=5))
+    assert a == b  # bit-identical scores via the shared scoring tail
+
+
+def test_manifest_text_delete_append_time_travel(spark, tmp_path):
+    from geosparql_etl_spark.operators.retrieval import (
+        text_index_topk,
+        write_text_index,
+    )
+
+    mp = str(tmp_path / "mt")
+    M.manifest_write_text_index(_docs_df(spark), mp)           # seq 0
+    M.manifest_delete_from_text_index(spark, mp, [1, 7])       # seq 1
+    M.manifest_write_text_index(                               # seq 2
+        _docs_df(spark, [(7, "spark returns in a later epoch")]),
+        mp, epoch="a1",
+    )
+    terms = ["spark"]
+    # latest: doc 1 gone, doc 7 only its re-inserted version
+    latest = M.manifest_text_topk(spark, mp, terms, k=8)
+    ids = {r["doc_id"] for r in latest.collect()}
+    assert 1 not in ids and 7 in ids
+    # the re-inserted doc must score as a 6-word doc, not the original
+    rp = str(tmp_path / "ref")
+    write_text_index(
+        _docs_df(
+            spark,
+            [d for d in _DOCS if d[0] not in (1, 7)]
+            + [(7, "spark returns in a later epoch")],
+        ),
+        rp,
+    )
+    assert _rank_rows(latest) == _rank_rows(
+        text_index_topk(spark, rp, terms, k=8)
+    )
+    # pins: seq 0 pre-delete, seq 1 post-delete pre-reinsert
+    rp0 = str(tmp_path / "ref0")
+    write_text_index(_docs_df(spark), rp0)
+    assert _rank_rows(
+        M.manifest_text_topk(spark, mp, terms, k=8, as_of_seq=0)
+    ) == _rank_rows(text_index_topk(spark, rp0, terms, k=8))
+    rp1 = str(tmp_path / "ref1")
+    write_text_index(
+        _docs_df(spark, [d for d in _DOCS if d[0] not in (1, 7)]), rp1
+    )
+    assert _rank_rows(
+        M.manifest_text_topk(spark, mp, terms, k=8, as_of_seq=1)
+    ) == _rank_rows(text_index_topk(spark, rp1, terms, k=8))
+
+
+def test_manifest_text_torn_attempt_invisible(spark, tmp_path):
+    mp = str(tmp_path / "mt")
+    M.manifest_write_text_index(_docs_df(spark), mp)
+    before = _rank_rows(M.manifest_text_topk(spark, mp, ["spark"], k=8))
+    torn = os.path.join(mp, "postings", "epoch=zz", "attempt=dead")
+    _docs_df(spark, [(99, "spark spark spark spark")]).write.parquet(
+        torn, mode="overwrite"
+    )
+    assert _rank_rows(
+        M.manifest_text_topk(spark, mp, ["spark"], k=8)
+    ) == before
+    assert any(
+        f["check"] == "orphan_file" for f in M.manifest_fsck(mp)
+    )
+    M.manifest_vacuum(mp)
+    assert _rank_rows(
+        M.manifest_text_topk(spark, mp, ["spark"], k=8)
+    ) == before
