@@ -804,3 +804,168 @@ def manifest_text_topk(
         post.select("tok", "doc_id", "tf", "dl"),
         total_docs, total_dl, k, k1, b,
     )
+
+
+def manifest_compact_text_index(spark, path: str) -> None:
+    """Text-lake compaction on the manifest substrate: rewrite the
+    visible postings (tombstones applied) and doclens as a fresh
+    ``base`` epoch, recompute the stats contribution from the
+    surviving doclens, and publish ONE ``reset`` manifest at
+    generation+1. The ANN twin is ``manifest_compact_ivf_index``."""
+    vis = visible_manifests(path)
+    data = [m for m in vis if m.get("kind") in ("append", "reset")]
+    tombs = [m for m in vis if m.get("kind") == "tombstone"]
+    attempt = uuid.uuid4().hex[:8]
+    rel_post = os.path.join("postings", "epoch=base", f"attempt={attempt}")
+    rel_dl = os.path.join("_doclens", "epoch=base", f"attempt={attempt}")
+    files = []
+    stats = {"n_docs": 0, "sum_dl": 0}
+    nb = max((int(m["n_buckets"]) for m in data), default=64)
+    if data:
+        def role_files(role):
+            return [
+                os.path.join(path, f["path"])
+                for m in data
+                for f in m["files"]
+                if _text_file_meta(f["path"])["role"] == role
+            ]
+
+        tomb = None
+        if tombs:
+            tfiles = [
+                os.path.join(path, f["path"])
+                for m in tombs
+                for f in m["files"]
+            ]
+            tomb = (
+                spark.read.parquet(*tfiles)
+                .select(
+                    "doc_id",
+                    F.col("epoch").cast("string").alias("epoch"),
+                )
+                .dropDuplicates()
+            )
+        post = (
+            spark.read.option("basePath", path)
+            .parquet(*role_files("postings"))
+            .select(
+                "tok", "doc_id", "tf", "dl", "pos", "bucket",
+                F.col("epoch").cast("string").alias("epoch"),
+            )
+        )
+        dls = (
+            spark.read.option("basePath", path)
+            .parquet(*role_files("doclens"))
+            .select(
+                "doc_id", "dl", "dbucket",
+                F.col("epoch").cast("string").alias("epoch"),
+            )
+        )
+        if tomb is not None:
+            post = post.join(
+                F.broadcast(tomb), ["doc_id", "epoch"], "left_anti"
+            )
+            dls = dls.join(
+                F.broadcast(tomb), ["doc_id", "epoch"], "left_anti"
+            )
+        post.drop("epoch").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(os.path.join(path, rel_post))
+        dls.drop("epoch").write.mode("overwrite").partitionBy(
+            "dbucket"
+        ).parquet(os.path.join(path, rel_dl))
+        agg = (
+            spark.read.parquet(os.path.join(path, rel_dl))
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("s"))
+            .collect()[0]
+        )
+        stats = {"n_docs": int(agg["n"] or 0), "sum_dl": int(agg["s"] or 0)}
+        files = _list_attempt_files(path, rel_post) + _list_attempt_files(
+            path, rel_dl
+        )
+    ms = read_manifests(path)
+    publish_manifest(
+        path,
+        {
+            "kind": "reset",
+            "generation": current_generation(ms) + 1,
+            "epoch": "base",
+            "seq": next_seq(ms),
+            "attempt": attempt,
+            "n_buckets": nb,
+            "stats": stats,
+            "files": files,
+        },
+    )
+
+
+# --- streaming maintenance on the manifest substrate -----------------------
+
+
+def run_manifest_text_maintenance(
+    spark,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming maintenance of the manifest-committed text index:
+    each micro-batch lands as its own epoch (tagged stream-id +
+    batch-id, exactly like the rename lake's
+    ``run_text_index_maintenance``) whose commit is one manifest PUT.
+    An at-least-once batch replay publishes a fresh attempt under the
+    SAME epoch/seq — readers take the latest attempt, so replays can
+    neither double rows nor double stats. availableNow trigger;
+    returns the started StreamingQuery."""
+    from geosparql_etl_spark.lakes.commit import (
+        run_availablenow_file_stream,
+        stream_id,
+    )
+
+    sid = stream_id(checkpoint_dir)
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        manifest_write_text_index(
+            batch_df, index_path, epoch=f"{sid}-{epoch_id}",
+            id_col=id_col, text_col=text_col,
+        )
+
+    return run_availablenow_file_stream(
+        spark, landing_dir, checkpoint_dir, write_batch,
+        f"{id_col} long, {text_col} string",
+    )
+
+
+def run_manifest_ann_maintenance(
+    spark,
+    landing_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_cells: int | None = None,
+):
+    """Streaming maintenance of the manifest-committed ANN index —
+    the vector twin of ``run_manifest_text_maintenance`` (same epoch
+    tagging, same replay-idempotence argument)."""
+    from geosparql_etl_spark.lakes.commit import (
+        run_availablenow_file_stream,
+        stream_id,
+    )
+
+    sid = stream_id(checkpoint_dir)
+
+    def write_batch(batch_df, epoch_id: int) -> None:
+        manifest_write_ivf_index(
+            batch_df, index_path, dim=dim, id_col=id_col,
+            vec_col=vec_col, centroids=centroids, n_cells=n_cells,
+            epoch=f"{sid}-{epoch_id}",
+        )
+
+    return run_availablenow_file_stream(
+        spark, landing_dir, checkpoint_dir, write_batch,
+        f"{id_col} long, {vec_col} array<double>",
+    )

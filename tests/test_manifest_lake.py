@@ -358,3 +358,70 @@ def test_manifest_text_torn_attempt_invisible(spark, tmp_path):
     assert _rank_rows(
         M.manifest_text_topk(spark, mp, ["spark"], k=8)
     ) == before
+
+
+def test_manifest_text_compaction(spark, tmp_path):
+    mp = str(tmp_path / "mt")
+    M.manifest_write_text_index(_docs_df(spark), mp)
+    M.manifest_delete_from_text_index(spark, mp, [1, 7])
+    M.manifest_write_text_index(
+        _docs_df(spark, [(9, "spark after the delete")]), mp, epoch="a1"
+    )
+    terms = ["spark", "index"]
+    latest = _rank_rows(M.manifest_text_topk(spark, mp, terms, k=8))
+    M.manifest_compact_text_index(spark, mp)
+    assert _rank_rows(M.manifest_text_topk(spark, mp, terms, k=8)) == latest
+    with pytest.raises(ValueError, match="predates the current"):
+        M.manifest_text_topk(spark, mp, terms, k=8, as_of_seq=0)
+    M.manifest_vacuum(mp)
+    assert _rank_rows(M.manifest_text_topk(spark, mp, terms, k=8)) == latest
+    assert not any(
+        f["severity"] == "error" for f in M.manifest_fsck(mp)
+    )
+    # phrase positions survive compaction (pos column carried through)
+    vis = M.visible_manifests(mp)
+    assert [m["kind"] for m in vis] == ["reset"]
+
+
+def test_manifest_streaming_maintenance(spark, tmp_path):
+    from geosparql_etl_spark.operators.retrieval import (
+        text_index_topk,
+        write_text_index,
+    )
+
+    landing = str(tmp_path / "landing")
+    mp = str(tmp_path / "mt")
+    ckpt = str(tmp_path / "ckpt")
+    M.manifest_write_text_index(
+        _docs_df(spark, _DOCS[:4]), mp, epoch="base"
+    )
+    _docs_df(spark, _DOCS[4:6]).write.mode("append").parquet(landing)
+    q = M.run_manifest_text_maintenance(spark, landing, mp, ckpt)
+    q.awaitTermination(120)
+    _docs_df(spark, _DOCS[6:]).write.mode("append").parquet(landing)
+    q = M.run_manifest_text_maintenance(spark, landing, mp, ckpt)
+    q.awaitTermination(120)
+    rp = str(tmp_path / "ref")
+    write_text_index(_docs_df(spark), rp)
+    terms = ["spark", "index", "manifests"]
+    assert _rank_rows(
+        M.manifest_text_topk(spark, mp, terms, k=8)
+    ) == _rank_rows(text_index_topk(spark, rp, terms, k=8))
+
+
+def test_manifest_ann_streaming_maintenance(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    mp = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+    M.manifest_write_ivf_index(
+        _corpus(spark, range(20)), mp, dim=DIM, n_cells=4, epoch="base"
+    )
+    _corpus(spark, range(20, 30)).write.mode("append").parquet(landing)
+    q = M.run_manifest_ann_maintenance(
+        spark, landing, mp, ckpt, dim=DIM, n_cells=4
+    )
+    q.awaitTermination(120)
+    probe = _corpus(spark, [100])
+    assert _probe_ids(spark, mp, probe, k=5) == _brute(
+        spark, _corpus(spark, range(30)), probe, k=5
+    )
