@@ -14805,6 +14805,54 @@ def _sql_sp51():
     """
 
 
+def sp52_ebv_filter(spark, sf_dir):
+    """Effective Boolean Value of bare FILTER variables (spec 17.2.2,
+    round 14): ``FILTER(?in || (?dx && ?t9))`` mixes all three EBV
+    classes in one expression — ?in is a BOOLEAN (the round-14
+    polygon predicate), ?dx is NUMERIC (true iff nonzero), ?t9 is a
+    STRING (STRAFTER's ""-on-no-match). Zone edges sit on the .5
+    lattice so no point is boundary-degenerate. EBV in this engine's
+    LEXICAL model: a lexical that parses as a number takes the
+    numeric EBV — so ?t9 = "0" (a supplier iri ending in 90) is
+    FALSE, where an engine carrying xsd:string typing would say true
+    (documented deviation, same family as the lexical numeric
+    comparisons). The oracle replays exactly that: non-empty AND not
+    numerically zero."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?s WHERE {
+          ?s a ex:Supplier . ?s geo:asWKT ?pt .
+          BIND(STRBEFORE(STRAFTER(?pt, "POINT("), " ") AS ?xs)
+          BIND(STRBEFORE(STRAFTER(?pt, " "), ")") AS ?ys)
+          BIND(geof:sfWithin(?pt, "POLYGON((19.5 19.5, 40.5 19.5, 40.5 40.5, 19.5 40.5, 19.5 19.5))") AS ?in)
+          BIND(?xs - 57 AS ?dx)
+          BIND(STRAFTER(STR(?s), "9") AS ?t9)
+          FILTER(?in || (?dx && ?t9))
+        }
+        """,
+    )
+
+
+def _sql_sp52():
+    return """
+    WITH s AS (
+      SELECT 'urn:supp:' || s_suppkey AS s,
+             (s_suppkey * 37) % 100 AS x, (s_suppkey * 61) % 100 AS y
+      FROM supplier)
+    SELECT s FROM (
+      SELECT s, x, y,
+             CASE WHEN instr(s, '9') > 0
+                  THEN substr(s, instr(s, '9') + 1) ELSE '' END AS t9
+      FROM s)
+    WHERE (x >= 20 AND x <= 40 AND y >= 20 AND y <= 40)
+       OR (x != 57 AND t9 <> ''
+           AND (TRY_CAST(t9 AS DOUBLE) IS NULL
+                OR TRY_CAST(t9 AS DOUBLE) != 0))
+    """
+
+
 def sp44_erroring_bind(spark, sf_dir):
     """D1 residual CLOSED (round 12) — spec 10.1: a BIND whose
     expression ERRORS binds nothing. ``?seg * 2`` is a numeric type
@@ -16824,6 +16872,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sp45_donut_zone": sp45_donut_zone,
     "sim39_manifest_lake_probe": sim39_manifest_lake_probe,
     "sim40_manifest_text_probe": sim40_manifest_text_probe,
+    "sp52_ebv_filter": sp52_ebv_filter,
     "sp47_zone_relate": sp47_zone_relate,
     "sp48_route_crossings": sp48_route_crossings,
     "sp49_equal_zones": sp49_equal_zones,
@@ -17382,6 +17431,7 @@ _ORACLES["sp46_multipolygon_zone"] = _sql_sp46()
 _ORACLES["sim38_torn_epoch_probe"] = _sql_sim38()
 _ORACLES["sim39_manifest_lake_probe"] = _sql_sim39()
 _ORACLES["sim40_manifest_text_probe"] = _sql_sim40()
+_ORACLES["sp52_ebv_filter"] = _sql_sp52()
 _ORACLES["sp47_zone_relate"] = _sql_sp47()
 _ORACLES["sp48_route_crossings"] = _sql_sp48()
 _ORACLES["sp49_equal_zones"] = _sql_sp49()
@@ -17403,6 +17453,7 @@ _WINDOW_R14 = [
     # round-14 additions (never stamped)
     "sim39_manifest_lake_probe",
     "sim40_manifest_text_probe",
+    "sp52_ebv_filter",
     "sp47_zone_relate",
     "sp48_route_crossings",
     "sp49_equal_zones",
@@ -17452,7 +17503,6 @@ _WINDOW_R14 = [
     "sp25_insert_data",
     "sp26_spatial_pairs",
     "sp27_bounded_path",
-    "sp28_clear_graph",
 ]
 
 

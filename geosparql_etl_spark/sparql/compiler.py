@@ -3554,6 +3554,31 @@ def _compile_expr(node) -> Column:
         raise ValueError("IN list must be all-string or all-numeric")
     if kind == "call":
         return _compile_call(node)
+    if kind == "var":
+        # Effective Boolean Value of a bare variable (spec 17.2.2,
+        # round 14): booleans keep their value, numerics are true iff
+        # nonzero and not NaN, other lexicals are true iff non-empty.
+        # In this engine's lexical model a store-derived typed literal
+        # IS its lexical form, so a lexical that parses as a number
+        # takes the numeric EBV ("0" is false) and a boolean-typed
+        # BIND output (geof predicates, comparisons) casts through
+        # unchanged. An UNBOUND variable yields NULL = type error =
+        # the FILTER drops the row, exactly the spec's error-is-false
+        # rule.
+        c = F.col(node[1])
+        d = c.try_cast("double")
+        return F.when(
+            d.isNotNull(), (d != 0) & ~F.isnan(d)
+        ).otherwise(
+            F.coalesce(
+                c.try_cast("boolean"),
+                F.length(c.cast("string")) > 0,
+            )
+        )
+    if kind == "str":
+        return F.lit(len(node[1]) > 0)
+    if kind == "num":
+        return F.lit(float(node[1]) != 0)
     raise ValueError(f"bad boolean expression {node!r}")
 
 
