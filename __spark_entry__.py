@@ -14853,6 +14853,60 @@ def _sql_sp52():
     """
 
 
+def sp53_touching_zones_join(spark, sf_dir):
+    """Var-var sfTouches through the grid-cover JOIN (round 14 — the
+    rewrite widened beyond sfIntersects: any touching pair shares a
+    covered cell, so the same cell hash-join + canonical-cell dedup
+    carries the contact predicate): supplier boxes against five
+    INTEGER-edged VALUES zones, exact boundary contact common by
+    construction. A box LEFT of zone k (right edge on k's left edge)
+    touches k while sitting strictly INSIDE zone k-1 — the
+    within-exclusion arm of polygons_touch must fire in distributed
+    form for the counts to come out right. Oracle: contact-column
+    arithmetic per zone."""
+    return _sparql(
+        spark,
+        sf_dir,
+        """
+        SELECT ?zname (COUNT(?s) AS ?n) WHERE {
+          ?s a ex:Supplier . ?s geo:asWKT ?pt .
+          BIND(STRBEFORE(STRAFTER(?pt, "POINT("), " ") AS ?xs)
+          BIND(STRBEFORE(STRAFTER(?pt, " "), ")") AS ?ys)
+          BIND(CONCAT("POLYGON((", STR(?xs), " ", STR(?ys), ", ",
+               STR(?xs + 2), " ", STR(?ys), ", ",
+               STR(?xs + 2), " ", STR(?ys + 2), ", ",
+               STR(?xs), " ", STR(?ys + 2), "))") AS ?box)
+          VALUES (?zname ?zd) {
+            ("z0" "POLYGON((0 0, 20 0, 20 100, 0 100, 0 0))")
+            ("z1" "POLYGON((20 0, 40 0, 40 100, 20 100, 20 0))")
+            ("z2" "POLYGON((40 0, 60 0, 60 100, 40 100, 40 0))")
+            ("z3" "POLYGON((60 0, 80 0, 80 100, 60 100, 60 0))")
+            ("z4" "POLYGON((80 0, 100 0, 100 100, 80 100, 80 0))")
+          }
+          FILTER(geof:sfTouches(?box, ?zd))
+        } GROUP BY ?zname ORDER BY ?zname
+        """,
+    )
+
+
+def _sql_sp53():
+    # box [x,x+2]^2 touches zone k = [20k, 20k+20] x [0,100] iff its
+    # right edge lands on k's left edge (x+2 = 20k) or its left edge
+    # on k's right edge (x = 20k+20, only reachable for k <= 3 on the
+    # 0..99 lattice); y-contact cannot occur (boxes never leave the
+    # zone's y-span from outside)
+    return """
+    WITH s AS (
+      SELECT (s_suppkey * 37) % 100 AS x FROM supplier),
+    z AS (SELECT r_regionkey AS k, 'z' || r_regionkey AS zname
+          FROM region)
+    SELECT zname, CAST(count(*) AS BIGINT) AS n
+    FROM s JOIN z
+      ON (x + 2 = 20 * k) OR (x = 20 * k + 20)
+    GROUP BY zname ORDER BY zname
+    """
+
+
 def sp44_erroring_bind(spark, sf_dir):
     """D1 residual CLOSED (round 12) — spec 10.1: a BIND whose
     expression ERRORS binds nothing. ``?seg * 2`` is a numeric type
@@ -16873,6 +16927,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim39_manifest_lake_probe": sim39_manifest_lake_probe,
     "sim40_manifest_text_probe": sim40_manifest_text_probe,
     "sp52_ebv_filter": sp52_ebv_filter,
+    "sp53_touching_zones_join": sp53_touching_zones_join,
     "sp47_zone_relate": sp47_zone_relate,
     "sp48_route_crossings": sp48_route_crossings,
     "sp49_equal_zones": sp49_equal_zones,
@@ -17432,6 +17487,7 @@ _ORACLES["sim38_torn_epoch_probe"] = _sql_sim38()
 _ORACLES["sim39_manifest_lake_probe"] = _sql_sim39()
 _ORACLES["sim40_manifest_text_probe"] = _sql_sim40()
 _ORACLES["sp52_ebv_filter"] = _sql_sp52()
+_ORACLES["sp53_touching_zones_join"] = _sql_sp53()
 _ORACLES["sp47_zone_relate"] = _sql_sp47()
 _ORACLES["sp48_route_crossings"] = _sql_sp48()
 _ORACLES["sp49_equal_zones"] = _sql_sp49()
@@ -17454,6 +17510,7 @@ _WINDOW_R14 = [
     "sim39_manifest_lake_probe",
     "sim40_manifest_text_probe",
     "sp52_ebv_filter",
+    "sp53_touching_zones_join",
     "sp47_zone_relate",
     "sp48_route_crossings",
     "sp49_equal_zones",
@@ -17502,7 +17559,6 @@ _WINDOW_R14 = [
     # r9-stamped head fills the remainder to 50
     "sp25_insert_data",
     "sp26_spatial_pairs",
-    "sp27_bounded_path",
 ]
 
 

@@ -2313,13 +2313,25 @@ def _match_var_var_sfwithin(expr):
     return pt[1], poly[1]
 
 
+_GRID_RELATES = (
+    "geof:sfintersects", "geof:sftouches", "geof:sfoverlaps",
+    "geof:sfequals",
+)
+
+
 def _match_var_var_sfintersects(expr):
-    if expr[0] != "call" or expr[1] != "geof:sfintersects":
+    """Var-var spatial-relate FILTERs the grid-cover join can express
+    (round 14 widened beyond sfIntersects): any pair satisfying
+    touches/overlaps/equals/intersects shares at least one covered
+    cell, so the same cell hash-join + canonical-cell dedup + exact
+    re-check works for all four — only sfDisjoint is inexpressible
+    (its pairs share NO cell). Returns (fname, u, v)."""
+    if expr[0] != "call" or expr[1] not in _GRID_RELATES:
         return None
     a, b = expr[2]
     if a[0] != "var" or b[0] != "var":
         return None
-    return a[1], b[1]
+    return expr[1], a[1], b[1]
 
 
 def _static_wkt_shape(expr) -> str | None:
@@ -2369,7 +2381,7 @@ def _grid_sfintersects_rewrite(
     m = _match_var_var_sfintersects(expr)
     if not m:
         return False
-    u, v = m
+    fname, u, v = m
     ai = next((i for i, f in enumerate(frames) if u in f.columns), None)
     bi = next((i for i, f in enumerate(frames) if v in f.columns), None)
     if ai is None or bi is None or ai == bi:
@@ -2501,25 +2513,49 @@ def _grid_sfintersects_rewrite(
 
     arms = []
     if a_poly and b_poly:
-        # single-ring pairs keep the round-8 outer-hull fold (fixture
-        # margins make boundary contact moot, and the fast path is
-        # bench-pinned); any pair involving interior rings takes the
-        # round-14 hole-aware + contact-aware test, so a donut zone
-        # meeting a box only inside its hole is NOT a match
-        poly_pred = F.when(
-            (F.size(ra) == 1) & (F.size(rb) == 1),
-            rings_intersect(ra_outer, rb_outer),
-        ).otherwise(polygons_intersect_sf(ra, rb))
+        if fname == "geof:sfintersects":
+            # single-ring pairs keep the round-8 outer-hull fold
+            # (fixture margins make boundary contact moot, and the
+            # fast path is bench-pinned); any pair involving interior
+            # rings takes the round-14 hole-aware + contact-aware
+            # test, so a donut zone meeting a box only inside its
+            # hole is NOT a match
+            poly_pred = F.when(
+                (F.size(ra) == 1) & (F.size(rb) == 1),
+                rings_intersect(ra_outer, rb_outer),
+            ).otherwise(polygons_intersect_sf(ra, rb))
+        elif fname == "geof:sftouches":
+            poly_pred = polygons_touch(ra, rb)
+        elif fname == "geof:sfoverlaps":
+            poly_pred = polygons_overlap_sf(ra, rb)
+        else:
+            poly_pred = polygons_equal_sf(ra, rb)
         arms.append(branch(~pa, ~pb, poly_pred))
-    if a_pt and b_poly:
-        arms.append(
-            branch(pa, ~pb, point_in_polygon_holes(rb, pax, pay))
+    # mixed-shape arms: intersects keeps the hole-aware membership
+    # cast; touches is point-ON-boundary; overlaps/equals across
+    # dimensions are false (no arm — same no-match outcome as the
+    # connected-frame compile's false/NULL)
+    if a_pt and b_poly and fname in (
+        "geof:sfintersects", "geof:sftouches"
+    ):
+        pred = (
+            point_in_polygon_holes(rb, pax, pay)
+            if fname == "geof:sfintersects"
+            else point_on_rings_boundary(rb, pax, pay)
         )
-    if a_poly and b_pt:
-        arms.append(
-            branch(~pa, pb, point_in_polygon_holes(ra, pbx, pby))
+        arms.append(branch(pa, ~pb, pred))
+    if a_poly and b_pt and fname in (
+        "geof:sfintersects", "geof:sftouches"
+    ):
+        pred = (
+            point_in_polygon_holes(ra, pbx, pby)
+            if fname == "geof:sfintersects"
+            else point_on_rings_boundary(ra, pbx, pby)
         )
-    if a_pt and b_pt:
+        arms.append(branch(~pa, pb, pred))
+    if a_pt and b_pt and fname in (
+        "geof:sfintersects", "geof:sfequals"
+    ):
         arms.append(branch(pa, pb, (pax == pbx) & (pay == pby)))
     if not arms:  # a side is empty/shapeless: no pair can match
         arms = [branch(F.lit(False), F.lit(False), F.lit(False))]

@@ -20,7 +20,7 @@ def test_every_query_has_an_oracle_and_vice_versa():
 
 def test_round14_correctness_window_is_stable():
     keys = list(entry.queries())
-    # the r14 window is the explicit _WINDOW_R14 list: the nine
+    # the r14 window is the explicit _WINDOW_R14 list: the ten
     # never-driver-stamped round-14 additions lead (the two manifest
     # lakes + the simple-features family), then the 38 r8-stamped
     # queries (oldest surviving attestations), then the r9-stamped
@@ -28,10 +28,11 @@ def test_round14_correctness_window_is_stable():
     # everything else keeps registry order behind it.
     assert len(entry._WINDOW_R14) == 50
     assert keys[:50] == entry._WINDOW_R14
-    assert keys[:9] == [
+    assert keys[:10] == [
         "sim39_manifest_lake_probe",
         "sim40_manifest_text_probe",
         "sp52_ebv_filter",
+        "sp53_touching_zones_join",
         "sp47_zone_relate",
         "sp48_route_crossings",
         "sp49_equal_zones",
@@ -59,7 +60,7 @@ def test_round14_correctness_window_is_stable():
     }
     assert len(r8_block) == 38
     assert r8_block <= set(keys[:50])
-    assert keys[49] == "sp27_bounded_path"
+    assert keys[49] == "sp26_spatial_pairs"
     assert len(keys) == len(set(keys))
     assert len(keys) == len(entry._QUERIES)
 
