@@ -118,6 +118,14 @@ SHOWCASE = [
     ("g23_zone_holes_join", "hole-aware spatial join: covered-cells explode + cell equi-join, exact donut predicate on candidates only — no CartesianProduct"),
     ("sp45_donut_zone", "SPARQL multi-ring geo: per-row wkt_polygon_rings parse, hole-aware within + area/length/centroid over bound ring folds"),
     ("sim38_torn_epoch_probe", "commit-gated probe: epoch isin(committed) is a PartitionFilter beside the probed-cell filter — the torn epoch's directories are pruned, not scanned"),
+    # round 14
+    ("sp47_zone_relate", "simple-features flags per row: touches/overlaps/within folds over lambda-bound rings — no join, no UDF, one scan"),
+    ("sp50_donut_disjoint", "hole-aware polygon-polygon sfDisjoint filter + poly-poly sfWithin classification, all native folds"),
+    ("sp51_donut_grid_join", "var-var donut zones through the grid-cover join: BroadcastHashJoin on covered cells, multi-ring exact arm on candidates only"),
+    ("sp53_touching_zones_join", "var-var sfTouches via the widened grid rewrite: contact pairs share a covered cell, within-exclusion decides in distributed form"),
+    ("g24_multipolygon_grid_join", "MultiPolygon zones (donut + island-in-hole) in the distributed cell join; point_in_multipolygon exact re-check"),
+    ("sim39_manifest_lake_probe", "manifest-committed ANN probe: file set + cell pruning resolved from manifests, no directory listing, no _SUCCESS reads"),
+    ("sim40_manifest_text_probe", "manifest-committed BM25 probe: term-bucket files from manifest metadata, stats from manifest sums, shared scoring tail"),
 ]
 
 
