@@ -2313,6 +2313,25 @@ def _match_var_var_sfwithin(expr):
     return pt[1], poly[1]
 
 
+def _shape_domain(
+    var: str, static_shapes, var_preds, store
+) -> tuple[bool, bool]:
+    """(can_be_point, can_be_polygon) for a geometry variable: BIND
+    constant analysis first (``static_shapes``), then the store
+    predicate's shape statistics (memoized one-pass aggregate);
+    unknown stays (True, True) — sound for mixed data."""
+    s = (static_shapes or {}).get(var)
+    if s is None and var_preds and store is not None:
+        pred = var_preds.get(var)
+        if pred is not None and hasattr(store, "predicate_object_shape"):
+            s = store.predicate_object_shape(pred)
+    if s == "POLYGON":
+        return False, True
+    if s == "POINT":
+        return True, False
+    return True, True
+
+
 _GRID_RELATES = (
     "geof:sfintersects", "geof:sftouches", "geof:sfoverlaps",
     "geof:sfequals",
@@ -2326,12 +2345,23 @@ def _match_var_var_sfintersects(expr):
     cell, so the same cell hash-join + canonical-cell dedup + exact
     re-check works for all four — only sfDisjoint is inexpressible
     (its pairs share NO cell). Returns (fname, u, v)."""
-    if expr[0] != "call" or expr[1] not in _GRID_RELATES:
+    if expr[0] != "call":
         return None
-    a, b = expr[2]
+    if expr[1] in _GRID_RELATES:
+        a, b = expr[2]
+        fname = expr[1]
+    elif expr[1] in ("geof:sfwithin", "geof:sfcontains"):
+        # containment normalizes to within(subject, container); the
+        # DISPATCH in _grid_spatial_rewrite routes it here only when
+        # the subject's shape domain can contain polygons (otherwise
+        # the point-specialized rewrite keeps its plan)
+        a, b = expr[2] if expr[1] == "geof:sfwithin" else expr[2][::-1]
+        fname = "geof:sfwithin"
+    else:
+        return None
     if a[0] != "var" or b[0] != "var":
         return None
-    return expr[1], a[1], b[1]
+    return fname, a[1], b[1]
 
 
 def _static_wkt_shape(expr) -> str | None:
@@ -2388,6 +2418,8 @@ def _grid_sfintersects_rewrite(
         return False
     cell = _SFWITHIN_CELL
 
+    with_mp = fname == "geof:sfwithin"
+
     def prep(f: DataFrame, var: str, ring_col: str, pre: str):
         # every derived quantity (ring, point flag, point coords, bbox
         # bounds) materializes as a COLUMN before use: inlining the
@@ -2404,15 +2436,53 @@ def _grid_sfintersects_rewrite(
         xs = F.transform(outer, lambda p: p[0])
         ys = F.transform(outer, lambda p: p[1])
         px, py = _point_xy(F.col(var))
+        f = f.withColumn(ring_col, wkt_polygon_rings(F.col(var)))
+        # the sfWithin route (round 14) carries MULTIPOLYGON
+        # containers: a members column parses only when the POLYGON
+        # parse came up NULL, its outer rings extend the bbox cover,
+        # and the point-in-container arm coalesces over both forms.
+        # The other relates never build this column (their plans are
+        # unchanged); polygon-subject rows against an MP container
+        # drop on both the connected and this path (documented).
+        mp = f"__{pre}mp"
+        if with_mp:
+            f = f.withColumn(
+                mp,
+                F.when(
+                    F.col(ring_col).isNull(),
+                    wkt_multipolygon(F.col(var)),
+                ),
+            )
+            mouters = F.flatten(
+                F.transform(F.col(mp), lambda m: F.get(m, 0))
+            )
+            mxs = F.transform(mouters, lambda p: p[0])
+            mys = F.transform(mouters, lambda p: p[1])
+            bx0 = F.coalesce(
+                F.array_min(xs), F.array_min(mxs), F.col(pxc)
+            )
+            by0 = F.coalesce(
+                F.array_min(ys), F.array_min(mys), F.col(pyc)
+            )
+            bx1 = F.coalesce(
+                F.array_max(xs), F.array_max(mxs), F.col(pxc)
+            )
+            by1 = F.coalesce(
+                F.array_max(ys), F.array_max(mys), F.col(pyc)
+            )
+        else:
+            bx0 = F.coalesce(F.array_min(xs), F.col(pxc))
+            by0 = F.coalesce(F.array_min(ys), F.col(pyc))
+            bx1 = F.coalesce(F.array_max(xs), F.col(pxc))
+            by1 = F.coalesce(F.array_max(ys), F.col(pyc))
         return (
-            f.withColumn(ring_col, wkt_polygon_rings(F.col(var)))
-            .withColumn(pt, F.col(var).rlike(r"^\s*POINT\s*\("))
+            f.withColumn(pt, F.col(var).rlike(r"^\s*POINT\s*\("))
             .withColumn(pxc, px)
             .withColumn(pyc, py)
-            .withColumn(x0, F.coalesce(F.array_min(xs), F.col(pxc)))
-            .withColumn(y0, F.coalesce(F.array_min(ys), F.col(pyc)))
-            .withColumn(x1, F.coalesce(F.array_max(xs), F.col(pxc)))
-            .withColumn(y1, F.coalesce(F.array_max(ys), F.col(pyc)))
+            .withColumn(x0, bx0)
+            .withColumn(y0, by0)
+            .withColumn(x1, bx1)
+            .withColumn(y1, by1)
             # no explicit null-drop filter: a lexical that is neither
             # POINT nor POLYGON leaves x0/x1 NULL, sequence(NULL, ...)
             # is NULL, and explode() of NULL emits no rows — the same
@@ -2483,26 +2553,8 @@ def _grid_sfintersects_rewrite(
     # sf0.1 (two plan-time aggregate jobs cost ~0.9 s, more than the
     # arms they prune), so unknown domains keep both arms — sound for
     # mixed data, and store-derived vars stay unknown.
-    def domain(var: str) -> tuple[bool, bool]:
-        s = (static_shapes or {}).get(var)
-        if s is None and var_preds and store is not None:
-            # store-derived var: consult the predicate's shape
-            # statistics (memoized one-pass aggregate — the table-
-            # statistics half of the pruning; BIND constants are the
-            # static half)
-            pred = var_preds.get(var)
-            if pred is not None and hasattr(
-                store, "predicate_object_shape"
-            ):
-                s = store.predicate_object_shape(pred)
-        if s == "POLYGON":
-            return False, True
-        if s == "POINT":
-            return True, False
-        return True, True
-
-    a_pt, a_poly = domain(u)
-    b_pt, b_poly = domain(v)
+    a_pt, a_poly = _shape_domain(u, static_shapes, var_preds, store)
+    b_pt, b_poly = _shape_domain(v, static_shapes, var_preds, store)
 
     def branch(fa, fb, pred):
         return (
@@ -2528,6 +2580,8 @@ def _grid_sfintersects_rewrite(
             poly_pred = polygons_touch(ra, rb)
         elif fname == "geof:sfoverlaps":
             poly_pred = polygons_overlap_sf(ra, rb)
+        elif fname == "geof:sfwithin":
+            poly_pred = polygon_within_polygon(ra, rb)
         else:
             poly_pred = polygons_equal_sf(ra, rb)
         arms.append(branch(~pa, ~pb, poly_pred))
@@ -2536,13 +2590,23 @@ def _grid_sfintersects_rewrite(
     # dimensions are false (no arm — same no-match outcome as the
     # connected-frame compile's false/NULL)
     if a_pt and b_poly and fname in (
-        "geof:sfintersects", "geof:sftouches"
+        "geof:sfintersects", "geof:sftouches", "geof:sfwithin"
     ):
-        pred = (
-            point_in_polygon_holes(rb, pax, pay)
-            if fname == "geof:sfintersects"
-            else point_on_rings_boundary(rb, pax, pay)
-        )
+        if fname == "geof:sftouches":
+            pred = point_on_rings_boundary(rb, pax, pay)
+        elif fname == "geof:sfwithin":
+            pred = F.coalesce(
+                F.when(
+                    rb.isNotNull(),
+                    point_in_polygon_holes(rb, pax, pay),
+                ),
+                F.when(
+                    F.col("__bmp").isNotNull(),
+                    point_in_multipolygon(F.col("__bmp"), pax, pay),
+                ),
+            )
+        else:
+            pred = point_in_polygon_holes(rb, pax, pay)
         arms.append(branch(pa, ~pb, pred))
     if a_poly and b_pt and fname in (
         "geof:sfintersects", "geof:sftouches"
@@ -2554,7 +2618,7 @@ def _grid_sfintersects_rewrite(
         )
         arms.append(branch(~pa, pb, pred))
     if a_pt and b_pt and fname in (
-        "geof:sfintersects", "geof:sfequals"
+        "geof:sfintersects", "geof:sfequals", "geof:sfwithin"
     ):
         arms.append(branch(pa, pb, (pax == pbx) & (pay == pby)))
     if not arms:  # a side is empty/shapeless: no pair can match
@@ -2565,7 +2629,7 @@ def _grid_sfintersects_rewrite(
     joined = (
         joined
         .drop(
-            "__cx", "__cy", "__ring_a", "__ring_b",
+            "__cx", "__cy", "__ring_a", "__ring_b", "__amp", "__bmp",
             "__apt", "__apx", "__apy", "__bpt", "__bpx", "__bpy",
             "__ax0", "__ay0", "__ax1", "__ay1",
             "__bx0", "__by0", "__bx1", "__by1",
@@ -2679,7 +2743,28 @@ def _grid_spatial_rewrite(
     Mutates ``frames`` and returns True on success."""
     m = _match_var_var_distance(expr)
     if not m:
-        return _grid_sfwithin_rewrite(frames, expr) or _grid_sfintersects_rewrite(
+        mw = _match_var_var_sfwithin(expr)
+        if mw is not None:
+            # round 14: a within-SUBJECT that can be a POLYGON routes
+            # through the relate rewrite (canonical-cell dedup +
+            # polygon_within_polygon arm) so connected and
+            # disconnected plans agree on polygon-polygon
+            # containment; point-only subjects keep the
+            # point-specialized rewrite (and its MULTIPOLYGON
+            # container support) with an unchanged plan. Residual,
+            # documented: a mixed point/polygon subject against a
+            # MULTIPOLYGON container var serves the point rows only
+            # on the old path — the relate path's container parse is
+            # POLYGON-only, matching the connected-frame compile.
+            _, can_poly = _shape_domain(
+                mw[0], static_shapes, var_preds, store
+            )
+            if can_poly:
+                return _grid_sfintersects_rewrite(
+                    frames, expr, static_shapes, var_preds, store
+                )
+            return _grid_sfwithin_rewrite(frames, expr)
+        return _grid_sfintersects_rewrite(
             frames, expr, static_shapes, var_preds, store
         )
     u, v, d = m

@@ -3868,8 +3868,10 @@ class TestHoleAwareGeo:
             f"FILTER(geof:sfWithin(?w, {self.DONUT})) }}",
         ).collect()
         # london (10,20) is in the hole; york (30,30) is in the donut;
-        # the zone polygon itself is not a POINT (type error, drops)
-        assert [r.cn for r in rows] == ["york"]
+        # the zone's own POLYGON is within itself (round 14:
+        # polygon-polygon sfWithin — before, a non-POINT first
+        # operand was a type error and dropped)
+        assert [r.cn for r in rows] == ["york", "zone"]
 
     def test_sfwithin_variable_donut(self, donut_store):
         rows = run(
@@ -3878,7 +3880,11 @@ class TestHoleAwareGeo:
             "?z ex:name \"zone\" . ?z geo:asWKT ?d "
             "FILTER(geof:sfWithin(?w, ?d)) }",
         ).collect()
-        assert [r.cn for r in rows] == ["york"]
+        # round 14: the polygon subject routes the var-var join
+        # through the relate rewrite — the zone is within itself,
+        # identical to the connected-frame answer (no ORDER BY, so
+        # compare as a set)
+        assert {r.cn for r in rows} == {"york", "zone"}
 
     def test_measures_over_donut_variable(self, donut_store):
         rows = run(
