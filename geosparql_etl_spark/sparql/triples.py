@@ -263,6 +263,18 @@ def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Process-wide store memo: a TripleStore is pure DataFrame LINEAGE
+# (projections of the source parquet — no data, no results), so
+# rebuilding it per query only re-pays thousands of py4j round trips
+# constructing identical Column trees (measured 1-6 s per query at
+# round-14 profiling, the single largest fixed cost of every sp
+# query). The memo returns the same lineage for the same (session,
+# sf_dir); every query still scans the parquet at execution time.
+# Keyed on the session object so a restarted SparkSession can never
+# serve another JVM's stale DataFrame handles.
+_TPCH_STORE_MEMO: dict[str, tuple] = {}
+
+
 def tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
     """The same graph in TRUE vertical layout: one 2-column frame per
     predicate, built straight from the source table(s) that carry it.
@@ -275,6 +287,9 @@ def tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
     vocabulary is static, so no driver-side distinct-collect is
     needed (contrast ``TripleStore.vertically_partitioned``, which
     discovers it from data)."""
+    hit = _TPCH_STORE_MEMO.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     vertical: dict[str, list[DataFrame]] = {}
     flat: DataFrame | None = None
     for table, (subject, pairs) in _tpch_spec().items():
@@ -303,6 +318,7 @@ def tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
     # statistics memoize process-wide across the per-query store
     # instances bench/driver runs construct
     out.stats_key = "tpch:" + sf_dir
+    _TPCH_STORE_MEMO[sf_dir] = (spark, out)
     return out
 
 
