@@ -2945,6 +2945,7 @@ def g23_zone_holes_join(spark, sf_dir):
     offset so no coordinate ever lands on a zone boundary (even-odd
     is parity-undefined there)."""
     from geosparql_etl_spark.functions.geometry import (
+        memo_tree,
         point_in_polygon_holes,
     )
     from geosparql_etl_spark.operators.spatial import covered_cells
@@ -2971,7 +2972,11 @@ def g23_zone_holes_join(spark, sf_dir):
             covered_cells(zx, zy, zx + 10.0, zy + 10.0, 10.0)
         ).alias("cell"),
     )
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    # spread: the single-file customer scan arrives as ONE partition,
+    # and with the tiny zones side broadcast the whole per-candidate
+    # ray-cast stage inherits that width — serialized on one core
+    # (measured 8.4s -> 3.9s at sf0.1/local[32]; no-op on wide inputs)
+    c = spread(_t(spark, sf_dir, "customer").select("c_custkey"))
     px = ((F.col("c_custkey") * 13) % 1000).cast("double") / 10.0 + 0.05
     py = ((F.col("c_custkey") * 29) % 1000).cast("double") / 10.0 + 0.05
     pts = c.select(
@@ -2985,14 +2990,17 @@ def g23_zone_holes_join(spark, sf_dir):
     )
     cand = zones.join(pts, "cell")
     hit = cand.where(
-        F.element_at(
-            F.transform(
-                F.array(F.col("zone")),
-                lambda z: point_in_polygon_holes(
-                    z, F.col("px"), F.col("py")
+        memo_tree(
+            ("g23_pred",),
+            lambda: F.element_at(
+                F.transform(
+                    F.array(F.col("zone")),
+                    lambda z: point_in_polygon_holes(
+                        z, F.col("px"), F.col("py")
+                    ),
                 ),
+                1,
             ),
-            1,
         )
     )
     return hit.select("zone_id", "point_id").orderBy(
@@ -3034,6 +3042,7 @@ def g24_multipolygon_grid_join(spark, sf_dir):
     interval arithmetic ((outer AND NOT hole) OR island). Points
     carry the g23 0.05 offset so nothing lands on a boundary."""
     from geosparql_etl_spark.functions.geometry import (
+        memo_tree,
         point_in_multipolygon,
     )
     from geosparql_etl_spark.operators.spatial import covered_cells
@@ -3065,7 +3074,10 @@ def g24_multipolygon_grid_join(spark, sf_dir):
             covered_cells(zx, zy, zx + 10.0, zy + 10.0, 10.0)
         ).alias("cell"),
     )
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    # spread: same single-partition-scan fix as g23 — the broadcast
+    # join pins the exact-predicate stage to the customer scan's
+    # width, one core for a single-file local table
+    c = spread(_t(spark, sf_dir, "customer").select("c_custkey"))
     px = ((F.col("c_custkey") * 13) % 1000).cast("double") / 10.0 + 0.05
     py = ((F.col("c_custkey") * 29) % 1000).cast("double") / 10.0 + 0.05
     pts = c.select(
@@ -3079,14 +3091,17 @@ def g24_multipolygon_grid_join(spark, sf_dir):
     )
     cand = zones.join(pts, "cell")
     hit = cand.where(
-        F.element_at(
-            F.transform(
-                F.array(F.col("zone")),
-                lambda z: point_in_multipolygon(
-                    z, F.col("px"), F.col("py")
+        memo_tree(
+            ("g24_pred",),
+            lambda: F.element_at(
+                F.transform(
+                    F.array(F.col("zone")),
+                    lambda z: point_in_multipolygon(
+                        z, F.col("px"), F.col("py")
+                    ),
                 ),
+                1,
             ),
-            1,
         )
     )
     return hit.select("zone_id", "point_id").orderBy(

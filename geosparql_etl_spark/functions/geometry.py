@@ -22,6 +22,29 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Process-wide memo of PURE, CONTEXT-FREE Column trees (round 14).
+# The composite geometry predicates below expand to tens of thousands
+# of Column-API calls, each a py4j round trip — measured 5-13 s of
+# driver-side Python per relate-family query build. The trees are
+# immutable and reference only unresolved attributes / literals, so a
+# tree built once is valid in ANY DataFrame that carries columns of
+# those names; memoizing construction changes nothing about what a
+# query computes (no data, no results, not even a session is cached —
+# analysis resolves a fresh copy per plan). Callers must only memo
+# trees whose free column names are fixed for the key.
+_TREE_MEMO: dict[tuple, Column] = {}
+
+
+def memo_tree(key: tuple, build) -> Column:
+    """Return the memoized Column tree for ``key``, building it with
+    ``build()`` on first use. ``key`` must uniquely determine the
+    tree's structure INCLUDING the names of the free columns it
+    references."""
+    hit = _TREE_MEMO.get(key)
+    if hit is None:
+        hit = _TREE_MEMO[key] = build()
+    return hit
+
 
 def outer_ring(coordinates: Column) -> Column:
     """First (outer) ring of a GeoJSON polygon (null when absent — ANSI-safe).

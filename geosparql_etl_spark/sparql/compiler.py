@@ -130,6 +130,7 @@ from pyspark.sql import functions as F
 
 from geosparql_etl_spark.functions.geometry import (
     bounds_wkt,
+    memo_tree,
     multipolygon_area,
     multipolygon_centroid,
     multipolygon_perimeter,
@@ -154,6 +155,7 @@ from geosparql_etl_spark.functions.geometry import (
     wkt_multipolygon,
     wkt_polygon_rings,
 )
+from geosparql_etl_spark.operators.partitioning import spread
 from geosparql_etl_spark.sparql.triples import RDF_LANGSTRING, XSD, TripleStore
 
 # ---------------------------------------------------------------------------
@@ -2264,8 +2266,24 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
     for f in frames:
         df = _join(df, f)
     for expr in residual:
+        # heavy per-row geometry filters (geof: relate folds) inherit
+        # the frame's scan width — ONE partition for a single-file
+        # local table, serializing the whole fold stage on one core
+        # (round 14, measured on sp47/sp50). spread() is a no-op on
+        # well-partitioned inputs, so 100 TB plans are unchanged.
+        if _expr_has_geof(expr):
+            df = spread(df)
         df = _propagate_mn(df.where(_compile_expr(expr)), df)
     return df
+
+
+def _expr_has_geof(node) -> bool:
+    """Does this expression AST contain any geof:* function call?"""
+    if isinstance(node, (tuple, list)):
+        if len(node) >= 2 and node[0] == "call" and str(node[1]).startswith("geof:"):
+            return True
+        return any(_expr_has_geof(c) for c in node)
+    return False
 
 
 def _match_var_var_distance(expr):
@@ -2436,7 +2454,13 @@ def _grid_sfintersects_rewrite(
         xs = F.transform(outer, lambda p: p[0])
         ys = F.transform(outer, lambda p: p[1])
         px, py = _point_xy(F.col(var))
-        f = f.withColumn(ring_col, wkt_polygon_rings(F.col(var)))
+        f = f.withColumn(
+            ring_col,
+            memo_tree(
+                ("wkt_polygon_rings", var),
+                lambda: wkt_polygon_rings(F.col(var)),
+            ),
+        )
         # the sfWithin route (round 14) carries MULTIPOLYGON
         # containers: a members column parses only when the POLYGON
         # parse came up NULL, its outer rings extend the bbox cover,
@@ -2448,9 +2472,12 @@ def _grid_sfintersects_rewrite(
         if with_mp:
             f = f.withColumn(
                 mp,
-                F.when(
-                    F.col(ring_col).isNull(),
-                    wkt_multipolygon(F.col(var)),
+                memo_tree(
+                    ("prep_mp", ring_col, var),
+                    lambda: F.when(
+                        F.col(ring_col).isNull(),
+                        wkt_multipolygon(F.col(var)),
+                    ),
                 ),
             )
             mouters = F.flatten(
@@ -2557,34 +2584,46 @@ def _grid_sfintersects_rewrite(
     b_pt, b_poly = _shape_domain(v, static_shapes, var_preds, store)
 
     def branch(fa, fb, pred):
+        # spread the probe side: with the other side broadcast, the
+        # exact-predicate stage runs at the probe scan's width — one
+        # core for a single-file local table (round 14, measured on
+        # sp51: the whole relate fold serialized). No-op at scale.
         return (
-            a.where(fa).join(b.where(fb), on=["__cx", "__cy"])
+            spread(a.where(fa)).join(b.where(fb), on=["__cx", "__cy"])
             .where(canonical)
             .where(pred)
         )
 
     arms = []
     if a_poly and b_poly:
-        if fname == "geof:sfintersects":
-            # single-ring pairs keep the round-8 outer-hull fold
-            # (fixture margins make boundary contact moot, and the
-            # fast path is bench-pinned); any pair involving interior
-            # rings takes the round-14 hole-aware + contact-aware
-            # test, so a donut zone meeting a box only inside its
-            # hole is NOT a match
-            poly_pred = F.when(
-                (F.size(ra) == 1) & (F.size(rb) == 1),
-                rings_intersect(ra_outer, rb_outer),
-            ).otherwise(polygons_intersect_sf(ra, rb))
-        elif fname == "geof:sftouches":
-            poly_pred = polygons_touch(ra, rb)
-        elif fname == "geof:sfoverlaps":
-            poly_pred = polygons_overlap_sf(ra, rb)
-        elif fname == "geof:sfwithin":
-            poly_pred = polygon_within_polygon(ra, rb)
-        else:
-            poly_pred = polygons_equal_sf(ra, rb)
-        arms.append(branch(~pa, ~pb, poly_pred))
+        # every arm predicate references only the FIXED prep column
+        # names (__ring_a/__ring_b/__apx/...), so the trees are
+        # constant per fname — memoized process-wide (the relate
+        # folds cost seconds of py4j Column construction per build;
+        # see memo_tree)
+        def _poly_pred() -> Column:
+            if fname == "geof:sfintersects":
+                # single-ring pairs keep the round-8 outer-hull fold
+                # (fixture margins make boundary contact moot, and the
+                # fast path is bench-pinned); any pair involving
+                # interior rings takes the round-14 hole-aware +
+                # contact-aware test, so a donut zone meeting a box
+                # only inside its hole is NOT a match
+                return F.when(
+                    (F.size(ra) == 1) & (F.size(rb) == 1),
+                    rings_intersect(ra_outer, rb_outer),
+                ).otherwise(polygons_intersect_sf(ra, rb))
+            if fname == "geof:sftouches":
+                return polygons_touch(ra, rb)
+            if fname == "geof:sfoverlaps":
+                return polygons_overlap_sf(ra, rb)
+            if fname == "geof:sfwithin":
+                return polygon_within_polygon(ra, rb)
+            return polygons_equal_sf(ra, rb)
+
+        arms.append(
+            branch(~pa, ~pb, memo_tree(("joinarm_poly", fname), _poly_pred))
+        )
     # mixed-shape arms: intersects keeps the hole-aware membership
     # cast; touches is point-ON-boundary; overlaps/equals across
     # dimensions are false (no arm — same no-match outcome as the
@@ -2592,29 +2631,33 @@ def _grid_sfintersects_rewrite(
     if a_pt and b_poly and fname in (
         "geof:sfintersects", "geof:sftouches", "geof:sfwithin"
     ):
-        if fname == "geof:sftouches":
-            pred = point_on_rings_boundary(rb, pax, pay)
-        elif fname == "geof:sfwithin":
-            pred = F.coalesce(
-                F.when(
-                    rb.isNotNull(),
-                    point_in_polygon_holes(rb, pax, pay),
-                ),
-                F.when(
-                    F.col("__bmp").isNotNull(),
-                    point_in_multipolygon(F.col("__bmp"), pax, pay),
-                ),
-            )
-        else:
-            pred = point_in_polygon_holes(rb, pax, pay)
-        arms.append(branch(pa, ~pb, pred))
+        def _pt_poly_pred() -> Column:
+            if fname == "geof:sftouches":
+                return point_on_rings_boundary(rb, pax, pay)
+            if fname == "geof:sfwithin":
+                return F.coalesce(
+                    F.when(
+                        rb.isNotNull(),
+                        point_in_polygon_holes(rb, pax, pay),
+                    ),
+                    F.when(
+                        F.col("__bmp").isNotNull(),
+                        point_in_multipolygon(F.col("__bmp"), pax, pay),
+                    ),
+                )
+            return point_in_polygon_holes(rb, pax, pay)
+
+        arms.append(
+            branch(pa, ~pb, memo_tree(("joinarm_ptpoly", fname), _pt_poly_pred))
+        )
     if a_poly and b_pt and fname in (
         "geof:sfintersects", "geof:sftouches"
     ):
-        pred = (
-            point_in_polygon_holes(ra, pbx, pby)
+        pred = memo_tree(
+            ("joinarm_polypt", fname),
+            lambda: point_in_polygon_holes(ra, pbx, pby)
             if fname == "geof:sfintersects"
-            else point_on_rings_boundary(ra, pbx, pby)
+            else point_on_rings_boundary(ra, pbx, pby),
         )
         arms.append(branch(~pa, pb, pred))
     if a_pt and b_pt and fname in (
@@ -2917,6 +2960,22 @@ def _operand_col(node, numeric: bool) -> Column:
 
 
 def _compile_call(node) -> Column:
+    """Compile one function-call AST node. ``_compile_call_impl`` is a
+    pure function of the node (operands resolve to F.col(name) /
+    literals — no compile-context state), so the expensive
+    deterministic geof:* trees (relate folds expand to tens of
+    thousands of py4j Column calls, 5-13 s of driver Python per query
+    build — round-14 profiling) are memoized process-wide by node
+    repr. Non-geo calls are NOT memoized: they are cheap, and any
+    future nondeterministic builtin (RAND/NOW/UUID carry
+    construction-time seeds) must never share one tree."""
+    fname = node[1]
+    if fname.startswith("geof:"):
+        return memo_tree(("sparql_call", repr(node)), lambda: _compile_call_impl(node))
+    return _compile_call_impl(node)
+
+
+def _compile_call_impl(node) -> Column:
     _, fname, args = node
     if fname == "regex":
         return _operand_col(args[0], False).rlike(args[1][1])
