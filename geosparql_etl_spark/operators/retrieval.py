@@ -357,6 +357,7 @@ def _write_doclens_epoch(
         .select("doc_id", "dl")
         .dropDuplicates(["doc_id"])
         .select("doc_id", "dl", _doc_bucket_col(F.col("doc_id"), n_buckets))
+        .repartition(F.col("dbucket"))  # clustered write (guide §6)
         .write.mode("overwrite")
         .partitionBy("dbucket")
         .parquet(os.path.join(path, "_doclens", f"epoch={epoch}"))
@@ -390,7 +391,12 @@ def write_text_index(
     shutil.rmtree(os.path.join(path, "_ledger"), ignore_errors=True)
     epoch_path = os.path.join(path, "postings", "epoch=base")
     post = _index_postings(docs, id_col, text_col, n_buckets)
-    post.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
+    post.repartition(
+        # clustered write (round 14, guide §6): unclustered partitionBy
+        # emits tasks x buckets small files; one exchange bounds it to
+        # one file per term bucket
+        F.col("bucket")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
     _write_doclens_epoch(
         docs.sparkSession, path, "base", epoch_path, n_buckets
     )
@@ -429,7 +435,12 @@ def append_to_text_index(
         _commit_epoch_entry(path, str(epoch), entry)
         return
     post = _index_postings(docs, id_col, text_col, stats["n_buckets"])
-    post.write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
+    post.repartition(
+        # clustered write (round 14, guide §6): unclustered partitionBy
+        # emits tasks x buckets small files; one exchange bounds it to
+        # one file per term bucket
+        F.col("bucket")
+    ).write.mode("overwrite").partitionBy("bucket").parquet(epoch_path)
     _write_doclens_epoch(
         docs.sparkSession, path, str(epoch), epoch_path, stats["n_buckets"]
     )

@@ -407,6 +407,14 @@ def write_ivf_index(
         F.col(vec_col).alias("__cv"),
         l2_norm(F.col(vec_col), dim).alias("__cn"),
         "ivf_cell",
+    ).repartition(
+        # cluster by cell before the partitioned write (round 14,
+        # guide §6): an unclustered partitionBy emits tasks x cells
+        # files — 500+ 8KB files at bench scale, tens of millions at
+        # 100 TB. One exchange bounds it to one file per cell; the
+        # cell compute above still runs at the spread width, and
+        # Lloyd-balanced cells keep the write tasks even.
+        F.col("ivf_cell")
     ).write.mode(mode).partitionBy("ivf_cell").parquet(path)
     if epoch is None:
         # the flat overwrite just cleared the dir — re-persist
@@ -1020,6 +1028,9 @@ def write_ivf_pq_index(
         # ineligible rows die at the parquet reader, before ADC
         *carry_cols,
         "ivf_cell",
+    ).repartition(
+        # same clustered-write rule as write_ivf_index (guide §6)
+        F.col("ivf_cell")
     ).write.mode(mode).partitionBy("ivf_cell").parquet(out_path)
     if epoch is not None:
         return

@@ -2963,16 +2963,23 @@ def _compile_call(node) -> Column:
     """Compile one function-call AST node. ``_compile_call_impl`` is a
     pure function of the node (operands resolve to F.col(name) /
     literals — no compile-context state), so the expensive
-    deterministic geof:* trees (relate folds expand to tens of
+    deterministic trees (geof:* relate folds expand to tens of
     thousands of py4j Column calls, 5-13 s of driver Python per query
-    build — round-14 profiling) are memoized process-wide by node
-    repr. Non-geo calls are NOT memoized: they are cheap, and any
-    future nondeterministic builtin (RAND/NOW/UUID carry
-    construction-time seeds) must never share one tree."""
-    fname = node[1]
-    if fname.startswith("geof:"):
-        return memo_tree(("sparql_call", repr(node)), lambda: _compile_call_impl(node))
-    return _compile_call_impl(node)
+    build; big BIND CONCAT/arith trees cost ~1 s more — round-14
+    profiling) are memoized process-wide by node repr. The
+    NONDETERMINISTIC builtins (BNODE/STRUUID mint per-row values,
+    NOW pins the query's evaluation instant) are never memoized —
+    a shared tree could share a construction-time seed across
+    queries."""
+    r = repr(node)
+    # the whole SUBTREE must be deterministic — a nondeterministic
+    # call nested under a deterministic one (CONCAT(STRUUID(), ..))
+    # would otherwise share its seed through the outer memo. The
+    # substring test can only false-positive (a literal mentioning
+    # 'bnode'), which merely skips the memo.
+    if "bnode" in r or "now" in r or "struuid" in r:
+        return _compile_call_impl(node)
+    return memo_tree(("sparql_call", r), lambda: _compile_call_impl(node))
 
 
 def _compile_call_impl(node) -> Column:

@@ -91,7 +91,11 @@ def run_index_maintenance(
             l2_norm(F.col(vec_col), dim).alias("__cn"),
             "ivf_cell",
         )
-        rows.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        rows.repartition(
+            # clustered write (round 14, guide §6): one file per cell
+            # per epoch instead of tasks x cells
+            F.col("ivf_cell")
+        ).write.mode("overwrite").partitionBy("ivf_cell").parquet(
             os.path.join(index_path, f"epoch={sid}-{epoch_id}")
         )
 
