@@ -5458,7 +5458,10 @@ def mm01_media_features(spark, sf_dir):
             )
 
     media = (
-        d.select("doc_id", "text")
+        # spread: the single-file documents scan is ONE partition and
+        # the whole Python encode/decode chain inherits that width
+        # (round 14, guide §2.5/§4 — no-op on wide inputs)
+        spread(d.select("doc_id", "text"))
         .mapInPandas(rasterize, "media_id string, content binary")
         .select(
             "media_id",
@@ -5554,7 +5557,7 @@ def mm03_audio_features(spark, sf_dir):
             )
 
     media = (
-        d.select("doc_id", "text")
+        spread(d.select("doc_id", "text"))  # spread: see mm04
         .mapInPandas(synth, "media_id string, content binary")
         .select(
             "media_id",
@@ -7038,7 +7041,10 @@ def mm04_video_frames(spark, sf_dir):
             )
 
     media = (
-        d.select("doc_id", "text")
+        # spread: the single-file documents scan is ONE partition and
+        # the whole Python encode/decode chain inherits that width
+        # (round 14, guide §2.5/§4 — no-op on wide inputs)
+        spread(d.select("doc_id", "text"))
         .mapInPandas(rasterize, "media_id string, content binary")
         .select(
             "media_id",
@@ -7144,7 +7150,10 @@ def mm07_shot_boundaries(spark, sf_dir):
             )
 
     media = (
-        d.select("doc_id", "text")
+        # spread: the single-file documents scan is ONE partition and
+        # the whole Python encode/decode chain inherits that width
+        # (round 14, guide §2.5/§4 — no-op on wide inputs)
+        spread(d.select("doc_id", "text"))
         .mapInPandas(rasterize, "media_id string, content binary")
         .select(
             "media_id",
@@ -7256,7 +7265,10 @@ def mm08_shot_keyframes(spark, sf_dir):
             )
 
     media = (
-        d.select("doc_id", "text")
+        # spread: the single-file documents scan is ONE partition and
+        # the whole Python encode/decode chain inherits that width
+        # (round 14, guide §2.5/§4 — no-op on wide inputs)
+        spread(d.select("doc_id", "text"))
         .mapInPandas(rasterize, "media_id string, content binary")
         .select(
             "media_id",
@@ -7397,7 +7409,8 @@ def mm05_image_neardup(spark, sf_dir):
                 {"media_id": pdf["doc_id"].astype(str), "content": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = spread(d.select("doc_id", "text")).mapInPandas(  # spread: see mm04
+
         rasterize, "media_id string, content binary"
     )
     hashed = image_dhash(media).select(
@@ -7482,7 +7495,8 @@ def mm06_audio_neardup(spark, sf_dir):
                 {"media_id": pdf["doc_id"].astype(str), "content": payloads}
             )
 
-    media = d.select("doc_id", "text").mapInPandas(
+    media = spread(d.select("doc_id", "text")).mapInPandas(  # spread: see mm04
+
         synth, "media_id string, content binary"
     )
     hashed = audio_fingerprint(media, frame=2).select(

@@ -217,22 +217,45 @@ def _probe_frame(
 ) -> DataFrame:
     """Queries -> (query_id, __qv, __qn, __cell), one row per probed
     cell (the top n_probe centroid dot products, ties to the highest
-    cell — the convention every IVF oracle replays)."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot(F.col(vec_col), F.array(*[F.lit(v) for v in c])).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
+    cell — the convention every IVF oracle replays).
+
+    The probe expression is a pure tree over (vec_col, cents, n_probe)
+    — 16 cells x 64 literals expand to ~1100 py4j calls, 2-3 s of
+    driver Python per probe (round-14 profiling). memo_tree makes the
+    Nth probe with the same quantizer free (the trained quantizer is
+    memoized per corpus, so serving probes always hit)."""
+    from geosparql_etl_spark.functions.geometry import memo_tree
+
+    def build() -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    dot(
+                        F.col(vec_col), F.array(*[F.lit(v) for v in c])
+                    ).alias("score"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        probes = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+        return F.explode(
+            F.transform(probes, lambda s: s["cell"])
+        ).alias("__cell")
+
+    ckey = cents.tolist() if hasattr(cents, "tolist") else cents
+    cell_col = memo_tree(
+        ("probe_frame", vec_col, n_probe, repr(ckey)), build
     )
-    probes = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+    qn = memo_tree(
+        ("probe_frame_qn", vec_col),
+        lambda: l2_norm(F.col(vec_col), dim),
+    )
     return queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        l2_norm(F.col(vec_col), dim).alias("__qn"),
-        F.explode(F.transform(probes, lambda s: s["cell"])).alias("__cell"),
+        qn.alias("__qn"),
+        cell_col,
     )
 
 
@@ -1836,14 +1859,27 @@ def pq_reconstruct(
     array-column accessor by default, a shift/mask over a
     pack_pq_code BIGINT for the persisted layout (ivf_index_pq_topk).
     """
+    from geosparql_etl_spark.functions.geometry import memo_tree
+
     books = codebooks if codebooks is not None else _pq_codebooks(dim, m, k)
     if code_at is None:
         def code_at(j):  # noqa: E306
             return F.element_at(code_col, j + 1)
     parts = []
     for j in range(m):
-        lut = F.array(
-            *[F.array(*[F.lit(float(v)) for v in c]) for c in books[j]]
+        # the LUT literals are k x sub F.lit py4j calls per subspace
+        # (~1500 round trips / ~2s per reconstruct at m=16 — round-14
+        # profiling); pure literal trees, memoized per codebook
+        # tolist() before repr: numpy's repr elides long arrays with
+        # '...', which would alias different codebooks to one key
+        bj = books[j]
+        if hasattr(bj, "tolist"):
+            bj = bj.tolist()
+        lut = memo_tree(
+            ("pq_lut", repr(bj)),
+            lambda: F.array(
+                *[F.array(*[F.lit(float(v)) for v in c]) for c in bj]
+            ),
         )
         parts.append(F.element_at(lut, code_at(j) + 1))
     return F.concat(*parts)
