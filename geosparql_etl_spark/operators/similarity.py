@@ -1452,6 +1452,32 @@ def with_lsh_buckets(
     meaningfully change recall — exact re-scoring downstream stays on
     the deterministic JVM fold.
     """
+    return df.withColumn(
+        out_col, _bucketize_udf(dim, bands, bits_per_band)(F.col(vec_col))
+    )
+
+
+_BUCKETIZE_MEMO: dict = {}
+
+
+def _bucketize_udf(dim: int, bands: int, bits_per_band: int):
+    """Memoized bucketize pandas_udf per (dim, bands, bits_per_band):
+    repeated builds reuse one UDF instance (byte-identical plan trees
+    for the plan/codegen caches), and the hyperplane matrix is built
+    once per process.
+
+    Marked non-deterministic (guide §4.4): a downstream explode's
+    implicit size()>0 filter otherwise gets pushed below a repartition
+    and the optimizer DUPLICATES the UDF — every embedding crossed the
+    Python boundary twice (seen in the sim02 plan as two
+    ArrowEvalPython(bucketize) nodes). The function is in fact
+    deterministic; the marker only forbids the optimizer to clone or
+    reorder it.
+    """
+    key = (dim, bands, bits_per_band)
+    hit = _BUCKETIZE_MEMO.get(key)
+    if hit is not None:
+        return hit
     from pyspark.sql.functions import pandas_udf
 
     planes = np.array(_hyperplanes(dim, bands * bits_per_band)).T  # dim x P
@@ -1469,7 +1495,8 @@ def with_lsh_buckets(
         ) + band_base  # batch x bands
         return pd.Series(list(packed))
 
-    return df.withColumn(out_col, bucketize(F.col(vec_col)))
+    hit = _BUCKETIZE_MEMO[key] = bucketize.asNondeterministic()
+    return hit
 
 
 def lsh_params_for(
@@ -1533,14 +1560,60 @@ def lsh_threshold_pairs(
     bucketed = with_lsh_buckets(
         spread(df), vec_col, dim, bands, bits_per_band
     ).select(
-        F.col(id_col).alias("__id"), F.explode("lsh_buckets").alias("__bucket")
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.explode("lsh_buckets").alias("__bucket"),
     )
-    a = bucketed.select(F.col("__id").alias("id_a"), "__bucket")
-    b = bucketed.select(F.col("__id").alias("id_b"), "__bucket")
+    # Within-bucket vectorized candidate scoring (round 14, guide §4.2 +
+    # §8): the former row-level bucket self-join folded the interpreted
+    # HOF dot over EVERY co-bucketed pair — measured 15-30s of executor
+    # CPU at sf0.1 for a 920-row result, and it shuffled O(sum n_b^2)
+    # candidate rows. Instead, each vector crosses to Python once per
+    # band, each bucket's pair scores are one numpy float64 matmul, and
+    # only maybe-above-threshold id pairs (cut = threshold - 1e-6, see
+    # _bucket_pair_scorer for the margin proof) survive to the exact
+    # re-score. Buckets are split into deterministic chunks of
+    # _LSH_SCORE_CHUNK rows and chunk PAIRS are scored, so one task
+    # never holds more than two chunks however large a bucket grows;
+    # replicated bytes scale as n_b^2/chunk — orders of magnitude below
+    # the n_b^2 candidate rows the join shuffled.
+    cut = float(threshold) - 1e-6
+    chunked = bucketed.withColumn(
+        "__nch",
+        F.ceil(
+            F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
+            / F.lit(_LSH_SCORE_CHUNK)
+        ).cast("int"),
+    ).select(
+        "__id",
+        "__vec",
+        "__bucket",
+        F.pmod(F.xxhash64("__id"), F.col("__nch")).cast("int").alias("__ch"),
+        "__nch",
+    )
+    replicated = chunked.select(
+        "__id",
+        "__vec",
+        "__ch",
+        F.col("__bucket").alias("__bk"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nch") - 1),
+                lambda x: F.struct(
+                    F.least(F.col("__ch"), x).alias("ci"),
+                    F.greatest(F.col("__ch"), x).alias("cj"),
+                ),
+            )
+        ).alias("__cp"),
+    )
     cand = (
-        a.join(b, "__bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        replicated.select(
+            "__id", "__vec", "__ch", "__bk",
+            F.col("__cp.ci").alias("__ci"),
+            F.col("__cp.cj").alias("__cj"),
+        )
+        .groupBy("__bk", "__ci", "__cj")
+        .applyInPandas(_bucket_pair_scorer(cut), "id_a long, id_b long")
         .dropDuplicates()
     )
     va = df.select(
@@ -1563,6 +1636,66 @@ def lsh_threshold_pairs(
         .select("id_a", "id_b", sim.alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# Chunk cap for the within-bucket vectorized scorer: one grouped-map
+# task holds at most TWO chunks of float64 vectors (2 x 2048 x dim x 8B
+# = 4 MB at dim=64) regardless of how large a band bucket grows at
+# corpus scale — the memory bound the raw per-bucket grouped map would
+# not have.
+_LSH_SCORE_CHUNK = 2048
+
+_LSH_SCORER_MEMO: dict = {}
+
+
+def _bucket_pair_scorer(cut: float):
+    """Grouped-map candidate scorer for one (bucket, chunk_i, chunk_j)
+    group (guide §4.2 vectorized batch work + §8 decide-with-small-rows):
+    score every cross/within-chunk pair with ONE float64 numpy matmul
+    and emit only (id_a < id_b) pairs whose batch cosine is >= ``cut``
+    (threshold - margin). The exact sequential JVM fold downstream
+    still computes the OUTPUT cosine and applies the exact >= threshold
+    filter, so results are bit-identical to folding every candidate:
+    the float64 batch cosine differs from the sequential fold by
+    <= ~dim*eps*sum|a_i*b_i| (< 1e-10 on unit-scale embeddings), six
+    orders inside the 1e-6 margin — no true pair can be dropped.
+
+    Memoized per cut so repeated builds reuse one function instance
+    (byte-identical plan trees for the codegen/plan caches).
+    """
+    hit = _LSH_SCORER_MEMO.get(cut)
+    if hit is not None:
+        return hit
+
+    empty = {"id_a": np.array([], dtype=np.int64),
+             "id_b": np.array([], dtype=np.int64)}
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        ci = int(pdf["__ci"].iloc[0])
+        cj = int(pdf["__cj"].iloc[0])
+        a = pdf[pdf["__ch"] == ci]
+        b = a if cj == ci else pdf[pdf["__ch"] == cj]
+        if a.empty or b.empty:
+            return pd.DataFrame(empty)
+        ma = np.vstack(a["__vec"].to_numpy()).astype(np.float64)
+        mb = ma if cj == ci else np.vstack(
+            b["__vec"].to_numpy()
+        ).astype(np.float64)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = na if cj == ci else np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        denom = np.outer(na, nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (ma @ mb.T) / denom, 0.0)
+        ia, ib = np.nonzero(cos >= cut)
+        ids_a = a["__id"].to_numpy()[ia]
+        ids_b = b["__id"].to_numpy()[ib]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        keep = lo < hi  # drop self-pairs; orient id_a < id_b
+        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+
+    _LSH_SCORER_MEMO[cut] = emit
+    return emit
 
 
 def embedding_neardup(

@@ -97,6 +97,32 @@ def test_lsh_threshold_pairs_matches_exact_and_has_no_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_lsh_scorer_multi_chunk_matches_single_chunk(spark, sf_dir, monkeypatch):
+    """The round-14 within-bucket vectorized scorer splits big buckets
+    into chunk PAIRS so one grouped-map task never holds a whole
+    bucket. Bench-scale buckets fit one chunk, so force multi-chunk
+    grouping with a tiny cap and require the pair set to be unchanged
+    (every within-bucket pair must still be scored exactly once per
+    band, whatever the chunking)."""
+    from geosparql_etl_spark.operators import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    single = sorted(
+        (r.id_a, r.id_b, round(r.cosine_sim, 9))
+        for r in sim.lsh_threshold_pairs(
+            e, threshold=0.4, dim=64, bands=8, bits_per_band=4
+        ).collect()
+    )
+    monkeypatch.setattr(sim, "_LSH_SCORE_CHUNK", 7)
+    multi = sorted(
+        (r.id_a, r.id_b, round(r.cosine_sim, 9))
+        for r in sim.lsh_threshold_pairs(
+            e, threshold=0.4, dim=64, bands=8, bits_per_band=4
+        ).collect()
+    )
+    assert multi == single and len(single) > 0
+
+
 def test_embedding_neardup_lsh_equals_exact(spark, sf_dir):
     from geosparql_etl_spark.operators.similarity import embedding_neardup
 
