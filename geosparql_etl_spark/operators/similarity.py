@@ -111,8 +111,44 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, cosine_sim, rank); self-matches are
     excluded; ties broken by neighbor id so output is deterministic.
+
+    Round 14 (guide §4.2 + §8): the exact interpreted dot fold used to
+    run over |corpus| x |queries| pairs (the cross join); now one
+    vectorized Arrow scan of the corpus keeps, per (query, batch), only
+    the rows a margin-safe numpy cosine cannot exclude from that
+    query's top-k (see _topk_candidates for the order-statistics
+    margin proof), and the exact fold + window rank only those
+    candidates — every true top-k row is provably retained and the
+    extra candidates rank > k and are filtered, so the output is
+    bit-identical to the fold-everything plan. Queries are tiny by
+    contract (they were already driver-broadcast); collecting them is
+    the same bound. Falls back to the cross-join plan when the query
+    side is unexpectedly large or not collectible.
     """
-    scored = pairwise_cosine(queries, corpus, id_col, vec_col, dim=dim)
+    cand = _topk_candidates(corpus, queries, id_col, vec_col, k)
+    if cand is None:
+        scored = pairwise_cosine(queries, corpus, id_col, vec_col, dim=dim)
+    else:
+        # candidates carry their corpus vector out of the scan, so the
+        # exact arm needs NO corpus re-join and broadcasts only the
+        # tiny query side — nothing corpus-derived is broadcast or
+        # shuffled beyond the k+1-per-(query, batch) candidate rows,
+        # which the window's WindowGroupLimit reduces map-side exactly
+        # like the legacy plan's scored cross product.
+        l = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__lv"),
+            l2_norm(F.col(vec_col), dim).alias("__ln"),
+        )
+        denom = F.col("__ln") * l2_norm(F.col("__rv"), dim)
+        sim = F.when(
+            denom > 0, dot(F.col("__lv"), F.col("__rv"), dim) / denom
+        ).otherwise(F.lit(0.0))
+        scored = (
+            cand.join(F.broadcast(l), "query_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
@@ -120,6 +156,101 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# Query sets are tiny by operator contract (probe ids / explicit
+# vectors — the old plan broadcast them); above this the candidate
+# scan falls back to the cross-join plan rather than surprise the
+# driver with a big collect.
+_TOPK_MAX_QUERIES = 8192
+
+_TOPK_SCAN_MEMO: dict = {}
+
+
+def _topk_candidates(corpus, queries, id_col, vec_col, k):
+    """(query_id, neighbor_id) superset of every query's exact top-k —
+    one vectorized Arrow pass over the corpus (guide §4.2), queries
+    held as a numpy matrix.
+
+    Margin proof: each float64 batch cosine is within m' < 5e-7 of the
+    exact sequential fold's value on unit-scale vectors. For a row r in
+    batch B that belongs to query q's exact global top-k, at most k
+    rows of B (k-1 others + possibly q itself) have exact cosine above
+    r's, so the (k+1)-th largest exact value in B is <= exact(r); the
+    (k+1)-th largest numpy value T is then <= exact(r) + m' <=
+    numpy(r) + 2m'. Keeping every row with numpy >= T - 1e-6 (margin
+    > 2m') therefore retains r. Rows with null / malformed vectors are
+    ALWAYS kept, so the exact arm reproduces their legacy scoring
+    verbatim. Returns None when the query side is not collectible or
+    over the contract bound (caller falls back to the cross join).
+    """
+    try:
+        qrows = queries.select(
+            F.col(id_col).alias("q"), F.col(vec_col).alias("v")
+        ).limit(_TOPK_MAX_QUERIES + 1).collect()
+    except Exception:
+        return None
+    if not qrows or len(qrows) > _TOPK_MAX_QUERIES:
+        return None
+    qids = [r["q"] for r in qrows]
+    dims = {len(r["v"]) for r in qrows if r["v"] is not None}
+    qdim = max(dims) if dims else 1
+    qmat = np.zeros((len(qrows), qdim), dtype=np.float64)
+    for i, r in enumerate(qrows):
+        if r["v"] is not None and len(r["v"]) == qdim:
+            qmat[i] = r["v"]
+    qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+
+    ctype = dict(corpus.dtypes)[id_col]
+    qtype = dict(queries.dtypes)[id_col]
+    vtype = dict(corpus.dtypes)[vec_col]
+    # candidates carry the corpus vector (__rv): the exact arm scores
+    # them directly — no corpus re-join, nothing corpus-derived
+    # broadcast. A duplicate corpus row is kept/emitted independently
+    # per ROW (the cut is a VALUE threshold, so exact ties all pass),
+    # matching the legacy plan that scored every row once.
+    schema = f"query_id {qtype}, neighbor_id {ctype}, __rv {vtype}"
+    key = (
+        "topk", tuple(qids), qmat.tobytes(), int(k), schema, id_col, vec_col
+    )
+    scan = _TOPK_SCAN_MEMO.get(key)
+    if scan is None:
+
+        def scan(batches):
+            q_arr = pd.Series(qids)
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                vals = pdf["__v"].to_numpy()
+                mat = np.zeros((n, qdim), dtype=np.float64)
+                invalid = np.zeros(n, dtype=bool)
+                for i, v in enumerate(vals):
+                    if v is not None and len(v) == qdim:
+                        mat[i] = v
+                    else:
+                        invalid[i] = True
+                denom = np.outer(
+                    np.sqrt(np.einsum("ij,ij->i", mat, mat)), qnorm
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, (mat @ qmat.T) / denom, 0.0)
+                kth = min(k, n - 1)  # (k+1)-th largest, clamped to batch
+                cuts = -np.partition(-cos, kth, axis=0)[kth, :] - 1e-6
+                keep = (cos >= cuts[None, :]) | invalid[:, None]
+                ri, qi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_arr.iloc[qi].to_numpy(),
+                        "neighbor_id": pdf["__id"].to_numpy()[ri],
+                        "__rv": vals[ri],
+                    }
+                )
+
+        _TOPK_SCAN_MEMO[key] = scan
+    return spread(
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    ).mapInPandas(scan, schema)
 
 
 # --- IVF ANN -----------------------------------------------------------------

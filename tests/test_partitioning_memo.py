@@ -109,3 +109,49 @@ def test_pq_reconstruct_memo_distinguishes_codebooks(spark):
     ).collect()[0]["v"]
     assert list(ra) == [1.0, 2.0]
     assert list(rb) == [3.0, 4.0]
+
+
+def test_cosine_topk_candidate_scan_matches_legacy_plan(spark):
+    """The round-14 cosine_topk candidate scan (numpy per-batch top-k
+    prefilter + exact fold on survivors) must reproduce the legacy
+    cross-join plan exactly — including duplicate corpus ids (each ROW
+    scored once), a null corpus vector (legacy scores it 0.0), exact
+    score ties (value-threshold cut keeps all), and multi-batch cuts
+    (tiny Arrow batches force per-batch thresholds)."""
+    from pyspark.sql import Window
+
+    from geosparql_etl_spark.operators.similarity import (
+        cosine_topk,
+        pairwise_cosine,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, [float((i % 7) - 3), float(i % 5), 1.0]))
+    rows.append((7, [4.0, 0.0, 1.0]))      # duplicate id, different vector
+    rows.append((41, None))                 # null vector -> legacy 0.0
+    rows.append((42, [1.0, 1.0, 1.0]))      # exact tie pair...
+    rows.append((43, [1.0, 1.0, 1.0]))      # ...same vector, both rank
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 3)
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        got = cosine_topk(df, q, k=5, dim=3).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    scored = pairwise_cosine(q, df, dim=3)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    want = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .collect()
+    )
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    got_m = {key(r): (r.neighbor_id, round(r.cosine_sim, 12)) for r in got}
+    want_m = {key(r): (r.neighbor_id, round(r.cosine_sim, 12)) for r in want}
+    assert got_m == want_m and len(got_m) == 15
