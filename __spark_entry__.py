@@ -11847,7 +11847,11 @@ def s14_rate_anomaly(spark, sf_dir):
     var = (
         F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")
     ) / (F.col("k") * (F.col("k") - 1))
-    z = (F.col("n") - F.col("s1") / F.col("k")) / F.sqrt(var)
+    # try_divide: a frame whose 12+ trailing counts are all equal has
+    # var == 0 (seen at sf0.001) — DuckDB returns NULL for float x/0,
+    # ANSI Spark throws; try_divide yields the same NULL and is the
+    # identical double division when var > 0.
+    z = F.try_divide(F.col("n") - F.col("s1") / F.col("k"), F.sqrt(var))
     return (
         stats.where(F.col("k") >= 12)
         .withColumn("z", F.round(z, 4))

@@ -58,6 +58,13 @@ VECTORIZED_PYTHON_OK = {
     "sim14_ann_recall",  # IVF arm rides with_ivf_cell's batch matmul
     "sim15_trained_ivf_recall",  # same, with trained centroids
     "sim19_probe_sweep",  # five ivf_topk arms over the trained quantizer
+    # round 14: cosine_topk's exact arm now plans a vectorized
+    # MapInPandas candidate scan (margin top-k prefilter; exact fold on
+    # survivors only — see operators/similarity.py:_topk_candidates)
+    "sim01_cosine_topk",
+    "sim12_hybrid_rrf",
+    "sim13_mmr_rerank",
+    "sim17_label_purity",
     "mm01_media_features",
     "mm02_frame_sampling",
     "mm03_audio_features",
