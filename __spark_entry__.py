@@ -4983,7 +4983,8 @@ def txt06_winnowing(spark, sf_dir):
     from geosparql_etl_spark.functions.textstats import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    # spread: per-row winnow fold off a single-file scan (see llm11)
+    return spread(d.select("doc_id", "text")).select(
         "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
     )
 
@@ -5127,7 +5128,13 @@ def llm05_decontaminate(spark, sf_dir):
     from geosparql_etl_spark.functions.textstats import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    fps = d.select(
+    # spread(): the winnow fold (one md5 per k-gram over every train
+    # doc) is per-row compute; the single-file local scan otherwise
+    # runs the whole corpus on ONE task (round-15 stage profile:
+    # a 3.7s single-task stage = 85% of llm11) — guide §2.5 input-skew
+    # rule, same fix as mm04/mm07. Per-row expression, so output is
+    # partitioning-invariant.
+    fps = spread(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(winnow_fingerprints(F.col("text"), k=20, w=8)).alias("fp"),
     )
@@ -8178,7 +8185,13 @@ def llm11_contamination_report(spark, sf_dir):
     from geosparql_etl_spark.functions.textstats import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    fps = d.select(
+    # spread(): the winnow fold (one md5 per k-gram over every train
+    # doc) is per-row compute; the single-file local scan otherwise
+    # runs the whole corpus on ONE task (round-15 stage profile:
+    # a 3.7s single-task stage = 85% of llm11) — guide §2.5 input-skew
+    # rule, same fix as mm04/mm07. Per-row expression, so output is
+    # partitioning-invariant.
+    fps = spread(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(winnow_fingerprints(F.col("text"), k=20, w=8)).alias("fp"),
     )
