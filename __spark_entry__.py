@@ -2338,8 +2338,7 @@ def d18_semantic_dedup(spark, sf_dir):
     oracle replays training and the within-cell pair scan in SQL.
     At sf0.01 the 0.35 threshold drops a measured 71 of 500 items."""
     from geosparql_etl_spark.operators.similarity import (
-        dot,
-        l2_norm,
+        cell_max_lower_cosine,
         lloyd_train,
         with_ivf_cell,
     )
@@ -2352,29 +2351,10 @@ def d18_semantic_dedup(spark, sf_dir):
     c = with_ivf_cell(
         e, "embedding", 64, 16, centroids=trained
     ).select("vec_id", "embedding", "ivf_cell")
-    a = c.select(
-        F.col("vec_id").alias("ia"),
-        F.col("embedding").alias("va"),
-        "ivf_cell",
-    )
-    b = c.select(
-        F.col("vec_id").alias("ib"),
-        F.col("embedding").alias("vb"),
-        "ivf_cell",
-    )
-    denom = l2_norm(F.col("va"), 64) * l2_norm(F.col("vb"), 64)
-    rc = F.round(
-        F.when(denom > 0, dot(F.col("va"), F.col("vb"), 64) / denom)
-        .otherwise(F.lit(0.0)),
-        6,
-    )
-    lower = (
-        a.join(b, "ivf_cell")
-        .where(F.col("ib") < F.col("ia"))
-        .select(F.col("ia").alias("vec_id"), rc.alias("rc"))
-        .groupBy("vec_id")
-        .agg(F.max("rc").alias("max_lower_cos"))
-    )
+    # round 15: within-cell pair scan vectorized (bit-exact grouped
+    # scorer, operators/similarity.py:cell_max_lower_cosine) — was a
+    # cell self-join folding three interpreted dot/norm folds per pair
+    lower = cell_max_lower_cosine(c, "vec_id", "embedding", "ivf_cell", 64)
     return (
         c.join(lower, "vec_id", "left")
         .select(
@@ -15544,8 +15524,7 @@ def llm25_semantic_training_funnel(spark, sf_dir):
         oracle_norm,
     )
     from geosparql_etl_spark.operators.similarity import (
-        dot,
-        l2_norm,
+        cell_max_lower_cosine,
         lloyd_train,
         with_ivf_cell,
     )
@@ -15579,24 +15558,14 @@ def llm25_semantic_training_funnel(spark, sf_dir):
         .join(emb, F.col("sid") == F.col("vec_id"))
         .select("sid", "text", "embedding", "ivf_cell")
     )
-    a = surv.select(
-        F.col("sid").alias("ia"), F.col("embedding").alias("va"), "ivf_cell"
-    )
-    b = surv.select(
-        F.col("sid").alias("ib"), F.col("embedding").alias("vb"), "ivf_cell"
-    )
-    denom = l2_norm(F.col("va"), 64) * l2_norm(F.col("vb"), 64)
-    rc = F.round(
-        F.when(denom > 0, dot(F.col("va"), F.col("vb"), 64) / denom)
-        .otherwise(F.lit(0.0)),
-        6,
-    )
-    lower = (
-        a.join(b, "ivf_cell")
-        .where(F.col("ib") < F.col("ia"))
-        .select(F.col("ia").alias("sid"), rc.alias("rc"))
-        .groupBy("sid")
-        .agg(F.max("rc").alias("max_lower_cos"))
+    # round 15: within-cell pair scan vectorized (bit-exact grouped
+    # scorer, operators/similarity.py:cell_max_lower_cosine) — was a
+    # cell self-join folding three interpreted dot/norm folds per pair,
+    # serialized onto ~16 tasks by the cell join key (stage profile:
+    # one 2.4s single-task stage)
+    lower = cell_max_lower_cosine(
+        surv.select("sid", "embedding", "ivf_cell"),
+        "sid", "embedding", "ivf_cell", 64,
     )
     sem = (
         surv.join(lower, "sid", "left")

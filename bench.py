@@ -453,6 +453,15 @@ def compact_summary(result: dict) -> dict:
         "queries": dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:10]
         ),
+        # EVERY per-query time (round-14 judge ask: the top-10 "queries"
+        # map alone made improved rows look dropped), packed to fit the
+        # driver's 2000-char tail: "<short>:<sec>" pairs where <short>
+        # is the unique query-id prefix before the first underscore
+        # (q10 = q10_returned_items) and seconds carry 2 decimals.
+        # Additions-only: "queries" keeps its full-name top-10 rows.
+        "queries_all": ",".join(
+            f"{n.split('_')[0]}:{v:.2f}" for n, v in timings.items()
+        ),
         "summary_of_full_line_above": True,
     }
     if result.get("adjudicated"):
@@ -474,9 +483,17 @@ def compact_summary(result: dict) -> dict:
             summary["worst_ratio"] = round(timings[worst] / bq[worst], 2)
             summary["n_common_with_baseline"] = len(common)
     line = json.dumps(summary)
-    # hard guarantee: stay inside the driver's tail window
-    while len(line) > 1800 and summary["queries"]:
+    # hard guarantee: stay inside the driver's 2000-char tail window —
+    # shed top-10 rows first (they also ride queries_all), then the
+    # queries_all tail (with an explicit +N-more marker, never silent)
+    while len(line) > 1950 and summary["queries"]:
         summary["queries"].popitem()
+        line = json.dumps(summary)
+    dropped = 0
+    while len(line) > 1950 and "," in summary["queries_all"]:
+        summary["queries_all"] = summary["queries_all"].rsplit(",", 1)[0]
+        dropped += 1
+        summary["queries_all_truncated"] = dropped
         line = json.dumps(summary)
     return summary
 

@@ -244,8 +244,10 @@ def connected_components(
     get {"rounds": n} back (tests assert the logarithmic round count).
 
     Scale notes: each round is one shuffle of (edge ⨝ label) sized by
-    the edge list, plus a groupBy min — both key-partitioned, no
-    driver-side data. The convergence probe collects a single count.
+    the edge list, one labels self-join for the pointer jump, and ONE
+    groupBy min over their union (the self stream carries the old
+    label out, so the convergence probe needs no re-join) — all
+    key-partitioned, no driver-side data. The convergence probe collects a single count.
     Lineage is truncated each round: with a checkpoint dir configured
     (``spark.sparkContext.setCheckpointDir`` — HDFS/S3 on a cluster)
     the cut is a fault-tolerant ``checkpoint``; otherwise
@@ -299,27 +301,60 @@ def connected_components(
     )
     rounds = 0
     for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels, und["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("__nbr"))
+        # Round 15 (guide §2.4 — fewer shuffles AND a shorter critical
+        # path per round): the round min over {neighbor labels,
+        # label(label(v)), label(v)} is ONE aggregate over a union of
+        # three contribution streams instead of the former
+        # aggregate-then-two-assembly-joins chain:
+        #   - neighbor labels: the edge ⨝ labels join (und's
+        #     checkpointed hash(dst) partitioning still reused);
+        #   - pointer jump label(label(v)): a labels self-join keyed by
+        #     label (its node-side exchange is shared with the edge
+        #     join's). Inner join: labels are always existing node ids,
+        #     and even if one were not, the self stream below already
+        #     contributes label(v) — exactly what the old LEFT-join
+        #     coalesce fell back to;
+        #   - the self stream (v, label(v)), marker __m = 1, which both
+        #     covers isolated coverage (every node aggregates) and
+        #     carries the OLD label out of the aggregate for the
+        #     convergence probe — no post-aggregate re-join.
+        # The two joins are independent, so the per-round critical path
+        # is join -> aggregate -> checkpoint (was join -> aggregate ->
+        # join -> join -> checkpoint). Per-round values are unchanged:
+        # the same multiset reaches the same min.
+        nbr = und.join(labels, und["dst"] == labels["node"]).select(
+            "src", "label", F.lit(0).alias("__m")
         )
-        # pointer jump: resolve label -> label(label) in the same round
-        jump = labels.select(
-            F.col("node").alias("__jn"), F.col("label").alias("__jl")
+        jump = (
+            labels.select(
+                F.col("node").alias("__jsrc"), F.col("label").alias("__jdst")
+            )
+            .join(
+                labels.select(
+                    F.col("node").alias("__jn"), F.col("label").alias("__jl")
+                ),
+                F.col("__jdst") == F.col("__jn"),
+            )
+            .select(
+                F.col("__jsrc").alias("src"),
+                F.col("__jl").alias("label"),
+                F.lit(0).alias("__m"),
+            )
+        )
+        own = labels.select(
+            F.col("node").alias("src"), "label", F.lit(1).alias("__m")
         )
         proposed = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .join(jump, labels["label"] == jump["__jn"], "left")
-            .select(
-                "node",
-                "label",
-                F.least(
-                    F.col("label"),
-                    F.coalesce("__nbr", "label"),
-                    F.coalesce("__jl", "label"),
-                ).alias("__new"),
+            nbr.unionByName(jump)
+            .unionByName(own)
+            .groupBy("src")
+            .agg(
+                F.min("label").alias("__new"),
+                F.min(F.when(F.col("__m") == 1, F.col("label"))).alias(
+                    "label"
+                ),
             )
+            .select(F.col("src").alias("node"), "label", "__new")
         )
         proposed = _cut(proposed)  # one evaluation feeds probe + next round
         rounds += 1

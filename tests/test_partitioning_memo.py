@@ -155,3 +155,219 @@ def test_cosine_topk_candidate_scan_matches_legacy_plan(spark):
     got_m = {key(r): (r.neighbor_id, round(r.cosine_sim, 12)) for r in got}
     want_m = {key(r): (r.neighbor_id, round(r.cosine_sim, 12)) for r in want}
     assert got_m == want_m and len(got_m) == 15
+
+
+def test_cosine_topk_scan_nan_and_invalid_rows(spark):
+    """Round-15 edge semantics (the round-14 advice findings): a
+    NaN-component corpus vector ranks FIRST (Spark desc treats NaN as
+    greatest), a wrong-length vector scores NULL and ranks last, and a
+    flood of invalid rows must never lift the per-batch cut above true
+    top-k rows with NEGATIVE cosines."""
+    from pyspark.sql import Window
+
+    from geosparql_etl_spark.operators.similarity import (
+        cosine_topk,
+        pairwise_cosine,
+    )
+
+    rows = [(1, [float("nan"), 1.0])]
+    rows += [(10 + i, [2.0, 3.0, 4.0]) for i in range(8)]  # wrong length
+    # all real cosines NEGATIVE vs the query
+    rows += [(30 + i, [-1.0, -float(i + 1)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = cosine_topk(df, q, k=4, dim=2).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+    scored = pairwise_cosine(q, df, dim=2)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    want = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+        .collect()
+    )
+    import math
+
+    def canon(r):
+        v = r.cosine_sim
+        v = "nan" if (v is not None and math.isnan(v)) else v
+        return (r.query_id, r.rank, r.neighbor_id, v)
+
+    assert sorted(map(canon, got)) == sorted(map(canon, want))
+    # the NaN row must be rank 1 (legacy semantics)
+    assert [r.neighbor_id for r in want if r.rank == 1] == [1]
+    assert any(r.neighbor_id == 1 and r.rank == 1 for r in got)
+
+
+def test_cosine_topk_duplicate_query_ids_fall_back(spark):
+    """Two query ROWS sharing an id must take the legacy cross-join
+    plan (the scan would mix their candidate sets per window
+    partition) — pinned by plan shape AND by values."""
+    from geosparql_etl_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    plan = cosine_topk(df, q, k=3, dim=2)
+    assert "mapInPandas" not in plan._jdf.queryExecution().analyzed().toString()
+    # legacy cross-join semantics: both query rows share one window
+    # partition (same id), so exactly k rows come back for id 1
+    assert plan.count() == 3
+
+
+def test_pq_and_ivfpq_scan_match_legacy_plan(spark, sf_dir):
+    """The round-15 ADC codes scan (LUT prefilter + bit-exact seq-fold
+    distances) must reproduce the legacy reconstruct-and-fold plans
+    exactly, including the rounded approx_d2 OUTPUT values (pq_topk)
+    and the composed shortlist -> exact re-score (ivf_pq_topk)."""
+    import geosparql_etl_spark.operators.similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 6)
+    new_pq = sorted(tuple(r) for r in sim.pq_topk(e, q, kq=5).collect())
+    new_ivf = sorted(
+        tuple(r)
+        for r in sim.ivf_pq_topk(
+            e, q, kq=4, shortlist=15, n_probe=3, m=8, k=16
+        ).collect()
+    )
+    orig = sim._adc_queries
+    sim._adc_queries = lambda *a, **kw: None
+    try:
+        old_pq = sorted(tuple(r) for r in sim.pq_topk(e, q, kq=5).collect())
+        old_ivf = sorted(
+            tuple(r)
+            for r in sim.ivf_pq_topk(
+                e, q, kq=4, shortlist=15, n_probe=3, m=8, k=16
+            ).collect()
+        )
+    finally:
+        sim._adc_queries = orig
+    assert new_pq == old_pq and len(new_pq) > 0
+    assert new_ivf == old_ivf and len(new_ivf) > 0
+
+
+def test_lsh_scorer_nan_pair_kept(spark):
+    """A co-bucketed NaN-component pair must survive the scorer with a
+    NaN cosine (Spark's `cosine >= t` is TRUE for NaN — NaN compares
+    greatest; the legacy re-score join kept such pairs). Unit-level:
+    the banded hash puts a NaN vector in the all-zero-bits bucket, so
+    the pair is staged into one group directly."""
+    import math
+
+    import pandas as pd
+
+    from geosparql_etl_spark.operators.similarity import (
+        _SCAN_NAN,
+        _bucket_pair_scorer,
+        lsh_threshold_pairs,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "__id": [1, 2, 3],
+            "__vec": [
+                np.ones(4),
+                np.array([np.nan, 1.0, 1.0, 1.0]),
+                np.ones(4),
+            ],
+            "__ch": [0, 0, 0],
+            "__bk": [5, 5, 5],
+            "__ci": [0, 0, 0],
+            "__cj": [0, 0, 0],
+        }
+    )
+    out = _bucket_pair_scorer(0.9, "long")(pdf)
+    got = {
+        (a, b): f
+        for a, b, f in zip(out["id_a"], out["id_b"], out["__flag"])
+    }
+    assert got[(1, 3)] == 0          # exact value, passes threshold
+    assert got[(1, 2)] == _SCAN_NAN  # NaN pair kept, flagged
+    assert got[(2, 3)] == _SCAN_NAN
+    # end-to-end: a NaN vector in the corpus neither crashes the
+    # banded path nor perturbs the clean pairs
+    rows = [
+        (1, [1.0] * 64),
+        (2, [float("nan")] + [1.0] * 63),
+        (3, [1.0] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in lsh_threshold_pairs(
+            df, threshold=0.9, dim=64, bands=8, bits_per_band=2
+        ).collect()
+    }
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.9
+    for v in pairs.values():
+        assert v is not None and (v >= 0.9 or math.isnan(v))
+
+
+def test_cell_max_lower_cosine_matches_legacy_join(spark, sf_dir):
+    """The SemDeDup within-cell max-lower-cosine scorer (d18/llm25)
+    must equal the legacy cell self-join + per-pair rounded fold +
+    max aggregate bit for bit, including under forced multi-chunking."""
+    import geosparql_etl_spark.operators.similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    c = sim.with_ivf_cell(e, "embedding", 64, 8).select(
+        "vec_id", "embedding", "ivf_cell"
+    )
+    a = c.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va"), "ivf_cell"
+    )
+    b = c.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"), "ivf_cell"
+    )
+    denom = sim.l2_norm(F.col("va"), 64) * sim.l2_norm(F.col("vb"), 64)
+    rc = F.round(
+        F.when(denom > 0, sim.dot(F.col("va"), F.col("vb"), 64) / denom)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    want = sorted(
+        tuple(r)
+        for r in (
+            a.join(b, "ivf_cell")
+            .where(F.col("ib") < F.col("ia"))
+            .select(F.col("ia").alias("vec_id"), rc.alias("rc"))
+            .groupBy("vec_id")
+            .agg(F.max("rc").alias("max_lower_cos"))
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in sim.cell_max_lower_cosine(
+            c, "vec_id", "embedding", "ivf_cell", 64
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(sim, "_LSH_SCORE_CHUNK", 5)
+        multi = sorted(
+            tuple(r)
+            for r in sim.cell_max_lower_cosine(
+                c, "vec_id", "embedding", "ivf_cell", 64
+            ).collect()
+        )
+    finally:
+        mp.undo()
+    assert multi == want
