@@ -15203,7 +15203,8 @@ def warc03_crawl_encodings(spark, sf_dir):
     import tempfile
 
     warcmod.register(spark)
-    d = _t(spark, sf_dir, "documents")
+    # spread: see llm24 — parallel warc files, parallel decode re-scan
+    d = spread(_t(spark, sf_dir, "documents"))
     esc = F.coalesce(F.col("text"), F.lit(""))
     for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
         esc = F.replace(esc, F.lit(raw), F.lit(ent))
@@ -15352,7 +15353,12 @@ def llm24_crawl_training_pipeline(spark, sf_dir):
             F.array(F.col("doc_id"), F.col("doc_id") + 1000000),
         ).otherwise(F.array(F.col("doc_id")))
     ).alias("crawl_id")
-    d.select("doc_id", "source", crawl_id, html.alias("__html")).select(
+    # spread: the single-file documents scan otherwise writes ONE warc
+    # file and the re-scan's whole html->text->quality->fp chain runs
+    # on one task (round-15 stage profile: a 1.3s single-task stage);
+    # per-row transforms + order-insensitive downstream windows, so
+    # the result is layout-invariant (guide §2.5)
+    spread(d).select("doc_id", "source", crawl_id, html.alias("__html")).select(
         F.lit("response").alias("warc_type"),
         F.concat(F.lit("urn:gsel:page:"), F.col("crawl_id")).alias(
             "record_id"
@@ -16781,7 +16787,9 @@ def _write_docs_warc(spark, sf_dir, name="gsel_warc_"):
     from geosparql_etl_spark.sources import warc as warcmod
 
     warcmod.register(spark)
-    d = _t(spark, sf_dir, "documents")
+    # spread: one input file would mean one warc file and a
+    # single-task re-scan for every consumer (see llm24; guide §2.5)
+    d = spread(_t(spark, sf_dir, "documents"))
     path = os.path.join(
         tempfile.gettempdir(),
         name + os.path.basename(os.path.normpath(sf_dir)),

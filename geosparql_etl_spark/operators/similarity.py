@@ -676,6 +676,9 @@ def _ivf_index_pq_topk_scan(
     return _exact_cosine_topk(fetched, kq, dim)
 
 
+_CELL_COS_MEMO: dict = {}
+
+
 def _probe_topk(
     cb: DataFrame,
     qb: DataFrame,
@@ -684,27 +687,237 @@ def _probe_topk(
     carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Probe join + exact cosine re-score + per-query top-k over a
-    pre-celled corpus frame (neighbor_id, __cv, __cn, __cell, *carry)."""
-    cand = cb.join(F.broadcast(qb), "__cell").where(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    # norms ride the join (computed once per row, not three folds per
-    # candidate pair — same pattern as pairwise_cosine)
-    denom = F.col("__qn") * F.col("__cn")
-    scored_pairs = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
-        .otherwise(F.lit(0.0))
-        .alias("cosine_sim"),
-        *carry_cols,
-    )
+    pre-celled corpus frame (neighbor_id, __cv, __cn, __cell, *carry).
+
+    Round 15 (guide §4.2): the tiny probe frame is collected once and
+    a vectorized scan computes the exact cosine (seq_dot replicates
+    the JVM fold bit for bit; the STORED ``__cn`` is shipped into the
+    scan and used as-is, so a persisted index's norms participate
+    verbatim) and keeps only per-(query, batch) top-k-safe rows (the
+    _topk_candidates margin argument, restricted to each query's
+    probed cells). The legacy cell join stays as the fallback for odd
+    query sides."""
+    scored_pairs = _cell_cosine_scan(cb, qb, k, dim, carry_cols)
+    if scored_pairs is None:
+        cand = cb.join(F.broadcast(qb), "__cell").where(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        # norms ride the join (computed once per row, not three folds
+        # per candidate pair — same pattern as pairwise_cosine)
+        denom = F.col("__qn") * F.col("__cn")
+        scored_pairs = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.when(denom > 0, dot(F.col("__qv"), F.col("__cv"), dim) / denom)
+            .otherwise(F.lit(0.0))
+            .alias("cosine_sim"),
+            *carry_cols,
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return scored_pairs.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def _cell_cosine_scan(cb, qb, k, dim, carry_cols):
+    """(query_id, neighbor_id, cosine_sim, *carry) candidate superset
+    with EXACT cosine values, or None (caller falls back to the join).
+
+    The probe frame arrives exploded (one row per (query, probed
+    cell)); rows re-group by query id. Fallback when the query side is
+    not collectible, empty, over the contract bound, or two rows share
+    an id with different vectors/norms (the legacy join would score
+    against both)."""
+    try:
+        qrows = qb.select(
+            "query_id", "__qv", "__qn", "__cell"
+        ).limit(8 * _TOPK_MAX_QUERIES + 1).collect()
+    except Exception:
+        return None
+    if not qrows or len(qrows) > 8 * _TOPK_MAX_QUERIES:
+        return None
+    by_q: dict = {}
+    try:
+        for r in qrows:
+            by_q.setdefault(r["query_id"], []).append(r)
+    except TypeError:
+        return None
+    if None in by_q or len(by_q) > _TOPK_MAX_QUERIES:
+        return None
+    qids, qvecs, qns, cells_per_q = [], [], [], []
+    for qid, rs in by_q.items():
+        v0 = rs[0]["__qv"]
+        n0 = rs[0]["__qn"]
+        key0 = (None if v0 is None else tuple(v0), n0)
+        for r in rs[1:]:
+            v = r["__qv"]
+            if (None if v is None else tuple(v), r["__qn"]) != key0:
+                return None  # same id, different vector: legacy join
+        if v0 is None or len(v0) != dim or n0 is None:
+            return None  # odd vectors keep the legacy expressions
+        qids.append(qid)
+        qvecs.append(list(v0))
+        qns.append(float(n0))
+        cells_per_q.append(sorted({r["__cell"] for r in rs}))
+    qmat = np.asarray(qvecs, dtype=np.float64)
+    qn = np.asarray(qns, dtype=np.float64)
+
+    qtype = dict(qb.dtypes)["query_id"]
+    ctypes = dict(cb.dtypes)
+    schema = (
+        f"query_id {qtype}, neighbor_id {ctypes['neighbor_id']}, "
+        "__cs double, __flag tinyint"
+    )
+    for c in carry_cols:
+        schema += f", {c} {ctypes[c]}"
+    key = hashlib.sha256(
+        repr(
+            (
+                "cellcos",
+                tuple(qids),
+                qmat.tobytes(),
+                qn.tobytes(),
+                tuple(tuple(c) for c in cells_per_q),
+                int(k),
+                int(dim),
+                schema,
+            )
+        ).encode()
+    ).digest()
+    scan = _CELL_COS_MEMO.get(key)
+    if scan is None:
+        scan = _memo_put(
+            _CELL_COS_MEMO,
+            key,
+            _cell_cosine_scan_fn(
+                qids, qmat, qn, cells_per_q, k, dim, list(carry_cols)
+            ),
+        )
+    inp = cb.select(
+        F.col("neighbor_id").alias("__id"),
+        "__cell",
+        F.col("__cv").alias("__v"),
+        "__cn",
+        # Arrow hands pandas NaN for BOTH a SQL NULL norm and a real
+        # NaN norm, but legacy semantics differ (NULL -> denom NULL ->
+        # 0.0; NaN -> NaN > 0 is TRUE under NaN-greatest -> NaN
+        # cosine, which ranks FIRST desc) — ship the null bit JVM-side
+        F.col("__cn").isNull().alias("__cnn"),
+        *carry_cols,
+    )
+    return inp.mapInPandas(scan, schema).where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id", _scan_value("cosine_sim"), *carry_cols
+    )
+
+
+def _cell_cosine_scan_fn(qids, qmat, qn, cells_per_q, k, dim, carry):
+    """mapInPandas scorer: exact cosine of each corpus row against
+    every query probing its cell, per-(query, batch) top-k cut (the
+    _topk_candidates margin proof — invalid/NaN rows always kept and
+    never lift the cut), stored __cn used verbatim as the corpus-side
+    norm. Legacy value semantics per pair:
+    CASE WHEN __qn * __cn > 0 THEN dot/(.,.) ELSE 0.0 END with Spark's
+    NaN-greatest comparison and the null algebra of the fold."""
+    nq = len(qids)
+    cell_to_q: dict = {}
+    for qi, cells in enumerate(cells_per_q):
+        for c in cells:
+            cell_to_q.setdefault(c, []).append(qi)
+    cell_to_q = {c: np.asarray(v) for c, v in cell_to_q.items()}
+
+    def pair_value(v, cn, qi):
+        q = qmat[qi]
+        den = None if cn is None else qn[qi] * cn
+        if den is None or not (den > 0 or np.isnan(den)):
+            return 0.0
+        if v is None or len(v) != dim:
+            return None
+        d = seq_dot(
+            np.asarray([v], dtype=np.float64), q[None, :]
+        )[0]
+        return d / den
+
+    def scan(batches):
+        q_arr = pd.Series(list(qids))
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vals = pdf["__v"].to_numpy()
+            cns = pdf["__cn"].to_numpy()
+            mat = np.zeros((n, dim), dtype=np.float64)
+            full = np.zeros(n, dtype=bool)
+            for i, v in enumerate(vals):
+                if v is not None and len(v) == dim:
+                    mat[i] = v
+                    full[i] = True
+            cn64 = np.where(pd.isnull(cns), np.nan, cns).astype(np.float64)
+            # the JVM-computed null bit, NOT pd.isnull (which would
+            # also claim real NaN norms — those must flow NaN-greatest)
+            cn_null = pdf["__cnn"].to_numpy().astype(bool)
+            cells = pdf["__cell"].to_numpy()
+            elig = np.zeros((n, nq), dtype=bool)
+            notnull = pd.notnull(cells)
+            for c in pd.unique(cells[notnull]):
+                qidx = cell_to_q.get(c)
+                if qidx is not None:
+                    elig[np.ix_(cells == c, qidx)] = True
+            denom = np.outer(cn64, qn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(
+                    (denom > 0) | np.isnan(denom),
+                    (mat @ qmat.T) / denom,
+                    0.0,
+                )
+            special = ~full | cn_null
+            nonfin = ~np.isfinite(cos)
+            coscut = np.where(
+                (special[:, None] | nonfin | ~elig), -np.inf, cos
+            )
+            kth = min(k, n - 1)
+            cuts = -np.partition(-coscut, kth, axis=0)[kth, :] - 1e-6
+            keep = elig & (
+                (coscut >= cuts[None, :]) | special[:, None] | nonfin
+            )
+            ri, qi = np.nonzero(keep)
+            if len(ri) == 0:
+                continue
+            npairs = len(ri)
+            out = np.empty(npairs, dtype=object)
+            fast = full[ri] & ~cn_null[ri]
+            if fast.any():
+                fr, fq = ri[fast], qi[fast]
+                d = seq_dot(mat[fr], qmat[fq])
+                den = qn[fq] * cn64[fr]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    val = np.where(
+                        (den > 0) | np.isnan(den), d / den, 0.0
+                    )
+                out[fast] = val
+            slow = ~fast
+            if slow.any():
+                out[slow] = [
+                    pair_value(
+                        vals[r], None if cn_null[r] else cn64[r], q
+                    )
+                    for r, q in zip(ri[slow], qi[slow])
+                ]
+            cs, flags = _flag_encode(out)
+            res = {
+                "query_id": q_arr.iloc[qi].to_numpy(),
+                "neighbor_id": pdf["__id"].to_numpy()[ri],
+                "__cs": cs,
+                "__flag": flags,
+            }
+            for c in carry:
+                res[c] = pdf[c].to_numpy()[ri]
+            yield pd.DataFrame(res)
+
+    return scan
 
 
 def auto_n_cells(n_rows: int, rows_per_cell: int | None = None) -> int:

@@ -371,3 +371,77 @@ def test_cell_max_lower_cosine_matches_legacy_join(spark, sf_dir):
     finally:
         mp.undo()
     assert multi == want
+
+
+def _nan_safe(rows):
+    import math
+
+    def norm(v):
+        return "NaN" if isinstance(v, float) and math.isnan(v) else v
+
+    return sorted(tuple(norm(v) for v in r) for r in rows)
+
+
+def test_probe_topk_scan_matches_legacy_join(spark, sf_dir, tmp_path):
+    """The round-15 probe cell-cosine scan (exact seq-order cosine
+    emitted inside a MapInPandas pass over the celled corpus) must
+    reproduce the legacy broadcast cell-join plan exactly: carry_cols,
+    persisted STORED norms used verbatim, NaN-component corpus vectors
+    (Spark NaN-greatest: denom NaN > 0 is true, cosine NaN ranks
+    first), and duplicate query ids falling back to the legacy join."""
+    import pytest as _pytest
+
+    import geosparql_etl_spark.operators.similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    el = e.withColumn("label", (F.col("vec_id") % 3).cast("string"))
+    q = e.where(F.col("vec_id") < 8)
+
+    def ab(fn):
+        new = _nan_safe(fn().collect())
+        mp = _pytest.MonkeyPatch()
+        try:
+            mp.setattr(sim, "_cell_cosine_scan", lambda *a, **kw: None)
+            old = _nan_safe(fn().collect())
+        finally:
+            mp.undo()
+        return new, old
+
+    n1, o1 = ab(
+        lambda: sim.ivf_topk(
+            el, q, k=6, dim=64, n_cells=16, n_probe=2, carry_cols=("label",)
+        )
+    )
+    assert n1 == o1 and len(n1) > 0
+
+    idx = str(tmp_path / "probe_scan_idx")
+    sim.write_ivf_index(e, idx, dim=64, n_cells=16)
+    n2, o2 = ab(
+        lambda: sim.ivf_index_topk(
+            spark, idx, q, k=7, dim=64, n_cells=16, n_probe=3
+        )
+    )
+    assert n2 == o2 and len(n2) > 0
+
+    # NaN corpus vector: scan must carry the NaN pair exactly like the
+    # legacy join (NaN cosine sorts FIRST under desc — dropping it
+    # would promote a different neighbor)
+    rows = [(i, [float(i % 7 + 1)] * 64) for i in range(1, 30)]
+    rows.append((30, [float("nan")] + [1.0] * 63))
+    nf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n3, o3 = ab(
+        lambda: sim.ivf_topk(
+            nf, nf.where(F.col("vec_id") <= 3), k=5, dim=64, n_cells=4,
+            n_probe=4,
+        )
+    )
+    assert n3 == o3 and len(n3) > 0
+    assert any("NaN" in r for r in n3), "NaN pair must survive the scan"
+
+    # duplicate query ids with different vectors: the scan must refuse
+    # (legacy join scores against BOTH rows; the scan cannot)
+    dq = q.union(q.withColumn("embedding", F.reverse(F.col("embedding"))))
+    n4, o4 = ab(
+        lambda: sim.ivf_topk(e, dq, k=4, dim=64, n_cells=16, n_probe=2)
+    )
+    assert n4 == o4 and len(n4) > 0
