@@ -72,6 +72,7 @@ from geosparql_etl_spark.operators.dedup import (
 )
 from geosparql_etl_spark.operators.ledger import filter_pending
 from geosparql_etl_spark.operators.partitioning import spread
+from geosparql_etl_spark.util import local_frame
 from geosparql_etl_spark.operators.render import ordered_concat
 from geosparql_etl_spark.operators.similarity import (
     ann_topk,
@@ -4351,7 +4352,8 @@ def p06_membership_filter(spark, sf_dir):
     """P6/J2: dictionary-membership filter — only segments present in the
     (SNOMED-analog) mapping emit rows; unmatched are silently dropped."""
     c = _t(spark, sf_dir, "customer")
-    mapping = spark.createDataFrame(
+    mapping = local_frame(
+        spark,
         [
             ("BUILDING", "snomed:52101004"),
             ("AUTOMOBILE", "snomed:49062001"),
@@ -6362,7 +6364,7 @@ def llm09_data_mixture(spark, sf_dir):
         n_tok.alias("n_tok"),
         (md5_long(F.col("doc_id").cast("string")) % 10000).alias("bp"),
     )
-    w = spark.createDataFrame(weights, "lang string, w_pct long")
+    w = local_frame(spark, weights, "lang string, w_pct long")
     tot = per.groupBy("lang").agg(F.sum("n_tok").alias("tok_lang"))
     # budget = half the weighted-language token mass, via a window over
     # the #langs-row aggregate (single partition of TINY data by
@@ -8967,7 +8969,7 @@ def sim28_bm25_deletes(spark, sf_dir):
             F.round(F.col("score").cast("double"), 6).alias("score"),
         )
         # materialize BEFORE the index mutates under the lazy plan
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_frame(spark, out.collect(), out.schema)
 
     arm1 = probed("tombstoned")
     compact_text_index(spark, idx)
@@ -10258,7 +10260,7 @@ def sim36_pq_updates(spark, sf_dir):
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
         # materialize BEFORE the index mutates under the lazy plan
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_frame(spark, out.collect(), out.schema)
 
     arm1 = probed("tombstoned")
     compact_ivf_index(spark, idx)
@@ -10449,7 +10451,7 @@ def sim25_ann_deletes(spark, sf_dir):
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
         # materialize BEFORE the index mutates under the lazy plan
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_frame(spark, out.collect(), out.schema)
 
     arm1 = probed("tombstoned")
     compact_ivf_index(spark, index)
@@ -10572,7 +10574,7 @@ def sim30_ann_updates(spark, sf_dir):
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
         # materialize BEFORE the index mutates under the lazy plan
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_frame(spark, out.collect(), out.schema)
 
     arm1 = probed("tombstoned")
     compact_ivf_index(spark, index)
@@ -12865,7 +12867,12 @@ def llm18_bpe_merges(spark, sf_dir):
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    return learn_bpe_merges(words, num_merges=4)
+    # batch_size=4: one pair-count round instead of four sequential
+    # Spark jobs — _batch_prefix's acceptance rule guarantees the
+    # learned table is IDENTICAL to batch_size=1 (sequential parity,
+    # pinned by TestBpeBatchedParity), only the job count changes
+    # (guide §2.4 fixpoint round latency)
+    return learn_bpe_merges(words, num_merges=4, batch_size=4)
 
 
 def _sql_llm18():
@@ -12999,6 +13006,7 @@ def llm20_bpe_tokenize(spark, sf_dir):
         apply_bpe_merges,
         learn_bpe_merges,
     )
+    from geosparql_etl_spark.util import cut_lineage
 
     d = _t(spark, sf_dir, "documents")
     pw = d.select(
@@ -13010,10 +13018,18 @@ def llm20_bpe_tokenize(spark, sf_dir):
             )
         ).alias("pos", "word"),
     )
+    # the regex-split word explode feeds THREE consumers (the learner's
+    # state init, the toks apply arm, the position join) — checkpoint
+    # it once per execution so the corpus is scanned once, the same
+    # cut_lineage every fixpoint operator uses (guide §5; value-
+    # preserving, inside the timed region)
+    pw = cut_lineage(pw)
     freqs = pw.groupBy("word").agg(F.count("*").alias("freq"))
     merges = [
         (r["lhs"], r["rhs"])
-        for r in learn_bpe_merges(freqs, num_merges=4)
+        # batch_size=4: sequential-parity batching (identical merge
+        # table, fewer driver rounds — see llm18 / guide §2.4)
+        for r in learn_bpe_merges(freqs, num_merges=4, batch_size=4)
         .orderBy("merge_rank")
         .collect()
     ]
@@ -13697,7 +13713,8 @@ def dq05_benford_audit(spark, sf_dir):
     total = counts.agg(F.sum("n").alias("tot"))
     import math
 
-    benford = spark.createDataFrame(
+    benford = local_frame(
+        spark,
         [(d, math.log10(1 + 1 / d)) for d in range(1, 10)],
         "d int, p double",
     )
@@ -14379,7 +14396,7 @@ def sim39_manifest_lake_probe(spark, sf_dir):
             F.col("rank").cast("int").alias("rank"),
             F.round("cosine_sim", 6).alias("cosine_sim"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_frame(spark, out.collect(), out.schema)
 
     a0 = arm("v0", 0)
     a1 = arm("v1", 1)
@@ -14517,7 +14534,7 @@ def sim40_manifest_text_probe(spark, sf_dir):
             "rank",
             F.round(F.col("score").cast("double"), 6).alias("score"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_frame(spark, out.collect(), out.schema)
 
     return (
         arm("v1", 1)
@@ -15823,7 +15840,7 @@ def sim29_bm25_updates(spark, sf_dir):
             F.round(F.col("score").cast("double"), 6).alias("score"),
         )
         # materialize BEFORE the index mutates under the lazy plan
-        return spark.createDataFrame(out.collect(), out.schema)
+        return local_frame(spark, out.collect(), out.schema)
 
     arm1 = probed("tombstoned")
     compact_text_index(spark, idx)

@@ -65,6 +65,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from geosparql_etl_spark.util import local_frame
 
 MANIFEST_DIR = "_manifests"
 TOMBSTONE_DIR = "_tombstones"
@@ -400,7 +401,7 @@ def manifest_ivf_topk(
         schema = (
             "query_id long, neighbor_id long, cosine_sim double, rank int"
         )
-        return spark.createDataFrame([], schema)
+        return local_frame(spark, [], schema)
     cb = (
         spark.read.option("basePath", path)
         .parquet(*files)
@@ -769,8 +770,8 @@ def manifest_text_topk(
         and int(_text_file_meta(f["path"]).get("bucket", -1)) in buckets
     ]
     if not files:
-        return spark.createDataFrame(
-            [], "doc_id long, rank int, score decimal(18,9)"
+        return local_frame(
+            spark, [], "doc_id long, rank int, score decimal(18,9)"
         )
     post = (
         spark.read.option("basePath", path)

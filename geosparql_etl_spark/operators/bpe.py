@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from geosparql_etl_spark.util import cut_lineage
+from geosparql_etl_spark.util import cut_lineage, local_frame
 
 
 def merge_pair(arr: Column, a: str, b: str) -> Column:
@@ -166,8 +166,10 @@ def learn_bpe_merges(
             arr = merge_pair(arr, r["a"], r["b"])
         state = state.select(arr.alias("w"), "freq")
         state = cut_lineage(state)  # round k must not replay 1..k-1
-    return spark.createDataFrame(
-        merges, "merge_rank int, lhs string, rhs string, pair_freq bigint"
+    return local_frame(
+        spark,
+        merges,
+        "merge_rank int, lhs string, rhs string, pair_freq bigint",
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from geosparql_etl_spark.schemas import LEDGER
+from geosparql_etl_spark.util import local_frame
 
 
 def _latest(ledger: DataFrame, ledger_key: str = "id") -> DataFrame:
@@ -108,7 +109,7 @@ def read_ledger(spark: SparkSession, path: str) -> DataFrame:
     try:
         return spark.read.schema(LEDGER).parquet(path)
     except Exception:
-        return spark.createDataFrame([], LEDGER)
+        return local_frame(spark, [], LEDGER)
 
 
 def append_ledger(df: DataFrame, path: str) -> None:

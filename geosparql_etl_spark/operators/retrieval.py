@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from geosparql_etl_spark.util import local_frame
 
 
 def bm25_scores(
@@ -810,8 +811,8 @@ def _tombstone_adjustment(
     _ensure_doclens(spark, path, stats)
     ids = sorted(r[0] for r in rows)
     dbuckets = sorted({doc_bucket_py(i, nb) for i in ids})
-    tdf = spark.createDataFrame(
-        [(int(i), int(s)) for i, s in rows], "__td long, __ts int"
+    tdf = local_frame(
+        spark, [(int(i), int(s)) for i, s in rows], "__td long, __ts int"
     )
     agg = (
         spark.read.parquet(os.path.join(path, "_doclens"))
@@ -1098,7 +1099,7 @@ def text_index_topk(
         # whole state is memoized on the tombstone-dir fingerprint, so
         # repeated probes pay ZERO extra jobs between deletes.
         rows, n_del, dl_del = state
-        tomb = spark.createDataFrame(rows, "doc_id long, seq int")
+        tomb = local_frame(spark, rows, "doc_id long, seq int")
         post = _anti_join_tombstones(
             post.select("tok", "doc_id", "tf", "dl", _epoch_seq_col(stats))
         , tomb)
@@ -1181,7 +1182,7 @@ def _positional_frame(
     )
     state = _tombstone_state(spark, path, stats, pin)
     if state is not None and state[0]:
-        tomb = spark.createDataFrame(state[0], "doc_id long, seq int")
+        tomb = local_frame(spark, state[0], "doc_id long, seq int")
         post = _anti_join_tombstones(
             post.select("tok", "doc_id", "pos", _epoch_seq_col(stats)),
             tomb,

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geosparql_etl_spark.operators.partitioning import spread
+from geosparql_etl_spark.util import local_frame
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -662,7 +663,8 @@ def _ivf_index_pq_topk_scan(
     if tomb2 is not None:
         vec_scan = _apply_ann_tombstones(vec_scan, tomb2)
     vec_scan = vec_scan.drop("epoch")
-    qframe = spark.createDataFrame(
+    qframe = local_frame(
+        spark,
         [(r["query_id"], r["__qv"], r["__qn"]) for r in qrows],
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -3314,7 +3316,8 @@ def ivf_pq_topk(
         # from the rows collected above (the scan and the exact arm
         # provably see the same query evaluation)
         spark = corpus.sparkSession
-        qframe = spark.createDataFrame(
+        qframe = local_frame(
+            spark,
             [(r["query_id"], r["__qv"], r["__qn"]) for r in qdedup],
             queries.select(
                 F.col(id_col).alias("query_id"),

@@ -28,6 +28,7 @@ from geosparql_etl_spark.functions.hashing import sha256_id
 from geosparql_etl_spark.functions.text import extract_image_id
 from geosparql_etl_spark.operators.argmax import dominant_entry
 from geosparql_etl_spark.operators.render import ordered_concat
+from geosparql_etl_spark.util import local_frame
 
 # SNOMED tissue-class registry (json-etl:13-24) as engine data:
 # class name -> SNOMED concept id (the URI tail; URI = sno: prefix + id).
@@ -70,8 +71,10 @@ def _snomed_map_lit() -> Column:
 
 def snomed_df(spark) -> DataFrame:
     """The same registry as a broadcastable dimension (J2)."""
-    return spark.createDataFrame(
-        [(k, v) for k, v in SNOMED_CLASSES.items()], "class_name string, snomed_id string"
+    return local_frame(
+        spark,
+        [(k, v) for k, v in SNOMED_CLASSES.items()],
+        "class_name string, snomed_id string",
     )
 
 

@@ -157,6 +157,7 @@ from geosparql_etl_spark.functions.geometry import (
 )
 from geosparql_etl_spark.operators.partitioning import spread
 from geosparql_etl_spark.sparql.triples import RDF_LANGSTRING, XSD, TripleStore
+from geosparql_etl_spark.util import local_frame
 
 # ---------------------------------------------------------------------------
 # tokenizer
@@ -1880,7 +1881,7 @@ def _apply_values_undef(spark, frames: list, vars_, rows, defer_ok: bool) -> boo
     if defer_ok and ((undef_vars - bound) or not sharing):
         return False
     schema = ", ".join(f"{v} string" for v in vars_)
-    vals = spark.createDataFrame(rows, schema)
+    vals = local_frame(spark, rows, schema)
     if not sharing:
         frames.append(_mark_maybe_null(vals, undef_vars))
         return True
@@ -2155,7 +2156,7 @@ def _compile_group(store: TripleStore, group: Group) -> DataFrame:
                 # fully-bound inline data: an ordinary (broadcast)
                 # equi-join frame — tiny by construction
                 schema = ", ".join(f"{v} string" for v in vars_)
-                frames.append(F.broadcast(spark.createDataFrame(rows, schema)))
+                frames.append(F.broadcast(local_frame(spark, rows, schema)))
                 _merge_connected(frames)
             elif not _apply_values_undef(spark, frames, vars_, rows, defer_ok=True):
                 # an UNDEF var not bound by any frame YET would

@@ -45,6 +45,7 @@ from geosparql_etl_spark.sparql.compiler import (
 )
 from geosparql_etl_spark.sparql.triples import TripleStore
 from geosparql_etl_spark.util import cut_lineage as _cut
+from geosparql_etl_spark.util import local_frame
 
 
 class IncrementalConstructView:
@@ -164,8 +165,8 @@ class IncrementalConstructView:
             for i in range(len(self.patterns))
         ]
         if new_bindings is None:  # nothing new matched any pattern
-            empty = batch_triples.sparkSession.createDataFrame(
-                [], "s string, p string, o string"
+            empty = local_frame(
+                batch_triples.sparkSession, [], "s string, p string, o string"
             )
             if self.view is None:  # the view now exists, just empty
                 self.view = empty

@@ -31,10 +31,25 @@ def _physical_plan(df) -> str:
     return buf.getvalue()
 
 
+# Both audits below inspect the SAME plan string per query, and
+# building it is the expensive part (some probe queries construct a
+# persisted index at plan-build time, 8-13 s each) — build once, share
+# across the two parametrized tests. Keyed by (name, sf_dir) within
+# one pytest process; plans must not change between the two reads.
+_PLAN_CACHE: dict = {}
+
+
+def _query_plan(spark, sf_dir, name) -> str:
+    key = (name, sf_dir)
+    if key not in _PLAN_CACHE:
+        df = entry.queries()[name](spark, sf_dir)
+        _PLAN_CACHE[key] = _physical_plan(df)
+    return _PLAN_CACHE[key]
+
+
 @pytest.mark.parametrize("name", [n for n in entry.queries() if n not in SKIP])
 def test_no_cartesian_product(spark, sf_dir, name):
-    df = entry.queries()[name](spark, sf_dir)
-    plan = _physical_plan(df)
+    plan = _query_plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
 
 
@@ -106,8 +121,7 @@ def test_udf_policy_no_row_python(spark, sf_dir, name):
     query may plan a row-at-a-time Python eval (BatchEvalPython), and
     only the declared vectorized set may plan ArrowEvalPython /
     MapInPandas at all."""
-    df = entry.queries()[name](spark, sf_dir)
-    plan = _physical_plan(df)
+    plan = _query_plan(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan, (
         f"{name} plans a row-at-a-time Python UDF:\n{plan}"
     )
