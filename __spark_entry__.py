@@ -13535,27 +13535,45 @@ def er02_golden_record(spark, sf_dir):
     rows = p.join(
         F.broadcast(canon.select("p_partkey", "canonical")), "p_partkey"
     )
-    votes = (
-        rows.groupBy("canonical", "p_brand")
-        .agg(F.count("*").alias("cnt"))
+    # ONE chained aggregate tree over part⨝canon — the old shape
+    # scanned the join TWICE (votes + survivors) and joined the halves
+    # back (round-14 verdict item #8; guide §2.2). Exactness of each
+    # fold: sum∘count = count; min∘min = min (integer cents); the
+    # brand vote's per-brand totals aggregate bottom-up before the
+    # argmin struct (identical values, identical lexicographic
+    # tie-break); n_variants carries the DISTINCT name set upward
+    # (names can repeat across brands, so per-brand distinct counts
+    # would over-count — the flattened distinct set cannot), bounded
+    # by variants-per-entity, small by ER construction.
+    return (
+        rows.groupBy("canonical", "p_brand", "p_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(_cents("p_retailprice")).alias("mp"),
+        )
+        .groupBy("canonical", "p_brand")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("mp").alias("mp"),
+            F.collect_set("p_name").alias("names"),
+        )
         .groupBy("canonical")
         .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("names")))
+            ).alias("n_variants"),
+            F.min("mp").alias("min_price_cents"),
             F.min(
                 F.struct((-F.col("cnt")).alias("neg"), F.col("p_brand"))
-            ).alias("v")
+            ).alias("v"),
         )
-        .select("canonical", F.col("v.p_brand").alias("brand"))
-    )
-    return (
-        rows.groupBy("canonical")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.countDistinct("p_name").alias("n_variants"),
-            F.min(_cents("p_retailprice")).alias("min_price_cents"),
-        )
-        .join(votes, "canonical")
         .select(
-            "canonical", "n_rows", "n_variants", "min_price_cents", "brand"
+            "canonical",
+            "n_rows",
+            F.col("n_variants").cast("long").alias("n_variants"),
+            "min_price_cents",
+            F.col("v.p_brand").alias("brand"),
         )
     )
 
