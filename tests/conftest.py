@@ -12,7 +12,15 @@ from geosparql_etl_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("gsel-tests", master="local[4]", shuffle_partitions=4)
+    s = get_spark(
+        "gsel-tests",
+        master=os.environ.get("GSEL_TEST_MASTER", "local[4]"),
+        shuffle_partitions=int(os.environ.get("GSEL_TEST_SHUFFLE", "4")),
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get("GSEL_TEST_AQE", "true"),
+            "spark.sql.codegen.wholeStage": os.environ.get("GSEL_TEST_CODEGEN", "true"),
+        },
+    )
     yield s
 
 
